@@ -13,7 +13,11 @@ object SparkEntry {
 
   /** All implemented packs. Order is irrelevant; names must be unique. */
   private val packs: Seq[QueryPack] = Seq(
-    Relational
+    Relational,
+    Joins,
+    SetOps,
+    Aggregates,
+    Windows
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

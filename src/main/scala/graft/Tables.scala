@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Fixture loader for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -20,9 +21,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one fixture table. */
-  def df(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Read one fixture table.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to its microsecond TimestampType. We read nanos as raw longs
+    * (legacy conf) and truncate to micros with integer division — the same
+    * floor-truncation DuckDB applies when it reads nano timestamps into its
+    * native microsecond TIMESTAMP, so oracle comparisons stay exact.
+    */
+  def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
 
   /** Register all fixture tables as temp views (idempotent). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

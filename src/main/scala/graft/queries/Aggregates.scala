@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation depth: the full UDAF surface of the deployed Hive engine
+  * (GroupByOperator + GenericUDAF* family: count/sum/avg/min/max, the
+  * statistical family, percentile, collect_set/list, grouping sets /
+  * rollup / cube, HAVING) on Spark's partial/final HashAggregate.
+  *
+  * Determinism contract (SURVEY.md §7.4): statistical moments are rounded
+  * before the hash-compare (Welford accumulation order differs between
+  * engines at ~1e-12 relative error); collect_* results are sorted and
+  * joined to a string; approx sketches (HLL, GK-quantile) get no oracle —
+  * they are asserted by bounds in unit tests instead.
+  *
+  * Scale note: every aggregate here is algebraic or has a bounded sketch —
+  * map-side partial aggregation keeps the shuffle ≤ |groups| rows per
+  * partition. collect_* is the one list-building exception; it is only
+  * safe because its group cardinality (returnflag → ≤2 statuses) is tiny,
+  * and that constraint is documented at the call site.
+  */
+object Aggregates extends QueryPack {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Statistical UDAFs per return flag (variance/stddev/covar/corr). */
+  def qAggStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(var_pop($"l_quantity"), 4).as("vp"),
+        round(var_samp($"l_quantity"), 4).as("vs"),
+        round(stddev_pop($"l_quantity"), 4).as("sp"),
+        round(stddev_samp($"l_quantity"), 4).as("ss"),
+        round(covar_pop($"l_quantity", $"l_discount"), 6).as("cvp"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("cr"),
+        avg($"l_quantity").as("avg_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** COUNT(DISTINCT …) — Hive rewrites through a two-stage group-by;
+    * Spark plans expand + two-phase HashAggregate. */
+  def qAggDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("nd_parts"),
+        countDistinct($"l_suppkey").as("nd_supps"),
+        countDistinct($"l_partkey", $"l_suppkey").as("nd_ps"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Exact percentiles (Hive GenericUDAFPercentile / linear
+    * interpolation ≡ DuckDB quantile_cont). */
+  def qPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.95)").as("p95"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** collect_set / collect_list — sorted and stringified for engine-portable
+    * determinism (collect order is partition-dependent otherwise). Only
+    * valid on tiny per-group cardinalities; never collect an unbounded
+    * group at scale. */
+  def qCollect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        concat_ws(",", sort_array(collect_set($"o_orderpriority")))
+          .as("priorities"),
+        size(collect_set($"o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** ROLLUP with per-column GROUPING flags (Hive 0.10+ multi-grouping). */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("total"),
+        grouping($"o_orderstatus").cast("int").as("g1"),
+        grouping($"o_orderpriority").cast("int").as("g2"))
+      .orderBy($"g1", $"g2", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** CUBE over two dimensions. */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        grouping($"o_orderstatus").cast("int").as("g1"),
+        grouping($"o_orderpriority").cast("int").as("g2"))
+      .orderBy($"g1", $"g2", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** GROUPING SETS via the SQL surface (exercises Spark's HiveQL-descended
+    * parser path the way beeline would against HiveServer2). */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g1, CAST(grouping(o_orderpriority) AS INT) AS g2
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g1, g2, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** HAVING — post-aggregation filter. */
+  def qHaving(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_suppkey")
+      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .where($"sum_qty" > 14000)
+      .orderBy($"l_suppkey")
+  }
+
+  /** Approx sketches: HLL++ distinct + GK percentile. No oracle — sketch
+    * internals differ across engines; bounds are unit-tested instead. */
+  def qApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_median"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_stats" -> qAggStats,
+    "q_agg_distinct" -> qAggDistinct,
+    "q_percentile" -> qPercentile,
+    "q_collect" -> qCollect,
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_having" -> qHaving,
+    "q_approx" -> qApprox
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(var_pop(l_quantity), 4) AS vp,
+        |  round(var_samp(l_quantity), 4) AS vs,
+        |  round(stddev_pop(l_quantity), 4) AS sp,
+        |  round(stddev_samp(l_quantity), 4) AS ss,
+        |  round(covar_pop(l_quantity, l_discount), 6) AS cvp,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS cr,
+        |  avg(l_quantity) AS avg_qty,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+        |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS nd_ps,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_collect" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+        |  CAST(len(list(DISTINCT o_orderpriority)) AS INTEGER) AS n_priorities,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g1,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g2
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY g1, g2, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g1,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g2
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g1, g2, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g1,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g2
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g1, g2, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_having" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 14000
+        |ORDER BY l_suppkey""".stripMargin
+    // q_approx: intentionally no oracle (sketch internals differ)
+  )
+}
