@@ -17,7 +17,9 @@ object SparkEntry {
     Joins,
     SetOps,
     Aggregates,
-    Windows
+    Windows,
+    Functions,
+    Lateral
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
