@@ -19,7 +19,9 @@ object SparkEntry {
     Aggregates,
     Windows,
     Functions,
-    Lateral
+    Lateral,
+    TextOps,
+    VectorQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text pipeline: dedup (exact / Jaccard / SimHash /
+  * MinHash-LSH), language ID, quality scoring, token counting,
+  * fingerprinting, tf-idf. The `documents` fixture is the corpus.
+  *
+  * Oracle policy: everything built from engine-portable primitives is
+  * hash-checked against DuckDB (including the full pairwise-Jaccard dedup
+  * decision); the two sketch-based dedup paths (SimHash grouping summary is
+  * checkable in principle but depends on xxhash64 internals; MinHash LSH is
+  * seed-dependent) are rows-only + property-tested in ScalaTest.
+  */
+object TextOps extends QueryPack {
+
+  /** Exact dedup summary: corpus size vs survivors after
+    * keep-lowest-doc_id-per-distinct-text. */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val survivors = Dedup.exactDedup(docs, "text", "doc_id")
+    docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+  }
+
+  /** Pairwise token-set Jaccard near-dup decision (threshold 0.9) on a
+    * doc_id % 5 block: per doc, partner count and the keep/drop verdict
+    * (drop iff a lower-id near-duplicate exists). */
+  def qDedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 5 === 0)
+    val pairs = Dedup.jaccardPairs(docs, 0.9)
+    val partnerCounts = pairs.select($"id1".as("doc_id"))
+      .unionAll(pairs.select($"id2".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_partners"))
+    val hasLower = pairs.select($"id2".as("doc_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    docs.select($"doc_id")
+      .join(partnerCounts, Seq("doc_id"), "left")
+      .join(hasLower, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_partners", lit(0L)).as("n_partners"),
+        coalesce(!$"__dropped", lit(true)).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash fingerprint near-dup summary (rows-only: depends on xxhash64
+    * bit patterns; properties unit-tested). */
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.simhashGroups(Tables.df(spark, sfDir, "documents"))
+      .groupBy($"fp").agg(count(lit(1)).as("bucket_size"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum($"bucket_size").as("n_docs"),
+        max($"bucket_size").as("max_bucket"))
+  }
+
+  /** MinHash-LSH near-dup candidates (rows-only: banding is seed-dependent;
+    * recall vs exact Jaccard is unit-tested). */
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.minhashCandidates(
+      Tables.df(spark, sfDir, "documents").filter($"doc_id" % 5 === 0), 0.2)
+      .orderBy($"id1", $"id2")
+  }
+
+  /** Heuristic language ID vs the labeled lang column. */
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"lang",
+        TextFunctions.langId($"text").as("pred"))
+      .withColumn("agree", $"pred" === $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Quality metrics + composite score + bucket. */
+  def qQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id",
+        TextFunctions.tokenCount($"text").as("n_tok"),
+        TextFunctions.avgTokenLen($"text").as("avg_len"),
+        TextFunctions.stopwordRatio($"text").as("stop_ratio"),
+        TextFunctions.punctCount($"text").as("punct_cnt"),
+        TextFunctions.qualityScore($"text").as("score"))
+      .withColumn("bucket",
+        when($"score" >= 0.8, "high")
+          .when($"score" >= 0.5, "mid").otherwise("low"))
+      .orderBy($"doc_id")
+  }
+
+  /** Whitespace vs BPE-ish token counts. */
+  def qTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id",
+        TextFunctions.tokenCount($"text").as("ws_tokens"),
+        TextFunctions.bpeishTokenCount($"text").as("bpe_tokens"),
+        length($"text").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** Rolling-hash content fingerprint. */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** tf-idf: corpus-wide document frequencies, per-doc term frequencies,
+    * reported for a doc_id % 50 sample. The N scalar is computed in-plan
+    * (agg + broadcast cross join), never collected to the driver. */
+  def qTfIdf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val toks = docs.select($"doc_id",
+      explode(TextFunctions.tokens($"text")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id", $"tok", $"tf",
+        round(log($"n_docs" / $"df"), 6).as("idf"),
+        round($"tf" * log($"n_docs" / $"df"), 6).as("tfidf"))
+      .orderBy($"doc_id", $"tok")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_lang_id" -> qLangId,
+    "q_quality" -> qQuality,
+    "q_token_count" -> qTokenCount,
+    "q_fingerprint" -> qFingerprint,
+    "q_tfidf" -> qTfIdf
+  )
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), x -> x != '')"
+  private val tokSetSql = s"list_distinct($toksSql)"
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT COUNT(*) AS n_total, COUNT(DISTINCT text) AS n_survivors
+        |FROM documents""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, $tokSetSql AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |        / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.9)
+        |SELECT d.doc_id,
+        |  COALESCE(c.n, 0) AS n_partners,
+        |  d.doc_id NOT IN (SELECT id2 FROM p) AS keep
+        |FROM d
+        |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM
+        |  (SELECT id1 AS doc_id FROM p UNION ALL SELECT id2 FROM p)
+        |  GROUP BY doc_id) c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred,
+        |  (CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END) = lang AS agree
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(t, ['the','a','is','and','of','to'])) AS s_en,
+        |    len(list_intersect(t, ['der','die','das','und','ist'])) AS s_de,
+        |    len(list_intersect(t, ['el','la','los','es','y'])) AS s_es,
+        |    len(list_intersect(t, ['le','la','les','est','et'])) AS s_fr,
+        |    len(list_intersect(t, ['de5','shi4','le5'])) AS s_zh
+        |  FROM (SELECT doc_id, lang, $tokSetSql AS t FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      s"""SELECT doc_id, n_tok, avg_len, round(stop_raw, 6) AS stop_ratio,
+        |  punct_cnt, score,
+        |  CASE WHEN score >= 0.8 THEN 'high'
+        |       WHEN score >= 0.5 THEN 'mid' ELSE 'low' END AS bucket
+        |FROM (
+        |  SELECT doc_id, n_tok, avg_len, stop_raw, punct_cnt,
+        |    round(0.5 * least(n_tok / 20.0, 1.0)
+        |        + 0.3 * least(stop_raw * 5.0, 1.0)
+        |        + 0.2 * (1.0 - least(CAST(punct_cnt AS DOUBLE)
+        |                             / greatest(n_chars, 1), 1.0)), 6)
+        |      AS score
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len($toksSql) AS INT) AS n_tok,
+        |      round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |            / greatest(len($toksSql), 1), 6) AS avg_len,
+        |      CAST(len(list_filter($toksSql,
+        |          x -> list_contains(['the','a','is','and','of','to','in','that','it'], x))) AS DOUBLE)
+        |            / greatest(len($toksSql), 1) AS stop_raw,
+        |      CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS INT)
+        |        AS punct_cnt,
+        |      CAST(length(text) AS INT) AS n_chars
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+        |  CAST(len($toksSql) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_tokens,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.tok, tf.tf,
+        |  round(ln(n_docs / df), 6) AS idf,
+        |  round(tf * ln(n_docs / df), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        |WHERE tf.doc_id % 50 = 0
+        |ORDER BY tf.doc_id, tf.tok""".stripMargin
+    // q_dedup_simhash / q_dedup_minhash: rows-only (sketch/seed dependent)
+  )
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.{SimHash64, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+
+  test("exact dedup is idempotent and keeps the lowest id per text") {
+    import spark.implicits._
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y"), (5L, "x"))
+      .toDF("doc_id", "text")
+    val d1 = Dedup.exactDedup(df, "text", "doc_id")
+    assert(d1.count() === 2)
+    assert(d1.filter($"text" === "x").select($"doc_id").head().getLong(0) === 1L)
+    val d2 = Dedup.exactDedup(d1, "text", "doc_id")
+    assert(d2.collect().toSet === d1.collect().toSet)
+  }
+
+  test("simhash: identical docs share fingerprints, near-dups are close") {
+    import spark.implicits._
+    SimHash64.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "completely unrelated totally different words describing assorted machinery parts")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.simhashGroups(docs).select($"doc_id", $"fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    val nearDist = SimHash64.hamming(fps(1L), fps(3L))
+    val farDist = SimHash64.hamming(fps(1L), fps(4L))
+    assert(nearDist < farDist, s"near=$nearDist far=$farDist")
+    assert(nearDist <= 16)
+  }
+
+  test("minhash LSH finds the high-jaccard pairs that exact jaccard finds") {
+    import spark.implicits._
+    val docs = Tables.df(spark, sf, "documents").filter($"doc_id" < 100)
+    val exact = Dedup.jaccardPairs(docs, 0.9)
+      .select($"id1", $"id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashCandidates(docs, 0.2)
+      .select($"id1", $"id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test needs some high-jaccard pairs")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} pairs")
+  }
+
+  test("cosine similarity: bounds, symmetry, self-similarity") {
+    import spark.implicits._
+    val emb = Tables.df(spark, sf, "embeddings").limit(50)
+    val a = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val sims = a.join(b, $"ida" <= $"idb")
+      .select($"ida", $"idb",
+        VectorFunctions.cosineSim($"va", $"vb").as("s1"),
+        VectorFunctions.cosineSim($"vb", $"va").as("s2"))
+      .collect()
+    sims.foreach { r =>
+      val (s1, s2) = (r.getDouble(2), r.getDouble(3))
+      assert(s1 === s2)
+      assert(s1 >= -1.0 - 1e-9 && s1 <= 1.0 + 1e-9)
+      if (r.getLong(0) == r.getLong(1)) assert(math.abs(s1 - 1.0) < 1e-9)
+    }
+  }
+
+  test("ANN LSH candidates achieve decent recall vs brute-force top-k") {
+    import spark.implicits._
+    val emb = Tables.df(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.knnBruteForce(emb, queries, 5)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Similarity.annLshCandidates(emb, queries, 1.5)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"ANN recall $recall")
+  }
+
+  test("multimodal decode stub produces exact byte statistics") {
+    import spark.implicits._
+    val docs = Seq((7L, "abc")).toDF("doc_id", "text")
+    val f = Multimodal.decodeFeatures(Multimodal.asMediaTable(docs)).head()
+    assert(f.n_bytes === 3 && f.first_byte === 97 && f.last_byte === 99)
+    assert(math.abs(f.byte_mean - 98.0) < 1e-9)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, "ba"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+      TextFunctions.fingerprint($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(3L))
+    assert(fps(1L) !== fps(2L))
+    assert(fps(1L) === (97L * 31 + 98) % 1000000007L)
+  }
+
+  test("language id picks the language with most marker words") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is on the mat and a dog"),
+      (2L, "der hund und die katze ist da"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val preds = df.select($"doc_id", TextFunctions.langId($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) === "en")
+    assert(preds(2L) === "de")
+    assert(preds(3L) === "und")
+  }
+}
