@@ -21,7 +21,8 @@ object SparkEntry {
     Functions,
     Lateral,
     TextOps,
-    VectorQueries
+    VectorQueries,
+    EventOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

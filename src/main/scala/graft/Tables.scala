@@ -32,8 +32,11 @@ object Tables {
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // cast to NTZ so ts matches the other fixtures' timestamp-without-zone
+      // semantics (and DuckDB's naive TIMESTAMP) when written back to parquet
       spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
