@@ -22,7 +22,8 @@ object SparkEntry {
     Lateral,
     TextOps,
     VectorQueries,
-    EventOps
+    EventOps,
+    SourceOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

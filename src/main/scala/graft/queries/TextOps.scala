@@ -124,8 +124,9 @@ object TextOps extends QueryPack {
     val toks = docs.select($"doc_id",
       explode(TextFunctions.tokens($"text")).as("tok"))
     val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy($"tok")
-      .agg(countDistinct($"doc_id").as("df"))
+    // df falls out of tf (one tf row per (doc, tok)) — avoids a second
+    // explode + countDistinct shuffle over the raw token stream
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))

@@ -1,0 +1,95 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  test("partitioned write prunes partitions on read") {
+    import spark.implicits._
+    val path = tmp("part")
+    Sources.writePartitioned(Tables.df(spark, sf, "orders"), path,
+      "o_orderstatus")
+    val pruned = Sources.readPartitioned(spark, path)
+      .filter($"o_orderstatus" === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderstatus"), plan.take(500))
+    val expected = Tables.df(spark, sf, "orders")
+      .filter($"o_orderstatus" === "F").count()
+    assert(pruned.count() === expected)
+  }
+
+  test("csv, json, orc, text round-trips preserve data") {
+    import spark.implicits._
+    val orders = Tables.df(spark, sf, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val back = Sources.roundTrip(orders, tmp(fmt), fmt,
+        if (fmt == "csv") Map("header" -> "true") else Map.empty)
+      assert(back.count() === orders.count(), fmt)
+      val a = orders.orderBy($"o_orderkey").collect().map(_.toString)
+      val b = back.orderBy($"o_orderkey").collect().map(_.toString)
+      assert(a === b, s"$fmt round-trip changed data")
+    }
+    // text: single string column per line
+    val lines = Tables.df(spark, sf, "documents").select($"text")
+    val backText = Sources.roundTrip(lines, tmp("text"), "text")
+    assert(backText.count() === lines.count())
+  }
+
+  test("CTAS creates a queryable catalog table") {
+    Tables.registerAll(spark, sf)
+    val t = Sources.ctas(spark, "graft_ctas_test",
+      "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus")
+    assert(t.count() === 3)
+    assert(spark.sql("SELECT SUM(n) FROM graft_ctas_test").head().getLong(0)
+      === Tables.df(spark, sf, "orders").count())
+    spark.sql("DROP TABLE graft_ctas_test")
+  }
+
+  test("multi-insert fans one scan out to two sinks") {
+    import spark.implicits._
+    val p1 = tmp("mi1"); val p2 = tmp("mi2")
+    Sources.multiInsert(Tables.df(spark, sf, "orders"), Seq(
+      ((d: org.apache.spark.sql.DataFrame) =>
+        d.filter($"o_orderstatus" === "F"), p1),
+      ((d: org.apache.spark.sql.DataFrame) =>
+        d.filter($"o_totalprice" > 150000), p2)))
+    val orders = Tables.df(spark, sf, "orders")
+    assert(spark.read.parquet(p1).count() ===
+      orders.filter($"o_orderstatus" === "F").count())
+    assert(spark.read.parquet(p2).count() ===
+      orders.filter($"o_totalprice" > 150000).count())
+  }
+
+  test("bucketed tables join without a shuffle (SMB join)") {
+    import spark.implicits._
+    Sources.writeBucketed(Tables.df(spark, sf, "orders"), "graft_b_orders",
+      4, "o_orderkey")
+    Sources.writeBucketed(
+      Tables.df(spark, sf, "lineitem")
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n_items")),
+      "graft_b_items", 4, "l_orderkey")
+    // force the sort-merge path: broadcast would win on these tiny tables
+    // and the planner then ignores bucketing entirely
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_items"),
+          $"o_orderkey" === $"l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange"),
+        "bucketed equi-join must not shuffle:\n" + plan.take(800))
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE graft_b_orders")
+    spark.sql("DROP TABLE graft_b_items")
+  }
+}
