@@ -23,7 +23,8 @@ object SparkEntry {
     TextOps,
     VectorQueries,
     EventOps,
-    SourceOps
+    SourceOps,
+    TpchMore
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -28,10 +28,13 @@ object Similarity {
       : DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // codegen'd native expression; bit-identical to VectorFunctions.cosineSim
+    // (asserted in CosineSpec) but ~BLAS-loop-shaped in generated code
+    graft.functions.CosineSimilarity.register(spark)
     val q = queries.select($"vec_id".as("qid"), $"embedding".as("qv"))
     val pairs = embeddings.join(broadcast(q), $"vec_id" =!= $"qid")
       .withColumn("sim",
-        round(VectorFunctions.cosineSim($"qv", $"embedding"), 6))
+        round(expr("cosine_similarity(qv, embedding)"), 6))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
