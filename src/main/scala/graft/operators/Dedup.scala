@@ -74,7 +74,7 @@ object Dedup {
       .setNumFeatures(1 << 14).setBinary(true)
     val feat = tf.transform(toks)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("bands")
-      .setNumHashTables(5).setSeed(42L)
+      .setNumHashTables(3).setSeed(42L)
     val model = lsh.fit(feat)
     model.approxSimilarityJoin(feat, feat, maxDistance, "jaccard_dist")
       .select(

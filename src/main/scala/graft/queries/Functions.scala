@@ -146,9 +146,13 @@ object Functions extends QueryPack {
   }
 
   /** Functions DuckDB can't mirror: soundex, conv, next_day, months_between,
-    * str_to_map, sentences. Rows-only driver check + ScalaTest assertions. */
+    * str_to_map, sentences, parse_url, xpath, crc32/sha1/xxhash64, and the
+    * INPUT__FILE__NAME virtual column. Rows-only driver check + ScalaTest
+    * assertions. */
   def qMiscPack(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val url = concat(lit("https://example.com/seg/"), lower($"c_mktsegment"),
+      lit("?id="), $"c_custkey")
     Tables.df(spark, sfDir, "customer")
       .filter($"c_custkey" % 100 === 0)
       .select(
@@ -160,7 +164,15 @@ object Functions extends QueryPack {
           to_date(lit("2000-01-15"))).as("mb"),
         str_to_map(concat(lit("seg:"), $"c_mktsegment", lit(",id:"),
           $"c_custkey"), lit(","), lit(":")).getField("seg").as("seg"),
-        sentences(concat($"c_name", lit(". The end."))).as("sents"))
+        sentences(concat($"c_name", lit(". The end."))).as("sents"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("QUERY"), lit("id")).as("qid"),
+        expr(s"xpath_string(concat('<r><k>', c_custkey, '</k></r>'), 'r/k')")
+          .as("xp"),
+        crc32($"c_name".cast("binary")).as("crc"),
+        sha1($"c_name".cast("binary")).as("sh1"),
+        xxhash64($"c_name").as("xx64"),
+        element_at(split(input_file_name(), "/"), -1).as("src_file"))
       .orderBy($"c_custkey")
   }
 

@@ -1,0 +1,45 @@
+package graft
+
+import graft.queries.Functions
+import org.apache.spark.sql.functions._
+
+/** Assertions for the functions whose semantics the DuckDB oracle cannot
+  * mirror (q_misc_pack is rows-only in the driver gate). */
+class MiscFunctionsSpec extends SparkSpec {
+
+  test("misc pack values: soundex, conv, parse_url, xpath, hashes") {
+    import spark.implicits._
+    val rows = Functions.qMiscPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    assert(r.getAs[String]("sdx").matches("[A-Z][0-9]{3}"))
+    // conv: base-16 of the key
+    assert(java.lang.Long.parseLong(r.getAs[String]("cv"), 16)
+      === r.getAs[Long]("c_custkey"))
+    assert(r.getAs[String]("host") === "example.com")
+    assert(r.getAs[String]("qid") === r.getAs[Long]("c_custkey").toString)
+    assert(r.getAs[String]("xp") === r.getAs[Long]("c_custkey").toString)
+    assert(r.getAs[String]("sh1").matches("[0-9a-f]{40}"))
+    assert(r.getAs[String]("src_file").contains("customer"))
+    assert(r.getAs[Double]("mb") === 5.0)
+  }
+
+  test("str_to_map and sentences structure") {
+    import spark.implicits._
+    val df = Seq("a:1,b:2").toDF("s")
+      .select(str_to_map($"s", lit(","), lit(":")).as("m"),
+        sentences(lit("Hello world. Second one.")).as("sn"))
+    val r = df.head()
+    assert(r.getAs[Map[String, String]]("m") === Map("a" -> "1", "b" -> "2"))
+    val sn = r.getSeq[scala.collection.Seq[String]](1)
+    assert(sn.length === 2 && sn.head === Seq("Hello", "world"))
+  }
+
+  test("next_day lands on the requested weekday strictly after the input") {
+    import spark.implicits._
+    val d = Seq("2024-01-01").toDF("d") // a Monday
+      .select(next_day(to_date($"d"), "Mon").as("nd")).head()
+      .getAs[java.sql.Date]("nd")
+    assert(d.toString === "2024-01-08")
+  }
+}
