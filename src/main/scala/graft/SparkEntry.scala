@@ -24,7 +24,8 @@ object SparkEntry {
     VectorQueries,
     EventOps,
     SourceOps,
-    TpchMore
+    TpchMore,
+    Pivot
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

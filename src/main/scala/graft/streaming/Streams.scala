@@ -65,4 +65,59 @@ object Streams {
   def dedupWithinWatermark(stream: DataFrame, lateness: String): DataFrame =
     stream.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- arbitrary-state sessionization (flatMapGroupsWithState) ----------
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class UserSession(user_id: Long, s_start: java.sql.Timestamp,
+      s_end: java.sql.Timestamp, n_events: Long)
+  case class SessState(startMs: Long, lastMs: Long, n: Long)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state API for semantics `session_window` can't express
+    * (e.g. emitting a session the moment its gap closes, per-session
+    * counters). Sessions close either when a later event arrives past the
+    * gap, or when the event-time watermark passes lastTs+gap (timeout).
+    * State per key is one open session — bounded, watermark-reclaimed. */
+  def statefulSessionize(events: org.apache.spark.sql.Dataset[UserEvent],
+      gapMs: Long, lateness: String)
+      : org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def toTs(ms: Long) = new java.sql.Timestamp(ms)
+    events.toDF().withWatermark("ts", lateness).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(uid, toTs(s.startMs), toTs(s.lastMs + gapMs),
+              s.n))
+          } else {
+            val times = it.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= UserSession(uid, toTs(s.startMs),
+                    toTs(s.lastMs + gapMs), s.n)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{UserEvent, UserSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StatefulSessionSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState sessionization closes on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts").as[UserEvent]
+    val sessions = Streams.statefulSessionize(events,
+      gapMs = 10 * 60 * 1000, lateness = "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // one session: two events 5 min apart
+      input.addData((1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0, "session still open")
+
+      // event 55 min later → closes session 1 inline, opens session 2
+      input.addData((1L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val s1 = spark.table("sess_out").as[UserSession].collect()
+      assert(s1.length === 1)
+      assert(s1.head.n_events === 2)
+      assert(s1.head.s_start === ts("2024-01-01 00:00:00"))
+      assert(s1.head.s_end === ts("2024-01-01 00:15:00"))
+
+      // another user far in the future pushes the watermark past
+      // session 2's gap → session 2 emitted by timeout
+      input.addData((2L, ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 05:00:01")))
+      q.processAllAvailable()
+      val users = spark.table("sess_out").as[UserSession].collect()
+        .map(_.user_id).toSet
+      assert(users.contains(1L))
+      val s2 = spark.table("sess_out").as[UserSession].collect()
+        .filter(s => s.user_id == 1L && s.n_events == 1)
+      assert(s2.length === 1, "timed-out session must be emitted exactly once")
+      assert(s2.head.s_end === ts("2024-01-01 01:10:00"))
+    } finally q.stop()
+  }
+}
