@@ -1,0 +1,72 @@
+package graft
+
+import graft.plans.{GraftExtensions, SelfCosineRule}
+import graft.queries.{Joins, Relational, TpchMore}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audits: lock in the scale-relevant physical-plan properties
+  * (pushdown, pruning, broadcast, distributed top-k) so a refactor that
+  * silently loses them fails CI — at sf0.01 the timing wouldn't notice,
+  * at 100 TB it would be the whole difference. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: filter pushed to parquet, schema pruned to needed columns") {
+    val plan = planOf(Relational.q1Pricing(spark, sf))
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+    assert(!plan.contains("l_partkey"), "unused columns must be pruned")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("q3: dimension joins are broadcast, no cartesian") {
+    val plan = planOf(Joins.q3Shipping(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("top-k compiles to distributed TakeOrderedAndProject") {
+    val plan = planOf(Relational.qTopK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q6: tight scan — every predicate reaches PushedFilters") {
+    val plan = planOf(TpchMore.q6Forecast(spark, sf))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(plan.contains(c), s"predicate on $c not pushed")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // AQE shows codegen spans only in the final (post-execution) plan
+    val df = Relational.q1Pricing(spark, sf)
+    df.collect()
+    // "*(n) Operator" is the WholeStageCodegen stage marker in plan strings
+    assert(planOf(df).contains("*(1)"), planOf(df).take(400))
+  }
+
+  test("SelfCosineRule folds cosine(x,x) to a guard + constant") {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ SelfCosineRule
+      val df = Tables.df(spark, sf, "embeddings").limit(5)
+        .select($"vec_id", expr("cosine_similarity(embedding, embedding)").as("s"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("cosine_similarity"),
+        "self-cosine must be folded away:\n" + optimized)
+      assert(df.collect().forall(r => r.getDouble(1) === 1.0))
+      // zero vector → null, preserving the expression's semantics
+      val z = Seq(Array(0.0f, 0.0f)).toDF("v")
+        .select(expr("cosine_similarity(v, v)").as("s"))
+      assert(z.head().isNullAt(0))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("GraftExtensions installs functions and the rule without error") {
+    val e = new SparkSessionExtensions
+    new GraftExtensions().apply(e)   // would throw on malformed injection
+  }
+}
