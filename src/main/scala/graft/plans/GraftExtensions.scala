@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectOptimizerRule(_ => SelfCosineRule)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
