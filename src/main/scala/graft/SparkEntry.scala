@@ -25,7 +25,8 @@ object SparkEntry {
     EventOps,
     SourceOps,
     TpchMore,
-    Pivot
+    Pivot,
+    FnExtra
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
