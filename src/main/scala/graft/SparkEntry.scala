@@ -26,7 +26,8 @@ object SparkEntry {
     SourceOps,
     TpchMore,
     Pivot,
-    FnExtra
+    FnExtra,
+    SubqueryNulls
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
