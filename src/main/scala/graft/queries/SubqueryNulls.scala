@@ -60,10 +60,39 @@ object SubqueryNulls extends QueryPack {
       .orderBy($"st".asc_nulls_first)
   }
 
+  /** SQL named windows (`WINDOW w AS (...)` — Hive 0.11+ clause surface). */
+  def qNamedWindowSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** TABLESAMPLE: engine-specific row selection → rows-only check; the
+    * deterministic assertions live in the unit tests (seeded fraction
+    * sample is reproducible within Spark, not across engines). */
+  def qTablesample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "lineitem")
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scalar_subquery" -> qScalarSubquery,
     "q_correlated_exists" -> qCorrelatedExists,
-    "q_null_semantics" -> qNullSemantics
+    "q_null_semantics" -> qNullSemantics,
+    "q_named_window_sql" -> qNamedWindowSql,
+    "q_tablesample" -> qTablesample
   )
 
   val oracle: Map[String, String] = Map(
@@ -95,6 +124,19 @@ object SubqueryNulls extends QueryPack {
         |          AS big_price
         |      FROM orders)
         |GROUP BY st
-        |ORDER BY st ASC NULLS FIRST""".stripMargin
+        |ORDER BY st ASC NULLS FIRST""".stripMargin,
+
+    "q_named_window_sql" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    // q_tablesample: rows-only (sampling is engine-specific)
   )
 }

@@ -35,6 +35,16 @@ class MiscFunctionsSpec extends SparkSpec {
     assert(sn.length === 2 && sn.head === Seq("Hello", "world"))
   }
 
+  test("seeded tablesample is reproducible and roughly proportional") {
+    import spark.implicits._
+    val li = Tables.df(spark, sf, "lineitem")
+    def sampled() = li.sample(withReplacement = false, 0.1, 42L).count()
+    val n1 = sampled(); val n2 = sampled()
+    assert(n1 === n2, "same seed must give the same sample")
+    val total = li.count()
+    assert(n1 > total * 0.05 && n1 < total * 0.15)
+  }
+
   test("next_day lands on the requested weekday strictly after the input") {
     import spark.implicits._
     val d = Seq("2024-01-01").toDF("d") // a Monday
