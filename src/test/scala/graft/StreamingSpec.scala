@@ -81,6 +81,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window aggregates merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.sessionize(df.withWatermark("ts", "10 minutes"),
+        "10 minutes")
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 1.0),
+        (ts("2024-01-01 00:05:00"), 1L, 2.0),   // same session (5m gap)
+        (ts("2024-01-01 01:00:00"), 1L, 3.0))   // new session
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .orderBy($"s_start").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("n_events") === 2)
+      assert(rows(1).getAs[Long]("n_events") === 1)
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal the batch twin on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
