@@ -27,7 +27,8 @@ object SparkEntry {
     TpchMore,
     Pivot,
     FnExtra,
-    SubqueryNulls
+    SubqueryNulls,
+    Analytics
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

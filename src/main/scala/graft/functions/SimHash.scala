@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over a token array — the classic near-duplicate
   * fingerprint (Charikar 2002; used at web scale for crawl dedup): hash
@@ -16,12 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * Implemented as a native Catalyst `Expression` (not a Scala UDF) so null
   * handling and column binding stay inside Tungsten rows; token hashing
-  * reuses Spark's own XxHash64 kernel. CodegenFallback keeps the
-  * implementation small — the per-row cost is dominated by hashing, not
-  * virtual dispatch.
+  * reuses Spark's own XxHash64 kernel, and `doGenCode` emits the bit-count
+  * loop directly into whole-stage codegen.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -42,7 +41,7 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = SimHash64.hashToken(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -60,6 +59,31 @@ case class SimHash64(child: Expression)
     java.lang.Long.valueOf(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc")
+      s"""
+        |int[] $counts = new int[64];
+        |for (int $i = 0; $i < $arr.numElements(); $i++) {
+        |  if (!$arr.isNullAt($i)) {
+        |    long $h = graft.functions.SimHash64.hashToken($arr.getUTF8String($i));
+        |    for (int $b = 0; $b < 64; $b++) {
+        |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+        |    }
+        |  }
+        |}
+        |long $acc = 0L;
+        |for (int $b = 0; $b < 64; $b++) {
+        |  if ($counts[$b] > 0) $acc |= (1L << $b);
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 
@@ -67,6 +91,10 @@ case class SimHash64(child: Expression)
 }
 
 object SimHash64 {
+  /** Token hash shared by eval and generated code (seeded xxhash64). */
+  def hashToken(s: UTF8String): Long =
+    XxHash64Function.hash(s, StringType, 42L)
+
   /** Register `simhash64(array<string>) -> bigint` for use via expr()/SQL. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

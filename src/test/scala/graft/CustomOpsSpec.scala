@@ -34,6 +34,25 @@ class CustomOpsSpec extends SparkSpec {
     assert(df.collect().forall(_.isNullAt(0)))
   }
 
+  test("simhash codegen path agrees with interpreted eval") {
+    import spark.implicits._
+    graft.functions.SimHash64.register(spark)
+    val docs = Tables.df(spark, sf, "documents").limit(50)
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+    def fps(mode: String): Map[Long, Long] = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      try {
+        spark.conf.set("spark.sql.codegen.factoryMode", mode)
+        docs.select($"doc_id", expr("simhash64(toks)").as("fp")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(fps("CODEGEN_ONLY") === fps("NO_CODEGEN"))
+  }
+
   test("as-of join picks the latest strictly-prior right row per key") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
