@@ -28,7 +28,8 @@ object SparkEntry {
     Pivot,
     FnExtra,
     SubqueryNulls,
-    Analytics
+    Analytics,
+    Typed
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
