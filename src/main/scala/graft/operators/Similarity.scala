@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.VectorFunctions
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,42 @@ object Similarity {
         round(expr("cosine_similarity(qv, embedding)"), 6))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
     pairs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"vec_id", $"sim", $"rank")
+  }
+
+  /** IVF-style ANN: cluster the corpus once (seeded k-means), assign every
+    * vector to its cell, then search only the `nProbes` cells nearest to
+    * each query — the inverted-file index shape (FAISS IVF-Flat) expressed
+    * relationally. At scale the corpus stays partitioned by cell id and
+    * only the (tiny) centroid table and query set move; candidate volume
+    * is |corpus| × nProbes / nCells per query instead of |corpus|. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 8, nProbes: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    val corpus = embeddings.withColumn("fv", array_to_vector($"embedding"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("fv")
+      .setPredictionCol("cell").fit(corpus)
+    val assigned = model.transform(corpus).drop("fv")
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("center_cell", "center")
+    // probe list: nProbes nearest cells per query (tiny cross join)
+    val q = queries.select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val wProbe = Window.partitionBy($"qid")
+      .orderBy($"center_dist".asc, $"center_cell".asc)
+    val probes = q.crossJoin(broadcast(centers))
+      .withColumn("center_dist", VectorFunctions.l2Sq($"qv", $"center"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter($"probe_rank" <= nProbes)
+      .select($"qid", $"qv", $"center_cell".as("cell"))
+    // exact rerank within probed cells only
+    val cand = probes.join(assigned, "cell").filter($"vec_id" =!= $"qid")
+      .withColumn("sim", round(VectorFunctions.cosineSim($"qv", $"embedding"), 6))
+    val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+    cand.withColumn("rank", row_number().over(wTop))
       .filter($"rank" <= k)
       .select($"qid", $"vec_id", $"sim", $"rank")
   }

@@ -145,7 +145,8 @@ object Aggregates extends QueryPack {
       .groupBy($"l_returnflag")
       .agg(
         approx_count_distinct($"l_partkey").as("approx_parts"),
-        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_median"))
+        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_median"),
+        expr("histogram_numeric(l_quantity, 5)").as("hist"))
       .orderBy($"l_returnflag")
   }
 

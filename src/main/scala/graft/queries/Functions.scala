@@ -169,6 +169,10 @@ object Functions extends QueryPack {
         parse_url(url, lit("QUERY"), lit("id")).as("qid"),
         expr(s"xpath_string(concat('<r><k>', c_custkey, '</k></r>'), 'r/k')")
           .as("xp"),
+        expr("xpath_int(concat('<r><k>', c_custkey, '</k></r>'), 'r/k')")
+          .as("xp_int"),
+        size(expr("xpath(concat('<r><k>1</k><k>2</k></r>'), 'r/k/text()')"))
+          .as("xp_arr_n"),
         crc32($"c_name".cast("binary")).as("crc"),
         sha1($"c_name".cast("binary")).as("sh1"),
         xxhash64($"c_name").as("xx64"),
@@ -176,7 +180,34 @@ object Functions extends QueryPack {
       .orderBy($"c_custkey")
   }
 
+  /** Collection (array) function surface — Hive's size/array_contains/
+    * sort_array family plus the modern Spark extensions. */
+  def qCollectionPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = expr("filter(split(lower(text), ' '), x -> x != '')")
+    Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 10 === 0)
+      .select(
+        $"doc_id",
+        size(toks).as("n_tok"),
+        array_contains(toks, "the").as("has_the"),
+        array_position(toks, "the").cast("int").as("the_pos"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        array_join(slice(sort_array(array_distinct(toks)), 1, 3), ",")
+          .as("top3_sorted"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(flatten(array(toks, array(lit("x"))))).as("n_plus_one"),
+        array_join(sequence(lit(1), lit(3)).cast("array<string>"), "-")
+          .as("seq13"),
+        array_max(transform(toks, t => length(t))).as("max_len"),
+        aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x).as("sum_len"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collection_pack" -> qCollectionPack,
     "q_str_pack" -> qStrPack,
     "q_date_pack" -> qDatePack,
     "q_math_pack" -> qMathPack,
@@ -186,6 +217,27 @@ object Functions extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_collection_pack" ->
+      """SELECT doc_id,
+        |  CAST(len(T) AS INT) AS n_tok,
+        |  list_contains(T, 'the') AS has_the,
+        |  CAST(COALESCE(list_position(T, 'the'), 0) AS INT) AS the_pos,
+        |  T[1] AS first_tok,
+        |  T[-1] AS last_tok,
+        |  array_to_string(list_sort(list_distinct(T))[1:3], ',') AS top3_sorted,
+        |  CAST(len(list_distinct(T)) AS INT) AS n_distinct,
+        |  CAST(len(flatten([T, ['x']])) AS INT) AS n_plus_one,
+        |  array_to_string(list_transform(range(1, 4), x -> CAST(x AS VARCHAR)), '-')
+        |    AS seq13,
+        |  CAST(list_max(list_transform(T, t -> length(t))) AS INT) AS max_len,
+        |  CAST(list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(T, t -> length(t))), (a, b) -> a + b) AS INT)
+        |    AS sum_len
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '), x -> x != '') AS T
+        |      FROM documents WHERE doc_id % 10 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_str_pack" ->
       """SELECT c_custkey,
         |  c_name || '|' || c_mktsegment AS cat,

@@ -137,7 +137,53 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id", $"tok")
   }
 
+  /** Word-bigram (shingle) Jaccard near-dup — n-gram variant of the
+    * token-set dedup; shingles catch word-order changes that bag-of-words
+    * Jaccard misses. */
+  def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 5 === 0)
+    val sh = docs.select($"doc_id",
+      array_distinct(TextFunctions.shingles($"text", 2)).as("t"))
+    val a = sh.select($"doc_id".as("id1"), $"t".as("t1"))
+    val b = sh.select($"doc_id".as("id2"), $"t".as("t2"))
+    val inter = size(array_intersect($"t1", $"t2")).cast("double")
+    a.join(b, $"id1" < $"id2")
+      .withColumn("j", inter / (size($"t1") + size($"t2")
+        - size(array_intersect($"t1", $"t2"))))
+      .filter($"j" >= 0.5)
+      .groupBy($"id1")
+      .agg(count(lit(1)).as("n_partners"),
+        round(max($"j"), 6).as("max_j"))
+      .orderBy($"id1")
+  }
+
+  /** Embedding-cosine near-dup: vector pairs above a similarity threshold,
+    * with the keep/drop verdict (drop iff a lower-id near-dup exists) —
+    * the semantic-dedup stage of a training-data pipeline. Brute force is
+    * the oracle-checkable reference; the LSH path (q_ann_lsh) is the same
+    * decision at scale. */
+  def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val a = emb.select($"vec_id".as("id1"), $"embedding".as("v1"))
+    val b = emb.select($"vec_id".as("id2"), $"embedding".as("v2"))
+    val pairs = a.join(b, $"id1" < $"id2")
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineSim($"v1", $"v2"), 6))
+      .filter($"sim" >= 0.8)
+    val dropped = pairs.select($"id2".as("vec_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    emb.select($"vec_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce(!$"__dropped", lit(true)).as("keep"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_ngram" -> qDedupNgram,
+    "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -154,6 +200,33 @@ object TextOps extends QueryPack {
   private val tokSetSql = s"list_distinct($toksSql)"
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_ngram" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(0, greatest(len(T) - 1, 1)),
+        |      i -> array_to_string(T[(i+1):(i+2)], ' ')),
+        |    s -> s != '')) AS t
+        |  FROM (SELECT doc_id, $toksSql AS T
+        |        FROM documents WHERE doc_id % 5 = 0)),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id1, COUNT(*) AS n_partners, round(MAX(j), 6) AS max_j
+        |FROM p WHERE j >= 0.5
+        |GROUP BY id1 ORDER BY id1""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT e.vec_id,
+        |  e.vec_id NOT IN (SELECT id2 FROM p WHERE sim >= 0.8) AS keep
+        |FROM embeddings e ORDER BY e.vec_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT COUNT(*) AS n_total, COUNT(DISTINCT text) AS n_survivors
         |FROM documents""".stripMargin,

@@ -39,9 +39,20 @@ object VectorQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** IVF-cell ANN top-k (rows-only: k-means cells are seed-dependent;
+    * recall vs brute force is unit-tested). */
+  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    Similarity.ivfTopK(emb, queries, k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_cosine" -> qKnnCosine,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_ivf" -> qAnnIvf,
     "q_multimodal" -> qMultimodal
   )
 

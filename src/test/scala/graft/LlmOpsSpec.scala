@@ -81,6 +81,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"ANN recall $recall")
   }
 
+  test("IVF top-k achieves decent recall vs brute force") {
+    import spark.implicits._
+    val emb = Tables.df(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.knnBruteForce(emb, queries, 5)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
+
   test("multimodal decode stub produces exact byte statistics") {
     import spark.implicits._
     val docs = Seq((7L, "abc")).toDF("doc_id", "text")
