@@ -142,16 +142,20 @@ object TextOps extends QueryPack {
     * Jaccard misses. */
   def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // tighter block than the token-set variant: bigram arrays are ~2× the
+    // size and the pairwise intersect is quadratic in the block
     val docs = Tables.df(spark, sfDir, "documents")
-      .filter($"doc_id" % 5 === 0)
+      .filter($"doc_id" % 10 === 0)
+    // repartition materializes the shingle arrays BEFORE the self-join —
+    // otherwise the non-equi join recomputes the whole HOF chain per pair
     val sh = docs.select($"doc_id",
       array_distinct(TextFunctions.shingles($"text", 2)).as("t"))
+      .repartition(col("doc_id"))
     val a = sh.select($"doc_id".as("id1"), $"t".as("t1"))
     val b = sh.select($"doc_id".as("id2"), $"t".as("t2"))
-    val inter = size(array_intersect($"t1", $"t2")).cast("double")
     a.join(b, $"id1" < $"id2")
-      .withColumn("j", inter / (size($"t1") + size($"t2")
-        - size(array_intersect($"t1", $"t2"))))
+      .withColumn("li", size(array_intersect($"t1", $"t2")).cast("double"))
+      .withColumn("j", $"li" / (size($"t1") + size($"t2") - $"li"))
       .filter($"j" >= 0.5)
       .groupBy($"id1")
       .agg(count(lit(1)).as("n_partners"),
@@ -207,7 +211,7 @@ object TextOps extends QueryPack {
         |      i -> array_to_string(T[(i+1):(i+2)], ' ')),
         |    s -> s != '')) AS t
         |  FROM (SELECT doc_id, $toksSql AS T
-        |        FROM documents WHERE doc_id % 5 = 0)),
+        |        FROM documents WHERE doc_id % 10 = 0)),
         |p AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
         |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
