@@ -75,6 +75,26 @@ object Functions extends QueryPack {
       .orderBy($"o_orderkey")
   }
 
+  /** Time-of-day pack over events (the fixture with intraday timestamps):
+    * hour/minute/second, day-of-week/-year, epoch millis, hour truncation,
+    * make_date reconstruction. */
+  def qDatePack2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "events")
+      .filter($"event_id" % 20 === 0)
+      .select(
+        $"event_id",
+        hour($"ts").as("h"),
+        minute($"ts").as("mi"),
+        second($"ts").as("s"),
+        dayofweek($"ts").as("dow"), // 1 = Sunday (Hive/Spark convention)
+        dayofyear($"ts").as("doy"),
+        unix_millis($"ts".cast("timestamp")).as("ep_ms"),
+        date_trunc("hour", $"ts").cast("timestamp_ntz").as("hr"),
+        make_date(year($"ts"), month($"ts"), dayofmonth($"ts")).as("md"))
+      .orderBy($"event_id")
+  }
+
   /** Math pack over part. Transcendentals rounded to 6 decimals — JVM libm
     * and DuckDB's C libm may differ in the last ulp. */
   def qMathPack(spark: SparkSession, sfDir: String): DataFrame = {
@@ -210,6 +230,7 @@ object Functions extends QueryPack {
     "q_collection_pack" -> qCollectionPack,
     "q_str_pack" -> qStrPack,
     "q_date_pack" -> qDatePack,
+    "q_date_pack2" -> qDatePack2,
     "q_math_pack" -> qMathPack,
     "q_json_pack" -> qJsonPack,
     "q_cond_pack" -> qCondPack,
@@ -282,6 +303,20 @@ object Functions extends QueryPack {
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS roundtrip
         |FROM orders WHERE o_orderkey % 100 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_date_pack2" ->
+      """SELECT event_id,
+        |  CAST(hour(ts) AS INT) AS h,
+        |  CAST(minute(ts) AS INT) AS mi,
+        |  CAST(second(ts) AS INT) AS s,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(dayofyear(ts) AS INT) AS doy,
+        |  CAST(epoch_ms(date_trunc('millisecond', ts)) AS BIGINT) AS ep_ms,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+        |  make_date(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT),
+        |    CAST(day(ts) AS BIGINT)) AS md
+        |FROM events WHERE event_id % 20 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "q_math_pack" ->
       """SELECT p_partkey,

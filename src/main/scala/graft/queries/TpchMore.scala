@@ -86,6 +86,22 @@ object TpchMore extends QueryPack {
       .limit(100)
   }
 
+  /** TPC-H Q13: customer order-count distribution — the aggregate-of-an-
+    * aggregate shape (left join preserving zero-order customers, then a
+    * histogram over the per-customer counts). */
+  def q13CustDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.df(spark, sfDir, "customer")
+    val orders = Tables.df(spark, sfDir, "orders")
+      .filter($"o_orderpriority" =!= "1-URGENT")
+    val perCust = cust.join(orders, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
   /** Hash/crypto functions with engine-portable semantics. */
   def qHashPack(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -126,6 +142,7 @@ object TpchMore extends QueryPack {
     "q6_forecast" -> q6Forecast,
     "q10_returns" -> q10Returns,
     "q14_promo" -> q14Promo,
+    "q13_custdist" -> q13CustDist,
     "q18_large_orders" -> q18LargeOrders,
     "q_hash_pack" -> qHashPack,
     "q_custom_udaf" -> qCustomUdaf,
@@ -167,6 +184,15 @@ object TpchMore extends QueryPack {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin,
 
     "q18_large_orders" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
