@@ -18,10 +18,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Short total-only line LAST: the driver parses the stdout tail, and the
+    // full per-query line above can overflow its window at 88 queries.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -1,8 +1,6 @@
 package graft.operators
 
 import graft.functions.{SimHash64, TextFunctions}
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,14 +35,18 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // repartition materializes the token-set HOF chain before the non-equi
+    // self-join; otherwise it is recomputed per PAIR (SURVEY §7.4.10)
     val toks = docs.select($"doc_id",
       TextFunctions.tokenSet($"text").as("t"))
+      .repartition($"doc_id")
     val a = toks.select($"doc_id".as("id1"), $"t".as("t1"))
     val b = toks.select($"doc_id".as("id2"), $"t".as("t2"))
-    val inter = size(array_intersect($"t1", $"t2")).cast("double")
     a.join(b, $"id1" < $"id2")
-      .withColumn("j", inter / (size($"t1") + size($"t2")
-        - size(array_intersect($"t1", $"t2"))))
+      // bind the intersection size ONCE — referencing array_intersect twice
+      // in one expression doubles the per-pair work
+      .withColumn("li", size(array_intersect($"t1", $"t2")).cast("double"))
+      .withColumn("j", $"li" / (size($"t1") + size($"t2") - $"li"))
       .filter($"j" >= threshold)
       .select($"id1", $"id2", round($"j", 6).as("j"))
   }
@@ -61,26 +63,54 @@ object Dedup {
       .withColumn("fp", expr("simhash64(toks)"))
   }
 
-  /** MinHash-LSH candidate pairs at Jaccard distance ≤ `maxDistance`:
-    * shingle → binary HashingTF vector → banded minhash join. Seeded, so
-    * results are deterministic. This is the scale path: candidate
-    * generation is linear in docs × hash tables. */
-  def minhashCandidates(docs: DataFrame, maxDistance: Double): DataFrame = {
+  /** MinHash-LSH near-dup pairs at Jaccard distance ≤ `maxDistance`,
+    * band-and-group style (no all-pairs step anywhere):
+    *
+    *  1. map side: distinct tokens, hashed to a SORTED long array once per
+    *     doc (the cheap exact-verify representation), plus `numTables`
+    *     seeded minhash signatures;
+    *  2. explode per (table, minhash) bucket key and EQUI-join docs within
+    *     a bucket — candidate generation is linear in docs × tables, and
+    *     the bucket join is an ordinary shuffled join, so it scales like
+    *     any groupBy;
+    *  3. verify every candidate with the exact Jaccard via the codegen'd
+    *     sorted-long merge-walk ([[graft.functions.SortedIntersectSize]])
+    *     and keep dist ≤ maxDistance; `distinct` collapses pairs that met
+    *     in several tables.
+    *
+    * Fully deterministic (xxhash64-seeded), no MLlib model fit, and the
+    * per-candidate verify is a primitive merge instead of a sparse-vector
+    * UDF — this replaced an MLlib approxSimilarityJoin that spent its time
+    * materializing vectors and keyDistance calls on a dense-candidate
+    * corpus. False-negative rate at J ≥ 1-maxDistance is (1-J)^numTables
+    * per pair (single-row bands), unit-bounded by the recall test. */
+  def minhashCandidates(docs: DataFrame, maxDistance: Double,
+      numTables: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select($"doc_id", TextFunctions.tokenSet($"text").as("toks"))
-      .filter(size($"toks") > 0)
-    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
-      .setNumFeatures(1 << 14).setBinary(true)
-    val feat = tf.transform(toks)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("bands")
-      .setNumHashTables(3).setSeed(42L)
-    val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, maxDistance, "jaccard_dist")
-      .select(
-        col("datasetA.doc_id").as("id1"),
-        col("datasetB.doc_id").as("id2"),
-        round(col("jaccard_dist"), 6).as("jaccard_dist"))
-      .filter(col("id1") < col("id2"))
+    graft.functions.SortedIntersectSize.register(spark)
+    val base = docs.select($"doc_id", TextFunctions.tokenSet($"text").as("tk"))
+      .filter(size($"tk") > 0)
+      .withColumn("t", sort_array(transform($"tk", s => xxhash64(s))))
+      .withColumn("sz", size($"t"))
+    // one minhash per table: min over tokens of a table-seeded xxhash64
+    val banded = base
+      .withColumn("bd", explode(array((0 until numTables).map { i =>
+        struct(lit(i).as("b"),
+          array_min(transform($"tk", s => xxhash64(lit(i), s))).as("h"))
+      }: _*)))
+      .select($"doc_id", $"t", $"sz", $"bd.b".as("b"), $"bd.h".as("h"))
+    val l = banded.select($"b", $"h", $"doc_id".as("id1"),
+      $"t".as("t1"), $"sz".as("s1"))
+    val r = banded.select($"b", $"h", $"doc_id".as("id2"),
+      $"t".as("t2"), $"sz".as("s2"))
+    l.join(r, Seq("b", "h"))
+      .filter($"id1" < $"id2")
+      .withColumn("li", expr("sorted_intersect_size(t1, t2)").cast("double"))
+      .withColumn("jaccard_dist",
+        round(lit(1.0) - $"li" / ($"s1" + $"s2" - $"li"), 6))
+      .filter($"jaccard_dist" <= maxDistance)
+      .select($"id1", $"id2", $"jaccard_dist")
+      .distinct()
   }
 }

@@ -146,7 +146,9 @@ object Aggregates extends QueryPack {
       .agg(
         approx_count_distinct($"l_partkey").as("approx_parts"),
         expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_median"),
-        expr("histogram_numeric(l_quantity, 5)").as("hist"))
+        // to_json: the driver comparator sorts/hashes every output column
+        // via pandas, which cannot hash raw array<struct> values
+        to_json(expr("histogram_numeric(l_quantity, 5)")).as("hist"))
       .orderBy($"l_returnflag")
   }
 

@@ -184,7 +184,8 @@ object Functions extends QueryPack {
           to_date(lit("2000-01-15"))).as("mb"),
         str_to_map(concat(lit("seg:"), $"c_mktsegment", lit(",id:"),
           $"c_custkey"), lit(","), lit(":")).getField("seg").as("seg"),
-        sentences(concat($"c_name", lit(". The end."))).as("sents"),
+        // to_json: array<array<string>> would crash the driver's pandas sort
+        to_json(sentences(concat($"c_name", lit(". The end.")))).as("sents"),
         parse_url(url, lit("HOST")).as("host"),
         parse_url(url, lit("QUERY"), lit("id")).as("qid"),
         expr(s"xpath_string(concat('<r><k>', c_custkey, '</k></r>'), 'r/k')")

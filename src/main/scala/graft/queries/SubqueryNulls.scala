@@ -58,6 +58,12 @@ object SubqueryNulls extends QueryPack {
         count(when($"big_price".isNull, 1)).as("n_null_big"),
         sum(($"st" <=> lit("F")).cast("long")).as("n_nullsafe_f"))
       .orderBy($"st".asc_nulls_first)
+      // The NULL group key itself is the 3VL test surface *inside* the
+      // aggregates; emit a sentinel in the output so the comparator never
+      // hashes a NULL key (engine NULL-vs-NaN representation drift).
+      .select(coalesce($"st", lit("<null>")).as("st"),
+        $"n_rows", $"n_big", $"sum_big", $"n_null_big",
+        $"n_nullsafe_f".cast("long").as("n_nullsafe_f"))
   }
 
   /** SQL named windows (`WINDOW w AS (...)` — Hive 0.11+ clause surface). */
@@ -114,11 +120,13 @@ object SubqueryNulls extends QueryPack {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_null_semantics" ->
-      """SELECT st, COUNT(*) AS n_rows, COUNT(big_price) AS n_big,
+      """SELECT COALESCE(st, '<null>') AS st,
+        |  COUNT(*) AS n_rows, COUNT(big_price) AS n_big,
         |  COALESCE(CAST(SUM(CAST(big_price AS DECIMAL(18,2))) AS DOUBLE), 0.0)
         |    AS sum_big,
         |  COUNT(CASE WHEN big_price IS NULL THEN 1 END) AS n_null_big,
-        |  SUM(CAST(st IS NOT DISTINCT FROM 'F' AS BIGINT)) AS n_nullsafe_f
+        |  CAST(SUM(CAST(st IS NOT DISTINCT FROM 'F' AS BIGINT)) AS BIGINT)
+        |    AS n_nullsafe_f
         |FROM (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st,
         |        CASE WHEN o_totalprice > 150000 THEN o_totalprice END
         |          AS big_price

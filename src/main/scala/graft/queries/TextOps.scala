@@ -142,20 +142,34 @@ object TextOps extends QueryPack {
     * Jaccard misses. */
   def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
     // tighter block than the token-set variant: bigram arrays are ~2× the
     // size and the pairwise intersect is quadratic in the block
     val docs = Tables.df(spark, sfDir, "documents")
       .filter($"doc_id" % 10 === 0)
-    // repartition materializes the shingle arrays BEFORE the self-join —
-    // otherwise the non-equi join recomputes the whole HOF chain per pair
+    // Per-pair cost engineering (the pair count is quadratic, so the per-
+    // pair kernel is everything):
+    //  1. hash each distinct shingle to a long ONCE per doc and sort, so a
+    //     pair costs a primitive merge-walk (sorted_intersect_size) instead
+    //     of a string hash-set build — Jaccard over hashed distinct
+    //     shingles equals Jaccard over the shingles themselves (64-bit
+    //     collisions are negligible);
+    //  2. repartition materializes that projection BEFORE the self-join —
+    //     otherwise the non-equi join recomputes the chain per pair;
+    //  3. length-ratio block in the JOIN condition: J ≥ 0.5 forces
+    //     max(|A|,|B|) ≤ 2·min(|A|,|B|), so over-ratio pairs are pruned
+    //     before the intersect ever runs (content-based blocking — the same
+    //     bound drives band-bucketing at cluster scale).
     val sh = docs.select($"doc_id",
-      array_distinct(TextFunctions.shingles($"text", 2)).as("t"))
+      sort_array(transform(array_distinct(TextFunctions.shingles($"text", 2)),
+        s => xxhash64(s))).as("t"))
+      .withColumn("sz", size($"t"))
       .repartition(col("doc_id"))
-    val a = sh.select($"doc_id".as("id1"), $"t".as("t1"))
-    val b = sh.select($"doc_id".as("id2"), $"t".as("t2"))
-    a.join(b, $"id1" < $"id2")
-      .withColumn("li", size(array_intersect($"t1", $"t2")).cast("double"))
-      .withColumn("j", $"li" / (size($"t1") + size($"t2") - $"li"))
+    val a = sh.select($"doc_id".as("id1"), $"t".as("t1"), $"sz".as("s1"))
+    val b = sh.select($"doc_id".as("id2"), $"t".as("t2"), $"sz".as("s2"))
+    a.join(b, $"id1" < $"id2" && $"s1" <= $"s2" * 2 && $"s2" <= $"s1" * 2)
+      .withColumn("li", expr("sorted_intersect_size(t1, t2)").cast("double"))
+      .withColumn("j", $"li" / ($"s1" + $"s2" - $"li"))
       .filter($"j" >= 0.5)
       .groupBy($"id1")
       .agg(count(lit(1)).as("n_partners"),
