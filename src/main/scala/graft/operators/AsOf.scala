@@ -32,12 +32,16 @@ object AsOf {
     val spark = left.sparkSession
     import spark.implicits._
     val leftCols = left.columns
+    // payloads travel wrapped in a single-field struct: the STRUCT is
+    // non-null exactly on right rows, so last(ignoreNulls) below finds the
+    // latest prior right ROW even when its payload value is legitimately
+    // NULL — same semantics as the native AsOfJoinExec
     val lTagged = left
       .withColumn("__is_left", lit(1))
       .withColumns(payloads.map(p => s"__p_$p" -> lit(null)).toMap)
     val rTagged = right
       .select((Seq(col(key), col(tsCol)) ++
-        payloads.map(p => col(p).as(s"__p_$p"))): _*)
+        payloads.map(p => struct(col(p).as("v")).as(s"__p_$p"))): _*)
       .withColumn("__is_left", lit(0))
     val unioned = lTagged.select(
       (Seq(col(key), col(tsCol), col("__is_left")) ++
@@ -50,7 +54,8 @@ object AsOf {
       .orderBy(col(tsCol).asc, col("__is_left").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val annotated = payloads.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"prior_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
+      df.withColumn(s"prior_$p",
+        last(col(s"__p_$p"), ignoreNulls = true).over(w).getField("v"))
     }
     annotated.filter(col("__is_left") === 1)
       .select((leftCols.map(col) ++ payloads.map(p => col(s"prior_$p"))): _*)

@@ -30,14 +30,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Optimizer rule: `cosine_similarity(x, x)` is 1.0 for any non-null,
-  * non-zero vector. Replaces the 3-accumulator O(d) loop with a
-  * short-circuiting `exists(x, e != 0)` guard (first non-zero element
-  * wins) that preserves the expression's null semantics: null input →
-  * null, all-zero vector → null (zero denominator), otherwise 1.0.
-  * Demonstrates the `Rule[LogicalPlan]` extension tier — Hive's analog is
-  * the ql/optimizer rewrite family (e.g. ConstantPropagate). Assumes
-  * non-null array elements, same as the expression it rewrites. */
+/** Optimizer rule: `cosine_similarity(x, x)` folds to a guarded constant —
+  * an intentional NUMERIC CANONICALIZATION (the evaluated loop can land
+  * 1ulp off 1.0; the rewrite returns exactly 1.0, the mathematically
+  * correct value). Domain handling mirrors the evaluated expression:
+  * null input → null, all-zero vector → null (zero denominator), any
+  * non-finite element → NaN (a NaN/±Inf element drives dot and norms to a
+  * NaN quotient), otherwise 1.0. Both guards short-circuit, so the O(d)
+  * 3-accumulator loop becomes at most two cheap passes. Demonstrates the
+  * `Rule[LogicalPlan]` extension tier — Hive's analog is the ql/optimizer
+  * rewrite family (e.g. ConstantPropagate). Assumes non-null array
+  * elements, same as the expression it rewrites; finite inputs whose
+  * squares overflow to Inf are out of domain (embedding-scale values). */
 object SelfCosineRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
@@ -46,13 +50,19 @@ object SelfCosineRule extends Rule[LogicalPlan] {
           case ArrayType(t, _) => t
           case t => t
         }
-        val zero = elemType match {
-          case FloatType => Literal(0.0f)
-          case _ => Literal(0.0)
+        val (zero, inf) = elemType match {
+          case FloatType => (Literal(0.0f), Literal(Float.PositiveInfinity))
+          case _ => (Literal(0.0), Literal(Double.PositiveInfinity))
         }
         val x = NamedLambdaVariable("x", elemType, nullable = true)
         val nonZero = ArrayExists(a, LambdaFunction(Not(EqualTo(x, zero)), Seq(x)))
-        If(EqualTo(nonZero, Literal(true)),
-          Literal(1.0), Literal.create(null, DoubleType))
+        // abs(x) < Inf is false for both ±Inf and NaN (Spark orders NaN
+        // above Inf), so one predicate covers every non-finite case
+        val y = NamedLambdaVariable("y", elemType, nullable = true)
+        val allFinite = ArrayForAll(a, LambdaFunction(LessThan(Abs(y), inf), Seq(y)))
+        If(EqualTo(allFinite, Literal(true)),
+          If(EqualTo(nonZero, Literal(true)),
+            Literal(1.0), Literal.create(null, DoubleType)),
+          Literal(Double.NaN))
     }
 }

@@ -152,7 +152,24 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Sort-based aggregation fallback: max over a STRUCT buffer (lexical
+    * arg-max) is not representable in HashAggregate's mutable row, so
+    * Catalyst plans SortAggregateExec — the Hive sort-agg path. The plan
+    * shape is locked in PlanAuditSpec; here the RESULT is oracle-checked
+    * (DuckDB twin: row_number over the same (price DESC, key DESC) order). */
+  def qSortAggArgmax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(max(struct($"o_totalprice", $"o_orderkey")).as("m"))
+      .select($"o_orderstatus",
+        $"m.o_totalprice".as("max_price"),
+        $"m.o_orderkey".as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sortagg_argmax" -> qSortAggArgmax,
     "q_agg_stats" -> qAggStats,
     "q_agg_distinct" -> qAggDistinct,
     "q_percentile" -> qPercentile,
@@ -165,6 +182,15 @@ object Aggregates extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sortagg_argmax" ->
+      """SELECT o_orderstatus, o_totalprice AS max_price,
+        |  o_orderkey AS max_key
+        |FROM (SELECT o_orderstatus, o_totalprice, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
     "q_agg_stats" ->
       """SELECT l_returnflag,
         |  round(var_pop(l_quantity), 4) AS vp,

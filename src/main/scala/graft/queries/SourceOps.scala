@@ -27,8 +27,32 @@ object SourceOps extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
+  /** LOAD DATA INPATH round-trip: stage a slice of customer as parquet
+    * files, MOVE them into a partitioned table directory (no rewrite),
+    * read the table back through partition discovery, aggregate, and
+    * hash-check against the oracle over the ORIGINAL table — proving the
+    * file-move load path is lossless. */
+  def qLoadRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = System.getProperty("java.io.tmpdir")
+    val staging = s"$tmp/graft_load_staging"
+    val table = s"$tmp/graft_load_table"
+    Tables.df(spark, sfDir, "customer")
+      .filter($"c_custkey" % 3 === 0)
+      .write.mode("overwrite").parquet(staging)
+    Sources.loadDataInpath(spark, staging, table,
+      partition = Seq("load_batch" -> "b1"), overwrite = true)
+    Sources.readPartitioned(spark, table)
+      .filter($"load_batch" === "b1") // prunes to the loaded partition
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"c_acctbal")).cast("double").as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_partitioned_roundtrip" -> qPartitionedRoundtrip
+    "q_partitioned_roundtrip" -> qPartitionedRoundtrip,
+    "q_load_roundtrip" -> qLoadRoundtrip
   )
 
   val oracle: Map[String, String] = Map(
@@ -36,6 +60,12 @@ object SourceOps extends QueryPack {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_load_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE c_custkey % 3 = 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

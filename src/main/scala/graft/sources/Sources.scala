@@ -44,6 +44,32 @@ object Sources {
       .load(path)
   }
 
+  /** LOAD DATA INPATH analog (reference locus: ql/parse/
+    * LoadSemanticAnalyzer): files are MOVED into the table/partition
+    * directory — never parsed, converted, or rewritten — and the table sees
+    * them on the next read. `OVERWRITE` clears the destination first.
+    * Hidden/marker files (`_SUCCESS`, dotfiles) stay behind, as Hive's
+    * loader skips them. Pure metadata-speed at any scale: a rename per
+    * file, no data pass. */
+  def loadDataInpath(spark: SparkSession, srcDir: String, tableDir: String,
+      partition: Seq[(String, String)] = Nil,
+      overwrite: Boolean = true): Unit = {
+    import org.apache.hadoop.fs.Path
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(partition.foldLeft(tableDir) {
+      case (p, (k, v)) => s"$p/$k=$v"
+    })
+    if (overwrite && fs.exists(dest)) fs.delete(dest, true)
+    fs.mkdirs(dest)
+    fs.listStatus(src)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .foreach(st => fs.rename(st.getPath, new Path(dest, st.getPath.getName)))
+  }
+
   /** CREATE TABLE AS SELECT into the session catalog. */
   def ctas(spark: SparkSession, table: String, sql: String): DataFrame = {
     spark.sql(s"DROP TABLE IF EXISTS $table")

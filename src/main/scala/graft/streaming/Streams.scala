@@ -103,7 +103,10 @@ object Streams {
             times.foreach { t =>
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                  // a late-but-within-watermark event can precede the open
+                  // session's start — extend the session both ways
+                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= UserSession(uid, toTs(s.startMs),
                     toTs(s.lastMs + gapMs), s.n)

@@ -38,6 +38,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains(c), s"predicate on $c not pushed")
   }
 
+  test("struct arg-max falls back to SortAggregate (sort-agg path)") {
+    val df = graft.queries.Aggregates.qSortAggArgmax(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("SortAggregate"),
+      "max(struct) must exercise the sort-agg fallback:\n" + plan.take(600))
+    assert(df.count() === 3)
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = Relational.q1Pricing(spark, sf)
@@ -62,6 +70,10 @@ class PlanAuditSpec extends SparkSpec {
       val z = Seq(Array(0.0f, 0.0f)).toDF("v")
         .select(expr("cosine_similarity(v, v)").as("s"))
       assert(z.head().isNullAt(0))
+      // non-finite element → NaN, matching the evaluated loop
+      val nf = Seq(Array(1.0f, Float.NaN), Array(1.0f, Float.PositiveInfinity))
+        .toDF("v").select(expr("cosine_similarity(v, v)").as("s"))
+      assert(nf.collect().forall(r => r.getDouble(0).isNaN))
     } finally spark.experimental.extraOptimizations = prev
   }
 

@@ -52,6 +52,48 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_ctas_test")
   }
 
+  test("LOAD DATA INPATH moves files into a partition, losslessly") {
+    import spark.implicits._
+    val staging = tmp("load_staging"); val table = tmp("load_table")
+    val src = Tables.df(spark, sf, "nation")
+    src.write.mode("overwrite").parquet(staging)
+    Sources.loadDataInpath(spark, staging, table,
+      partition = Seq("batch" -> "b1"))
+    val back = Sources.readPartitioned(spark, table)
+    assert(back.filter($"batch" === "b1").count() === src.count())
+    // move semantics: no data files remain in the staging dir
+    val left = new java.io.File(staging).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    assert(left.isEmpty, "LOAD DATA must move, not copy")
+    // OVERWRITE replaces the partition rather than appending
+    src.limit(5).write.mode("overwrite").parquet(staging)
+    Sources.loadDataInpath(spark, staging, table,
+      partition = Seq("batch" -> "b1"), overwrite = true)
+    assert(Sources.readPartitioned(spark, table)
+      .filter($"batch" === "b1").count() === 5)
+  }
+
+  test("saveAsTable persists past the session: the metastore role") {
+    import spark.implicits._
+    Tables.df(spark, sf, "region").write.mode("overwrite")
+      .saveAsTable("graft_persist_region")
+    // a FRESH session (new temp-view namespace, new SQL conf) still sees
+    // the catalog table — unlike a temp view, which dies with its session
+    val s2 = spark.newSession()
+    s2.range(1).createOrReplaceTempView("graft_only_in_s2")
+    assert(!spark.catalog.tableExists("graft_only_in_s2"),
+      "temp views must be session-scoped")
+    assert(s2.catalog.tableExists("graft_persist_region"))
+    assert(s2.table("graft_persist_region").count() ===
+      Tables.df(spark, sf, "region").count())
+    // and the warehouse directory holds real files a cold reader can open
+    val loc = spark.sql("DESCRIBE EXTENDED graft_persist_region")
+      .filter($"col_name" === "Location").head().getString(1)
+    assert(spark.read.parquet(loc.stripPrefix("file:")).count() === 5)
+    spark.sql("DROP TABLE graft_persist_region")
+  }
+
   test("multi-insert fans one scan out to two sinks") {
     import spark.implicits._
     val p1 = tmp("mi1"); val p2 = tmp("mi2")
