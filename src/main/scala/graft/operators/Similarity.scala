@@ -41,24 +41,36 @@ object Similarity {
       .select($"qid", $"vec_id", $"sim", $"rank")
   }
 
-  /** IVF-style ANN: cluster the corpus once (seeded k-means), assign every
-    * vector to its cell, then search only the `nProbes` cells nearest to
+  /** IVF-style ANN: pick `nCells` corpus vectors as cell centroids (a
+    * deterministic hash-ordered sample — the FAISS practice of training on
+    * a subset, taken to its one-pass limit), assign every vector to its
+    * nearest centroid, then search only the `nProbes` cells nearest to
     * each query — the inverted-file index shape (FAISS IVF-Flat) expressed
-    * relationally. At scale the corpus stays partitioned by cell id and
-    * only the (tiny) centroid table and query set move; candidate volume
-    * is |corpus| × nProbes / nCells per query instead of |corpus|. */
+    * relationally, with no iterative fit: centroid choice is one top-k,
+    * assignment is one broadcast-join pass over the corpus. At scale the
+    * corpus stays partitioned by cell id and only the (tiny) centroid
+    * table and query set move; candidate volume is |corpus| × nProbes /
+    * nCells per query instead of |corpus|. */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 8, nProbes: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    val corpus = embeddings.withColumn("fv", array_to_vector($"embedding"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("fv")
-      .setPredictionCol("cell").fit(corpus)
-    val assigned = model.transform(corpus).drop("fv")
-    val centers = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("center_cell", "center")
+    // hash-ordered sample = seeded pseudo-random, engine-reproducible
+    val centers = embeddings
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(nCells)
+      .withColumn("center_cell",
+        row_number().over(Window.orderBy($"vec_id")) - 1)
+      .select($"center_cell", $"embedding".as("center"))
+    // nearest-centroid via min_by: partial-aggregable (map-side combine
+    // collapses the ×nCells blowup before any shuffle), deterministic
+    // tie-break on (dist, cell)
+    val assigned = embeddings.crossJoin(broadcast(centers))
+      .withColumn("center_dist", VectorFunctions.l2Sq($"embedding", $"center"))
+      .groupBy($"vec_id")
+      .agg(
+        min_by($"center_cell", struct($"center_dist", $"center_cell"))
+          .as("cell"),
+        first($"embedding").as("embedding"))
     // probe list: nProbes nearest cells per query (tiny cross join)
     val q = queries.select($"vec_id".as("qid"), $"embedding".as("qv"))
     val wProbe = Window.partitionBy($"qid")

@@ -34,7 +34,6 @@ object Lateral extends QueryPack {
     Tables.df(spark, sfDir, "documents")
       .filter($"doc_id" % 50 === 0)
       .select($"doc_id", posexplode(split($"text", " ")))
-      .withColumnRenamed("pos", "pos")
       .withColumnRenamed("col", "tok")
       .filter($"tok" =!= "")
       .orderBy($"doc_id", $"pos")

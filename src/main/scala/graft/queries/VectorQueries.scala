@@ -39,8 +39,8 @@ object VectorQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
-  /** IVF-cell ANN top-k (rows-only: k-means cells are seed-dependent;
-    * recall vs brute force is unit-tested). */
+  /** IVF-cell ANN top-k (rows-only: cell assignment depends on xxhash64
+    * centroid sampling; recall vs brute force is unit-tested). */
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.df(spark, sfDir, "embeddings")
