@@ -50,9 +50,37 @@ object SourceOps extends QueryPack {
       .orderBy($"c_mktsegment")
   }
 
+  /** MERGE round-trip (copy-on-write ACID): seed a target table from a
+    * deterministic orders slice, MERGE a source of updates (doubled price
+    * for a key subset) + inserts (shifted new keys), read the rewritten
+    * table back and aggregate — hash-checked against a DuckDB twin that
+    * computes the merged state with CASE + UNION ALL. Proves the
+    * update/insert/keep semantics, not just the plumbing. */
+  def qMergeRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = System.getProperty("java.io.tmpdir") + "/graft_merge_orders"
+    val orders = Tables.df(spark, sfDir, "orders")
+    orders.filter($"o_orderkey" % 11 === 0)
+      .write.mode("overwrite").parquet(tmp)
+    // updates hit a subset of target keys (33 = 3·11); inserts are shifted
+    // outside the key space so they can never collide
+    val updates = orders.filter($"o_orderkey" % 33 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+    val inserts = orders.filter($"o_orderkey" % 11 === 5)
+      .withColumn("o_orderkey", $"o_orderkey" + 1000000000L)
+    graft.sources.Acid.mergeInto(spark, tmp,
+      updates.unionByName(inserts), Seq("o_orderkey"))
+    spark.read.parquet(tmp)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partitioned_roundtrip" -> qPartitionedRoundtrip,
-    "q_load_roundtrip" -> qLoadRoundtrip
+    "q_load_roundtrip" -> qLoadRoundtrip,
+    "q_merge_roundtrip" -> qMergeRoundtrip
   )
 
   val oracle: Map[String, String] = Map(
@@ -66,6 +94,21 @@ object SourceOps extends QueryPack {
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer WHERE c_custkey % 3 = 0
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_merge_roundtrip" ->
+      """WITH merged AS (
+        |  SELECT t.o_orderstatus,
+        |    CASE WHEN u.o_orderkey IS NOT NULL
+        |         THEN u.o_totalprice * 2 ELSE t.o_totalprice END AS price
+        |  FROM (SELECT * FROM orders WHERE o_orderkey % 11 = 0) t
+        |  LEFT JOIN (SELECT o_orderkey, o_totalprice FROM orders
+        |             WHERE o_orderkey % 33 = 0) u USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 11 = 5)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

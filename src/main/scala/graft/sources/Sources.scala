@@ -44,6 +44,25 @@ object Sources {
       .load(path)
   }
 
+  /** SEQUENCEFILE round-trip — the one Hive storage format with no Spark
+    * SQL datasource; Hive stores a text table in SequenceFile as
+    * (ignored key, Text line) records, which the RDD API reads/writes
+    * natively (this is the documented "genuine per-partition imperative
+    * logic" case for dropping below DataFrames). `df` must be a single
+    * string column; returns the re-read lines with the same column name. */
+  def sequenceFileRoundTrip(df: DataFrame, path: String): DataFrame = {
+    import org.apache.hadoop.io.{NullWritable, Text}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val colName = df.columns.head
+    df.rdd.map(r => (NullWritable.get(), new Text(r.getString(0))))
+      .saveAsSequenceFile(path)
+    spark.sparkContext
+      .sequenceFile(path, classOf[NullWritable], classOf[Text])
+      .map(_._2.toString)
+      .toDF(colName)
+  }
+
   /** LOAD DATA INPATH analog (reference locus: ql/parse/
     * LoadSemanticAnalyzer): files are MOVED into the table/partition
     * directory — never parsed, converted, or rewritten — and the table sees
@@ -86,6 +105,39 @@ object Sources {
       transform(cached).write.mode(SaveMode.Overwrite).parquet(path)
     }
     finally cached.unpersist()
+  }
+
+  /** EXPORT TABLE analog (reference locus: ql/parse/Export/
+    * ImportSemanticAnalyzer): data files plus a `_metadata.json` carrying
+    * the schema — the metastore half of Hive's export bundle — so an
+    * import on another warehouse recreates the table without guessing
+    * types. */
+  def exportTable(spark: SparkSession, table: String, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val df = spark.table(table)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$dir/_metadata.json"), true)
+    try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** IMPORT TABLE analog: re-create `newTable` in the catalog from an
+    * export bundle, types restored from the bundled schema. */
+  def importTable(spark: SparkSession, newTable: String, dir: String)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"$dir/_metadata.json"))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val schema = DataType.fromJson(json).asInstanceOf[StructType]
+    spark.sql(s"DROP TABLE IF EXISTS $newTable")
+    spark.read.schema(schema).parquet(s"$dir/data")
+      .write.saveAsTable(newTable)
+    spark.table(newTable)
   }
 
   /** CLUSTERED BY (col) SORTED BY (col) INTO n BUCKETS: bucketed + sorted

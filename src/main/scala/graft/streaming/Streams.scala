@@ -123,4 +123,42 @@ object Streams {
           }
       }
   }
+
+  // ---- transformWithState (Spark 4 StatefulProcessor API) ---------------
+
+  case class UserCount(user_id: Long, n_events: Long)
+
+  /** Per-user running event counter on the `transformWithState` API — the
+    * successor to [flat]mapGroupsWithState: typed per-key state primitives
+    * (ValueState/ListState/MapState + TTL + timers) managed by the state
+    * store instead of one opaque state object per key. Requires the
+    * RocksDB state store provider. State here is a single ValueState[Long]
+    * per user — O(keys) total, incrementally checkpointed. */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserCount] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var nState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      nState = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserCount] = {
+      val n = (if (nState.exists()) nState.get() else 0L) + rows.size
+      nState.update(n)
+      Iterator.single(UserCount(uid, n))
+    }
+  }
+
+  /** Running per-user counts, emitted once per micro-batch per active
+    * user. */
+  def runningCountsTws(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserCount] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -42,6 +42,17 @@ class SourcesSpec extends SparkSpec {
     assert(backText.count() === lines.count())
   }
 
+  test("SequenceFile round-trip preserves every line (Hive text-table layout)") {
+    import spark.implicits._
+    val lines = Tables.df(spark, sf, "documents").select($"text")
+    val dir = tmp("seqfile"); new java.io.File(dir).delete() // must not exist
+    val back = Sources.sequenceFileRoundTrip(lines, dir)
+    assert(back.columns.toSeq === Seq("text"))
+    val a = lines.orderBy($"text").collect().map(_.getString(0))
+    val b = back.orderBy($"text").collect().map(_.getString(0))
+    assert(a === b, "sequence file round-trip changed data")
+  }
+
   test("CTAS creates a queryable catalog table") {
     Tables.registerAll(spark, sf)
     val t = Sources.ctas(spark, "graft_ctas_test",
@@ -94,6 +105,19 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_persist_region")
   }
 
+  test("EXPORT/IMPORT bundle recreates the table with identical schema+data") {
+    import spark.implicits._
+    Tables.registerAll(spark, sf)
+    val dir = tmp("export_nation")
+    Sources.exportTable(spark, "nation", dir)
+    val imported = Sources.importTable(spark, "graft_import_nation", dir)
+    val orig = Tables.df(spark, sf, "nation")
+    assert(imported.schema === orig.schema)
+    assert(imported.orderBy($"n_nationkey").collect().toSeq ===
+      orig.orderBy($"n_nationkey").collect().toSeq)
+    spark.sql("DROP TABLE graft_import_nation")
+  }
+
   test("multi-insert fans one scan out to two sinks") {
     import spark.implicits._
     val p1 = tmp("mi1"); val p2 = tmp("mi2")
@@ -107,6 +131,39 @@ class SourcesSpec extends SparkSpec {
       orders.filter($"o_orderstatus" === "F").count())
     assert(spark.read.parquet(p2).count() ===
       orders.filter($"o_totalprice" > 150000).count())
+  }
+
+  test("ANALYZE TABLE statistics reach the optimizer (CBO inputs)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_stats_nation")
+    // a previously-failed run can orphan the managed location
+    val wh = new java.io.File("spark-warehouse/graft_stats_nation")
+    if (wh.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(wh)
+    }
+    Tables.df(spark, sf, "nation").write.mode("overwrite")
+      .saveAsTable("graft_stats_nation")
+    spark.sql("ANALYZE TABLE graft_stats_nation COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE graft_stats_nation COMPUTE STATISTICS " +
+      "FOR COLUMNS n_nationkey, n_regionkey")
+    // rowCount propagates through plan stats only under CBO — the mode a
+    // cluster deployment of this engine would run with
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("graft_stats_nation")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(25)), s"stats=$stats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+    // column-level NDV recorded in the catalog (what join reorder uses)
+    val colStats = spark.sql(
+      "DESCRIBE EXTENDED graft_stats_nation n_regionkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(colStats.get("distinct_count").exists(_.toLong >= 4), colStats)
+    spark.sql("DROP TABLE graft_stats_nation")
   }
 
   test("bucketed tables join without a shuffle (SMB join)") {
