@@ -76,6 +76,23 @@ class CustomOpsSpec extends SparkSpec {
     assert(out(3L) === None)
   }
 
+  test("as-of join honors a latest prior right row whose payload is NULL") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 5L))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (ts("2024-01-01 08:00:00"), 5L, Some(100.0)),
+      (ts("2024-01-01 09:00:00"), 5L, None) // latest prior, NULL payload
+    ).toDF("ts", "user_id", "value")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .select($"prior_value").head()
+    // the 09:00 row WINS even though its payload is null — matching the
+    // native AsOfJoinExec (latest prior row, not latest prior non-null)
+    assert(out.isNullAt(0),
+      s"null-payload prior row must not be skipped, got $out")
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val orders = Tables.df(spark, sf, "orders")

@@ -49,4 +49,31 @@ class StatefulSessionSpec extends SparkSpec {
       assert(s2.head.s_end === ts("2024-01-01 01:10:00"))
     } finally q.stop()
   }
+
+  test("late-but-in-horizon event extends the open session backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts").as[UserEvent]
+    val sessions = Streams.statefulSessionize(events,
+      gapMs = 10 * 60 * 1000, lateness = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // late event BEFORE the open session's start, within the watermark
+      // and the gap → must lower s_start, not leave it at 00:10
+      input.addData((1L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // close the session by gap
+      input.addData((1L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      val s = spark.table("sess_late").as[UserSession].collect()
+        .filter(_.n_events == 2)
+      assert(s.length === 1, spark.table("sess_late").collect().mkString(","))
+      assert(s.head.s_start === ts("2024-01-01 00:05:00"),
+        "session start must extend backwards for late events")
+    } finally q.stop()
+  }
 }
