@@ -63,4 +63,62 @@ object Multimodal {
       it.map(decodeStub)
     }
   }
+
+  /** One sampled frame: index + slice stats (a real video pipeline would
+    * carry the frame bytes/tensor; the boundary-byte stats keep the stub
+    * oracle-checkable). */
+  case class MediaFrame(doc_id: Long, frame_idx: Int, f_len: Int,
+      f_first: Int, f_last: Int)
+
+  /** Frame sampling — the video-analog UDTF shape: one media row fans out
+    * to `nFrames` evenly-spaced payload slices (frame i covers byte range
+    * [⌊iL/n⌋, ⌊(i+1)L/n⌋); short payloads yield fewer frames). flatMap is
+    * the typed one-to-many operator, so the fan-out happens partition-
+    * parallel with no shuffle; a real decoder would seek per frame inside
+    * the same loop. */
+  def frameSample(media: Dataset[MediaRecord], nFrames: Int)
+      : Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val L = r.payload.length
+      (0 until nFrames).iterator.flatMap { i =>
+        val lo = (i.toLong * L / nFrames).toInt
+        val hi = ((i + 1).toLong * L / nFrames).toInt
+        if (hi > lo)
+          Some(MediaFrame(r.doc_id, i, hi - lo,
+            r.payload(lo) & 0xff, r.payload(hi - 1) & 0xff))
+        else None
+      }
+    }
+  }
+
+  /** A fixed-width "thumbnail" of the payload. */
+  case class MediaThumb(doc_id: Long, thumb: Array[Float])
+
+  /** Resize — the image-analog: variable-size payload → fixed-width
+    * normalized vector (here a `bins`-bucket byte histogram; a real
+    * pipeline would emit a downsampled pixel tensor or model embedding).
+    * The fixed shape is the contract that matters: the output feeds the
+    * similarity/ANN operators directly. */
+  def resizeStub(media: Dataset[MediaRecord], bins: Int = 16)
+      : Dataset[MediaThumb] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val h = new Array[Float](bins)
+        var i = 0
+        while (i < r.payload.length) {
+          h(((r.payload(i) & 0xff) * bins) / 256) += 1f
+          i += 1
+        }
+        if (r.payload.nonEmpty) {
+          var b = 0
+          while (b < bins) { h(b) /= r.payload.length; b += 1 }
+        }
+        MediaThumb(r.doc_id, h)
+      }
+    }
+  }
 }

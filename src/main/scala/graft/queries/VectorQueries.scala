@@ -49,11 +49,24 @@ object VectorQueries extends QueryPack {
       .orderBy($"qid", $"rank")
   }
 
+  /** Frame sampling over the media table (video-pipeline UDTF shape):
+    * 4 evenly-spaced payload slices per doc, boundary-byte stats — fully
+    * oracle-checkable because the stub slicing is pure byte arithmetic
+    * and the fixture text is ASCII (bytes ≡ chars for DuckDB substr). */
+  def qFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(
+      Tables.df(spark, sfDir, "documents").filter($"doc_id" % 25 === 0))
+    Multimodal.frameSample(media, 4).toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_cosine" -> qKnnCosine,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
-    "q_multimodal" -> qMultimodal
+    "q_multimodal" -> qMultimodal,
+    "q_frame_sample" -> qFrameSample
   )
 
   val oracle: Map[String, String] = Map(
@@ -86,7 +99,24 @@ object VectorQueries extends QueryPack {
         |          ch -> CAST(ascii(ch) AS BIGINT))),
         |      (a, b) -> a + b) AS DOUBLE)
         |    / octet_length(encode(text)), 6) AS byte_mean
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS L
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |f AS (
+        |  SELECT doc_id, text, L, unnest(range(0, 4)) AS fi FROM d),
+        |b AS (
+        |  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |    CAST(fi * L // 4 AS INT) AS lo,
+        |    CAST((fi + 1) * L // 4 AS INT) AS hi, text
+        |  FROM f)
+        |SELECT doc_id, frame_idx, hi - lo AS f_len,
+        |  ascii(substr(text, lo + 1, 1)) AS f_first,
+        |  ascii(substr(text, hi, 1)) AS f_last
+        |FROM b WHERE hi > lo
+        |ORDER BY doc_id, frame_idx""".stripMargin
     // q_ann_lsh: rows-only (seeded LSH bucketing)
   )
 }

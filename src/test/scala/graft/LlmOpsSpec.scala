@@ -95,6 +95,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("frame sampling covers the payload exactly once, in order") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "k")).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(Multimodal.asMediaTable(docs), 4)
+      .collect().groupBy(_.doc_id)
+    // 10 bytes / 4 frames → lengths 2,3,2,3; boundaries contiguous
+    assert(frames(1L).sortBy(_.frame_idx).map(_.f_len).toSeq === Seq(2, 3, 2, 3))
+    assert(frames(1L).map(_.f_len).sum === 10)
+    assert(frames(1L).minBy(_.frame_idx).f_first === 'a'.toInt)
+    assert(frames(1L).maxBy(_.frame_idx).f_last === 'j'.toInt)
+    // short payloads yield fewer frames, never empty ones
+    assert(frames(2L).length === 2 && frames(2L).forall(_.f_len == 1))
+    assert(frames(3L).length === 1 && frames(3L).head.f_len === 1)
+  }
+
+  test("resize stub emits fixed-width normalized vectors that feed cosine") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "zzzz")).toDF("doc_id", "text")
+    val thumbs = Multimodal.resizeStub(Multimodal.asMediaTable(docs), bins = 16)
+    val byId = thumbs.collect().map(t => t.doc_id -> t.thumb).toMap
+    assert(byId.values.forall(_.length == 16), "fixed width")
+    assert(byId.values.forall(v => math.abs(v.sum - 1f) < 1e-6), "normalized")
+    // similar payloads are cosine-closer than dissimilar ones
+    graft.functions.CosineSimilarity.register(spark)
+    val sims = thumbs.toDF().as("a")
+      .crossJoin(thumbs.toDF().as("b"))
+      .filter($"a.doc_id" === 1 && $"b.doc_id" =!= 1)
+      .select($"b.doc_id",
+        expr("cosine_similarity(a.thumb, b.thumb)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sims(2L) > sims(3L), s"near-dup must be closer: $sims")
+  }
+
   test("multimodal decode stub produces exact byte statistics") {
     import spark.implicits._
     val docs = Seq((7L, "abc")).toDF("doc_id", "text")
