@@ -94,23 +94,33 @@ object Dedup {
       .withColumn("t", sort_array(transform($"tk", s => xxhash64(s))))
       .withColumn("sz", size($"t"))
     // one minhash per table: min over tokens of a table-seeded xxhash64
+    // the bucket self-join moves ONLY (bucket key, id): a pair that
+    // collides in several tables is deduplicated before any array is
+    // attached, and the token arrays rejoin afterwards keyed by id (a
+    // map-side join while the doc table broadcasts; an ordinary shuffle
+    // join at cluster scale) — candidate volume, not payload volume,
+    // flows through the wide join
     val banded = base
       .withColumn("bd", explode(array((0 until numTables).map { i =>
         struct(lit(i).as("b"),
           array_min(transform($"tk", s => xxhash64(lit(i), s))).as("h"))
       }: _*)))
-      .select($"doc_id", $"t", $"sz", $"bd.b".as("b"), $"bd.h".as("h"))
-    val l = banded.select($"b", $"h", $"doc_id".as("id1"),
-      $"t".as("t1"), $"sz".as("s1"))
-    val r = banded.select($"b", $"h", $"doc_id".as("id2"),
-      $"t".as("t2"), $"sz".as("s2"))
-    l.join(r, Seq("b", "h"))
+      .select($"doc_id", $"bd.b".as("b"), $"bd.h".as("h"))
+    val candidates = banded.select($"b", $"h", $"doc_id".as("id1"))
+      .join(banded.select($"b", $"h", $"doc_id".as("id2")), Seq("b", "h"))
       .filter($"id1" < $"id2")
+      .select($"id1", $"id2")
+      .distinct()
+    val toks = base.select($"doc_id", $"t", $"sz")
+    candidates
+      .join(toks.select($"doc_id".as("id1"), $"t".as("t1"), $"sz".as("s1")),
+        Seq("id1"))
+      .join(toks.select($"doc_id".as("id2"), $"t".as("t2"), $"sz".as("s2")),
+        Seq("id2"))
       .withColumn("li", expr("sorted_intersect_size(t1, t2)").cast("double"))
       .withColumn("jaccard_dist",
         round(lit(1.0) - $"li" / ($"s1" + $"s2" - $"li"), 6))
       .filter($"jaccard_dist" <= maxDistance)
       .select($"id1", $"id2", $"jaccard_dist")
-      .distinct()
   }
 }
