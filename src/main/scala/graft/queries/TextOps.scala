@@ -199,7 +199,54 @@ object TextOps extends QueryPack {
       .orderBy($"vec_id")
   }
 
+  /** Overlapping-window document chunking — the context-window prep step
+    * of a training pipeline: token windows of `size` advancing by
+    * `size - overlap`, emitted one row per chunk with its index. Pure HOF
+    * composition (sequence → slice → posexplode), so the fan-out stays in
+    * whole-stage codegen and shuffles nothing. */
+  def qChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunkSize = 30; val overlap = 10; val stride = chunkSize - overlap
+    val docs = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 20 === 0)
+    docs.select($"doc_id", TextFunctions.tokens($"text").as("T"))
+      .filter(size($"T") > 0)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), size($"T") - 1, lit(stride)),
+          st => slice($"T", st + 1, lit(chunkSize)))))
+      .select($"doc_id", $"pos".cast("int").as("chunk_idx"),
+        size($"col").as("n_tok"),
+        array_join($"col", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** PII-style redaction pass — the scrub step every released training set
+    * runs: email replacement, digit masking, pattern extraction. The PII
+    * line is synthesized deterministically from fixture columns (the
+    * fixtures carry no real contact fields), and every regex is codegen'd
+    * per row; no shuffle at all. */
+  def qRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val line = concat($"c_name", lit(" <user"),
+      $"c_custkey".cast("string"), lit("@example.com> +1-"),
+      $"c_nationkey".cast("string"), lit("-"),
+      $"c_custkey".cast("string"))
+    Tables.df(spark, sfDir, "customer")
+      .filter($"c_custkey" % 40 === 0)
+      .withColumn("pii", line)
+      .select($"c_custkey",
+        regexp_replace($"pii", "[a-z0-9.]+@[a-z0-9.]+", "[EMAIL]")
+          .as("no_email"),
+        regexp_replace($"pii", "[0-9]", "X").as("masked"),
+        regexp_extract($"pii", "@([a-z.]+)>", 1).as("domain"),
+        length(regexp_replace($"pii", "[^0-9]", "")).as("n_digits"),
+        ($"pii" rlike "\\+[0-9]+-").as("has_phone"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk" -> qChunk,
+    "q_redact" -> qRedact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact" -> qDedupExact,
@@ -218,6 +265,35 @@ object TextOps extends QueryPack {
   private val tokSetSql = s"list_distinct($toksSql)"
 
   val oracle: Map[String, String] = Map(
+    "q_chunk" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, $toksSql AS T
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |c AS (
+        |  SELECT doc_id, T, unnest(range(0, len(T), 20)) AS st
+        |  FROM d WHERE len(T) > 0)
+        |SELECT doc_id, CAST(st // 20 AS INT) AS chunk_idx,
+        |  CAST(len(T[st+1 : st+30]) AS INT) AS n_tok,
+        |  array_to_string(T[st+1 : st+30], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_redact" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+        |      || '@example.com> +1-' || CAST(c_nationkey AS VARCHAR)
+        |      || '-' || CAST(c_custkey AS VARCHAR) AS pii
+        |  FROM customer WHERE c_custkey % 40 = 0)
+        |SELECT c_custkey,
+        |  regexp_replace(pii, '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]')
+        |    AS no_email,
+        |  regexp_replace(pii, '[0-9]', 'X', 'g') AS masked,
+        |  regexp_extract(pii, '@([a-z.]+)>', 1) AS domain,
+        |  CAST(length(regexp_replace(pii, '[^0-9]', '', 'g')) AS INT)
+        |    AS n_digits,
+        |  regexp_matches(pii, '\+[0-9]+-') AS has_phone
+        |FROM p ORDER BY c_custkey""".stripMargin,
+
     "q_dedup_ngram" ->
       s"""WITH sh AS (
         |  SELECT doc_id, list_distinct(list_filter(
