@@ -161,4 +161,71 @@ object Streams {
       .transformWithState(new RunningCountProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Sessionization on transformWithState with EVENT-TIME TIMERS: the
+    * twin of [[statefulSessionize]] on the successor API. Gap-closes
+    * inline when a later event arrives; otherwise an event-time timer at
+    * lastTs+gap fires when the watermark passes it and emits the session
+    * from `handleExpiredTimer` — the timer replaces
+    * flatMapGroupsWithState's GroupStateTimeout, with the same bounded
+    * one-open-session-per-key state. */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var sess: ValueState[SessState] = _
+    private def toTs(ms: Long) = new java.sql.Timestamp(ms)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserSession] = {
+      val times = rows.map(_.ts.getTime).toSeq.sorted
+      var closed = List.empty[UserSession]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      times.foreach { t =>
+        cur match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            cur = Some(s.copy(startMs = math.min(s.startMs, t),
+              lastMs = math.max(s.lastMs, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= UserSession(uid, toTs(s.startMs),
+              toTs(s.lastMs + gapMs), s.n)
+            cur = Some(SessState(t, t, 1))
+          case None =>
+            cur = Some(SessState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        // one live timer per key: re-arm at the new session end
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts))
+        getHandle.registerTimer(s.lastMs + gapMs)
+      }
+      closed.reverse.iterator
+    }
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[UserSession] = {
+      if (sess.exists()) {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(
+          UserSession(uid, toTs(s.startMs), toTs(s.lastMs + gapMs), s.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** Event-time sessionization via transformWithState (requires a
+    * watermark on `ts` and the RocksDB state store). */
+  def sessionizeTws(events: org.apache.spark.sql.Dataset[UserEvent],
+      gapMs: Long, lateness: String)
+      : org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF().withWatermark("ts", lateness).as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -41,4 +41,46 @@ class TransformWithStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("event-time timers close sessions when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+      .as[graft.streaming.Streams.UserEvent]
+    val q = Streams.sessionizeTws(events,
+        gapMs = 10 * 60 * 1000, lateness = "5 minutes")
+      .writeStream.format("memory").queryName("tws_sess")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("tws_sess").count() === 0, "session still open")
+      // a far-future event for another user pushes the watermark past
+      // session 1's gap → its TIMER fires and emits the session
+      input.addData((2L, ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 05:00:01")))
+      q.processAllAvailable()
+      val s1 = spark.table("tws_sess")
+        .as[graft.streaming.Streams.UserSession].collect()
+        .filter(_.user_id == 1L)
+      assert(s1.length === 1, s"timer must emit exactly once: ${s1.toSeq}")
+      assert(s1.head.n_events === 2)
+      assert(s1.head.s_start === ts("2024-01-01 00:00:00"))
+      assert(s1.head.s_end === ts("2024-01-01 00:15:00"))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
