@@ -1,8 +1,6 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,24 +88,43 @@ object Similarity {
   }
 
   /** Approximate neighbor candidate pairs within `radius` (euclidean),
-    * via seeded random-projection LSH buckets. */
+    * via random-projection LSH buckets (Datar et al. p-stable LSH, the
+    * same scheme as MLlib's BucketedRandomProjectionLSH), implemented
+    * natively: seeded Gaussian projection vectors broadcast to every
+    * partition, `floor(v·r / bucketLength)` bucket ids, candidates meet in
+    * an ordinary (table, bucket) equi-join carrying IDS ONLY, then the
+    * exact distance verifies rejoined vectors. Fully deterministic
+    * (java.util.Random's LCG is specified), no model fit, no all-to-all.
+    * The one driver-side action is reading the vector dimension off a
+    * single row — the index-build step. */
   def annLshCandidates(embeddings: DataFrame, queries: DataFrame,
-      radius: Double): DataFrame = {
+      radius: Double, numTables: Int = 3, bucketLength: Double = 2.0)
+      : DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val corpus = embeddings
-      .withColumn("fv", array_to_vector($"embedding"))
-    val qs = queries
-      .withColumn("fv", array_to_vector($"embedding"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("fv").setOutputCol("buckets")
-      .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
-    val model = lsh.fit(corpus)
-    model.approxSimilarityJoin(qs, corpus, radius, "dist")
-      .select(
-        col("datasetA.vec_id").as("qid"),
-        col("datasetB.vec_id").as("vec_id"),
-        round(col("dist"), 6).as("dist"))
-      .filter(col("qid") =!= col("vec_id"))
+    val dim = embeddings.limit(1)
+      .select(size($"embedding")).head().getInt(0)
+    val projections = (0 until numTables).map { i =>
+      val rng = new java.util.Random(42L + i)
+      (i, Seq.fill(dim)(rng.nextGaussian()))
+    }.toDF("tbl", "proj")
+    def bucketed(df: DataFrame, idAs: String) =
+      df.crossJoin(broadcast(projections))
+        .select(col("vec_id").as(idAs), $"tbl",
+          floor(VectorFunctions.dot($"embedding", $"proj") / bucketLength)
+            .as("bucket"))
+    val candidates = bucketed(queries, "qid")
+      .join(bucketed(embeddings, "vec_id"), Seq("tbl", "bucket"))
+      .filter($"qid" =!= $"vec_id")
+      .select($"qid", $"vec_id")
+      .distinct()
+    candidates
+      .join(queries.select($"vec_id".as("qid"), $"embedding".as("qv")),
+        Seq("qid"))
+      .join(embeddings.select($"vec_id", $"embedding"), Seq("vec_id"))
+      .withColumn("dist",
+        round(sqrt(VectorFunctions.l2Sq($"qv", $"embedding")), 6))
+      .filter($"dist" <= radius)
+      .select($"qid", $"vec_id", $"dist")
   }
 }
