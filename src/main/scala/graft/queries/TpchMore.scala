@@ -102,6 +102,62 @@ object TpchMore extends QueryPack {
       .orderBy($"custdist".desc, $"c_count".desc)
   }
 
+  /** TPC-H Q4 analog (order priority checking): EXISTS decorrelates to a
+    * left-semi join; the fixture lacks l_commitdate, so "late" means a
+    * line shipped after the order date plus 60 days. */
+  def q4Priority(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= date '1996-01-01'
+        |  AND o_orderdate < date '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q12 analog (shipping modes / priority split): the classic
+    * two-way conditional-sum over a fact-dim join; l_returnflag stands in
+    * for the missing l_shipmode. */
+  def q12Priority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01"))
+        && $"l_shipdate" < to_timestamp(lit("1997-01-01")))
+    val orders = Tables.df(spark, sfDir, "orders")
+    li.join(orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** TPC-H Q19 analog (discounted revenue): disjunction of conjunctive
+    * brand/size/quantity ranges — the OR-of-ANDs shape that tests
+    * predicate normalization and join-side pushdown (Catalyst extracts
+    * the common l_quantity/p_size bounds below the join). */
+  def q19Disjunct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+    val part = Tables.df(spark, sfDir, "part")
+    li.join(part, $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15)
+          && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25)
+          && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#34" && $"p_size".between(1, 35)
+          && $"l_quantity".between(20, 30)))
+      .agg(sum(disc(spark)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Hash/crypto functions with engine-portable semantics. */
   def qHashPack(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -144,6 +200,9 @@ object TpchMore extends QueryPack {
     "q14_promo" -> q14Promo,
     "q13_custdist" -> q13CustDist,
     "q18_large_orders" -> q18LargeOrders,
+    "q4_priority" -> q4Priority,
+    "q12_priority" -> q12Priority,
+    "q19_disjunct" -> q19Disjunct,
     "q_hash_pack" -> qHashPack,
     "q_custom_udaf" -> qCustomUdaf,
     "q_asof_join" -> qAsofJoin
@@ -175,6 +234,39 @@ object TpchMore extends QueryPack {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC NULLS LAST, c_custkey ASC
         |LIMIT 20""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= date '1996-01-01'
+        |  AND o_orderdate < date '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q19_disjunct" ->
+      s"""SELECT CAST(SUM($discSql) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q14_promo" ->
       s"""SELECT round(100.0

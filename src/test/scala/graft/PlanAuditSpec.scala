@@ -38,6 +38,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains(c), s"predicate on $c not pushed")
   }
 
+  test("q19: per-side projections of the OR-of-ANDs reach both scans") {
+    // formatted mode prints full PushedFilters (toString elides them)
+    val plan = TpchMore.q19Disjunct(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // lineitem scan must carry the quantity disjunction, part scan the
+    // brand/size one — neither side waits for the join to filter
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_quantity,1.0)"), plan.take(900))
+    assert(plan.contains("EqualTo(p_brand,Brand#12)"), plan.take(900))
+  }
+
   test("struct arg-max falls back to SortAggregate (sort-agg path)") {
     val df = graft.queries.Aggregates.qSortAggArgmax(spark, sf)
     val plan = planOf(df)
