@@ -41,6 +41,42 @@ object FnExtra extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** Third-tier function coverage: formatting, hex/base64 codec
+    * round-trips, fixed-offset timezone shift, map accessors, radians. */
+  def qFnExtra2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "customer")
+      .filter($"c_custkey" % 30 === 0)
+      .select(
+        $"c_custkey",
+        // integer input: thousands separators without rounding-mode drift
+        format_number($"c_custkey" * lit(1234567L), 0).as("fmt"),
+        decode(unhex(hex($"c_name")), "UTF-8").as("hex_rt"),
+        decode(unbase64(base64(encode($"c_name", "UTF-8"))), "UTF-8")
+          .as("b64_rt"),
+        round(radians($"c_custkey" % 360), 6).as("rad"),
+        array_join(map_keys(
+          map(lit("seg"), $"c_mktsegment",
+            lit("key"), $"c_custkey".cast("string"))), ",").as("mkeys"),
+        array_join(map_values(
+          map(lit("seg"), $"c_mktsegment",
+            lit("key"), $"c_custkey".cast("string"))), ",").as("mvals"))
+      .orderBy($"c_custkey")
+  }
+
+  /** from_utc_timestamp with a fixed offset (pure +5:30 shift — the
+    * deterministic slice of timezone semantics both engines agree on). */
+  def qTzShift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "orders")
+      .filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey",
+        date_format(
+          from_utc_timestamp($"o_orderdate".cast("timestamp"), "GMT+05:30"),
+          "yyyy-MM-dd HH:mm:ss").as("ist_time"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Bucketed interval join: purchases falling inside 30-minute windows
     * opened by error events (oracle: plain theta join — fine at sf0.01,
     * the bucketed form is the one that scales). */
@@ -80,6 +116,8 @@ object FnExtra extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_extra" -> qFnExtra,
+    "q_fn_extra2" -> qFnExtra2,
+    "q_tz_shift" -> qTzShift,
     "q_range_join" -> qRangeJoin,
     "q_asof_native" -> qAsofNative
   )
@@ -108,6 +146,24 @@ object FnExtra extends QueryPack {
         |  p_name AS codec_rt
         |FROM part WHERE p_partkey % 25 = 0
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_fn_extra2" ->
+      """SELECT c_custkey,
+        |  format('{:,}', c_custkey * 1234567) AS fmt,
+        |  decode(unhex(hex(encode(c_name)))) AS hex_rt,
+        |  decode(from_base64(to_base64(encode(c_name)))) AS b64_rt,
+        |  round(radians(c_custkey % 360), 6) AS rad,
+        |  'seg,key' AS mkeys,
+        |  c_mktsegment || ',' || CAST(c_custkey AS VARCHAR) AS mvals
+        |FROM customer WHERE c_custkey % 30 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_tz_shift" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL '5 hours 30 minutes',
+        |    '%Y-%m-%d %H:%M:%S') AS ist_time
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_range_join" ->
       """SELECT i.event_id AS incident_id, COUNT(*) AS n_purchases,

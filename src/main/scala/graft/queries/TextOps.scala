@@ -244,7 +244,37 @@ object TextOps extends QueryPack {
       .orderBy($"c_custkey")
   }
 
+  /** Keyword-lexicon sentiment scoring (SURVEY §2.11's last text-analysis
+    * row; cf. the EDBT-2016 Spark sentiment pattern): explode tokens, join
+    * a broadcast lexicon, sum per doc, label by sign. Scores are dyadic
+    * (k/2) so the floating sums are exact and hash-stable across engines.
+    * At 100 TB the lexicon is still a broadcast and the shuffle is one
+    * doc-keyed partial aggregation. */
+  def qSentiment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lexicon = Seq(
+      ("fast", 2.0), ("small", 1.0), ("big", 0.5),
+      ("slow", -2.0), ("dup", -1.0), ("filter", 0.5)
+    ).toDF("tok", "score")
+    val docs = Tables.df(spark, sfDir, "documents")
+    val hits = docs
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .join(broadcast(lexicon), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(sum($"score").as("sentiment"), count(lit(1)).as("n_hits"))
+    docs.select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"sentiment", lit(0.0)).as("sentiment"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .withColumn("label",
+        when($"sentiment" > 0.5, "pos")
+          .when($"sentiment" < -0.5, "neg").otherwise("neutral"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sentiment" -> qSentiment,
     "q_chunk" -> qChunk,
     "q_redact" -> qRedact,
     "q_dedup_ngram" -> qDedupNgram,
@@ -265,6 +295,24 @@ object TextOps extends QueryPack {
   private val tokSetSql = s"list_distinct($toksSql)"
 
   val oracle: Map[String, String] = Map(
+    "q_sentiment" ->
+      s"""WITH lex(tok, score) AS (VALUES
+        |  ('fast', 2.0), ('small', 1.0), ('big', 0.5),
+        |  ('slow', -2.0), ('dup', -1.0), ('filter', 0.5)),
+        |t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST(SUM(score) AS DOUBLE) AS sentiment,
+        |        CAST(COUNT(*) AS BIGINT) AS n_hits
+        |      FROM t JOIN lex USING (tok) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(h.sentiment, 0.0) AS sentiment,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  CASE WHEN COALESCE(h.sentiment, 0.0) > 0.5 THEN 'pos'
+        |       WHEN COALESCE(h.sentiment, 0.0) < -0.5 THEN 'neg'
+        |       ELSE 'neutral' END AS label
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_chunk" ->
       s"""WITH d AS (
         |  SELECT doc_id, $toksSql AS T
