@@ -68,13 +68,18 @@ object Acid {
           count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       val t = target.select(keyCols.map(col) ++
         valCols.map(c => col(c).as(s"__t_$c")): _*)
+      // explicit matched-marker, NOT per-column coalesce: a matched source
+      // row must win even where its value is legitimately NULL (UPDATE SET
+      // col = NULL), and coalesce would silently keep the target's value
       val s = src.select(keyCols.map(col) ++
-        valCols.map(c => col(c).as(s"__s_$c")) :+ col("__dup"): _*)
+        valCols.map(c => col(c).as(s"__s_$c")) :+
+        lit(true).as("__matched") :+ col("__dup"): _*)
       t.join(s, keyCols, "full_outer")
         .select(cols.map { c =>
           if (keyCols.contains(c)) col(c)
           else {
-            val v = coalesce(col(s"__s_$c"), col(s"__t_$c"))
+            val v = when(col("__matched") === true, col(s"__s_$c"))
+              .otherwise(col(s"__t_$c"))
             // the cardinality assert rides on the first value column so
             // column pruning cannot drop it; assert_true is NULL (isNull =
             // true) on success and aborts the job on violation

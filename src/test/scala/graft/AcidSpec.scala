@@ -59,6 +59,18 @@ class AcidSpec extends SparkSpec {
         .filter($"n_nationkey" === 5).collect().toSeq)
   }
 
+  test("MERGE writes a NULL source value over a non-null target value") {
+    import spark.implicits._
+    val path = seed("acid_merge_null")
+    val source = Seq((0L, null.asInstanceOf[String], 9L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    Acid.mergeInto(spark, path, source, Seq("n_nationkey"))
+    val r = spark.read.parquet(path).filter($"n_nationkey" === 0).head()
+    assert(r.isNullAt(r.fieldIndex("n_name")),
+      "matched source NULL must overwrite, not fall back to the target")
+    assert(r.getLong(r.fieldIndex("n_regionkey")) === 9L)
+  }
+
   test("MERGE rejects a source with duplicate keys") {
     import spark.implicits._
     val path = seed("acid_merge_dup")
