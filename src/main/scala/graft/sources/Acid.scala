@@ -24,17 +24,27 @@ import org.apache.spark.sql.functions._
   */
 object Acid {
 
-  /** Rewrite `tablePath` through `transform`, via a temp dir + swap. */
+  /** Rewrite `tablePath` through `transform`, via a temp dir + swap. The
+    * old table is parked as a backup until the new directory is in place,
+    * so a failed swap can always roll back — no window where the table is
+    * gone. */
   private def rewrite(spark: SparkSession, tablePath: String)(
       transform: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
-    val tmpPath = tablePath.stripSuffix("/") + "__cow_tmp"
+    val table = new Path(tablePath)
+    val tmp = new Path(tablePath.stripSuffix("/") + "__cow_tmp")
+    val bak = new Path(tablePath.stripSuffix("/") + "__cow_bak")
     transform(spark.read.parquet(tablePath))
-      .write.mode(SaveMode.Overwrite).parquet(tmpPath)
-    val fs = new Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(tablePath), true)
-    fs.rename(new Path(tmpPath), new Path(tablePath))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(bak, true)
+    if (!fs.rename(table, bak))
+      throw new java.io.IOException(s"could not park $table for swap")
+    if (!fs.rename(tmp, table)) {
+      fs.rename(bak, table) // roll back
+      throw new java.io.IOException(s"could not swap $tmp into $table")
+    }
+    fs.delete(bak, true)
   }
 
   /** UPDATE tablePath SET assignments WHERE cond. */

@@ -86,7 +86,11 @@ object Sources {
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-      .foreach(st => fs.rename(st.getPath, new Path(dest, st.getPath.getName)))
+      .foreach { st =>
+        if (!fs.rename(st.getPath, new Path(dest, st.getPath.getName)))
+          throw new java.io.IOException(
+            s"LOAD DATA could not move ${st.getPath} into $dest")
+      }
   }
 
   /** CREATE TABLE AS SELECT into the session catalog. */
