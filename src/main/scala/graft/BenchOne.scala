@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") // same default as Bench
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +23,8 @@ object BenchOne {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"BENCHONE $name rep$r rows=$n sec=$sec%.3f")
+      println("BENCHONE %s rep%d rows=%d sec=%s".format(name, r, n,
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))))
     }
     spark.stop()
   }

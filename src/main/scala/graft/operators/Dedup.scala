@@ -89,10 +89,14 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.SortedIntersectSize.register(spark)
+    // repartition materializes the tokenize/hash/sort chain ONCE — base
+    // fans out to both sides of the bucket join plus two verify rejoins,
+    // which would otherwise recompute it four times (SURVEY §7.4.10)
     val base = docs.select($"doc_id", TextFunctions.tokenSet($"text").as("tk"))
       .filter(size($"tk") > 0)
       .withColumn("t", sort_array(transform($"tk", s => xxhash64(s))))
       .withColumn("sz", size($"t"))
+      .repartition($"doc_id")
     // one minhash per table: min over tokens of a table-seeded xxhash64
     // the bucket self-join moves ONLY (bucket key, id): a pair that
     // collides in several tables is deduplicated before any array is

@@ -60,9 +60,12 @@ object SelfCosineRule extends Rule[LogicalPlan] {
         // above Inf), so one predicate covers every non-finite case
         val y = NamedLambdaVariable("y", elemType, nullable = true)
         val allFinite = ArrayForAll(a, LambdaFunction(LessThan(Abs(y), inf), Seq(y)))
-        If(EqualTo(allFinite, Literal(true)),
-          If(EqualTo(nonZero, Literal(true)),
-            Literal(1.0), Literal.create(null, DoubleType)),
-          Literal(Double.NaN))
+        // NULL input stays NULL (Catalyst's If would otherwise route the
+        // null forall-predicate to the NaN branch)
+        If(IsNull(a), Literal.create(null, DoubleType),
+          If(EqualTo(allFinite, Literal(true)),
+            If(EqualTo(nonZero, Literal(true)),
+              Literal(1.0), Literal.create(null, DoubleType)),
+            Literal(Double.NaN)))
     }
 }

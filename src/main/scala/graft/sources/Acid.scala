@@ -65,9 +65,11 @@ object Acid {
     * matched rows take the source's values (WHEN MATCHED THEN UPDATE SET *),
     * unmatched source rows are inserted (WHEN NOT MATCHED THEN INSERT *),
     * unmatched target rows are kept — one full-outer join on the key, one
-    * shuffle. Source must have the target's columns; SQL MERGE's
-    * one-source-row-per-key cardinality rule is enforced at runtime (the
-    * job fails rather than picking a winner nondeterministically). */
+    * shuffle. Source must have the target's columns. SQL MERGE's
+    * cardinality rule — no TARGET row may match more than one source
+    * row — is enforced at runtime (the job fails rather than picking a
+    * winner nondeterministically); duplicate source keys that match
+    * nothing are all inserted, as the standard prescribes. */
   def mergeInto(spark: SparkSession, tablePath: String, source: DataFrame,
       keyCols: Seq[String]): Unit =
     rewrite(spark, tablePath) { target =>
@@ -77,27 +79,30 @@ object Acid {
         .withColumn("__dup",
           count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       val t = target.select(keyCols.map(col) ++
-        valCols.map(c => col(c).as(s"__t_$c")): _*)
+        valCols.map(c => col(c).as(s"__t_$c")) :+
+        lit(true).as("__t_exists"): _*)
       // explicit matched-marker, NOT per-column coalesce: a matched source
       // row must win even where its value is legitimately NULL (UPDATE SET
       // col = NULL), and coalesce would silently keep the target's value
       val s = src.select(keyCols.map(col) ++
         valCols.map(c => col(c).as(s"__s_$c")) :+
         lit(true).as("__matched") :+ col("__dup"): _*)
+      // the cardinality assert rides on a projected output column so
+      // column pruning cannot drop it (the first value column, or the
+      // first key for a keys-only table); assert_true is NULL (isNull =
+      // true) on success and aborts the job on violation — only MATCHED
+      // duplicates (__t_exists set) violate the rule
+      val guard = assert_true(
+        coalesce(col("__dup"), lit(1L)) <= 1 || col("__t_exists").isNull,
+        lit("MERGE matched a target row with multiple source rows"))
+      val guardCol = valCols.headOption.getOrElse(keyCols.head)
       t.join(s, keyCols, "full_outer")
         .select(cols.map { c =>
-          if (keyCols.contains(c)) col(c)
-          else {
-            val v = when(col("__matched") === true, col(s"__s_$c"))
+          val v =
+            if (keyCols.contains(c)) col(c)
+            else when(col("__matched") === true, col(s"__s_$c"))
               .otherwise(col(s"__t_$c"))
-            // the cardinality assert rides on the first value column so
-            // column pruning cannot drop it; assert_true is NULL (isNull =
-            // true) on success and aborts the job on violation
-            if (valCols.headOption.contains(c))
-              when(assert_true(coalesce(col("__dup"), lit(1L)) <= 1,
-                lit("MERGE source has duplicate keys")).isNull, v).as(c)
-            else v.as(c)
-          }
+          if (c == guardCol) when(guard.isNull, v).as(c) else v.as(c)
         }: _*)
     }
 }

@@ -102,11 +102,18 @@ object Streams {
             var cur = state.getOption
             times.foreach { t =>
               cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  // a late-but-within-watermark event can precede the open
-                  // session's start — extend the session both ways
+                case Some(s)
+                    if t - s.lastMs <= gapMs && t >= s.startMs - gapMs =>
+                  // within gap of the open session's SPAN (a late event may
+                  // precede its start) — extend the session both ways
                   cur = Some(s.copy(startMs = math.min(s.startMs, t),
                     lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) if t < s.startMs - gapMs =>
+                  // a straggler more than a gap BEFORE the open session:
+                  // its own already-closed session (approximation: emitted
+                  // immediately, so a second straggler near it would not
+                  // merge — acceptable for watermark-bounded lateness)
+                  closed ::= UserSession(uid, toTs(t), toTs(t + gapMs), 1)
                 case Some(s) =>
                   closed ::= UserSession(uid, toTs(s.startMs),
                     toTs(s.lastMs + gapMs), s.n)
@@ -185,9 +192,14 @@ object Streams {
       var cur = if (sess.exists()) Some(sess.get()) else None
       times.foreach { t =>
         cur match {
-          case Some(s) if t - s.lastMs <= gapMs =>
+          case Some(s)
+              if t - s.lastMs <= gapMs && t >= s.startMs - gapMs =>
             cur = Some(s.copy(startMs = math.min(s.startMs, t),
               lastMs = math.max(s.lastMs, t), n = s.n + 1))
+          case Some(s) if t < s.startMs - gapMs =>
+            // detached straggler before the open session — see
+            // statefulSessionize for the approximation note
+            closed ::= UserSession(uid, toTs(t), toTs(t + gapMs), 1)
           case Some(s) =>
             closed ::= UserSession(uid, toTs(s.startMs),
               toTs(s.lastMs + gapMs), s.n)

@@ -71,6 +71,20 @@ class AcidSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("n_regionkey")) === 9L)
   }
 
+  test("MERGE inserts duplicate UNMATCHED source keys (standard semantics)") {
+    import spark.implicits._
+    val path = seed("acid_merge_dup_ins")
+    val before = spark.read.parquet(path).count()
+    val dupInserts = Seq(
+      (98L, "ATLANTIS-A", 9L), (98L, "ATLANTIS-B", 9L) // match nothing
+    ).toDF("n_nationkey", "n_name", "n_regionkey")
+    Acid.mergeInto(spark, path, dupInserts, Seq("n_nationkey"))
+    val after = spark.read.parquet(path)
+    assert(after.count() === before + 2,
+      "unmatched duplicate source keys must all insert")
+    assert(after.filter($"n_nationkey" === 98).count() === 2)
+  }
+
   test("MERGE rejects a source with duplicate keys") {
     import spark.implicits._
     val path = seed("acid_merge_dup")
@@ -83,6 +97,6 @@ class AcidSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("duplicate keys")), e.toString)
+    assert(messages(e).exists(_.contains("multiple source rows")), e.toString)
   }
 }

@@ -85,6 +85,10 @@ class PlanAuditSpec extends SparkSpec {
       val nf = Seq(Array(1.0f, Float.NaN), Array(1.0f, Float.PositiveInfinity))
         .toDF("v").select(expr("cosine_similarity(v, v)").as("s"))
       assert(nf.collect().forall(r => r.getDouble(0).isNaN))
+      // NULL input → NULL, not NaN
+      val nul = Seq(Option.empty[Array[Float]]).toDF("v")
+        .select(expr("cosine_similarity(v, v)").as("s"))
+      assert(nul.head().isNullAt(0), "null array must stay null")
     } finally spark.experimental.extraOptimizations = prev
   }
 

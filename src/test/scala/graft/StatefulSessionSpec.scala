@@ -76,4 +76,30 @@ class StatefulSessionSpec extends SparkSpec {
         "session start must extend backwards for late events")
     } finally q.stop()
   }
+
+  test("a straggler more than a gap before the session stays separate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts").as[UserEvent]
+    val sessions = Streams.statefulSessionize(events,
+      gapMs = 10 * 60 * 1000, lateness = "60 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_detached")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // 20 minutes BEFORE the open session with a 10-minute gap → must NOT
+      // merge (that would fabricate one [00:40, 01:10) session)
+      input.addData((1L, ts("2024-01-01 00:40:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 03:00:00"))) // closes [01:00,...]
+      q.processAllAvailable()
+      val s = spark.table("sess_detached").as[UserSession].collect()
+        .sortBy(_.s_start.getTime)
+      assert(s.length === 2, s.mkString(","))
+      assert(s(0).s_start === ts("2024-01-01 00:40:00") && s(0).n_events === 1)
+      assert(s(1).s_start === ts("2024-01-01 01:00:00") && s(1).n_events === 1)
+    } finally q.stop()
+  }
 }
