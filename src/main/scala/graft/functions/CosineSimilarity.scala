@@ -106,5 +106,9 @@ object CosineSimilarity {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
-      exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+      exprs => {
+        require(exprs.length == 2,
+          s"cosine_similarity expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }, "built-in")
 }

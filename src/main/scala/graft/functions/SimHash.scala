@@ -98,7 +98,11 @@ object SimHash64 {
   /** Register `simhash64(array<string>) -> bigint` for use via expr()/SQL. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64", exprs => {
+        require(exprs.length == 1,
+          s"simhash64 expects 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }, "built-in")
 
   /** Hamming distance between two fingerprints (driver/test-side helper). */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)

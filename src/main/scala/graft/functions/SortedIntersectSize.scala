@@ -86,5 +86,9 @@ object SortedIntersectSize {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_size",
-      exprs => SortedIntersectSize(exprs.head, exprs(1)), "built-in")
+      exprs => {
+        require(exprs.length == 2,
+          s"sorted_intersect_size expects 2 arguments, got ${exprs.length}")
+        SortedIntersectSize(exprs.head, exprs(1))
+      }, "built-in")
 }

@@ -49,9 +49,12 @@ object AsOf {
         leftCols.filterNot(c => c == key || c == tsCol).map(col)): _*)
       .unionByName(rTagged, allowMissingColumns = true)
     // left (__is_left=1) sorts before right (0) at equal ts via descending
-    // tag order → a left row never sees a same-timestamp right row
+    // tag order → a left row never sees a same-timestamp right row; the
+    // payload structs break remaining right-side (key, ts) ties so "latest
+    // wins" is deterministic (max payload, same rule as AsOfJoinExec)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol).asc, col("__is_left").desc)
+      .orderBy((Seq(col(tsCol).asc, col("__is_left").desc) ++
+        payloads.map(p => col(s"__p_$p").asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val annotated = payloads.foldLeft(unioned) { (df, p) =>
       df.withColumn(s"prior_$p",

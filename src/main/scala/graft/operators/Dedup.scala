@@ -94,7 +94,10 @@ object Dedup {
     // which would otherwise recompute it four times (SURVEY §7.4.10)
     val base = docs.select($"doc_id", TextFunctions.tokenSet($"text").as("tk"))
       .filter(size($"tk") > 0)
-      .withColumn("t", sort_array(transform($"tk", s => xxhash64(s))))
+      // array_distinct AFTER hashing establishes SortedIntersectSize's
+      // duplicate-free contract even under a 64-bit collision
+      .withColumn("t",
+        sort_array(array_distinct(transform($"tk", s => xxhash64(s)))))
       .withColumn("sz", size($"t"))
       .repartition($"doc_id")
     // one minhash per table: min over tokens of a table-seeded xxhash64

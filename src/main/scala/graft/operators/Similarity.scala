@@ -102,8 +102,13 @@ object Similarity {
       : DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = embeddings.limit(1)
-      .select(size($"embedding")).head().getInt(0)
+    // index-build step: read the (fixed — API contract) vector dimension
+    // off one row; an empty corpus has no neighbors at all
+    val dimRow = embeddings.limit(1).select(size($"embedding")).collect()
+    if (dimRow.isEmpty)
+      return queries.select($"vec_id".as("qid"), $"vec_id",
+        lit(0.0).as("dist")).limit(0)
+    val dim = dimRow.head.getInt(0)
     val projections = (0 until numTables).map { i =>
       val rng = new java.util.Random(42L + i)
       (i, Seq.fill(dim)(rng.nextGaussian()))

@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Inner equi-join with an n-way salted key. Deterministic: the salt is
-    * hashed from the left row's own columns, not from rand(). */
+  /** Inner equi-join with an n-way salted key. The salt mixes the row's
+    * columns with its physical position (partition id + per-partition
+    * offset) so FULLY IDENTICAL hot-key rows still spread across all n
+    * buckets — hashing columns alone would send every duplicate to one
+    * bucket, re-creating the skew. Any salt value joins correctly (the
+    * right side carries every salt), so the physical-position component
+    * never affects results, only distribution. */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       n: Int): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(n)))
+      pmod(xxhash64((left.columns.map(col) :+
+        spark_partition_id() :+ monotonically_increasing_id()): _*), lit(n)))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1)).cast("array<bigint>")))
     saltedLeft.join(replicatedRight,

@@ -69,10 +69,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    // payload columns break (key, ts) ties deterministically: the streamed
+    // "latest wins" then always returns the max payload tuple, matching
+    // the union+window composition's tie-break
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      payload.map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  // the clustering this node just required (and paid a shuffle for) is
+  // preserved — report it so a downstream groupBy/join on the key reuses
+  // the partitioning instead of exchanging 100 TB again
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     // capture only serializable values — projections and orderings are

@@ -19,12 +19,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"simhash64 expects 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }))
     e.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_similarity expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
     e.injectOptimizerRule(_ => SelfCosineRule)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -50,12 +58,20 @@ object SelfCosineRule extends Rule[LogicalPlan] {
           case ArrayType(t, _) => t
           case t => t
         }
-        val (zero, inf) = elemType match {
-          case FloatType => (Literal(0.0f), Literal(Float.PositiveInfinity))
-          case _ => (Literal(0.0), Literal(Double.PositiveInfinity))
+        val inf = elemType match {
+          case FloatType => Literal(Float.PositiveInfinity)
+          case _ => Literal(Double.PositiveInfinity)
         }
         val x = NamedLambdaVariable("x", elemType, nullable = true)
-        val nonZero = ArrayExists(a, LambdaFunction(Not(EqualTo(x, zero)), Seq(x)))
+        // guard on x² ≠ 0 IN DOUBLE, not x ≠ 0: the evaluated loop sums
+        // double squares, and a double element below ~1.5e-162 squares to
+        // exactly 0 (underflow) — its norm is 0 and the true result NULL
+        val xd = elemType match {
+          case FloatType => Cast(x, DoubleType)
+          case _ => x
+        }
+        val nonZero = ArrayExists(a,
+          LambdaFunction(Not(EqualTo(Multiply(xd, xd), Literal(0.0))), Seq(x)))
         // abs(x) < Inf is false for both ±Inf and NaN (Spark orders NaN
         // above Inf), so one predicate covers every non-finite case
         val y = NamedLambdaVariable("y", elemType, nullable = true)

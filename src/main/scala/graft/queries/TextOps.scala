@@ -161,8 +161,9 @@ object TextOps extends QueryPack {
     //     before the intersect ever runs (content-based blocking — the same
     //     bound drives band-bucketing at cluster scale).
     val sh = docs.select($"doc_id",
-      sort_array(transform(array_distinct(TextFunctions.shingles($"text", 2)),
-        s => xxhash64(s))).as("t"))
+      sort_array(array_distinct(
+        transform(array_distinct(TextFunctions.shingles($"text", 2)),
+          s => xxhash64(s)))).as("t"))
       .withColumn("sz", size($"t"))
       .repartition(col("doc_id"))
     val a = sh.select($"doc_id".as("id1"), $"t".as("t1"), $"sz".as("s1"))
