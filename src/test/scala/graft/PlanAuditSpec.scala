@@ -92,6 +92,22 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("sketch scale-paths plan as equi-joins: no nested-loop anywhere") {
+    // the scalability claim of the LSH/minhash/IVF operators is precisely
+    // that candidates meet in bucket EQUI-joins — a refactor that slips in
+    // a non-equi pair condition would plan a condition-bearing nested loop
+    // or a cartesian and die at scale. (A `Cross BuildRight` BNLJ over the
+    // broadcast 3-8-row projection/centroid table is the intended
+    // replicate-tiny-constant pattern and is allowed.)
+    for (name <- Seq("q_dedup_minhash", "q_ann_lsh", "q_ann_ivf")) {
+      val plan = planOf(graft.SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin Inner"),
+        s"$name must not nested-loop over a pair condition:\n" + plan.take(600))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not cartesian:\n" + plan.take(600))
+    }
+  }
+
   test("GraftExtensions installs functions and the rule without error") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e)   // would throw on malformed injection
