@@ -31,6 +31,11 @@ object Tables {
     */
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
+      // Deliberately session-sticky (plans are lazy; the conf must hold at
+      // execution time, so save/restore here would break the frame): after
+      // an events read, other TIMESTAMP(NANOS) parquet columns in this
+      // session decode as raw longs too. The fixtures have exactly one
+      // nanos column, so this is a documented non-issue here.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // cast to NTZ so ts matches the other fixtures' timestamp-without-zone
       // semantics (and DuckDB's naive TIMESTAMP) when written back to parquet

@@ -26,8 +26,13 @@ object Acid {
 
   /** Rewrite `tablePath` through `transform`, via a temp dir + swap. The
     * old table is parked as a backup until the new directory is in place,
-    * so a failed swap can always roll back — no window where the table is
-    * gone. */
+    * so an in-process rename failure rolls back. Honest limits of a
+    * filesystem swap (no atomic directory rename on HDFS/S3): a hard crash
+    * between the two renames leaves the data recoverable in
+    * `<path>__cow_bak` but needs a manual move back, and a concurrent
+    * reader can observe the table missing for the instant between renames
+    * — table formats (Delta/Iceberg) solve both with a metadata pointer,
+    * which is out of scope for plain parquet. */
   private def rewrite(spark: SparkSession, tablePath: String)(
       transform: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
@@ -47,13 +52,18 @@ object Acid {
     fs.delete(bak, true)
   }
 
-  /** UPDATE tablePath SET assignments WHERE cond. */
+  /** UPDATE tablePath SET assignments WHERE cond. One projection, so the
+    * condition and every RHS see the ORIGINAL row (SQL semantics) — a
+    * sequential withColumn chain would let later assignments observe
+    * already-updated values. */
   def update(spark: SparkSession, tablePath: String, cond: Column,
       assignments: Map[String, Column]): Unit =
     rewrite(spark, tablePath) { df =>
-      assignments.foldLeft(df) { case (d, (c, v)) =>
-        d.withColumn(c, when(cond, v).otherwise(col(c)))
-      }
+      df.select(df.columns.map { c =>
+        assignments.get(c)
+          .map(v => when(cond, v).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
     }
 
   /** DELETE FROM tablePath WHERE cond (NULL condition keeps the row, as in
@@ -75,7 +85,11 @@ object Acid {
     rewrite(spark, tablePath) { target =>
       val cols = target.columns.toSeq
       val valCols = cols.filterNot(keyCols.contains)
-      val src = source.select(cols.map(col): _*)
+      // cast source to the TARGET's exact types: otherwise the using-join
+      // takes the common wider type and a row-level MERGE silently rewrites
+      // the table with a changed schema (e.g. int32 key widened to int64)
+      val src = source.select(target.schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
         .withColumn("__dup",
           count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       val t = target.select(keyCols.map(col) ++

@@ -49,12 +49,18 @@ object Sources {
     * (ignored key, Text line) records, which the RDD API reads/writes
     * natively (this is the documented "genuine per-partition imperative
     * logic" case for dropping below DataFrames). `df` must be a single
-    * string column; returns the re-read lines with the same column name. */
+    * NON-NULL string column (Hive's text layout has no null marker);
+    * returns the re-read lines with the same column name. Overwrites
+    * `path` like every other writer here. */
   def sequenceFileRoundTrip(df: DataFrame, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
     import org.apache.hadoop.io.{NullWritable, Text}
     val spark = df.sparkSession
     import spark.implicits._
     val colName = df.columns.head
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // saveAsSequenceFile refuses to
     df.rdd.map(r => (NullWritable.get(), new Text(r.getString(0))))
       .saveAsSequenceFile(path)
     spark.sparkContext
@@ -73,21 +79,30 @@ object Sources {
   def loadDataInpath(spark: SparkSession, srcDir: String, tableDir: String,
       partition: Seq[(String, String)] = Nil,
       overwrite: Boolean = true): Unit = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(srcDir)
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcFs = src.getFileSystem(conf)
     val dest = new Path(partition.foldLeft(tableDir) {
       case (p, (k, v)) => s"$p/$k=$v"
     })
-    if (overwrite && fs.exists(dest)) fs.delete(dest, true)
-    fs.mkdirs(dest)
-    fs.listStatus(src)
+    val destFs = dest.getFileSystem(conf)
+    if (overwrite && destFs.exists(dest)) destFs.delete(dest, true)
+    destFs.mkdirs(dest)
+    srcFs.listStatus(src)
       .filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
       .foreach { st =>
-        if (!fs.rename(st.getPath, new Path(dest, st.getPath.getName)))
+        val to = new Path(dest, st.getPath.getName)
+        // rename is per-filesystem; across filesystems (local → HDFS, the
+        // LOCAL INPATH case) fall back to copy+delete, exactly as Hive's
+        // loader does. Per-file like Hive: a mid-load failure leaves a
+        // partial load (LOAD DATA has never been transactional).
+        val moved = (srcFs eq destFs) && srcFs.rename(st.getPath, to)
+        if (!moved &&
+            !FileUtil.copy(srcFs, st.getPath, destFs, to, true, true, conf))
           throw new java.io.IOException(
             s"LOAD DATA could not move ${st.getPath} into $dest")
       }

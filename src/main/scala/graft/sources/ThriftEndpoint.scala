@@ -28,7 +28,9 @@ object ThriftEndpoint {
     * visible to every client; per-session temp views are not (set the
     * static conf `spark.sql.hive.thriftServer.singleSession=true` at
     * session build to share those too, as a single-tenant charm would). */
-  def start(spark: SparkSession, port: Int): AutoCloseable = {
+  def start(spark: SparkSession, port: Int): AutoCloseable = synchronized {
+    // synchronized: the port travels through GLOBAL system properties (the
+    // only channel HiveConf reads), so concurrent starts would race on it
     System.setProperty("hive.server2.thrift.port", port.toString)
     System.setProperty("hive.server2.thrift.bind.host", "localhost")
     val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2

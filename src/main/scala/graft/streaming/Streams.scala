@@ -73,19 +73,58 @@ object Streams {
       s_end: java.sql.Timestamp, n_events: Long)
   case class SessState(startMs: Long, lastMs: Long, n: Long)
 
+  private def toTs(ms: Long) = new java.sql.Timestamp(ms)
+
+  /** The session state machine shared by the flatMapGroupsWithState and
+    * transformWithState sessionizers (one source of truth — the two APIs
+    * must not drift): folds a batch's sorted event times into the open
+    * session, returning the sessions closed by this batch and the state to
+    * carry. An event merges when within one gap of the open session's SPAN
+    * (so a late-but-in-horizon event may extend it backwards); a straggler
+    * more than a gap BEFORE the start becomes its own already-closed
+    * session (approximation: emitted immediately, so a second straggler
+    * near it would not merge — acceptable for watermark-bounded lateness);
+    * an event more than a gap AFTER the end closes the session and opens a
+    * new one. */
+  private[streaming] def advanceSessions(uid: Long, times: Seq[Long],
+      init: Option[SessState], gapMs: Long)
+      : (List[UserSession], Option[SessState]) = {
+    var closed = List.empty[UserSession]
+    var cur = init
+    times.foreach { t =>
+      cur match {
+        case Some(s) if t - s.lastMs <= gapMs && t >= s.startMs - gapMs =>
+          cur = Some(s.copy(startMs = math.min(s.startMs, t),
+            lastMs = math.max(s.lastMs, t), n = s.n + 1))
+        case Some(s) if t < s.startMs - gapMs =>
+          closed ::= UserSession(uid, toTs(t), toTs(t + gapMs), 1)
+        case Some(s) =>
+          closed ::= UserSession(uid, toTs(s.startMs),
+            toTs(s.lastMs + gapMs), s.n)
+          cur = Some(SessState(t, t, 1))
+        case None =>
+          cur = Some(SessState(t, t, 1))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
   /** Custom stateful sessionization via `flatMapGroupsWithState` — the
     * arbitrary-state API for semantics `session_window` can't express
     * (e.g. emitting a session the moment its gap closes, per-session
     * counters). Sessions close either when a later event arrives past the
     * gap, or when the event-time watermark passes lastTs+gap (timeout).
-    * State per key is one open session — bounded, watermark-reclaimed. */
+    * State per key is one open session — bounded, watermark-reclaimed.
+    * In BATCH execution (where timeouts never fire — createForBatch pins
+    * the watermark at -∞) the input is complete, so each key's final open
+    * session is flushed at end-of-group instead of silently dropped. */
   def statefulSessionize(events: org.apache.spark.sql.Dataset[UserEvent],
       gapMs: Long, lateness: String)
       : org.apache.spark.sql.Dataset[UserSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    def toTs(ms: Long) = new java.sql.Timestamp(ms)
+    val isStreaming = events.isStreaming
     events.toDF().withWatermark("ts", lateness).as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, UserSession](
@@ -98,35 +137,19 @@ object Streams {
               s.n))
           } else {
             val times = it.map(_.ts.getTime).toSeq.sorted
-            var closed = List.empty[UserSession]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some(s)
-                    if t - s.lastMs <= gapMs && t >= s.startMs - gapMs =>
-                  // within gap of the open session's SPAN (a late event may
-                  // precede its start) — extend the session both ways
-                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
-                    lastMs = math.max(s.lastMs, t), n = s.n + 1))
-                case Some(s) if t < s.startMs - gapMs =>
-                  // a straggler more than a gap BEFORE the open session:
-                  // its own already-closed session (approximation: emitted
-                  // immediately, so a second straggler near it would not
-                  // merge — acceptable for watermark-bounded lateness)
-                  closed ::= UserSession(uid, toTs(t), toTs(t + gapMs), 1)
-                case Some(s) =>
-                  closed ::= UserSession(uid, toTs(s.startMs),
-                    toTs(s.lastMs + gapMs), s.n)
-                  cur = Some(SessState(t, t, 1))
-                case None =>
-                  cur = Some(SessState(t, t, 1))
+            val (closed, cur) =
+              advanceSessions(uid, times, state.getOption, gapMs)
+            if (isStreaming) {
+              cur.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastMs + gapMs)
               }
+              closed.iterator
+            } else {
+              // batch: the group is complete — flush the open session
+              (closed ++ cur.map(s => UserSession(uid, toTs(s.startMs),
+                toTs(s.lastMs + gapMs), s.n))).iterator
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            closed.reverse.iterator
           }
       }
   }
@@ -176,45 +199,33 @@ object Streams {
     * from `handleExpiredTimer` — the timer replaces
     * flatMapGroupsWithState's GroupStateTimeout, with the same bounded
     * one-open-session-per-key state. */
-  class SessionProcessor(gapMs: Long)
+  class SessionProcessor(gapMs: Long, isStreaming: Boolean = true)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, UserEvent, UserSession] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
     @transient private var sess: ValueState[SessState] = _
-    private def toTs(ms: Long) = new java.sql.Timestamp(ms)
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       sess = getHandle.getValueState[SessState]("sess",
         org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
     override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
         timerValues: TimerValues): Iterator[UserSession] = {
       val times = rows.map(_.ts.getTime).toSeq.sorted
-      var closed = List.empty[UserSession]
-      var cur = if (sess.exists()) Some(sess.get()) else None
-      times.foreach { t =>
-        cur match {
-          case Some(s)
-              if t - s.lastMs <= gapMs && t >= s.startMs - gapMs =>
-            cur = Some(s.copy(startMs = math.min(s.startMs, t),
-              lastMs = math.max(s.lastMs, t), n = s.n + 1))
-          case Some(s) if t < s.startMs - gapMs =>
-            // detached straggler before the open session — see
-            // statefulSessionize for the approximation note
-            closed ::= UserSession(uid, toTs(t), toTs(t + gapMs), 1)
-          case Some(s) =>
-            closed ::= UserSession(uid, toTs(s.startMs),
-              toTs(s.lastMs + gapMs), s.n)
-            cur = Some(SessState(t, t, 1))
-          case None =>
-            cur = Some(SessState(t, t, 1))
+      val init = if (sess.exists()) Some(sess.get()) else None
+      // shared state machine — see advanceSessions for the semantics
+      val (closed, cur) = advanceSessions(uid, times, init, gapMs)
+      if (isStreaming) {
+        cur.foreach { s =>
+          sess.update(s)
+          // one live timer per key: re-arm at the new session end
+          getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts))
+          getHandle.registerTimer(s.lastMs + gapMs)
         }
+        closed.iterator
+      } else {
+        // batch: timers never fire — flush the complete group's open session
+        (closed ++ cur.map(s => UserSession(uid, toTs(s.startMs),
+          toTs(s.lastMs + gapMs), s.n))).iterator
       }
-      cur.foreach { s =>
-        sess.update(s)
-        // one live timer per key: re-arm at the new session end
-        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts))
-        getHandle.registerTimer(s.lastMs + gapMs)
-      }
-      closed.reverse.iterator
     }
     override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
         expired: ExpiredTimerInfo): Iterator[UserSession] = {
@@ -237,7 +248,7 @@ object Streams {
     import spark.implicits._
     events.toDF().withWatermark("ts", lateness).as[UserEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor(gapMs),
+      .transformWithState(new SessionProcessor(gapMs, events.isStreaming),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -77,6 +77,23 @@ class StatefulSessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch mode emits every session including each key's final one") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:05:00")),
+      (1L, ts("2024-01-01 01:00:00")), // > gap later: second session
+      (2L, ts("2024-01-01 02:00:00"))
+    ).toDF("user_id", "ts").as[Streams.UserEvent]
+    val sessions = Streams.statefulSessionize(events,
+      gapMs = 10 * 60 * 1000, lateness = "5 minutes").collect()
+    // batch input is complete: open sessions must flush, not vanish
+    assert(sessions.length === 3, sessions.mkString(","))
+    val u1 = sessions.filter(_.user_id == 1L).sortBy(_.s_start.getTime)
+    assert(u1.map(_.n_events).toSeq === Seq(2, 1))
+    assert(u1(0).s_end === ts("2024-01-01 00:15:00"))
+    assert(sessions.count(_.user_id == 2L) === 1)
+  }
+
   test("a straggler more than a gap before the session stays separate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
