@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout must bypass sbt's logger: the driver's bench gate
+// strictly JSON-parses the stdout tail, and the logger's "[info] " prefix
+// breaks it (BENCH_r01/r02 both failed to parse for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
+// ...and suppress "[success] Total time: ..." so the JSON line stays LAST.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

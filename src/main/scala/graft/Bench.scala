@@ -13,9 +13,11 @@ object Bench {
     // warm-up: JIT + codegen + parquet reader init on the smallest fixture,
     // so the first timed query doesn't absorb session warm-up costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => errors += name; -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Locale.ROOT: the f-interpolator is locale-sensitive, and a comma
@@ -25,10 +27,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A throwing query must not hide inside a green rc: surface names here.
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}""")
     // Short total-only line LAST: the driver parses the stdout tail, and the
     // full per-query line above can overflow its window at 88 queries.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size},"errors":$errs}""")
     spark.stop()
   }
 }
