@@ -39,14 +39,19 @@ object Dedup {
     // self-join; otherwise it is recomputed per PAIR (SURVEY §7.4.10)
     val toks = docs.select($"doc_id",
       TextFunctions.tokenSet($"text").as("t"))
+      .withColumn("sz", size($"t"))
       .repartition($"doc_id")
-    val a = toks.select($"doc_id".as("id1"), $"t".as("t1"))
-    val b = toks.select($"doc_id".as("id2"), $"t".as("t2"))
-    a.join(b, $"id1" < $"id2")
+    val a = toks.select($"doc_id".as("id1"), $"t".as("t1"), $"sz".as("s1"))
+    val b = toks.select($"doc_id".as("id2"), $"t".as("t2"), $"sz".as("s2"))
+    // length-ratio block in the JOIN condition (same bound as the ngram
+    // path): J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|), so over-ratio
+    // pairs are pruned before the intersect ever runs
+    a.join(b, $"id1" < $"id2" &&
+        $"s1" * threshold <= $"s2" && $"s2" * threshold <= $"s1")
       // bind the intersection size ONCE — referencing array_intersect twice
       // in one expression doubles the per-pair work
       .withColumn("li", size(array_intersect($"t1", $"t2")).cast("double"))
-      .withColumn("j", $"li" / (size($"t1") + size($"t2") - $"li"))
+      .withColumn("j", $"li" / ($"s1" + $"s2" - $"li"))
       .filter($"j" >= threshold)
       .select($"id1", $"id2", round($"j", 6).as("j"))
   }

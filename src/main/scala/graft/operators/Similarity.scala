@@ -87,6 +87,90 @@ object Similarity {
       .select($"qid", $"vec_id", $"sim", $"rank")
   }
 
+  /** ALL pairs with cosine similarity ≥ `threshold` — exact, but without
+    * an all-pairs join: an epsilon-grid blocking join (the classic grid-file
+    * spatial-join shape, cf. the epsilon-grid-order of Böhm et al.,
+    * SIGMOD'01) that is provably COMPLETE for the threshold:
+    *
+    *  - cosine is invariant under normalization, and for unit vectors
+    *    cos(a,b) ≥ t  ⟺  ‖â−b̂‖ ≤ √(2(1−t)) = L;
+    *  - a projection onto a unit vector u is 1-Lipschitz, so a qualifying
+    *    pair differs by ≤ L in every projection, i.e. its cell ids
+    *    (⌊p/L⌋) differ by ≤ 1 per axis;
+    *  - side A keeps its own cell, side B replicates into the 3^k
+    *    neighbor cells, and candidates meet in an ordinary composite-key
+    *    EQUI-join (no nested loop, no cartesian); the tight |Δp| ≤ L
+    *    range predicates ride in the join condition and prune before the
+    *    O(d) exact verify runs.
+    *
+    * Unlike LSH banding this never misses a pair — recall is 1 by
+    * construction — so the result is bit-identical to brute force and
+    * stays oracle-checkable. The pruning FACTOR is geometry-dependent:
+    * clustered real-embedding corpora spread across many cells; an
+    * adversarial uniform-random corpus can collapse into few cells, where
+    * this degrades to a blocked (never wrong, just less pruned) join.
+    * Rows with zero-norm / non-finite embeddings are out of domain (same
+    * contract as [[VectorFunctions.cosineSim]]). The one driver-side
+    * action is the same one-row dimension read as the LSH index build. */
+  def cosinePairsComplete(embeddings: DataFrame, threshold: Double,
+      nProj: Int = 2, seed: Long = 7L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    val cellWidth = math.sqrt(2.0 * (1.0 - threshold))
+    val dimRow = embeddings.limit(1).select(size($"embedding")).collect()
+    if (dimRow.isEmpty)
+      return embeddings.select($"vec_id".as("id1"), $"vec_id".as("id2"),
+        lit(0.0).as("sim")).limit(0)
+    val dim = dimRow.head.getInt(0)
+    // seeded Gaussian directions, unit-normalized driver-side (they are
+    // plan literals, not data); java.util.Random's LCG is specified, so
+    // the grid is deterministic across runs and engines
+    val projs: Seq[Seq[Double]] = (0 until nProj).map { i =>
+      val rng = new java.util.Random(seed + i)
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val axes = 0 until nProj
+    // repartition materializes the norm + k projections ONCE before the
+    // self-join fans the base out to both sides (SURVEY §7.4.10)
+    val base = projs.zipWithIndex.foldLeft(
+        embeddings.select($"vec_id", $"embedding")
+          .withColumn("nrm", VectorFunctions.norm($"embedding"))) {
+        case (df, (u, i)) =>
+          df.withColumn(s"p$i",
+            VectorFunctions.dot($"embedding", typedLit(u)) / $"nrm")
+      }
+      .select(col("vec_id") +: col("embedding") +: axes.flatMap(i =>
+        Seq(col(s"p$i"),
+          floor(col(s"p$i") / cellWidth).cast("long").as(s"c$i"))): _*)
+      .repartition($"vec_id")
+    val aSide = base.select(
+      col("vec_id").as("id1") +: col("embedding").as("v1") +:
+        axes.flatMap(i =>
+          Seq(col(s"p$i").as(s"pa$i"), col(s"c$i").as(s"ca$i"))): _*)
+    // every {-1,0,1}^k neighbor-offset combination; a qualifying pair
+    // meets in exactly ONE of them, so no post-join dedup is needed
+    val offsets = axes.foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
+      acc.flatMap(s => Seq(-1, 0, 1).map(s :+ _)))
+    val bSide = base
+      .withColumn("nb", explode(array(offsets.map(off =>
+        struct(axes.map(i => (col(s"c$i") + off(i)).as(s"cb$i")): _*)): _*)))
+      .select(col("vec_id").as("id2") +: col("embedding").as("v2") +:
+        axes.flatMap(i =>
+          Seq(col(s"p$i").as(s"pb$i"), col(s"nb.cb$i").as(s"cb$i"))): _*)
+    val cellsMatch = axes.map(i => col(s"ca$i") === col(s"cb$i"))
+      .reduce(_ && _)
+    val withinL = axes.map(i =>
+      abs(col(s"pa$i") - col(s"pb$i")) <= cellWidth).reduce(_ && _)
+    aSide.join(bSide, $"id1" < $"id2" && cellsMatch && withinL)
+      .withColumn("sim", round(VectorFunctions.cosineSim($"v1", $"v2"), 6))
+      .filter($"sim" >= threshold)
+      .select($"id1", $"id2", $"sim")
+  }
+
   /** Approximate neighbor candidate pairs within `radius` (euclidean),
     * via random-projection LSH buckets (Datar et al. p-stable LSH, the
     * same scheme as MLlib's BucketedRandomProjectionLSH), implemented

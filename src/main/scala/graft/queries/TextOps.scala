@@ -180,18 +180,17 @@ object TextOps extends QueryPack {
 
   /** Embedding-cosine near-dup: vector pairs above a similarity threshold,
     * with the keep/drop verdict (drop iff a lower-id near-dup exists) —
-    * the semantic-dedup stage of a training-data pipeline. Brute force is
-    * the oracle-checkable reference; the LSH path (q_ann_lsh) is the same
-    * decision at scale. */
+    * the semantic-dedup stage of a training-data pipeline. Pair generation
+    * is [[graft.operators.Similarity.cosinePairsComplete]] — an
+    * epsilon-grid equi-join that is provably complete at the threshold, so
+    * the result (and the DuckDB brute-force oracle hash) is identical to
+    * all-pairs, without an all-pairs plan; q_ann_lsh is the recall-traded
+    * approximate variant of the same decision. */
   def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.df(spark, sfDir, "embeddings")
-    val a = emb.select($"vec_id".as("id1"), $"embedding".as("v1"))
-    val b = emb.select($"vec_id".as("id2"), $"embedding".as("v2"))
-    val pairs = a.join(b, $"id1" < $"id2")
-      .withColumn("sim",
-        round(graft.functions.VectorFunctions.cosineSim($"v1", $"v2"), 6))
-      .filter($"sim" >= 0.8)
+    val pairs =
+      graft.operators.Similarity.cosinePairsComplete(emb, 0.8)
     val dropped = pairs.select($"id2".as("vec_id")).distinct()
       .withColumn("__dropped", lit(true))
     emb.select($"vec_id")

@@ -7,11 +7,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * LOAD DATA, SerDe family for TEXTFILE/CSV/JSON, ql/io/orc + parquet for
   * columnar): re-expressed as DataFrameReader/Writer round-trips.
   *
-  * Environment notes (documented unsupported, as SURVEY §7.3):
-  *  - RCFile / SequenceFile readers: no Spark-native reader; out of scope.
+  * Implemented here: TEXTFILE/CSV/JSON/ORC/parquet round-trips, partitioned
+  * and bucketed writes, SEQUENCEFILE (RDD-level, line 55), LOAD DATA
+  * [LOCAL] INPATH, multi-insert, CTAS, EXPORT/IMPORT with a schema bundle;
+  * ACID UPDATE/DELETE/MERGE live in [[Acid]].
+  *
+  * Environment notes (documented unsupported, as SURVEY §7.3 and README):
+  *  - RCFile: no Spark-native reader; out of scope permanently.
   *  - Avro: the `spark-avro` datasource jar is not in /opt/spark/jars, so
-  *    `format("avro")` cannot load here; code path would be identical.
-  *  - ACID UPDATE/DELETE/MERGE, EXPORT/IMPORT, Hive indexes: out of scope.
+  *    `format("avro")` cannot load here; with that one jar on the
+  *    classpath the identical roundTrip("avro") path would work unchanged.
+  *  - Hive indexes: dropped upstream in Hive 3; out of scope.
   *
   * Scale notes: partitioned writes encode the partition key in directory
   * paths (same layout Hive uses), so reads with a partition predicate list

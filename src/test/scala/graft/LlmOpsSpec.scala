@@ -81,6 +81,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"ANN recall $recall")
   }
 
+  test("epsilon-grid cosine pairs == brute force exactly (complete, not approximate)") {
+    import spark.implicits._
+    // clustered synthetic corpus: 20 cluster centers, 3 members each with
+    // small perturbations → plenty of true pairs above the threshold, and
+    // members land near (sometimes across) grid-cell boundaries, which
+    // exercises the neighbor-cell replication
+    val rng = new scala.util.Random(123)
+    val dim = 8
+    val rows = (0 until 20).flatMap { c =>
+      val center = Array.fill(dim)(rng.nextGaussian())
+      (0 until 3).map { m =>
+        val v = center.map(x => (x + 0.05 * rng.nextGaussian()).toFloat)
+        (c * 3L + m, v)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val a = emb.select($"vec_id".as("id1"), $"embedding".as("v1"))
+    val b = emb.select($"vec_id".as("id2"), $"embedding".as("v2"))
+    val brute = a.join(b, $"id1" < $"id2")
+      .withColumn("sim", round(VectorFunctions.cosineSim($"v1", $"v2"), 6))
+      .filter($"sim" >= 0.8)
+      .select($"id1", $"id2", $"sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grid = Similarity.cosinePairsComplete(emb, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "test needs pairs above the threshold")
+    assert(grid === brute,
+      s"missed=${(brute -- grid).take(5)} extra=${(grid -- brute).take(5)}")
+    // no duplicate pair rows from the neighbor replication
+    val pairRows = Similarity.cosinePairsComplete(emb, 0.8)
+      .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.length === pairRows.toSet.size, "duplicate pairs emitted")
+  }
+
   test("IVF top-k achieves decent recall vs brute force") {
     import spark.implicits._
     val emb = Tables.df(spark, sf, "embeddings")

@@ -99,7 +99,8 @@ class PlanAuditSpec extends SparkSpec {
     // or a cartesian and die at scale. (A `Cross BuildRight` BNLJ over the
     // broadcast 3-8-row projection/centroid table is the intended
     // replicate-tiny-constant pattern and is allowed.)
-    for (name <- Seq("q_dedup_minhash", "q_ann_lsh", "q_ann_ivf")) {
+    for (name <- Seq("q_dedup_minhash", "q_ann_lsh", "q_ann_ivf",
+        "q_dedup_embedding")) {
       val plan = planOf(graft.SparkEntry.queries(name)(spark, sf))
       assert(!plan.contains("BroadcastNestedLoopJoin Inner"),
         s"$name must not nested-loop over a pair condition:\n" + plan.take(600))
