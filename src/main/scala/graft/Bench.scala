@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // passes per query, min taken: single-shot count() timings are noisy
+    // (GC, codegen cache, page cache), and the per-round regression read
+    // needs signal; 2 passes doubles the ~1 min runtime, still cheap
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,24 +19,35 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => errors += name; -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a throwing query contributes 0.0 (NOT its elapsed-until-throw, and
+      // not a negative sentinel): the 2× gate reads `total`, and a partial
+      // time would let a breakage move the number either direction
+      val times = (1 to passes).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      if (times.size < passes && !errors.contains(name)) errors += name
+      name -> (if (times.isEmpty) 0.0 else times.min)
     }
     // Locale.ROOT: the f-interpolator is locale-sensitive, and a comma
     // decimal separator would make the line invalid JSON
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // A throwing query must not hide inside a green rc: surface names here.
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}""")
+    // ONE formatting path for both output lines, so the contract can't
+    // drift between them if a field is added. A throwing query must not
+    // hide inside a green rc: surface names in `errors`.
+    def line(qs: Seq[(String, Double)], extra: String): String = {
+      val qJson = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir"$extra,"errors":$errs}"""
+    }
+    println(line(results, ""))
     // Short total-only line LAST: the driver parses the stdout tail, and the
-    // full per-query line above can overflow its window at 88 queries.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir","n_queries":${results.size},"errors":$errs}""")
+    // full per-query line above can overflow its window at 100 queries.
+    println(line(Seq.empty, s""","n_queries":${results.size}"""))
     spark.stop()
   }
 }

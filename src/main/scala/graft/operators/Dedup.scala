@@ -45,9 +45,14 @@ object Dedup {
     val b = toks.select($"doc_id".as("id2"), $"t".as("t2"), $"sz".as("s2"))
     // length-ratio block in the JOIN condition (same bound as the ngram
     // path): J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|), so over-ratio
-    // pairs are pruned before the intersect ever runs
+    // pairs are pruned before the intersect ever runs. The bound holds in
+    // exact arithmetic; fl(n·t) can round just above an integer size for
+    // an arbitrary caller threshold, so a 1e-9 slack keeps a boundary pair
+    // (J exactly = t) in the candidate set — the exact j filter below
+    // still removes every false candidate.
     a.join(b, $"id1" < $"id2" &&
-        $"s1" * threshold <= $"s2" && $"s2" * threshold <= $"s1")
+        $"s1" * threshold <= $"s2" + 1e-9 &&
+        $"s2" * threshold <= $"s1" + 1e-9)
       // bind the intersection size ONCE — referencing array_intersect twice
       // in one expression doubles the per-pair work
       .withColumn("li", size(array_intersect($"t1", $"t2")).cast("double"))

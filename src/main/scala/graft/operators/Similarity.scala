@@ -87,6 +87,27 @@ object Similarity {
       .select($"qid", $"vec_id", $"sim", $"rank")
   }
 
+  /** ALL pairs with cosine similarity ≥ `threshold`, as a plain
+    * id-ordered self-join + exact verify — the brute-force oracle twin of
+    * the near-dup decision. O(n²): correct and DuckDB-checkable at any n,
+    * the right choice only when n is small or the caller pre-blocked. The
+    * production path at corpus scale is [[annLshCandidates]] (recall-traded
+    * LSH-routed candidates + the same exact verify); the exact-but-blocked
+    * alternative [[cosinePairsComplete]] measurably does NOT prune on
+    * realistic high-dim embeddings (see its doc), so for the exact
+    * semantics this undisguised brute force is the honest plan. */
+  def cosinePairsBrute(embeddings: DataFrame, threshold: Double)
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val a = embeddings.select($"vec_id".as("id1"), $"embedding".as("v1"))
+    val b = embeddings.select($"vec_id".as("id2"), $"embedding".as("v2"))
+    a.join(b, $"id1" < $"id2")
+      .withColumn("sim", round(VectorFunctions.cosineSim($"v1", $"v2"), 6))
+      .filter($"sim" >= threshold)
+      .select($"id1", $"id2", $"sim")
+  }
+
   /** ALL pairs with cosine similarity ≥ `threshold` — exact, but without
     * an all-pairs join: an epsilon-grid blocking join (the classic grid-file
     * spatial-join shape, cf. the epsilon-grid-order of Böhm et al.,
@@ -105,12 +126,19 @@ object Similarity {
     *
     * Unlike LSH banding this never misses a pair — recall is 1 by
     * construction — so the result is bit-identical to brute force and
-    * stays oracle-checkable. The pruning FACTOR is geometry-dependent:
-    * clustered real-embedding corpora spread across many cells; an
-    * adversarial uniform-random corpus can collapse into few cells, where
-    * this degrades to a blocked (never wrong, just less pruned) join.
-    * Rows with zero-norm / non-finite embeddings are out of domain (same
-    * contract as [[VectorFunctions.cosineSim]]). The one driver-side
+    * stays oracle-checkable. SCALE HONESTY: the pruning factor is
+    * geometry-limited, and for realistic high-dim embeddings it is ~none.
+    * A projection of a roughly-unit d-dim vector concentrates with spread
+    * ~1/√d (≈0.125 at d=64), while the cell width at t=0.8 is
+    * √(2·0.2)≈0.632 — five spreads inside ONE cell — so on the repo's own
+    * sf0.1 fixture every vector lands in ~2 cells per axis and the
+    * "equi-join" degenerates to a skewed blocked join that is still
+    * quadratic (measured round 3: slower than brute force). Keep this as
+    * the completeness-preserving building block it is; for production use
+    * [[annLshCandidates]], and for exact oracle semantics use the
+    * undisguised [[cosinePairsBrute]].
+    * Rows with zero-norm / non-finite / null embeddings are out of domain
+    * (same contract as [[VectorFunctions.cosineSim]]). The one driver-side
     * action is the same one-row dimension read as the LSH index build. */
   def cosinePairsComplete(embeddings: DataFrame, threshold: Double,
       nProj: Int = 2, seed: Long = 7L): DataFrame = {
@@ -118,8 +146,15 @@ object Similarity {
     import spark.implicits._
     require(threshold > 0.0 && threshold < 1.0,
       s"threshold must be in (0,1), got $threshold")
-    val cellWidth = math.sqrt(2.0 * (1.0 - threshold))
-    val dimRow = embeddings.limit(1).select(size($"embedding")).collect()
+    // Pad the radius below the nominal threshold: the final filter keeps
+    // round(sim, 6) >= t, which admits true cosines down to t - 5e-7; a
+    // boundary pair's chordal distance can exceed √(2(1−t)) by ~8e-7, and
+    // the dot/norm arithmetic has its own half-ulp slack. Deriving the
+    // cell width from (t − 1e-6) covers both, preserving completeness for
+    // every pair the rounded filter can keep at negligible candidate cost.
+    val cellWidth = math.sqrt(2.0 * (1.0 - (threshold - 1e-6)))
+    val dimRow = embeddings.filter($"embedding".isNotNull)
+      .limit(1).select(size($"embedding")).collect()
     if (dimRow.isEmpty)
       return embeddings.select($"vec_id".as("id1"), $"vec_id".as("id2"),
         lit(0.0).as("sim")).limit(0)
@@ -187,8 +222,9 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // index-build step: read the (fixed — API contract) vector dimension
-    // off one row; an empty corpus has no neighbors at all
-    val dimRow = embeddings.limit(1).select(size($"embedding")).collect()
+    // off one non-null row; an empty corpus has no neighbors at all
+    val dimRow = embeddings.filter($"embedding".isNotNull)
+      .limit(1).select(size($"embedding")).collect()
     if (dimRow.isEmpty)
       return queries.select($"vec_id".as("qid"), $"vec_id",
         lit(0.0).as("dist")).limit(0)

@@ -181,16 +181,19 @@ object TextOps extends QueryPack {
   /** Embedding-cosine near-dup: vector pairs above a similarity threshold,
     * with the keep/drop verdict (drop iff a lower-id near-dup exists) —
     * the semantic-dedup stage of a training-data pipeline. Pair generation
-    * is [[graft.operators.Similarity.cosinePairsComplete]] — an
-    * epsilon-grid equi-join that is provably complete at the threshold, so
-    * the result (and the DuckDB brute-force oracle hash) is identical to
-    * all-pairs, without an all-pairs plan; q_ann_lsh is the recall-traded
-    * approximate variant of the same decision. */
+    * is [[graft.operators.Similarity.cosinePairsBrute]] — deliberately the
+    * undisguised O(n²) oracle twin, because exact sub-quadratic cosine-pair
+    * enumeration at dim=64/t=0.8 is not achievable (projection spread
+    * ~1/√d ≈ 0.125 vs cell width √(2(1−t)) ≈ 0.632 — concentration of
+    * measure defeats grid/tree blocking; measured round 3). The PRODUCTION
+    * path for this decision at corpus scale is q_ann_lsh: LSH-routed
+    * candidates + the same exact cosine verify, trading a little recall
+    * for a bucket equi-join plan. */
   def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.df(spark, sfDir, "embeddings")
     val pairs =
-      graft.operators.Similarity.cosinePairsComplete(emb, 0.8)
+      graft.operators.Similarity.cosinePairsBrute(emb, 0.8)
     val dropped = pairs.select($"id2".as("vec_id")).distinct()
       .withColumn("__dropped", lit(true))
     emb.select($"vec_id")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * columnar): re-expressed as DataFrameReader/Writer round-trips.
   *
   * Implemented here: TEXTFILE/CSV/JSON/ORC/parquet round-trips, partitioned
-  * and bucketed writes, SEQUENCEFILE (RDD-level, line 55), LOAD DATA
+  * and bucketed writes, SEQUENCEFILE ([[sequenceFileRoundTrip]]), LOAD DATA
   * [LOCAL] INPATH, multi-insert, CTAS, EXPORT/IMPORT with a schema bundle;
   * ACID UPDATE/DELETE/MERGE live in [[Acid]].
   *

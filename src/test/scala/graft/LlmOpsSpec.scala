@@ -97,12 +97,7 @@ class LlmOpsSpec extends SparkSpec {
       }
     }
     val emb = rows.toDF("vec_id", "embedding")
-    val a = emb.select($"vec_id".as("id1"), $"embedding".as("v1"))
-    val b = emb.select($"vec_id".as("id2"), $"embedding".as("v2"))
-    val brute = a.join(b, $"id1" < $"id2")
-      .withColumn("sim", round(VectorFunctions.cosineSim($"v1", $"v2"), 6))
-      .filter($"sim" >= 0.8)
-      .select($"id1", $"id2", $"sim").collect()
+    val brute = Similarity.cosinePairsBrute(emb, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val grid = Similarity.cosinePairsComplete(emb, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
