@@ -165,11 +165,11 @@ object Functions extends QueryPack {
         $"l_tax", $"l_returnflag")
   }
 
-  /** Functions DuckDB can't mirror: soundex, conv, next_day, months_between,
-    * str_to_map, sentences, parse_url, xpath, crc32/sha1/xxhash64, and the
-    * INPUT__FILE__NAME virtual column. Rows-only driver check + ScalaTest
-    * assertions. */
-  def qMiscPack(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Hive-surface functions DuckDB CAN mirror (via to_hex, date
+    * arithmetic, and regexp equivalents): conv, next_day, months_between,
+    * str_to_map extraction, parse_url HOST/QUERY — the oracle-checkable
+    * half of the former misc pack. */
+  def qMiscSql(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val url = concat(lit("https://example.com/seg/"), lower($"c_mktsegment"),
       lit("?id="), $"c_custkey")
@@ -177,17 +177,30 @@ object Functions extends QueryPack {
       .filter($"c_custkey" % 100 === 0)
       .select(
         $"c_custkey",
-        soundex($"c_mktsegment").as("sdx"),
         conv($"c_custkey".cast("string"), 10, 16).as("cv"),
         next_day(to_date($"c_custkey".cast("timestamp")), "Mon").as("nd"),
         months_between(to_date(lit("2000-06-15")),
           to_date(lit("2000-01-15"))).as("mb"),
         str_to_map(concat(lit("seg:"), $"c_mktsegment", lit(",id:"),
           $"c_custkey"), lit(","), lit(":")).getField("seg").as("seg"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("QUERY"), lit("id")).as("qid"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Functions DuckDB genuinely can't mirror: soundex, sentences, xpath,
+    * crc32/sha1/xxhash64, and the INPUT__FILE__NAME virtual column.
+    * Rows-only driver check + ScalaTest assertions (MiscFunctionsSpec);
+    * the DuckDB-expressible half lives in [[qMiscSql]]. */
+  def qMiscPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "customer")
+      .filter($"c_custkey" % 100 === 0)
+      .select(
+        $"c_custkey",
+        soundex($"c_mktsegment").as("sdx"),
         // to_json: array<array<string>> would crash the driver's pandas sort
         to_json(sentences(concat($"c_name", lit(". The end.")))).as("sents"),
-        parse_url(url, lit("HOST")).as("host"),
-        parse_url(url, lit("QUERY"), lit("id")).as("qid"),
         expr(s"xpath_string(concat('<r><k>', c_custkey, '</k></r>'), 'r/k')")
           .as("xp"),
         expr("xpath_int(concat('<r><k>', c_custkey, '</k></r>'), 'r/k')")
@@ -235,6 +248,7 @@ object Functions extends QueryPack {
     "q_math_pack" -> qMathPack,
     "q_json_pack" -> qJsonPack,
     "q_cond_pack" -> qCondPack,
+    "q_misc_sql" -> qMiscSql,
     "q_misc_pack" -> qMiscPack
   )
 
@@ -367,7 +381,29 @@ object Functions extends QueryPack {
         |  l_discount IS NOT DISTINCT FROM 0.05 AS is_5pct
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
-        |  l_tax, l_returnflag""".stripMargin
-    // q_misc_pack: intentionally no oracle (DuckDB lacks these functions)
+        |  l_tax, l_returnflag""".stripMargin,
+    // DuckDB has no conv/next_day/str_to_map/parse_url: to_hex + date
+    // arithmetic (next Monday via isodow) + regexp extraction reproduce
+    // the same values exactly. epoch_ms keeps the timestamp naive (the
+    // session TZ is UTC on the Spark side).
+    "q_misc_sql" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(epoch_ms(c_custkey * 1000) AS DATE) AS d,
+        |    'https://example.com/seg/' || lower(c_mktsegment)
+        |      || '?id=' || CAST(c_custkey AS VARCHAR) AS url
+        |  FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT c_custkey,
+        |  upper(to_hex(c_custkey)) AS cv,
+        |  d + CAST(CASE WHEN (8 - isodow(d)) % 7 = 0 THEN 7
+        |        ELSE (8 - isodow(d)) % 7 END AS INT) AS nd,
+        |  CAST(5.0 AS DOUBLE) AS mb,
+        |  regexp_extract('seg:' || c_mktsegment || ',id:'
+        |      || CAST(c_custkey AS VARCHAR), 'seg:([^,]*)', 1) AS seg,
+        |  regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '[?&]id=([^&#]*)', 1) AS qid
+        |FROM c ORDER BY c_custkey""".stripMargin
+    // q_misc_pack: intentionally no oracle (DuckDB lacks soundex,
+    // sentences, xpath, crc32/sha1/xxhash64, input_file_name)
   )
 }

@@ -7,21 +7,48 @@ import org.apache.spark.sql.functions._
   * mirror (q_misc_pack is rows-only in the driver gate). */
 class MiscFunctionsSpec extends SparkSpec {
 
-  test("misc pack values: soundex, conv, parse_url, xpath, hashes") {
+  test("misc pack values: soundex, xpath, hashes, input file") {
     import spark.implicits._
     val rows = Functions.qMiscPack(spark, sf).collect()
     assert(rows.nonEmpty)
     val r = rows.head
     assert(r.getAs[String]("sdx").matches("[A-Z][0-9]{3}"))
+    assert(r.getAs[String]("xp") === r.getAs[Long]("c_custkey").toString)
+    assert(r.getAs[String]("sh1").matches("[0-9a-f]{40}"))
+    assert(r.getAs[String]("src_file").contains("customer"))
+  }
+
+  test("misc sql half values: conv, parse_url, months_between") {
+    import spark.implicits._
+    val rows = Functions.qMiscSql(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
     // conv: base-16 of the key
     assert(java.lang.Long.parseLong(r.getAs[String]("cv"), 16)
       === r.getAs[Long]("c_custkey"))
     assert(r.getAs[String]("host") === "example.com")
     assert(r.getAs[String]("qid") === r.getAs[Long]("c_custkey").toString)
-    assert(r.getAs[String]("xp") === r.getAs[Long]("c_custkey").toString)
-    assert(r.getAs[String]("sh1").matches("[0-9a-f]{40}"))
-    assert(r.getAs[String]("src_file").contains("customer"))
     assert(r.getAs[Double]("mb") === 5.0)
+  }
+
+  test("native SQL TRANSFORM ... USING '/bin/cat' round-trips rows") {
+    // §2.9 script operator, NATIVE syntax (not only the mapPartitions
+    // substitute): Spark's no-serde TRANSFORM mode pipes delimited rows
+    // through the script's stdin/stdout, no Hive support needed
+    import spark.implicits._
+    Tables.df(spark, sf, "nation").createOrReplaceTempView("nation_xf")
+    val out = spark.sql(
+      """SELECT TRANSFORM(n_nationkey, n_name)
+        |  ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+        |  USING '/bin/cat'
+        |  AS (k STRING, name STRING)
+        |  ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+        |FROM nation_xf""".stripMargin)
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = Tables.df(spark, sf, "nation")
+      .select($"n_nationkey".cast("string"), $"n_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === want, s"TRANSFORM round-trip lost rows: got ${got.size}")
   }
 
   test("str_to_map and sentences structure") {
