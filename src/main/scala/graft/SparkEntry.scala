@@ -29,7 +29,8 @@ object SparkEntry {
     FnExtra,
     SubqueryNulls,
     Analytics,
-    Typed
+    Typed,
+    PipelineOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

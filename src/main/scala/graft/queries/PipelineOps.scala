@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators of a training-data pipeline — the steps
+  * BETWEEN cleaning/dedup and the trainer: stratified sampling, sequence
+  * packing, deterministic corpus shuffling, weighted source mixing.
+  *
+  * All four key their pseudo-randomness on `md5(tag || doc_id)` rather
+  * than an engine RNG: the hash is bit-identical in Spark and DuckDB, so
+  * every "random" decision is oracle-checkable, reproducible across
+  * reruns (a training-data must-have: the same recipe re-emits the same
+  * dataset), and — because it is a per-row projection — embarrassingly
+  * parallel at 100 TB with no seed-state coordination across executors.
+  */
+object PipelineOps extends QueryPack {
+
+  /** Exact stratified sample: ceil(10%) of every `source` stratum,
+    * members chosen by hash order (deterministic, uniform). One window
+    * shuffle partitioned by stratum; at 100 TB strata are large, so the
+    * per-stratum rank is the textbook use of a partitioned window — no
+    * global sort, no driver-side stratum loop. Integer `(n+9) div 10`
+    * avoids the `ceil(n*0.1)` FP boundary (20*0.1 is not exactly 2.0). */
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val wRank = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    val wAll = Window.partitionBy($"source")
+    docs
+      .select($"source", $"doc_id",
+        md5(concat(lit("strat:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(wRank).cast("int"))
+      .withColumn("n_strat", count(lit(1)).over(wAll).cast("int"))
+      .filter($"rn" <= expr("(n_strat + 9) div 10"))
+      .select($"source", $"doc_id", $"rn", $"n_strat")
+      .orderBy($"source", $"doc_id")
+  }
+
+  /** Sequence packing: assemble shuffled docs into fixed-capacity
+    * training sequences (capacity 4000 chars) by cumulative size, one
+    * running-sum window per shard. Packing per `doc_id % 8` shard — not
+    * globally — is the 100 TB shape: each shard packs independently
+    * inside its own partition, so there is no global sort and no
+    * single-partition window; shards map 1:1 onto output files. */
+  def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 4000L
+    val docs = Tables.df(spark, sfDir, "documents")
+    val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(($"doc_id" % 8).as("shard"), $"doc_id", $"n_chars",
+        md5(concat(lit("pack:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("cum", sum($"n_chars").over(w))
+      // a doc belongs to the pack its START offset falls in — the
+      // streaming first-fit rule (docs longer than cap spill over,
+      // intentionally: packing never drops data)
+      .withColumn("pack_id", expr(s"(cum - n_chars) div $cap"))
+      .groupBy($"shard", $"pack_id")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum($"n_chars").as("chars"))
+      .orderBy($"shard", $"pack_id")
+  }
+
+  /** Deterministic global corpus shuffle — the training-order step.
+    * ORDER BY a salted hash is a full range-partitioned sort at scale
+    * (Spark samples range bounds, each partition sorts locally — the
+    * standard distributed shuffle-by-sort); rerunning the recipe emits
+    * the identical order, unlike an RNG shuffle. */
+  def qShuffleGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id",
+        md5(concat(lit("shuf:"), $"doc_id".cast("string"))).as("h"))
+      .orderBy($"h", $"doc_id")
+  }
+
+  /** Per-language target mixing weights, and their 8-hex-digit keep
+    * thresholds: doc kept iff the first 8 hex chars of its mixing hash
+    * compare below floor(w·2³²) in hex — a pure string comparison both
+    * engines order identically. */
+  private[graft] val mixWeights: Seq[(String, Double)] =
+    Seq("de" -> 0.6, "en" -> 0.9, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1)
+  private[graft] def mixThreshold(w: Double): String =
+    f"${(w * 4294967296L).toLong}%08x"
+
+  /** Weighted source mixing: down-sample each language stratum to its
+    * target mixture weight by hash-thresholding — per-row projection +
+    * one aggregation shuffle, no RNG state, exactly reproducible. The
+    * shape every multi-corpus training mix uses (e.g. up-weight en,
+    * down-weight crawl): at 100 TB the keep decision never leaves the
+    * scan stage. */
+  def qMixWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val thr = typedLit(mixWeights.map { case (l, w) => l -> mixThreshold(w) }.toMap)
+    Tables.df(spark, sfDir, "documents")
+      .select($"lang",
+        (substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 8)
+          < element_at(thr, $"lang")).as("keep"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("int").as("n_total"),
+        sum(when($"keep", 1).otherwise(0)).cast("int").as("n_kept"))
+      .orderBy($"lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> qSampleStratified,
+    "q_pack_sequences" -> qPackSequences,
+    "q_shuffle_global" -> qShuffleGlobal,
+    "q_mix_weighted" -> qMixWeighted
+  )
+
+  private def mixCaseSql: String =
+    mixWeights.map { case (l, w) =>
+      s"WHEN '$l' THEN '${mixThreshold(w)}'"
+    }.mkString("CASE lang ", " ", " END")
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(ROW_NUMBER() OVER
+        |      (PARTITION BY source ORDER BY h, doc_id) AS INT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS INT) AS n_strat
+        |  FROM d)
+        |SELECT source, doc_id, rn, n_strat FROM r
+        |WHERE rn <= (n_strat + 9) // 10
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, n_chars,
+        |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT shard, CAST((cum - n_chars) // 4000 AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+    "q_shuffle_global" ->
+      """SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents ORDER BY h, doc_id""".stripMargin,
+    "q_mix_weighted" ->
+      s"""SELECT lang, CAST(COUNT(*) AS INT) AS n_total,
+         |  CAST(SUM(CASE WHEN
+         |      substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < $mixCaseSql
+         |    THEN 1 ELSE 0 END) AS INT) AS n_kept
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

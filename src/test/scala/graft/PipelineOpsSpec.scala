@@ -1,0 +1,90 @@
+package graft
+
+import graft.queries.PipelineOps
+import org.apache.spark.sql.functions._
+
+/** Properties of the dataset-assembly operators (stratified sample,
+  * sequence packing, deterministic shuffle, weighted mixing). The value
+  * hashes are checked against DuckDB by the driver gate; these tests pin
+  * the SEMANTIC contracts the hash alone doesn't explain. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("stratified sample keeps exactly ceil(n/10) per source stratum") {
+    import spark.implicits._
+    val docs = Tables.df(spark, sf, "documents")
+    val want = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1) + 9) / 10)).toMap
+    val got = PipelineOps.qSampleStratified(spark, sf)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("stratified sample is reproducible and hash-chosen, not head-chosen") {
+    val a = PipelineOps.qSampleStratified(spark, sf).collect().toSeq
+    val b = PipelineOps.qSampleStratified(spark, sf).collect().toSeq
+    assert(a === b, "same recipe must emit the same sample")
+    // hash order is not id order: the sampled ids are not simply the
+    // lowest ids of each stratum (astronomically unlikely if uniform)
+    val ids = a.map(_.getLong(1)).sorted
+    assert(ids !== (0L until ids.length.toLong), "sample looks like head()")
+  }
+
+  test("sequence packing: pack ids contiguous, capacity respected by starts") {
+    import spark.implicits._
+    val packs = PipelineOps.qPackSequences(spark, sf).collect()
+    assert(packs.nonEmpty)
+    // every doc's START offset is < cap + its own spill; a pack can only
+    // exceed cap by (last doc's length - 1), never by a whole extra doc
+    val maxDoc = Tables.df(spark, sf, "documents")
+      .agg(max($"n_chars")).head().getLong(0)
+    for (p <- packs)
+      assert(p.getAs[Long]("chars") <= 4000 + maxDoc,
+        s"pack ${p.mkString(",")} overflows more than one spilled doc")
+    // pack ids start at 0 and are contiguous within each shard
+    packs.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head === 0L && ids === (0L until ids.length.toLong),
+        s"pack ids not contiguous: ${ids.mkString(",")}")
+    }
+    // nothing dropped: doc counts add up
+    val total = packs.map(_.getAs[Int]("n_docs").toLong).sum
+    assert(total === Tables.df(spark, sf, "documents").count())
+  }
+
+  test("global shuffle is a permutation in exact salted-hash order") {
+    import spark.implicits._
+    val out = PipelineOps.qShuffleGlobal(spark, sf).collect()
+    val docs = Tables.df(spark, sf, "documents").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet === docs, "must be a permutation")
+    val hs = out.map(_.getString(1))
+    assert(hs.toSeq === hs.sorted.toSeq, "rows must stream in hash order")
+    // the hash column really is md5 of the salted id (JVM-recomputed)
+    assert(out.forall(r => r.getString(1) === md5Hex(s"shuf:${r.getLong(0)}")))
+  }
+
+  test("weighted mixing keeps exactly the docs whose hash clears the bar") {
+    import spark.implicits._
+    val thr = PipelineOps.mixWeights
+      .map { case (l, w) => l -> PipelineOps.mixThreshold(w) }.toMap
+    // independent JVM-side recomputation of every keep decision
+    val want = Tables.df(spark, sf, "documents")
+      .select($"lang", $"doc_id").collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        lang -> rows.count(r =>
+          md5Hex(s"mix:${r.getLong(1)}").substring(0, 8) < thr(lang))
+      }
+    val got = PipelineOps.qMixWeighted(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(got === want)
+    // thresholds are the documented floor(w * 2^32) hex encoding
+    assert(PipelineOps.mixThreshold(0.5) === "80000000")
+    assert(PipelineOps.mixThreshold(0.25) === "40000000")
+  }
+}
