@@ -108,6 +108,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pipeline assembly ops never move all data to one partition") {
+    // the 100 TB claim of stratified sampling and sequence packing is that
+    // every window is partitioned (by stratum / by shard) — a refactor
+    // that drops the partitionBy would plan Exchange SinglePartition and
+    // serialize the whole corpus through one task. The final presentation
+    // ORDER BY is a rangepartitioning exchange, which is fine.
+    for (name <- Seq("q_sample_stratified", "q_pack_sequences",
+        "q_mix_weighted")) {
+      val plan = planOf(graft.SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("SinglePartition"),
+        s"$name must not single-partition:\n" + plan.take(800))
+    }
+  }
+
   test("q_dedup_embedding is the DOCUMENTED brute-force exemption") {
     // Oracle-expressibility exemption: q_dedup_embedding's contract is
     // EXACT all-pairs semantics hash-matched against a DuckDB brute-force
