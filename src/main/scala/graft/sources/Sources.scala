@@ -8,15 +8,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * columnar): re-expressed as DataFrameReader/Writer round-trips.
   *
   * Implemented here: TEXTFILE/CSV/JSON/ORC/parquet round-trips, partitioned
-  * and bucketed writes, SEQUENCEFILE ([[sequenceFileRoundTrip]]), LOAD DATA
-  * [LOCAL] INPATH, multi-insert, CTAS, EXPORT/IMPORT with a schema bundle;
-  * ACID UPDATE/DELETE/MERGE live in [[Acid]].
+  * and bucketed writes, SEQUENCEFILE ([[sequenceFileRoundTrip]]), RCFILE
+  * ([[rcfileRoundTrip]], via hive-exec's RCFile classes), AVRO container
+  * files ([[avroRoundTrip]], via avro-mapred), LOAD DATA [LOCAL] INPATH,
+  * multi-insert, CTAS, EXPORT/IMPORT with a schema bundle; ACID
+  * UPDATE/DELETE/MERGE live in [[Acid]].
   *
-  * Environment notes (documented unsupported, as SURVEY §7.3 and README):
-  *  - RCFile: no Spark-native reader; out of scope permanently.
-  *  - Avro: the `spark-avro` datasource jar is not in /opt/spark/jars, so
-  *    `format("avro")` cannot load here; with that one jar on the
-  *    classpath the identical roundTrip("avro") path would work unchanged.
+  * Environment notes (as SURVEY §7.3 and README):
+  *  - Avro: the `spark-avro` DATASOURCE module is not on this classpath,
+  *    so `format("avro")` cannot load; [[avroRoundTrip]] covers the
+  *    format RDD-level with the Avro jars Spark itself ships, and with
+  *    the datasource jar the generic [[roundTrip]]("avro") would work
+  *    unchanged.
   *  - Hive indexes: dropped upstream in Hive 3; out of scope.
   *
   * Scale notes: partitioned writes encode the partition key in directory
@@ -73,6 +76,150 @@ object Sources {
       .sequenceFile(path, classOf[NullWritable], classOf[Text])
       .map(_._2.toString)
       .toDF(colName)
+  }
+
+  /** RCFILE round-trip — Hive's columnar row-group format, read/written
+    * through the RCFile classes that ship inside hive-exec (present on
+    * every Spark-with-Hive classpath), with every column serialized as
+    * UTF-8 text exactly like Hive's ColumnarSerDe text layout. Spark has
+    * no RCFile datasource, so this is RDD-level like
+    * [[sequenceFileRoundTrip]]: each partition drives `RCFile.Writer`
+    * (the real columnar row-group encoder) over its own part file — the
+    * old-API `RCFileOutputFormat` is not usable outside MapReduce, it
+    * NPEs on the absent task work dir — and `RCFileInputFormat` reads
+    * the directory back. Columns are re-cast to the caller's schema on
+    * return, so a typed table survives the trip. Nulls are out of domain
+    * (RCFile's text layout has no null marker), matching the
+    * SequenceFile contract. */
+  def rcfileRoundTrip(df: DataFrame, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.hive.ql.io.{RCFile, RCFileInputFormat, RCFileOutputFormat}
+    import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
+    import org.apache.hadoop.io.LongWritable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val names = df.columns.toSeq
+    val n = names.length
+    val srcSchema = df.schema
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    df.select(names.map(c => col(c).cast("string")): _*).rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        if (it.nonEmpty) {
+          // fresh default Configuration per task: the paths here are
+          // plain file:// URIs, and Hadoop Configurations don't ship
+          // through closures (at cluster scale the writer conf would ride
+          // a broadcast SerializableConfiguration instead)
+          val conf = new org.apache.hadoop.conf.Configuration()
+          RCFileOutputFormat.setColumnNumber(conf, n)
+          val part = new Path(path, f"part-$idx%05d.rc")
+          val w = new RCFile.Writer(part.getFileSystem(conf), conf, part)
+          try it.foreach { r =>
+            val cols = new BytesRefArrayWritable(n)
+            var i = 0
+            while (i < n) {
+              val b = r.getString(i).getBytes("UTF-8")
+              cols.set(i, new BytesRefWritable(b, 0, b.length))
+              i += 1
+            }
+            w.append(cols)
+          } finally w.close()
+        }
+        Iterator.single(0)
+      }.count() // force the distributed write
+    // the input format reuses one value buffer per split; decoding to
+    // String inside the map (before the iterator advances) is safe
+    val rows = spark.sparkContext
+      .hadoopFile(path,
+        classOf[RCFileInputFormat[LongWritable, BytesRefArrayWritable]],
+        classOf[LongWritable], classOf[BytesRefArrayWritable])
+      .map { case (_, v) =>
+        Row.fromSeq((0 until n).map { i =>
+          val br = v.get(i)
+          new String(br.getData, br.getStart, br.getLength, "UTF-8")
+        })
+      }
+    val asStrings = spark.createDataFrame(rows,
+      StructType(names.map(StructField(_, StringType, nullable = true))))
+    asStrings.select(srcSchema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** AVRO container-file round-trip. The `spark-avro` DATASOURCE module
+    * (`format("avro")`) is genuinely absent from this classpath, but the
+    * Avro core + avro-mapred jars ship with Spark itself, so the format
+    * is supported the same RDD-level way as [[sequenceFileRoundTrip]]:
+    * old-API `AvroOutputFormat` writes standard `.avro` container files
+    * (readable by any Avro tool), `AvroInputFormat` reads them back, and
+    * a generated record schema (nullable unions per field) carries
+    * string/long/int/double/float/boolean columns TYPED — not
+    * text-flattened. The Schema is shipped as its JSON string and parsed
+    * per partition (Avro Schema objects predate java serialization). */
+  def avroRoundTrip(df: DataFrame, path: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericData
+    import org.apache.avro.mapred.{AvroInputFormat, AvroJob, AvroOutputFormat, AvroWrapper}
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapred.JobConf
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val srcSchema = df.schema
+    def avroType(dt: DataType): String = dt match {
+      case StringType => "string"
+      case LongType => "long"
+      case IntegerType => "int"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case BooleanType => "boolean"
+      case other => throw new IllegalArgumentException(
+        s"avroRoundTrip supports primitive columns, got $other")
+    }
+    val fieldsJson = srcSchema.fields.map(f =>
+      s"""{"name":"${f.name}","type":["null","${avroType(f.dataType)}"]}""")
+      .mkString(",")
+    val schemaJson =
+      s"""{"type":"record","name":"graft_row","fields":[$fieldsJson]}"""
+    val conf = new JobConf(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputSchema(conf, new Schema.Parser().parse(schemaJson))
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    val names = srcSchema.fieldNames
+    df.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      it.map { r =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < names.length) {
+          rec.put(names(i), if (r.isNullAt(i)) null else r.get(i))
+          i += 1
+        }
+        (new AvroWrapper[GenericData.Record](rec), NullWritable.get())
+      }
+    }.saveAsHadoopFile(path, classOf[AvroWrapper[GenericData.Record]],
+      classOf[NullWritable],
+      classOf[AvroOutputFormat[GenericData.Record]], conf)
+    val rows = spark.sparkContext
+      .hadoopFile(path,
+        classOf[AvroInputFormat[GenericData.Record]],
+        classOf[AvroWrapper[GenericData.Record]], classOf[NullWritable])
+      .map { case (w, _) =>
+        val rec = w.datum()
+        Row.fromSeq(names.indices.map { i =>
+          rec.get(names(i)) match {
+            case null => null
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case v => v
+          }
+        })
+      }
+    spark.createDataFrame(rows, srcSchema)
   }
 
   /** LOAD DATA INPATH analog (reference locus: ql/parse/
