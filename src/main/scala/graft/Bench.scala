@@ -8,6 +8,9 @@ object Bench {
     // (GC, codegen cache, page cache), and the per-round regression read
     // needs signal; 2 passes doubles the ~1 min runtime, still cheap
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // passes < 1 would "run" zero queries and emit a green 0.000 total —
+    // a no-op bench that trivially passes the regression gate
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

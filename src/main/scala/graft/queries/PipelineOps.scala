@@ -84,8 +84,13 @@ object PipelineOps extends QueryPack {
     * engines order identically. */
   private[graft] val mixWeights: Seq[(String, Double)] =
     Seq("de" -> 0.6, "en" -> 0.9, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1)
-  private[graft] def mixThreshold(w: Double): String =
+  private[graft] def mixThreshold(w: Double): String = {
+    // w ≥ 1 would grow the hex to 9 digits and lexicographically INVERT
+    // the 8-char comparison (keeping ~1/16 instead of all); keep-all is
+    // "don't filter", not a threshold
+    require(w > 0.0 && w < 1.0, s"mix weight must be in (0,1), got $w")
     f"${(w * 4294967296L).toLong}%08x"
+  }
 
   /** Weighted source mixing: down-sample each language stratum to its
     * target mixture weight by hash-thresholding — per-row projection +
@@ -96,10 +101,13 @@ object PipelineOps extends QueryPack {
   def qMixWeighted(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val thr = typedLit(mixWeights.map { case (l, w) => l -> mixThreshold(w) }.toMap)
+    // try_element_at: a lang outside the weight map means keep=false (the
+    // DuckDB CASE yields NULL → 0 the same way); plain element_at would
+    // THROW under Spark 4's default ANSI mode instead
     Tables.df(spark, sfDir, "documents")
       .select($"lang",
         (substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 8)
-          < element_at(thr, $"lang")).as("keep"))
+          < try_element_at(thr, $"lang")).as("keep"))
       .groupBy($"lang")
       .agg(count(lit(1)).cast("int").as("n_total"),
         sum(when($"keep", 1).otherwise(0)).cast("int").as("n_kept"))

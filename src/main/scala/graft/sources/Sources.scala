@@ -180,9 +180,15 @@ object Sources {
       case other => throw new IllegalArgumentException(
         s"avroRoundTrip supports primitive columns, got $other")
     }
-    val fieldsJson = srcSchema.fields.map(f =>
-      s"""{"name":"${f.name}","type":["null","${avroType(f.dataType)}"]}""")
-      .mkString(",")
+    // names go verbatim into hand-built schema JSON: enforce Avro's name
+    // rule up front (Spark allows spaces/dashes/quotes that would blow up
+    // as a SchemaParseException deep inside the write job)
+    val fieldsJson = srcSchema.fields.map { f =>
+      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"column '${f.name}' is not a legal Avro field name " +
+          "([A-Za-z_][A-Za-z0-9_]*); alias it before avroRoundTrip")
+      s"""{"name":"${f.name}","type":["null","${avroType(f.dataType)}"]}"""
+    }.mkString(",")
     val schemaJson =
       s"""{"type":"record","name":"graft_row","fields":[$fieldsJson]}"""
     val conf = new JobConf(spark.sparkContext.hadoopConfiguration)

@@ -136,9 +136,12 @@ class PlanAuditSpec extends SparkSpec {
     // equi-join, asserted nested-loop-free above). This test pins the
     // exemption: the query MUST plan as the brute-force pair join, so a
     // future "optimization" back into a degenerate blocked join fails CI.
+    // only the two plans a pure non-equi pair join can produce: a blocked
+    // variant's cell equi-join would plan SortMergeJoin/ShuffledHashJoin
+    // and must FAIL here
     val plan = planOf(graft.SparkEntry.queries("q_dedup_embedding")(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
-        plan.contains("SortMergeJoin") || plan.contains("CartesianProduct"),
+        plan.contains("CartesianProduct"),
       "q_dedup_embedding should be the plain brute-force pair join " +
         "(oracle twin), not a disguised blocked variant:\n" + plan.take(600))
   }

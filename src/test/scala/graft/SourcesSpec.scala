@@ -152,24 +152,37 @@ class SourcesSpec extends SparkSpec {
       val javaBin = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"), "java")
         .getAbsolutePath
-      // same JDK-17 module opens the build gives every forked Spark JVM
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar"
-      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      // reuse the exact --add-opens set THIS (sbt-forked, Spark-running)
+      // JVM was started with, instead of a copy of build.sbt's list that
+      // would silently drift on the next Spark upgrade
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val addOpens = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = jvmArgs.iterator()
+      while (it.hasNext) {
+        val a = it.next()
+        if (a == "--add-opens" && it.hasNext) {
+          addOpens += a; addOpens += it.next()
+        } else if (a.startsWith("--add-opens=")) addOpens += a
+      }
+      assert(addOpens.nonEmpty, "test JVM carries no --add-opens flags")
       val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
         "-Dspark.ui.enabled=false",
         "-cp", sys.props("java.class.path"),
         "graft.sources.MetastoreProbe", mode, dir)
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes())
-      assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
-        s"$mode probe timed out")
+      // drain stdout on a helper thread: reading inline would block past
+      // the waitFor timeout if the probe JVM wedges, and NOT draining
+      // could deadlock the child on a full stdout pipe
+      val buf = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() => p.getInputStream.transferTo(buf))
+      drain.setDaemon(true)
+      drain.start()
+      val finished = p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) p.destroyForcibly()
+      drain.join(10000)
+      val out = buf.toString("UTF-8")
+      assert(finished, s"$mode probe timed out:\n" + out.takeRight(2000))
       assert(p.exitValue() === 0,
         s"$mode probe failed:\n" + out.takeRight(2000))
       out
