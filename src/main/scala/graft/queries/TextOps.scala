@@ -276,7 +276,64 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Benchmark decontamination — the held-out-set hygiene step of every
+    * training pipeline: a document is contaminated iff it shares any
+    * 5-gram shingle with the benchmark set (stood in for here by the
+    * `doc_id % 97 = 0` docs — the decision logic is identical for a real
+    * eval set). Shape at 100 TB: the benchmark shingle set is tiny and
+    * broadcast, the corpus side meets it in a LEFT SEMI equi-join on the
+    * shingle string right above the scan — no corpus self-join, no
+    * all-to-all; the fixture's planted near-duplicates give the decision
+    * real positives. */
+  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val sh = docs.select($"doc_id",
+      explode(TextFunctions.shingles($"text", 5)).as("s"))
+    val bench = sh.filter($"doc_id" % 97 === 0).select($"s").distinct()
+    val flagged = sh.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(bench), Seq("s"), "left_semi")
+      .select($"doc_id").distinct()
+      .withColumn("__hit", lit(true))
+    docs.filter($"doc_id" % 97 =!= 0).select($"doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"__hit", lit(false)).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  /** Gopher-style repetition filter: per-document duplicate-token ratio
+    * (1 − distinct/total) and top-token fraction, with the keep verdict.
+    * Two doc-keyed aggregations — fully partial-aggregable, no self-join;
+    * the quality-filter family's repetition axis (q_quality covers the
+    * length/punctuation/stopword axes). */
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val stats = docs
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max($"c").as("top_c"))
+    docs.select($"doc_id")
+      .join(stats, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tok", lit(0L)).as("n_tok"),
+        round(coalesce(
+          lit(1.0) - $"n_distinct".cast("double") / $"n_tok",
+          lit(0.0)), 6).as("dup_ratio"),
+        round(coalesce(
+          $"top_c".cast("double") / $"n_tok", lit(0.0)), 6)
+          .as("top_ratio"))
+      .withColumn("keep", $"dup_ratio" <= 0.3 && $"top_ratio" <= 0.2)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> qDecontaminate,
+    "q_repetition" -> qRepetition,
     "q_sentiment" -> qSentiment,
     "q_chunk" -> qChunk,
     "q_redact" -> qRedact,
@@ -344,6 +401,41 @@ object TextOps extends QueryPack {
         |    AS n_digits,
         |  regexp_matches(pii, '\+[0-9]+-') AS has_phone
         |FROM p ORDER BY c_custkey""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    list_transform(range(0, greatest(len(T) - 4, 1)),
+        |      i -> array_to_string(T[(i+1):(i+5)], ' ')),
+        |    s -> s != '')) AS s
+        |  FROM (SELECT doc_id, $toksSql AS T FROM documents)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+        |SELECT d.doc_id,
+        |  d.doc_id IN (SELECT DISTINCT doc_id FROM sh
+        |               WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
+        |    AS contaminated
+        |FROM documents d WHERE d.doc_id % 97 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(T) AS tok
+        |  FROM (SELECT doc_id, $toksSql AS T FROM documents)),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |        COUNT(*) AS n_distinct, MAX(c) AS top_c
+        |      FROM c GROUP BY doc_id),
+        |r AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(s.n_tok, 0) AS n_tok,
+        |    round(COALESCE(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_tok,
+        |      0.0), 6) AS dup_ratio,
+        |    round(COALESCE(CAST(s.top_c AS DOUBLE) / s.n_tok, 0.0), 6)
+        |      AS top_ratio
+        |  FROM documents d LEFT JOIN s USING (doc_id))
+        |SELECT doc_id, n_tok, dup_ratio, top_ratio,
+        |  dup_ratio <= 0.3 AND top_ratio <= 0.2 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH sh AS (
