@@ -138,6 +138,22 @@ class SourcesSpec extends SparkSpec {
       magic(3) === 1, "missing Avro container magic Obj\\x01")
   }
 
+  test("RCFile and Avro round-trips survive nasty unicode payloads") {
+    import spark.implicits._
+    // tabs/newlines are safe in RCFile cells (length-prefixed byte refs,
+    // not line-delimited) and in Avro strings; multi-byte UTF-8 must come
+    // back byte-identical
+    val nasty = Seq(
+      (1L, "plain"), (2L, "tab\tand\nnewline"), (3L, "émoji 🦆 中文"),
+      (4L, ""), (5L, "quote\"back\\slash,comma")
+    ).toDF("id", "s")
+    val want = nasty.orderBy($"id").collect().toSeq
+    val rc = Sources.rcfileRoundTrip(nasty, tmp("graft_rc_nasty") + "/t")
+    assert(rc.orderBy($"id").collect().toSeq === want)
+    val av = Sources.avroRoundTrip(nasty, tmp("graft_avro_nasty") + "/t")
+    assert(av.orderBy($"id").collect().toSeq === want)
+  }
+
   test("metastore survives a FULL JVM teardown (cross-JVM, derby-backed)") {
     // The §2.0 metastore row's real claim: catalog content lives OUTSIDE
     // the process — the deployed engine wires an external MySQL metastore
