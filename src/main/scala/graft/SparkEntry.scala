@@ -25,6 +25,7 @@ object SparkEntry {
     EventOps,
     SourceOps,
     TpchMore,
+    TpchFull,
     Pivot,
     FnExtra,
     SubqueryNulls,
