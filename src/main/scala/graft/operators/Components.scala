@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering
+  * stage of a near-dup pipeline (pairs → components → keep the canonical
+  * doc per component).
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", SoCC'14 — shape only, no code). Each round is
+  * two aggregate+join passes over the edge list, both partitioned by the
+  * center node; the edge set converges to one star per component rooted
+  * at the component's minimum id in O(log² n) rounds (2-4 in practice on
+  * dedup graphs, whose components are shallow).
+  *
+  * Scale notes (100 TB): neighbors are never collected into an array —
+  * the per-center minimum comes from a partial-aggregable `min`, and the
+  * star emission is a join against that 2-column aggregate, so a
+  * 10M-degree hub node costs a shuffle skew, not an executor OOM (AQE
+  * splits the skewed partition). `localCheckpoint` truncates the lineage
+  * each round, exactly as GraphX's Pregel loop does; the per-round
+  * convergence probe is a count+checksum aggregate over the (cached)
+  * checkpoint, not a collect of the edges.
+  */
+object Components {
+
+  /** One large-star round: every node strictly larger than a center is
+    * re-pointed at the center's neighborhood minimum. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min(least(col("v"), col("u"))).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(mins, "u")
+      // emitted edge (v, m) keeps the u > v orientation: v > u >= m
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node at most the center (and the center
+    * itself) is re-pointed at the center's neighborhood minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("hi"),
+      least(col("u"), col("v")).as("lo"))
+    val mins = dir.groupBy("hi").agg(min(col("lo")).as("m"))
+    val fromNbrs = dir.join(mins, "hi")
+      .select(col("lo").as("u"), col("m").as("v"))
+    val fromCenter = mins.select(col("hi").as("u"), col("m").as("v"))
+    fromNbrs.union(fromCenter)
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Label every node in `nodes` (single column `id`) with the minimum id
+    * reachable through `edges` (columns `u`, `v`, undirected); nodes on no
+    * edge label themselves. Output: (node, component).
+    *
+    * @param maxIter hard cap on contraction rounds; the star chain
+    *   provably converges in O(log² n), so hitting the cap means the
+    *   input violates the contract (e.g. ids mutating between actions)
+    *   and we fail loudly rather than return partial labels.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    var e = edges
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // fixpoint test: (edge count, order-independent XOR checksum) —
+    // equality across a composed round means the edge set is literally
+    // unchanged. XOR instead of sum: overflow-free under ANSI mode, and
+    // pair-cancellation needs duplicate rows, which distinct() rules out.
+    // (64-bit collision odds are negligible, and a collision only delays
+    // convergence detection by one round, never corrupts labels.)
+    var prev = (-1L, -1L)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val row = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      val sig = (row.getLong(0), row.getLong(1))
+      converged = sig == prev
+      prev = sig
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // at the fixpoint every edge is (member, componentRoot)
+    val labels = e.select(col("u").as("node"), col("v").as("component"))
+    nodes.select(col("id"))
+      .join(labels, col("id") === col("node"), "left")
+      .select(col("id").as("node"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+}

@@ -137,29 +137,32 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id", $"tok")
   }
 
-  /** Word-bigram (shingle) Jaccard near-dup — n-gram variant of the
-    * token-set dedup; shingles catch word-order changes that bag-of-words
-    * Jaccard misses. */
-  def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Word-bigram hashed-shingle Jaccard pairs at `threshold` over the %10
+    * doc sample — shared pair generator for the n-gram near-dup query and
+    * the connected-components clustering query.
+    *
+    * Per-pair cost engineering (the pair count is quadratic, so the per-
+    * pair kernel is everything):
+    *  1. hash each distinct shingle to a long ONCE per doc and sort, so a
+    *     pair costs a primitive merge-walk (sorted_intersect_size) instead
+    *     of a string hash-set build — Jaccard over hashed distinct
+    *     shingles equals Jaccard over the shingles themselves (64-bit
+    *     collisions are negligible);
+    *  2. repartition materializes that projection BEFORE the self-join —
+    *     otherwise the non-equi join recomputes the chain per pair;
+    *  3. length-ratio block in the JOIN condition: J ≥ t forces
+    *     max(|A|,|B|) ≤ min(|A|,|B|)/t, so over-ratio pairs are pruned
+    *     before the intersect ever runs (content-based blocking — the same
+    *     bound drives band-bucketing at cluster scale). The +1e-9 slack
+    *     keeps the block safe for thresholds where size·t rounds above the
+    *     integer bound (same guard as [[graft.operators.Dedup]]).
+    */
+  private def bigramPairs(spark: SparkSession, sfDir: String,
+      threshold: Double): DataFrame = {
     import spark.implicits._
     graft.functions.SortedIntersectSize.register(spark)
-    // tighter block than the token-set variant: bigram arrays are ~2× the
-    // size and the pairwise intersect is quadratic in the block
     val docs = Tables.df(spark, sfDir, "documents")
       .filter($"doc_id" % 10 === 0)
-    // Per-pair cost engineering (the pair count is quadratic, so the per-
-    // pair kernel is everything):
-    //  1. hash each distinct shingle to a long ONCE per doc and sort, so a
-    //     pair costs a primitive merge-walk (sorted_intersect_size) instead
-    //     of a string hash-set build — Jaccard over hashed distinct
-    //     shingles equals Jaccard over the shingles themselves (64-bit
-    //     collisions are negligible);
-    //  2. repartition materializes that projection BEFORE the self-join —
-    //     otherwise the non-equi join recomputes the chain per pair;
-    //  3. length-ratio block in the JOIN condition: J ≥ 0.5 forces
-    //     max(|A|,|B|) ≤ 2·min(|A|,|B|), so over-ratio pairs are pruned
-    //     before the intersect ever runs (content-based blocking — the same
-    //     bound drives band-bucketing at cluster scale).
     val sh = docs.select($"doc_id",
       sort_array(array_distinct(
         transform(array_distinct(TextFunctions.shingles($"text", 2)),
@@ -168,14 +171,49 @@ object TextOps extends QueryPack {
       .repartition(col("doc_id"))
     val a = sh.select($"doc_id".as("id1"), $"t".as("t1"), $"sz".as("s1"))
     val b = sh.select($"doc_id".as("id2"), $"t".as("t2"), $"sz".as("s2"))
-    a.join(b, $"id1" < $"id2" && $"s1" <= $"s2" * 2 && $"s2" <= $"s1" * 2)
+    a.join(b, $"id1" < $"id2"
+        && $"s1" * threshold <= $"s2" + 1e-9
+        && $"s2" * threshold <= $"s1" + 1e-9)
       .withColumn("li", expr("sorted_intersect_size(t1, t2)").cast("double"))
       .withColumn("j", $"li" / ($"s1" + $"s2" - $"li"))
-      .filter($"j" >= 0.5)
+      .filter($"j" >= threshold)
+      .select($"id1", $"id2", $"j")
+  }
+
+  /** Word-bigram (shingle) Jaccard near-dup — n-gram variant of the
+    * token-set dedup; shingles catch word-order changes that bag-of-words
+    * Jaccard misses. */
+  def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bigramPairs(spark, sfDir, 0.5)
       .groupBy($"id1")
       .agg(count(lit(1)).as("n_partners"),
         round(max($"j"), 6).as("max_j"))
       .orderBy($"id1")
+  }
+
+  /** Near-dup clustering: similarity pairs → connected components → one
+    * canonical doc per cluster (the lowest id) — the step that turns
+    * pairwise dedup verdicts into a consistent keep/drop decision when
+    * A~B and B~C but A≁C. Components come from the alternating-star
+    * contraction in [[graft.operators.Components]] (agg+join rounds, no
+    * neighbor lists). The 0.08 bigram-Jaccard threshold is tuned to this
+    * fixture's similarity density so the graph has multi-hop components
+    * (chains of 2-4 docs) rather than only isolated pairs; a production
+    * corpus would use the dedup threshold its pair stage ran at. */
+  def qDedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 10 === 0)
+    val edges = bigramPairs(spark, sfDir, 0.08)
+      .select($"id1".as("u"), $"id2".as("v"))
+    val cc = graft.operators.Components.connectedComponents(
+      docs.select($"doc_id".as("id")), edges)
+    cc.select($"node".as("doc_id"), $"component".as("cluster_id"))
+      .withColumn("csize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
+      .withColumn("keep", $"doc_id" === $"cluster_id")
+      .orderBy($"doc_id")
   }
 
   /** Embedding-cosine near-dup: vector pairs above a similarity threshold,
@@ -338,6 +376,7 @@ object TextOps extends QueryPack {
     "q_chunk" -> qChunk,
     "q_redact" -> qRedact,
     "q_dedup_ngram" -> qDedupNgram,
+    "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
@@ -453,6 +492,37 @@ object TextOps extends QueryPack {
         |SELECT id1, COUNT(*) AS n_partners, round(MAX(j), 6) AS max_j
         |FROM p WHERE j >= 0.5
         |GROUP BY id1 ORDER BY id1""".stripMargin,
+
+    // min-reachable-label via recursive CTE == component minimum: the edge
+    // set is symmetric, so the transitive closure reaches the whole
+    // component and MIN over it is exactly the star root Spark converges to
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE s0 AS (
+        |  SELECT doc_id, $toksSql AS T
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(0, greatest(len(T) - 1, 1)),
+        |      i -> array_to_string(T[(i+1):(i+2)], ' ')),
+        |    x -> x != '')) AS t
+        |  FROM s0),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+        |    >= 0.08),
+        |e AS (SELECT id1 AS u, id2 AS v FROM p
+        |      UNION ALL SELECT id2, id1 FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM s
+        |  UNION
+        |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+        |lab AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+        |SELECT node AS doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS csize,
+        |  node = cluster_id AS keep
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH p AS (
