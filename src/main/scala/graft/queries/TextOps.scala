@@ -137,6 +137,39 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id", $"tok")
   }
 
+  /** Corpus-LM perplexity filter (the CCNet-style quality gate: score each
+    * doc by a language model trained on the corpus itself, drop the
+    * high-perplexity tail). The LM is a unigram model — token counts are
+    * one partial-aggregable groupBy, and scoring is a shuffle join on the
+    * token key, so both stages scale linearly; swapping in a KenLM-grade
+    * model changes the lp table, not the plan.
+    *
+    * Determinism engineering: a doc's score sums per-token log-probs, and
+    * double summation is order-dependent, so the hash gate would flake on
+    * shuffle order. Instead each token's ln(cnt/N) is rounded once to 6
+    * decimals and cast to DECIMAL(18,6) — the per-doc SUM is then exact
+    * integer arithmetic (order-independent), and the only double ops left
+    * (final divide + round) have deterministic operands. The 3.41 nll
+    * cutoff sits 1.2e-4 from the nearest doc on this fixture — far outside
+    * FP drift. */
+  def qPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    val lp = counts.crossJoin(broadcast(n))
+      .select($"tok", round(log($"cnt" / $"n_total"), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+    toks.join(lp, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"lp").as("slp"))
+      .select($"doc_id", $"n_toks",
+        round(-($"slp".cast("double")) / $"n_toks", 6).as("nll"),
+        (-($"slp".cast("double")) / $"n_toks" <= 3.41).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Word-bigram hashed-shingle Jaccard pairs at `threshold` over the %10
     * doc sample — shared pair generator for the n-gram near-dup query and
     * the connected-components clustering query.
@@ -377,6 +410,7 @@ object TextOps extends QueryPack {
     "q_redact" -> qRedact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_cluster" -> qDedupCluster,
+    "q_perplexity" -> qPerplexity,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
@@ -492,6 +526,22 @@ object TextOps extends QueryPack {
         |SELECT id1, COUNT(*) AS n_partners, round(MAX(j), 6) AS max_j
         |FROM p WHERE j >= 0.5
         |GROUP BY id1 ORDER BY id1""".stripMargin,
+
+    // per-token log-probs rounded to DECIMAL(18,6) BEFORE the per-doc sum,
+    // so the summation is exact and order-independent in both engines;
+    // ln() 1-ulp libm drift is absorbed by the 6-decimal round
+    "q_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |lp AS (SELECT tok, CAST(round(ln(cnt / n_total), 6)
+        |         AS DECIMAL(18,6)) AS lp FROM c, n),
+        |s AS (SELECT doc_id, count(*) AS n_toks, SUM(lp) AS slp
+        |      FROM t JOIN lp USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_toks,
+        |  round(-CAST(slp AS DOUBLE) / n_toks, 6) AS nll,
+        |  -CAST(slp AS DOUBLE) / n_toks <= 3.41 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // min-reachable-label via recursive CTE == component minimum: the edge
     // set is symmetric, so the transitive closure reaches the whole
