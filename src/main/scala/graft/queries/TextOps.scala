@@ -61,6 +61,80 @@ object TextOps extends QueryPack {
         max($"bucket_size").as("max_bucket"))
   }
 
+  /** Cross-engine-checkable SimHash: same Charikar bit-majority sketch as
+    * [[qDedupSimhash]], but the token hash is the first 64 bits of md5 —
+    * computable bit-identically in any engine with md5 and bit ops, so the
+    * whole fingerprint table is under the DuckDB hash gate (the xxhash64
+    * codegen Expression stays the production fingerprint; this is the
+    * portability/verification twin). The per-doc fingerprint folds inside
+    * one nested higher-order aggregate (bits × token hashes), so there is
+    * no 64× row explosion — one groupBy on doc_id, one on fp. The inner
+    * ±1 sum is commutative, so collect_list's nondeterministic order
+    * cannot change the result. */
+  def qSimhashMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val t = docs.select($"doc_id",
+        explode(TextFunctions.tokenSet($"text")).as("tok"))
+      .select($"doc_id",
+        shiftleft(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(md5($"tok"), 9, 8), 16, 10).cast("long"))
+          .as("h"))
+    val fps = t.groupBy($"doc_id")
+      .agg(collect_list($"h").as("hs"))
+      .select($"doc_id", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
+          |  acc | IF(aggregate(hs, 0, (a, h) ->
+          |             a + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+          |           shiftleft(CAST(1 AS BIGINT), b),
+          |           CAST(0 AS BIGINT)))""".stripMargin).as("fp"))
+    fps.groupBy($"fp").agg(count(lit(1)).as("bucket_size"))
+      .orderBy($"fp")
+  }
+
+  /** Cross-engine-checkable MinHash-LSH: the full band-bucket-verify
+    * pipeline (8 md5-keyed min-hashes → 4 bands of 2 → bucket equi-join →
+    * exact-Jaccard verify at 0.2) with every stage expressible in plain
+    * SQL, so the PAIR LIST itself is under the DuckDB hash gate — not just
+    * recall properties. Each min-hash is the first 15 hex chars (60 bits,
+    * sign-safe in BIGINT) of md5("i:" || token), so both engines compute
+    * identical signatures; the verify reuses the sorted-hash merge-walk
+    * kernel. The xxhash64 variant ([[qDedupMinhash]]) remains the
+    * production path — same plan shape, cheaper hashes. */
+  def qMinhashMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val docs = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 5 === 0)
+    val s = docs.select($"doc_id", TextFunctions.tokenSet($"text").as("ts"))
+      .withColumn("th",
+        sort_array(array_distinct(transform($"ts", t => xxhash64(t)))))
+      .withColumn("sz", size($"th"))
+    val m = s.select($"doc_id", explode($"ts").as("tok"))
+      .select($"doc_id", explode(sequence(lit(0), lit(7))).as("i"), $"tok")
+      .select($"doc_id", $"i",
+        conv(substring(md5(concat($"i".cast("string"), lit(":"), $"tok")),
+          1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
+    val b = m.groupBy($"doc_id", expr("i div 2").as("band"))
+      .agg(min(when($"i" % 2 === 0, $"mh")).as("m0"),
+        min(when($"i" % 2 === 1, $"mh")).as("m1"))
+    val c = b.select($"doc_id".as("id1"), $"band", $"m0", $"m1")
+      .join(b.select($"doc_id".as("id2"), $"band", $"m0", $"m1"),
+        Seq("band", "m0", "m1"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2").distinct()
+    c.join(s.select($"doc_id".as("id1"), $"th".as("t1"), $"sz".as("s1")),
+        "id1")
+      .join(s.select($"doc_id".as("id2"), $"th".as("t2"), $"sz".as("s2")),
+        "id2")
+      .withColumn("li", expr("sorted_intersect_size(t1, t2)").cast("double"))
+      .withColumn("j", $"li" / ($"s1" + $"s2" - $"li"))
+      .filter($"j" >= 0.2)
+      .select($"id1", $"id2", round($"j", 6).as("j"))
+      .orderBy($"id1", $"id2")
+  }
+
   /** MinHash-LSH near-dup candidates (rows-only: banding is seed-dependent;
     * recall vs exact Jaccard is unit-tested). */
   def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
@@ -411,6 +485,8 @@ object TextOps extends QueryPack {
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_cluster" -> qDedupCluster,
     "q_perplexity" -> qPerplexity,
+    "q_simhash_md5" -> qSimhashMd5,
+    "q_minhash_md5" -> qMinhashMd5,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
@@ -526,6 +602,68 @@ object TextOps extends QueryPack {
         |SELECT id1, COUNT(*) AS n_partners, round(MAX(j), 6) AS max_j
         |FROM p WHERE j >= 0.5
         |GROUP BY id1 ORDER BY id1""".stripMargin,
+
+    // identical 60-bit md5 min-hashes and banding in both engines; the
+    // Jaccard verify mirrors q_dedup_jaccard's list_intersect form
+    "q_minhash_md5" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, $tokSetSql AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tk AS (SELECT doc_id, unnest(t) AS tok FROM s),
+        |m AS (
+        |  SELECT doc_id, i,
+        |    min(('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 15))
+        |        ::BIGINT) AS mh
+        |  FROM tk, range(0, 8) r(i) GROUP BY doc_id, i),
+        |b AS (
+        |  SELECT doc_id, i // 2 AS band,
+        |    min(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+        |    min(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+        |  FROM m GROUP BY doc_id, i // 2),
+        |c AS (
+        |  SELECT DISTINCT a.doc_id AS id1, bb.doc_id AS id2
+        |  FROM b a JOIN b bb ON a.band = bb.band
+        |    AND a.m0 = bb.m0 AND a.m1 = bb.m1 AND a.doc_id < bb.doc_id),
+        |v AS (
+        |  SELECT id1, id2,
+        |    CAST(len(list_intersect(sa.t, sb.t)) AS DOUBLE)
+        |      / (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t)))
+        |      AS j
+        |  FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2)
+        |SELECT id1, id2, round(j, 6) AS j FROM v WHERE j >= 0.2
+        |ORDER BY id1, id2""".stripMargin,
+
+    // 64-bit token hash = first 16 hex chars of md5. Spark's shiftleft
+    // wraps silently into the signed bit pattern; DuckDB raises on shift
+    // overflow, so the unsigned assembly and the bit-sum run in HUGEINT
+    // and fold back to signed BIGINT (x >= 2^63 → x - 2^64) — verified
+    // bit-identical against an independent reference implementation
+    "q_simhash_md5" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+        |         ELSE hu::BIGINT END AS h
+        |  FROM (SELECT doc_id,
+        |          ((('0x' || substr(md5(tok), 1, 8))::BIGINT)::HUGEINT
+        |            << 32)
+        |            | (('0x' || substr(md5(tok), 9, 8))::BIGINT)::HUGEINT
+        |            AS hu
+        |        FROM (SELECT doc_id, unnest($tokSetSql) AS tok
+        |              FROM documents))),
+        |d AS (SELECT doc_id, list(h) AS hs FROM t GROUP BY doc_id),
+        |f0 AS (
+        |  SELECT doc_id, list_sum(list_transform(range(0, 64), b ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |    THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS fpu
+        |  FROM d),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN fpu >= 9223372036854775808::HUGEINT
+        |       THEN (fpu - 18446744073709551616::HUGEINT)::BIGINT
+        |       ELSE fpu::BIGINT END AS fp FROM f0)
+        |SELECT fp, COUNT(*) AS bucket_size
+        |FROM f GROUP BY fp ORDER BY fp""".stripMargin,
 
     // per-token log-probs rounded to DECIMAL(18,6) BEFORE the per-doc sum,
     // so the summation is exact and order-independent in both engines;
