@@ -31,7 +31,8 @@ object SparkEntry {
     SubqueryNulls,
     Analytics,
     Typed,
-    PipelineOps
+    PipelineOps,
+    LearnOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

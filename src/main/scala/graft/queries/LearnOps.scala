@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Learned models expressed as relational plans — the "train a cheap model
+  * on the corpus, score every doc with it" family of data-curation steps
+  * (fasttext-style language ID, domain classifiers, importance weights).
+  * Training is aggregation and scoring is a join, so both inherit Spark's
+  * scaling for free, and because every model parameter is a deterministic
+  * function of corpus counts the full prediction table sits under the
+  * DuckDB hash gate — a property no pickled-model scorer has.
+  *
+  * Determinism: identical to the perplexity filter — every per-token
+  * log-weight is rounded once to DECIMAL(18,6) before any summation, so
+  * aggregates are exact integer arithmetic in both engines and argmax
+  * comparisons can't flake on shuffle order.
+  */
+object LearnOps extends QueryPack {
+
+  /** Multinomial Naive Bayes language classifier, trained on the corpus's
+    * own (text, lang) pairs with add-one smoothing and evaluated on every
+    * doc (training-fit predictions — the resubstitution protocol keeps the
+    * oracle self-contained). Plan shape: two groupBy passes build the
+    * model (class priors + per-class token likelihoods); scoring explodes
+    * each doc's tokens against the 5-row class table, left-joins the
+    * likelihood table on (tok, class) so unseen tokens fall back to the
+    * smoothing floor, and argmaxes per doc with a window rank. */
+  def qNbLangClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val docs = Tables.df(spark, sfDir, "documents")
+    val toks = docs.select($"doc_id", $"lang",
+      explode(TextFunctions.tokens($"text")).as("tok"))
+
+    val priors = docs.groupBy($"lang".as("c"))
+      .agg(count(lit(1)).as("n_c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select($"c", round(log($"n_c" / $"n_docs"), 6).cast(dec6).as("lp0"))
+    val classTok = toks.groupBy($"lang".as("c"), $"tok")
+      .agg(count(lit(1)).as("cnt"))
+    val classTotals = toks.groupBy($"lang".as("c"))
+      .agg(count(lit(1)).as("n_toks_c"))
+    val vocab = toks.agg(countDistinct($"tok").as("v"))
+
+    val scored = toks.select($"doc_id", $"tok")
+      .crossJoin(broadcast(priors.select($"c")))
+      .join(classTok, Seq("tok", "c"), "left")
+      .join(broadcast(classTotals), "c")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id", $"c",
+        round(log((coalesce($"cnt", lit(0L)) + 1) / ($"n_toks_c" + $"v")), 6)
+          .cast(dec6).as("lp"))
+      .groupBy($"doc_id", $"c")
+      .agg(sum($"lp").as("slp"))
+      .join(broadcast(priors), "c")
+      .select($"doc_id", $"c", ($"lp0" + $"slp").as("score"))
+
+    val ranked = scored.withColumn("rk",
+      row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"c".asc)))
+    ranked.filter($"rk" === 1)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"c".as("pred_lang"), $"lang",
+        ($"c" === $"lang").as("correct"),
+        round($"score".cast("double"), 6).as("score"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nb_classify" -> qNbLangClassify
+  )
+
+  val oracle: Map[String, String] = Map(
+    // same model, same DECIMAL(18,6) pre-sum rounding; unseen (tok, class)
+    // pairs take the add-one floor through the left join's COALESCE
+    "q_nb_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x != '')) AS tok
+        |  FROM documents),
+        |priors AS (
+        |  SELECT lang AS c,
+        |    CAST(round(ln(count(*) / (SELECT count(*) FROM documents)), 6)
+        |      AS DECIMAL(18,6)) AS lp0
+        |  FROM documents GROUP BY lang),
+        |class_tok AS (
+        |  SELECT lang AS c, tok, count(*) AS cnt
+        |  FROM toks GROUP BY lang, tok),
+        |class_tot AS (
+        |  SELECT lang AS c, count(*) AS n_toks_c FROM toks GROUP BY lang),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+        |scored AS (
+        |  SELECT t.doc_id, p.c,
+        |    SUM(CAST(round(ln((COALESCE(ct.cnt, 0) + 1)
+        |          / (cc.n_toks_c + vocab.v)), 6) AS DECIMAL(18,6))) AS slp
+        |  FROM (SELECT doc_id, tok FROM toks) t
+        |  CROSS JOIN (SELECT c FROM priors) p
+        |  LEFT JOIN class_tok ct ON ct.tok = t.tok AND ct.c = p.c
+        |  JOIN class_tot cc ON cc.c = p.c
+        |  CROSS JOIN vocab
+        |  GROUP BY t.doc_id, p.c),
+        |ranked AS (
+        |  SELECT s.doc_id, s.c, pr.lp0 + s.slp AS score,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |      ORDER BY pr.lp0 + s.slp DESC, s.c ASC) AS rk
+        |  FROM scored s JOIN priors pr ON pr.c = s.c)
+        |SELECT r.doc_id, r.c AS pred_lang, d.lang,
+        |  r.c = d.lang AS correct,
+        |  round(CAST(r.score AS DOUBLE), 6) AS score
+        |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+        |WHERE r.rk = 1
+        |ORDER BY r.doc_id""".stripMargin
+  )
+}

@@ -108,6 +108,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("completed TPC-H suite: dims broadcast, facts never nested-loop") {
+    // the new Q7/Q8/Q9/Q21 analogs join lineitem against up to five
+    // dimensions — the 100 TB contract is that every dimension side is a
+    // broadcast and the only shuffles key on fact columns. A refactor that
+    // loses a broadcast would SMJ a 25-row nation table against 600M rows.
+    for (name <- Seq("q7_volume", "q8_share", "q9_profit", "q21_waiting")) {
+      val plan = planOf(graft.SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name lost its dimension broadcasts:\n" + plan.take(600))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name must not nested-loop/cartesian:\n" + plan.take(600))
+    }
+  }
+
+  test("minhash-md5 candidates meet in a bucket equi-join") {
+    // same scale contract as the xxhash64 sketch paths: the oracled twin
+    // must also generate candidates via (band, m0, m1) equality, never an
+    // all-pairs nested loop
+    val plan = planOf(graft.SparkEntry.queries("q_minhash_md5")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin Inner") &&
+      !plan.contains("CartesianProduct"),
+      "q_minhash_md5 must bucket-join candidates:\n" + plan.take(600))
+  }
+
   test("pipeline assembly ops never move all data to one partition") {
     // the 100 TB claim of stratified sampling and sequence packing is that
     // every window is partitioned (by stratum / by shard) — a refactor
