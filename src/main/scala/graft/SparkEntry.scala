@@ -32,7 +32,8 @@ object SparkEntry {
     Analytics,
     Typed,
     PipelineOps,
-    LearnOps
+    LearnOps,
+    GraphOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
