@@ -239,8 +239,51 @@ object TextOps extends QueryPack {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_toks"), sum($"lp").as("slp"))
       .select($"doc_id", $"n_toks",
-        round(-($"slp".cast("double")) / $"n_toks", 6).as("nll"),
+        (-($"slp".cast("double")) / $"n_toks").as("nll"),
         (-($"slp".cast("double")) / $"n_toks" <= 3.41).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Interpolated bigram-LM perplexity — the context-sensitive upgrade of
+    * [[qPerplexity]] (the KenLM-style shape CCNet actually filters with):
+    * p(cur|prev) = 0.7·p_bigram + 0.3·p_unigram, so unseen bigrams back
+    * off to the unigram floor instead of zeroing the product. Training is
+    * two count groupBys (bigram + context) over the adjacent-pair fan-out,
+    * scoring joins on the (prev, cur) key — everything shuffles on token
+    * keys, nothing is collected. Same DECIMAL(18,6) pre-sum rounding as
+    * the unigram filter; the 3.45 cutoff sits 3e-4 from the nearest doc. */
+  def qPerplexityBigram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = Tables.df(spark, sfDir, "documents")
+    val toks = docs.select($"doc_id",
+      explode(TextFunctions.tokens($"text")).as("tok"))
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    // adjacent (prev, cur) pairs via an in-row HOF fan-out — no window,
+    // no shuffle to form the sequence
+    val bi = docs.select($"doc_id", TextFunctions.tokens($"text").as("T"))
+      .filter(size($"T") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(T) - 1),
+          |  i -> struct(element_at(T, i) AS prev,
+          |              element_at(T, i + 1) AS cur))""".stripMargin))
+        .as("p"))
+      .select($"doc_id", $"p.prev", $"p.cur")
+    val bc = bi.groupBy($"prev", $"cur").agg(count(lit(1)).as("bcnt"))
+    val ctx = bi.groupBy($"prev").agg(count(lit(1)).as("ccnt"))
+    bi.join(bc, Seq("prev", "cur"), "left")
+      .join(ctx, "prev")
+      .join(uni.withColumnRenamed("tok", "cur"), "cur")
+      .crossJoin(broadcast(n))
+      .select($"doc_id",
+        round(log(lit(0.7) * (coalesce($"bcnt", lit(0L)) / $"ccnt")
+          + lit(0.3) * ($"cnt" / $"n_total")), 6).cast(dec6).as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum($"lp").as("slp"))
+      .select($"doc_id", $"n_scored",
+        (-($"slp".cast("double")) / $"n_scored").as("nll"),
+        (-($"slp".cast("double")) / $"n_scored" <= 3.45).as("keep"))
       .orderBy($"doc_id")
   }
 
@@ -485,6 +528,7 @@ object TextOps extends QueryPack {
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_cluster" -> qDedupCluster,
     "q_perplexity" -> qPerplexity,
+    "q_perplexity_bigram" -> qPerplexityBigram,
     "q_simhash_md5" -> qSimhashMd5,
     "q_minhash_md5" -> qMinhashMd5,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -603,6 +647,39 @@ object TextOps extends QueryPack {
         |FROM p WHERE j >= 0.5
         |GROUP BY id1 ORDER BY id1""".stripMargin,
 
+    // adjacent pairs via list_transform(range(...)) (DuckDB's range can't
+    // lateral-join on a column, but the scalar list form can); same
+    // decimal pre-sum rounding as q_perplexity
+    "q_perplexity_bigram" ->
+      s"""WITH s0 AS (SELECT doc_id, $toksSql AS T FROM documents
+        |            WHERE len($toksSql) >= 2),
+        |t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |uni AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |bi AS (SELECT doc_id, p[1] AS prev, p[2] AS cur FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(T)),
+        |    i -> [T[i], T[i+1]])) AS p FROM s0)),
+        |bc AS (SELECT prev, cur, count(*) AS bcnt FROM bi
+        |       GROUP BY prev, cur),
+        |ctx AS (SELECT prev, count(*) AS ccnt FROM bi GROUP BY prev),
+        |lp AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(ln(
+        |      CAST(0.7 AS DOUBLE) * (COALESCE(bc.bcnt, 0) / ctx.ccnt)
+        |      + CAST(0.3 AS DOUBLE) * (uni.cnt / n.n_total)), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM bi b
+        |  LEFT JOIN bc ON bc.prev = b.prev AND bc.cur = b.cur
+        |  JOIN ctx ON ctx.prev = b.prev
+        |  JOIN uni ON uni.tok = b.cur
+        |  CROSS JOIN n),
+        |s AS (SELECT doc_id, count(*) AS n_scored, SUM(lp) AS slp
+        |      FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_scored,
+        |  -CAST(slp AS DOUBLE) / n_scored AS nll,
+        |  -CAST(slp AS DOUBLE) / n_scored <= 3.45 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // identical 60-bit md5 min-hashes and banding in both engines; the
     // Jaccard verify mirrors q_dedup_jaccard's list_intersect form
     "q_minhash_md5" ->
@@ -677,7 +754,7 @@ object TextOps extends QueryPack {
         |s AS (SELECT doc_id, count(*) AS n_toks, SUM(lp) AS slp
         |      FROM t JOIN lp USING (tok) GROUP BY doc_id)
         |SELECT doc_id, n_toks,
-        |  round(-CAST(slp AS DOUBLE) / n_toks, 6) AS nll,
+        |  -CAST(slp AS DOUBLE) / n_toks AS nll,
         |  -CAST(slp AS DOUBLE) / n_toks <= 3.41 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
 
