@@ -33,7 +33,8 @@ object SparkEntry {
     Typed,
     PipelineOps,
     LearnOps,
-    GraphOps
+    GraphOps,
+    SketchOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic cross-engine sketches. Spark's own approx_count_distinct
+  * is engine-private (its HLL++ register layout isn't reproducible
+  * outside the JVM), so q_approx is rows-only — this pack shows the
+  * stronger claim: a sketch whose ESTIMATE is bit-identical across
+  * engines, because every ingredient is pinned down:
+  *
+  *  - value hash = first 15 hex chars of md5 (60 bits, sign-safe);
+  *  - register index = top 8 bits, rho = leading-zero count of the
+  *    remaining 52 bits via `length(bin(x))` — an exact integer in both
+  *    engines, where `floor(log2(x))` would be at the mercy of libm;
+  *  - the harmonic-mean denominator Σ 2^(-M_j) is computed as the
+  *    INTEGER Σ 2^(53-M_j) (max 256·2^52 < 2^63 — overflow-free), so
+  *    the only floating-point steps are a handful of scalar ops on
+  *    identical operands.
+  *
+  * The same determinism makes the sketch mergeable by construction: the
+  * register table is a plain (bucket, max-rho) relation, so unioning two
+  * corpora's registers with another max-groupBy IS the merge — the
+  * property that lets 1000 executors sketch partitions independently.
+  */
+object SketchOps extends QueryPack {
+
+  /** HyperLogLog (m=256, Flajolet et al. 2007) estimate of the distinct
+    * ordering customers, reported beside the exact distinct count and the
+    * relative error. One row. The customer-key cardinality (1.5k at
+    * sf0.01, 15k at sf0.1) exercises the raw-HLL branch; at sf0.001 the
+    * estimate drops into the linear-counting correction, so both branches
+    * are oracle-covered across the fixture ladder. */
+  def qHllMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.df(spark, sfDir, "orders")
+      .select($"o_custkey".cast("string").as("tok"))
+    val h = toks.select(
+      conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"),
+      $"tok")
+    // bucket = top 8 of 60 bits; rest = low 52; rho = leading zeros + 1
+    val regs = h.select(shiftrightunsigned($"h", 52).as("bucket"),
+        ($"h".bitwiseAND(lit((1L << 52) - 1))).as("rest"), $"tok")
+      .select($"bucket",
+        when($"rest" === 0L, lit(53))
+          .otherwise(lit(53) - length(bin($"rest"))).as("rho"),
+        $"tok")
+    val byBucket = regs.groupBy($"bucket").agg(max($"rho").as("m_j"))
+    // Σ 2^(-M_j) scaled by 2^53 stays integral; empty buckets contribute
+    // 2^53 each (M_j = 0)
+    val agg = byBucket.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)")).as("s_present"),
+      count(lit(1)).as("n_present"))
+    val est = agg.crossJoin(broadcast(
+        h.agg(countDistinct($"tok").as("exact"))))
+      .select(
+        ($"s_present" + (lit(256L) - $"n_present") * lit(1L << 53))
+          .as("s_total"),
+        (lit(256L) - $"n_present").as("zeros"), $"exact")
+      .select($"exact", $"zeros",
+        // alpha_256 * m^2 * 2^53 / S, from literal doubles both engines
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / 256.0))
+          * lit(256.0) * lit(256.0) * lit(9007199254740992.0)
+          / $"s_total").as("e_raw"))
+      .select($"exact", $"zeros",
+        // small-range: E <= 2.5m with empty registers → linear counting
+        round(when($"e_raw" <= 640.0 && $"zeros" > 0L,
+          lit(256.0) * log(lit(256.0) / $"zeros"))
+          .otherwise($"e_raw"), 6).as("est"))
+    est.select($"exact", $"est",
+      round(abs($"est" - $"exact") / $"exact", 6).as("rel_err"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_md5" -> qHllMd5
+  )
+
+  val oracle: Map[String, String] = Map(
+    // identical registers, identical integer-scaled denominator; the two
+    // libm touches (ln in linear counting) sit behind a round(6)
+    "q_hll_md5" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT o_custkey::VARCHAR AS tok FROM orders),
+        |h AS (SELECT tok,
+        |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |regs AS (
+        |  SELECT h >> 52 AS bucket,
+        |    CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+        |         ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1)))
+        |    END AS rho
+        |  FROM h),
+        |by_bucket AS (SELECT bucket, max(rho) AS m_j FROM regs
+        |              GROUP BY bucket),
+        |agg AS (
+        |  SELECT SUM(1::BIGINT << (53 - m_j))::BIGINT AS s_present,
+        |         count(*) AS n_present
+        |  FROM by_bucket),
+        |est AS (
+        |  SELECT (SELECT count(*) FROM toks) AS exact,
+        |    (256 - n_present) AS zeros,
+        |    (s_present + (256 - n_present) * (1::BIGINT << 53)) AS s_total
+        |  FROM agg),
+        |e AS (
+        |  SELECT exact, zeros,
+        |    (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |       + CAST(1.079 AS DOUBLE) / 256.0))
+        |      * 256.0 * 256.0 * 9007199254740992.0 / s_total AS e_raw
+        |  FROM est)
+        |SELECT exact,
+        |  round(CASE WHEN e_raw <= 640.0 AND zeros > 0
+        |             THEN 256.0 * ln(256.0 / zeros) ELSE e_raw END, 6)
+        |    AS est,
+        |  round(abs(CASE WHEN e_raw <= 640.0 AND zeros > 0
+        |                 THEN 256.0 * ln(256.0 / zeros) ELSE e_raw END
+        |            - exact) / exact, 6) AS rel_err
+        |FROM e""".stripMargin
+  )
+}
