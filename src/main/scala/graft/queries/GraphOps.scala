@@ -38,8 +38,13 @@ object GraphOps extends QueryPack {
       .select(concat(lit("c:"), $"o_custkey").as("u"),
         concat(lit("s:"), $"l_suppkey").as("v"))
       .distinct()
+    // the unrolled plan references edges 3× and deg 4× — materialize both
+    // once (same "cache the graph, iterate on it" shape GraphX uses)
+    // instead of re-running the lineitem⋈orders distinct per reference
     val edges = pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint()
     val deg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val nTotal = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(nTotal))
       .select($"node", $"deg", $"n", (lit(1.0) / $"n").as("pr"))

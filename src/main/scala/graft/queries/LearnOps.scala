@@ -34,6 +34,9 @@ object LearnOps extends QueryPack {
     import spark.implicits._
     val dec6 = DecimalType(18, 6)
     val docs = Tables.df(spark, sfDir, "documents")
+    // deliberately NOT cached: the explode is cheaper to recompute from
+    // the pruned parquet scan than an InMemoryRelation is to build+scan
+    // (measured at sf0.1: persist made the query 30% slower)
     val toks = docs.select($"doc_id", $"lang",
       explode(TextFunctions.tokens($"text")).as("tok"))
 
