@@ -114,7 +114,31 @@ object PipelineOps extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Weighted reservoir sample (Efraimidis–Spirakis A-ES, IPL 2006 —
+    * public algorithm): each doc draws key = ln(u)/w with u an md5-keyed
+    * uniform and w = n_chars; the k largest keys are a weighted sample
+    * without replacement. Fully distributed — the draw is a per-row
+    * projection and the top-k is `TakeOrderedAndProject`, so 1000
+    * executors each keep a local k and merge — and exactly reproducible,
+    * so the oracle checks the SAMPLE ITSELF, not just its size. ln's
+    * 1-ulp drift cannot flip the selection: adjacent random keys are
+    * ~1e-3 apart, 13 orders above libm noise. */
+  def qSampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars",
+        // u ∈ (0, 1]: 60-bit md5 value + 1 over 2^60
+        ((conv(substring(md5(concat(lit("res:"), $"doc_id".cast("string"))),
+          1, 15), 16, 10).cast("long") + 1) / lit(1152921504606846976.0))
+          .as("u"))
+      .select($"doc_id", $"n_chars",
+        round(log($"u") / $"n_chars", 9).as("key"))
+      .orderBy($"key".desc, $"doc_id")
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_weighted" -> qSampleWeighted,
     "q_sample_stratified" -> qSampleStratified,
     "q_pack_sequences" -> qPackSequences,
     "q_shuffle_global" -> qShuffleGlobal,
@@ -127,6 +151,17 @@ object PipelineOps extends QueryPack {
     }.mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    // identical md5-keyed uniforms; the 2^60 divisor is CAST AS DOUBLE so
+    // DuckDB doesn't run the division in DECIMAL
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |  round(ln((('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT + 1)
+        |    / CAST(1152921504606846976 AS DOUBLE)) / n_chars, 9) AS key
+        |FROM documents
+        |ORDER BY key DESC, doc_id
+        |LIMIT 50""".stripMargin,
+
     "q_sample_stratified" ->
       """WITH d AS (
         |  SELECT source, doc_id,

@@ -71,7 +71,9 @@ object TextOps extends QueryPack {
     * no 64× row explosion — one groupBy on doc_id, one on fp. The inner
     * ±1 sum is commutative, so collect_list's nondeterministic order
     * cannot change the result. */
-  def qSimhashMd5(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, fp): the md5-keyed SimHash fingerprint table shared by
+    * [[qSimhashMd5]] and [[qSimhashNear]]. */
+  private def md5SimhashFps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.df(spark, sfDir, "documents")
     val t = docs.select($"doc_id",
@@ -80,7 +82,7 @@ object TextOps extends QueryPack {
         shiftleft(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"), 32)
           .bitwiseOR(conv(substring(md5($"tok"), 9, 8), 16, 10).cast("long"))
           .as("h"))
-    val fps = t.groupBy($"doc_id")
+    t.groupBy($"doc_id")
       .agg(collect_list($"h").as("hs"))
       .select($"doc_id", expr(
         """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
@@ -88,8 +90,40 @@ object TextOps extends QueryPack {
           |             a + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
           |           shiftleft(CAST(1 AS BIGINT), b),
           |           CAST(0 AS BIGINT)))""".stripMargin).as("fp"))
-    fps.groupBy($"fp").agg(count(lit(1)).as("bucket_size"))
+  }
+
+  def qSimhashMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    md5SimhashFps(spark, sfDir)
+      .groupBy($"fp").agg(count(lit(1)).as("bucket_size"))
       .orderBy($"fp")
+  }
+
+  /** SimHash NEAR-duplicate retrieval (Manku/Jain/Sarma, WWW'07 shape —
+    * public paper, no code): split each 64-bit fingerprint into 4 16-bit
+    * bands and bucket-join on (band, value); by pigeonhole, any pair at
+    * Hamming distance ≤ 3 shares at least one untouched band, so the
+    * band join has EXACT recall at the ≤3 threshold — not probabilistic —
+    * while candidate generation stays a linear equi-join (the trick that
+    * made web-scale crawl dedup feasible). Verify = one codegen'd
+    * `bit_count(fp1 ^ fp2)` per candidate. */
+  def qSimhashNear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fps = md5SimhashFps(spark, sfDir)
+    val bands = fps.select($"doc_id", $"fp",
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select($"doc_id", $"fp", $"b",
+        expr("shiftright(fp, 16 * b) & 65535").as("bk"))
+    val cand = bands.select($"doc_id".as("id1"), $"fp".as("fp1"),
+        $"b", $"bk")
+      .join(bands.select($"doc_id".as("id2"), $"fp".as("fp2"),
+        $"b", $"bk"), Seq("b", "bk"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", $"fp1", $"fp2").distinct()
+    cand.select($"id1", $"id2",
+        expr("bit_count(fp1 ^ fp2)").as("hamming"))
+      .filter($"hamming" <= 3)
+      .orderBy($"id1", $"id2")
   }
 
   /** Cross-engine-checkable MinHash-LSH: the full band-bucket-verify
@@ -530,6 +564,7 @@ object TextOps extends QueryPack {
     "q_perplexity" -> qPerplexity,
     "q_perplexity_bigram" -> qPerplexityBigram,
     "q_simhash_md5" -> qSimhashMd5,
+    "q_simhash_near" -> qSimhashNear,
     "q_minhash_md5" -> qMinhashMd5,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact" -> qDedupExact,
@@ -546,6 +581,34 @@ object TextOps extends QueryPack {
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
   private val tokSetSql = s"list_distinct($toksSql)"
+
+  /** Shared CTE chain producing `f(doc_id, fp)` — the md5-SimHash
+    * fingerprint table (see the q_simhash_md5 oracle comment for the
+    * HUGEINT signed-fold rationale). */
+  private val simhashFpCtes =
+    s"""t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |         THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+      |         ELSE hu::BIGINT END AS h
+      |  FROM (SELECT doc_id,
+      |          ((('0x' || substr(md5(tok), 1, 8))::BIGINT)::HUGEINT
+      |            << 32)
+      |            | (('0x' || substr(md5(tok), 9, 8))::BIGINT)::HUGEINT
+      |            AS hu
+      |        FROM (SELECT doc_id, unnest($tokSetSql) AS tok
+      |              FROM documents))),
+      |d AS (SELECT doc_id, list(h) AS hs FROM t GROUP BY doc_id),
+      |f0 AS (
+      |  SELECT doc_id, list_sum(list_transform(range(0, 64), b ->
+      |    CASE WHEN list_sum(list_transform(hs, h ->
+      |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |    THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS fpu
+      |  FROM d),
+      |f AS (SELECT doc_id,
+      |  CASE WHEN fpu >= 9223372036854775808::HUGEINT
+      |       THEN (fpu - 18446744073709551616::HUGEINT)::BIGINT
+      |       ELSE fpu::BIGINT END AS fp FROM f0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_sentiment" ->
@@ -715,32 +778,30 @@ object TextOps extends QueryPack {
     // overflow, so the unsigned assembly and the bit-sum run in HUGEINT
     // and fold back to signed BIGINT (x >= 2^63 → x - 2^64) — verified
     // bit-identical against an independent reference implementation
+    // NOTE: concatenation, not interpolation-into-stripMargin — the CTE
+    // body contains lines whose first non-blank char is the bitwise `|`,
+    // which a second stripMargin pass would eat
     "q_simhash_md5" ->
-      s"""WITH t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN hu >= 9223372036854775808::HUGEINT
-        |         THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
-        |         ELSE hu::BIGINT END AS h
-        |  FROM (SELECT doc_id,
-        |          ((('0x' || substr(md5(tok), 1, 8))::BIGINT)::HUGEINT
-        |            << 32)
-        |            | (('0x' || substr(md5(tok), 9, 8))::BIGINT)::HUGEINT
-        |            AS hu
-        |        FROM (SELECT doc_id, unnest($tokSetSql) AS tok
-        |              FROM documents))),
-        |d AS (SELECT doc_id, list(h) AS hs FROM t GROUP BY doc_id),
-        |f0 AS (
-        |  SELECT doc_id, list_sum(list_transform(range(0, 64), b ->
-        |    CASE WHEN list_sum(list_transform(hs, h ->
-        |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-        |    THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS fpu
-        |  FROM d),
-        |f AS (SELECT doc_id,
-        |  CASE WHEN fpu >= 9223372036854775808::HUGEINT
-        |       THEN (fpu - 18446744073709551616::HUGEINT)::BIGINT
-        |       ELSE fpu::BIGINT END AS fp FROM f0)
-        |SELECT fp, COUNT(*) AS bucket_size
-        |FROM f GROUP BY fp ORDER BY fp""".stripMargin,
+      (s"WITH $simhashFpCtes\n" +
+        """SELECT fp, COUNT(*) AS bucket_size
+          |FROM f GROUP BY fp ORDER BY fp""".stripMargin),
+
+    // same fp table; band keys extract identically because both engines'
+    // arithmetic >> followed by & 65535 yields the same 16 bits, and
+    // bit_count counts the two's-complement pattern in both
+    "q_simhash_near" ->
+      (s"WITH $simhashFpCtes,\n" +
+        """bands AS (
+          |  SELECT doc_id, fp, b, (fp >> (16 * b)) & 65535 AS bk
+          |  FROM f, range(0, 4) r(b)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+          |    a.fp AS fp1, c.fp AS fp2
+          |  FROM bands a JOIN bands c
+          |    ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+          |SELECT id1, id2, CAST(bit_count(xor(fp1, fp2)) AS INT) AS hamming
+          |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3
+          |ORDER BY id1, id2""".stripMargin),
 
     // per-token log-probs rounded to DECIMAL(18,6) BEFORE the per-doc sum,
     // so the summation is exact and order-independent in both engines;
