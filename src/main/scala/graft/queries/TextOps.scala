@@ -72,8 +72,10 @@ object TextOps extends QueryPack {
     * ±1 sum is commutative, so collect_list's nondeterministic order
     * cannot change the result. */
   /** (doc_id, fp): the md5-keyed SimHash fingerprint table shared by
-    * [[qSimhashMd5]] and [[qSimhashNear]]. */
-  private def md5SimhashFps(spark: SparkSession, sfDir: String): DataFrame = {
+    * [[qSimhashMd5]] and [[qSimhashNear]] (package-visible so the
+    * exact-recall property test can brute-force against it). */
+  private[graft] def md5SimhashFps(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.df(spark, sfDir, "documents")
     val t = docs.select($"doc_id",

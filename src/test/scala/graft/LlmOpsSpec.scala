@@ -49,6 +49,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} pairs")
   }
 
+  test("simhash band retrieval is EXACTLY brute force at hamming <= 3") {
+    import spark.implicits._
+    // pigeonhole: 3 flipped bits touch at most 3 of the 4 16-bit bands,
+    // so the band equi-join + verify must reproduce the full quadratic
+    // scan exactly — recall 1.0, not approximately
+    val fps = graft.queries.TextOps.md5SimhashFps(spark, sf)
+    val a = fps.select($"doc_id".as("id1"), $"fp".as("fp1"))
+    val b = fps.select($"doc_id".as("id2"), $"fp".as("fp2"))
+    val brute = a.join(b, $"id1" < $"id2")
+      .select($"id1", $"id2", expr("bit_count(fp1 ^ fp2)").as("h"))
+      .filter($"h" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = graft.queries.TextOps.qSimhashNear(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute,
+      s"band retrieval diverged: ${banded.size} vs brute ${brute.size}")
+  }
+
   test("cosine similarity: bounds, symmetry, self-similarity") {
     import spark.implicits._
     val emb = Tables.df(spark, sf, "embeddings").limit(50)

@@ -133,6 +133,23 @@ class PlanAuditSpec extends SparkSpec {
       "q_minhash_md5 must bucket-join candidates:\n" + plan.take(600))
   }
 
+  test("weighted reservoir sample plans a distributed top-k") {
+    // A-ES's whole point is that the k best keys merge from per-partition
+    // heaps; a refactor to a global sort would serialize the corpus
+    val plan = planOf(
+      graft.SparkEntry.queries("q_sample_weighted")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "weighted sample must top-k, not global-sort:\n" + plan.take(600))
+  }
+
+  test("simhash band retrieval joins buckets, never all pairs") {
+    val plan = planOf(
+      graft.SparkEntry.queries("q_simhash_near")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin Inner") &&
+      !plan.contains("CartesianProduct"),
+      "band retrieval must equi-join (band, value):\n" + plan.take(600))
+  }
+
   test("pipeline assembly ops never move all data to one partition") {
     // the 100 TB claim of stratified sampling and sequence packing is that
     // every window is partitioned (by stratum / by shard) — a refactor
