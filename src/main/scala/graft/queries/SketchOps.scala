@@ -63,13 +63,16 @@ object SketchOps extends QueryPack {
         ((lit(0.7213) / (lit(1.0) + lit(1.079) / 256.0))
           * lit(256.0) * lit(256.0) * lit(9007199254740992.0)
           / $"s_total").as("e_raw"))
-      .select($"exact", $"zeros",
+      .select($"exact",
         // small-range: E <= 2.5m with empty registers → linear counting
-        round(when($"e_raw" <= 640.0 && $"zeros" > 0L,
+        when($"e_raw" <= 640.0 && $"zeros" > 0L,
           lit(256.0) * log(lit(256.0) / $"zeros"))
-          .otherwise($"e_raw"), 6).as("est"))
-    est.select($"exact", $"est",
-      round(abs($"est" - $"exact") / $"exact", 6).as("rel_err"))
+          .otherwise($"e_raw").as("est_raw"))
+    // est and rel_err each round the UNROUNDED estimate once — deriving
+    // rel_err from the rounded est would re-manufacture the half-boundary
+    // class the determinism rules forbid (and diverge from the oracle)
+    est.select($"exact", round($"est_raw", 6).as("est"),
+      round(abs($"est_raw" - $"exact") / $"exact", 6).as("rel_err"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

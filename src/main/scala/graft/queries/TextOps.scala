@@ -61,19 +61,17 @@ object TextOps extends QueryPack {
         max($"bucket_size").as("max_bucket"))
   }
 
-  /** Cross-engine-checkable SimHash: same Charikar bit-majority sketch as
-    * [[qDedupSimhash]], but the token hash is the first 64 bits of md5 —
-    * computable bit-identically in any engine with md5 and bit ops, so the
-    * whole fingerprint table is under the DuckDB hash gate (the xxhash64
-    * codegen Expression stays the production fingerprint; this is the
-    * portability/verification twin). The per-doc fingerprint folds inside
-    * one nested higher-order aggregate (bits × token hashes), so there is
-    * no 64× row explosion — one groupBy on doc_id, one on fp. The inner
-    * ±1 sum is commutative, so collect_list's nondeterministic order
-    * cannot change the result. */
   /** (doc_id, fp): the md5-keyed SimHash fingerprint table shared by
-    * [[qSimhashMd5]] and [[qSimhashNear]] (package-visible so the
-    * exact-recall property test can brute-force against it). */
+    * [[qSimhashMd5]] and [[qSimhashNear]] — the same Charikar bit-majority
+    * sketch as [[qDedupSimhash]], but with the token hash taken from the
+    * first 64 bits of md5, computable bit-identically in any engine with
+    * md5 and bit ops (the xxhash64 codegen Expression stays the
+    * production fingerprint; this is the portability/verification twin).
+    * The per-doc fingerprint folds inside one nested higher-order
+    * aggregate (bits × token hashes), so there is no 64× row explosion;
+    * the inner ±1 sum is commutative, so collect_list's nondeterministic
+    * order cannot change the result. Package-visible so the exact-recall
+    * property test can brute-force against it. */
   private[graft] def md5SimhashFps(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
@@ -94,6 +92,8 @@ object TextOps extends QueryPack {
           |           CAST(0 AS BIGINT)))""".stripMargin).as("fp"))
   }
 
+  /** Fingerprint bucket sizes over the md5-SimHash table — the grouping
+    * summary whose every fp value hash-checks against DuckDB. */
   def qSimhashMd5(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     md5SimhashFps(spark, sfDir)
@@ -282,8 +282,11 @@ object TextOps extends QueryPack {
 
   /** Interpolated bigram-LM perplexity — the context-sensitive upgrade of
     * [[qPerplexity]] (the KenLM-style shape CCNet actually filters with):
-    * p(cur|prev) = 0.7·p_bigram + 0.3·p_unigram, so unseen bigrams back
-    * off to the unigram floor instead of zeroing the product. Training is
+    * p(cur|prev) = 0.7·p_bigram + 0.3·p_unigram, the interpolation
+    * damping noisy low-count bigram estimates toward the corpus-wide
+    * unigram rate. (Under this resubstitution protocol every scored
+    * bigram was also trained on, so the joins are inner — a held-out
+    * scorer would left-join and let p_bigram go to zero.) Training is
     * two count groupBys (bigram + context) over the adjacent-pair fan-out,
     * scoring joins on the (prev, cur) key — everything shuffles on token
     * keys, nothing is collected. Same DECIMAL(18,6) pre-sum rounding as
@@ -308,12 +311,12 @@ object TextOps extends QueryPack {
       .select($"doc_id", $"p.prev", $"p.cur")
     val bc = bi.groupBy($"prev", $"cur").agg(count(lit(1)).as("bcnt"))
     val ctx = bi.groupBy($"prev").agg(count(lit(1)).as("ccnt"))
-    bi.join(bc, Seq("prev", "cur"), "left")
+    bi.join(bc, Seq("prev", "cur"))
       .join(ctx, "prev")
       .join(uni.withColumnRenamed("tok", "cur"), "cur")
       .crossJoin(broadcast(n))
       .select($"doc_id",
-        round(log(lit(0.7) * (coalesce($"bcnt", lit(0L)) / $"ccnt")
+        round(log(lit(0.7) * ($"bcnt" / $"ccnt")
           + lit(0.3) * ($"cnt" / $"n_total")), 6).cast(dec6).as("lp"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_scored"), sum($"lp").as("slp"))
@@ -730,11 +733,11 @@ object TextOps extends QueryPack {
         |lp AS (
         |  SELECT b.doc_id,
         |    CAST(round(ln(
-        |      CAST(0.7 AS DOUBLE) * (COALESCE(bc.bcnt, 0) / ctx.ccnt)
+        |      CAST(0.7 AS DOUBLE) * (bc.bcnt / ctx.ccnt)
         |      + CAST(0.3 AS DOUBLE) * (uni.cnt / n.n_total)), 6)
         |      AS DECIMAL(18,6)) AS lp
         |  FROM bi b
-        |  LEFT JOIN bc ON bc.prev = b.prev AND bc.cur = b.cur
+        |  JOIN bc ON bc.prev = b.prev AND bc.cur = b.cur
         |  JOIN ctx ON ctx.prev = b.prev
         |  JOIN uni ON uni.tok = b.cur
         |  CROSS JOIN n),

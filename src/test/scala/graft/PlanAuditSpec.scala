@@ -99,9 +99,14 @@ class PlanAuditSpec extends SparkSpec {
     // or a cartesian and die at scale. (A `Cross BuildRight` BNLJ over the
     // broadcast 3-8-row projection/centroid table is the intended
     // replicate-tiny-constant pattern and is allowed.)
+    // regex, not a substring: the node renders as "BroadcastNestedLoopJoin
+    // BuildRight, Inner, (cond)" — the build side sits between the name
+    // and the join type, so a "BroadcastNestedLoopJoin Inner" literal
+    // can never match and would leave the guard vacuous
+    val bnljInner = """BroadcastNestedLoopJoin[^,\n]*,\s*Inner""".r
     for (name <- Seq("q_dedup_minhash", "q_ann_lsh", "q_ann_ivf")) {
       val plan = planOf(graft.SparkEntry.queries(name)(spark, sf))
-      assert(!plan.contains("BroadcastNestedLoopJoin Inner"),
+      assert(bnljInner.findFirstIn(plan).isEmpty,
         s"$name must not nested-loop over a pair condition:\n" + plan.take(600))
       assert(!plan.contains("CartesianProduct"),
         s"$name must not cartesian:\n" + plan.take(600))
@@ -126,9 +131,12 @@ class PlanAuditSpec extends SparkSpec {
   test("minhash-md5 candidates meet in a bucket equi-join") {
     // same scale contract as the xxhash64 sketch paths: the oracled twin
     // must also generate candidates via (band, m0, m1) equality, never an
-    // all-pairs nested loop
+    // all-pairs nested loop. Bare node-name match: plan strings render
+    // the build side between the name and the join type ("…BuildRight,
+    // Inner"), so a "BroadcastNestedLoopJoin Inner" substring never
+    // occurs and would make the guard vacuous.
     val plan = planOf(graft.SparkEntry.queries("q_minhash_md5")(spark, sf))
-    assert(!plan.contains("BroadcastNestedLoopJoin Inner") &&
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       "q_minhash_md5 must bucket-join candidates:\n" + plan.take(600))
   }
@@ -145,7 +153,7 @@ class PlanAuditSpec extends SparkSpec {
   test("simhash band retrieval joins buckets, never all pairs") {
     val plan = planOf(
       graft.SparkEntry.queries("q_simhash_near")(spark, sf))
-    assert(!plan.contains("BroadcastNestedLoopJoin Inner") &&
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       "band retrieval must equi-join (band, value):\n" + plan.take(600))
   }
