@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic cross-engine sketches. Spark's own approx_count_distinct
@@ -75,11 +76,69 @@ object SketchOps extends QueryPack {
       round(abs($"est_raw" - $"exact") / $"exact", 6).as("rel_err"))
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    * for the corpus's top-20 tokens, beside exact counts. d=4 rows ×
+    * w=1024 buckets, md5-keyed row hashes — the counter matrix is a plain
+    * (row, bucket, count) relation built by one groupBy, so two corpora's
+    * sketches merge by summing counters (the map-side-combine property
+    * that makes CMS the standard distributed heavy-hitter sketch). The
+    * estimate min-over-rows never underestimates; the oracle checks the
+    * estimates themselves, not just the bound. */
+  def qCountMin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.df(spark, sfDir, "documents")
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+    def rowHash(r: Column, tok: Column): Column =
+      pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
+        1, 15), 16, 10).cast("long"), lit(1024L))
+    val cms = toks
+      .select(explode(sequence(lit(0), lit(3))).as("r"), $"tok")
+      .select($"r", rowHash($"r", $"tok").as("b"))
+      .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+      .orderBy($"exact".desc, $"tok").limit(20)
+    top.select($"tok", $"exact",
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .select($"tok", $"exact", $"r", rowHash($"r", $"tok").as("b"))
+      .join(cms, Seq("r", "b"))
+      .groupBy($"tok", $"exact")
+      .agg(min($"c").as("est"))
+      .orderBy($"exact".desc, $"tok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_hll_md5" -> qHllMd5
+    "q_hll_md5" -> qHllMd5,
+    "q_countmin" -> qCountMin
   )
 
   val oracle: Map[String, String] = Map(
+    // same md5 row hashes; DuckDB % on the positive 60-bit hash equals
+    // Spark's pmod
+    "q_countmin" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x != '')) AS tok
+        |  FROM documents),
+        |cms AS (
+        |  SELECT sd.r,
+        |    ('0x' || substr(md5(sd.r::VARCHAR || ':' || tok), 1, 15))
+        |      ::BIGINT % 1024 AS b,
+        |    count(*) AS c
+        |  FROM toks CROSS JOIN range(0, 4) sd(r)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT tok, count(*) AS exact FROM toks
+        |  GROUP BY tok ORDER BY exact DESC, tok LIMIT 20),
+        |cand AS (
+        |  SELECT t.tok, t.exact, sd.r,
+        |    ('0x' || substr(md5(sd.r::VARCHAR || ':' || t.tok), 1, 15))
+        |      ::BIGINT % 1024 AS b
+        |  FROM top t CROSS JOIN range(0, 4) sd(r))
+        |SELECT cand.tok, cand.exact, min(cms.c) AS est
+        |FROM cand JOIN cms ON cms.r = cand.r AND cms.b = cand.b
+        |GROUP BY cand.tok, cand.exact
+        |ORDER BY cand.exact DESC, cand.tok""".stripMargin,
+
     // identical registers, identical integer-scaled denominator; the two
     // libm touches (ln in linear counting) sit behind a round(6)
     "q_hll_md5" ->
