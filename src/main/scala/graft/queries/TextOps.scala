@@ -171,6 +171,30 @@ object TextOps extends QueryPack {
       .orderBy($"id1", $"id2")
   }
 
+  /** Fuzzy-match verify stage: character-level edit distance between
+    * length-blocked doc pairs, over a fixed 80-char prefix. Levenshtein is
+    * O(L²) PER PAIR, so at corpus scale this runs strictly downstream of a
+    * candidate generator (banding / LSH / length blocking — here the
+    * |Δn_chars| ≤ 40 block), never as the pair source; the prefix cap
+    * bounds the kernel. Output is the distance plus a [0,1] prefix
+    * similarity for downstream thresholding — emitting the measure rather
+    * than a keep flag keeps the whole surface under the hash gate with no
+    * cutoff-boundary risk. */
+  def qFuzzyDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", substring($"text", 1, 80).as("t"), $"n_chars")
+    val a = docs.select($"doc_id".as("id1"), $"t".as("t1"),
+      $"n_chars".as("n1"))
+    val b = docs.select($"doc_id".as("id2"), $"t".as("t2"),
+      $"n_chars".as("n2"))
+    a.join(b, $"id1" < $"id2" && abs($"n1" - $"n2") <= 40)
+      .select($"id1", $"id2", levenshtein($"t1", $"t2").as("d"))
+      .withColumn("prefix_sim", lit(1.0) - $"d" / 80.0)
+      .orderBy($"id1", $"id2")
+  }
+
   /** MinHash-LSH near-dup candidates (rows-only: banding is seed-dependent;
     * recall vs exact Jaccard is unit-tested). */
   def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
@@ -571,6 +595,7 @@ object TextOps extends QueryPack {
     "q_simhash_md5" -> qSimhashMd5,
     "q_simhash_near" -> qSimhashNear,
     "q_minhash_md5" -> qMinhashMd5,
+    "q_fuzzy_dist" -> qFuzzyDist,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
@@ -747,6 +772,18 @@ object TextOps extends QueryPack {
         |  -CAST(slp AS DOUBLE) / n_scored AS nll,
         |  -CAST(slp AS DOUBLE) / n_scored <= 3.45 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_fuzzy_dist" ->
+      """WITH s AS (
+        |  SELECT doc_id, substr(text, 1, 80) AS t, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS d,
+        |  CAST(1 AS DOUBLE)
+        |    - levenshtein(a.t, b.t) / CAST(80 AS DOUBLE) AS prefix_sim
+        |FROM s a JOIN s b
+        |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 40
+        |ORDER BY id1, id2""".stripMargin,
 
     // identical 60-bit md5 min-hashes and banding in both engines; the
     // Jaccard verify mirrors q_dedup_jaccard's list_intersect form
