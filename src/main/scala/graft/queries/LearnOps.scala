@@ -46,9 +46,11 @@ object LearnOps extends QueryPack {
       .select($"c", round(log($"n_c" / $"n_docs"), 6).cast(dec6).as("lp0"))
     val classTok = toks.groupBy($"lang".as("c"), $"tok")
       .agg(count(lit(1)).as("cnt"))
-    val classTotals = toks.groupBy($"lang".as("c"))
-      .agg(count(lit(1)).as("n_toks_c"))
-    val vocab = toks.agg(countDistinct($"tok").as("v"))
+    // totals and vocabulary re-aggregate the (class, token) counts —
+    // vocabulary-sized input — instead of re-exploding the corpus (two
+    // fewer corpus passes; values are identical by construction)
+    val classTotals = classTok.groupBy($"c").agg(sum($"cnt").as("n_toks_c"))
+    val vocab = classTok.agg(countDistinct($"tok").as("v"))
 
     val scored = toks.select($"doc_id", $"tok")
       .crossJoin(broadcast(priors.select($"c")))

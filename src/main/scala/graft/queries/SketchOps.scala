@@ -91,11 +91,16 @@ object SketchOps extends QueryPack {
     def rowHash(r: Column, tok: Column): Column =
       pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
         1, 15), 16, 10).cast("long"), lit(1024L))
-    val cms = toks
-      .select(explode(sequence(lit(0), lit(3))).as("r"), $"tok")
-      .select($"r", rowHash($"r", $"tok").as("b"))
-      .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
-    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+    // aggregate to (tok, count) FIRST: the 4× seed explode and the md5
+    // hashing then run over the vocabulary, not the corpus — one pass
+    // over the token stream total (was 2.2 s at sf0.1 with the explode
+    // before the groupBy, 4 corpus-sized md5 passes)
+    val tokCounts = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val cms = tokCounts
+      .select(explode(sequence(lit(0), lit(3))).as("r"), $"tok", $"cnt")
+      .select($"r", rowHash($"r", $"tok").as("b"), $"cnt")
+      .groupBy($"r", $"b").agg(sum($"cnt").as("c"))
+    val top = tokCounts.withColumnRenamed("cnt", "exact")
       .orderBy($"exact".desc, $"tok").limit(20)
     top.select($"tok", $"exact",
         explode(sequence(lit(0), lit(3))).as("r"))

@@ -111,7 +111,10 @@ object TextOps extends QueryPack {
     * `bit_count(fp1 ^ fp2)` per candidate. */
   def qSimhashNear(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val fps = md5SimhashFps(spark, sfDir)
+    // both sides of the band self-join derive from the fingerprint table;
+    // materialize it once (5k skinny rows) so the token-hash fold doesn't
+    // run twice
+    val fps = md5SimhashFps(spark, sfDir).localCheckpoint()
     val bands = fps.select($"doc_id", $"fp",
         explode(sequence(lit(0), lit(3))).as("b"))
       .select($"doc_id", $"fp", $"b",
