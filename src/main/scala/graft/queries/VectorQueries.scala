@@ -61,7 +61,67 @@ object VectorQueries extends QueryPack {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Cross-engine-checkable ANN: sign-random-projection LSH (Charikar's
+    * hyperplane family) whose every ingredient is engine-portable, so the
+    * approximate neighbor PAIRS themselves sit under the DuckDB hash gate
+    * — the strongest verification an ANN path can get. 8 tables × 8
+    * hyperplanes over the %2 corpus sample; each hyperplane component is
+    * an md5-keyed uniform in [−1, 1), and each projection's dot-product
+    * terms round once to integer nano-units before the sum, so even the
+    * SIGN of every projection (where a 1-ulp summation difference could
+    * flip a bucket) is exact integer arithmetic in both engines.
+    * Candidates meet in a (table, 8-bit key) equi-join and rerank with
+    * the exact cosine; the xxhash-seeded [[qAnnLsh]] stays the cheap
+    * production path. */
+  def qAnnMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 2 === 0)
+    val dims = emb.select($"vec_id",
+        posexplode($"embedding").as(Seq("d", "x")))
+      .select($"vec_id", $"d", $"x".cast("double").as("x"))
+    // hyperplane components materialize ONCE (64 planes × 64 dims = 4096
+    // rows) and broadcast — hashing them per (vector, dim, plane) row
+    // recomputed each md5 n_vectors times and was 8× slower. (A nested
+    // transform/aggregate HOF over a literal plane array was tried and
+    // was 6× slower STILL: higher-order functions evaluate interpreted,
+    // outside whole-stage codegen — keep sketch folds in relational
+    // explode+groupBy form, which stays codegen'd.)
+    val planes = spark.range(0, 64).toDF("i")
+      .select($"i", explode(sequence(lit(0), lit(63))).as("d"))
+      .select($"i", $"d",
+        (conv(substring(md5(concat($"i".cast("string"), lit(":"),
+          $"d".cast("string"))), 1, 15), 16, 10).cast("long")
+          / lit(576460752303423488L) - 1.0).as("r"))
+    // integer nano-units instead of DECIMAL(18,9): round(x·r, 9) is the
+    // engine-portable quantity (established round-6/9 discipline); the
+    // second round snaps its ×1e9 image onto the exact integer, so the
+    // per-projection sum is cheap long arithmetic, still exact and
+    // order-independent (per-term BigDecimal was the hot spot)
+    val terms = dims.join(broadcast(planes), "d")
+      .select($"vec_id", expr("i div 8").as("tbl"), $"i",
+        round(round($"x" * $"r", 9) * 1e9, 0).cast("long").as("term"))
+    val bits = terms.groupBy($"vec_id", $"tbl", $"i")
+      .agg((sum($"term") > 0).as("bit"))
+    val keys = bits.groupBy($"vec_id", $"tbl")
+      .agg(sum(when($"bit", expr("shiftleft(CAST(1 AS BIGINT), i % 8)"))
+        .otherwise(0L)).as("bk"))
+    val cand = keys.select($"vec_id".as("id1"), $"tbl", $"bk")
+      .join(keys.select($"vec_id".as("id2"), $"tbl", $"bk"),
+        Seq("tbl", "bk"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2").distinct()
+    cand.join(emb.select($"vec_id".as("id1"), $"embedding".as("e1")), "id1")
+      .join(emb.select($"vec_id".as("id2"), $"embedding".as("e2")), "id2")
+      .select($"id1", $"id2",
+        round(expr("cosine_similarity(e1, e2)"), 6).as("sim"))
+      .filter($"sim" >= 0.25)
+      .orderBy($"id1", $"id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_md5" -> qAnnMd5,
     "q_knn_cosine" -> qKnnCosine,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
@@ -70,6 +130,42 @@ object VectorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical md5 hyperplanes and integer nano-unit projection terms,
+    // so bucket keys match bit-for-bit; the rerank reuses the established
+    // CAST(... AS DOUBLE[]) cosine + round(6) pattern
+    "q_ann_md5" ->
+      """WITH dims AS (
+        |  SELECT vec_id, r.d, CAST(embedding[r.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(0, 64) r(d)
+        |  WHERE vec_id % 2 = 0),
+        |terms AS (
+        |  SELECT vec_id, t.i // 8 AS tbl, t.i,
+        |    CAST(round(round(x * ((('0x' || substr(md5(t.i::VARCHAR || ':'
+        |        || d::VARCHAR), 1, 15))::BIGINT
+        |      / CAST(576460752303423488 AS DOUBLE)) - 1.0), 9)
+        |      * CAST(1000000000 AS DOUBLE), 0) AS BIGINT) AS term
+        |  FROM dims CROSS JOIN range(0, 64) t(i)),
+        |bits AS (
+        |  SELECT vec_id, tbl, i, SUM(term) > 0 AS bit
+        |  FROM terms GROUP BY vec_id, tbl, i),
+        |keys AS (
+        |  SELECT vec_id, tbl,
+        |    SUM(CASE WHEN bit THEN (1::BIGINT << (i % 8))
+        |        ELSE 0 END)::BIGINT AS bk
+        |  FROM bits GROUP BY vec_id, tbl),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bk = b.bk
+        |    AND a.vec_id < b.vec_id)
+        |SELECT id1, id2, round(list_cosine_similarity(
+        |    CAST(ea.embedding AS DOUBLE[]),
+        |    CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+        |FROM cand JOIN embeddings ea ON ea.vec_id = id1
+        |JOIN embeddings eb ON eb.vec_id = id2
+        |WHERE round(list_cosine_similarity(
+        |    CAST(ea.embedding AS DOUBLE[]),
+        |    CAST(eb.embedding AS DOUBLE[])), 6) >= 0.25
+        |ORDER BY id1, id2""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
