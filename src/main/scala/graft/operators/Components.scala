@@ -71,22 +71,32 @@ object Components {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    // fixpoint test: (edge count, order-independent XOR checksum) —
-    // equality across a composed round means the edge set is literally
-    // unchanged. XOR instead of sum: overflow-free under ANSI mode, and
-    // pair-cancellation needs duplicate rows, which distinct() rules out.
-    // (64-bit collision odds are negligible, and a collision only delays
-    // convergence detection by one round, never corrupts labels.)
+    // fixpoint probe: (edge count, order-independent XOR checksum) —
+    // the signature is a deterministic function of the edge set, so equal
+    // sets ALWAYS produce equal signatures; the only failure mode is two
+    // DIFFERENT consecutive edge sets hashing equal (~2^-64 per round),
+    // which would declare convergence early and mislabel components. The
+    // probe is therefore only a cheap fast path: an apparent fixpoint is
+    // confirmed exactly below before we trust it. XOR instead of sum:
+    // overflow-free under ANSI mode, and pair-cancellation needs duplicate
+    // rows, which the stars' trailing distinct() rules out.
     var prev = (-1L, -1L)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
-      val row = e.agg(count(lit(1)),
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val row = next.agg(count(lit(1)),
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
       val sig = (row.getLong(0), row.getLong(1))
-      converged = sig == prev
+      if (sig == prev) {
+        // exact confirm (runs once, at convergence): equal counts (from
+        // the signature's count component) + one empty set difference ⇒
+        // set equality, since both sides are duplicate-free. A colliding
+        // non-fixpoint fails this and the loop simply continues.
+        converged = e.exceptAll(next).isEmpty
+      }
       prev = sig
+      e = next
       it += 1
     }
     if (!converged)

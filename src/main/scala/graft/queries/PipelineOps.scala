@@ -126,6 +126,12 @@ object PipelineOps extends QueryPack {
   def qSampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.df(spark, sfDir, "documents")
+      // weight domain must be strictly positive: at n_chars = 0 Spark
+      // (non-ANSI) yields NULL for ln(u)/0 while DuckDB (IEEE) yields
+      // -inf, so the engines would order such rows differently. The
+      // fixture has no empty docs; the filter makes that explicit in
+      // BOTH engines rather than latent.
+      .filter($"n_chars" > 0)
       .select($"doc_id", $"n_chars",
         // u ∈ (0, 1]: 60-bit md5 value + 1 over 2^60
         ((conv(substring(md5(concat(lit("res:"), $"doc_id".cast("string"))),
@@ -159,6 +165,7 @@ object PipelineOps extends QueryPack {
         |      1, 15))::BIGINT + 1)
         |    / CAST(1152921504606846976 AS DOUBLE)) / n_chars, 9) AS key
         |FROM documents
+        |WHERE n_chars > 0
         |ORDER BY key DESC, doc_id
         |LIMIT 50""".stripMargin,
 

@@ -179,10 +179,15 @@ object TextOps extends QueryPack {
     * O(L²) PER PAIR, so at corpus scale this runs strictly downstream of a
     * candidate generator (banding / LSH / length blocking — here the
     * |Δn_chars| ≤ 40 block), never as the pair source; the prefix cap
-    * bounds the kernel. Output is the distance plus a [0,1] prefix
-    * similarity for downstream thresholding — emitting the measure rather
-    * than a keep flag keeps the whole surface under the hash gate with no
-    * cutoff-boundary risk. */
+    * bounds the kernel. The length block is realized as an EQUI-join on
+    * floor(n_chars/40) buckets — one side explodes to its bucket ±1, so
+    * every |Δ| ≤ 40 pair shares a key (|Δ| ≤ 40 ⇒ bucket diff ≤ 1) and
+    * the plan shuffles on the bucket instead of nested-looping all pairs;
+    * the exact |Δ| predicate then prunes the ≤3× superset. Each pair
+    * joins at most once (the probe side keeps its single true bucket).
+    * Output is the distance plus a [0,1] prefix similarity for downstream
+    * thresholding — emitting the measure rather than a keep flag keeps
+    * the whole surface under the hash gate with no cutoff-boundary risk. */
   def qFuzzyDist(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.df(spark, sfDir, "documents")
@@ -190,9 +195,12 @@ object TextOps extends QueryPack {
       .select($"doc_id", substring($"text", 1, 80).as("t"), $"n_chars")
     val a = docs.select($"doc_id".as("id1"), $"t".as("t1"),
       $"n_chars".as("n1"))
+      .withColumn("bkt", explode(array(
+        floor($"n1" / 40) - 1, floor($"n1" / 40), floor($"n1" / 40) + 1)))
     val b = docs.select($"doc_id".as("id2"), $"t".as("t2"),
-      $"n_chars".as("n2"))
-    a.join(b, $"id1" < $"id2" && abs($"n1" - $"n2") <= 40)
+      $"n_chars".as("n2"), floor($"n_chars" / 40).as("bkt"))
+    a.join(b, "bkt")
+      .filter($"id1" < $"id2" && abs($"n1" - $"n2") <= 40)
       .select($"id1", $"id2", levenshtein($"t1", $"t2").as("d"))
       .withColumn("prefix_sim", lit(1.0) - $"d" / 80.0)
       .orderBy($"id1", $"id2")

@@ -150,6 +150,17 @@ class PlanAuditSpec extends SparkSpec {
       "weighted sample must top-k, not global-sort:\n" + plan.take(600))
   }
 
+  test("fuzzy-dist length block plans as a bucket equi-join") {
+    // the |Δn_chars| ≤ 40 block is realized as floor(n/40)±1 bucket keys
+    // precisely so the pair source shuffles on an equi-join instead of
+    // nested-looping O(n²) pairs; a refactor back to a bare non-equi
+    // condition would silently reintroduce the BNLJ
+    val plan = planOf(graft.SparkEntry.queries("q_fuzzy_dist")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "q_fuzzy_dist must bucket-join its length block:\n" + plan.take(600))
+  }
+
   test("simhash band retrieval joins buckets, never all pairs") {
     val plan = planOf(
       graft.SparkEntry.queries("q_simhash_near")(spark, sf))
