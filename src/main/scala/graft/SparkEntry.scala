@@ -34,7 +34,8 @@ object SparkEntry {
     PipelineOps,
     LearnOps,
     GraphOps,
-    SketchOps
+    SketchOps,
+    CorpusOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

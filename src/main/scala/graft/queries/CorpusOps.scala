@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-level retrieval and tokenizer-statistics operators — the lexical
+  * complement to the vector family in [[VectorQueries]]: BM25 keyword
+  * retrieval over an inverted-index-shaped token table, and the pair
+  * statistics that drive one BPE tokenizer merge step.
+  *
+  * Scale shape: everything here aggregates the corpus down to
+  * vocabulary-sized tables FIRST (tf/df/length stats are one
+  * partial-aggregable groupBy each), then joins those skinny tables —
+  * the raw token stream is touched exactly once per statistic, and the
+  * only broadcast is the constant-size query-term / corpus-stats side.
+  *
+  * Determinism engineering (see SURVEY.md §7.4): per-term BM25 scores
+  * round once to DECIMAL(18,6) before the per-doc SUM, so the additions
+  * are exact and order-independent in both engines; ln/division libm
+  * drift is absorbed by the 6-decimal round.
+  */
+object CorpusOps extends QueryPack {
+
+  /** BM25 (Robertson–Spärck Jones, k1=1.2 b=0.75, Lucene-style
+    * ln(1 + (N-df+0.5)/(df+0.5)) idf) top-10 per query over the document
+    * corpus. The token stream collapses to tf(doc,term) / df(term) /
+    * dl(doc) in one shuffle each; the 7-row query-term table and the
+    * 1-row corpus stats broadcast, so scoring is a map-side join against
+    * tf restricted to query terms — the classic "retrieve via inverted
+    * index postings" plan, relationally. Top-10 per qid is a window
+    * row_number over the skinny scored table. */
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val toks = docs.select($"doc_id",
+      explode(TextFunctions.tokens($"text")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    // avgdl is sum/count of longs rounded to 6 — the fixture doc counts
+    // are 2·10^k so the quotient terminates within 6 decimals (exact in
+    // both engines); n_docs = docs with >= 1 token, mirrored in the SQL
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      round(sum($"dl").cast("double") / count(lit(1)), 6).as("avgdl"))
+    val qterms = Seq((1, "hash"), (1, "join"), (2, "window"), (2, "agg"),
+      (2, "stream"), (3, "slow"), (3, "scan")).toDF("qid", "term")
+    val scored = tf.join(broadcast(qterms), $"tok" === $"term")
+      .join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"qid", $"doc_id",
+        round(
+          log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+            * ($"tf" * lit(2.2))
+            / ($"tf" + lit(1.2)
+              * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")),
+          6).cast(DecimalType(18, 6)).as("s"))
+    val byDoc = scored.groupBy($"qid", $"doc_id")
+      .agg(sum($"s").as("score"))
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id".asc)
+    byDoc.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"qid", $"doc_id", $"score".cast("double").as("score"), $"rk")
+      .orderBy($"qid", $"rk")
+  }
+
+  /** One BPE merge step's pair statistics: corpus-weighted adjacent
+    * symbol-pair frequencies (Sennrich et al., ACL'16 — public
+    * algorithm). The load-bearing scale move is aggregating the corpus
+    * to the VOCABULARY before exploding pairs — pair generation runs
+    * over |vocab| rows weighted by token counts, not over every corpus
+    * token occurrence (the same order-of-magnitude cut the Count-Min
+    * sketch uses, SketchOps). Top 30 pairs = the tokenizer's next-merge
+    * candidates. */
+  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tc = Tables.df(spark, sfDir, "documents")
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      // 1-char tokens have no adjacent pair; Spark's sequence(1, 0)
+      // would generate a DESCENDING [1, 0], not an empty list
+      .filter(length($"tok") >= 2)
+    tc.select($"cnt", explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"cnt").as("total"))
+      .orderBy($"total".desc, $"pair".asc)
+      .limit(30)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> qBm25,
+    "q_bpe_merges" -> qBpeMerges
+  )
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+  val oracle: Map[String, String] = Map(
+    // identical tokenization, idf/tf-norm computed in DOUBLE (every
+    // constant CAST so DuckDB doesn't run decimal arithmetic), per-term
+    // score rounded to DECIMAL(18,6) pre-sum in both engines
+    "q_bm25" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |            round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
+        |          FROM dl),
+        |q(qid, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'window'),
+        |  (2, 'agg'), (2, 'stream'), (3, 'slow'), (3, 'scan')),
+        |sc AS (
+        |  SELECT qid, tf.doc_id,
+        |    CAST(round(
+        |      ln(CAST(1 AS DOUBLE)
+        |          + (n_docs - df + CAST(0.5 AS DOUBLE))
+        |            / (df + CAST(0.5 AS DOUBLE)))
+        |        * (tf * CAST(2.2 AS DOUBLE))
+        |        / (tf + CAST(1.2 AS DOUBLE)
+        |          * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+        |      6) AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN q ON tf.tok = q.term
+        |       JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+        |       CROSS JOIN stats),
+        |ag AS (SELECT qid, doc_id, sum(s) AS score FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id, score,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY score DESC, doc_id) AS rk
+        |       FROM ag)
+        |SELECT qid, doc_id, CAST(score AS DOUBLE) AS score,
+        |  CAST(rk AS INT) AS rk
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // range(1, n) is end-exclusive = Spark's inclusive sequence(1, n-1);
+    // sum(BIGINT) is HUGEINT in DuckDB, fold back to BIGINT
+    "q_bpe_merges" ->
+      s"""WITH tc AS (
+        |  SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY tok),
+        |p AS (
+        |  SELECT cnt, unnest(list_transform(range(1, length(tok)),
+        |    i -> substr(tok, i, 2))) AS pair
+        |  FROM tc WHERE length(tok) >= 2)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS total
+        |FROM p GROUP BY pair
+        |ORDER BY total DESC, pair ASC LIMIT 30""".stripMargin
+  )
+}

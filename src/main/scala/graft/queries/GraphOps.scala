@@ -65,8 +65,53 @@ object GraphOps extends QueryPack {
       .limit(25)
   }
 
+  /** Triangle counting over the part co-order graph (parts that appear in
+    * the same order are adjacent; `pk % 5` sample keeps the fixture graph
+    * small enough to oracle). The scale-critical trick is DEGREE
+    * ORIENTATION (Suri & Vassilvitskii, WWW'11): orient every undirected
+    * edge from its lower-(degree, id) endpoint to the higher one, which
+    * (a) makes the orientation acyclic so each triangle is counted exactly
+    * once, and (b) bounds every out-degree by O(√m), so the wedge join
+    * e1.dst = e2.src generates O(m^1.5) rows instead of Σdeg² — the
+    * "curse of the last reducer" (one celebrity node producing deg²
+    * wedges in a single task) cannot happen. All three stages are plain
+    * shuffle equi-joins. Per-order pair fan-out is bounded by order size
+    * (≤ 7 lines in TPC-H-shaped data); a production corpus with huge
+    * "orders" would cap or sample per-key first. Output: the 10 parts in
+    * the most triangles (tri-degree, desc). */
+  def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .filter($"l_partkey" % 5 === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+      .localCheckpoint() // referenced by deg and by the orientation join
+    val deg = e0.select($"u".as("node"))
+      .union(e0.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val lower = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    val o = e0
+      .join(deg.select($"node".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
+      .select(when(lower, $"u").otherwise($"v").as("src"),
+        when(lower, $"v").otherwise($"u").as("dst"))
+      .localCheckpoint() // referenced 3× by the wedge + closure joins
+    val tri = o.as("e1").join(o.as("e2"), $"e1.dst" === $"e2.src")
+      .select($"e1.src".as("a"), $"e1.dst".as("b"), $"e2.dst".as("c"))
+      .join(o.as("e3"), $"a" === $"e3.src" && $"c" === $"e3.dst")
+      .select($"a", $"b", $"c")
+    tri.select($"a".as("node"))
+      .union(tri.select($"b")).union(tri.select($"c"))
+      .groupBy($"node").agg(count(lit(1)).as("tri_cnt"))
+      .orderBy($"tri_cnt".desc, $"node".asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> qPagerank
+    "q_pagerank" -> qPagerank,
+    "q_triangles" -> qTriangles
   )
 
   private def iterSql(prev: String, cur: String): String =
@@ -95,6 +140,34 @@ object GraphOps extends QueryPack {
         |${iterSql("1", "2")},
         |${iterSql("2", "3")}
         |SELECT node, round(pr, 9) AS pr FROM p3
-        |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin
+        |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin,
+
+    "q_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_partkey % 5 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT node, count(*) AS d
+        |  FROM (SELECT u AS node FROM e0
+        |        UNION ALL SELECT v AS node FROM e0)
+        |  GROUP BY node),
+        |o AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |              THEN u ELSE v END AS src,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |              THEN v ELSE u END AS dst
+        |  FROM e0 JOIN deg du ON e0.u = du.node
+        |          JOIN deg dv ON e0.v = dv.node),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+        |       JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+        |FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY node ORDER BY tri_cnt DESC, node ASC LIMIT 10""".stripMargin
   )
 }

@@ -593,7 +593,49 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Incremental batch-vs-corpus dedup — the shape a production ingest
+    * pipeline actually runs: a NEW batch (doc_id % 7 = 3 stands in for
+    * "today's crawl") is checked against the existing corpus only, never
+    * against itself, and each batch doc is labeled `exact` (md5(text)
+    * already in the corpus), `near` (some corpus doc within SimHash
+    * Hamming ≤ 3, retrieved via the Manku 4×16-bit band equi-join — the
+    * same index [[qSimhashNear]] builds), or `new`. Both probes are
+    * batch-side-small joins: at 100 TB the corpus side is the standing
+    * md5/fingerprint index (vocabulary-thin, id + 16 bytes), the batch
+    * side is a day's crawl, and nothing ever pairs corpus×corpus. The
+    * fixture has no exact text duplicates, so `exact` is latently
+    * exercised (the branch is still plan-checked and oracled); near/new
+    * both fire. */
+  def qDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val isBatch = col("doc_id") % 7 === 3
+    val docs = Tables.df(spark, sfDir, "documents")
+    val h = docs.select($"doc_id", md5($"text").as("h"))
+    val exactIds = h.filter(isBatch)
+      .join(h.filter(!isBatch).select($"h").distinct(), "h")
+      .select($"doc_id").distinct()
+    val fps = md5SimhashFps(spark, sfDir).localCheckpoint()
+    def bands(df: DataFrame) = df
+      .select($"doc_id", $"fp", explode(sequence(lit(0), lit(3))).as("b"))
+      .select($"doc_id", $"fp", $"b",
+        expr("shiftright(fp, 16 * b) & 65535").as("bk"))
+    val nearIds = bands(fps.filter(isBatch))
+      .select($"doc_id", $"fp".as("fp1"), $"b", $"bk")
+      .join(bands(fps.filter(!isBatch))
+        .select($"fp".as("fp2"), $"b", $"bk"), Seq("b", "bk"))
+      .filter(expr("bit_count(fp1 ^ fp2)") <= 3)
+      .select($"doc_id").distinct()
+    docs.filter(isBatch).select($"doc_id")
+      .join(exactIds.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"ex" === 1, "exact").when($"nr" === 1, "near")
+          .otherwise("new").as("status"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_decontaminate" -> qDecontaminate,
     "q_repetition" -> qRepetition,
     "q_sentiment" -> qSentiment,
@@ -842,6 +884,32 @@ object TextOps extends QueryPack {
     // same fp table; band keys extract identically because both engines'
     // arithmetic >> followed by & 65535 yields the same 16 bits, and
     // bit_count counts the two's-complement pattern in both
+    // same fp table split batch/corpus; the exact probe is a plain md5
+    // semi-join and the near probe the identical band retrieval
+    "q_dedup_incremental" ->
+      (s"WITH $simhashFpCtes,\n" +
+        """bh AS (SELECT doc_id, md5(text) AS h
+          |       FROM documents WHERE doc_id % 7 = 3),
+          |ch AS (SELECT DISTINCT md5(text) AS h
+          |       FROM documents WHERE doc_id % 7 != 3),
+          |ex AS (SELECT DISTINCT doc_id FROM bh JOIN ch USING (h)),
+          |bb AS (SELECT doc_id, fp, b, (fp >> (16 * b)) & 65535 AS bk
+          |       FROM f, range(0, 4) r(b) WHERE doc_id % 7 = 3),
+          |cb AS (SELECT fp AS fp2, b, (fp >> (16 * b)) & 65535 AS bk
+          |       FROM f, range(0, 4) r(b) WHERE doc_id % 7 != 3),
+          |nr AS (SELECT DISTINCT bb.doc_id
+          |       FROM bb JOIN cb ON bb.b = cb.b AND bb.bk = cb.bk
+          |       WHERE bit_count(xor(bb.fp, cb.fp2)) <= 3)
+          |SELECT d.doc_id,
+          |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+          |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+          |       ELSE 'new' END AS status
+          |FROM documents d
+          |LEFT JOIN ex ON d.doc_id = ex.doc_id
+          |LEFT JOIN nr ON d.doc_id = nr.doc_id
+          |WHERE d.doc_id % 7 = 3
+          |ORDER BY d.doc_id""".stripMargin),
+
     "q_simhash_near" ->
       (s"WITH $simhashFpCtes,\n" +
         """bands AS (

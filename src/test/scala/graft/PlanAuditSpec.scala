@@ -150,6 +150,74 @@ class PlanAuditSpec extends SparkSpec {
       "weighted sample must top-k, not global-sort:\n" + plan.take(600))
   }
 
+  test("runtime bloom filter reaches the fact side of a selective join") {
+    // the 100 TB pattern behind "join a huge fact to a filtered dim
+    // WITHOUT broadcast": Spark's runtime bloom-filter injection builds a
+    // bloom filter from the filtered dim and applies might_contain on the
+    // fact scan, cutting the shuffle before it happens. Local fixtures are
+    // under every default size threshold, so the test pins the behavior
+    // with thresholds opened up — and restores session state after.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(c.get(k)).toOption)
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      val li = Tables.df(spark, sf, "lineitem")
+      val p = Tables.df(spark, sf, "part").filter("p_size = 1")
+      val plan = li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand").count()
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "selective dim filter must inject a runtime bloom filter on the " +
+          "fact scan side:\n" + plan.take(800))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
+
+  test("triangle counting joins stay equi-joins end to end") {
+    // degree orientation exists precisely so the wedge + closure joins
+    // are shuffle equi-joins on (src)/(dst) keys with bounded fan-out;
+    // a cartesian or condition-bearing nested loop here means the
+    // orientation was lost in a refactor
+    val plan = planOf(graft.SparkEntry.queries("q_triangles")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "q_triangles must equi-join oriented edges:\n" + plan.take(600))
+  }
+
+  test("bm25 scoring broadcasts the query terms and corpus stats") {
+    // the only non-equi join allowed is the replicate-tiny-constant
+    // cross join against the broadcast 1-row stats table; the postings
+    // join (tf x query terms) must be a broadcast hash join
+    val bnljInner = """BroadcastNestedLoopJoin[^,\n]*,\s*Inner""".r
+    val plan = planOf(graft.SparkEntry.queries("q_bm25")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "q_bm25 lost its query-term broadcast:\n" + plan.take(600))
+    assert(bnljInner.findFirstIn(plan).isEmpty &&
+      !plan.contains("CartesianProduct"),
+      "q_bm25 must not nested-loop a pair condition:\n" + plan.take(600))
+  }
+
+  test("incremental dedup probes the corpus via band equi-joins") {
+    // batch-vs-corpus must meet on (b, bk) band keys and the md5 hash —
+    // never pair batch x corpus in a nested loop
+    val plan = planOf(
+      graft.SparkEntry.queries("q_dedup_incremental")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "q_dedup_incremental must band-join the corpus:\n" + plan.take(600))
+  }
+
   test("fuzzy-dist length block plans as a bucket equi-join") {
     // the |Δn_chars| ≤ 40 block is realized as floor(n/40)±1 bucket keys
     // precisely so the pair source shuffles on an equi-join instead of
