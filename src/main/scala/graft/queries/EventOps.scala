@@ -46,11 +46,53 @@ object EventOps extends QueryPack {
         .agg(count(lit(1)).as("n_after")))
   }
 
+  /** Time-series resample + gap-fill: per-user hourly buckets, a complete
+    * hour spine from each user's first to last active hour (Spark
+    * `sequence` / DuckDB `generate_series` — both end-inclusive), and
+    * forward-filled running values over the gaps (`last(_, ignoreNulls)`
+    * ≡ `last_value(... IGNORE NULLS)`). The per-bucket sum runs in
+    * DECIMAL(18,2) so fill values are exact in both engines; epoch
+    * arithmetic (`CAST(ts AS LONG) div 3600`) mirrors the tumbling
+    * oracle's floor(epoch/width) reconstruction. Scale shape: the spine
+    * explode and both windows are partitioned by user_id — no global
+    * state, no SinglePartition exchange; spine length is bounded by each
+    * user's own activity span. */
+  def qResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val agg = Tables.df(spark, sfDir, "events")
+      .filter($"user_id" % 50 === 0)
+      // ts is TIMESTAMP_NTZ (no direct long cast); routing through LTZ in
+      // the UTC session yields the same wall-clock epoch seconds
+      .select($"user_id",
+        (expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 3600") * 3600)
+          .as("e"), $"value")
+      .groupBy($"user_id", $"e")
+      .agg(count(lit(1)).cast("int").as("n"),
+        sum($"value".cast(DecimalType(18, 2))).as("sv"))
+    val spine = agg.groupBy($"user_id")
+      .agg(min($"e").as("e0"), max($"e").as("e1"))
+      .select($"user_id",
+        explode(sequence($"e0", $"e1", lit(3600L))).as("e"))
+    val w = Window.partitionBy($"user_id").orderBy($"e")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("user_id", "e"), "left")
+      .select($"user_id",
+        timestamp_seconds($"e").cast("timestamp_ntz").as("h"),
+        coalesce($"n", lit(0)).as("n"),
+        last($"sv", ignoreNulls = true).over(w).cast("double")
+          .as("filled_sum"),
+        $"n".isNull.as("is_gap"))
+      .orderBy($"user_id", $"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling" -> qTumbling,
     "q_sliding" -> qSliding,
     "q_session" -> qSession,
-    "q_dedup_events" -> qDedupEvents
+    "q_dedup_events" -> qDedupEvents,
+    "q_resample" -> qResample
   )
 
   private val bucket5m =
@@ -100,6 +142,32 @@ object EventOps extends QueryPack {
 
     "q_dedup_events" ->
       """SELECT 2 * COUNT(*) AS n_before, COUNT(DISTINCT event_id) AS n_after
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // floor(epoch) truncation == Spark's CAST(ts AS LONG) for positive
+    // epochs; generate_series is end-inclusive like Spark's sequence;
+    // the forward fill carries an exact DECIMAL so values can't drift
+    "q_resample" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS e,
+        |    CAST(count(*) AS INT) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events WHERE user_id % 50 = 0
+        |  GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT user_id, unnest(generate_series(e0, e1, 3600)) AS e
+        |  FROM (SELECT user_id, min(e) AS e0, max(e) AS e1
+        |        FROM a GROUP BY 1)),
+        |j AS (SELECT sp.user_id, sp.e, a.n, a.sv
+        |      FROM sp LEFT JOIN a USING (user_id, e))
+        |SELECT user_id, make_timestamp(e * 1000000) AS h,
+        |  COALESCE(n, 0) AS n,
+        |  CAST(last_value(sv IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS filled_sum,
+        |  n IS NULL AS is_gap
+        |FROM j ORDER BY user_id, h""".stripMargin
   )
 }

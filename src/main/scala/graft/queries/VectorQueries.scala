@@ -19,6 +19,33 @@ object VectorQueries extends QueryPack {
       .orderBy($"qid", $"rank")
   }
 
+  /** kNN label classification: majority vote over the exact top-10 cosine
+    * neighbors' labels, with deterministic tie-breaks (votes desc, label
+    * asc). The embedding fixture's `label` column is the ground truth, so
+    * the result carries prediction + correctness per query — the
+    * label-propagation step of a semi-supervised tagging pipeline. Scale
+    * shape: identical to [[qKnnCosine]] (broadcast query set over the
+    * partitioned corpus; no all-to-all) plus two vocabulary-thin
+    * aggregations; swap the brute-force neighbor source for
+    * [[qAnnLsh]]/[[qAnnIvf]] candidates at corpus scale. */
+  def qKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val nn = Similarity.knnBruteForce(emb, queries, 10)
+    val votes = nn
+      .join(emb.select($"vec_id", $"label".as("pred")), "vec_id")
+      .groupBy($"qid", $"pred")
+      .agg(count(lit(1)).cast("int").as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"votes".desc, $"pred".asc)
+    votes.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .join(emb.select($"vec_id".as("qid"), $"label".as("truth")), "qid")
+      .select($"qid", $"pred", $"votes", $"truth",
+        ($"pred" === $"truth").as("correct"))
+      .orderBy($"qid")
+  }
+
   /** LSH-bucketed approximate neighbors (rows-only: bucket boundaries are
     * seed-dependent; recall vs brute force is unit-tested). */
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
@@ -123,6 +150,7 @@ object VectorQueries extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_md5" -> qAnnMd5,
     "q_knn_cosine" -> qKnnCosine,
+    "q_knn_classify" -> qKnnClassify,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
     "q_multimodal" -> qMultimodal,
@@ -183,6 +211,36 @@ object VectorQueries extends QueryPack {
         |SELECT qid, vec_id, sim, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // same neighbor CTE as q_knn_cosine; the vote and the argmax are
+    // integer-exact, tie-broken (votes DESC, label ASC) in both engines
+    "q_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv, label AS truth
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |p AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id != q.qid),
+        |r AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC)
+        |      AS rank
+        |  FROM p),
+        |v AS (
+        |  SELECT r.qid, e.label AS pred, CAST(count(*) AS INT) AS votes
+        |  FROM r JOIN embeddings e ON r.vec_id = e.vec_id
+        |  WHERE r.rank <= 10 GROUP BY 1, 2),
+        |top AS (
+        |  SELECT qid, pred, votes,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, pred ASC) AS rk
+        |  FROM v)
+        |SELECT t.qid, t.pred, t.votes, q.truth,
+        |  t.pred = q.truth AS correct
+        |FROM top t JOIN q ON t.qid = q.qid
+        |WHERE t.rk = 1 ORDER BY t.qid""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, 'text/plain' AS mime,

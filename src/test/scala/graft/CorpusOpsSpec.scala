@@ -93,6 +93,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("incremental dedup exact branch fires on a synthetic duplicate") {
+    // the driver fixture has no exact text duplicates, so the md5 probe's
+    // precedence over the band probe is exercised here on a synthetic
+    // table (the query reads any sfDir-shaped directory)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr")
+      .toFile.getAbsolutePath
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, base, "en", "web", base.length.toLong),
+      (2L, "completely different content about spark shuffles and joins",
+        "en", "web", 60L),
+      (3L, base, "en", "web", base.length.toLong), // batch: exact dup of 1
+      (10L, "unique new content that matches nothing in the corpus xyzzy",
+        "en", "web", 60L) // batch: novel
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.qDedupIncremental(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(3L -> "exact", 10L -> "new"))
+  }
+
   test("incremental dedup statuses match brute-force fingerprint hamming") {
     import spark.implicits._
     val fps = TextOps.md5SimhashFps(spark, sf)

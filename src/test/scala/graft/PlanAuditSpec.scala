@@ -243,8 +243,10 @@ class PlanAuditSpec extends SparkSpec {
     // that drops the partitionBy would plan Exchange SinglePartition and
     // serialize the whole corpus through one task. The final presentation
     // ORDER BY is a rangepartitioning exchange, which is fine.
+    // q_resample joins the gap-fill shape: spine explode, left join, and
+    // forward-fill window all partition by user_id
     for (name <- Seq("q_sample_stratified", "q_pack_sequences",
-        "q_mix_weighted")) {
+        "q_mix_weighted", "q_resample")) {
       val plan = planOf(graft.SparkEntry.queries(name)(spark, sf))
       assert(!plan.contains("SinglePartition"),
         s"$name must not single-partition:\n" + plan.take(800))
