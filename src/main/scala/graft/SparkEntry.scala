@@ -35,7 +35,9 @@ object SparkEntry {
     LearnOps,
     GraphOps,
     SketchOps,
-    CorpusOps
+    CorpusOps,
+    StatsOps,
+    CurateOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

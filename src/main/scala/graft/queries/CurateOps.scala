@@ -1,0 +1,287 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-curation pack: an exact set-similarity join with prefix
+  * filtering (the All-Pairs / PPJoin candidate scheme — Bayardo et al.,
+  * WWW'07; Xiao et al., WWW'08), deterministic k-means over the embedding
+  * table (the SemDeDup-style cluster-then-curate step), and quality-ranked
+  * survivorship over near-duplicate clusters.
+  *
+  * The prefix-filter pair source is the scale-relevant piece: unlike a
+  * length-banded theta join (which plans as a nested-loop), candidates come
+  * from an EQUI-join on a prefix token, so the work shuffles by key and
+  * grows with the candidate count, not n². Canonical token order here is
+  * ascending xxhash64 (frequency-agnostic, keeps the DuckDB oracle exact);
+  * a production corpus would sort by ascending document frequency instead —
+  * same theorem, strictly fewer candidates — at the cost of one extra
+  * corpus pass to count frequencies.
+  */
+object CurateOps extends QueryPack {
+
+  private val dec6 = DecimalType(18, 6)
+
+  /** Exact Jaccard-threshold pairs via prefix filtering.
+    *
+    * For sets sorted in one global order, |A∩B| >= a requires the first
+    * (|A| - a + 1) elements of A to intersect the first (|B| - a + 1) of B;
+    * J(A,B) >= num/den implies |A∩B| >= ceil(t|A|) and >= ceil(t|B|), so
+    * exploding only each set's (sz - ceil(t*sz) + 1)-element prefix and
+    * equi-joining on the prefix token is candidate-complete. The length
+    * band (t*s1 <= s2 <= s1/t) is applied in exact integer arithmetic
+    * (s2*den >= s1*num) so no boundary pair is lost to float rounding.
+    * Verification reuses the codegen merge-walk kernel over the full
+    * sorted-hash arrays.
+    */
+  private def prefixPairs(spark: SparkSession, sfDir: String,
+      subsetMod: Int, num: Int, den: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val sh = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % subsetMod === 0)
+      .select($"doc_id",
+        sort_array(array_distinct(transform(
+          array_distinct(TextFunctions.tokens($"text")),
+          t => xxhash64(t)))).as("t"))
+      .withColumn("sz", size($"t"))
+      .filter($"sz" > 0)
+    // prefix length = sz - ceil(t*sz) + 1, all-integer: ceil(num*sz/den)
+    // = (num*sz + den - 1) div den
+    val pref = sh.select($"doc_id", $"sz",
+      explode(slice($"t", lit(1),
+        ($"sz" - expr(s"(sz * $num + $den - 1) div $den") + 1)
+          .cast("int"))).as("tok"))
+    val a = pref.select($"tok", $"doc_id".as("id1"), $"sz".as("s1"))
+    val b = pref.select($"tok".as("tok2"), $"doc_id".as("id2"), $"sz".as("s2"))
+    val cand = a.join(b, $"tok" === $"tok2"
+        && $"id1" < $"id2"
+        && $"s2" * den >= $"s1" * num
+        && $"s1" * den >= $"s2" * num)
+      .select($"id1", $"id2").distinct()
+    cand
+      .join(sh.select($"doc_id".as("id1"), $"t".as("t1"), $"sz".as("s1")), "id1")
+      .join(sh.select($"doc_id".as("id2"), $"t".as("t2"), $"sz".as("s2")), "id2")
+      .withColumn("li", expr("sorted_intersect_size(t1, t2)").cast("double"))
+      .withColumn("j", $"li" / ($"s1" + $"s2" - $"li"))
+      .filter($"j" >= lit(num.toDouble / den))
+      .select($"id1", $"id2", $"j",
+        ($"li" / least($"s1", $"s2")).as("containment"))
+  }
+
+  // ---- q_prefix_join -----------------------------------------------------
+  /** Token-set similarity self-join at J >= 0.9 over the doc_id%5 subset,
+    * reporting Jaccard and containment per surviving pair. */
+  def qPrefixJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    prefixPairs(spark, sfDir, subsetMod = 5, num = 9, den = 10)
+      .select($"id1", $"id2", round($"j", 6).as("j"),
+        round($"containment", 6).as("containment"))
+      .orderBy($"id1", $"id2")
+  }
+
+  // ---- q_canonical -------------------------------------------------------
+  /** Near-duplicate survivorship: connected components over the J >= 0.75
+    * unigram pair graph (doc_id%10 subset), then ONE kept document per
+    * cluster chosen by quality rank (longest n_chars, doc_id tiebreak) —
+    * the "which copy do we keep" policy layer that follows any dedup pass.
+    * Distinct from q_dedup_cluster, which labels components and keeps the
+    * min-id representative: survivorship ranks members by a quality signal
+    * and emits the full keep/drop manifest. */
+  def qCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 10 === 0)
+    val edges = prefixPairs(spark, sfDir, subsetMod = 10, num = 3, den = 4)
+      .select($"id1".as("u"), $"id2".as("v"))
+    val cc = graft.operators.Components.connectedComponents(
+      docs.select($"doc_id".as("id")), edges)
+    val ranked = cc.select($"node".as("doc_id"), $"component".as("cluster_id"))
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster_id")
+          .orderBy($"n_chars".desc, $"doc_id".asc)))
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+    val kept = ranked.filter($"rk" === 1)
+      .select($"cluster_id", $"doc_id".as("kept_id"))
+    ranked.join(kept, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"csize", $"kept_id",
+        ($"doc_id" === $"kept_id").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  // ---- q_kmeans ----------------------------------------------------------
+  /** Deterministic k-means (k=4, 2 Lloyd iterations) over the embedding
+    * table, reporting per-cluster size and dominant label — the clustering
+    * step of cluster-based data curation. Every arithmetic step is
+    * cross-engine exact: md5-ranked seeding, per-dimension squared-diff
+    * terms rounded once to DECIMAL(20,9) and summed exactly, argmin with a
+    * (dist, cid) tiebreak, and centroid means as one double division of an
+    * exact decimal sum by the member count.
+    *
+    * Scale shape: centroids are k*d rows broadcast into a dimension-keyed
+    * join; assignment aggregates partial-combine on (vec, cid) then (vec);
+    * recompute is one (cid, d)-keyed aggregation. No window over the
+    * corpus, no collect — the same plan runs at any corpus size (k-means++
+    * init and more iterations change constants, not shape). */
+  def qKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 4
+    val emb = Tables.df(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val dims = emb.select($"vec_id", posexplode($"v").as(Seq("d", "x")))
+
+    val seeds = emb.select($"vec_id",
+        md5(concat(lit("km:"), $"vec_id".cast("string"))).as("h"))
+      .withColumn("cid", row_number().over(Window.orderBy($"h", $"vec_id")))
+      .filter($"cid" <= k)
+      .select($"vec_id", $"cid")
+    val c0 = dims.join(seeds, "vec_id").select($"cid", $"d", $"x".as("c"))
+
+    def assign(cent: DataFrame): DataFrame =
+      dims.join(broadcast(cent), "d")
+        .select($"vec_id", $"cid",
+          round(($"x" - $"c") * ($"x" - $"c"), 9)
+            .cast(DecimalType(20, 9)).as("t"))
+        .groupBy($"vec_id", $"cid").agg(sum($"t").as("dist"))
+        .groupBy($"vec_id").agg(min(struct($"dist", $"cid")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"))
+
+    def recompute(asg: DataFrame): DataFrame =
+      dims.join(asg, "vec_id")
+        .select($"cid", $"d", round($"x", 6).cast(dec6).as("xd"))
+        .groupBy($"cid", $"d")
+        .agg((sum($"xd").cast("double") / count(lit(1))).as("c"))
+
+    val a1 = assign(c0)
+    val c1 = recompute(a1)
+    val a2 = assign(c1)
+
+    val byLab = a2.join(emb.select($"vec_id", $"label"), "vec_id")
+      .groupBy($"cid", $"label").agg(count(lit(1)).as("label_n"))
+    byLab
+      .withColumn("n", sum($"label_n").over(Window.partitionBy($"cid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cid").orderBy($"label_n".desc, $"label".asc)))
+      .filter($"rk" === 1)
+      .select($"cid", $"n", $"label".as("top_label"), $"label_n".as("top_n"))
+      .orderBy($"cid")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prefix_join" -> qPrefixJoin,
+    "q_canonical" -> qCanonical,
+    "q_kmeans" -> qKmeans
+  )
+
+  private val tokSetSql =
+    "list_distinct(list_filter(string_split(lower(text), ' '), x -> x != ''))"
+
+  /** Brute-force oracle pair CTEs (the oracle may be O(n^2); the Spark
+    * side must not be): `sh` = (doc_id, distinct token list), `p` = pairs
+    * with exact double jaccard/containment. Intersection size over raw
+    * string sets equals the Spark side's over xxhash64-hashed sets. */
+  private def pairCtes(mod: Int): String =
+    s"""sh AS (
+       |  SELECT doc_id, $tokSetSql AS t
+       |  FROM documents WHERE doc_id % $mod = 0 AND len($tokSetSql) > 0),
+       |p AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+       |      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS j,
+       |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+       |      / least(len(a.t), len(b.t)) AS containment
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_prefix_join" ->
+      s"""WITH ${pairCtes(5)}
+        |SELECT id1, id2, round(j, 6) AS j,
+        |  round(containment, 6) AS containment
+        |FROM p WHERE j >= 0.9
+        |ORDER BY id1, id2""".stripMargin,
+
+    // same reach-fixpoint labeling as the q_dedup_cluster oracle, then the
+    // quality-rank survivorship window on top
+    "q_canonical" ->
+      s"""WITH RECURSIVE ${pairCtes(10)},
+        |e AS (SELECT id1 AS u, id2 AS v FROM p WHERE j >= 0.75
+        |      UNION ALL SELECT id2, id1 FROM p WHERE j >= 0.75),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM sh
+        |  UNION
+        |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+        |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        |        FROM reach GROUP BY node),
+        |ranked AS (
+        |  SELECT l.doc_id, l.cluster_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY l.cluster_id) AS csize
+        |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+        |kept AS (SELECT cluster_id, doc_id AS kept_id FROM ranked
+        |         WHERE rk = 1)
+        |SELECT r.doc_id, r.cluster_id, r.csize, k.kept_id,
+        |  r.doc_id = k.kept_id AS keep
+        |FROM ranked r JOIN kept k ON k.cluster_id = r.cluster_id
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // identical seeding, term rounding, argmin tiebreak, and centroid
+    // division; DuckDB's row_number stands in for Spark's min(struct)
+    // argmin — both compute argmin by (dist, cid)
+    "q_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, r.d,
+        |    CAST(embedding[r.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+        |seeds AS (
+        |  SELECT vec_id, row_number() OVER (
+        |    ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) AS cid
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT s.cid, v.d, v.x AS c
+        |  FROM v JOIN seeds s ON s.vec_id = v.vec_id WHERE s.cid <= 4),
+        |t1 AS (
+        |  SELECT v.vec_id, c.cid,
+        |    SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9)
+        |      AS DECIMAL(20,9))) AS dist
+        |  FROM v JOIN c0 c ON c.d = v.d GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cid) AS rk FROM t1) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT a.cid, v.d,
+        |    CAST(SUM(CAST(round(v.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS c
+        |  FROM v JOIN a1 a ON a.vec_id = v.vec_id GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT v.vec_id, c.cid,
+        |    SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9)
+        |      AS DECIMAL(20,9))) AS dist
+        |  FROM v JOIN c1 c ON c.d = v.d GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cid) AS rk FROM t2) WHERE rk = 1),
+        |bylab AS (
+        |  SELECT a.cid, e.label, count(*) AS label_n
+        |  FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(cid AS INT) AS cid, CAST(n AS BIGINT) AS n,
+        |  top_label, label_n AS top_n
+        |FROM (
+        |  SELECT cid, label AS top_label, label_n,
+        |    SUM(label_n) OVER (PARTITION BY cid) AS n,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY label_n DESC, label ASC) AS rk
+        |  FROM bylab)
+        |WHERE rk = 1
+        |ORDER BY cid""".stripMargin
+  )
+}

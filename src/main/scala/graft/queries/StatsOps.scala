@@ -1,0 +1,286 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dataset statistics / feature-engineering pack: column profiling,
+  * per-group z-score anomaly detection, exponentially-decayed rolling
+  * features, and token-distribution entropy — the "describe and score the
+  * data before training on it" steps of a curation pipeline.
+  *
+  * Determinism contract (same as LearnOps/perplexity): every floating
+  * aggregate is either (a) a sum of per-row terms rounded once to a fixed
+  * DECIMAL scale — exact integer arithmetic in both engines, immune to
+  * shuffle-order — or (b) a single double expression over such exact
+  * inputs, written with the identical operator shape in the Spark plan and
+  * the oracle SQL so IEEE evaluation is bit-identical.
+  */
+object StatsOps extends QueryPack {
+
+  private val dec6 = DecimalType(18, 6)
+
+  // ---- q_profile ---------------------------------------------------------
+  // Column profiling of lineitem: per column the non-null count, exact
+  // distinct count, and typed min/max (numeric as double, strings and the
+  // timestamp formatted). Two passes by design:
+  //   1. count/min/max run in ONE distinct-free agg (a single scan with
+  //      map-side partials). Packing the 11 countDistincts into the same
+  //      agg was measured 40x slower: Spark's multi-DISTINCT rewrite
+  //      Expands 12x and then SortAggregates with the raw column VALUES as
+  //      grouping keys — two full sorts of the expanded fact table.
+  //   2. distinct counts run over an 11-way stack into (col_name, value)
+  //      pairs — a two-level HashAggregate (partial distinct per partition,
+  //      then count per column), the shape that survives 100 TB. Values are
+  //      stringified only to share one unpivot type: any per-engine
+  //      injective cast preserves the distinct COUNT, so the DuckDB oracle
+  //      counts its raw values while Spark counts strings.
+  // The exact counts are the honest profile variant; `q_approx`/`q_hll_md5`
+  // cover the sketched path for wider tables.
+  private val profNum = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val profStr = Seq("l_returnflag", "l_linestatus")
+  // timestamp handled as a formatted string so both engines print one
+  // canonical form ("yyyy-MM-dd HH:mm:ss", UTC session)
+  private val profTs = Seq("l_shipdate")
+
+  def qProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+    val aggs =
+      profNum.flatMap(c => Seq(
+        count(col(c)).as(s"c_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))) ++
+      profStr.flatMap(c => Seq(
+        count(col(c)).as(s"c_$c"),
+        min(col(c)).as(s"mns_$c"),
+        max(col(c)).as(s"mxs_$c"))) ++
+      profTs.flatMap(c => Seq(
+        count(col(c)).as(s"c_$c"),
+        date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"mns_$c"),
+        date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"mxs_$c")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      profNum.map(c =>
+        s"'$c', c_$c, mn_$c, mx_$c, " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+      (profStr ++ profTs).map(c =>
+        s"'$c', c_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+          s"mns_$c, mxs_$c")
+    val stats = one.selectExpr(
+      s"stack(${rows.size}, ${rows.mkString(", ")}) AS " +
+        "(col_name, n_nonnull, min_num, max_num, min_str, max_str)")
+    val allCols = profNum ++ profStr ++ profTs
+    val pairs = li.selectExpr(
+      s"stack(${allCols.size}, " +
+        allCols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
+        ") AS (col_name, sval)")
+    val dist = pairs.groupBy($"col_name")
+      .agg(countDistinct($"sval").as("n_distinct"))
+    stats.join(dist, "col_name")
+      .select($"col_name", $"n_nonnull", $"n_distinct",
+        $"min_num", $"max_num", $"min_str", $"max_str")
+      .orderBy("col_name")
+  }
+
+  private def profileOracle: String = {
+    val aggs =
+      profNum.flatMap(c => Seq(
+        s"count($c) AS c_$c", s"count(DISTINCT $c) AS d_$c",
+        s"CAST(min($c) AS DOUBLE) AS mn_$c",
+        s"CAST(max($c) AS DOUBLE) AS mx_$c")) ++
+      profStr.flatMap(c => Seq(
+        s"count($c) AS c_$c", s"count(DISTINCT $c) AS d_$c",
+        s"min($c) AS mns_$c", s"max($c) AS mxs_$c")) ++
+      profTs.flatMap(c => Seq(
+        s"count($c) AS c_$c", s"count(DISTINCT $c) AS d_$c",
+        s"strftime(min($c), '%Y-%m-%d %H:%M:%S') AS mns_$c",
+        s"strftime(max($c), '%Y-%m-%d %H:%M:%S') AS mxs_$c"))
+    val selects =
+      profNum.map(c =>
+        s"SELECT '$c' AS col_name, c_$c AS n_nonnull, d_$c AS n_distinct, " +
+          s"mn_$c AS min_num, mx_$c AS max_num, " +
+          "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str " +
+          "FROM a") ++
+      (profStr ++ profTs).map(c =>
+        s"SELECT '$c', c_$c, d_$c, CAST(NULL AS DOUBLE), " +
+          s"CAST(NULL AS DOUBLE), mns_$c, mxs_$c FROM a")
+    s"""WITH a AS (SELECT ${aggs.mkString(", ")} FROM lineitem)
+       |${selects.mkString("\n|UNION ALL\n|")}
+       |ORDER BY col_name""".stripMargin
+  }
+
+  // ---- q_zscore ----------------------------------------------------------
+  /** Per-event-type z-score outliers: mean/std from exact decimal sums
+    * (value rounded once to DECIMAL(18,6); sum and sum-of-squares are then
+    * exact in both engines), the 3-sigma-ish cut applied to a double z
+    * computed with one shared formula. Scale shape: one groupBy over the
+    * stream + a broadcast join of the per-type stats back onto it — the
+    * canonical two-pass anomaly scan; no window, no global sort except the
+    * presentation ORDER BY. */
+  def qZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"event_id", $"event_type", round($"value", 6).cast(dec6).as("v"))
+    val stats = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"v").as("sx"),
+      sum(($"v" * $"v")).as("sx2"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("mu", $"sx".cast("double") / $"n")
+      .withColumn("sd", sqrt(
+        ($"sx2".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n")
+          / ($"n" - 1)))
+      .withColumn("z", round(($"v".cast("double") - $"mu") / $"sd", 6))
+      .filter(abs($"z") > lit(2.5))
+      .select($"event_id", $"event_type", $"v".cast("double").as("value"), $"z")
+      .orderBy($"event_id")
+  }
+
+  // ---- q_ewma ------------------------------------------------------------
+  /** Exponentially-weighted moving average of `value` per user over the
+    * last 20 events (decay 0.9 per step) — the decayed-engagement feature
+    * of a behavioral pipeline. The bounded lookback is expressed as an
+    * equi-join on user_id with a row-offset band (0..19), so the pair
+    * source shuffles on the join key and fans out at most 20× — no
+    * nested-loop, no unbounded window state; weights and values are
+    * decimal-rounded before the sum so the aggregate is exact, and the
+    * final EWMA is one double division of two exact decimals. */
+  def qEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val r = Tables.df(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts", round($"value", 6).cast(dec6).as("v"))
+      .withColumn("rn", row_number().over(w))
+    val cur = r.select($"user_id", $"event_id", $"rn")
+    val past = r.select($"user_id".as("uid2"), $"rn".as("sn"), $"v")
+    cur.join(past,
+        $"user_id" === $"uid2" && $"rn" >= $"sn" && $"rn" - $"sn" <= 19)
+      .withColumn("wt",
+        round(pow(lit(0.9), ($"rn" - $"sn").cast("double")), 9)
+          .cast(DecimalType(12, 9)))
+      .groupBy($"user_id", $"event_id", $"rn")
+      .agg(sum($"wt" * $"v").as("swx"), sum($"wt").as("sw"))
+      // round(6): the quotient's operands are exact decimals, but DuckDB's
+      // wide-DECIMAL(38,15)->DOUBLE cast is not correctly rounded (it
+      // diverges from Java BigDecimal.doubleValue by ~20 ulp), so the raw
+      // quotient can't be compared bit-for-bit; 6dp absorbs the cast drift
+      .withColumn("ewma",
+        round($"swx".cast("double") / $"sw".cast("double"), 6))
+      .filter($"rn" % 5 === 0)
+      .select($"user_id", $"event_id", $"rn", $"ewma")
+      .orderBy($"user_id", $"rn")
+  }
+
+  // ---- q_entropy ---------------------------------------------------------
+  /** Unigram token entropy + type-token ratio per document — the lexical-
+    * diversity quality gate (low-entropy docs are boilerplate/repetition).
+    * Per-token terms round once to DECIMAL(18,6) before the per-doc sum
+    * (exact, order-free); entropy is the negated exact sum cast to double.
+    * Scale shape: explode → two key-partitioned aggregations, no window. */
+  def qEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val cnts = docs
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+    val tot = cnts.groupBy($"doc_id")
+      .agg(sum($"cnt").as("n"), count(lit(1)).as("n_types"))
+    cnts.join(tot, "doc_id")
+      .select($"doc_id", $"n", $"n_types",
+        round(($"cnt" / $"n") * log($"cnt" / $"n"), 6).cast(dec6).as("term"))
+      .groupBy($"doc_id", $"n", $"n_types")
+      .agg((sum($"term").cast("double") * -1).as("entropy"))
+      .withColumn("ttr", $"n_types".cast("double") / $"n")
+      .withColumn("keep", $"entropy" >= 2.5)
+      .select($"doc_id", $"n".as("n_toks"), $"n_types", $"entropy", $"ttr",
+        $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> qProfile,
+    "q_zscore" -> qZscore,
+    "q_ewma" -> qEwma,
+    "q_entropy" -> qEntropy
+  )
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+  val oracle: Map[String, String] = Map(
+    "q_profile" -> profileOracle,
+
+    // identical exact decimal sums; the mu/sd/z double expressions are
+    // written with the same operator shape as the Spark plan
+    "q_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n, SUM(v) AS sx, SUM(v * v) AS sx2
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, CAST(e.v AS DOUBLE) AS value,
+        |  round((CAST(e.v AS DOUBLE) - CAST(s.sx AS DOUBLE) / s.n)
+        |    / sqrt((CAST(s.sx2 AS DOUBLE)
+        |        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n)
+        |      / (s.n - 1)), 6) AS z
+        |FROM e JOIN s ON s.event_type = e.event_type
+        |WHERE abs(round((CAST(e.v AS DOUBLE) - CAST(s.sx AS DOUBLE) / s.n)
+        |    / sqrt((CAST(s.sx2 AS DOUBLE)
+        |        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n)
+        |      / (s.n - 1)), 6)) > 2.5
+        |ORDER BY event_id""".stripMargin,
+
+    // same row-offset band pair source, same decimal weight/value rounding;
+    // DuckDB's nano timestamps floor-truncate to micros exactly like the
+    // Spark-side Tables.df read, so the row_number ordering matches
+    "q_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT a.user_id, a.event_id, a.rn,
+        |    CAST(round(pow(CAST(0.9 AS DOUBLE), a.rn - b.rn), 9)
+        |      AS DECIMAL(12,9)) AS wt,
+        |    b.v
+        |  FROM r a JOIN r b ON b.user_id = a.user_id
+        |    AND a.rn >= b.rn AND a.rn - b.rn <= 19),
+        |g AS (
+        |  SELECT user_id, event_id, rn,
+        |    SUM(wt * v) AS swx, SUM(wt) AS sw
+        |  FROM p GROUP BY user_id, event_id, rn)
+        |SELECT user_id, event_id, rn,
+        |  round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS ewma
+        |FROM g WHERE rn % 5 = 0
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q_entropy" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+        |        count(*) AS n_types
+        |      FROM c GROUP BY 1),
+        |s AS (
+        |  SELECT c.doc_id,
+        |    SUM(CAST(round((c.cnt / n.n) * ln(c.cnt / n.n), 6)
+        |      AS DECIMAL(18,6))) AS st
+        |  FROM c JOIN n USING (doc_id) GROUP BY 1)
+        |SELECT n.doc_id, n.n AS n_toks, n.n_types,
+        |  -CAST(s.st AS DOUBLE) AS entropy,
+        |  CAST(n.n_types AS DOUBLE) / n.n AS ttr,
+        |  -CAST(s.st AS DOUBLE) >= 2.5 AS keep
+        |FROM n JOIN s ON s.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.queries.{CurateOps, StatsOps}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-6 curation/statistics pack that the DuckDB hash
+  * gate can't see: prefix-filter completeness vs a brute-force reference,
+  * k-means partition invariants, survivorship policy, and the closed-form
+  * behavior of the windowed statistics. */
+class CurateStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefix-filtered join finds exactly the brute-force pair set") {
+    // brute-force reference over the same subset and token representation
+    graft.functions.SortedIntersectSize.register(spark)
+    val sh = Tables.df(spark, sf, "documents")
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id",
+        sort_array(array_distinct(transform(
+          array_distinct(TextFunctions.tokens($"text")),
+          t => xxhash64(t)))).as("t"))
+      .withColumn("sz", size($"t")).filter($"sz" > 0)
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("sorted_intersect_size(a.t, b.t)").cast("double").as("li"),
+        col("a.sz").as("s1"), col("b.sz").as("s2"))
+      .withColumn("j", $"li" / ($"s1" + $"s2" - $"li"))
+      .filter($"j" >= 0.9)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val pref = CurateOps.qPrefixJoin(spark, sf)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pref == brute,
+      s"missing=${(brute -- pref).take(5)} extra=${(pref -- brute).take(5)}")
+    assert(pref.nonEmpty, "fixture should produce at least one pair")
+  }
+
+  test("prefix join candidates avoid nested-loop plans (equi-join source)") {
+    val plan = CurateOps.qPrefixJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "prefix filter must candidate via an equi-join")
+  }
+
+  test("k-means assigns every vector to exactly one of k clusters") {
+    val out = CurateOps.qKmeans(spark, sf).collect()
+    assert(out.length <= 4 && out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n")).sum
+    val corpus = Tables.df(spark, sf, "embeddings").count()
+    assert(total == corpus, s"cluster sizes $total must partition $corpus")
+    out.foreach { r =>
+      assert(r.getAs[Long]("top_n") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("canonical keeps exactly one doc per cluster, the longest one") {
+    val out = CurateOps.qCanonical(spark, sf)
+    val perCluster = out.groupBy($"cluster_id")
+      .agg(sum(when($"keep", 1).otherwise(0)).as("n_keep")).collect()
+    assert(perCluster.forall(_.getAs[Long]("n_keep") == 1L))
+    // the kept doc has the cluster-max n_chars (ties broken by doc_id,
+    // so its n_chars still equals the max)
+    val docs = Tables.df(spark, sf, "documents").select($"doc_id", $"n_chars")
+    val bad = out.join(docs, "doc_id")
+      .withColumn("mx", max(when($"keep", $"n_chars")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
+      .filter($"n_chars" > $"mx").count()
+    assert(bad == 0, "no cluster member may be longer than its kept doc")
+  }
+
+  test("zscore flags exactly the rows beyond the threshold, both tails") {
+    val out = StatsOps.qZscore(spark, sf).collect()
+    assert(out.forall(r => math.abs(r.getAs[Double]("z")) > 2.5))
+    assert(out.nonEmpty)
+  }
+
+  test("ewma stays inside each user's observed value range (convexity)") {
+    // sum(w*x)/sum(w) with positive weights is a convex combination, so
+    // every EWMA must lie within [min, max] of the user's values
+    val ranges = Tables.df(spark, sf, "events").groupBy($"user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    val bad = StatsOps.qEwma(spark, sf).join(ranges, "user_id")
+      .filter($"ewma" < $"lo" - 1e-6 || $"ewma" > $"hi" + 1e-6).count()
+    assert(bad == 0, "EWMA is a convex combination of observed values")
+  }
+
+  test("entropy is bounded by ln(token count) and uniform docs reach it") {
+    val out = StatsOps.qEntropy(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val n = r.getAs[Long]("n_toks")
+      // each of the n_types per-token terms carries up to 5e-7 of rounding,
+      // so the exact-math bound ln(n) loosens by n_types * 5e-7
+      val slack = 5e-7 * r.getAs[Long]("n_types") + 1e-9
+      assert(h >= -slack && h <= math.log(n.toDouble) + slack,
+        s"entropy $h outside [0, ln($n)] + $slack")
+    }
+  }
+
+  test("profile covers every lineitem column with full non-null counts") {
+    val out = StatsOps.qProfile(spark, sf).collect()
+    assert(out.length == 11)
+    val total = Tables.df(spark, sf, "lineitem").count()
+    assert(out.forall(_.getAs[Long]("n_nonnull") == total))
+    // numeric rows carry numeric min/max, string rows string min/max
+    val byName = out.map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(byName("l_quantity").getAs[Double]("min_num") >= 0.0)
+    assert(byName("l_returnflag").getAs[String]("min_str") != null)
+  }
+}
