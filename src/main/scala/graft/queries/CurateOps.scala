@@ -134,6 +134,10 @@ object CurateOps extends QueryPack {
     val k = 4
     val emb = Tables.df(spark, sfDir, "embeddings")
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    // deliberately NOT checkpointed/cached: the unrolled plan re-reads
+    // dims 5x, but re-deriving scan+posexplode measured the same as a
+    // localCheckpoint materialization (the NB-classifier lesson again —
+    // recompute from a pruned columnar scan beats materializing)
     val dims = emb.select($"vec_id", posexplode($"v").as(Seq("d", "x")))
 
     val seeds = emb.select($"vec_id",

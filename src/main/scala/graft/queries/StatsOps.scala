@@ -203,11 +203,76 @@ object StatsOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_histogram -------------------------------------------------------
+  /** Equi-width histogram of l_extendedprice in 20 bins: the bucket index
+    * is floor((x - min) / width) computed with one shared double formula
+    * (no engine-specific width_bucket), clamped to the top bin so x = max
+    * lands in bin 19. Two passes: a 1-row min/max aggregate broadcast into
+    * the binning projection, then one key-partitioned aggregation — the
+    * standard distributed histogram; per-bin means come from exact decimal
+    * sums. */
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // DECIMAL(18,2), not (18,6): prices are 2-decimal money, and the
+    // narrower scale keeps every per-bin sum's unscaled value far below
+    // 2^53 — beyond that DuckDB's decimal->double cast stops being
+    // correctly rounded (the q_ewma lesson) and the avg would drift
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select(round($"l_extendedprice", 2).cast(DecimalType(18, 2)).as("v"))
+    val mm = li.agg(min($"v".cast("double")).as("mn"),
+      max($"v".cast("double")).as("mx"))
+    li.crossJoin(broadcast(mm))
+      .select($"v", $"mn", $"mx",
+        least(floor(($"v".cast("double") - $"mn")
+          / (($"mx" - $"mn") / 20)).cast("int"), lit(19)).as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        min($"mn").as("mn"), min($"mx").as("mx"))
+      .select($"bin",
+        round($"mn" + $"bin" * (($"mx" - $"mn") / 20), 6).as("lo_edge"),
+        $"n",
+        round($"sv".cast("double") / $"n", 6).as("avg_v"))
+      .orderBy($"bin")
+  }
+
+  // ---- q_mad -------------------------------------------------------------
+  /** Robust dispersion per event type: exact median, median absolute
+    * deviation (two interpolated-percentile passes written explicitly in
+    * both engines), and the count of modified-z outliers
+    * (0.6745*(v-med)/mad > 3.5) — the outlier rule that survives the
+    * heavy tails a z-score trips over. Each percentile is a per-key
+    * aggregate over the rounded-decimal values; medians round to 6dp
+    * before the deviation pass so both engines carry identical doubles. */
+  def qMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"event_type", round($"value", 6).cast(dec6).as("v"))
+      .withColumn("vd", $"v".cast("double"))
+    val med = ev.groupBy($"event_type")
+      .agg(round(expr("percentile(vd, 0.5)"), 6).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs($"vd" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(min($"med").as("med"), // constant per group; min is order-free
+        round(expr("percentile(adev, 0.5)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+    val outliers = dev.join(broadcast(
+        mad.select($"event_type", $"mad")), "event_type")
+      .filter(abs(($"vd" - $"med") * 0.6745 / $"mad") > 3.5)
+      .groupBy($"event_type").agg(count(lit(1)).as("n_outliers"))
+    mad.join(outliers, Seq("event_type"), "left")
+      .select($"event_type", $"n", $"med", $"mad",
+        coalesce($"n_outliers", lit(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> qProfile,
     "q_zscore" -> qZscore,
     "q_ewma" -> qEwma,
-    "q_entropy" -> qEntropy
+    "q_entropy" -> qEntropy,
+    "q_histogram" -> qHistogram,
+    "q_mad" -> qMad
   )
 
   private val toksSql =
@@ -263,6 +328,53 @@ object StatsOps extends QueryPack {
         |  round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS ewma
         |FROM g WHERE rn % 5 = 0
         |ORDER BY user_id, rn""".stripMargin,
+
+    // shared double binning formula (no engine width_bucket); the per-bin
+    // decimal sums stay exact and narrow enough for a clean double cast
+    "q_histogram" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS v
+        |  FROM lineitem),
+        |mm AS (
+        |  SELECT min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+        |  FROM li),
+        |b AS (
+        |  SELECT v, least(CAST(floor((CAST(v AS DOUBLE) - mn)
+        |    / ((mx - mn) / 20)) AS INT), 19) AS bin
+        |  FROM li CROSS JOIN mm),
+        |g AS (SELECT bin, count(*) AS n, SUM(v) AS sv FROM b GROUP BY bin)
+        |SELECT bin, round(mn + bin * ((mx - mn) / 20), 6) AS lo_edge, n,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS avg_v
+        |FROM g CROSS JOIN mm ORDER BY bin""".stripMargin,
+
+    // two explicit quantile_cont passes (same lo + (hi-lo)*0.5 midpoint
+    // arithmetic as Spark's percentile), medians rounded to 6dp before
+    // the deviation pass so both engines carry identical doubles
+    "q_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(CAST(v AS DOUBLE), 0.5), 6) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, CAST(e.v AS DOUBLE) AS vd, m.med,
+        |    abs(CAST(e.v AS DOUBLE) - m.med) AS adev
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, min(med) AS med,
+        |    round(quantile_cont(adev, 0.5), 6) AS mad, count(*) AS n
+        |  FROM d GROUP BY 1),
+        |o AS (
+        |  SELECT d.event_type, count(*) AS n_outliers
+        |  FROM d JOIN md USING (event_type)
+        |  WHERE abs((d.vd - d.med) * 0.6745 / md.mad) > 3.5
+        |  GROUP BY 1)
+        |SELECT md.event_type, md.n, md.med, md.mad,
+        |  COALESCE(o.n_outliers, 0) AS n_outliers
+        |FROM md LEFT JOIN o USING (event_type)
+        |ORDER BY md.event_type""".stripMargin,
 
     "q_entropy" ->
       s"""WITH t AS (

@@ -100,6 +100,28 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("histogram bins partition the table and edges are monotone") {
+    val out = StatsOps.qHistogram(spark, sf).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    val total = Tables.df(spark, sf, "lineitem").count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    val edges = out.map(r => (r.getAs[Int]("bin"), r.getAs[Double]("lo_edge")))
+    assert(edges.sortBy(_._1).sliding(2).forall {
+      case Array(a, b) => a._2 < b._2
+      case _ => true
+    })
+  }
+
+  test("mad is the median deviation: at most half the group lies closer") {
+    val out = StatsOps.qMad(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n") / 2,
+        "MAD-based outliers can never be the majority")
+    }
+  }
+
   test("profile covers every lineitem column with full non-null counts") {
     val out = StatsOps.qProfile(spark, sf).collect()
     assert(out.length == 11)
