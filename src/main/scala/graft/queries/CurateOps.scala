@@ -177,12 +177,56 @@ object CurateOps extends QueryPack {
       .orderBy($"cid")
   }
 
+  // ---- q_boilerplate -----------------------------------------------------
+  /** Per-source boilerplate stripping, the vocabulary-level analog of
+    * CCNet's cross-document paragraph dedup: a token carried by >= 80% of
+    * a source's documents is that source's boilerplate (navigation,
+    * legalese, template filler); drop every occurrence and reassemble the
+    * survivors in original order. The 80% cut compares exact integers
+    * (n_docs_with_tok * 10 >= n_docs_in_source * 8) so no ratio double is
+    * ever materialized. Scale shape: one explode, one (source, tok)-keyed
+    * distinct-doc aggregate, one equi-join back, one per-doc ordered
+    * reassembly — every stage partitions by a real key and the per-doc
+    * collect is bounded by document size. (The sentence-hash variant is
+    * the same plan keyed on lines; this fixture's synthetic sentences are
+    * all unique, so the token form is the one with observable behavior.) */
+  def qBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val toks = docs
+      .select($"doc_id", $"source",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")))
+    val srcSize = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val df = toks.groupBy($"source", $"tok")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    val kept = toks.join(df, Seq("source", "tok"))
+      .join(broadcast(srcSize), "source")
+      .filter($"n_docs" * 10 < $"n_src" * 8)
+    val reassembled = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct($"pos", $"tok"))),
+            s => s("tok")),
+          " ").as("cleaned"))
+    docs.select($"doc_id",
+        size(TextFunctions.tokens($"text")).cast("long").as("n_toks"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_toks",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        length(coalesce($"cleaned", lit(""))).cast("long").as("cleaned_len"),
+        substring(coalesce($"cleaned", lit("")), 1, 60).as("cleaned_head"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_prefix_join" -> qPrefixJoin,
     "q_canonical" -> qCanonical,
-    "q_kmeans" -> qKmeans
+    "q_kmeans" -> qKmeans,
+    "q_boilerplate" -> qBoilerplate
   )
 
+  private val toksDdb =
+    "list_filter(string_split(lower(text), ' '), x -> x != '')"
   private val tokSetSql =
     "list_distinct(list_filter(string_split(lower(text), ' '), x -> x != ''))"
 
@@ -234,6 +278,43 @@ object CurateOps extends QueryPack {
         |  r.doc_id = k.kept_id AS keep
         |FROM ranked r JOIN kept k ON k.cluster_id = r.cluster_id
         |ORDER BY r.doc_id""".stripMargin,
+
+    // same explode/count/join/reassemble chain; DuckDB's ordered
+    // string_agg mirrors the sorted-struct collect_list, and the 1-based
+    // range positions only order tokens, so the 0-based Spark posexplode
+    // yields the identical sequence; the 80% cut is exact-integer on both
+    // sides
+    "q_boilerplate" ->
+      s"""WITH ls AS (
+        |  SELECT doc_id, source, $toksDdb AS arr FROM documents),
+        |t AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(arr) + 1),
+        |      i -> struct_pack(pos := i, tok := arr[i]))) AS s
+        |  FROM ls),
+        |toks AS (
+        |  SELECT doc_id, source, s.pos AS pos, s.tok AS tok FROM t),
+        |src AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        |df AS (
+        |  SELECT source, tok, count(DISTINCT doc_id) AS n_docs
+        |  FROM toks GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok
+        |  FROM toks k
+        |  JOIN df ON df.source = k.source AND df.tok = k.tok
+        |  JOIN src ON src.source = k.source
+        |  WHERE df.n_docs * 10 < src.n_src * 8),
+        |re AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len($toksDdb) AS BIGINT) AS n_toks,
+        |  COALESCE(re.n_kept, 0) AS n_kept,
+        |  length(COALESCE(re.cleaned, '')) AS cleaned_len,
+        |  substr(COALESCE(re.cleaned, ''), 1, 60) AS cleaned_head
+        |FROM documents d LEFT JOIN re ON re.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // identical seeding, term rounding, argmin tiebreak, and centroid
     // division; DuckDB's row_number stands in for Spark's min(struct)

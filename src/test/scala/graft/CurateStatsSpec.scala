@@ -70,6 +70,20 @@ class CurateStatsSpec extends SparkSpec {
     assert(bad == 0, "no cluster member may be longer than its kept doc")
   }
 
+  test("boilerplate removal only drops tokens and never grows a doc") {
+    val out = CurateOps.qBoilerplate(spark, sf)
+      .join(Tables.df(spark, sf, "documents").select($"doc_id", $"n_chars"),
+        "doc_id").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_toks"))
+      assert(r.getAs[Long]("cleaned_len") <= r.getAs[Long]("n_chars"),
+        "reassembly is a subsequence of the original tokens")
+    }
+    assert(out.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_toks")),
+      "fixture must contain source-ubiquitous tokens that get stripped")
+  }
+
   test("zscore flags exactly the rows beyond the threshold, both tails") {
     val out = StatsOps.qZscore(spark, sf).collect()
     assert(out.forall(r => math.abs(r.getAs[Double]("z")) > 2.5))
