@@ -44,6 +44,17 @@ class CurateStatsSpec extends SparkSpec {
       "prefix filter must candidate via an equi-join")
   }
 
+  test("ewma band join and boilerplate join both plan as equi-joins") {
+    for ((name, df) <- Seq(
+        "q_ewma" -> StatsOps.qEwma(spark, sf),
+        "q_boilerplate" -> CurateOps.qBoilerplate(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name must shuffle on a key, not nested-loop")
+    }
+  }
+
   test("k-means assigns every vector to exactly one of k clusters") {
     val out = CurateOps.qKmeans(spark, sf).collect()
     assert(out.length <= 4 && out.nonEmpty)
