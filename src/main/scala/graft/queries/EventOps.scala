@@ -87,18 +87,62 @@ object EventOps extends QueryPack {
       .orderBy($"user_id", $"h")
   }
 
+  /** Last-touch attribution: every purchase is credited to the user's most
+    * recent preceding click (any lookback), via an IGNORE NULLS last_value
+    * over the per-user event order — the credit-assignment join of a
+    * funnel pipeline without any self-join: one window pass, partitioned
+    * by user. Gap is reported in exact epoch microseconds (both engines
+    * floor nano fixtures to micros identically), so no datediff boundary
+    * semantics are involved. */
+  def qAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.df(spark, sfDir, "events")
+      .withColumn("click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true)
+          .over(w))
+      .withColumn("click_ts",
+        last(when($"event_type" === "click", $"ts"), ignoreNulls = true)
+          .over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"click_id",
+        (unix_micros($"ts".cast("timestamp"))
+          - unix_micros($"click_ts".cast("timestamp"))).as("gap_us"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling" -> qTumbling,
     "q_sliding" -> qSliding,
     "q_session" -> qSession,
     "q_dedup_events" -> qDedupEvents,
-    "q_resample" -> qResample
+    "q_resample" -> qResample,
+    "q_attribution" -> qAttribution
   )
 
   private val bucket5m =
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same IGNORE NULLS last_value window, same (ts, event_id) total
+    // order; epoch_us mirrors Spark's unix_micros in the UTC session
+    "q_attribution" ->
+      """WITH a AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END
+        |      IGNORE NULLS) OVER w AS click_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, click_id,
+        |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
     "q_tumbling" ->
       s"""SELECT $bucket5m AS w_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

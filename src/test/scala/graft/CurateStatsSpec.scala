@@ -147,6 +147,17 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("attribution credits only strictly-preceding clicks") {
+    val out = graft.queries.EventOps.qAttribution(spark, sf)
+    val purchases = Tables.df(spark, sf, "events")
+      .filter($"event_type" === "purchase").count()
+    assert(out.count() == purchases, "one row per purchase, always")
+    val rows = out.filter($"click_id".isNotNull).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("gap_us") >= 0L,
+      "attributed click must not postdate the purchase"))
+  }
+
   test("profile covers every lineitem column with full non-null counts") {
     val out = StatsOps.qProfile(spark, sf).collect()
     assert(out.length == 11)
