@@ -140,10 +140,14 @@ object CurateOps extends QueryPack {
     // recompute from a pruned columnar scan beats materializing)
     val dims = emb.select($"vec_id", posexplode($"v").as(Seq("d", "x")))
 
+    // orderBy+limit BEFORE the ranking window: the top-k runs distributed
+    // (TakeOrderedAndProject, per-partition heaps) and the unpartitioned
+    // row_number only ever sees k rows — a global window over the corpus
+    // would funnel every row through one partition at scale
     val seeds = emb.select($"vec_id",
         md5(concat(lit("km:"), $"vec_id".cast("string"))).as("h"))
+      .orderBy($"h", $"vec_id").limit(k)
       .withColumn("cid", row_number().over(Window.orderBy($"h", $"vec_id")))
-      .filter($"cid" <= k)
       .select($"vec_id", $"cid")
     val c0 = dims.join(seeds, "vec_id").select($"cid", $"d", $"x".as("c"))
 

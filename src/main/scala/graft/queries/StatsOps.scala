@@ -242,7 +242,13 @@ object StatsOps extends QueryPack {
     * (0.6745*(v-med)/mad > 3.5) — the outlier rule that survives the
     * heavy tails a z-score trips over. Each percentile is a per-key
     * aggregate over the rounded-decimal values; medians round to 6dp
-    * before the deviation pass so both engines carry identical doubles. */
+    * before the deviation pass so both engines carry identical doubles.
+    *
+    * Scale note: Spark's exact `percentile` buffers a group's values in
+    * the aggregation state, so a group must fit an executor (fine for
+    * per-type groups; q_percentile carries the same caveat). For
+    * planet-sized groups swap both passes to `approx_percentile` — the
+    * plan shape is unchanged, only the oracle-exactness is traded away. */
   def qMad(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.df(spark, sfDir, "events")
