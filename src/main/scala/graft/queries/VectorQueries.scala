@@ -100,6 +100,43 @@ object VectorQueries extends QueryPack {
     * Candidates meet in a (table, 8-bit key) equi-join and rerank with
     * the exact cosine; the xxhash-seeded [[qAnnLsh]] stays the cheap
     * production path. */
+  /** Per-dimension feature standardization (the preprocessing step before
+    * any distance-based curation): z-score every embedding coordinate
+    * against its corpus column, and emit a 64-row moment signature — per
+    * dimension the count, mean, std, and the exact decimal sums of z and
+    * z² — which hash-checks the ENTIRE standardized matrix without
+    * shipping it. All moment sums follow the q_zscore discipline (values
+    * rounded once to DECIMAL(18,6); mean/std as one shared double
+    * formula); z and z² round to 6dp per term so their sums stay exact
+    * AND narrow enough for a clean decimal→double cast. Scale shape:
+    * explode → 64-key agg (map-side partials) → 64-row broadcast back →
+    * 64-key agg; no window, no global sort. */
+  def qStandardize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dims = Tables.df(spark, sfDir, "embeddings")
+      .select($"vec_id", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("d", "x")))
+      .select($"d", round($"x", 6).cast(dec6).as("xd"))
+    val stats = dims.groupBy($"d").agg(
+      count(lit(1)).as("n"), sum($"xd").as("sx"), sum($"xd" * $"xd").as("sx2"))
+    val z = dims.join(broadcast(stats), "d")
+      .withColumn("mu", $"sx".cast("double") / $"n")
+      .withColumn("sd", sqrt(
+        ($"sx2".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n")
+          / ($"n" - 1)))
+      .withColumn("z", round(($"xd".cast("double") - $"mu") / $"sd", 6)
+        .cast(dec6))
+    z.groupBy($"d").agg(
+        min($"n").as("n"),
+        round(min($"mu"), 6).as("mu"),
+        round(min($"sd"), 6).as("sd"),
+        sum($"z").cast("double").as("sum_z"),
+        sum(round($"z".cast("double") * $"z".cast("double"), 6).cast(dec6))
+          .cast("double").as("sum_z2"))
+      .orderBy($"d")
+  }
+
   def qAnnMd5(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
@@ -148,6 +185,7 @@ object VectorQueries extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_standardize" -> qStandardize,
     "q_ann_md5" -> qAnnMd5,
     "q_knn_cosine" -> qKnnCosine,
     "q_knn_classify" -> qKnnClassify,
@@ -158,6 +196,38 @@ object VectorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same q_zscore-discipline moment sums per dimension; min() collapses
+    // the per-group-constant mu/sd/n, and both z terms round to 6dp before
+    // their exact decimal sums
+    "q_standardize" ->
+      """WITH v AS (
+        |  SELECT vec_id, r.d,
+        |    CAST(round(CAST(embedding[r.d + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS xd
+        |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+        |s AS (
+        |  SELECT d, count(*) AS n, SUM(xd) AS sx, SUM(xd * xd) AS sx2
+        |  FROM v GROUP BY d),
+        |z AS (
+        |  SELECT v.d, s.n,
+        |    CAST(s.sx AS DOUBLE) / s.n AS mu,
+        |    sqrt((CAST(s.sx2 AS DOUBLE)
+        |        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n)
+        |      / (s.n - 1)) AS sd,
+        |    CAST(round((CAST(v.xd AS DOUBLE)
+        |        - CAST(s.sx AS DOUBLE) / s.n)
+        |      / sqrt((CAST(s.sx2 AS DOUBLE)
+        |          - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n)
+        |        / (s.n - 1)), 6) AS DECIMAL(18,6)) AS z
+        |  FROM v JOIN s ON s.d = v.d)
+        |SELECT CAST(d AS INT) AS d, min(n) AS n,
+        |  round(min(mu), 6) AS mu, round(min(sd), 6) AS sd,
+        |  CAST(SUM(z) AS DOUBLE) AS sum_z,
+        |  CAST(SUM(CAST(round(CAST(z AS DOUBLE) * CAST(z AS DOUBLE), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_z2
+        |FROM z GROUP BY d
+        |ORDER BY d""".stripMargin,
+
     // identical md5 hyperplanes and integer nano-unit projection terms,
     // so bucket keys match bit-for-bit; the rerank reuses the established
     // CAST(... AS DOUBLE[]) cosine + round(6) pattern

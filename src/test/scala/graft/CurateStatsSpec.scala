@@ -147,6 +147,20 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("standardized dimensions have zero mean and unit variance") {
+    val out = graft.queries.VectorQueries.qStandardize(spark, sf).collect()
+    assert(out.length == 64)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val slack = 5e-7 * n + 1e-6 // per-term 6dp rounding accumulates
+      assert(math.abs(r.getAs[Double]("sum_z")) <= slack,
+        s"sum of z-scores must vanish, got ${r.getAs[Double]("sum_z")}")
+      // sum z^2 = n-1 for sample-std standardization (z2 also rounds/term)
+      assert(math.abs(r.getAs[Double]("sum_z2") - (n - 1)) <= 5e-6 * n + 1e-3,
+        s"sum of squared z must be n-1, got ${r.getAs[Double]("sum_z2")}")
+    }
+  }
+
   test("attribution credits only strictly-preceding clicks") {
     val out = graft.queries.EventOps.qAttribution(spark, sf)
     val purchases = Tables.df(spark, sf, "events")
