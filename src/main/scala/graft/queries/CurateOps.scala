@@ -42,11 +42,16 @@ object CurateOps extends QueryPack {
       subsetMod: Int, num: Int, den: Int): DataFrame = {
     import spark.implicits._
     graft.functions.SortedIntersectSize.register(spark)
+    // tokenSet is the shared dedup-family tokenizer; the outer
+    // array_distinct guards the (~2^-64 per token pair) case of two
+    // DISTINCT tokens colliding under xxhash64 — sizes and intersections
+    // are computed over hashes, so the raw-string oracle only matches
+    // collision-free (same standing assumption as q_dedup_ngram)
     val sh = Tables.df(spark, sfDir, "documents")
       .filter($"doc_id" % subsetMod === 0)
       .select($"doc_id",
         sort_array(array_distinct(transform(
-          array_distinct(TextFunctions.tokens($"text")),
+          TextFunctions.tokenSet($"text"),
           t => xxhash64(t)))).as("t"))
       .withColumn("sz", size($"t"))
       .filter($"sz" > 0)
@@ -237,7 +242,10 @@ object CurateOps extends QueryPack {
   /** Brute-force oracle pair CTEs (the oracle may be O(n^2); the Spark
     * side must not be): `sh` = (doc_id, distinct token list), `p` = pairs
     * with exact double jaccard/containment. Intersection size over raw
-    * string sets equals the Spark side's over xxhash64-hashed sets. */
+    * string sets equals the Spark side's over xxhash64-hashed sets
+    * PROVIDED no two distinct tokens collide under xxhash64 (probability
+    * ~n_tokens^2/2^64 — the documented standing assumption of the whole
+    * hashed-shingle dedup family). */
   private def pairCtes(mod: Int): String =
     s"""sh AS (
        |  SELECT doc_id, $tokSetSql AS t
@@ -265,7 +273,11 @@ object CurateOps extends QueryPack {
         |e AS (SELECT id1 AS u, id2 AS v FROM p WHERE j >= 0.75
         |      UNION ALL SELECT id2, id1 FROM p WHERE j >= 0.75),
         |reach(node, lbl) AS (
-        |  SELECT doc_id, doc_id FROM sh
+        |  -- seed from ALL subset docs (NOT from sh, which drops
+        |  -- zero-token docs): the Spark side hands every doc_id%10 node
+        |  -- to connectedComponents, so a token-less doc must still label
+        |  -- itself a singleton here or row counts diverge
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 = 0
         |  UNION
         |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
         |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id

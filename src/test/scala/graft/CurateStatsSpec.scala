@@ -18,7 +18,7 @@ class CurateStatsSpec extends SparkSpec {
       .filter($"doc_id" % 5 === 0)
       .select($"doc_id",
         sort_array(array_distinct(transform(
-          array_distinct(TextFunctions.tokens($"text")),
+          TextFunctions.tokenSet($"text"),
           t => xxhash64(t)))).as("t"))
       .withColumn("sz", size($"t")).filter($"sz" > 0)
     val brute = sh.as("a").join(sh.as("b"),
