@@ -113,7 +113,41 @@ object EventOps extends QueryPack {
       .orderBy($"event_id")
   }
 
+  /** Batch twin of [[graft.streaming.Streams.AnomalyProcessor]]: every
+    * event scores against the running mean/std of the events BEFORE it in
+    * its type's (ts, event_id) order — identical semantics to the
+    * streaming Welford detector (warm-up of 30, |z| > 3), expressed as
+    * preceding-frame window aggregates. The running sums are of
+    * once-rounded DECIMAL(18,6) values, so they are exact integers in
+    * both engines regardless of how each engine incrementalizes its
+    * frames, and mean/std/z derive from them with one shared double
+    * formula. */
+  def qAnomalyRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.df(spark, sfDir, "events")
+      .select($"event_id", $"event_type", $"ts",
+        round($"value", 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("v"))
+      .withColumn("np", count(lit(1)).over(w))
+      .withColumn("sx", sum($"v").over(w))
+      .withColumn("sx2", sum($"v" * $"v").over(w))
+      .filter($"np" >= 30)
+      .withColumn("mu", $"sx".cast("double") / $"np")
+      .withColumn("sd", sqrt(
+        ($"sx2".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"np")
+          / ($"np" - 1)))
+      .withColumn("z", round(($"v".cast("double") - $"mu") / $"sd", 6))
+      .filter(abs($"z") > 3.0)
+      .select($"event_id", $"event_type", $"v".cast("double").as("value"),
+        $"z", $"np".as("n_seen"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_running" -> qAnomalyRunning,
     "q_tumbling" -> qTumbling,
     "q_sliding" -> qSliding,
     "q_session" -> qSession,
@@ -126,6 +160,33 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same preceding-frame decimal sums (exact integers however the
+    // engine incrementalizes frames), same shared mu/sd/z double formula
+    "q_anomaly_running" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, event_type, v,
+        |    count(*) OVER w AS np,
+        |    SUM(v) OVER w AS sx,
+        |    SUM(v * v) OVER w AS sx2
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_id, event_type, CAST(v AS DOUBLE) AS value,
+        |    round((CAST(v AS DOUBLE) - CAST(sx AS DOUBLE) / np)
+        |      / sqrt((CAST(sx2 AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / np)
+        |        / (np - 1)), 6) AS z,
+        |    np AS n_seen
+        |  FROM r WHERE np >= 30)
+        |SELECT event_id, event_type, value, z, n_seen
+        |FROM z WHERE abs(z) > 3.0
+        |ORDER BY event_id""".stripMargin,
+
     // same IGNORE NULLS last_value window, same (ts, event_id) total
     // order; epoch_us mirrors Spark's unix_micros in the UTC session
     "q_attribution" ->

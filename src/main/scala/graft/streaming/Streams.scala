@@ -238,6 +238,63 @@ object Streams {
     }
   }
 
+  case class TypedPoint(k: String, ts: java.sql.Timestamp, v: Double)
+  case class Anomaly(k: String, ts: java.sql.Timestamp, v: Double,
+      z: Double, n_seen: Long)
+  case class Moments(n: Long, mean: Double, m2: Double)
+
+  /** Online per-key anomaly detection — the STREAMING twin of the batch
+    * q_zscore two-pass: instead of a global mean/std join, each key keeps
+    * Welford running moments (n, mean, M2) in one ValueState and scores
+    * every arriving value against the statistics of the points seen
+    * BEFORE it (so an outlier can't mask itself). Emits nothing during
+    * the first `minN` warm-up points per key. State is O(keys) — three
+    * numbers per key regardless of stream length — and Welford's update
+    * is numerically stable where a naive sum-of-squares cancels
+    * catastrophically. Within a micro-batch a key's rows are processed in
+    * (ts, v) order so replays are deterministic. */
+  class AnomalyProcessor(minN: Long, zCut: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TypedPoint, Anomaly] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[Moments] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Moments]("moments",
+        org.apache.spark.sql.Encoders.product[Moments], TTLConfig.NONE)
+    override def handleInputRows(k: String, rows: Iterator[TypedPoint],
+        timerValues: TimerValues): Iterator[Anomaly] = {
+      var m = if (st.exists()) st.get() else Moments(0L, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+      rows.toSeq.sortBy(p => (p.ts.getTime, p.v)).foreach { p =>
+        if (m.n >= minN) {
+          val sd = math.sqrt(m.m2 / (m.n - 1))
+          val z = (p.v - m.mean) / sd
+          if (sd > 0 && math.abs(z) > zCut)
+            out += Anomaly(k, p.ts, p.v, z, m.n)
+        }
+        val n1 = m.n + 1
+        val d = p.v - m.mean
+        val mean1 = m.mean + d / n1
+        m = Moments(n1, mean1, m.m2 + d * (p.v - mean1))
+      }
+      st.update(m)
+      out.iterator
+    }
+  }
+
+  /** Streaming anomaly feed: scores each point against its key's running
+    * moments (see [[AnomalyProcessor]]). */
+  def anomaliesTws(points: org.apache.spark.sql.Dataset[TypedPoint],
+      minN: Long, zCut: Double)
+      : org.apache.spark.sql.Dataset[Anomaly] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_.k)
+      .transformWithState(new AnomalyProcessor(minN, zCut),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Event-time sessionization via transformWithState (requires a
     * watermark on `ts` and the RocksDB state store). */
   def sessionizeTws(events: org.apache.spark.sql.Dataset[UserEvent],

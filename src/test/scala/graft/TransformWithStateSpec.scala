@@ -83,4 +83,40 @@ class TransformWithStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("running-moment anomaly detector warms up, then flags the spike") {
+    import spark.implicits._
+    import graft.streaming.Streams.{Anomaly, TypedPoint}
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def pt(s: Int, v: Double) =
+      TypedPoint("api", Timestamp.valueOf(f"2024-01-01 00:00:$s%02d"), v)
+    val input = MemoryStream[TypedPoint]
+    val q = Streams.anomaliesTws(input.toDS(), minN = 5, zCut = 3.0)
+      .writeStream.format("memory").queryName("tws_anom")
+      .outputMode("update").start()
+    try {
+      // batch 1: ten calm points (incl. during warm-up) — nothing flagged
+      input.addData((1 to 10).map(i => pt(i, 10.0 + (i % 3))): _*)
+      q.processAllAvailable()
+      assert(spark.table("tws_anom").count() === 0,
+        "warm-up + in-band points must not alert")
+      // batch 2: a spike, scored against the moments carried in state
+      input.addData(pt(20, 1000.0), pt(21, 10.5))
+      q.processAllAvailable()
+      val hits = spark.table("tws_anom").as[Anomaly].collect()
+      assert(hits.length === 1, s"exactly the spike alerts: ${hits.toSeq}")
+      assert(hits.head.v === 1000.0 && hits.head.n_seen === 10)
+      assert(hits.head.z > 3.0)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
