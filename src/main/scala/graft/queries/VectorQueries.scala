@@ -137,6 +137,47 @@ object VectorQueries extends QueryPack {
       .orderBy($"d")
   }
 
+  /** Local Outlier Factor (Breunig et al., SIGMOD'00) over the vec_id%2
+    * embedding subset with k=5 cosine-distance neighbors — the
+    * density-based "weird sample" detector of an embedding-curation
+    * pipeline (a point's density is compared to its NEIGHBORS' densities,
+    * so a sparse-but-uniform region doesn't false-positive the way a
+    * global z-score does). Simplified top-k neighborhood (row_number
+    * tie-break, not distance-ties-inclusive) keeps every step a
+    * deterministic relational op: kNN window → k-distance aggregate →
+    * reachability join → two exact decimal sums. Distances, lrd, and lof
+    * round once to 6dp so every aggregate is engine-exact. Scale: the
+    * pair source is the broadcast brute-force kNN (fixture-sized); swap
+    * in annLshCandidates for a large corpus — downstream stages are
+    * already key-partitioned joins/aggregates. */
+  def qLof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val k = 5
+    val sub = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 2 === 0)
+    val nn = Similarity.knnBruteForce(sub, sub, k)
+      .select($"qid", $"vec_id".as("nid"),
+        (lit(1.0) - $"sim").cast(dec6).as("d"))
+    val kdist = nn.groupBy($"qid".as("p")).agg(max($"d").as("kdist"))
+    val reach = nn.join(kdist.withColumnRenamed("p", "nid"), "nid")
+      .select($"qid", $"nid", greatest($"kdist", $"d").as("reach"))
+    val lrd = reach.groupBy($"qid")
+      .agg(round(lit(k.toDouble) / sum($"reach").cast("double"), 6)
+        .cast(dec6).as("lrd"))
+    val lof = nn.select($"qid", $"nid")
+      .join(lrd.select($"qid".as("nid"), $"lrd".as("lrd_n")), "nid")
+      .groupBy($"qid").agg(sum($"lrd_n").as("slrd"))
+      .join(lrd, "qid")
+      .select($"qid".as("vec_id"),
+        round(($"slrd".cast("double") / k) / $"lrd".cast("double"), 6)
+          .as("lof"))
+    lof.join(kdist.select($"p".as("vec_id"), $"kdist"), "vec_id")
+      .select($"vec_id", $"kdist".cast("double").as("kdist"), $"lof",
+        ($"lof" > 1.3).as("outlier"))
+      .orderBy($"vec_id")
+  }
+
   def qAnnMd5(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
@@ -186,6 +227,7 @@ object VectorQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_standardize" -> qStandardize,
+    "q_lof" -> qLof,
     "q_ann_md5" -> qAnnMd5,
     "q_knn_cosine" -> qKnnCosine,
     "q_knn_classify" -> qKnnClassify,
@@ -227,6 +269,43 @@ object VectorQueries extends QueryPack {
         |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_z2
         |FROM z GROUP BY d
         |ORDER BY d""".stripMargin,
+
+    // same simplified-top-k neighborhood (d asc = sim desc, nid
+    // tie-break), same 6dp rounding of d/lrd/lof, same exact decimal
+    // sums between the double steps
+    "q_lof" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    CAST(1.0 - round(list_cosine_similarity(
+        |      CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS DECIMAL(18,6)) AS d
+        |  FROM s a JOIN s b ON a.vec_id != b.vec_id),
+        |nn AS (
+        |  SELECT qid, nid, d FROM (
+        |    SELECT qid, nid, d, row_number() OVER (PARTITION BY qid
+        |      ORDER BY d ASC, nid ASC) AS rk FROM p)
+        |  WHERE rk <= 5),
+        |kd AS (SELECT qid AS p, max(d) AS kdist FROM nn GROUP BY 1),
+        |re AS (
+        |  SELECT nn.qid, nn.nid, greatest(kd.kdist, nn.d) AS reach
+        |  FROM nn JOIN kd ON kd.p = nn.nid),
+        |lrd AS (
+        |  SELECT qid, CAST(round(5.0 / CAST(SUM(reach) AS DOUBLE), 6)
+        |    AS DECIMAL(18,6)) AS lrd
+        |  FROM re GROUP BY 1),
+        |lf AS (
+        |  SELECT nn.qid, SUM(l2.lrd) AS slrd
+        |  FROM nn JOIN lrd l2 ON l2.qid = nn.nid GROUP BY 1)
+        |SELECT lf.qid AS vec_id, CAST(kd2.kdist AS DOUBLE) AS kdist,
+        |  round((CAST(lf.slrd AS DOUBLE) / 5) / CAST(l1.lrd AS DOUBLE), 6)
+        |    AS lof,
+        |  round((CAST(lf.slrd AS DOUBLE) / 5) / CAST(l1.lrd AS DOUBLE), 6)
+        |    > 1.3 AS outlier
+        |FROM lf JOIN lrd l1 ON l1.qid = lf.qid
+        |JOIN kd kd2 ON kd2.p = lf.qid
+        |ORDER BY vec_id""".stripMargin,
 
     // identical md5 hyperplanes and integer nano-unit projection terms,
     // so bucket keys match bit-for-bit; the rerank reuses the established

@@ -161,6 +161,19 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("LOF scores are positive, finite, and mostly near 1") {
+    val out = graft.queries.VectorQueries.qLof(spark, sf).collect()
+    assert(out.nonEmpty)
+    val lofs = out.map(_.getAs[Double]("lof"))
+    assert(lofs.forall(l => l > 0 && !l.isInfinite && !l.isNaN))
+    // density-comparison property: in any corpus most points sit at the
+    // typical local density, so the bulk of LOF mass is near 1 and
+    // flagged outliers are a minority
+    val near1 = lofs.count(l => l > 0.5 && l < 2.0)
+    assert(near1 * 2 > lofs.length, s"bulk of LOF must be ~1: $near1/${lofs.length}")
+    assert(out.count(_.getAs[Boolean]("outlier")) * 2 < lofs.length)
+  }
+
   test("attribution credits only strictly-preceding clicks") {
     val out = graft.queries.EventOps.qAttribution(spark, sf)
     val purchases = Tables.df(spark, sf, "events")
