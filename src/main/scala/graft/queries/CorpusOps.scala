@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -35,6 +35,16 @@ object CorpusOps extends QueryPack {
     * row_number over the skinny scored table. */
   def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    bm25Ranked(spark, sfDir, 10)
+      .select($"qid", $"doc_id", $"score".cast("double").as("score"), $"rk")
+      .orderBy($"qid", $"rk")
+  }
+
+  /** BM25-ranked (qid, doc_id, score, rk) up to rank `k` — shared by
+    * [[qBm25]] and the RRF fusion stage of [[qHybridRrf]]. */
+  private def bm25Ranked(spark: SparkSession, sfDir: String, k: Int)
+      : DataFrame = {
+    import spark.implicits._
     val docs = Tables.df(spark, sfDir, "documents")
     val toks = docs.select($"doc_id",
       explode(TextFunctions.tokens($"text")).as("tok"))
@@ -63,8 +73,39 @@ object CorpusOps extends QueryPack {
       .agg(sum($"s").as("score"))
     val w = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id".asc)
     byDoc.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    * SIGIR'09): fuse the BM25 top-50 with the cosine top-50 (query
+    * vectors = embeddings 100·qid, joined on doc_id = vec_id) by
+    * RRF(d) = Σ 1/(60 + rank), each term rounded once to DECIMAL(12,9)
+    * so the fused score is exact. The two retrievers never see each
+    * other — fusion is one full-outer join on (qid, doc_id) plus a
+    * top-10 window — which is precisely why RRF scales: each arm keeps
+    * its own index-shaped plan, and docs outside the embedded subset
+    * simply lack the vector term. */
+  def qHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(12, 9)
+    def rrfTerm(r: Column): Column =
+      round(lit(1.0) / (lit(60) + r), 9).cast(dec9)
+    val lex = bm25Ranked(spark, sfDir, 50)
+      .select($"qid", $"doc_id", $"rk".as("r_lex"))
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val qvecs = emb.filter($"vec_id".isin(100L, 200L, 300L))
+    val vec = graft.operators.Similarity.knnBruteForce(emb, qvecs, 50)
+      .select(expr("qid div 100").cast("int").as("qid"),
+        $"vec_id".as("doc_id"), $"rank".as("r_vec"))
+    val zero = lit(0).cast(dec9)
+    lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select($"qid", $"doc_id",
+        (coalesce(rrfTerm($"r_lex"), zero)
+          + coalesce(rrfTerm($"r_vec"), zero)).as("rrf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id".asc)))
       .filter($"rk" <= 10)
-      .select($"qid", $"doc_id", $"score".cast("double").as("score"), $"rk")
+      .select($"qid", $"doc_id", $"rrf".cast("double").as("rrf"), $"rk")
       .orderBy($"qid", $"rk")
   }
 
@@ -94,7 +135,8 @@ object CorpusOps extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> qBm25,
-    "q_bpe_merges" -> qBpeMerges
+    "q_bpe_merges" -> qBpeMerges,
+    "q_hybrid_rrf" -> qHybridRrf
   )
 
   private val toksSql =
@@ -137,6 +179,69 @@ object CorpusOps extends QueryPack {
         |SELECT qid, doc_id, CAST(score AS DOUBLE) AS score,
         |  CAST(rk AS INT) AS rk
         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // same two ranked arms (BM25 chain verbatim at rank 50, cosine chain
+    // per the q_knn_cosine pattern), same once-rounded DECIMAL(12,9) RRF
+    // terms; the full-outer fusion coalesces the missing arm to 0
+    "q_hybrid_rrf" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |            round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
+        |          FROM dl),
+        |q(qid, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'window'),
+        |  (2, 'agg'), (2, 'stream'), (3, 'slow'), (3, 'scan')),
+        |sc AS (
+        |  SELECT qid, tf.doc_id,
+        |    CAST(round(
+        |      ln(CAST(1 AS DOUBLE)
+        |          + (n_docs - df + CAST(0.5 AS DOUBLE))
+        |            / (df + CAST(0.5 AS DOUBLE)))
+        |        * (tf * CAST(2.2 AS DOUBLE))
+        |        / (tf + CAST(1.2 AS DOUBLE)
+        |          * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+        |      6) AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN q ON tf.tok = q.term
+        |       JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+        |       CROSS JOIN stats),
+        |ag AS (SELECT qid, doc_id, sum(s) AS score FROM sc GROUP BY 1, 2),
+        |lex AS (SELECT qid, doc_id, rk FROM (
+        |  SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS rk
+        |  FROM ag) WHERE rk <= 50),
+        |qv AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id IN (100, 200, 300)),
+        |pv AS (
+        |  SELECT CAST(q.vec_id // 100 AS INT) AS qid, e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM qv q JOIN embeddings e ON e.vec_id != q.vec_id),
+        |vec AS (SELECT qid, doc_id, rk FROM (
+        |  SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, doc_id ASC) AS rk
+        |  FROM pv) WHERE rk <= 50),
+        |fused AS (
+        |  SELECT COALESCE(l.qid, v.qid) AS qid,
+        |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    COALESCE(CAST(round(CAST(1 AS DOUBLE) / (60 + l.rk), 9)
+        |        AS DECIMAL(12,9)), CAST(0 AS DECIMAL(12,9)))
+        |      + COALESCE(CAST(round(CAST(1 AS DOUBLE) / (60 + v.rk), 9)
+        |        AS DECIMAL(12,9)), CAST(0 AS DECIMAL(12,9))) AS rrf
+        |  FROM lex l FULL OUTER JOIN vec v
+        |    ON v.qid = l.qid AND v.doc_id = l.doc_id)
+        |SELECT qid, doc_id, CAST(rrf AS DOUBLE) AS rrf,
+        |  CAST(rk AS INT) AS rk
+        |FROM (SELECT qid, doc_id, rrf,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY rrf DESC, doc_id ASC) AS rk
+        |      FROM fused)
+        |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     // range(1, n) is end-exclusive = Spark's inclusive sequence(1, n-1);
     // sum(BIGINT) is HUGEINT in DuckDB, fold back to BIGINT

@@ -174,6 +174,17 @@ class CurateStatsSpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("outlier")) * 2 < lofs.length)
   }
 
+  test("RRF fusion scores stay in (0, 2/61] and each query fills its top-10") {
+    val out = graft.queries.CorpusOps.qHybridRrf(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Int]("qid"))
+    assert(byQ.size == 3 && byQ.values.forall(_.length == 10))
+    out.foreach { r =>
+      val s = r.getAs[Double]("rrf")
+      // one arm at rank 1 contributes 1/61; both arms at rank 1 cap it
+      assert(s > 0.0 && s <= 2.0 / 61 + 1e-9, s"rrf $s out of range")
+    }
+  }
+
   test("attribution credits only strictly-preceding clicks") {
     val out = graft.queries.EventOps.qAttribution(spark, sf)
     val purchases = Tables.df(spark, sf, "events")
