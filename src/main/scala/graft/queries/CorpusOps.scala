@@ -139,6 +139,37 @@ object CorpusOps extends QueryPack {
     "q_hybrid_rrf" -> qHybridRrf
   )
 
+  /** Shared BM25 oracle CTE chain, token stream → per-(qid, doc) summed
+    * score (`ag`) — interpolated into BOTH the q_bm25 and q_hybrid_rrf
+    * oracles so the scoring function can never drift between them (the
+    * Scala side shares `bm25Ranked` the same way). */
+  private def bm25CtesSql: String =
+    s"""toks AS (
+      |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |            round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
+      |          FROM dl),
+      |q(qid, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'window'),
+      |  (2, 'agg'), (2, 'stream'), (3, 'slow'), (3, 'scan')),
+      |sc AS (
+      |  SELECT qid, tf.doc_id,
+      |    CAST(round(
+      |      ln(CAST(1 AS DOUBLE)
+      |          + (n_docs - df + CAST(0.5 AS DOUBLE))
+      |            / (df + CAST(0.5 AS DOUBLE)))
+      |        * (tf * CAST(2.2 AS DOUBLE))
+      |        / (tf + CAST(1.2 AS DOUBLE)
+      |          * (CAST(0.25 AS DOUBLE)
+      |            + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+      |      6) AS DECIMAL(18,6)) AS s
+      |  FROM tf JOIN q ON tf.tok = q.term
+      |       JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+      |       CROSS JOIN stats),
+      |ag AS (SELECT qid, doc_id, sum(s) AS score FROM sc GROUP BY 1, 2)""".stripMargin
+
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
@@ -147,31 +178,7 @@ object CorpusOps extends QueryPack {
     // constant CAST so DuckDB doesn't run decimal arithmetic), per-term
     // score rounded to DECIMAL(18,6) pre-sum in both engines
     "q_bm25" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |            round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
-        |          FROM dl),
-        |q(qid, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'window'),
-        |  (2, 'agg'), (2, 'stream'), (3, 'slow'), (3, 'scan')),
-        |sc AS (
-        |  SELECT qid, tf.doc_id,
-        |    CAST(round(
-        |      ln(CAST(1 AS DOUBLE)
-        |          + (n_docs - df + CAST(0.5 AS DOUBLE))
-        |            / (df + CAST(0.5 AS DOUBLE)))
-        |        * (tf * CAST(2.2 AS DOUBLE))
-        |        / (tf + CAST(1.2 AS DOUBLE)
-        |          * (CAST(0.25 AS DOUBLE)
-        |            + CAST(0.75 AS DOUBLE) * dl / avgdl)),
-        |      6) AS DECIMAL(18,6)) AS s
-        |  FROM tf JOIN q ON tf.tok = q.term
-        |       JOIN dfreq USING (tok) JOIN dl USING (doc_id)
-        |       CROSS JOIN stats),
-        |ag AS (SELECT qid, doc_id, sum(s) AS score FROM sc GROUP BY 1, 2),
+      s"""WITH $bm25CtesSql,
         |rk AS (SELECT qid, doc_id, score,
         |         row_number() OVER (PARTITION BY qid
         |           ORDER BY score DESC, doc_id) AS rk
@@ -184,31 +191,7 @@ object CorpusOps extends QueryPack {
     // per the q_knn_cosine pattern), same once-rounded DECIMAL(12,9) RRF
     // terms; the full-outer fusion coalesces the missing arm to 0
     "q_hybrid_rrf" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |            round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
-        |          FROM dl),
-        |q(qid, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'window'),
-        |  (2, 'agg'), (2, 'stream'), (3, 'slow'), (3, 'scan')),
-        |sc AS (
-        |  SELECT qid, tf.doc_id,
-        |    CAST(round(
-        |      ln(CAST(1 AS DOUBLE)
-        |          + (n_docs - df + CAST(0.5 AS DOUBLE))
-        |            / (df + CAST(0.5 AS DOUBLE)))
-        |        * (tf * CAST(2.2 AS DOUBLE))
-        |        / (tf + CAST(1.2 AS DOUBLE)
-        |          * (CAST(0.25 AS DOUBLE)
-        |            + CAST(0.75 AS DOUBLE) * dl / avgdl)),
-        |      6) AS DECIMAL(18,6)) AS s
-        |  FROM tf JOIN q ON tf.tok = q.term
-        |       JOIN dfreq USING (tok) JOIN dl USING (doc_id)
-        |       CROSS JOIN stats),
-        |ag AS (SELECT qid, doc_id, sum(s) AS score FROM sc GROUP BY 1, 2),
+      s"""WITH $bm25CtesSql,
         |lex AS (SELECT qid, doc_id, rk FROM (
         |  SELECT qid, doc_id,
         |    row_number() OVER (PARTITION BY qid

@@ -124,8 +124,12 @@ object EventOps extends QueryPack {
     * formula. */
   def qAnomalyRunning(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // tie order (ts, v, event_id) — not (ts, event_id) — so same-ts rows
+    // process in the value order the streaming twin uses (TypedPoint has
+    // no event_id); equal (ts, v) pairs yield the same output multiset
+    // either way, so the twins stay in agreement
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .partitionBy($"event_type").orderBy($"ts", $"v", $"event_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     Tables.df(spark, sfDir, "events")
       .select($"event_id", $"event_type", $"ts",
@@ -135,11 +139,17 @@ object EventOps extends QueryPack {
       .withColumn("sx", sum($"v").over(w))
       .withColumn("sx2", sum($"v" * $"v").over(w))
       .filter($"np" >= 30)
-      .withColumn("mu", $"sx".cast("double") / $"np")
-      .withColumn("sd", sqrt(
+      .withColumn("vr",
         ($"sx2".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"np")
-          / ($"np" - 1)))
-      .withColumn("z", round(($"v".cast("double") - $"mu") / $"sd", 6))
+          / ($"np" - 1))
+      // CASE-guarded sd: a zero-variance (or rounding-dipped-negative)
+      // prefix must yield NULL z in BOTH engines — Spark would otherwise
+      // emit Inf/NaN rows while DuckDB NULLs the division or THROWS on
+      // sqrt(negative); NULL z fails the > 3 filter identically. The
+      // streaming twin's `sd > 0` guard drops the same rows.
+      .withColumn("sd", when($"vr" > 0, sqrt($"vr")))
+      .withColumn("z", round(($"v".cast("double") - $"sx".cast("double") / $"np")
+        / $"sd", 6))
       .filter(abs($"z") > 3.0)
       .select($"event_id", $"event_type", $"v".cast("double").as("value"),
         $"z", $"np".as("n_seen"))
@@ -161,7 +171,9 @@ object EventOps extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     // same preceding-frame decimal sums (exact integers however the
-    // engine incrementalizes frames), same shared mu/sd/z double formula
+    // engine incrementalizes frames), same shared mu/sd/z double formula,
+    // same CASE-guarded sd (NULL z on zero-variance prefixes — never
+    // sqrt(negative), never Inf), same (ts, v, event_id) tie order
     "q_anomaly_running" ->
       """WITH e AS (
         |  SELECT event_id, event_type, ts,
@@ -173,16 +185,20 @@ object EventOps extends QueryPack {
         |    SUM(v) OVER w AS sx,
         |    SUM(v * v) OVER w AS sx2
         |  FROM e
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, v, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        |  SELECT event_id, event_type, v, np, sx,
+        |    (CAST(sx2 AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / np)
+        |      / (np - 1) AS vr
+        |  FROM r WHERE np >= 30),
         |z AS (
         |  SELECT event_id, event_type, CAST(v AS DOUBLE) AS value,
         |    round((CAST(v AS DOUBLE) - CAST(sx AS DOUBLE) / np)
-        |      / sqrt((CAST(sx2 AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / np)
-        |        / (np - 1)), 6) AS z,
+        |      / (CASE WHEN vr > 0 THEN sqrt(vr) END), 6) AS z,
         |    np AS n_seen
-        |  FROM r WHERE np >= 30)
+        |  FROM g)
         |SELECT event_id, event_type, value, z, n_seen
         |FROM z WHERE abs(z) > 3.0
         |ORDER BY event_id""".stripMargin,

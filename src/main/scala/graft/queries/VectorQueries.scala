@@ -162,9 +162,16 @@ object VectorQueries extends QueryPack {
     val kdist = nn.groupBy($"qid".as("p")).agg(max($"d").as("kdist"))
     val reach = nn.join(kdist.withColumnRenamed("p", "nid"), "nid")
       .select($"qid", $"nid", greatest($"kdist", $"d").as("reach"))
+    // CASE guard: >= k+1 identical vectors make a neighborhood's reach
+    // sum 0 — lrd must go NULL in both engines (Spark would cast Inf to
+    // NULL/throw under ANSI, DuckDB would throw on CAST(inf AS DECIMAL));
+    // NULL lrd propagates to NULL lof for the affected points only
     val lrd = reach.groupBy($"qid")
-      .agg(round(lit(k.toDouble) / sum($"reach").cast("double"), 6)
-        .cast(dec6).as("lrd"))
+      .agg(sum($"reach").as("sr"))
+      .select($"qid",
+        when($"sr" > 0,
+          round(lit(k.toDouble) / $"sr".cast("double"), 6).cast(dec6))
+          .as("lrd"))
     val lof = nn.select($"qid", $"nid")
       .join(lrd.select($"qid".as("nid"), $"lrd".as("lrd_n")), "nid")
       .groupBy($"qid").agg(sum($"lrd_n").as("slrd"))
@@ -292,8 +299,9 @@ object VectorQueries extends QueryPack {
         |  SELECT nn.qid, nn.nid, greatest(kd.kdist, nn.d) AS reach
         |  FROM nn JOIN kd ON kd.p = nn.nid),
         |lrd AS (
-        |  SELECT qid, CAST(round(5.0 / CAST(SUM(reach) AS DOUBLE), 6)
-        |    AS DECIMAL(18,6)) AS lrd
+        |  SELECT qid, CASE WHEN SUM(reach) > 0 THEN
+        |      CAST(round(5.0 / CAST(SUM(reach) AS DOUBLE), 6)
+        |        AS DECIMAL(18,6)) END AS lrd
         |  FROM re GROUP BY 1),
         |lf AS (
         |  SELECT nn.qid, SUM(l2.lrd) AS slrd

@@ -252,7 +252,13 @@ object Streams {
     * numbers per key regardless of stream length — and Welford's update
     * is numerically stable where a naive sum-of-squares cancels
     * catastrophically. Within a micro-batch a key's rows are processed in
-    * (ts, v) order so replays are deterministic. */
+    * (ts, v) order so replays are deterministic; the batch twin
+    * (q_anomaly_running) uses the same (ts, v) tie order. Zero-variance
+    * history yields NO alert in either twin (the `sd > 0` guard here, a
+    * NULL z there): with every prior point identical there is no scale to
+    * score against — a spike after a constant prefix is absorbed, not
+    * flagged. Callers needing that case add an absolute-band rule; a
+    * z-score cannot express it. */
   class AnomalyProcessor(minN: Long, zCut: Double)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, TypedPoint, Anomaly] {
