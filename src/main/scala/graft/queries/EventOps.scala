@@ -156,7 +156,32 @@ object EventOps extends QueryPack {
       .orderBy($"event_id")
   }
 
+  /** Type-2 slowly-changing-dimension history from the event stream: each
+    * user's event_type acts as the tracked attribute, and consecutive
+    * CHANGES become versioned rows with [valid_from, valid_to) intervals
+    * and an is_current flag — the standard warehouse temporal-dimension
+    * build, as one window pass (lag to detect changes, lead on the change
+    * rows to close intervals). No self-join, no MERGE loop; at scale this
+    * is exactly how a daily SCD-2 rebuild runs over a partitioned log. */
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val changes = Tables.df(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts", $"event_type".as("state"))
+      .withColumn("prev", lag($"state", 1).over(byUser))
+      .filter($"prev".isNull || $"prev" =!= $"state")
+    changes
+      .withColumn("valid_to", lead($"ts", 1).over(byUser))
+      .withColumn("version", row_number().over(byUser))
+      .select($"user_id", $"version", $"state",
+        $"ts".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> qScd2,
     "q_anomaly_running" -> qAnomalyRunning,
     "q_tumbling" -> qTumbling,
     "q_sliding" -> qSliding,
@@ -170,6 +195,27 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same change-detection lag + interval-closing lead over the change
+    // rows, same (ts, event_id) total order
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type AS state,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, ts, state FROM e
+        |  WHERE prev IS NULL OR prev != state),
+        |v AS (
+        |  SELECT user_id, state, ts AS valid_from,
+        |    lead(ts, 1) OVER w AS valid_to,
+        |    row_number() OVER w AS version
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(version AS INT) AS version, state,
+        |  valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
     // same preceding-frame decimal sums (exact integers however the
     // engine incrementalizes frames), same shared mu/sd/z double formula,
     // same CASE-guarded sd (NULL z on zero-variance prefixes — never

@@ -185,6 +185,28 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("SCD-2 intervals chain without gaps and one version is current") {
+    val out = graft.queries.EventOps.qScd2(spark, sf)
+    val perUser = out.groupBy($"user_id")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("n_cur"),
+        max($"version").as("maxv"), count(lit(1)).as("n"))
+      .collect()
+    assert(perUser.nonEmpty)
+    perUser.foreach { r =>
+      assert(r.getAs[Long]("n_cur") == 1L, "exactly one open version")
+      assert(r.getAs[Int]("maxv").toLong == r.getAs[Long]("n"),
+        "versions are consecutive from 1")
+    }
+    // each closed interval ends exactly where the next one starts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"version")
+    val gaps = out
+      .withColumn("next_from", lead($"valid_from", 1).over(w))
+      .filter($"valid_to".isNotNull && $"valid_to" =!= $"next_from")
+      .count()
+    assert(gaps == 0, "history must tile the timeline")
+  }
+
   test("attribution credits only strictly-preceding clicks") {
     val out = graft.queries.EventOps.qAttribution(spark, sf)
     val purchases = Tables.df(spark, sf, "events")
