@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated quantiles with the histogram-refine two-pass shape.
+  *
+  * Spark's built-in exact `percentile` aggregate buffers every value of the
+  * group in one aggregation state, so a GLOBAL quantile (one group = the
+  * whole table) ships the entire column through a single reducer — fine for
+  * per-key groups, a guaranteed OOM at 100 TB. This kernel keeps every step
+  * distributed and codegen-friendly:
+  *
+  *   1. one scan → global (min, max, count);
+  *   2. one key-partitioned aggregation → a fixed-width histogram of
+  *      `buckets` coarse cells (the only shuffle that sees every row);
+  *   3. a cumulative count over the ≤`buckets`-row histogram (bounded
+  *      single-partition window — `buckets` rows, not data-scale) locates
+  *      which cell contains each target rank pos = (n-1)·frac;
+  *   4. rank-refine ONLY inside the ≤2·|fracs| hit cells (row_number
+  *      windows partitioned by cell, each ~n/buckets rows), then linear
+  *      interpolation b = lo + (pos−⌊pos⌋)·(hi−lo) — the same arithmetic
+  *      shape as SQL quantile_cont, so results oracle-compare exactly.
+  *
+  * At 1000× data, raise `buckets` so n/buckets stays executor-sized; the
+  * plan shape is unchanged. Values tied across a cell boundary cannot
+  * happen (cells partition the value domain), so per-cell row_number is a
+  * consistent global ranking.
+  */
+object Quantiles {
+
+  /** Quantile boundaries of `valueCol` (cast to double) at `fracs`:
+    * one row per frac, columns (frac, b), b unrounded. NULLs in `valueCol`
+    * are excluded (as in SQL percentile/quantile_cont); `df` must have at
+    * least one non-null value. */
+  def exactQuantiles(df: DataFrame, valueCol: Column, fracs: Seq[Double],
+      buckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val v = df.select(valueCol.cast("double").as("vd")).filter($"vd".isNotNull)
+    val mm = v.agg(min($"vd").as("mn"), max($"vd").as("mx"),
+      count(lit(1)).as("n"))
+
+    // coarse cell per row; a degenerate (all-equal) column lands in cell 0
+    val bucketed = v.crossJoin(broadcast(mm))
+      .select($"vd",
+        when($"mx" === $"mn", lit(0)).otherwise(
+          least(floor(($"vd" - $"mn") / (($"mx" - $"mn") / buckets))
+            .cast("int"), lit(buckets - 1))).as("bkt"))
+    val wb = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bucketed.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(sum($"cnt").over(wb), lit(0L)))
+
+    // the two ranks bracketing pos = (n-1)*frac, 1-indexed; `which` 0 = the
+    // floor side, 1 = the ceiling side of the interpolation
+    val targets = fracs.toDF("frac")
+      .crossJoin(broadcast(mm.select($"n")))
+      .select($"frac", (($"n" - 1) * $"frac").as("pos"))
+      .select($"frac", floor($"pos").cast("long").as("k0"),
+        ($"pos" - floor($"pos")).as("fp"))
+    val ranks = targets
+      .select($"frac", $"fp", posexplode(array($"k0" + 1, $"k0" + 2)))
+      .toDF("frac", "fp", "which", "k")
+    // locate each rank's cell: |fracs|×buckets row band join, both tiny
+    val kb = ranks.join(broadcast(cum),
+        $"cum_before" < $"k" && $"k" <= $"cum_before" + $"cnt")
+      .select($"frac", $"fp", $"which", $"bkt",
+        ($"k" - $"cum_before").as("rk"))
+
+    // refine: row_number only inside the hit cells, equi-join on (bkt, rk)
+    val needed = kb.select($"bkt").distinct()
+    val wr = Window.partitionBy($"bkt").orderBy($"vd")
+    val ranked = bucketed.join(broadcast(needed), "bkt")
+      .withColumn("rk", row_number().over(wr).cast("long"))
+    val hit = ranked.join(broadcast(kb), Seq("bkt", "rk"))
+
+    // the ceiling rank k0+2 can fall off the table's end when pos is
+    // integral there — its interpolation weight is exactly 0, so lo stands
+    hit.groupBy($"frac", $"fp")
+      .agg(min(when($"which" === 0, $"vd")).as("lo"),
+        min(when($"which" === 1, $"vd")).as("hi"))
+      .select($"frac",
+        ($"lo" + $"fp" * (coalesce($"hi", $"lo") - $"lo")).as("b"))
+  }
+}

@@ -235,6 +235,40 @@ object StatsOps extends QueryPack {
       .orderBy($"bin")
   }
 
+  // ---- q_bin_quantile ----------------------------------------------------
+  /** Equal-frequency binning (the quantile complement of q_histogram's
+    * equi-width bins): 19 interior boundaries from the DISTRIBUTED exact-
+    * quantile kernel (operators/Quantiles.scala — histogram-refine, no
+    * single-group percentile buffer), collected into one 19-double array
+    * (a 1-row aggregate, not data-scale) and broadcast into a boundary-
+    * count projection: bin(v) = #{i : v > b_i}, an exact comparison of
+    * deterministic 6dp-rounded doubles, so no rank/ntile global window is
+    * needed and the assignment is map-side at any scale. Ties at a
+    * boundary all land in the same bin, so bins are only approximately
+    * equal-sized on tied data — the correct behavior (ntile would split
+    * ties arbitrarily and be non-deterministic under re-partitioning).
+    * The boundary count is a static sum of 19 GetArrayItem comparisons,
+    * not an `aggregate(transform(...))` lambda fold — HOF lambdas evaluate
+    * interpreted outside whole-stage codegen. */
+  def qBinQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select(round($"l_extendedprice", 2).cast(DecimalType(18, 2)).as("v"))
+      .withColumn("vd", $"v".cast("double"))
+    val bounds = graft.operators.Quantiles
+      .exactQuantiles(li, $"vd", (1 to 19).map(_ / 20.0))
+      .agg(array_sort(collect_list(round($"b", 6))).as("bs"))
+    val binExpr = (1 to 19)
+      .map(i => when($"vd" > element_at($"bs", i), 1).otherwise(0))
+      .reduce(_ + _)
+    li.crossJoin(broadcast(bounds))
+      .select($"v", $"vd", binExpr.as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"vd").as("lo"), max($"vd").as("hi"))
+      .orderBy($"bin")
+  }
+
   // ---- q_mad -------------------------------------------------------------
   /** Robust dispersion per event type: exact median, median absolute
     * deviation (two interpolated-percentile passes written explicitly in
@@ -278,6 +312,7 @@ object StatsOps extends QueryPack {
     "q_ewma" -> qEwma,
     "q_entropy" -> qEntropy,
     "q_histogram" -> qHistogram,
+    "q_bin_quantile" -> qBinQuantile,
     "q_mad" -> qMad
   )
 
@@ -352,6 +387,29 @@ object StatsOps extends QueryPack {
         |SELECT bin, round(mn + bin * ((mx - mn) / 20), 6) AS lo_edge, n,
         |  round(CAST(sv AS DOUBLE) / n, 6) AS avg_v
         |FROM g CROSS JOIN mm ORDER BY bin""".stripMargin,
+
+    // quantile_cont over the same fraction ladder (identical linear
+    // interpolation as Spark's percentile at position (n-1)*f), each
+    // boundary rounded to 6dp so both engines compare against identical
+    // doubles; bin = #{boundaries strictly below v} in both plans
+    "q_bin_quantile" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS v,
+        |    CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS DOUBLE)
+        |      AS vd
+        |  FROM lineitem),
+        |bounds AS (
+        |  SELECT list_transform(
+        |    quantile_cont(vd, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4,
+        |      0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]),
+        |    b -> round(b, 6)) AS bs
+        |  FROM li),
+        |binned AS (
+        |  SELECT vd,
+        |    CAST(len(list_filter(bs, b -> vd > b)) AS INT) AS bin
+        |  FROM li CROSS JOIN bounds)
+        |SELECT bin, count(*) AS n, min(vd) AS lo, max(vd) AS hi
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
     // two explicit quantile_cont passes (same lo + (hi-lo)*0.5 midpoint
     // arithmetic as Spark's percentile), medians rounded to 6dp before

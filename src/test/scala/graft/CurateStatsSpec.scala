@@ -137,6 +137,28 @@ class CurateStatsSpec extends SparkSpec {
     })
   }
 
+  test("quantile bins partition the table into near-equal tiles") {
+    val out = StatsOps.qBinQuantile(spark, sf).collect()
+    val total = Tables.df(spark, sf, "lineitem").count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    assert(out.length <= 20 && out.nonEmpty)
+    // tiles are contiguous: each bin's hi never exceeds the next bin's lo
+    val sorted = out.sortBy(_.getAs[Int]("bin"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9,
+          s"bins ${a.getAs[Int]("bin")} and ${b.getAs[Int]("bin")} overlap")
+      case _ => ()
+    }
+    // equal-frequency up to boundary ties: on near-unique prices every
+    // tile holds within 3x of the ideal 1/20 share
+    val ideal = total / 20.0
+    sorted.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(n <= 3 * ideal, s"bin ${r.getAs[Int]("bin")} has $n >> $ideal")
+    }
+  }
+
   test("mad is the median deviation: at most half the group lies closer") {
     val out = StatsOps.qMad(spark, sf).collect()
     assert(out.nonEmpty)
