@@ -120,6 +120,83 @@ object CurateOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_dup_spans -------------------------------------------------------
+  /** ExactSubstr-flavored duplicated-span detection (the signal behind
+    * substring-level dedup, Lee et al. ACL'22 "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, how many of its
+    * 8-token windows also occur verbatim in ANOTHER document, and the
+    * duplicated fraction. The paper finds spans of any length with a
+    * suffix array; the fixed-k rolling window is the distributable
+    * relational core of the same signal (k=8 fits the short fixture docs;
+    * the paper uses 50 BPE tokens).
+    *
+    * Scale shape: windows come from 7 lead() columns in ONE per-doc window
+    * pass (row count = token count, partitions bounded by doc length);
+    * span identity is xxhash64 of the window text (8 shuffled bytes, not a
+    * ~50-char string; counts equal the raw-string oracle's collision-free
+    * — the standing hashed-shingle assumption); cross-doc occurrence is a
+    * two-level (span, doc) → span aggregation and one span-keyed join
+    * back. No pair join anywhere — cost grows with corpus token count,
+    * never docs². */
+  def qDupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val docs = Tables.df(spark, sfDir, "documents")
+    val toks = docs.select($"doc_id",
+      posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val leads = (1 until k).map(i => lead($"tok", i).over(w))
+    // concat_ws skips NULLs, so a tail window short of k tokens would
+    // silently concat short — the lead(k-1) non-null filter removes them
+    val spans = toks
+      .select($"doc_id", concat_ws(" ", ($"tok" +: leads): _*).as("span"),
+        leads.last.isNotNull.as("full"))
+      .filter($"full")
+      .select($"doc_id", xxhash64($"span").as("h"))
+    val nd = spans.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
+    val perDoc = spans.join(nd, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_windows", lit(0L)).as("n_windows"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"),
+        coalesce(round($"n_dup".cast("double") / $"n_windows", 6), lit(0.0))
+          .as("dup_frac"))
+      .withColumn("flag_dup", $"dup_frac" >= 0.5)
+      .orderBy($"doc_id")
+  }
+
+  // ---- q_split_leakproof -------------------------------------------------
+  /** Near-dup-aware train/val/test split: the split is a deterministic
+    * md5 bucket of the near-duplicate CLUSTER id, not the document id, so
+    * two near-duplicate documents can never land in different splits —
+    * the standard guard against train→test contamination through
+    * surviving near-copies. Components over the J >= 0.75 prefix-filtered
+    * pair graph (doc_id%10 subset, same edges as q_canonical), then
+    * bucket = first 4 md5 hex digits of "split:"+cluster_id mod 10 →
+    * 0-7 train / 8 val / 9 test. Everything is key-partitioned: the
+    * cluster labeling is the star-contraction loop, the assignment is a
+    * map-side projection of the label. */
+  def qSplitLeakproof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 10 === 0)
+    val edges = prefixPairs(spark, sfDir, subsetMod = 10, num = 3, den = 4)
+      .select($"id1".as("u"), $"id2".as("v"))
+    val cc = graft.operators.Components.connectedComponents(
+      docs.select($"doc_id".as("id")), edges)
+    cc.select($"node".as("doc_id"), $"component".as("cluster_id"))
+      .withColumn("bkt",
+        conv(substring(md5(concat(lit("split:"),
+          $"cluster_id".cast("string"))), 1, 4), 16, 10).cast("long") % 10)
+      .select($"doc_id", $"cluster_id",
+        when($"bkt" <= 7, "train").when($"bkt" === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   // ---- q_kmeans ----------------------------------------------------------
   /** Deterministic k-means (k=4, 2 Lloyd iterations) over the embedding
     * table, reporting per-cluster size and dominant label — the clustering
@@ -231,7 +308,9 @@ object CurateOps extends QueryPack {
     "q_prefix_join" -> qPrefixJoin,
     "q_canonical" -> qCanonical,
     "q_kmeans" -> qKmeans,
-    "q_boilerplate" -> qBoilerplate
+    "q_boilerplate" -> qBoilerplate,
+    "q_dup_spans" -> qDupSpans,
+    "q_split_leakproof" -> qSplitLeakproof
   )
 
   private val toksDdb =
@@ -331,6 +410,56 @@ object CurateOps extends QueryPack {
         |  substr(COALESCE(re.cleaned, ''), 1, 60) AS cleaned_head
         |FROM documents d LEFT JOIN re ON re.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // raw-string spans stand in for the xxhash64 span keys (counts are
+    // identical collision-free); unnest(range) generates the same
+    // 1..len-7 window starts the Spark lead() pass produces
+    "q_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksDdb AS toks FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |  FROM t WHERE len(toks) >= 8),
+        |w AS (
+        |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ')
+        |    AS span
+        |  FROM u),
+        |s AS (SELECT span, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1),
+        |d AS (
+        |  SELECT w.doc_id, count(*) AS n_windows,
+        |    CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM w JOIN s USING (span) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  COALESCE(d.n_windows, 0) AS n_windows,
+        |  COALESCE(d.n_dup, 0) AS n_dup,
+        |  COALESCE(round(CAST(d.n_dup AS DOUBLE) / d.n_windows, 6), 0.0)
+        |    AS dup_frac,
+        |  COALESCE(round(CAST(d.n_dup AS DOUBLE) / d.n_windows, 6), 0.0)
+        |    >= 0.5 AS flag_dup
+        |FROM t LEFT JOIN d USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // same reach-fixpoint labels as q_canonical, then the identical
+    // md5-of-cluster bucket arithmetic on both sides
+    "q_split_leakproof" ->
+      s"""WITH RECURSIVE ${pairCtes(10)},
+        |e AS (SELECT id1 AS u, id2 AS v FROM p WHERE j >= 0.75
+        |      UNION ALL SELECT id2, id1 FROM p WHERE j >= 0.75),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 = 0
+        |  UNION
+        |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+        |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        |        FROM reach GROUP BY node),
+        |b AS (
+        |  SELECT doc_id, cluster_id,
+        |    ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)),
+        |      1, 4))::BIGINT % 10 AS bkt
+        |  FROM lab)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN bkt <= 7 THEN 'train' WHEN bkt = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // identical seeding, term rounding, argmin tiebreak, and centroid
     // division; DuckDB's row_number stands in for Spark's min(struct)

@@ -137,6 +137,49 @@ class CurateStatsSpec extends SparkSpec {
     })
   }
 
+  test("duplicated spans are symmetric: no doc is flagged alone") {
+    val out = graft.queries.CurateOps.qDupSpans(spark, sf).collect()
+    val total = Tables.df(spark, sf, "documents").count()
+    assert(out.length == total, "one row per document, always")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_windows"))
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // a span shared across docs flags at least TWO docs — duplication is
+    // a relation, so the flagged+dup-window population can never be size 1
+    val withDups = out.count(_.getAs[Long]("n_dup") > 0)
+    assert(withDups != 1, "duplicated spans always come in pairs of docs")
+    assert(withDups > 0, "fixture contains near-duplicate docs; some must hit")
+  }
+
+  test("leak-proof split never separates a near-duplicate pair") {
+    val out = graft.queries.CurateOps.qSplitLeakproof(spark, sf).collect()
+    val subset = Tables.df(spark, sf, "documents")
+      .filter($"doc_id" % 10 === 0)
+    assert(out.length == subset.count(), "every subset doc gets a split")
+    val splitOf = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(splitOf.values.toSet.subsetOf(Set("train", "val", "test")))
+    // the contamination property, checked INDEPENDENTLY of the query's own
+    // cluster labels: brute-force Jaccard over the subset's token sets —
+    // any pair at J >= 0.75 (even transitively connected ones share a
+    // component, but the direct pairs suffice to catch a broken split)
+    // must land in one split
+    val toks = subset
+      .select($"doc_id", graft.functions.TextFunctions.tokenSet($"text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    for {
+      (i, ti) <- toks; (j, tj) <- toks if i < j
+      inter = (ti & tj).size
+      if ti.nonEmpty && tj.nonEmpty
+      if inter.toDouble / (ti.size + tj.size - inter) >= 0.75
+    } assert(splitOf(i) == splitOf(j),
+      s"near-dup pair ($i, $j) straddles splits: " +
+        s"${splitOf(i)} vs ${splitOf(j)}")
+  }
+
   test("quantile bins partition the table into near-equal tiles") {
     val out = StatsOps.qBinQuantile(spark, sf).collect()
     val total = Tables.df(spark, sf, "lineitem").count()
