@@ -269,6 +269,42 @@ object StatsOps extends QueryPack {
       .orderBy($"bin")
   }
 
+  // ---- q_skew_profile ----------------------------------------------------
+  /** Join-key skew diagnostics — the "will this key shuffle hot-spot?"
+    * report a 100 TB pipeline runs before committing to a join layout.
+    * For each audited (table, key): distinct keys, total rows, the largest
+    * key's row count, the skew ratio max/avg (an exact-integer-input IEEE
+    * quotient, deterministic unrounded), and interpolated p50/p90/p99 of
+    * the per-key count distribution via the distributed exact-quantile
+    * kernel (operators/Quantiles.scala) — no single-group percentile
+    * buffer, so the profile itself survives the scale it is diagnosing.
+    * Heavy ties in count distributions are safe in the kernel: equal
+    * values always land in the same coarse cell, and the value at any
+    * rank inside a tie run is the tied value itself. */
+  def qSkewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def profile(tname: String, keyCol: String): DataFrame = {
+      val cnts = Tables.df(spark, sfDir, tname)
+        .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+      val qs = graft.operators.Quantiles
+        .exactQuantiles(cnts, $"cnt", Seq(0.5, 0.9, 0.99))
+        .agg(
+          min(when($"frac" === 0.5, round($"b", 6))).as("p50"),
+          min(when($"frac" === 0.9, round($"b", 6))).as("p90"),
+          min(when($"frac" === 0.99, round($"b", 6))).as("p99"))
+      val tot = cnts.agg(count(lit(1)).as("n_keys"),
+        sum($"cnt").as("n_rows"), max($"cnt").as("max_rows"))
+      tot.crossJoin(qs).select(
+        lit(tname).as("table_name"), lit(keyCol).as("key_col"),
+        $"n_keys", $"n_rows", $"max_rows",
+        ($"max_rows".cast("double") * $"n_keys" / $"n_rows").as("skew"),
+        $"p50", $"p90", $"p99")
+    }
+    profile("orders", "o_custkey")
+      .unionAll(profile("events", "user_id"))
+      .orderBy($"table_name")
+  }
+
   // ---- q_mad -------------------------------------------------------------
   /** Robust dispersion per event type: exact median, median absolute
     * deviation (two interpolated-percentile passes written explicitly in
@@ -313,6 +349,7 @@ object StatsOps extends QueryPack {
     "q_entropy" -> qEntropy,
     "q_histogram" -> qHistogram,
     "q_bin_quantile" -> qBinQuantile,
+    "q_skew_profile" -> qSkewProfile,
     "q_mad" -> qMad
   )
 
@@ -410,6 +447,36 @@ object StatsOps extends QueryPack {
         |  FROM li CROSS JOIN bounds)
         |SELECT bin, count(*) AS n, min(vd) AS lo, max(vd) AS hi
         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // same count distributions, quantile_cont over the same fraction
+    // triple, skew as the identical exact-int IEEE quotient shape
+    "q_skew_profile" ->
+      """WITH oc AS (
+        |  SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+        |ec AS (
+        |  SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |oq AS (
+        |  SELECT quantile_cont(CAST(cnt AS DOUBLE), [0.5, 0.9, 0.99]) AS q,
+        |    count(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    max(cnt) AS max_rows
+        |  FROM oc),
+        |eq AS (
+        |  SELECT quantile_cont(CAST(cnt AS DOUBLE), [0.5, 0.9, 0.99]) AS q,
+        |    count(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    max(cnt) AS max_rows
+        |  FROM ec)
+        |SELECT 'orders' AS table_name, 'o_custkey' AS key_col,
+        |  n_keys, n_rows, max_rows,
+        |  CAST(max_rows AS DOUBLE) * n_keys / n_rows AS skew,
+        |  round(q[1], 6) AS p50, round(q[2], 6) AS p90,
+        |  round(q[3], 6) AS p99
+        |FROM oq
+        |UNION ALL
+        |SELECT 'events', 'user_id', n_keys, n_rows, max_rows,
+        |  CAST(max_rows AS DOUBLE) * n_keys / n_rows,
+        |  round(q[1], 6), round(q[2], 6), round(q[3], 6)
+        |FROM eq
+        |ORDER BY table_name""".stripMargin,
 
     // two explicit quantile_cont passes (same lo + (hi-lo)*0.5 midpoint
     // arithmetic as Spark's percentile), medians rounded to 6dp before

@@ -202,6 +202,23 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("skew profile quantiles are ordered and bounded by the max key") {
+    val out = StatsOps.qSkewProfile(spark, sf).collect()
+    assert(out.length == 2)
+    val rows = Map(
+      "orders" -> Tables.df(spark, sf, "orders").count(),
+      "events" -> Tables.df(spark, sf, "events").count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == rows(r.getAs[String]("table_name")))
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(1.0 <= p50 && p50 <= p90 && p90 <= p99
+        && p99 <= r.getAs[Long]("max_rows").toDouble)
+      assert(r.getAs[Double]("skew") >= 1.0,
+        "max/avg is at least 1 by definition")
+    }
+  }
+
   test("mad is the median deviation: at most half the group lies closer") {
     val out = StatsOps.qMad(spark, sf).collect()
     assert(out.nonEmpty)
