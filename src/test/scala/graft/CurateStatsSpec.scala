@@ -202,6 +202,35 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("quantile kernel equals Spark's exact percentile on varied shapes") {
+    // the kernel must reproduce the single-group aggregate it replaces,
+    // bit-close (same interpolation arithmetic up to one ulp ordering),
+    // across distributions that stress different cells: heavy ties,
+    // near-uniform spread, exponential tail, and a degenerate constant
+    val fracs = Seq(0.01, 0.25, 0.5, 0.9, 0.99)
+    val shapes: Map[String, Seq[Double]] = Map(
+      "ties" -> (1 to 2000).map(i => (i % 7).toDouble),
+      "uniform" -> (1 to 2000).map(i => ((i * 2654435761L) % 100003).toDouble),
+      "exp" -> (1 to 2000).map(i => math.exp(i / 250.0)),
+      "constant" -> Seq.fill(500)(42.0),
+      "tiny" -> Seq(3.0, 1.0))
+    shapes.foreach { case (name, xs) =>
+      val df = xs.toDF("x")
+      val kernel = graft.operators.Quantiles
+        .exactQuantiles(df, $"x", fracs, buckets = 64)
+        .collect().map(r => r.getAs[Double]("frac") -> r.getAs[Double]("b"))
+        .toMap
+      val fr = fracs.mkString(", ")
+      val ref = df.selectExpr(s"percentile(x, array($fr)) AS p")
+        .collect()(0).getSeq[Double](0)
+      fracs.zip(ref).foreach { case (f, expected) =>
+        assert(math.abs(kernel(f) - expected) <= 1e-9 * math.max(1.0,
+          math.abs(expected)),
+          s"$name frac $f: kernel ${kernel(f)} vs percentile $expected")
+      }
+    }
+  }
+
   test("skew profile quantiles are ordered and bounded by the max key") {
     val out = StatsOps.qSkewProfile(spark, sf).collect()
     assert(out.length == 2)
