@@ -31,6 +31,16 @@ object Bench {
         catch { case _: Throwable => None }
       }
       if (times.size < passes && !errors.contains(name)) errors += name
+      // free this query's cache/checkpoint blocks before the next one:
+      // localCheckpoint registers eager MEMORY_AND_DISK blocks that
+      // otherwise live until JVM GC lets the ContextCleaner at them, and
+      // 150+ queries × 2 passes of leftovers tax late-alphabet queries
+      // with storage eviction + GC churn (q_pagerank measured 2× slower
+      // inside the full suite than standalone before this sweep). Nothing
+      // is reused across queries, so dropping every block is safe.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> (if (times.isEmpty) 0.0 else times.min)
     }
     // Locale.ROOT: the f-interpolator is locale-sensitive, and a comma
