@@ -232,7 +232,50 @@ object VectorQueries extends QueryPack {
       .orderBy($"id1", $"id2")
   }
 
+  // ---- q_quantize --------------------------------------------------------
+  /** Int8 scalar quantization of the embedding table — the index-
+    * compression step of a vector store: per dimension an affine code
+    * q = floor((x − mn)/scale + 0.5) in 0..255 with scale = (mx − mn)/255,
+    * the reconstruction xq = mn + q·scale, and the per-dimension error
+    * profile (max and mean absolute reconstruction error) that tells you
+    * whether int8 is safe for this corpus. floor(z + 0.5) rather than
+    * round(): engine round() semantics can differ at exact halves, floor
+    * of the shifted value is the same IEEE expression everywhere. Mean
+    * errors are per-term 6dp-rounded decimal sums (order-free exact);
+    * max error is a plain max of deterministic doubles; the final mean is
+    * an exact-decimal ÷ count IEEE quotient, left unrounded.
+    *
+    * Scale shape: posexplode → 64-key min/max aggregation → broadcast of
+    * the 64-row code book back onto the stream → 64-key error aggregation.
+    * Nothing shuffles more than once and the code book is O(dims). A
+    * degenerate constant dimension (mx == mn) codes to 0 with scale 0 and
+    * reconstructs exactly. */
+  def qQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dims = Tables.df(spark, sfDir, "embeddings")
+      .select($"vec_id", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("d", "x")))
+    val mm = dims.groupBy($"d").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .withColumn("scale", ($"mx" - $"mn") / 255)
+    val coded = dims.join(broadcast(mm), "d")
+      .withColumn("q",
+        when($"scale" === 0, lit(0L))
+          .otherwise(floor(($"x" - $"mn") / $"scale" + 0.5)))
+      .withColumn("err", abs($"x" - ($"mn" + $"q" * $"scale")))
+    coded.groupBy($"d").agg(
+        count(lit(1)).as("n"),
+        round(min($"mn"), 6).as("mn"),
+        round(min($"scale"), 6).as("scale"),
+        max($"q").as("max_code"),
+        round(max($"err"), 6).as("max_abs_err"),
+        (sum(round($"err", 6).cast(dec6)).cast("double") / count(lit(1)))
+          .as("mean_abs_err"))
+      .orderBy($"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantize" -> qQuantize,
     "q_standardize" -> qStandardize,
     "q_lof" -> qLof,
     "q_ann_md5" -> qAnnMd5,
@@ -245,6 +288,33 @@ object VectorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical affine code book, floor(z + 0.5) code arithmetic, and
+    // once-rounded decimal error sums; the mean is the same exact-decimal
+    // over count IEEE quotient
+    "q_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, r.d, CAST(embedding[r.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+        |mm AS (
+        |  SELECT d, min(x) AS mn, max(x) AS mx,
+        |    (max(x) - min(x)) / 255 AS scale
+        |  FROM v GROUP BY d),
+        |c AS (
+        |  SELECT v.d, v.x, mm.mn, mm.scale,
+        |    CASE WHEN mm.scale = 0 THEN 0
+        |         ELSE CAST(floor((v.x - mm.mn) / mm.scale + 0.5) AS BIGINT)
+        |    END AS q
+        |  FROM v JOIN mm ON mm.d = v.d),
+        |e AS (
+        |  SELECT d, mn, scale, q, abs(x - (mn + q * scale)) AS err FROM c)
+        |SELECT CAST(d AS INT) AS d, count(*) AS n,
+        |  round(min(mn), 6) AS mn, round(min(scale), 6) AS scale,
+        |  max(q) AS max_code, round(max(err), 6) AS max_abs_err,
+        |  CAST(SUM(CAST(round(err, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) AS mean_abs_err
+        |FROM e GROUP BY d
+        |ORDER BY d""".stripMargin,
+
     // same q_zscore-discipline moment sums per dimension; min() collapses
     // the per-group-constant mu/sd/n, and both z terms round to 6dp before
     // their exact decimal sums

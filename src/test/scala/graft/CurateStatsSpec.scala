@@ -258,6 +258,22 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization codes stay in range and errors obey the half-step bound") {
+    val out = graft.queries.VectorQueries.qQuantize(spark, sf).collect()
+    assert(out.length == 64)
+    out.foreach { r =>
+      val code = r.getAs[Long]("max_code")
+      assert(code >= 0L && code <= 255L, s"code $code outside int8 range")
+      val scale = r.getAs[Double]("scale")
+      val maxErr = r.getAs[Double]("max_abs_err")
+      // a rounded affine code is never further than half a step from the
+      // value (plus the 6dp display rounding slack)
+      assert(maxErr <= scale / 2 + 1e-6,
+        s"max err $maxErr above half-step ${scale / 2}")
+      assert(r.getAs[Double]("mean_abs_err") <= maxErr + 1e-6)
+    }
+  }
+
   test("standardized dimensions have zero mean and unit variance") {
     val out = graft.queries.VectorQueries.qStandardize(spark, sf).collect()
     assert(out.length == 64)
