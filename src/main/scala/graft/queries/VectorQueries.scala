@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search + multimodal column plumbing over the
@@ -274,7 +275,54 @@ object VectorQueries extends QueryPack {
       .orderBy($"d")
   }
 
+  // ---- q_hard_negatives --------------------------------------------------
+  /** Hard-negative mining for contrastive training: for every anchor in
+    * the vec_id%4 subset, the most-similar vector carrying a DIFFERENT
+    * label (the hard negative), the most-similar vector with the SAME
+    * label (the positive), and the margin pos_sim − neg_sim; anchors with
+    * margin < 0.05 are the training pairs worth scheduling. Similarities
+    * round to 6dp BEFORE the rank windows so both engines order identical
+    * values (bid ties the rank). The margin is a subtraction of two
+    * already-rounded doubles — exact IEEE, left unrounded.
+    *
+    * Scale shape: the candidate pool broadcasts against the anchor stream
+    * (the qLof/knnBruteForce pattern) and two (anchor, same-label?) rank
+    * windows pick the extremes. At corpus scale the pool side comes from
+    * an ANN candidate stage (q_ann_lsh's bucket join) instead of the full
+    * broadcast — the mining windows are unchanged. */
+  def qHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val s = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 4 === 0)
+    val a = s.select($"vec_id".as("aid"), $"embedding".as("av"),
+      $"label".as("alab"))
+    val b = s.select($"vec_id".as("bid"), $"embedding".as("bv"),
+      $"label".as("blab"))
+    val pairs = a.join(broadcast(b), $"aid" =!= $"bid")
+      .select($"aid", $"alab", $"bid",
+        ($"alab" === $"blab").as("same"),
+        round(expr("cosine_similarity(av, bv)"), 6).as("sim"))
+    val w = Window.partitionBy($"aid", $"same")
+      .orderBy($"sim".desc, $"bid".asc)
+    val top = pairs.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+    val pos = top.filter($"same")
+      .select($"aid", $"bid".as("pos_id"), $"sim".as("pos_sim"))
+    val neg = top.filter(!$"same")
+      .select($"aid", $"bid".as("neg_id"), $"sim".as("neg_sim"))
+    s.select($"vec_id".as("aid"), $"label")
+      .join(neg, Seq("aid"), "left")
+      .join(pos, Seq("aid"), "left")
+      .select($"aid".as("vec_id"), $"label", $"pos_id", $"pos_sim",
+        $"neg_id", $"neg_sim",
+        ($"pos_sim" - $"neg_sim").as("margin"),
+        (($"pos_sim" - $"neg_sim") < 0.05).as("hard"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hard_negatives" -> qHardNegatives,
     "q_quantize" -> qQuantize,
     "q_standardize" -> qStandardize,
     "q_lof" -> qLof,
@@ -288,6 +336,34 @@ object VectorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same rounded-then-ranked similarity discipline as q_lof; the margin
+    // is the identical subtraction of two 6dp doubles on both sides
+    "q_hard_negatives" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id % 4 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS aid, a.label AS alab, b.vec_id AS bid,
+        |    a.label = b.label AS same,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM s a JOIN s b ON a.vec_id != b.vec_id),
+        |t AS (
+        |  SELECT aid, bid, sim, same, row_number() OVER (
+        |    PARTITION BY aid, same ORDER BY sim DESC, bid ASC) AS rk
+        |  FROM p),
+        |pos AS (SELECT aid, bid AS pos_id, sim AS pos_sim
+        |        FROM t WHERE same AND rk = 1),
+        |neg AS (SELECT aid, bid AS neg_id, sim AS neg_sim
+        |        FROM t WHERE NOT same AND rk = 1)
+        |SELECT s.vec_id, s.label, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+        |  p.pos_sim - n.neg_sim AS margin,
+        |  (p.pos_sim - n.neg_sim) < 0.05 AS hard
+        |FROM s
+        |LEFT JOIN neg n ON n.aid = s.vec_id
+        |LEFT JOIN pos p ON p.aid = s.vec_id
+        |ORDER BY s.vec_id""".stripMargin,
+
     // identical affine code book, floor(z + 0.5) code arithmetic, and
     // once-rounded decimal error sums; the mean is the same exact-decimal
     // over count IEEE quotient

@@ -274,6 +274,27 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives carry a different label and positives the same") {
+    val out = graft.queries.VectorQueries.qHardNegatives(spark, sf).collect()
+    val labels = Tables.df(spark, sf, "embeddings")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val anchor = labels(r.getAs[Long]("vec_id"))
+      Option(r.getAs[java.lang.Long]("pos_id")).foreach(p =>
+        assert(labels(p) == anchor, "positive must share the anchor label"))
+      Option(r.getAs[java.lang.Long]("neg_id")).foreach(n =>
+        assert(labels(n) != anchor, "negative must differ in label"))
+      if (!r.isNullAt(r.fieldIndex("margin")))
+        assert(math.abs(r.getAs[Double]("margin")
+          - (r.getAs[Double]("pos_sim") - r.getAs[Double]("neg_sim"))) < 1e-12)
+    }
+    assert(out.exists(r => !r.isNullAt(r.fieldIndex("hard"))
+      && r.getAs[Boolean]("hard")),
+      "the clustered fixture must yield at least one hard anchor")
+  }
+
   test("standardized dimensions have zero mean and unit variance") {
     val out = graft.queries.VectorQueries.qStandardize(spark, sf).collect()
     assert(out.length == 64)
