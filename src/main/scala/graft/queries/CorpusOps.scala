@@ -133,10 +133,41 @@ object CorpusOps extends QueryPack {
       .limit(30)
   }
 
+  // ---- q_oov_rate --------------------------------------------------------
+  /** Tokenizer vocabulary coverage: the top-256 corpus tokens by frequency
+    * (count desc, token asc — a deterministic cut at the tie boundary)
+    * stand in for a trained vocabulary; per document, the token count,
+    * out-of-vocabulary count, and OOV rate — the coverage report a
+    * tokenizer decision rides on. One token-count aggregation, a 256-row
+    * TakeOrderedAndProject broadcast into a token-keyed left join, one
+    * per-doc aggregation; the rate is an exact-int IEEE quotient, left
+    * unrounded. */
+  def qOovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val toks = docs.select($"doc_id",
+      explode(TextFunctions.tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc).limit(256)
+      .select($"tok", lit(1).as("in_vocab"))
+    val per = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select($"doc_id").join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_toks", lit(0L)).as("n_toks"),
+        coalesce($"n_oov", lit(0L)).as("n_oov"),
+        coalesce($"n_oov".cast("double") / $"n_toks", lit(0.0))
+          .as("oov_rate"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> qBm25,
     "q_bpe_merges" -> qBpeMerges,
-    "q_hybrid_rrf" -> qHybridRrf
+    "q_hybrid_rrf" -> qHybridRrf,
+    "q_oov_rate" -> qOovRate
   )
 
   /** Shared BM25 oracle CTE chain, token stream → per-(qid, doc) summed
@@ -174,6 +205,26 @@ object CorpusOps extends QueryPack {
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
   val oracle: Map[String, String] = Map(
+    // same deterministic (cnt DESC, tok ASC) vocabulary cut; the rate is
+    // the identical exact-int quotient
+    "q_oov_rate" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+        |  ORDER BY cnt DESC, tok ASC LIMIT 256),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_toks,
+        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM toks t LEFT JOIN v ON v.tok = t.tok GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(per.n_toks, 0) AS n_toks,
+        |  COALESCE(per.n_oov, 0) AS n_oov,
+        |  COALESCE(CAST(per.n_oov AS DOUBLE) / per.n_toks, 0.0) AS oov_rate
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // identical tokenization, idf/tf-norm computed in DOUBLE (every
     // constant CAST so DuckDB doesn't run decimal arithmetic), per-term
     // score rounded to DECIMAL(18,6) pre-sum in both engines

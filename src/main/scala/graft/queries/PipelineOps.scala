@@ -143,7 +143,43 @@ object PipelineOps extends QueryPack {
       .limit(50)
   }
 
+  // ---- q_rebalance -------------------------------------------------------
+  /** Language-mixture rebalancing: downsample overrepresented languages to
+    * an equal-share target — the pretraining-mix correction that stops one
+    * dominant language from swamping the schedule. target = n_total / k
+    * languages; rate_l = min(1, target / n_l); each doc keeps iff its
+    * md5-keyed uniform u < rate_l (u ∈ (0,1], the A-ES uniform shape, so
+    * the kept subset is exactly reproducible and the oracle checks the
+    * rebalanced COUNTS per language). Everything is one count aggregation,
+    * a k-row broadcast of the rate table, and a map-side keep projection —
+    * the same plan at any corpus size. The fixture's en share (~44%)
+    * makes the en rate genuinely < 1, so the sampling arm is exercised,
+    * not just the rate=1 passthrough. */
+  def qRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val byLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val tot = docs.agg(count(lit(1)).as("n_total"),
+      countDistinct($"lang").as("k"))
+    val rates = byLang.crossJoin(broadcast(tot))
+      .select($"lang", $"n_lang",
+        least(lit(1.0), ($"n_total".cast("double") / $"k") / $"n_lang")
+          .as("rate"))
+    docs.select($"doc_id", $"lang",
+        ((conv(substring(md5(concat(lit("rb:"), $"doc_id".cast("string"))),
+          1, 15), 16, 10).cast("long") + 1) / lit(1152921504606846976.0))
+          .as("u"))
+      .join(broadcast(rates), "lang")
+      .withColumn("keep", $"u" < $"rate")
+      .groupBy($"lang")
+      .agg(min($"n_lang").as("n_before"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_after"),
+        round(min($"rate"), 6).as("rate"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rebalance" -> qRebalance,
     "q_sample_weighted" -> qSampleWeighted,
     "q_sample_stratified" -> qSampleStratified,
     "q_pack_sequences" -> qPackSequences,
@@ -157,6 +193,34 @@ object PipelineOps extends QueryPack {
     }.mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    // identical rate arithmetic (min(1, (n_total/k)/n_lang) in the same
+    // double shape) and the same (md5 + 1) / 2^60 uniform as the A-ES
+    // sampler, so keep decisions match row-for-row
+    "q_rebalance" ->
+      """WITH bl AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*) AS n_total, count(DISTINCT lang) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_lang,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      (CAST(n_total AS DOUBLE) / k) / n_lang) AS rate
+        |  FROM bl CROSS JOIN tot),
+        |d AS (
+        |  SELECT d.lang,
+        |    (('0x' || substr(md5('rb:' || CAST(d.doc_id AS VARCHAR)),
+        |        1, 15))::BIGINT + 1)
+        |      / CAST(1152921504606846976 AS DOUBLE) AS u
+        |  FROM documents d)
+        |SELECT r.lang, min(r.n_lang) AS n_before,
+        |  CAST(sum(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after,
+        |  round(min(r.rate), 6) AS rate
+        |FROM d JOIN r ON r.lang = d.lang
+        |GROUP BY r.lang
+        |ORDER BY r.lang""".stripMargin,
+
     // identical md5-keyed uniforms; the 2^60 divisor is CAST AS DOUBLE so
     // DuckDB doesn't run the division in DECIMAL
     "q_sample_weighted" ->

@@ -295,6 +295,37 @@ class CurateStatsSpec extends SparkSpec {
       "the clustered fixture must yield at least one hard anchor")
   }
 
+  test("rebalance downsamples only the dominant language") {
+    val out = graft.queries.PipelineOps.qRebalance(spark, sf).collect()
+    assert(out.map(_.getAs[String]("lang")).toSet.contains("en"))
+    out.foreach { r =>
+      val (before, after) = (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"))
+      val rate = r.getAs[Double]("rate")
+      assert(after <= before)
+      if (rate == 1.0) assert(after == before, "rate-1 languages keep all")
+      else {
+        // binomial sanity: kept count within 4 sigma of rate * n
+        val sd = math.sqrt(before * rate * (1 - rate))
+        assert(math.abs(after - before * rate) <= 4 * sd + 1,
+          s"${r.getAs[String]("lang")}: kept $after vs expected ${before * rate}")
+      }
+    }
+    assert(out.exists(_.getAs[Double]("rate") < 1.0),
+      "the skewed fixture must exercise the sampling arm")
+  }
+
+  test("oov rates are consistent with the corpus token budget") {
+    val out = graft.queries.CorpusOps.qOovRate(spark, sf).collect()
+    val corpusToks = Tables.df(spark, sf, "documents")
+      .select(explode(TextFunctions.tokens($"text"))).count()
+    assert(out.map(_.getAs[Long]("n_toks")).sum == corpusToks)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_toks"))
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("standardized dimensions have zero mean and unit variance") {
     val out = graft.queries.VectorQueries.qStandardize(spark, sf).collect()
     assert(out.length == 64)
