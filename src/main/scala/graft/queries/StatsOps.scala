@@ -305,6 +305,63 @@ object StatsOps extends QueryPack {
       .orderBy($"table_name")
   }
 
+  // ---- q_drift_psi -------------------------------------------------------
+  /** Distribution drift between the early and late halves of the event
+    * stream, per event type, scored with the Population Stability Index —
+    * the production monitor for "did this feature's distribution move
+    * since the reference period": PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)
+    * over 10 equal-frequency bins whose boundaries come from the EARLY
+    * (reference) period's deciles. Counts are Laplace-smoothed
+    * ((c + 0.5)/(n + 5)) so empty bins stay finite; the conventional
+    * alert threshold 0.1 flags drift.
+    *
+    * Determinism: the period cut is exact epoch-micro integer arithmetic;
+    * boundaries are per-type exact percentiles rounded to 6dp (the q_mad
+    * group-memory caveat applies — per-type groups fit an executor);
+    * bin assignment is a codegen sum of 9 comparisons against identical
+    * rounded doubles; PSI terms round once to DECIMAL(18,6) before the
+    * order-free exact sum, with p and q written in the same
+    * (CAST + 0.5)/(n + 5) double shape in both engines. */
+  def qDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"event_type", unix_micros($"ts".cast("timestamp")).as("t"),
+        round($"value", 6).cast(dec6).cast("double").as("v"))
+    val mm = ev.agg(min($"t").as("mn"), max($"t").as("mx"))
+    val tagged = ev.crossJoin(broadcast(mm))
+      .withColumn("late", $"t" > expr("mn + ((mx - mn) div 2)"))
+      .select($"event_type", $"v", $"late")
+    val fr = (1 to 9).map(i => i / 10.0).mkString(", ")
+    val bounds = tagged.filter(!$"late").groupBy($"event_type")
+      .agg(expr(s"transform(percentile(v, array($fr)), b -> round(b, 6))")
+        .as("bs"))
+    val binExpr = (1 to 9)
+      .map(i => when($"v" > element_at($"bs", i), 1).otherwise(0))
+      .reduce(_ + _)
+    val byBin = tagged.join(broadcast(bounds), "event_type")
+      .select($"event_type", $"late", binExpr.as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when(!$"late", 1L).otherwise(0L)).as("ce"),
+        sum(when($"late", 1L).otherwise(0L)).as("cl"))
+    val spine = bounds.select($"event_type")
+      .crossJoin(spark.range(0, 10).select($"id".cast("int").as("bin")))
+    val full = spine.join(byBin, Seq("event_type", "bin"), "left")
+      .select($"event_type", $"bin",
+        coalesce($"ce", lit(0L)).as("ce"), coalesce($"cl", lit(0L)).as("cl"))
+    val tot = full.groupBy($"event_type")
+      .agg(sum($"ce").as("ne"), sum($"cl").as("nl"))
+    full.join(broadcast(tot), "event_type")
+      .withColumn("p", ($"ce".cast("double") + 0.5) / ($"ne" + 5))
+      .withColumn("q", ($"cl".cast("double") + 0.5) / ($"nl" + 5))
+      .withColumn("term",
+        round(($"p" - $"q") * log($"p" / $"q"), 6).cast(dec6))
+      .groupBy($"event_type")
+      .agg(min($"ne").as("n_early"), min($"nl").as("n_late"),
+        sum($"term").cast("double").as("psi"))
+      .withColumn("drifted", $"psi" > 0.1)
+      .orderBy($"event_type")
+  }
+
   // ---- q_mad -------------------------------------------------------------
   /** Robust dispersion per event type: exact median, median absolute
     * deviation (two interpolated-percentile passes written explicitly in
@@ -350,6 +407,7 @@ object StatsOps extends QueryPack {
     "q_histogram" -> qHistogram,
     "q_bin_quantile" -> qBinQuantile,
     "q_skew_profile" -> qSkewProfile,
+    "q_drift_psi" -> qDriftPsi,
     "q_mad" -> qMad
   )
 
@@ -447,6 +505,58 @@ object StatsOps extends QueryPack {
         |  FROM li CROSS JOIN bounds)
         |SELECT bin, count(*) AS n, min(vd) AS lo, max(vd) AS hi
         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // same epoch-micro period cut, per-type quantile_cont reference
+    // deciles rounded to 6dp, identical Laplace-smoothed p/q double
+    // shapes, and once-rounded decimal PSI terms
+    "q_drift_psi" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t,
+        |    CAST(CAST(round(value, 6) AS DECIMAL(18,6)) AS DOUBLE) AS v
+        |  FROM events),
+        |mm AS (SELECT min(t) AS mn, max(t) AS mx FROM e),
+        |tg AS (
+        |  SELECT event_type, v, t > mn + ((mx - mn) // 2) AS late
+        |  FROM e CROSS JOIN mm),
+        |b AS (
+        |  SELECT event_type, list_transform(
+        |    quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> round(x, 6)) AS bs
+        |  FROM tg WHERE NOT late GROUP BY 1),
+        |bn AS (
+        |  SELECT tg.event_type, tg.late,
+        |    CAST(len(list_filter(bs, x -> tg.v > x)) AS INT) AS bin
+        |  FROM tg JOIN b ON b.event_type = tg.event_type),
+        |cnt AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+        |    CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS cl
+        |  FROM bn GROUP BY 1, 2),
+        |sp AS (SELECT b.event_type, r.i AS bin
+        |       FROM b CROSS JOIN range(0, 10) r(i)),
+        |f AS (
+        |  SELECT sp.event_type, sp.bin,
+        |    COALESCE(cnt.ce, 0) AS ce, COALESCE(cnt.cl, 0) AS cl
+        |  FROM sp LEFT JOIN cnt
+        |    ON cnt.event_type = sp.event_type AND cnt.bin = sp.bin),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(ce) AS BIGINT) AS ne,
+        |    CAST(SUM(cl) AS BIGINT) AS nl
+        |  FROM f GROUP BY 1),
+        |tm AS (
+        |  SELECT f.event_type, tot.ne, tot.nl,
+        |    CAST(round(
+        |      ((CAST(f.ce AS DOUBLE) + 0.5) / (tot.ne + 5)
+        |        - (CAST(f.cl AS DOUBLE) + 0.5) / (tot.nl + 5))
+        |      * ln(((CAST(f.ce AS DOUBLE) + 0.5) / (tot.ne + 5))
+        |          / ((CAST(f.cl AS DOUBLE) + 0.5) / (tot.nl + 5))), 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM f JOIN tot ON tot.event_type = f.event_type)
+        |SELECT event_type, min(ne) AS n_early, min(nl) AS n_late,
+        |  CAST(SUM(term) AS DOUBLE) AS psi,
+        |  CAST(SUM(term) AS DOUBLE) > 0.1 AS drifted
+        |FROM tm GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // same count distributions, quantile_cont over the same fraction
     // triple, skew as the identical exact-int IEEE quotient shape

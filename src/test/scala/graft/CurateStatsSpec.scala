@@ -248,6 +248,23 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("PSI is non-negative and covers every event of each type") {
+    val out = StatsOps.qDriftPsi(spark, sf).collect()
+    val perType = Tables.df(spark, sf, "events")
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.length == perType.size)
+    out.foreach { r =>
+      // every (p-q)ln(p/q) term is >= 0, so PSI is too (6dp rounding of
+      // each of the 10 terms can dip at most 5e-6 below zero)
+      val psi = r.getAs[Double]("psi")
+      assert(psi >= -5e-6, s"PSI must be non-negative, got $psi")
+      assert(r.getAs[Long]("n_early") + r.getAs[Long]("n_late")
+        == perType(r.getAs[String]("event_type")))
+      assert(r.getAs[Boolean]("drifted") == (psi > 0.1))
+    }
+  }
+
   test("mad is the median deviation: at most half the group lies closer") {
     val out = StatsOps.qMad(spark, sf).collect()
     assert(out.nonEmpty)
