@@ -163,7 +163,52 @@ object CorpusOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_dataset_card ----------------------------------------------------
+  /** Per-source dataset card — the release-notes summary row a corpus
+    * ships with: document and language counts, total tokens, average
+    * length, exact-duplicate text count, short-doc count, and the
+    * dominant language with its share. One token aggregation, one
+    * document aggregation, and one (source, lang) argmax window (count
+    * desc, lang asc tiebreak); every ratio is an exact-int IEEE quotient
+    * left unrounded. The two distinct counts run as separate two-level
+    * distinct→count aggregations, NOT as countDistincts inside the base
+    * agg — the q_profile lesson: multi-DISTINCT in one agg Expands the
+    * table and SortAggregates with raw column values (the full TEXT!) as
+    * grouping keys. Texts are md5'd before their distinct, so 16-byte
+    * digests shuffle instead of documents (counts equal the raw oracle's
+    * collision-free — the standing hashed-identity assumption). */
+  def qDatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val toks = docs
+      .select($"source", explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"source").agg(count(lit(1)).as("total_toks"))
+    val nLangs = docs.select($"source", $"lang").distinct()
+      .groupBy($"source").agg(count(lit(1)).as("n_langs"))
+    val nTexts = docs.select($"source", md5($"text").as("h")).distinct()
+      .groupBy($"source").agg(count(lit(1)).as("n_uniq_texts"))
+    val base = docs.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_chars").as("sum_chars"),
+      sum(when($"n_chars" < 100, 1L).otherwise(0L)).as("n_short"))
+      .join(nLangs, "source").join(nTexts, "source")
+    val langTop = docs.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("ln"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"ln".desc, $"lang".asc)))
+      .filter($"rk" === 1)
+      .select($"source", $"lang".as("top_lang"), $"ln".as("top_lang_n"))
+    base.join(toks, "source").join(langTop, "source")
+      .select($"source", $"n_docs", $"n_langs", $"total_toks",
+        ($"sum_chars".cast("double") / $"n_docs").as("avg_chars"),
+        ($"n_docs" - $"n_uniq_texts").as("n_dup_texts"),
+        $"n_short", $"top_lang",
+        ($"top_lang_n".cast("double") / $"n_docs").as("top_lang_share"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_card" -> qDatasetCard,
     "q_bm25" -> qBm25,
     "q_bpe_merges" -> qBpeMerges,
     "q_hybrid_rrf" -> qHybridRrf,
@@ -205,6 +250,38 @@ object CorpusOps extends QueryPack {
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
   val oracle: Map[String, String] = Map(
+    // same aggregations; the dominant language uses the identical
+    // (count DESC, lang ASC) row_number tiebreak, and every ratio is the
+    // same exact-int IEEE quotient
+    "q_dataset_card" ->
+      s"""WITH toks AS (
+        |  SELECT source, count(*) AS total_toks FROM (
+        |    SELECT source, unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT text) AS n_uniq_texts,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_short
+        |  FROM documents GROUP BY 1),
+        |lt AS (
+        |  SELECT source, lang AS top_lang, ln AS top_lang_n FROM (
+        |    SELECT source, lang, count(*) AS ln, row_number() OVER (
+        |      PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rk
+        |    FROM documents GROUP BY source, lang)
+        |  WHERE rk = 1)
+        |SELECT b.source, b.n_docs, b.n_langs, t.total_toks,
+        |  CAST(b.sum_chars AS DOUBLE) / b.n_docs AS avg_chars,
+        |  b.n_docs - b.n_uniq_texts AS n_dup_texts,
+        |  b.n_short, lt.top_lang,
+        |  CAST(lt.top_lang_n AS DOUBLE) / b.n_docs AS top_lang_share
+        |FROM base b
+        |JOIN toks t ON t.source = b.source
+        |JOIN lt ON lt.source = b.source
+        |ORDER BY b.source""".stripMargin,
+
     // same deterministic (cnt DESC, tok ASC) vocabulary cut; the rate is
     // the identical exact-int quotient
     "q_oov_rate" ->

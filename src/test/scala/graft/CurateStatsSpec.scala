@@ -331,6 +331,22 @@ class CurateStatsSpec extends SparkSpec {
       "the skewed fixture must exercise the sampling arm")
   }
 
+  test("dataset card accounts for every document and a dominant language") {
+    val out = graft.queries.CorpusOps.qDatasetCard(spark, sf).collect()
+    val total = Tables.df(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    out.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_dup_texts") >= 0L)
+      assert(r.getAs[Long]("n_short") <= nDocs)
+      val share = r.getAs[Double]("top_lang_share")
+      // the argmax language holds at least an equal share of its source
+      assert(share > 0.0 && share <= 1.0
+        && share >= 1.0 / r.getAs[Long]("n_langs"))
+      assert(r.getAs[Double]("avg_chars") > 0.0)
+    }
+  }
+
   test("oov rates are consistent with the corpus token budget") {
     val out = graft.queries.CorpusOps.qOovRate(spark, sf).collect()
     val corpusToks = Tables.df(spark, sf, "documents")
