@@ -163,7 +163,9 @@ object EventOps extends QueryPack {
     * build, as one window pass (lag to detect changes, lead on the change
     * rows to close intervals). No self-join, no MERGE loop; at scale this
     * is exactly how a daily SCD-2 rebuild runs over a partitioned log. */
-  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The SCD-2 interval table (user_id, version, state, valid_from,
+    * valid_to) — shared by [[qScd2]] and the point-in-time join. */
+  private def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -175,13 +177,48 @@ object EventOps extends QueryPack {
       .withColumn("valid_to", lead($"ts", 1).over(byUser))
       .withColumn("version", row_number().over(byUser))
       .select($"user_id", $"version", $"state",
-        $"ts".as("valid_from"), $"valid_to",
+        $"ts".as("valid_from"), $"valid_to")
+  }
+
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    scd2History(spark, sfDir)
+      .select($"user_id", $"version", $"state", $"valid_from", $"valid_to",
         $"valid_to".isNull.as("is_current"))
       .orderBy($"user_id", $"version")
   }
 
+  // ---- q_pit_join --------------------------------------------------------
+  /** Point-in-time enrichment: each purchase event joined to the SCD-2
+    * state version valid AT its timestamp — the temporal join that keeps
+    * training features leakage-free (a feature computed from a LATER
+    * version would look into the future). The half-open [valid_from,
+    * valid_to) intervals tile each user's timeline, so exactly one
+    * version matches every probe. The join is an equi-join on user_id
+    * with the interval containment as a join filter — it shuffles by key
+    * and compares only within a user's few versions, never a nested loop
+    * over the table. */
+  def qPitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = scd2History(spark, sfDir)
+      .select($"user_id".as("uid"), $"version", $"state",
+        $"valid_from", $"valid_to")
+    val probes = Tables.df(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    probes.join(h, $"user_id" === $"uid"
+        && $"valid_from" <= $"ts"
+        && ($"valid_to".isNull || $"ts" < $"valid_to"))
+      .select($"event_id", $"user_id", $"ts",
+        $"state".as("state_at_purchase"),
+        $"version".as("state_version"),
+        $"valid_from".as("state_since"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2" -> qScd2,
+    "q_pit_join" -> qPitJoin,
     "q_anomaly_running" -> qAnomalyRunning,
     "q_tumbling" -> qTumbling,
     "q_sliding" -> qSliding,
@@ -215,6 +252,34 @@ object EventOps extends QueryPack {
         |SELECT user_id, CAST(version AS INT) AS version, state,
         |  valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // same SCD-2 interval CTEs, then the identical half-open containment
+    // join keyed on user_id
+    "q_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type AS state,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, ts, state FROM e
+        |  WHERE prev IS NULL OR prev != state),
+        |v AS (
+        |  SELECT user_id, state, ts AS valid_from,
+        |    lead(ts, 1) OVER w AS valid_to,
+        |    row_number() OVER w AS version
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  v.state AS state_at_purchase,
+        |  CAST(v.version AS INT) AS state_version,
+        |  v.valid_from AS state_since
+        |FROM events p
+        |JOIN v ON v.user_id = p.user_id
+        |  AND v.valid_from <= p.ts
+        |  AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
 
     // same preceding-frame decimal sums (exact integers however the
     // engine incrementalizes frames), same shared mu/sd/z double formula,

@@ -419,6 +419,17 @@ class CurateStatsSpec extends SparkSpec {
     assert(gaps == 0, "history must tile the timeline")
   }
 
+  test("point-in-time join matches exactly one state version per purchase") {
+    val out = graft.queries.EventOps.qPitJoin(spark, sf)
+    val purchases = Tables.df(spark, sf, "events")
+      .filter($"event_type" === "purchase").count()
+    assert(out.count() == purchases,
+      "half-open intervals tile the timeline: exactly one match each")
+    assert(out.select($"event_id").distinct().count() == purchases)
+    val bad = out.filter($"state_since" > $"ts").count()
+    assert(bad == 0, "a version can never start after the probe event")
+  }
+
   test("attribution credits only strictly-preceding clicks") {
     val out = graft.queries.EventOps.qAttribution(spark, sf)
     val purchases = Tables.df(spark, sf, "events")

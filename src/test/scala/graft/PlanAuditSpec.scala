@@ -229,6 +229,15 @@ class PlanAuditSpec extends SparkSpec {
       "q_fuzzy_dist must bucket-join its length block:\n" + plan.take(600))
   }
 
+  test("point-in-time join shuffles on user_id, never nested-loops") {
+    // the interval containment must ride an equi-join on user_id as a
+    // join filter; losing the equi key would nested-loop probes × versions
+    val plan = planOf(graft.SparkEntry.queries("q_pit_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "q_pit_join must equi-join on user_id:\n" + plan.take(600))
+  }
+
   test("simhash band retrieval joins buckets, never all pairs") {
     val plan = planOf(
       graft.SparkEntry.queries("q_simhash_near")(spark, sf))
