@@ -77,13 +77,67 @@ object SourceOps extends QueryPack {
       .orderBy($"o_orderstatus")
   }
 
+  /** Morton (Z-order) interleave of two `bits`-bit keys as pure integer
+    * arithmetic — ((x div 2^i) % 2) placed at even bit positions, y's bits
+    * at odd — so the identical expression runs in Spark and DuckDB with
+    * no engine bit intrinsics. */
+  private def zExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"(($x div $p) % 2) * ${1L << (2 * i)}" +
+        s" + (($y div $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  // ---- q_zorder_layout ---------------------------------------------------
+  /** Multi-column clustering quality of a Z-order layout — the OPTIMIZE
+    * ZORDER BY primitive of lakehouse table maintenance, computed
+    * relationally: interleave the bits of (l_orderkey mod 1024,
+    * l_suppkey mod 1024) into a 20-bit Morton key, tile the key space
+    * into 64 equal Z-ranges (the files a z-sorted writer would cut), and
+    * report each tile's row count and the min-max SPAN of both original
+    * keys. On a Z-curve every 2^14-cell tile is a 128×128 block, so both
+    * spans stay ≤ 127 — the property that makes per-file min/max skip
+    * pruning work on BOTH columns, where a single-column sort bounds one
+    * span and leaves the other at the full domain (the spec measures
+    * exactly that contrast). Everything is exact integer arithmetic:
+    * map-side key projection, one 64-key aggregation, no window. The
+    * write path is `repartitionByRange(z).sortWithinPartitions(z)` with
+    * this report as its audit. */
+  def qZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "lineitem")
+      .select(($"l_orderkey" % 1024).cast("long").as("x"),
+        ($"l_suppkey" % 1024).cast("long").as("y"))
+      .withColumn("z", expr(zExpr("x", "y", 10)))
+      .withColumn("tile", expr("z div 16384"))
+      .groupBy($"tile")
+      .agg(count(lit(1)).as("n"),
+        (max($"x") - min($"x")).as("x_span"),
+        (max($"y") - min($"y")).as("y_span"))
+      .orderBy($"tile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> qZorderLayout,
     "q_partitioned_roundtrip" -> qPartitionedRoundtrip,
     "q_load_roundtrip" -> qLoadRoundtrip,
     "q_merge_roundtrip" -> qMergeRoundtrip
   )
 
   val oracle: Map[String, String] = Map(
+    // the identical arithmetic Morton interleave (// for div) and tiling
+    "q_zorder_layout" ->
+      s"""WITH k AS (
+        |  SELECT l_orderkey % 1024 AS x, l_suppkey % 1024 AS y
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT x, y, ${zExpr("x", "y", 10).replace(" div ", " // ")} AS z
+        |  FROM k)
+        |SELECT z // 16384 AS tile, count(*) AS n,
+        |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+        |FROM z GROUP BY 1
+        |ORDER BY tile""".stripMargin,
+
     "q_partitioned_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

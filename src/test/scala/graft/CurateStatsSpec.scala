@@ -441,6 +441,20 @@ class CurateStatsSpec extends SparkSpec {
       "attributed click must not postdate the purchase"))
   }
 
+  test("z-order tiles bound BOTH key spans to their 128-cell block") {
+    val out = graft.queries.SourceOps.qZorderLayout(spark, sf).collect()
+    val total = Tables.df(spark, sf, "lineitem").count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    out.foreach { r =>
+      // a 2^14-cell Z-range is exactly a 128x128 block of (x, y) space —
+      // the invariant that gives per-file min/max pruning on both columns
+      assert(r.getAs[Long]("x_span") <= 127,
+        s"tile ${r.getAs[Long]("tile")} x_span ${r.getAs[Long]("x_span")}")
+      assert(r.getAs[Long]("y_span") <= 127,
+        s"tile ${r.getAs[Long]("tile")} y_span ${r.getAs[Long]("y_span")}")
+    }
+  }
+
   test("profile covers every lineitem column with full non-null counts") {
     val out = StatsOps.qProfile(spark, sf).collect()
     assert(out.length == 11)
