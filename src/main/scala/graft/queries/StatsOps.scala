@@ -362,6 +362,78 @@ object StatsOps extends QueryPack {
       .orderBy($"event_type")
   }
 
+  // ---- q_corr_matrix -----------------------------------------------------
+  /** Pairwise Pearson correlation of the numeric lineitem measures — the
+    * dependency profile feature selection starts from. One scan computes
+    * every moment (n, Σx, Σx², Σxy for the 6 pairs) as sums of
+    * once-rounded DECIMAL(18,6) values — exact integers in both engines —
+    * and the 6 correlations unpack via stack with ONE shared double
+    * formula (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)). The final
+    * round(…, 6) absorbs DuckDB's wide-DECIMAL→DOUBLE cast drift (~1e-13
+    * relative — the q_ewma lesson) on the price moments. */
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount",
+    "l_tax")
+
+  def qCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = for {
+      i <- corrCols.indices; j <- corrCols.indices if i < j
+    } yield (corrCols(i), corrCols(j))
+    // DECIMAL(18,2), lossless for these 2-decimal measures: scale-6
+    // squares overflow DuckDB's INT64 per-row decimal multiply, scale-2
+    // squares (DECIMAL(36,4)) stay comfortably inside it
+    val dec2 = DecimalType(18, 2)
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select(corrCols.map(c => round(col(c), 2).cast(dec2).as(c)): _*)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      corrCols.map(c => sum(col(c)).as(s"s_$c")) ++
+      corrCols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"p_${a}_$b") }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val rows = pairs.map { case (a, b) =>
+      s"'$a', '$b', round((n * ${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")})" +
+        s" / (sqrt(n * ${d(s"ss_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")})" +
+        s" * sqrt(n * ${d(s"ss_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})), 6)"
+    }
+    one.selectExpr(
+        s"stack(${rows.size}, ${rows.mkString(", ")}) AS (col_x, col_y, corr)")
+      .orderBy($"col_x", $"col_y")
+  }
+
+  // ---- q_mutual_info -----------------------------------------------------
+  /** Mutual information between the two categorical lineitem columns
+    * (returnflag × linestatus) plus both marginal entropies and the
+    * normalized MI — the categorical-dependency check of feature
+    * selection. One tiny joint-count aggregation (|X|·|Y| rows); every
+    * probability is an exact-int IEEE quotient; each MI/entropy term
+    * rounds once to DECIMAL(18,6) before its order-free sum, and NMI is
+    * one final double division. */
+  def qMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val joint = Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag".as("x"), $"l_linestatus".as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val nx = joint.groupBy($"x").agg(sum($"nxy").as("nx"))
+    val ny = joint.groupBy($"y").agg(sum($"nxy").as("ny"))
+    val n = joint.agg(sum($"nxy").as("n"))
+    val terms = joint.join(nx, "x").join(ny, "y").crossJoin(broadcast(n))
+      .select($"x", $"y", $"nxy", $"nx", $"ny", $"n",
+        round(($"nxy".cast("double") / $"n")
+          * log(($"nxy".cast("double") * $"n") / ($"nx".cast("double") * $"ny")), 6)
+          .cast(dec6).as("mi_term"))
+    val mi = terms.agg(sum($"mi_term").cast("double").as("mi"))
+    def entropy(m: DataFrame, c: String, out: String) =
+      m.crossJoin(broadcast(n))
+        .select(round((col(c).cast("double") / $"n")
+          * log(col(c).cast("double") / $"n"), 6).cast(dec6).as("t"))
+        .agg((sum($"t").cast("double") * -1).as(out))
+    mi.crossJoin(entropy(nx, "nx", "hx")).crossJoin(entropy(ny, "ny", "hy"))
+      .select($"mi", $"hx", $"hy",
+        round($"mi" / least($"hx", $"hy"), 6).as("nmi"))
+  }
+
   // ---- q_mad -------------------------------------------------------------
   /** Robust dispersion per event type: exact median, median absolute
     * deviation (two interpolated-percentile passes written explicitly in
@@ -408,11 +480,38 @@ object StatsOps extends QueryPack {
     "q_bin_quantile" -> qBinQuantile,
     "q_skew_profile" -> qSkewProfile,
     "q_drift_psi" -> qDriftPsi,
+    "q_corr_matrix" -> qCorrMatrix,
+    "q_mutual_info" -> qMutualInfo,
     "q_mad" -> qMad
   )
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+  private def corrOracle: String = {
+    val pairs = for {
+      i <- corrCols.indices; j <- corrCols.indices if i < j
+    } yield (corrCols(i), corrCols(j))
+    val decs = corrCols.map(c =>
+      s"CAST(round($c, 2) AS DECIMAL(18,2)) AS $c").mkString(", ")
+    val moments =
+      Seq("count(*) AS n") ++
+      corrCols.map(c => s"SUM($c) AS s_$c") ++
+      corrCols.map(c => s"SUM($c * $c) AS ss_$c") ++
+      pairs.map { case (a, b) => s"SUM($a * $b) AS p_${a}_$b" }
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val selects = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS col_x, '$b' AS col_y, " +
+        s"round((n * ${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")})" +
+        s" / (sqrt(n * ${d(s"ss_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")})" +
+        s" * sqrt(n * ${d(s"ss_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})), 6)" +
+        " AS corr FROM m"
+    }
+    s"""WITH li AS (SELECT $decs FROM lineitem),
+       |m AS (SELECT ${moments.mkString(", ")} FROM li)
+       |${selects.mkString("\n|UNION ALL\n|")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_profile" -> profileOracle,
@@ -505,6 +604,40 @@ object StatsOps extends QueryPack {
         |  FROM li CROSS JOIN bounds)
         |SELECT bin, count(*) AS n, min(vd) AS lo, max(vd) AS hi
         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // same once-rounded decimal moments and the identical shared corr
+    // formula, unpacked as a UNION ALL mirror of the stack
+    "q_corr_matrix" -> corrOracle,
+
+    // same tiny joint-count table, exact-int probability quotients, and
+    // once-rounded decimal MI/entropy terms
+    "q_mutual_info" ->
+      """WITH j AS (
+        |  SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS nxy
+        |  FROM lineitem GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+        |ny AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM j),
+        |tm AS (
+        |  SELECT CAST(round((CAST(j.nxy AS DOUBLE) / n)
+        |    * ln((CAST(j.nxy AS DOUBLE) * n)
+        |        / (CAST(nx.nx AS DOUBLE) * ny.ny)), 6)
+        |    AS DECIMAL(18,6)) AS t
+        |  FROM j JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN nn),
+        |mi AS (SELECT CAST(SUM(t) AS DOUBLE) AS mi FROM tm),
+        |hx AS (
+        |  SELECT CAST(SUM(CAST(round((CAST(nx AS DOUBLE) / n)
+        |      * ln(CAST(nx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) * -1 AS hx
+        |  FROM nx CROSS JOIN nn),
+        |hy AS (
+        |  SELECT CAST(SUM(CAST(round((CAST(ny AS DOUBLE) / n)
+        |      * ln(CAST(ny AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) * -1 AS hy
+        |  FROM ny CROSS JOIN nn)
+        |SELECT mi.mi, hx.hx, hy.hy,
+        |  round(mi.mi / least(hx.hx, hy.hy), 6) AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
 
     // same epoch-micro period cut, per-type quantile_cont reference
     // deciles rounded to 6dp, identical Laplace-smoothed p/q double

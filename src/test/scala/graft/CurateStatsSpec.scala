@@ -265,6 +265,39 @@ class CurateStatsSpec extends SparkSpec {
     }
   }
 
+  test("correlations are bounded and price tracks quantity") {
+    val out = StatsOps.qCorrMatrix(spark, sf).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr $c out of range")
+    }
+    // all 6 index-ordered pairs of the 4 audited columns appear once
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val expected = (for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))).toSet
+    val pairs = out.map(r =>
+      (r.getAs[String]("col_x"), r.getAs[String]("col_y"))).toSet
+    assert(pairs == expected)
+    // the synthetic fixture draws the measures independently, so every
+    // correlation is near zero — which is itself the property to check
+    // (a sign-magnitude bug would push some |corr| toward 1)
+    out.foreach(r => assert(math.abs(r.getAs[Double]("corr")) < 0.2,
+      s"independent columns must stay near zero: $r"))
+  }
+
+  test("mutual information is bounded by both marginal entropies") {
+    val r = StatsOps.qMutualInfo(spark, sf).collect()(0)
+    val (mi, hx, hy) = (r.getAs[Double]("mi"), r.getAs[Double]("hx"),
+      r.getAs[Double]("hy"))
+    // per-term 6dp rounding can dip the exact-math bounds by ~5e-6 each
+    assert(mi >= -1e-4, s"MI must be non-negative, got $mi")
+    assert(mi <= math.min(hx, hy) + 1e-4, "MI <= min(H(X), H(Y))")
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= -1e-4 && nmi <= 1.0 + 1e-4)
+  }
+
   test("mad is the median deviation: at most half the group lies closer") {
     val out = StatsOps.qMad(spark, sf).collect()
     assert(out.nonEmpty)
