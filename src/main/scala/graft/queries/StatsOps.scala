@@ -362,6 +362,43 @@ object StatsOps extends QueryPack {
       .orderBy($"event_type")
   }
 
+  // ---- q_trend -----------------------------------------------------------
+  /** Per-event-type least-squares trend of `value` over time — the
+    * drift-direction companion to [[qDriftPsi]]: slope (units per hour),
+    * intercept at the stream's first hour, and r². The regressor is exact
+    * integer hours since the global minimum timestamp ((t_us − mn) div
+    * 3600000000), the response a once-rounded DECIMAL(18,6); so all five
+    * moments (n, Σt, Σt², Σy, Σty) are exact in both engines and the
+    * slope/intercept/r² derive via one shared double formula. Final
+    * round(…, 6) absorbs the wide-decimal cast drift on Σty. One scan,
+    * one per-type aggregation, no window. */
+  def qTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"event_type", unix_micros($"ts".cast("timestamp")).as("tu"),
+        round($"value", 6).cast(dec6).as("y"))
+    val mn = ev.agg(min($"tu").as("mn"))
+    val m = ev.crossJoin(broadcast(mn))
+      .select($"event_type", expr("(tu - mn) div 3600000000").as("t"), $"y")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"t").as("st"), sum($"t" * $"t").as("stt"),
+        sum($"y").as("sy"), sum($"t" * $"y").as("sty"),
+        sum($"y" * $"y").as("syy"))
+    m.select($"event_type", $"n",
+        round((($"n" * $"sty".cast("double") - $"st".cast("double") * $"sy".cast("double"))
+          / ($"n" * $"stt".cast("double") - $"st".cast("double") * $"st".cast("double"))), 9)
+          .as("slope_per_hour"),
+        round((($"sy".cast("double") - (($"n" * $"sty".cast("double") - $"st".cast("double") * $"sy".cast("double"))
+            / ($"n" * $"stt".cast("double") - $"st".cast("double") * $"st".cast("double"))) * $"st".cast("double"))
+          / $"n"), 6).as("intercept"),
+        round(pow($"n" * $"sty".cast("double") - $"st".cast("double") * $"sy".cast("double"), 2)
+          / (($"n" * $"stt".cast("double") - $"st".cast("double") * $"st".cast("double"))
+            * ($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))), 6)
+          .as("r2"))
+      .orderBy($"event_type")
+  }
+
   // ---- q_corr_matrix -----------------------------------------------------
   /** Pairwise Pearson correlation of the numeric lineitem measures — the
     * dependency profile feature selection starts from. One scan computes
@@ -482,6 +519,7 @@ object StatsOps extends QueryPack {
     "q_drift_psi" -> qDriftPsi,
     "q_corr_matrix" -> qCorrMatrix,
     "q_mutual_info" -> qMutualInfo,
+    "q_trend" -> qTrend,
     "q_mad" -> qMad
   )
 
@@ -608,6 +646,37 @@ object StatsOps extends QueryPack {
     // same once-rounded decimal moments and the identical shared corr
     // formula, unpacked as a UNION ALL mirror of the stack
     "q_corr_matrix" -> corrOracle,
+
+    // same exact integer-hour regressor, same decimal response, and the
+    // identical slope/intercept/r² double formulas over the five moments
+    "q_trend" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tu,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |mn AS (SELECT min(tu) AS mn FROM e),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS st,
+        |    CAST(SUM(t * t) AS BIGINT) AS stt,
+        |    SUM(y) AS sy, SUM(t * y) AS sty, SUM(y * y) AS syy
+        |  FROM (SELECT event_type, (tu - mn) // 3600000000 AS t, y
+        |        FROM e CROSS JOIN mn)
+        |  GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 9)
+        |    AS slope_per_hour,
+        |  round((CAST(sy AS DOUBLE)
+        |      - ((n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+        |        * CAST(st AS DOUBLE))
+        |    / n, 6) AS intercept,
+        |  round(pow(n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+        |    / ((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+        |      * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // same tiny joint-count table, exact-int probability quotients, and
     // once-rounded decimal MI/entropy terms

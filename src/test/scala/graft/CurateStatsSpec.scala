@@ -287,6 +287,19 @@ class CurateStatsSpec extends SparkSpec {
       s"independent columns must stay near zero: $r"))
   }
 
+  test("trend r2 is a valid coefficient of determination") {
+    val out = StatsOps.qTrend(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = Tables.df(spark, sf, "events").count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    out.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 $r2 outside [0, 1]")
+      // a stationary synthetic stream has no material time trend
+      assert(math.abs(r.getAs[Double]("slope_per_hour")) < 10.0)
+    }
+  }
+
   test("mutual information is bounded by both marginal entropies") {
     val r = StatsOps.qMutualInfo(spark, sf).collect()(0)
     val (mi, hx, hy) = (r.getAs[Double]("mi"), r.getAs[Double]("hx"),
