@@ -43,4 +43,29 @@ class StreamStreamJoinSpec extends SparkSpec {
         s"got ${rows.mkString(",")}")
     } finally q.stop()
   }
+
+  test("stream-static join enriches every micro-batch from the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the everyday enrichment pattern: an unbounded fact stream joined to
+    // a bounded dimension — Spark broadcasts/rescans the static side per
+    // micro-batch, no state store involved, left rows always pass through
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val facts = MemoryStream[(Long, Double)]
+    val enriched = facts.toDF().toDF("user_id", "amount")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select($"user_id", $"amount", coalesce($"tier", lit("none")).as("tier"))
+    val q = enriched.writeStream.format("memory").queryName("ss_enrich")
+      .outputMode("append").start()
+    try {
+      facts.addData((1L, 10.0), (3L, 7.5))
+      q.processAllAvailable()
+      facts.addData((2L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_enrich").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(rows === Set((1L, 10.0, "gold"), (3L, 7.5, "none"),
+        (2L, 4.0, "silver")), s"got $rows")
+    } finally q.stop()
+  }
 }
