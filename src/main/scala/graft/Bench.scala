@@ -38,7 +38,7 @@ object Bench {
       // with storage eviction + GC churn (q_pagerank measured 2× slower
       // inside the full suite than standalone before this sweep). Nothing
       // is reused across queries, so dropping every block is safe.
-      spark.sharedState.cacheManager.clearCache()
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       name -> (if (times.isEmpty) 0.0 else times.min)

@@ -18,15 +18,21 @@ import org.apache.spark.sql.functions._
   *   3. a cumulative count over the ≤`buckets`-row histogram (bounded
   *      single-partition window — `buckets` rows, not data-scale) locates
   *      which cell contains each target rank pos = (n-1)·frac;
-  *   4. rank-refine ONLY inside the ≤2·|fracs| hit cells (row_number
-  *      windows partitioned by cell, each ~n/buckets rows), then linear
-  *      interpolation b = lo + (pos−⌊pos⌋)·(hi−lo) — the same arithmetic
-  *      shape as SQL quantile_cont, so results oracle-compare exactly.
+  *   4. rank-refine ONLY inside the ≤2·|fracs| hit cells — and over the
+  *      cell's DISTINCT values with their counts, not its raw rows, so a
+  *      heavily tied distribution (80% of a count column equal to 1, or a
+  *      fully constant column collapsing into cell 0) compresses to a few
+  *      window rows instead of funneling a data-scale partition through
+  *      one row_number sort; rank k maps to the distinct value whose
+  *      cumulative-count range contains k. Then linear interpolation
+  *      b = lo + (pos−⌊pos⌋)·(hi−lo) — the same arithmetic shape as SQL
+  *      quantile_cont, so results oracle-compare exactly.
   *
-  * At 1000× data, raise `buckets` so n/buckets stays executor-sized; the
-  * plan shape is unchanged. Values tied across a cell boundary cannot
-  * happen (cells partition the value domain), so per-cell row_number is a
-  * consistent global ranking.
+  * At 1000× data, raise `buckets` so the per-cell DISTINCT count stays
+  * executor-sized (for continuous data that is ~n/buckets; ties only
+  * shrink it); the plan shape is unchanged. Values tied across a cell
+  * boundary cannot happen (cells partition the value domain), so per-cell
+  * cumulative ranking is a consistent global ranking.
   */
 object Quantiles {
 
@@ -70,12 +76,19 @@ object Quantiles {
       .select($"frac", $"fp", $"which", $"bkt",
         ($"k" - $"cum_before").as("rk"))
 
-    // refine: row_number only inside the hit cells, equi-join on (bkt, rk)
+    // refine inside the hit cells over DISTINCT values + counts (ties
+    // collapse before the window); rank k falls in the distinct value
+    // whose cumulative range [cum_end - c + 1, cum_end] contains it
     val needed = kb.select($"bkt").distinct()
     val wr = Window.partitionBy($"bkt").orderBy($"vd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = bucketed.join(broadcast(needed), "bkt")
-      .withColumn("rk", row_number().over(wr).cast("long"))
-    val hit = ranked.join(broadcast(kb), Seq("bkt", "rk"))
+      .groupBy($"bkt", $"vd").agg(count(lit(1)).as("c"))
+      .withColumn("cum_end", sum($"c").over(wr))
+    val hit = ranked.join(broadcast(kb),
+      ranked("bkt") === kb("bkt")
+        && $"rk" > $"cum_end" - $"c" && $"rk" <= $"cum_end")
+      .drop(kb("bkt"))
 
     // the ceiling rank k0+2 can fall off the table's end when pos is
     // integral there — its interpolation weight is exactly 0, so lo stands

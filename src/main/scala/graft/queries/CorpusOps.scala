@@ -198,8 +198,11 @@ object CorpusOps extends QueryPack {
         Window.partitionBy($"source").orderBy($"ln".desc, $"lang".asc)))
       .filter($"rk" === 1)
       .select($"source", $"lang".as("top_lang"), $"ln".as("top_lang_n"))
-    base.join(toks, "source").join(langTop, "source")
-      .select($"source", $"n_docs", $"n_langs", $"total_toks",
+    // left join + coalesce (the q_oov_rate pattern): a source whose docs
+    // are all token-less must still get its card row, with 0 tokens
+    base.join(toks, Seq("source"), "left").join(langTop, "source")
+      .select($"source", $"n_docs", $"n_langs",
+        coalesce($"total_toks", lit(0L)).as("total_toks"),
         ($"sum_chars".cast("double") / $"n_docs").as("avg_chars"),
         ($"n_docs" - $"n_uniq_texts").as("n_dup_texts"),
         $"n_short", $"top_lang",
@@ -272,13 +275,14 @@ object CorpusOps extends QueryPack {
         |      PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rk
         |    FROM documents GROUP BY source, lang)
         |  WHERE rk = 1)
-        |SELECT b.source, b.n_docs, b.n_langs, t.total_toks,
+        |SELECT b.source, b.n_docs, b.n_langs,
+        |  COALESCE(t.total_toks, 0) AS total_toks,
         |  CAST(b.sum_chars AS DOUBLE) / b.n_docs AS avg_chars,
         |  b.n_docs - b.n_uniq_texts AS n_dup_texts,
         |  b.n_short, lt.top_lang,
         |  CAST(lt.top_lang_n AS DOUBLE) / b.n_docs AS top_lang_share
         |FROM base b
-        |JOIN toks t ON t.source = b.source
+        |LEFT JOIN toks t ON t.source = b.source
         |JOIN lt ON lt.source = b.source
         |ORDER BY b.source""".stripMargin,
 

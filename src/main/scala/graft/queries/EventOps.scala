@@ -156,13 +156,6 @@ object EventOps extends QueryPack {
       .orderBy($"event_id")
   }
 
-  /** Type-2 slowly-changing-dimension history from the event stream: each
-    * user's event_type acts as the tracked attribute, and consecutive
-    * CHANGES become versioned rows with [valid_from, valid_to) intervals
-    * and an is_current flag — the standard warehouse temporal-dimension
-    * build, as one window pass (lag to detect changes, lead on the change
-    * rows to close intervals). No self-join, no MERGE loop; at scale this
-    * is exactly how a daily SCD-2 rebuild runs over a partitioned log. */
   /** The SCD-2 interval table (user_id, version, state, valid_from,
     * valid_to) — shared by [[qScd2]] and the point-in-time join. */
   private def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
@@ -180,6 +173,13 @@ object EventOps extends QueryPack {
         $"ts".as("valid_from"), $"valid_to")
   }
 
+  /** Type-2 slowly-changing-dimension history from the event stream: each
+    * user's event_type acts as the tracked attribute, and consecutive
+    * CHANGES become versioned rows with [valid_from, valid_to) intervals
+    * and an is_current flag — the standard warehouse temporal-dimension
+    * build, as one window pass (lag to detect changes, lead on the change
+    * rows to close intervals). No self-join, no MERGE loop; at scale this
+    * is exactly how a daily SCD-2 rebuild runs over a partitioned log. */
   def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     scd2History(spark, sfDir)

@@ -253,8 +253,8 @@ object StatsOps extends QueryPack {
   def qBinQuantile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.df(spark, sfDir, "lineitem")
-      .select(round($"l_extendedprice", 2).cast(DecimalType(18, 2)).as("v"))
-      .withColumn("vd", $"v".cast("double"))
+      .select(round($"l_extendedprice", 2).cast(DecimalType(18, 2))
+        .cast("double").as("vd"))
     val bounds = graft.operators.Quantiles
       .exactQuantiles(li, $"vd", (1 to 19).map(_ / 20.0))
       .agg(array_sort(collect_list(round($"b", 6))).as("bs"))
@@ -262,7 +262,7 @@ object StatsOps extends QueryPack {
       .map(i => when($"vd" > element_at($"bs", i), 1).otherwise(0))
       .reduce(_ + _)
     li.crossJoin(broadcast(bounds))
-      .select($"v", $"vd", binExpr.as("bin"))
+      .select($"vd", binExpr.as("bin"))
       .groupBy($"bin")
       .agg(count(lit(1)).as("n"),
         min($"vd").as("lo"), max($"vd").as("hi"))
@@ -350,15 +350,22 @@ object StatsOps extends QueryPack {
         coalesce($"ce", lit(0L)).as("ce"), coalesce($"cl", lit(0L)).as("cl"))
     val tot = full.groupBy($"event_type")
       .agg(sum($"ce").as("ne"), sum($"cl").as("nl"))
-    full.join(broadcast(tot), "event_type")
+    val psiByType = full.join(broadcast(tot), "event_type")
       .withColumn("p", ($"ce".cast("double") + 0.5) / ($"ne" + 5))
       .withColumn("q", ($"cl".cast("double") + 0.5) / ($"nl" + 5))
       .withColumn("term",
         round(($"p" - $"q") * log($"p" / $"q"), 6).cast(dec6))
       .groupBy($"event_type")
-      .agg(min($"ne").as("n_early"), min($"nl").as("n_late"),
-        sum($"term").cast("double").as("psi"))
-      .withColumn("drifted", $"psi" > 0.1)
+      .agg(sum($"term").cast("double").as("psi"))
+    // a type with NO reference-period rows has no deciles and no PSI —
+    // but it is the most drastic drift there is, so it must surface as
+    // drifted with a NULL score, not silently drop out of the inner join
+    val allTypes = tagged.groupBy($"event_type")
+      .agg(sum(when(!$"late", 1L).otherwise(0L)).as("n_early"),
+        sum(when($"late", 1L).otherwise(0L)).as("n_late"))
+    allTypes.join(psiByType, Seq("event_type"), "left")
+      .select($"event_type", $"n_early", $"n_late", $"psi",
+        coalesce($"psi" > 0.1, lit(true)).as("drifted"))
       .orderBy($"event_type")
   }
 
@@ -385,17 +392,22 @@ object StatsOps extends QueryPack {
         sum($"t").as("st"), sum($"t" * $"t").as("stt"),
         sum($"y").as("sy"), sum($"t" * $"y").as("sty"),
         sum($"y" * $"y").as("syy"))
-    m.select($"event_type", $"n",
-        round((($"n" * $"sty".cast("double") - $"st".cast("double") * $"sy".cast("double"))
-          / ($"n" * $"stt".cast("double") - $"st".cast("double") * $"st".cast("double"))), 9)
-          .as("slope_per_hour"),
-        round((($"sy".cast("double") - (($"n" * $"sty".cast("double") - $"st".cast("double") * $"sy".cast("double"))
-            / ($"n" * $"stt".cast("double") - $"st".cast("double") * $"st".cast("double"))) * $"st".cast("double"))
-          / $"n"), 6).as("intercept"),
-        round(pow($"n" * $"sty".cast("double") - $"st".cast("double") * $"sy".cast("double"), 2)
-          / (($"n" * $"stt".cast("double") - $"st".cast("double") * $"st".cast("double"))
-            * ($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))), 6)
-          .as("r2"))
+    // CASE-guarded degenerate variances (the q_anomaly_running lesson):
+    // a single-event type or one whose events share an hour bucket has
+    // dt = 0 → NULL estimates in BOTH engines, never NaN/Inf
+    m.withColumn("dt", $"n" * $"stt".cast("double")
+        - $"st".cast("double") * $"st".cast("double"))
+      .withColumn("dy", $"n" * $"syy".cast("double")
+        - $"sy".cast("double") * $"sy".cast("double"))
+      .withColumn("cv", $"n" * $"sty".cast("double")
+        - $"st".cast("double") * $"sy".cast("double"))
+      .select($"event_type", $"n",
+        when($"dt" > 0, round($"cv" / $"dt", 9)).as("slope_per_hour"),
+        when($"dt" > 0,
+          round(($"sy".cast("double") - ($"cv" / $"dt") * $"st".cast("double"))
+            / $"n", 6)).as("intercept"),
+        when($"dt" > 0 && $"dy" > 0,
+          round(pow($"cv", 2) / ($"dt" * $"dy"), 6)).as("r2"))
       .orderBy($"event_type")
   }
 
@@ -429,10 +441,13 @@ object StatsOps extends QueryPack {
       pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"p_${a}_$b") }
     val one = li.agg(aggs.head, aggs.tail: _*)
     def d(c: String) = s"CAST($c AS DOUBLE)"
+    def vr(c: String) = s"(n * ${d(s"ss_$c")} - ${d(s"s_$c")} * ${d(s"s_$c")})"
+    // CASE-guarded zero variances: a constant column must yield NULL
+    // correlations in both engines, never 0/0 NaN
     val rows = pairs.map { case (a, b) =>
-      s"'$a', '$b', round((n * ${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")})" +
-        s" / (sqrt(n * ${d(s"ss_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")})" +
-        s" * sqrt(n * ${d(s"ss_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})), 6)"
+      s"'$a', '$b', CASE WHEN ${vr(a)} > 0 AND ${vr(b)} > 0 THEN " +
+        s"round((n * ${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")})" +
+        s" / (sqrt(${vr(a)}) * sqrt(${vr(b)})), 6) END"
     }
     one.selectExpr(
         s"stack(${rows.size}, ${rows.mkString(", ")}) AS (col_x, col_y, corr)")
@@ -538,11 +553,12 @@ object StatsOps extends QueryPack {
       corrCols.map(c => s"SUM($c * $c) AS ss_$c") ++
       pairs.map { case (a, b) => s"SUM($a * $b) AS p_${a}_$b" }
     def d(c: String) = s"CAST($c AS DOUBLE)"
+    def vr(c: String) = s"(n * ${d(s"ss_$c")} - ${d(s"s_$c")} * ${d(s"s_$c")})"
     val selects = pairs.map { case (a, b) =>
       s"SELECT '$a' AS col_x, '$b' AS col_y, " +
+        s"CASE WHEN ${vr(a)} > 0 AND ${vr(b)} > 0 THEN " +
         s"round((n * ${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")})" +
-        s" / (sqrt(n * ${d(s"ss_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")})" +
-        s" * sqrt(n * ${d(s"ss_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})), 6)" +
+        s" / (sqrt(${vr(a)}) * sqrt(${vr(b)})), 6) END" +
         " AS corr FROM m"
     }
     s"""WITH li AS (SELECT $decs FROM lineitem),
@@ -662,21 +678,24 @@ object StatsOps extends QueryPack {
         |    SUM(y) AS sy, SUM(t * y) AS sty, SUM(y * y) AS syy
         |  FROM (SELECT event_type, (tu - mn) // 3600000000 AS t, y
         |        FROM e CROSS JOIN mn)
-        |  GROUP BY 1)
+        |  GROUP BY 1),
+        |m2 AS (
+        |  SELECT event_type, n,
+        |    CAST(st AS DOUBLE) AS std, CAST(sy AS DOUBLE) AS syd,
+        |    n * CAST(stt AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS dt,
+        |    n * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+        |    n * CAST(sty AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+        |  FROM m)
         |SELECT event_type, n,
-        |  round((n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 9)
-        |    AS slope_per_hour,
-        |  round((CAST(sy AS DOUBLE)
-        |      - ((n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
-        |        * CAST(st AS DOUBLE))
-        |    / n, 6) AS intercept,
-        |  round(pow(n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE), 2)
-        |    / ((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
-        |      * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-        |    AS r2
-        |FROM m ORDER BY event_type""".stripMargin,
+        |  CASE WHEN dt > 0 THEN round(cv / dt, 9) END AS slope_per_hour,
+        |  CASE WHEN dt > 0
+        |    THEN round((syd - (cv / dt) * std) / n, 6) END AS intercept,
+        |  CASE WHEN dt > 0 AND dy > 0
+        |    THEN round(pow(cv, 2) / (dt * dy), 6) END AS r2
+        |FROM m2 ORDER BY event_type""".stripMargin,
 
     // same tiny joint-count table, exact-int probability quotients, and
     // once-rounded decimal MI/entropy terms
@@ -746,19 +765,28 @@ object StatsOps extends QueryPack {
         |    CAST(SUM(cl) AS BIGINT) AS nl
         |  FROM f GROUP BY 1),
         |tm AS (
-        |  SELECT f.event_type, tot.ne, tot.nl,
+        |  SELECT f.event_type,
         |    CAST(round(
         |      ((CAST(f.ce AS DOUBLE) + 0.5) / (tot.ne + 5)
         |        - (CAST(f.cl AS DOUBLE) + 0.5) / (tot.nl + 5))
         |      * ln(((CAST(f.ce AS DOUBLE) + 0.5) / (tot.ne + 5))
         |          / ((CAST(f.cl AS DOUBLE) + 0.5) / (tot.nl + 5))), 6)
         |      AS DECIMAL(18,6)) AS term
-        |  FROM f JOIN tot ON tot.event_type = f.event_type)
-        |SELECT event_type, min(ne) AS n_early, min(nl) AS n_late,
-        |  CAST(SUM(term) AS DOUBLE) AS psi,
-        |  CAST(SUM(term) AS DOUBLE) > 0.1 AS drifted
-        |FROM tm GROUP BY 1
-        |ORDER BY 1""".stripMargin,
+        |  FROM f JOIN tot ON tot.event_type = f.event_type),
+        |ps AS (
+        |  SELECT event_type, CAST(SUM(term) AS DOUBLE) AS psi
+        |  FROM tm GROUP BY 1),
+        |at AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_early,
+        |    CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_late
+        |  FROM tg GROUP BY 1)
+        |SELECT at.event_type, at.n_early, at.n_late, ps.psi,
+        |  COALESCE(ps.psi > 0.1, TRUE) AS drifted
+        |FROM at LEFT JOIN ps ON ps.event_type = at.event_type
+        |ORDER BY at.event_type""".stripMargin,
 
     // same count distributions, quantile_cont over the same fraction
     // triple, skew as the identical exact-int IEEE quotient shape
