@@ -210,7 +210,48 @@ object CorpusOps extends QueryPack {
       .orderBy($"source")
   }
 
+  // ---- q_collocations ----------------------------------------------------
+  /** PMI-ranked adjacent-token collocations — the phrase-mining pass that
+    * feeds tokenizer merges and "New York"-style unit detection:
+    * PMI(x,y) = ln(n_xy·N²/(P·n_x·n_y)) over adjacent pairs (N = token
+    * count, P = pair count), support-filtered at n_xy ≥ 5, top-20 by
+    * (PMI, count, pair) — PMI rounds to 6dp BEFORE the ordering so both
+    * engines rank identical values, and the top-20 is an
+    * orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    * global sort). Pair formation is one lead() per doc window; counts
+    * are token-keyed aggregations; the ln argument is a quotient of
+    * exact integers, IEEE-deterministic. */
+  def qCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val pairs = toks
+      .select($"tok".as("x"), lead($"tok", 1).over(w).as("y"))
+      .filter($"y".isNotNull)
+    val nxy = pairs.groupBy($"x", $"y").agg(count(lit(1)).as("nxy"))
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("nu"))
+    val nTok = toks.agg(count(lit(1)).as("n"))
+    val nPair = pairs.agg(count(lit(1)).as("p"))
+    // no broadcast hint on the unigram side: a production vocabulary can
+    // exceed the broadcast threshold, and these are token-keyed equi-joins
+    // AQE will broadcast on its own when the vocab IS small (it is here)
+    nxy.filter($"nxy" >= 5)
+      .join(uni.withColumnRenamed("tok", "x")
+        .withColumnRenamed("nu", "nx"), "x")
+      .join(uni.withColumnRenamed("tok", "y")
+        .withColumnRenamed("nu", "ny"), "y")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .select($"x", $"y", $"nxy",
+        round(log(($"nxy".cast("double") * $"n" * $"n")
+          / ($"p".cast("double") * $"nx" * $"ny")), 6).as("pmi"))
+      .orderBy($"pmi".desc, $"nxy".desc, $"x".asc, $"y".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocations" -> qCollocations,
     "q_dataset_card" -> qDatasetCard,
     "q_bm25" -> qBm25,
     "q_bpe_merges" -> qBpeMerges,
@@ -253,6 +294,35 @@ object CorpusOps extends QueryPack {
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
   val oracle: Map[String, String] = Map(
+    // same adjacent-pair formation (1-based range positions order the
+    // same sequence), same support filter, PMI rounded to 6dp before the
+    // identical (pmi, count, pair) ordering
+    "q_collocations" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |      i -> struct_pack(pos := i, tok := arr[i]))) AS s
+        |    FROM (SELECT doc_id, $toksSql AS arr FROM documents))),
+        |pr AS (
+        |  SELECT tok AS x, lead(tok, 1) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS y
+        |  FROM t),
+        |pairs AS (SELECT x, y FROM pr WHERE y IS NOT NULL),
+        |nxy AS (SELECT x, y, count(*) AS nxy FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT tok, count(*) AS nu FROM t GROUP BY 1),
+        |nt AS (SELECT count(*) AS n FROM t),
+        |np AS (SELECT count(*) AS p FROM pairs)
+        |SELECT nxy.x, nxy.y, nxy.nxy,
+        |  round(ln((CAST(nxy.nxy AS DOUBLE) * n * n)
+        |    / (CAST(p AS DOUBLE) * ux.nu * uy.nu)), 6) AS pmi
+        |FROM nxy
+        |JOIN uni ux ON ux.tok = nxy.x
+        |JOIN uni uy ON uy.tok = nxy.y
+        |CROSS JOIN nt CROSS JOIN np
+        |WHERE nxy.nxy >= 5
+        |ORDER BY pmi DESC, nxy.nxy DESC, nxy.x ASC, nxy.y ASC
+        |LIMIT 20""".stripMargin,
+
     // same aggregations; the dominant language uses the identical
     // (count DESC, lang ASC) row_number tiebreak, and every ratio is the
     // same exact-int IEEE quotient

@@ -377,6 +377,17 @@ class CurateStatsSpec extends SparkSpec {
       "the skewed fixture must exercise the sampling arm")
   }
 
+  test("collocations are support-filtered and ranked by descending PMI") {
+    val out = graft.queries.CorpusOps.qCollocations(spark, sf).collect()
+    assert(out.length == 20)
+    val pmis = out.map(_.getAs[Double]("pmi"))
+    assert(pmis.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    out.foreach { r =>
+      assert(r.getAs[Long]("nxy") >= 5L, "support filter")
+      assert(!r.getAs[Double]("pmi").isNaN)
+    }
+  }
+
   test("dataset card accounts for every document and a dominant language") {
     val out = graft.queries.CorpusOps.qDatasetCard(spark, sf).collect()
     val total = Tables.df(spark, sf, "documents").count()
