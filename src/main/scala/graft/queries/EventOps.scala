@@ -156,6 +156,28 @@ object EventOps extends QueryPack {
       .orderBy($"event_id")
   }
 
+  /** Behavior-LM training rows: for each event of the user_id%20 subset
+    * with at least 5 predecessors, the previous 5 event types in time
+    * order as a space-joined context string and the current type as the
+    * next-event label — the sequence-model dataset assembly step
+    * (session-based recommendation / next-action prediction). One lag()
+    * window pass per user; no self-join, no collect; the (ts, event_id)
+    * order is the same total order every event query in this pack uses. */
+  def qSeqExamples(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val lags = (1 to 5).map(i => lag($"event_type", i).over(w))
+    Tables.df(spark, sfDir, "events")
+      .filter($"user_id" % 20 === 0)
+      .select($"user_id", $"event_id", $"event_type".as("label"),
+        concat_ws(" ", lags.reverse: _*).as("context"),
+        lags.last.isNotNull.as("full"))
+      .filter($"full")
+      .select($"user_id", $"event_id", $"context", $"label")
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** The SCD-2 interval table (user_id, version, state, valid_from,
     * valid_to) — shared by [[qScd2]] and the point-in-time join. */
   private def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
@@ -219,6 +241,7 @@ object EventOps extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2" -> qScd2,
     "q_pit_join" -> qPitJoin,
+    "q_seq_examples" -> qSeqExamples,
     "q_anomaly_running" -> qAnomalyRunning,
     "q_tumbling" -> qTumbling,
     "q_sliding" -> qSliding,
@@ -252,6 +275,25 @@ object EventOps extends QueryPack {
         |SELECT user_id, CAST(version AS INT) AS version, state,
         |  valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // same per-user lag ladder in the same (ts, event_id) total order;
+    // concat_ws is NULL-skipping in both engines but the l5 filter makes
+    // every context exactly 5 tokens anyway
+    "q_seq_examples" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lag(event_type, 1) OVER w AS l1,
+        |    lag(event_type, 2) OVER w AS l2,
+        |    lag(event_type, 3) OVER w AS l3,
+        |    lag(event_type, 4) OVER w AS l4,
+        |    lag(event_type, 5) OVER w AS l5
+        |  FROM events WHERE user_id % 20 = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  concat_ws(' ', l5, l4, l3, l2, l1) AS context,
+        |  event_type AS label
+        |FROM e WHERE l5 IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // same SCD-2 interval CTEs, then the identical half-open containment
     // join keyed on user_id

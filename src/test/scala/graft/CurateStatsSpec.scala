@@ -487,6 +487,21 @@ class CurateStatsSpec extends SparkSpec {
     assert(bad == 0, "a version can never start after the probe event")
   }
 
+  test("sequence examples carry exactly five context tokens each") {
+    val out = graft.queries.EventOps.qSeqExamples(spark, sf).collect()
+    assert(out.nonEmpty)
+    val subset = Tables.df(spark, sf, "events")
+      .filter($"user_id" % 20 === 0)
+    val perUser = subset.groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each user contributes max(n - 5, 0) examples
+    val expected = perUser.values.map(n => math.max(n - 5, 0L)).sum
+    assert(out.length == expected, s"${out.length} vs $expected")
+    out.foreach { r =>
+      assert(r.getAs[String]("context").split(" ").length == 5)
+    }
+  }
+
   test("attribution credits only strictly-preceding clicks") {
     val out = graft.queries.EventOps.qAttribution(spark, sf)
     val purchases = Tables.df(spark, sf, "events")
