@@ -42,6 +42,53 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tws_ckpt").toString
+    val input = MemoryStream[UserEvent]
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // fault-tolerant sink shape a production restart actually uses
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def start() = Streams.runningCountsTws(input.toDS())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[_], _: Long) =>
+        batch.toDF().collect().foreach(r =>
+          seen.synchronized { seen += ((r.getLong(0), r.getLong(1))) })
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    val q1 = start()
+    try {
+      input.addData(ev(1, "2024-01-01 00:00:01"), ev(1, "2024-01-01 00:00:02"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a NEW query over the same source resumes from the checkpoint: the
+    // RocksDB state (count=2 for user 1) must carry into the next batch,
+    // the fault-tolerance contract a production restart depends on
+    val q2 = start()
+    try {
+      input.addData(ev(1, "2024-01-01 00:01:00"))
+      q2.processAllAvailable()
+      val n = seen.synchronized {
+        seen.filter(_._1 == 1L).map(_._2).max
+      }
+      assert(n === 3, s"restart must resume the running count, got $seen")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("event-time timers close sessions when the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
