@@ -369,6 +369,40 @@ object StatsOps extends QueryPack {
       .orderBy($"event_type")
   }
 
+  // ---- q_winsorize -------------------------------------------------------
+  /** Winsorization report: clip l_extendedprice at the exact p01/p99
+    * boundaries (from the distributed quantile kernel — no single-group
+    * percentile buffer) and report how many rows each tail clipped plus
+    * the mean before and after — the heavy-tail taming step run before
+    * moment-based features. Boundaries round to 6dp so both engines clip
+    * against identical doubles; means are exact-decimal sums over
+    * once-rounded clipped values divided by the count (final 6dp round
+    * absorbs the wide-decimal cast drift). Clip assignment is a map-side
+    * projection against the 1-row broadcast boundary table. */
+  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select(round($"l_extendedprice", 2).cast(DecimalType(18, 2))
+        .cast("double").as("vd"))
+    val bounds = graft.operators.Quantiles
+      .exactQuantiles(li, $"vd", Seq(0.01, 0.99))
+      .agg(min(when($"frac" === 0.01, round($"b", 6))).as("lo"),
+        max(when($"frac" === 0.99, round($"b", 6))).as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .select($"vd", $"lo", $"hi",
+        least(greatest($"vd", $"lo"), $"hi").as("wv"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"vd" < $"lo", 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when($"vd" > $"hi", 1L).otherwise(0L)).as("n_clipped_high"),
+        round(min($"lo"), 6).as("p01"), round(min($"hi"), 6).as("p99"),
+        round(sum(round($"vd", 2).cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1)), 6).as("mean_raw"),
+        // round(wv, 6) is an identity (raw values are 2dp, boundaries are
+        // already 6dp-rounded) — it only fixes the decimal sum's scale
+        round(sum(round($"wv", 6).cast(dec6)).cast("double")
+          / count(lit(1)), 6).as("mean_winsorized"))
+  }
+
   // ---- q_trend -----------------------------------------------------------
   /** Per-event-type least-squares trend of `value` over time — the
     * drift-direction companion to [[qDriftPsi]]: slope (units per hour),
@@ -486,6 +520,37 @@ object StatsOps extends QueryPack {
         round($"mi" / least($"hx", $"hy"), 6).as("nmi"))
   }
 
+  // ---- q_fk_audit --------------------------------------------------------
+  /** Referential-integrity audit across the star schema's FK edges
+    * (lineitem→orders, orders→customer, customer→nation): child rows,
+    * orphan child rows (anti-join on the parent key), and distinct orphan
+    * keys — the ingest-quality gate a join pipeline runs before trusting
+    * its keys. Each edge is one key-shuffled (or broadcast) anti-join plus
+    * tiny aggregations; a clean corpus reports zeros, and the zeros are
+    * the assertion. */
+  def qFkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def edge(name: String, childT: String, ck: String,
+        parentT: String, pk: String): DataFrame = {
+      val child = Tables.df(spark, sfDir, childT).select(col(ck).as("k"))
+      val parent = Tables.df(spark, sfDir, parentT)
+        .select(col(pk).as("k")).distinct()
+      val orphans = child.join(parent, Seq("k"), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+          countDistinct($"k").as("n_orphan_keys")))
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_orphans",
+          $"n_orphan_keys")
+    }
+    edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey")
+      .unionAll(edge("lineitem.l_orderkey->orders", "lineitem",
+        "l_orderkey", "orders", "o_orderkey"))
+      .unionAll(edge("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"))
+      .orderBy($"fk_edge")
+  }
+
   // ---- q_mad -------------------------------------------------------------
   /** Robust dispersion per event type: exact median, median absolute
     * deviation (two interpolated-percentile passes written explicitly in
@@ -535,6 +600,8 @@ object StatsOps extends QueryPack {
     "q_corr_matrix" -> qCorrMatrix,
     "q_mutual_info" -> qMutualInfo,
     "q_trend" -> qTrend,
+    "q_winsorize" -> qWinsorize,
+    "q_fk_audit" -> qFkAudit,
     "q_mad" -> qMad
   )
 
@@ -662,6 +729,63 @@ object StatsOps extends QueryPack {
     // same once-rounded decimal moments and the identical shared corr
     // formula, unpacked as a UNION ALL mirror of the stack
     "q_corr_matrix" -> corrOracle,
+
+    // same p01/p99 boundaries (quantile_cont, rounded to 6dp), identical
+    // least/greatest clip, once-rounded decimal means
+    "q_winsorize" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS vd
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT round(quantile_cont(vd, 0.01), 6) AS lo,
+        |    round(quantile_cont(vd, 0.99), 6) AS hi
+        |  FROM li),
+        |c AS (
+        |  SELECT vd, lo, hi, least(greatest(vd, lo), hi) AS wv
+        |  FROM li CROSS JOIN b)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN vd < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(sum(CASE WHEN vd > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  round(min(lo), 6) AS p01, round(min(hi), 6) AS p99,
+        |  round(CAST(SUM(CAST(round(vd, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS mean_raw,
+        |  round(CAST(SUM(CAST(round(wv, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_winsorized
+        |FROM c""".stripMargin,
+
+    // three anti-join edges, each mirrored as a LEFT JOIN ... IS NULL
+    "q_fk_audit" ->
+      """WITH e1 AS (
+        |  SELECT count(*) AS n_orphans,
+        |    count(DISTINCT c.c_nationkey) AS n_orphan_keys
+        |  FROM customer c LEFT JOIN nation n
+        |    ON n.n_nationkey = c.c_nationkey
+        |  WHERE n.n_nationkey IS NULL),
+        |e2 AS (
+        |  SELECT count(*) AS n_orphans,
+        |    count(DISTINCT l.l_orderkey) AS n_orphan_keys
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderkey IS NULL),
+        |e3 AS (
+        |  SELECT count(*) AS n_orphans,
+        |    count(DISTINCT o.o_custkey) AS n_orphan_keys
+        |  FROM orders o LEFT JOIN customer c
+        |    ON c.c_custkey = o.o_custkey
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT 'customer.c_nationkey->nation' AS fk_edge,
+        |  (SELECT count(*) FROM customer) AS n_child,
+        |  n_orphans, n_orphan_keys FROM e1
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders',
+        |  (SELECT count(*) FROM lineitem), n_orphans, n_orphan_keys FROM e2
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders), n_orphans, n_orphan_keys FROM e3
+        |ORDER BY fk_edge""".stripMargin,
 
     // same exact integer-hour regressor, same decimal response, and the
     // identical slope/intercept/r² double formulas over the five moments

@@ -311,6 +311,32 @@ class CurateStatsSpec extends SparkSpec {
     assert(nmi >= -1e-4 && nmi <= 1.0 + 1e-4)
   }
 
+  test("winsorization clips ~1% per tail and pulls the mean inward") {
+    val r = StatsOps.qWinsorize(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n")
+    val (lo, hi) = (r.getAs[Long]("n_clipped_low"), r.getAs[Long]("n_clipped_high"))
+    // each tail holds at most ~1% of rows (interpolation can only shrink it)
+    assert(lo <= n / 100 + 1 && hi <= n / 100 + 1, s"$lo/$hi of $n")
+    assert(lo > 0 && hi > 0, "a continuous column clips both tails")
+    assert(r.getAs[Double]("p01") < r.getAs[Double]("p99"))
+    val (raw, win) = (r.getAs[Double]("mean_raw"),
+      r.getAs[Double]("mean_winsorized"))
+    // clipping both tails moves the mean by at most the clipped mass
+    assert(math.abs(win - raw) < (r.getAs[Double]("p99") / 50),
+      s"winsorized mean $win too far from raw $raw")
+  }
+
+  test("foreign-key audit finds a clean star schema") {
+    val out = StatsOps.qFkAudit(spark, sf).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_child") > 0)
+      assert(r.getAs[Long]("n_orphans") == 0L,
+        s"fixture FKs are clean: ${r.getAs[String]("fk_edge")}")
+      assert(r.getAs[Long]("n_orphan_keys") == 0L)
+    }
+  }
+
   test("mad is the median deviation: at most half the group lies closer") {
     val out = StatsOps.qMad(spark, sf).collect()
     assert(out.nonEmpty)
