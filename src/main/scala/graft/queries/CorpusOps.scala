@@ -250,7 +250,39 @@ object CorpusOps extends QueryPack {
       .limit(20)
   }
 
+  // ---- q_topic_terms -----------------------------------------------------
+  /** Top-3 distinguishing terms per source by lift — the "what
+    * characterizes this slice" exploration view of corpus profiling:
+    * lift(t, s) = (n_ts/n_s) / (n_t/N), support-filtered at n_ts ≥ 5,
+    * ranked per source by (lift, count, term) with lift rounded to 6dp
+    * BEFORE the window so both engines order identical values. The lift
+    * argument is a quotient of exact integers (written n_ts·N / (n_s·n_t)
+    * to stay a single integer-product quotient), IEEE-deterministic. One
+    * (source, term) aggregation, two marginal aggregations joined back,
+    * one per-source rank window over the support-filtered slice. */
+  def qTopicTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.df(spark, sfDir, "documents")
+      .select($"source", explode(TextFunctions.tokens($"text")).as("tok"))
+    val st = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("nst"))
+    val s = toks.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val t = toks.groupBy($"tok").agg(count(lit(1)).as("nt"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val lifted = st.filter($"nst" >= 5)
+      .join(broadcast(s), "source").join(t, "tok").crossJoin(broadcast(n))
+      .select($"source", $"tok", $"nst",
+        round(($"nst".cast("double") * $"n") / ($"ns".cast("double") * $"nt"), 6)
+          .as("lift"))
+    lifted.withColumn("rk", row_number().over(
+        Window.partitionBy($"source")
+          .orderBy($"lift".desc, $"nst".desc, $"tok".asc)))
+      .filter($"rk" <= 3)
+      .select($"source", $"rk", $"tok", $"nst", $"lift")
+      .orderBy($"source", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topic_terms" -> qTopicTerms,
     "q_collocations" -> qCollocations,
     "q_dataset_card" -> qDatasetCard,
     "q_bm25" -> qBm25,
@@ -294,6 +326,33 @@ object CorpusOps extends QueryPack {
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
   val oracle: Map[String, String] = Map(
+    // same marginals, same single-integer-product lift quotient rounded
+    // to 6dp before the identical (lift, count, term) per-source ranking
+    "q_topic_terms" ->
+      s"""WITH toks AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents),
+        |st AS (SELECT source, tok, count(*) AS nst
+        |       FROM toks GROUP BY 1, 2),
+        |s AS (SELECT source, count(*) AS ns FROM toks GROUP BY 1),
+        |t AS (SELECT tok, count(*) AS nt FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM toks),
+        |lifted AS (
+        |  SELECT st.source, st.tok, st.nst,
+        |    round((CAST(st.nst AS DOUBLE) * n)
+        |      / (CAST(s.ns AS DOUBLE) * t.nt), 6) AS lift
+        |  FROM st
+        |  JOIN s ON s.source = st.source
+        |  JOIN t ON t.tok = st.tok
+        |  CROSS JOIN n
+        |  WHERE st.nst >= 5),
+        |rk AS (
+        |  SELECT source, tok, nst, lift, CAST(row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY lift DESC, nst DESC, tok ASC) AS INT) AS rk
+        |  FROM lifted)
+        |SELECT source, rk, tok, nst, lift FROM rk WHERE rk <= 3
+        |ORDER BY source, rk""".stripMargin,
+
     // same adjacent-pair formation (1-based range positions order the
     // same sequence), same support filter, PMI rounded to 6dp before the
     // identical (pmi, count, pair) ordering

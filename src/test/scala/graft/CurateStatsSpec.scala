@@ -403,6 +403,20 @@ class CurateStatsSpec extends SparkSpec {
       "the skewed fixture must exercise the sampling arm")
   }
 
+  test("topic terms give every source three ranked distinctive tokens") {
+    val out = graft.queries.CorpusOps.qTopicTerms(spark, sf).collect()
+    val sources = Tables.df(spark, sf, "documents")
+      .select($"source").distinct().count()
+    assert(out.length == 3 * sources, "three ranked terms per source")
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(Array(1, 2, 3)))
+      val lifts = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("lift"))
+      assert(lifts.sliding(2).forall { case Array(a, b) => a >= b
+        case _ => true })
+      rows.foreach(r => assert(r.getAs[Long]("nst") >= 5L))
+    }
+  }
+
   test("collocations are support-filtered and ranked by descending PMI") {
     val out = graft.queries.CorpusOps.qCollocations(spark, sf).collect()
     assert(out.length == 20)
