@@ -57,7 +57,13 @@ object Bench {
       val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir"$extra,"errors":$errs}"""
     }
-    println(line(results, ""))
+    // Slowest-LAST order: the driver keeps only the last ~2000 chars of
+    // stdout, so the end of this line is what survives. Alphabetical order
+    // truncated whichever queries sort early — exactly the ones needed to
+    // attribute a total regression. Ascending-by-time puts the expensive
+    // queries at the end of the map, inside the surviving tail (the short
+    // total line below is ~110 chars and still prints last).
+    println(line(results.sortBy(_._2), ""))
     // Short total-only line LAST: the driver parses the stdout tail, and the
     // full per-query line above can overflow its window at 100 queries.
     println(line(Seq.empty, s""","n_queries":${results.size}"""))

@@ -252,4 +252,40 @@ object Similarity {
       .filter($"dist" <= radius)
       .select($"qid", $"vec_id", $"dist")
   }
+
+  /** ANN top-k cosine neighbors: [[annLshCandidates]]'s bucket-routed
+    * candidate pairs (ids only meet in the equi-join) + exact cosine
+    * rerank + per-query top-k. Output columns and the round-to-6dp /
+    * id-tie-break ranking discipline are IDENTICAL to [[knnBruteForce]],
+    * so pair-list consumers (LOF, hard-negative mining) take either
+    * source interchangeably — brute force for the oracle twin, this for
+    * corpus scale. Recall is measured, not assumed: AnnConsumersSpec
+    * asserts the floor vs the brute-force answer on the real fixture.
+    *
+    * `radius` bounds the euclidean candidate verify; for unit vectors
+    * d = √(2−2·cos), so a cosine floor t maps to radius √(2−2t).
+    * `numTables` ORs more hash tables into the candidate set (recall ↑,
+    * candidates ↑). A query with fewer than k surviving candidates
+    * returns a shorter neighbor list — the recall trade, which the
+    * downstream consumers already tolerate (smaller neighborhood). */
+  def annKnnCosine(embeddings: DataFrame, queries: DataFrame, k: Int,
+      radius: Double, numTables: Int = 8, bucketLength: Double = 2.0)
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val cand = annLshCandidates(embeddings, queries, radius, numTables,
+        bucketLength)
+      .select($"qid", $"vec_id")
+    val scored = cand
+      .join(queries.select($"vec_id".as("qid"), $"embedding".as("qv")),
+        Seq("qid"))
+      .join(embeddings.select($"vec_id", $"embedding"), Seq("vec_id"))
+      .withColumn("sim",
+        round(expr("cosine_similarity(qv, embedding)"), 6))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"vec_id", $"sim", $"rank")
+  }
 }

@@ -147,10 +147,13 @@ object VectorQueries extends QueryPack {
     * tie-break, not distance-ties-inclusive) keeps every step a
     * deterministic relational op: kNN window → k-distance aggregate →
     * reachability join → two exact decimal sums. Distances, lrd, and lof
-    * round once to 6dp so every aggregate is engine-exact. Scale: the
-    * pair source is the broadcast brute-force kNN (fixture-sized); swap
-    * in annLshCandidates for a large corpus — downstream stages are
-    * already key-partitioned joins/aggregates. */
+    * round once to 6dp so every aggregate is engine-exact. The pair
+    * source is parameterized: this oracle twin feeds the broadcast
+    * brute-force kNN into [[lofStages]]; the corpus-scale path [[lofAnn]]
+    * feeds the same stages from [[Similarity.annKnnCosine]]'s LSH-routed
+    * candidates (AnnConsumersSpec measures its outlier recall vs this
+    * exact answer) — downstream stages are already key-partitioned
+    * joins/aggregates, identical in both. */
   def qLof(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
@@ -160,6 +163,39 @@ object VectorQueries extends QueryPack {
     val nn = Similarity.knnBruteForce(sub, sub, k)
       .select($"qid", $"vec_id".as("nid"),
         (lit(1.0) - $"sim").cast(dec6).as("d"))
+    lofStages(spark, k, nn)
+  }
+
+  /** q_lof at corpus scale: the SAME LOF stages fed by the LSH-routed
+    * ANN pair source instead of the broadcast brute-force kNN. Not a
+    * driver query (the seeded Gaussian projections have no DuckDB twin);
+    * AnnConsumersSpec asserts the measured outlier-recall floor vs
+    * [[qLof]] on the real fixture. Defaults: radius 1.4 keeps every
+    * fixture top-5 cosine neighborhood (observed max neighbor distance
+    * 1.27 ≪ the 1.414 random-pair median, so the radius verify prunes
+    * roughly half of all candidate pairs even on this
+    * concentration-hostile fixture); 8 OR-ed tables carry recall. */
+  def lofAnn(spark: SparkSession, sfDir: String, radius: Double = 1.4,
+      numTables: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val k = 5
+    val sub = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 2 === 0)
+    val nn = Similarity.annKnnCosine(sub, sub, k, radius, numTables)
+      .select($"qid", $"vec_id".as("nid"),
+        (lit(1.0) - $"sim").cast(dec6).as("d"))
+    lofStages(spark, k, nn)
+  }
+
+  /** LOF stages downstream of the kNN pair list `nn` = (qid, nid,
+    * d DECIMAL(18,6)): k-distance aggregate → reachability join → lrd →
+    * lof — every stage a key-partitioned join/aggregate, shared verbatim
+    * by the brute-force oracle twin [[qLof]] and the ANN-fed [[lofAnn]]. */
+  private[graft] def lofStages(spark: SparkSession, k: Int,
+      nn: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val kdist = nn.groupBy($"qid".as("p")).agg(max($"d").as("kdist"))
     val reach = nn.join(kdist.withColumnRenamed("p", "nid"), "nid")
       .select($"qid", $"nid", greatest($"kdist", $"d").as("reach"))
@@ -285,11 +321,11 @@ object VectorQueries extends QueryPack {
     * values (bid ties the rank). The margin is a subtraction of two
     * already-rounded doubles — exact IEEE, left unrounded.
     *
-    * Scale shape: the candidate pool broadcasts against the anchor stream
-    * (the qLof/knnBruteForce pattern) and two (anchor, same-label?) rank
-    * windows pick the extremes. At corpus scale the pool side comes from
-    * an ANN candidate stage (q_ann_lsh's bucket join) instead of the full
-    * broadcast — the mining windows are unchanged. */
+    * Scale shape: the pair source is parameterized over [[hardNegStages]].
+    * This oracle twin broadcasts the (fixture-sized) pool against the
+    * anchor stream; the corpus-scale path [[hardNegativesAnn]] feeds the
+    * SAME mining windows from the LSH bucket equi-join — wired and
+    * recall-tested (AnnConsumersSpec), not just documented. */
   def qHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
@@ -300,9 +336,49 @@ object VectorQueries extends QueryPack {
     val b = s.select($"vec_id".as("bid"), $"embedding".as("bv"),
       $"label".as("blab"))
     val pairs = a.join(broadcast(b), $"aid" =!= $"bid")
-      .select($"aid", $"alab", $"bid",
+      .select($"aid", $"bid",
         ($"alab" === $"blab").as("same"),
         round(expr("cosine_similarity(av, bv)"), 6).as("sim"))
+    hardNegStages(spark, s, pairs)
+  }
+
+  /** q_hard_negatives at corpus scale: the SAME mining windows fed by
+    * [[Similarity.annLshCandidates]]'s bucket-routed candidate pairs
+    * instead of the full-pool broadcast — no side is ever broadcast
+    * whole, candidates meet in a (table, bucket) equi-join carrying ids
+    * only, and the exact cosine runs per candidate pair. Not a driver
+    * query (seeded projections have no DuckDB twin); AnnConsumersSpec
+    * asserts the measured recall floor vs [[qHardNegatives]]. Default
+    * radius 1.5 spans sim ≥ −0.125 — wide enough to catch best-same-label
+    * matches even in small label pools, while still cutting the
+    * beyond-random tail. */
+  def hardNegativesAnn(spark: SparkSession, sfDir: String,
+      radius: Double = 1.5, numTables: Int = 8): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val s = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 4 === 0)
+    val cand = Similarity.annLshCandidates(s, s, radius, numTables)
+      .select($"qid".as("aid"), $"vec_id".as("bid"))
+    val pairs = cand
+      .join(s.select($"vec_id".as("aid"), $"embedding".as("av"),
+        $"label".as("alab")), Seq("aid"))
+      .join(s.select($"vec_id".as("bid"), $"embedding".as("bv"),
+        $"label".as("blab")), Seq("bid"))
+      .select($"aid", $"bid",
+        ($"alab" === $"blab").as("same"),
+        round(expr("cosine_similarity(av, bv)"), 6).as("sim"))
+    hardNegStages(spark, s, pairs)
+  }
+
+  /** Mining windows downstream of the scored candidate pairs `pairs` =
+    * (aid, bid, same, sim): two (anchor, same-label?) rank windows pick
+    * the extremes, then a left join back to every anchor — shared
+    * verbatim by the brute-force oracle twin [[qHardNegatives]] and the
+    * ANN-fed [[hardNegativesAnn]]. */
+  private[graft] def hardNegStages(spark: SparkSession, s: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    import spark.implicits._
     val w = Window.partitionBy($"aid", $"same")
       .orderBy($"sim".desc, $"bid".asc)
     val top = pairs.withColumn("rk", row_number().over(w))

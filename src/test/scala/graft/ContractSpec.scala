@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract itself (SparkEntry), independent of Spark.
+  *
+  * The correctness gate hash-compares every `oracleSql` entry against
+  * DuckDB; a query WITHOUT an oracle gets only a weaker rows>0 check. That
+  * omission is permitted by the contract, but only for the documented set
+  * whose semantics are sketch-/seed-/engine-dependent (README "Oracle
+  * coverage"). This spec turns the convention into a checked invariant: a
+  * new query landing without an oracle outside the allowlist fails CI
+  * instead of silently weakening the gate.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  /** The documented rows-only set. Grow this ONLY with a README entry
+    * explaining why no DuckDB oracle can exist for the query. */
+  private val noOracleAllowlist: Set[String] = Set(
+    "q_approx",        // HLL/GK approx aggs — engine-specific estimates
+    "q_ann_ivf",       // IVF probe set depends on Spark-side kmeans seed
+    "q_ann_lsh",       // MLlib LSH hyperplanes are JVM-seeded
+    "q_dedup_minhash", // MLlib MinHashLSH — JVM-seeded coefficients
+    "q_dedup_simhash", // xxhash64 bit layout has no DuckDB twin
+    "q_tablesample",   // fraction sampling is engine-RNG-dependent
+    "q_misc_pack"      // soundex/xpath/sentences — functions DuckDB lacks
+  )
+
+  test("every query is oracled or in the documented no_oracle allowlist") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val unoracled = q -- o
+    val stray = unoracled -- noOracleAllowlist
+    assert(stray.isEmpty,
+      s"queries without an oracleSql entry outside the allowlist: " +
+        s"${stray.toSeq.sorted.mkString(", ")} — add an oracle or document " +
+        "the impossibility in README and extend the allowlist")
+    val stale = noOracleAllowlist -- unoracled
+    assert(stale.isEmpty,
+      s"allowlist entries that are now oracled or gone: " +
+        s"${stale.toSeq.sorted.mkString(", ")} — shrink the allowlist")
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracleSql entries with no query: ${orphans.toSeq.sorted.mkString(", ")}")
+  }
+}
