@@ -45,10 +45,21 @@ object GraphOps extends QueryPack {
       .localCheckpoint()
     val deg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    pagerankLoop(edges, deg, 3)
+  }
+
+  /** The unrolled damped-iteration loop over a prepared (edges, deg)
+    * pair — shared by [[qPagerank]] (localCheckpoint'd inputs, the oracle
+    * twin) and [[pagerankBucketed]] (bucketed-table inputs, the cluster
+    * shape). Semantics and rounding identical in both. */
+  private[graft] def pagerankLoop(edges: DataFrame, deg: DataFrame,
+      iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val nTotal = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(nTotal))
       .select($"node", $"deg", $"n", (lit(1.0) / $"n").as("pr"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       val contrib = edges.join(pr, edges("u") === pr("node"))
         .select($"v".as("node"),
           round($"pr" / $"deg", 12).cast(DecimalType(28, 14)).as("w"))
@@ -63,6 +74,27 @@ object GraphOps extends QueryPack {
     pr.select($"node", round($"pr", 9).as("pr"))
       .orderBy($"pr".desc, $"node".asc)
       .limit(25)
+  }
+
+  /** PageRank over a BUCKETED symmetrized edge table — the cluster answer
+    * to the localCheckpoint partitioning loss measured in PERF.md:
+    * `localCheckpoint` yields a LogicalRDD with NO outputPartitioning, so
+    * [[qPagerank]]'s unrolled loop re-exchanges the (large) edge side in
+    * EVERY iteration. A table bucketed by the join key `u`
+    * (Sources.writeBucketed(edges, table, n, "u")) exposes
+    * HashPartitioning from the scan itself: each iteration's edges⋈ranks
+    * join then shuffles only the rank side, and the degree aggregate is
+    * map-side against the bucket partitioning. GraphBucketSpec asserts
+    * the per-iteration edge-side Exchange disappears AND that the result
+    * is row-identical to the checkpoint path on the same graph. At 100 TB
+    * the edge table is written bucketed once (one shuffle) and every
+    * downstream iteration — and every rerun — reuses that layout. */
+  def pagerankBucketed(spark: SparkSession, edgesTable: String,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = spark.table(edgesTable)
+    val deg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    pagerankLoop(edges, deg, iters)
   }
 
   /** Triangle counting over the part co-order graph (parts that appear in
