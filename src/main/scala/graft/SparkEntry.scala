@@ -37,7 +37,8 @@ object SparkEntry {
     SketchOps,
     CorpusOps,
     StatsOps,
-    CurateOps
+    CurateOps,
+    GovernOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance operators — the planning reports a multi-source
+  * training-data program runs BEFORE committing to an expensive pipeline:
+  * which crawls duplicate each other (exact + sketch-estimated overlap
+  * matrices), where the cleaning funnel loses documents, and how much
+  * context-window capacity a packing recipe wastes at each length.
+  *
+  * Reference scope: `[U lib/charms/layer/bigtop_hive.py]` deploys an
+  * engine whose users run exactly these corpus reports in HiveQL;
+  * re-expressed Spark-first per SURVEY §2.11's mandate.
+  *
+  * Cross-engine discipline (see q_minhash_md5 / q_pack_sequences for the
+  * established forms): md5-keyed 60-bit hashes, integer counts cast to
+  * BIGINT, one round(…, 6) on every ratio, id tie-breaks on every order.
+  */
+object GovernOps extends QueryPack {
+
+  /** Exact cross-source overlap matrix: for every source pair, how many
+    * distinct 3-token shingles they share, and the exact Jaccard — the
+    * "which crawls should we dedup against each other first" planning
+    * report. Inverted-index shape: (source, shingle) DISTINCT is one
+    * shuffle; the self-join is keyed by shingle, and per-shingle fan-out
+    * is bounded by S² (S = #sources, a small constant), so candidate
+    * volume is ≤ S²·|shingles| — never doc×doc. The complete pair spine
+    * (including zero-overlap pairs) comes from a broadcast S×S cross of
+    * the per-source totals. */
+  def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.df(spark, sfDir, "documents")
+      .select($"source", explode(TextFunctions.shingles($"text", 3)).as("s"))
+      .distinct()
+    val tot = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = sh.select($"source".as("s1"), $"s")
+      .join(sh.select($"source".as("s2"), $"s"), "s")
+      .filter($"s1" < $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("inter"))
+    val spine = tot.select($"source".as("s1"), $"n".as("n1"))
+      .join(broadcast(tot.select($"source".as("s2"), $"n".as("n2"))),
+        $"s1" < $"s2")
+    spine.join(inter, Seq("s1", "s2"), "left")
+      .select($"s1", $"s2", $"n1", $"n2",
+        coalesce($"inter", lit(0L)).as("inter"),
+        round(coalesce($"inter", lit(0L)).cast("double")
+          / ($"n1" + $"n2" - coalesce($"inter", lit(0L))), 6).as("j"))
+      .orderBy($"s1", $"s2")
+  }
+
+  /** Sketch twin of [[qSourceOverlap]]: per-source 16-permutation md5
+    * MinHash signatures over the same shingles, pairwise estimated
+    * Jaccard = matching-component fraction. The signature is a mergeable
+    * (source, perm, min-hash) RELATION — merging two corpora is min of
+    * mins, so a 100 TB estimate needs one vocabulary-thin aggregate per
+    * source and S²·16 comparison rows, never a shingle-level join
+    * between sources. GovernSpec bounds the estimate against the exact
+    * matrix; both the signature and the estimates hash-check in DuckDB
+    * because the md5 arithmetic is engine-identical. */
+  def qMinhashSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.df(spark, sfDir, "documents")
+      .select($"source", explode(TextFunctions.shingles($"text", 3)).as("s"))
+      .distinct()
+    val sig = sh
+      .select($"source", explode(sequence(lit(0), lit(15))).as("i"), $"s")
+      .select($"source", $"i",
+        conv(substring(md5(concat($"i".cast("string"), lit(":"), $"s")),
+          1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"source", $"i").agg(min($"h").as("mh"))
+    sig.select($"source".as("s1"), $"i", $"mh".as("m1"))
+      .join(sig.select($"source".as("s2"), $"i", $"mh".as("m2")), "i")
+      .filter($"s1" < $"s2")
+      .groupBy($"s1", $"s2")
+      .agg(sum(when($"m1" === $"m2", 1).otherwise(0)).cast("int")
+        .as("n_match"))
+      .select($"s1", $"s2", $"n_match",
+        round($"n_match".cast("double") / 16.0, 6).as("est_j"))
+      .orderBy($"s1", $"s2")
+  }
+
+  /** Cleaning-funnel attrition report: four sequential quality gates
+    * (length → language → repetition → token-shape), each row one stage
+    * with how many documents entered, survived, and dropped there. The
+    * report every curation pipeline publishes before training — it
+    * localizes WHERE the corpus shrinks. One token-stats aggregate (the
+    * q_repetition shape) joined back to the doc row, then a single
+    * one-row aggregate of cumulative-AND counters unpivoted via stack —
+    * no per-stage rescans, no DISTINCT traps. Ratios round once to 6dp
+    * in both engines before thresholding, so gate decisions are
+    * engine-identical even at boundary values. */
+  def qFilterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    // two-level (doc, tok) → doc aggregation — the q_repetition shape;
+    // a countDistinct alongside other aggs would trigger the expand
+    // rewrite this repo measured at 40× (PERF.md)
+    val toks = docs.select($"doc_id",
+        explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        sum(length($"tok").cast("long") * $"c").as("tok_chars"))
+    val g = docs.join(toks, Seq("doc_id"), "left")
+      .select($"doc_id",
+        ($"n_chars" >= 200).as("g1"),
+        $"lang".isin("en", "fr", "de", "es").as("g2"),
+        (coalesce($"n_tok", lit(0L)) > 0 &&
+          round(lit(1.0) - $"n_distinct".cast("double") / $"n_tok", 6)
+            <= 0.6).as("g3"),
+        (coalesce($"n_tok", lit(0L)) > 0 &&
+          round($"tok_chars".cast("double") / $"n_tok", 6).between(2.0, 12.0))
+          .as("g4"))
+    val c = g.agg(
+      count(lit(1)).as("c0"),
+      sum(when($"g1", 1L).otherwise(0L)).as("c1"),
+      sum(when($"g1" && $"g2", 1L).otherwise(0L)).as("c2"),
+      sum(when($"g1" && $"g2" && $"g3", 1L).otherwise(0L)).as("c3"),
+      sum(when($"g1" && $"g2" && $"g3" && $"g4", 1L).otherwise(0L)).as("c4"))
+    c.selectExpr(
+        """stack(4,
+          |  1, 'min_length',  c0, c1,
+          |  2, 'language',    c1, c2,
+          |  3, 'repetition',  c2, c3,
+          |  4, 'token_shape', c3, c4) AS (stage, gate, n_in, n_kept)
+          |""".stripMargin)
+      .select($"stage", $"gate", $"n_in", $"n_kept",
+        ($"n_in" - $"n_kept").as("n_dropped"))
+      .orderBy($"stage")
+  }
+
+  /** Packing-efficiency report: the q_pack_sequences first-fit recipe
+    * evaluated at three context capacities in one pass — per capacity the
+    * pack count, document count, total payload and utilization (payload /
+    * capacity·packs). The "which sequence length wastes least" planning
+    * number. The per-shard running sum is computed ONCE (it does not
+    * depend on the capacity); capacities then fan out as a 3-row explode
+    * and pack assignment is a map-side integer division, so the report
+    * costs one window pass + two thin aggregates at any scale. */
+  def qPackEfficiency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Tables.df(spark, sfDir, "documents")
+      .select(($"doc_id" % 8).as("shard"), $"doc_id", $"n_chars",
+        md5(concat(lit("pack:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("cum", sum($"n_chars").over(w))
+    val binned = cum
+      .withColumn("cap", explode(array(lit(1000L), lit(2000L), lit(4000L))))
+      .select($"cap", $"shard", expr("(cum - n_chars) div cap").as("pack_id"),
+        $"n_chars")
+      .groupBy($"cap", $"shard", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+    binned.groupBy($"cap")
+      .agg(count(lit(1)).as("n_packs"),
+        sum($"n_docs").as("n_docs"),
+        sum($"chars").as("total_chars"))
+      .select($"cap", $"n_packs", $"n_docs", $"total_chars",
+        round($"total_chars".cast("double") / ($"n_packs" * $"cap"), 6)
+          .as("util"))
+      .orderBy($"cap")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> qSourceOverlap,
+    "q_minhash_source" -> qMinhashSource,
+    "q_filter_funnel" -> qFilterFunnel,
+    "q_pack_efficiency" -> qPackEfficiency
+  )
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), x -> x != '')"
+  private val shinglesSql =
+    s"""list_filter(
+       |  list_transform(range(0, greatest(len(T) - 2, 1)),
+       |    i -> array_to_string(T[(i+1):(i+3)], ' ')),
+       |  s -> s != '')""".stripMargin
+  private val shCte =
+    s"""sh AS (
+       |  SELECT DISTINCT source, unnest($shinglesSql) AS s
+       |  FROM (SELECT source, $toksSql AS T FROM documents))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // identical shingle construction to q_decontaminate's oracle; the
+    // exact-integer Jaccard quotient rounds once on both sides
+    "q_source_overlap" ->
+      s"""WITH $shCte,
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |        FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT t1.source AS s1, t2.source AS s2, t1.n AS n1, t2.n AS n2,
+        |  COALESCE(inter, 0) AS inter,
+        |  round(CAST(COALESCE(inter, 0) AS DOUBLE)
+        |    / (t1.n + t2.n - COALESCE(inter, 0)), 6) AS j
+        |FROM tot t1 JOIN tot t2 ON t1.source < t2.source
+        |LEFT JOIN inter ON inter.s1 = t1.source AND inter.s2 = t2.source
+        |ORDER BY s1, s2""".stripMargin,
+
+    // same 60-bit md5 min-hash arithmetic as the q_minhash_md5 oracle
+    "q_minhash_source" ->
+      s"""WITH $shCte,
+        |sig AS (
+        |  SELECT source, i,
+        |    min(('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))
+        |        ::BIGINT) AS mh
+        |  FROM sh, range(0, 16) r(i) GROUP BY source, i)
+        |SELECT a.source AS s1, b.source AS s2,
+        |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INT)
+        |    AS n_match,
+        |  round(CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / 16.0, 6) AS est_j
+        |FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin,
+
+    // cumulative-AND counters in one aggregate row, unpivoted by a
+    // 4-row VALUES join — the oracle's stack()
+    "q_filter_funnel" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |ts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(len(tok)) AS BIGINT) AS tok_chars
+        |  FROM tk GROUP BY doc_id),
+        |g AS (
+        |  SELECT d.doc_id,
+        |    d.n_chars >= 200 AS g1,
+        |    d.lang IN ('en', 'fr', 'de', 'es') AS g2,
+        |    (COALESCE(ts.n_tok, 0) > 0 AND
+        |     round(1.0 - CAST(ts.n_distinct AS DOUBLE) / ts.n_tok, 6)
+        |       <= 0.6) AS g3,
+        |    (COALESCE(ts.n_tok, 0) > 0 AND
+        |     round(CAST(ts.tok_chars AS DOUBLE) / ts.n_tok, 6)
+        |       BETWEEN 2.0 AND 12.0) AS g4
+        |  FROM documents d LEFT JOIN ts USING (doc_id)),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2,
+        |    CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c4
+        |  FROM g)
+        |SELECT v.stage, v.gate,
+        |  CASE v.stage WHEN 1 THEN c0 WHEN 2 THEN c1 WHEN 3 THEN c2
+        |    ELSE c3 END AS n_in,
+        |  CASE v.stage WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+        |    ELSE c4 END AS n_kept,
+        |  CASE v.stage WHEN 1 THEN c0 - c1 WHEN 2 THEN c1 - c2
+        |    WHEN 3 THEN c2 - c3 ELSE c3 - c4 END AS n_dropped
+        |FROM c, (VALUES (1, 'min_length'), (2, 'language'),
+        |  (3, 'repetition'), (4, 'token_shape')) v(stage, gate)
+        |ORDER BY v.stage""".stripMargin,
+
+    // q_pack_sequences' running sum, fanned out over three capacities
+    "q_pack_efficiency" ->
+      """WITH d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, n_chars,
+        |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |b AS (
+        |  SELECT cap, shard, (cum - n_chars) // cap AS pack_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM c, (VALUES (1000), (2000), (4000)) v(cap)
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(cap AS BIGINT) AS cap,
+        |  CAST(count(*) AS BIGINT) AS n_packs,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(chars) AS BIGINT) AS total_chars,
+        |  round(CAST(SUM(chars) AS DOUBLE) / (count(*) * cap), 6) AS util
+        |FROM b GROUP BY cap ORDER BY cap""".stripMargin
+  )
+}
