@@ -281,6 +281,73 @@ object CorpusOps extends QueryPack {
       .orderBy($"source", $"rk")
   }
 
+  /** log2 rank discounts 1/log2(r+1) for ranks 1..10, fixed to 9dp ONCE
+    * in Scala and embedded as identical DECIMAL(12,9) literals in BOTH
+    * the Spark plan and the oracle SQL — cross-engine libm log2 is not
+    * bit-specified, a shared constant table is. */
+  private val ndcgDiscs: Seq[(Int, String)] = (1 to 10).map { r =>
+    r -> f"${1.0 / (math.log(r + 1.0) / math.log(2.0))}%.9f"
+  }
+
+  /** Retrieval evaluation over the BM25 top-10 run — the measurement step
+    * of a retrieval pipeline: per query MRR, precision@10, and nDCG@10
+    * against deterministic pseudo-qrels (a document's grade = how many of
+    * the query's terms it contains; "fully relevant" = contains all).
+    * Qrels are independent of the scoring function (containment, not
+    * BM25), so the metrics genuinely evaluate the run. Gains are exact
+    * integers, discounts the shared 9dp constant table, DCG/IDCG exact
+    * decimal sums, and every quotient rounds once — fully hash-oracled.
+    * Scale: the run is [[qBm25]]'s plan; qrels are one distinct + one
+    * thin semi-join aggregate; everything downstream is per-qid rows. */
+  def qRetrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(12, 9)
+    val run = qBm25(spark, sfDir).select($"qid", $"doc_id", $"rk")
+    val qterms = Seq((1, "hash"), (1, "join"), (2, "window"), (2, "agg"),
+      (2, "stream"), (3, "slow"), (3, "scan")).toDF("qid", "term")
+    val nterms = qterms.groupBy($"qid").agg(count(lit(1)).as("n_terms"))
+    val discs = ndcgDiscs.toDF("rk", "d")
+      .select($"rk", $"d".cast(dec9).as("disc"))
+    val dt = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .distinct()
+    val qrels = dt.join(broadcast(qterms), $"tok" === $"term")
+      .groupBy($"qid", $"doc_id").agg(count(lit(1)).as("rel"))
+    val hits = run
+      .join(qrels, Seq("qid", "doc_id"), "left")
+      .select($"qid", $"rk", coalesce($"rel", lit(0L)).as("rel"))
+      .join(broadcast(nterms), "qid")
+      .join(broadcast(discs), "rk")
+    val runAgg = hits.groupBy($"qid").agg(
+      sum($"rel" * $"disc").as("dcg"),
+      min(when($"rel" === $"n_terms", $"rk")).as("minrk"),
+      sum(when($"rel" === $"n_terms", 1L).otherwise(0L)).as("nfull"))
+    val ideal = qrels
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rel".desc, $"doc_id".asc)))
+      .filter($"rn" <= 10)
+      .join(broadcast(discs.select($"rk".as("rn"), $"disc")), "rn")
+      .groupBy($"qid").agg(sum($"rel" * $"disc").as("idcg"))
+    val relCnt = qrels.join(broadcast(nterms), "qid")
+      .groupBy($"qid")
+      .agg(sum(when($"rel" === $"n_terms", 1L).otherwise(0L))
+        .as("n_rel_full"))
+    nterms.select($"qid")
+      .join(runAgg, Seq("qid"), "left")
+      .join(ideal, Seq("qid"), "left")
+      .join(relCnt, Seq("qid"), "left")
+      .select($"qid",
+        coalesce($"n_rel_full", lit(0L)).as("n_rel_full"),
+        (coalesce($"nfull", lit(0L)).cast("double") / 10.0).as("p_at_10"),
+        when($"minrk".isNotNull,
+          round(lit(1.0) / $"minrk".cast("double"), 6)).otherwise(0.0)
+          .as("mrr"),
+        when(coalesce($"idcg", lit(java.math.BigDecimal.ZERO)) > 0,
+          round($"dcg".cast("double") / $"idcg".cast("double"), 6))
+          .otherwise(0.0).as("ndcg_at_10"))
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topic_terms" -> qTopicTerms,
     "q_collocations" -> qCollocations,
@@ -288,7 +355,8 @@ object CorpusOps extends QueryPack {
     "q_bm25" -> qBm25,
     "q_bpe_merges" -> qBpeMerges,
     "q_hybrid_rrf" -> qHybridRrf,
-    "q_oov_rate" -> qOovRate
+    "q_oov_rate" -> qOovRate,
+    "q_retrieval_eval" -> qRetrievalEval
   )
 
   /** Shared BM25 oracle CTE chain, token stream → per-(qid, doc) summed
@@ -500,6 +568,62 @@ object CorpusOps extends QueryPack {
         |  FROM tc WHERE length(tok) >= 2)
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS total
         |FROM p GROUP BY pair
-        |ORDER BY total DESC, pair ASC LIMIT 30""".stripMargin
+        |ORDER BY total DESC, pair ASC LIMIT 30""".stripMargin,
+
+    // run = the shared BM25 chain; qrels = term containment (independent
+    // of scoring); the discount table is the SAME 9dp Scala constants the
+    // plan embeds, so DCG/IDCG are exact decimal sums in both engines
+    "q_retrieval_eval" ->
+      s"""WITH $bm25CtesSql,
+        |run AS (SELECT qid, doc_id, rk FROM (
+        |  SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS rk
+        |  FROM ag) WHERE rk <= 10),
+        |nt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_terms
+        |       FROM q GROUP BY qid),
+        |disc(rk, disc) AS (VALUES ${ndcgDiscs.map { case (r, d) =>
+          s"($r, CAST($d AS DECIMAL(12,9)))" }.mkString(",\n  ")}),
+        |dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+        |qr AS (SELECT qid, dt.doc_id, CAST(count(*) AS BIGINT) AS rel
+        |       FROM dt JOIN q ON dt.tok = q.term GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT r.qid, r.rk, COALESCE(qr.rel, 0) AS rel, nt.n_terms
+        |  FROM run r
+        |  LEFT JOIN qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+        |  JOIN nt ON nt.qid = r.qid),
+        |ra AS (
+        |  SELECT qid, sum(rel * disc) AS dcg,
+        |    min(CASE WHEN rel = n_terms THEN rk END) AS minrk,
+        |    CAST(SUM(CASE WHEN rel = n_terms THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nfull
+        |  FROM hits JOIN disc USING (rk) GROUP BY qid),
+        |ideal AS (
+        |  SELECT qid, rel, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rel DESC, doc_id ASC) AS rn
+        |  FROM qr),
+        |ic AS (
+        |  SELECT qid, sum(rel * disc) AS idcg
+        |  FROM ideal JOIN disc ON disc.rk = ideal.rn
+        |  WHERE rn <= 10 GROUP BY qid),
+        |rc AS (
+        |  SELECT qr.qid,
+        |    CAST(SUM(CASE WHEN rel = n_terms THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rel_full
+        |  FROM qr JOIN nt USING (qid) GROUP BY 1)
+        |SELECT nt.qid,
+        |  COALESCE(rc.n_rel_full, 0) AS n_rel_full,
+        |  CAST(COALESCE(ra.nfull, 0) AS DOUBLE) / 10 AS p_at_10,
+        |  CASE WHEN ra.minrk IS NOT NULL
+        |    THEN round(CAST(1 AS DOUBLE) / ra.minrk, 6)
+        |    ELSE CAST(0 AS DOUBLE) END AS mrr,
+        |  CASE WHEN COALESCE(ic.idcg, 0) > 0
+        |    THEN round(CAST(ra.dcg AS DOUBLE) / CAST(ic.idcg AS DOUBLE), 6)
+        |    ELSE CAST(0 AS DOUBLE) END AS ndcg_at_10
+        |FROM nt
+        |LEFT JOIN ra ON ra.qid = nt.qid
+        |LEFT JOIN ic ON ic.qid = nt.qid
+        |LEFT JOIN rc ON rc.qid = nt.qid
+        |ORDER BY nt.qid""".stripMargin
   )
 }

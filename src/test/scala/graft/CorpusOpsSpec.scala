@@ -139,4 +139,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._2).toSet.contains("new"),
       "fixture batch should contain genuinely new docs")
   }
+
+  test("retrieval eval metrics are in range and consistent with the run") {
+    import graft.queries.CorpusOps
+    val rows = CorpusOps.qRetrievalEval(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3),
+      "one row per query")
+    for (r <- rows) {
+      val p10 = r.getDouble(r.fieldIndex("p_at_10"))
+      val mrr = r.getDouble(r.fieldIndex("mrr"))
+      val ndcg = r.getDouble(r.fieldIndex("ndcg_at_10"))
+      assert(p10 >= 0.0 && p10 <= 1.0, s"p@10 $p10")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"mrr $mrr")
+      // nDCG against the TRUE ideal ordering can never exceed 1
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"ndcg $ndcg")
+      // a nonzero MRR requires at least one fully-relevant doc to exist
+      if (mrr > 0.0)
+        assert(r.getLong(r.fieldIndex("n_rel_full")) > 0)
+    }
+    // the fixture corpus must actually exercise the metrics: some query
+    // retrieves a fully-relevant doc inside its top-10
+    assert(rows.exists(_.getDouble(2) > 0.0) ||
+      rows.exists(r => r.getDouble(r.fieldIndex("mrr")) > 0.0),
+      "no query retrieved any fully-relevant doc — qrels degenerate")
+  }
 }
