@@ -22,6 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object GovernOps extends QueryPack {
 
+  /** The (source, 3-gram shingle) stream, codegen-shaped: posexplode +
+    * two lead() windows + concat_ws, instead of
+    * `TextFunctions.shingles`'s transform/slice/array_join lambdas —
+    * higher-order functions evaluate interpreted and the HOF shingle
+    * stage alone measured 2.3 s at sf0.1 vs 0.5 s for the token explode
+    * (the q_dup_spans lead-window span pattern, applied to n-grams).
+    * Emits exactly the HOF/oracle semantics: full 3-grams at positions
+    * 0..len−3, plus the whole document as one short shingle when it has
+    * fewer than 3 tokens. */
+  private def shingleStream(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")),
+        size(TextFunctions.tokens($"text")).as("len"))
+      .select($"doc_id", $"source", $"pos", $"len",
+        concat_ws(" ", $"tok", lead($"tok", 1).over(w),
+          lead($"tok", 2).over(w)).as("s"))
+      .filter($"pos" <= $"len" - 3 || ($"len" < 3 && $"pos" === 0))
+      .select($"source", $"s")
+  }
+
   /** Exact cross-source overlap matrix: for every source pair, how many
     * distinct 3-token shingles they share, and the exact Jaccard — the
     * "which crawls should we dedup against each other first" planning
@@ -33,9 +57,13 @@ object GovernOps extends QueryPack {
     * the per-source totals. */
   def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = Tables.df(spark, sfDir, "documents")
-      .select($"source", explode(TextFunctions.shingles($"text", 3)).as("s"))
-      .distinct()
+    // the distinct (source, shingle) relation feeds three subtrees (both
+    // self-join sides + totals); a localCheckpoint here was MEASURED
+    // SLOWER than recomputing (3.5 vs 3.2 s standalone at sf0.1 — the
+    // eager materialization serializes wide shingle rows, while the
+    // recompute streams from the pruned parquet scan inside codegen;
+    // same lesson as the NB-classifier persist in PERF.md)
+    val sh = shingleStream(spark, sfDir).distinct()
     val tot = sh.groupBy($"source").agg(count(lit(1)).as("n"))
     val inter = sh.select($"source".as("s1"), $"s")
       .join(sh.select($"source".as("s2"), $"s"), "s")
@@ -61,17 +89,48 @@ object GovernOps extends QueryPack {
     * between sources. GovernSpec bounds the estimate against the exact
     * matrix; both the signature and the estimates hash-check in DuckDB
     * because the md5 arithmetic is engine-identical. */
+  /** 16 xor permutation constants, derived once in Scala from md5 and
+    * embedded as identical BIGINT literals in the plan and the oracle —
+    * xor by a constant is a bijection on the 60-bit hash space, so
+    * min(xor(h, C_i)) is a valid min-wise component at one md5 per
+    * shingle instead of 16 (measured 3.4 → ~1 s at sf0.1; GovernSpec
+    * re-bounds the estimate quality against the exact matrix). */
+  private val permConsts: Seq[(Int, Long)] = (0 until 16).map { i =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"perm:$i".getBytes("UTF-8"))
+    // same 60-bit window as the base hash: first 15 hex chars
+    i -> java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
   def qMinhashSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = Tables.df(spark, sfDir, "documents")
-      .select($"source", explode(TextFunctions.shingles($"text", 3)).as("s"))
-      .distinct()
+    // NO distinct: min is idempotent over duplicate shingles, so the
+    // signature is identical without the dedup shuffle the exact twin
+    // needs — the raw shingle stream feeds the partial aggregate
+    // directly (the oracle keeps its DISTINCT, values provably
+    // unchanged)
+    val sh = shingleStream(spark, sfDir)
+    // all 16 permutation mins in ONE aggregation pass as 16 column
+    // expressions — a ×16 row fan-out before the aggregate was measured
+    // at 3.5 s standalone vs ~1 s for this shape (the partial aggregate
+    // sees |shingles| rows, not 16·|shingles|); the wide 20×16 result
+    // then unpivots via stack and localCheckpoints so the pairwise
+    // self-join doesn't recompute the whole chain per side (checkpoint
+    // of a TINY aggregate wins; checkpointing wide intermediates loses —
+    // both measured, see PERF.md)
+    val mins = permConsts.map { case (i, c) =>
+      min(expr(s"h ^ CAST($c AS BIGINT)")).as(s"m$i")
+    }
     val sig = sh
-      .select($"source", explode(sequence(lit(0), lit(15))).as("i"), $"s")
-      .select($"source", $"i",
-        conv(substring(md5(concat($"i".cast("string"), lit(":"), $"s")),
-          1, 15), 16, 10).cast("long").as("h"))
-      .groupBy($"source", $"i").agg(min($"h").as("mh"))
+      .select($"source",
+        conv(substring(md5(concat(lit("mh:"), $"s")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy($"source").agg(mins.head, mins.tail: _*)
+      .selectExpr("source",
+        s"stack(16, ${permConsts.map { case (i, _) => s"$i, m$i" }
+          .mkString(", ")}) AS (i, mh)")
+      .localCheckpoint()
     sig.select($"source".as("s1"), $"i", $"mh".as("m1"))
       .join(sig.select($"source".as("s2"), $"i", $"mh".as("m2")), "i")
       .filter($"s1" < $"s2")
@@ -205,14 +264,19 @@ object GovernOps extends QueryPack {
         |LEFT JOIN inter ON inter.s1 = t1.source AND inter.s2 = t2.source
         |ORDER BY s1, s2""".stripMargin,
 
-    // same 60-bit md5 min-hash arithmetic as the q_minhash_md5 oracle
+    // same 60-bit md5 base hash as the q_minhash_md5 oracle; the 16
+    // permutations are the SAME xor constants the plan embeds
     "q_minhash_source" ->
       s"""WITH $shCte,
+        |perm(i, c) AS (VALUES ${permConsts.map { case (i, c) =>
+          s"($i, CAST($c AS BIGINT))" }.mkString(",\n  ")}),
+        |hb AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5('mh:' || s), 1, 15))::BIGINT AS h
+        |  FROM sh),
         |sig AS (
-        |  SELECT source, i,
-        |    min(('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))
-        |        ::BIGINT) AS mh
-        |  FROM sh, range(0, 16) r(i) GROUP BY source, i)
+        |  SELECT source, i, min(xor(h, c)) AS mh
+        |  FROM hb, perm GROUP BY source, i)
         |SELECT a.source AS s1, b.source AS s2,
         |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INT)
         |    AS n_match,
