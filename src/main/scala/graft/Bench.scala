@@ -25,10 +25,21 @@ object Bench {
       // a throwing query contributes 0.0 (NOT its elapsed-until-throw, and
       // not a negative sentinel): the 2× gate reads `total`, and a partial
       // time would let a breakage move the number either direction
+      // noop sink, NOT count(): under count() Catalyst eliminates any
+      // final multiplicity-preserving operator chain — measured round 7:
+      // q_decontaminate's count plan reduced to scan+filter+count(1),
+      // skipping its whole shingle/semi-join pipeline (a LEFT JOIN whose
+      // right side is provably unique and whose columns count() never
+      // reads is dropped, as is the final sort). The noop write forces
+      // every output column of every operator to actually evaluate, so
+      // the timing measures the query, not what the optimizer can prove
+      // away when nobody reads the answer.
       val times = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
       if (times.size < passes && !errors.contains(name)) errors += name
       // free this query's cache/checkpoint blocks before the next one:

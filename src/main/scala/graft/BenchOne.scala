@@ -21,8 +21,11 @@ object BenchOne {
     for (name <- args; r <- 1 to reps) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // noop sink, same rationale as Bench: count() lets the optimizer
+      // eliminate unread final joins/sorts and under-measure the query
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      val n = fn(spark, sfDir).count() // rows for sanity, untimed
       println("BENCHONE %s rep%d rows=%d sec=%s".format(name, r, n,
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))))
     }

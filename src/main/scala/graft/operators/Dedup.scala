@@ -35,12 +35,25 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // repartition materializes the token-set HOF chain before the non-equi
-    // self-join; otherwise it is recomputed per PAIR (SURVEY §7.4.10)
+    // per-pair kernel: the codegen'd O(a+b) merge walk over sorted
+    // xxhash64'd token sets (the q_prefix_join / q_minhash_md5 idiom),
+    // NOT array_intersect over string arrays — the interpreted string
+    // intersect measured 8.9 s vs ~1 s for this shape once the noop-sink
+    // bench stopped letting count() skip the pair join. Hash-set Jaccard
+    // equals string-set Jaccard collision-free (~2^-64, documented).
+    graft.functions.SortedIntersectSize.register(spark)
+    // EXPLICIT-count repartition materializes the token-set chain before
+    // the non-equi self-join (else it recomputes per PAIR, SURVEY
+    // §7.4.10) AND spreads the single-row-group scan across cores — AQE
+    // would coalesce an unpinned keyed repartition of the small doc rows
+    // back to one partition, single-threading the whole pair loop.
     val toks = docs.select($"doc_id",
-      TextFunctions.tokenSet($"text").as("t"))
+        TextFunctions.tokenSet($"text").as("ts"))
+      .withColumn("t",
+        sort_array(array_distinct(transform($"ts", x => xxhash64(x)))))
       .withColumn("sz", size($"t"))
-      .repartition($"doc_id")
+      .drop("ts")
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
     val a = toks.select($"doc_id".as("id1"), $"t".as("t1"), $"sz".as("s1"))
     val b = toks.select($"doc_id".as("id2"), $"t".as("t2"), $"sz".as("s2"))
     // length-ratio block in the JOIN condition (same bound as the ngram
@@ -53,9 +66,8 @@ object Dedup {
     a.join(b, $"id1" < $"id2" &&
         $"s1" * threshold <= $"s2" + 1e-9 &&
         $"s2" * threshold <= $"s1" + 1e-9)
-      // bind the intersection size ONCE — referencing array_intersect twice
-      // in one expression doubles the per-pair work
-      .withColumn("li", size(array_intersect($"t1", $"t2")).cast("double"))
+      .withColumn("li",
+        expr("sorted_intersect_size(t1, t2)").cast("double"))
       .withColumn("j", $"li" / ($"s1" + $"s2" - $"li"))
       .filter($"j" >= threshold)
       .select($"id1", $"id2", round($"j", 6).as("j"))

@@ -100,10 +100,21 @@ object Similarity {
       : DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // the O(n²) loop deserves the fast kernel and full parallelism even
+    // though its complexity is honest: the native codegen'd expression
+    // (bit-identical to VectorFunctions.cosineSim, asserted in
+    // CosineSpec) beats the interpreted HOF fold 6-8×, and the explicit
+    // keyed repartition spreads the streamed side across cores (the
+    // fixture is one parquet row-group = one scan task; AQE would
+    // coalesce an unpinned repartition of the small vector rows).
+    // Measured r7 under the noop-sink bench: 86 → ~2 s at sf0.1.
+    graft.functions.CosineSimilarity.register(spark)
     val a = embeddings.select($"vec_id".as("id1"), $"embedding".as("v1"))
+      .repartition(spark.sparkContext.defaultParallelism, $"id1")
     val b = embeddings.select($"vec_id".as("id2"), $"embedding".as("v2"))
     a.join(b, $"id1" < $"id2")
-      .withColumn("sim", round(VectorFunctions.cosineSim($"v1", $"v2"), 6))
+      .withColumn("sim",
+        round(expr("cosine_similarity(v1, v2)"), 6))
       .filter($"sim" >= threshold)
       .select($"id1", $"id2", $"sim")
   }

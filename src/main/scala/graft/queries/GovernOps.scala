@@ -35,7 +35,19 @@ object GovernOps extends QueryPack {
       : DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    // repartition the DOCUMENTS by the window key before exploding: the
+    // fixture table is one parquet row-group, so without this the whole
+    // tokenize+explode fan-out runs in the single scan task; the lead
+    // windows need HashPartitioning(doc_id) anyway, so this moves that
+    // exchange ahead of the explode — it shuffles 5k doc rows instead of
+    // 270k token rows AND parallelizes the fan-out. The same holds at
+    // 100 TB: partition by the window key while rows are still small.
     Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text")
+      // explicit partition count: AQE would coalesce a keyed repartition
+      // of 5k small doc rows to one partition by size — correct for the
+      // rows it sees, wrong for the ×50 token fan-out they feed
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", $"source",
         posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")),
         size(TextFunctions.tokens($"text")).as("len"))

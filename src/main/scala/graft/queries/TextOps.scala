@@ -550,8 +550,16 @@ object TextOps extends QueryPack {
   def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.df(spark, sfDir, "documents")
-    val sh = docs.select($"doc_id",
-      explode(TextFunctions.shingles($"text", 5)).as("s"))
+    // explicit-count keyed repartition before the expensive 5-gram HOF
+    // fan-out: the fixture table is one parquet row-group, so the whole
+    // shingle construction otherwise runs in the single scan task (and
+    // AQE would coalesce an unpinned keyed repartition of 5k small rows
+    // right back to one partition). Measured r7 under the noop-sink
+    // bench: 3.0 → ~1 s at sf0.1. Same rows, oracle untouched.
+    val sh = docs
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id",
+        explode(TextFunctions.shingles($"text", 5)).as("s"))
     val bench = sh.filter($"doc_id" % 97 === 0).select($"s").distinct()
     val flagged = sh.filter($"doc_id" % 97 =!= 0)
       .join(broadcast(bench), Seq("s"), "left_semi")
