@@ -97,11 +97,19 @@ object CurateOps extends QueryPack {
     * Distinct from q_dedup_cluster, which labels components and keeps the
     * min-id representative: survivorship ranks members by a quality signal
     * and emits the full keep/drop manifest. */
-  def qCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+  def qCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    canonicalManifest(spark, sfDir, mod = 10)
+
+  /** The survivorship manifest over the doc_id%`mod` subset — shared by
+    * [[qCanonical]] (mod 10, the established oracle twin) and
+    * [[qDedupSavings]] (mod 7: coprime with the fixture's 20-source
+    * round-robin, so the report covers EVERY source — mod 10 hits 2). */
+  private def canonicalManifest(spark: SparkSession, sfDir: String,
+      mod: Int): DataFrame = {
     import spark.implicits._
     val docs = Tables.df(spark, sfDir, "documents")
-      .filter($"doc_id" % 10 === 0)
-    val edges = prefixPairs(spark, sfDir, subsetMod = 10, num = 3, den = 4)
+      .filter($"doc_id" % mod === 0)
+    val edges = prefixPairs(spark, sfDir, subsetMod = mod, num = 3, den = 4)
       .select($"id1".as("u"), $"id2".as("v"))
     val cc = graft.operators.Components.connectedComponents(
       docs.select($"doc_id".as("id")), edges)
@@ -118,6 +126,37 @@ object CurateOps extends QueryPack {
       .select($"doc_id", $"cluster_id", $"csize", $"kept_id",
         ($"doc_id" === $"kept_id").as("keep"))
       .orderBy($"doc_id")
+  }
+
+  /** Dedup-savings planning report: the q_canonical keep/drop manifest
+    * aggregated per source — documents, drops, near-dup clusters touched,
+    * and the bytes a canonical-only corpus would save. The number a data
+    * program reads BEFORE paying for a full dedup pass: which sources
+    * carry redundant mass and how much. Built strictly downstream of the
+    * manifest (shared plan: components + survivorship rank); the report
+    * itself is two thin key-partitioned aggregates (a two-level
+    * (source, cluster) → source pass for the distinct-cluster count —
+    * never countDistinct in a wide agg) plus one broadcast-size join. */
+  def qDedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val j = canonicalManifest(spark, sfDir, mod = 7)
+      .join(docs.select($"doc_id", $"source", $"n_chars"), "doc_id")
+    val clusters = j.filter($"csize" >= 2)
+      .groupBy($"source", $"cluster_id").agg(count(lit(1)).as("n_in"))
+      .groupBy($"source").agg(count(lit(1)).as("n_clusters"))
+    j.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"),
+        sum($"n_chars").as("chars_total"),
+        sum(when(!$"keep", $"n_chars").otherwise(0L)).as("chars_saved"))
+      .join(clusters, Seq("source"), "left")
+      .select($"source", $"n_docs", $"n_dropped",
+        coalesce($"n_clusters", lit(0L)).as("n_clusters"),
+        $"chars_total", $"chars_saved",
+        round($"chars_saved".cast("double") / $"chars_total", 6)
+          .as("savings_frac"))
+      .orderBy($"source")
   }
 
   // ---- q_dup_spans -------------------------------------------------------
@@ -307,6 +346,7 @@ object CurateOps extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_prefix_join" -> qPrefixJoin,
     "q_canonical" -> qCanonical,
+    "q_dedup_savings" -> qDedupSavings,
     "q_kmeans" -> qKmeans,
     "q_boilerplate" -> qBoilerplate,
     "q_dup_spans" -> qDupSpans,
@@ -337,6 +377,33 @@ object CurateOps extends QueryPack {
        |      / least(len(a.t), len(b.t)) AS containment
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared q_canonical CTE chain through `kept` (requires WITH
+    * RECURSIVE at the call site) — interpolated into both the
+    * q_canonical and q_dedup_savings oracles so the clustering and
+    * survivorship rule can never drift between them. */
+  private def canonicalCtes(mod: Int): String =
+    s"""${pairCtes(mod)},
+      |e AS (SELECT id1 AS u, id2 AS v FROM p WHERE j >= 0.75
+      |      UNION ALL SELECT id2, id1 FROM p WHERE j >= 0.75),
+      |reach(node, lbl) AS (
+      |  -- seed from ALL subset docs (NOT from sh, which drops
+      |  -- zero-token docs): the Spark side hands every doc_id%$mod node
+      |  -- to connectedComponents, so a token-less doc must still label
+      |  -- itself a singleton here or row counts diverge
+      |  SELECT doc_id, doc_id FROM documents WHERE doc_id % $mod = 0
+      |  UNION
+      |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+      |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+      |        FROM reach GROUP BY node),
+      |ranked AS (
+      |  SELECT l.doc_id, l.cluster_id, d.n_chars,
+      |    row_number() OVER (PARTITION BY l.cluster_id
+      |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY l.cluster_id) AS csize
+      |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+      |kept AS (SELECT cluster_id, doc_id AS kept_id FROM ranked
+      |         WHERE rk = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_prefix_join" ->
       s"""WITH ${pairCtes(5)}
@@ -348,31 +415,41 @@ object CurateOps extends QueryPack {
     // same reach-fixpoint labeling as the q_dedup_cluster oracle, then the
     // quality-rank survivorship window on top
     "q_canonical" ->
-      s"""WITH RECURSIVE ${pairCtes(10)},
-        |e AS (SELECT id1 AS u, id2 AS v FROM p WHERE j >= 0.75
-        |      UNION ALL SELECT id2, id1 FROM p WHERE j >= 0.75),
-        |reach(node, lbl) AS (
-        |  -- seed from ALL subset docs (NOT from sh, which drops
-        |  -- zero-token docs): the Spark side hands every doc_id%10 node
-        |  -- to connectedComponents, so a token-less doc must still label
-        |  -- itself a singleton here or row counts diverge
-        |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 = 0
-        |  UNION
-        |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
-        |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
-        |        FROM reach GROUP BY node),
-        |ranked AS (
-        |  SELECT l.doc_id, l.cluster_id, d.n_chars,
-        |    row_number() OVER (PARTITION BY l.cluster_id
-        |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk,
-        |    COUNT(*) OVER (PARTITION BY l.cluster_id) AS csize
-        |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
-        |kept AS (SELECT cluster_id, doc_id AS kept_id FROM ranked
-        |         WHERE rk = 1)
+      s"""WITH RECURSIVE ${canonicalCtes(10)}
         |SELECT r.doc_id, r.cluster_id, r.csize, k.kept_id,
         |  r.doc_id = k.kept_id AS keep
         |FROM ranked r JOIN kept k ON k.cluster_id = r.cluster_id
         |ORDER BY r.doc_id""".stripMargin,
+
+    // the q_canonical manifest aggregated per source; cluster counts via
+    // a two-level (source, cluster) -> source aggregation, the exact
+    // savings quotient rounded once on both sides
+    "q_dedup_savings" ->
+      s"""WITH RECURSIVE ${canonicalCtes(7)},
+        |man AS (
+        |  SELECT r.doc_id, r.cluster_id, r.csize, r.n_chars,
+        |    r.doc_id = k.kept_id AS keep
+        |  FROM ranked r JOIN kept k ON k.cluster_id = r.cluster_id),
+        |jt AS (
+        |  SELECT m.*, d.source FROM man m
+        |  JOIN documents d ON d.doc_id = m.doc_id),
+        |cl AS (SELECT source, cluster_id FROM jt WHERE csize >= 2
+        |       GROUP BY 1, 2),
+        |nc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_clusters
+        |       FROM cl GROUP BY 1)
+        |SELECT jt.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  COALESCE(nc.n_clusters, 0) AS n_clusters,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(SUM(CASE WHEN NOT keep THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_saved,
+        |  round(CAST(SUM(CASE WHEN NOT keep THEN n_chars ELSE 0 END)
+        |      AS DOUBLE) / SUM(n_chars), 6) AS savings_frac
+        |FROM jt LEFT JOIN nc ON nc.source = jt.source
+        |GROUP BY jt.source, nc.n_clusters
+        |ORDER BY jt.source""".stripMargin,
 
     // same explode/count/join/reassemble chain; DuckDB's ordered
     // string_agg mirrors the sorted-struct collect_list, and the 1-based

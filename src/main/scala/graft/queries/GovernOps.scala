@@ -237,12 +237,83 @@ object GovernOps extends QueryPack {
       .orderBy($"cap")
   }
 
+  /** 4 virtual ring points per shard, md5-hex, computed ONCE in Scala
+    * and embedded as identical string literals in the plan and the
+    * oracle (java MD5 hex == DuckDB md5 hex; neither engine re-derives
+    * them). Hex strings compare bytewise-lexicographic identically in
+    * both engines. */
+  private def ringPoints(n: Int): Seq[(Int, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for { s <- 0 until n; k <- 0 until 4 } yield {
+      val d = md.digest(s"ring:$s:$k".getBytes("UTF-8"))
+      (s, d.map(b => f"$b%02x").mkString)
+    }
+  }
+
+  /** Reshard planning report: what fraction of documents MOVES when the
+    * corpus grows from 8 to 9 shards, under modulo placement vs a
+    * consistent-hash ring (4 virtual nodes per shard) — the operational
+    * number behind "can we add capacity without rewriting the corpus".
+    * Modulo resharding moves ~8/9 of all rows; the ring moves ~1/9, at
+    * the cost of looser balance — the report quantifies both, exactly.
+    *
+    * Scale shape: placement is a per-row projection against a broadcast
+    * ≤36-row literal ring (the allowed replicate-tiny-constant cross
+    * join) + one thin aggregate; nothing ever pairs rows with rows. The
+    * assignment rule (smallest ring point ≥ the doc's md5 point, wrap to
+    * the global minimum) is pure string comparison over shared literals,
+    * so every assignment — and therefore the whole report — hash-checks
+    * in DuckDB. */
+  def qReshardPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id",
+        md5(concat(lit("doc:"), $"doc_id".cast("string"))).as("p"),
+        conv(substring(md5(concat(lit("doc:"), $"doc_id".cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"))
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+    def consistent(n: Int): DataFrame = {
+      val ring = ringPoints(n)
+      val ringDf = ring.toDF("shard", "pt")
+      val wrapPt = ring.map(_._2).min
+      docs.crossJoin(broadcast(ringDf))
+        .groupBy($"doc_id", $"p")
+        .agg(coalesce(min(when($"pt" >= $"p", $"pt")), lit(wrapPt))
+          .as("apt"))
+        .join(broadcast(ringDf.withColumnRenamed("pt", "apt")), "apt")
+        .select($"doc_id", $"shard")
+    }
+    val cons = consistent(8)
+      .join(consistent(9).withColumnRenamed("shard", "shard9"), "doc_id")
+      .select($"doc_id", $"shard9".as("new_shard"),
+        ($"shard" =!= $"shard9").as("moved"))
+    val mod = docs.select($"doc_id", ($"h" % 9).as("new_shard"),
+      ($"h" % 8 =!= $"h" % 9).as("moved"))
+    def report(name: String, df: DataFrame): DataFrame = {
+      val loads = df.groupBy($"new_shard").agg(count(lit(1)).as("cnt"))
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(when($"moved", 1L).otherwise(0L)).as("n_moved"))
+        .crossJoin(loads.agg(max($"cnt").as("max_load")))
+        .select(lit(name).as("scheme"), $"n_docs", $"n_moved",
+          round($"n_moved".cast("double") / $"n_docs", 6).as("moved_frac"),
+          $"max_load",
+          round($"max_load".cast("double") * 9.0 / $"n_docs", 6)
+            .as("balance_ratio"))
+    }
+    report("consistent", cons).unionAll(report("mod", mod))
+      .orderBy($"scheme")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_overlap" -> qSourceOverlap,
     "q_minhash_source" -> qMinhashSource,
     "q_filter_funnel" -> qFilterFunnel,
-    "q_pack_efficiency" -> qPackEfficiency
+    "q_pack_efficiency" -> qPackEfficiency,
+    "q_reshard_plan" -> qReshardPlan
   )
+
+  private def ringValuesSql(n: Int): String =
+    ringPoints(n).map { case (s, pt) => s"($s, '$pt')" }.mkString(",\n  ")
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
@@ -338,6 +409,60 @@ object GovernOps extends QueryPack {
         |FROM c, (VALUES (1, 'min_length'), (2, 'language'),
         |  (3, 'repetition'), (4, 'token_shape')) v(stage, gate)
         |ORDER BY v.stage""".stripMargin,
+
+    // the ring literals are the SAME Scala-computed md5 hex strings the
+    // plan embeds; assignment = min ring point >= doc point with wrap,
+    // pure lexicographic string comparison in both engines
+    "q_reshard_plan" ->
+      s"""WITH dp AS (
+        |  SELECT doc_id, md5('doc:' || CAST(doc_id AS VARCHAR)) AS p,
+        |    ('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM documents),
+        |r8(shard, pt) AS (VALUES ${ringValuesSql(8)}),
+        |r9(shard, pt) AS (VALUES ${ringValuesSql(9)}),
+        |a8 AS (
+        |  SELECT doc_id,
+        |    COALESCE(min(CASE WHEN pt >= p THEN pt END),
+        |      '${ringPoints(8).map(_._2).min}') AS apt
+        |  FROM dp, r8 GROUP BY doc_id),
+        |s8 AS (SELECT a8.doc_id, r8.shard FROM a8
+        |       JOIN r8 ON r8.pt = a8.apt),
+        |a9 AS (
+        |  SELECT doc_id,
+        |    COALESCE(min(CASE WHEN pt >= p THEN pt END),
+        |      '${ringPoints(9).map(_._2).min}') AS apt
+        |  FROM dp, r9 GROUP BY doc_id),
+        |s9 AS (SELECT a9.doc_id, r9.shard FROM a9
+        |       JOIN r9 ON r9.pt = a9.apt),
+        |cons AS (
+        |  SELECT s8.doc_id, s9.shard AS new_shard,
+        |    s8.shard != s9.shard AS moved
+        |  FROM s8 JOIN s9 ON s8.doc_id = s9.doc_id),
+        |m AS (SELECT doc_id, h % 9 AS new_shard,
+        |        (h % 8) != (h % 9) AS moved FROM dp),
+        |cl AS (SELECT new_shard, count(*) AS cnt FROM cons GROUP BY 1),
+        |ml AS (SELECT new_shard, count(*) AS cnt FROM m GROUP BY 1)
+        |SELECT 'consistent' AS scheme,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved,
+        |  round(CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS moved_frac,
+        |  (SELECT CAST(max(cnt) AS BIGINT) FROM cl) AS max_load,
+        |  round((SELECT CAST(max(cnt) AS DOUBLE) FROM cl) * 9.0
+        |    / count(*), 6) AS balance_ratio
+        |FROM cons
+        |UNION ALL
+        |SELECT 'mod', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6),
+        |  (SELECT CAST(max(cnt) AS BIGINT) FROM ml),
+        |  round((SELECT CAST(max(cnt) AS DOUBLE) FROM ml) * 9.0
+        |    / count(*), 6)
+        |FROM m
+        |ORDER BY scheme""".stripMargin,
 
     // q_pack_sequences' running sum, fanned out over three capacities
     "q_pack_efficiency" ->

@@ -45,6 +45,29 @@ class GovernSpec extends SparkSpec {
         "next stage input must equal previous stage survivors")
   }
 
+  test("reshard plan shows the consistent-hashing trade-off exactly") {
+    val rows = GovernOps.qReshardPlan(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("consistent", "mod"))
+    val cons = rows("consistent"); val mod = rows("mod")
+    def frac(r: org.apache.spark.sql.Row) =
+      r.getDouble(r.fieldIndex("moved_frac"))
+    // modulo resharding 8 -> 9 moves 1 - 1/9 of uniformly-hashed rows
+    assert(math.abs(frac(mod) - 8.0 / 9.0) < 0.05,
+      s"mod moved_frac ${frac(mod)} should be ~8/9")
+    // the ring exists precisely because it moves far fewer rows
+    assert(frac(cons) < frac(mod) / 2.0,
+      s"consistent ${frac(cons)} should move far less than mod ${frac(mod)}")
+    // ...at the cost of balance with only 4 vnodes/shard: mod stays tight
+    val modBal = mod.getDouble(mod.fieldIndex("balance_ratio"))
+    assert(modBal < 1.3, s"mod balance $modBal")
+    for (r <- rows.values) {
+      assert(r.getLong(r.fieldIndex("n_moved")) <=
+        r.getLong(r.fieldIndex("n_docs")))
+      assert(r.getDouble(r.fieldIndex("balance_ratio")) >= 1.0 - 1e-9)
+    }
+  }
+
   test("pack efficiency agrees with the q_pack_sequences manifest at 4000") {
     import spark.implicits._
     val manifest = queries.PipelineOps.qPackSequences(spark, sf)
