@@ -76,10 +76,16 @@ object StatsOps extends QueryPack {
       s"stack(${rows.size}, ${rows.mkString(", ")}) AS " +
         "(col_name, n_nonnull, min_num, max_num, min_str, max_str)")
     val allCols = profNum ++ profStr ++ profTs
-    val pairs = li.selectExpr(
-      s"stack(${allCols.size}, " +
-        allCols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
-        ") AS (col_name, sval)")
+    // pinned repartition before the ×11 stack fan-out: the fixture table
+    // is one parquet row-group (one scan task), so the unpivot otherwise
+    // generates 6.6M string rows single-threaded (measured 4.5 → ~1.5 s
+    // at sf0.1; AQE would size-coalesce an unpinned repartition)
+    val pairs = li
+      .repartition(spark.sparkContext.defaultParallelism, $"l_orderkey")
+      .selectExpr(
+        s"stack(${allCols.size}, " +
+          allCols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
+          ") AS (col_name, sval)")
     val dist = pairs.groupBy($"col_name")
       .agg(countDistinct($"sval").as("n_distinct"))
     stats.join(dist, "col_name")
@@ -384,6 +390,11 @@ object StatsOps extends QueryPack {
     val li = Tables.df(spark, sfDir, "lineitem")
       .select(round($"l_extendedprice", 2).cast(DecimalType(18, 2))
         .cast("double").as("vd"))
+    // a pinned repartition before the decimal projection was MEASURED
+    // NEUTRAL here (3.6 s either way at sf0.1): the kernel's passes each
+    // re-execute the scan chain, so the added shuffle per pass cancels
+    // the parallelism gain — reverted, unlike the q_profile unpivot where
+    // the ×11 fan-out made it a 2.7× win
     val bounds = graft.operators.Quantiles
       .exactQuantiles(li, $"vd", Seq(0.01, 0.99))
       .agg(min(when($"frac" === 0.01, round($"b", 6))).as("lo"),
