@@ -17,6 +17,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query TaskMetrics telemetry (VERDICT r7 #1): spill / GC /
+    // executor-run-time / peak-execution-memory, so a driver-side wall
+    // number the builder cannot reproduce is attributable from the bench
+    // record itself instead of demanding a forensic round.
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
     // warm-up: JIT + codegen + parquet reader init on the smallest fixture,
     // so the first timed query doesn't absorb session warm-up costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -35,10 +41,12 @@ object Bench {
       // the timing measures the query, not what the optimizer can prove
       // away when nobody reads the answer.
       val times = (1 to passes).flatMap { _ =>
+        metrics.reset(spark.sparkContext)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          Some((sec, metrics.snapshot(spark.sparkContext)))
         } catch { case _: Throwable => None }
       }
       if (times.size < passes && !errors.contains(name)) errors += name
@@ -52,13 +60,38 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> (if (times.isEmpty) 0.0 else times.min)
+      // report the min-wall pass AND its matching metrics snapshot: the
+      // telemetry must explain the number the gate reads, not the cold pass
+      val best = if (times.isEmpty) (0.0, BenchMetrics.Snap(0, 0, 0, 0, 0, 0, 0, 0))
+        else times.minBy(_._1)
+      (name, best._1, best._2)
     }
     // Locale.ROOT: the f-interpolator is locale-sensitive, and a comma
     // decimal separator would make the line invalid JSON
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
+    // Full per-query telemetry → a file (the stdout tail can't hold 179
+    // entries); path overridable so test runs don't clobber the record.
+    val metricsOut = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT",
+      "BENCH_METRICS.json")
+    val metricsJson = results.sortBy(_._2).map { case (n, w, s) =>
+      "\"" + n + "\":" + s.json(w)
+    }.mkString("{\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(metricsOut),
+      (metricsJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // telemetry must never fail the bench
+    // Compact telemetry for the SLOW queries only (wall >= 4 s — the
+    // anomaly band; normally ~5 entries) printed to stdout so it survives
+    // inside the driver's 2000-char tail next to the timings it explains.
+    val slow = results.filter(_._2 >= 4.0).sortBy(_._2).map { case (n, w, s) =>
+      "\"" + n + "\":" + s.json(w)
+    }.mkString("{", ",", "}")
+    val aggSnap = BenchMetrics.Snap(
+      results.map(_._3.runMs).sum, results.map(_._3.gcMs).sum,
+      results.map(_._3.memSpill).sum, results.map(_._3.diskSpill).sum,
+      results.map(_._3.peakExec).max, results.map(_._3.shufRead).sum,
+      results.map(_._3.shufWrite).sum, results.map(_._3.tasks).sum)
     // ONE formatting path for both output lines, so the contract can't
     // drift between them if a field is added. A throwing query must not
     // hide inside a green rc: surface names in `errors`.
@@ -74,7 +107,13 @@ object Bench {
     // attribute a total regression. Ascending-by-time puts the expensive
     // queries at the end of the map, inside the surviving tail (the short
     // total line below is ~110 chars and still prints last).
-    println(line(results.sortBy(_._2), ""))
+    println(line(results.map(t => (t._1, t._2)).sortBy(_._2), ""))
+    // Telemetry line between timings and total: slow-query metrics + the
+    // suite-wide aggregate, so an unreproducible driver wall number is
+    // attributable from the bench record alone (run≈wall×cores ⇒ real
+    // compute; gc high ⇒ heap pressure; spill>0 ⇒ execution-memory
+    // pressure; run≪wall ⇒ the machine, not the plan).
+    println(s"""{"metric":"telemetry","slow":$slow,"agg":${aggSnap.json(total)},"file":"$metricsOut"}""")
     // Short total-only line LAST: the driver parses the stdout tail, and the
     // full per-query line above can overflow its window at 100 queries.
     println(line(Seq.empty, s""","n_queries":${results.size}"""))

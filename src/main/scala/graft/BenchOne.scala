@@ -17,17 +17,30 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    // rows-for-sanity count is OPT-IN (ADVICE r7): the untimed count used
+    // to re-execute every query a second time per rep, which both doubles
+    // the runtime and (for checkpoint-heavy queries) piles up cache blocks
+    // that skew later reps
+    val sanity = sys.env.get("SPARK_GRAFT_ROWS").contains("1")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     for (name <- args; r <- 1 to reps) {
       val fn = SparkEntry.queries(name)
+      metrics.reset(spark.sparkContext)
       val t0 = System.nanoTime()
       // noop sink, same rationale as Bench: count() lets the optimizer
       // eliminate unread final joins/sorts and under-measure the query
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      val n = fn(spark, sfDir).count() // rows for sanity, untimed
-      println("BENCHONE %s rep%d rows=%d sec=%s".format(name, r, n,
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))))
+      val snap = metrics.snapshot(spark.sparkContext)
+      val rows = if (sanity) " rows=" + fn(spark, sfDir).count() else ""
+      // same between-rep sweep as Bench (ADVICE r7): localCheckpoint
+      // blocks from one rep otherwise tax the next rep's timing
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      println("BENCHONE %s rep%d%s %s".format(name, r, rows, snap.json(sec)))
     }
     spark.stop()
   }

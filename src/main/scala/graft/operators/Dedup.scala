@@ -53,7 +53,7 @@ object Dedup {
         sort_array(array_distinct(transform($"ts", x => xxhash64(x)))))
       .withColumn("sz", size($"t"))
       .drop("ts")
-      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .repartition(graft.Tables.shufflePartitions(spark), $"doc_id")
     val a = toks.select($"doc_id".as("id1"), $"t".as("t1"), $"sz".as("s1"))
     val b = toks.select($"doc_id".as("id2"), $"t".as("t2"), $"sz".as("s2"))
     // length-ratio block in the JOIN condition (same bound as the ngram

@@ -110,7 +110,7 @@ object Similarity {
     // Measured r7 under the noop-sink bench: 86 → ~2 s at sf0.1.
     graft.functions.CosineSimilarity.register(spark)
     val a = embeddings.select($"vec_id".as("id1"), $"embedding".as("v1"))
-      .repartition(spark.sparkContext.defaultParallelism, $"id1")
+      .repartition(graft.Tables.shufflePartitions(spark), $"id1")
     val b = embeddings.select($"vec_id".as("id2"), $"embedding".as("v2"))
     a.join(b, $"id1" < $"id2")
       .withColumn("sim",

@@ -58,6 +58,43 @@ object Aggregates extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** The scale-safe twin of [[qAggDistinct]] — identical result, same
+    * oracle, different plan. PERF.md's multi-DISTINCT lesson: N exact
+    * COUNT(DISTINCT)s in ONE aggregate make Spark's rewrite Expand every
+    * row N ways AND carry the raw distinct VALUES in the grouping keys
+    * (the q_profile ancestor measured 40× against the split shape; the
+    * registered [[qAggDistinct]] is kept as the Hive-surface
+    * demonstration of exactly that trap). Two-level shape instead: one
+    * explode to (flag, kind, v1, v2) — the same ×3 row fan-out the
+    * Expand pays — but then a DISTINCT keyed on the full tuple, which
+    * partial-aggregates map-side to ~|distinct values| rows before the
+    * only wide shuffle, and a 3-row conditional-count final pass. The
+    * distinct-free COUNT(*) runs as its own thin pass and joins back by
+    * broadcast. At 100 TB the shuffle is bounded by the distinct-value
+    * count, not the row count — the property the single-agg shape loses. */
+  def qAggDistinct2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_partkey", $"l_suppkey")
+    val nullK = lit(null).cast("long")
+    val nd = li.select($"l_returnflag", explode(array(
+        struct(lit("p").as("kind"), $"l_partkey".as("v1"), nullK.as("v2")),
+        struct(lit("s").as("kind"), $"l_suppkey".as("v1"), nullK.as("v2")),
+        struct(lit("ps").as("kind"), $"l_partkey".as("v1"),
+          $"l_suppkey".as("v2")))).as("e"))
+      .select($"l_returnflag", $"e.kind", $"e.v1", $"e.v2")
+      .distinct()
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"kind" === "p", 1L).otherwise(0L)).as("nd_parts"),
+        sum(when($"kind" === "s", 1L).otherwise(0L)).as("nd_supps"),
+        sum(when($"kind" === "ps", 1L).otherwise(0L)).as("nd_ps"))
+    val n = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    nd.join(broadcast(n), "l_returnflag")
+      .select($"l_returnflag", $"nd_parts", $"nd_supps", $"nd_ps", $"n")
+      .orderBy($"l_returnflag")
+  }
+
   /** Exact percentiles (Hive GenericUDAFPercentile / linear
     * interpolation ≡ DuckDB quantile_cont). */
   def qPercentile(spark: SparkSession, sfDir: String): DataFrame = {
@@ -172,6 +209,7 @@ object Aggregates extends QueryPack {
     "q_sortagg_argmax" -> qSortAggArgmax,
     "q_agg_stats" -> qAggStats,
     "q_agg_distinct" -> qAggDistinct,
+    "q_agg_distinct2" -> qAggDistinct2,
     "q_percentile" -> qPercentile,
     "q_collect" -> qCollect,
     "q_rollup" -> qRollup,
@@ -205,6 +243,16 @@ object Aggregates extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+        |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS nd_ps,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical oracle by design: the twin must produce byte-identical
+    // results through the two-level plan
+    "q_agg_distinct2" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS nd_parts,
         |  COUNT(DISTINCT l_suppkey) AS nd_supps,

@@ -47,7 +47,7 @@ object GovernOps extends QueryPack {
       // explicit partition count: AQE would coalesce a keyed repartition
       // of 5k small doc rows to one partition by size — correct for the
       // rows it sees, wrong for the ×50 token fan-out they feed
-      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
       .select($"doc_id", $"source",
         posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")),
         size(TextFunctions.tokens($"text")).as("len"))
@@ -271,7 +271,7 @@ object GovernOps extends QueryPack {
         md5(concat(lit("doc:"), $"doc_id".cast("string"))).as("p"),
         conv(substring(md5(concat(lit("doc:"), $"doc_id".cast("string"))),
           1, 15), 16, 10).cast("long").as("h"))
-      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
     def consistent(n: Int): DataFrame = {
       val ring = ringPoints(n)
       val ringDf = ring.toDF("shard", "pt")

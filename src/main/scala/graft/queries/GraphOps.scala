@@ -29,6 +29,20 @@ object GraphOps extends QueryPack {
     * lineitem→orders), symmetrized so every node has out-degree ≥ 1 (no
     * dangling-mass redistribution needed). Output: top 25 nodes. */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    // the unrolled plan references edges 3× and deg 4× — materialize both
+    // once (same "cache the graph, iterate on it" shape GraphX uses)
+    // instead of re-running the lineitem⋈orders distinct per reference
+    val edges = coPurchaseEdges(spark, sfDir).localCheckpoint()
+    val deg = edges.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    pagerankLoop(edges, deg, 3)
+  }
+
+  /** The symmetrized customer↔supplier co-purchase edge list shared by
+    * [[qPagerank]] and [[qPagerankBucketed]]. */
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     import spark.implicits._
     val li = Tables.df(spark, sfDir, "lineitem")
       .select($"l_orderkey", $"l_suppkey")
@@ -38,14 +52,24 @@ object GraphOps extends QueryPack {
       .select(concat(lit("c:"), $"o_custkey").as("u"),
         concat(lit("s:"), $"l_suppkey").as("v"))
       .distinct()
-    // the unrolled plan references edges 3× and deg 4× — materialize both
-    // once (same "cache the graph, iterate on it" shape GraphX uses)
-    // instead of re-running the lineitem⋈orders distinct per reference
-    val edges = pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
-      .localCheckpoint()
-    val deg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    pagerankLoop(edges, deg, 3)
+    pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+  }
+
+  /** [[pagerankBucketed]] end-to-end as a registered query (VERDICT r7
+    * #7): build the same graph as [[qPagerank]], pay the bucketed edge
+    * WRITE inside the measured time, then run the identical loop reading
+    * the bucketed layout (each iteration shuffles only the rank side —
+    * GraphBucketSpec proves the edge-side Exchange disappears). Oracled
+    * with the same SQL as q_pagerank: row-identical by construction. The
+    * timing answers the write-once-then-iterate question honestly every
+    * round — at 3 iterations the write may or may not amortize (PERF.md
+    * records the delta); on a cluster the table is written once and
+    * EVERY downstream run reuses the layout, so the break-even only
+    * improves with reuse. */
+  def qPagerankBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Sources.writeBucketed(coPurchaseEdges(spark, sfDir),
+      "graft_pr_edges_q", Tables.shufflePartitions(spark), "u")
+    pagerankBucketed(spark, "graft_pr_edges_q", 3)
   }
 
   /** The unrolled damped-iteration loop over a prepared (edges, deg)
@@ -143,6 +167,7 @@ object GraphOps extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank,
+    "q_pagerank_bucketed" -> qPagerankBucketed,
     "q_triangles" -> qTriangles
   )
 
@@ -158,21 +183,25 @@ object GraphOps extends QueryPack {
        |        * COALESCE(CAST(sw AS DOUBLE), 0.0), 12) AS pr
        |  FROM deg d LEFT JOIN c$cur ON c$cur.node = d.node)""".stripMargin
 
+  private val pagerankSql: String =
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY u),
+      |nn AS (SELECT count(*) AS n FROM deg),
+      |p0 AS (SELECT node, deg,
+      |         CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg),
+      |${iterSql("0", "1")},
+      |${iterSql("1", "2")},
+      |${iterSql("2", "3")}
+      |SELECT node, round(pr, 9) AS pr FROM p3
+      |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_pagerank" ->
-      s"""WITH pairs AS (
-        |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-        |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY u),
-        |nn AS (SELECT count(*) AS n FROM deg),
-        |p0 AS (SELECT node, deg,
-        |         CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg),
-        |${iterSql("0", "1")},
-        |${iterSql("1", "2")},
-        |${iterSql("2", "3")}
-        |SELECT node, round(pr, 9) AS pr FROM p3
-        |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin,
+    "q_pagerank" -> pagerankSql,
+    // same oracle by design: the bucketed layout must not change a row
+    "q_pagerank_bucketed" -> pagerankSql,
 
     "q_triangles" ->
       """WITH li AS (

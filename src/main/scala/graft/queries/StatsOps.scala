@@ -81,7 +81,7 @@ object StatsOps extends QueryPack {
     // generates 6.6M string rows single-threaded (measured 4.5 → ~1.5 s
     // at sf0.1; AQE would size-coalesce an unpinned repartition)
     val pairs = li
-      .repartition(spark.sparkContext.defaultParallelism, $"l_orderkey")
+      .repartition(Tables.shufflePartitions(spark), $"l_orderkey")
       .selectExpr(
         s"stack(${allCols.size}, " +
           allCols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +

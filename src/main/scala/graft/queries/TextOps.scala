@@ -557,7 +557,7 @@ object TextOps extends QueryPack {
     // right back to one partition). Measured r7 under the noop-sink
     // bench: 3.0 → ~1 s at sf0.1. Same rows, oracle untouched.
     val sh = docs
-      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
       .select($"doc_id",
         explode(TextFunctions.shingles($"text", 5)).as("s"))
     val bench = sh.filter($"doc_id" % 97 === 0).select($"s").distinct()
@@ -993,6 +993,12 @@ object TextOps extends QueryPack {
       """SELECT COUNT(*) AS n_total, COUNT(DISTINCT text) AS n_survivors
         |FROM documents""".stripMargin,
 
+    // NOTE (ADVICE r7): the Spark side computes Jaccard over
+    // xxhash64-HASHED token sets (Dedup.jaccardPairs) while this oracle
+    // intersects the raw STRING sets — equality holds only absent a
+    // 64-bit hash collision inside one pair's union (~2^-64 per pair).
+    // If this row ever hash-flakes, suspect a collision before a logic
+    // bug: re-run with the hash removed on the Spark side first.
     "q_dedup_jaccard" ->
       s"""WITH d AS (
         |  SELECT doc_id, $tokSetSql AS t

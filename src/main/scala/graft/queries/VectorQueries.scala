@@ -227,7 +227,13 @@ object VectorQueries extends QueryPack {
     graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.df(spark, sfDir, "embeddings")
       .filter($"vec_id" % 2 === 0)
-    val dims = emb.select($"vec_id",
+    // pinned keyed repartition before the ×64 dim explode and the ×64
+    // plane join (the single-row-group trap, PERF.md): without it the
+    // whole 10M-row projection pipeline runs in the ONE scan task —
+    // r8 telemetry showed wall ≈ run core-seconds, i.e. parallelism 1
+    val dims = emb
+      .repartition(Tables.shufflePartitions(spark), $"vec_id")
+      .select($"vec_id",
         posexplode($"embedding").as(Seq("d", "x")))
       .select($"vec_id", $"d", $"x".cast("double").as("x"))
     // hyperplane components materialize ONCE (64 planes × 64 dims = 4096
@@ -371,6 +377,23 @@ object VectorQueries extends QueryPack {
     hardNegStages(spark, s, pairs)
   }
 
+  /** [[Similarity.annKnnCosine]] end-to-end as a registered rows-only
+    * bench key (VERDICT r7 #7): the exact ANN kNN configuration that
+    * feeds the scale consumers ([[lofAnn]], [[hardNegativesAnn]]) — LSH
+    * bucket-routed candidates, exact cosine re-rank, top-k window. No
+    * DuckDB oracle can exist (MLlib's LSH hyperplanes are JVM-seeded);
+    * AnnConsumersSpec holds the measured ≥0.9 recall floors vs brute
+    * force, and registering it here puts the candidate-generation +
+    * re-rank cost itself on the bench record every round instead of only
+    * inside unit tests. */
+  def qAnnKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sub = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 2 === 0)
+    Similarity.annKnnCosine(sub, sub, 5, 1.4, 8)
+      .orderBy($"qid", $"rank")
+  }
+
   /** Mining windows downstream of the scored candidate pairs `pairs` =
     * (aid, bid, same, sim): two (anchor, same-label?) rank windows pick
     * the extremes, then a left join back to every anchor — shared
@@ -407,6 +430,7 @@ object VectorQueries extends QueryPack {
     "q_knn_classify" -> qKnnClassify,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_knn" -> qAnnKnn,
     "q_multimodal" -> qMultimodal,
     "q_frame_sample" -> qFrameSample
   )

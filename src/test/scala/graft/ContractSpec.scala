@@ -19,6 +19,7 @@ class ContractSpec extends AnyFunSuite {
   private val noOracleAllowlist: Set[String] = Set(
     "q_approx",        // HLL/GK approx aggs — engine-specific estimates
     "q_ann_ivf",       // IVF probe set depends on Spark-side kmeans seed
+    "q_ann_knn",       // LSH-candidate kNN — same JVM-seeded hyperplanes
     "q_ann_lsh",       // MLlib LSH hyperplanes are JVM-seeded
     "q_dedup_minhash", // MLlib MinHashLSH — JVM-seeded coefficients
     "q_dedup_simhash", // xxhash64 bit layout has no DuckDB twin
