@@ -420,7 +420,129 @@ object VectorQueries extends QueryPack {
       .orderBy($"vec_id")
   }
 
+  /** Product-quantization ANN with asymmetric distance computation and
+    * exact re-rank (the IVFADC+R shape of Jégou/Douze/Schmid, TPAMI
+    * 2011): split the 64-dim embedding into m=16 subspaces of 4 dims,
+    * learn a 16-centroid codebook per subspace (one md5-seeded Lloyd
+    * iteration — the [[graft.queries.CurateOps.qKmeans]] kernel with a
+    * subspace key), encode every corpus vector as 16 4-bit codes, answer
+    * queries by summing per-subspace lookup-table entries (no floats
+    * touched during the scan), keep the ADC top-100 shortlist, and
+    * re-rank it by exact L2 — only the shortlist ever reads full
+    * vectors.
+    *
+    * Why this is THE memory technique for corpus-scale ANN: the encoded
+    * corpus is m small codes per vector — at production parameters
+    * (m=8–16, k=256) a 256-byte float vector becomes 8–16 bytes, so a
+    * 100 TB embedding corpus scans as ~3–6 TB of codes, and each query
+    * computes only m×k float distances (the LUT) before the scan
+    * becomes integer lookups + m adds per candidate; full vectors are
+    * read for the ~100-candidate shortlist only. Scale shape here: the
+    * codebook (m×k×4 values) and the per-query LUT (|Q|×m×k decimal
+    * entries) broadcast; the code table streams partition-parallel
+    * through one equi-join on (subspace, code) and a (qid, vec_id)
+    * partial-agg sum; shortlist and final top-5 are qid-partitioned
+    * windows; the re-rank is a thin (qid, cand, d)-keyed join touching
+    * |Q|×100×64 values. IVF composes on top by keying the code table
+    * with the [[qAnnIvf]] coarse cell and probing cells instead of
+    * full-scanning — same join, narrower scan.
+    *
+    * Unlike the JVM-seeded LSH/IVF rows this is fully deterministic
+    * (md5-ranked seeds, squared-diff terms rounded once to
+    * DECIMAL(20,9) and summed exactly, (dist, cid)/(dist, cand) argmin
+    * tiebreaks), so the approximate neighbors themselves are
+    * DuckDB-oracled; recall vs exact L2 is additionally floor-tested in
+    * PqAdcSpec (measured 1.0 on the fixture at this operating point —
+    * ADC alone ranks poorly on this unit-norm near-random fixture, 0.32
+    * at m=16/k=16, which is WHY the production shape carries the
+    * re-rank stage). */
+  def qPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 16 // centroids per subspace; 4-bit codes (256 at prod scale)
+    // pinned keyed repartition BEFORE the ×64 explode: the embeddings
+    // parquet is one row group, so without it the whole ×64×k assignment
+    // fan-out runs inside a single scan task (the q_ann_md5 trap —
+    // PERF.md r8; measured here 9.7 → 1.4 s warm at sf0.1)
+    val emb = Tables.df(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .repartition(Tables.shufflePartitions(spark), $"vec_id")
+    val dims = emb.select($"vec_id", posexplode($"v").as(Seq("d", "x")))
+      .withColumn("s", ($"d" / 4).cast("int"))
+    // distributed top-k (TakeOrderedAndProject) BEFORE the tiny ranking
+    // window — same seeding discipline as qKmeans
+    val seeds = emb.select($"vec_id",
+        md5(concat(lit("pq:"), $"vec_id".cast("string"))).as("h"))
+      .orderBy($"h", $"vec_id").limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy($"h", $"vec_id")))
+      .select($"vec_id", $"cid")
+    val c0 = dims.join(seeds, "vec_id").select($"cid", $"d", $"x".as("c"))
+
+    // per-subspace argmin: the qKmeans assignment kernel with the
+    // subspace in the grouping key (d determines s, so the broadcast
+    // codebook join stays a plain d-equi-join)
+    def assign(inp: DataFrame, cent: DataFrame): DataFrame =
+      inp.join(broadcast(cent), "d")
+        .select($"vec_id", $"s", $"cid",
+          round(($"x" - $"c") * ($"x" - $"c"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 9)).as("t"))
+        .groupBy($"vec_id", $"s", $"cid").agg(sum($"t").as("dist"))
+        .groupBy($"vec_id", $"s").agg(min(struct($"dist", $"cid")).as("m"))
+        .select($"vec_id", $"s", $"m.cid".as("cid"))
+
+    // codebook and code table are materialized once (localCheckpoint):
+    // unlike qKmeans' 5-reference unroll, this tree reuses c1 in three
+    // downstream branches and codes in two, and the ×64×k assignment
+    // kernel re-derived per reference measured 3× the whole query's
+    // cost. The checkpointed tables are exactly what a production index
+    // build persists: m×k×4 codebook values + m codes per vector.
+    // train on a deterministic 20% sample (faiss-style: codebooks come
+    // from a training subsample, the full corpus is only ENCODED once);
+    // c1's inner join against the sampled assignment restricts the
+    // centroid means to training members automatically
+    val a1 = assign(dims.filter($"vec_id" % 5 === 0), c0)
+    val c1 = dims.join(a1, Seq("vec_id", "s"))
+      .select($"cid", $"d",
+        round($"x", 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("xd"))
+      .groupBy($"cid", $"d")
+      .agg((sum($"xd").cast("double") / count(lit(1))).as("c"))
+      .localCheckpoint()
+    val codes = assign(dims, c1).localCheckpoint()
+
+    // ADC: per-query lookup table of partial distances to every
+    // (subspace, centroid), then the code scan sums m LUT entries
+    val lut = dims.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"s", $"d", $"x")
+      .join(broadcast(c1), "d")
+      .select($"qid", $"s", $"cid",
+        round(($"x" - $"c") * ($"x" - $"c"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 9)).as("t"))
+      .groupBy($"qid", $"s", $"cid").agg(sum($"t").as("pdist"))
+    val adc = codes.join(broadcast(lut), Seq("s", "cid"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id").agg(sum($"pdist").as("adist"))
+    val shortlist = adc.withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"adist", $"vec_id")))
+      .filter($"rk" <= 100)
+      .select($"qid", $"vec_id".as("cand"))
+
+    // exact re-rank: only the shortlist reads full vectors
+    val qd = dims.select($"vec_id".as("qid"), $"d", $"x".as("qx"))
+    val cd = dims.select($"vec_id".as("cand"), $"d", $"x".as("cx"))
+    val rr = shortlist.join(qd, "qid").join(cd, Seq("cand", "d"))
+      .select($"qid", $"cand",
+        round(($"qx" - $"cx") * ($"qx" - $"cx"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 9)).as("t"))
+      .groupBy($"qid", $"cand").agg(sum($"t").as("dist"))
+    rr.withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"dist", $"cand")))
+      .filter($"rk" <= 5)
+      .select($"qid", $"rk", $"cand", $"dist".cast("double").as("dist"))
+      .orderBy($"qid", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_adc" -> qPqAdc,
     "q_hard_negatives" -> qHardNegatives,
     "q_quantize" -> qQuantize,
     "q_standardize" -> qStandardize,
@@ -436,6 +558,81 @@ object VectorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // the qKmeans decimal discipline with a subspace key: squared-diff
+    // terms round once to DECIMAL(20,9) and sum exactly, centroid means
+    // are one exact-decimal-over-count IEEE quotient, argmins tiebreak
+    // (dist, cid)/(dist, cand) — so codebooks, codes, LUT, the ADC
+    // shortlist, and the exact re-rank are all engine-portable
+    "q_pq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(r.d AS INT) AS d, CAST(r.d // 4 AS INT) AS s,
+        |    CAST(embedding[r.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+        |seeds AS (
+        |  SELECT vec_id, row_number() OVER (
+        |    ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) AS cid
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT s.cid, v.d, v.x AS c
+        |  FROM v JOIN seeds s ON s.vec_id = v.vec_id WHERE s.cid <= 16),
+        |t1 AS (
+        |  SELECT v.vec_id, v.s, c.cid,
+        |    SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9)
+        |      AS DECIMAL(20,9))) AS dist
+        |  FROM v JOIN c0 c ON c.d = v.d
+        |  WHERE v.vec_id % 5 = 0 GROUP BY 1, 2, 3),
+        |a1 AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT vec_id, s, cid, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY dist, cid) AS rk FROM t1)
+        |  WHERE rk = 1),
+        |c1 AS (
+        |  SELECT a.cid, v.d,
+        |    CAST(SUM(CAST(round(v.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS c
+        |  FROM v JOIN a1 a ON a.vec_id = v.vec_id AND a.s = v.s
+        |  GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT v.vec_id, v.s, c.cid,
+        |    SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9)
+        |      AS DECIMAL(20,9))) AS dist
+        |  FROM v JOIN c1 c ON c.d = v.d GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT vec_id, s, cid, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY dist, cid) AS rk FROM t2)
+        |  WHERE rk = 1),
+        |lut AS (
+        |  SELECT v.vec_id AS qid, v.s, c.cid,
+        |    SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9)
+        |      AS DECIMAL(20,9))) AS pdist
+        |  FROM v JOIN c1 c ON c.d = v.d
+        |  WHERE v.vec_id % 100 = 0 GROUP BY 1, 2, 3),
+        |adc AS (
+        |  SELECT l.qid, k.vec_id AS cand, SUM(l.pdist) AS adist
+        |  FROM codes k JOIN lut l ON l.s = k.s AND l.cid = k.cid
+        |  WHERE k.vec_id <> l.qid GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT qid, cand FROM (
+        |    SELECT qid, cand, row_number() OVER (PARTITION BY qid
+        |      ORDER BY adist, cand) AS rk FROM adc)
+        |  WHERE rk <= 100),
+        |rr AS (
+        |  SELECT s.qid, s.cand,
+        |    SUM(CAST(round((a.x - b.x) * (a.x - b.x), 9)
+        |      AS DECIMAL(20,9))) AS dist
+        |  FROM sl s
+        |  JOIN v a ON a.vec_id = s.qid
+        |  JOIN v b ON b.vec_id = s.cand AND b.d = a.d
+        |  GROUP BY 1, 2)
+        |SELECT qid, CAST(rk AS INT) AS rk, cand,
+        |  CAST(dist AS DOUBLE) AS dist
+        |FROM (
+        |  SELECT qid, cand, dist, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dist, cand) AS rk FROM rr)
+        |WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin,
+
     // same rounded-then-ranked similarity discipline as q_lof; the margin
     // is the identical subtraction of two 6dp doubles on both sides
     "q_hard_negatives" ->
