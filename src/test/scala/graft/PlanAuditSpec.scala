@@ -262,6 +262,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pq-adc scans codes against broadcast codebook/LUT, never pairs") {
+    // the 100 TB claim of product quantization is that the scan side
+    // only ever equi-joins the (tiny, materialized) codebook and
+    // per-query LUT as broadcasts — a refactor that lets either join
+    // fall back to shuffle or nested-loop would move full vectors for
+    // every candidate and erase the compression win
+    val plan = planOf(
+      graft.queries.VectorQueries.qPqAdc(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "LUT/codebook joins must broadcast:\n" + plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "ADC must stay an equi-join scan:\n" + plan.take(600))
+  }
+
   test("q_dedup_embedding is the DOCUMENTED brute-force exemption") {
     // Oracle-expressibility exemption: q_dedup_embedding's contract is
     // EXACT all-pairs semantics hash-matched against a DuckDB brute-force
