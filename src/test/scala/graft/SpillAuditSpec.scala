@@ -24,8 +24,8 @@ class SpillAuditSpec extends SparkSpec {
     m
   }
 
-  for (q <- Seq("q_pagerank", "q_dedup_savings", "q_canonical",
-      "q_ann_md5", "q_bin_quantile")) {
+  for (q <- Seq("q_pagerank", "q_pagerank_bucketed", "q_dedup_savings",
+      "q_canonical", "q_ann_md5", "q_bin_quantile", "q_pq_adc")) {
     test(s"$q materializes at sf0.1 without execution-memory spill") {
       metrics.reset(spark.sparkContext)
       SparkEntry.queries(q)(spark, sf01)
