@@ -178,7 +178,58 @@ object PipelineOps extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** DSIR-shaped targeted data selection (the shape of Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document OUTSIDE the target domain by its lexical
+    * affinity to the target's unigram language model, then keep each
+    * source's top-10 — the "find more data that looks like my target
+    * domain" step of a pretraining-mix pipeline. `src0` stands in for
+    * the target domain (in production: the high-quality seed corpus).
+    *
+    * The importance weight is libm-free by design: instead of DSIR's
+    * sum of per-token log-probability ratios (logs are not bit-portable
+    * across engines), the score is the mean-unigram-likelihood ratio
+    *   score(d) = (Σ_t c_tgt(t) / N_tgt) / (Σ_t c_raw(t) / N_raw)
+    * computed as ONE double division of two exact integer products
+    * (Σ c_tgt × N_raw) / (Σ c_raw × N_tgt) — the arithmetic-mean
+    * analogue of the geometric-mean DSIR weight, monotone in the same
+    * target-affinity signal, and hash-exact in both engines (products
+    * bounded ≪ 2^53 at every fixture SF).
+    *
+    * Scale shape: token counts are vocabulary-thin aggregates (the
+    * target table broadcasts; the corpus table equi-joins by token);
+    * per-doc scoring is one explode + two joins + a (doc_id)-keyed
+    * partial-agg sum; selection is a per-source-partitioned rank
+    * window, never a global sort. At 100 TB the raw-count join is the
+    * only wide stage and it shuffles (tok, count) pairs, not text. */
+  def qDsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val target = "src0"
+    val docs = Tables.df(spark, sfDir, "documents")
+    val toks = docs.select($"doc_id", $"source",
+      explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+    val tgtCounts = toks.filter($"source" === target)
+      .groupBy($"tok").agg(count(lit(1)).as("c_t"))
+    val rawCounts = toks.groupBy($"tok").agg(count(lit(1)).as("c_r"))
+    val totals = toks.agg(count(lit(1)).as("n_r"),
+      sum(when($"source" === target, 1L).otherwise(0L)).as("n_t"))
+    val scored = toks.filter($"source" =!= target)
+      .join(rawCounts, "tok")
+      .join(broadcast(tgtCounts), Seq("tok"), "left")
+      .groupBy($"doc_id", $"source")
+      .agg(sum(coalesce($"c_t", lit(0L))).as("st"), sum($"c_r").as("sr"))
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"source", $"st", $"sr",
+        (($"st" * $"n_r").cast("double") / ($"sr" * $"n_t")).as("score"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"score".desc, $"doc_id")))
+      .filter($"rk" <= 10)
+      .select($"source", $"rk", $"doc_id", $"st", $"sr", $"score")
+      .orderBy($"source", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_select" -> qDsirSelect,
     "q_rebalance" -> qRebalance,
     "q_sample_weighted" -> qSampleWeighted,
     "q_sample_stratified" -> qSampleStratified,
@@ -193,6 +244,44 @@ object PipelineOps extends QueryPack {
     }.mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    // integer token-count sums (CAST to BIGINT: DuckDB SUM(BIGINT) is
+    // HUGEINT) and ONE double division of exact integer products — no
+    // logs, so the score and its ranking are bit-portable
+    "q_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x != '')) AS tok
+        |  FROM documents),
+        |tgt AS (
+        |  SELECT tok, count(*) AS c_t FROM toks
+        |  WHERE source = 'src0' GROUP BY 1),
+        |raw AS (SELECT tok, count(*) AS c_r FROM toks GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*) AS n_r,
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_t
+        |  FROM toks),
+        |sc AS (
+        |  SELECT t.doc_id, t.source,
+        |    CAST(SUM(COALESCE(g.c_t, 0)) AS BIGINT) AS st,
+        |    CAST(SUM(r.c_r) AS BIGINT) AS sr
+        |  FROM toks t
+        |  JOIN raw r ON r.tok = t.tok
+        |  LEFT JOIN tgt g ON g.tok = t.tok
+        |  WHERE t.source <> 'src0'
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(rk AS INT) AS rk, doc_id, st, sr, score
+        |FROM (
+        |  SELECT s.source, s.doc_id, s.st, s.sr,
+        |    CAST(s.st * tot.n_r AS DOUBLE) / (s.sr * tot.n_t) AS score,
+        |    row_number() OVER (PARTITION BY s.source
+        |      ORDER BY CAST(s.st * tot.n_r AS DOUBLE)
+        |          / (s.sr * tot.n_t) DESC,
+        |        s.doc_id) AS rk
+        |  FROM sc s, tot)
+        |WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+
     // identical rate arithmetic (min(1, (n_total/k)/n_lang) in the same
     // double shape) and the same (md5 + 1) / 2^60 uniform as the A-ES
     // sampler, so keep decisions match row-for-row
