@@ -48,10 +48,17 @@ object Tables {
       // nanos column, so this is a documented non-issue here.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // cast to NTZ so ts matches the other fixtures' timestamp-without-zone
-      // semantics (and DuckDB's naive TIMESTAMP) when written back to parquet
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      // semantics (and DuckDB's naive TIMESTAMP) when written back to parquet.
+      // The fixture generation has shipped ts as both TIMESTAMP(NANOS)
+      // (read as raw nano longs under the legacy conf) and plain
+      // TIMESTAMP(MICROS); branch on the decoded type so either works.
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      val tsCol = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+        case _ => col("ts").cast("timestamp_ntz")
+      }
+      raw.withColumn("ts", tsCol)
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

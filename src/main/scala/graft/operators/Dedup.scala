@@ -121,7 +121,11 @@ object Dedup {
       .withColumn("t",
         sort_array(array_distinct(transform($"tk", s => xxhash64(s)))))
       .withColumn("sz", size($"t"))
-      .repartition($"doc_id")
+      // explicit count (ADVICE r7): a keyless keyed repartition is an AQE
+      // coalesce target — at small SF it collapses to ~1 partition right
+      // before the minhash fan-out, serializing it
+      .repartition(graft.Tables.shufflePartitions(
+        docs.sparkSession), $"doc_id")
     // one minhash per table: min over tokens of a table-seeded xxhash64
     // the bucket self-join moves ONLY (bucket key, id): a pair that
     // collides in several tables is deduplicated before any array is

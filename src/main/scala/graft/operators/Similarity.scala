@@ -192,7 +192,10 @@ object Similarity {
       .select(col("vec_id") +: col("embedding") +: axes.flatMap(i =>
         Seq(col(s"p$i"),
           floor(col(s"p$i") / cellWidth).cast("long").as(s"c$i"))): _*)
-      .repartition($"vec_id")
+      // explicit count (ADVICE r7): keyless keyed repartition is an AQE
+      // coalesce target right before the neighbor-offset fan-out
+      .repartition(graft.Tables.shufflePartitions(
+        embeddings.sparkSession), $"vec_id")
     val aSide = base.select(
       col("vec_id").as("id1") +: col("embedding").as("v1") +:
         axes.flatMap(i =>
