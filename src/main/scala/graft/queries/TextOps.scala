@@ -392,7 +392,9 @@ object TextOps extends QueryPack {
         transform(array_distinct(TextFunctions.shingles($"text", 2)),
           s => xxhash64(s)))).as("t"))
       .withColumn("sz", size($"t"))
-      .repartition(col("doc_id"))
+      // explicit count (ADVICE r7): keyless keyed repartition is an AQE
+      // coalesce target right before the pair join
+      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
     val a = sh.select($"doc_id".as("id1"), $"t".as("t1"), $"sz".as("s1"))
     val b = sh.select($"doc_id".as("id2"), $"t".as("t2"), $"sz".as("s2"))
     a.join(b, $"id1" < $"id2"
