@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.streaming.Streams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch twins of the streaming transforms (SURVEY.md §2.10): the same
@@ -238,7 +238,56 @@ object EventOps extends QueryPack {
       .orderBy($"event_id")
   }
 
+  /** Ordered conversion funnel view → click → purchase with a 24-hour
+    * conversion window: a user reaches stage k only via an event
+    * strictly AFTER their stage-(k−1) entry time and within 24 h of it
+    * (the classic sequential-pattern constraint a naive per-type min()
+    * pivot gets wrong — a click that precedes every view must not
+    * count). Formulated as three per-user aggregates chained by probe
+    * joins: stage k's input is the one-event-type slice of the fact
+    * table equi-joined to stage (k−1)'s thin (user, entry-time)
+    * relation. Scale shape: each stage is one key-partitioned shuffle on
+    * user_id over a type-pruned slice (the filter reaches the scan), the
+    * stage relations shrink monotonically (150 → 60 → 25 users at
+    * sf0.01), and the final report aggregates three 1-row summaries — no
+    * window over the full fact table, no self-join of events with
+    * events. Window test and gaps are exact epoch micros; the mean gap
+    * is ONE double division of exact integers, rounded once to 6dp. */
+  def qFunnelStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val winUs = 24L * 3600 * 1000000
+    def gapUs(a: Column, b: Column): Column =
+      unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id")
+      .filter($"ts" > $"t1" && gapUs($"ts", $"t1") <= winUs)
+      .groupBy($"user_id").agg(min($"ts").as("t2"), min($"t1").as("t1"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id")
+      .filter($"ts" > $"t2" && gapUs($"ts", $"t2") <= winUs)
+      .groupBy($"user_id").agg(min($"ts").as("t3"), min($"t2").as("t2"))
+    val s1 = v.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("stage"), lit("view").as("step"), $"n_users",
+        lit(null).cast("double").as("avg_gap_us"))
+    val s2 = c.agg(count(lit(1)).as("n_users"),
+        round(sum(gapUs($"t2", $"t1")).cast("double") / count(lit(1)), 6)
+          .as("avg_gap_us"))
+      .select(lit(2L).as("stage"), lit("click").as("step"), $"n_users",
+        $"avg_gap_us")
+    val s3 = p.agg(count(lit(1)).as("n_users"),
+        round(sum(gapUs($"t3", $"t2")).cast("double") / count(lit(1)), 6)
+          .as("avg_gap_us"))
+      .select(lit(3L).as("stage"), lit("purchase").as("step"), $"n_users",
+        $"avg_gap_us")
+    s1.unionAll(s2).unionAll(s3).orderBy($"stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_staged" -> qFunnelStaged,
     "q_scd2" -> qScd2,
     "q_pit_join" -> qPitJoin,
     "q_seq_examples" -> qSeqExamples,
@@ -255,6 +304,36 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same strictly-after chaining; epoch_us mirrors unix_micros in the
+    // UTC session; mean gap = one double division of exact integer sums
+    "q_funnel_staged" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |    AND epoch_us(e.ts) - epoch_us(v.t1) <= 86400000000
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |    AND epoch_us(e.ts) - epoch_us(c.t2) <= 86400000000
+        |  GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+        |  count(*) AS n_users, CAST(NULL AS DOUBLE) AS avg_gap_us FROM v
+        |UNION ALL
+        |SELECT 2, 'click', count(*),
+        |  round(CAST(sum(epoch_us(t2) - epoch_us(t1)) AS DOUBLE)
+        |    / count(*), 6) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*),
+        |  round(CAST(sum(epoch_us(t3) - epoch_us(t2)) AS DOUBLE)
+        |    / count(*), 6) FROM p
+        |ORDER BY stage""".stripMargin,
+
     // same change-detection lag + interval-closing lead over the change
     // rows, same (ts, event_id) total order
     "q_scd2" ->

@@ -228,7 +228,39 @@ object PipelineOps extends QueryPack {
       .orderBy($"source", $"rk")
   }
 
+  /** RAG/context-window chunking with overlap: split each document into
+    * 32-token windows on a 24-token stride (8-token overlap), keeping
+    * provenance (doc_id, chunk_idx, start_tok) and an md5 chunk key for
+    * downstream chunk-level dedup. The 100 TB shape is the whole point:
+    * tokenize + windowing is a pure per-row projection and the explode
+    * fan-out is ceil(tokens/stride) per document — zero shuffles, zero
+    * joins, no state; the only exchange in the plan is the deterministic
+    * final ORDER BY, which a production writer would replace with a
+    * partitioned write. `sequence`/`generate_series` are both
+    * end-inclusive and `slice`/`list_slice` both tolerate a short tail,
+    * so the last (possibly partial) chunk is identical cross-engine. */
+  def qChunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val win = 32
+    val stride = 24
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .select($"doc_id", $"tk",
+        posexplode(sequence(lit(0), greatest(size($"tk") - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "start_tok")))
+      .select($"doc_id",
+        $"chunk_idx".cast("long").as("chunk_idx"),
+        $"start_tok".cast("long").as("start_tok"),
+        slice($"tk", $"start_tok" + 1, lit(win)).as("ck"))
+      .select($"doc_id", $"chunk_idx", $"start_tok",
+        size($"ck").cast("long").as("n_tok"),
+        array_join($"ck", " ").as("chunk_text"),
+        md5(array_join($"ck", " ")).as("chunk_key"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap" -> qChunkOverlap,
     "q_dsir_select" -> qDsirSelect,
     "q_rebalance" -> qRebalance,
     "q_sample_weighted" -> qSampleWeighted,
@@ -244,6 +276,30 @@ object PipelineOps extends QueryPack {
     }.mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    // same tokenizer, same end-inclusive series, same 1-based inclusive
+    // slice; chunk_idx = start/stride exactly because starts are the
+    // stride multiples the series emits
+    "q_chunk_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t != '') AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, tk,
+        |    unnest(generate_series(0, greatest(len(tk) - 1, 0), 24)) AS s
+        |  FROM tk),
+        |ck AS (
+        |  SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+        |    CAST(s AS BIGINT) AS start_tok,
+        |    list_slice(tk, s + 1, s + 32) AS ck
+        |  FROM st)
+        |SELECT doc_id, chunk_idx, start_tok,
+        |  CAST(len(ck) AS BIGINT) AS n_tok,
+        |  array_to_string(ck, ' ') AS chunk_text,
+        |  md5(array_to_string(ck, ' ')) AS chunk_key
+        |FROM ck
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // integer token-count sums (CAST to BIGINT: DuckDB SUM(BIGINT) is
     // HUGEINT) and ONE double division of exact integer products — no
     // logs, so the score and its ranking are bit-portable

@@ -138,6 +138,67 @@ object VectorQueries extends QueryPack {
       .orderBy($"d")
   }
 
+  /** Distributed PCA, first principal direction: covariance of the
+    * leading 16 embedding dimensions + 3 fixed power-method iterations
+    * (Mises iteration), every step a relational op. The 100 TB shape is
+    * the point of the demo: the corpus is touched by exactly two
+    * map-side-partial aggregations — a per-dim moment pass and a per-row
+    * HOF outer product (d² = 256 struct terms per row, no self-join of
+    * the exploded relation on vec_id) — after which covariance and the
+    * iteration run on d²-row relations a driver never loops over.
+    * Numeric discipline: inputs round once to DECIMAL(18,6); every
+    * decimal product stays under precision 38 (18,6 × 18,6 → 37,12 and
+    * 20,9 × 12,9 → 33,18), so all sums are exact integers in both
+    * engines; each division is a shared double formula rounded once
+    * (covariance to 9dp, the per-iteration max-|u| normalization to
+    * 9dp). Eigenvector sign is pinned by the all-ones start and the
+    * positive max-abs normalizer. Full-d is the identical plan with a
+    * 4096-term fan-out; subsetting keeps the oracle's pairwise CTE
+    * tractable. */
+  def qPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = 16
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val decC = org.apache.spark.sql.types.DecimalType(20, 9)
+    val decV = org.apache.spark.sql.types.DecimalType(12, 9)
+    val xd = transform(slice($"embedding".cast("array<double>"), 1, d),
+      e => round(e, 6).cast(dec6))
+    val emb = Tables.df(spark, sfDir, "embeddings").select(xd.as("x"))
+    val sums = emb.select(posexplode($"x").as(Seq("k", "xk")))
+      .groupBy($"k").agg(sum($"xk").as("sx"), count(lit(1)).as("n"))
+    val cells = emb.select(explode(flatten(
+        transform($"x", (xi, i) => transform($"x", (xj, j) =>
+          struct(i.as("i"), j.as("j"), (xi * xj).as("t")))))).as("c"))
+      .select($"c.i", $"c.j", $"c.t")
+      .groupBy($"i", $"j").agg(sum($"t").as("sxy"))
+    val cov = cells
+      .join(broadcast(sums.select($"k".as("i"), $"sx".as("sxi"), $"n")), "i")
+      .join(broadcast(sums.select($"k".as("j"), $"sx".as("sxj"))), "j")
+      .select($"i", $"j",
+        round($"sxy".cast("double") / $"n"
+          - ($"sxi".cast("double") / $"n") * ($"sxj".cast("double") / $"n"),
+          9).cast(decC).as("c"))
+    var v = spark.range(d).select($"id".cast("int").as("j"),
+      lit(1).cast(decV).as("v"))
+    for (_ <- 1 to 3) {
+      val u = cov.join(broadcast(v), "j")
+        .groupBy($"i").agg(sum($"c" * $"v").as("u"))
+      val nrm = u.agg(max(abs($"u")).as("m"))
+      v = u.crossJoin(broadcast(nrm))
+        .select($"i".as("j"),
+          round($"u".cast("double") / $"m".cast("double"), 9)
+            .cast(decV).as("v"))
+    }
+    v.select($"j".cast("long").as("dim"), $"v".cast("double").as("pc1"))
+      .join(broadcast(sums.select($"k".cast("long").as("dim"),
+        round($"sx".cast("double") / $"n", 9).as("mu"))), "dim")
+      .join(broadcast(cov.filter($"i" === $"j")
+        .select($"i".cast("long").as("dim"),
+          $"c".cast("double").as("var_d"))), "dim")
+      .select($"dim", $"mu", $"var_d", $"pc1")
+      .orderBy($"dim")
+  }
+
   /** Local Outlier Factor (Breunig et al., SIGMOD'00) over the vec_id%2
     * embedding subset with k=5 cosine-distance neighbors — the
     * density-based "weird sample" detector of an embedding-curation
@@ -545,6 +606,7 @@ object VectorQueries extends QueryPack {
     "q_pq_adc" -> qPqAdc,
     "q_hard_negatives" -> qHardNegatives,
     "q_quantize" -> qQuantize,
+    "q_pca_power" -> qPcaPower,
     "q_standardize" -> qStandardize,
     "q_lof" -> qLof,
     "q_ann_md5" -> qAnnMd5,
@@ -558,6 +620,51 @@ object VectorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same once-rounded DECIMAL(18,6) inputs; the pairwise CTE self-join
+    // computes the identical exact cross-moment sums the Spark HOF outer
+    // product emits; covariance and each normalization are the same
+    // double formula rounded once to 9dp, so v3 matches bit-for-bit
+    "q_pca_power" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(r.k AS INT) AS k,
+        |    CAST(round(CAST(embedding[r.k + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS xd
+        |  FROM embeddings CROSS JOIN range(0, 16) r(k)),
+        |sums AS (SELECT k, sum(xd) AS sx, count(*) AS n FROM x GROUP BY 1),
+        |cells AS (
+        |  SELECT a.k AS i, b.k AS j, sum(a.xd * b.xd) AS sxy
+        |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT i, j,
+        |    CAST(round(CAST(sxy AS DOUBLE) / si.n
+        |      - (CAST(si.sx AS DOUBLE) / si.n)
+        |        * (CAST(sj.sx AS DOUBLE) / si.n), 9)
+        |      AS DECIMAL(20,9)) AS c
+        |  FROM cells JOIN sums si ON si.k = i JOIN sums sj ON sj.k = j),
+        |v0 AS (SELECT k AS j, CAST(1 AS DECIMAL(12,9)) AS v FROM sums),
+        |u1 AS (SELECT i, sum(c * v) AS u FROM cov JOIN v0 USING (j)
+        |  GROUP BY 1),
+        |v1 AS (SELECT i AS j, CAST(round(CAST(u AS DOUBLE) /
+        |    (SELECT CAST(max(abs(u)) AS DOUBLE) FROM u1), 9)
+        |    AS DECIMAL(12,9)) AS v FROM u1),
+        |u2 AS (SELECT i, sum(c * v) AS u FROM cov JOIN v1 USING (j)
+        |  GROUP BY 1),
+        |v2 AS (SELECT i AS j, CAST(round(CAST(u AS DOUBLE) /
+        |    (SELECT CAST(max(abs(u)) AS DOUBLE) FROM u2), 9)
+        |    AS DECIMAL(12,9)) AS v FROM u2),
+        |u3 AS (SELECT i, sum(c * v) AS u FROM cov JOIN v2 USING (j)
+        |  GROUP BY 1),
+        |v3 AS (SELECT i AS j, CAST(round(CAST(u AS DOUBLE) /
+        |    (SELECT CAST(max(abs(u)) AS DOUBLE) FROM u3), 9)
+        |    AS DECIMAL(12,9)) AS v FROM u3)
+        |SELECT CAST(v3.j AS BIGINT) AS dim,
+        |  round(CAST(s.sx AS DOUBLE) / s.n, 9) AS mu,
+        |  CAST(cd.c AS DOUBLE) AS var_d,
+        |  CAST(v3.v AS DOUBLE) AS pc1
+        |FROM v3 JOIN sums s ON s.k = v3.j
+        |JOIN cov cd ON cd.i = v3.j AND cd.j = v3.j
+        |ORDER BY dim""".stripMargin,
+
     // the qKmeans decimal discipline with a subspace key: squared-diff
     // terms round once to DECIMAL(20,9) and sum exactly, centroid means
     // are one exact-decimal-over-count IEEE quotient, argmins tiebreak
