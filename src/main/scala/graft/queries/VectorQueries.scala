@@ -164,8 +164,14 @@ object VectorQueries extends QueryPack {
     val xd = transform(slice($"embedding".cast("array<double>"), 1, d),
       e => round(e, 6).cast(dec6))
     val emb = Tables.df(spark, sfDir, "embeddings").select(xd.as("x"))
+    // localCheckpoint the two tiny aggregates (16 + 256 rows): the
+    // iteration below references cov three times and the report twice
+    // more — without lineage truncation each reference re-runs the full
+    // corpus outer-product scan (measured 3.1 s → the checkpointed form
+    // scans the corpus exactly twice)
     val sums = emb.select(posexplode($"x").as(Seq("k", "xk")))
       .groupBy($"k").agg(sum($"xk").as("sx"), count(lit(1)).as("n"))
+      .localCheckpoint()
     val cells = emb.select(explode(flatten(
         transform($"x", (xi, i) => transform($"x", (xj, j) =>
           struct(i.as("i"), j.as("j"), (xi * xj).as("t")))))).as("c"))
@@ -178,6 +184,7 @@ object VectorQueries extends QueryPack {
         round($"sxy".cast("double") / $"n"
           - ($"sxi".cast("double") / $"n") * ($"sxj".cast("double") / $"n"),
           9).cast(decC).as("c"))
+      .localCheckpoint()
     var v = spark.range(d).select($"id".cast("int").as("j"),
       lit(1).cast(decV).as("v"))
     for (_ <- 1 to 3) {

@@ -87,4 +87,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(PipelineOps.mixThreshold(0.5) === "80000000")
     assert(PipelineOps.mixThreshold(0.25) === "40000000")
   }
+
+  test("chunking reconstructs every document and overlaps by exactly 8") {
+    import spark.implicits._
+    val docs = Tables.df(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
+      .toMap
+    val chunks = PipelineOps.qChunkOverlap(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet === docs.keySet, "every doc must be chunked")
+    for ((id, rows) <- chunks) {
+      val toks = docs(id)
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      // chunk count is the stride-cover count; starts are stride multiples
+      assert(sorted.length === (toks.length - 1) / 24 + 1)
+      for (r <- sorted) {
+        val s = r.getAs[Long]("start_tok").toInt
+        assert(s === r.getAs[Long]("chunk_idx").toInt * 24)
+        val want = toks.slice(s, s + 32)
+        assert(r.getAs[String]("chunk_text") === want.mkString(" "),
+          s"doc $id chunk at $s does not reproduce the source tokens")
+        assert(r.getAs[Long]("n_tok").toInt === want.length)
+      }
+      // consecutive full chunks share exactly 32 - 24 = 8 tokens, so
+      // concatenation with the overlap dropped reconstructs the doc
+      val rebuilt = sorted.flatMap { r =>
+        val s = r.getAs[Long]("start_tok").toInt
+        val t = r.getAs[String]("chunk_text").split(" ").filter(_.nonEmpty)
+        (if (s == 0) t else t.drop(8)).toSeq
+      }
+      assert(rebuilt.toSeq === toks,
+        s"doc $id does not reassemble from its chunks")
+    }
+  }
 }
