@@ -197,8 +197,16 @@ object TextOps extends QueryPack {
       $"n_chars".as("n1"))
       .withColumn("bkt", explode(array(
         floor($"n1" / 40) - 1, floor($"n1" / 40), floor($"n1" / 40) + 1)))
+    // the bucket join broadcasts the tiny exploded side, so parallelism
+    // is the PROBE side's partitioning — and the subset scan is one
+    // parquet task, concentrating every O(L²) levenshtein pair in a
+    // single thread (r8 telemetry: 5 tasks, wall ≈ run core-seconds).
+    // Pinned keyed repartition spreads the probe rows — the established
+    // parallelize-before-the-fan-out idiom; each probe row carries its
+    // one true bucket so the pair set is unchanged.
     val b = docs.select($"doc_id".as("id2"), $"t".as("t2"),
       $"n_chars".as("n2"), floor($"n_chars" / 40).as("bkt"))
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
     a.join(b, "bkt")
       .filter($"id1" < $"id2" && abs($"n1" - $"n2") <= 40)
       .select($"id1", $"id2", levenshtein($"t1", $"t2").as("d"))
