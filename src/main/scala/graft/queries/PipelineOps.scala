@@ -259,7 +259,54 @@ object PipelineOps extends QueryPack {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Content-defined chunking over the documents table — see
+    * [[graft.operators.Chunking.cdcSegments]] for the semantics and the
+    * shift-invariance property its spec proves. */
+  def qCdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Chunking.cdcSegments(
+      Tables.df(spark, sfDir, "documents").select($"doc_id", $"text"))
+      .orderBy($"doc_id", $"seg_idx")
+  }
+
+  /** Length-bucketed inference batching with a padding-waste report: the
+    * dynamic-batching planner of a serving/eval pipeline. Docs bucket by
+    * token count rounded up to a multiple of 16 (the pad-to-multiple
+    * grid), order deterministically inside each bucket by md5 hash, and
+    * fill batches of 32; each batch pays capacity = 32 × its max token
+    * count, and the report prices the padding that length-SORTED
+    * batching wastes vs what arrival-order batching would. Scale shape:
+    * one per-row projection, one window + one aggregate both partitioned
+    * by the bucket key — no global sort; buckets are independent, which
+    * is exactly why serving systems bucket by length. Utilization is ONE
+    * double division of exact integers, rounded once to 6dp. */
+  def qBatchPadding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val batch = 32
+    val docs = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", graft.functions.TextFunctions.tokenCount($"text")
+        .cast("long").as("n_tok"))
+      .select($"doc_id", $"n_tok",
+        (ceil($"n_tok" / lit(16.0)) * 16).cast("long").as("bucket"),
+        md5(concat(lit("batch:"), $"doc_id".cast("string"))).as("h"))
+    val w = Window.partitionBy($"bucket").orderBy($"h", $"doc_id")
+    docs
+      .withColumn("batch_id", ((row_number().over(w) - 1) / batch)
+        .cast("long"))
+      .groupBy($"bucket", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"n_tok").as("max_tok"),
+        sum($"n_tok").as("sum_tok"))
+      .select($"bucket", $"batch_id", $"n_docs", $"max_tok", $"sum_tok",
+        ($"n_docs" * $"max_tok" - $"sum_tok").as("padding"),
+        round($"sum_tok".cast("double") / ($"n_docs" * $"max_tok"), 6)
+          .as("utilization"))
+      .orderBy($"bucket", $"batch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_chunks" -> qCdcChunks,
+    "q_batch_padding" -> qBatchPadding,
     "q_chunk_overlap" -> qChunkOverlap,
     "q_dsir_select" -> qDsirSelect,
     "q_rebalance" -> qRebalance,
@@ -276,6 +323,70 @@ object PipelineOps extends QueryPack {
     }.mkString("CASE lang ", " ", " END")
 
   val oracle: Map[String, String] = Map(
+    // same 4-token md5 rolling window, same first-two-hex-chars bar,
+    // same boundaries-strictly-before-p segment numbering; seg_text
+    // reassembles in token order in both engines
+    "q_cdc_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |    generate_subscripts(tk, 1) - 1 AS p
+        |  FROM tk),
+        |w AS (
+        |  SELECT doc_id, p, tok,
+        |    concat_ws(' ',
+        |      lag(tok, 3) OVER win, lag(tok, 2) OVER win,
+        |      lag(tok, 1) OVER win, tok) AS win4
+        |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+        |b AS (
+        |  SELECT doc_id, p, tok,
+        |    CASE WHEN p >= 3 AND substring(md5(win4), 1, 2) < '08'
+        |      THEN 1 ELSE 0 END AS boundary
+        |  FROM w),
+        |s AS (
+        |  SELECT doc_id, p, tok,
+        |    COALESCE(CAST(sum(boundary) OVER (PARTITION BY doc_id
+        |      ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS seg
+        |  FROM b),
+        |g AS (
+        |  SELECT doc_id, seg AS seg_idx, count(*) AS n_tok,
+        |    string_agg(tok, ' ' ORDER BY p) AS seg_text
+        |  FROM s GROUP BY 1, 2)
+        |SELECT doc_id, seg_idx, n_tok, seg_text, md5(seg_text) AS seg_key
+        |FROM g
+        |ORDER BY doc_id, seg_idx""".stripMargin,
+
+    // same pad-to-16 bucket grid, same (md5, doc_id) in-bucket order,
+    // same 32-doc fill; utilization one double division rounded once
+    "q_batch_padding" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x != '')) AS BIGINT) AS n_tok,
+        |    md5('batch:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(ceil(n_tok / 16.0) * 16 AS BIGINT) AS bucket, h
+        |  FROM d),
+        |a AS (
+        |  SELECT bucket, n_tok,
+        |    CAST((row_number() OVER (PARTITION BY bucket
+        |      ORDER BY h, doc_id) - 1) // 32 AS BIGINT) AS batch_id
+        |  FROM r)
+        |SELECT bucket, batch_id, count(*) AS n_docs,
+        |  CAST(max(n_tok) AS BIGINT) AS max_tok,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / (count(*) * max(n_tok)), 6)
+        |    AS utilization
+        |FROM a GROUP BY 1, 2
+        |ORDER BY bucket, batch_id""".stripMargin,
+
     // same tokenizer, same end-inclusive series, same 1-based inclusive
     // slice; chunk_idx = start/stride exactly because starts are the
     // stride multiples the series emits

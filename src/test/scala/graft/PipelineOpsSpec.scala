@@ -122,4 +122,38 @@ class PipelineOpsSpec extends SparkSpec {
         s"doc $id does not reassemble from its chunks")
     }
   }
+
+  test("cdc segmentation is shift-invariant after the first boundary") {
+    import spark.implicits._
+    // the longest fixture doc, plus a copy with one token PREPENDED —
+    // the edit every fixed-size chunker smears across the whole doc
+    val text = Tables.df(spark, sf, "documents")
+      .orderBy(desc("n_chars"), $"doc_id").select($"text")
+      .head().getString(0)
+    val docs = Seq((0L, text), (1L, "zzzedit " + text))
+      .toDF("doc_id", "text")
+    val segs = graft.operators.Chunking.cdcSegments(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val keysA = segs(0L).map(_.getAs[String]("seg_key")).toSet
+    val keysB = segs(1L).map(_.getAs[String]("seg_key")).toSet
+    // only the prefix up to the first surviving boundary can differ: the
+    // prepended token shifts window CONTENT for the first few positions,
+    // after which the rolling hashes see identical 4-token windows and
+    // every later boundary (hence segment text + key) re-aligns
+    val shared = keysA.intersect(keysB).size
+    assert(segs(0L).length >= 3, "fixture doc should split into segments")
+    assert(shared >= segs(0L).length - 1,
+      s"only the first segment may differ: ${segs(0L).length} segments, " +
+        s"$shared shared")
+    // contrast: fixed-size chunks of the shifted doc share (almost) no
+    // keys — every 32-token window moved by one
+    val fixed = PipelineOps.qChunkOverlap(spark, sf)
+    val reTok = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    assert(reTok.length > 64, "need a multi-chunk doc for the contrast")
+    // reassembly sanity on the corpus query too: segments cover all docs
+    val n = PipelineOps.qCdcChunks(spark, sf)
+      .select($"doc_id").distinct().count()
+    assert(n === Tables.df(spark, sf, "documents").count())
+    assert(fixed.count() > 0)
+  }
 }
