@@ -348,7 +348,35 @@ object CorpusOps extends QueryPack {
       .orderBy($"qid")
   }
 
+  // ---- q_skipgram --------------------------------------------------------
+  /** Skip-gram co-occurrence counts — the word2vec/GloVe training-pair
+    * extraction: for every token, its contexts at distances 1 and 2,
+    * counted corpus-wide, top-50. One ×tokens explode and ONE per-doc
+    * window pass emitting both leads (same window spec ⇒ one sort), a
+    * `stack` unpivot (no second scan), then a (center, context, dist)
+    * count whose shuffle is vocabulary-thin — the map-side partial
+    * absorbs the corpus. Total order (n desc, center, context, dist) →
+    * TakeOrderedAndProject; counts are exact integers, nothing rounds. */
+  def qSkipgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    toks
+      .select($"tok".as("center"),
+        lead($"tok", 1).over(w).as("c1"), lead($"tok", 2).over(w).as("c2"))
+      .select($"center", expr(
+        "stack(2, c1, 1, c2, 2) AS (context, dist)"))
+      .filter($"context".isNotNull)
+      .groupBy($"center", $"context", $"dist".cast("int").as("dist"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"center", $"context", $"dist")
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skipgram" -> qSkipgram,
     "q_topic_terms" -> qTopicTerms,
     "q_collocations" -> qCollocations,
     "q_dataset_card" -> qDatasetCard,
@@ -424,6 +452,28 @@ object CorpusOps extends QueryPack {
     // same adjacent-pair formation (1-based range positions order the
     // same sequence), same support filter, PMI rounded to 6dp before the
     // identical (pmi, count, pair) ordering
+    // same one-window two-leads pair stream, same exact-integer counts,
+    // same (n desc, center, context, dist) total order
+    "q_skipgram" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |      i -> struct_pack(pos := i, tok := arr[i]))) AS s
+        |    FROM (SELECT doc_id, $toksSql AS arr FROM documents))),
+        |leads AS (
+        |  SELECT tok AS center,
+        |    lead(tok, 1) OVER win AS c1, lead(tok, 2) OVER win AS c2
+        |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |pairs AS (
+        |  SELECT center, c1 AS context, 1 AS dist FROM leads
+        |  UNION ALL
+        |  SELECT center, c2, 2 FROM leads)
+        |SELECT center, context, dist, count(*) AS n
+        |FROM pairs WHERE context IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, center, context, dist
+        |LIMIT 50""".stripMargin,
+
     "q_collocations" ->
       s"""WITH t AS (
         |  SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (

@@ -304,7 +304,30 @@ object PipelineOps extends QueryPack {
       .orderBy($"bucket", $"batch_id")
   }
 
+  /** The CDC payoff report: how much storage a segment-level dedup store
+    * saves on this corpus. Near-identical docs share every segment after
+    * their first divergence (the shift-invariance the spec proves), so
+    * repeated seg_keys are exactly the bytes a content-addressed store
+    * writes once. Output is the dedup-ratio curve: per copy-count, the
+    * number of distinct segments and the chars a store-once policy
+    * saves. Scale shape: the segmenter's per-doc windows, then two
+    * vocabulary-thin aggregates (seg_key, then n_copies) — the classic
+    * mergeable-relation form. */
+  def qCdcSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Chunking.cdcSegments(
+      Tables.df(spark, sfDir, "documents").select($"doc_id", $"text"))
+      .groupBy($"seg_key")
+      .agg(count(lit(1)).as("n_copies"),
+        min(length($"seg_text")).as("len"))
+      .groupBy($"n_copies")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(($"n_copies" - 1) * $"len").as("chars_saved"))
+      .orderBy($"n_copies")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_savings" -> qCdcSavings,
     "q_cdc_chunks" -> qCdcChunks,
     "q_batch_padding" -> qBatchPadding,
     "q_chunk_overlap" -> qChunkOverlap,
@@ -322,43 +345,62 @@ object PipelineOps extends QueryPack {
       s"WHEN '$l' THEN '${mixThreshold(w)}'"
     }.mkString("CASE lang ", " ", " END")
 
+  /** Shared CDC segmentation CTE chain (→ relation `g`: doc_id, seg_idx,
+    * n_tok, seg_text) — interpolated into BOTH the q_cdc_chunks and
+    * q_cdc_savings oracles so the boundary rule can never drift between
+    * them (the Scala side shares `Chunking.cdcSegments` the same way). */
+  private val cdcCtesSql =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(tk) AS tok,
+      |    generate_subscripts(tk, 1) - 1 AS p
+      |  FROM tk),
+      |w AS (
+      |  SELECT doc_id, p, tok,
+      |    concat_ws(' ',
+      |      lag(tok, 3) OVER win, lag(tok, 2) OVER win,
+      |      lag(tok, 1) OVER win, tok) AS win4
+      |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+      |b AS (
+      |  SELECT doc_id, p, tok,
+      |    CASE WHEN p >= 3 AND substring(md5(win4), 1, 2) < '08'
+      |      THEN 1 ELSE 0 END AS boundary
+      |  FROM w),
+      |s AS (
+      |  SELECT doc_id, p, tok,
+      |    COALESCE(CAST(sum(boundary) OVER (PARTITION BY doc_id
+      |      ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS BIGINT), 0) AS seg
+      |  FROM b),
+      |g AS (
+      |  SELECT doc_id, seg AS seg_idx, count(*) AS n_tok,
+      |    string_agg(tok, ' ' ORDER BY p) AS seg_text
+      |  FROM s GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // same 4-token md5 rolling window, same first-two-hex-chars bar,
     // same boundaries-strictly-before-p segment numbering; seg_text
     // reassembles in token order in both engines
     "q_cdc_chunks" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
-        |  FROM documents),
-        |t AS (
-        |  SELECT doc_id, unnest(tk) AS tok,
-        |    generate_subscripts(tk, 1) - 1 AS p
-        |  FROM tk),
-        |w AS (
-        |  SELECT doc_id, p, tok,
-        |    concat_ws(' ',
-        |      lag(tok, 3) OVER win, lag(tok, 2) OVER win,
-        |      lag(tok, 1) OVER win, tok) AS win4
-        |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
-        |b AS (
-        |  SELECT doc_id, p, tok,
-        |    CASE WHEN p >= 3 AND substring(md5(win4), 1, 2) < '08'
-        |      THEN 1 ELSE 0 END AS boundary
-        |  FROM w),
-        |s AS (
-        |  SELECT doc_id, p, tok,
-        |    COALESCE(CAST(sum(boundary) OVER (PARTITION BY doc_id
-        |      ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS BIGINT), 0) AS seg
-        |  FROM b),
-        |g AS (
-        |  SELECT doc_id, seg AS seg_idx, count(*) AS n_tok,
-        |    string_agg(tok, ' ' ORDER BY p) AS seg_text
-        |  FROM s GROUP BY 1, 2)
+      s"""$cdcCtesSql
         |SELECT doc_id, seg_idx, n_tok, seg_text, md5(seg_text) AS seg_key
         |FROM g
         |ORDER BY doc_id, seg_idx""".stripMargin,
+
+    // same segmentation, then the same two vocabulary-thin aggregates
+    "q_cdc_savings" ->
+      s"""$cdcCtesSql,
+        |k AS (
+        |  SELECT md5(seg_text) AS seg_key, count(*) AS n_copies,
+        |    min(length(seg_text)) AS len
+        |  FROM g GROUP BY 1)
+        |SELECT n_copies, count(*) AS n_segs,
+        |  CAST(sum((n_copies - 1) * len) AS BIGINT) AS chars_saved
+        |FROM k GROUP BY 1
+        |ORDER BY n_copies""".stripMargin,
 
     // same pad-to-16 bucket grid, same (md5, doc_id) in-bucket order,
     // same 32-doc fill; utilization one double division rounded once
