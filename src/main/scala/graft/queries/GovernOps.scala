@@ -304,7 +304,45 @@ object GovernOps extends QueryPack {
       .orderBy($"scheme")
   }
 
+  /** Pairwise KL divergence between per-source unigram language models —
+    * the corpus-side drift report (complement of q_drift_psi's
+    * event-side PSI): which sources are interchangeable and which pull
+    * the mixture. Laplace-smoothed over the GLOBAL vocabulary so every
+    * term is finite; each per-token term p₁·ln(p₁/p₂) is ONE shared
+    * double formula rounded once to DECIMAL(18,9), so the S²·V term sums
+    * are exact in both engines. Scale shape: counts and totals are
+    * vocabulary-thin aggregates; the complete (source, token) spine is a
+    * broadcast S-row cross of the vocab; the pair stream is a token-keyed
+    * equi-join fanning out S² per token — never a doc-level join. */
+  def qKlSources(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val toks = Tables.df(spark, sfDir, "documents")
+      .select($"source", explode(TextFunctions.tokens($"text")).as("tok"))
+    val counts = toks.groupBy($"source", $"tok")
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy($"source").agg(sum($"c").as("n"))
+    val vocab = counts.select($"tok").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val spine = totals.crossJoin(vocab)
+      .join(counts, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(vsize))
+      .select($"source", $"tok",
+        ((coalesce($"c", lit(0L)) + 1).cast("double")
+          / ($"n" + $"v")).as("p"))
+    val a = spine.select($"source".as("src1"), $"tok", $"p".as("p1"))
+    val b = spine.select($"source".as("src2"), $"tok", $"p".as("p2"))
+    a.join(b, "tok")
+      .filter($"src1" =!= $"src2")
+      .select($"src1", $"src2",
+        round($"p1" * log($"p1" / $"p2"), 9).cast(dec9).as("term"))
+      .groupBy($"src1", $"src2")
+      .agg(sum($"term").cast("double").as("kl"))
+      .orderBy($"src1", $"src2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kl_sources" -> qKlSources,
     "q_source_overlap" -> qSourceOverlap,
     "q_minhash_source" -> qMinhashSource,
     "q_filter_funnel" -> qFilterFunnel,
@@ -328,6 +366,30 @@ object GovernOps extends QueryPack {
        |  FROM (SELECT source, $toksSql AS T FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same Laplace smoothing over the global vocab, same once-rounded
+    // DECIMAL(18,9) p·ln(p/q) terms (Spark log == DuckDB ln), exact sums
+    "q_kl_sources" ->
+      s"""WITH t AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents),
+        |counts AS (
+        |  SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts
+        |  GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM counts),
+        |vsize AS (SELECT count(*) AS v FROM vocab),
+        |spine AS (
+        |  SELECT s.source, vo.tok,
+        |    CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (s.n + vs.v) AS p
+        |  FROM totals s CROSS JOIN vocab vo CROSS JOIN vsize vs
+        |  LEFT JOIN counts c ON c.source = s.source AND c.tok = vo.tok)
+        |SELECT a.source AS src1, b.source AS src2,
+        |  CAST(sum(CAST(round(a.p * ln(a.p / b.p), 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE) AS kl
+        |FROM spine a JOIN spine b ON a.tok = b.tok
+        |WHERE a.source != b.source
+        |GROUP BY 1, 2
+        |ORDER BY src1, src2""".stripMargin,
     // identical shingle construction to q_decontaminate's oracle; the
     // exact-integer Jaccard quotient rounds once on both sides
     "q_source_overlap" ->
