@@ -89,6 +89,43 @@ object CurateOps extends QueryPack {
       .orderBy($"id1", $"id2")
   }
 
+  // ---- q_dedup_sweep -----------------------------------------------------
+  /** Threshold-sensitivity report for the near-dup policy decision: the
+    * same prefix-filtered pair graph evaluated at J ≥ 0.7 / 0.8 / 0.9,
+    * reporting per threshold the surviving pairs, the documents touched,
+    * and the drops under the aggressive "discard the lower-quality member
+    * of every pair" policy (id order as the quality proxy, matching the
+    * family's min-id survivor convention). One candidate generation at
+    * the LOOSEST threshold is candidate-complete for every tighter one,
+    * so the sweep costs one pair join + a ×3 broadcast fan-out + three
+    * thin aggregates — not three dedup runs. The left join from the
+    * threshold spine keeps a zero row when a threshold eliminates
+    * everything. */
+  def qDedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = prefixPairs(spark, sfDir, subsetMod = 5, num = 7, den = 10)
+      .select($"id1", $"id2", $"j")
+    val th = Seq(("0.70", 0.7), ("0.80", 0.8), ("0.90", 0.9))
+      .toDF("threshold", "t")
+    val f = pairs.crossJoin(broadcast(th)).filter($"j" >= $"t")
+      .select($"threshold", $"id1", $"id2")
+      .localCheckpoint() // referenced by three aggregates below
+    val np = f.groupBy($"threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = f.select($"threshold", explode(array($"id1", $"id2")).as("id"))
+      .distinct().groupBy($"threshold").agg(count(lit(1)).as("n_docs"))
+    val dr = f.select($"threshold", $"id2").distinct()
+      .groupBy($"threshold").agg(count(lit(1)).as("n_dropped"))
+    th.select($"threshold")
+      .join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .join(dr, Seq("threshold"), "left")
+      .select($"threshold",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs", lit(0L)).as("n_docs"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+      .orderBy($"threshold")
+  }
+
   // ---- q_canonical -------------------------------------------------------
   /** Near-duplicate survivorship: connected components over the J >= 0.75
     * unigram pair graph (doc_id%10 subset), then ONE kept document per
@@ -344,6 +381,7 @@ object CurateOps extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_sweep" -> qDedupSweep,
     "q_prefix_join" -> qPrefixJoin,
     "q_canonical" -> qCanonical,
     "q_dedup_savings" -> qDedupSavings,
@@ -411,6 +449,34 @@ object CurateOps extends QueryPack {
         |  round(containment, 6) AS containment
         |FROM p WHERE j >= 0.9
         |ORDER BY id1, id2""".stripMargin,
+
+    // same exact-double jaccard pair relation, the same three thin
+    // aggregates off a threshold spine (left-joined so an empty
+    // threshold still reports a zero row)
+    "q_dedup_sweep" ->
+      s"""WITH ${pairCtes(5)},
+        |th(threshold, t) AS (
+        |  VALUES ('0.70', 0.7), ('0.80', 0.8), ('0.90', 0.9)),
+        |f AS (
+        |  SELECT th.threshold, p.id1, p.id2
+        |  FROM p CROSS JOIN th WHERE p.j >= th.t),
+        |np AS (SELECT threshold, count(*) AS n_pairs FROM f GROUP BY 1),
+        |nd AS (
+        |  SELECT threshold, count(DISTINCT id) AS n_docs FROM (
+        |    SELECT threshold, id1 AS id FROM f
+        |    UNION ALL SELECT threshold, id2 FROM f) GROUP BY 1),
+        |dr AS (
+        |  SELECT threshold, count(DISTINCT id2) AS n_dropped
+        |  FROM f GROUP BY 1)
+        |SELECT th.threshold,
+        |  COALESCE(np.n_pairs, 0) AS n_pairs,
+        |  COALESCE(nd.n_docs, 0) AS n_docs,
+        |  COALESCE(dr.n_dropped, 0) AS n_dropped
+        |FROM th
+        |LEFT JOIN np ON np.threshold = th.threshold
+        |LEFT JOIN nd ON nd.threshold = th.threshold
+        |LEFT JOIN dr ON dr.threshold = th.threshold
+        |ORDER BY th.threshold""".stripMargin,
 
     // same reach-fixpoint labeling as the q_dedup_cluster oracle, then the
     // quality-rank survivorship window on top

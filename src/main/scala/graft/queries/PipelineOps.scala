@@ -326,7 +326,48 @@ object PipelineOps extends QueryPack {
       .orderBy($"n_copies")
   }
 
+  /** Temperature-smoothed source sampling (the mC4/XLM-R α = 0.7
+    * multilingual recipe, applied to sources): sampling weights
+    * ∝ n_src^α flatten the mixture — big crawls shrink, small curated
+    * sources grow — and the corpus downsamples to ~20% with those
+    * shares. Arithmetic discipline: the α-power is one libm pow rounded
+    * once to DECIMAL(18,6), so the normalizer Z is an EXACT decimal sum
+    * (a raw double Σ would be order-dependent); share and rate are
+    * shared double formulas rounded once; keep decisions use the
+    * family's (md5 + 1)/2^60 uniform, so kept counts match row-for-row.
+    * Scale shape: an S-row aggregate, a broadcast rate table, and one
+    * per-row keep projection — no shuffle of the corpus at all. */
+  def qTempSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = Tables.df(spark, sfDir, "documents")
+    val bySrc = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val wts = bySrc.select($"source", $"n_src",
+      round(pow($"n_src".cast("double"), 0.7), 6).cast(dec6).as("w"))
+    val z = wts.agg(sum($"w").as("z"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_total")))
+    val rates = wts.crossJoin(broadcast(z))
+      .select($"source", $"n_src",
+        round($"w".cast("double") / $"z".cast("double"), 6).as("share"))
+      .crossJoin(broadcast(z.select($"n_total")))
+      .select($"source", $"n_src", $"share",
+        least(lit(1.0),
+          round($"share" * $"n_total" / 5.0 / $"n_src", 6)).as("rate"))
+    docs.select($"doc_id", $"source",
+        ((conv(substring(md5(concat(lit("ts:"), $"doc_id".cast("string"))),
+          1, 15), 16, 10).cast("long") + 1) / lit(1152921504606846976.0))
+          .as("u"))
+      .join(broadcast(rates), "source")
+      .groupBy($"source")
+      .agg(min($"n_src").as("n_src"),
+        round(min($"share"), 6).as("share"),
+        round(min($"rate"), 6).as("rate"),
+        sum(when($"u" < $"rate", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temp_sample" -> qTempSample,
     "q_cdc_savings" -> qCdcSavings,
     "q_cdc_chunks" -> qCdcChunks,
     "q_batch_padding" -> qBatchPadding,
@@ -381,6 +422,42 @@ object PipelineOps extends QueryPack {
       |  FROM s GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same once-rounded decimal α-power weights (exact decimal Z), same
+    // shared double share/rate formulas, same (md5 + 1)/2^60 uniform
+    "q_temp_sample" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_src,
+        |    CAST(round(pow(CAST(n_src AS DOUBLE), 0.7), 6)
+        |      AS DECIMAL(18,6)) AS w
+        |  FROM s),
+        |z AS (
+        |  SELECT sum(w) AS z,
+        |    (SELECT count(*) FROM documents) AS n_total
+        |  FROM w),
+        |r AS (
+        |  SELECT source, n_src,
+        |    round(CAST(w AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS share,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      round(round(CAST(w AS DOUBLE) / CAST(z.z AS DOUBLE), 6)
+        |        * z.n_total / 5.0 / n_src, 6)) AS rate
+        |  FROM w CROSS JOIN z),
+        |d AS (
+        |  SELECT d.source,
+        |    (('0x' || substr(md5('ts:' || CAST(d.doc_id AS VARCHAR)),
+        |        1, 15))::BIGINT + 1)
+        |      / CAST(1152921504606846976 AS DOUBLE) AS u
+        |  FROM documents d)
+        |SELECT r.source, min(r.n_src) AS n_src,
+        |  round(min(r.share), 6) AS share,
+        |  round(min(r.rate), 6) AS rate,
+        |  CAST(sum(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM d JOIN r ON r.source = d.source
+        |GROUP BY r.source
+        |ORDER BY r.source""".stripMargin,
+
     // same 4-token md5 rolling window, same first-two-hex-chars bar,
     // same boundaries-strictly-before-p segment numbering; seg_text
     // reassembles in token order in both engines

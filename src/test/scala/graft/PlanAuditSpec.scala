@@ -49,6 +49,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("EqualTo(p_brand,Brand#12)"), plan.take(900))
   }
 
+  test("chunking stays a projection: no join, no aggregate, one sort") {
+    val plan = planOf(graft.queries.PipelineOps.qChunkOverlap(spark, sf))
+    assert(!plan.contains("Join"), "chunking must not join:\n" + plan.take(600))
+    assert(!plan.contains("HashAggregate"),
+      "chunking must not aggregate:\n" + plan.take(600))
+    assert(plan.contains("Generate"), "the stride explode is the only fan-out")
+  }
+
+  test("skip-gram top-50 compiles to distributed TakeOrderedAndProject") {
+    val plan = planOf(graft.queries.CorpusOps.qSkipgram(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Join"), "pair stream is windows, not a self-join")
+  }
+
+  test("pca: moment relations broadcast into the iteration, no corpus join") {
+    val plan = planOf(graft.queries.VectorQueries.qPcaPower(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "iteration must join ≤256-row relations, never shuffle the corpus:\n" +
+        plan.take(600))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("struct arg-max falls back to SortAggregate (sort-agg path)") {
     val df = graft.queries.Aggregates.qSortAggArgmax(spark, sf)
     val plan = planOf(df)
