@@ -165,7 +165,40 @@ object GraphOps extends QueryPack {
       .limit(10)
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007), two
+    * SYNCHRONOUS unrolled rounds over the co-purchase graph: every node
+    * adopts its neighbors' most frequent label, ties broken to the
+    * smallest label — fully deterministic, unlike the async/randomized
+    * textbook variant, which is what puts a community-detection workload
+    * under the hash gate. Scale shape: per round exactly one edges⋈labels
+    * equi-join + one (node, label) count + one per-node argmax window
+    * (partitioned by node, never global) — the Pregel-as-SQL shape
+    * [[qPagerank]] established; the symmetrized graph guarantees every
+    * node has neighbors, so no orphan handling. Output: each node's
+    * community and its size. */
+  def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdges(spark, sfDir).localCheckpoint()
+    var labels = edges.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+    for (_ <- 1 to 2) {
+      // argmax as min(struct(-cnt, lbl)) — a partial-aggregable form
+      // (map-side combine, no per-node sort window); the oracle's
+      // row_number window is the documented equivalent (the q_kmeans
+      // argmin convention)
+      labels = edges.join(labels, $"v" === $"node")
+        .groupBy($"u", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"u").agg(min(struct(-$"cnt", $"lbl")).as("m"))
+        .select($"u".as("node"), $"m.lbl".as("lbl"))
+    }
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "lbl")
+      .select($"node", $"lbl".as("community"), $"csize")
+      .orderBy($"node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_prop" -> qLabelProp,
     "q_pagerank" -> qPagerank,
     "q_pagerank_bucketed" -> qPagerankBucketed,
     "q_triangles" -> qTriangles
@@ -198,7 +231,32 @@ object GraphOps extends QueryPack {
       |SELECT node, round(pr, 9) AS pr FROM p3
       |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin
 
+  private def lpIterSql(prev: String, cur: String): String =
+    s"""c$cur AS (
+       |  SELECT e.u, l.lbl, count(*) AS cnt
+       |  FROM e JOIN l$prev l ON e.v = l.node GROUP BY 1, 2),
+       |l$cur AS (
+       |  SELECT u AS node, lbl FROM (
+       |    SELECT u, lbl, row_number() OVER (
+       |      PARTITION BY u ORDER BY cnt DESC, lbl ASC) AS rk
+       |    FROM c$cur) WHERE rk = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // same symmetrized graph, same synchronous rounds, same
+    // (cnt desc, lbl asc) argmax tie-break
+    "q_label_prop" ->
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
+        |${lpIterSql("0", "1")},
+        |${lpIterSql("1", "2")},
+        |s AS (SELECT lbl, count(*) AS csize FROM l2 GROUP BY 1)
+        |SELECT l2.node, l2.lbl AS community, s.csize
+        |FROM l2 JOIN s ON s.lbl = l2.lbl
+        |ORDER BY l2.node""".stripMargin,
+
     "q_pagerank" -> pagerankSql,
     // same oracle by design: the bucketed layout must not change a row
     "q_pagerank_bucketed" -> pagerankSql,
