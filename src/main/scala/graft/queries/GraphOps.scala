@@ -179,25 +179,67 @@ object GraphOps extends QueryPack {
   def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val edges = coPurchaseEdges(spark, sfDir).localCheckpoint()
-    var labels = edges.select($"u".as("node")).distinct()
-      .select($"node", $"node".as("lbl"))
-    for (_ <- 1 to 2) {
-      // argmax as min(struct(-cnt, lbl)) — a partial-aggregable form
-      // (map-side combine, no per-node sort window); the oracle's
-      // row_number window is the documented equivalent (the q_kmeans
-      // argmin convention)
-      labels = edges.join(labels, $"v" === $"node")
-        .groupBy($"u", $"lbl").agg(count(lit(1)).as("cnt"))
-        .groupBy($"u").agg(min(struct(-$"cnt", $"lbl")).as("m"))
-        .select($"u".as("node"), $"m.lbl".as("lbl"))
-    }
+    val labels = lpaLoop(edges, 2)
     val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("csize"))
     labels.join(sizes, "lbl")
       .select($"node", $"lbl".as("community"), $"csize")
       .orderBy($"node")
   }
 
+  /** The synchronous LPA rounds shared by [[qLabelProp]] and
+    * [[qModularity]]. Argmax as min(struct(-cnt, lbl)) — a
+    * partial-aggregable form (map-side combine, no per-node sort
+    * window); the oracle's row_number window is the documented
+    * equivalent (the q_kmeans argmin convention). */
+  private def lpaLoop(edges: DataFrame, rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var labels = edges.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = edges.join(labels, $"v" === $"node")
+        .groupBy($"u", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"u").agg(min(struct(-$"cnt", $"lbl")).as("m"))
+        .select($"u".as("node"), $"m.lbl".as("lbl"))
+    }
+    labels
+  }
+
+  /** Newman modularity of the [[qLabelProp]] partition, per community:
+    * q_term = e_c/2m − (d_c/2m)² over the symmetrized directed edge
+    * list (|E| = 2m). The partition-quality metric that tells a
+    * pipeline whether its communities are real structure or noise.
+    * Everything is exact integers (intra-edge counts, degree sums, 2m)
+    * until one shared double formula per community, rounded once to
+    * 9dp — no pow(), squares as plain products. Scale shape: the LPA
+    * rounds + two label equi-joins on the edge list + vocabulary-thin
+    * per-community aggregates; the 1-row edge count broadcasts. */
+  def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdges(spark, sfDir).localCheckpoint()
+    val labels = lpaLoop(edges, 2).localCheckpoint()
+    val lu = labels.select($"node".as("u"), $"lbl".as("cu"))
+    val lv = labels.select($"node".as("v"), $"lbl".as("cv"))
+    val intra = edges.join(lu, "u").join(lv, "v")
+      .filter($"cu" === $"cv")
+      .groupBy($"cu".as("community")).agg(count(lit(1)).as("intra_edges"))
+    val degs = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+      .join(lu, "u")
+      .groupBy($"cu".as("community"))
+      .agg(sum($"d").as("degree_sum"), count(lit(1)).as("n_nodes"))
+    val m2 = edges.agg(count(lit(1)).as("m2"))
+    degs.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m2))
+      .select($"community", $"n_nodes",
+        coalesce($"intra_edges", lit(0L)).as("intra_edges"),
+        $"degree_sum",
+        round(coalesce($"intra_edges", lit(0L)).cast("double") / $"m2"
+          - ($"degree_sum".cast("double") / $"m2")
+            * ($"degree_sum".cast("double") / $"m2"), 9).as("q_term"))
+      .orderBy($"community")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_modularity" -> qModularity,
     "q_label_prop" -> qLabelProp,
     "q_pagerank" -> qPagerank,
     "q_pagerank_bucketed" -> qPagerankBucketed,
@@ -256,6 +298,36 @@ object GraphOps extends QueryPack {
         |SELECT l2.node, l2.lbl AS community, s.csize
         |FROM l2 JOIN s ON s.lbl = l2.lbl
         |ORDER BY l2.node""".stripMargin,
+
+    // shares the LPA CTE chain with q_label_prop (same graph, same
+    // rounds, same tie-break); squares as plain products, no pow()
+    "q_modularity" ->
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
+        |${lpIterSql("0", "1")},
+        |${lpIterSql("1", "2")},
+        |deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+        |m2 AS (SELECT count(*) AS m2 FROM e),
+        |ij AS (
+        |  SELECT a.lbl AS community, count(*) AS intra_edges
+        |  FROM e JOIN l2 a ON a.node = e.u
+        |  JOIN l2 b ON b.node = e.v AND b.lbl = a.lbl
+        |  GROUP BY 1),
+        |dc AS (
+        |  SELECT l.lbl AS community, CAST(sum(d.d) AS BIGINT)
+        |      AS degree_sum, count(*) AS n_nodes
+        |  FROM deg d JOIN l2 l ON l.node = d.u GROUP BY 1)
+        |SELECT dc.community, dc.n_nodes,
+        |  COALESCE(ij.intra_edges, 0) AS intra_edges, dc.degree_sum,
+        |  round(CAST(COALESCE(ij.intra_edges, 0) AS DOUBLE) / m2.m2
+        |    - (CAST(dc.degree_sum AS DOUBLE) / m2.m2)
+        |      * (CAST(dc.degree_sum AS DOUBLE) / m2.m2), 9) AS q_term
+        |FROM dc LEFT JOIN ij ON ij.community = dc.community
+        |CROSS JOIN m2
+        |ORDER BY dc.community""".stripMargin,
 
     "q_pagerank" -> pagerankSql,
     // same oracle by design: the bucketed layout must not change a row
