@@ -170,9 +170,14 @@ object GraphOps extends QueryPack {
     * adopts its neighbors' most frequent label, ties broken to the
     * smallest label — fully deterministic, unlike the async/randomized
     * textbook variant, which is what puts a community-detection workload
-    * under the hash gate. Scale shape: per round exactly one edges⋈labels
-    * equi-join + one (node, label) count + one per-node argmax window
-    * (partitioned by node, never global) — the Pregel-as-SQL shape
+    * under the hash gate. Known property exercised deliberately: on a
+    * BIPARTITE graph, even-round synchronous LPA settles on the two
+    * sides (label oscillation) — [[qModularity]] is the paired
+    * diagnostic that detects exactly this (Q = −0.5 here), the reason
+    * production community pipelines always ship detection + quality
+    * metric together. Scale shape: per round exactly one edges⋈labels
+    * equi-join + one (node, label) count + one per-node partial-agg
+    * argmax (never a global sort) — the Pregel-as-SQL shape
     * [[qPagerank]] established; the symmetrized graph guarantees every
     * node has neighbors, so no orphan handling. Output: each node's
     * community and its size. */
@@ -207,7 +212,13 @@ object GraphOps extends QueryPack {
   /** Newman modularity of the [[qLabelProp]] partition, per community:
     * q_term = e_c/2m − (d_c/2m)² over the symmetrized directed edge
     * list (|E| = 2m). The partition-quality metric that tells a
-    * pipeline whether its communities are real structure or noise.
+    * pipeline whether its communities are real structure or noise —
+    * and on THIS fixture it fires: synchronous LPA on the bipartite
+    * co-purchase graph collapses to the two sides (the known even-round
+    * oscillation), every edge crosses, and the report reads exactly
+    * Q = −0.5 (two communities, zero intra edges, degree split m/m) —
+    * the degenerate-partition signal a 100 TB pipeline must catch
+    * BEFORE acting on communities (GovernPipelineR9Spec pins the value).
     * Everything is exact integers (intra-edge counts, degree sums, 2m)
     * until one shared double formula per community, rounded once to
     * 9dp — no pow(), squares as plain products. Scale shape: the LPA
