@@ -126,6 +126,37 @@ object CurateOps extends QueryPack {
       .orderBy($"threshold")
   }
 
+  // ---- q_minhash_eval ----------------------------------------------------
+  /** Sketch-quality gate: grade the md5 MinHash banding (8 perms, 4
+    * bands × 2 rows — TextOps.minhashMd5Candidates) against exact
+    * ground truth BEFORE trusting it at corpus scale. Reports candidate
+    * recall of the exact J ≥ 0.7 pair set (prefix-filter truth — the
+    * pairs a production dedup must not miss) and verify-stage precision
+    * at the family's J ≥ 0.2 working threshold. Everything is
+    * deterministic (md5 seeds), so unlike the seed-dependent MLlib
+    * variants this evaluation itself hash-checks. Scale shape: the two
+    * pair relations are the already-scale-safe candidate generators;
+    * the eval on top is a semi-join plus four 1-row aggregates. */
+  def qMinhashEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val truth = prefixPairs(spark, sfDir, subsetMod = 5, num = 7, den = 10)
+      .select($"id1", $"id2").localCheckpoint()
+    val cand = TextOps.minhashMd5Candidates(spark, sfDir).localCheckpoint()
+    val verified = TextOps.qMinhashMd5(spark, sfDir)
+    val counts = truth.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(truth.join(cand, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("n_tp")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+    counts.select($"n_exact", $"n_cand", $"n_tp", $"n_verified",
+      when($"n_exact" === 0, lit(null).cast("double"))
+        .otherwise(round($"n_tp".cast("double") / $"n_exact", 6))
+        .as("recall07"),
+      when($"n_cand" === 0, lit(null).cast("double"))
+        .otherwise(round($"n_verified".cast("double") / $"n_cand", 6))
+        .as("precision02"))
+  }
+
   // ---- q_canonical -------------------------------------------------------
   /** Near-duplicate survivorship: connected components over the J >= 0.75
     * unigram pair graph (doc_id%10 subset), then ONE kept document per
@@ -381,6 +412,7 @@ object CurateOps extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_eval" -> qMinhashEval,
     "q_dedup_sweep" -> qDedupSweep,
     "q_prefix_join" -> qPrefixJoin,
     "q_canonical" -> qCanonical,
@@ -449,6 +481,36 @@ object CurateOps extends QueryPack {
         |  round(containment, 6) AS containment
         |FROM p WHERE j >= 0.9
         |ORDER BY id1, id2""".stripMargin,
+
+    // the exact pair relation from pairCtes + the shared md5 banding
+    // CTEs from TextOps (no name clash: sh/p vs s/tk/m/b/c); both
+    // numerators and denominators are exact integers, ratios rounded
+    // once, NULL-guarded like the Spark side
+    "q_minhash_eval" ->
+      s"""WITH ${TextOps.minhashCandCtes},
+        |${pairCtes(5)},
+        |truth AS (SELECT id1, id2 FROM p WHERE j >= 0.7),
+        |v AS (
+        |  SELECT c.id1, c.id2 FROM c
+        |  JOIN s sa ON sa.doc_id = c.id1 JOIN s sb ON sb.doc_id = c.id2
+        |  WHERE CAST(len(list_intersect(sa.t, sb.t)) AS DOUBLE)
+        |    / (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t)))
+        |    >= 0.2),
+        |k AS (
+        |  SELECT
+        |    (SELECT count(*) FROM truth) AS n_exact,
+        |    (SELECT count(*) FROM c) AS n_cand,
+        |    (SELECT count(*) FROM truth t
+        |       WHERE EXISTS (SELECT 1 FROM c
+        |         WHERE c.id1 = t.id1 AND c.id2 = t.id2)) AS n_tp,
+        |    (SELECT count(*) FROM v) AS n_verified)
+        |SELECT n_exact, n_cand, n_tp, n_verified,
+        |  CASE WHEN n_exact = 0 THEN NULL
+        |    ELSE round(CAST(n_tp AS DOUBLE) / n_exact, 6) END AS recall07,
+        |  CASE WHEN n_cand = 0 THEN NULL
+        |    ELSE round(CAST(n_verified AS DOUBLE) / n_cand, 6)
+        |    END AS precision02
+        |FROM k""".stripMargin,
 
     // same exact-double jaccard pair relation, the same three thin
     // aggregates off a threshold spine (left-joined so an empty

@@ -140,15 +140,16 @@ object TextOps extends QueryPack {
     * identical signatures; the verify reuses the sorted-hash merge-walk
     * kernel. The xxhash64 variant ([[qDedupMinhash]]) remains the
     * production path — same plan shape, cheaper hashes. */
-  def qMinhashMd5(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The deterministic (md5-seeded) 8-perm / 4-band / 2-row MinHash
+    * candidate pairs over the doc_id%5 subset — shared by [[qMinhashMd5]]
+    * (which verifies them at J ≥ 0.2) and CurateOps.qMinhashEval (which
+    * grades their recall against the exact prefix-filter truth). */
+  private[queries] def minhashMd5Candidates(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.SortedIntersectSize.register(spark)
     val docs = Tables.df(spark, sfDir, "documents")
       .filter($"doc_id" % 5 === 0)
     val s = docs.select($"doc_id", TextFunctions.tokenSet($"text").as("ts"))
-      .withColumn("th",
-        sort_array(array_distinct(transform($"ts", t => xxhash64(t)))))
-      .withColumn("sz", size($"th"))
     val m = s.select($"doc_id", explode($"ts").as("tok"))
       .select($"doc_id", explode(sequence(lit(0), lit(7))).as("i"), $"tok")
       .select($"doc_id", $"i",
@@ -158,11 +159,23 @@ object TextOps extends QueryPack {
     val b = m.groupBy($"doc_id", expr("i div 2").as("band"))
       .agg(min(when($"i" % 2 === 0, $"mh")).as("m0"),
         min(when($"i" % 2 === 1, $"mh")).as("m1"))
-    val c = b.select($"doc_id".as("id1"), $"band", $"m0", $"m1")
+    b.select($"doc_id".as("id1"), $"band", $"m0", $"m1")
       .join(b.select($"doc_id".as("id2"), $"band", $"m0", $"m1"),
         Seq("band", "m0", "m1"))
       .filter($"id1" < $"id2")
       .select($"id1", $"id2").distinct()
+  }
+
+  def qMinhashMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val docs = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 5 === 0)
+    val s = docs.select($"doc_id", TextFunctions.tokenSet($"text").as("ts"))
+      .withColumn("th",
+        sort_array(array_distinct(transform($"ts", t => xxhash64(t)))))
+      .withColumn("sz", size($"th"))
+    val c = minhashMd5Candidates(spark, sfDir)
     c.join(s.select($"doc_id".as("id1"), $"th".as("t1"), $"sz".as("s1")),
         "id1")
       .join(s.select($"doc_id".as("id2"), $"th".as("t2"), $"sz".as("s2")),
@@ -686,6 +699,31 @@ object TextOps extends QueryPack {
   /** Shared CTE chain producing `f(doc_id, fp)` — the md5-SimHash
     * fingerprint table (see the q_simhash_md5 oracle comment for the
     * HUGEINT signed-fold rationale). */
+  /** The md5 MinHash band-candidate CTE chain (→ relations `s` with the
+    * distinct token lists and `c` with the candidate id pairs) — shared
+    * by the q_minhash_md5 oracle here and CurateOps's q_minhash_eval
+    * oracle so the banding rule can never drift between them (the Scala
+    * side shares [[minhashMd5Candidates]] the same way). */
+  private[queries] val minhashCandCtes =
+    s"""s AS (
+       |  SELECT doc_id, $tokSetSql AS t
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |tk AS (SELECT doc_id, unnest(t) AS tok FROM s),
+       |m AS (
+       |  SELECT doc_id, i,
+       |    min(('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 15))
+       |        ::BIGINT) AS mh
+       |  FROM tk, range(0, 8) r(i) GROUP BY doc_id, i),
+       |b AS (
+       |  SELECT doc_id, i // 2 AS band,
+       |    min(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+       |    min(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+       |  FROM m GROUP BY doc_id, i // 2),
+       |c AS (
+       |  SELECT DISTINCT a.doc_id AS id1, bb.doc_id AS id2
+       |  FROM b a JOIN b bb ON a.band = bb.band
+       |    AND a.m0 = bb.m0 AND a.m1 = bb.m1 AND a.doc_id < bb.doc_id)""".stripMargin
+
   private val simhashFpCtes =
     s"""t AS (
       |  SELECT doc_id,
@@ -859,24 +897,7 @@ object TextOps extends QueryPack {
     // identical 60-bit md5 min-hashes and banding in both engines; the
     // Jaccard verify mirrors q_dedup_jaccard's list_intersect form
     "q_minhash_md5" ->
-      s"""WITH s AS (
-        |  SELECT doc_id, $tokSetSql AS t
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |tk AS (SELECT doc_id, unnest(t) AS tok FROM s),
-        |m AS (
-        |  SELECT doc_id, i,
-        |    min(('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 15))
-        |        ::BIGINT) AS mh
-        |  FROM tk, range(0, 8) r(i) GROUP BY doc_id, i),
-        |b AS (
-        |  SELECT doc_id, i // 2 AS band,
-        |    min(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
-        |    min(CASE WHEN i % 2 = 1 THEN mh END) AS m1
-        |  FROM m GROUP BY doc_id, i // 2),
-        |c AS (
-        |  SELECT DISTINCT a.doc_id AS id1, bb.doc_id AS id2
-        |  FROM b a JOIN b bb ON a.band = bb.band
-        |    AND a.m0 = bb.m0 AND a.m1 = bb.m1 AND a.doc_id < bb.doc_id),
+      s"""WITH $minhashCandCtes,
         |v AS (
         |  SELECT id1, id2,
         |    CAST(len(list_intersect(sa.t, sb.t)) AS DOUBLE)
