@@ -91,7 +91,9 @@ object Bench {
       results.map(_._3.runMs).sum, results.map(_._3.gcMs).sum,
       results.map(_._3.memSpill).sum, results.map(_._3.diskSpill).sum,
       results.map(_._3.peakExec).max, results.map(_._3.shufRead).sum,
-      results.map(_._3.shufWrite).sum, results.map(_._3.tasks).sum)
+      results.map(_._3.shufWrite).sum, results.map(_._3.tasks).sum,
+      results.map(_._3.failed).sum, results.map(_._3.retried).sum,
+      results.map(_._3.stageRetries).sum, results.map(_._3.evicted).sum)
     // ONE formatting path for both output lines, so the contract can't
     // drift between them if a field is added. A throwing query must not
     // hide inside a green rc: surface names in `errors`.

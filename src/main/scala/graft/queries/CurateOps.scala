@@ -142,7 +142,9 @@ object CurateOps extends QueryPack {
     val truth = prefixPairs(spark, sfDir, subsetMod = 5, num = 7, den = 10)
       .select($"id1", $"id2").localCheckpoint()
     val cand = TextOps.minhashMd5Candidates(spark, sfDir).localCheckpoint()
-    val verified = TextOps.qMinhashMd5(spark, sfDir)
+    // verify over the SAME checkpointed candidates (ADVICE r9): calling
+    // qMinhashMd5 here re-ran the identical band join a second time
+    val verified = TextOps.minhashMd5Verify(spark, sfDir, cand)
     val counts = truth.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(truth.join(cand, Seq("id1", "id2"), "left_semi")

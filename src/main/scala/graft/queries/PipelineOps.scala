@@ -299,7 +299,12 @@ object PipelineOps extends QueryPack {
         sum($"n_tok").as("sum_tok"))
       .select($"bucket", $"batch_id", $"n_docs", $"max_tok", $"sum_tok",
         ($"n_docs" * $"max_tok" - $"sum_tok").as("padding"),
-        round($"sum_tok".cast("double") / ($"n_docs" * $"max_tok"), 6)
+        // zero-token docs land in bucket 0 with max_tok 0; 0/0 is NaN in
+        // Spark but engine-dependent elsewhere — NULL on both sides
+        // (the qMinhashEval guard pattern) keeps the hash gate stable
+        when($"n_docs" * $"max_tok" === 0, lit(null).cast("double"))
+          .otherwise(
+            round($"sum_tok".cast("double") / ($"n_docs" * $"max_tok"), 6))
           .as("utilization"))
       .orderBy($"bucket", $"batch_id")
   }
@@ -501,8 +506,9 @@ object PipelineOps extends QueryPack {
         |  CAST(max(n_tok) AS BIGINT) AS max_tok,
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
         |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding,
-        |  round(CAST(sum(n_tok) AS DOUBLE) / (count(*) * max(n_tok)), 6)
-        |    AS utilization
+        |  CASE WHEN count(*) * max(n_tok) = 0 THEN NULL
+        |    ELSE round(CAST(sum(n_tok) AS DOUBLE)
+        |      / (count(*) * max(n_tok)), 6) END AS utilization
         |FROM a GROUP BY 1, 2
         |ORDER BY bucket, batch_id""".stripMargin,
 

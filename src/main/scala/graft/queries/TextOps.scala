@@ -166,7 +166,15 @@ object TextOps extends QueryPack {
       .select($"id1", $"id2").distinct()
   }
 
-  def qMinhashMd5(spark: SparkSession, sfDir: String): DataFrame = {
+  def qMinhashMd5(spark: SparkSession, sfDir: String): DataFrame =
+    minhashMd5Verify(spark, sfDir, minhashMd5Candidates(spark, sfDir))
+
+  /** The J ≥ 0.2 exact-Jaccard verify stage over a PRECOMPUTED candidate
+    * pair relation — split out (ADVICE r9) so CurateOps.qMinhashEval can
+    * feed its already-localCheckpointed candidates here instead of
+    * silently rebuilding the identical band join a second time. */
+  private[queries] def minhashMd5Verify(spark: SparkSession, sfDir: String,
+      c: DataFrame): DataFrame = {
     import spark.implicits._
     graft.functions.SortedIntersectSize.register(spark)
     val docs = Tables.df(spark, sfDir, "documents")
@@ -175,7 +183,6 @@ object TextOps extends QueryPack {
       .withColumn("th",
         sort_array(array_distinct(transform($"ts", t => xxhash64(t)))))
       .withColumn("sz", size($"th"))
-    val c = minhashMd5Candidates(spark, sfDir)
     c.join(s.select($"doc_id".as("id1"), $"th".as("t1"), $"sz".as("s1")),
         "id1")
       .join(s.select($"doc_id".as("id2"), $"th".as("t2"), $"sz".as("s2")),
@@ -216,10 +223,14 @@ object TextOps extends QueryPack {
     // single thread (r8 telemetry: 5 tasks, wall ≈ run core-seconds).
     // Pinned keyed repartition spreads the probe rows — the established
     // parallelize-before-the-fan-out idiom; each probe row carries its
-    // one true bucket so the pair set is unchanged.
+    // one true bucket so the pair set is unchanged. Keyed on id2 (the
+    // same values as the projected-away doc_id) so the key is an actual
+    // output column — repartitioning on doc_id only analyzed via the
+    // analyzer's missing-attribute recovery, which re-added the column
+    // and an extra Project (ADVICE r9).
     val b = docs.select($"doc_id".as("id2"), $"t".as("t2"),
       $"n_chars".as("n2"), floor($"n_chars" / 40).as("bkt"))
-      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .repartition(Tables.shufflePartitions(spark), $"id2")
     a.join(b, "bkt")
       .filter($"id1" < $"id2" && abs($"n1" - $"n2") <= 40)
       .select($"id1", $"id2", levenshtein($"t1", $"t2").as("d"))

@@ -163,7 +163,13 @@ object VectorQueries extends QueryPack {
     val decV = org.apache.spark.sql.types.DecimalType(12, 9)
     val xd = transform(slice($"embedding".cast("array<double>"), 1, d),
       e => round(e, 6).cast(dec6))
-    val emb = Tables.df(spark, sfDir, "embeddings").select(xd.as("x"))
+    // size >= d filter on BOTH sides (ADVICE r9): a short embedding
+    // would emit fewer posexplode rows here while the oracle's fixed
+    // range(0,16) still counts the NULL element's row — filtering the
+    // same rows out everywhere removes the silent-divergence path
+    val emb = Tables.df(spark, sfDir, "embeddings")
+      .filter(size($"embedding") >= d)
+      .select(xd.as("x"))
     // localCheckpoint the two tiny aggregates (16 + 256 rows): the
     // iteration below references cov three times and the report twice
     // more — without lineage truncation each reference re-runs the full
@@ -636,7 +642,8 @@ object VectorQueries extends QueryPack {
         |  SELECT vec_id, CAST(r.k AS INT) AS k,
         |    CAST(round(CAST(embedding[r.k + 1] AS DOUBLE), 6)
         |      AS DECIMAL(18,6)) AS xd
-        |  FROM embeddings CROSS JOIN range(0, 16) r(k)),
+        |  FROM embeddings CROSS JOIN range(0, 16) r(k)
+        |  WHERE len(embedding) >= 16),
         |sums AS (SELECT k, sum(xd) AS sx, count(*) AS n FROM x GROUP BY 1),
         |cells AS (
         |  SELECT a.k AS i, b.k AS j, sum(a.xd * b.xd) AS sxy

@@ -44,5 +44,56 @@ class BenchMetricsSpec extends SparkSpec {
     assert(json.contains("\"wall\":1.500") && json.contains("\"run\":1.234"),
       s"fixed-point formatting drifted: $json")
     assert(!json.contains("1,5"), "locale-sensitive decimal separator")
+    // re-execution discriminators (VERDICT r9 #1) print ONLY when nonzero
+    // — a healthy run must not spend stdout-tail budget on four zeros
+    for (k <- Seq("failed", "retried", "stage_retry", "evict"))
+      assert(!json.contains("\"" + k + "\""), s"zero-valued $k printed: $json")
+    val anomalous = snap.copy(failed = 1, retried = 2, stageRetries = 3,
+      evicted = 4).json(wallSec = 1.5)
+    assert(anomalous.contains("\"failed\":1")
+      && anomalous.contains("\"retried\":2")
+      && anomalous.contains("\"stage_retry\":3")
+      && anomalous.contains("\"evict\":4"),
+      s"anomaly counters missing from $anomalous")
+    assert(anomalous.endsWith("}") && !anomalous.contains(",,"),
+      s"malformed JSON: $anomalous")
+  }
+
+  test("evicted counts store-reported removals, not explicit unpersist") {
+    import org.apache.spark.SparkEnv
+    import org.apache.spark.scheduler.SparkListenerBlockUpdated
+    import org.apache.spark.storage.{BlockUpdatedInfo, RDDBlockId,
+      StorageLevel}
+    val m = new BenchMetrics
+    spark.sparkContext.addSparkListener(m)
+    try {
+      // explicit unpersist must NOT count: the executor-side removeRdd
+      // skips the master report, so the bench's own between-window
+      // unpersist sweep stays invisible — only store-INITIATED drops
+      // (memory-pressure evictions), which do report, reach the counter
+      val df = Tables.df(spark, sf, "region").persist()
+      df.count() // materialize the cached blocks
+      m.reset(spark.sparkContext)
+      df.unpersist(blocking = true)
+      val clean = m.snapshot(spark.sparkContext)
+      assert(clean.evicted == 0,
+        s"explicit unpersist polluted the eviction counter: $clean")
+      assert(clean.failed == 0 && clean.retried == 0
+        && clean.stageRetries == 0, s"healthy run flagged anomalies: $clean")
+      // a store-reported removal is an update to StorageLevel.NONE —
+      // classify it directly (a genuine eviction needs memory pressure
+      // this shared test session must not create)
+      m.onBlockUpdated(SparkListenerBlockUpdated(new BlockUpdatedInfo(
+        SparkEnv.get.blockManager.blockManagerId, RDDBlockId(1, 0),
+        StorageLevel.NONE, 0L, 0L)))
+      assert(m.snapshot(spark.sparkContext).evicted == 1,
+        "StorageLevel.NONE block update not counted as eviction")
+      // an update that KEEPS the block (e.g. drop-to-disk) is not removal
+      m.onBlockUpdated(SparkListenerBlockUpdated(new BlockUpdatedInfo(
+        SparkEnv.get.blockManager.blockManagerId, RDDBlockId(1, 1),
+        StorageLevel.DISK_ONLY, 0L, 100L)))
+      assert(m.snapshot(spark.sparkContext).evicted == 1,
+        "a still-stored block update was miscounted as eviction")
+    } finally spark.sparkContext.removeSparkListener(m)
   }
 }
