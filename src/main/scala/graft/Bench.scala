@@ -57,9 +57,12 @@ object Bench {
       // with storage eviction + GC churn (q_pagerank measured 2× slower
       // inside the full suite than standalone before this sweep). Nothing
       // is reused across queries, so dropping every block is safe.
+      // blocking: the removals must COMPLETE before the next query's
+      // reset(), or they land inside its telemetry window and read as
+      // evictions; the sweep sits outside the timed section either way
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       // report the min-wall pass AND its matching metrics snapshot: the
       // telemetry must explain the number the gate reads, not the cold pass
       val best = if (times.isEmpty) (0.0, BenchMetrics.Snap(0, 0, 0, 0, 0, 0, 0, 0))

@@ -83,9 +83,14 @@ final class BenchMetrics extends SparkListener {
 
   override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit =
     // !isValid == StorageLevel.NONE == the block was REMOVED from the
-    // store; within a query window (bench unpersists between windows)
-    // that is an eviction, and downstream stages must recompute
-    if (!e.blockUpdatedInfo.storageLevel.isValid) evicted.incrementAndGet()
+    // store; within a query window (bench unpersists between windows,
+    // BLOCKING, so those removals land before reset) that is an
+    // eviction, and downstream stages must recompute. RDD blocks only:
+    // broadcast-block removals are routine GC-driven ContextCleaner
+    // hygiene (measured 20–60/query on healthy runs) and would make the
+    // counter cry wolf.
+    if (!e.blockUpdatedInfo.storageLevel.isValid
+        && e.blockUpdatedInfo.blockId.isRDD) evicted.incrementAndGet()
 
   def reset(sc: SparkContext): Unit = {
     ListenerBridge.flush(sc)

@@ -36,10 +36,11 @@ object BenchOne {
       val snap = metrics.snapshot(spark.sparkContext)
       val rows = if (sanity) " rows=" + fn(spark, sfDir).count() else ""
       // same between-rep sweep as Bench (ADVICE r7): localCheckpoint
-      // blocks from one rep otherwise tax the next rep's timing
+      // blocks from one rep otherwise tax the next rep's timing;
+      // blocking so the removals don't leak into the next rep's window
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       println("BENCHONE %s rep%d%s %s".format(name, r, rows, snap.json(sec)))
     }
     spark.stop()

@@ -159,6 +159,40 @@ object CurateOps extends QueryPack {
         .as("precision02"))
   }
 
+  // ---- q_minhash_miss ----------------------------------------------------
+  /** The MISS SET behind [[qMinhashEval]]'s recall scalar (VERDICT r9
+    * #4): the exact J ≥ 0.7 pairs broken down by Jaccard decile, with
+    * how many of each decile the 8-perm/4-band md5 sketch failed to
+    * produce as candidates. The banding theory says the miss mass must
+    * concentrate in the lowest decile (P[candidate] = 1−(1−J²)⁴ rises
+    * steeply in J), and this report is what turns the threshold-vs-bands
+    * tradeoff into a data-driven choice: if misses appear ABOVE the
+    * working decile, add bands; if they sit at the 0.7 boundary, the
+    * sketch is doing its job. Scale shape: both pair relations are the
+    * already-scale-safe generators; on top is one left join + one
+    * ≤3-row aggregate. Decile boundaries compare the SAME shared-formula
+    * double in both engines, so the bucketing is exact. */
+  def qMinhashMiss(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val truth = prefixPairs(spark, sfDir, subsetMod = 5, num = 7, den = 10)
+      .select($"id1", $"id2", $"j")
+    val cand = TextOps.minhashMd5Candidates(spark, sfDir)
+    truth
+      .join(cand.withColumn("hit", lit(true)), Seq("id1", "id2"), "left")
+      .select(
+        concat(lit("0."), least(floor($"j" * 10), lit(9L)).cast("int")
+          .cast("string")).as("j_decile"),
+        coalesce($"hit", lit(false)).as("hit"))
+      .groupBy($"j_decile")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when($"hit", 1L).otherwise(0L)).as("n_hit"))
+      .select($"j_decile", $"n_exact", $"n_hit",
+        ($"n_exact" - $"n_hit").as("n_missed"),
+        round(($"n_exact" - $"n_hit").cast("double") / $"n_exact", 6)
+          .as("miss_rate"))
+      .orderBy($"j_decile")
+  }
+
   // ---- q_canonical -------------------------------------------------------
   /** Near-duplicate survivorship: connected components over the J >= 0.75
     * unigram pair graph (doc_id%10 subset), then ONE kept document per
@@ -415,6 +449,7 @@ object CurateOps extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_eval" -> qMinhashEval,
+    "q_minhash_miss" -> qMinhashMiss,
     "q_dedup_sweep" -> qDedupSweep,
     "q_prefix_join" -> qPrefixJoin,
     "q_canonical" -> qCanonical,
@@ -513,6 +548,29 @@ object CurateOps extends QueryPack {
         |    ELSE round(CAST(n_verified AS DOUBLE) / n_cand, 6)
         |    END AS precision02
         |FROM k""".stripMargin,
+
+    // the same exact pair relation + shared md5 banding CTEs as
+    // q_minhash_eval; the decile key applies least/floor to the SAME
+    // once-computed double j on both sides, so bucket edges are exact
+    "q_minhash_miss" ->
+      s"""WITH ${TextOps.minhashCandCtes},
+        |${pairCtes(5)},
+        |truth AS (SELECT id1, id2, j FROM p WHERE j >= 0.7),
+        |mk AS (
+        |  SELECT
+        |    '0.' || CAST(least(CAST(floor(j * 10) AS BIGINT), 9)
+        |      AS VARCHAR) AS j_decile,
+        |    EXISTS (SELECT 1 FROM c
+        |      WHERE c.id1 = truth.id1 AND c.id2 = truth.id2) AS hit
+        |  FROM truth)
+        |SELECT j_decile,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missed,
+        |  round(CAST(count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS miss_rate
+        |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same exact-double jaccard pair relation, the same three thin
     // aggregates off a threshold spine (left-joined so an empty

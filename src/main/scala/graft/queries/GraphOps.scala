@@ -32,15 +32,17 @@ object GraphOps extends QueryPack {
     // the unrolled plan references edges 3× and deg 4× — materialize both
     // once (same "cache the graph, iterate on it" shape GraphX uses)
     // instead of re-running the lineitem⋈orders distinct per reference
-    val edges = coPurchaseEdges(spark, sfDir).localCheckpoint()
+    val edges = coPurchaseEdgesLong(spark, sfDir).localCheckpoint()
     val deg = edges.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    pagerankLoop(edges, deg, 3)
+    pagerankTop(pagerankRanks(edges, deg, 3))
   }
 
   /** The symmetrized customer↔supplier co-purchase edge list shared by
-    * [[qPagerank]] and [[qPagerankBucketed]]. */
+    * [[qLabelProp]] and [[qModularity]], string node keys ("c:123" /
+    * "s:45") — LPA's argmax tie-breaks on the LABEL's sort order, so the
+    * string representation is semantically load-bearing there. */
   private def coPurchaseEdges(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import spark.implicits._
@@ -55,6 +57,44 @@ object GraphOps extends QueryPack {
     pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
   }
 
+  /** The same graph with PARITY-ENCODED LONG node ids — customer k ↦ 2k,
+    * supplier k ↦ 2k+1 (disjoint by parity exactly as the "c:"/"s:"
+    * prefixes are disjoint) — used by the PageRank pair (VERDICT r9 #2):
+    * every iteration shuffles and sort-merges the edge list on the node
+    * key, and an 8-byte long costs roughly half the shuffle/write bytes
+    * and much cheaper comparisons than a ~8-char string. PageRank's
+    * arithmetic never orders by node (only groupBy/join), so the
+    * encoding is invisible until [[pagerankTop]] decodes the final 25
+    * rows back to the string form the oracle emits. */
+  private[graft] def coPurchaseEdgesLong(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+    val ords = Tables.df(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val pairs = li.join(ords, $"l_orderkey" === $"o_orderkey")
+      .select((($"o_custkey" * 2)).cast("long").as("u"),
+        ($"l_suppkey" * 2 + 1).cast("long").as("v"))
+      .distinct()
+    pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+  }
+
+  /** Decode + deterministic top-25: maps the parity-encoded node id back
+    * to the oracle's string form BEFORE the (pr desc, node asc) order,
+    * so a pr tie at the cutoff breaks on the same STRING ordering in
+    * both engines. TakeOrderedAndProject keeps the top-k distributed. */
+  private[graft] def pagerankTop(ranks: DataFrame): DataFrame = {
+    val spark = ranks.sparkSession
+    import spark.implicits._
+    ranks.select(
+        concat(when($"node" % 2 === 0, "c:").otherwise("s:"),
+          shiftright($"node", 1).cast("string")).as("node"),
+        $"pr")
+      .orderBy($"pr".desc, $"node".asc)
+      .limit(25)
+  }
+
   /** [[pagerankBucketed]] end-to-end as a registered query (VERDICT r7
     * #7): build the same graph as [[qPagerank]], pay the bucketed edge
     * WRITE inside the measured time, then run the identical loop reading
@@ -67,16 +107,19 @@ object GraphOps extends QueryPack {
     * EVERY downstream run reuses the layout, so the break-even only
     * improves with reuse. */
   def qPagerankBucketed(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.sources.Sources.writeBucketed(coPurchaseEdges(spark, sfDir),
+    graft.sources.Sources.writeBucketed(coPurchaseEdgesLong(spark, sfDir),
       "graft_pr_edges_q", Tables.shufflePartitions(spark), "u")
-    pagerankBucketed(spark, "graft_pr_edges_q", 3)
+    pagerankTop(pagerankBucketed(spark, "graft_pr_edges_q", 3))
   }
 
   /** The unrolled damped-iteration loop over a prepared (edges, deg)
     * pair — shared by [[qPagerank]] (localCheckpoint'd inputs, the oracle
     * twin) and [[pagerankBucketed]] (bucketed-table inputs, the cluster
-    * shape). Semantics and rounding identical in both. */
-  private[graft] def pagerankLoop(edges: DataFrame, deg: DataFrame,
+    * shape). Key-type agnostic (never orders or compares node ids beyond
+    * equality), so the long-encoded and string graphs run the identical
+    * plan. Returns the FULL (node, pr) relation rounded to 9dp; callers
+    * apply [[pagerankTop]] (or their own consumer) on top. */
+  private[graft] def pagerankRanks(edges: DataFrame, deg: DataFrame,
       iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -96,8 +139,6 @@ object GraphOps extends QueryPack {
             .as("pr"))
     }
     pr.select($"node", round($"pr", 9).as("pr"))
-      .orderBy($"pr".desc, $"node".asc)
-      .limit(25)
   }
 
   /** PageRank over a BUCKETED symmetrized edge table — the cluster answer
@@ -118,7 +159,7 @@ object GraphOps extends QueryPack {
     import spark.implicits._
     val edges = spark.table(edgesTable)
     val deg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
-    pagerankLoop(edges, deg, iters)
+    pagerankRanks(edges, deg, iters)
   }
 
   /** Triangle counting over the part co-order graph (parts that appear in

@@ -324,7 +324,17 @@ object Sources {
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
       bucketCol: String): Unit = {
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode(SaveMode.Overwrite)
+    // Pre-repartition on the bucket column with the bucket count: Spark's
+    // bucket id (Pmod(Murmur3Hash(col), n)) IS repartition's
+    // HashPartitioning function, so after the shuffle each task holds
+    // exactly one bucket and writes exactly one file. Without it every
+    // input task writes a file per bucket it touches — measured 16 files
+    // from a 4-task × 4-bucket write, up to ~2k tiny files at 32×32
+    // (VERDICT r9 #2: the q_pagerank_bucketed GC/write-pressure source;
+    // at 100 TB, task-count × buckets small files is also exactly how a
+    // bucketed table layout becomes a metadata bomb).
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .option("path", s"${System.getProperty("java.io.tmpdir")}/graft_$table")
       .saveAsTable(table)

@@ -62,8 +62,8 @@ class BenchMetricsSpec extends SparkSpec {
   test("evicted counts store-reported removals, not explicit unpersist") {
     import org.apache.spark.SparkEnv
     import org.apache.spark.scheduler.SparkListenerBlockUpdated
-    import org.apache.spark.storage.{BlockUpdatedInfo, RDDBlockId,
-      StorageLevel}
+    import org.apache.spark.storage.{BlockUpdatedInfo, BroadcastBlockId,
+      RDDBlockId, StorageLevel}
     val m = new BenchMetrics
     spark.sparkContext.addSparkListener(m)
     try {
@@ -94,6 +94,13 @@ class BenchMetricsSpec extends SparkSpec {
         StorageLevel.DISK_ONLY, 0L, 100L)))
       assert(m.snapshot(spark.sparkContext).evicted == 1,
         "a still-stored block update was miscounted as eviction")
+      // broadcast-block removals are ContextCleaner hygiene (measured
+      // 20-60 per query on healthy runs), NOT cache-eviction pressure
+      m.onBlockUpdated(SparkListenerBlockUpdated(new BlockUpdatedInfo(
+        SparkEnv.get.blockManager.blockManagerId, BroadcastBlockId(7L),
+        StorageLevel.NONE, 0L, 0L)))
+      assert(m.snapshot(spark.sparkContext).evicted == 1,
+        "a broadcast-block removal was miscounted as eviction")
     } finally spark.sparkContext.removeSparkListener(m)
   }
 }

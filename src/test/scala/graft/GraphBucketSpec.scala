@@ -42,16 +42,9 @@ class GraphBucketSpec extends SparkSpec {
 
   test("bucketed edge table removes the per-iteration edge-side Exchange") {
     import spark.implicits._
-    // the q_pagerank graph: symmetrized customer↔supplier co-purchase
-    val li = Tables.df(spark, sf, "lineitem")
-      .select($"l_orderkey", $"l_suppkey")
-    val ords = Tables.df(spark, sf, "orders")
-      .select($"o_orderkey", $"o_custkey")
-    val pairs = li.join(ords, $"l_orderkey" === $"o_orderkey")
-      .select(concat(lit("c:"), $"o_custkey").as("u"),
-        concat(lit("s:"), $"l_suppkey").as("v"))
-      .distinct()
-    val edges = pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+    // the q_pagerank graph: symmetrized customer↔supplier co-purchase,
+    // parity-encoded long node ids (the production shape since r10)
+    val edges = GraphOps.coPurchaseEdgesLong(spark, sf)
     Sources.writeBucketed(edges, "graft_pr_edges", 4, "u")
     // force sort-merge joins: on fixture-sized sides the planner would
     // broadcast and ignore bucketing — at scale neither side broadcasts
@@ -65,8 +58,10 @@ class GraphBucketSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val plainDeg = edges
         .groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
-      val plain = GraphOps.pagerankLoop(edges, plainDeg, 3)
-      val bucketed = GraphOps.pagerankBucketed(spark, "graft_pr_edges", 3)
+      val plain = GraphOps.pagerankTop(
+        GraphOps.pagerankRanks(edges, plainDeg, 3))
+      val bucketed = GraphOps.pagerankTop(
+        GraphOps.pagerankBucketed(spark, "graft_pr_edges", 3))
       // The bucketed plan actually READS the table as buckets: at least
       // one FileSourceScanExec scans a bucketed relation.
       val bucketedScans = bucketed.queryExecution.executedPlan.collect {
