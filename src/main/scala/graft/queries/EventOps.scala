@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.streaming.Streams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch twins of the streaming transforms (SURVEY.md §2.10): the same
@@ -286,7 +287,69 @@ object EventOps extends QueryPack {
     s1.unionAll(s2).unionAll(s3).orderBy($"stage")
   }
 
+  /** The ordered view→click→purchase funnel evaluated WITHIN SESSIONS
+    * (VERDICT r9 #7 — ties §2.10's session semantics to the funnel):
+    * events sessionize per user with a 10-minute inactivity gap, and
+    * each SESSION (not user) either reaches a stage in strict order or
+    * doesn't — the "did one visit convert" question vs q_funnel_staged's
+    * "did the user ever convert within 24 h". Session assignment is
+    * gaps-and-islands: one lag() + one running sum, both in a single
+    * user-partitioned window pass — semantically identical to
+    * `session_window($"ts", gap)` (new session iff gap ≥ 10 min, the
+    * same boundary rule; FunnelSessionSpec asserts the equivalence
+    * against Streams.sessionize on the same events), but it labels every
+    * EVENT with its session, which the aggregate form can't. The
+    * tie-safety detail: the running sum uses the default RANGE frame, so
+    * same-timestamp peers always land in the same session no matter how
+    * the engine orders them. Downstream is the staged-gate shape of
+    * q_funnel_staged keyed by (user, session): no self-join, no
+    * time-window cap needed — the session bounds it. */
+  def qFunnelSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 10L * 60 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    val s = ev
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("new_s", when($"prev".isNull
+          || unix_micros($"ts".cast("timestamp"))
+            - unix_micros($"prev".cast("timestamp")) >= gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(w))
+      .select($"user_id", $"sid", $"event_type", $"ts")
+    def gapCol(a: Column, b: Column): Column =
+      unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))
+    val v = s.filter($"event_type" === "view")
+      .groupBy($"user_id", $"sid").agg(min($"ts").as("t1"))
+    val c = s.filter($"event_type" === "click")
+      .join(v, Seq("user_id", "sid"))
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("t2"), min($"t1").as("t1"))
+    val p = s.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id", "sid"))
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("t3"), min($"t2").as("t2"))
+    val s1 = v.agg(count(lit(1)).as("n_sessions"))
+      .select(lit(1L).as("stage"), lit("view").as("step"), $"n_sessions",
+        lit(null).cast("double").as("avg_gap_us"))
+    val s2 = c.agg(count(lit(1)).as("n_sessions"),
+        round(sum(gapCol($"t2", $"t1")).cast("double") / count(lit(1)), 6)
+          .as("avg_gap_us"))
+      .select(lit(2L).as("stage"), lit("click").as("step"), $"n_sessions",
+        $"avg_gap_us")
+    val s3 = p.agg(count(lit(1)).as("n_sessions"),
+        round(sum(gapCol($"t3", $"t2")).cast("double") / count(lit(1)), 6)
+          .as("avg_gap_us"))
+      .select(lit(3L).as("stage"), lit("purchase").as("step"), $"n_sessions",
+        $"avg_gap_us")
+    s1.unionAll(s2).unionAll(s3).orderBy($"stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_sessions" -> qFunnelSessions,
     "q_funnel_staged" -> qFunnelStaged,
     "q_scd2" -> qScd2,
     "q_pit_join" -> qPitJoin,
@@ -304,6 +367,49 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same gaps-and-islands sessionization (lag + RANGE-framed running
+    // sum — tie-safe in both engines), same strictly-after staged gates
+    "q_funnel_sessions" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_type, ts,
+        |    CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) >= 600000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM n),
+        |v AS (
+        |  SELECT user_id, sid, min(ts) AS t1 FROM s
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT s.user_id, s.sid, min(s.ts) AS t2, min(v.t1) AS t1
+        |  FROM s JOIN v ON v.user_id = s.user_id AND v.sid = s.sid
+        |  WHERE s.event_type = 'click' AND s.ts > v.t1
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT s.user_id, s.sid, min(s.ts) AS t3, min(c.t2) AS t2
+        |  FROM s JOIN c ON c.user_id = s.user_id AND c.sid = s.sid
+        |  WHERE s.event_type = 'purchase' AND s.ts > c.t2
+        |  GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+        |  count(*) AS n_sessions, CAST(NULL AS DOUBLE) AS avg_gap_us FROM v
+        |UNION ALL
+        |SELECT 2, 'click', count(*),
+        |  round(CAST(sum(epoch_us(t2) - epoch_us(t1)) AS DOUBLE)
+        |    / count(*), 6) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*),
+        |  round(CAST(sum(epoch_us(t3) - epoch_us(t2)) AS DOUBLE)
+        |    / count(*), 6) FROM p
+        |ORDER BY stage""".stripMargin,
+
     // same strictly-after chaining; epoch_us mirrors unix_micros in the
     // UTC session; mean gap = one double division of exact integer sums
     "q_funnel_staged" ->

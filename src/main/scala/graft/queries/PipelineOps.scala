@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -344,24 +344,9 @@ object PipelineOps extends QueryPack {
     * per-row keep projection — no shuffle of the corpus at all. */
   def qTempSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val docs = Tables.df(spark, sfDir, "documents")
-    val bySrc = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
-    val wts = bySrc.select($"source", $"n_src",
-      round(pow($"n_src".cast("double"), 0.7), 6).cast(dec6).as("w"))
-    val z = wts.agg(sum($"w").as("z"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_total")))
-    val rates = wts.crossJoin(broadcast(z))
-      .select($"source", $"n_src",
-        round($"w".cast("double") / $"z".cast("double"), 6).as("share"))
-      .crossJoin(broadcast(z.select($"n_total")))
-      .select($"source", $"n_src", $"share",
-        least(lit(1.0),
-          round($"share" * $"n_total" / 5.0 / $"n_src", 6)).as("rate"))
-    docs.select($"doc_id", $"source",
-        ((conv(substring(md5(concat(lit("ts:"), $"doc_id".cast("string"))),
-          1, 15), 16, 10).cast("long") + 1) / lit(1152921504606846976.0))
-          .as("u"))
+    val rates = tempRates(docs)
+    docs.select($"doc_id", $"source", tempUniform($"doc_id").as("u"))
       .join(broadcast(rates), "source")
       .groupBy($"source")
       .agg(min($"n_src").as("n_src"),
@@ -370,6 +355,36 @@ object PipelineOps extends QueryPack {
         sum(when($"u" < $"rate", 1L).otherwise(0L)).as("n_kept"))
       .orderBy($"source")
   }
+
+  /** The temperature-sampling RATE TABLE (source, n_src, share, rate)
+    * from a corpus snapshot — split out of [[qTempSample]] so the
+    * streaming twin (Streams.tempSampleStream) applies the identical
+    * rates per micro-batch: a production sampler freezes rates from a
+    * snapshot and streams the keep decision. */
+  private[graft] def tempRates(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val bySrc = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val wts = bySrc.select($"source", $"n_src",
+      round(pow($"n_src".cast("double"), 0.7), 6).cast(dec6).as("w"))
+    val z = wts.agg(sum($"w").as("z"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_total")))
+    wts.crossJoin(broadcast(z))
+      .select($"source", $"n_src",
+        round($"w".cast("double") / $"z".cast("double"), 6).as("share"))
+      .crossJoin(broadcast(z.select($"n_total")))
+      .select($"source", $"n_src", $"share",
+        least(lit(1.0),
+          round($"share" * $"n_total" / 5.0 / $"n_src", 6)).as("rate"))
+  }
+
+  /** The family's deterministic uniform in (0, 1] for the temperature
+    * sampler: (first-15-hex-digits of md5("ts:" || doc_id) + 1) / 2^60 —
+    * a pure per-row projection, identical in batch and per micro-batch. */
+  private[graft] def tempUniform(docId: Column): Column =
+    (conv(substring(md5(concat(lit("ts:"), docId.cast("string"))),
+      1, 15), 16, 10).cast("long") + 1) / lit(1152921504606846976.0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_temp_sample" -> qTempSample,

@@ -66,6 +66,26 @@ object Streams {
     stream.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of q_temp_sample's keep decision (VERDICT r9 #7):
+    * `rates` is the frozen (source, rate) table from a corpus snapshot
+    * (PipelineOps.tempRates — a production sampler recomputes it
+    * periodically, not per batch); each micro-batch applies the
+    * IDENTICAL md5-keyed uniform keep projection via a broadcast
+    * stream-static join, so the streamed corpus keeps exactly the rows
+    * the batch sampler keeps — replayable, coordination-free sampling
+    * (no seed state, no per-batch RNG). Stateless: nothing accumulates,
+    * any watermark policy composes on top. */
+  def tempSampleStream(stream: DataFrame, rates: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withColumn("u", graft.queries.PipelineOps.tempUniform($"doc_id"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        rates.select($"source", $"rate")), "source")
+      .filter($"u" < $"rate")
+      .select($"doc_id", $"source")
+  }
+
   // ---- arbitrary-state sessionization (flatMapGroupsWithState) ----------
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
