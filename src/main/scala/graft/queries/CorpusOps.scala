@@ -375,7 +375,39 @@ object CorpusOps extends QueryPack {
       .limit(50)
   }
 
+  /** Vocabulary coverage curve — the vocab-SIZING companion to
+    * [[qOovRate]]'s fixed-256 report: what fraction of all token
+    * occurrences the top-100/1k/10k most frequent types cover. The
+    * Zipf-curve read that decides a tokenizer's vocab budget before
+    * training one. Scale shape: ONE vocabulary-thin count aggregate
+    * (localCheckpointed — three consumers), then per budget a
+    * distributed TakeOrderedAndProject top-N + a 1-row sum; no window
+    * over the vocabulary, no single-partition cumulative pass. Ties at
+    * the budget boundary break (cnt desc, tok asc) on both sides.
+    * Coverage is one exact-integer division rounded once. */
+  def qVocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val cnt = docs
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = cnt.agg(sum($"cnt").as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    val rows = Seq(100, 1000, 10000).map { n =>
+      cnt.orderBy($"cnt".desc, $"tok".asc).limit(n)
+        .agg(count(lit(1)).as("n_in"), sum($"cnt").as("covered"))
+        .select(lit(n).as("top_n"), $"n_in", $"covered")
+    }
+    rows.reduce(_ unionAll _)
+      .crossJoin(broadcast(tot))
+      .select($"top_n", $"n_in", $"covered", $"n_vocab", $"n_total",
+        round($"covered".cast("double") / $"n_total", 6).as("coverage"))
+      .orderBy($"top_n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> qVocabCoverage,
     "q_skipgram" -> qSkipgram,
     "q_topic_terms" -> qTopicTerms,
     "q_collocations" -> qCollocations,
@@ -422,6 +454,25 @@ object CorpusOps extends QueryPack {
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
   val oracle: Map[String, String] = Map(
+    // row_number over (cnt desc, tok asc) stands in for Spark's
+    // TakeOrderedAndProject with the identical tie-break; coverage is
+    // the same exact-integer quotient rounded once
+    "q_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+        |  count(*) AS n_vocab FROM cnt),
+        |r AS (SELECT tok, cnt, row_number() OVER (
+        |  ORDER BY cnt DESC, tok ASC) AS rk FROM cnt),
+        |ns(top_n) AS (VALUES (100), (1000), (10000)),
+        |cov AS (
+        |  SELECT ns.top_n, count(*) AS n_in,
+        |    CAST(SUM(r.cnt) AS BIGINT) AS covered
+        |  FROM ns JOIN r ON r.rk <= ns.top_n GROUP BY 1)
+        |SELECT c.top_n, c.n_in, c.covered, t.n_vocab, t.n_total,
+        |  round(CAST(c.covered AS DOUBLE) / t.n_total, 6) AS coverage
+        |FROM cov c CROSS JOIN tot t ORDER BY c.top_n""".stripMargin,
+
     // same marginals, same single-integer-product lift quotient rounded
     // to 6dp before the identical (lift, count, term) per-source ranking
     "q_topic_terms" ->

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -191,6 +191,46 @@ object CurateOps extends QueryPack {
         round(($"n_exact" - $"n_hit").cast("double") / $"n_exact", 6)
           .as("miss_rate"))
       .orderBy($"j_decile")
+  }
+
+  // ---- q_minhash_bands ---------------------------------------------------
+  /** Banding-parameter advisor completing the sketch-quality trio
+    * ([[qMinhashEval]] grades the shipped 4×2 config, [[qMinhashMiss]]
+    * localizes its misses; this one prices the ALTERNATIVES): for every
+    * (bands b, rows r) split of a ≤16-permutation budget, the S-curve
+    * candidate probability P(J) = 1 − (1 − J^r)^b at J = 0.5/0.7/0.9,
+    * and the EXPECTED candidate recall over the corpus's own exact
+    * J ≥ 0.7 pair distribution (mean of P(j) over the truth pairs) —
+    * theory evaluated against the observed duplicate profile, which is
+    * how the bands-vs-rows tradeoff is actually chosen before a corpus
+    * run. Scale shape: the truth relation is the scale-safe prefix
+    * filter; the grid is 12 broadcast rows; everything else is one
+    * partial-aggregable mean per cell. Determinism: each P value is a
+    * shared pow() formula rounded once to 6dp (the qTempSample pow
+    * discipline); the mean is an exact DECIMAL sum with one final
+    * double division. */
+  def qMinhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1),
+        (1, 8), (2, 4), (4, 2), (8, 1), (1, 4), (2, 2), (4, 1))
+      .toDF("b", "r")
+    def pcand(j: Column, b: Column, r: Column): Column =
+      lit(1.0) - pow(lit(1.0) - pow(j, r.cast("double")), b.cast("double"))
+    val truth = prefixPairs(spark, sfDir, subsetMod = 5, num = 7, den = 10)
+      .select($"j")
+    val scored = truth.crossJoin(broadcast(grid))
+      .select($"b", $"r",
+        round(pcand($"j", $"b", $"r"), 6).cast(dec6).as("p"))
+      .groupBy($"b", $"r")
+      .agg(round(sum($"p").cast("double") / count(lit(1)), 6)
+        .as("exp_recall07"))
+    grid.join(scored, Seq("b", "r"), "left")
+      .select($"b", $"r", ($"b" * $"r").as("n_perms"),
+        round(pcand(lit(0.5), $"b", $"r"), 6).as("p50"),
+        round(pcand(lit(0.7), $"b", $"r"), 6).as("p70"),
+        round(pcand(lit(0.9), $"b", $"r"), 6).as("p90"),
+        $"exp_recall07")
+      .orderBy($"n_perms".desc, $"b")
   }
 
   // ---- q_canonical -------------------------------------------------------
@@ -477,6 +517,7 @@ object CurateOps extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_eval" -> qMinhashEval,
     "q_minhash_miss" -> qMinhashMiss,
+    "q_minhash_bands" -> qMinhashBands,
     "q_dedup_sweep" -> qDedupSweep,
     "q_prefix_join" -> qPrefixJoin,
     "q_canonical" -> qCanonical,
@@ -575,6 +616,28 @@ object CurateOps extends QueryPack {
         |    ELSE round(CAST(n_verified AS DOUBLE) / n_cand, 6)
         |    END AS precision02
         |FROM k""".stripMargin,
+
+    // same exact pair relation; each S-curve value is the same pow()
+    // composition rounded once to 6dp on both sides, the mean an exact
+    // DECIMAL(18,6) sum with one final double division
+    "q_minhash_bands" ->
+      s"""WITH ${pairCtes(5)},
+        |truth AS (SELECT j FROM p WHERE j >= 0.7),
+        |grid(b, r) AS (VALUES (1,16),(2,8),(4,4),(8,2),(16,1),
+        |  (1,8),(2,4),(4,2),(8,1),(1,4),(2,2),(4,1)),
+        |sc AS (
+        |  SELECT g.b, g.r,
+        |    round(CAST(SUM(CAST(round(
+        |        1 - pow(1 - pow(t.j, g.r), g.b), 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) / count(*), 6) AS exp_recall07
+        |  FROM truth t CROSS JOIN grid g GROUP BY 1, 2)
+        |SELECT g.b, g.r, g.b * g.r AS n_perms,
+        |  round(1 - pow(1 - pow(0.5, g.r), g.b), 6) AS p50,
+        |  round(1 - pow(1 - pow(0.7, g.r), g.b), 6) AS p70,
+        |  round(1 - pow(1 - pow(0.9, g.r), g.b), 6) AS p90,
+        |  sc.exp_recall07
+        |FROM grid g LEFT JOIN sc ON sc.b = g.b AND sc.r = g.r
+        |ORDER BY n_perms DESC, g.b""".stripMargin,
 
     // the same exact pair relation + shared md5 banding CTEs as
     // q_minhash_eval; the decile key applies least/floor to the SAME

@@ -318,6 +318,10 @@ object EventOps extends QueryPack {
         .otherwise(0L))
       .withColumn("sid", sum($"new_s").over(w))
       .select($"user_id", $"sid", $"event_type", $"ts")
+      // referenced by all three stage gates below — materialize so the
+      // sessionization window pass runs ONCE, not once per stage
+      // (PlanAuditSpec counts the Window operators)
+      .localCheckpoint()
     def gapCol(a: Column, b: Column): Column =
       unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))
     val v = s.filter($"event_type" === "view")

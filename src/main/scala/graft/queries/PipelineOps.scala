@@ -356,6 +356,54 @@ object PipelineOps extends QueryPack {
       .orderBy($"source")
   }
 
+  /** One DoReMi-flavored domain-reweighting step (multiplicative
+    * weights on excess loss — Xie et al. 2023 "DoReMi", deterministic
+    * single-round form): score every doc with the corpus-trained
+    * unigram LM (q_perplexity's exact-decimal discipline), aggregate
+    * mean NLL per source, and upweight sources whose loss EXCEEDS the
+    * corpus mean — w₁ ∝ n_src · exp(excess) — the "give hard/underfit
+    * domains more sampling mass" update that DoReMi iterates with a
+    * proxy model. Output: per source, the loss profile and the before/
+    * after mixture shares. Scale shape: LM training is one token-keyed
+    * count + a broadcast log-prob table; doc scoring shuffles on the
+    * token key; everything after is S-row arithmetic. Determinism:
+    * per-token log-probs and per-doc NLLs round once to DECIMAL(18,6)
+    * so every sum is exact; exp() rounds once to 6dp (the q_temp_sample
+    * pow discipline); both normalizers are exact integer/decimal sums. */
+  def qMixReweight(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = Tables.df(spark, sfDir, "documents")
+    val toks = docs.select($"doc_id",
+      explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    val lp = counts.crossJoin(broadcast(n))
+      .select($"tok", round(log($"cnt" / $"n_total"), 6).cast(dec6).as("lp"))
+    val docNll = toks.join(lp, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"lp").as("slp"))
+      .select($"doc_id",
+        round(-($"slp".cast("double")) / $"n_toks", 6).cast(dec6).as("nll"))
+    val bySrc = docs.select($"doc_id", $"source").join(docNll, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nll").as("snll"))
+    val tot = bySrc.agg(sum($"n_docs").as("nd"), sum($"snll").as("stot"))
+    val e = bySrc.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        round($"snll".cast("double") / $"n_docs", 6).as("mean_nll"),
+        round($"snll".cast("double") / $"n_docs"
+          - $"stot".cast("double") / $"nd", 6).as("excess"))
+    val scored = e.select($"source", $"n_docs", $"mean_nll", $"excess",
+      ($"n_docs" * round(exp($"excess"), 6).cast(dec6)).as("w1"))
+    val z = scored.agg(sum($"w1").as("z1"), sum($"n_docs").as("ndt"))
+    scored.crossJoin(broadcast(z))
+      .select($"source", $"n_docs", $"mean_nll", $"excess",
+        round($"n_docs".cast("double") / $"ndt", 6).as("share0"),
+        round($"w1".cast("double") / $"z1".cast("double"), 6).as("share1"))
+      .orderBy($"source")
+  }
+
   /** The temperature-sampling RATE TABLE (source, n_src, share, rate)
     * from a corpus snapshot — split out of [[qTempSample]] so the
     * streaming twin (Streams.tempSampleStream) applies the identical
@@ -387,6 +435,7 @@ object PipelineOps extends QueryPack {
       1, 15), 16, 10).cast("long") + 1) / lit(1152921504606846976.0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_reweight" -> qMixReweight,
     "q_temp_sample" -> qTempSample,
     "q_cdc_savings" -> qCdcSavings,
     "q_cdc_chunks" -> qCdcChunks,
@@ -442,6 +491,44 @@ object PipelineOps extends QueryPack {
       |  FROM s GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the q_perplexity unigram-LM discipline (log-probs and per-doc
+    // NLLs rounded once to DECIMAL(18,6) so sums are exact), then
+    // S-row arithmetic with exp() rounded once and exact normalizers
+    "q_mix_reweight" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x != '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM toks),
+        |lp AS (
+        |  SELECT tok, CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |    AS DECIMAL(18,6)) AS lp
+        |  FROM cnt CROSS JOIN n),
+        |dn AS (
+        |  SELECT t.doc_id, CAST(round(-CAST(SUM(l.lp) AS DOUBLE)
+        |    / count(*), 6) AS DECIMAL(18,6)) AS nll
+        |  FROM toks t JOIN lp l USING (tok) GROUP BY 1),
+        |bs AS (
+        |  SELECT d.source, count(*) AS n_docs, SUM(dn.nll) AS snll
+        |  FROM documents d JOIN dn USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT SUM(n_docs) AS nd, SUM(snll) AS stot FROM bs),
+        |e AS (
+        |  SELECT source, n_docs,
+        |    round(CAST(snll AS DOUBLE) / n_docs, 6) AS mean_nll,
+        |    round(CAST(snll AS DOUBLE) / n_docs
+        |      - CAST(tot.stot AS DOUBLE) / tot.nd, 6) AS excess
+        |  FROM bs CROSS JOIN tot),
+        |s AS (
+        |  SELECT source, n_docs, mean_nll, excess,
+        |    n_docs * CAST(round(exp(excess), 6) AS DECIMAL(18,6)) AS w1
+        |  FROM e),
+        |z AS (SELECT SUM(w1) AS z1, SUM(n_docs) AS ndt FROM s)
+        |SELECT s.source, s.n_docs, s.mean_nll, s.excess,
+        |  round(CAST(s.n_docs AS DOUBLE) / z.ndt, 6) AS share0,
+        |  round(CAST(s.w1 AS DOUBLE) / CAST(z.z1 AS DOUBLE), 6) AS share1
+        |FROM s CROSS JOIN z ORDER BY s.source""".stripMargin,
     // same once-rounded decimal α-power weights (exact decimal Z), same
     // shared double share/rate formulas, same (md5 + 1)/2^60 uniform
     "q_temp_sample" ->

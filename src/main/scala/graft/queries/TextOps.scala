@@ -273,10 +273,18 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
-  /** Whitespace vs BPE-ish token counts. */
+  /** Whitespace vs BPE-ish token counts. The pinned keyed repartition
+    * before the projection is the q_fuzzy_dist starvation fix again
+    * (r10 telemetry: 4.99 s wall ≈ 4.3 run core-s on the scan's 4
+    * tasks): the regexp_extract_all kernel is the whole cost and the
+    * parquet scan gives it almost no parallelism — one shuffle of the
+    * raw text buys a 32-way regex stage, and the final orderBy
+    * re-ranges either way. */
   def qTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
       .select($"doc_id",
         TextFunctions.tokenCount($"text").as("ws_tokens"),
         TextFunctions.bpeishTokenCount($"text").as("bpe_tokens"),

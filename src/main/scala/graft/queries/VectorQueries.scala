@@ -155,6 +155,49 @@ object VectorQueries extends QueryPack {
     * positive max-abs normalizer. Full-d is the identical plan with a
     * 4096-term fan-out; subsetting keeps the oracle's pairwise CTE
     * tractable. */
+  /** Int8 scalar quantization of the embedding store (the simple 4×
+    * compression path next to [[Similarity]]'s PQ/ADC 64× path): per-dim
+    * affine [min, max] → 0..255 grid over the leading 16 dims, with the
+    * reconstruction-error report that decides whether SQ suffices or PQ
+    * is needed. Scale shape: one map-side-partial per-dim min/max pass,
+    * a 16-row broadcast of the grids, then one partial-aggregable error
+    * pass — two corpus scans, no shuffle of the vectors. Determinism:
+    * min/max of identical doubles are identical; scale/code/recon are
+    * shared IEEE formulas (round() ties-away in both engines on the
+    * non-negative code argument); errors round once to 9dp into an
+    * exact DECIMAL sum. The zero-spread guard (scale = 0 → code 0,
+    * error 0) keeps a constant dimension from dividing by zero. */
+  def qQuantizeSq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = 16
+    val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val x = Tables.df(spark, sfDir, "embeddings")
+      .filter(size($"embedding") >= d)
+      .select(posexplode(slice($"embedding".cast("array<double>"), 1, d))
+        .as(Seq("k", "x")))
+    val grids = x.groupBy($"k")
+      .agg(min($"x").as("mn"), max($"x").as("mx"))
+      .select($"k", $"mn", $"mx", (($"mx" - $"mn") / 255.0).as("scale"))
+    x.join(broadcast(grids), "k")
+      .select($"k", $"mn", $"mx", $"scale",
+        when($"scale" === 0.0, lit(0.0))
+          .otherwise(round(($"x" - $"mn") / $"scale", 0)).as("code"), $"x")
+      .select($"k", $"mn", $"mx", $"scale",
+        abs($"x" - ($"mn" + $"code" * $"scale")).as("err"))
+      .groupBy($"k")
+      .agg(min($"mn").as("mn"), min($"mx").as("mx"),
+        min($"scale").as("scale"),
+        count(lit(1)).as("n"),
+        sum(round($"err", 9).cast(dec9)).as("serr"),
+        max($"err").as("maxerr"))
+      .select($"k".cast("int").as("dim"),
+        round($"mn", 6).as("mn"), round($"mx", 6).as("mx"),
+        round($"scale", 9).as("scale"),
+        round($"serr".cast("double") / $"n", 9).as("mean_abs_err"),
+        round($"maxerr", 9).as("max_abs_err"))
+      .orderBy($"dim")
+  }
+
   def qPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = 16
@@ -620,6 +663,7 @@ object VectorQueries extends QueryPack {
     "q_hard_negatives" -> qHardNegatives,
     "q_quantize" -> qQuantize,
     "q_pca_power" -> qPcaPower,
+    "q_quantize_sq" -> qQuantizeSq,
     "q_standardize" -> qStandardize,
     "q_lof" -> qLof,
     "q_ann_md5" -> qAnnMd5,
@@ -637,6 +681,34 @@ object VectorQueries extends QueryPack {
     // computes the identical exact cross-moment sums the Spark HOF outer
     // product emits; covariance and each normalization are the same
     // double formula rounded once to 9dp, so v3 matches bit-for-bit
+    // identical affine grid (raw-double min/max/scale), identical
+    // ties-away round() on the non-negative code, errors rounded once
+    // into an exact decimal sum; the same len>=16 filter as q_pca_power
+    "q_quantize_sq" ->
+      """WITH x AS (
+        |  SELECT r.k AS k, CAST(embedding[r.k + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(0, 16) r(k)
+        |  WHERE len(embedding) >= 16),
+        |mm AS (SELECT k, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+        |sc AS (SELECT k, mn, mx, (mx - mn) / 255.0 AS scale FROM mm),
+        |c AS (
+        |  SELECT x.k, sc.mn, sc.mx, sc.scale,
+        |    abs(x.x - (sc.mn + (CASE WHEN sc.scale = 0 THEN 0.0
+        |      ELSE round((x.x - sc.mn) / sc.scale, 0) END) * sc.scale))
+        |      AS err
+        |  FROM x JOIN sc USING (k)),
+        |a AS (
+        |  SELECT k, mn, mx, scale, count(*) AS n,
+        |    SUM(CAST(round(err, 9) AS DECIMAL(20,9))) AS serr,
+        |    max(err) AS maxerr
+        |  FROM c GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(k AS INT) AS dim,
+        |  round(mn, 6) AS mn, round(mx, 6) AS mx,
+        |  round(scale, 9) AS scale,
+        |  round(CAST(serr AS DOUBLE) / n, 9) AS mean_abs_err,
+        |  round(maxerr, 9) AS max_abs_err
+        |FROM a ORDER BY dim""".stripMargin,
+
     "q_pca_power" ->
       """WITH x AS (
         |  SELECT vec_id, CAST(r.k AS INT) AS k,

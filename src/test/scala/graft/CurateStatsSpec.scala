@@ -577,4 +577,31 @@ class CurateStatsSpec extends SparkSpec {
     assert(byName("l_quantity").getAs[Double]("min_num") >= 0.0)
     assert(byName("l_returnflag").getAs[String]("min_str") != null)
   }
+
+  test("banding advisor: S-curve orders by bands and theory tracks measurement") {
+    val rows = graft.queries.CurateOps.qMinhashBands(spark, sf).collect()
+      .map(r => ((r.getAs[Int]("b"), r.getAs[Int]("r")),
+        (r.getAs[Double]("p70"), r.getAs[Double]("exp_recall07")))).toMap
+    assert(rows.size == 12)
+    // fixed 16-perm budget: more bands (shorter rows) must raise the
+    // candidate probability at every J — the S-curve's defining tradeoff
+    val p70of16 = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+      .map(k => rows(k)._1)
+    assert(p70of16 == p70of16.sorted.reverse,
+      s"P(0.7) must fall as bands give way to rows: $p70of16")
+    // every probability and expected recall is a probability
+    rows.values.foreach { case (p, er) =>
+      assert(p >= 0.0 && p <= 1.0)
+      assert(er >= 0.0 && er <= 1.0)
+    }
+    // the SHIPPED 4-band × 2-row config: independence THEORY on the
+    // observed pair distribution must track the MEASURED md5 recall
+    // (q_minhash_eval) — both deterministic on this fixture; a large gap
+    // means the advisor grid or the eval is miswired
+    val theory = rows((4, 2))._2
+    val measured = graft.queries.CurateOps.qMinhashEval(spark, sf)
+      .collect().head.getAs[Double]("recall07")
+    assert(math.abs(theory - measured) < 0.15,
+      s"theoretical expected recall $theory vs measured $measured")
+  }
 }

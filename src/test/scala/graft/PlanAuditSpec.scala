@@ -63,6 +63,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), "pair stream is windows, not a self-join")
   }
 
+  test("scalar quantization broadcasts the 16-row grid, never shuffles vectors") {
+    val plan = planOf(graft.queries.VectorQueries.qQuantizeSq(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-dim grid must broadcast into the error pass:\n" +
+        plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "joining the exploded corpus to a 16-row grid must never " +
+        "shuffle the corpus side:\n" + plan.take(600))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("session funnel: one window pass, stage joins keyed on (user, sid)") {
+    val plan = planOf(graft.queries.EventOps.qFunnelSessions(spark, sf))
+    // exactly one Window operator family: lag + running sum share the
+    // (user_id, ts) window; the staged gates are aggregates + equi-joins
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows <= 2,
+      s"session assignment must be ONE window pass (lag + sum can share " +
+        s"or stack in the same exchange), found $windows:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      "funnel gates must stay equi-joins:\n" + plan.take(600))
+  }
+
+  test("banding advisor: grid broadcasts over the pair relation") {
+    val plan = planOf(graft.queries.CurateOps.qMinhashBands(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "the 12-row grid fan-out must be a broadcast replicate, not a " +
+        "cartesian:\n" + plan.take(600))
+  }
+
   test("pca: moment relations broadcast into the iteration, no corpus join") {
     val plan = planOf(graft.queries.VectorQueries.qPcaPower(spark, sf))
     assert(plan.contains("BroadcastHashJoin") ||
