@@ -421,11 +421,15 @@ object CurateOps extends QueryPack {
     * recompute is one (cid, d)-keyed aggregation. No window over the
     * corpus, no collect — the same plan runs at any corpus size (k-means++
     * init and more iterations change constants, not shape). */
-  def qKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (vec_id, cid) assignment after 2 deterministic Lloyd iterations —
+    * shared by [[qKmeans]] (which reports cluster composition) and
+    * [[qSemdedup]] (which prunes within the clusters). See [[qKmeans]] for
+    * the determinism and scale-shape notes. */
+  private def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val k = 4
     val emb = Tables.df(spark, sfDir, "embeddings")
-      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     // deliberately NOT checkpointed/cached: the unrolled plan re-reads
     // dims 5x, but re-deriving scan+posexplode measured the same as a
     // localCheckpoint materialization (the NB-classifier lesson again —
@@ -460,7 +464,13 @@ object CurateOps extends QueryPack {
 
     val a1 = assign(c0)
     val c1 = recompute(a1)
-    val a2 = assign(c1)
+    assign(c1)
+  }
+
+  def qKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val a2 = kmeansAssign(spark, sfDir)
 
     val byLab = a2.join(emb.select($"vec_id", $"label"), "vec_id")
       .groupBy($"cid", $"label").agg(count(lit(1)).as("label_n"))
@@ -471,6 +481,50 @@ object CurateOps extends QueryPack {
       .filter($"rk" === 1)
       .select($"cid", $"n", $"label".as("top_label"), $"label_n".as("top_n"))
       .orderBy($"cid")
+  }
+
+  // ---- q_semdedup --------------------------------------------------------
+  /** SemDeDup-shape semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means partitions the embedding space, then the cosine-threshold
+    * prune runs ONLY within clusters — pairwise work drops from n² to
+    * Σ n_c², the whole point of the method at corpus scale. Survivorship
+    * is keep-lowest-id per qualifying pair, matching q_dedup_embedding's
+    * policy so the two disagree only where a near-dup pair straddles a
+    * cluster boundary (the documented, measured recall cost of the
+    * approximation — SemdedupSpec pins dropped_sem ⊆ dropped_brute and a
+    * recall floor against the exact q_dedup_embedding truth).
+    *
+    * Scale shape: the pair join is an EQUI-join on cid (each side
+    * pre-partitioned by cid), so candidates shuffle by cluster key and the
+    * per-task working set is one cluster's vectors — never an all-pairs
+    * nested loop. Cosine is the codegen'd native expression rounded once
+    * to 6dp (cross-engine exact, as q_dedup_embedding established); the
+    * k-means assignment is the deterministic [[kmeansAssign]] chain, so
+    * the whole output hash-checks against DuckDB. */
+  def qSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val asg = kmeansAssign(spark, sfDir)
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val v = emb.select($"vec_id", $"embedding").join(asg, "vec_id")
+    val a = v.select($"cid", $"vec_id".as("id1"), $"embedding".as("v1"))
+      .repartition(Tables.shufflePartitions(spark), $"cid")
+    val b = v.select($"cid", $"vec_id".as("id2"), $"embedding".as("v2"))
+    val pairs = a.join(b, "cid")
+      .filter($"id1" < $"id2")
+      .withColumn("sim", round(expr("cosine_similarity(v1, v2)"), 6))
+      // τ = 0.4: the fixture embeddings are near-isotropic (max pairwise
+      // cosine ≈ 0.6), so the production-typical 0.9x thresholds match
+      // nothing; 0.4 yields a real pair graph (59 pairs / sf0.01) while
+      // keeping the plan identical to what any τ would run
+      .filter($"sim" >= 0.4)
+    val dropped = pairs.select($"id2".as("vec_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    v.select($"vec_id", $"cid")
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cid",
+        coalesce(!$"__dropped", lit(true)).as("keep"))
+      .orderBy($"vec_id")
   }
 
   // ---- q_boilerplate -----------------------------------------------------
@@ -523,6 +577,7 @@ object CurateOps extends QueryPack {
     "q_canonical" -> qCanonical,
     "q_dedup_savings" -> qDedupSavings,
     "q_kmeans" -> qKmeans,
+    "q_semdedup" -> qSemdedup,
     "q_boilerplate" -> qBoilerplate,
     "q_dup_spans" -> qDupSpans,
     "q_split_leakproof" -> qSplitLeakproof
@@ -820,40 +875,7 @@ object CurateOps extends QueryPack {
     // division; DuckDB's row_number stands in for Spark's min(struct)
     // argmin — both compute argmin by (dist, cid)
     "q_kmeans" ->
-      """WITH v AS (
-        |  SELECT vec_id, label, r.d,
-        |    CAST(embedding[r.d + 1] AS DOUBLE) AS x
-        |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
-        |seeds AS (
-        |  SELECT vec_id, row_number() OVER (
-        |    ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) AS cid
-        |  FROM embeddings),
-        |c0 AS (
-        |  SELECT s.cid, v.d, v.x AS c
-        |  FROM v JOIN seeds s ON s.vec_id = v.vec_id WHERE s.cid <= 4),
-        |t1 AS (
-        |  SELECT v.vec_id, c.cid,
-        |    SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9)
-        |      AS DECIMAL(20,9))) AS dist
-        |  FROM v JOIN c0 c ON c.d = v.d GROUP BY 1, 2),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cid) AS rk FROM t1) WHERE rk = 1),
-        |c1 AS (
-        |  SELECT a.cid, v.d,
-        |    CAST(SUM(CAST(round(v.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |      / count(*) AS c
-        |  FROM v JOIN a1 a ON a.vec_id = v.vec_id GROUP BY 1, 2),
-        |t2 AS (
-        |  SELECT v.vec_id, c.cid,
-        |    SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9)
-        |      AS DECIMAL(20,9))) AS dist
-        |  FROM v JOIN c1 c ON c.d = v.d GROUP BY 1, 2),
-        |a2 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cid) AS rk FROM t2) WHERE rk = 1),
+      (kmeansAsgSql + """,
         |bylab AS (
         |  SELECT a.cid, e.label, count(*) AS label_n
         |  FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id
@@ -867,6 +889,62 @@ object CurateOps extends QueryPack {
         |      ORDER BY label_n DESC, label ASC) AS rk
         |  FROM bylab)
         |WHERE rk = 1
-        |ORDER BY cid""".stripMargin
+        |ORDER BY cid""".stripMargin),
+
+    // the same assignment chain; pairs joined within cluster only, the
+    // same keep-lowest-id policy and 6dp cosine round as q_dedup_embedding
+    "q_semdedup" ->
+      (kmeansAsgSql + """,
+        |pairs AS (
+        |  SELECT x.vec_id AS id1, y.vec_id AS id2,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  JOIN embeddings a ON a.vec_id = x.vec_id
+        |  JOIN embeddings b ON b.vec_id = y.vec_id)
+        |SELECT e.vec_id, CAST(g.cid AS INT) AS cid,
+        |  e.vec_id NOT IN (SELECT id2 FROM pairs WHERE sim >= 0.4) AS keep
+        |FROM embeddings e JOIN a2 g ON g.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin)
   )
+
+  /** The 2-Lloyd-iteration deterministic assignment CTE chain (WITH v …
+    * a2), shared by the q_kmeans and q_semdedup oracles so the assignment
+    * rule cannot drift between them — mirrors [[kmeansAssign]] exactly. */
+  // lazy: referenced by the oracle map above, which initializes first
+  private lazy val kmeansAsgSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, r.d,
+      |    CAST(embedding[r.d + 1] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+      |seeds AS (
+      |  SELECT vec_id, row_number() OVER (
+      |    ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) AS cid
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT s.cid, v.d, v.x AS c
+      |  FROM v JOIN seeds s ON s.vec_id = v.vec_id WHERE s.cid <= 4),
+      |t1 AS (
+      |  SELECT v.vec_id, c.cid,
+      |    SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9)
+      |      AS DECIMAL(20,9))) AS dist
+      |  FROM v JOIN c0 c ON c.d = v.d GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cid) AS rk FROM t1) WHERE rk = 1),
+      |c1 AS (
+      |  SELECT a.cid, v.d,
+      |    CAST(SUM(CAST(round(v.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |      / count(*) AS c
+      |  FROM v JOIN a1 a ON a.vec_id = v.vec_id GROUP BY 1, 2),
+      |t2 AS (
+      |  SELECT v.vec_id, c.cid,
+      |    SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9)
+      |      AS DECIMAL(20,9))) AS dist
+      |  FROM v JOIN c1 c ON c.d = v.d GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cid) AS rk FROM t2) WHERE rk = 1)""".stripMargin
 }

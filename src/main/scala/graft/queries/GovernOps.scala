@@ -341,7 +341,51 @@ object GovernOps extends QueryPack {
       .orderBy($"src1", $"src2")
   }
 
+  // ---- q_kanonymity ------------------------------------------------------
+  /** k-anonymity risk audit (Sweeney IJUFKS'02) over the customer table's
+    * quasi-identifiers — the release-governance check a training set
+    * containing user-derived records runs before shipping: at each
+    * generalization level of the QI tuple (full: segment × nation ×
+    * account-balance band; drop the band; segment only) and each k ∈
+    * {2, 5, 10}, how many equivalence classes are smaller than k and what
+    * fraction of ROWS those classes expose. Rising generalization must
+    * drive risk to zero — the report shows where on that ladder the
+    * data becomes releasable.
+    *
+    * Scale shape: one keyed partial-agg per level builds the class-size
+    * relation (vocabulary-thin — bounded by the QI domain, not the row
+    * count); the k fan-out and the risk aggregate run on that thin
+    * relation only. The corpus is scanned three times and never shuffled
+    * wider than its distinct QI tuples; a single-scan variant via one
+    * ROLLUP is possible but couples the levels' key sets — three explicit
+    * aggs keep the ladder arbitrary. Risk fraction is one double division
+    * of exact integers, rounded once. */
+  def qKanonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.df(spark, sfDir, "customer")
+      .select($"c_mktsegment".as("seg"), $"c_nationkey".as("nat"),
+        floor($"c_acctbal" / 1000).as("bal_bin"))
+    def classSizes(level: Int, keys: Seq[String]): DataFrame =
+      cust.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .select(lit(level).as("level"), $"cnt")
+    val sizes = classSizes(0, Seq("seg", "nat", "bal_bin"))
+      .unionAll(classSizes(1, Seq("seg", "nat")))
+      .unionAll(classSizes(2, Seq("seg")))
+    sizes
+      .select($"level", $"cnt",
+        explode(array(lit(2), lit(5), lit(10))).as("k"))
+      .groupBy($"level", $"k")
+      .agg(count(lit(1)).as("classes"),
+        sum(when($"cnt" < $"k", 1L).otherwise(0L)).as("classes_at_risk"),
+        sum($"cnt").as("rows_total"),
+        sum(when($"cnt" < $"k", $"cnt").otherwise(0L)).as("rows_at_risk"))
+      .withColumn("risk_frac",
+        round($"rows_at_risk".cast("double") / $"rows_total", 6))
+      .orderBy($"level", $"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanonymity" -> qKanonymity,
     "q_kl_sources" -> qKlSources,
     "q_source_overlap" -> qSourceOverlap,
     "q_minhash_source" -> qMinhashSource,
@@ -366,6 +410,31 @@ object GovernOps extends QueryPack {
        |  FROM (SELECT source, $toksSql AS T FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_kanonymity" ->
+      """WITH c0 AS (
+        |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin
+        |  FROM customer),
+        |s AS (
+        |  SELECT 0 AS level, count(*) AS cnt FROM c0
+        |    GROUP BY seg, nat, bal_bin
+        |  UNION ALL
+        |  SELECT 1, count(*) FROM c0 GROUP BY seg, nat
+        |  UNION ALL
+        |  SELECT 2, count(*) FROM c0 GROUP BY seg),
+        |ks AS (SELECT unnest([2, 5, 10]) AS k)
+        |SELECT level, k,
+        |  count(*) AS classes,
+        |  CAST(SUM(CASE WHEN cnt < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_at_risk,
+        |  CAST(SUM(cnt) AS BIGINT) AS rows_total,
+        |  CAST(SUM(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  round(CAST(SUM(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / SUM(cnt), 6) AS risk_frac
+        |FROM s CROSS JOIN ks
+        |GROUP BY level, k
+        |ORDER BY level, k""".stripMargin,
     // same Laplace smoothing over the global vocab, same once-rounded
     // DECIMAL(18,9) p·ln(p/q) terms (Spark log == DuckDB ln), exact sums
     "q_kl_sources" ->

@@ -434,7 +434,86 @@ object PipelineOps extends QueryPack {
     (conv(substring(md5(concat(lit("ts:"), docId.cast("string"))),
       1, 15), 16, 10).cast("long") + 1) / lit(1152921504606846976.0)
 
+  // ---- q_truncation_loss -------------------------------------------------
+  /** Context-length truncation report — what a fixed max-sequence-length
+    * policy costs, per source, at three candidate context lengths (32 /
+    * 64 / 128 tokens around the fixture's 10–99-token docs): documents
+    * clipped, tokens lost, and the loss fraction. This is the report that
+    * picks a training context length (or flags sources needing chunking
+    * instead of truncation — compare q_chunk_overlap, which keeps the
+    * tail this policy discards).
+    *
+    * Scale shape: one per-row token count (no explode to token level), a
+    * constant ×3 capacity fan-out, and one (source, cap)-keyed partial-agg
+    * — the corpus is scanned once and never shuffled wider than the
+    * 60-row report. Loss fraction is ONE double division of exact-integer
+    * sums, rounded once to 6dp. */
+  def qTruncationLoss(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .select($"source",
+        size(graft.functions.TextFunctions.tokens($"text"))
+          .cast("long").as("n_tok"))
+    docs
+      .select($"source", $"n_tok",
+        explode(array(lit(32), lit(64), lit(128))).as("cap"))
+      .groupBy($"source", $"cap")
+      .agg(count(lit(1)).as("docs"),
+        sum(when($"n_tok" > $"cap", 1L).otherwise(0L)).as("docs_truncated"),
+        sum($"n_tok").as("tokens_total"),
+        sum(greatest($"n_tok" - $"cap", lit(0L))).as("tokens_lost"))
+      .withColumn("loss_frac",
+        round($"tokens_lost".cast("double") / $"tokens_total", 6))
+      .orderBy($"source", $"cap")
+  }
+
+  // ---- q_curriculum ------------------------------------------------------
+  /** Curriculum-learning phase assignment (easy→hard ordering shapes,
+    * cf. Bengio et al. ICML'09): each document's difficulty proxy is its
+    * type-token ratio (distinct/total tokens — low TTR = repetitive =
+    * easy), phases are the proxy's exact quartiles, and the report gives
+    * per-phase document/token budgets — the schedule a staged training
+    * run consumes.
+    *
+    * Scale shape: the proxy is a per-row HOF projection (no token
+    * explode); quartile boundaries come from the DISTRIBUTED exact-
+    * quantile kernel (operators/Quantiles.scala — histogram-refine, never
+    * a global sort or single-group percentile buffer), collected into a
+    * 1-row array and broadcast into a map-side 3-comparison phase
+    * projection (the q_bin_quantile discipline: boundaries 6dp-rounded so
+    * the comparison is over deterministic doubles; ties at a boundary all
+    * land in one phase). The final aggregate is 4 rows. */
+  def qCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .filter(size($"tk") > 0)
+      .select($"doc_id", size($"tk").cast("long").as("n_tok"),
+        round(size(array_distinct($"tk")).cast("double") / size($"tk"), 6)
+          .as("diff"))
+    val bounds = graft.operators.Quantiles
+      .exactQuantiles(docs, $"diff", Seq(0.25, 0.5, 0.75))
+      .agg(array_sort(collect_list(round($"b", 6))).as("bs"))
+    val phaseExpr = (1 to 3)
+      .map(i => when($"diff" > element_at($"bs", i), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    docs.crossJoin(broadcast(bounds))
+      .select($"diff", $"n_tok", phaseExpr.as("phase"))
+      .groupBy($"phase")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"diff").as("min_diff"), max($"diff").as("max_diff"),
+        sum($"diff".cast(dec6)).as("sd"),
+        sum($"n_tok").as("tokens"))
+      .withColumn("mean_diff", round($"sd".cast("double") / $"n_docs", 6))
+      .select($"phase", $"n_docs", $"min_diff", $"max_diff", $"mean_diff",
+        $"tokens")
+      .orderBy($"phase")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_truncation_loss" -> qTruncationLoss,
+    "q_curriculum" -> qCurriculum,
     "q_mix_reweight" -> qMixReweight,
     "q_temp_sample" -> qTempSample,
     "q_cdc_savings" -> qCdcSavings,
@@ -491,6 +570,56 @@ object PipelineOps extends QueryPack {
       |  FROM s GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // exact-integer sums; the one double division rounded once, guarded
+    // NULL on a zero token total (no such source in the fixture)
+    "q_truncation_loss" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT unnest([32, 64, 128]) AS cap)
+        |SELECT source, cap,
+        |  count(*) AS docs,
+        |  CAST(SUM(CASE WHEN n_tok > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_truncated,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN n_tok > cap THEN n_tok - cap ELSE 0 END)
+        |    AS BIGINT) AS tokens_lost,
+        |  round(CAST(SUM(CASE WHEN n_tok > cap THEN n_tok - cap ELSE 0 END)
+        |    AS DOUBLE) / SUM(n_tok), 6) AS loss_frac
+        |FROM d CROSS JOIN c
+        |GROUP BY source, cap
+        |ORDER BY source, cap""".stripMargin,
+
+    // quantile_cont boundaries rounded to 6dp before the comparison (the
+    // q_bin_quantile discipline — absorbs kernel-vs-quantile_cont double
+    // drift); phase = 1 + #{boundaries strictly below diff}
+    "q_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |    round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+        |      AS diff
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x != '')
+        |            AS tk
+        |        FROM documents)
+        |  WHERE len(tk) > 0),
+        |b AS (
+        |  SELECT list_transform(
+        |    quantile_cont(diff, [0.25, 0.5, 0.75]), x -> round(x, 6)) AS bs
+        |  FROM d),
+        |p AS (
+        |  SELECT diff, n_tok,
+        |    1 + CAST(len(list_filter(bs, x -> diff > x)) AS INT) AS phase
+        |  FROM d CROSS JOIN b)
+        |SELECT phase, count(*) AS n_docs,
+        |  min(diff) AS min_diff, max(diff) AS max_diff,
+        |  round(CAST(SUM(CAST(round(diff, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_diff,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens
+        |FROM p GROUP BY phase ORDER BY phase""".stripMargin,
+
     // the q_perplexity unigram-LM discipline (log-probs and per-doc
     // NLLs rounded once to DECIMAL(18,6) so sums are exact), then
     // S-row arithmetic with exp() rounded once and exact normalizers
