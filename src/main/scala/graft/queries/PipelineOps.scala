@@ -511,7 +511,58 @@ object PipelineOps extends QueryPack {
       .orderBy($"phase")
   }
 
+  // ---- q_mix_unimax ------------------------------------------------------
+  /** UniMax mixture allocation (Chung et al., 2023, arXiv:2304.09151
+    * shape): a token budget B = 1.9 × corpus tokens is spread as
+    * uniformly as possible across sources subject to an epoch cap C = 2
+    * (no source repeats more than twice) — the mixing policy that avoids
+    * both temperature sampling's overweighting of tiny sources and
+    * uniform sampling's starvation of them. Exact water-filling: sources
+    * ascending by size, a source is capped while its cap C·n sits below
+    * the running water level (budget left after capping every smaller
+    * source, shared by the rest); everyone else gets the final level τ*.
+    *
+    * Scale shape: the corpus collapses to an S-row (source, tokens)
+    * partial-agg; ranking, the running-AND capping scan, and the water
+    * level all run on that S-row relation (the unpartitioned windows see
+    * S rows, never the corpus); the 1-row τ* broadcasts back. Shared
+    * IEEE formulas with the 6dp-round-before-compare discipline, so the
+    * capped set — an inherently sequential decision — is still
+    * cross-engine exact. */
+  def qMixUnimax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bySrc = Tables.df(spark, sfDir, "documents")
+      .select($"source",
+        size(graft.functions.TextFunctions.tokens($"text"))
+          .cast("long").as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("n"))
+    val tot = bySrc.agg(sum($"n").as("T"), count(lit(1)).as("S"))
+    val w = Window.orderBy($"n", $"source")
+    val ranked = bySrc.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("c", sum($"n").over(w))
+      .withColumn("tau_prev",
+        (lit(1.9) * $"T" - lit(2.0) * ($"c" - $"n")) / ($"S" - $"i" + 1))
+      .withColumn("cap_here", lit(2.0) * $"n" <= round($"tau_prev", 6))
+      .withColumn("capped",
+        min(when($"cap_here", 1).otherwise(0)).over(w) === 1)
+    val water = ranked.groupBy()
+      .agg(first($"T").as("T"), first($"S").as("S"),
+        sum(when($"capped", 1L).otherwise(0L)).as("k"),
+        sum(when($"capped", $"n").otherwise(0L)).as("cs"))
+      .select(round((lit(1.9) * $"T" - lit(2.0) * $"cs") / ($"S" - $"k"), 6)
+        .as("tau_star"))
+    ranked.crossJoin(broadcast(water))
+      .select($"source", $"n".as("n_tok"), $"capped",
+        round(when($"capped", lit(2.0) * $"n").otherwise($"tau_star"), 2)
+          .as("alloc_tokens"),
+        when($"capped", lit(2.0))
+          .otherwise(round($"tau_star" / $"n", 6)).as("epochs"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_unimax" -> qMixUnimax,
     "q_truncation_loss" -> qTruncationLoss,
     "q_curriculum" -> qCurriculum,
     "q_mix_reweight" -> qMixReweight,
@@ -570,6 +621,45 @@ object PipelineOps extends QueryPack {
       |  FROM s GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // identical ascending scan, 6dp-rounded water-level comparisons and
+    // the same running-AND prefix capping
+    "q_mix_unimax" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x != ''))) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS T, count(*) AS S FROM s),
+        |r AS (
+        |  SELECT s.source, s.n, t.T, t.S,
+        |    row_number() OVER (ORDER BY s.n, s.source) AS i,
+        |    SUM(s.n) OVER (ORDER BY s.n, s.source
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM s CROSS JOIN t),
+        |p AS (
+        |  SELECT *,
+        |    CASE WHEN 2.0 * n <=
+        |        round((1.9 * T - 2.0 * (c - n)) / (S - i + 1), 6)
+        |      THEN 1 ELSE 0 END AS cap_here
+        |  FROM r),
+        |q AS (
+        |  SELECT *, min(cap_here) OVER (ORDER BY i
+        |    ROWS UNBOUNDED PRECEDING) = 1 AS capped
+        |  FROM p),
+        |wl AS (
+        |  SELECT round((1.9 * any_value(T)
+        |      - 2.0 * SUM(CASE WHEN capped THEN n ELSE 0 END))
+        |    / (any_value(S) - SUM(CASE WHEN capped THEN 1 ELSE 0 END)), 6)
+        |    AS tau_star
+        |  FROM q)
+        |SELECT source, n AS n_tok, capped,
+        |  round(CASE WHEN capped THEN 2.0 * n ELSE tau_star END, 2)
+        |    AS alloc_tokens,
+        |  CASE WHEN capped THEN 2.0 ELSE round(tau_star / n, 6) END
+        |    AS epochs
+        |FROM q CROSS JOIN wl
+        |ORDER BY source""".stripMargin,
+
     // exact-integer sums; the one double division rounded once, guarded
     // NULL on a zero token total (no such source in the fixture)
     "q_truncation_loss" ->

@@ -341,6 +341,14 @@ object VectorQueries extends QueryPack {
 
   def qAnnMd5(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    annMd5Pairs(spark, sfDir).orderBy($"id1", $"id2")
+  }
+
+  /** The md5-deterministic LSH pair list (id1, id2, sim ≥ 0.25) backing
+    * [[qAnnMd5]] and evaluated against exact truth by [[qAnnEval]]. */
+  private[graft] def annMd5Pairs(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.df(spark, sfDir, "embeddings")
       .filter($"vec_id" % 2 === 0)
@@ -389,7 +397,44 @@ object VectorQueries extends QueryPack {
       .select($"id1", $"id2",
         round(expr("cosine_similarity(e1, e2)"), 6).as("sim"))
       .filter($"sim" >= 0.25)
-      .orderBy($"id1", $"id2")
+  }
+
+  // ---- q_ann_eval --------------------------------------------------------
+  /** ANN index quality gate — the q_minhash_eval analog for the vector
+    * side: the md5-deterministic LSH's verified pairs measured against
+    * the EXACT cosine ≥ 0.25 truth over the same subset, per similarity
+    * decile. Precision is 1.0 by construction (candidates are exact-
+    * verified); what the index can lose is recall, and the report prices
+    * it per band BEFORE anyone trusts the routing at corpus scale. On
+    * this near-isotropic fixture it reads 0.09 → 0.19 rising with
+    * cosine — exactly the sign-random-projection S-curve
+    * P = 1−(1−(1−θ/π)⁸)⁸ predicts for 0.25–0.5 similarities, i.e. the
+    * gate FIRES: an 8×8-bit config is not a weak-similarity retrieval
+    * index (at dup-detection cosines ≥ 0.9 the same curve clears 0.9).
+    * The q_minhash_eval story, vector-side: measure the sketch against
+    * exact truth, deterministically, so the verdict itself hash-checks.
+    *
+    * Scale shape: truth is the documented-honest O(n²) verify on the
+    * audited subset (an EVALUATION op prices its own ground truth — the
+    * q_minhash_eval precedent); the ANN arm reuses the production bucket
+    * equi-join; the comparison is one pair-keyed left join + a ≤5-row
+    * aggregate. */
+  def qAnnEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sub = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 2 === 0)
+    val truth = Similarity.cosinePairsBrute(sub, 0.25)
+    val ann = annMd5Pairs(spark, sfDir)
+      .select($"id1", $"id2", lit(true).as("found"))
+    truth.join(ann, Seq("id1", "id2"), "left")
+      .select(floor($"sim" * 10).cast("int").as("band"),
+        coalesce($"found", lit(false)).as("found"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when($"found", 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall",
+        round($"n_found".cast("double") / $"n_truth", 6))
+      .orderBy($"band")
   }
 
   // ---- q_quantize --------------------------------------------------------
@@ -667,6 +712,7 @@ object VectorQueries extends QueryPack {
     "q_standardize" -> qStandardize,
     "q_lof" -> qLof,
     "q_ann_md5" -> qAnnMd5,
+    "q_ann_eval" -> qAnnEval,
     "q_knn_cosine" -> qKnnCosine,
     "q_knn_classify" -> qKnnClassify,
     "q_ann_lsh" -> qAnnLsh,
@@ -955,38 +1001,31 @@ object VectorQueries extends QueryPack {
     // so bucket keys match bit-for-bit; the rerank reuses the established
     // CAST(... AS DOUBLE[]) cosine + round(6) pattern
     "q_ann_md5" ->
-      """WITH dims AS (
-        |  SELECT vec_id, r.d, CAST(embedding[r.d + 1] AS DOUBLE) AS x
-        |  FROM embeddings CROSS JOIN range(0, 64) r(d)
-        |  WHERE vec_id % 2 = 0),
-        |terms AS (
-        |  SELECT vec_id, t.i // 8 AS tbl, t.i,
-        |    CAST(round(round(x * ((('0x' || substr(md5(t.i::VARCHAR || ':'
-        |        || d::VARCHAR), 1, 15))::BIGINT
-        |      / CAST(576460752303423488 AS DOUBLE)) - 1.0), 9)
-        |      * CAST(1000000000 AS DOUBLE), 0) AS BIGINT) AS term
-        |  FROM dims CROSS JOIN range(0, 64) t(i)),
-        |bits AS (
-        |  SELECT vec_id, tbl, i, SUM(term) > 0 AS bit
-        |  FROM terms GROUP BY vec_id, tbl, i),
-        |keys AS (
-        |  SELECT vec_id, tbl,
-        |    SUM(CASE WHEN bit THEN (1::BIGINT << (i % 8))
-        |        ELSE 0 END)::BIGINT AS bk
-        |  FROM bits GROUP BY vec_id, tbl),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-        |  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bk = b.bk
-        |    AND a.vec_id < b.vec_id)
-        |SELECT id1, id2, round(list_cosine_similarity(
-        |    CAST(ea.embedding AS DOUBLE[]),
-        |    CAST(eb.embedding AS DOUBLE[])), 6) AS sim
-        |FROM cand JOIN embeddings ea ON ea.vec_id = id1
-        |JOIN embeddings eb ON eb.vec_id = id2
-        |WHERE round(list_cosine_similarity(
-        |    CAST(ea.embedding AS DOUBLE[]),
-        |    CAST(eb.embedding AS DOUBLE[])), 6) >= 0.25
-        |ORDER BY id1, id2""".stripMargin,
+      (annMd5CtesSql + """
+        |SELECT id1, id2, sim FROM ann
+        |ORDER BY id1, id2""".stripMargin),
+
+    // the same LSH chain; exact truth over the same even-id subset;
+    // per-decile recall = one pair-keyed left join + a tiny aggregate
+    "q_ann_eval" ->
+      (annMd5CtesSql + """,
+        |truth AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+        |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) >= 0.25)
+        |SELECT CAST(floor(t.sim * 10) AS INT) AS band,
+        |  count(*) AS n_truth,
+        |  CAST(SUM(CASE WHEN n.id1 IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_found,
+        |  round(CAST(SUM(CASE WHEN n.id1 IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS recall
+        |FROM truth t
+        |LEFT JOIN ann n ON n.id1 = t.id1 AND n.id2 = t.id2
+        |GROUP BY band ORDER BY band""".stripMargin),
     "q_knn_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -1066,4 +1105,41 @@ object VectorQueries extends QueryPack {
         |ORDER BY doc_id, frame_idx""".stripMargin
     // q_ann_lsh: rows-only (seeded LSH bucketing)
   )
+
+  /** The md5-LSH chain through verified pairs (WITH dims … ann), shared
+    * by the q_ann_md5 and q_ann_eval oracles so the index definition
+    * cannot drift from its own evaluation — mirrors [[annMd5Pairs]]. */
+  private lazy val annMd5CtesSql: String =
+    """WITH dims AS (
+      |  SELECT vec_id, r.d, CAST(embedding[r.d + 1] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN range(0, 64) r(d)
+      |  WHERE vec_id % 2 = 0),
+      |terms AS (
+      |  SELECT vec_id, t.i // 8 AS tbl, t.i,
+      |    CAST(round(round(x * ((('0x' || substr(md5(t.i::VARCHAR || ':'
+      |        || d::VARCHAR), 1, 15))::BIGINT
+      |      / CAST(576460752303423488 AS DOUBLE)) - 1.0), 9)
+      |      * CAST(1000000000 AS DOUBLE), 0) AS BIGINT) AS term
+      |  FROM dims CROSS JOIN range(0, 64) t(i)),
+      |bits AS (
+      |  SELECT vec_id, tbl, i, SUM(term) > 0 AS bit
+      |  FROM terms GROUP BY vec_id, tbl, i),
+      |keys AS (
+      |  SELECT vec_id, tbl,
+      |    SUM(CASE WHEN bit THEN (1::BIGINT << (i % 8))
+      |        ELSE 0 END)::BIGINT AS bk
+      |  FROM bits GROUP BY vec_id, tbl),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bk = b.bk
+      |    AND a.vec_id < b.vec_id),
+      |ann AS (
+      |  SELECT id1, id2, round(list_cosine_similarity(
+      |      CAST(ea.embedding AS DOUBLE[]),
+      |      CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM cand JOIN embeddings ea ON ea.vec_id = id1
+      |  JOIN embeddings eb ON eb.vec_id = id2
+      |  WHERE round(list_cosine_similarity(
+      |      CAST(ea.embedding AS DOUBLE[]),
+      |      CAST(eb.embedding AS DOUBLE[])), 6) >= 0.25)""".stripMargin
 }

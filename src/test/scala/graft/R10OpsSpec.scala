@@ -87,6 +87,56 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_ann_eval --------------------------------------------------------
+
+  test("ann eval: index pairs are sound (subset of exact truth) and " +
+      "recall follows the S-curve upward") {
+    val emb = Tables.df(spark, sf, "embeddings").filter($"vec_id" % 2 === 0)
+    val truth = graft.operators.Similarity.cosinePairsBrute(emb, 0.25)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val ann = graft.queries.VectorQueries.qAnnMd5(spark, sf)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(ann.subsetOf(truth), "verified LSH pairs must all be true pairs")
+    val bands = graft.queries.VectorQueries.qAnnEval(spark, sf)
+      .select($"band", $"n_truth", $"n_found", $"recall")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(bands.map(_._3).sum == ann.size,
+      "per-band found counts must account for every index pair")
+    bands.foreach { case (b, nt, nf, r) =>
+      assert(nf <= nt, s"band $b: found $nf exceeds truth $nt") }
+    // the sign-random-projection S-curve rises with cosine: the strongest
+    // band must beat the weakest (0.095 -> 0.190 measured at sf0.01)
+    assert(bands.last._4 > bands.head._4,
+      "recall must improve from the weakest to the strongest band")
+  }
+
+  // ---- q_mix_unimax ------------------------------------------------------
+
+  test("unimax: budget exhausted, caps respected, capped set is an " +
+      "ascending prefix") {
+    val rows = PipelineOps.qMixUnimax(spark, sf)
+      .select($"source", $"n_tok", $"capped", $"alloc_tokens", $"epochs")
+      .as[(String, Long, Boolean, Double, Double)].collect()
+    val total = rows.map(_._2).sum
+    val budget = 1.9 * total
+    val allocated = rows.map(_._4).sum
+    assert(math.abs(allocated - budget) < 1.0,
+      s"water-filling must exhaust the budget: $allocated vs $budget")
+    rows.foreach { case (s, n, capped, alloc, ep) =>
+      assert(ep <= 2.0 + 1e-9, s"$s exceeds the epoch cap: $ep")
+      assert(math.abs(alloc - ep * n) < 0.02 * n,
+        s"$s: alloc and epochs disagree")
+      if (capped) assert(ep == 2.0, s"$s capped but epochs $ep != 2")
+    }
+    val (capped, uncapped) = rows.partition(_._3)
+    assert(capped.nonEmpty && uncapped.nonEmpty,
+      "fixture must split (else the op is degenerate)")
+    assert(capped.map(_._2).max <= uncapped.map(_._2).min,
+      "capped sources must be exactly the smallest ones")
+    assert(uncapped.map(_._4).distinct.length == 1,
+      "every uncapped source gets the same water level")
+  }
+
   // ---- q_kanonymity ------------------------------------------------------
 
   test("k-anonymity risk grows with k and shrinks with generalization") {
