@@ -384,7 +384,46 @@ object GovernOps extends QueryPack {
       .orderBy($"level", $"k")
   }
 
+  // ---- q_dp_release ------------------------------------------------------
+  /** Laplace-mechanism calibration for a differentially-private count
+    * release (Dwork et al., TCC'06): per-source document counts with
+    * sensitivity-1 Laplace noise at ε ∈ {0.5, 1, 4}, reporting the noisy
+    * count AND the realized absolute error — the ε-vs-utility table a
+    * data steward reads before releasing corpus statistics. The noise is
+    * md5-keyed (inverse-CDF over the family's deterministic uniform), so
+    * the released numbers are reproducible and the whole report
+    * hash-checks cross-engine — determinism the MECHANISM doesn't need
+    * (any exogenous randomness source works at deploy time) but the
+    * pipeline's replayability discipline does.
+    *
+    * Scale shape: the corpus collapses to an S-row count agg; the ε
+    * fan-out and all noise arithmetic are per-row projections on those S
+    * rows. ln() is libm — the product is rounded once to 6dp, which
+    * absorbs sub-ulp engine drift (the q_kl_sources precedent). */
+  def qDpRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bySrc = Tables.df(spark, sfDir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val u = (conv(substring(md5(concat(lit("dp:"), $"source", lit(":"),
+        $"tag")), 1, 15), 16, 10).cast("double") + 0.5) /
+      lit(1152921504606846976.0)
+    bySrc
+      .select($"source", $"n_docs",
+        explode(array(lit("0.5"), lit("1.0"), lit("4.0"))).as("tag"))
+      .withColumn("eps", $"tag".cast("double"))
+      .withColumn("u", u)
+      .withColumn("lap",
+        round((lit(-1.0) / $"eps")
+          * when($"u" >= 0.5, 1.0).otherwise(-1.0)
+          * log(lit(2.0) * least($"u", lit(1.0) - $"u")), 6))
+      .select($"source", $"eps", $"n_docs",
+        round($"n_docs" + $"lap", 2).as("noisy_count"),
+        round(abs($"lap"), 2).as("abs_err"))
+      .orderBy($"source", $"eps")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_release" -> qDpRelease,
     "q_kanonymity" -> qKanonymity,
     "q_kl_sources" -> qKlSources,
     "q_source_overlap" -> qSourceOverlap,
@@ -410,6 +449,25 @@ object GovernOps extends QueryPack {
        |  FROM (SELECT source, $toksSql AS T FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dp_release" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |f AS (
+        |  SELECT source, n_docs, t.tag, CAST(t.tag AS DOUBLE) AS eps,
+        |    (('0x' || substr(md5('dp:' || source || ':' || t.tag), 1, 15))
+        |      ::BIGINT + 0.5) / 1152921504606846976.0 AS u
+        |  FROM s CROSS JOIN (SELECT unnest(['0.5','1.0','4.0']) AS tag) t),
+        |n AS (
+        |  SELECT source, eps, n_docs,
+        |    round((-1.0 / eps)
+        |      * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+        |      * ln(2.0 * least(u, 1.0 - u)), 6) AS lap
+        |  FROM f)
+        |SELECT source, eps, CAST(n_docs AS BIGINT) AS n_docs,
+        |  round(n_docs + lap, 2) AS noisy_count,
+        |  round(abs(lap), 2) AS abs_err
+        |FROM n ORDER BY source, eps""".stripMargin,
+
     "q_kanonymity" ->
       """WITH c0 AS (
         |  SELECT c_mktsegment AS seg, c_nationkey AS nat,

@@ -257,6 +257,43 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_lang_confusion --------------------------------------------------
+  /** Per-class evaluation of the language-ID classifier against the
+    * fixture's gold labels — the confusion-derived precision / recall /
+    * F1 report every deployed quality/language filter ships next to its
+    * predictions (the q_ann_eval / q_minhash_eval "price the component
+    * you trust" discipline, applied to a classifier). F1 is computed
+    * from the once-rounded 6dp precision and recall — a documented
+    * choice keeping every division cross-engine deterministic.
+    *
+    * Scale shape: predictions are a per-row projection; the confusion
+    * matrix is one (lang, pred) partial-agg bounded by the label-domain
+    * square, and all metric arithmetic runs on that tiny relation (one
+    * more thin agg + a class-keyed left join). NULL precision marks a
+    * class the model never predicts (undefined, not zero — the honest
+    * reading). */
+  def qLangConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cm = Tables.df(spark, sfDir, "documents")
+      .select($"lang", TextFunctions.langId($"text").as("pred"))
+      .groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
+    val byTrue = cm.groupBy($"lang")
+      .agg(sum($"n").as("support"),
+        sum(when($"pred" === $"lang", $"n").otherwise(0L)).as("tp"))
+    val byPred = cm.groupBy($"pred").agg(sum($"n").as("predicted"))
+    byTrue.join(byPred, byTrue("lang") === byPred("pred"), "left")
+      .select(byTrue("lang"), $"support", $"tp",
+        coalesce($"predicted", lit(0L)).as("predicted"))
+      .withColumn("prec",
+        when($"predicted" > 0,
+          round($"tp".cast("double") / $"predicted", 6)))
+      .withColumn("rec", round($"tp".cast("double") / $"support", 6))
+      .withColumn("f1",
+        when($"prec".isNotNull && ($"prec" + $"rec") > 0,
+          round(lit(2) * $"prec" * $"rec" / ($"prec" + $"rec"), 6)))
+      .orderBy($"lang")
+  }
+
   /** Quality metrics + composite score + bucket. */
   def qQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -705,6 +742,7 @@ object TextOps extends QueryPack {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_lang_id" -> qLangId,
+    "q_lang_confusion" -> qLangConfusion,
     "q_quality" -> qQuality,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
@@ -714,6 +752,30 @@ object TextOps extends QueryPack {
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
   private val tokSetSql = s"list_distinct($toksSql)"
+
+  /** The language-ID prediction CTE (→ relation `pr`: doc_id, lang,
+    * pred) — shared by the q_lang_id and q_lang_confusion oracles so the
+    * classifier definition cannot drift from its own evaluation (mirrors
+    * TextFunctions.langId: marker-count argmax, en→de→es→fr→zh tie
+    * order, 'und' on zero evidence). */
+  private lazy val langPredCte: String =
+    s"""pr AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+      |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+      |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+      |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+      |         ELSE 'zh' END AS pred
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(list_intersect(t, ['the','a','is','and','of','to'])) AS s_en,
+      |      len(list_intersect(t, ['der','die','das','und','ist'])) AS s_de,
+      |      len(list_intersect(t, ['el','la','los','es','y'])) AS s_es,
+      |      len(list_intersect(t, ['le','la','les','est','et'])) AS s_fr,
+      |      len(list_intersect(t, ['de5','shi4','le5'])) AS s_zh
+      |    FROM (SELECT doc_id, lang, $tokSetSql AS t FROM documents)))"""
+      .stripMargin
 
   /** Shared CTE chain producing `f(doc_id, fp)` — the md5-SimHash
     * fingerprint table (see the q_simhash_md5 oracle comment for the
@@ -1068,28 +1130,32 @@ object TextOps extends QueryPack {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_lang_id" ->
-      s"""SELECT doc_id, lang,
-        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
-        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
-        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
-        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
-        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
-        |       ELSE 'zh' END AS pred,
-        |  (CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
-        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
-        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
-        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
-        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
-        |       ELSE 'zh' END) = lang AS agree
-        |FROM (
-        |  SELECT doc_id, lang,
-        |    len(list_intersect(t, ['the','a','is','and','of','to'])) AS s_en,
-        |    len(list_intersect(t, ['der','die','das','und','ist'])) AS s_de,
-        |    len(list_intersect(t, ['el','la','los','es','y'])) AS s_es,
-        |    len(list_intersect(t, ['le','la','les','est','et'])) AS s_fr,
-        |    len(list_intersect(t, ['de5','shi4','le5'])) AS s_zh
-        |  FROM (SELECT doc_id, lang, $tokSetSql AS t FROM documents))
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH $langPredCte" + """
+        |SELECT doc_id, lang, pred, pred = lang AS agree
+        |FROM pr ORDER BY doc_id""".stripMargin),
+
+    // same prediction CTE; tiny-relation metric arithmetic, F1 from the
+    // once-rounded P and R (lateral aliases), NULL where undefined
+    "q_lang_confusion" ->
+      (s"WITH $langPredCte" + """,
+        |cm AS (SELECT lang, pred, count(*) AS n FROM pr GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS support,
+        |    CAST(SUM(CASE WHEN pred = lang THEN n ELSE 0 END) AS BIGINT)
+        |      AS tp
+        |  FROM cm GROUP BY 1),
+        |bp AS (
+        |  SELECT pred, CAST(SUM(n) AS BIGINT) AS predicted
+        |  FROM cm GROUP BY 1)
+        |SELECT bt.lang, support, tp,
+        |  COALESCE(predicted, 0) AS predicted,
+        |  CASE WHEN COALESCE(predicted, 0) > 0
+        |    THEN round(CAST(tp AS DOUBLE) / predicted, 6) END AS prec,
+        |  round(CAST(tp AS DOUBLE) / support, 6) AS rec,
+        |  CASE WHEN prec IS NOT NULL AND prec + rec > 0
+        |    THEN round(2 * prec * rec / (prec + rec), 6) END AS f1
+        |FROM bt LEFT JOIN bp ON bp.pred = bt.lang
+        |ORDER BY bt.lang""".stripMargin),
 
     "q_quality" ->
       s"""SELECT doc_id, n_tok, avg_len, round(stop_raw, 6) AS stop_ratio,

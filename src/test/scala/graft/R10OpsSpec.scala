@@ -137,6 +137,61 @@ class R10OpsSpec extends SparkSpec {
       "every uncapped source gets the same water level")
   }
 
+  // ---- q_lang_confusion --------------------------------------------------
+
+  test("lang confusion: metrics are internally consistent with the " +
+      "per-doc prediction table") {
+    val preds = graft.queries.TextOps.qLangId(spark, sf)
+      .select($"lang", $"pred").as[(String, String)].collect()
+    val rows = graft.queries.TextOps.qLangConfusion(spark, sf)
+      .select($"lang", $"support", $"tp", $"predicted", $"prec", $"rec")
+      .as[(String, Long, Long, Long, Option[Double], Double)].collect()
+    assert(rows.map(_._2).sum == preds.length,
+      "supports must account for every document")
+    rows.foreach { case (l, support, tp, predicted, prec, rec) =>
+      assert(support == preds.count(_._1 == l), s"$l support")
+      assert(tp == preds.count(p => p._1 == l && p._2 == l), s"$l tp")
+      assert(predicted == preds.count(_._2 == l), s"$l predicted")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(prec.isEmpty == (predicted == 0L),
+        s"$l: precision must be NULL exactly when the class is never " +
+          "predicted")
+    }
+  }
+
+  // ---- q_dp_release ------------------------------------------------------
+
+  test("dp release: noise replays exactly on the JVM and error scales " +
+      "down with epsilon on average") {
+    val rows = GovernOps.qDpRelease(spark, sf)
+      .select($"source", $"eps", $"n_docs", $"noisy_count", $"abs_err")
+      .as[(String, Double, Long, Double, Double)].collect()
+    // exact JVM replay of the md5-keyed inverse-CDF draw (the
+    // q_temp_sample keep-decision discipline)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (src, eps, n, noisy, err) =>
+      val tag = if (eps == 0.5) "0.5" else if (eps == 1.0) "1.0" else "4.0"
+      val hex = md.digest(s"dp:$src:$tag".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(2, 60)
+      val lap = BigDecimal((-1.0 / eps) * (if (u >= 0.5) 1.0 else -1.0) *
+        math.log(2.0 * math.min(u, 1.0 - u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expNoisy = BigDecimal(n + lap)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(noisy - expNoisy) < 1e-9,
+        s"$src eps=$eps: $noisy vs replayed $expNoisy")
+      assert(math.abs(err - BigDecimal(math.abs(lap)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // utility ordering: mean |noise| at eps=4 must undercut eps=0.5
+    def meanErr(e: Double) =
+      rows.filter(_._2 == e).map(_._5).sum / rows.count(_._2 == e)
+    assert(meanErr(4.0) < meanErr(0.5),
+      s"mean error must shrink with epsilon: ${meanErr(4.0)} vs " +
+        s"${meanErr(0.5)}")
+  }
+
   // ---- q_kanonymity ------------------------------------------------------
 
   test("k-anonymity risk grows with k and shrinks with generalization") {
