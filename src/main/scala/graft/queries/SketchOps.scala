@@ -111,12 +111,138 @@ object SketchOps extends QueryPack {
       .orderBy($"exact".desc, $"tok")
   }
 
+  // ---- q_bloom_filter ----------------------------------------------------
+  /** Bloom-filter membership pre-screen for incremental ingest dedup
+    * (Bloom, CACM'70): the standing corpus's 3-gram shingles populate an
+    * m=65536-bit / k=4-hash filter, the new batch's shingles probe it,
+    * and the report prices the filter against exact truth — true-positive
+    * count (MUST equal the present count: a Bloom filter has no false
+    * negatives, spec-pinned), measured false-positive rate, and the
+    * fill-ratio theory FPR ≈ fill^k it should track. At corpus scale
+    * this is the cheap gate in front of q_dedup_incremental's shingle
+    * probes: only shingles the filter admits pay for the shuffle.
+    *
+    * Scale shape: the filter IS a mergeable relation — the distinct set
+    * of set bit positions (executors filter partitions independently;
+    * union-distinct is the OR). Build = one vocabulary-thin distinct +
+    * a ×k projection; probe = one pos-keyed semi-join + per-key count;
+    * the verdict aggregate is one row. All hashes md5-keyed (the
+    * family's portable 60-bit form); theory FPR = fill·fill·fill·fill
+    * by explicit multiplication — pow() is libm, products of identical
+    * doubles are not. */
+  def qBloomFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = 65536; val k = 4
+    val sh = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id",
+        explode(TextFunctions.shingles($"text", 3)).as("key"))
+    val corpus = sh.filter($"doc_id" % 4 =!= 0).select($"key").distinct()
+    val probe = sh.filter($"doc_id" % 4 === 0).select($"key").distinct()
+    val hashes = spark.range(0, k).toDF("i")
+    def positions(keys: DataFrame): DataFrame =
+      keys.crossJoin(broadcast(hashes))
+        .select($"key",
+          (conv(substring(md5(concat(lit("bf"), $"i".cast("string"),
+            lit(":"), $"key")), 1, 15), 16, 10).cast("long") % m).as("pos"))
+    val bits = positions(corpus).select($"pos").distinct()
+    val hits = positions(probe)
+      .join(bits, Seq("pos"), "left_semi")
+      .groupBy($"key").agg(count(lit(1)).as("nhit"))
+    val verdict = probe
+      .join(hits, Seq("key"), "left")
+      .join(corpus.select($"key", lit(true).as("in_corpus")),
+        Seq("key"), "left")
+      .select(
+        (coalesce($"nhit", lit(0L)) === k).as("member"),
+        coalesce($"in_corpus", lit(false)).as("in_corpus"))
+    verdict
+      .agg(
+        coalesce(sum(when($"in_corpus", 1L)), lit(0L)).as("n_present"),
+        coalesce(sum(when(!$"in_corpus", 1L)), lit(0L)).as("n_absent"),
+        coalesce(sum(when($"in_corpus" && $"member", 1L)), lit(0L))
+          .as("tp"),
+        coalesce(sum(when(!$"in_corpus" && $"member", 1L)), lit(0L))
+          .as("fp"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_keys"))))
+      .withColumn("fill", round($"bits_set".cast("double") / m, 6))
+      .withColumn("fpr_measured",
+        when($"n_absent" > 0,
+          round($"fp".cast("double") / $"n_absent", 6)))
+      .withColumn("fpr_theory",
+        round(($"fill" * $"fill") * ($"fill" * $"fill"), 6))
+      .select($"n_keys", $"bits_set", $"fill", $"n_present", $"n_absent",
+        $"tp", $"fp", $"fpr_measured", $"fpr_theory")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_filter" -> qBloomFilter,
     "q_hll_md5" -> qHllMd5,
     "q_countmin" -> qCountMin
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x != '') AS T
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(
+        |      list_transform(range(0, greatest(len(T) - 2, 1)),
+        |        i -> array_to_string(T[(i+1):(i+3)], ' ')),
+        |      s -> s != '')) AS key
+        |  FROM t),
+        |corpus AS (
+        |  SELECT DISTINCT key FROM sh WHERE doc_id % 4 != 0),
+        |probe AS (
+        |  SELECT DISTINCT key FROM sh WHERE doc_id % 4 = 0),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5('bf' || i || ':' || key), 1, 15))::BIGINT
+        |      % 65536 AS pos
+        |  FROM corpus CROSS JOIN range(0, 4) r(i)),
+        |hits AS (
+        |  SELECT p.key, count(*) AS nhit
+        |  FROM (SELECT key,
+        |          ('0x' || substr(md5('bf' || i || ':' || key), 1, 15))
+        |            ::BIGINT % 65536 AS pos
+        |        FROM probe CROSS JOIN range(0, 4) r(i)) p
+        |  WHERE p.pos IN (SELECT pos FROM bits)
+        |  GROUP BY p.key),
+        |v AS (
+        |  SELECT COALESCE(h.nhit, 0) = 4 AS member,
+        |    c.key IS NOT NULL AS in_corpus
+        |  FROM probe p
+        |  LEFT JOIN hits h ON h.key = p.key
+        |  LEFT JOIN corpus c ON c.key = p.key),
+        |agg AS (
+        |  SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN in_corpus THEN 1 END), 0)
+        |      AS BIGINT) AS n_present,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT in_corpus THEN 1 END), 0)
+        |      AS BIGINT) AS n_absent,
+        |    CAST(COALESCE(SUM(CASE WHEN in_corpus AND member THEN 1 END),
+        |      0) AS BIGINT) AS tp,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT in_corpus AND member THEN 1
+        |      END), 0) AS BIGINT) AS fp
+        |  FROM v)
+        |SELECT
+        |  (SELECT count(*) FROM corpus) AS n_keys,
+        |  (SELECT count(*) FROM bits) AS bits_set,
+        |  round(CAST((SELECT count(*) FROM bits) AS DOUBLE) / 65536, 6)
+        |    AS fill,
+        |  n_present, n_absent, tp, fp,
+        |  CASE WHEN n_absent > 0
+        |    THEN round(CAST(fp AS DOUBLE) / n_absent, 6) END
+        |    AS fpr_measured,
+        |  round(power_fill, 6) AS fpr_theory
+        |FROM agg CROSS JOIN (
+        |  SELECT fill2 * fill2 AS power_fill FROM (
+        |    SELECT f * f AS fill2 FROM (
+        |      SELECT round(CAST((SELECT count(*) FROM bits) AS DOUBLE)
+        |        / 65536, 6) AS f)))""".stripMargin,
     // same md5 row hashes; DuckDB % on the positive 60-bit hash equals
     // Spark's pmod
     "q_countmin" ->

@@ -329,6 +329,35 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_tok_fertility ---------------------------------------------------
+  /** Tokenizer fertility per language — the fairness report behind a
+    * vocab budget (Ahia et al. 2023 framing: languages whose subword
+    * tokenizer fragments words pay more context and more compute per
+    * sentence): per lang, BPE-ish tokens per whitespace word and chars
+    * per BPE-ish token, from exact integer sums over q_token_count's
+    * per-doc projection. Scale shape: the regex kernel runs behind the
+    * same pinned keyed repartition as q_token_count (single-row-group
+    * starvation fix), then ONE lang-keyed partial-agg; ratios are single
+    * double divisions rounded once. */
+  def qTokFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"lang",
+        TextFunctions.tokenCount($"text").cast("long").as("ws"),
+        TextFunctions.bpeishTokenCount($"text").cast("long").as("bpe"),
+        length($"text").cast("long").as("chars"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("docs"), sum($"ws").as("ws_tokens"),
+        sum($"bpe").as("bpe_tokens"), sum($"chars").as("n_chars"))
+      .withColumn("fertility",
+        round($"bpe_tokens".cast("double") / $"ws_tokens", 6))
+      .withColumn("chars_per_tok",
+        round($"n_chars".cast("double") / $"bpe_tokens", 6))
+      .orderBy($"lang")
+  }
+
   /** Rolling-hash content fingerprint. */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -745,6 +774,7 @@ object TextOps extends QueryPack {
     "q_lang_confusion" -> qLangConfusion,
     "q_quality" -> qQuality,
     "q_token_count" -> qTokenCount,
+    "q_tok_fertility" -> qTokFertility,
     "q_fingerprint" -> qFingerprint,
     "q_tfidf" -> qTfIdf
   )
@@ -1190,6 +1220,20 @@ object TextOps extends QueryPack {
         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_tokens,
         |  CAST(length(text) AS INT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tok_fertility" ->
+      s"""SELECT lang, count(*) AS docs,
+        |  CAST(SUM(len($toksSql)) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  round(CAST(SUM(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS DOUBLE)
+        |    / SUM(len($toksSql)), 6) AS fertility,
+        |  round(CAST(SUM(length(text)) AS DOUBLE)
+        |    / SUM(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\\s]'))), 6) AS chars_per_tok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -192,6 +192,44 @@ class R10OpsSpec extends SparkSpec {
         s"${meanErr(0.5)}")
   }
 
+  // ---- q_bloom_filter ----------------------------------------------------
+
+  test("bloom filter: zero false negatives and measured FPR tracks the " +
+      "fill-ratio theory") {
+    val r = graft.queries.SketchOps.qBloomFilter(spark, sf)
+      .select($"n_present", $"tp", $"n_absent", $"fp",
+        $"fpr_measured", $"fpr_theory")
+      .as[(Long, Long, Long, Long, Option[Double], Double)].collect().head
+    assert(r._2 == r._1,
+      s"a Bloom filter must have NO false negatives: tp ${r._2} of ${r._1}")
+    assert(r._1 > 0 && r._3 > 0,
+      "fixture must populate both truth classes")
+    val (meas, theory) = (r._5.get, r._6)
+    // fill^k is the standard approximation; on 2.6k absent probes the
+    // binomial noise is a few percent — 2x is a generous envelope
+    assert(meas <= theory * 2 + 0.01 && meas >= theory / 2 - 0.01,
+      s"measured FPR $meas should track theory $theory")
+  }
+
+  // ---- q_tok_fertility ---------------------------------------------------
+
+  test("tok fertility: per-lang sums reconcile with the per-doc " +
+      "token-count table") {
+    val perDoc = graft.queries.TextOps.qTokenCount(spark, sf)
+      .select($"bpe_tokens".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)].collect()
+    val rows = graft.queries.TextOps.qTokFertility(spark, sf)
+      .select($"docs", $"bpe_tokens", $"n_chars", $"fertility")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).sum == perDoc.length)
+    assert(rows.map(_._2).sum == perDoc.map(_._1).sum)
+    assert(rows.map(_._3).sum == perDoc.map(_._2).sum)
+    // the fixture's token soup has no punctuation or digits, so BPE-ish
+    // and whitespace tokenization coincide — fertility exactly 1.0 is
+    // the correct reading, not a bug (real corpora diverge)
+    rows.foreach { case (_, _, _, f) => assert(f >= 1.0) }
+  }
+
   // ---- q_kanonymity ------------------------------------------------------
 
   test("k-anonymity risk grows with k and shrinks with generalization") {
