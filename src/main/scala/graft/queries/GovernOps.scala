@@ -422,7 +422,48 @@ object GovernOps extends QueryPack {
       .orderBy($"source", $"eps")
   }
 
+  // ---- q_dataset_diff ----------------------------------------------------
+  /** Dataset release diff — the changelog a versioned-corpus registry
+    * publishes between two snapshots: per source, documents added,
+    * removed, content-changed, and unchanged. The two snapshots are
+    * synthesized deterministically from the fixture (A drops
+    * doc_id ≡ 1 (mod 4), B drops ≡ 2 and revises the text of ≡ 3
+    * (mod 10)), which exercises all four diff classes; a real registry
+    * feeds two manifests into the identical plan. Change detection
+    * compares md5 content fingerprints, not texts — at 100 TB the diff
+    * join moves 32-char keys, never documents.
+    *
+    * Scale shape: ONE doc_id-keyed full-outer join of (id, source, md5)
+    * projections, a per-row CASE classification, and a (source, class)
+    * partial-agg pivoted by conditional sums — no window, no second
+    * pass. */
+  def qDatasetDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val a = docs.filter($"doc_id" % 4 =!= 1)
+      .select($"doc_id", $"source".as("src_a"), md5($"text").as("fp_a"))
+    val b = docs.filter($"doc_id" % 4 =!= 2)
+      .select($"doc_id", $"source".as("src_b"),
+        md5(when($"doc_id" % 10 === 3, concat($"text", lit(" rev2")))
+          .otherwise($"text")).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce($"src_a", $"src_b").as("source"),
+        when($"fp_a".isNull, "added")
+          .when($"fp_b".isNull, "removed")
+          .when($"fp_a" =!= $"fp_b", "changed")
+          .otherwise("unchanged").as("cls"))
+      .groupBy($"source")
+      .agg(
+        sum(when($"cls" === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when($"cls" === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when($"cls" === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when($"cls" === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_diff" -> qDatasetDiff,
     "q_dp_release" -> qDpRelease,
     "q_kanonymity" -> qKanonymity,
     "q_kl_sources" -> qKlSources,
@@ -449,6 +490,33 @@ object GovernOps extends QueryPack {
        |  FROM (SELECT source, $toksSql AS T FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dataset_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, source AS src_a, md5(text) AS fp_a
+        |  FROM documents WHERE doc_id % 4 != 1),
+        |b AS (
+        |  SELECT doc_id, source AS src_b,
+        |    md5(CASE WHEN doc_id % 10 = 3 THEN text || ' rev2'
+        |        ELSE text END) AS fp_b
+        |  FROM documents WHERE doc_id % 4 != 2),
+        |d AS (
+        |  SELECT COALESCE(src_a, src_b) AS source,
+        |    CASE WHEN fp_a IS NULL THEN 'added'
+        |         WHEN fp_b IS NULL THEN 'removed'
+        |         WHEN fp_a != fp_b THEN 'changed'
+        |         ELSE 'unchanged' END AS cls
+        |  FROM a FULL OUTER JOIN b USING (doc_id))
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(SUM(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(SUM(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(SUM(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unchanged
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
     "q_dp_release" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),

@@ -230,6 +230,24 @@ class R10OpsSpec extends SparkSpec {
     rows.foreach { case (_, _, _, f) => assert(f >= 1.0) }
   }
 
+  // ---- q_dataset_diff ----------------------------------------------------
+
+  test("dataset diff: classes reconcile with direct snapshot set " +
+      "arithmetic") {
+    val ids = Tables.df(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect().toSet
+    val inA = ids.filter(_ % 4 != 1)
+    val inB = ids.filter(_ % 4 != 2)
+    val rows = GovernOps.qDatasetDiff(spark, sf)
+      .select($"n_added", $"n_removed", $"n_changed", $"n_unchanged")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sum == (inB -- inA).size)
+    assert(rows.map(_._2).sum == (inA -- inB).size)
+    val common = inA intersect inB
+    assert(rows.map(_._3).sum == common.count(_ % 10 == 3))
+    assert(rows.map(_._4).sum == common.count(_ % 10 != 3))
+  }
+
   // ---- q_kanonymity ------------------------------------------------------
 
   test("k-anonymity risk grows with k and shrinks with generalization") {
