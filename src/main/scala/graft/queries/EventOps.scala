@@ -304,6 +304,48 @@ object EventOps extends QueryPack {
     * the engine orders them. Downstream is the staged-gate shape of
     * q_funnel_staged keyed by (user, session): no self-join, no
     * time-window cap needed — the session bounds it. */
+  // ---- q_journeys --------------------------------------------------------
+  /** Session journey mining — the top-25 most common event-type paths
+    * through a visit (the "what do users actually do" report behind
+    * funnel design; the funnel ops test a HYPOTHESIZED path, this one
+    * discovers paths). Sessions are the same 10-minute-gap islands as
+    * q_funnel_sessions; a session's path is its strictly-ordered
+    * event-type sequence joined with '>'.
+    *
+    * Scale shape: one user-partitioned window pass sessionizes (lag +
+    * running sum, the gaps-and-islands form), one (user, session)
+    * aggregate folds each session's path (collect bounded by session
+    * length — gap-bounded by construction), one vocabulary-thin path
+    * count, and a distributed top-25 (TakeOrderedAndProject). Ties are
+    * impossible to mis-order: events sort by (ts, event_id) on both
+    * engines. */
+  def qJourneys(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 10L * 60 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paths = Tables.df(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("new_s", when($"prev".isNull
+          || unix_micros($"ts".cast("timestamp"))
+            - unix_micros($"prev".cast("timestamp")) >= gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(w))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("steps"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"ts", $"event_id",
+              $"event_type"))),
+            x => x("event_type")),
+          ">").as("path"))
+    paths.groupBy($"path", $"steps")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(25)
+      .select($"path", $"steps", $"n_sessions")
+  }
+
   def qFunnelSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val gapUs = 10L * 60 * 1000000
@@ -354,6 +396,7 @@ object EventOps extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_sessions" -> qFunnelSessions,
+    "q_journeys" -> qJourneys,
     "q_funnel_staged" -> qFunnelStaged,
     "q_scd2" -> qScd2,
     "q_pit_join" -> qPitJoin,
@@ -373,6 +416,33 @@ object EventOps extends QueryPack {
   val oracle: Map[String, String] = Map(
     // same gaps-and-islands sessionization (lag + RANGE-framed running
     // sum — tie-safe in both engines), same strictly-after staged gates
+    // same gaps-and-islands sessionization, (ts, event_id)-tie-safe;
+    // string_agg with an explicit ORDER BY mirrors the sorted-struct fold
+    "q_journeys" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) >= 600000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM n),
+        |p AS (
+        |  SELECT user_id, sid, count(*) AS steps,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, steps, count(*) AS n_sessions
+        |FROM p GROUP BY path, steps
+        |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin,
+
     "q_funnel_sessions" ->
       """WITH l AS (
         |  SELECT user_id, event_type, ts,

@@ -248,6 +248,39 @@ class R10OpsSpec extends SparkSpec {
     assert(rows.map(_._4).sum == common.count(_ % 10 != 3))
   }
 
+  // ---- q_journeys --------------------------------------------------------
+
+  test("journeys: paths are internally consistent and counts are bounded " +
+      "by the session total") {
+    val rows = graft.queries.EventOps.qJourneys(spark, sf)
+      .select($"path", $"steps", $"n_sessions")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { case (p, steps, _) =>
+      assert(p.split(">", -1).length == steps,
+        s"path '$p' disagrees with steps=$steps")
+      assert(p.split(">", -1).forall(Set("view", "click", "purchase",
+        "signup", "error").contains), s"unknown event type in '$p'")
+    }
+    // top-25 is ordered by frequency
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    // total sessions recomputed independently: per user, 1 + #gaps >= 10min
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val totalSessions = Tables.df(spark, sf, "events")
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .select(when($"prev".isNull
+          || unix_micros($"ts".cast("timestamp"))
+            - unix_micros($"prev".cast("timestamp")) >= 10L * 60 * 1000000,
+          1L).otherwise(0L).as("new_s"))
+      .agg(sum($"new_s")).as[Long].collect().head
+    assert(rows.map(_._3).sum <= totalSessions,
+      "top-25 journey counts cannot exceed the session total")
+    assert(rows.map(_._3).sum > totalSessions / 10,
+      "top-25 journeys should cover a visible share of sessions")
+  }
+
   // ---- q_kanonymity ------------------------------------------------------
 
   test("k-anonymity risk grows with k and shrinks with generalization") {
