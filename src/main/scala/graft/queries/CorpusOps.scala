@@ -375,6 +375,62 @@ object CorpusOps extends QueryPack {
       .limit(50)
   }
 
+  // ---- q_w2v_negatives ---------------------------------------------------
+  /** Negative sampling for the skip-gram trainer (Mikolov et al.,
+    * NeurIPS'13): for each distinct pair among the top-50 co-occurrence
+    * rows, two negatives drawn from the unigram^0.75 distribution — the smoothing
+    * that keeps rare words sampleable. Draws are md5-keyed inverse-CDF
+    * lookups against the exact-decimal cumulative weight table, so the
+    * same recipe re-emits the same negatives anywhere (the q_temp_sample
+    * replayability discipline, applied to the draw every w2v epoch
+    * makes billions of times). Collisions with the pair's own tokens are
+    * FLAGGED, not redrawn — a deterministic pipeline reports them and
+    * lets the trainer skip (a redraw loop would be data-dependent
+    * control flow).
+    *
+    * Scale shape: the weight table is vocabulary-thin; its cumulative
+    * window is over the VOCABULARY (bounded by vocab size — the corpus
+    * never enters a window); the interval lookup is a broadcast range
+    * join of draw rows against that table (production replaces it with
+    * the alias method / binary search against the same broadcast table —
+    * same table, same determinism, O(1) per draw). pow() is rounded once
+    * to 6dp before the exact decimal cumulative (the q_temp_sample pow
+    * discipline). */
+  def qW2vNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val vocab = Tables.df(spark, sfDir, "documents")
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val wts = vocab.select($"tok",
+      round(pow($"cnt".cast("double"), 0.75), 6).cast(dec6).as("w"))
+    val wv = Window.orderBy($"tok")
+    val cum = wts
+      .withColumn("hi", sum($"w").over(wv))
+      .withColumn("lo", $"hi" - $"w")
+    val z = wts.agg(sum($"w").as("z"))
+    // DISTINCT: a pair ranking in the top-50 at both distances must draw
+    // its negatives once — duplicate draw rows also made the row count
+    // plan-shape-dependent (the 4-partition test session deduplicated
+    // where the 32-partition verify session did not)
+    val draws = qSkipgram(spark, sfDir)
+      .select($"center", $"context").distinct()
+      .select($"center", $"context",
+        explode(array(lit(1), lit(2))).as("j"))
+      .crossJoin(broadcast(z))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("neg:"), $"center", lit(":"),
+          $"context", lit(":"), $"j".cast("string"))), 1, 15), 16, 10)
+          .cast("long") + 1) / lit(1152921504606846976.0))
+      .withColumn("x", $"u" * $"z".cast("double"))
+    draws
+      .join(broadcast(cum),
+        $"x" > $"lo".cast("double") && $"x" <= $"hi".cast("double"))
+      .select($"center", $"context", $"j", $"tok".as("neg_tok"),
+        ($"tok" === $"center" || $"tok" === $"context").as("collision"))
+      .orderBy($"center", $"context", $"j")
+  }
+
   /** Vocabulary coverage curve — the vocab-SIZING companion to
     * [[qOovRate]]'s fixed-256 report: what fraction of all token
     * occurrences the top-100/1k/10k most frequent types cover. The
@@ -409,6 +465,7 @@ object CorpusOps extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_coverage" -> qVocabCoverage,
     "q_skipgram" -> qSkipgram,
+    "q_w2v_negatives" -> qW2vNegatives,
     "q_topic_terms" -> qTopicTerms,
     "q_collocations" -> qCollocations,
     "q_dataset_card" -> qDatasetCard,
@@ -452,6 +509,30 @@ object CorpusOps extends QueryPack {
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+  /** The top-50 skip-gram pair chain (→ relation `sg`: center, context,
+    * dist, n) — shared by the q_skipgram and q_w2v_negatives oracles so
+    * the pair definition cannot drift from its sampling consumer. */
+  private lazy val skipgramCtes: String =
+    s"""t AS (
+      |  SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+      |      i -> struct_pack(pos := i, tok := arr[i]))) AS s
+      |    FROM (SELECT doc_id, $toksSql AS arr FROM documents))),
+      |leads AS (
+      |  SELECT tok AS center,
+      |    lead(tok, 1) OVER win AS c1, lead(tok, 2) OVER win AS c2
+      |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |pairs AS (
+      |  SELECT center, c1 AS context, 1 AS dist FROM leads
+      |  UNION ALL
+      |  SELECT center, c2, 2 FROM leads),
+      |sg AS (
+      |  SELECT center, context, dist, count(*) AS n
+      |  FROM pairs WHERE context IS NOT NULL
+      |  GROUP BY 1, 2, 3
+      |  ORDER BY n DESC, center, context, dist
+      |  LIMIT 50)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // row_number over (cnt desc, tok asc) stands in for Spark's
@@ -506,24 +587,41 @@ object CorpusOps extends QueryPack {
     // same one-window two-leads pair stream, same exact-integer counts,
     // same (n desc, center, context, dist) total order
     "q_skipgram" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
-        |      i -> struct_pack(pos := i, tok := arr[i]))) AS s
-        |    FROM (SELECT doc_id, $toksSql AS arr FROM documents))),
-        |leads AS (
-        |  SELECT tok AS center,
-        |    lead(tok, 1) OVER win AS c1, lead(tok, 2) OVER win AS c2
-        |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-        |pairs AS (
-        |  SELECT center, c1 AS context, 1 AS dist FROM leads
-        |  UNION ALL
-        |  SELECT center, c2, 2 FROM leads)
-        |SELECT center, context, dist, count(*) AS n
-        |FROM pairs WHERE context IS NOT NULL
-        |GROUP BY 1, 2, 3
-        |ORDER BY n DESC, center, context, dist
-        |LIMIT 50""".stripMargin,
+      (s"WITH $skipgramCtes" + """
+        |SELECT center, context, dist, n FROM sg
+        |ORDER BY n DESC, center, context, dist""".stripMargin),
+
+    // the same top-50 pair chain; unigram^0.75 weights with the
+    // q_temp_sample pow-round discipline, exact-decimal cumulative over
+    // the vocabulary, md5 inverse-CDF interval lookup
+    "q_w2v_negatives" ->
+      (s"WITH $skipgramCtes" + s""",
+        |vt AS (SELECT unnest($toksSql) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM vt GROUP BY 1),
+        |w AS (
+        |  SELECT tok,
+        |    CAST(round(pow(CAST(cnt AS DOUBLE), 0.75), 6)
+        |      AS DECIMAL(18,6)) AS w
+        |  FROM v),
+        |c AS (
+        |  SELECT tok, w,
+        |    SUM(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) AS hi
+        |  FROM w),
+        |c2 AS (SELECT tok, hi - w AS lo, hi FROM c),
+        |z AS (SELECT SUM(w) AS z FROM w),
+        |d AS (
+        |  SELECT center, context, jj.j,
+        |    ((('0x' || substr(md5('neg:' || center || ':' || context
+        |        || ':' || jj.j), 1, 15))::BIGINT + 1)
+        |      / 1152921504606846976.0) * CAST(z.z AS DOUBLE) AS x
+        |  FROM (SELECT DISTINCT center, context FROM sg) sgd
+        |  CROSS JOIN (SELECT unnest([1, 2]) AS j) jj
+        |  CROSS JOIN z)
+        |SELECT center, context, j, c2.tok AS neg_tok,
+        |  (c2.tok = center OR c2.tok = context) AS collision
+        |FROM d JOIN c2
+        |  ON d.x > CAST(c2.lo AS DOUBLE) AND d.x <= CAST(c2.hi AS DOUBLE)
+        |ORDER BY center, context, j""".stripMargin),
 
     "q_collocations" ->
       s"""WITH t AS (

@@ -281,6 +281,27 @@ class R10OpsSpec extends SparkSpec {
       "top-25 journeys should cover a visible share of sessions")
   }
 
+  // ---- q_w2v_negatives ---------------------------------------------------
+
+  test("w2v negatives: every pair draws exactly two, all from the vocab, " +
+      "collisions flagged correctly") {
+    val pairs = graft.queries.CorpusOps.qSkipgram(spark, sf)
+      .select($"center", $"context").as[(String, String)].collect()
+    val vocab = Tables.df(spark, sf, "documents")
+      .select(explode(split(lower($"text"), " ")).as("t"))
+      .filter($"t" =!= "").distinct().as[String].collect().toSet
+    val rows = graft.queries.CorpusOps.qW2vNegatives(spark, sf)
+      .select($"center", $"context", $"j", $"neg_tok", $"collision")
+      .as[(String, String, Int, String, Boolean)].collect()
+    assert(rows.length == pairs.distinct.length * 2,
+      "the interval lookup must yield EXACTLY one negative per draw")
+    assert(rows.map(r => (r._1, r._2, r._3)).distinct.length == rows.length)
+    rows.foreach { case (c, ctx, _, neg, coll) =>
+      assert(vocab.contains(neg), s"negative '$neg' outside the vocabulary")
+      assert(coll == (neg == c || neg == ctx), "collision flag wrong")
+    }
+  }
+
   // ---- q_kanonymity ------------------------------------------------------
 
   test("k-anonymity risk grows with k and shrinks with generalization") {
