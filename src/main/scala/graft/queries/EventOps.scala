@@ -304,6 +304,41 @@ object EventOps extends QueryPack {
     * the engine orders them. Downstream is the staged-gate shape of
     * q_funnel_staged keyed by (user, session): no self-join, no
     * time-window cap needed — the session bounds it. */
+  // ---- q_split_temporal --------------------------------------------------
+  /** Purged temporal train/test split with an embargo gap (the
+    * time-series leak-prevention convention, cf. López de Prado 2018,
+    * ch. 7): train strictly before the cutoff, test strictly after
+    * cutoff + 24 h, the embargo day EXCLUDED so label windows that
+    * straddle the cutoff cannot leak — the temporal counterpart to
+    * q_split_leakproof's near-dup-cluster split. Per event type the
+    * report carries the class balance AND the separation proof: the
+    * latest train timestamp and earliest test timestamp, whose gap must
+    * cover the embargo (spec-pinned).
+    *
+    * Scale shape: one scan, a per-row 3-way CASE on exact epoch-micros,
+    * one (event_type)-keyed partial-agg. Nothing shuffles wider than the
+    * type domain. */
+  def qSplitTemporal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    val testFrom = lit("2024-01-21 00:00:00").cast("timestamp")
+    Tables.df(spark, sfDir, "events")
+      .select($"event_type", $"ts".cast("timestamp").as("ts"))
+      .select($"event_type", $"ts",
+        when($"ts" < cutoff, "train")
+          .when($"ts" >= testFrom, "test")
+          .otherwise("embargo").as("split"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"split" === "embargo", 1L).otherwise(0L))
+          .as("n_embargo"),
+        sum(when($"split" === "test", 1L).otherwise(0L)).as("n_test"),
+        max(when($"split" === "train", $"ts")).as("train_max_ts"),
+        min(when($"split" === "test", $"ts")).as("test_min_ts"))
+      .orderBy($"event_type")
+  }
+
   // ---- q_journeys --------------------------------------------------------
   /** Session journey mining — the top-25 most common event-type paths
     * through a visit (the "what do users actually do" report behind
@@ -397,6 +432,7 @@ object EventOps extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_sessions" -> qFunnelSessions,
     "q_journeys" -> qJourneys,
+    "q_split_temporal" -> qSplitTemporal,
     "q_funnel_staged" -> qFunnelStaged,
     "q_scd2" -> qScd2,
     "q_pit_join" -> qPitJoin,
@@ -416,6 +452,26 @@ object EventOps extends QueryPack {
   val oracle: Map[String, String] = Map(
     // same gaps-and-islands sessionization (lag + RANGE-framed running
     // sum — tie-safe in both engines), same strictly-after staged gates
+    // ns-precision ts truncates to µs on the Spark read; the oracle casts
+    // through epoch_us so both engines compare the same microsecond values
+    "q_split_temporal" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |         WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 'test'
+        |         ELSE 'embargo' END AS split
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_embargo,
+        |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test,
+        |  max(CASE WHEN split = 'train' THEN ts END) AS train_max_ts,
+        |  min(CASE WHEN split = 'test' THEN ts END) AS test_min_ts
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // same gaps-and-islands sessionization, (ts, event_id)-tie-safe;
     // string_agg with an explicit ORDER BY mirrors the sorted-struct fold
     "q_journeys" ->

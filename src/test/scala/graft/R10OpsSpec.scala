@@ -302,6 +302,31 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_split_temporal --------------------------------------------------
+
+  test("temporal split: classes partition the stream and the embargo gap " +
+      "separates train from test") {
+    val rows = graft.queries.EventOps.qSplitTemporal(spark, sf)
+      .select($"n_train", $"n_embargo", $"n_test",
+        $"train_max_ts", $"test_min_ts")
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect()
+    val total = Tables.df(spark, sf, "events").count()
+    assert(rows.map(r => r._1 + r._2 + r._3).sum == total,
+      "splits must partition every event")
+    rows.foreach { case (nTr, _, nTe, trMax, teMin) =>
+      if (nTr > 0 && nTe > 0) {
+        // hard boundaries: train < cutoff, test >= cutoff + 24h embargo
+        assert(trMax.before(
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+        assert(!teMin.before(
+          java.sql.Timestamp.valueOf("2024-01-21 00:00:00")))
+        assert(teMin.getTime - trMax.getTime >= 0,
+          "test must start after train ends")
+      }
+    }
+  }
+
   // ---- q_kanonymity ------------------------------------------------------
 
   test("k-anonymity risk grows with k and shrinks with generalization") {
