@@ -527,6 +527,44 @@ object CurateOps extends QueryPack {
       .orderBy($"vec_id")
   }
 
+  // ---- q_coreset ---------------------------------------------------------
+  /** Coreset selection — the 5 vectors nearest their cluster's final
+    * centroid, per cluster: the representative subset a cluster-then-
+    * curate pipeline keeps when it wants one exemplar set instead of the
+    * full corpus (the k-center/herding shape; SemDeDup's companion "keep
+    * the prototypes" move). Centroids are recomputed from the shared
+    * [[kmeansAssign]] assignment with the same rounding discipline, so
+    * the whole selection hash-checks.
+    *
+    * Scale shape: one dimension-keyed join against the broadcast k×d
+    * centroid table + the partial-agg distance sum (the assign kernel),
+    * then a rank window PARTITIONED BY cluster — bounded per-partition
+    * work, no global sort. */
+  def qCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val asg = kmeansAssign(spark, sfDir)
+    val dims = Tables.df(spark, sfDir, "embeddings")
+      .select($"vec_id", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("d", "x")))
+    val cent = dims.join(asg, "vec_id")
+      .select($"cid", $"d", round($"x", 6).cast(dec6).as("xd"))
+      .groupBy($"cid", $"d")
+      .agg((sum($"xd").cast("double") / count(lit(1))).as("c"))
+    val dist = dims.join(asg, "vec_id")
+      .join(broadcast(cent), Seq("cid", "d"))
+      .select($"vec_id", $"cid",
+        round(($"x" - $"c") * ($"x" - $"c"), 9)
+          .cast(DecimalType(20, 9)).as("t"))
+      .groupBy($"vec_id", $"cid").agg(sum($"t").as("dist"))
+    dist
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cid").orderBy($"dist", $"vec_id")))
+      .filter($"rk" <= 5)
+      .select($"cid", $"rk", $"vec_id",
+        round($"dist".cast("double"), 6).as("dist"))
+      .orderBy($"cid", $"rk")
+  }
+
   // ---- q_boilerplate -----------------------------------------------------
   /** Per-source boilerplate stripping, the vocabulary-level analog of
     * CCNet's cross-document paragraph dedup: a token carried by >= 80% of
@@ -578,6 +616,7 @@ object CurateOps extends QueryPack {
     "q_dedup_savings" -> qDedupSavings,
     "q_kmeans" -> qKmeans,
     "q_semdedup" -> qSemdedup,
+    "q_coreset" -> qCoreset,
     "q_boilerplate" -> qBoilerplate,
     "q_dup_spans" -> qDupSpans,
     "q_split_leakproof" -> qSplitLeakproof
@@ -890,6 +929,31 @@ object CurateOps extends QueryPack {
         |  FROM bylab)
         |WHERE rk = 1
         |ORDER BY cid""".stripMargin),
+
+    // the same assignment chain; centroids recomputed from a2 with the
+    // c1 rounding form; distance = the assign kernel; per-cluster rank
+    "q_coreset" ->
+      (kmeansAsgSql + """,
+        |c2b AS (
+        |  SELECT a.cid, v.d,
+        |    CAST(SUM(CAST(round(v.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS c
+        |  FROM v JOIN a2 a ON a.vec_id = v.vec_id GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT v.vec_id, a.cid,
+        |    SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9)
+        |      AS DECIMAL(20,9))) AS dist
+        |  FROM v JOIN a2 a ON a.vec_id = v.vec_id
+        |  JOIN c2b c ON c.cid = a.cid AND c.d = v.d
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT vec_id, cid, dist, row_number() OVER (
+        |    PARTITION BY cid ORDER BY dist, vec_id) AS rk
+        |  FROM dd)
+        |SELECT CAST(cid AS INT) AS cid, CAST(rk AS INT) AS rk, vec_id,
+        |  round(CAST(dist AS DOUBLE), 6) AS dist
+        |FROM rk WHERE rk <= 5
+        |ORDER BY cid, rk""".stripMargin),
 
     // the same assignment chain; pairs joined within cluster only, the
     // same keep-lowest-id policy and 6dp cosine round as q_dedup_embedding

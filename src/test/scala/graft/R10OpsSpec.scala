@@ -327,6 +327,58 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_coreset ---------------------------------------------------------
+
+  test("coreset: 5 members per cluster in nondecreasing distance order, " +
+      "consistent with the k-means partition") {
+    val sizes = CurateOps.qKmeans(spark, sf)
+      .select($"cid", $"n").as[(Int, Long)].collect().toMap
+    val rows = CurateOps.qCoreset(spark, sf)
+      .select($"cid", $"rk", $"vec_id", $"dist")
+      .as[(Int, Int, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (cid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq ==
+        (1 to math.min(5, sizes(cid).toInt)).toSeq,
+        s"cluster $cid ranks must be 1..5")
+      assert(sorted.map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)),
+        s"cluster $cid distances must be nondecreasing in rank")
+    }
+    assert(rows.map(_._1).distinct.sorted.toSeq == sizes.keys.toSeq.sorted,
+      "every cluster must contribute a coreset")
+  }
+
+  // ---- plan-shape audits (the design-for-100x contract) ------------------
+
+  test("r10 plans: joins are keyed or broadcast, reports are join-free " +
+      "where they should be") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // pure-aggregation reports must not join at all
+    val truncPlan = plan(PipelineOps.qTruncationLoss(spark, sf))
+    assert(!truncPlan.contains("Join"), "truncation loss must be join-free")
+    val kPlan = plan(GovernOps.qKanonymity(spark, sf))
+    assert(!kPlan.contains("Join"), "k-anonymity must be join-free")
+    // bloom probe: position semi-join, never a nested loop over keys
+    val bloomPlan = plan(graft.queries.SketchOps.qBloomFilter(spark, sf))
+    assert(bloomPlan.contains("LeftSemi"))
+    assert(!bloomPlan.contains("CartesianProduct"))
+    // curriculum: the boundary join is a 1-row broadcast, not a shuffle
+    val curPlan = plan(PipelineOps.qCurriculum(spark, sf))
+    assert(!curPlan.contains("SortMergeJoin"),
+      "quantile boundaries must broadcast, not shuffle the corpus")
+    // w2v negatives: the interval lookup is a broadcast range join
+    val w2vPlan = plan(graft.queries.CorpusOps.qW2vNegatives(spark, sf))
+    assert(w2vPlan.contains("BroadcastNestedLoopJoin"),
+      "the cum-table interval lookup must be a broadcast range join")
+    assert(!w2vPlan.contains("CartesianProduct"))
+    // dataset diff: keyed full-outer, never cartesian
+    val diffPlan = plan(GovernOps.qDatasetDiff(spark, sf))
+    assert(diffPlan.contains("FullOuter") &&
+      !diffPlan.contains("CartesianProduct"))
+  }
+
   // ---- q_kanonymity ------------------------------------------------------
 
   test("k-anonymity risk grows with k and shrinks with generalization") {
