@@ -130,20 +130,44 @@ object SketchOps extends QueryPack {
     * family's portable 60-bit form); theory FPR = fill·fill·fill·fill
     * by explicit multiplication — pow() is libm, products of identical
     * doubles are not. */
+  /** Filter geometry shared by the batch report and the streaming probe. */
+  private[graft] val bloomM = 65536
+  private[graft] val bloomK = 4
+
+  /** The k md5 bit positions of every `key` row (other columns kept) —
+    * the shared hashing rule of the batch build and the stream probe. */
+  private[graft] def bloomPositions(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.crossJoin(broadcast(spark.range(0, bloomK).toDF("i")))
+      .withColumn("pos",
+        conv(substring(md5(concat(lit("bf"), $"i".cast("string"),
+          lit(":"), $"key")), 1, 15), 16, 10).cast("long") % bloomM)
+      .drop("i")
+  }
+
+  /** The standing-corpus filter: the distinct set-bit positions (the
+    * mergeable relation form of the bitmap). */
+  private[graft] def bloomBits(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val corpus = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 4 =!= 0)
+      .select(explode(TextFunctions.shingles($"text", 3)).as("key"))
+      .distinct()
+    bloomPositions(corpus).select($"pos").distinct()
+  }
+
   def qBloomFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val m = 65536; val k = 4
+    val m = bloomM; val k = bloomK
     val sh = Tables.df(spark, sfDir, "documents")
       .select($"doc_id",
         explode(TextFunctions.shingles($"text", 3)).as("key"))
     val corpus = sh.filter($"doc_id" % 4 =!= 0).select($"key").distinct()
     val probe = sh.filter($"doc_id" % 4 === 0).select($"key").distinct()
-    val hashes = spark.range(0, k).toDF("i")
     def positions(keys: DataFrame): DataFrame =
-      keys.crossJoin(broadcast(hashes))
-        .select($"key",
-          (conv(substring(md5(concat(lit("bf"), $"i".cast("string"),
-            lit(":"), $"key")), 1, 15), 16, 10).cast("long") % m).as("pos"))
+      bloomPositions(keys).select($"key", $"pos")
     val bits = positions(corpus).select($"pos").distinct()
     val hits = positions(probe)
       .join(bits, Seq("pos"), "left_semi")

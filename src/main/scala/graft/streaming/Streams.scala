@@ -75,6 +75,35 @@ object Streams {
     * the batch sampler keeps — replayable, coordination-free sampling
     * (no seed state, no per-batch RNG). Stateless: nothing accumulates,
     * any watermark policy composes on top. */
+  /** Streaming twin of the q_bloom_filter probe: each arriving document's
+    * 3-gram shingles tested against the STANDING corpus's broadcast
+    * filter, one boolean verdict per (doc, shingle) — the stateless
+    * pre-screen in front of a streaming ingest dedup (only admitted
+    * shingles pay for the stateful probe downstream). The filter rides
+    * along as a 1-row sorted-positions array (what a broadcast Bloom
+    * bitmap IS operationally); membership = k array_contains probes, all
+    * inside one codegen'd projection — no state store, no join
+    * watermarks, identical verdicts batch or stream by construction
+    * (same md5 positions, same bit set). A production build replaces the
+    * linear array_contains with a bitset-backed Expression — same
+    * broadcast, same determinism. */
+  def bloomProbeStream(stream: DataFrame, bitsArr: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def posC(i: Int, key: Column): Column =
+      conv(substring(md5(concat(lit("bf"), lit(i.toString), lit(":"),
+        key)), 1, 15), 16, 10).cast("long") % graft.queries.SketchOps.bloomM
+    stream
+      .select($"doc_id",
+        explode(graft.functions.TextFunctions.shingles($"text", 3))
+          .as("key"))
+      .crossJoin(broadcast(bitsArr))
+      .select($"doc_id", $"key",
+        (0 until graft.queries.SketchOps.bloomK)
+          .map(i => array_contains($"barr", posC(i, $"key")))
+          .reduce(_ && _).as("member"))
+  }
+
   def tempSampleStream(stream: DataFrame, rates: DataFrame): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._

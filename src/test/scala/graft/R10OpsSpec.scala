@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.{CurateOps, GovernOps, PipelineOps}
+import graft.streaming.Streams
 import org.apache.spark.sql.functions._
 
 /** Properties of the round-10 operators that the DuckDB hash gate can't
@@ -347,6 +348,50 @@ class R10OpsSpec extends SparkSpec {
     }
     assert(rows.map(_._1).distinct.sorted.toSeq == sizes.keys.toSeq.sorted,
       "every cluster must contribute a coreset")
+  }
+
+  // ---- bloomProbeStream --------------------------------------------------
+
+  test("streaming bloom probe reproduces the batch filter's verdicts " +
+      "across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.SketchOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bits = SketchOps.bloomBits(spark, sf).localCheckpoint()
+    val bitsArr = bits.agg(array_sort(collect_list($"pos")).as("barr"))
+      .localCheckpoint()
+    val probeDocs = Tables.df(spark, sf, "documents")
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toSeq
+    // batch truth: per (doc, shingle) membership against the same bits
+    val expected = SketchOps.bloomPositions(
+        Tables.df(spark, sf, "documents").filter($"doc_id" % 4 === 0)
+          .select($"doc_id", explode(graft.functions.TextFunctions
+            .shingles($"text", 3)).as("key")).distinct())
+      .join(bits.withColumn("__hit", lit(1)), Seq("pos"), "left")
+      .groupBy($"doc_id", $"key")
+      .agg((sum(coalesce($"__hit", lit(0))) === SketchOps.bloomK)
+        .as("member"))
+      .as[(Long, String, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(expected.nonEmpty && expected.values.exists(identity) &&
+      expected.values.exists(!_), "both verdicts must occur")
+    val (b1, b2) = probeDocs.splitAt(probeDocs.size / 2)
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = Streams.bloomProbeStream(stream, bitsArr)
+      .writeStream.format("memory").queryName("bloom_probe_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("bloom_probe_stream")
+        .select($"doc_id", $"key", $"member")
+        .as[(Long, String, Boolean)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == expected,
+        s"stream verdicts diverge: ${got.size} vs ${expected.size} keys")
+    } finally q.stop()
   }
 
   // ---- plan-shape audits (the design-for-100x contract) ------------------
