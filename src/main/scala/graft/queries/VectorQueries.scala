@@ -399,6 +399,39 @@ object VectorQueries extends QueryPack {
       .filter($"sim" >= 0.25)
   }
 
+  // ---- q_embed_health ----------------------------------------------------
+  /** Embedding-store ingest health gate — the one-row audit a vector
+    * index runs before accepting a shipment: vector count, wrong-
+    * dimension count, zero vectors (undefined cosine — they poison
+    * normalization), and the L2-norm envelope (min / max / mean). A
+    * shipment failing this gate never reaches the ANN build.
+    *
+    * Scale shape: one dimension explode → per-vector exact-decimal
+    * norm² partial-agg → a single 1-row aggregate. sqrt() is exactly
+    * specified by IEEE 754 (unlike the transcendental libm calls), so
+    * the rounded norms are cross-engine exact by construction. */
+  def qEmbedHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val norms = Tables.df(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", size($"v").as("dim"),
+        posexplode($"v").as(Seq("d", "x")))
+      .select($"vec_id", $"dim",
+        round($"x" * $"x", 9)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 9)).as("t"))
+      .groupBy($"vec_id", $"dim").agg(sum($"t").as("n2"))
+      .select($"vec_id", $"dim",
+        round(sqrt($"n2".cast("double")), 6).as("norm"))
+    norms.agg(
+      count(lit(1)).as("n_vectors"),
+      sum(when($"dim" =!= 64, 1L).otherwise(0L)).as("n_wrong_dim"),
+      sum(when($"norm" === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      min($"norm").as("min_norm"), max($"norm").as("max_norm"),
+      round(sum($"norm".cast(dec6)).cast("double") / count(lit(1)), 6)
+        .as("mean_norm"))
+  }
+
   // ---- q_ann_eval --------------------------------------------------------
   /** ANN index quality gate — the q_minhash_eval analog for the vector
     * side: the md5-deterministic LSH's verified pairs measured against
@@ -713,6 +746,7 @@ object VectorQueries extends QueryPack {
     "q_lof" -> qLof,
     "q_ann_md5" -> qAnnMd5,
     "q_ann_eval" -> qAnnEval,
+    "q_embed_health" -> qEmbedHealth,
     "q_knn_cosine" -> qKnnCosine,
     "q_knn_classify" -> qKnnClassify,
     "q_ann_lsh" -> qAnnLsh,
@@ -1004,6 +1038,26 @@ object VectorQueries extends QueryPack {
       (annMd5CtesSql + """
         |SELECT id1, id2, sim FROM ann
         |ORDER BY id1, id2""".stripMargin),
+
+    "q_embed_health" ->
+      """WITH d AS (
+        |  SELECT vec_id, len(embedding) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, dim,
+        |    round(sqrt(CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,9)))
+        |      AS DOUBLE)), 6) AS norm
+        |  FROM d GROUP BY 1, 2)
+        |SELECT count(*) AS n_vectors,
+        |  CAST(SUM(CASE WHEN dim != 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_wrong_dim,
+        |  CAST(SUM(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  min(norm) AS min_norm, max(norm) AS max_norm,
+        |  round(CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_norm
+        |FROM n""".stripMargin,
 
     // the same LSH chain; exact truth over the same even-id subset;
     // per-decile recall = one pair-keyed left join + a tiny aggregate
