@@ -462,7 +462,132 @@ object CorpusOps extends QueryPack {
       .orderBy($"top_n")
   }
 
+  /** Zipf's-law fit over the top-1000 token frequencies: least-squares
+    * slope/intercept/r² of ln(freq) vs ln(rank) — the one-number corpus
+    * health read (natural text sits near slope −1; a slope collapsing
+    * toward 0 flags boilerplate/template contamination, a cliff past −1.5
+    * flags a truncated crawl). Scale shape: ONE vocabulary-thin count
+    * aggregate, a distributed TakeOrderedAndProject top-1000, then the
+    * regression runs entirely on the 1000-row relation — the corpus is
+    * touched exactly once and nothing wider than 1000 rows is ever
+    * windowed. Determinism: ln values round once to DECIMAL(18,9) so the
+    * five regression sums are exact and order-independent; the closed-form
+    * slope/intercept/r² arithmetic is the same IEEE double expression in
+    * both engines, rounded once at the end.
+    *
+    * Fixture note: the synthetic 31-type vocabulary is deliberately
+    * near-uniform, so the fit reports slope ≈ −0.18 with r² ≈ 0.06 — the
+    * "this is not natural text" flag firing correctly (R10bOpsSpec pins
+    * the sign and the n = min(1000, |vocab|) = 31 row budget). */
+  def qZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val docs = Tables.df(spark, sfDir, "documents")
+    val cnt = docs.select(explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val top = cnt.orderBy($"cnt".desc, $"tok".asc).limit(1000)
+    val ranked = top.withColumn("rk",
+      row_number().over(Window.orderBy($"cnt".desc, $"tok".asc)))
+    val xy = ranked.select(
+      round(log($"rk"), 6).cast(dec9).as("x"),
+      round(log($"cnt"), 6).cast(dec9).as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum($"x").as("dsx"), sum($"y").as("dsy"),
+      sum($"x" * $"y").as("dsxy"),
+      sum($"x" * $"x").as("dsxx"),
+      sum($"y" * $"y").as("dsyy"))
+    val n = $"n".cast("double")
+    val (sx, sy) = ($"dsx".cast("double"), $"dsy".cast("double"))
+    val cov = n * $"dsxy".cast("double") - sx * sy
+    val vx = n * $"dsxx".cast("double") - sx * sx
+    val vy = n * $"dsyy".cast("double") - sy * sy
+    s.select($"n",
+      round(cov / vx, 6).as("slope"),
+      round((sy - (cov / vx) * sx) / n, 6).as("intercept"),
+      round((cov * cov) / (vx * vy), 6).as("r2"))
+  }
+
+  /** The documents relation tagged with a position decile (bucket 0–9 by
+    * doc_id range) — the corpus-prefix axis [[qHeapsGrowth]] and
+    * [[qNgramNovelty]] both measure growth along. The bucket boundary is
+    * exact integer arithmetic (`div`), so it never moves with fp rounding. */
+  private def bucketedDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val mx = docs.agg(max($"doc_id").as("mx"))
+    docs.crossJoin(broadcast(mx))
+      .select(least(expr("(doc_id * 10) div (mx + 1)"), lit(9))
+        .cast("int").as("bucket"), $"text")
+  }
+
+  /** Heaps'-law vocabulary growth: cumulative distinct token types vs
+    * cumulative token occurrences across ten corpus-prefix deciles, with
+    * the local Heaps exponent β = ln(V_i/V_{i-1}) / ln(N_i/N_{i-1})
+    * between consecutive prefixes (β ≈ 0.4–0.6 for natural text; β → 0
+    * means the crawl stopped finding new language, β → 1 means near-random
+    * strings). The load-bearing scale move: "distinct types in every
+    * prefix" is classically quadratic (re-scan per prefix) — here each
+    * type's FIRST bucket (one vocabulary-thin min-aggregate) converts it
+    * to new-types-per-bucket, and the cumulative pass is a window over the
+    * 10-row bucket relation, so the corpus is scanned exactly once.
+    *
+    * Fixture note (same framing as the pinned q_modularity collapse): the
+    * synthetic documents draw from a 31-type token vocabulary, so V
+    * saturates in decile 0 and β reads 0 everywhere after — the
+    * "crawl stopped finding new language" signal firing BY DESIGN;
+    * R10bOpsSpec pins it. The 3-gram space is much larger, so
+    * [[qNgramNovelty]] shows the non-degenerate curve on the same corpus. */
+  def qHeapsGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = bucketedDocs(spark, sfDir)
+      .select($"bucket", explode(TextFunctions.tokens($"text")).as("tok"))
+    val perB = toks.groupBy($"bucket").agg(count(lit(1)).as("n_toks"))
+    val newT = toks.groupBy($"tok").agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("new_types"))
+    // windows over the 10-row bucket relation only (never the corpus)
+    val ord = Window.orderBy($"bucket")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perB.join(newT, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .select($"bucket", $"n_toks", $"new_types",
+        sum($"n_toks").over(cum).as("cum_toks"),
+        sum($"new_types").over(cum).as("cum_vocab"))
+      .withColumn("beta", round(
+        log($"cum_vocab".cast("double") / lag($"cum_vocab", 1).over(ord))
+          / log($"cum_toks".cast("double") / lag($"cum_toks", 1).over(ord)),
+        6))
+      .orderBy($"bucket")
+  }
+
+  /** N-gram novelty curve: per corpus-prefix decile, how many of the
+    * distinct word-3-gram types seen in that decile are NEW (first
+    * occurrence anywhere in the corpus) — the n-gram-level twin of
+    * [[qHeapsGrowth]] and the standard freshness read before adding a
+    * crawl slice to a training mix (novelty collapsing to ~0 means the
+    * slice is re-crawl). Same single-scan shape: 3-gram types per bucket
+    * (one distinct agg, linear in grams), first-bucket per gram (one
+    * gram-thin min-agg), and a 10-row join; novelty is one exact integer
+    * quotient rounded once. */
+  def qNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = bucketedDocs(spark, sfDir)
+      .select($"bucket",
+        explode(array_distinct(TextFunctions.shingles($"text", 3))).as("g"))
+      .distinct()
+    val perB = types.groupBy($"bucket").agg(count(lit(1)).as("types"))
+    val newG = types.groupBy($"g").agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("new_types"))
+    perB.join(newG, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .select($"bucket", $"types", $"new_types",
+        round($"new_types".cast("double") / $"types", 6).as("novelty"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf_fit" -> qZipfFit,
+    "q_heaps_growth" -> qHeapsGrowth,
+    "q_ngram_novelty" -> qNgramNovelty,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_skipgram" -> qSkipgram,
     "q_w2v_negatives" -> qW2vNegatives,
@@ -534,7 +659,87 @@ object CorpusOps extends QueryPack {
       |  ORDER BY n DESC, center, context, dist
       |  LIMIT 50)""".stripMargin
 
+  /** Shared corpus-prefix decile CTE (`b`: bucket, text) — interpolated
+    * into the q_heaps_growth and q_ngram_novelty oracles so the bucket
+    * boundary can never drift between them (the Scala side shares
+    * [[bucketedDocs]] the same way). Exact integer floor-div on both
+    * engines. */
+  private val bucketCtesSql: String =
+    """mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |b AS (SELECT CAST(least((doc_id * 10) // (mx + 1), 9) AS INT)
+      |        AS bucket, text
+      |      FROM documents CROSS JOIN mx)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // same decimal-rounded ln(rank)/ln(freq) pairs over the identically
+    // tie-broken top-1000, same IEEE closed-form regression rounded once
+    "q_zipf_fit" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC)
+        |        AS rk FROM cnt),
+        |xy AS (SELECT CAST(round(ln(rk), 6) AS DECIMAL(18,9)) AS x,
+        |              CAST(round(ln(cnt), 6) AS DECIMAL(18,9)) AS y
+        |       FROM r WHERE rk <= 1000),
+        |s AS (SELECT count(*) AS n,
+        |        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |        CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |        CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(y * y) AS DOUBLE) AS syy
+        |      FROM xy)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+        |    6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
+
+    // same first-bucket trick (min(bucket) per token type), same 10-row
+    // cumulative window and ln-ratio local exponent rounded once
+    "q_heaps_growth" ->
+      s"""WITH $bucketCtesSql,
+        |toks AS (SELECT bucket, unnest($toksSql) AS tok FROM b),
+        |perb AS (SELECT bucket, count(*) AS n_toks FROM toks GROUP BY 1),
+        |newt AS (SELECT bucket, count(*) AS new_types FROM (
+        |    SELECT tok, min(bucket) AS bucket FROM toks GROUP BY 1)
+        |  GROUP BY 1),
+        |c AS (SELECT p.bucket, p.n_toks,
+        |        coalesce(n.new_types, 0) AS new_types,
+        |        CAST(sum(p.n_toks) OVER w AS BIGINT) AS cum_toks,
+        |        CAST(sum(coalesce(n.new_types, 0)) OVER w AS BIGINT)
+        |          AS cum_vocab
+        |      FROM perb p LEFT JOIN newt n USING (bucket)
+        |      WINDOW w AS (ORDER BY p.bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, n_toks, new_types, cum_toks, cum_vocab,
+        |  round(ln(CAST(cum_vocab AS DOUBLE)
+        |      / lag(cum_vocab) OVER (ORDER BY bucket))
+        |    / ln(CAST(cum_toks AS DOUBLE)
+        |      / lag(cum_toks) OVER (ORDER BY bucket)), 6) AS beta
+        |FROM c ORDER BY bucket""".stripMargin,
+
+    // 3-gram slices mirror TextFunctions.shingles(text, 3) exactly
+    // (including the short-doc tail slice); same min(bucket) novelty
+    "q_ngram_novelty" ->
+      s"""WITH $bucketCtesSql,
+        |types AS (SELECT DISTINCT bucket, g FROM (
+        |  SELECT bucket, unnest(list_distinct(list_filter(
+        |      list_transform(range(0, greatest(len(T) - 2, 1)),
+        |        i -> array_to_string(T[(i+1):(i+3)], ' ')),
+        |      s -> s != ''))) AS g
+        |  FROM (SELECT bucket, $toksSql AS T FROM b))),
+        |perb AS (SELECT bucket, count(*) AS types FROM types GROUP BY 1),
+        |newg AS (SELECT bucket, count(*) AS new_types FROM (
+        |    SELECT g, min(bucket) AS bucket FROM types GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT p.bucket, p.types,
+        |  CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+        |  round(CAST(coalesce(n.new_types, 0) AS DOUBLE) / p.types, 6)
+        |    AS novelty
+        |FROM perb p LEFT JOIN newg n USING (bucket)
+        |ORDER BY p.bucket""".stripMargin,
+
     // row_number over (cnt desc, tok asc) stands in for Spark's
     // TakeOrderedAndProject with the identical tie-break; coverage is
     // the same exact-integer quotient rounded once
