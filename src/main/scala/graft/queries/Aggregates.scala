@@ -205,7 +205,44 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderstatus")
   }
 
+  /** Incremental view maintenance for an algebraic aggregate: the
+    * standing per-priority order summary is kept as MERGEABLE partial
+    * states (count, decimal sum, min, max — avg is DERIVED from
+    * sum/count, never stored), a new-arrivals delta computes the same
+    * states over only its own rows, and one second-level aggregate
+    * merges the two state relations. The Spark plan literally builds
+    * state(base ⊎ delta-state-union) — the oracle is the flat
+    * recompute over the whole table, so the hash gate proves the merge
+    * law state(A) ⊕ state(B) = state(A ∪ B) end to end. The 100 TB
+    * story IS this op: the standing corpus's state is a priority-thin
+    * relation refreshed without rescanning 100 TB — each ingest batch
+    * pays one scan of itself (the same never-rescan-the-corpus shape as
+    * q_dedup_incremental, at the aggregate layer; insert-only deltas,
+    * so min/max stay mergeable). */
+  def qIvmAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    def state(part: DataFrame): DataFrame =
+      part.groupBy($"o_orderpriority").agg(
+        count(lit(1)).as("cnt"),
+        sum(dec($"o_totalprice")).as("s"),
+        min(dec($"o_totalprice")).as("mn"),
+        max(dec($"o_totalprice")).as("mx"))
+    val orders = Tables.df(spark, sfDir, "orders")
+    val base = state(orders.filter($"o_orderdate" < cutoff))
+    val delta = state(orders.filter($"o_orderdate" >= cutoff))
+    base.unionAll(delta)
+      .groupBy($"o_orderpriority").agg(
+        sum($"cnt").as("n_orders"),
+        sum($"s").cast("double").as("sum_price"),
+        min($"mn").cast("double").as("min_price"),
+        max($"mx").cast("double").as("max_price"))
+      .withColumn("avg_price", round($"sum_price" / $"n_orders", 6))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivm_agg" -> qIvmAgg,
     "q_sortagg_argmax" -> qSortAggArgmax,
     "q_agg_stats" -> qAggStats,
     "q_agg_distinct" -> qAggDistinct,
@@ -220,6 +257,23 @@ object Aggregates extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // the FLAT recompute: matching the merged base⊎delta states proves
+    // the partial-aggregate merge law end to end
+    "q_ivm_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS min_price,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS max_price,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS avg_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_sortagg_argmax" ->
       """SELECT o_orderstatus, o_totalprice AS max_price,
         |  o_orderkey AS max_key

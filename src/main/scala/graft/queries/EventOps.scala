@@ -5,6 +5,7 @@ import graft.streaming.Streams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Batch twins of the streaming transforms (SURVEY.md §2.10): the same
   * Streams.* code paths, run over the static events table so the DuckDB
@@ -429,7 +430,106 @@ object EventOps extends QueryPack {
     s1.unionAll(s2).unionAll(s3).orderBy($"stage")
   }
 
+  /** Two-proportion A/B significance test on daily conversion (did a
+    * user-day contain a purchase), variants assigned by user-id parity —
+    * the experiment read-out every event pipeline ends in. The unit is
+    * the USER-DAY, not the user: over the fixture's span every user
+    * eventually purchases (lifetime conversion saturates at 1.0, making
+    * the pooled standard error exactly 0), so the daily rate is the
+    * well-posed metric — and the degenerate case stays guarded anyway
+    * (zero SE → NULL z, mirrored in the oracle, the qBatchPadding
+    * zero-guard pattern). Scale shape: one (user, day)-keyed
+    * partial-aggregable groupBy collapses the event log, then ONE
+    * conditional 1-row aggregate carries all four arm counts — no
+    * per-arm scan, no join; z (pooled SE) is closed-form arithmetic on
+    * that single row. Determinism: counts are exact integers; p̂ / z are
+    * one shared IEEE double formula rounded once (the significance flag
+    * compares the UNROUNDED |z| in both engines). */
+  def qAbtest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val units = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(($"user_id" % 2 === 0).as("a"), $"conv")
+    val s = units.agg(
+      sum(when($"a", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"a", $"conv").otherwise(0L)).as("c_a"),
+      sum(when(!$"a", 1L).otherwise(0L)).as("n_b"),
+      sum(when(!$"a", $"conv").otherwise(0L)).as("c_b"))
+    val pa = $"c_a".cast("double") / $"n_a"
+    val pb = $"c_b".cast("double") / $"n_b"
+    val pp = ($"c_a" + $"c_b").cast("double") / ($"n_a" + $"n_b")
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")
+    val z = when(se2 === 0.0, lit(null).cast("double"))
+      .otherwise((pa - pb) / sqrt(se2))
+    s.select($"n_a", $"c_a", $"n_b", $"c_b",
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(z, 6).as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
+  /** Offline (counterfactual) policy evaluation by inverse-propensity
+    * scoring — the bandit/RLHF-adjacent read-out: "what would the reward
+    * have been under a DIFFERENT action policy than the one that logged
+    * this data?" (Horvitz–Thompson IPS + the self-normalized SNIPS
+    * variant, Swaminathan & Joachims '15). Context = the props.k feature
+    * quartile; the target policy is LEARNED on the even-event half
+    * (argmax mean reward per context) and evaluated on the odd-event
+    * half with empirical propensities — a proper split, so the estimate
+    * never grades the half it was fit on. Scale shape: the learned
+    * policy (4 rows) and the propensity table (20 rows) broadcast into
+    * ONE projection over the eval scan; per-row IPS terms round to
+    * DECIMAL(18,6) before the per-context sums, so the estimates are
+    * exact and order-independent in both engines. */
+  def qOfflineEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"event_id",
+        // integer floor-div on both sides (DuckDB's double→INT cast
+        // ROUNDS, so a `/ 25` quotient would bucket 99 into 4, not 3)
+        expr("CAST(get_json_object(props, '$.k') AS INT) div 25")
+          .cast("int").as("ctx"),
+        $"event_type".as("action"),
+        $"value".cast(DecimalType(18, 2)).as("r"))
+    val learn = ev.filter($"event_id" % 2 === 0)
+    val eval_ = ev.filter($"event_id" % 2 === 1)
+    val pi = learn.groupBy($"ctx", $"action")
+      .agg(round(sum($"r").cast("double") / count(lit(1)), 6).as("m"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"ctx").orderBy($"m".desc, $"action".asc)))
+      .filter($"rk" === 1)
+      .select($"ctx", $"action".as("pi_action"))
+    val nx = eval_.groupBy($"ctx").agg(count(lit(1)).as("n_x"))
+    val nax = eval_.groupBy($"ctx", $"action")
+      .agg(count(lit(1)).as("n_ax"))
+    eval_
+      .join(broadcast(pi), "ctx")
+      .join(broadcast(nax), Seq("ctx", "action"))
+      .join(broadcast(nx), "ctx")
+      .withColumn("matched", $"action" === $"pi_action")
+      .withColumn("w",
+        when($"matched", $"n_x".cast("double") / $"n_ax").otherwise(0.0))
+      .groupBy($"ctx", $"pi_action")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when($"matched", 1L).otherwise(0L)).as("n_match"),
+        sum($"r").as("logged_sum"),
+        sum(round($"r".cast("double") * $"w", 6).cast(dec6)).as("ips_sum"),
+        sum(round($"w", 6).cast(dec6)).as("w_sum"))
+      .select($"ctx", $"pi_action", $"n_eval", $"n_match",
+        round($"logged_sum".cast("double") / $"n_eval", 6).as("logged_avg"),
+        round($"ips_sum".cast("double") / $"n_eval", 6).as("ips_value"),
+        // zero-guard (qBatchPadding pattern): a context whose learned
+        // action never occurs in the eval half has w_sum = 0
+        when($"w_sum" === 0, lit(null).cast("double"))
+          .otherwise(round($"ips_sum".cast("double")
+            / $"w_sum".cast("double"), 6)).as("snips_value"))
+      .orderBy($"ctx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_offline_eval" -> qOfflineEval,
+    "q_abtest" -> qAbtest,
     "q_funnel_sessions" -> qFunnelSessions,
     "q_journeys" -> qJourneys,
     "q_split_temporal" -> qSplitTemporal,
@@ -450,6 +550,89 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same learn/eval split, same row_number argmax policy, same
+    // broadcastable propensity tables and once-rounded IPS terms
+    "q_offline_eval" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CAST(CAST(json_extract_string(props, '$.k') AS INT) // 25
+        |      AS INT) AS ctx,
+        |    event_type AS action,
+        |    CAST(value AS DECIMAL(18,2)) AS r
+        |  FROM events),
+        |learn AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |ev2 AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+        |pi AS (
+        |  SELECT ctx, action AS pi_action FROM (
+        |    SELECT ctx, action,
+        |      row_number() OVER (PARTITION BY ctx ORDER BY
+        |        round(CAST(sum(r) AS DOUBLE) / count(*), 6) DESC,
+        |        action ASC) AS rk
+        |    FROM learn GROUP BY ctx, action)
+        |  WHERE rk = 1),
+        |nx AS (SELECT ctx, count(*) AS n_x FROM ev2 GROUP BY 1),
+        |nax AS (SELECT ctx, action, count(*) AS n_ax
+        |        FROM ev2 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT e.ctx, pi.pi_action, e.r,
+        |    e.action = pi.pi_action AS matched,
+        |    CASE WHEN e.action = pi.pi_action
+        |      THEN CAST(nx.n_x AS DOUBLE) / nax.n_ax ELSE 0.0 END AS w
+        |  FROM ev2 e
+        |  JOIN pi ON pi.ctx = e.ctx
+        |  JOIN nax ON nax.ctx = e.ctx AND nax.action = e.action
+        |  JOIN nx ON nx.ctx = e.ctx),
+        |g AS (
+        |  SELECT ctx, pi_action, count(*) AS n_eval,
+        |    CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match,
+        |    sum(r) AS logged_sum,
+        |    sum(CAST(round(CAST(r AS DOUBLE) * w, 6) AS DECIMAL(18,6)))
+        |      AS ips_sum,
+        |    sum(CAST(round(w, 6) AS DECIMAL(18,6))) AS w_sum
+        |  FROM j GROUP BY 1, 2)
+        |SELECT ctx, pi_action, n_eval, n_match,
+        |  round(CAST(logged_sum AS DOUBLE) / n_eval, 6) AS logged_avg,
+        |  round(CAST(ips_sum AS DOUBLE) / n_eval, 6) AS ips_value,
+        |  CASE WHEN w_sum = 0 THEN NULL
+        |    ELSE round(CAST(ips_sum AS DOUBLE) / CAST(w_sum AS DOUBLE), 6)
+        |  END AS snips_value
+        |FROM g ORDER BY ctx""".stripMargin,
+
+    // same user-day conversion collapse, same single conditional
+    // aggregate and shared pooled-SE z formula rounded once; zero-SE
+    // degenerate case NULL-guarded on both sides
+    "q_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT user_id % 2 = 0 AS a, conv FROM u),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN a THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN NOT a THEN conv ELSE 0 END) AS BIGINT)
+        |      AS c_b
+        |  FROM v),
+        |f AS (
+        |  SELECT n_a, c_a, n_b, c_b,
+        |    CAST(c_a AS DOUBLE) / n_a AS pa,
+        |    CAST(c_b AS DOUBLE) / n_b AS pb,
+        |    (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b) AS se2
+        |  FROM s)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  round(CASE WHEN se2 = 0.0 THEN NULL
+        |    ELSE (pa - pb) / sqrt(se2) END, 6) AS z,
+        |  abs(CASE WHEN se2 = 0.0 THEN NULL
+        |    ELSE (pa - pb) / sqrt(se2) END) > 1.96 AS significant
+        |FROM f""".stripMargin,
+
     // same gaps-and-islands sessionization (lag + RANGE-framed running
     // sum — tie-safe in both engines), same strictly-after staged gates
     // ns-precision ts truncates to µs on the Spark read; the oracle casts

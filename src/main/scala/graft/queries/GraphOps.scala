@@ -290,7 +290,50 @@ object GraphOps extends QueryPack {
       .orderBy($"community")
   }
 
+  /** Common-neighbor (co-purchase) customer similarity: the top-30
+    * customer pairs by Jaccard over their purchased-PART sets — the
+    * "users like you" item-based collaborative-filtering primitive.
+    * Scale shape: candidate pairs come from a part-keyed equi-join of
+    * the (customer, part) incidence list with itself (wedges meet at the
+    * shared neighbor — never a customer×customer nested loop), so the
+    * fan-out is Σ_p deg(p)², bounded by capping hub parts at degree ≤
+    * 100 first (a universally-bought part carries no similarity signal —
+    * the stop-word/prefix-filter move; a no-op on the fixture where max
+    * part degree is 53, and the safety valve at 100 TB where hub items
+    * otherwise quadratically dominate). Degrees ride in on two thin
+    * equi-joins; top-30 is a distributed TakeOrderedAndProject.
+    * Determinism: Jaccard is one exact-integer quotient rounded once;
+    * ties break (jaccard desc, c1, c2) on both sides. */
+  def qCommonNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val ords = Tables.df(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val cp = li.join(ords, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
+      .localCheckpoint() // three consumers: degrees, both wedge sides
+    val keep = cp.groupBy($"p").agg(count(lit(1)).as("pd"))
+      .filter($"pd" <= 100).select($"p")
+    val inc = cp.join(keep, "p")
+    val deg = cp.groupBy($"c").agg(count(lit(1)).as("d"))
+    val pairs = inc.select($"c".as("c1"), $"p")
+      .join(inc.select($"c".as("c2"), $"p"), "p")
+      .filter($"c1" < $"c2")
+      .groupBy($"c1", $"c2").agg(count(lit(1)).as("common"))
+      .filter($"common" >= 2)
+    pairs
+      .join(deg.select($"c".as("c1"), $"d".as("d1")), "c1")
+      .join(deg.select($"c".as("c2"), $"d".as("d2")), "c2")
+      .select($"c1", $"c2", $"common", $"d1", $"d2",
+        round($"common".cast("double") / ($"d1" + $"d2" - $"common"), 6)
+          .as("jaccard"))
+      .orderBy($"jaccard".desc, $"c1".asc, $"c2".asc)
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_common_neighbors" -> qCommonNeighbors,
     "q_modularity" -> qModularity,
     "q_label_prop" -> qLabelProp,
     "q_pagerank" -> qPagerank,
@@ -336,6 +379,29 @@ object GraphOps extends QueryPack {
        |    FROM c$cur) WHERE rk = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same wedge equi-join on the hub-capped incidence list, degrees
+    // from the uncapped list, same exact-integer Jaccard and tie-break
+    "q_common_neighbors" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |keep AS (SELECT p FROM (
+        |  SELECT p, count(*) AS pd FROM cp GROUP BY 1) WHERE pd <= 100),
+        |inc AS (SELECT cp.c, cp.p FROM cp JOIN keep USING (p)),
+        |deg AS (SELECT c, count(*) AS d FROM cp GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.c AS c1, b.c AS c2, count(*) AS common
+        |  FROM inc a JOIN inc b ON a.p = b.p AND a.c < b.c
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.c1, p.c2, p.common, d1.d AS d1, d2.d AS d2,
+        |  round(CAST(p.common AS DOUBLE) / (d1.d + d2.d - p.common), 6)
+        |    AS jaccard
+        |FROM pairs p
+        |JOIN deg d1 ON d1.c = p.c1
+        |JOIN deg d2 ON d2.c = p.c2
+        |ORDER BY jaccard DESC, c1 ASC, c2 ASC
+        |LIMIT 30""".stripMargin,
+
     // same symmetrized graph, same synchronous rounds, same
     // (cnt desc, lbl asc) argmax tie-break
     "q_label_prop" ->

@@ -76,11 +76,103 @@ object LearnOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Bradley–Terry preference-strength aggregation (two MM iterations,
+    * Hunter '04) — the pairwise-preference → scalar-score primitive
+    * under RLHF reward-model data curation and LLM-judge leaderboards.
+    * Preferences here: two parts in the same order are a "comparison",
+    * the larger quantity wins; s is the BT strength after two
+    * minorize–maximize updates from s=1, with a half-win/one-game
+    * pseudo-count (the standard regularizer — it keeps every score
+    * strictly positive, so the update's pair denominators s_i + s_j
+    * never hit the 0/0 of an all-losses item). Scale shape: comparisons
+    * collapse to the pair-thin (i, j, n, wins) relation in one groupBy;
+    * each MM iteration is ONE score-keyed equi-join pair + one
+    * partial-aggregable sum over that relation — the Pregel-as-SQL shape
+    * PageRank uses, on a pair graph; top-20 is TakeOrderedAndProject.
+    * Determinism: per-pair MM terms round to DECIMAL(18,9) before the
+    * per-item sum; scores round to 9dp each iteration, so both engines
+    * carry identical doubles into round two. */
+  def qBradleyTerry(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val pairs = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey"
+          && $"a.l_partkey" < $"b.l_partkey"
+          && $"a.l_quantity" =!= $"b.l_quantity")
+      .select($"a.l_partkey".as("i"), $"b.l_partkey".as("j"),
+        when($"a.l_quantity" > $"b.l_quantity", 1L).otherwise(0L)
+          .as("win_i"))
+      .groupBy($"i", $"j").agg(count(lit(1)).as("n"), sum($"win_i").as("w"))
+      .localCheckpoint() // both iterations + the wins table consume it
+    val sym = pairs.select($"i".as("u"), $"j".as("v"), $"n", $"w".as("wu"))
+      .unionAll(pairs.select($"j".as("u"), $"i".as("v"), $"n",
+        ($"n" - $"w").as("wu")))
+    val wins = sym.groupBy($"u")
+      .agg(sum($"wu").as("w_tot"), sum($"n").as("n_tot"))
+      .localCheckpoint()
+    val s1 = wins.select($"u",
+      round(($"w_tot" + lit(0.5)) * lit(2.0) / ($"n_tot" + lit(1)), 9)
+        .as("s"))
+      .localCheckpoint()
+    val den = sym
+      .join(s1.select($"u", $"s".as("su")), "u")
+      .join(s1.select($"u".as("v"), $"s".as("sv")), "v")
+      .select($"u", round($"n" / ($"su" + $"sv"), 9).cast(dec9).as("term"))
+      .groupBy($"u").agg(sum($"term").as("den"))
+    wins.join(s1.select($"u", $"s".as("s_1")), "u")
+      .join(den, "u")
+      .select($"u".as("part"), $"n_tot".as("n_games"), $"w_tot".as("wins"),
+        $"s_1",
+        round(($"w_tot" + lit(0.5)) / $"den".cast("double"), 9).as("s_2"))
+      .orderBy($"s_2".desc, $"part".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bradley_terry" -> qBradleyTerry,
     "q_nb_classify" -> qNbLangClassify
   )
 
   val oracle: Map[String, String] = Map(
+    // same pair-thin tournament, same pseudo-count MM updates with
+    // DECIMAL(18,9) pre-sum term rounding, same (s_2 desc, part) top-20
+    "q_bradley_terry" ->
+      """WITH p0 AS (
+        |  SELECT a.l_partkey AS i, b.l_partkey AS j,
+        |    CASE WHEN a.l_quantity > b.l_quantity THEN 1 ELSE 0 END
+        |      AS win_i
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |    AND a.l_quantity <> b.l_quantity),
+        |pairs AS (
+        |  SELECT i, j, count(*) AS n, CAST(sum(win_i) AS BIGINT) AS w
+        |  FROM p0 GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT i AS u, j AS v, n, w AS wu FROM pairs
+        |  UNION ALL
+        |  SELECT j, i, n, n - w FROM pairs),
+        |wins AS (
+        |  SELECT u, CAST(sum(wu) AS BIGINT) AS w_tot,
+        |    CAST(sum(n) AS BIGINT) AS n_tot
+        |  FROM sym GROUP BY 1),
+        |s1 AS (
+        |  SELECT u, round((w_tot + 0.5) * 2.0 / (n_tot + 1), 9) AS s
+        |  FROM wins),
+        |den AS (
+        |  SELECT sym.u,
+        |    sum(CAST(round(sym.n / (a.s + b.s), 9) AS DECIMAL(18,9)))
+        |      AS den
+        |  FROM sym JOIN s1 a ON a.u = sym.u JOIN s1 b ON b.u = sym.v
+        |  GROUP BY 1)
+        |SELECT w.u AS part, w.n_tot AS n_games, w.w_tot AS wins,
+        |  s1.s AS s_1,
+        |  round((w.w_tot + 0.5) / CAST(d.den AS DOUBLE), 9) AS s_2
+        |FROM wins w JOIN s1 ON s1.u = w.u JOIN den d ON d.u = w.u
+        |ORDER BY s_2 DESC, part ASC LIMIT 20""".stripMargin,
+
     // same model, same DECIMAL(18,6) pre-sum rounding; unseen (tok, class)
     // pairs take the add-one floor through the left join's COALESCE
     "q_nb_classify" ->

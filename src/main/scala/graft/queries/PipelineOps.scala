@@ -561,7 +561,49 @@ object PipelineOps extends QueryPack {
       .orderBy($"source")
   }
 
+  /** T5-style span-corruption planning report (Raffel et al., JMLR'20 —
+    * public algorithm): tokens group into 3-token blocks, each block is
+    * masked by an md5-keyed coin at p = 38/256 ≈ 0.148, and the report
+    * aggregates per language what a denoising-objective batch builder
+    * needs to size its targets: docs/tokens/masked tokens/span count,
+    * the realized mask ratio, and the mean masked-span length. Scale
+    * shape: the mask decision is a PER-BLOCK projection (the md5-keyed
+    * randomness family — no seed coordination, no shuffle to decide),
+    * then two partial-aggregable groupBys (block → doc → lang); cost ∝
+    * tokens, nothing wider than the language list is ever held.
+    * Determinism: the coin is a hex-string compare; every output is
+    * exact-integer arithmetic except the two once-rounded quotients. */
+  def qSpanCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val blocks = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"lang",
+        posexplode(graft.functions.TextFunctions.tokens($"text"))
+          .as(Seq("pos", "tok")))
+      .select($"doc_id", $"lang", expr("pos div 3").as("blk"))
+      .groupBy($"doc_id", $"lang", $"blk")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("m",
+        substring(md5(concat(lit("span:"), $"doc_id".cast("string"),
+          lit(":"), $"blk".cast("string"))), 1, 2) < "26")
+    val perDoc = blocks.groupBy($"doc_id", $"lang").agg(
+      sum($"n").as("n_toks"),
+      sum(when($"m", $"n").otherwise(0L)).as("n_masked"),
+      sum(when($"m", 1L).otherwise(0L)).as("n_spans"))
+    perDoc.groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        sum($"n_masked").as("n_masked"),
+        sum($"n_spans").as("n_spans"))
+      .withColumn("mask_ratio",
+        round($"n_masked".cast("double") / $"n_tokens", 6))
+      .withColumn("mean_span",
+        when($"n_spans" === 0, lit(null).cast("double"))
+          .otherwise(round($"n_masked".cast("double") / $"n_spans", 6)))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_corrupt" -> qSpanCorrupt,
     "q_mix_unimax" -> qMixUnimax,
     "q_truncation_loss" -> qTruncationLoss,
     "q_curriculum" -> qCurriculum,
@@ -621,6 +663,37 @@ object PipelineOps extends QueryPack {
       |  FROM s GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same 3-token blocks, same hex-string md5 coin, same two-level
+    // integer aggregation with the two once-rounded quotients
+    "q_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(range(0, len(T))) AS pos
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(string_split(lower(text), ' '), x -> x != '')
+        |            AS T
+        |        FROM documents)),
+        |b0 AS (SELECT doc_id, lang, pos // 3 AS blk FROM t),
+        |blocks AS (
+        |  SELECT doc_id, lang, blk, count(*) AS n,
+        |    substring(md5('span:' || CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(blk AS VARCHAR)), 1, 2) < '26' AS m
+        |  FROM b0 GROUP BY 1, 2, 3),
+        |perdoc AS (
+        |  SELECT doc_id, lang, sum(n) AS n_toks,
+        |    sum(CASE WHEN m THEN n ELSE 0 END) AS n_masked,
+        |    sum(CASE WHEN m THEN 1 ELSE 0 END) AS n_spans
+        |  FROM blocks GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_masked) AS BIGINT) AS n_masked,
+        |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        |  round(CAST(sum(n_masked) AS DOUBLE) / sum(n_toks), 6)
+        |    AS mask_ratio,
+        |  CASE WHEN sum(n_spans) = 0 THEN NULL
+        |    ELSE round(CAST(sum(n_masked) AS DOUBLE) / sum(n_spans), 6)
+        |  END AS mean_span
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
+
     // identical ascending scan, 6dp-rounded water-level comparisons and
     // the same running-AND prefix capping
     "q_mix_unimax" ->

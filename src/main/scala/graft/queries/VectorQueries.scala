@@ -736,7 +736,49 @@ object VectorQueries extends QueryPack {
       .orderBy($"qid", $"rk")
   }
 
+  /** Per-class embedding centroid drift matrix: the pairwise cosine
+    * similarity between every two label centroids — the embedding-space
+    * twin of q_kl_sources' token-distribution drift, and the standard
+    * read before mixing corpora ("are these sources the same
+    * distribution?") or debugging a classifier ("which classes
+    * collide?"). Scale shape: the corpus collapses to k×d centroid cells
+    * in ONE map-side-partial aggregate (explode → groupBy(label, dim));
+    * everything after — norms, the k²/2 pairwise dots — runs on the
+    * k×d = 640-row relation, so 100 TB of vectors costs one pass.
+    * Determinism: elements round once to DECIMAL(18,6); the centroid is
+    * the exact decimal sum cast to double, divided and rounded once to
+    * DECIMAL(18,9); dots/norms are exact decimal sums of decimal
+    * products; the final cosine is one shared double formula (sqrt is
+    * IEEE-exact) rounded once. */
+  def qCentroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val comps = Tables.df(spark, sfDir, "embeddings")
+      .select($"label", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .select($"label", $"dim", round($"x", 6).cast(dec6).as("xd"))
+    val cent = comps.groupBy($"label", $"dim")
+      .agg(round(sum($"xd").cast("double") / count(lit(1)), 9)
+        .cast(dec9).as("c"))
+    val norms = cent.groupBy($"label")
+      .agg(sum($"c" * $"c").as("n2"))
+    val pairs = cent.select($"label".as("la"), $"dim", $"c".as("ca"))
+      .join(cent.select($"label".as("lb"), $"dim", $"c".as("cb")), "dim")
+      .filter($"la" < $"lb")
+      .groupBy($"la", $"lb").agg(sum($"ca" * $"cb").as("dot"))
+    pairs
+      .join(norms.select($"label".as("la"), $"n2".as("na")), "la")
+      .join(norms.select($"label".as("lb"), $"n2".as("nb")), "lb")
+      .select($"la", $"lb",
+        round($"dot".cast("double")
+          / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 6)
+          .as("cos_sim"))
+      .orderBy($"la", $"lb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_centroid_drift" -> qCentroidDrift,
     "q_pq_adc" -> qPqAdc,
     "q_hard_negatives" -> qHardNegatives,
     "q_quantize" -> qQuantize,
@@ -757,6 +799,33 @@ object VectorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same once-rounded elements → exact-decimal centroid/dot/norm sums →
+    // one shared cosine formula rounded once (sqrt is IEEE-exact)
+    "q_centroid_drift" ->
+      """WITH comps AS (
+        |  SELECT label, r.d AS dim,
+        |    CAST(round(CAST(embedding[r.d + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS xd
+        |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+        |cent AS (
+        |  SELECT label, dim,
+        |    CAST(round(CAST(sum(xd) AS DOUBLE) / count(*), 9)
+        |      AS DECIMAL(18,9)) AS c
+        |  FROM comps GROUP BY 1, 2),
+        |norms AS (SELECT label, sum(c * c) AS n2 FROM cent GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.label AS la, b.label AS lb, sum(a.c * b.c) AS dot
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT p.la, p.lb,
+        |  round(CAST(p.dot AS DOUBLE)
+        |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+        |    6) AS cos_sim
+        |FROM pairs p
+        |JOIN norms na ON na.label = p.la
+        |JOIN norms nb ON nb.label = p.lb
+        |ORDER BY p.la, p.lb""".stripMargin,
+
     // same once-rounded DECIMAL(18,6) inputs; the pairwise CTE self-join
     // computes the identical exact cross-moment sums the Spark HOF outer
     // product emits; covariance and each normalization are the same

@@ -104,6 +104,30 @@ object Streams {
           .reduce(_ && _).as("member"))
   }
 
+  /** Streaming twin of q_ivm_agg (Aggregates.qIvmAgg): a streaming
+    * groupBy aggregate IS incremental view maintenance — Structured
+    * Streaming's state store holds exactly the mergeable (count, sum,
+    * min, max) partial states the batch op unions, each micro-batch
+    * pays only its own scan, and avg stays DERIVED from sum/count
+    * (never stored — storing it would break mergeability). Insert-only
+    * input keeps min/max mergeable, the same contract the batch op
+    * documents; R10bOpsSpec replays base+delta micro-batches against
+    * the batch merge and the flat recompute. */
+  def ivmSummaryStream(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders.groupBy($"o_orderpriority").agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).as("s"),
+        min(dec($"o_totalprice")).as("mn"),
+        max(dec($"o_totalprice")).as("mx"))
+      .select($"o_orderpriority", $"n_orders",
+        $"s".cast("double").as("sum_price"),
+        $"mn".cast("double").as("min_price"),
+        $"mx".cast("double").as("max_price"),
+        round($"s".cast("double") / $"n_orders", 6).as("avg_price"))
+  }
+
   def tempSampleStream(stream: DataFrame, rates: DataFrame): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
