@@ -49,12 +49,173 @@ object Analytics extends QueryPack {
       .orderBy($"fd", $"day_offset")
   }
 
+  /** RFM customer segmentation: recency / frequency / monetary quintiles
+    * over the per-customer order summary, reported as the classic
+    * 125-cell segment grid. Quintile boundaries come from Spark's exact
+    * `percentile` (linear interpolation ≡ DuckDB `quantile_cont`, the
+    * q_percentile idiom), rounded to 6dp before the comparison (the
+    * q_bin_quantile boundary discipline), so bin assignment is a pure
+    * broadcast-join projection — no global ntile sort, no SinglePartition
+    * exchange over the customer relation. Scale: one groupBy(custkey)
+    * pass; the cuts are a 1-row aggregate broadcast back; at extreme
+    * monetary cardinality the same cuts would come from the
+    * histogram-refine quantile operator (operators/Quantiles.scala) —
+    * identical boundaries, bounded memory. */
+  def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.df(spark, sfDir, "orders")
+    val ref = orders.agg(max(to_date($"o_orderdate")).as("ref_d"))
+    val cust = orders
+      .groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(dec($"o_totalprice")).as("m"))
+      .crossJoin(broadcast(ref))
+      .select($"o_custkey", datediff($"ref_d", $"last_d").as("r"),
+        $"f", round($"m".cast("double"), 6).as("m"))
+    val cuts = cust.agg(
+      expr("transform(percentile(r, array(0.2, 0.4, 0.6, 0.8))," +
+        " x -> round(x, 6))").as("rc"),
+      expr("transform(percentile(f, array(0.2, 0.4, 0.6, 0.8))," +
+        " x -> round(x, 6))").as("fc"),
+      expr("transform(percentile(m, array(0.2, 0.4, 0.6, 0.8))," +
+        " x -> round(x, 6))").as("mc"))
+    def quintile(v: Column, c: Column): Column =
+      lit(1) + (v > element_at(c, 1)).cast("int") +
+        (v > element_at(c, 2)).cast("int") +
+        (v > element_at(c, 3)).cast("int") +
+        (v > element_at(c, 4)).cast("int")
+    cust.crossJoin(broadcast(cuts))
+      .select($"o_custkey",
+        quintile($"r".cast("double"), $"rc").as("r_q"),
+        quintile($"f".cast("double"), $"fc").as("f_q"),
+        quintile($"m", $"mc").as("m_q"), $"m")
+      .groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"m".cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_m"))
+      .orderBy($"r_q", $"f_q", $"m_q")
+  }
+
+  /** Market-basket association rules over order baskets (a-priori shape):
+    * distinct (order, part) items, the infrequent tail pruned BEFORE the
+    * pair self-join (the classic support-based candidate pruning — at
+    * 100 TB this is what keeps the pair fan-out proportional to
+    * frequent-item co-occurrence, not raw basket volume), pair counts
+    * with a minimum pair support, then directional rules a→c scored by
+    * support / confidence / lift. Per-basket fan-out is k² with k bounded
+    * by basket size (≤7 in the fixture's TPC-H shape). Top-20 by lift is
+    * TakeOrderedAndProject. Differs from q_common_neighbors (symmetric
+    * Jaccard wedge walk): rules are directional and lift-normalized. */
+  def qAssocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.df(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("i")).distinct()
+    val nOrders = items.select($"o").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val freq = items.groupBy($"i").agg(count(lit(1)).as("n_i"))
+      .filter($"n_i" >= 3)
+    val fitems = items.join(freq, "i")
+    val pairs = fitems.select($"o", $"i")
+      .join(fitems.select($"o", $"i".as("j")), "o")
+      .filter($"i" < $"j")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("n_pair"))
+      .filter($"n_pair" >= 3)
+    val rules = pairs
+      .select($"i".as("ante"), $"j".as("cons"), $"n_pair")
+      .unionAll(pairs.select($"j".as("ante"), $"i".as("cons"), $"n_pair"))
+    rules
+      .join(freq.select($"i".as("ante"), $"n_i".as("n_ante")), "ante")
+      .join(freq.select($"i".as("cons"), $"n_i".as("n_cons")), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select($"ante", $"cons", $"n_pair", $"n_ante", $"n_cons",
+        round($"n_pair".cast("double") / $"n_orders", 6).as("support"),
+        round($"n_pair".cast("double") / $"n_ante", 6).as("confidence"),
+        round($"n_pair".cast("double") * $"n_orders" /
+          ($"n_ante" * $"n_cons"), 6).as("lift"))
+      .orderBy($"lift".desc, $"ante".asc, $"cons".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> qFunnel,
-    "q_retention" -> qRetention
+    "q_retention" -> qRetention,
+    "q_rfm" -> qRfm,
+    "q_assoc_rules" -> qAssocRules
   )
 
   val oracle: Map[String, String] = Map(
+    // same exact-percentile cuts (quantile_cont ≡ Spark percentile),
+    // rounded to 6dp before the bin comparison, same decimal money sums
+    "q_rfm" ->
+      """WITH ref AS (
+        |  SELECT max(CAST(o_orderdate AS DATE)) AS ref_d FROM orders),
+        |cust AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      (SELECT ref_d FROM ref)) AS INT) AS r,
+        |    count(*) AS f,
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DOUBLE), 6) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |cuts AS (
+        |  SELECT
+        |    list_transform(quantile_cont(r, [0.2, 0.4, 0.6, 0.8]),
+        |      x -> round(x, 6)) AS rc,
+        |    list_transform(quantile_cont(f, [0.2, 0.4, 0.6, 0.8]),
+        |      x -> round(x, 6)) AS fc,
+        |    list_transform(quantile_cont(m, [0.2, 0.4, 0.6, 0.8]),
+        |      x -> round(x, 6)) AS mc
+        |  FROM cust),
+        |seg AS (
+        |  SELECT c.o_custkey, c.m,
+        |    1 + CAST(CAST(c.r AS DOUBLE) > k.rc[1] AS INT)
+        |      + CAST(CAST(c.r AS DOUBLE) > k.rc[2] AS INT)
+        |      + CAST(CAST(c.r AS DOUBLE) > k.rc[3] AS INT)
+        |      + CAST(CAST(c.r AS DOUBLE) > k.rc[4] AS INT) AS r_q,
+        |    1 + CAST(CAST(c.f AS DOUBLE) > k.fc[1] AS INT)
+        |      + CAST(CAST(c.f AS DOUBLE) > k.fc[2] AS INT)
+        |      + CAST(CAST(c.f AS DOUBLE) > k.fc[3] AS INT)
+        |      + CAST(CAST(c.f AS DOUBLE) > k.fc[4] AS INT) AS f_q,
+        |    1 + CAST(c.m > k.mc[1] AS INT) + CAST(c.m > k.mc[2] AS INT)
+        |      + CAST(c.m > k.mc[3] AS INT) + CAST(c.m > k.mc[4] AS INT)
+        |      AS m_q
+        |  FROM cust c CROSS JOIN cuts k)
+        |SELECT r_q, f_q, m_q, count(*) AS n_cust,
+        |  round(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+        |    6) AS avg_m
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // same a-priori item prefilter, same pair support floor, same
+    // directional support/confidence/lift arithmetic and top-20 order
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        |n_orders AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+        |freq AS (
+        |  SELECT i, count(*) AS n_i FROM items GROUP BY i
+        |  HAVING count(*) >= 3),
+        |fitems AS (SELECT it.o, it.i FROM items it JOIN freq USING (i)),
+        |pairs AS (
+        |  SELECT a.i, b.i AS j, count(*) AS n_pair
+        |  FROM fitems a JOIN fitems b ON a.o = b.o AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |rules AS (
+        |  SELECT i AS ante, j AS cons, n_pair FROM pairs
+        |  UNION ALL
+        |  SELECT j, i, n_pair FROM pairs)
+        |SELECT r.ante, r.cons, r.n_pair, fa.n_i AS n_ante,
+        |  fc.n_i AS n_cons,
+        |  round(CAST(r.n_pair AS DOUBLE) / n.n_orders, 6) AS support,
+        |  round(CAST(r.n_pair AS DOUBLE) / fa.n_i, 6) AS confidence,
+        |  round(CAST(r.n_pair AS DOUBLE) * n.n_orders
+        |    / (fa.n_i * fc.n_i), 6) AS lift
+        |FROM rules r
+        |JOIN freq fa ON fa.i = r.ante
+        |JOIN freq fc ON fc.i = r.cons
+        |CROSS JOIN n_orders n
+        |ORDER BY lift DESC, ante ASC, cons ASC LIMIT 20""".stripMargin,
+
     "q_funnel" ->
       """SELECT s.user_id, s.first_signup,
         |  COUNT(p.p_ts) AS n_purchases,

@@ -527,7 +527,60 @@ object EventOps extends QueryPack {
       .orderBy($"ctx")
   }
 
+  /** Kaplan–Meier user-survival curve over the events stream: per-user
+    * lifetime = days between first and last activity; a user whose last
+    * activity is more than 7 days before the corpus's final timestamp has
+    * churned (the "death"), otherwise they are right-censored at their
+    * observed lifetime. The product-limit estimator S(t) = Π(1 − d/n) is
+    * computed as exp of a cumulative sum of once-rounded ln(1 − d/n)
+    * DECIMAL(18,9) terms (the decimal-pre-sum discipline — both engines
+    * carry identical values), with the d = n full-absorption step
+    * short-circuited to exactly 0 so ln(0) never evaluates. Scale: one
+    * groupBy(user_id) pass reduces the stream to user granularity;
+    * everything after runs on the distinct-lifetime relation, bounded by
+    * the calendar span in days — genuinely tiny at any corpus scale, so
+    * the unpartitioned cumulative window is safe by construction. */
+  def qSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val ev = Tables.df(spark, sfDir, "events")
+    val horizon = ev.agg(max($"ts").as("max_ts"))
+    val users = ev.groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .crossJoin(broadcast(horizon))
+      .select($"user_id",
+        datediff(to_date($"last_ts"), to_date($"first_ts")).as("t"),
+        ($"last_ts" < expr("max_ts - INTERVAL 7 DAY")).as("churned"))
+    val byT = users.groupBy($"t")
+      .agg(count(lit(1)).as("m_all"),
+        sum(when($"churned", 1L).otherwise(0L)).as("d"))
+    val nUsers = users.agg(count(lit(1)).as("n_users"))
+    val wPrev = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(nUsers))
+      .withColumn("n_risk",
+        $"n_users" - coalesce(sum($"m_all").over(wPrev), lit(0L)))
+      .withColumn("term",
+        when($"d" < $"n_risk",
+          round(log(lit(1.0) - $"d".cast("double") / $"n_risk"), 9)
+            .cast(dec9))
+          .otherwise(lit(null).cast(dec9)))
+      .withColumn("absorbed",
+        max(($"d" === $"n_risk").cast("int")).over(wCum))
+      .select($"t", $"n_risk", $"d".as("d_churned"),
+        ($"m_all" - $"d").as("c_censored"),
+        when($"absorbed" === 1, 0.0)
+          .otherwise(round(exp(
+            sum(coalesce($"term", lit(0).cast(dec9))).over(wCum)
+              .cast("double")), 6))
+          .as("survival"))
+      .orderBy($"t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival" -> qSurvival,
     "q_offline_eval" -> qOfflineEval,
     "q_abtest" -> qAbtest,
     "q_funnel_sessions" -> qFunnelSessions,
@@ -550,6 +603,45 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same lifetime/censoring definitions, same DECIMAL(18,9) pre-sum
+    // ln terms, same absorbed short-circuit; HUGEINT sums cast to BIGINT
+    "q_survival" ->
+      """WITH horizon AS (SELECT max(ts) AS max_ts FROM events),
+        |users AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(max(ts) AS DATE)) AS INT) AS t,
+        |    max(ts) < (SELECT max_ts FROM horizon) - INTERVAL 7 DAY
+        |      AS churned
+        |  FROM events GROUP BY user_id),
+        |byt AS (
+        |  SELECT t, count(*) AS m_all,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM users GROUP BY t),
+        |n AS (SELECT count(*) AS n_users FROM users),
+        |r AS (
+        |  SELECT t, m_all, d,
+        |    n.n_users - CAST(COALESCE(sum(m_all) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt CROSS JOIN n),
+        |s AS (
+        |  SELECT t, n_risk, d, m_all - d AS c_censored,
+        |    CASE WHEN d < n_risk THEN
+        |      CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+        |        AS DECIMAL(18,9)) ELSE NULL END AS term,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS absorbed
+        |  FROM r)
+        |SELECT t, n_risk, d AS d_churned, c_censored,
+        |  CASE WHEN absorbed = 1 THEN 0.0
+        |  ELSE round(exp(CAST(sum(COALESCE(term,
+        |    CAST(0 AS DECIMAL(18,9)))) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE)), 6) END AS survival
+        |FROM s ORDER BY t""".stripMargin,
+
     // same learn/eval split, same row_number argmax policy, same
     // broadcastable propensity tables and once-rounded IPS terms
     "q_offline_eval" ->
