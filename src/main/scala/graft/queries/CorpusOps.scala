@@ -584,7 +584,49 @@ object CorpusOps extends QueryPack {
       .orderBy($"bucket")
   }
 
+  /** χ² term–language association (the classic feature-selection score
+    * for building domain/language classifiers from corpus counts): for
+    * every (token, lang) cell of the occurrence contingency table,
+    * χ² = N·(o₁₁o₂₂ − o₁₂o₂₁)² / (n_t·(N−n_t)·n_l·(N−n_l)), reported
+    * with the expected count and over/under direction, top-30 by χ².
+    * All marginals re-aggregate the vocabulary-thin (lang, token) count
+    * relation — one corpus pass total; the squared numerator and the
+    * four-factor denominator are accumulated in DOUBLE left-to-right on
+    * both engines (a BIGINT product would overflow at corpus scale).
+    * Scale: per-lang totals broadcast (≤ #langs rows); the per-token
+    * marginal joins on the vocabulary relation, never on the corpus. */
+  def qChisqTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // vocabulary×lang-thin; localCheckpoint so the corpus explode runs
+    // ONCE — tl feeds three subtrees (cells + both marginals)
+    val tl = Tables.df(spark, sfDir, "documents")
+      .select($"lang", explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("o11"))
+      .localCheckpoint()
+    val nt = tl.groupBy($"tok").agg(sum($"o11").as("n_t"))
+    val nl = tl.groupBy($"lang").agg(sum($"o11").as("n_l"))
+    val nAll = nt.agg(sum($"n_t").as("n_all"))
+    tl.join(nt, "tok")
+      .join(broadcast(nl), "lang")
+      .crossJoin(broadcast(nAll))
+      .select($"lang", $"tok", $"o11".as("n_obs"), $"n_t".as("n_term"),
+        $"n_l".as("n_lang"),
+        round($"n_t".cast("double") * $"n_l" / $"n_all", 6).as("expected"),
+        round($"n_all".cast("double")
+          * ($"o11" * ($"n_all" - $"n_t" - $"n_l" + $"o11")
+            - ($"n_t" - $"o11") * ($"n_l" - $"o11")).cast("double")
+          * ($"o11" * ($"n_all" - $"n_t" - $"n_l" + $"o11")
+            - ($"n_t" - $"o11") * ($"n_l" - $"o11")).cast("double")
+          / ($"n_t".cast("double") * ($"n_all" - $"n_t") * $"n_l"
+            * ($"n_all" - $"n_l")), 6).as("chi2"),
+        when($"o11" * $"n_all" > $"n_t" * $"n_l", lit("over"))
+          .otherwise(lit("under")).as("assoc"))
+      .orderBy($"chi2".desc, $"lang".asc, $"tok".asc)
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chisq_terms" -> qChisqTerms,
     "q_zipf_fit" -> qZipfFit,
     "q_heaps_growth" -> qHeapsGrowth,
     "q_ngram_novelty" -> qNgramNovelty,
@@ -671,6 +713,34 @@ object CorpusOps extends QueryPack {
       |      FROM documents CROSS JOIN mx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same occurrence contingency table, same BIGINT-exact inner products
+    // cast to DOUBLE before squaring, same left-to-right double chain
+    "q_chisq_terms" ->
+      s"""WITH tl AS (
+        |  SELECT lang, tok, count(*) AS o11 FROM (
+        |    SELECT lang, unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |nt AS (SELECT tok, CAST(sum(o11) AS BIGINT) AS n_t
+        |       FROM tl GROUP BY 1),
+        |nl AS (SELECT lang, CAST(sum(o11) AS BIGINT) AS n_l
+        |       FROM tl GROUP BY 1),
+        |na AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_all FROM nt)
+        |SELECT tl.lang, tl.tok, tl.o11 AS n_obs, nt.n_t AS n_term,
+        |  nl.n_l AS n_lang,
+        |  round(CAST(nt.n_t AS DOUBLE) * nl.n_l / na.n_all, 6)
+        |    AS expected,
+        |  round(CAST(na.n_all AS DOUBLE)
+        |    * CAST(tl.o11 * (na.n_all - nt.n_t - nl.n_l + tl.o11)
+        |        - (nt.n_t - tl.o11) * (nl.n_l - tl.o11) AS DOUBLE)
+        |    * CAST(tl.o11 * (na.n_all - nt.n_t - nl.n_l + tl.o11)
+        |        - (nt.n_t - tl.o11) * (nl.n_l - tl.o11) AS DOUBLE)
+        |    / (CAST(nt.n_t AS DOUBLE) * (na.n_all - nt.n_t) * nl.n_l
+        |        * (na.n_all - nl.n_l)), 6) AS chi2,
+        |  CASE WHEN tl.o11 * na.n_all > nt.n_t * nl.n_l
+        |    THEN 'over' ELSE 'under' END AS assoc
+        |FROM tl JOIN nt USING (tok) JOIN nl USING (lang) CROSS JOIN na
+        |ORDER BY chi2 DESC, lang ASC, tok ASC LIMIT 30""".stripMargin,
+
     // same decimal-rounded ln(rank)/ln(freq) pairs over the identically
     // tie-broken top-1000, same IEEE closed-form regression rounded once
     "q_zipf_fit" ->

@@ -606,7 +606,88 @@ object CurateOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_containment -----------------------------------------------------
+  /** Asymmetric containment dedup: |A ∩ B| / min(|A|, |B|) over distinct
+    * 3-gram shingle sets — the quote-inclusion / subset-duplicate case
+    * symmetric Jaccard misses (a doc fully embedded in a 10× longer one
+    * has J ≈ 0.1 but containment 1.0), so no length-ratio blocking is
+    * applied on purpose. Candidates come from the inverted shingle index
+    * (one equi-join keyed by shingle); shingles carried by more than 1000
+    * documents are dropped on BOTH sides first — the stop-shingle cut that
+    * bounds per-key fan-out at corpus scale (df² per shingle, never
+    * doc×doc; a no-op on this fixture where max df = 7, asserted in the
+    * spec so a fixture change is noticed). Reported pairs: containment
+    * ≥ 0.8, top-50. */
+  def qContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val sh = docs
+      .select($"doc_id", TextFunctions.shingles($"text", 3).as("ss"))
+      .select($"doc_id", explode($"ss").as("s"))
+      .filter(size(split($"s", " ")) === 3)
+      .distinct()
+    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val kept = sh.join(df.filter($"df" <= 1000), "s")
+      .select($"doc_id", $"s")
+    val sz = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.select($"doc_id".as("id_a"), $"s")
+      .join(kept.select($"doc_id".as("id_b"), $"s"), "s")
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
+      .join(sz.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+      .select($"id_a", $"id_b", $"n_inter", $"n_a", $"n_b",
+        round($"n_inter".cast("double") / least($"n_a", $"n_b"), 6)
+          .as("containment"))
+      .filter($"containment" >= 0.8)
+      .orderBy($"containment".desc, $"id_a".asc, $"id_b".asc)
+      .limit(50)
+  }
+
+  // ---- q_watermark -------------------------------------------------------
+  /** Statistical greenlist watermark detection (the Kirchenbauer-style
+    * detector re-expressed relationally): a deterministic coin keyed on
+    * each bigram — md5(prev || '|' || tok), 60-bit value, parity — marks
+    * a token "green"; for genuinely unwatermarked text the green fraction
+    * is Binomial(T, 1/2), so z = (2g − T)/√T is ≈ N(0,1) and the fixture
+    * must NOT flag (pinned in the spec: flag count 0 at the detector's
+    * published z ≥ 4 bar — z ≥ 3 would false-positive ≈ 0.7 docs per 500
+    * by multiple testing alone, observed on the sf0.001 fixture; on
+    * watermarked model output z explodes, which is the point of the
+    * gate). Plan: doc-keyed repartition BEFORE the token explode (the
+    * shingleStream discipline), one lag window, two thin aggregations —
+    * a single corpus pass at any scale. */
+  def qWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val scored = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id", $"source",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("prev", lag($"tok", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("green",
+        conv(substring(md5(concat($"prev", lit("|"), $"tok")), 1, 15),
+          16, 10).cast("long") % 2 === 0)
+    val perDoc = scored.groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("t"),
+        sum($"green".cast("long")).as("g"))
+      .select($"doc_id", $"source",
+        round((lit(2.0) * $"g" - $"t") / sqrt($"t"), 6).as("z"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"z".cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_z"),
+        max($"z").as("max_z"),
+        sum(when($"z" >= 4.0, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_containment" -> qContainment,
+    "q_watermark" -> qWatermark,
     "q_minhash_eval" -> qMinhashEval,
     "q_minhash_miss" -> qMinhashMiss,
     "q_minhash_bands" -> qMinhashBands,
@@ -828,6 +909,68 @@ object CurateOps extends QueryPack {
     // range positions only order tokens, so the 0-based Spark posexplode
     // yields the identical sequence; the 80% cut is exact-integer on both
     // sides
+    // same 3-gram shingle sets (short-doc stub filtered identically on
+    // both sides), same df <= 1000 stop-shingle cut, same min-side
+    // containment and top-50 order
+    "q_containment" ->
+      s"""WITH sh0 AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    list_filter(
+        |      list_transform(range(0, greatest(len(T) - 2, 1)),
+        |        i -> array_to_string(T[(i+1):(i+3)], ' ')),
+        |      s -> s != '')) AS s
+        |  FROM (SELECT doc_id, $toksDdb AS T FROM documents)),
+        |sh3 AS (
+        |  SELECT doc_id, s FROM sh0
+        |  WHERE len(string_split(s, ' ')) = 3),
+        |df AS (SELECT s, count(*) AS df FROM sh3 GROUP BY s),
+        |kept AS (
+        |  SELECT sh3.doc_id, sh3.s FROM sh3 JOIN df USING (s)
+        |  WHERE df.df <= 1000),
+        |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+        |  round(CAST(i.n_inter AS DOUBLE) / least(sa.n, sb.n), 6)
+        |    AS containment
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.id_a
+        |JOIN sz sb ON sb.doc_id = i.id_b
+        |WHERE round(CAST(i.n_inter AS DOUBLE) / least(sa.n, sb.n), 6)
+        |  >= 0.8
+        |ORDER BY containment DESC, id_a ASC, id_b ASC
+        |LIMIT 50""".stripMargin,
+
+    // same md5-parity greenlist coin over the same 1-indexed bigram
+    // walk, same z formula and DECIMAL(18,6) pre-sum mean
+    "q_watermark" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, $toksDdb AS toks FROM documents),
+        |u AS (
+        |  SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i
+        |  FROM t WHERE len(toks) >= 2),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    (('0x' || substr(md5(toks[i] || '|' || toks[i+1]), 1, 15))
+        |      ::BIGINT % 2 = 0) AS green
+        |  FROM u),
+        |pd AS (
+        |  SELECT doc_id, source, count(*) AS t,
+        |    CAST(sum(CASE WHEN green THEN 1 ELSE 0 END) AS BIGINT) AS g
+        |  FROM b GROUP BY 1, 2),
+        |z AS (
+        |  SELECT doc_id, source, round((2.0 * g - t) / sqrt(t), 6) AS z
+        |  FROM pd)
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(z AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+        |    6) AS mean_z,
+        |  max(z) AS max_z,
+        |  CAST(sum(CASE WHEN z >= 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM z GROUP BY source ORDER BY source""".stripMargin,
+
     "q_boilerplate" ->
       s"""WITH ls AS (
         |  SELECT doc_id, source, $toksDdb AS arr FROM documents),
