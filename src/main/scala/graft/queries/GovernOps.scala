@@ -5,6 +5,7 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-governance operators — the planning reports a multi-source
   * training-data program runs BEFORE committing to an expensive pipeline:
@@ -384,6 +385,43 @@ object GovernOps extends QueryPack {
       .orderBy($"level", $"k")
   }
 
+  // ---- q_ldiversity ------------------------------------------------------
+  /** l-diversity audit (Machanavajjhala et al., ICDE'06) — k-anonymity's
+    * complement: a QI class can be large yet still leak if everyone in it
+    * shares the same SENSITIVE value. Per (segment, nation) class over
+    * the account-balance band as the sensitive attribute: distinct-l
+    * (how many sensitive values appear), Shannon entropy of the sensitive
+    * distribution, and effective l = exp(H) (the entropy-l-diversity
+    * statistic — a class passes entropy-l if eff_l ≥ l), with the l ≥ 2
+    * and l ≥ 3 verdicts per class. Entropy terms round to DECIMAL(18,9)
+    * before the per-class sum (the established exact-sum discipline).
+    * Scale: one pass to the (QI, sensitive-value)-thin cell relation;
+    * every later stage re-aggregates cells, never rows. */
+  def qLdiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val cells = Tables.df(spark, sfDir, "customer")
+      .select($"c_mktsegment".as("seg"), $"c_nationkey".as("nat"),
+        floor($"c_acctbal" / 1000).as("sv"))
+      .groupBy($"seg", $"nat", $"sv").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // QI×sensitive-thin; feeds sizes + entropy
+    val cls = cells.groupBy($"seg", $"nat")
+      .agg(sum($"c").as("n_rows"), count(lit(1)).as("distinct_l"))
+    val ent = cells.join(cls.select($"seg", $"nat", $"n_rows"),
+        Seq("seg", "nat"))
+      .select($"seg", $"nat",
+        round(-($"c" / $"n_rows" * log($"c" / $"n_rows")), 9)
+          .cast(dec9).as("term"))
+      .groupBy($"seg", $"nat").agg(sum($"term").as("h"))
+    cls.join(ent, Seq("seg", "nat"))
+      .select($"seg", $"nat", $"n_rows", $"distinct_l",
+        round($"h".cast("double"), 6).as("entropy"),
+        round(exp($"h".cast("double")), 6).as("eff_l"),
+        ($"distinct_l" >= 2).as("div2"),
+        ($"distinct_l" >= 3).as("div3"))
+      .orderBy($"seg", $"nat")
+  }
+
   // ---- q_dp_release ------------------------------------------------------
   /** Laplace-mechanism calibration for a differentially-private count
     * release (Dwork et al., TCC'06): per-source document counts with
@@ -466,6 +504,7 @@ object GovernOps extends QueryPack {
     "q_dataset_diff" -> qDatasetDiff,
     "q_dp_release" -> qDpRelease,
     "q_kanonymity" -> qKanonymity,
+    "q_ldiversity" -> qLdiversity,
     "q_kl_sources" -> qKlSources,
     "q_source_overlap" -> qSourceOverlap,
     "q_minhash_source" -> qMinhashSource,
@@ -561,6 +600,32 @@ object GovernOps extends QueryPack {
         |FROM s CROSS JOIN ks
         |GROUP BY level, k
         |ORDER BY level, k""".stripMargin,
+
+    // same QI/sensitive cells, same once-rounded DECIMAL(18,9)
+    // −p·ln(p) terms, same exp(H) effective-l
+    "q_ldiversity" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv,
+        |    count(*) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT seg, nat, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    count(*) AS distinct_l
+        |  FROM cells GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT cells.seg, cells.nat,
+        |    sum(CAST(round(-(cells.c / cls.n_rows
+        |      * ln(cells.c / cls.n_rows)), 9) AS DECIMAL(18,9))) AS h
+        |  FROM cells JOIN cls USING (seg, nat)
+        |  GROUP BY 1, 2)
+        |SELECT cls.seg, cls.nat, cls.n_rows, cls.distinct_l,
+        |  round(CAST(ent.h AS DOUBLE), 6) AS entropy,
+        |  round(exp(CAST(ent.h AS DOUBLE)), 6) AS eff_l,
+        |  cls.distinct_l >= 2 AS div2,
+        |  cls.distinct_l >= 3 AS div3
+        |FROM cls JOIN ent USING (seg, nat)
+        |ORDER BY cls.seg, cls.nat""".stripMargin,
     // same Laplace smoothing over the global vocab, same once-rounded
     // DECIMAL(18,9) p·ln(p/q) terms (Spark log == DuckDB ln), exact sums
     "q_kl_sources" ->

@@ -130,12 +130,152 @@ object LearnOps extends QueryPack {
       .limit(20)
   }
 
+  /** Shared scorer for the calibration pair: a fixed logistic over the
+    * English-marker count predicting lang = 'en' — deliberately a FROZEN
+    * model (no training pass), because calibration audits score a model
+    * as-is. p is rounded once at creation so every downstream aggregate
+    * sees identical doubles in both engines. On this fixture the marker
+    * count carries no real signal (synthetic near-uniform vocabulary), so
+    * the scorer is confidently miscalibrated — exactly what the ECE /
+    * isotonic pair must detect (pinned in the spec). */
+  private def scoredDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val markers = graft.functions.TextFunctions.langMarkers
+      .find(_._1 == "en").get._2
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", ($"lang" === "en").cast("long").as("y"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(lit(1.5) - graft.functions.TextFunctions
+            .langScore($"text", markers))), 6).as("p"))
+  }
+
+  /** Reliability table + expected-calibration-error terms: decile bins on
+    * the predicted probability, per-bin confidence (mean p) vs accuracy
+    * (positive rate), and the bin's weighted |acc − conf| ECE
+    * contribution. One corpus pass into a ≤10-row relation; every ratio
+    * divides exact sums and rounds once. */
+  def qCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bins = scoredDocs(spark, sfDir)
+      .select($"y", $"p",
+        least(floor($"p" * 10), lit(9)).cast("int").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("pos"),
+        sum($"p".cast(DecimalType(18, 6))).as("psum"))
+    val tot = bins.agg(sum($"n").as("n_tot"))
+    bins.crossJoin(broadcast(tot))
+      .select($"bin", $"n",
+        round($"psum".cast("double") / $"n", 6).as("conf"),
+        round($"pos".cast("double") / $"n", 6).as("acc"), $"n_tot")
+      .select($"bin", $"n", $"conf", $"acc",
+        round(abs($"acc" - $"conf") * $"n" / $"n_tot", 6).as("ece_term"))
+      .orderBy($"bin")
+  }
+
+  /** Isotonic calibration of the same binned scores, via the closed-form
+    * pool-adjacent-violators solution f(i) = max_{j≤i} min_{k≥j}
+    * mean(y over bins j..k) (weighted) — PAVA without the sequential
+    * scan, so the whole fit is relational. The corpus collapses to the
+    * ≤10-row bin relation first; the O(B³) prefix/suffix search runs as
+    * range joins on that tiny relation (broadcast nested-loop by
+    * construction — B is the decile grid, constant at any corpus
+    * scale). Interval means round to 9dp before min/max so both engines
+    * compare identical doubles. */
+  def qIsotonic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bins = scoredDocs(spark, sfDir)
+      .select($"y", least(floor($"p" * 10), lit(9)).cast("int").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+    val wCum = Window.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = bins
+      .withColumn("cw", sum($"n").over(wCum))
+      .withColumn("cy", sum($"pos").over(wCum))
+    val jk = c.select($"bin".as("j"), ($"cw" - $"n").as("w0"),
+        ($"cy" - $"pos").as("y0"))
+      .join(c.select($"bin".as("k"), $"cw".as("wk"), $"cy".as("yk")),
+        $"j" <= $"k")
+      .select($"j",
+        round(($"yk" - $"y0").cast("double") / ($"wk" - $"w0"), 9)
+          .as("m"))
+    val minSuff = jk.groupBy($"j").agg(min($"m").as("ms"))
+    val f = c.select($"bin")
+      .join(minSuff, $"j" <= $"bin")
+      .groupBy($"bin").agg(round(max($"ms"), 6).as("iso_acc"))
+    bins.join(f, "bin")
+      .select($"bin", $"n",
+        round($"pos".cast("double") / $"n", 6).as("raw_acc"), $"iso_acc")
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bradley_terry" -> qBradleyTerry,
+    "q_calibration" -> qCalibration,
+    "q_isotonic" -> qIsotonic,
     "q_nb_classify" -> qNbLangClassify
   )
 
+  /** Shared scored-docs CTE for the calibration pair (same frozen
+    * logistic over the English-marker count as [[scoredDocs]]). */
+  private val scoredCte =
+    """d AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    round(1.0 / (1.0 + exp(1.5 - len(list_intersect(
+      |      list_distinct(list_filter(string_split(lower(text), ' '),
+      |        x -> x != '')),
+      |      ['the', 'a', 'is', 'and', 'of', 'to'])))), 6) AS p
+      |  FROM documents)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // same frozen scorer, same decile bins, same once-rounded conf/acc
+    // and weighted ECE terms
+    "q_calibration" ->
+      s"""WITH $scoredCte,
+        |b AS (
+        |  SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+        |    count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+        |    sum(CAST(p AS DECIMAL(18,6))) AS psum
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM b),
+        |r AS (
+        |  SELECT bin, n, round(CAST(psum AS DOUBLE) / n, 6) AS conf,
+        |    round(CAST(pos AS DOUBLE) / n, 6) AS acc, n_tot
+        |  FROM b CROSS JOIN tot)
+        |SELECT bin, n, conf, acc,
+        |  round(abs(acc - conf) * n / n_tot, 6) AS ece_term
+        |FROM r ORDER BY bin""".stripMargin,
+
+    // same bins, same closed-form max-of-prefix min-of-suffix weighted
+    // means with 9dp interval rounding
+    "q_isotonic" ->
+      s"""WITH $scoredCte,
+        |b AS (
+        |  SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+        |    count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT bin, n, pos,
+        |    CAST(sum(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cw,
+        |    CAST(sum(pos) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cy
+        |  FROM b),
+        |jk AS (
+        |  SELECT a.bin AS j,
+        |    round(CAST(k.cy - (a.cy - a.pos) AS DOUBLE)
+        |      / (k.cw - (a.cw - a.n)), 9) AS m
+        |  FROM c a JOIN c k ON a.bin <= k.bin),
+        |ms AS (SELECT j, min(m) AS ms FROM jk GROUP BY 1),
+        |f AS (
+        |  SELECT c.bin, round(max(ms.ms), 6) AS iso_acc
+        |  FROM c JOIN ms ON ms.j <= c.bin GROUP BY c.bin)
+        |SELECT b.bin, b.n, round(CAST(b.pos AS DOUBLE) / b.n, 6)
+        |  AS raw_acc, f.iso_acc
+        |FROM b JOIN f USING (bin) ORDER BY bin""".stripMargin,
+
     // same pair-thin tournament, same pseudo-count MM updates with
     // DECIMAL(18,9) pre-sum term rounding, same (s_2 desc, part) top-20
     "q_bradley_terry" ->
