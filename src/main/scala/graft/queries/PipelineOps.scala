@@ -602,7 +602,39 @@ object PipelineOps extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Deterministic 5-fold cross-validation assignment with a stratum
+    * balance report: fold = md5("fold:" || doc_id) mod 5 (the family's
+    * md5-keyed randomness — a per-row projection, no seed coordination,
+    * stable under any partitioning), then for every (fold, lang) cell the
+    * within-fold share vs the corpus-wide share and their difference —
+    * the check that hash folds are in fact stratification-free estimates
+    * a modeler can trust. All aggregates re-derive from the fold×lang
+    * cell relation (≤ 5·|langs| rows). */
+  def qKfold(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.df(spark, sfDir, "documents")
+      .select($"lang",
+        (conv(substring(md5(concat(lit("fold:"),
+          $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long") % 5)
+          .cast("int").as("fold"))
+      .groupBy($"fold", $"lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 5×|langs| rows; feeds three re-aggregations
+    val perFold = cells.groupBy($"fold").agg(sum($"n").as("n_fold"))
+    val perLang = cells.groupBy($"lang").agg(sum($"n").as("n_lang"))
+    val tot = perLang.agg(sum($"n_lang").as("n_all"))
+    cells.join(broadcast(perFold), "fold")
+      .join(broadcast(perLang), "lang")
+      .crossJoin(broadcast(tot))
+      .select($"fold", $"lang", $"n",
+        round($"n".cast("double") / $"n_fold", 6).as("fold_share"),
+        round($"n_lang".cast("double") / $"n_all", 6).as("global_share"),
+        round($"n".cast("double") / $"n_fold"
+          - $"n_lang".cast("double") / $"n_all", 6).as("dev"))
+      .orderBy($"fold", $"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kfold" -> qKfold,
     "q_span_corrupt" -> qSpanCorrupt,
     "q_mix_unimax" -> qMixUnimax,
     "q_truncation_loss" -> qTruncationLoss,
@@ -663,6 +695,28 @@ object PipelineOps extends QueryPack {
       |  FROM s GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same md5-mod-5 fold coin, same cell/marginal re-aggregation and
+    // once-rounded shares
+    "q_kfold" ->
+      """WITH cells AS (
+        |  SELECT CAST(('0x' || substr(md5('fold:'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT)
+        |    AS fold, lang, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |pf AS (SELECT fold, CAST(sum(n) AS BIGINT) AS n_fold
+        |       FROM cells GROUP BY 1),
+        |pl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_all FROM pl)
+        |SELECT c.fold, c.lang, c.n,
+        |  round(CAST(c.n AS DOUBLE) / pf.n_fold, 6) AS fold_share,
+        |  round(CAST(pl.n_lang AS DOUBLE) / tot.n_all, 6) AS global_share,
+        |  round(CAST(c.n AS DOUBLE) / pf.n_fold
+        |    - CAST(pl.n_lang AS DOUBLE) / tot.n_all, 6) AS dev
+        |FROM cells c JOIN pf USING (fold) JOIN pl USING (lang)
+        |CROSS JOIN tot
+        |ORDER BY c.fold, c.lang""".stripMargin,
+
     // same 3-token blocks, same hex-string md5 coin, same two-level
     // integer aggregation with the two once-rounded quotients
     "q_span_corrupt" ->

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text pipeline: dedup (exact / Jaccard / SimHash /
@@ -750,7 +750,38 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Normalization-sensitive dedup delta: exact-hash duplicate counts on
+    * the raw text vs on its canonical form (lowercase, punctuation
+    * stripped, whitespace collapsed, trimmed) — the report that tells a
+    * curation pipeline how many "distinct" documents are really just
+    * case/punctuation variants, per source. Both passes are one
+    * md5-keyed aggregate; the normalizer is a pure regexp projection the
+    * DuckDB oracle mirrors pattern-for-pattern (char classes only — no
+    * dialect-divergent regex features). Scale: two thin
+    * (source, hash)-keyed counts, no joins wider than the source spine. */
+  def qNormDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .select($"source", $"text",
+        trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""),
+          "  +", " ")).as("norm"))
+    def dupCount(c: Column, name: String): DataFrame =
+      docs.groupBy($"source", md5(c).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(sum($"c").as("n_docs_" + name),
+          sum($"c" - 1).as("dup_" + name))
+    dupCount($"text", "raw")
+      .join(dupCount($"norm", "norm").withColumnRenamed("n_docs_norm", "nd2"),
+        "source")
+      .select($"source", $"n_docs_raw".as("n_docs"), $"dup_raw",
+        $"dup_norm", ($"dup_norm" - $"dup_raw").as("extra_norm_dups"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_norm_dedup" -> qNormDedup,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_decontaminate" -> qDecontaminate,
     "q_repetition" -> qRepetition,
@@ -861,6 +892,30 @@ object TextOps extends QueryPack {
       |       ELSE fpu::BIGINT END AS fp FROM f0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same two md5-keyed (source, hash) counts; the normalizer regexes
+    // are char-class-only so both dialects apply them identically
+    // (DuckDB needs the explicit 'g' flag Spark applies by default)
+    "q_norm_dedup" ->
+      """WITH d AS (
+        |  SELECT source, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      '  +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |raw AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(c - 1) AS BIGINT) AS dup_raw
+        |  FROM (SELECT source, md5(text) AS h, count(*) AS c
+        |        FROM d GROUP BY 1, 2) GROUP BY source),
+        |nrm AS (
+        |  SELECT source, CAST(sum(c - 1) AS BIGINT) AS dup_norm
+        |  FROM (SELECT source, md5(norm) AS h, count(*) AS c
+        |        FROM d GROUP BY 1, 2) GROUP BY source)
+        |SELECT raw.source, raw.n_docs, raw.dup_raw, nrm.dup_norm,
+        |  nrm.dup_norm - raw.dup_raw AS extra_norm_dups
+        |FROM raw JOIN nrm USING (source)
+        |ORDER BY raw.source""".stripMargin,
+
     "q_sentiment" ->
       s"""WITH lex(tok, score) AS (VALUES
         |  ('fast', 2.0), ('small', 1.0), ('big', 0.5),

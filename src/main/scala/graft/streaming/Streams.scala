@@ -139,6 +139,33 @@ object Streams {
       .select($"doc_id", $"source")
   }
 
+  /** Stateless streaming twin of the watermark detector's per-document
+    * stage (CurateOps.qWatermark): the greenlist z-score as a pure
+    * higher-order-function projection — tokens → bigram md5-parity coin
+    * → z = (2g − T)/√T — so it runs unchanged over a readStream of
+    * arriving documents with no shuffle and no state, exactly the shape
+    * a live synthetic-text ingest filter needs. Emits one (doc_id,
+    * source, z) row per ≥2-token document; the batch query's per-source
+    * aggregate is a downstream groupBy either way. (The batch path uses
+    * explode + lag instead — codegen-friendly over a full corpus — and
+    * the spec proves the two produce identical z per document.) */
+  def watermarkZStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = graft.functions.TextFunctions.tokens($"text")
+    docs
+      .withColumn("t", (size(toks) - 1).cast("long"))
+      .filter($"t" >= 1)
+      .withColumn("g", size(filter(
+        transform(sequence(lit(1), size(toks) - 1), i =>
+          conv(substring(md5(concat(element_at(toks, i), lit("|"),
+            element_at(toks, i + 1))), 1, 15), 16, 10)
+            .cast("long") % 2),
+        x => x === 0)).cast("long"))
+      .select($"doc_id", $"source",
+        round((lit(2.0) * $"g" - $"t") / sqrt($"t"), 6).as("z"))
+  }
+
   // ---- arbitrary-state sessionization (flatMapGroupsWithState) ----------
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
