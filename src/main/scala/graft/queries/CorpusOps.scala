@@ -625,7 +625,40 @@ object CorpusOps extends QueryPack {
       .limit(30)
   }
 
+  /** Term burstiness (Church & Gale's VMR diagnostic): variance-to-mean
+    * ratio of per-document occurrence counts for the top-20 corpus terms
+    * — Poisson scatter reads VMR ≈ 1, natural-language content words are
+    * bursty (VMR ≫ 1, a term appears many times in few docs), so the
+    * statistic separates content from function words and synthetic from
+    * natural text. This fixture's near-uniform vocabulary must read
+    * VMR ≈ 1 everywhere (pinned in the spec — the "synthetic corpus"
+    * tell). Zero-count docs enter the moments implicitly: totals and
+    * squared sums come from the (term, doc) count relation while N is
+    * the full doc count, so E[x] and E[x²] are over ALL docs without
+    * materializing zeros. One corpus explode, vocabulary-thin after. */
+  def qBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_all"))
+    val term = docs
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("c"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("n_docs"), sum($"c").as("total"),
+        sum($"c" * $"c").as("ssq"))
+    term.crossJoin(broadcast(nDocs))
+      .select($"tok", $"n_docs", $"total",
+        round($"total".cast("double") / $"n_all", 6).as("mean"),
+        round(($"ssq".cast("double") / $"n_all"
+          - $"total".cast("double") / $"n_all"
+            * ($"total".cast("double") / $"n_all"))
+          / ($"total".cast("double") / $"n_all"), 6).as("vmr"))
+      .orderBy($"total".desc, $"tok".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_burstiness" -> qBurstiness,
     "q_chisq_terms" -> qChisqTerms,
     "q_zipf_fit" -> qZipfFit,
     "q_heaps_growth" -> qHeapsGrowth,
@@ -713,6 +746,28 @@ object CorpusOps extends QueryPack {
       |      FROM documents CROSS JOIN mx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same implicit-zeros moments over the full doc count, same
+    // left-to-right double chain and (total desc, tok) top-20
+    "q_burstiness" ->
+      s"""WITH dc AS (
+        |  SELECT tok, doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |term AS (
+        |  SELECT tok, count(*) AS n_docs,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(c * c) AS BIGINT) AS ssq
+        |  FROM dc GROUP BY 1),
+        |na AS (SELECT count(*) AS n_all FROM documents)
+        |SELECT tok, n_docs, total,
+        |  round(CAST(total AS DOUBLE) / n_all, 6) AS mean,
+        |  round((CAST(ssq AS DOUBLE) / n_all
+        |    - CAST(total AS DOUBLE) / n_all
+        |      * (CAST(total AS DOUBLE) / n_all))
+        |    / (CAST(total AS DOUBLE) / n_all), 6) AS vmr
+        |FROM term CROSS JOIN na
+        |ORDER BY total DESC, tok ASC LIMIT 20""".stripMargin,
+
     // same occurrence contingency table, same BIGINT-exact inner products
     // cast to DOUBLE before squaring, same left-to-right double chain
     "q_chisq_terms" ->

@@ -579,7 +579,75 @@ object EventOps extends QueryPack {
       .orderBy($"t")
   }
 
+  /** Hour-of-day seasonality profile per event type: observed count vs
+    * the independence expectation, reported as a lift-style seasonal
+    * index n·N / (n_type·n_hour) — the load-shape read a pipeline
+    * scheduler uses to place batch work off-peak. One pass to the
+    * type×24 cell relation (localCheckpointed — it feeds both marginals
+    * and the final join); everything after is constant-sized. */
+  def qSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.df(spark, sfDir, "events")
+      .select($"event_type", hour($"ts").as("hr"))
+      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val byType = cells.groupBy($"event_type").agg(sum($"n").as("n_type"))
+    val byHr = cells.groupBy($"hr").agg(sum($"n").as("n_hr"))
+    val tot = byType.agg(sum($"n_type").as("n_all"))
+    cells.join(broadcast(byType), "event_type")
+      .join(broadcast(byHr), "hr")
+      .crossJoin(broadcast(tot))
+      .select($"event_type", $"hr", $"n",
+        round($"n".cast("double") * $"n_all" / ($"n_type" * $"n_hr"), 6)
+          .as("idx"))
+      .orderBy($"event_type", $"hr")
+  }
+
+  /** Discounted returns + advantages over logged user-day episodes — the
+    * RL-from-logs primitive (compute G_t = Σ γ^k r_{t+k} and A_t = G_t −
+    * V(s_t) over trajectories) expressed as windows: reward = purchase
+    * value, γ = 0.9 per step, suffix-summed as exact decimals via
+    * G_t = (Σ_{k≥t} γ^k·r_k) / γ^t so ONE ordered window pass per
+    * episode computes every step's return (γ^k rounded once to
+    * DECIMAL(18,9), products exact, one double division per row). The
+    * baseline is the tabular per-event-type mean return; the report is
+    * the per-type advantage summary. Scale: windows partition by
+    * (user, day) — bounded episodes — and the baseline join broadcasts
+    * a #types-row relation into the scan. */
+  def qReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val dec6 = DecimalType(18, 6)
+    val dec9 = DecimalType(18, 9)
+    val w = Window.partitionBy($"user_id", $"d").orderBy($"ts", $"event_id")
+    val wSuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val steps = Tables.df(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts").as("d"), $"ts", $"event_id",
+        $"event_type",
+        when($"event_type" === "purchase", $"value".cast(dec2))
+          .otherwise(lit(0).cast(dec2)).as("r"))
+      .withColumn("k", row_number().over(w) - 1)
+      .withColumn("gk", round(pow(lit(0.9), $"k"), 9).cast(dec9))
+      .withColumn("suf", sum($"gk" * $"r").over(wSuf))
+      .select($"event_type",
+        round($"suf".cast("double") / $"gk".cast("double"), 6).as("g"))
+    val base = steps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_steps"),
+        round(sum($"g".cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("baseline"))
+    steps.join(broadcast(base), "event_type")
+      .select($"event_type", $"n_steps", $"baseline",
+        round($"g" - $"baseline", 6).as("adv"))
+      .groupBy($"event_type", $"n_steps", $"baseline")
+      .agg(min($"adv").as("min_adv"), max($"adv").as("max_adv"),
+        round(sum(abs($"adv").cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_abs_adv"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> qSeasonality,
+    "q_returns" -> qReturns,
     "q_survival" -> qSurvival,
     "q_offline_eval" -> qOfflineEval,
     "q_abtest" -> qAbtest,
@@ -603,6 +671,65 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same type×hour cells, same lift-style independence index
+    "q_seasonality" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+        |       FROM cells GROUP BY 1),
+        |bh AS (SELECT hr, CAST(sum(n) AS BIGINT) AS n_hr
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_type) AS BIGINT) AS n_all FROM bt)
+        |SELECT c.event_type, c.hr, c.n,
+        |  round(CAST(c.n AS DOUBLE) * tot.n_all
+        |    / (bt.n_type * bh.n_hr), 6) AS idx
+        |FROM cells c JOIN bt USING (event_type) JOIN bh USING (hr)
+        |CROSS JOIN tot
+        |ORDER BY c.event_type, c.hr""".stripMargin,
+
+    // same user-day episodes, same once-rounded gamma powers, exact
+    // decimal suffix sums, same tabular baseline and advantage summary
+    "q_returns" ->
+      """WITH s0 AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id,
+        |    event_type,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END AS r
+        |  FROM events),
+        |s1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, d
+        |    ORDER BY ts, event_id) - 1 AS k
+        |  FROM s0),
+        |s2 AS (
+        |  SELECT *, CAST(round(pow(0.9, k), 9) AS DECIMAL(18,9)) AS gk
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT event_type, gk,
+        |    sum(gk * r) OVER (PARTITION BY user_id, d
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT event_type,
+        |    round(CAST(suf AS DOUBLE) / CAST(gk AS DOUBLE), 6) AS g
+        |  FROM s3),
+        |base AS (
+        |  SELECT event_type, count(*) AS n_steps,
+        |    round(CAST(sum(CAST(g AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS baseline
+        |  FROM s4 GROUP BY 1)
+        |SELECT s4.event_type, base.n_steps, base.baseline,
+        |  min(round(g - baseline, 6)) AS min_adv,
+        |  max(round(g - baseline, 6)) AS max_adv,
+        |  round(CAST(sum(CAST(abs(round(g - baseline, 6))
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_abs_adv
+        |FROM s4 JOIN base USING (event_type)
+        |GROUP BY 1, 2, 3
+        |ORDER BY s4.event_type""".stripMargin,
+
     // same lifetime/censoring definitions, same DECIMAL(18,9) pre-sum
     // ln terms, same absorbed short-circuit; HUGEINT sums cast to BIGINT
     "q_survival" ->
