@@ -137,10 +137,53 @@ object Analytics extends QueryPack {
       .limit(20)
   }
 
+  /** Empirical-Bayes conversion-rate smoothing (Beta-Binomial
+    * shrinkage): per-user purchase rate over view/purchase events, a
+    * Beta(α, β) prior fit by method of moments on the observed rates,
+    * and the shrunk posterior mean (p + α)/(n + α + β) — the estimator
+    * that stops a 1-for-1 user from outranking a 90-for-100 one. The
+    * prior is a 1-row aggregate broadcast back into a per-user
+    * projection; moments use the decimal pre-sum discipline; a
+    * degenerate prior (zero variance or moments outside the Beta
+    * family) yields NULL smoothing on both engines. */
+  def qCtrSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val dec9 = DecimalType(18, 9)
+    val users = Tables.df(spark, sfDir, "events")
+      .filter($"event_type".isin("view", "purchase"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("p"))
+      .withColumn("rate", round($"p".cast("double") / $"n", 6))
+      .localCheckpoint() // user-thin; feeds the moment fit + scoring
+    val prior = users
+      .agg(count(lit(1)).as("nu"), sum($"rate".cast(dec6)).as("sr"),
+        sum(round($"rate" * $"rate", 9).cast(dec9)).as("srr"))
+      .select($"nu", round($"sr".cast("double") / $"nu", 6).as("m"),
+        round($"srr".cast("double") / $"nu"
+          - ($"sr".cast("double") / $"nu")
+            * ($"sr".cast("double") / $"nu"), 9).as("v"))
+      .select(
+        when($"v" > 0 && $"m" * (lit(1.0) - $"m") / $"v" - 1 > 0,
+          round($"m" * ($"m" * (lit(1.0) - $"m") / $"v" - 1), 6))
+          .as("alpha"),
+        when($"v" > 0 && $"m" * (lit(1.0) - $"m") / $"v" - 1 > 0,
+          round((lit(1.0) - $"m")
+            * ($"m" * (lit(1.0) - $"m") / $"v" - 1), 6)).as("beta"))
+    users.crossJoin(broadcast(prior))
+      .select($"user_id", $"n", $"p", $"rate", $"alpha", $"beta",
+        round(($"p" + $"alpha") / ($"n" + $"alpha" + $"beta"), 6)
+          .as("smoothed"))
+      .orderBy($"smoothed".desc_nulls_last, $"user_id".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_rfm" -> qRfm,
+    "q_ctr_smooth" -> qCtrSmooth,
     "q_assoc_rules" -> qAssocRules
   )
 
@@ -185,6 +228,45 @@ object Analytics extends QueryPack {
         |  round(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / count(*),
         |    6) AS avg_m
         |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // same per-user rate reduction, same method-of-moments Beta fit
+    // with the degenerate-prior NULL guard, same shrunk posterior mean
+    "q_ctr_smooth" ->
+      """WITH users AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |u2 AS (
+        |  SELECT user_id, n, p,
+        |    round(CAST(p AS DOUBLE) / n, 6) AS rate
+        |  FROM users),
+        |mom AS (
+        |  SELECT count(*) AS nu,
+        |    sum(CAST(rate AS DECIMAL(18,6))) AS sr,
+        |    sum(CAST(round(rate * rate, 9) AS DECIMAL(18,9))) AS srr
+        |  FROM u2),
+        |mv AS (
+        |  SELECT nu, round(CAST(sr AS DOUBLE) / nu, 6) AS m,
+        |    round(CAST(srr AS DOUBLE) / nu
+        |      - (CAST(sr AS DOUBLE) / nu)
+        |        * (CAST(sr AS DOUBLE) / nu), 9) AS v
+        |  FROM mom),
+        |prior AS (
+        |  SELECT
+        |    CASE WHEN v > 0 AND m * (1.0 - m) / v - 1 > 0
+        |      THEN round(m * (m * (1.0 - m) / v - 1), 6) END AS alpha,
+        |    CASE WHEN v > 0 AND m * (1.0 - m) / v - 1 > 0
+        |      THEN round((1.0 - m) * (m * (1.0 - m) / v - 1), 6) END
+        |      AS beta
+        |  FROM mv)
+        |SELECT u2.user_id, u2.n, u2.p, u2.rate, prior.alpha, prior.beta,
+        |  round((u2.p + prior.alpha)
+        |    / (u2.n + prior.alpha + prior.beta), 6) AS smoothed
+        |FROM u2 CROSS JOIN prior
+        |ORDER BY smoothed DESC NULLS LAST, u2.user_id ASC
+        |LIMIT 20""".stripMargin,
 
     // same a-priori item prefilter, same pair support floor, same
     // directional support/confidence/lift arithmetic and top-20 order

@@ -617,15 +617,32 @@ object CurateOps extends QueryPack {
     * bounds per-key fan-out at corpus scale (df² per shingle, never
     * doc×doc; a no-op on this fixture where max df = 7, asserted in the
     * spec so a fixture change is noticed). Reported pairs: containment
-    * ≥ 0.8, top-50. */
+    * ≥ 0.8, top-50.
+    *
+    * Plan shape (the r10 bench rewrite — 6.9 s → see PERF.md): shingles
+    * come from the codegen lead()-window stream (the shingleStream
+    * discipline; the HOF transform/slice form evaluates interpreted and
+    * dominated the first cut's profile), carry xxhash64 keys instead of
+    * ~20-char strings through the distinct + self-join (counts are
+    * collision-exact under the family's standing xxhash64 assumption),
+    * and the distinct (doc, shingle-hash) relation localCheckpoints —
+    * it feeds the df cut, both self-join sides, and the set sizes. */
   def qContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.df(spark, sfDir, "documents")
-    val sh = docs
-      .select($"doc_id", TextFunctions.shingles($"text", 3).as("ss"))
-      .select($"doc_id", explode($"ss").as("s"))
-      .filter(size(split($"s", " ")) === 3)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val sh = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")),
+        size(TextFunctions.tokens($"text")).as("len"))
+      .select($"doc_id", $"pos", $"len",
+        concat_ws(" ", $"tok", lead($"tok", 1).over(w),
+          lead($"tok", 2).over(w)).as("s"))
+      .filter($"pos" <= $"len" - 3)
+      .select($"doc_id", xxhash64($"s").as("s"))
       .distinct()
+      .localCheckpoint()
     val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val kept = sh.join(df.filter($"df" <= 1000), "s")
       .select($"doc_id", $"s")

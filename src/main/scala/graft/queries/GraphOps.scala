@@ -332,7 +332,93 @@ object GraphOps extends QueryPack {
       .limit(30)
   }
 
+  /** HITS hubs-and-authorities (Kleinberg JACM'99), 2 unrolled
+    * iterations over the DIRECTED customer→supplier co-purchase edges —
+    * the natural bipartite reading: customers are hubs (they "point at"
+    * suppliers), suppliers are authorities. Each half-step is the Pregel
+    * shape (one edges⋈scores equi-join + one destination-keyed partial
+    * agg); L1 normalization is a 1-row aggregate broadcast back, scores
+    * round to 9dp per half-step so both engines iterate on identical
+    * doubles. Complements q_pagerank: HITS separates "buys widely" from
+    * "is widely bought", which a single PageRank score conflates on this
+    * graph. Output: top-15 authorities and top-15 hubs. */
+  def qHits(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+    val ords = Tables.df(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val edges = li.join(ords, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+      .distinct()
+      .localCheckpoint() // four half-steps consume it
+    // each normalized score relation localCheckpoints: l1norm consumes
+    // its input twice (scores + the 1-row total) and every half-step
+    // feeds the next, so without the cut the base edges⋈scores join
+    // re-executes 2^depth times (the Bradley–Terry iteration lesson);
+    // the relations are node-thin, so the materialization is free
+    def l1norm(df: DataFrame, col0: String): DataFrame = {
+      val in = df.localCheckpoint()
+      val tot = in.agg(sum(col(col0)).as("tot"))
+      in.crossJoin(broadcast(tot))
+        .select(in.columns.filter(_ != col0).map(col) :+
+          round(col(col0).cast("double") / $"tot".cast("double"), 9)
+            .cast(dec9).as(col0): _*)
+    }
+    val a1 = l1norm(edges.groupBy($"s")
+      .agg(count(lit(1)).cast(dec9).as("a")), "a")
+    val h1 = l1norm(edges.join(a1, "s").groupBy($"c")
+      .agg(sum($"a").as("h")), "h")
+    val a2 = l1norm(edges.join(h1, "c").groupBy($"s")
+      .agg(sum($"h").as("a")), "a")
+    val h2 = l1norm(edges.join(a2, "s").groupBy($"c")
+      .agg(sum($"a").as("h")), "h")
+    val auth = a2.select(lit("auth").as("kind"),
+        concat(lit("s:"), $"s").as("node"), $"a".cast("double").as("score"))
+      .orderBy($"score".desc, $"node".asc).limit(15)
+    val hubs = h2.select(lit("hub").as("kind"),
+        concat(lit("c:"), $"c").as("node"), $"h".cast("double").as("score"))
+      .orderBy($"score".desc, $"node".asc).limit(15)
+    auth.unionAll(hubs).orderBy($"kind", $"score".desc, $"node")
+  }
+
+  /** One-row structural summary of the symmetrized co-purchase graph:
+    * node/edge counts, degree extremes and mean, and the degree
+    * assortativity coefficient (Newman PRL'02) — Pearson correlation of
+    * endpoint degrees over directed edge instances. All five moment sums
+    * are exact integers accumulated per-edge (one degrees⋈edges join
+    * pair), cast to DOUBLE only inside the final closed-form correlation
+    * (at extreme edge counts the sums would accumulate directly in
+    * DOUBLE — same formula, documented precision trade). */
+  def qGraphStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdgesLong(spark, sfDir)
+      .localCheckpoint() // degrees + the moment join both consume it
+    val deg = edges.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+    val m = edges
+      .join(deg.select($"node".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
+      .agg(count(lit(1)).as("m"), sum($"du").as("sx"),
+        sum($"dv").as("sy"), sum($"du" * $"dv").as("sxy"),
+        sum($"du" * $"du").as("sxx"), sum($"dv" * $"dv").as("syy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      min($"d").as("min_deg"), max($"d").as("max_deg"),
+      sum($"d").as("sum_deg"))
+    nodes.crossJoin(broadcast(m))
+      .select($"n_nodes", ($"m" / 2).cast("long").as("n_edges"),
+        $"min_deg", $"max_deg",
+        round($"sum_deg".cast("double") / $"n_nodes", 6).as("mean_deg"),
+        round(($"m".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+          / (sqrt($"m".cast("double") * $"sxx"
+              - $"sx".cast("double") * $"sx")
+            * sqrt($"m".cast("double") * $"syy"
+              - $"sy".cast("double") * $"sy")), 6).as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits" -> qHits,
+    "q_graph_stats" -> qGraphStats,
     "q_common_neighbors" -> qCommonNeighbors,
     "q_modularity" -> qModularity,
     "q_label_prop" -> qLabelProp,
@@ -379,6 +465,80 @@ object GraphOps extends QueryPack {
        |    FROM c$cur) WHERE rk = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same four unrolled half-steps, same 9dp L1-normalized decimals,
+    // same per-side top-15 with string-node tie-break
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |a1r AS (
+        |  SELECT s, CAST(count(*) AS DECIMAL(18,9)) AS a
+        |  FROM e GROUP BY 1),
+        |a1 AS (
+        |  SELECT s, CAST(round(CAST(a AS DOUBLE)
+        |    / CAST((SELECT sum(a) FROM a1r) AS DOUBLE), 9)
+        |    AS DECIMAL(18,9)) AS a FROM a1r),
+        |h1r AS (
+        |  SELECT c, sum(a1.a) AS h FROM e JOIN a1 USING (s) GROUP BY 1),
+        |h1 AS (
+        |  SELECT c, CAST(round(CAST(h AS DOUBLE)
+        |    / CAST((SELECT sum(h) FROM h1r) AS DOUBLE), 9)
+        |    AS DECIMAL(18,9)) AS h FROM h1r),
+        |a2r AS (
+        |  SELECT s, sum(h1.h) AS a FROM e JOIN h1 USING (c) GROUP BY 1),
+        |a2 AS (
+        |  SELECT s, CAST(round(CAST(a AS DOUBLE)
+        |    / CAST((SELECT sum(a) FROM a2r) AS DOUBLE), 9)
+        |    AS DECIMAL(18,9)) AS a FROM a2r),
+        |h2r AS (
+        |  SELECT c, sum(a2.a) AS h FROM e JOIN a2 USING (s) GROUP BY 1),
+        |h2 AS (
+        |  SELECT c, CAST(round(CAST(h AS DOUBLE)
+        |    / CAST((SELECT sum(h) FROM h2r) AS DOUBLE), 9)
+        |    AS DECIMAL(18,9)) AS h FROM h2r),
+        |auth AS (
+        |  SELECT 'auth' AS kind, 's:' || CAST(s AS VARCHAR) AS node,
+        |    CAST(a AS DOUBLE) AS score
+        |  FROM a2 ORDER BY score DESC, node ASC LIMIT 15),
+        |hub AS (
+        |  SELECT 'hub' AS kind, 'c:' || CAST(c AS VARCHAR) AS node,
+        |    CAST(h AS DOUBLE) AS score
+        |  FROM h2 ORDER BY score DESC, node ASC LIMIT 15)
+        |SELECT * FROM (SELECT * FROM auth UNION ALL SELECT * FROM hub)
+        |ORDER BY kind, score DESC, node""".stripMargin,
+
+    // same parity-encoded symmetrized edges, same exact-integer moment
+    // sums cast to DOUBLE only inside the closed-form correlation
+    "q_graph_stats" ->
+      """WITH p AS (
+        |  SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS u,
+        |    CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY 1),
+        |mom AS (
+        |  SELECT count(*) AS m, CAST(sum(a.d) AS BIGINT) AS sx,
+        |    CAST(sum(b.d) AS BIGINT) AS sy,
+        |    CAST(sum(a.d * b.d) AS BIGINT) AS sxy,
+        |    CAST(sum(a.d * a.d) AS BIGINT) AS sxx,
+        |    CAST(sum(b.d * b.d) AS BIGINT) AS syy
+        |  FROM e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v),
+        |nd AS (
+        |  SELECT count(*) AS n_nodes, min(d) AS min_deg,
+        |    max(d) AS max_deg, CAST(sum(d) AS BIGINT) AS sum_deg
+        |  FROM deg)
+        |SELECT nd.n_nodes, CAST(mom.m // 2 AS BIGINT) AS n_edges,
+        |  nd.min_deg, nd.max_deg,
+        |  round(CAST(nd.sum_deg AS DOUBLE) / nd.n_nodes, 6) AS mean_deg,
+        |  round((CAST(mom.m AS DOUBLE) * mom.sxy
+        |      - CAST(mom.sx AS DOUBLE) * mom.sy)
+        |    / (sqrt(CAST(mom.m AS DOUBLE) * mom.sxx
+        |        - CAST(mom.sx AS DOUBLE) * mom.sx)
+        |      * sqrt(CAST(mom.m AS DOUBLE) * mom.syy
+        |        - CAST(mom.sy AS DOUBLE) * mom.sy)), 6)
+        |    AS assortativity
+        |FROM nd CROSS JOIN mom""".stripMargin,
+
     // same wedge equi-join on the hub-capped incidence list, degrees
     // from the uncapped list, same exact-integer Jaccard and tie-break
     "q_common_neighbors" ->
