@@ -179,11 +179,39 @@ object Analytics extends QueryPack {
       .limit(20)
   }
 
+  /** Wilson-score lower-bound ranking of per-part return rates — the
+    * "sort by confidence, not by raw proportion" estimator (Wilson
+    * JASA'27; the standard fix for small-sample rate rankings): parts
+    * whose return rate is reliably high float up only with evidence.
+    * z = 1.96 enters as the exact double literals z²=3.8416, z²/2, z²/4
+    * shared by both engines, so the closed form is bit-reproducible.
+    * One part-keyed aggregate then a pure projection; top-20 is
+    * TakeOrderedAndProject. Complements q_ctr_smooth: shrinkage gives a
+    * point estimate, Wilson gives the conservative bound. */
+  def qWilson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_partkey".as("part"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("r"))
+      .filter($"n" >= 10)
+      .select($"part", $"n", $"r",
+        round($"r".cast("double") / $"n", 6).as("rate"),
+        round((($"r".cast("double") / $"n") + lit(1.9208) / $"n"
+          - lit(1.96) * sqrt((($"r".cast("double") / $"n")
+              * (lit(1.0) - $"r".cast("double") / $"n")
+            + lit(0.9604) / $"n") / $"n"))
+          / (lit(1.0) + lit(3.8416) / $"n"), 6).as("wilson_lower"))
+      .orderBy($"wilson_lower".desc, $"part".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_rfm" -> qRfm,
     "q_ctr_smooth" -> qCtrSmooth,
+    "q_wilson" -> qWilson,
     "q_assoc_rules" -> qAssocRules
   )
 
@@ -228,6 +256,23 @@ object Analytics extends QueryPack {
         |  round(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / count(*),
         |    6) AS avg_m
         |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // same exact z-squared literals, same closed-form expression order
+    "q_wilson" ->
+      """WITH p AS (
+        |  SELECT l_partkey AS part, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT part, n, r,
+        |  round(CAST(r AS DOUBLE) / n, 6) AS rate,
+        |  round(((CAST(r AS DOUBLE) / n) + 1.9208 / n
+        |    - 1.96 * sqrt(((CAST(r AS DOUBLE) / n)
+        |        * (1.0 - CAST(r AS DOUBLE) / n)
+        |      + 0.9604 / n) / n))
+        |    / (1.0 + 3.8416 / n), 6) AS wilson_lower
+        |FROM p
+        |ORDER BY wilson_lower DESC, part ASC LIMIT 20""".stripMargin,
 
     // same per-user rate reduction, same method-of-moments Beta fit
     // with the degenerate-prior NULL guard, same shrunk posterior mean

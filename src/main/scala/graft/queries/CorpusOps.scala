@@ -657,7 +657,54 @@ object CorpusOps extends QueryPack {
       .limit(20)
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity per source (Kneser &
+    * Ney ICASSP'95; Chen & Goodman '98) — the stronger LM-quality gate
+    * next to q_perplexity_bigram's count interpolation: the backoff mass
+    * uses CONTINUATION counts (how many distinct left-contexts a word
+    * follows), which is exactly the statistic that distinguishes
+    * "Francisco" (frequent but predictable) from genuinely productive
+    * words. Fixed discount D = 0.75; scoring is resubstitution (the
+    * corpus scores itself) so every bigram is seen and P > 0 with no
+    * OOV branch. All model tables re-aggregate the bigram-type-thin
+    * count relation (localCheckpointed — one corpus pass total); scoring
+    * joins the bigram stream against vocabulary-thin tables. Per-token
+    * log-probs round once to DECIMAL(18,6) before summation. */
+  def qKneserNey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val bigrams = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id", $"source",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "u")))
+      .withColumn("w2", lead($"u", 1).over(w))
+      .filter($"w2".isNotNull)
+    val cb = bigrams.groupBy($"u", $"w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // bigram-type-thin; feeds all four model tables
+    val cu = cb.groupBy($"u").agg(sum($"cb").as("cu"))
+    val n1u = cb.groupBy($"u").agg(count(lit(1)).as("n1u"))
+    val n1w = cb.groupBy($"w2").agg(count(lit(1)).as("n1w"))
+    val ntypes = cb.agg(count(lit(1)).as("ntypes"))
+    val scored = bigrams
+      .join(cb, Seq("u", "w2"))
+      .join(cu, "u").join(n1u, "u").join(n1w, "w2")
+      .crossJoin(broadcast(ntypes))
+      .select($"doc_id", $"source",
+        round(log((greatest($"cb" - lit(0.75), lit(0.0))
+          + lit(0.75) * $"n1u"
+            * ($"n1w".cast("double") / $"ntypes")) / $"cu"), 6)
+          .cast(dec6).as("lp"))
+    scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lp").as("slp"))
+      .select($"source", $"n_bigrams",
+        round(-($"slp".cast("double")) / $"n_bigrams", 6).as("mean_nll"))
+      .withColumn("ppl", round(exp($"mean_nll"), 6))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kneser_ney" -> qKneserNey,
     "q_burstiness" -> qBurstiness,
     "q_chisq_terms" -> qChisqTerms,
     "q_zipf_fit" -> qZipfFit,
@@ -746,6 +793,38 @@ object CorpusOps extends QueryPack {
       |      FROM documents CROSS JOIN mx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same bigram stream, same continuation-count tables, same single
+    // double formula with D = 0.75 and DECIMAL(18,6) pre-sum log-probs
+    "q_kneser_ney" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, toks[i] AS u, toks[i+1] AS w2
+        |  FROM (SELECT doc_id, source, toks,
+        |          unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |cb AS (SELECT u, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT u, CAST(sum(cb) AS BIGINT) AS cu
+        |       FROM cb GROUP BY 1),
+        |n1u AS (SELECT u, count(*) AS n1u FROM cb GROUP BY 1),
+        |n1w AS (SELECT w2, count(*) AS n1w FROM cb GROUP BY 1),
+        |nt AS (SELECT count(*) AS ntypes FROM cb),
+        |sc AS (
+        |  SELECT bg.doc_id, bg.source,
+        |    CAST(round(ln((greatest(cb.cb - 0.75, 0.0)
+        |      + 0.75 * n1u.n1u
+        |        * (CAST(n1w.n1w AS DOUBLE) / nt.ntypes)) / cu.cu), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM bg JOIN cb USING (u, w2) JOIN cu USING (u)
+        |  JOIN n1u USING (u) JOIN n1w USING (w2) CROSS JOIN nt),
+        |agg AS (
+        |  SELECT source, count(*) AS n_bigrams,
+        |    round(-(CAST(sum(lp) AS DOUBLE)) / count(*), 6) AS mean_nll
+        |  FROM sc GROUP BY 1)
+        |SELECT source, n_bigrams, mean_nll,
+        |  round(exp(mean_nll), 6) AS ppl
+        |FROM agg ORDER BY source""".stripMargin,
+
     // same implicit-zeros moments over the full doc count, same
     // left-to-right double chain and (total desc, tok) top-20
     "q_burstiness" ->

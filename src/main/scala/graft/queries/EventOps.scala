@@ -645,7 +645,58 @@ object EventOps extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** U-shaped (position-based 40/20/40) multi-touch attribution — the
+    * companion to [[qAttribution]]'s last-touch rule: every purchase
+    * splits its value across the view/click touches earlier in the same
+    * user-day — 40% to the first touch, 40% to the last, the middle 20%
+    * evenly across interior touches (1 touch → 100%, 2 → 50/50).
+    * Purchases with no prior touch report under channel 'none'. Credits
+    * round to DECIMAL(18,9) and credited money to DECIMAL(18,6) before
+    * the channel sums (exact, order-independent). Scale: the
+    * purchase×touch join keys on (user, day) with a timestamp residual
+    * — fan-out bounded by per-user-day activity, the same envelope as
+    * q_returns' episodes. */
+  def qAttributionU(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val dec6 = DecimalType(18, 6)
+    val dec9 = DecimalType(18, 9)
+    val ev = Tables.df(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", to_date($"ts").as("d"), $"ts".as("p_ts"),
+        $"event_id".as("p_id"), $"value".cast(dec2).as("v"))
+    val touches = ev.filter($"event_type".isin("view", "click"))
+      .select($"user_id", to_date($"ts").as("d"), $"ts".as("t_ts"),
+        $"event_id".as("t_id"), $"event_type".as("channel"))
+    val joined = purchases.join(touches, Seq("user_id", "d"))
+      .filter($"t_ts" < $"p_ts")
+    val wAsc = Window.partitionBy($"p_id").orderBy($"t_ts", $"t_id")
+    val credited = joined
+      .withColumn("k", row_number().over(wAsc))
+      .withColumn("n_t", count(lit(1)).over(Window.partitionBy($"p_id")))
+      .withColumn("credit", round(
+        when($"n_t" === 1, lit(1.0))
+          .when($"n_t" === 2, lit(0.5))
+          .when($"k" === 1 || $"k" === $"n_t", lit(0.4))
+          .otherwise(lit(0.2) / ($"n_t" - 2)), 9).cast(dec9))
+      .select($"p_id", $"channel", $"v", $"credit")
+    val attributed = credited.groupBy($"channel")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(($"credit" * $"v").cast("double"), 6).cast(dec6))
+          .as("cv"))
+      .select($"channel", $"n_events",
+        round($"cv".cast("double"), 6).as("value_credited"))
+    val unattributed = purchases
+      .join(credited.select($"p_id").distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_events"), sum($"v").as("cv"))
+      .select(lit("none").as("channel"), $"n_events",
+        round(coalesce($"cv".cast("double"), lit(0.0)), 6)
+          .as("value_credited"))
+    attributed.unionAll(unattributed).orderBy($"channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_u" -> qAttributionU,
     "q_seasonality" -> qSeasonality,
     "q_returns" -> qReturns,
     "q_survival" -> qSurvival,
@@ -671,6 +722,49 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same user-day purchase×touch join, same 40/20/40 credit grid with
+    // DECIMAL(18,9)/(18,6) pre-sum rounding, same 'none' bucket
+    "q_attribution_u" ->
+      """WITH pur AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, ts AS p_ts,
+        |    event_id AS p_id, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |tou AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, ts AS t_ts,
+        |    event_id AS t_id, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT pur.p_id, pur.v, tou.channel, tou.t_ts, tou.t_id
+        |  FROM pur JOIN tou USING (user_id, d)
+        |  WHERE tou.t_ts < pur.p_ts),
+        |k AS (
+        |  SELECT p_id, v, channel,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts, t_id) AS k,
+        |    count(*) OVER (PARTITION BY p_id) AS n_t
+        |  FROM j),
+        |cr AS (
+        |  SELECT p_id, channel, v,
+        |    CAST(round(CASE
+        |      WHEN n_t = 1 THEN 1.0
+        |      WHEN n_t = 2 THEN 0.5
+        |      WHEN k = 1 OR k = n_t THEN 0.4
+        |      ELSE 0.2 / (n_t - 2) END, 9) AS DECIMAL(18,9)) AS credit
+        |  FROM k),
+        |att AS (
+        |  SELECT channel, count(*) AS n_events,
+        |    round(CAST(sum(CAST(round(CAST(credit * v AS DOUBLE), 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_credited
+        |  FROM cr GROUP BY 1),
+        |none_row AS (
+        |  SELECT 'none' AS channel, count(*) AS n_events,
+        |    round(COALESCE(CAST(sum(v) AS DOUBLE), 0.0), 6)
+        |      AS value_credited
+        |  FROM pur WHERE p_id NOT IN (SELECT DISTINCT p_id FROM cr))
+        |SELECT * FROM (SELECT * FROM att UNION ALL
+        |  SELECT * FROM none_row)
+        |ORDER BY channel""".stripMargin,
+
     // same type×hour cells, same lift-style independence index
     "q_seasonality" ->
       """WITH cells AS (
