@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -206,12 +207,47 @@ object Analytics extends QueryPack {
       .limit(20)
   }
 
+  /** Gini coefficient of customer spend concentration, via the exact
+    * Lorenz-curve trapezoid rule over spend-VALUE groups: customers
+    * collapse to per-customer decimal spend, spends collapse to the
+    * distinct-value relation (bounded by money granularity — cents —
+    * not by customer count, the q_ks_drift boundedness argument), and
+    * G = 1 − Σ_v (m_v/n)·(L(v)+L(v⁻)) with both Lorenz ordinates from
+    * exact decimal cumulative sums. Per-value terms round to
+    * DECIMAL(18,9) before the final sum. The unpartitioned cumulative
+    * window runs on the value-distinct relation only. */
+  def qGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val spend = Tables.df(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(dec($"o_totalprice")).as("s"))
+    val byV = spend.groupBy($"s".as("v"))
+      .agg(count(lit(1)).as("m"))
+    val tot = byV.agg(sum($"m").as("n"),
+      sum($"v" * $"m").as("stot"))
+    val wCum = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = byV.crossJoin(broadcast(tot))
+      .withColumn("cs", sum($"v" * $"m").over(wCum))
+      .select(($"m".cast("double") / $"n"
+        * (($"cs" + $"cs" - $"v" * $"m").cast("double")
+          / $"stot".cast("double"))).as("t"), $"n", $"stot")
+      .select(round($"t", 9).cast(dec9).as("t"), $"n", $"stot")
+    terms.groupBy($"n", $"stot").agg(sum($"t").as("st"))
+      .select($"n".as("n_cust"),
+        round($"stot".cast("double"), 2).as("total_spend"),
+        round($"stot".cast("double") / $"n", 6).as("mean_spend"),
+        round(lit(1.0) - $"st".cast("double"), 6).as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_rfm" -> qRfm,
     "q_ctr_smooth" -> qCtrSmooth,
     "q_wilson" -> qWilson,
+    "q_gini" -> qGini,
     "q_assoc_rules" -> qAssocRules
   )
 
@@ -256,6 +292,34 @@ object Analytics extends QueryPack {
         |  round(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / count(*),
         |    6) AS avg_m
         |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // same value-grouped Lorenz trapezoid with exact decimal cumulative
+    // sums and DECIMAL(18,9) pre-sum terms
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders GROUP BY 1),
+        |byv AS (SELECT s AS v, count(*) AS m FROM spend GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(m) AS BIGINT) AS n, sum(v * m) AS stot
+        |  FROM byv),
+        |c AS (
+        |  SELECT v, m, tot.n, tot.stot,
+        |    sum(v * m) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM byv CROSS JOIN tot),
+        |t AS (
+        |  SELECT CAST(round(CAST(m AS DOUBLE) / n
+        |    * (CAST(cs + cs - v * m AS DOUBLE)
+        |      / CAST(stot AS DOUBLE)), 9) AS DECIMAL(18,9)) AS t,
+        |    n, stot
+        |  FROM c)
+        |SELECT n AS n_cust,
+        |  round(CAST(stot AS DOUBLE), 2) AS total_spend,
+        |  round(CAST(stot AS DOUBLE) / n, 6) AS mean_spend,
+        |  round(1.0 - CAST(sum(t) AS DOUBLE), 6) AS gini
+        |FROM t GROUP BY n, stot""".stripMargin,
 
     // same exact z-squared literals, same closed-form expression order
     "q_wilson" ->

@@ -695,7 +695,60 @@ object EventOps extends QueryPack {
     attributed.unionAll(unattributed).orderBy($"channel")
   }
 
+  /** Propensity-score stratification for observational treatment-effect
+    * estimation (Rosenbaum & Rubin '83): a frozen logistic over user
+    * activity scores each user's propensity for the deterministic
+    * "exposure" (user-id parity — a synthetic treatment whose true
+    * effect is zero, which the spec pins: within-stratum outcome
+    * differences must be statistically small), users stratify on exact
+    * score quintiles (the q_rfm percentile-cuts pattern — no global
+    * ntile), and the report gives the within-stratum treated/control
+    * conversion contrast with its stratum weight. Zero-arm strata yield
+    * NULL contrasts on both engines. */
+  def qPropensity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max(when($"event_type" === "purchase", 1).otherwise(0)).as("y"))
+      .withColumn("treated", $"user_id" % 2 === 0)
+      .withColumn("score", round(lit(1.0)
+        / (lit(1.0) + exp((lit(20.0) - $"n_ev") / lit(10.0))), 6))
+      .localCheckpoint() // user-thin; feeds cuts + stratification
+    val cuts = users.agg(
+      expr("transform(percentile(score, array(0.2, 0.4, 0.6, 0.8))," +
+        " x -> round(x, 6))").as("sc"))
+    val tot = users.agg(count(lit(1)).as("n_all"))
+    users.crossJoin(broadcast(cuts))
+      .select($"treated", $"y",
+        (lit(1) + ($"score" > element_at($"sc", 1)).cast("int")
+          + ($"score" > element_at($"sc", 2)).cast("int")
+          + ($"score" > element_at($"sc", 3)).cast("int")
+          + ($"score" > element_at($"sc", 4)).cast("int")).as("stratum"))
+      .groupBy($"stratum")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"treated", 1L).otherwise(0L)).as("n_treated"),
+        sum(when(!$"treated", 1L).otherwise(0L)).as("n_control"),
+        sum(when($"treated", $"y".cast("long")).otherwise(0L)).as("y1"),
+        sum(when(!$"treated", $"y".cast("long")).otherwise(0L)).as("y0"))
+      .crossJoin(broadcast(tot))
+      .select($"stratum", $"n", $"n_treated", $"n_control",
+        when($"n_treated" === 0, lit(null).cast("double"))
+          .otherwise(round($"y1".cast("double") / $"n_treated", 6))
+          .as("y1_rate"),
+        when($"n_control" === 0, lit(null).cast("double"))
+          .otherwise(round($"y0".cast("double") / $"n_control", 6))
+          .as("y0_rate"),
+        when($"n_treated" === 0 || $"n_control" === 0,
+          lit(null).cast("double"))
+          .otherwise(round($"y1".cast("double") / $"n_treated"
+            - $"y0".cast("double") / $"n_control", 6)).as("diff"),
+        round($"n".cast("double") / $"n_all", 6).as("weight"))
+      .orderBy($"stratum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_propensity" -> qPropensity,
     "q_attribution_u" -> qAttributionU,
     "q_seasonality" -> qSeasonality,
     "q_returns" -> qReturns,
@@ -722,6 +775,55 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same frozen logistic propensity, same quantile_cont quintile cuts
+    // rounded before comparison, same zero-arm NULL guards
+    "q_propensity" ->
+      """WITH users AS (
+        |  SELECT user_id, count(*) AS n_ev,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS y,
+        |    user_id % 2 = 0 AS treated
+        |  FROM events GROUP BY user_id),
+        |u2 AS (
+        |  SELECT *, round(1.0 / (1.0 + exp((20.0 - n_ev) / 10.0)), 6)
+        |    AS score
+        |  FROM users),
+        |cuts AS (
+        |  SELECT list_transform(
+        |    quantile_cont(score, [0.2, 0.4, 0.6, 0.8]),
+        |    x -> round(x, 6)) AS sc
+        |  FROM u2),
+        |tot AS (SELECT count(*) AS n_all FROM u2),
+        |strat AS (
+        |  SELECT u2.treated, u2.y,
+        |    1 + CAST(u2.score > k.sc[1] AS INT)
+        |      + CAST(u2.score > k.sc[2] AS INT)
+        |      + CAST(u2.score > k.sc[3] AS INT)
+        |      + CAST(u2.score > k.sc[4] AS INT) AS stratum
+        |  FROM u2 CROSS JOIN cuts k),
+        |agg AS (
+        |  SELECT stratum, count(*) AS n,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treated,
+        |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_control,
+        |    CAST(sum(CASE WHEN treated THEN y ELSE 0 END) AS BIGINT)
+        |      AS y1,
+        |    CAST(sum(CASE WHEN treated THEN 0 ELSE y END) AS BIGINT)
+        |      AS y0
+        |  FROM strat GROUP BY 1)
+        |SELECT stratum, n, n_treated, n_control,
+        |  CASE WHEN n_treated = 0 THEN NULL
+        |    ELSE round(CAST(y1 AS DOUBLE) / n_treated, 6) END AS y1_rate,
+        |  CASE WHEN n_control = 0 THEN NULL
+        |    ELSE round(CAST(y0 AS DOUBLE) / n_control, 6) END AS y0_rate,
+        |  CASE WHEN n_treated = 0 OR n_control = 0 THEN NULL
+        |    ELSE round(CAST(y1 AS DOUBLE) / n_treated
+        |      - CAST(y0 AS DOUBLE) / n_control, 6) END AS diff,
+        |  round(CAST(n AS DOUBLE) / tot.n_all, 6) AS weight
+        |FROM agg CROSS JOIN tot
+        |ORDER BY stratum""".stripMargin,
+
     // same user-day purchase×touch join, same 40/20/40 credit grid with
     // DECIMAL(18,9)/(18,6) pre-sum rounding, same 'none' bucket
     "q_attribution_u" ->

@@ -599,7 +599,52 @@ object StatsOps extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test on event values: the
+    * first time-half vs the second (split at the exact midpoint of the
+    * observed epoch range — integer arithmetic, no quantile needed),
+    * D = max |F₁ − F₂| over the pooled distinct values with the
+    * Kolmogorov tail approximation p ≈ 2·exp(−2λ²). The
+    * distribution-free companion to q_drift_psi's binned PSI: KS needs
+    * no bin design and reacts to any CDF difference. The cumulative
+    * window runs over the DISTINCT-value relation — bounded by value
+    * granularity (cents-grained here), not row count, the same
+    * boundedness argument as the quantile kernel's refine grid. */
+  def qKsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+    // integer floor-div midpoint (the qOfflineEval cast discipline:
+    // DuckDB's double→INT cast rounds, Spark's truncates — div avoids
+    // the boundary entirely)
+    val mid = ev.agg(expr("(min(unix_micros(cast(ts as timestamp)))"
+      + " + max(unix_micros(cast(ts as timestamp)))) div 2")
+      .cast("long").as("mid_us"))
+    val grouped = ev.crossJoin(broadcast(mid))
+      .select($"value".as("v"),
+        when(unix_micros($"ts".cast("timestamp")) < $"mid_us", 1)
+          .otherwise(2).as("grp"))
+      .groupBy($"v")
+      .agg(sum(when($"grp" === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when($"grp" === 2, 1L).otherwise(0L)).as("c2"))
+    val tot = grouped.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    val wCum = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = grouped.crossJoin(broadcast(tot))
+      .withColumn("f1", sum($"c1").over(wCum).cast("double") / $"n1")
+      .withColumn("f2", sum($"c2").over(wCum).cast("double") / $"n2")
+      .groupBy($"n1", $"n2")
+      .agg(max(round(abs($"f1" - $"f2"), 9)).as("d_raw"))
+    d.select($"n1", $"n2", round($"d_raw", 6).as("d_stat"),
+        round($"d_raw" * sqrt($"n1".cast("double") * $"n2"
+          / ($"n1" + $"n2")), 6).as("lambda"))
+      .select($"n1", $"n2", $"d_stat", $"lambda",
+        round(least(lit(1.0),
+          lit(2.0) * exp(lit(-2.0) * $"lambda" * $"lambda")), 6)
+          .as("p_approx"))
+      .withColumn("drift", $"p_approx" < 0.05)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_drift" -> qKsDrift,
     "q_profile" -> qProfile,
     "q_zscore" -> qZscore,
     "q_ewma" -> qEwma,
@@ -646,6 +691,44 @@ object StatsOps extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same integer-div epoch midpoint, same pooled-distinct-value CDFs
+    // and 9dp-rounded per-value gaps, same Kolmogorov tail approximation
+    "q_ks_drift" ->
+      """WITH mid AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        |  FROM events),
+        |g AS (
+        |  SELECT value AS v,
+        |    CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid_us FROM mid)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid_us FROM mid)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+        |f AS (
+        |  SELECT CAST(sum(c1) OVER w AS DOUBLE) / tot.n1 AS f1,
+        |    CAST(sum(c2) OVER w AS DOUBLE) / tot.n2 AS f2,
+        |    tot.n1, tot.n2
+        |  FROM g CROSS JOIN tot
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT n1, n2, max(round(abs(f1 - f2), 9)) AS d_raw
+        |  FROM f GROUP BY 1, 2),
+        |l AS (
+        |  SELECT n1, n2, round(d_raw, 6) AS d_stat,
+        |    round(d_raw * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)
+        |      AS lambda
+        |  FROM d)
+        |SELECT n1, n2, d_stat, lambda,
+        |  round(least(1.0, 2.0 * exp(-2.0 * lambda * lambda)), 6)
+        |    AS p_approx,
+        |  round(least(1.0, 2.0 * exp(-2.0 * lambda * lambda)), 6) < 0.05
+        |    AS drift
+        |FROM l""".stripMargin,
+
     "q_profile" -> profileOracle,
 
     // identical exact decimal sums; the mu/sd/z double expressions are
