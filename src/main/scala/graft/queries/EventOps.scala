@@ -747,7 +747,78 @@ object EventOps extends QueryPack {
       .orderBy($"stratum")
   }
 
+  /** First-order Markov transition model of the per-user event-type
+    * sequence, with each source state's conditional entropy — the
+    * sequence-predictability statistic (how much does knowing the
+    * current action tell you about the next) that complements
+    * q_journeys' literal path mining. One lead() window per user builds
+    * the bigram stream; everything after re-aggregates the
+    * #types²-thin transition relation. Probabilities round once;
+    * entropy terms round to DECIMAL(18,9) before the per-state sum. */
+  def qMarkovChain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.df(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("cur"))
+      .withColumn("nxt", lead($"cur", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"cur", $"nxt").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // types²-thin; feeds totals + entropy + output
+    val totals = trans.groupBy($"cur").agg(sum($"n").as("n_cur"))
+    val withP = trans.join(broadcast(totals), "cur")
+      .withColumn("p", round($"n".cast("double") / $"n_cur", 6))
+    val ent = withP
+      .select($"cur",
+        round(-($"n" / $"n_cur" * log($"n" / $"n_cur")), 9)
+          .cast(dec9).as("term"))
+      .groupBy($"cur").agg(round(sum($"term").cast("double"), 6).as("h"))
+    withP.join(broadcast(ent), "cur")
+      .select($"cur", $"nxt", $"n", $"p", $"h".as("h_cur"))
+      .orderBy($"cur", $"nxt")
+  }
+
+  /** Lag-1..7 autocorrelation of the daily purchase-value series — the
+    * weekly-pattern detector a forecasting pipeline checks before
+    * choosing seasonality terms. The stream reduces to the day-level
+    * relation first (bounded by the calendar span, the q_survival
+    * argument), the ACF numerator/denominator build from deviation
+    * products rounded to DECIMAL(18,9), and each lag is one
+    * day-arithmetic self-join on that tiny relation. */
+  def qAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val daily = Tables.df(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum($"value".cast(DecimalType(18, 2))).as("x"))
+      .localCheckpoint() // day-thin; feeds moments + all 7 lag joins
+    val mom = daily.agg(count(lit(1)).as("nd"),
+      sum($"x").as("sx"))
+    val dev = daily.crossJoin(broadcast(mom))
+      .select($"d",
+        ($"x".cast("double") - $"sx".cast("double") / $"nd").as("e"))
+      .localCheckpoint()
+    val denom = dev
+      .select(round($"e" * $"e", 9).cast(dec9).as("t"))
+      .agg(sum($"t").as("den"))
+    val lags = dev.select($"d", $"e")
+      .join(dev.select($"d".as("d2"), $"e".as("e2")),
+        datediff($"d", $"d2").between(1, 7))
+      .select(datediff($"d", $"d2").as("lag"),
+        round($"e" * $"e2", 9).cast(dec9).as("t"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"), sum($"t").as("num"))
+    lags.crossJoin(broadcast(denom))
+      .select($"lag", $"n_pairs",
+        round($"num".cast("double") / $"den".cast("double"), 6)
+          .as("acf"))
+      .orderBy($"lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_chain" -> qMarkovChain,
+    "q_autocorr" -> qAutocorr,
     "q_propensity" -> qPropensity,
     "q_attribution_u" -> qAttributionU,
     "q_seasonality" -> qSeasonality,
@@ -775,6 +846,58 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same per-user lead() bigrams, same once-rounded probabilities and
+    // DECIMAL(18,9) entropy terms
+    "q_markov_chain" ->
+      """WITH s AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |tr AS (
+        |  SELECT cur, nxt, count(*) AS n FROM s
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur
+        |        FROM tr GROUP BY 1),
+        |p AS (
+        |  SELECT tr.cur, tr.nxt, tr.n, tot.n_cur,
+        |    round(CAST(tr.n AS DOUBLE) / tot.n_cur, 6) AS p
+        |  FROM tr JOIN tot USING (cur)),
+        |ent AS (
+        |  SELECT cur, round(CAST(sum(CAST(round(
+        |    -(n / n_cur * ln(n / n_cur)), 9) AS DECIMAL(18,9)))
+        |    AS DOUBLE), 6) AS h
+        |  FROM p GROUP BY cur)
+        |SELECT p.cur, p.nxt, p.n, p.p, ent.h AS h_cur
+        |FROM p JOIN ent USING (cur)
+        |ORDER BY p.cur, p.nxt""".stripMargin,
+
+    // same day-level reduction, same deviation products rounded to
+    // DECIMAL(18,9), same per-lag join on the tiny day relation
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mom AS (SELECT count(*) AS nd, sum(x) AS sx FROM daily),
+        |dev AS (
+        |  SELECT d, CAST(x AS DOUBLE) - CAST(mom.sx AS DOUBLE) / mom.nd
+        |    AS e
+        |  FROM daily CROSS JOIN mom),
+        |den AS (
+        |  SELECT sum(CAST(round(e * e, 9) AS DECIMAL(18,9))) AS den
+        |  FROM dev),
+        |lg AS (
+        |  SELECT CAST(date_diff('day', b.d, a.d) AS INT) AS lag,
+        |    count(*) AS n_pairs,
+        |    sum(CAST(round(a.e * b.e, 9) AS DECIMAL(18,9))) AS num
+        |  FROM dev a JOIN dev b
+        |    ON date_diff('day', b.d, a.d) BETWEEN 1 AND 7
+        |  GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+        |FROM lg CROSS JOIN den ORDER BY lag""".stripMargin,
+
     // same frozen logistic propensity, same quantile_cont quintile cuts
     // rounded before comparison, same zero-arm NULL guards
     "q_propensity" ->

@@ -643,7 +643,68 @@ object StatsOps extends QueryPack {
       .withColumn("drift", $"p_approx" < 0.05)
   }
 
+  /** Benford first-digit audit of order totals — the classic
+    * fabricated-data / wrong-units tell: naturally-occurring multi-scale
+    * amounts follow P(d) = log₁₀(1 + 1/d); narrow-range synthetic
+    * prices (like TPC-H's) do NOT, so the fixture must fail the audit
+    * loudly (pinned in the spec, the established fixture-diagnostic
+    * framing). The first significant digit comes from a char-class
+    * regex on the DECIMAL(18,2) string form — no log10 edge cases at
+    * powers of ten; Benford expectations evaluate as ln(1+1/d)/ln(10)
+    * identically in both engines and round once. One pass to a 9-row
+    * relation. */
+  def qBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dg = Tables.df(spark, sfDir, "orders")
+      .select(substring(regexp_replace(
+        $"o_totalprice".cast(DecimalType(18, 2)).cast("string"),
+        "[^1-9]", ""), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = dg.agg(sum($"n").as("n_all"))
+    dg.crossJoin(broadcast(tot))
+      .select($"digit", $"n",
+        round($"n".cast("double") / $"n_all", 6).as("share"),
+        round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 6)
+          .as("benford"), $"n_all")
+      .select($"digit", $"n", $"share", $"benford",
+        round(($"share" - $"benford") * ($"share" - $"benford")
+          / $"benford" * $"n_all", 6).as("chi2_term"))
+      .orderBy($"digit")
+  }
+
+  /** Hill tail-index estimator over the top-100 customer spends — the
+    * "how heavy is the whale tail" statistic that tells a capacity
+    * planner whether means are even finite-variance: α̂ = k / Σ ln(x_i /
+    * x_{k+1}) over the k largest order statistics. The order statistics
+    * come from a distributed TakeOrderedAndProject (never a global
+    * sort); the ln ratios round to DECIMAL(18,9) before the exact sum.
+    * Reports α̂ with the reference order statistic so the estimate is
+    * reproducible. */
+  def qHillTail(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val k = 100
+    val top = Tables.df(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("s"))
+      .orderBy($"s".desc, $"o_custkey".asc)
+      .limit(k + 1)
+      .localCheckpoint() // feeds the boundary stat + the ln terms
+    val xk = top.agg(min($"s").as("xk"))
+    top.crossJoin(broadcast(xk))
+      .filter($"s" > $"xk")
+      .select(round(log($"s".cast("double") / $"xk".cast("double")), 9)
+        .cast(dec9).as("t"), $"xk")
+      .groupBy($"xk").agg(count(lit(1)).as("k_used"),
+        sum($"t").as("slt"))
+      .select($"k_used", round($"xk".cast("double"), 2).as("x_kplus1"),
+        round($"slt".cast("double") / $"k_used", 6).as("mean_ln_ratio"),
+        round($"k_used" / $"slt".cast("double"), 6).as("alpha"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> qBenford,
+    "q_hill_tail" -> qHillTail,
     "q_ks_drift" -> qKsDrift,
     "q_profile" -> qProfile,
     "q_zscore" -> qZscore,
@@ -691,6 +752,47 @@ object StatsOps extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same regex first-digit, same ln-ratio Benford constants, same
+    // left-to-right chi2 chain
+    "q_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(regexp_replace(
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |      '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM dg),
+        |r AS (
+        |  SELECT digit, n,
+        |    round(CAST(n AS DOUBLE) / tot.n_all, 6) AS share,
+        |    round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
+        |    tot.n_all
+        |  FROM dg CROSS JOIN tot)
+        |SELECT digit, n, share, benford,
+        |  round((share - benford) * (share - benford)
+        |    / benford * n_all, 6) AS chi2_term
+        |FROM r ORDER BY digit""".stripMargin,
+
+    // same (s desc, custkey) top-101, same strict-above-boundary terms
+    // with DECIMAL(18,9) pre-sum rounding
+    "q_hill_tail" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders GROUP BY 1),
+        |top AS (
+        |  SELECT s FROM spend ORDER BY s DESC, o_custkey ASC LIMIT 101),
+        |xk AS (SELECT min(s) AS xk FROM top),
+        |t AS (
+        |  SELECT CAST(round(ln(CAST(top.s AS DOUBLE)
+        |    / CAST(xk.xk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS t, xk.xk
+        |  FROM top CROSS JOIN xk WHERE top.s > xk.xk)
+        |SELECT count(*) AS k_used,
+        |  round(CAST(xk AS DOUBLE), 2) AS x_kplus1,
+        |  round(CAST(sum(t) AS DOUBLE) / count(*), 6) AS mean_ln_ratio,
+        |  round(count(*) / CAST(sum(t) AS DOUBLE), 6) AS alpha
+        |FROM t GROUP BY xk""".stripMargin,
+
     // same integer-div epoch midpoint, same pooled-distinct-value CDFs
     // and 9dp-rounded per-value gaps, same Kolmogorov tail approximation
     "q_ks_drift" ->
