@@ -209,7 +209,39 @@ object LearnOps extends QueryPack {
       .orderBy($"bin")
   }
 
+  /** Preference-pair mining for reward-model / DPO training data: per
+    * source, the i-th highest-quality document is paired with the i-th
+    * lowest (i ≤ 3) as (chosen, rejected) with the quality margin —
+    * the extreme-contrast heuristic that bootstraps preference data from
+    * a scalar quality signal when no human labels exist. Uses the same
+    * frozen quality score as q_quality (oracle shares the expression);
+    * zero-margin and self pairs are excluded on both engines. Two
+    * source-partitioned windows, join on (source, rank). */
+  def qPrefPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source",
+        graft.functions.TextFunctions.qualityScore($"text").as("q"))
+    val wB = Window.partitionBy($"source").orderBy($"q".desc, $"doc_id".asc)
+    val wW = Window.partitionBy($"source").orderBy($"q".asc, $"doc_id".desc)
+    val best = scored.withColumn("rk", row_number().over(wB))
+      .filter($"rk" <= 3)
+    val worst = scored.withColumn("rk", row_number().over(wW))
+      .filter($"rk" <= 3)
+    best.select($"source", $"rk", $"doc_id".as("chosen_id"),
+        $"q".as("q_chosen"))
+      .join(worst.select($"source", $"rk", $"doc_id".as("rejected_id"),
+        $"q".as("q_rejected")), Seq("source", "rk"))
+      .filter($"chosen_id" =!= $"rejected_id")
+      .select($"source", $"rk".as("pair_rank"), $"chosen_id",
+        $"rejected_id", $"q_chosen", $"q_rejected",
+        round($"q_chosen" - $"q_rejected", 6).as("margin"))
+      .filter($"margin" > 0)
+      .orderBy($"source", $"pair_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pref_pairs" -> qPrefPairs,
     "q_bradley_terry" -> qBradleyTerry,
     "q_calibration" -> qCalibration,
     "q_isotonic" -> qIsotonic,
@@ -227,7 +259,55 @@ object LearnOps extends QueryPack {
       |      ['the', 'a', 'is', 'and', 'of', 'to'])))), 6) AS p
       |  FROM documents)""".stripMargin
 
+  /** The q_quality score expression (mirrors
+    * TextFunctions.qualityScore), shared into the pref-pair oracle. */
+  private val qualityCte =
+    """sc AS (
+      |  SELECT doc_id, source,
+      |    round(0.5 * least(n_tok / 20.0, 1.0)
+      |        + 0.3 * least(stop_raw * 5.0, 1.0)
+      |        + 0.2 * (1.0 - least(CAST(punct_cnt AS DOUBLE)
+      |                             / greatest(n_chars, 1), 1.0)), 6)
+      |      AS q
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      len(list_filter(string_split(lower(text), ' '),
+      |        x -> x != '')) AS n_tok,
+      |      CAST(len(list_filter(
+      |          list_filter(string_split(lower(text), ' '),
+      |            x -> x != ''),
+      |          x -> list_contains(['the','a','is','and','of','to',
+      |            'in','that','it'], x))) AS DOUBLE)
+      |        / greatest(len(list_filter(string_split(lower(text), ' '),
+      |            x -> x != '')), 1) AS stop_raw,
+      |      CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+      |        AS INT) AS punct_cnt,
+      |      CAST(length(text) AS INT) AS n_chars
+      |    FROM documents))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // same frozen quality score, same two tie-broken rank windows and
+    // (source, rank) pairing with the self/zero-margin exclusions
+    "q_pref_pairs" ->
+      s"""WITH $qualityCte,
+        |best AS (
+        |  SELECT source, doc_id AS chosen_id, q AS q_chosen,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY q DESC, doc_id ASC) AS rk
+        |  FROM sc),
+        |worst AS (
+        |  SELECT source, doc_id AS rejected_id, q AS q_rejected,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY q ASC, doc_id DESC) AS rk
+        |  FROM sc)
+        |SELECT b.source, b.rk AS pair_rank, b.chosen_id, w.rejected_id,
+        |  b.q_chosen, w.q_rejected,
+        |  round(b.q_chosen - w.q_rejected, 6) AS margin
+        |FROM best b JOIN worst w ON b.source = w.source AND b.rk = w.rk
+        |WHERE b.rk <= 3 AND b.chosen_id != w.rejected_id
+        |  AND round(b.q_chosen - w.q_rejected, 6) > 0
+        |ORDER BY b.source, pair_rank""".stripMargin,
+
     // same frozen scorer, same decile bins, same once-rounded conf/acc
     // and weighted ECE terms
     "q_calibration" ->

@@ -702,7 +702,105 @@ object StatsOps extends QueryPack {
         round($"k_used" / $"slt".cast("double"), 6).as("alpha"))
   }
 
+  /** Poisson-bootstrap confidence interval for the mean per-user
+    * conversion rate — THE production bootstrap (each of 32 replicates
+    * gives every user an independent Poisson(1) weight, so resampling is
+    * a per-row projection plus an ordinary aggregate: no sampling with
+    * replacement, no shuffling of the data, embarrassingly parallel at
+    * any scale). The Poisson weights come from the family's md5 uniform
+    * pushed through the exact Poisson(1) inverse CDF (10-digit literal
+    * thresholds shared by both engines); replicate means pre-sum as
+    * decimals; the CI is the exact 5th/95th percentile of the 32
+    * replicate means (percentile ≡ quantile_cont). */
+  def qBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val users = Tables.df(spark, sfDir, "events")
+      .filter($"event_type".isin("view", "purchase"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("p"))
+      .select($"user_id", round($"p".cast("double") / $"n", 6).as("x"))
+      .localCheckpoint() // user-thin; feeds the estimate + 32 replicates
+    val full = users.agg(count(lit(1)).as("n_users"),
+      round(sum($"x".cast(dec6)).cast("double") / count(lit(1)), 6)
+        .as("est"))
+    val reps = users
+      .select($"user_id", $"x", explode(expr("sequence(1, 32)")).as("b"))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("boot:"), $"b".cast("string"),
+          lit(":"), $"user_id".cast("string"))), 1, 15), 16, 10)
+          .cast("long") + 1) / lit(1152921504606846976.0))
+      .withColumn("w",
+        when($"u" <= 0.3678794412, 0L)
+          .when($"u" <= 0.7357588823, 1L)
+          .when($"u" <= 0.9196986029, 2L)
+          .when($"u" <= 0.9810118431, 3L)
+          .when($"u" <= 0.9963401532, 4L)
+          .when($"u" <= 0.9994058151, 5L)
+          .otherwise(6L))
+      .groupBy($"b")
+      .agg(sum($"w").as("sw"),
+        sum(round($"w" * $"x", 9).cast(dec9)).as("swx"))
+      .filter($"sw" > 0)
+      .select($"b", round($"swx".cast("double") / $"sw", 6).as("mb"))
+    val stats = reps.agg(count(lit(1)).as("n_reps"),
+      round(sum($"mb".cast(dec6)).cast("double") / count(lit(1)), 6)
+        .as("boot_mean"),
+      sum(round($"mb" * $"mb", 9).cast(dec9)).as("smb2"),
+      sum($"mb".cast(dec6)).as("smb"),
+      expr("transform(percentile(mb, array(0.05, 0.95))," +
+        " x -> round(x, 6))").as("ci"))
+    full.crossJoin(broadcast(stats))
+      .select($"n_users", $"est", $"n_reps", $"boot_mean",
+        round(sqrt(($"smb2".cast("double")
+          - $"smb".cast("double") * $"smb".cast("double") / $"n_reps")
+          / ($"n_reps" - 1)), 6).as("boot_se"),
+        element_at($"ci", 1).as("ci_lo"),
+        element_at($"ci", 2).as("ci_hi"))
+  }
+
+  /** Leave-one-source-out jackknife of the corpus mean document length —
+    * the grouped-resampling twin of q_bootstrap_ci, sized for the
+    * "estimate how much each SOURCE moves the corpus statistic" question
+    * a mixture designer asks: each row is the corpus mean without that
+    * source, plus the jackknife standard error over the leave-out grid.
+    * Everything after the per-source aggregate runs on the #sources-row
+    * relation. */
+  def qJackknife(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val src = Tables.df(spark, sfDir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_s"), sum($"n_chars").as("s_s"))
+      .localCheckpoint() // #sources rows; feeds totals + leave-outs
+    val tot = src.agg(sum($"n_s").as("n"), sum($"s_s").as("s"),
+      count(lit(1)).as("g"))
+    val loo = src.crossJoin(broadcast(tot))
+      .select($"source", $"n_s", $"g",
+        round(($"s" - $"s_s").cast("double") / ($"n" - $"n_s"), 6)
+          .as("loo_mean"))
+    val m = loo.agg(
+      round(sum($"loo_mean".cast(dec6)).cast("double") / count(lit(1)), 6)
+        .as("m_loo"))
+    val devs = loo.crossJoin(broadcast(m))
+      .select($"source", $"n_s", $"g", $"loo_mean",
+        round($"loo_mean" - $"m_loo", 6).as("dev"),
+        round(($"loo_mean" - $"m_loo") * ($"loo_mean" - $"m_loo"), 9)
+          .cast(dec9).as("d2"))
+      .localCheckpoint()
+    val se = devs.groupBy($"g").agg(sum($"d2").as("s2"))
+      .select(round(sqrt(($"g" - 1).cast("double") / $"g"
+        * $"s2".cast("double")), 6).as("jk_se"))
+    devs.crossJoin(broadcast(se))
+      .select($"source", $"n_s".as("n_docs"), $"loo_mean", $"dev",
+        $"jk_se")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> qBootstrapCi,
+    "q_jackknife" -> qJackknife,
     "q_benford" -> qBenford,
     "q_hill_tail" -> qHillTail,
     "q_ks_drift" -> qKsDrift,
@@ -752,6 +850,91 @@ object StatsOps extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same md5 uniforms, same 10-digit Poisson(1) CDF thresholds, same
+    // decimal pre-sums and exact percentile CI
+    "q_bootstrap_ci" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    round(CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS x
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |full_est AS (
+        |  SELECT count(*) AS n_users,
+        |    round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS est
+        |  FROM users),
+        |reps AS (
+        |  SELECT b, user_id, x,
+        |    (('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |      / 1152921504606846976.0 AS u
+        |  FROM users CROSS JOIN (SELECT unnest(range(1, 33)) AS b)),
+        |wts AS (
+        |  SELECT b, x, CASE
+        |    WHEN u <= 0.3678794412 THEN 0
+        |    WHEN u <= 0.7357588823 THEN 1
+        |    WHEN u <= 0.9196986029 THEN 2
+        |    WHEN u <= 0.9810118431 THEN 3
+        |    WHEN u <= 0.9963401532 THEN 4
+        |    WHEN u <= 0.9994058151 THEN 5
+        |    ELSE 6 END AS w
+        |  FROM reps),
+        |mb AS (
+        |  SELECT b, round(CAST(sum(CAST(round(w * x, 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE) / CAST(sum(w) AS BIGINT), 6)
+        |    AS mb
+        |  FROM wts GROUP BY b HAVING CAST(sum(w) AS BIGINT) > 0),
+        |st AS (
+        |  SELECT count(*) AS n_reps,
+        |    round(CAST(sum(CAST(mb AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS boot_mean,
+        |    CAST(sum(CAST(round(mb * mb, 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS smb2,
+        |    CAST(sum(CAST(mb AS DECIMAL(18,6))) AS DOUBLE) AS smb,
+        |    list_transform(quantile_cont(mb, [0.05, 0.95]),
+        |      x -> round(x, 6)) AS ci
+        |  FROM mb)
+        |SELECT f.n_users, f.est, st.n_reps, st.boot_mean,
+        |  round(sqrt((st.smb2 - st.smb * st.smb / st.n_reps)
+        |    / (st.n_reps - 1)), 6) AS boot_se,
+        |  st.ci[1] AS ci_lo, st.ci[2] AS ci_hi
+        |FROM full_est f CROSS JOIN st""".stripMargin,
+
+    // same per-source reduction, same leave-out means and decimal
+    // pre-sum deviation squares
+    "q_jackknife" ->
+      """WITH src AS (
+        |  SELECT source, count(*) AS n_s,
+        |    CAST(sum(n_chars) AS BIGINT) AS s_s
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_s) AS BIGINT) AS n,
+        |    CAST(sum(s_s) AS BIGINT) AS s, count(*) AS g
+        |  FROM src),
+        |loo AS (
+        |  SELECT src.source, src.n_s, tot.g,
+        |    round(CAST(tot.s - src.s_s AS DOUBLE)
+        |      / (tot.n - src.n_s), 6) AS loo_mean
+        |  FROM src CROSS JOIN tot),
+        |m AS (
+        |  SELECT round(CAST(sum(CAST(loo_mean AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*), 6) AS m_loo
+        |  FROM loo),
+        |devs AS (
+        |  SELECT loo.source, loo.n_s, loo.g, loo.loo_mean,
+        |    round(loo.loo_mean - m.m_loo, 6) AS dev,
+        |    CAST(round((loo.loo_mean - m.m_loo)
+        |      * (loo.loo_mean - m.m_loo), 9) AS DECIMAL(18,9)) AS d2
+        |  FROM loo CROSS JOIN m),
+        |se AS (
+        |  SELECT g, round(sqrt(CAST(g - 1 AS DOUBLE) / g
+        |    * CAST(sum(d2) AS DOUBLE)), 6) AS jk_se
+        |  FROM devs GROUP BY g)
+        |SELECT d.source, d.n_s AS n_docs, d.loo_mean, d.dev, se.jk_se
+        |FROM devs d CROSS JOIN se
+        |ORDER BY d.source""".stripMargin,
+
     // same regex first-digit, same ln-ratio Benford constants, same
     // left-to-right chi2 chain
     "q_benford" ->
