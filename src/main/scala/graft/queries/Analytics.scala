@@ -241,6 +241,34 @@ object Analytics extends QueryPack {
         round(lit(1.0) - $"st".cast("double"), 6).as("gini"))
   }
 
+  /** Leak-free smoothed target encoding of a categorical feature — the
+    * feature-engineering staple for categorical→numeric conversion
+    * without training-label leakage: each customer's nation is encoded
+    * as the leave-one-out mean account balance of the nation, shrunk
+    * toward the global mean with pseudo-count m = 10, so the row's own
+    * label never enters its feature and thin groups fall back to the
+    * prior. One group aggregate broadcast back into a per-row
+    * projection; LOO sums are exact decimals. First 100 rows by key
+    * keep the output bounded; the computation is corpus-wide. */
+  def qTargetEnc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.df(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_nationkey".as("g"),
+        $"c_acctbal".cast(DecimalType(18, 2)).as("x"))
+    val grp = cust.groupBy($"g")
+      .agg(count(lit(1)).as("n_g"), sum($"x").as("s_g"))
+    val glob = grp.agg(sum($"s_g").as("s"), sum($"n_g").as("n"))
+      .select(round($"s".cast("double") / $"n", 6).as("mu"))
+    cust.join(broadcast(grp), "g")
+      .crossJoin(broadcast(glob))
+      .select($"c_custkey", $"g".as("nation"),
+        round($"x".cast("double"), 2).as("acctbal"),
+        round((($"s_g" - $"x").cast("double") + lit(10.0) * $"mu")
+          / (($"n_g" - 1) + lit(10.0)), 6).as("enc_loo"), $"mu")
+      .orderBy($"c_custkey")
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
@@ -248,6 +276,7 @@ object Analytics extends QueryPack {
     "q_ctr_smooth" -> qCtrSmooth,
     "q_wilson" -> qWilson,
     "q_gini" -> qGini,
+    "q_target_enc" -> qTargetEnc,
     "q_assoc_rules" -> qAssocRules
   )
 
@@ -292,6 +321,27 @@ object Analytics extends QueryPack {
         |  round(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / count(*),
         |    6) AS avg_m
         |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // same exact-decimal LOO sums, same m=10 shrinkage toward the
+    // once-rounded global mean
+    "q_target_enc" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey AS g,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS x
+        |  FROM customer),
+        |grp AS (
+        |  SELECT g, count(*) AS n_g, sum(x) AS s_g FROM cust GROUP BY 1),
+        |gm AS (
+        |  SELECT round(CAST(sum(s_g) AS DOUBLE)
+        |    / CAST(sum(n_g) AS BIGINT), 6) AS mu
+        |  FROM grp)
+        |SELECT c.c_custkey, c.g AS nation,
+        |  round(CAST(c.x AS DOUBLE), 2) AS acctbal,
+        |  round((CAST(grp.s_g - c.x AS DOUBLE) + 10.0 * gm.mu)
+        |    / ((grp.n_g - 1) + 10.0), 6) AS enc_loo,
+        |  gm.mu
+        |FROM cust c JOIN grp ON grp.g = c.g CROSS JOIN gm
+        |ORDER BY c.c_custkey LIMIT 100""".stripMargin,
 
     // same value-grouped Lorenz trapezoid with exact decimal cumulative
     // sums and DECIMAL(18,9) pre-sum terms

@@ -780,7 +780,64 @@ object TextOps extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Uncertainty sampling for active learning: the 20 documents whose
+    * language-ID decision is least confident — margin = top1 − top2 of
+    * the five marker scores — are the ones a labeling budget should buy
+    * first. Margins are exact integers (marker counts), so the ranking
+    * itself hash-checks; the second-best score comes from a descending
+    * sort_array (list_sort in the oracle), not nested greatest/least.
+    * Pure per-row projection + distributed top-k. */
+  def qUncertainty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scores = TextFunctions.langMarkers.map { case (l, m) =>
+      l -> TextFunctions.langScore($"text", m)
+    }
+    val arr = array(scores.map(_._2.cast("int")): _*)
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"lang",
+        TextFunctions.langId($"text").as("pred"),
+        element_at(sort_array(arr, asc = false), 1).as("top1"),
+        element_at(sort_array(arr, asc = false), 2).as("top2"))
+      .select($"doc_id", $"lang", $"pred",
+        ($"top1" - $"top2").as("margin"), $"top1", $"top2")
+      .orderBy($"margin".asc, $"doc_id".asc)
+      .limit(20)
+  }
+
+  /** 5-fold cross-validated language-ID accuracy with fold variance —
+    * the evaluation discipline that turns a single accuracy number into
+    * accuracy ± noise: folds come from the family's md5 coin (identical
+    * to q_kfold's), the per-fold metric is exact-integer agreement, and
+    * the cross-fold mean/std derive from decimal pre-sums. Everything
+    * after the per-doc projection runs on the 5-row fold relation. */
+  def qCvMetric(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val folds = Tables.df(spark, sfDir, "documents")
+      .select($"lang", TextFunctions.langId($"text").as("pred"),
+        (conv(substring(md5(concat(lit("fold:"),
+          $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long") % 5)
+          .cast("int").as("fold"))
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pred" === $"lang", 1L).otherwise(0L)).as("n_correct"))
+      .select($"fold", $"n", $"n_correct",
+        round($"n_correct".cast("double") / $"n", 6).as("acc"))
+    val cv = folds.agg(count(lit(1)).as("k"),
+        sum($"acc".cast(dec6)).as("sa"),
+        sum(round($"acc" * $"acc", 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9))).as("sa2"))
+      .select(round($"sa".cast("double") / $"k", 6).as("cv_mean"),
+        round(sqrt(($"sa2".cast("double")
+          - $"sa".cast("double") * $"sa".cast("double") / $"k")
+          / ($"k" - 1)), 6).as("cv_std"))
+    folds.crossJoin(broadcast(cv))
+      .orderBy($"fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_uncertainty" -> qUncertainty,
+    "q_cv_metric" -> qCvMetric,
     "q_norm_dedup" -> qNormDedup,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_decontaminate" -> qDecontaminate,
@@ -819,24 +876,36 @@ object TextOps extends QueryPack {
     * classifier definition cannot drift from its own evaluation (mirrors
     * TextFunctions.langId: marker-count argmax, en→de→es→fr→zh tie
     * order, 'und' on zero evidence). */
-  private lazy val langPredCte: String =
-    s"""pr AS (
-      |  SELECT doc_id, lang,
-      |    CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
-      |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
-      |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
-      |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
-      |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
-      |         ELSE 'zh' END AS pred
-      |  FROM (
-      |    SELECT doc_id, lang,
+  /** The per-language marker-score subquery (doc_id, lang, s_en…s_zh) —
+    * the shared base of every language-ID oracle here, so the scorer
+    * definition cannot drift between prediction, evaluation,
+    * uncertainty, and cross-validation. */
+  private lazy val langScoresSub: String =
+    s"""SELECT doc_id, lang,
       |      len(list_intersect(t, ['the','a','is','and','of','to'])) AS s_en,
       |      len(list_intersect(t, ['der','die','das','und','ist'])) AS s_de,
       |      len(list_intersect(t, ['el','la','los','es','y'])) AS s_es,
       |      len(list_intersect(t, ['le','la','les','est','et'])) AS s_fr,
       |      len(list_intersect(t, ['de5','shi4','le5'])) AS s_zh
-      |    FROM (SELECT doc_id, lang, $tokSetSql AS t FROM documents)))"""
+      |    FROM (SELECT doc_id, lang, $tokSetSql AS t FROM documents)"""
       .stripMargin
+
+  /** The argmax CASE over the five marker scores (mirrors
+    * TextFunctions.langId's en→de→es→fr→zh tie order, 'und' on zero). */
+  private val langArgmaxCase: String =
+    """CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+      |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+      |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+      |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+      |         ELSE 'zh' END""".stripMargin
+
+  private lazy val langPredCte: String =
+    s"""pr AS (
+      |  SELECT doc_id, lang,
+      |    $langArgmaxCase AS pred
+      |  FROM (
+      |    $langScoresSub))""".stripMargin
 
   /** Shared CTE chain producing `f(doc_id, fp)` — the md5-SimHash
     * fingerprint table (see the q_simhash_md5 oracle comment for the
@@ -892,6 +961,59 @@ object TextOps extends QueryPack {
       |       ELSE fpu::BIGINT END AS fp FROM f0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same marker scores, same argmax, same integer margins from a
+    // descending list sort and (margin, doc_id) top-20
+    "q_uncertainty" ->
+      (s"""WITH sc AS (
+        |  $langScoresSub),
+        |pr AS (
+        |  SELECT doc_id, lang,
+        |    $langArgmaxCase AS pred,
+        |    CAST(list_sort([s_en, s_de, s_es, s_fr, s_zh], 'DESC')[1]
+        |      AS INT) AS top1,
+        |    CAST(list_sort([s_en, s_de, s_es, s_fr, s_zh], 'DESC')[2]
+        |      AS INT) AS top2
+        |  FROM sc)
+        |SELECT doc_id, lang, pred, top1 - top2 AS margin, top1, top2
+        |FROM pr
+        |ORDER BY margin ASC, doc_id ASC LIMIT 20""".stripMargin),
+
+    // same md5 fold coin as q_kfold, same exact-integer agreement and
+    // decimal pre-sum cross-fold moments
+    "q_cv_metric" ->
+      (s"""WITH sc AS (
+        |  $langScoresSub),
+        |pr AS (
+        |  SELECT doc_id, lang,
+        |    $langArgmaxCase AS pred
+        |  FROM sc),
+        |folds AS (
+        |  SELECT CAST(('0x' || substr(md5('fold:'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT)
+        |      AS fold,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_correct
+        |  FROM pr GROUP BY 1),
+        |f2 AS (
+        |  SELECT fold, n, n_correct,
+        |    round(CAST(n_correct AS DOUBLE) / n, 6) AS acc
+        |  FROM folds),
+        |cv AS (
+        |  SELECT count(*) AS k,
+        |    CAST(sum(CAST(acc AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+        |    CAST(sum(CAST(round(acc * acc, 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS sa2
+        |  FROM f2),
+        |cv2 AS (
+        |  SELECT round(sa / k, 6) AS cv_mean,
+        |    round(sqrt((sa2 - sa * sa / k) / (k - 1)), 6) AS cv_std
+        |  FROM cv)
+        |SELECT f2.fold, f2.n, f2.n_correct, f2.acc, cv2.cv_mean,
+        |  cv2.cv_std
+        |FROM f2 CROSS JOIN cv2
+        |ORDER BY f2.fold""".stripMargin),
+
     // same two md5-keyed (source, hash) counts; the normalizer regexes
     // are char-class-only so both dialects apply them identically
     // (DuckDB needs the explicit 'g' flag Spark applies by default)
