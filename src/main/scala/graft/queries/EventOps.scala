@@ -816,7 +816,94 @@ object EventOps extends QueryPack {
       .orderBy($"lag")
   }
 
+  /** Sample-ratio-mismatch check — the A/B-test sanity gate that runs
+    * BEFORE q_abtest is believed: the user-parity assignment should
+    * split 50/50; z = (n_a − n_b)/√n flags |z| ≥ 3 (an SRM means the
+    * assignment or logging is broken and every downstream metric is
+    * suspect). One distinct-user aggregate, pure arithmetic after. */
+  def qSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "events")
+      .select($"user_id").distinct()
+      .agg(sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"user_id" % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      .select($"n_a", $"n_b",
+        round($"n_a".cast("double") / ($"n_a" + $"n_b"), 6).as("ratio"),
+        round(($"n_a" - $"n_b").cast("double")
+          / sqrt(($"n_a" + $"n_b").cast("double")), 6).as("z"))
+      .withColumn("srm_flag", abs($"z") >= 3.0)
+  }
+
+  /** Minimum detectable effect for the parity A/B test at the observed
+    * sample size — the "is this experiment even worth running" power
+    * calculation (80% power, two-sided 5%): MDE = (z_{α/2} + z_β) ·
+    * √(2p(1−p)/n̄) with the exact normal quantiles as shared literals.
+    * Unit of analysis = user-day (the q_abtest convention). */
+  def qMde(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(($"user_id" % 2 === 0).as("arm_a"), $"conv")
+    ud.agg(
+        sum(when($"arm_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(!$"arm_a", 1L).otherwise(0L)).as("n_b"),
+        sum($"conv").as("n_conv"))
+      .select($"n_a", $"n_b",
+        round($"n_conv".cast("double") / ($"n_a" + $"n_b"), 6)
+          .as("p_pool"),
+        round((lit(1.959964) + lit(0.841621))
+          * sqrt(lit(2.0) * ($"n_conv".cast("double") / ($"n_a" + $"n_b"))
+            * (lit(1.0) - $"n_conv".cast("double") / ($"n_a" + $"n_b"))
+            / (($"n_a" + $"n_b").cast("double") / 2)), 6).as("mde_abs"))
+      .withColumn("mde_rel",
+        round($"mde_abs" / $"p_pool", 6))
+  }
+
+  /** Rolling-origin backtest folds — time-series cross-validation's
+    * split generator (the k-fold analog when leakage runs along time):
+    * three cutoffs at 3/8, 4/8, 5/8 of the observed epoch range (exact
+    * integer arithmetic), each with train = strictly before the cutoff
+    * and test = the following range/8 window; per fold the sizes and
+    * purchase rates a forecaster compares. One broadcast of the 1-row
+    * range relation; each fold is a conditional aggregate in a single
+    * events pass. */
+  def qBacktestFolds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rng = Tables.df(spark, sfDir, "events")
+      .agg(min(unix_micros($"ts".cast("timestamp"))).as("lo"),
+        max(unix_micros($"ts".cast("timestamp"))).as("hi"))
+    val ev = Tables.df(spark, sfDir, "events")
+      .select(unix_micros($"ts".cast("timestamp")).as("us"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("pur"))
+      .crossJoin(broadcast(rng))
+      .select($"us", $"pur", $"lo", $"hi",
+        explode(expr("sequence(3, 5)")).as("k"))
+      .select($"k",
+        expr("lo + (hi - lo) * k div 8").as("cut"),
+        expr("(hi - lo) div 8").as("h"), $"us", $"pur")
+    ev.groupBy(($"k" - 2).as("fold"))
+      .agg(
+        sum(when($"us" < $"cut", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"us" >= $"cut" && $"us" < $"cut" + $"h", 1L)
+          .otherwise(0L)).as("n_test"),
+        sum(when($"us" < $"cut", $"pur").otherwise(0L)).as("p_train"),
+        sum(when($"us" >= $"cut" && $"us" < $"cut" + $"h", $"pur")
+          .otherwise(0L)).as("p_test"))
+      .select($"fold", $"n_train", $"n_test",
+        round($"p_train".cast("double") / $"n_train", 6)
+          .as("train_purchase_rate"),
+        when($"n_test" === 0, lit(null).cast("double"))
+          .otherwise(round($"p_test".cast("double") / $"n_test", 6))
+          .as("test_purchase_rate"))
+      .orderBy($"fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_srm" -> qSrm,
+    "q_mde" -> qMde,
+    "q_backtest_folds" -> qBacktestFolds,
     "q_markov_chain" -> qMarkovChain,
     "q_autocorr" -> qAutocorr,
     "q_propensity" -> qPropensity,
@@ -846,6 +933,86 @@ object EventOps extends QueryPack {
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
   val oracle: Map[String, String] = Map(
+    // same distinct-user parity split, same z formula
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  round(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS ratio,
+        |  round(CAST(n_a - n_b AS DOUBLE)
+        |    / sqrt(CAST(n_a + n_b AS DOUBLE)), 6) AS z,
+        |  abs(round(CAST(n_a - n_b AS DOUBLE)
+        |    / sqrt(CAST(n_a + n_b AS DOUBLE)), 6)) >= 3.0 AS srm_flag
+        |FROM c""".stripMargin,
+
+    // same user-day conversion unit, same exact normal-quantile
+    // literals and expression order
+    "q_mde" ->
+      """WITH ud AS (
+        |  SELECT user_id % 2 = 0 AS arm_a,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM ud)
+        |SELECT n_a, n_b,
+        |  round(CAST(n_conv AS DOUBLE) / (n_a + n_b), 6) AS p_pool,
+        |  round((1.959964 + 0.841621)
+        |    * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(n_conv AS DOUBLE) / (n_a + n_b))
+        |      / (CAST(n_a + n_b AS DOUBLE) / 2)), 6) AS mde_abs,
+        |  round(round((1.959964 + 0.841621)
+        |    * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(n_conv AS DOUBLE) / (n_a + n_b))
+        |      / (CAST(n_a + n_b AS DOUBLE) / 2)), 6)
+        |    / round(CAST(n_conv AS DOUBLE) / (n_a + n_b), 6), 6)
+        |    AS mde_rel
+        |FROM c""".stripMargin,
+
+    // same integer-div cutoffs on the epoch range, same strictly-before
+    // train and range/8 test windows
+    "q_backtest_folds" ->
+      """WITH rng AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events),
+        |ev AS (
+        |  SELECT epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur,
+        |    k, rng.lo + (rng.hi - rng.lo) * k // 8 AS cut,
+        |    (rng.hi - rng.lo) // 8 AS h
+        |  FROM events CROSS JOIN rng
+        |  CROSS JOIN (SELECT unnest(range(3, 6)) AS k)),
+        |agg AS (
+        |  SELECT k - 2 AS fold,
+        |    CAST(sum(CASE WHEN us < cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train,
+        |    CAST(sum(CASE WHEN us >= cut AND us < cut + h
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN us < cut THEN pur ELSE 0 END) AS BIGINT)
+        |      AS p_train,
+        |    CAST(sum(CASE WHEN us >= cut AND us < cut + h
+        |      THEN pur ELSE 0 END) AS BIGINT) AS p_test
+        |  FROM ev GROUP BY 1)
+        |SELECT fold, n_train, n_test,
+        |  round(CAST(p_train AS DOUBLE) / n_train, 6)
+        |    AS train_purchase_rate,
+        |  CASE WHEN n_test = 0 THEN NULL
+        |    ELSE round(CAST(p_test AS DOUBLE) / n_test, 6) END
+        |    AS test_purchase_rate
+        |FROM agg ORDER BY fold""".stripMargin,
+
     // same per-user lead() bigrams, same once-rounded probabilities and
     // DECIMAL(18,9) entropy terms
     "q_markov_chain" ->

@@ -240,7 +240,48 @@ object LearnOps extends QueryPack {
       .orderBy($"source", $"pair_rank")
   }
 
+  /** Gains / lift table for a frozen activity-logistic conversion score:
+    * users bin into score deciles via exact percentile cuts (the q_rfm
+    * pattern — no global rank sort), each decile reports its conversion
+    * rate and lift over the base rate, and the cumulative-capture column
+    * reads top-down ("contacting the top-k score deciles captures X% of
+    * all converters") — the gains chart every targeting model is judged
+    * by. The cumulative window runs on the ≤10-row decile relation. */
+  def qGains(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val users = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("score", round(lit(1.0)
+        / (lit(1.0) + exp((lit(20.0) - $"n_ev") / lit(10.0))), 6))
+      .localCheckpoint() // user-thin; feeds cuts + binning
+    val cuts = users.agg(expr(
+      "transform(percentile(score, array(0.1, 0.2, 0.3, 0.4, 0.5," +
+        " 0.6, 0.7, 0.8, 0.9)), x -> round(x, 6))").as("c"))
+    val dc = users.crossJoin(broadcast(cuts))
+      .select($"y", (lit(1) +
+        (1 to 9).map(i => ($"score" > element_at($"c", i)).cast("int"))
+          .reduce(_ + _)).as("decile"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+    val base = dc.agg(sum($"n").as("n_all"), sum($"n_pos").as("pos_all"))
+    val wTop = Window.orderBy($"decile".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dc.crossJoin(broadcast(base))
+      .withColumn("cum_pos", sum($"n_pos").over(wTop))
+      .select($"decile", $"n", $"n_pos",
+        round($"n_pos".cast("double") / $"n", 6).as("rate"),
+        round($"n_pos".cast("double") / $"n"
+          / ($"pos_all".cast("double") / $"n_all"), 6).as("lift"),
+        round($"cum_pos".cast("double") / $"pos_all", 6)
+          .as("cum_capture"))
+      .orderBy($"decile".desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gains" -> qGains,
     "q_pref_pairs" -> qPrefPairs,
     "q_bradley_terry" -> qBradleyTerry,
     "q_calibration" -> qCalibration,
@@ -286,6 +327,48 @@ object LearnOps extends QueryPack {
       |    FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same frozen score, same rounded percentile cuts, same top-down
+    // cumulative capture over the decile relation
+    "q_gains" ->
+      """WITH users AS (
+        |  SELECT user_id, count(*) AS n_ev,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |u2 AS (
+        |  SELECT y, round(1.0 / (1.0 + exp((20.0 - n_ev) / 10.0)), 6)
+        |    AS score
+        |  FROM users),
+        |cuts AS (
+        |  SELECT list_transform(quantile_cont(score,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> round(x, 6)) AS c
+        |  FROM u2),
+        |dc AS (
+        |  SELECT 1 + CAST(score > c[1] AS INT) + CAST(score > c[2]
+        |      AS INT) + CAST(score > c[3] AS INT)
+        |    + CAST(score > c[4] AS INT) + CAST(score > c[5] AS INT)
+        |    + CAST(score > c[6] AS INT) + CAST(score > c[7] AS INT)
+        |    + CAST(score > c[8] AS INT) + CAST(score > c[9] AS INT)
+        |      AS decile,
+        |    count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM u2 CROSS JOIN cuts GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_all,
+        |    CAST(sum(n_pos) AS BIGINT) AS pos_all FROM dc),
+        |cum AS (
+        |  SELECT dc.*, base.n_all, base.pos_all,
+        |    CAST(sum(n_pos) OVER (ORDER BY decile DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_pos
+        |  FROM dc CROSS JOIN base)
+        |SELECT decile, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / n, 6) AS rate,
+        |  round(CAST(n_pos AS DOUBLE) / n
+        |    / (CAST(pos_all AS DOUBLE) / n_all), 6) AS lift,
+        |  round(CAST(cum_pos AS DOUBLE) / pos_all, 6) AS cum_capture
+        |FROM cum ORDER BY decile DESC""".stripMargin,
+
     // same frozen quality score, same two tie-broken rank windows and
     // (source, rank) pairing with the self/zero-margin exclusions
     "q_pref_pairs" ->
