@@ -703,7 +703,51 @@ object CorpusOps extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Moving-average type–token ratio (MATTR, Covington & McFall '10) —
+    * the length-independent lexical-diversity measure raw TTR is not
+    * (TTR falls mechanically as documents grow; a 20-token sliding
+    * window removes the length confound). Per document: the mean
+    * distinct-share over every complete 20-token window, falling back
+    * to whole-doc TTR for shorter documents; reported per source with
+    * the raw-TTR contrast column. The window walk is a bounded 20-row
+    * frame over doc-partitioned positions — O(20·tokens), no joins. */
+  def qMattr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, 19)
+    val toks = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id", $"source",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")),
+        size(TextFunctions.tokens($"text")).as("len"))
+    val winTtr = toks
+      .withColumn("wset",
+        size(array_distinct(collect_list($"tok").over(w))))
+      .filter($"pos" <= $"len" - 20)
+      .select($"doc_id", $"source",
+        round($"wset".cast("double") / 20, 6).as("ttr_w"))
+    val perDoc = winTtr.groupBy($"doc_id", $"source")
+      .agg(round(sum($"ttr_w".cast(dec6)).cast("double")
+        / count(lit(1)), 6).as("mattr"))
+    val rawTtr = toks.groupBy($"doc_id", $"source")
+      .agg(round(countDistinct($"tok").cast("double")
+        / count(lit(1)), 6).as("raw_ttr"))
+    val joined = rawTtr.join(perDoc, Seq("doc_id", "source"), "left")
+      .select($"doc_id", $"source",
+        coalesce($"mattr", $"raw_ttr").as("mattr"), $"raw_ttr")
+    joined.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"mattr".cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_mattr"),
+        round(sum($"raw_ttr".cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_raw_ttr"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mattr" -> qMattr,
     "q_kneser_ney" -> qKneserNey,
     "q_burstiness" -> qBurstiness,
     "q_chisq_terms" -> qChisqTerms,
@@ -793,6 +837,41 @@ object CorpusOps extends QueryPack {
       |      FROM documents CROSS JOIN mx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same 20-token frame walk (list() window ≡ collect_list), same
+    // short-doc raw-TTR fallback and decimal pre-sum means
+    "q_mattr" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, toks, unnest(range(1, len(toks) + 1))
+        |    AS i
+        |  FROM (SELECT doc_id, source, $toksSql AS toks
+        |        FROM documents)),
+        |wt AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(len(list_distinct(toks[i:i+19])) AS DOUBLE) / 20,
+        |      6) AS ttr_w
+        |  FROM t WHERE i <= len(toks) - 19),
+        |pd AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(sum(CAST(ttr_w AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS mattr
+        |  FROM wt GROUP BY 1, 2),
+        |raw AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / len(toks), 6) AS raw_ttr
+        |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)
+        |  WHERE len(toks) > 0),
+        |j AS (
+        |  SELECT raw.doc_id, raw.source,
+        |    COALESCE(pd.mattr, raw.raw_ttr) AS mattr, raw.raw_ttr
+        |  FROM raw LEFT JOIN pd USING (doc_id, source))
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(mattr AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_mattr,
+        |  round(CAST(sum(CAST(raw_ttr AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_raw_ttr
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     // same bigram stream, same continuation-count tables, same single
     // double formula with D = 0.75 and DECIMAL(18,6) pre-sum log-probs
     "q_kneser_ney" ->

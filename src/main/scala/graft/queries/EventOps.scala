@@ -900,7 +900,91 @@ object EventOps extends QueryPack {
       .orderBy($"fold")
   }
 
+  /** The windowed-drift model shared by q_drift_window and its
+    * streaming twin: decile cuts + smoothed reference shares fit on the
+    * FIRST time-half (frozen — a drift monitor never refits on the data
+    * it monitors). Both relations are 1-row broadcasts. */
+  private[graft] def driftRef(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+    val mid = ev.agg(expr("(min(unix_micros(cast(ts as timestamp)))"
+      + " + max(unix_micros(cast(ts as timestamp)))) div 2")
+      .cast("long").as("mid_us"))
+    val ref = ev.crossJoin(broadcast(mid))
+      .filter(unix_micros($"ts".cast("timestamp")) < $"mid_us")
+      .select($"value".as("v"))
+    val cuts = ref.agg(expr(
+      "transform(percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6," +
+        " 0.7, 0.8, 0.9)), x -> round(x, 6))").as("c"))
+    val refShares = ref.crossJoin(broadcast(cuts))
+      .select(driftBin($"v", $"c").as("bin"))
+      .agg((1 to 10).map(i =>
+          sum(when($"bin" === i, 1L).otherwise(0L)).as(s"r$i")).head,
+        (1 to 10).map(i =>
+          sum(when($"bin" === i, 1L).otherwise(0L)).as(s"r$i")).tail
+          :+ count(lit(1)).as("n_ref"): _*)
+    (cuts, refShares)
+  }
+
+  /** Decile-bin assignment against the broadcast cut array. */
+  private[graft] def driftBin(v: Column, c: Column): Column =
+    (1 to 9).map(i => (v > element_at(c, i)).cast("int"))
+      .foldLeft(lit(1))(_ + _)
+
+  /** The per-window conditional bin sums (c1..c10, n) — the ONE
+    * stateful aggregation both the batch query and the streaming twin
+    * run; everything after is a stateless projection. */
+  private[graft] def driftBinSums(spark: SparkSession)
+      : Seq[Column] = {
+    import spark.implicits._
+    (1 to 10).map(i =>
+      sum(when($"bin" === i, 1L).otherwise(0L)).as(s"c$i")) :+
+      count(lit(1)).as("n")
+  }
+
+  /** Smoothed PSI over the ten bin-count columns vs the broadcast
+    * reference shares: Σ (p−r)·ln(p/r) with (count+0.5)/(n+5)
+    * smoothing (no zero-bin blowup), terms rounded to DECIMAL(18,9)
+    * before the exact sum. */
+  private[graft] def driftPsi(spark: SparkSession): Column = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    (1 to 10).map { i =>
+      val p = (col(s"c$i") + 0.5) / ($"n" + 5)
+      val r = (col(s"r$i") + 0.5) / ($"n_ref" + 5)
+      round((p - r) * log(p / r), 9).cast(dec9)
+    }.reduce(_ + _).cast("double")
+  }
+
+  /** Windowed drift monitor: smoothed PSI of the event-value
+    * distribution per 3-day tumbling window against the frozen
+    * first-half reference deciles — q_drift_psi's one-number drift
+    * turned into a TREND a data-quality dashboard alarms on. Epoch
+    * floor-div windowing (≡ Spark's epoch-aligned `window()`, proven by
+    * the streaming twin spec); one stateful aggregation per window,
+    * PSI as a stateless projection — exactly the plan the streaming
+    * twin runs per micro-batch. */
+  def qDriftWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cuts, refShares) = driftRef(spark, sfDir)
+    val binned = Tables.df(spark, sfDir, "events")
+      .crossJoin(broadcast(cuts))
+      .select( // integer div: exact at any epoch magnitude
+        expr("unix_micros(cast(ts as timestamp)) div 259200000000")
+          .cast("long").as("wk"),
+        driftBin($"value", $"c").as("bin"))
+    val sums = driftBinSums(spark)
+    binned.groupBy($"wk").agg(sums.head, sums.tail: _*)
+      .crossJoin(broadcast(refShares))
+      .select($"wk", ($"wk" * lit(259200L)).as("w_start_s"), $"n",
+        round(driftPsi(spark), 6).as("psi"))
+      .withColumn("drift", $"psi" > 0.2)
+      .orderBy($"wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift_window" -> qDriftWindow,
     "q_srm" -> qSrm,
     "q_mde" -> qMde,
     "q_backtest_folds" -> qBacktestFolds,
@@ -932,7 +1016,61 @@ object EventOps extends QueryPack {
   private val bucket5m =
     "make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)"
 
+  /** Generated q_drift_window oracle — same frozen first-half reference,
+    * same smoothed PSI terms, bins unrolled to match the Spark plan's
+    * ten conditional sums. */
+  private def driftWindowOracle: String = {
+    val binCase = "1 + " + (1 to 9)
+      .map(i => s"CAST(v > c[$i] AS INT)").mkString(" + ")
+    val refSums = (1 to 10).map(i =>
+      s"CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS r$i").mkString(",\n|    ")
+    val winSums = (1 to 10).map(i =>
+      s"CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS c$i").mkString(",\n|    ")
+    val terms = (1 to 10).map(i =>
+      s"""CAST(round(((c$i + 0.5) / (n + 5) - (r$i + 0.5) / (n_ref + 5))
+         |      * ln(((c$i + 0.5) / (n + 5))
+         |        / ((r$i + 0.5) / (n_ref + 5))), 9) AS DECIMAL(18,9))"""
+        .stripMargin).mkString("\n|    + ")
+    s"""WITH mid AS (
+      |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+      |  FROM events),
+      |ref AS (
+      |  SELECT value AS v FROM events CROSS JOIN mid
+      |  WHERE epoch_us(ts) < mid.mid_us),
+      |cuts AS (
+      |  SELECT list_transform(quantile_cont(v,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+      |    x -> round(x, 6)) AS c
+      |  FROM ref),
+      |refbin AS (
+      |  SELECT $binCase AS bin FROM ref CROSS JOIN cuts),
+      |refsh AS (
+      |  SELECT $refSums,
+      |    count(*) AS n_ref
+      |  FROM refbin),
+      |wb AS (
+      |  SELECT epoch_us(ts) // 259200000000 AS wk,
+      |    $binCase AS bin
+      |  FROM (SELECT ts, value AS v FROM events) CROSS JOIN cuts),
+      |ws AS (
+      |  SELECT wk,
+      |    $winSums,
+      |    count(*) AS n
+      |  FROM wb GROUP BY wk),
+      |p AS (
+      |  SELECT wk, wk * 259200 AS w_start_s, n, refsh.n_ref,
+      |    round(CAST($terms
+      |      AS DOUBLE), 6) AS psi
+      |  FROM ws CROSS JOIN refsh)
+      |SELECT wk, w_start_s, n, psi, psi > 0.2 AS drift
+      |FROM p ORDER BY wk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_drift_window" -> driftWindowOracle,
+
     // same distinct-user parity split, same z formula
     "q_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

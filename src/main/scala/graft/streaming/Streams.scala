@@ -166,6 +166,27 @@ object Streams {
         round((lit(2.0) * $"g" - $"t") / sqrt($"t"), 6).as("z"))
   }
 
+  /** Streaming twin of q_drift_window's stateful stage: per 3-day
+    * event-time tumbling window, the ten conditional bin counts + n
+    * against the broadcast frozen reference cuts (a stream-static
+    * join of a 1-row relation). PSI stays the stateless projection the
+    * consumer applies (EventOps.driftPsi), so the ONE stateful op here
+    * is an ordinary windowed aggregation — the live data-quality
+    * monitor shape: alarms per window as the stream advances, reference
+    * frozen at deploy time. */
+  def driftBinCountsStream(stream: DataFrame, cuts: DataFrame)
+      : DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val sums = graft.queries.EventOps.driftBinSums(spark)
+    stream
+      .join(org.apache.spark.sql.functions.broadcast(cuts), lit(true))
+      .select($"ts",
+        graft.queries.EventOps.driftBin($"value", $"c").as("bin"))
+      .groupBy(window($"ts", "3 days").as("w"))
+      .agg(sums.head, sums.tail: _*)
+  }
+
   // ---- arbitrary-state sessionization (flatMapGroupsWithState) ----------
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
