@@ -425,7 +425,12 @@ object CurateOps extends QueryPack {
     * shared by [[qKmeans]] (which reports cluster composition) and
     * [[qSemdedup]] (which prunes within the clusters). See [[qKmeans]] for
     * the determinism and scale-shape notes. */
-  private def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The final-iteration point×centroid distance relation (the `t2` of
+    * the oracle chain): every vector's exact decimal squared distance to
+    * each of the 4 round-1 centroids. [[kmeansAssign]] argmins it; the
+    * silhouette takes its best AND second-best entries. */
+  private def kmeansFinalDists(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     import spark.implicits._
     val k = 4
     val emb = Tables.df(spark, sfDir, "embeddings")
@@ -447,12 +452,15 @@ object CurateOps extends QueryPack {
       .select($"vec_id", $"cid")
     val c0 = dims.join(seeds, "vec_id").select($"cid", $"d", $"x".as("c"))
 
-    def assign(cent: DataFrame): DataFrame =
+    def distTo(cent: DataFrame): DataFrame =
       dims.join(broadcast(cent), "d")
         .select($"vec_id", $"cid",
           round(($"x" - $"c") * ($"x" - $"c"), 9)
             .cast(DecimalType(20, 9)).as("t"))
         .groupBy($"vec_id", $"cid").agg(sum($"t").as("dist"))
+
+    def assign(cent: DataFrame): DataFrame =
+      distTo(cent)
         .groupBy($"vec_id").agg(min(struct($"dist", $"cid")).as("m"))
         .select($"vec_id", $"m.cid".as("cid"))
 
@@ -464,7 +472,46 @@ object CurateOps extends QueryPack {
 
     val a1 = assign(c0)
     val c1 = recompute(a1)
-    assign(c1)
+    distTo(c1)
+  }
+
+  private def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    kmeansFinalDists(spark, sfDir)
+      .groupBy($"vec_id").agg(min(struct($"dist", $"cid")).as("m"))
+      .select($"vec_id", $"m.cid".as("cid"))
+  }
+
+  /** Centroid-silhouette quality gate for the k-means clustering — the
+    * "trust the clusters before curating on them" evaluation (the
+    * q_minhash_eval framing applied to q_kmeans / q_semdedup /
+    * q_coreset, which all consume this assignment): per point, a = the
+    * assigned centroid's squared distance, b = the runner-up's, and
+    * s = (b − a)/max(a, b) ∈ [0, 1] for the centroid variant (a is the
+    * min by construction); per-cluster mean and minimum. Low mean
+    * silhouette means the SemDeDup-style within-cluster dedup is
+    * operating on arbitrary boundaries. Costs nothing extra at scale:
+    * the point×k distance relation already exists in the assignment
+    * plan; the best/runner-up pick is a k-bounded sorted collect. */
+  def qSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val per = kmeansFinalDists(spark, sfDir)
+      .groupBy($"vec_id")
+      .agg(sort_array(collect_list(struct($"dist", $"cid"))).as("ds"))
+      .select($"vec_id",
+        $"ds"(0)("cid").as("cid"),
+        $"ds"(0)("dist").cast("double").as("a"),
+        $"ds"(1)("dist").cast("double").as("b"))
+      .select($"vec_id", $"cid",
+        when(greatest($"a", $"b") === 0, 0.0)
+          .otherwise(round(($"b" - $"a") / greatest($"a", $"b"), 6))
+          .as("s"))
+    per.groupBy($"cid")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"s".cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_sil"),
+        min($"s").as("min_sil"))
+      .orderBy($"cid")
   }
 
   def qKmeans(spark: SparkSession, sfDir: String): DataFrame = {
@@ -703,6 +750,7 @@ object CurateOps extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_silhouette" -> qSilhouette,
     "q_containment" -> qContainment,
     "q_watermark" -> qWatermark,
     "q_minhash_eval" -> qMinhashEval,
@@ -1073,6 +1121,30 @@ object CurateOps extends QueryPack {
     // identical seeding, term rounding, argmin tiebreak, and centroid
     // division; DuckDB's row_number stands in for Spark's min(struct)
     // argmin — both compute argmin by (dist, cid)
+    // the same assignment chain's t2 distances; best/runner-up via the
+    // identical (dist, cid) order; same zero-guard and decimal pre-sums
+    "q_silhouette" ->
+      (kmeansAsgSql + """,
+        |rkd AS (
+        |  SELECT vec_id, cid, dist, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        |  FROM t2),
+        |per AS (
+        |  SELECT a.vec_id, a.cid, CAST(a.dist AS DOUBLE) AS a,
+        |    CAST(b.dist AS DOUBLE) AS b
+        |  FROM rkd a JOIN rkd b
+        |    ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2),
+        |sil AS (
+        |  SELECT vec_id, cid,
+        |    CASE WHEN greatest(a, b) = 0 THEN 0.0
+        |      ELSE round((b - a) / greatest(a, b), 6) END AS s
+        |  FROM per)
+        |SELECT CAST(cid AS INT) AS cid, count(*) AS n,
+        |  round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_sil,
+        |  min(s) AS min_sil
+        |FROM sil GROUP BY cid ORDER BY cid""".stripMargin),
+
     "q_kmeans" ->
       (kmeansAsgSql + """,
         |bylab AS (

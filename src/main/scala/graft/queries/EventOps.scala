@@ -983,7 +983,52 @@ object EventOps extends QueryPack {
       .orderBy($"wk")
   }
 
+  /** Always-valid sequential A/B monitoring (the mSPRT normal-mixture
+    * boundary, Robbins '70 / Johari et al. KDD'17 shape): per calendar
+    * day, the CUMULATIVE two-proportion z of the parity experiment
+    * against the always-valid boundary z² ≥ ((n+τ)/n)·ln((n+τ)/(τα²))
+    * with τ = 100, α = 0.05 — the test a dashboard may peek at daily
+    * without inflating false positives (q_abtest's fixed-horizon z is
+    * only valid once). Unit = user-day (the q_abtest convention); the
+    * cumulative windows run on the bounded day-level relation; the
+    * parity null must never cross (pinned in the spec). */
+  def qMsprt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .groupBy($"d")
+      .agg(sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("na_d"),
+        sum(when($"user_id" % 2 === 1, 1L).otherwise(0L)).as("nb_d"),
+        sum(when($"user_id" % 2 === 0, $"conv").otherwise(0L)).as("xa_d"),
+        sum(when($"user_id" % 2 === 1, $"conv").otherwise(0L)).as("xb_d"))
+    val wCum = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("na", sum($"na_d").over(wCum))
+      .withColumn("nb", sum($"nb_d").over(wCum))
+      .withColumn("xa", sum($"xa_d").over(wCum))
+      .withColumn("xb", sum($"xb_d").over(wCum))
+      .withColumn("p",
+        ($"xa" + $"xb").cast("double") / ($"na" + $"nb"))
+      .withColumn("se", sqrt($"p" * (lit(1.0) - $"p")
+        * (lit(1.0) / $"na" + lit(1.0) / $"nb")))
+      .withColumn("z", when($"se" === 0, lit(null).cast("double"))
+        .otherwise(round(($"xa".cast("double") / $"na"
+          - $"xb".cast("double") / $"nb") / $"se", 6)))
+      .withColumn("bound", round(sqrt(
+        (($"na" + $"nb" + 100).cast("double") / ($"na" + $"nb"))
+          * log((($"na" + $"nb" + 100).cast("double") / 100)
+            / 0.0025)), 6))
+      .select($"d".cast("string").as("d"), $"na", $"nb", $"xa", $"xb",
+        $"z", $"bound",
+        (abs(coalesce($"z", lit(0.0))) >= $"bound").as("crossed"))
+      .orderBy($"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_msprt" -> qMsprt,
     "q_drift_window" -> qDriftWindow,
     "q_srm" -> qSrm,
     "q_mde" -> qMde,
@@ -1070,6 +1115,54 @@ object EventOps extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q_drift_window" -> driftWindowOracle,
+
+    // same user-day unit, same cumulative day windows, same tau=100 /
+    // alpha=0.05 always-valid boundary expression
+    "q_msprt" ->
+      """WITH ud AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT d,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na_d,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb_d,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS xa_d,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS xb_d
+        |  FROM ud GROUP BY 1),
+        |cum AS (
+        |  SELECT d,
+        |    CAST(sum(na_d) OVER w AS BIGINT) AS na,
+        |    CAST(sum(nb_d) OVER w AS BIGINT) AS nb,
+        |    CAST(sum(xa_d) OVER w AS BIGINT) AS xa,
+        |    CAST(sum(xb_d) OVER w AS BIGINT) AS xb
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |zt AS (
+        |  SELECT d, na, nb, xa, xb,
+        |    CAST(xa + xb AS DOUBLE) / (na + nb) AS p,
+        |    sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+        |      * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+        |      * (1.0 / na + 1.0 / nb)) AS se
+        |  FROM cum),
+        |r AS (
+        |  SELECT d, na, nb, xa, xb,
+        |    CASE WHEN se = 0 THEN NULL
+        |      ELSE round((CAST(xa AS DOUBLE) / na
+        |        - CAST(xb AS DOUBLE) / nb) / se, 6) END AS z,
+        |    round(sqrt((CAST(na + nb + 100 AS DOUBLE) / (na + nb))
+        |      * ln((CAST(na + nb + 100 AS DOUBLE) / 100) / 0.0025)), 6)
+        |      AS bound
+        |  FROM zt)
+        |SELECT CAST(d AS VARCHAR) AS d, na, nb, xa, xb, z, bound,
+        |  abs(COALESCE(z, 0.0)) >= bound AS crossed
+        |FROM r ORDER BY d""".stripMargin,
 
     // same distinct-user parity split, same z formula
     "q_srm" ->

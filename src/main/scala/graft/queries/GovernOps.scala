@@ -385,6 +385,52 @@ object GovernOps extends QueryPack {
       .orderBy($"level", $"k")
   }
 
+  // ---- q_ks_matrix -------------------------------------------------------
+  /** Pairwise Kolmogorov–Smirnov matrix over the per-source document-
+    * LENGTH distributions — q_kl_sources' distribution-free companion
+    * (KL compares vocabularies; KS catches a source whose docs are
+    * simply longer/shorter-shaped, which token-level divergences can
+    * miss). CDFs evaluate on the source×pooled-distinct-length grid
+    * (bounded by length granularity × #sources, never by doc count);
+    * the pair join fans out S² per length value, the q_source_overlap
+    * bound. Reports D, λ, and the Kolmogorov tail p per source pair. */
+  def qKsMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lens = Tables.df(spark, sfDir, "documents")
+      .select($"source", $"n_chars".as("v"))
+    val counts = lens.groupBy($"source", $"v")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // source×length-thin; feeds grid + totals
+    val totals = counts.groupBy($"source").agg(sum($"c").as("n"))
+    val grid = counts.select($"v").distinct()
+      .crossJoin(broadcast(counts.select($"source").distinct()))
+    val cdf = grid.join(counts, Seq("source", "v"), "left")
+      .select($"source", $"v", coalesce($"c", lit(0L)).as("c"))
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy($"source").orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(totals), "source")
+      .select($"source", $"v",
+        ($"cum".cast("double") / $"n").as("f"), $"n")
+    val pairs = cdf.select($"source".as("s1"), $"v", $"f".as("f1"),
+        $"n".as("n1"))
+      .join(cdf.select($"source".as("s2"), $"v", $"f".as("f2"),
+        $"n".as("n2")), "v")
+      .filter($"s1" < $"s2")
+      .groupBy($"s1", $"s2", $"n1", $"n2")
+      .agg(max(round(abs($"f1" - $"f2"), 9)).as("d_raw"))
+    pairs
+      .select($"s1", $"s2", $"n1", $"n2",
+        round($"d_raw", 6).as("d_stat"),
+        round($"d_raw" * sqrt($"n1".cast("double") * $"n2"
+          / ($"n1" + $"n2")), 6).as("lambda"))
+      .select($"s1", $"s2", $"n1", $"n2", $"d_stat", $"lambda",
+        round(least(lit(1.0),
+          lit(2.0) * exp(lit(-2.0) * $"lambda" * $"lambda")), 6)
+          .as("p_approx"))
+      .orderBy($"s1", $"s2")
+  }
+
   // ---- q_ldiversity ------------------------------------------------------
   /** l-diversity audit (Machanavajjhala et al., ICDE'06) — k-anonymity's
     * complement: a QI class can be large yet still leak if everyone in it
@@ -505,6 +551,7 @@ object GovernOps extends QueryPack {
     "q_dp_release" -> qDpRelease,
     "q_kanonymity" -> qKanonymity,
     "q_ldiversity" -> qLdiversity,
+    "q_ks_matrix" -> qKsMatrix,
     "q_kl_sources" -> qKlSources,
     "q_source_overlap" -> qSourceOverlap,
     "q_minhash_source" -> qMinhashSource,
@@ -600,6 +647,45 @@ object GovernOps extends QueryPack {
         |FROM s CROSS JOIN ks
         |GROUP BY level, k
         |ORDER BY level, k""".stripMargin,
+
+    // same source×pooled-length CDF grid, same 9dp-rounded gaps and
+    // Kolmogorov tail approximation per source pair
+    "q_ks_matrix" ->
+      """WITH counts AS (
+        |  SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM counts GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, g.v
+        |  FROM (SELECT DISTINCT v FROM counts) g
+        |  CROSS JOIN (SELECT DISTINCT source FROM counts) s),
+        |cdf AS (
+        |  SELECT grid.source, grid.v,
+        |    CAST(sum(COALESCE(counts.c, 0)) OVER (
+        |      PARTITION BY grid.source ORDER BY grid.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) / totals.n AS f,
+        |    totals.n
+        |  FROM grid
+        |  LEFT JOIN counts ON counts.source = grid.source
+        |    AND counts.v = grid.v
+        |  JOIN totals ON totals.source = grid.source),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2,
+        |    max(round(abs(a.f - b.f), 9)) AS d_raw
+        |  FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
+        |  GROUP BY 1, 2, 3, 4),
+        |l AS (
+        |  SELECT s1, s2, n1, n2, round(d_raw, 6) AS d_stat,
+        |    round(d_raw * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)
+        |      AS lambda
+        |  FROM pairs)
+        |SELECT s1, s2, n1, n2, d_stat, lambda,
+        |  round(least(1.0, 2.0 * exp(-2.0 * lambda * lambda)), 6)
+        |    AS p_approx
+        |FROM l ORDER BY s1, s2""".stripMargin,
 
     // same QI/sensitive cells, same once-rounded DECIMAL(18,9)
     // −p·ln(p) terms, same exp(H) effective-l
