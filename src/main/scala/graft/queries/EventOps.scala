@@ -1027,7 +1027,45 @@ object EventOps extends QueryPack {
       .orderBy($"d")
   }
 
+  /** CUSUM changepoint scan over the daily event-count series: the
+    * classic single-changepoint estimator argmax_t |S_t − (t/n)·S_n|
+    * (the cumulative sum's maximum deviation from the no-change line),
+    * reported with the level before and after the estimated break —
+    * the "did the pipeline's input volume shift, and when" read. The
+    * scan statistic is windows over the bounded day relation; means
+    * re-aggregate the same relation against the broadcast 1-row
+    * argmax. Ties break to the earliest day. */
+  def qChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.df(spark, sfDir, "events")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // day-thin; feeds the scan + both means
+    val wCum = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"x").as("sn"))
+    val scan = daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(Window.orderBy($"d")))
+      .withColumn("st", sum($"x").over(wCum))
+      .withColumn("g", round(abs($"st".cast("double")
+        - $"t".cast("double") * $"sn" / $"n"), 9))
+    val cp = scan.orderBy($"g".desc, $"d".asc).limit(1)
+      .select($"d".as("cp_d"), $"t".as("cp_t"), $"g".as("g_max"),
+        $"n", $"sn")
+    daily.crossJoin(broadcast(cp))
+      .groupBy($"cp_d", $"cp_t", $"g_max", $"n")
+      .agg(sum(when($"d" <= $"cp_d", $"x").otherwise(0L)).as("sb"),
+        sum(when($"d" > $"cp_d", $"x").otherwise(0L)).as("sa"))
+      .select($"cp_d".cast("string").as("cp_day"), $"n".as("n_days"),
+        round($"g_max", 6).as("g_max"),
+        round($"sb".cast("double") / $"cp_t", 6).as("mean_before"),
+        when($"n" === $"cp_t", lit(null).cast("double"))
+          .otherwise(round($"sa".cast("double") / ($"n" - $"cp_t"), 6))
+          .as("mean_after"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint" -> qChangepoint,
     "q_msprt" -> qMsprt,
     "q_drift_window" -> qDriftWindow,
     "q_srm" -> qSrm,
@@ -1115,6 +1153,46 @@ object EventOps extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q_drift_window" -> driftWindowOracle,
+
+    // same day-level reduction, same 9dp scan statistic with earliest-
+    // day tie-break, same guarded post-break mean
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sn
+        |  FROM daily),
+        |scan AS (
+        |  SELECT d, x, tot.n, tot.sn,
+        |    row_number() OVER (ORDER BY d) AS t,
+        |    CAST(sum(x) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS st
+        |  FROM daily CROSS JOIN tot),
+        |g AS (
+        |  SELECT d, t, n, sn,
+        |    round(abs(CAST(st AS DOUBLE)
+        |      - CAST(t AS DOUBLE) * sn / n), 9) AS g
+        |  FROM scan),
+        |cp AS (
+        |  SELECT d AS cp_d, t AS cp_t, g AS g_max, n, sn
+        |  FROM g ORDER BY g DESC, d ASC LIMIT 1),
+        |m AS (
+        |  SELECT cp.cp_d, cp.cp_t, cp.g_max, cp.n,
+        |    CAST(sum(CASE WHEN daily.d <= cp.cp_d THEN daily.x
+        |      ELSE 0 END) AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN daily.d > cp.cp_d THEN daily.x
+        |      ELSE 0 END) AS BIGINT) AS sa
+        |  FROM daily CROSS JOIN cp
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(cp_d AS VARCHAR) AS cp_day, n AS n_days,
+        |  round(g_max, 6) AS g_max,
+        |  round(CAST(sb AS DOUBLE) / cp_t, 6) AS mean_before,
+        |  CASE WHEN n = cp_t THEN NULL
+        |    ELSE round(CAST(sa AS DOUBLE) / (n - cp_t), 6) END
+        |    AS mean_after
+        |FROM m""".stripMargin,
 
     // same user-day unit, same cumulative day windows, same tau=100 /
     // alpha=0.05 always-valid boundary expression

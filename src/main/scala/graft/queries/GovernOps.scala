@@ -431,6 +431,32 @@ object GovernOps extends QueryPack {
       .orderBy($"s1", $"s2")
   }
 
+  // ---- q_holm ------------------------------------------------------------
+  /** Holm step-down multiple-testing correction over the KS matrix's
+    * 190 pairwise p-values — the discipline that stops a 20-source
+    * drift screen from "discovering" ~10 false drifts at α = 0.05 by
+    * sheer test count: p-values sort ascending, adjusted
+    * p_(i) = min(1, max_{j≤i} (m−j+1)·p_(j)) (the running max keeps
+    * adjusted values monotone), reject while adjusted < 0.05. The
+    * correction runs on the S²-row test relation — constant-sized at
+    * any corpus scale. */
+  def qHolm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tests = qKsMatrix(spark, sfDir)
+      .select($"s1", $"s2", $"p_approx".as("p"))
+    val m = tests.agg(count(lit(1)).as("m"))
+    val wRank = Window.orderBy($"p", $"s1", $"s2")
+    val wCumMax = wRank.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    tests.crossJoin(broadcast(m))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("adj_p", round(least(lit(1.0),
+        max(round(($"m" - $"rk" + 1) * $"p", 9)).over(wCumMax)), 6))
+      .select($"s1", $"s2", $"p", $"rk", $"adj_p",
+        ($"adj_p" < 0.05).as("reject"))
+      .orderBy($"rk")
+  }
+
   // ---- q_ldiversity ------------------------------------------------------
   /** l-diversity audit (Machanavajjhala et al., ICDE'06) — k-anonymity's
     * complement: a QI class can be large yet still leak if everyone in it
@@ -552,6 +578,7 @@ object GovernOps extends QueryPack {
     "q_kanonymity" -> qKanonymity,
     "q_ldiversity" -> qLdiversity,
     "q_ks_matrix" -> qKsMatrix,
+    "q_holm" -> qHolm,
     "q_kl_sources" -> qKlSources,
     "q_source_overlap" -> qSourceOverlap,
     "q_minhash_source" -> qMinhashSource,
@@ -574,6 +601,42 @@ object GovernOps extends QueryPack {
     s"""sh AS (
        |  SELECT DISTINCT source, unnest($shinglesSql) AS s
        |  FROM (SELECT source, $toksSql AS T FROM documents))""".stripMargin
+
+  /** The q_ks_matrix CTE chain (through relation `l`: s1, s2, n1,
+    * n2, d_stat, lambda) — shared with the q_holm oracle so the
+    * test definition cannot drift from its own correction. */
+  private val ksMatrixCtes: String =
+    """WITH counts AS (
+        |  SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM counts GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, g.v
+        |  FROM (SELECT DISTINCT v FROM counts) g
+        |  CROSS JOIN (SELECT DISTINCT source FROM counts) s),
+        |cdf AS (
+        |  SELECT grid.source, grid.v,
+        |    CAST(sum(COALESCE(counts.c, 0)) OVER (
+        |      PARTITION BY grid.source ORDER BY grid.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) / totals.n AS f,
+        |    totals.n
+        |  FROM grid
+        |  LEFT JOIN counts ON counts.source = grid.source
+        |    AND counts.v = grid.v
+        |  JOIN totals ON totals.source = grid.source),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2,
+        |    max(round(abs(a.f - b.f), 9)) AS d_raw
+        |  FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
+        |  GROUP BY 1, 2, 3, 4),
+        |l AS (
+        |  SELECT s1, s2, n1, n2, round(d_raw, 6) AS d_stat,
+        |    round(d_raw * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)
+        |      AS lambda
+        |  FROM pairs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dataset_diff" ->
@@ -648,46 +711,41 @@ object GovernOps extends QueryPack {
         |GROUP BY level, k
         |ORDER BY level, k""".stripMargin,
 
+    // same shared test CTEs, same running-max step-down with 9dp
+    // pre-max term rounding and (p, s1, s2) rank order
+    "q_holm" ->
+      (ksMatrixCtes + """,
+        |tests AS (
+        |  SELECT s1, s2,
+        |    round(least(1.0, 2.0 * exp(-2.0 * lambda * lambda)), 6)
+        |      AS p
+        |  FROM l),
+        |m AS (SELECT count(*) AS m FROM tests),
+        |rk AS (
+        |  SELECT tests.s1, tests.s2, tests.p, m.m,
+        |    row_number() OVER (ORDER BY tests.p, tests.s1, tests.s2)
+        |      AS rk
+        |  FROM tests CROSS JOIN m),
+        |adj AS (
+        |  SELECT s1, s2, p, rk,
+        |    round(least(1.0, max(round((m - rk + 1) * p, 9)) OVER (
+        |      ORDER BY p, s1, s2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |      AS adj_p
+        |  FROM rk)
+        |SELECT s1, s2, p, rk, adj_p, adj_p < 0.05 AS reject
+        |FROM adj ORDER BY rk""".stripMargin),
+
     // same source×pooled-length CDF grid, same 9dp-rounded gaps and
     // Kolmogorov tail approximation per source pair
     "q_ks_matrix" ->
-      """WITH counts AS (
-        |  SELECT source, n_chars AS v, count(*) AS c
-        |  FROM documents GROUP BY 1, 2),
-        |totals AS (
-        |  SELECT source, CAST(sum(c) AS BIGINT) AS n
-        |  FROM counts GROUP BY 1),
-        |grid AS (
-        |  SELECT s.source, g.v
-        |  FROM (SELECT DISTINCT v FROM counts) g
-        |  CROSS JOIN (SELECT DISTINCT source FROM counts) s),
-        |cdf AS (
-        |  SELECT grid.source, grid.v,
-        |    CAST(sum(COALESCE(counts.c, 0)) OVER (
-        |      PARTITION BY grid.source ORDER BY grid.v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS DOUBLE) / totals.n AS f,
-        |    totals.n
-        |  FROM grid
-        |  LEFT JOIN counts ON counts.source = grid.source
-        |    AND counts.v = grid.v
-        |  JOIN totals ON totals.source = grid.source),
-        |pairs AS (
-        |  SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2,
-        |    max(round(abs(a.f - b.f), 9)) AS d_raw
-        |  FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
-        |  GROUP BY 1, 2, 3, 4),
-        |l AS (
-        |  SELECT s1, s2, n1, n2, round(d_raw, 6) AS d_stat,
-        |    round(d_raw * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)
-        |      AS lambda
-        |  FROM pairs)
+      (ksMatrixCtes + """
         |SELECT s1, s2, n1, n2, d_stat, lambda,
         |  round(least(1.0, 2.0 * exp(-2.0 * lambda * lambda)), 6)
         |    AS p_approx
-        |FROM l ORDER BY s1, s2""".stripMargin,
+        |FROM l ORDER BY s1, s2""".stripMargin),
 
-    // same QI/sensitive cells, same once-rounded DECIMAL(18,9)
+        // same QI/sensitive cells, same once-rounded DECIMAL(18,9)
     // −p·ln(p) terms, same exp(H) effective-l
     "q_ldiversity" ->
       """WITH cells AS (

@@ -798,7 +798,54 @@ object StatsOps extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Theil–Sen robust trend of the daily purchase-value series: slope =
+    * exact median of all pairwise day-slopes, intercept = median of the
+    * per-day residual offsets — the estimator one outlier day cannot
+    * drag, reported against the least-squares slope for contrast (the
+    * q_trend closed form on the same series). The O(days²) pair join
+    * and both exact medians run on the bounded day relation; slopes
+    * round to 9dp before the median (percentile ≡ quantile_cont). */
+  def qTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val daily = Tables.df(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum($"value".cast(DecimalType(18, 2))).as("x"))
+      .localCheckpoint() // day-thin; pairs + medians + OLS reuse it
+    val d0 = daily.agg(min($"d").as("d0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select(datediff($"d", $"d0").cast("double").as("t"),
+        $"x".cast("double").as("x"))
+      .localCheckpoint()
+    val slopes = idx.select($"t".as("t1"), $"x".as("x1"))
+      .join(idx.select($"t".as("t2"), $"x".as("x2")), $"t1" < $"t2")
+      .select(round(($"x2" - $"x1") / ($"t2" - $"t1"), 9).as("sl"))
+    val tsSlope = slopes.agg(count(lit(1)).as("n_pairs"),
+      expr("round(percentile(sl, 0.5), 6)").as("slope"))
+    val inter = idx.crossJoin(broadcast(tsSlope))
+      .select($"n_pairs", $"slope",
+        round($"x" - $"slope" * $"t", 9).as("r"))
+      .groupBy($"n_pairs", $"slope")
+      .agg(count(lit(1)).as("n_days"),
+        expr("round(percentile(r, 0.5), 6)").as("intercept"))
+    // OLS contrast on the same (t, x) relation — exact-sum closed form
+    val ols = idx.agg(count(lit(1)).as("n"),
+        sum(round($"t", 6).cast(dec9)).as("st"),
+        sum(round($"x", 6).cast(dec9)).as("sx"),
+        sum(round($"t" * $"x", 9).cast(dec9)).as("stx"),
+        sum(round($"t" * $"t", 9).cast(dec9)).as("stt"))
+      .select(round(($"n" * $"stx".cast("double")
+        - $"st".cast("double") * $"sx".cast("double"))
+        / ($"n" * $"stt".cast("double")
+          - $"st".cast("double") * $"st".cast("double")), 6)
+        .as("ols_slope"))
+    inter.crossJoin(broadcast(ols))
+      .select($"n_days", $"n_pairs", $"slope", $"intercept", $"ols_slope")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> qTheilSen,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_jackknife" -> qJackknife,
     "q_benford" -> qBenford,
@@ -850,6 +897,48 @@ object StatsOps extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same 9dp pairwise slopes, same exact medians (quantile_cont ≡
+    // percentile), same OLS closed form from decimal sums
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d0 AS (SELECT min(d) AS d0 FROM daily),
+        |idx AS (
+        |  SELECT CAST(date_diff('day', d0.d0, daily.d) AS DOUBLE) AS t,
+        |    CAST(x AS DOUBLE) AS x
+        |  FROM daily CROSS JOIN d0),
+        |slopes AS (
+        |  SELECT round((b.x - a.x) / (b.t - a.t), 9) AS sl
+        |  FROM idx a JOIN idx b ON a.t < b.t),
+        |ts AS (
+        |  SELECT count(*) AS n_pairs,
+        |    round(quantile_cont(sl, 0.5), 6) AS slope
+        |  FROM slopes),
+        |inter AS (
+        |  SELECT ts.n_pairs, ts.slope, count(*) AS n_days,
+        |    round(quantile_cont(round(idx.x - ts.slope * idx.t, 9),
+        |      0.5), 6) AS intercept
+        |  FROM idx CROSS JOIN ts GROUP BY 1, 2),
+        |ols AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(round(t, 6) AS DECIMAL(18,9))) AS st,
+        |    sum(CAST(round(x, 6) AS DECIMAL(18,9))) AS sx,
+        |    sum(CAST(round(t * x, 9) AS DECIMAL(18,9))) AS stx,
+        |    sum(CAST(round(t * t, 9) AS DECIMAL(18,9))) AS stt
+        |  FROM idx),
+        |ols2 AS (
+        |  SELECT round((n * CAST(stx AS DOUBLE)
+        |    - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (n * CAST(stt AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6)
+        |    AS ols_slope
+        |  FROM ols)
+        |SELECT inter.n_days, inter.n_pairs, inter.slope,
+        |  inter.intercept, ols2.ols_slope
+        |FROM inter CROSS JOIN ols2""".stripMargin,
+
     // same md5 uniforms, same 10-digit Poisson(1) CDF thresholds, same
     // decimal pre-sums and exact percentile CI
     "q_bootstrap_ci" ->
