@@ -844,7 +844,55 @@ object StatsOps extends QueryPack {
       .select($"n_days", $"n_pairs", $"slope", $"intercept", $"ols_slope")
   }
 
+  /** Covariate-shift importance weights via the density-ratio trick:
+    * bin the event values on pooled deciles, estimate per-bin densities
+    * in the first vs second time-half, and weight first-half data by
+    * the smoothed ratio w = p̂₂/p̂₁ — the reweighting that adapts
+    * historical training data to the current distribution. Reports the
+    * per-bin weights and the effective sample size of the reweighted
+    * history (ESS = (Σc₁w)²/Σc₁w² — how much data the reweighting
+    * really leaves you), with the q_drift_window (c+0.5)/(n+5)
+    * smoothing so empty bins never blow up. All constant-sized after
+    * one binning pass. */
+  def qCovShift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val ev = Tables.df(spark, sfDir, "events")
+    val mid = ev.agg(expr("(min(unix_micros(cast(ts as timestamp)))"
+      + " + max(unix_micros(cast(ts as timestamp)))) div 2")
+      .cast("long").as("mid_us"))
+    val cuts = ev.agg(expr(
+      "transform(percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5," +
+        " 0.6, 0.7, 0.8, 0.9)), x -> round(x, 6))").as("c"))
+    val bins = ev.crossJoin(broadcast(mid)).crossJoin(broadcast(cuts))
+      .select(
+        ((1 to 9).map(i => ($"value" > element_at($"c", i)).cast("int"))
+          .foldLeft(lit(1))(_ + _)).as("bin"),
+        (unix_micros($"ts".cast("timestamp")) < $"mid_us").as("h1"))
+      .groupBy($"bin")
+      .agg(sum(when($"h1", 1L).otherwise(0L)).as("c1"),
+        sum(when(!$"h1", 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint() // 10 rows; feeds totals + weights + ESS
+    val tot = bins.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    val w = bins.crossJoin(broadcast(tot))
+      .select($"bin", $"c1", $"c2",
+        round((($"c2" + 0.5) / ($"n2" + 5))
+          / (($"c1" + 0.5) / ($"n1" + 5)), 6).as("w"), $"n1")
+    val ess = w
+      .select($"n1", round($"c1" * $"w", 9).cast(dec9).as("cw"),
+        round($"c1" * $"w" * $"w", 9).cast(dec9).as("cw2"))
+      .groupBy($"n1")
+      .agg(sum($"cw").as("sw"), sum($"cw2").as("sw2"))
+      .select(round($"sw".cast("double") * $"sw".cast("double")
+        / $"sw2".cast("double"), 6).as("ess"), $"n1")
+      .select($"ess", round($"ess" / $"n1", 6).as("ess_ratio"))
+    w.crossJoin(broadcast(ess))
+      .select($"bin", $"c1", $"c2", $"w", $"ess", $"ess_ratio")
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cov_shift" -> qCovShift,
     "q_theil_sen" -> qTheilSen,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_jackknife" -> qJackknife,
@@ -897,6 +945,54 @@ object StatsOps extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same pooled decile bins, same smoothed density ratio and
+    // decimal-pre-sum effective sample size
+    "q_cov_shift" ->
+      """WITH mid AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        |  FROM events),
+        |cuts AS (
+        |  SELECT list_transform(quantile_cont(value,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> round(x, 6)) AS c
+        |  FROM events),
+        |b AS (
+        |  SELECT 1 + CAST(value > c[1] AS INT) + CAST(value > c[2]
+        |      AS INT) + CAST(value > c[3] AS INT)
+        |    + CAST(value > c[4] AS INT) + CAST(value > c[5] AS INT)
+        |    + CAST(value > c[6] AS INT) + CAST(value > c[7] AS INT)
+        |    + CAST(value > c[8] AS INT) + CAST(value > c[9] AS INT)
+        |      AS bin,
+        |    epoch_us(ts) < mid.mid_us AS h1
+        |  FROM events CROSS JOIN mid CROSS JOIN cuts),
+        |bins AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN h1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM b GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM bins),
+        |w AS (
+        |  SELECT bin, c1, c2,
+        |    round(((c2 + 0.5) / (n2 + 5)) / ((c1 + 0.5) / (n1 + 5)), 6)
+        |      AS w, tot.n1
+        |  FROM bins CROSS JOIN tot),
+        |ess AS (
+        |  SELECT n1,
+        |    CAST(sum(CAST(round(c1 * w, 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS sw,
+        |    CAST(sum(CAST(round(c1 * w * w, 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS sw2
+        |  FROM w GROUP BY 1),
+        |e2 AS (
+        |  SELECT round(sw * sw / sw2, 6) AS ess,
+        |    round(round(sw * sw / sw2, 6) / n1, 6) AS ess_ratio
+        |  FROM ess)
+        |SELECT w.bin, w.c1, w.c2, w.w, e2.ess, e2.ess_ratio
+        |FROM w CROSS JOIN e2
+        |ORDER BY w.bin""".stripMargin,
+
     // same 9dp pairwise slopes, same exact medians (quantile_cont ≡
     // percentile), same OLS closed form from decimal sums
     "q_theil_sen" ->

@@ -777,7 +777,39 @@ object VectorQueries extends QueryPack {
       .orderBy($"la", $"lb")
   }
 
+  /** Media-payload dedup report over the multimodal table: exact
+    * duplicate groups by md5 of the raw payload bytes, plus
+    * perceptual-style near-dup BUCKETS keyed on the decoded feature
+    * signature (byte-length band × first × last byte — the stub stands
+    * in for a real pHash; swapping the decoder changes the signature,
+    * not the plan). Exercises the real multimodal path end to end:
+    * binary column → mapPartitions batch decode → relational dedup —
+    * exactly how a 100 TB image corpus deduplicates (hash shuffle on
+    * signatures, candidate pairs bounded per bucket, payloads never
+    * pairwise-compared). One-row planning summary. */
+  def qMediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(
+      Tables.df(spark, sfDir, "documents"))
+    val feats = Multimodal.decodeFeatures(media).toDF()
+      .select($"doc_id", expr("n_bytes div 16").as("nb"),
+        $"first_byte", $"last_byte")
+    val ex = media.toDF().select($"doc_id", md5($"payload").as("h"))
+    val j = feats.join(ex, "doc_id")
+      .localCheckpoint() // doc-thin; feeds both groupings
+    val ea = j.groupBy($"h").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_exact_groups"),
+        sum($"c").as("n_media"),
+        sum($"c" - 1).as("n_exact_dups"))
+    val ba = j.groupBy($"nb", $"first_byte", $"last_byte")
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"), max($"c").as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("near_pairs"))
+    ea.crossJoin(broadcast(ba))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_dedup" -> qMediaDedup,
     "q_centroid_drift" -> qCentroidDrift,
     "q_pq_adc" -> qPqAdc,
     "q_hard_negatives" -> qHardNegatives,
@@ -1196,6 +1228,31 @@ object VectorQueries extends QueryPack {
         |  t.pred = q.truth AS correct
         |FROM top t JOIN q ON t.qid = q.qid
         |WHERE t.rk = 1 ORDER BY t.qid""".stripMargin,
+
+    // same md5-of-payload-bytes exact groups (md5(text) hashes the same
+    // UTF-8 bytes), same decoded-signature buckets via the q_multimodal
+    // ascii mapping
+    "q_media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    CAST(octet_length(encode(text)) AS INT) // 16 AS nb,
+        |    ascii(substr(text, 1, 1)) AS fb,
+        |    ascii(substr(text, length(text), 1)) AS lb
+        |  FROM documents),
+        |ex AS (SELECT h, count(*) AS c FROM m GROUP BY 1),
+        |bk AS (SELECT nb, fb, lb, count(*) AS c FROM m GROUP BY 1, 2, 3),
+        |ea AS (
+        |  SELECT count(*) AS n_exact_groups,
+        |    CAST(sum(c) AS BIGINT) AS n_media,
+        |    CAST(sum(c - 1) AS BIGINT) AS n_exact_dups
+        |  FROM ex),
+        |ba AS (
+        |  SELECT count(*) AS n_buckets, max(c) AS max_bucket,
+        |    CAST(sum(c * (c - 1) // 2) AS BIGINT) AS near_pairs
+        |  FROM bk)
+        |SELECT ea.n_exact_groups, ea.n_media, ea.n_exact_dups,
+        |  ba.n_buckets, ba.max_bucket, ba.near_pairs
+        |FROM ea CROSS JOIN ba""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, 'text/plain' AS mime,
