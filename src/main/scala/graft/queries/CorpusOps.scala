@@ -746,7 +746,52 @@ object CorpusOps extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Dunning log-likelihood-ratio collocations (G², Dunning CL'93) —
+    * the statistically sound replacement for q_collocations' PMI, which
+    * overweights rare pairs: G² = 2·Σ O·ln(O/E) over the bigram's 2×2
+    * contingency table is χ²-distributed and ranks high-evidence
+    * associations first. All four cells are exact integers from the
+    * bigram-type-thin relation (one corpus window pass, the q_kneser_ney
+    * stream); the 0·ln 0 = 0 limit is an explicit guard on both
+    * engines; terms round to DECIMAL(18,9) before the exact sum.
+    * Support ≥ 5, top-20 by G². */
+  def qLlrColloc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val cb = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "a")))
+      .withColumn("b", lead($"a", 1).over(w))
+      .filter($"b".isNotNull)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("k11"))
+      .localCheckpoint() // bigram-type-thin; feeds marginals + scoring
+    val ra = cb.groupBy($"a").agg(sum($"k11").as("r1"))
+    val cbb = cb.groupBy($"b").agg(sum($"k11").as("c1"))
+    val n = cb.agg(sum($"k11").as("nn"))
+    def term(k: Column, r: Column, c: Column, nn: Column): Column =
+      when(k > 0,
+        round(k * log(k.cast("double") * nn / (r * c)), 9))
+        .otherwise(lit(0.0)).cast(dec9)
+    cb.filter($"k11" >= 5)
+      .join(ra, "a").join(cbb, "b").crossJoin(broadcast(n))
+      .select($"a", $"b", $"k11", $"r1", $"c1",
+        ($"r1" - $"k11").as("k12"), ($"c1" - $"k11").as("k21"),
+        ($"nn" - $"r1" - $"c1" + $"k11").as("k22"), $"nn")
+      .select($"a", $"b", $"k11",
+        round(lit(2.0) * (term($"k11", $"r1", $"c1", $"nn")
+          + term($"k12", $"r1", $"nn" - $"c1", $"nn")
+          + term($"k21", $"nn" - $"r1", $"c1", $"nn")
+          + term($"k22", $"nn" - $"r1", $"nn" - $"c1", $"nn"))
+          .cast("double"), 6).as("g2"))
+      .orderBy($"g2".desc, $"a".asc, $"b".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llr_colloc" -> qLlrColloc,
     "q_mattr" -> qMattr,
     "q_kneser_ney" -> qKneserNey,
     "q_burstiness" -> qBurstiness,
@@ -837,6 +882,43 @@ object CorpusOps extends QueryPack {
       |      FROM documents CROSS JOIN mx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same bigram cells, same guarded O·ln(O/E) terms with
+    // DECIMAL(18,9) pre-sum rounding, same support-5 top-20
+    "q_llr_colloc" ->
+      s"""WITH bg AS (
+        |  SELECT toks[i] AS a, toks[i+1] AS b
+        |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        |        FROM (SELECT $toksSql AS toks FROM documents)
+        |        WHERE len(toks) >= 2)),
+        |cb AS (SELECT a, b, count(*) AS k11 FROM bg GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(k11) AS BIGINT) AS r1
+        |       FROM cb GROUP BY 1),
+        |cc AS (SELECT b, CAST(sum(k11) AS BIGINT) AS c1
+        |       FROM cb GROUP BY 1),
+        |nn AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM cb),
+        |cells AS (
+        |  SELECT cb.a, cb.b, cb.k11, ra.r1, cc.c1,
+        |    ra.r1 - cb.k11 AS k12, cc.c1 - cb.k11 AS k21,
+        |    nn.nn - ra.r1 - cc.c1 + cb.k11 AS k22, nn.nn
+        |  FROM cb JOIN ra USING (a) JOIN cc USING (b) CROSS JOIN nn
+        |  WHERE cb.k11 >= 5)
+        |SELECT a, b, k11,
+        |  round(2.0 * (
+        |    CAST(CASE WHEN k11 > 0 THEN round(k11
+        |      * ln(CAST(k11 AS DOUBLE) * nn / (r1 * c1)), 9)
+        |      ELSE 0.0 END AS DECIMAL(18,9))
+        |    + CAST(CASE WHEN k12 > 0 THEN round(k12
+        |      * ln(CAST(k12 AS DOUBLE) * nn / (r1 * (nn - c1))), 9)
+        |      ELSE 0.0 END AS DECIMAL(18,9))
+        |    + CAST(CASE WHEN k21 > 0 THEN round(k21
+        |      * ln(CAST(k21 AS DOUBLE) * nn / ((nn - r1) * c1)), 9)
+        |      ELSE 0.0 END AS DECIMAL(18,9))
+        |    + CAST(CASE WHEN k22 > 0 THEN round(k22
+        |      * ln(CAST(k22 AS DOUBLE) * nn / ((nn - r1) * (nn - c1))),
+        |      9) ELSE 0.0 END AS DECIMAL(18,9)))::DOUBLE, 6) AS g2
+        |FROM cells
+        |ORDER BY g2 DESC, a ASC, b ASC LIMIT 20""".stripMargin,
+
     // same 20-token frame walk (list() window ≡ collect_list), same
     // short-doc raw-TTR fallback and decimal pre-sum means
     "q_mattr" ->

@@ -542,6 +542,14 @@ object EventOps extends QueryPack {
     * the unpartitioned cumulative window is safe by construction. */
   def qSurvival(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    survivalCurve(spark, sfDir).orderBy($"t")
+  }
+
+  /** The K-M curve relation (t, n_risk, d_churned, c_censored,
+    * survival) — shared by [[qSurvival]] and [[qLtv]]. */
+  private[graft] def survivalCurve(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
     val dec9 = DecimalType(18, 9)
     val ev = Tables.df(spark, sfDir, "events")
     val horizon = ev.agg(max($"ts").as("max_ts"))
@@ -576,7 +584,34 @@ object EventOps extends QueryPack {
             sum(coalesce($"term", lit(0).cast(dec9))).over(wCum)
               .cast("double")), 6))
           .as("survival"))
-      .orderBy($"t")
+  }
+
+  /** Lifetime-value projection from the operators composing: expected
+    * remaining active days E[T] = Σ_t S(t) off the K-M curve
+    * (day-granularity trapezoid omitted deliberately — a planning
+    * proxy, labeled as such), times the observed revenue per active
+    * user-day — the back-of-envelope LTV a growth model starts from,
+    * with each ingredient separately reported and separately
+    * oracle-checked upstream (q_survival, the purchase stream). */
+  def qLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val exp_ = survivalCurve(spark, sfDir)
+      .agg(sum($"survival".cast(dec6)).as("sd"),
+        count(lit(1)).as("n_steps"))
+      .select(round($"sd".cast("double"), 6).as("exp_days"), $"n_steps")
+    val ev = Tables.df(spark, sfDir, "events")
+    val rev = ev.filter($"event_type" === "purchase")
+      .agg(sum($"value".cast(DecimalType(18, 2))).as("v"))
+    val ud = ev.select($"user_id", to_date($"ts").as("d")).distinct()
+      .agg(count(lit(1)).as("user_days"))
+    exp_.crossJoin(broadcast(rev)).crossJoin(broadcast(ud))
+      .select($"n_steps", $"exp_days", $"user_days",
+        round($"v".cast("double"), 2).as("total_rev"),
+        round($"v".cast("double") / $"user_days", 6).as("rev_per_ud"))
+      .select($"n_steps", $"exp_days", $"user_days", $"total_rev",
+        $"rev_per_ud",
+        round($"exp_days" * $"rev_per_ud", 6).as("ltv_proxy"))
   }
 
   /** Hour-of-day seasonality profile per event type: observed count vs
@@ -1078,6 +1113,7 @@ object EventOps extends QueryPack {
     "q_seasonality" -> qSeasonality,
     "q_returns" -> qReturns,
     "q_survival" -> qSurvival,
+    "q_ltv" -> qLtv,
     "q_offline_eval" -> qOfflineEval,
     "q_abtest" -> qAbtest,
     "q_funnel_sessions" -> qFunnelSessions,
@@ -1150,6 +1186,48 @@ object EventOps extends QueryPack {
       |SELECT wk, w_start_s, n, psi, psi > 0.2 AS drift
       |FROM p ORDER BY wk""".stripMargin
   }
+
+  /** The q_survival oracle CTE chain through relation `curve`
+    * (t, n_risk, d_churned, c_censored, survival) — shared with
+    * the q_ltv oracle so the estimator cannot drift from its
+    * consumer. */
+  private val survivalCtes: String =
+    """WITH horizon AS (SELECT max(ts) AS max_ts FROM events),
+        |users AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(max(ts) AS DATE)) AS INT) AS t,
+        |    max(ts) < (SELECT max_ts FROM horizon) - INTERVAL 7 DAY
+        |      AS churned
+        |  FROM events GROUP BY user_id),
+        |byt AS (
+        |  SELECT t, count(*) AS m_all,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM users GROUP BY t),
+        |n AS (SELECT count(*) AS n_users FROM users),
+        |r AS (
+        |  SELECT t, m_all, d,
+        |    n.n_users - CAST(COALESCE(sum(m_all) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt CROSS JOIN n),
+        |s AS (
+        |  SELECT t, n_risk, d, m_all - d AS c_censored,
+        |    CASE WHEN d < n_risk THEN
+        |      CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+        |        AS DECIMAL(18,9)) ELSE NULL END AS term,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS absorbed
+        |  FROM r),
+        |curve AS (
+        |  SELECT t, n_risk, d AS d_churned, c_censored,
+        |  CASE WHEN absorbed = 1 THEN 0.0
+        |  ELSE round(exp(CAST(sum(COALESCE(term,
+        |    CAST(0 AS DECIMAL(18,9)))) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE)), 6) END AS survival
+        |  FROM s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_drift_window" -> driftWindowOracle,
@@ -1527,42 +1605,36 @@ object EventOps extends QueryPack {
 
     // same lifetime/censoring definitions, same DECIMAL(18,9) pre-sum
     // ln terms, same absorbed short-circuit; HUGEINT sums cast to BIGINT
+    // same lifetime/censoring definitions, same DECIMAL(18,9) pre-sum
+    // ln terms, same absorbed short-circuit; HUGEINT sums cast to BIGINT
+    
     "q_survival" ->
-      """WITH horizon AS (SELECT max(ts) AS max_ts FROM events),
-        |users AS (
-        |  SELECT user_id,
-        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
-        |      CAST(max(ts) AS DATE)) AS INT) AS t,
-        |    max(ts) < (SELECT max_ts FROM horizon) - INTERVAL 7 DAY
-        |      AS churned
-        |  FROM events GROUP BY user_id),
-        |byt AS (
-        |  SELECT t, count(*) AS m_all,
-        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
-        |  FROM users GROUP BY t),
-        |n AS (SELECT count(*) AS n_users FROM users),
-        |r AS (
-        |  SELECT t, m_all, d,
-        |    n.n_users - CAST(COALESCE(sum(m_all) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS n_risk
-        |  FROM byt CROSS JOIN n),
-        |s AS (
-        |  SELECT t, n_risk, d, m_all - d AS c_censored,
-        |    CASE WHEN d < n_risk THEN
-        |      CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
-        |        AS DECIMAL(18,9)) ELSE NULL END AS term,
-        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS absorbed
-        |  FROM r)
-        |SELECT t, n_risk, d AS d_churned, c_censored,
-        |  CASE WHEN absorbed = 1 THEN 0.0
-        |  ELSE round(exp(CAST(sum(COALESCE(term,
-        |    CAST(0 AS DECIMAL(18,9)))) OVER (ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DOUBLE)), 6) END AS survival
-        |FROM s ORDER BY t""".stripMargin,
+      (survivalCtes + """
+        |SELECT t, n_risk, d_churned, c_censored, survival
+        |FROM curve ORDER BY t""".stripMargin),
+
+    // same shared K-M CTEs, same decimal pre-sum of the curve and the
+    // revenue-per-active-user-day composite
+    "q_ltv" ->
+      (survivalCtes + """,
+        |e AS (
+        |  SELECT round(CAST(sum(CAST(survival AS DECIMAL(18,6)))
+        |    AS DOUBLE), 6) AS exp_days, count(*) AS n_steps
+        |  FROM curve),
+        |rev AS (
+        |  SELECT sum(CAST(value AS DECIMAL(18,2))) AS v FROM events
+        |  WHERE event_type = 'purchase'),
+        |ud AS (
+        |  SELECT count(*) AS user_days FROM (
+        |    SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events))
+        |SELECT e.n_steps, e.exp_days, ud.user_days,
+        |  round(CAST(rev.v AS DOUBLE), 2) AS total_rev,
+        |  round(CAST(rev.v AS DOUBLE) / ud.user_days, 6) AS rev_per_ud,
+        |  round(e.exp_days
+        |    * round(CAST(rev.v AS DOUBLE) / ud.user_days, 6), 6)
+        |    AS ltv_proxy
+        |FROM e CROSS JOIN rev CROSS JOIN ud""".stripMargin),
+
 
     // same learn/eval split, same row_number argmax policy, same
     // broadcastable propensity tables and once-rounded IPS terms
