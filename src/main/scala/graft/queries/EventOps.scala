@@ -1099,7 +1099,109 @@ object EventOps extends QueryPack {
           .as("mean_after"))
   }
 
+  /** CUPED variance reduction (Deng et al. WSDM'13) for the parity
+    * experiment: each user's pre-period activity (event count in the
+    * first time-half) is the covariate; θ = cov(pre, post)/var(pre)
+    * fits on the pooled sample; the adjusted outcome y − θ·(pre − p̄)
+    * keeps the treatment contrast unbiased while shrinking its
+    * variance by the covariate's R². Reports raw vs adjusted arm
+    * difference and the realized variance reduction — the technique
+    * that makes the q_mde budget smaller for free. All moments are
+    * exact integer sums (pre and post are counts); the only rounding
+    * is the per-user adjusted outcome's DECIMAL(18,9) pre-sum. */
+  def qCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val ev = Tables.df(spark, sfDir, "events")
+    val mid = ev.agg(expr("(min(unix_micros(cast(ts as timestamp)))"
+      + " + max(unix_micros(cast(ts as timestamp)))) div 2")
+      .cast("long").as("mid_us"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(sum(when(unix_micros($"ts".cast("timestamp")) < $"mid_us",
+          1L).otherwise(0L)).as("pre"),
+        // outcome = second-half purchase COUNT, not an indicator: the
+        // indicator saturates on small fixtures (every user converts,
+        // var = 0) and counts are the natural CUPED metric anyway
+        sum(when(unix_micros($"ts".cast("timestamp")) >= $"mid_us"
+          && $"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("arm_a", $"user_id" % 2 === 0)
+      .localCheckpoint() // user-thin; feeds theta + both arm passes
+    val mom = users.agg(count(lit(1)).as("n"),
+      sum($"pre").as("sp"), sum($"y").as("sy"),
+      sum($"pre" * $"y").as("spy"), sum($"pre" * $"pre").as("spp"))
+    val theta = mom.select($"n", $"sp", $"sy",
+      round(($"spy".cast("double") - $"sp".cast("double") * $"sy" / $"n")
+        / ($"spp".cast("double") - $"sp".cast("double") * $"sp" / $"n"),
+        9).as("theta"),
+      round($"sp".cast("double") / $"n", 9).as("pbar"))
+    val adj = users.crossJoin(broadcast(theta))
+      .withColumn("ya_d",
+        round($"y" - $"theta" * ($"pre" - $"pbar"), 9))
+      .select($"arm_a", $"y", $"n", $"theta",
+        $"ya_d".cast(dec9).as("ya"),
+        // square in DOUBLE then round once: a decimal-decimal square
+        // would tie-round differently across engines
+        round($"ya_d" * $"ya_d", 9).cast(dec9).as("ya2"))
+    adj.groupBy($"n", $"theta")
+      .agg(
+        sum(when($"arm_a", 1L).otherwise(0L)).as("na"),
+        sum(when(!$"arm_a", 1L).otherwise(0L)).as("nb"),
+        sum(when($"arm_a", $"y").otherwise(0L)).as("ya_raw"),
+        sum(when(!$"arm_a", $"y").otherwise(0L)).as("yb_raw"),
+        sum(when($"arm_a", $"ya").otherwise(lit(0).cast(dec9)))
+          .as("ya_adj"),
+        sum(when(!$"arm_a", $"ya").otherwise(lit(0).cast(dec9)))
+          .as("yb_adj"),
+        sum($"y" * $"y").as("syy"),
+        sum($"ya2").as("syy_adj"),
+        sum($"y").as("sy"), sum($"ya").as("sya"))
+      .select($"n".as("n_users"), round($"theta", 6).as("theta"),
+        round($"ya_raw".cast("double") / $"na"
+          - $"yb_raw".cast("double") / $"nb", 6).as("diff_raw"),
+        round($"ya_adj".cast("double") / $"na"
+          - $"yb_adj".cast("double") / $"nb", 6).as("diff_adj"),
+        when($"syy".cast("double")
+            - $"sy".cast("double") * $"sy" / $"n" === 0,
+          lit(null).cast("double"))
+          .otherwise(round(lit(1.0)
+            - ($"syy_adj".cast("double")
+              - $"sya".cast("double") * $"sya" / $"n")
+            / ($"syy".cast("double")
+              - $"sy".cast("double") * $"sy" / $"n"), 6))
+          .as("var_reduction"))
+  }
+
+  /** Quantile treatment effects for the parity experiment: the per-arm
+    * exact deciles of purchase value and their differences — where in
+    * the outcome DISTRIBUTION the arms differ, which a mean contrast
+    * (q_abtest) cannot see. Exact percentile arrays per arm
+    * (≡ quantile_cont), one row per decile. */
+  def qQte(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.df(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .select(($"user_id" % 2 === 0).as("arm_a"), $"value".as("v"))
+    val qs = v.groupBy($"arm_a")
+      .agg(expr("transform(percentile(v, array(0.1, 0.2, 0.3, 0.4," +
+        " 0.5, 0.6, 0.7, 0.8, 0.9)), x -> round(x, 6))").as("q"),
+        count(lit(1)).as("n"))
+    val a = qs.filter($"arm_a").select($"q".as("qa"), $"n".as("n_a"))
+    val b = qs.filter(!$"arm_a").select($"q".as("qb"), $"n".as("n_b"))
+    a.crossJoin(broadcast(b))
+      .select(explode(expr("sequence(1, 9)")).as("decile"),
+        $"qa", $"qb", $"n_a", $"n_b")
+      .select($"decile", ($"decile" * 10).as("pct"), $"n_a", $"n_b",
+        element_at($"qa", $"decile").as("v_a"),
+        element_at($"qb", $"decile").as("v_b"),
+        round(element_at($"qa", $"decile")
+          - element_at($"qb", $"decile"), 6).as("qte"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cuped" -> qCuped,
+    "q_qte" -> qQte,
     "q_changepoint" -> qChangepoint,
     "q_msprt" -> qMsprt,
     "q_drift_window" -> qDriftWindow,
@@ -1231,6 +1333,100 @@ object EventOps extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q_drift_window" -> driftWindowOracle,
+
+    // same integer-exact moments, same 9dp theta/pbar and DECIMAL(18,9)
+    // adjusted outcomes, same closed-form variance-reduction ratio
+    "q_cuped" ->
+      """WITH mid AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        |  FROM events),
+        |users AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid_us FROM mid)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT mid_us
+        |      FROM mid) AND event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    user_id % 2 = 0 AS arm_a
+        |  FROM events GROUP BY user_id),
+        |mom AS (
+        |  SELECT count(*) AS n, CAST(sum(pre) AS BIGINT) AS sp,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(pre * y) AS BIGINT) AS spy,
+        |    CAST(sum(pre * pre) AS BIGINT) AS spp
+        |  FROM users),
+        |th AS (
+        |  SELECT n, sp, sy,
+        |    round((CAST(spy AS DOUBLE) - CAST(sp AS DOUBLE) * sy / n)
+        |      / (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / n), 9)
+        |      AS theta,
+        |    round(CAST(sp AS DOUBLE) / n, 9) AS pbar
+        |  FROM mom),
+        |adj0 AS (
+        |  SELECT u.arm_a, u.y, th.n, th.theta,
+        |    round(u.y - th.theta * (u.pre - th.pbar), 9) AS ya_d
+        |  FROM users u CROSS JOIN th),
+        |adj AS (
+        |  SELECT arm_a, y, n, theta,
+        |    CAST(ya_d AS DECIMAL(18,9)) AS ya,
+        |    CAST(round(ya_d * ya_d, 9) AS DECIMAL(18,9)) AS ya2
+        |  FROM adj0),
+        |agg AS (
+        |  SELECT n, theta,
+        |    CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN arm_a THEN y ELSE 0 END) AS BIGINT)
+        |      AS ya_raw,
+        |    CAST(sum(CASE WHEN arm_a THEN 0 ELSE y END) AS BIGINT)
+        |      AS yb_raw,
+        |    sum(CASE WHEN arm_a THEN ya
+        |      ELSE CAST(0 AS DECIMAL(18,9)) END) AS ya_adj,
+        |    sum(CASE WHEN arm_a THEN CAST(0 AS DECIMAL(18,9))
+        |      ELSE ya END) AS yb_adj,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    sum(ya2) AS syy_adj,
+        |    CAST(sum(y) AS BIGINT) AS sy2, sum(ya) AS sya
+        |  FROM adj GROUP BY 1, 2)
+        |SELECT n AS n_users, round(theta, 6) AS theta,
+        |  round(CAST(ya_raw AS DOUBLE) / na
+        |    - CAST(yb_raw AS DOUBLE) / nb, 6) AS diff_raw,
+        |  round(CAST(ya_adj AS DOUBLE) / na
+        |    - CAST(yb_adj AS DOUBLE) / nb, 6) AS diff_adj,
+        |  CASE WHEN CAST(syy AS DOUBLE)
+        |      - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / n = 0
+        |    THEN NULL
+        |    ELSE round(1.0
+        |      - (CAST(syy_adj AS DOUBLE)
+        |        - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE) / n)
+        |      / (CAST(syy AS DOUBLE)
+        |        - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / n), 6)
+        |    END AS var_reduction
+        |FROM agg""".stripMargin,
+
+    // same per-arm exact percentile ladders and per-decile differences
+    "q_qte" ->
+      """WITH v AS (
+        |  SELECT user_id % 2 = 0 AS arm_a, value AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |qs AS (
+        |  SELECT arm_a,
+        |    list_transform(quantile_cont(v,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |      x -> round(x, 6)) AS q,
+        |    count(*) AS n
+        |  FROM v GROUP BY 1),
+        |a AS (SELECT q AS qa, n AS n_a FROM qs WHERE arm_a),
+        |b AS (SELECT q AS qb, n AS n_b FROM qs WHERE NOT arm_a),
+        |g AS (
+        |  SELECT unnest(range(1, 10)) AS decile, qa, qb, n_a, n_b
+        |  FROM a CROSS JOIN b)
+        |SELECT CAST(decile AS INT) AS decile,
+        |  CAST(decile * 10 AS INT) AS pct, n_a, n_b,
+        |  qa[decile] AS v_a, qb[decile] AS v_b,
+        |  round(qa[decile] - qb[decile], 6) AS qte
+        |FROM g ORDER BY decile""".stripMargin,
 
     // same day-level reduction, same 9dp scan statistic with earliest-
     // day tie-break, same guarded post-break mean
