@@ -891,7 +891,74 @@ object StatsOps extends QueryPack {
       .orderBy($"bin")
   }
 
+  /** Heavy-change detection over the part-demand distribution: the
+    * top-20 parts by absolute share shift between the early and late
+    * shipdate halves — the "what's trending / collapsing" report that
+    * heavy-HITTER tracking misses (a stable heavy hitter is boring; a
+    * mover is actionable). Exact counts, one part-keyed aggregate,
+    * integer-div epoch midpoint, distributed top-k on |Δshare|. */
+  def qHeavyChange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select($"l_partkey".as("part"),
+        unix_micros($"l_shipdate".cast("timestamp")).as("us"))
+    val mid = li.agg(expr("(min(us) + max(us)) div 2").cast("long")
+      .as("mid_us"))
+    val parts = li.crossJoin(broadcast(mid))
+      .groupBy($"part")
+      .agg(sum(when($"us" < $"mid_us", 1L).otherwise(0L)).as("c1"),
+        sum(when($"us" >= $"mid_us", 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint() // part-thin; feeds totals + scoring
+    val tot = parts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    parts.crossJoin(broadcast(tot))
+      .select($"part", $"c1", $"c2",
+        round($"c1".cast("double") / $"n1", 6).as("s1"),
+        round($"c2".cast("double") / $"n2", 6).as("s2"),
+        round($"c2".cast("double") / $"n2"
+          - $"c1".cast("double") / $"n1", 6).as("delta"))
+      .orderBy(abs($"delta").desc, $"part".asc)
+      .limit(20)
+  }
+
+  /** Additive seasonal decomposition of the daily event-value series
+    * (STL-lite): trend = centered 7-day moving average, seasonal =
+    * centered day-of-week means, residual = the remainder — the
+    * decomposition a forecaster reads before picking model terms
+    * (q_trend fits the line; this shows what the line ignores).
+    * Day-of-week comes from epoch-day arithmetic modulo 7 (Spark's
+    * dayofweek and DuckDB's disagree on numbering; datediff from a
+    * known Monday is engine-identical). All windows run on the bounded
+    * day relation. */
+  def qStlLite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.df(spark, sfDir, "events")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum($"value".cast(DecimalType(18, 2))).as("x"))
+      .withColumn("dow",
+        datediff($"d", lit("1970-01-05").cast("date")) % 7)
+      .localCheckpoint() // day-thin; feeds trend + seasonal + output
+    val wMa = Window.orderBy($"d").rowsBetween(-3, 3)
+    val dowMean = daily.groupBy($"dow")
+      .agg((sum($"x").cast("double") / count(lit(1))).as("sm"))
+    val grand = dowMean.agg(
+      round(sum(round($"sm", 6).cast(dec6)).cast("double")
+        / count(lit(1)), 6).as("gm"))
+    daily
+      .withColumn("trend", round(sum($"x").over(wMa).cast("double")
+        / count($"x").over(wMa), 6))
+      .join(broadcast(dowMean), "dow")
+      .crossJoin(broadcast(grand))
+      .select($"d".cast("string").as("d"), $"dow",
+        round($"x".cast("double"), 2).as("x"), $"trend",
+        round(round($"sm", 6) - $"gm", 6).as("seasonal"))
+      .select($"d", $"dow", $"x", $"trend", $"seasonal",
+        round($"x" - $"trend" - $"seasonal", 6).as("residual"))
+      .orderBy($"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_change" -> qHeavyChange,
+    "q_stl_lite" -> qStlLite,
     "q_cov_shift" -> qCovShift,
     "q_theil_sen" -> qTheilSen,
     "q_bootstrap_ci" -> qBootstrapCi,
@@ -945,6 +1012,64 @@ object StatsOps extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same integer-div shipdate midpoint, same exact share deltas and
+    // |delta| top-20
+    "q_heavy_change" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS part, epoch_us(l_shipdate) AS us
+        |  FROM lineitem),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM li),
+        |parts AS (
+        |  SELECT part,
+        |    CAST(sum(CASE WHEN us < (SELECT mid_us FROM mid)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN us < (SELECT mid_us FROM mid)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM li GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM parts)
+        |SELECT part, c1, c2,
+        |  round(CAST(c1 AS DOUBLE) / n1, 6) AS s1,
+        |  round(CAST(c2 AS DOUBLE) / n2, 6) AS s2,
+        |  round(CAST(c2 AS DOUBLE) / n2
+        |    - CAST(c1 AS DOUBLE) / n1, 6) AS delta
+        |FROM parts CROSS JOIN tot
+        |ORDER BY abs(round(CAST(c2 AS DOUBLE) / n2
+        |  - CAST(c1 AS DOUBLE) / n1, 6)) DESC, part ASC
+        |LIMIT 20""".stripMargin,
+
+    // same epoch-day dow arithmetic, same centered 7-day MA frame and
+    // centered dow seasonal, same once-rounded components
+    "q_stl_lite" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS x,
+        |    CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+        |      % 7 AS INT) AS dow
+        |  FROM events GROUP BY 1, 3),
+        |dm AS (
+        |  SELECT dow, CAST(sum(x) AS DOUBLE) / count(*) AS sm
+        |  FROM daily GROUP BY 1),
+        |gm AS (
+        |  SELECT round(CAST(sum(CAST(round(sm, 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*), 6) AS gm
+        |  FROM dm),
+        |tr AS (
+        |  SELECT d, dow, x,
+        |    round(CAST(sum(x) OVER w AS DOUBLE)
+        |      / count(x) OVER w, 6) AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |j AS (
+        |  SELECT tr.d, tr.dow, round(CAST(tr.x AS DOUBLE), 2) AS x,
+        |    tr.trend, round(round(dm.sm, 6) - gm.gm, 6) AS seasonal
+        |  FROM tr JOIN dm USING (dow) CROSS JOIN gm)
+        |SELECT CAST(d AS VARCHAR) AS d, dow, x, trend, seasonal,
+        |  round(x - trend - seasonal, 6) AS residual
+        |FROM j ORDER BY d""".stripMargin,
+
     // same pooled decile bins, same smoothed density ratio and
     // decimal-pre-sum effective sample size
     "q_cov_shift" ->
