@@ -790,7 +790,56 @@ object CorpusOps extends QueryPack {
       .limit(20)
   }
 
+  /** Good–Turing frequency re-estimation (Good '53) over the corpus
+    * 3-GRAM types (the unigram vocabulary is too hot on this corpus —
+    * min count ~26 — while trigram types show the textbook ladder,
+    * N₁ ≈ 9.4k at sf0.01): the frequency-of-frequencies table N_r with the
+    * adjusted counts r* = (r+1)·N_{r+1}/N_r and the unseen-mass
+    * estimate P₀ = N₁/N — the count-smoothing primitive under
+    * Katz/Kneser-Ney backoff, and the "how much probability belongs to
+    * words we have never seen" read a vocabulary-coverage plan needs.
+    * Two vocabulary-thin aggregates; gaps in the N_{r+1} ladder yield
+    * NULL adjustments on both engines (SGT's regression step is the
+    * documented production fix for sparse high-r cells). */
+  def qGoodTuring(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val counts = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")),
+        size(TextFunctions.tokens($"text")).as("len"))
+      .select($"doc_id", $"pos", $"len",
+        concat_ws(" ", $"tok", lead($"tok", 1).over(w),
+          lead($"tok", 2).over(w)).as("s"))
+      .filter($"pos" <= $"len" - 3)
+      .groupBy($"s").agg(count(lit(1)).as("c"))
+    val fof = counts.groupBy($"c".as("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .localCheckpoint() // frequency-of-frequency-thin
+    val n = counts.agg(sum($"c").as("n_tok"))
+    val p0 = fof.filter($"r" === 1)
+      .crossJoin(broadcast(n))
+      .select(round($"n_r".cast("double") / $"n_tok", 9).as("p0"))
+    fof.filter($"r" <= 10)
+      .join(fof.select(($"r" - 1).as("r"), $"n_r".as("n_r1")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(p0))
+      .select($"r", $"n_r",
+        when($"n_r1".isNull, lit(null).cast("double"))
+          .otherwise(round(($"r" + 1) * $"n_r1".cast("double")
+            / $"n_r", 6)).as("r_star"),
+        when($"n_r1".isNull, lit(null).cast("double"))
+          .otherwise(round(($"r" + 1) * $"n_r1".cast("double")
+            / $"n_r" / $"n_tok", 9)).as("p_gt"),
+        $"p0")
+      .orderBy($"r")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_good_turing" -> qGoodTuring,
     "q_llr_colloc" -> qLlrColloc,
     "q_mattr" -> qMattr,
     "q_kneser_ney" -> qKneserNey,
@@ -882,6 +931,34 @@ object CorpusOps extends QueryPack {
       |      FROM documents CROSS JOIN mx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same frequency-of-frequencies ladder, same NULL on N_{r+1} gaps,
+    // same left-to-right double chain
+    "q_good_turing" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+        |g AS (
+        |  SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        |  FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 3)),
+        |counts AS (SELECT s, count(*) AS c FROM g GROUP BY 1),
+        |fof AS (SELECT c AS r, count(*) AS n_r FROM counts GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM counts),
+        |p0 AS (
+        |  SELECT round(CAST(n_r AS DOUBLE) / n.n_tok, 9) AS p0
+        |  FROM fof CROSS JOIN n WHERE r = 1)
+        |SELECT f.r, f.n_r,
+        |  CASE WHEN f2.n_r IS NULL THEN NULL
+        |    ELSE round((f.r + 1) * CAST(f2.n_r AS DOUBLE) / f.n_r, 6)
+        |    END AS r_star,
+        |  CASE WHEN f2.n_r IS NULL THEN NULL
+        |    ELSE round((f.r + 1) * CAST(f2.n_r AS DOUBLE) / f.n_r
+        |      / n.n_tok, 9) END AS p_gt,
+        |  p0.p0
+        |FROM fof f
+        |LEFT JOIN fof f2 ON f2.r = f.r + 1
+        |CROSS JOIN n CROSS JOIN p0
+        |WHERE f.r <= 10
+        |ORDER BY f.r""".stripMargin,
+
     // same bigram cells, same guarded O·ln(O/E) terms with
     // DECIMAL(18,9) pre-sum rounding, same support-5 top-20
     "q_llr_colloc" ->
