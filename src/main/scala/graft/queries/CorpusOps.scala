@@ -612,14 +612,22 @@ object CorpusOps extends QueryPack {
       .select($"lang", $"tok", $"o11".as("n_obs"), $"n_t".as("n_term"),
         $"n_l".as("n_lang"),
         round($"n_t".cast("double") * $"n_l" / $"n_all", 6).as("expected"),
+        // ADVICE r10 #3: each FACTOR casts to double before the multiply
+        // (the sums/differences are N-bounded BIGINTs and cannot overflow;
+        // the o11·(…) products can) — so the determinant accumulates in
+        // DOUBLE end-to-end as the docstring claims, identically IEEE
+        // left-to-right on both engines
         round($"n_all".cast("double")
-          * ($"o11" * ($"n_all" - $"n_t" - $"n_l" + $"o11")
-            - ($"n_t" - $"o11") * ($"n_l" - $"o11")).cast("double")
-          * ($"o11" * ($"n_all" - $"n_t" - $"n_l" + $"o11")
-            - ($"n_t" - $"o11") * ($"n_l" - $"o11")).cast("double")
+          * ($"o11".cast("double")
+              * ($"n_all" - $"n_t" - $"n_l" + $"o11")
+            - ($"n_t" - $"o11").cast("double") * ($"n_l" - $"o11"))
+          * ($"o11".cast("double")
+              * ($"n_all" - $"n_t" - $"n_l" + $"o11")
+            - ($"n_t" - $"o11").cast("double") * ($"n_l" - $"o11"))
           / ($"n_t".cast("double") * ($"n_all" - $"n_t") * $"n_l"
             * ($"n_all" - $"n_l")), 6).as("chi2"),
-        when($"o11" * $"n_all" > $"n_t" * $"n_l", lit("over"))
+        when($"o11".cast("double") * $"n_all"
+            > $"n_t".cast("double") * $"n_l", lit("over"))
           .otherwise(lit("under")).as("assoc"))
       .orderBy($"chi2".desc, $"lang".asc, $"tok".asc)
       .limit(30)
@@ -1102,13 +1110,16 @@ object CorpusOps extends QueryPack {
         |  round(CAST(nt.n_t AS DOUBLE) * nl.n_l / na.n_all, 6)
         |    AS expected,
         |  round(CAST(na.n_all AS DOUBLE)
-        |    * CAST(tl.o11 * (na.n_all - nt.n_t - nl.n_l + tl.o11)
-        |        - (nt.n_t - tl.o11) * (nl.n_l - tl.o11) AS DOUBLE)
-        |    * CAST(tl.o11 * (na.n_all - nt.n_t - nl.n_l + tl.o11)
-        |        - (nt.n_t - tl.o11) * (nl.n_l - tl.o11) AS DOUBLE)
+        |    * (CAST(tl.o11 AS DOUBLE)
+        |          * (na.n_all - nt.n_t - nl.n_l + tl.o11)
+        |        - CAST(nt.n_t - tl.o11 AS DOUBLE) * (nl.n_l - tl.o11))
+        |    * (CAST(tl.o11 AS DOUBLE)
+        |          * (na.n_all - nt.n_t - nl.n_l + tl.o11)
+        |        - CAST(nt.n_t - tl.o11 AS DOUBLE) * (nl.n_l - tl.o11))
         |    / (CAST(nt.n_t AS DOUBLE) * (na.n_all - nt.n_t) * nl.n_l
         |        * (na.n_all - nl.n_l)), 6) AS chi2,
-        |  CASE WHEN tl.o11 * na.n_all > nt.n_t * nl.n_l
+        |  CASE WHEN CAST(tl.o11 AS DOUBLE) * na.n_all
+        |      > CAST(nt.n_t AS DOUBLE) * nl.n_l
         |    THEN 'over' ELSE 'under' END AS assoc
         |FROM tl JOIN nt USING (tok) JOIN nl USING (lang) CROSS JOIN na
         |ORDER BY chi2 DESC, lang ASC, tok ASC LIMIT 30""".stripMargin,

@@ -633,7 +633,11 @@ object EventOps extends QueryPack {
       .join(broadcast(byHr), "hr")
       .crossJoin(broadcast(tot))
       .select($"event_type", $"hr", $"n",
-        round($"n".cast("double") * $"n_all" / ($"n_type" * $"n_hr"), 6)
+        // n_type·n_hr casts a factor to double first (ADVICE r10 #3's
+        // overflow pattern): both are corpus-scale BIGINTs whose product
+        // overflows LONG long before either marginal does
+        round($"n".cast("double") * $"n_all"
+          / ($"n_type".cast("double") * $"n_hr"), 6)
           .as("idx"))
       .orderBy($"event_type", $"hr")
   }
@@ -663,6 +667,13 @@ object EventOps extends QueryPack {
           .otherwise(lit(0).cast(dec2)).as("r"))
       .withColumn("k", row_number().over(w) - 1)
       .withColumn("gk", round(pow(lit(0.9), $"k"), 9).cast(dec9))
+      // ADVICE r10 #1: γ^k rounded to DECIMAL(18,9) is exactly 0 for
+      // k >= 204 (0.9^204 < 0.5e-9), so suf/gk would divide by zero and
+      // poison the per-type aggregates with Inf/NaN. Steps beyond the
+      // representable discount horizon carry ~0 return mass by definition;
+      // drop them (mirrored by the oracle's WHERE gk > 0). The episode-
+      // length bound this query assumes is therefore k < 204 per user-day.
+      .filter($"gk" > lit(0).cast(dec9))
       .withColumn("suf", sum($"gk" * $"r").over(wSuf))
       .select($"event_type",
         round($"suf".cast("double") / $"gk".cast("double"), 6).as("g"))
@@ -1130,10 +1141,18 @@ object EventOps extends QueryPack {
     val mom = users.agg(count(lit(1)).as("n"),
       sum($"pre").as("sp"), sum($"y").as("sy"),
       sum($"pre" * $"y").as("spy"), sum($"pre" * $"pre").as("spp"))
+    // ADVICE r10 #5: if every user shares the same pre-period count,
+    // var(pre) = 0 and theta = cov/var is Inf/NaN, silently poisoning
+    // diff_adj — NULL-guard the division (mirroring var_reduction's
+    // guard below and the oracle's CASE), so the degenerate-covariate
+    // case reports NULL adjusted columns instead of garbage
     val theta = mom.select($"n", $"sp", $"sy",
-      round(($"spy".cast("double") - $"sp".cast("double") * $"sy" / $"n")
-        / ($"spp".cast("double") - $"sp".cast("double") * $"sp" / $"n"),
-        9).as("theta"),
+      when($"spp".cast("double") - $"sp".cast("double") * $"sp" / $"n"
+          === 0, lit(null).cast("double"))
+        .otherwise(round(
+          ($"spy".cast("double") - $"sp".cast("double") * $"sy" / $"n")
+          / ($"spp".cast("double") - $"sp".cast("double") * $"sp" / $"n"),
+          9)).as("theta"),
       round($"sp".cast("double") / $"n", 9).as("pbar"))
     val adj = users.crossJoin(broadcast(theta))
       .withColumn("ya_d",
@@ -1357,9 +1376,12 @@ object EventOps extends QueryPack {
         |  FROM users),
         |th AS (
         |  SELECT n, sp, sy,
-        |    round((CAST(spy AS DOUBLE) - CAST(sp AS DOUBLE) * sy / n)
+        |    CASE WHEN CAST(spp AS DOUBLE)
+        |        - CAST(sp AS DOUBLE) * sp / n = 0 THEN NULL
+        |      ELSE round((CAST(spy AS DOUBLE)
+        |        - CAST(sp AS DOUBLE) * sy / n)
         |      / (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / n), 9)
-        |      AS theta,
+        |      END AS theta,
         |    round(CAST(sp AS DOUBLE) / n, 9) AS pbar
         |  FROM mom),
         |adj0 AS (
@@ -1753,7 +1775,7 @@ object EventOps extends QueryPack {
         |tot AS (SELECT CAST(sum(n_type) AS BIGINT) AS n_all FROM bt)
         |SELECT c.event_type, c.hr, c.n,
         |  round(CAST(c.n AS DOUBLE) * tot.n_all
-        |    / (bt.n_type * bh.n_hr), 6) AS idx
+        |    / (CAST(bt.n_type AS DOUBLE) * bh.n_hr), 6) AS idx
         |FROM cells c JOIN bt USING (event_type) JOIN bh USING (hr)
         |CROSS JOIN tot
         |ORDER BY c.event_type, c.hr""".stripMargin,
@@ -1784,7 +1806,7 @@ object EventOps extends QueryPack {
         |s4 AS (
         |  SELECT event_type,
         |    round(CAST(suf AS DOUBLE) / CAST(gk AS DOUBLE), 6) AS g
-        |  FROM s3),
+        |  FROM s3 WHERE gk > 0),
         |base AS (
         |  SELECT event_type, count(*) AS n_steps,
         |    round(CAST(sum(CAST(g AS DECIMAL(18,6))) AS DOUBLE)

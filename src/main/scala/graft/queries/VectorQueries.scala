@@ -1231,7 +1231,12 @@ object VectorQueries extends QueryPack {
 
     // same md5-of-payload-bytes exact groups (md5(text) hashes the same
     // UTF-8 bytes), same decoded-signature buckets via the q_multimodal
-    // ascii mapping
+    // ascii mapping. ASCII-FIXTURE ASSUMPTION (ADVICE r10 #4): ascii()
+    // reads the first CHARACTER's code point (0 for empty) while the
+    // Spark path signs the first raw UTF-8 payload BYTE (-1 for empty);
+    // the two agree only because fixture text is non-empty ASCII, where
+    // code point = octet. A multi-byte or empty-document corpus needs an
+    // octet-level oracle signature instead.
     "q_media_dedup" ->
       """WITH m AS (
         |  SELECT doc_id, md5(text) AS h,
