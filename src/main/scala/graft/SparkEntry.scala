@@ -38,7 +38,8 @@ object SparkEntry {
     CorpusOps,
     StatsOps,
     CurateOps,
-    GovernOps
+    GovernOps,
+    InferOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -513,8 +513,25 @@ object CorpusOps extends QueryPack {
     * exact integer arithmetic (`div`), so it never moves with fp rounding. */
   private def bucketedDocs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.df(spark, sfDir, "documents")
-    val mx = docs.agg(max($"doc_id").as("mx"))
+    bucketedDocs(spark, sfDir, pin = false)
+  }
+
+  /** `pin = true` inserts the pinned keyed repartition before the
+    * consumer's ×n-grams explode (the q_token_count/q_dup_spans
+    * starvation fix, PERF.md): the fixture is one parquet row-group, so
+    * without it a heavy shingle stream evaluates inside the single scan
+    * task (q_ngram_novelty measured run 4.7 core-s over 12 tasks =
+    * parallelism ~1.6; 2.9 → 1.4 s wall with the pin). Cheap consumers
+    * skip the pin — the extra full-text shuffle measured 2× on
+    * q_heaps_growth's lighter token explode. */
+  private def bucketedDocs(spark: SparkSession, sfDir: String,
+      pin: Boolean): DataFrame = {
+    import spark.implicits._
+    val docs0 = Tables.df(spark, sfDir, "documents")
+    val docs = if (pin)
+      docs0.repartition(Tables.shufflePartitions(spark), $"doc_id")
+    else docs0
+    val mx = docs0.agg(max($"doc_id").as("mx"))
     docs.crossJoin(broadcast(mx))
       .select(least(expr("(doc_id * 10) div (mx + 1)"), lit(9))
         .cast("int").as("bucket"), $"text")
@@ -570,7 +587,7 @@ object CorpusOps extends QueryPack {
     * quotient rounded once. */
   def qNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val types = bucketedDocs(spark, sfDir)
+    val types = bucketedDocs(spark, sfDir, pin = true)
       .select($"bucket",
         explode(array_distinct(TextFunctions.shingles($"text", 3))).as("g"))
       .distinct()

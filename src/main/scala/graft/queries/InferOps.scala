@@ -1,0 +1,428 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical-inference pack — the classical hypothesis tests an
+  * experimentation platform runs beside the z-test family already in
+  * EventOps (q_abtest / q_msprt / q_cuped): Welch's unequal-variance
+  * t-test, the Mann–Whitney U rank test, one-way ANOVA, Spearman rank
+  * correlation, and Kendall's τ-b. Reference capability: the HiveQL
+  * engine the charm deploys exposes only var/stddev/corr primitives
+  * ([H ql/udf/generic/GenericUDAFVariance.java]); these are the composed
+  * tests a warehouse user builds on top of them.
+  *
+  * Scale + determinism discipline (the EventOps/StatsOps contract):
+  * every test collapses the event/order log FIRST to a keyed unit
+  * relation (user, user-day, value-group) via partial-aggregable
+  * groupBys, then runs closed-form arithmetic on a one-row (or
+  * value-thin) aggregate. Rank statistics never sort the corpus: ranks
+  * come from the VALUE-GROUPED relation (|distinct values| rows) via a
+  * cumulative count, so the only global window in the pack runs over a
+  * relation bounded by the value domain, not the row count. Per-row
+  * float terms round to fixed DECIMAL scales before any sum (exact,
+  * order-independent); the final test statistic is one shared IEEE
+  * double formula written with the identical operator shape in the
+  * Spark plan and the DuckDB oracle.
+  */
+object InferOps extends QueryPack {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+  private val dec6 = DecimalType(18, 6)
+  private val dec38 = DecimalType(38, 0)
+
+  // ---- q_welch_ttest -----------------------------------------------------
+  /** Welch's unequal-variance t-test on per-user total event value,
+    * variants by user-id parity (the q_abtest assignment). Unit = the
+    * USER (a user's events are not independent, so the per-event test
+    * would overcount n — the same unit-of-analysis discipline as
+    * q_abtest's user-day). Moments: per-user totals are exact decimal
+    * sums of once-rounded values; the squared totals round once to
+    * DECIMAL(18,4) before the group sums, so both engines aggregate
+    * identical integers and the t / Welch–Satterthwaite df are one
+    * shared double formula over them. Zero pooled variance → NULL t
+    * (the qAbtest zero-SE guard). */
+  def qWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.df(spark, sfDir, "events")
+      .select($"user_id", round($"value", 2).cast(dec2).as("v"))
+      .groupBy($"user_id").agg(sum($"v").as("m"))
+      .select(($"user_id" % 2 === 0).as("a"), $"m",
+        round($"m".cast("double") * $"m".cast("double"), 4).cast(dec4)
+          .as("m2"))
+    val s = users.agg(
+      sum(when($"a", 1L).otherwise(0L)).as("n1"),
+      sum(when($"a", $"m")).as("s1a"),
+      sum(when($"a", $"m2")).as("s2a"),
+      sum(when(!$"a", 1L).otherwise(0L)).as("n2"),
+      sum(when(!$"a", $"m")).as("s1b"),
+      sum(when(!$"a", $"m2")).as("s2b"))
+    val va = ($"s2a".cast("double")
+      - $"s1a".cast("double") * $"s1a".cast("double") / $"n1")
+      .divide($"n1" - lit(1L))
+    val vb = ($"s2b".cast("double")
+      - $"s1b".cast("double") * $"s1b".cast("double") / $"n2")
+      .divide($"n2" - lit(1L))
+    val se2 = va / $"n1" + vb / $"n2"
+    val t = when(se2 > 0.0,
+      ($"s1a".cast("double") / $"n1" - $"s1b".cast("double") / $"n2")
+        / sqrt(se2))
+    val df = when(se2 > 0.0,
+      se2 * se2 / ((va / $"n1") * (va / $"n1") / ($"n1" - lit(1L))
+        + (vb / $"n2") * (vb / $"n2") / ($"n2" - lit(1L))))
+    s.select($"n1".as("n_a"), $"n2".as("n_b"),
+      round($"s1a".cast("double") / $"n1", 6).as("mean_a"),
+      round($"s1b".cast("double") / $"n2", 6).as("mean_b"),
+      round(va, 4).as("var_a"), round(vb, 4).as("var_b"),
+      round(t, 6).as("t_stat"), round(df, 2).as("df"),
+      (abs(t) > 1.96).as("significant"))
+  }
+
+  // ---- q_mann_whitney ----------------------------------------------------
+  /** Mann–Whitney U (Wilcoxon rank-sum) on per-user event counts,
+    * variants by user-id parity — the distribution-free twin of
+    * [[qWelchTtest]] a metrics platform reaches for when totals are
+    * heavy-tailed. Rank trick: average ranks come from the value-GROUPED
+    * relation — for count value v with n_v holders and cum_lt smaller
+    * values, 2·R(v) = 2·cum_lt + n_v + 1 is an INTEGER, so the rank-sum
+    * runs entirely in exact integer arithmetic (U doubles only at the
+    * final closed form). Tie-corrected normal approximation; ties
+    * contribute Σ(t³−t) from the same grouped relation. The only window
+    * is a cumulative count over |distinct count values| rows. */
+  def qMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("c"))
+      .select(($"user_id" % 2 === 0).as("a"), $"c")
+    val g = users.groupBy($"c").agg(
+      sum(when($"a", 1L).otherwise(0L)).as("na"),
+      count(lit(1)).as("nv"))
+    val w = Window.orderBy($"c").rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cumlt", coalesce(sum($"nv").over(w), lit(0L)))
+    val s = r.agg(
+      sum($"na").as("n1"), sum($"nv").as("n"),
+      sum($"na" * (lit(2L) * $"cumlt" + $"nv" + lit(1L))).as("r1x2"),
+      sum($"nv" * $"nv" * $"nv" - $"nv").as("ties"))
+    val n2 = $"n" - $"n1"
+    val u2 = $"r1x2" - $"n1" * ($"n1" + lit(1L)) // 2·U1, exact integer
+    val varU = ($"n1".cast("double") * n2 / lit(12.0)) *
+      (($"n" + lit(1.0)) - $"ties".cast("double")
+        / ($"n".cast("double") * ($"n" - lit(1.0))))
+    val z = when(varU > 0.0,
+      (u2.cast("double") - $"n1".cast("double") * n2) / lit(2.0)
+        / sqrt(varU))
+    s.select($"n1".as("n_a"), n2.as("n_b"),
+      round(u2.cast("double") / lit(2.0), 1).as("u_stat"),
+      round(z, 6).as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
+  // ---- q_anova -----------------------------------------------------------
+  /** One-way ANOVA of event value across event types — "does the metric
+    * differ across k categories" generalizing the two-arm tests. Sums of
+    * squares from per-group exact-decimal moments (once-rounded v and
+    * v², the Welch discipline); the per-group SSW/SSB terms round to
+    * DECIMAL(18,6) before the k-row sum so the F statistic's inputs are
+    * exact and order-independent. k-1 / N-k degrees of freedom; η² as
+    * the effect size. Shape: one scan → k-row group relation → 1-row
+    * result; the group relation broadcasts against its own 1-row total. */
+  def qAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"event_type", round($"value", 2).cast(dec2).as("v"))
+      .select($"event_type", $"v",
+        round($"v".cast("double") * $"v".cast("double"), 4).cast(dec4)
+          .as("v2"))
+    val g = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("ng"), sum($"v").as("s1"), sum($"v2").as("s2"))
+    val tot = g.agg(sum($"ng").as("n"), sum($"s1").as("s1t"))
+    val dm = $"s1".cast("double") / $"ng" - $"s1t".cast("double") / $"n"
+    val terms = g.crossJoin(broadcast(tot))
+      .select($"ng", $"n",
+        round($"s2".cast("double")
+          - $"s1".cast("double") * $"s1".cast("double") / $"ng", 6)
+          .cast(dec6).as("ssw_g"),
+        round($"ng".cast("double") * dm * dm, 6).cast(dec6).as("ssb_g"))
+    val s = terms.agg(count(lit(1)).as("k"), max($"n").as("n"),
+      sum($"ssb_g").as("ssb"), sum($"ssw_g").as("ssw"))
+    val f = when($"ssw" > 0,
+      ($"ssb".cast("double") / ($"k" - lit(1L)))
+        / ($"ssw".cast("double") / ($"n" - $"k")))
+    s.select($"k", $"n",
+      round($"ssb".cast("double"), 4).as("ss_between"),
+      round($"ssw".cast("double"), 4).as("ss_within"),
+      round(f, 6).as("f_stat"),
+      round($"ssb".cast("double")
+        / ($"ssb".cast("double") + $"ssw".cast("double")), 6).as("eta_sq"))
+  }
+
+  // ---- q_spearman --------------------------------------------------------
+  /** Spearman rank correlation between a customer's order count and
+    * total spend — the monotone-association read-out robust to the
+    * spend distribution's heavy tail (which q_corr_matrix's Pearson is
+    * not). Average ranks via the [[qMannWhitney]] integer trick on each
+    * metric's value-grouped relation; Pearson is computed directly on
+    * the DOUBLED ranks (2R is integer; correlation is affine-invariant,
+    * so ρ(2Rx, 2Ry) = ρ(Rx, Ry) exactly) with all five moments summed
+    * as DECIMAL(38,0) — exact at any scale, no float accumulation
+    * anywhere until the one closed-form ρ. */
+  def qSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.df(spark, sfDir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("x"),
+        sum($"o_totalprice".cast(dec2)).as("y"))
+    def ranks(keyed: DataFrame, c: String, out: String): DataFrame = {
+      val g = keyed.groupBy(col(c)).agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumlt", coalesce(sum($"nv").over(w), lit(0L)))
+        .select(col(c), (lit(2L) * $"cumlt" + $"nv" + lit(1L)).as(out))
+    }
+    val rx = ranks(cust, "x", "rx2")
+    val ry = ranks(cust, "y", "ry2")
+    val ranked = cust.join(broadcast(rx), "x").join(broadcast(ry), "y")
+      .select($"rx2".cast(dec38).as("rx"), $"ry2".cast(dec38).as("ry"))
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum($"rx").as("sx"), sum($"ry").as("sy"),
+      sum($"rx" * $"rx").as("sxx"), sum($"ry" * $"ry").as("syy"),
+      sum($"rx" * $"ry").as("sxy"))
+    val nd = $"n".cast("double")
+    // NOTE: keep these single-expression (parenthesized) — a
+    // continuation line starting with `-` parses as a discarded unary
+    // statement and silently drops the subtraction
+    val cov = (nd * $"sxy".cast("double")
+      - $"sx".cast("double") * $"sy".cast("double"))
+    val vx = (nd * $"sxx".cast("double")
+      - $"sx".cast("double") * $"sx".cast("double"))
+    val vy = (nd * $"syy".cast("double")
+      - $"sy".cast("double") * $"sy".cast("double"))
+    s.select($"n",
+      round(when(vx > 0.0 && vy > 0.0, cov / (sqrt(vx) * sqrt(vy))), 6)
+        .as("spearman_rho"))
+  }
+
+  // ---- q_kendall ---------------------------------------------------------
+  /** Kendall's τ-b between daily event volume and daily total value —
+    * concordance over the CALENDAR-grain relation, so the pair join is
+    * |days|², bounded by the time span, never by the event count (the
+    * q_theil_sen pre-aggregation discipline). Strict concordant /
+    * discordant counts plus per-axis tie counts feed the exact τ-b
+    * closed form; everything is integer until the final sqrt. */
+  def qKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.df(spark, sfDir, "events")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"), sum(round($"value", 2).cast(dec2)).as("y"))
+    val a = daily.select($"d".as("da"), $"x".as("xa"), $"y".as("ya"))
+    val b = daily.select($"d".as("db"), $"x".as("xb"), $"y".as("yb"))
+    val s = a.join(b, $"da" < $"db").agg(
+      count(lit(1)).as("n0"),
+      sum(when(($"xa" < $"xb" && $"ya" < $"yb")
+        || ($"xa" > $"xb" && $"ya" > $"yb"), 1L).otherwise(0L)).as("cc"),
+      sum(when(($"xa" < $"xb" && $"ya" > $"yb")
+        || ($"xa" > $"xb" && $"ya" < $"yb"), 1L).otherwise(0L)).as("dd"),
+      sum(when($"xa" === $"xb", 1L).otherwise(0L)).as("tx"),
+      sum(when($"ya" === $"yb", 1L).otherwise(0L)).as("ty"))
+    val den = sqrt(($"n0" - $"tx").cast("double"))
+      .multiply(sqrt(($"n0" - $"ty").cast("double")))
+    val tau = when(($"n0" > $"tx") && ($"n0" > $"ty"),
+      ($"cc" - $"dd").cast("double") / den)
+    s.select($"n0".as("n_pairs"), $"cc".as("concordant"),
+      $"dd".as("discordant"), round(tau, 6).as("tau_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_welch_ttest" -> qWelchTtest,
+    "q_mann_whitney" -> qMannWhitney,
+    "q_anova" -> qAnova,
+    "q_spearman" -> qSpearman,
+    "q_kendall" -> qKendall
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_welch_ttest" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 = 0 AS a,
+        |    sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS m
+        |  FROM events GROUP BY user_id),
+        |u2 AS (SELECT a, m,
+        |  CAST(round(CAST(m AS DOUBLE) * CAST(m AS DOUBLE), 4)
+        |    AS DECIMAL(18,4)) AS m2 FROM u),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  sum(CASE WHEN a THEN m END) AS s1a,
+        |  sum(CASE WHEN a THEN m2 END) AS s2a,
+        |  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  sum(CASE WHEN NOT a THEN m END) AS s1b,
+        |  sum(CASE WHEN NOT a THEN m2 END) AS s2b
+        |  FROM u2),
+        |v AS (SELECT n1, n2, s1a, s1b,
+        |  (CAST(s2a AS DOUBLE)
+        |    - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n1) / (n1 - 1)
+        |    AS va,
+        |  (CAST(s2b AS DOUBLE)
+        |    - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n2) / (n2 - 1)
+        |    AS vb
+        |  FROM s),
+        |f AS (SELECT n1, n2, s1a, s1b, va, vb, va / n1 + vb / n2 AS se2
+        |  FROM v)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CAST(s1a AS DOUBLE) / n1, 6) AS mean_a,
+        |  round(CAST(s1b AS DOUBLE) / n2, 6) AS mean_b,
+        |  round(va, 4) AS var_a, round(vb, 4) AS var_b,
+        |  round(CASE WHEN se2 > 0.0 THEN
+        |    (CAST(s1a AS DOUBLE) / n1 - CAST(s1b AS DOUBLE) / n2)
+        |      / sqrt(se2) END, 6) AS t_stat,
+        |  round(CASE WHEN se2 > 0.0 THEN se2 * se2
+        |    / ((va / n1) * (va / n1) / (n1 - 1)
+        |      + (vb / n2) * (vb / n2) / (n2 - 1)) END, 2) AS df,
+        |  abs(CASE WHEN se2 > 0.0 THEN
+        |    (CAST(s1a AS DOUBLE) / n1 - CAST(s1b AS DOUBLE) / n2)
+        |      / sqrt(se2) END) > 1.96 AS significant
+        |FROM f""".stripMargin,
+
+    "q_mann_whitney" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 = 0 AS a, count(*) AS c
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT c,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    count(*) AS nv
+        |  FROM u GROUP BY c),
+        |r AS (
+        |  SELECT c, na, nv,
+        |    COALESCE(SUM(nv) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumlt
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |    CAST(sum(nv) AS BIGINT) AS n,
+        |    CAST(sum(na * (2 * cumlt + nv + 1)) AS BIGINT) AS r1x2,
+        |    CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+        |  FROM r),
+        |f AS (
+        |  SELECT n1, n - n1 AS n2, n, r1x2 - n1 * (n1 + 1) AS u2, ties
+        |  FROM s),
+        |v AS (
+        |  SELECT n1, n2, u2,
+        |    (CAST(n1 AS DOUBLE) * n2 / 12.0) * ((n + 1.0)
+        |      - CAST(ties AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (n - 1.0))) AS var_u
+        |  FROM f)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CAST(u2 AS DOUBLE) / 2.0, 1) AS u_stat,
+        |  round(CASE WHEN var_u > 0.0 THEN
+        |    (CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / 2.0
+        |      / sqrt(var_u) END, 6) AS z,
+        |  abs(CASE WHEN var_u > 0.0 THEN
+        |    (CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / 2.0
+        |      / sqrt(var_u) END) > 1.96 AS significant
+        |FROM v""".stripMargin,
+
+    "q_anova" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |e2 AS (SELECT event_type, v,
+        |  CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 4)
+        |    AS DECIMAL(18,4)) AS v2 FROM e),
+        |g AS (
+        |  SELECT event_type, count(*) AS ng, sum(v) AS s1, sum(v2) AS s2
+        |  FROM e2 GROUP BY event_type),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(s1) AS s1t FROM g),
+        |terms AS (
+        |  SELECT ng, n,
+        |    CAST(round(CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ng, 6)
+        |      AS DECIMAL(18,6)) AS ssw_g,
+        |    CAST(round(CAST(ng AS DOUBLE)
+        |      * (CAST(s1 AS DOUBLE) / ng - CAST(s1t AS DOUBLE) / n)
+        |      * (CAST(s1 AS DOUBLE) / ng - CAST(s1t AS DOUBLE) / n), 6)
+        |      AS DECIMAL(18,6)) AS ssb_g
+        |  FROM g CROSS JOIN tot),
+        |s AS (
+        |  SELECT count(*) AS k, max(n) AS n,
+        |    sum(ssb_g) AS ssb, sum(ssw_g) AS ssw
+        |  FROM terms)
+        |SELECT k, n,
+        |  round(CAST(ssb AS DOUBLE), 4) AS ss_between,
+        |  round(CAST(ssw AS DOUBLE), 4) AS ss_within,
+        |  round(CASE WHEN ssw > 0 THEN
+        |    (CAST(ssb AS DOUBLE) / (k - 1))
+        |      / (CAST(ssw AS DOUBLE) / (n - k)) END, 6) AS f_stat,
+        |  round(CAST(ssb AS DOUBLE)
+        |    / (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6) AS eta_sq
+        |FROM s""".stripMargin,
+
+    "q_spearman" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, count(*) AS x,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |gx AS (SELECT x, count(*) AS nv FROM cust GROUP BY x),
+        |rx AS (
+        |  SELECT x, 2 * COALESCE(SUM(nv) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + nv + 1 AS rx2
+        |  FROM gx),
+        |gy AS (SELECT y, count(*) AS nv FROM cust GROUP BY y),
+        |ry AS (
+        |  SELECT y, 2 * COALESCE(SUM(nv) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + nv + 1 AS ry2
+        |  FROM gy),
+        |ranked AS (
+        |  SELECT CAST(rx2 AS DECIMAL(38,0)) AS rx,
+        |    CAST(ry2 AS DECIMAL(38,0)) AS ry
+        |  FROM cust JOIN rx USING (x) JOIN ry USING (y)),
+        |s AS (
+        |  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |    sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+        |    sum(rx * ry) AS sxy
+        |  FROM ranked),
+        |f AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM s)
+        |SELECT n,
+        |  round(CASE WHEN vx > 0.0 AND vy > 0.0 THEN
+        |    cov / (sqrt(vx) * sqrt(vy)) END, 6) AS spearman_rho
+        |FROM f""".stripMargin,
+
+    "q_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS x,
+        |    sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT count(*) AS n0,
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cc,
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dd,
+        |    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tx,
+        |    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ty
+        |  FROM daily a JOIN daily b ON a.d < b.d)
+        |SELECT n0 AS n_pairs, cc AS concordant, dd AS discordant,
+        |  round(CASE WHEN n0 > tx AND n0 > ty THEN
+        |    CAST(cc - dd AS DOUBLE)
+        |      / (sqrt(CAST(n0 - tx AS DOUBLE))
+        |        * sqrt(CAST(n0 - ty AS DOUBLE))) END, 6) AS tau_b
+        |FROM s""".stripMargin
+  )
+}
