@@ -156,4 +156,37 @@ object Dedup {
       .filter($"jaccard_dist" <= maxDistance)
       .select($"id1", $"id2", $"jaccard_dist")
   }
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03 — the
+    * MOSS local document fingerprinting scheme): hash every word k-gram,
+    * then keep the MINIMUM hash of each sliding window of `w` consecutive
+    * k-gram positions. The winnowing guarantee: any shared token run of
+    * at least w+k−1 tokens between two documents produces at least one
+    * SHARED fingerprint — so matching on the (w+k)⁻¹-sized fingerprint
+    * set has full recall for long overlaps, at ~1/w the index size of
+    * full shingling. Shift-invariant by construction (a prefix edit
+    * re-aligns fingerprints after the next window), spec-pinned.
+    *
+    * Returns the DISTINCT (doc_id, fp) relation. Hash = the md5 60-bit
+    * family form, portable to the DuckDB oracle verbatim. Scale shape:
+    * one ×positions explode, one doc-keyed window min, one distinct —
+    * cost ∝ tokens, no joins. */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wMin = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(0, w - 1)
+    docs
+      .select($"doc_id", TextFunctions.tokens($"text").as("T"))
+      .select($"doc_id",
+        explode(sequence(lit(0), greatest(size($"T") - k, lit(0))))
+          .as("p"), $"T")
+      .select($"doc_id", $"p",
+        array_join(slice($"T", $"p" + 1, lit(k)), " ").as("g"))
+      .filter($"g" =!= "")
+      .select($"doc_id", $"p",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+      .select($"doc_id", min($"h").over(wMin).as("fp"))
+      .distinct()
+  }
 }

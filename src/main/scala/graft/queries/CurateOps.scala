@@ -785,7 +785,44 @@ object CurateOps extends QueryPack {
       .orderBy($"source")
   }
 
+  // ---- q_dedup_winnow ----------------------------------------------------
+  /** Near-dup candidate pairs via winnowing fingerprints (Schleimer et
+    * al., SIGMOD'03 — see [[graft.operators.Dedup.winnowFingerprints]]):
+    * 4-gram hashes, window w = 5, so any shared run ≥ 8 tokens is
+    * guaranteed a shared fingerprint while the index holds ~1/5 of the
+    * shingle count — the cheap local-fingerprint alternative to MinHash
+    * when CONTIGUOUS overlap (plagiarism, boilerplate, quotation) is the
+    * target rather than bag-of-words similarity. Pairs sharing ≥ 2
+    * fingerprints with overlap ≥ 0.5 of the smaller set survive.
+    * Hub fingerprints (> 100 docs — license paragraphs at corpus scale)
+    * are cut before the pair join, the stop-shingle discipline that
+    * keeps the equi-join candidate-bounded at 100 TB. */
+  def qDedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fps = graft.operators.Dedup.winnowFingerprints(
+      Tables.df(spark, sfDir, "documents").select($"doc_id", $"text"),
+      k = 4, w = 5)
+    val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 100)
+    val kept = fps.join(rare.select($"fp"), "fp")
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    val shared = kept.select($"fp", $"doc_id".as("id1"))
+      .join(kept.select($"fp", $"doc_id".as("id2")), "fp")
+      .filter($"id1" < $"id2")
+      .groupBy($"id1", $"id2").agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 2)
+    shared
+      .join(sizes.select($"doc_id".as("id1"), $"nf".as("n1")), "id1")
+      .join(sizes.select($"doc_id".as("id2"), $"nf".as("n2")), "id2")
+      .withColumn("overlap",
+        round($"shared".cast("double") / least($"n1", $"n2"), 6))
+      .filter($"overlap" >= 0.5)
+      .select($"id1", $"id2", $"n1", $"n2", $"shared", $"overlap")
+      .orderBy($"id1", $"id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_winnow" -> qDedupWinnow,
     "q_silhouette" -> qSilhouette,
     "q_containment" -> qContainment,
     "q_watermark" -> qWatermark,
@@ -856,6 +893,43 @@ object CurateOps extends QueryPack {
       |         WHERE rk = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same positional 4-gram stream, same md5 60-bit hash, same
+    // 5-window min — the p index aligns because the only filtered
+    // element ('' from an empty token list) implies an empty stream
+    "q_dedup_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $toksDdb AS T FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(T) - 3, 1)),
+        |    i -> struct_pack(p := i,
+        |      g := array_to_string(T[(i+1):(i+4)], ' ')))) AS s
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, s.p AS p,
+        |    ('0x' || substr(md5(s.g), 1, 15))::BIGINT AS h
+        |  FROM sh0 WHERE s.g != ''),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+        |  FROM h),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+        |kept AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+        |sizes AS (SELECT doc_id, count(*) AS nf FROM kept GROUP BY 1),
+        |shared AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id1, id2, s1.nf AS n1, s2.nf AS n2, shared,
+        |  round(CAST(shared AS DOUBLE) / least(s1.nf, s2.nf), 6)
+        |    AS overlap
+        |FROM shared
+        |JOIN sizes s1 ON s1.doc_id = id1
+        |JOIN sizes s2 ON s2.doc_id = id2
+        |WHERE round(CAST(shared AS DOUBLE) / least(s1.nf, s2.nf), 6)
+        |  >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
     "q_prefix_join" ->
       s"""WITH ${pairCtes(5)}
         |SELECT id1, id2, round(j, 6) AS j,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic cross-engine sketches. Spark's own approx_count_distinct
@@ -199,13 +200,193 @@ object SketchOps extends QueryPack {
         $"tp", $"fp", $"fpr_measured", $"fpr_theory")
   }
 
+  // ---- q_ddsketch --------------------------------------------------------
+  /** ln(γ) for γ = 1.02 and the bucket-midpoint factor 2/(γ+1), as
+    * 16-digit literals shared verbatim by both engines (the BM25
+    * libm-free-constant discipline): relative accuracy α = (γ−1)/(γ+1)
+    * ≈ 0.99 %. */
+  private val ddLnGamma = 0.0198026272961797
+  private val ddMid = 0.9900990099009901
+
+  /** DDSketch relative-error quantiles (Masson, Lee & Rim, VLDB'19)
+    * over order totals — THE mergeable quantile sketch for a metrics
+    * pipeline: bucket i = ⌈ln(x)/ln γ⌉ guarantees every estimate within
+    * γ-relative error of the true quantile, and the sketch is a plain
+    * (bucket, count) relation, so partial sketches merge by summing
+    * counts (unlike exact percentile, which needs the full sort). The
+    * report prices the sketch against the engine's exact percentile at
+    * q ∈ {0.5, 0.9, 0.99}: estimate, exact, and measured relative error
+    * (spec-pinned ≤ α plus interpolation slack).
+    *
+    * Scale shape: one scan → bucket-thin groupBy (≈ ln(range)/ln γ ≈
+    * 600 buckets for any money-scaled column) → window cumsum over the
+    * bucket relation only → 3-row quantile lookup. Determinism: the
+    * ln(x) quotient rounds to 9 digits before the ceil (the established
+    * libm-boundary discipline); bucket counts are exact integers. */
+  def qDdsketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.df(spark, sfDir, "orders")
+      .select($"o_totalprice".cast("double").as("x"))
+    val buckets = x
+      .select(ceil(round(log($"x") / ddLnGamma, 9)).cast("long").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = buckets.withColumn("cum", sum($"cnt").over(w))
+    val tot = buckets.agg(sum($"cnt").as("n"))
+    val qs = spark.range(0, 3).toDF("i")
+      .select(element_at(array(lit(0.5), lit(0.9), lit(0.99)),
+        $"i".cast("int") + 1).as("q"))
+    val picked = cum.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(qs))
+      .filter($"cum" >= ceil($"q" * $"n"))
+      .groupBy($"q", $"n").agg(min($"b").as("b"))
+    val exact = x.agg(
+      expr("percentile(x, 0.5)").as("e1"),
+      expr("percentile(x, 0.9)").as("e2"),
+      expr("percentile(x, 0.99)").as("e3"))
+    val est = round(exp($"b".cast("double") * ddLnGamma) * ddMid, 4)
+    picked.crossJoin(broadcast(exact))
+      .select($"q", $"n", $"b".as("bucket"), est.as("est"),
+        round(when($"q" === 0.5, $"e1").when($"q" === 0.9, $"e2")
+          .otherwise($"e3"), 4).as("exact"))
+      .select($"q", $"n", $"bucket", $"est", $"exact",
+        round(abs($"est" - $"exact") / $"exact", 6).as("rel_err"))
+      .orderBy($"q")
+  }
+
+  // ---- q_join_cardest ----------------------------------------------------
+  /** Sketch-based join-cardinality estimation (the AGMS "tug-of-war"
+    * inner-product estimator with CountSketch bucketing, Alon–Matias–
+    * Szegedy '96 §3 / Charikar–Chen–Farach-Colton '02) — the optimizer
+    * statistic that decides broadcast-vs-shuffle before a join runs:
+    * hash each side's key-count relation into 1024 md5 buckets with a
+    * ±1 md5 sign per key, and Σ_b yA(b)·yB(b) (y = Σ sign·count) is an
+    * UNBIASED estimate of |A ⋈ B| = Σ_k a_k·b_k (self-join F2 when
+    * A = B): colliding keys cancel in expectation instead of inflating
+    * (the unsigned variant measured 3× high on this fixture). The
+    * report prices both estimators against exact truth computed from
+    * the same key relations: a filtered dimension join (lineitem ×
+    * small parts) and the partkey self-join.
+    *
+    * Scale shape: everything is key-grouped first (vocabulary-thin),
+    * bucket aggregates are 1024 rows, and the exact truths join group
+    * relations — the corpus is scanned once per side, never paired. */
+  def qJoinCardest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def bucketed(keyed: DataFrame): DataFrame =
+      keyed.select(
+        pmod(conv(substring(md5(concat(lit("jc:"), $"k".cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(1024L)).as("b"),
+        (($"cnt" * (pmod(conv(substring(md5(concat(lit("sg:"),
+          $"k".cast("string"))), 1, 15), 16, 10).cast("long"), lit(2L))
+          * 2L - 1L))).as("sc"))
+        .groupBy($"b").agg(sum($"sc").as("c"))
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_partkey".as("k")).agg(count(lit(1)).as("cnt"))
+    val pt = Tables.df(spark, sfDir, "part")
+      .filter($"p_size" <= 5)
+      .groupBy($"p_partkey".as("k")).agg(count(lit(1)).as("cnt"))
+    val liB = bucketed(li)
+    val ptB = bucketed(pt)
+    val estDim = liB.join(ptB.withColumnRenamed("c", "c2"), "b")
+      .agg(sum($"c" * $"c2").as("est"))
+    val exactDim = li.join(pt.withColumnRenamed("cnt", "cnt2"), "k")
+      .agg(sum($"cnt" * $"cnt2").as("exact"))
+    val estSelf = liB.agg(sum($"c" * $"c").as("est"))
+    val exactSelf = li.agg(sum($"cnt" * $"cnt").as("exact"))
+    val dim = exactDim.crossJoin(estDim)
+      .select(lit("lineitem_x_small_parts").as("join_name"),
+        $"exact", $"est")
+    val slf = exactSelf.crossJoin(estSelf)
+      .select(lit("lineitem_selfjoin_partkey").as("join_name"),
+        $"exact", $"est")
+    dim.unionAll(slf)
+      .select($"join_name", $"exact", $"est",
+        round($"est".cast("double") / $"exact", 6).as("inflation"))
+      .orderBy($"join_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_filter" -> qBloomFilter,
     "q_hll_md5" -> qHllMd5,
-    "q_countmin" -> qCountMin
+    "q_countmin" -> qCountMin,
+    "q_ddsketch" -> qDdsketch,
+    "q_join_cardest" -> qJoinCardest
   )
 
   val oracle: Map[String, String] = Map(
+    // same 16-digit ln(γ)/midpoint literals; ln() is natural log in
+    // DuckDB (its log() is base-10 — do not swap); cum/ceil comparisons
+    // run on identical IEEE doubles in both engines
+    "q_ddsketch" ->
+      """WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+        |b AS (
+        |  SELECT CAST(ceil(round(ln(x) / 0.0198026272961797, 9))
+        |    AS BIGINT) AS b, count(*) AS cnt
+        |  FROM x GROUP BY 1),
+        |c AS (
+        |  SELECT b, cnt, SUM(cnt) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        |picked AS (
+        |  SELECT q, n, min(b) AS b
+        |  FROM c CROSS JOIN tot CROSS JOIN qs
+        |  WHERE cum >= ceil(q * n)
+        |  GROUP BY q, n),
+        |exact AS (
+        |  SELECT quantile_cont(x, 0.5) AS e1, quantile_cont(x, 0.9) AS e2,
+        |    quantile_cont(x, 0.99) AS e3
+        |  FROM x),
+        |f AS (
+        |  SELECT q, n, b AS bucket,
+        |    round(exp(CAST(b AS DOUBLE) * 0.0198026272961797)
+        |      * 0.9900990099009901, 4) AS est,
+        |    round(CASE WHEN q = 0.5 THEN e1 WHEN q = 0.9 THEN e2
+        |      ELSE e3 END, 4) AS exact
+        |  FROM picked CROSS JOIN exact)
+        |SELECT q, n, bucket, est, exact,
+        |  round(abs(est - exact) / exact, 6) AS rel_err
+        |FROM f ORDER BY q""".stripMargin,
+
+    // md5 keys are 60-bit positive, so DuckDB's % equals Spark's pmod
+    "q_join_cardest" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS k, count(*) AS cnt FROM lineitem
+        |  GROUP BY 1),
+        |pt AS (
+        |  SELECT p_partkey AS k, count(*) AS cnt FROM part
+        |  WHERE p_size <= 5 GROUP BY 1),
+        |lib AS (
+        |  SELECT ('0x' || substr(md5('jc:' || k::VARCHAR), 1, 15))::BIGINT
+        |    % 1024 AS b,
+        |    CAST(sum(cnt * ((('0x' || substr(md5('sg:' || k::VARCHAR),
+        |      1, 15))::BIGINT % 2) * 2 - 1)) AS BIGINT) AS c
+        |  FROM li GROUP BY 1),
+        |ptb AS (
+        |  SELECT ('0x' || substr(md5('jc:' || k::VARCHAR), 1, 15))::BIGINT
+        |    % 1024 AS b,
+        |    CAST(sum(cnt * ((('0x' || substr(md5('sg:' || k::VARCHAR),
+        |      1, 15))::BIGINT % 2) * 2 - 1)) AS BIGINT) AS c
+        |  FROM pt GROUP BY 1),
+        |estd AS (SELECT CAST(sum(a.c * p.c) AS BIGINT) AS est
+        |  FROM lib a JOIN ptb p USING (b)),
+        |exd AS (SELECT CAST(sum(a.cnt * p.cnt) AS BIGINT) AS exact
+        |  FROM li a JOIN pt p USING (k)),
+        |ests AS (SELECT CAST(sum(c * c) AS BIGINT) AS est FROM lib),
+        |exs AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact FROM li),
+        |u AS (
+        |  SELECT 'lineitem_x_small_parts' AS join_name, exact, est
+        |  FROM exd CROSS JOIN estd
+        |  UNION ALL
+        |  SELECT 'lineitem_selfjoin_partkey', exact, est
+        |  FROM exs CROSS JOIN ests)
+        |SELECT join_name, exact, est,
+        |  round(CAST(est AS DOUBLE) / exact, 6) AS inflation
+        |FROM u ORDER BY join_name""".stripMargin,
+
     "q_bloom_filter" ->
       """WITH t AS (
         |  SELECT doc_id,
