@@ -863,7 +863,42 @@ object CorpusOps extends QueryPack {
       .orderBy($"r")
   }
 
+  // ---- q_readability -----------------------------------------------------
+  /** Flesch reading ease + Flesch–Kincaid grade level per source
+    * (Flesch '48; Kincaid '75) — the classic difficulty axis a
+    * curriculum/mixture policy reads beside quality scores (q_curriculum
+    * buckets by a difficulty proxy; this is the standard one). Counts
+    * per doc: whitespace words, sentence-ending punctuation runs
+    * ([.!?]+), and vowel-group syllable approximations ([aeiouy]+ runs,
+    * the usual regex heuristic — exact syllabification needs a
+    * dictionary). All three are exact integers summed per source, so
+    * the two closed-form scores are one shared double formula over
+    * exact sums — nothing floats until the last expression. */
+  def qReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.df(spark, sfDir, "documents")
+      .select($"source",
+        size(TextFunctions.tokens($"text")).cast("long").as("w"),
+        size(regexp_extract_all($"text", lit("[.!?]+"), lit(0)))
+          .cast("long").as("s"),
+        size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("y"))
+    val g = d.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"w").as("words"), sum($"s").as("sentences"),
+      sum($"y").as("syllables"))
+    val wps = $"words".cast("double") / greatest($"sentences", lit(1L))
+    val spw = $"syllables".cast("double") / greatest($"words", lit(1L))
+    g.select($"source", $"n_docs", $"words", $"sentences", $"syllables",
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+        .as("flesch_ease"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+        .as("fk_grade"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> qReadability,
     "q_good_turing" -> qGoodTuring,
     "q_llr_colloc" -> qLlrColloc,
     "q_mattr" -> qMattr,
@@ -956,6 +991,31 @@ object CorpusOps extends QueryPack {
       |      FROM documents CROSS JOIN mx)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same integer word/sentence/vowel-run counts, same one-shot formula
+    "q_readability" ->
+      s"""WITH d AS (
+        |  SELECT source,
+        |    CAST(len($toksSql) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS words,
+        |    CAST(sum(s) AS BIGINT) AS sentences,
+        |    CAST(sum(y) AS BIGINT) AS syllables
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, words, sentences, syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(words AS DOUBLE) / greatest(sentences, 1))
+        |    - 84.6 * (CAST(syllables AS DOUBLE) / greatest(words, 1)), 4)
+        |    AS flesch_ease,
+        |  round(0.39 * (CAST(words AS DOUBLE) / greatest(sentences, 1))
+        |    + 11.8 * (CAST(syllables AS DOUBLE) / greatest(words, 1))
+        |    - 15.59, 4) AS fk_grade
+        |FROM g ORDER BY source""".stripMargin,
+
     // same frequency-of-frequencies ladder, same NULL on N_{r+1} gaps,
     // same left-to-right double chain
     "q_good_turing" ->

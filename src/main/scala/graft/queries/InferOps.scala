@@ -234,12 +234,50 @@ object InferOps extends QueryPack {
       $"dd".as("discordant"), round(tau, 6).as("tau_b"))
   }
 
+  // ---- q_kappa -----------------------------------------------------------
+  /** Cohen's κ inter-annotator agreement (Cohen '60) between two cheap
+    * document labelers — the QA statistic a labeling pipeline computes
+    * before trusting ANY annotation source, here priced on two heuristic
+    * quality raters (length ≥ 20 tokens vs stopword ratio ≥ 0.1, the
+    * q_quality feature family): κ = (p_o − p_e)/(1 − p_e) corrects raw
+    * agreement for the agreement two independent raters would reach by
+    * chance. One scan → one 4-cell conditional aggregate; the rater
+    * thresholds compare UNROUNDED ratios (identical IEEE division in
+    * both engines — rounding first would manufacture half-way
+    * boundaries). Perfect-chance degenerate case (p_e = 1) → NULL κ. */
+  def qKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokens($"text")
+    val stops = Seq("the", "a", "is", "and", "of", "to", "in", "that", "it")
+    val stopRaw = size(filter(toks,
+      t => array_contains(array(stops.map(lit): _*), t))).cast("double")
+      ./(greatest(size(toks), lit(1)))
+    val labeled = Tables.df(spark, sfDir, "documents")
+      .select((size(toks) >= 20).as("a"), (stopRaw >= 0.1).as("b"))
+    val s = labeled.agg(
+      sum(when($"a" && $"b", 1L).otherwise(0L)).as("n11"),
+      sum(when($"a" && !$"b", 1L).otherwise(0L)).as("n10"),
+      sum(when(!$"a" && $"b", 1L).otherwise(0L)).as("n01"),
+      sum(when(!$"a" && !$"b", 1L).otherwise(0L)).as("n00"))
+    val n = ($"n11" + $"n10" + $"n01" + $"n00").cast("double")
+    val po = ($"n11" + $"n00").cast("double") / n
+    val pe = (($"n11" + $"n10").cast("double") / n)
+      .multiply(($"n11" + $"n01").cast("double") / n)
+      .plus((($"n01" + $"n00").cast("double") / n)
+        .multiply(($"n10" + $"n00").cast("double") / n))
+    s.select($"n11", $"n10", $"n01", $"n00",
+      round(po, 6).as("p_observed"), round(pe, 6).as("p_expected"),
+      round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_welch_ttest" -> qWelchTtest,
     "q_mann_whitney" -> qMannWhitney,
     "q_anova" -> qAnova,
     "q_spearman" -> qSpearman,
-    "q_kendall" -> qKendall
+    "q_kendall" -> qKendall,
+    "q_kappa" -> qKappa
   )
 
   val oracle: Map[String, String] = Map(
@@ -398,6 +436,47 @@ object InferOps extends QueryPack {
         |SELECT n,
         |  round(CASE WHEN vx > 0.0 AND vy > 0.0 THEN
         |    cov / (sqrt(vx) * sqrt(vy)) END, 6) AS spearman_rho
+        |FROM f""".stripMargin,
+
+    "q_kappa" ->
+      """WITH toks AS (
+        |  SELECT
+        |    list_filter(string_split(lower(text), ' '), x -> x != '') AS T
+        |  FROM documents),
+        |lab AS (
+        |  SELECT len(T) >= 20 AS a,
+        |    CAST(len(list_filter(T, x -> list_contains(
+        |      ['the','a','is','and','of','to','in','that','it'], x)))
+        |      AS DOUBLE) / greatest(len(T), 1) >= 0.1 AS b
+        |  FROM toks),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM lab),
+        |f AS (
+        |  SELECT n11, n10, n01, n00,
+        |    CAST(n11 + n00 AS DOUBLE)
+        |      / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+        |    (CAST(n11 + n10 AS DOUBLE)
+        |        / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |      * (CAST(n11 + n01 AS DOUBLE)
+        |        / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |    + (CAST(n01 + n00 AS DOUBLE)
+        |        / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |      * (CAST(n10 + n00 AS DOUBLE)
+        |        / CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS pe
+        |  FROM s)
+        |SELECT n11, n10, n01, n00,
+        |  round(po, 6) AS p_observed, round(pe, 6) AS p_expected,
+        |  round(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 6)
+        |    AS kappa
         |FROM f""".stripMargin,
 
     "q_kendall" ->

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -280,7 +280,170 @@ object LearnOps extends QueryPack {
       .orderBy($"decile".desc)
   }
 
+  // ---- q_auc -------------------------------------------------------------
+  /** ROC AUC of a frozen daily purchase-propensity score via the
+    * rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻), the
+    * threshold-free member of the [[qGains]]/[[qCalibration]] eval
+    * family (Hand & Till '01 formulation; ties get average ranks, so
+    * heavily-tied discrete scores are handled exactly, equivalent to
+    * trapezoidal ROC integration). Unit = the USER-DAY (the q_abtest
+    * convention: lifetime conversion saturates at 1.0 on this horizon,
+    * leaving no negative class); score = a frozen logistic over the
+    * day's event count. Ranks use the InferOps integer trick on the
+    * score-GROUPED relation (2R is an integer; |distinct scores| rows,
+    * never a corpus sort), so everything is exact integer arithmetic
+    * until the one final division. */
+  def qAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      .select($"y", round(lit(1.0)
+        / (lit(1.0) + exp((lit(3.0) - $"n_ev") / lit(2.0))), 6).as("p"))
+    val g = scored.groupBy($"p").agg(
+      sum($"y").as("np"), count(lit(1)).as("nv"))
+    val w = Window.orderBy($"p").rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cumlt", coalesce(sum($"nv").over(w), lit(0L)))
+    val s = r.agg(sum($"np").as("n1"), sum($"nv").as("n"),
+      sum($"np" * (lit(2L) * $"cumlt" + $"nv" + lit(1L))).as("rp2"))
+    val n0 = $"n" - $"n1"
+    // 2·(R+ - n1(n1+1)/2) as an exact integer, halved once at the end
+    val a2 = $"rp2" - $"n1" * ($"n1" + lit(1L))
+    val auc = when($"n1" > 0 && n0 > 0,
+      a2.cast("double") / (lit(2.0) * $"n1" * n0))
+    s.select($"n1".as("n_pos"), n0.as("n_neg"),
+      round(auc, 6).as("auc"),
+      round(lit(2.0) * auc - lit(1.0), 6).as("gini"))
+  }
+
+  // ---- q_ridge -----------------------------------------------------------
+  /** Closed-form ridge regression (Hoerl & Kennard '70) predicting an
+    * order's total price from its line count and summed quantity — the
+    * "fit a tiny linear probe on warehouse features" step, solved
+    * exactly in-plan: raw moments are exact integer/decimal sums (the
+    * one corpus pass), centered second moments derive from them, and
+    * the 2×2 regularized normal equations solve by Cramer's rule in one
+    * shared double formula — no iteration, no solver, merge-safe at any
+    * scale. λ = 10 on the centered system; intercept recovered from the
+    * means. Reports coefficients and the explained-variance fraction. */
+  def qRidge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val per = Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("x1"),
+        sum($"l_quantity".cast("long")).as("x2"))
+      .join(Tables.df(spark, sfDir, "orders")
+        .select($"o_orderkey".as("l_orderkey"),
+          $"o_totalprice".cast(dec2).as("yv")), "l_orderkey")
+    val s = per.agg(count(lit(1)).as("n"),
+      sum($"x1").as("sx"), sum($"x2").as("sy0"),
+      sum($"x1" * $"x1").as("sxx"), sum($"x2" * $"x2").as("syy"),
+      sum($"x1" * $"x2").as("sxy"),
+      sum($"yv").as("st"),
+      sum($"yv" * $"x1").as("sxt"),
+      sum($"yv" * $"x2").as("syt"),
+      sum($"yv" * $"yv").as("stt"))
+    val nd = $"n".cast("double")
+    def c(raw: Column, a: Column, b: Column): Column =
+      raw.cast("double") - a.cast("double") * b.cast("double") / nd
+    val cxx = c($"sxx", $"sx", $"sx") + lit(10.0)
+    val cyy = c($"syy", $"sy0", $"sy0") + lit(10.0)
+    val cxy = c($"sxy", $"sx", $"sy0")
+    val cxt = c($"sxt", $"sx", $"st")
+    val cyt = c($"syt", $"sy0", $"st")
+    val ctt = c($"stt", $"st", $"st")
+    val det = cxx * cyy - cxy * cxy
+    val w1 = (cxt * cyy - cxy * cyt) / det
+    val w2 = (cxx * cyt - cxy * cxt) / det
+    val b0 = ($"st".cast("double") / nd
+      - w1 * ($"sx".cast("double") / nd)
+      - w2 * ($"sy0".cast("double") / nd))
+    s.select($"n", round(w1, 6).as("w_lines"),
+      round(w2, 6).as("w_qty"), round(b0, 4).as("intercept"),
+      round((w1 * cxt + w2 * cyt) / ctt, 6).as("explained_frac"))
+  }
+
+  // ---- q_logreg ----------------------------------------------------------
+  /** Logistic regression trained IN-PLAN by three full-batch gradient
+    * steps — the fasttext-style "train a cheap linear quality/domain
+    * filter on warehouse features" step, with the whole training loop
+    * expressed as relational algebra: each step is one crossJoin of the
+    * feature relation against the broadcast 1-row weight relation plus
+    * one gradient aggregate, so an epoch costs exactly one corpus pass
+    * with map-side partials at any scale (this is batch GD's defining
+    * advantage over SGD in a warehouse: no per-row state, no ordering).
+    * Predicts lang='en' from two standardized features (token count,
+    * stopword ratio); lr = 1, w₀ = 0.
+    *
+    * Determinism: standardization moments are exact sums; z-scores are
+    * shared double formulas over them; each gradient TERM rounds to
+    * DECIMAL(18,9) before its sum (exact, order-independent), so the
+    * weight trajectory is bit-reproducible in both engines (libm exp
+    * sits behind a 9-digit round, the established boundary discipline).
+    * Training accuracy uses the sign of the final margin — no sigmoid,
+    * no rounding, an integer-exact decision. */
+  def qLogreg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val dec9 = DecimalType(18, 9)
+    val toks = TextFunctions.tokens($"text")
+    val stops = Seq("the", "a", "is", "and", "of", "to", "in", "that", "it")
+    val stopRaw = size(filter(toks,
+      t => array_contains(array(stops.map(lit): _*), t))).cast("double")
+      ./(greatest(size(toks), lit(1)))
+    val base = Tables.df(spark, sfDir, "documents")
+      .select(($"lang" === "en").cast("long").as("y"),
+        size(toks).cast("long").as("x1"),
+        round(stopRaw, 6).cast(dec6).as("x2"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum($"x1").as("s1"), sum($"x1" * $"x1").as("s11"),
+      sum($"x2").as("s2"),
+      sum(round($"x2".cast("double") * $"x2".cast("double"), 9)
+        .cast(dec9)).as("s22"))
+    val nd = $"n".cast("double")
+    val mu1 = $"s1".cast("double") / nd
+    val sd1 = sqrt($"s11".cast("double") / nd - mu1 * mu1)
+    val mu2 = $"s2".cast("double") / nd
+    val sd2 = sqrt($"s22".cast("double") / nd - mu2 * mu2)
+    // user-thin at any corpus size after the moment pass; checkpointed so
+    // the 3 gradient passes + the scoring pass re-read, not re-derive
+    val feats = base.crossJoin(broadcast(stats))
+      .select($"y", (($"x1".cast("double") - mu1) / sd1).as("z1"),
+        (($"x2".cast("double") - mu2) / sd2).as("z2"), $"n")
+      .localCheckpoint()
+    var w = spark.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
+      lit(0.0).as("w2"))
+    for (_ <- 1 to 3) {
+      val j = feats.crossJoin(broadcast(w))
+      val p = lit(1.0) / (lit(1.0)
+        + exp(-($"w0" + $"w1" * $"z1" + $"w2" * $"z2")))
+      val g = j.agg(
+        max($"n").as("n"), max($"w0").as("pw0"), max($"w1").as("pw1"),
+        max($"w2").as("pw2"),
+        sum(round(p - $"y", 9).cast(dec9)).as("t0"),
+        sum(round((p - $"y") * $"z1", 9).cast(dec9)).as("t1"),
+        sum(round((p - $"y") * $"z2", 9).cast(dec9)).as("t2"))
+      w = g.select(
+        ($"pw0" - $"t0".cast("double") / $"n").as("w0"),
+        ($"pw1" - $"t1".cast("double") / $"n").as("w1"),
+        ($"pw2" - $"t2".cast("double") / $"n").as("w2"))
+    }
+    feats.crossJoin(broadcast(w))
+      .select($"y", $"n", $"w0", $"w1", $"w2",
+        ($"w0" + $"w1" * $"z1" + $"w2" * $"z2").as("m"))
+      .groupBy($"n", $"w0", $"w1", $"w2")
+      .agg(sum(when(($"m" >= 0) === ($"y" === 1), 1L).otherwise(0L))
+        .as("correct"))
+      .select($"n", round($"w0", 6).as("w_bias"),
+        round($"w1", 6).as("w_ntok"), round($"w2", 6).as("w_stop"),
+        round($"correct".cast("double") / $"n", 6).as("train_acc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_logreg" -> qLogreg,
+    "q_auc" -> qAuc,
+    "q_ridge" -> qRidge,
     "q_gains" -> qGains,
     "q_pref_pairs" -> qPrefPairs,
     "q_bradley_terry" -> qBradleyTerry,
@@ -326,7 +489,154 @@ object LearnOps extends QueryPack {
       |      CAST(length(text) AS INT) AS n_chars
       |    FROM documents))""".stripMargin
 
+  /** The q_logreg oracle: the same three GD steps unrolled as CTEs —
+    * generated so the per-step formula text literally cannot drift
+    * between iterations. Shapes mirror the Spark plan operator-for-
+    * operator (9-digit rounds on gradient terms, max() weight
+    * carry-through, sign-of-margin accuracy). */
+  private def logregOracle: String = {
+    val toksS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+    def std(xc: String, sc: String, ssc: String) =
+      s"""(CAST($xc AS DOUBLE) - CAST($sc AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / sqrt(CAST($ssc AS DOUBLE) / CAST(n AS DOUBLE)
+         |        - (CAST($sc AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (CAST($sc AS DOUBLE) / CAST(n AS DOUBLE)))""".stripMargin
+    def step(k: Int): String = {
+      val (w0, w1, w2) =
+        if (k == 1) ("0.0", "0.0", "0.0") else ("w.w0", "w.w1", "w.w2")
+      val from = if (k == 1) "feats f" else s"feats f CROSS JOIN w${k - 1} w"
+      val p = s"1.0 / (1.0 + exp(-($w0 + $w1 * f.z1 + $w2 * f.z2)))"
+      s"""g$k AS (
+         |  SELECT max(f.n) AS n, max($w0) AS pw0, max($w1) AS pw1,
+         |    max($w2) AS pw2,
+         |    sum(CAST(round($p - f.y, 9) AS DECIMAL(18,9))) AS t0,
+         |    sum(CAST(round(($p - f.y) * f.z1, 9) AS DECIMAL(18,9)))
+         |      AS t1,
+         |    sum(CAST(round(($p - f.y) * f.z2, 9) AS DECIMAL(18,9)))
+         |      AS t2
+         |  FROM $from),
+         |w$k AS (
+         |  SELECT pw0 - CAST(t0 AS DOUBLE) / n AS w0,
+         |    pw1 - CAST(t1 AS DOUBLE) / n AS w1,
+         |    pw2 - CAST(t2 AS DOUBLE) / n AS w2
+         |  FROM g$k)""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CAST(len(T) AS BIGINT) AS x1,
+       |    CAST(round(CAST(len(list_filter(T, x -> list_contains(
+       |      ['the','a','is','and','of','to','in','that','it'], x)))
+       |      AS DOUBLE) / greatest(len(T), 1), 6) AS DECIMAL(18,6)) AS x2
+       |  FROM (SELECT lang, $toksS AS T FROM documents)),
+       |stats AS (
+       |  SELECT count(*) AS n, CAST(sum(x1) AS BIGINT) AS s1,
+       |    CAST(sum(x1 * x1) AS BIGINT) AS s11, sum(x2) AS s2,
+       |    sum(CAST(round(CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE), 9)
+       |      AS DECIMAL(18,9))) AS s22
+       |  FROM base),
+       |feats AS (
+       |  SELECT y,
+       |    ${std("x1", "s1", "s11")} AS z1,
+       |    ${std("x2", "s2", "s22")} AS z2,
+       |    n
+       |  FROM base CROSS JOIN stats),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       |sc AS (
+       |  SELECT f.y, f.n, w.w0, w.w1, w.w2,
+       |    w.w0 + w.w1 * f.z1 + w.w2 * f.z2 AS m
+       |  FROM feats f CROSS JOIN w3 w),
+       |a AS (
+       |  SELECT n, w0, w1, w2,
+       |    CAST(sum(CASE WHEN (m >= 0) = (y = 1) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS correct
+       |  FROM sc GROUP BY n, w0, w1, w2)
+       |SELECT n, round(w0, 6) AS w_bias, round(w1, 6) AS w_ntok,
+       |  round(w2, 6) AS w_stop,
+       |  round(CAST(correct AS DOUBLE) / n, 6) AS train_acc
+       |FROM a""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_logreg" -> logregOracle,
+
+    // q_gains' frozen score; 2R integer rank trick on the score-grouped
+    // relation, halved once in the final division
+    "q_auc" ->
+      s"""WITH d AS (
+        |  SELECT max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS y,
+        |    round(1.0 / (1.0 + exp((3.0 - count(*)) / 2.0)), 6) AS p
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |g AS (
+        |  SELECT p, CAST(sum(y) AS BIGINT) AS np, count(*) AS nv
+        |  FROM d GROUP BY p),
+        |r AS (
+        |  SELECT np, nv,
+        |    COALESCE(SUM(nv) OVER (ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumlt
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n1,
+        |    CAST(sum(nv) AS BIGINT) AS n,
+        |    CAST(sum(np * (2 * cumlt + nv + 1)) AS BIGINT) AS rp2
+        |  FROM r),
+        |f AS (
+        |  SELECT n1, n - n1 AS n0, rp2 - n1 * (n1 + 1) AS a2 FROM s)
+        |SELECT n1 AS n_pos, n0 AS n_neg,
+        |  round(CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |    CAST(a2 AS DOUBLE) / (2.0 * n1 * n0) END, 6) AS auc,
+        |  round(2.0 * (CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |    CAST(a2 AS DOUBLE) / (2.0 * n1 * n0) END) - 1.0, 6) AS gini
+        |FROM f""".stripMargin,
+
+    // same raw exact moments, same centered Cramer solve
+    "q_ridge" ->
+      """WITH per AS (
+        |  SELECT l.l_orderkey, count(*) AS x1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2,
+        |    CAST(any_value(o.o_totalprice) AS DECIMAL(18,2)) AS yv
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY l.l_orderkey),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS sx, CAST(sum(x2) AS BIGINT) AS sy0,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS sxx,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS syy,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS sxy,
+        |    sum(yv) AS st, sum(yv * x1) AS sxt, sum(yv * x2) AS syt,
+        |    sum(yv * yv) AS stt
+        |  FROM per),
+        |m AS (
+        |  SELECT n, sx, sy0, st,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE) + 10.0 AS cxx,
+        |    CAST(syy AS DOUBLE) - CAST(sy0 AS DOUBLE)
+        |      * CAST(sy0 AS DOUBLE) / CAST(n AS DOUBLE) + 10.0 AS cyy,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy0 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cxy,
+        |    CAST(sxt AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cxt,
+        |    CAST(syt AS DOUBLE) - CAST(sy0 AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cyt,
+        |    CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ctt
+        |  FROM s),
+        |w AS (
+        |  SELECT n, sx, sy0, st, cxt, cyt, ctt,
+        |    (cxt * cyy - cxy * cyt) / (cxx * cyy - cxy * cxy) AS w1,
+        |    (cxx * cyt - cxy * cxt) / (cxx * cyy - cxy * cxy) AS w2
+        |  FROM m)
+        |SELECT n, round(w1, 6) AS w_lines, round(w2, 6) AS w_qty,
+        |  round(CAST(st AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - w1 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    - w2 * (CAST(sy0 AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+        |      AS intercept,
+        |  round((w1 * cxt + w2 * cyt) / ctt, 6) AS explained_frac
+        |FROM w""".stripMargin,
+
     // same frozen score, same rounded percentile cuts, same top-down
     // cumulative capture over the decile relation
     "q_gains" ->
