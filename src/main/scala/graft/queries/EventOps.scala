@@ -340,6 +340,92 @@ object EventOps extends QueryPack {
       .orderBy($"event_type")
   }
 
+  // ---- q_seq_mining ------------------------------------------------------
+  /** Frequent contiguous 3-step sequential patterns over user event
+    * histories (the sequence-database support convention of PrefixSpan,
+    * Pei et al. '01, restricted to contiguous occurrences so the scan
+    * is one window pass): each (a→b→c) pattern reports its support
+    * (distinct USERS whose history contains it — a sequence counts
+    * once however often it repeats the pattern), confidence against
+    * its (a→b) prefix, and user coverage — where [[qMarkovChain]]
+    * gives memoryless transition probabilities, this measures which
+    * second-order paths actually recur across the population. (The
+    * 10-minute session grain of q_journeys is deliberately NOT the
+    * unit here: this fixture's users average one event per several
+    * hours, so sessions are near-singletons and every ≥3-step pattern
+    * would be support-1.)
+    *
+    * Scale shape: one 2-step lead pass (user-keyed window), then
+    * everything is the types³-thin pattern relation: distinct-per-user,
+    * two counts, a broadcast prefix join, and a distributed top-20. */
+  def qSeqMining(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val led = Tables.df(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("b", lead($"event_type", 1).over(w))
+      .withColumn("c", lead($"event_type", 2).over(w))
+      .localCheckpoint() // one window pass shared by both supports
+    val triSup = led.filter($"c".isNotNull)
+      .select($"user_id", $"event_type".as("a"), $"b", $"c")
+      .distinct()
+      .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("support"))
+    val biSup = led.filter($"b".isNotNull)
+      .select($"user_id", $"event_type".as("a"), $"b")
+      .distinct()
+      .groupBy($"a", $"b").agg(count(lit(1)).as("sup_ab"))
+    val nUsers = led.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    triSup.filter($"support" >= 5)
+      .join(broadcast(biSup), Seq("a", "b"))
+      .crossJoin(broadcast(nUsers))
+      .select($"a", $"b", $"c", $"support",
+        round($"support".cast("double") / $"sup_ab", 6).as("confidence"),
+        round($"support".cast("double") / $"n_users", 6).as("coverage"))
+      .orderBy($"support".desc, $"a", $"b", $"c")
+      .limit(20)
+  }
+
+  // ---- q_interarrival ----------------------------------------------------
+  /** Per-event-type interarrival fit — the Poissonness check behind
+    * capacity planning and anomaly thresholds: per (user, type) stream,
+    * the gaps between consecutive events (exact microsecond integers),
+    * their exponential-MLE rate λ̂ = 1/mean, and the coefficient of
+    * variation (a Poisson process has CV = 1; CV ≫ 1 is burstiness, the
+    * same diagnosis q_burstiness makes for term counts). All moments
+    * are exact integer sums of microsecond gaps; mean/CV/λ are one
+    * shared double formula. Shape: one user/type-keyed window pass →
+    * a types-thin aggregate. */
+  def qInterarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val gaps = Tables.df(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"event_id", $"ts")
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"event_type",
+        (unix_micros($"ts".cast("timestamp"))
+          - unix_micros($"prev".cast("timestamp"))).as("g"))
+    // g² would overflow BIGINT at ~day-scale microsecond gaps — the
+    // squares multiply and sum as DECIMAL(38,0), exact at any horizon
+    val dec38 = DecimalType(38, 0)
+    val s = gaps.groupBy($"event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      sum($"g").as("sg"),
+      sum($"g".cast(dec38) * $"g".cast(dec38)).as("sgg"))
+    val nd = $"n_gaps".cast("double")
+    val mean = $"sg".cast("double") / nd
+    val varg = $"sgg".cast("double") / nd - mean * mean
+    val cv = sqrt(varg) / mean
+    s.select($"event_type", $"n_gaps",
+      round(mean / 1000000.0, 3).as("mean_gap_s"),
+      round(cv, 6).as("cv"),
+      round(lit(3600.0 * 1000000.0) / mean, 4).as("rate_per_hour"),
+      (cv > 1.2).as("bursty"))
+      .orderBy($"event_type")
+  }
+
   // ---- q_journeys --------------------------------------------------------
   /** Session journey mining — the top-25 most common event-type paths
     * through a visit (the "what do users actually do" report behind
@@ -1237,6 +1323,8 @@ object EventOps extends QueryPack {
     "q_ltv" -> qLtv,
     "q_offline_eval" -> qOfflineEval,
     "q_abtest" -> qAbtest,
+    "q_seq_mining" -> qSeqMining,
+    "q_interarrival" -> qInterarrival,
     "q_funnel_sessions" -> qFunnelSessions,
     "q_journeys" -> qJourneys,
     "q_split_temporal" -> qSplitTemporal,
@@ -1961,6 +2049,66 @@ object EventOps extends QueryPack {
 
     // same gaps-and-islands sessionization, (ts, event_id)-tie-safe;
     // string_agg with an explicit ORDER BY mirrors the sorted-struct fold
+    // same 2-step lead pass over (ts, event_id)-ordered user histories;
+    // distinct-per-user supports; top-20 with the full total order
+    "q_seq_mining" ->
+      """WITH led AS (
+        |  SELECT user_id, event_type AS a,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS c
+        |  FROM events),
+        |tri AS (
+        |  SELECT a, b, c, count(*) AS support FROM (
+        |    SELECT DISTINCT user_id, a, b, c FROM led
+        |    WHERE c IS NOT NULL)
+        |  GROUP BY 1, 2, 3),
+        |bi AS (
+        |  SELECT a, b, count(*) AS sup_ab FROM (
+        |    SELECT DISTINCT user_id, a, b FROM led
+        |    WHERE b IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |nu AS (
+        |  SELECT count(*) AS n_users FROM (
+        |    SELECT DISTINCT user_id FROM led))
+        |SELECT a, b, c, support,
+        |  round(CAST(support AS DOUBLE) / sup_ab, 6) AS confidence,
+        |  round(CAST(support AS DOUBLE) / n_users, 6) AS coverage
+        |FROM tri JOIN bi USING (a, b) CROSS JOIN nu
+        |WHERE support >= 5
+        |ORDER BY support DESC, a, b, c LIMIT 20""".stripMargin,
+
+    // exact microsecond-integer gap moments; decimal squares (BIGINT
+    // would overflow at day-scale gaps); one shared closed form
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |      AS g
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sg,
+        |    sum(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0)))
+        |      AS sgg
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n_gaps,
+        |    CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+        |    sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |      - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |        * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS cv
+        |  FROM s)
+        |SELECT event_type, n_gaps,
+        |  round(mean / 1000000.0, 3) AS mean_gap_s,
+        |  round(cv, 6) AS cv,
+        |  round(3600.0 * 1000000.0 / mean, 4) AS rate_per_hour,
+        |  cv > 1.2 AS bursty
+        |FROM f ORDER BY event_type""".stripMargin,
+
     "q_journeys" ->
       """WITH l AS (
         |  SELECT user_id, event_id, event_type, ts,

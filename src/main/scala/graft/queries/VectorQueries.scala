@@ -344,6 +344,86 @@ object VectorQueries extends QueryPack {
     annMd5Pairs(spark, sfDir).orderBy($"id1", $"id2")
   }
 
+  // ---- q_ann_rerank ------------------------------------------------------
+  /** The full ANN SERVING chain — md5-LSH candidate generation +
+    * exact-cosine rerank to top-3 per query — under the hash oracle:
+    * this is the query-time shape q_ann_knn benches (candidates from
+    * the index, rerank by true similarity), built on [[annMd5Pairs]]'s
+    * engine-portable hyperplane discipline so the whole chain is
+    * oracle-checked end to end (the MLlib-backed q_ann_lsh/q_ann_knn
+    * variants stay rows-only by necessity — their bucket boundaries are
+    * engine-private). Queries = the id%10 decile of the indexed subset;
+    * rank ties break on (sim desc, nid asc) in both engines.
+    * Scale: candidates arrive pre-bucketed from the banded equi-join;
+    * the rerank window partitions by query — no all-pairs anywhere. */
+  def qAnnRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // checkpointed: both direction-arms below read the same pair list
+    val pairs = annMd5Pairs(spark, sfDir).localCheckpoint()
+    val cands = pairs.filter($"id1" % 10 === 0)
+      .select($"id1".as("qid"), $"id2".as("nid"), $"sim")
+      .unionAll(pairs.filter($"id2" % 10 === 0)
+        .select($"id2".as("qid"), $"id1".as("nid"), $"sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sim".desc, $"nid".asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"nid", $"sim")
+      .orderBy($"qid", $"rank")
+  }
+
+  // ---- q_matryoshka ------------------------------------------------------
+  /** Matryoshka dimension-truncation evaluation (Kusupati et al. '22):
+    * recall@10 of cosine top-k computed on the first 16 and 32 of 64
+    * dimensions against the full-dimension truth — the report that
+    * prices "store/search a prefix of the embedding" before an index
+    * chooses a cheaper dimensionality (MRL-trained models concentrate
+    * signal in the prefix; this measures how much THIS embedding table
+    * does). Same brute-force envelope as [[qKnnCosine]] (broadcast
+    * query decile against the partitioned corpus, one pair pass
+    * computing all three similarities, three per-query rank windows) —
+    * an evaluation op prices its own ground truth, the q_ann_eval
+    * precedent. */
+  def qMatryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val pairs = emb.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(expr("cosine_similarity(qv, embedding)"), 6).as("sim64"),
+        round(expr(
+          "cosine_similarity(slice(qv, 1, 16), slice(embedding, 1, 16))"),
+          6).as("sim16"),
+        round(expr(
+          "cosine_similarity(slice(qv, 1, 32), slice(embedding, 1, 32))"),
+          6).as("sim32"))
+      .localCheckpoint() // feeds the three rank windows
+    def topk(c: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy(col(c).desc, $"vec_id".asc)
+      pairs.withColumn("r", row_number().over(w)).filter($"r" <= 10)
+        .select($"qid", $"vec_id")
+    }
+    val full = topk("sim64")
+    def recallRow(dims: Int, t: DataFrame): DataFrame = {
+      val hits = full.join(t, Seq("qid", "vec_id"))
+        .groupBy($"qid").agg(count(lit(1)).as("hit"))
+      q.select($"qid").join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("hit"))
+        .agg(count(lit(1)).as("n_queries"), sum($"hit").as("sh"),
+          min($"hit").as("mn"))
+        .select(lit(dims).as("dims"), $"n_queries",
+          round($"sh".cast("double") / (lit(10.0) * $"n_queries"), 6)
+            .as("mean_recall"),
+          round($"mn".cast("double") / 10.0, 6).as("min_recall"))
+    }
+    recallRow(16, topk("sim16"))
+      .unionAll(recallRow(32, topk("sim32")))
+      .orderBy($"dims")
+  }
+
   /** The md5-deterministic LSH pair list (id1, id2, sim ≥ 0.25) backing
     * [[qAnnMd5]] and evaluated against exact truth by [[qAnnEval]]. */
   private[graft] def annMd5Pairs(spark: SparkSession, sfDir: String)
@@ -819,6 +899,8 @@ object VectorQueries extends QueryPack {
     "q_standardize" -> qStandardize,
     "q_lof" -> qLof,
     "q_ann_md5" -> qAnnMd5,
+    "q_ann_rerank" -> qAnnRerank,
+    "q_matryoshka" -> qMatryoshka,
     "q_ann_eval" -> qAnnEval,
     "q_embed_health" -> qEmbedHealth,
     "q_knn_cosine" -> qKnnCosine,
@@ -1139,6 +1221,69 @@ object VectorQueries extends QueryPack {
       (annMd5CtesSql + """
         |SELECT id1, id2, sim FROM ann
         |ORDER BY id1, id2""".stripMargin),
+
+    // the same LSH chain + the serving-time rerank: union both pair
+    // directions for the query decile, rank on (sim desc, nid)
+    "q_ann_rerank" ->
+      (annMd5CtesSql + """,
+        |cands AS (
+        |  SELECT id1 AS qid, id2 AS nid, sim FROM ann WHERE id1 % 10 = 0
+        |  UNION ALL
+        |  SELECT id2 AS qid, id1 AS nid, sim FROM ann WHERE id2 % 10 = 0)
+        |SELECT qid, r AS rank, nid, sim FROM (
+        |  SELECT qid, nid, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, nid) AS r
+        |  FROM cands)
+        |WHERE r <= 3 ORDER BY qid, rank""".stripMargin),
+
+    // same brute-force pair pass with all three similarity widths, same
+    // rank windows, per-query hit counts left-joined so zero-recall
+    // queries count
+    "q_matryoshka" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |p AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])), 6) AS sim64,
+        |    round(list_cosine_similarity((CAST(q.qv AS DOUBLE[]))[1:16],
+        |      (CAST(e.embedding AS DOUBLE[]))[1:16]), 6) AS sim16,
+        |    round(list_cosine_similarity((CAST(q.qv AS DOUBLE[]))[1:32],
+        |      (CAST(e.embedding AS DOUBLE[]))[1:32]), 6) AS sim32
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid),
+        |f AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim64 DESC, vec_id) AS r FROM p)
+        |  WHERE r <= 10),
+        |t16 AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim16 DESC, vec_id) AS r FROM p)
+        |  WHERE r <= 10),
+        |t32 AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim32 DESC, vec_id) AS r FROM p)
+        |  WHERE r <= 10),
+        |h16 AS (SELECT f.qid, count(*) AS hit FROM f
+        |  JOIN t16 USING (qid, vec_id) GROUP BY f.qid),
+        |h32 AS (SELECT f.qid, count(*) AS hit FROM f
+        |  JOIN t32 USING (qid, vec_id) GROUP BY f.qid),
+        |r16 AS (SELECT q.qid, COALESCE(h.hit, 0) AS hit
+        |  FROM q LEFT JOIN h16 h USING (qid)),
+        |r32 AS (SELECT q.qid, COALESCE(h.hit, 0) AS hit
+        |  FROM q LEFT JOIN h32 h USING (qid)),
+        |a16 AS (SELECT 16 AS dims, count(*) AS n_queries,
+        |  round(CAST(sum(hit) AS DOUBLE) / (10.0 * count(*)), 6)
+        |    AS mean_recall,
+        |  round(CAST(min(hit) AS DOUBLE) / 10.0, 6) AS min_recall
+        |  FROM r16),
+        |a32 AS (SELECT 32 AS dims, count(*) AS n_queries,
+        |  round(CAST(sum(hit) AS DOUBLE) / (10.0 * count(*)), 6)
+        |    AS mean_recall,
+        |  round(CAST(min(hit) AS DOUBLE) / 10.0, 6) AS min_recall
+        |  FROM r32)
+        |SELECT * FROM a16 UNION ALL SELECT * FROM a32
+        |ORDER BY dims""".stripMargin,
 
     "q_embed_health" ->
       """WITH d AS (
