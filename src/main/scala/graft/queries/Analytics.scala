@@ -269,7 +269,37 @@ object Analytics extends QueryPack {
       .limit(100)
   }
 
+  // ---- q_stickiness ------------------------------------------------------
+  /** DAU / WAU / MAU engagement curves with the DAU/MAU stickiness
+    * ratio per day — the standing product-health dashboard beside
+    * [[qRetention]]'s cohort view. One widest-window (28-day) range
+    * join against the day spine computes all three distinct-user
+    * counts as conditional COUNT(DISTINCT CASE …) in a single
+    * aggregate. Scale shape: the corpus reduces FIRST to the distinct
+    * (user, day) relation (the q_retention move); the spine is
+    * |days| rows and broadcasts, so the range join's output is
+    * |days| × avg-active-users — bounded by the activity relation, not
+    * the event log. */
+  def qStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.df(spark, sfDir, "events")
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+      .localCheckpoint() // feeds spine + the range join
+    val spine = ud.select($"d".as("day")).distinct()
+    broadcast(spine).join(ud, datediff($"day", $"d").between(0, 27))
+      .groupBy($"day").agg(
+        countDistinct(when(datediff($"day", $"d") === 0, $"user_id"))
+          .as("dau"),
+        countDistinct(when(datediff($"day", $"d") <= 6, $"user_id"))
+          .as("wau"),
+        countDistinct($"user_id").as("mau"))
+      .select($"day", $"dau", $"wau", $"mau",
+        round($"dau".cast("double") / $"mau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stickiness" -> qStickiness,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_rfm" -> qRfm,
@@ -281,6 +311,25 @@ object Analytics extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same distinct (user, day) reduction, same 28-day range join with
+    // conditional distinct counts
+    "q_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |spine AS (SELECT DISTINCT d AS day FROM ud)
+        |SELECT s.day,
+        |  count(DISTINCT CASE WHEN date_diff('day', u.d, s.day) = 0
+        |    THEN u.user_id END) AS dau,
+        |  count(DISTINCT CASE WHEN date_diff('day', u.d, s.day) <= 6
+        |    THEN u.user_id END) AS wau,
+        |  count(DISTINCT u.user_id) AS mau,
+        |  round(CAST(count(DISTINCT CASE WHEN
+        |      date_diff('day', u.d, s.day) = 0 THEN u.user_id END)
+        |    AS DOUBLE) / count(DISTINCT u.user_id), 6) AS stickiness
+        |FROM spine s JOIN ud u
+        |  ON date_diff('day', u.d, s.day) BETWEEN 0 AND 27
+        |GROUP BY s.day ORDER BY s.day""".stripMargin,
+
     // same exact-percentile cuts (quantile_cont ≡ Spark percentile),
     // rounded to 6dp before the bin comparison, same decimal money sums
     "q_rfm" ->

@@ -572,7 +572,68 @@ object GovernOps extends QueryPack {
       .orderBy($"source")
   }
 
+  // ---- q_expectations ----------------------------------------------------
+  /** Data-contract expectation suite — the Great-Expectations-style
+    * gate a pipeline runs before promoting a snapshot: uniqueness,
+    * non-null, accepted ranges, accepted value sets, referential
+    * integrity, and a minimum row count, reported one row per check
+    * with the violation count and a pass flag. Complements
+    * [[qDatasetDiff]] (drift between snapshots) and q_profile (open
+    * stats) with the CONTRACT form: named thresholds a release can
+    * block on.
+    *
+    * Scale shape: one aggregate pass per fact table computes all its
+    * checks' violation counts at once (stacked afterwards, never one
+    * scan per check); the two FK checks are anti-join counts on the
+    * broadcast-sized dimension keys. */
+  def qExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.df(spark, sfDir, "orders")
+    val li = Tables.df(spark, sfDir, "lineitem")
+    val ev = Tables.df(spark, sfDir, "events")
+    val docs = Tables.df(spark, sfDir, "documents")
+    val cust = Tables.df(spark, sfDir, "customer")
+    val oAgg = ord.agg(
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("dup_ok"),
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_ck"))
+    val lAgg = li.agg(
+      count(lit(1)).as("n_li"),
+      sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1L).otherwise(0L))
+        .as("bad_qty"),
+      sum(when($"l_discount" < 0 || $"l_discount" > 0.1, 1L).otherwise(0L))
+        .as("bad_disc"))
+    val eAgg = ev.agg(
+      sum(when(!$"event_type".isin("view", "click", "signup", "purchase",
+        "error"), 1L).otherwise(0L)).as("bad_type"))
+    val dAgg = docs.agg(
+      sum(when(length($"text") === 0 || $"text".isNull, 1L).otherwise(0L))
+        .as("empty_doc"))
+    val orphanCust = ord.join(cust,
+        ord("o_custkey") === cust("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans_oc"))
+    val orphanOrd = li.join(ord,
+        li("l_orderkey") === ord("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans_lo"))
+    val one = oAgg.crossJoin(lAgg).crossJoin(eAgg).crossJoin(dAgg)
+      .crossJoin(orphanCust).crossJoin(orphanOrd)
+    one.selectExpr(
+      """stack(9,
+        |  'orders.o_orderkey_unique',    dup_ok,     CAST(0 AS BIGINT), dup_ok = 0,
+        |  'orders.o_custkey_not_null',   null_ck,    CAST(0 AS BIGINT), null_ck = 0,
+        |  'lineitem.row_count_min',      n_li,       CAST(1000 AS BIGINT), n_li >= 1000,
+        |  'lineitem.l_quantity_range',   bad_qty,    CAST(0 AS BIGINT), bad_qty = 0,
+        |  'lineitem.l_discount_range',   bad_disc,   CAST(0 AS BIGINT), bad_disc = 0,
+        |  'events.event_type_accepted',  bad_type,   CAST(0 AS BIGINT), bad_type = 0,
+        |  'documents.text_non_empty',    empty_doc,  CAST(0 AS BIGINT), empty_doc = 0,
+        |  'fk.orders_customer',          orphans_oc, CAST(0 AS BIGINT), orphans_oc = 0,
+        |  'fk.lineitem_orders',          orphans_lo, CAST(0 AS BIGINT), orphans_lo = 0
+        |) AS (check_name, observed, threshold, pass)""".stripMargin
+        .replace("\n", " "))
+      .orderBy($"check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_expectations" -> qExpectations,
     "q_dataset_diff" -> qDatasetDiff,
     "q_dp_release" -> qDpRelease,
     "q_kanonymity" -> qKanonymity,
@@ -639,6 +700,61 @@ object GovernOps extends QueryPack {
         |  FROM pairs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same per-table violation aggregates; anti-joins as NOT EXISTS
+    "q_expectations" ->
+      """WITH o AS (
+        |  SELECT count(*) - count(DISTINCT o_orderkey) AS dup_ok,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_ck
+        |  FROM orders),
+        |l AS (
+        |  SELECT count(*) AS n_li,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT CAST(sum(CASE WHEN event_type NOT IN
+        |      ('view','click','signup','purchase','error')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_type
+        |  FROM events),
+        |dd AS (
+        |  SELECT CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS empty_doc
+        |  FROM documents),
+        |oc AS (
+        |  SELECT count(*) AS orphans_oc FROM orders o2
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o2.o_custkey)),
+        |lo AS (
+        |  SELECT count(*) AS orphans_lo FROM lineitem li
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders oo
+        |    WHERE oo.o_orderkey = li.l_orderkey)),
+        |x AS (SELECT * FROM o CROSS JOIN l CROSS JOIN e CROSS JOIN dd
+        |  CROSS JOIN oc CROSS JOIN lo)
+        |SELECT * FROM (
+        |  SELECT 'orders.o_orderkey_unique' AS check_name,
+        |    dup_ok AS observed, CAST(0 AS BIGINT) AS threshold,
+        |    dup_ok = 0 AS pass FROM x
+        |  UNION ALL SELECT 'orders.o_custkey_not_null', null_ck,
+        |    0, null_ck = 0 FROM x
+        |  UNION ALL SELECT 'lineitem.row_count_min', n_li,
+        |    1000, n_li >= 1000 FROM x
+        |  UNION ALL SELECT 'lineitem.l_quantity_range', bad_qty,
+        |    0, bad_qty = 0 FROM x
+        |  UNION ALL SELECT 'lineitem.l_discount_range', bad_disc,
+        |    0, bad_disc = 0 FROM x
+        |  UNION ALL SELECT 'events.event_type_accepted', bad_type,
+        |    0, bad_type = 0 FROM x
+        |  UNION ALL SELECT 'documents.text_non_empty', empty_doc,
+        |    0, empty_doc = 0 FROM x
+        |  UNION ALL SELECT 'fk.orders_customer', orphans_oc,
+        |    0, orphans_oc = 0 FROM x
+        |  UNION ALL SELECT 'fk.lineitem_orders', orphans_lo,
+        |    0, orphans_lo = 0 FROM x)
+        |ORDER BY check_name""".stripMargin,
+
     "q_dataset_diff" ->
       """WITH a AS (
         |  SELECT doc_id, source AS src_a, md5(text) AS fp_a

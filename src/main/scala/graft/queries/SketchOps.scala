@@ -205,8 +205,13 @@ object SketchOps extends QueryPack {
     * 16-digit literals shared verbatim by both engines (the BM25
     * libm-free-constant discipline): relative accuracy α = (γ−1)/(γ+1)
     * ≈ 0.99 %. */
-  private val ddLnGamma = 0.0198026272961797
+  private[graft] val ddLnGamma = 0.0198026272961797
   private val ddMid = 0.9900990099009901
+
+  /** The DDSketch bucket rule, shared verbatim by [[qDdsketch]] and the
+    * streaming twin (Streams.ddsketchStream) so the two sketches merge. */
+  private[graft] def ddBucket(x: Column): Column =
+    ceil(round(log(x) / ddLnGamma, 9)).cast("long")
 
   /** DDSketch relative-error quantiles (Masson, Lee & Rim, VLDB'19)
     * over order totals — THE mergeable quantile sketch for a metrics
@@ -228,7 +233,7 @@ object SketchOps extends QueryPack {
     val x = Tables.df(spark, sfDir, "orders")
       .select($"o_totalprice".cast("double").as("x"))
     val buckets = x
-      .select(ceil(round(log($"x") / ddLnGamma, 9)).cast("long").as("b"))
+      .select(ddBucket($"x").as("b"))
       .groupBy($"b").agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy($"b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

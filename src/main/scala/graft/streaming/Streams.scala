@@ -187,6 +187,24 @@ object Streams {
       .agg(sums.head, sums.tail: _*)
   }
 
+  /** Streaming twin of q_ddsketch (SketchOps.qDdsketch): per event-time
+    * window, the (bucket, count) relation under the SAME log-γ bucket
+    * rule — a DDSketch per window. Because the sketch IS a mergeable
+    * count relation, the streaming state is exactly the batch sketch's
+    * partial aggregate: summing any set of windows' relations yields
+    * the sketch of their union, which is the law R11dOpsSpec replays
+    * (stream-merged buckets ≡ one batch pass). Quantile extraction
+    * stays a downstream read over the tiny relation, same as batch. */
+  def ddsketchStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select($"ts", graft.queries.SketchOps.ddBucket(
+        $"value".cast("double")).as("b"))
+      .groupBy(window($"ts", "1 day").as("w"), $"b")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   // ---- arbitrary-state sessionization (flatMapGroupsWithState) ----------
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
