@@ -797,10 +797,18 @@ object CurateOps extends QueryPack {
     * Hub fingerprints (> 100 docs — license paragraphs at corpus scale)
     * are cut before the pair join, the stop-shingle discipline that
     * keeps the equi-join candidate-bounded at 100 TB. */
-  def qDedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The winnowing pair policy (shared ≥ 2 fingerprints, overlap ≥ 0.5
+    * of the smaller set, hub fingerprints cut at df 100) over the
+    * doc_id % `subsetMod` subset — shared by [[qDedupWinnow]] (whole
+    * corpus) and [[qWinnowEval]] (the %3 eval subset) so the policy
+    * being evaluated is the policy being shipped. */
+  private def winnowPairSet(spark: SparkSession, sfDir: String,
+      subsetMod: Int): DataFrame = {
     import spark.implicits._
     val fps = graft.operators.Dedup.winnowFingerprints(
-      Tables.df(spark, sfDir, "documents").select($"doc_id", $"text"),
+      Tables.df(spark, sfDir, "documents")
+        .filter($"doc_id" % subsetMod === 0)
+        .select($"doc_id", $"text"),
       k = 4, w = 5)
     val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" <= 100)
@@ -818,11 +826,65 @@ object CurateOps extends QueryPack {
         round($"shared".cast("double") / least($"n1", $"n2"), 6))
       .filter($"overlap" >= 0.5)
       .select($"id1", $"id2", $"n1", $"n2", $"shared", $"overlap")
-      .orderBy($"id1", $"id2")
+  }
+
+  def qDedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    winnowPairSet(spark, sfDir, subsetMod = 1).orderBy($"id1", $"id2")
+  }
+
+  // ---- q_winnow_eval -----------------------------------------------------
+  /** The winnowing index priced against exact truth at ITS OWN grain
+    * (the q_minhash_eval / q_ann_eval discipline — no sketch ships
+    * unevaluated, and an index must be judged on the similarity it
+    * targets): recall of [[qDedupWinnow]]'s shipped pair policy
+    * against exact 4-gram-shingle containment ≥ 0.5 pairs, per
+    * containment decile, on the %3 subset. Winnowing stores ~1/w of
+    * the shingle index; the guarantee says runs ≥ w+k−1 tokens always
+    * leave a shared fingerprint, so high-containment pairs (long
+    * shared runs) must recall near 1 while pairs whose overlap is
+    * scattered short runs may escape — the curve measures that trade.
+    * The truth side is the full inverted shingle index (equi-join with
+    * the df ≤ 1000 stop-shingle cut, the q_containment shape) — the
+    * eval pays for its own ground truth. */
+  def qWinnowEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 3 === 0)
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id",
+        explode(array_distinct(TextFunctions.shingles($"text", 4)))
+          .as("g"))
+      .select($"doc_id", xxhash64($"g").as("s"))
+      .distinct()
+      .localCheckpoint() // feeds df cut + sizes + the pair join
+    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val kept = sh.join(df.filter($"df" <= 1000).select($"s"), "s")
+    val sz = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val truth = kept.select($"doc_id".as("id1"), $"s")
+      .join(kept.select($"doc_id".as("id2"), $"s"), "s")
+      .filter($"id1" < $"id2")
+      .groupBy($"id1", $"id2").agg(count(lit(1)).as("ni"))
+      .join(sz.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
+      .join(sz.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
+      .select($"id1", $"id2",
+        ($"ni".cast("double") / least($"n1", $"n2")).as("cont"))
+      .filter($"cont" >= 0.5)
+    val win = winnowPairSet(spark, sfDir, subsetMod = 3)
+      .select($"id1", $"id2", lit(1L).as("found"))
+    truth.join(win, Seq("id1", "id2"), "left")
+      .select(least(floor($"cont" * 10), lit(9L)).cast("int").as("band"),
+        coalesce($"found", lit(0L)).as("found"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_truth"), sum($"found").as("n_found"))
+      .select($"band", $"n_truth", $"n_found",
+        round($"n_found".cast("double") / $"n_truth", 6).as("recall"))
+      .orderBy($"band")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_winnow" -> qDedupWinnow,
+    "q_winnow_eval" -> qWinnowEval,
     "q_silhouette" -> qSilhouette,
     "q_containment" -> qContainment,
     "q_watermark" -> qWatermark,
@@ -892,43 +954,89 @@ object CurateOps extends QueryPack {
       |kept AS (SELECT cluster_id, doc_id AS kept_id FROM ranked
       |         WHERE rk = 1)""".stripMargin
 
+  /** The winnowing fingerprint/pair CTE chain over the doc_id % `mod`
+    * subset (→ relation `wpairs`: id1, id2, n1, n2, shared, overlap ≥
+    * 0.5) — shared by the q_dedup_winnow and q_winnow_eval oracles so
+    * the evaluated policy is the shipped policy. Same positional
+    * 4-gram stream, same md5 60-bit hash, same 5-window min as the
+    * Spark side; the p index aligns because the only filtered element
+    * ('' from an empty token list) implies an empty stream. */
+  private def winnowCtes(mod: Int): String =
+    s"""wt AS (SELECT doc_id, $toksDdb AS T FROM documents
+      |  WHERE doc_id % $mod = 0),
+      |sh0 AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, greatest(len(T) - 3, 1)),
+      |    i -> struct_pack(p := i,
+      |      g := array_to_string(T[(i+1):(i+4)], ' ')))) AS s
+      |  FROM wt),
+      |h AS (
+      |  SELECT doc_id, s.p AS p,
+      |    ('0x' || substr(md5(s.g), 1, 15))::BIGINT AS h
+      |  FROM sh0 WHERE s.g != ''),
+      |fps AS (
+      |  SELECT DISTINCT doc_id,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+      |  FROM h),
+      |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+      |kept AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+      |sizes AS (SELECT doc_id, count(*) AS nf FROM kept GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+      |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |wpairs AS (
+      |  SELECT id1, id2, s1.nf AS n1, s2.nf AS n2, shared,
+      |    round(CAST(shared AS DOUBLE) / least(s1.nf, s2.nf), 6)
+      |      AS overlap
+      |  FROM shared
+      |  JOIN sizes s1 ON s1.doc_id = id1
+      |  JOIN sizes s2 ON s2.doc_id = id2
+      |  WHERE round(CAST(shared AS DOUBLE) / least(s1.nf, s2.nf), 6)
+      |    >= 0.5)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // same positional 4-gram stream, same md5 60-bit hash, same
-    // 5-window min — the p index aligns because the only filtered
-    // element ('' from an empty token list) implies an empty stream
     "q_dedup_winnow" ->
-      s"""WITH t AS (SELECT doc_id, $toksDdb AS T FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(0, greatest(len(T) - 3, 1)),
-        |    i -> struct_pack(p := i,
-        |      g := array_to_string(T[(i+1):(i+4)], ' ')))) AS s
-        |  FROM t),
-        |h AS (
-        |  SELECT doc_id, s.p AS p,
-        |    ('0x' || substr(md5(s.g), 1, 15))::BIGINT AS h
-        |  FROM sh0 WHERE s.g != ''),
-        |fps AS (
-        |  SELECT DISTINCT doc_id,
-        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
-        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
-        |  FROM h),
-        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
-        |kept AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
-        |sizes AS (SELECT doc_id, count(*) AS nf FROM kept GROUP BY 1),
-        |shared AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
-        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT id1, id2, s1.nf AS n1, s2.nf AS n2, shared,
-        |  round(CAST(shared AS DOUBLE) / least(s1.nf, s2.nf), 6)
-        |    AS overlap
-        |FROM shared
-        |JOIN sizes s1 ON s1.doc_id = id1
-        |JOIN sizes s2 ON s2.doc_id = id2
-        |WHERE round(CAST(shared AS DOUBLE) / least(s1.nf, s2.nf), 6)
-        |  >= 0.5
+      s"""WITH ${winnowCtes(1)}
+        |SELECT id1, id2, n1, n2, shared, overlap FROM wpairs
         |ORDER BY id1, id2""".stripMargin,
+
+    // truth = exact distinct-4-gram containment >= 0.5 on the %3
+    // subset (raw-string shingle sets ≡ Spark's xxhash64 sets,
+    // collision-free — the pairCtes standing assumption); found =
+    // membership in the shipped winnow policy over the same subset
+    "q_winnow_eval" ->
+      s"""WITH ${winnowCtes(3)},
+        |tsh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(0, greatest(len(T) - 3, 1)),
+        |      i -> array_to_string(T[(i+1):(i+4)], ' ')),
+        |    s -> s != '')) AS gs
+        |  FROM wt),
+        |tex AS (SELECT doc_id, unnest(gs) AS g FROM tsh),
+        |tdf AS (SELECT g FROM tex GROUP BY g HAVING count(*) <= 1000),
+        |tk AS (SELECT doc_id, g FROM tex JOIN tdf USING (g)),
+        |tsz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+        |ti AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+        |  FROM tk a JOIN tk b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT id1, id2,
+        |    CAST(ni AS DOUBLE) / least(s1.n, s2.n) AS cont
+        |  FROM ti JOIN tsz s1 ON s1.doc_id = id1
+        |  JOIN tsz s2 ON s2.doc_id = id2
+        |  WHERE CAST(ni AS DOUBLE) / least(s1.n, s2.n) >= 0.5),
+        |joined AS (
+        |  SELECT CAST(least(floor(t.cont * 10), 9) AS INT) AS band,
+        |    CASE WHEN w.id1 IS NOT NULL THEN 1 ELSE 0 END AS found
+        |  FROM truth t
+        |  LEFT JOIN wpairs w ON w.id1 = t.id1 AND w.id2 = t.id2)
+        |SELECT band, count(*) AS n_truth,
+        |  CAST(sum(found) AS BIGINT) AS n_found,
+        |  round(CAST(sum(found) AS DOUBLE) / count(*), 6) AS recall
+        |FROM joined GROUP BY band ORDER BY band""".stripMargin,
 
     "q_prefix_join" ->
       s"""WITH ${pairCtes(5)}

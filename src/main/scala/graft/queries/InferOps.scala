@@ -271,7 +271,85 @@ object InferOps extends QueryPack {
       round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
+  // ---- q_mcnemar ---------------------------------------------------------
+  /** McNemar's test (McNemar '47) comparing two language classifiers on
+    * the same documents — the PAIRED accuracy comparison (a two-sample
+    * proportion test would ignore that both run on identical items and
+    * waste its power): only the discordant cells matter, χ² =
+    * (|b−c|−1)²/(b+c) with continuity correction, where b = A-only-
+    * correct and c = B-only-correct. Classifier A = the marker-overlap
+    * langId, B = the stopword-ratio rule; truth = the lang column.
+    * One scan → one 4-cell aggregate; df = 1, significance at 3.84. */
+  def qMcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokens($"text")
+    val stops = Seq("the", "a", "is", "and", "of", "to", "in", "that", "it")
+    val stopRaw = size(filter(toks,
+      t => array_contains(array(stops.map(lit): _*), t))).cast("double")
+      ./(greatest(size(toks), lit(1)))
+    val scored = Tables.df(spark, sfDir, "documents")
+      .select(
+        (TextFunctions.langId($"text") === "en").as("pa"),
+        (stopRaw >= 0.1).as("pb"),
+        ($"lang" === "en").as("y"))
+      .select(($"pa" === $"y").as("ca"), ($"pb" === $"y").as("cb"))
+    val s = scored.agg(
+      sum(when($"ca" && !$"cb", 1L).otherwise(0L)).as("b"),
+      sum(when(!$"ca" && $"cb", 1L).otherwise(0L)).as("c"),
+      sum(when($"ca", 1L).otherwise(0L)).as("n_a_correct"),
+      sum(when($"cb", 1L).otherwise(0L)).as("n_b_correct"),
+      count(lit(1)).as("n"))
+    val chi = when($"b" + $"c" > 0,
+      (abs($"b" - $"c") - lit(1.0)) * (abs($"b" - $"c") - lit(1.0))
+        / ($"b" + $"c"))
+    s.select($"n", $"n_a_correct", $"n_b_correct", $"b", $"c",
+      round(chi, 6).as("chi2"), (chi > 3.84).as("significant"))
+  }
+
+  // ---- q_levene ----------------------------------------------------------
+  /** Brown–Forsythe test for equal variances across event types (Levene
+    * '60 with the median centering of Brown & Forsythe '74 — the robust
+    * default): W is one-way ANOVA's F computed on the absolute
+    * deviations from each GROUP MEDIAN, the homogeneity check run
+    * before trusting [[qAnova]]'s pooled-variance assumption. Medians
+    * are exact grouped percentiles (quantile_cont parity); the
+    * deviations round once to DECIMAL(18,6) and their squares to
+    * DECIMAL(18,4) before the per-group sums, the qAnova discipline. */
+  def qLevene(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"event_type", round($"value", 2).cast(dec2).as("v"))
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(CAST(v AS DOUBLE), 0.5)").as("med"))
+    val z = ev.join(broadcast(med), "event_type")
+      .select($"event_type",
+        round(abs($"v".cast("double") - $"med"), 6).cast(dec6).as("z"))
+      .select($"event_type", $"z",
+        round($"z".cast("double") * $"z".cast("double"), 4).cast(dec4)
+          .as("z2"))
+    val g = z.groupBy($"event_type").agg(
+      count(lit(1)).as("ng"), sum($"z").as("s1"), sum($"z2").as("s2"))
+    val tot = g.agg(sum($"ng").as("n"), sum($"s1").as("s1t"))
+    val dm = $"s1".cast("double") / $"ng" - $"s1t".cast("double") / $"n"
+    val terms = g.crossJoin(broadcast(tot))
+      .select($"ng", $"n",
+        round($"s2".cast("double")
+          - $"s1".cast("double") * $"s1".cast("double") / $"ng", 6)
+          .cast(dec6).as("ssw_g"),
+        round($"ng".cast("double") * dm * dm, 6).cast(dec6).as("ssb_g"))
+    val s = terms.agg(count(lit(1)).as("k"), max($"n").as("n"),
+      sum($"ssb_g").as("ssb"), sum($"ssw_g").as("ssw"))
+    val w = when($"ssw" > 0,
+      ($"ssb".cast("double") / ($"k" - lit(1L)))
+        / ($"ssw".cast("double") / ($"n" - $"k")))
+    s.select($"k", $"n", round(w, 6).as("w_stat"),
+      (w > 2.37).as("heteroscedastic")) // F(4, inf) 5% critical value
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mcnemar" -> qMcnemar,
+    "q_levene" -> qLevene,
     "q_welch_ttest" -> qWelchTtest,
     "q_mann_whitney" -> qMannWhitney,
     "q_anova" -> qAnova,
@@ -281,6 +359,91 @@ object InferOps extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // TextOps' shared langId prediction CTE (the classifier definition
+    // cannot drift from its own tests); same discordant-cell closed form
+    "q_mcnemar" ->
+      (s"WITH ${TextOps.langPredCte}," + """
+        |sc AS (
+        |  SELECT (pr.pred = 'en') = (d.lang = 'en') AS ca,
+        |    (CAST(len(list_filter(
+        |        list_filter(string_split(lower(d.text), ' '),
+        |          x -> x != ''),
+        |        x -> list_contains(
+        |          ['the','a','is','and','of','to','in','that','it'], x)))
+        |      AS DOUBLE)
+        |      / greatest(len(list_filter(
+        |          string_split(lower(d.text), ' '), x -> x != '')), 1)
+        |      >= 0.1) = (d.lang = 'en') AS cb
+        |  FROM pr JOIN documents d USING (doc_id)),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN ca THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a_correct,
+        |    CAST(sum(CASE WHEN cb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b_correct,
+        |    count(*) AS n
+        |  FROM sc)
+        |SELECT n, n_a_correct, n_b_correct, b, c,
+        |  round(CASE WHEN b + c > 0 THEN
+        |    (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c) END, 6)
+        |    AS chi2,
+        |  (CASE WHEN b + c > 0 THEN
+        |    (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c) END) > 3.84
+        |    AS significant
+        |FROM s""".stripMargin),
+
+    // same grouped exact medians (quantile_cont ≡ percentile), same
+    // once-rounded deviation moments, same ANOVA-on-deviations form
+    "q_levene" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(CAST(v AS DOUBLE), 0.5) AS med
+        |  FROM e GROUP BY event_type),
+        |z AS (
+        |  SELECT e.event_type,
+        |    CAST(round(abs(CAST(v AS DOUBLE) - med), 6)
+        |      AS DECIMAL(18,6)) AS z
+        |  FROM e JOIN med USING (event_type)),
+        |z2 AS (
+        |  SELECT event_type, z,
+        |    CAST(round(CAST(z AS DOUBLE) * CAST(z AS DOUBLE), 4)
+        |      AS DECIMAL(18,4)) AS z2
+        |  FROM z),
+        |g AS (
+        |  SELECT event_type, count(*) AS ng, sum(z) AS s1, sum(z2) AS s2
+        |  FROM z2 GROUP BY event_type),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(s1) AS s1t
+        |  FROM g),
+        |terms AS (
+        |  SELECT ng, n,
+        |    CAST(round(CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ng, 6)
+        |      AS DECIMAL(18,6)) AS ssw_g,
+        |    CAST(round(CAST(ng AS DOUBLE)
+        |      * (CAST(s1 AS DOUBLE) / ng - CAST(s1t AS DOUBLE) / n)
+        |      * (CAST(s1 AS DOUBLE) / ng - CAST(s1t AS DOUBLE) / n), 6)
+        |      AS DECIMAL(18,6)) AS ssb_g
+        |  FROM g CROSS JOIN tot),
+        |s AS (
+        |  SELECT count(*) AS k, max(n) AS n,
+        |    sum(ssb_g) AS ssb, sum(ssw_g) AS ssw
+        |  FROM terms)
+        |SELECT k, n,
+        |  round(CASE WHEN ssw > 0 THEN
+        |    (CAST(ssb AS DOUBLE) / (k - 1))
+        |      / (CAST(ssw AS DOUBLE) / (n - k)) END, 6) AS w_stat,
+        |  (CASE WHEN ssw > 0 THEN (CAST(ssb AS DOUBLE) / (k - 1))
+        |      / (CAST(ssw AS DOUBLE) / (n - k)) END) > 2.37
+        |    AS heteroscedastic
+        |FROM s""".stripMargin,
+
     "q_welch_ttest" ->
       """WITH u AS (
         |  SELECT user_id % 2 = 0 AS a,

@@ -312,7 +312,103 @@ object SketchOps extends QueryPack {
       .orderBy($"join_name")
   }
 
+  // ---- q_selectivity_est -------------------------------------------------
+  /** Histogram-based predicate-selectivity estimation — the second
+    * optimizer statistic beside [[qJoinCardest]]: a 20-bin equi-width
+    * histogram on order totals estimates three range predicates'
+    * cardinalities by uniform intra-bin interpolation, priced against
+    * the exact counts. This is precisely the model behind ANALYZE
+    * TABLE ... FOR COLUMNS bin_counts and Catalyst's
+    * FilterEstimation; the report shows where uniformity holds and
+    * where it lies. Shape: one min/max/count pass, one 20-row bin
+    * aggregate, and a 3×20 broadcast overlap relation — all exact
+    * integers under one shared interpolation formula. */
+  def qSelectivityEst(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.df(spark, sfDir, "orders")
+      .select($"o_totalprice".cast("double").as("x"))
+    val stats = x.agg(min($"x").as("mn"), max($"x").as("mx"),
+      count(lit(1)).as("n"),
+      sum(when($"x" < 100000.0, 1L).otherwise(0L)).as("a1"),
+      sum(when($"x" >= 100000.0 && $"x" < 200000.0, 1L).otherwise(0L))
+        .as("a2"),
+      sum(when($"x" >= 400000.0, 1L).otherwise(0L)).as("a3"))
+    val hist = x.crossJoin(broadcast(stats))
+      .select(least(floor(($"x" - $"mn")
+        / (($"mx" - $"mn") / lit(20.0))), lit(19.0)).cast("int").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("cnt"))
+    val preds = stats.selectExpr(
+      """stack(3,
+        |  'p1_lt_100k',      mn,       CAST(100000.0 AS DOUBLE), a1,
+        |  'p2_100k_to_200k', CAST(100000.0 AS DOUBLE), CAST(200000.0 AS DOUBLE), a2,
+        |  'p3_ge_400k',      CAST(400000.0 AS DOUBLE), mx, a3
+        |) AS (pred, lo, hi, actual)""".stripMargin.replace("\n", " "),
+      "mn", "mx")
+    val est = hist.crossJoin(broadcast(preds))
+      .withColumn("w", ($"mx" - $"mn") / lit(20.0))
+      .withColumn("blo", $"mn" + $"b" * $"w")
+      .withColumn("ov", greatest(lit(0.0),
+        (least($"hi", $"blo" + $"w") - greatest($"lo", $"blo")) / $"w"))
+      .groupBy($"pred", $"actual")
+      .agg(sum(round($"cnt" * least($"ov", lit(1.0)), 4).cast(dec4))
+        .as("est"))
+    est.select($"pred", round($"est".cast("double"), 1).as("est_rows"),
+      $"actual",
+      round($"est".cast("double") / greatest($"actual", lit(1L)), 4)
+        .as("ratio"))
+      .orderBy($"pred")
+  }
+
+  private val dec4 = org.apache.spark.sql.types.DecimalType(18, 4)
+
+  // ---- q_zonemap_prune ---------------------------------------------------
+  /** Zone-map (min/max statistics) pruning report — the data-skipping
+    * model behind parquet row-group and Delta file pruning, measured on
+    * two physical layouts of the SAME rows: 32 zones in arrival
+    * (orderkey) order vs 32 zones after clustering by the predicate
+    * column. For `o_totalprice > 450000`, a zone skips iff its max ≤
+    * the threshold; the report counts skippable zones, the fraction of
+    * rows those zones avoid scanning, and proves soundness (matches
+    * lost to skipping = 0, spec-pinned). The point a table designer
+    * reads off: identical data, identical predicate — the clustered
+    * layout prunes almost everything, the arrival layout almost
+    * nothing. That delta IS the zorder/cluster-by payoff at 100 TB. */
+  def qZonemapPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val thr = 450000.0
+    val o = Tables.df(spark, sfDir, "orders")
+      .select($"o_orderkey".as("k"), $"o_totalprice".cast("double").as("x"))
+    val stats = o.agg(max($"k").as("mxk"), min($"x").as("mn"),
+      max($"x").as("mx"))
+    val zoned = o.crossJoin(broadcast(stats))
+      .select($"x",
+        expr("(k * 32) div (mxk + 1)").cast("int").as("z_arrival"),
+        least(floor(($"x" - $"mn") / (($"mx" - $"mn") / lit(32.0))),
+          lit(31.0)).cast("int").as("z_clustered"))
+    def report(zc: String, label: String): DataFrame = {
+      val zm = zoned.groupBy(col(zc).as("z")).agg(
+        count(lit(1)).as("rows"), max($"x").as("zmax"),
+        sum(when($"x" > thr, 1L).otherwise(0L)).as("matches"))
+      zm.agg(
+        count(lit(1)).as("n_zones"),
+        sum(when($"zmax" <= thr, 1L).otherwise(0L)).as("n_skippable"),
+        sum($"rows").as("rows_total"),
+        sum(when($"zmax" <= thr, $"rows").otherwise(0L))
+          .as("rows_skipped"),
+        sum(when($"zmax" <= thr, $"matches").otherwise(0L))
+          .as("matches_missed"))
+        .select(lit(label).as("layout"), $"n_zones", $"n_skippable",
+          round($"rows_skipped".cast("double") / $"rows_total", 4)
+            .as("frac_rows_skipped"), $"matches_missed")
+    }
+    report("z_arrival", "arrival_order")
+      .unionAll(report("z_clustered", "clustered_by_price"))
+      .orderBy($"layout")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_selectivity_est" -> qSelectivityEst,
+    "q_zonemap_prune" -> qZonemapPrune,
     "q_bloom_filter" -> qBloomFilter,
     "q_hll_md5" -> qHllMd5,
     "q_countmin" -> qCountMin,
@@ -321,6 +417,100 @@ object SketchOps extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same 20-bin equi-width histogram, same clamped-overlap
+    // interpolation terms rounded to DECIMAL(18,4) before the sum
+    "q_selectivity_est" ->
+      """WITH x AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+        |stats AS (
+        |  SELECT min(x) AS mn, max(x) AS mx, count(*) AS n,
+        |    CAST(sum(CASE WHEN x < 100000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN x >= 100000.0 AND x < 200000.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+        |    CAST(sum(CASE WHEN x >= 400000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a3
+        |  FROM x),
+        |hist AS (
+        |  SELECT CAST(least(floor((x - mn) / ((mx - mn) / 20.0)), 19.0)
+        |    AS INT) AS b, count(*) AS cnt
+        |  FROM x CROSS JOIN stats GROUP BY 1),
+        |preds AS (
+        |  SELECT 'p1_lt_100k' AS pred, mn AS lo,
+        |    CAST(100000.0 AS DOUBLE) AS hi, a1 AS actual, mn, mx
+        |  FROM stats
+        |  UNION ALL SELECT 'p2_100k_to_200k', CAST(100000.0 AS DOUBLE),
+        |    CAST(200000.0 AS DOUBLE), a2, mn, mx FROM stats
+        |  UNION ALL SELECT 'p3_ge_400k', CAST(400000.0 AS DOUBLE), mx,
+        |    a3, mn, mx FROM stats),
+        |wb AS (
+        |  SELECT pred, actual, lo, hi, cnt, b,
+        |    (mx - mn) / 20.0 AS w, mn
+        |  FROM hist CROSS JOIN preds),
+        |ov_t AS (
+        |  SELECT pred, actual, cnt,
+        |    greatest(0.0, (least(hi, (mn + b * w) + w)
+        |      - greatest(lo, mn + b * w)) / w) AS ov
+        |  FROM wb),
+        |est AS (
+        |  SELECT pred, actual,
+        |    sum(CAST(round(cnt * least(ov, 1.0), 4) AS DECIMAL(18,4)))
+        |      AS est
+        |  FROM ov_t GROUP BY 1, 2)
+        |SELECT pred, round(CAST(est AS DOUBLE), 1) AS est_rows, actual,
+        |  round(CAST(est AS DOUBLE) / greatest(actual, 1), 4) AS ratio
+        |FROM est ORDER BY pred""".stripMargin,
+
+    // same two zone assignments over the same rows; // is BIGINT floor
+    // division on positives, matching Spark's div
+    "q_zonemap_prune" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS x
+        |  FROM orders),
+        |stats AS (SELECT max(k) AS mxk, min(x) AS mn, max(x) AS mx
+        |  FROM o),
+        |z AS (
+        |  SELECT x,
+        |    CAST((k * 32) // (mxk + 1) AS INT) AS z_arrival,
+        |    CAST(least(floor((x - mn) / ((mx - mn) / 32.0)), 31.0)
+        |      AS INT) AS z_clustered
+        |  FROM o CROSS JOIN stats),
+        |za AS (
+        |  SELECT z_arrival AS z, count(*) AS rows_, max(x) AS zmax,
+        |    CAST(sum(CASE WHEN x > 450000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS matches
+        |  FROM z GROUP BY 1),
+        |zc AS (
+        |  SELECT z_clustered AS z, count(*) AS rows_, max(x) AS zmax,
+        |    CAST(sum(CASE WHEN x > 450000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS matches
+        |  FROM z GROUP BY 1),
+        |ra AS (
+        |  SELECT 'arrival_order' AS layout, count(*) AS n_zones,
+        |    CAST(sum(CASE WHEN zmax <= 450000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_skippable,
+        |    CAST(sum(rows_) AS BIGINT) AS rows_total,
+        |    CAST(sum(CASE WHEN zmax <= 450000.0 THEN rows_ ELSE 0 END)
+        |      AS BIGINT) AS rows_skipped,
+        |    CAST(sum(CASE WHEN zmax <= 450000.0 THEN matches ELSE 0 END)
+        |      AS BIGINT) AS matches_missed
+        |  FROM za),
+        |rc AS (
+        |  SELECT 'clustered_by_price', count(*),
+        |    CAST(sum(CASE WHEN zmax <= 450000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(rows_) AS BIGINT),
+        |    CAST(sum(CASE WHEN zmax <= 450000.0 THEN rows_ ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN zmax <= 450000.0 THEN matches ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM zc)
+        |SELECT layout, n_zones, n_skippable,
+        |  round(CAST(rows_skipped AS DOUBLE) / rows_total, 4)
+        |    AS frac_rows_skipped, matches_missed
+        |FROM (SELECT * FROM ra UNION ALL SELECT * FROM rc)
+        |ORDER BY layout""".stripMargin,
+
     // same 16-digit ln(γ)/midpoint literals; ln() is natural log in
     // DuckDB (its log() is base-10 — do not swap); cum/ceil comparisons
     // run on identical IEEE doubles in both engines

@@ -900,7 +900,7 @@ object TextOps extends QueryPack {
       |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
       |         ELSE 'zh' END""".stripMargin
 
-  private lazy val langPredCte: String =
+  private[queries] lazy val langPredCte: String =
     s"""pr AS (
       |  SELECT doc_id, lang,
       |    $langArgmaxCase AS pred

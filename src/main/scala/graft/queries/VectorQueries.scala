@@ -384,13 +384,18 @@ object VectorQueries extends QueryPack {
     * computing all three similarities, three per-query rank windows) —
     * an evaluation op prices its own ground truth, the q_ann_eval
     * precedent. */
-  def qMatryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The one brute-force pair pass computing all three similarity
+    * widths — separate so R11PlanAuditSpec can assert its broadcast
+    * shape (the registered query checkpoints it, which hides the join
+    * from the final plan). */
+  private[graft] def matryoshkaPairs(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.df(spark, sfDir, "embeddings")
     val q = emb.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
-    val pairs = emb.join(broadcast(q), $"vec_id" =!= $"qid")
+    emb.join(broadcast(q), $"vec_id" =!= $"qid")
       .select($"qid", $"vec_id",
         round(expr("cosine_similarity(qv, embedding)"), 6).as("sim64"),
         round(expr(
@@ -399,6 +404,13 @@ object VectorQueries extends QueryPack {
         round(expr(
           "cosine_similarity(slice(qv, 1, 32), slice(embedding, 1, 32))"),
           6).as("sim32"))
+  }
+
+  def qMatryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 100 === 0).select($"vec_id".as("qid"))
+    val pairs = matryoshkaPairs(spark, sfDir)
       .localCheckpoint() // feeds the three rank windows
     def topk(c: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
