@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -632,7 +632,50 @@ object GovernOps extends QueryPack {
       .orderBy($"check_name")
   }
 
+  // ---- q_dp_mean ---------------------------------------------------------
+  /** Differentially-private MEAN release per source (the Laplace
+    * mechanism of [[qDpRelease]] extended to ratios — Dwork et al. '06):
+    * document lengths clip to C = 1000 (bounding one record's
+    * sensitivity), the clipped sum gets Lap(C/ε) noise and the count
+    * Lap(1/ε), each at ε = 0.5 (total budget ε = 1 by composition), and
+    * the released mean is their ratio — reported beside the true
+    * clipped mean and the realized relative error. Noise draws replay
+    * the qDpRelease md5 inverse-CDF discipline (engine-portable,
+    * JVM-replayed in spec), so the release itself hash-checks.
+    * Shape: one clipped aggregate per source + a per-row noise
+    * projection — S-row arithmetic. */
+  def qDpMean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 1000.0
+    val eps = 0.5
+    val bySrc = Tables.df(spark, sfDir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"),
+        sum(least($"n_chars".cast("double"), lit(cap)).cast(dec2))
+          .as("s"))
+    def lap(tag: String, scale: Double): Column = {
+      val u = (conv(substring(md5(concat(lit(s"dpm:$tag:"), $"source")),
+        1, 15), 16, 10).cast("double") + 0.5) /
+        lit(1152921504606846976.0)
+      round(lit(-scale)
+        * when(u >= 0.5, 1.0).otherwise(-1.0)
+        * log(lit(2.0) * least(u, lit(1.0) - u)), 6)
+    }
+    bySrc
+      .withColumn("noisy_s", $"s".cast("double") + lap("s", cap / eps))
+      .withColumn("noisy_n", $"n".cast("double") + lap("n", 1.0 / eps))
+      .select($"source", $"n",
+        round($"s".cast("double") / $"n", 4).as("true_mean"),
+        round($"noisy_s" / $"noisy_n", 4).as("dp_mean"),
+        round(abs($"noisy_s" / $"noisy_n"
+          - $"s".cast("double") / $"n")
+          / ($"s".cast("double") / $"n"), 6).as("rel_err"))
+      .orderBy($"source")
+  }
+
+  private val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_mean" -> qDpMean,
     "q_expectations" -> qExpectations,
     "q_dataset_diff" -> qDatasetDiff,
     "q_dp_release" -> qDpRelease,
@@ -700,6 +743,36 @@ object GovernOps extends QueryPack {
         |  FROM pairs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same clipped decimal sums, same md5 inverse-CDF Laplace draws
+    "q_dp_mean" ->
+      """WITH b AS (
+        |  SELECT source, count(*) AS n,
+        |    sum(CAST(least(CAST(n_chars AS DOUBLE), 1000.0)
+        |      AS DECIMAL(18,2))) AS s
+        |  FROM documents GROUP BY source),
+        |u AS (
+        |  SELECT source, n, s,
+        |    ((('0x' || substr(md5('dpm:s:' || source), 1, 15))::BIGINT
+        |      + 0.5) / 1152921504606846976.0) AS us,
+        |    ((('0x' || substr(md5('dpm:n:' || source), 1, 15))::BIGINT
+        |      + 0.5) / 1152921504606846976.0) AS un
+        |  FROM b),
+        |w AS (
+        |  SELECT source, n, s,
+        |    CAST(s AS DOUBLE) + round(-2000.0
+        |      * (CASE WHEN us >= 0.5 THEN 1.0 ELSE -1.0 END)
+        |      * ln(2.0 * least(us, 1.0 - us)), 6) AS noisy_s,
+        |    CAST(n AS DOUBLE) + round(-2.0
+        |      * (CASE WHEN un >= 0.5 THEN 1.0 ELSE -1.0 END)
+        |      * ln(2.0 * least(un, 1.0 - un)), 6) AS noisy_n
+        |  FROM u)
+        |SELECT source, n,
+        |  round(CAST(s AS DOUBLE) / n, 4) AS true_mean,
+        |  round(noisy_s / noisy_n, 4) AS dp_mean,
+        |  round(abs(noisy_s / noisy_n - CAST(s AS DOUBLE) / n)
+        |    / (CAST(s AS DOUBLE) / n), 6) AS rel_err
+        |FROM w ORDER BY source""".stripMargin,
+
     // same per-table violation aggregates; anti-joins as NOT EXISTS
     "q_expectations" ->
       """WITH o AS (

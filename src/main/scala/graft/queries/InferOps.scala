@@ -46,7 +46,11 @@ object InferOps extends QueryPack {
     * identical integers and the t / Welch–Satterthwaite df are one
     * shared double formula over them. Zero pooled variance → NULL t
     * (the qAbtest zero-SE guard). */
-  def qWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The per-arm exact moment relation (1 row: n/Σm/Σm² per parity arm)
+    * over per-user total event value — shared by [[qWelchTtest]] and
+    * [[qTost]] so the two tests read identical moments. */
+  private def userTotalMoments(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     import spark.implicits._
     val users = Tables.df(spark, sfDir, "events")
       .select($"user_id", round($"value", 2).cast(dec2).as("v"))
@@ -54,13 +58,18 @@ object InferOps extends QueryPack {
       .select(($"user_id" % 2 === 0).as("a"), $"m",
         round($"m".cast("double") * $"m".cast("double"), 4).cast(dec4)
           .as("m2"))
-    val s = users.agg(
+    users.agg(
       sum(when($"a", 1L).otherwise(0L)).as("n1"),
       sum(when($"a", $"m")).as("s1a"),
       sum(when($"a", $"m2")).as("s2a"),
       sum(when(!$"a", 1L).otherwise(0L)).as("n2"),
       sum(when(!$"a", $"m")).as("s1b"),
       sum(when(!$"a", $"m2")).as("s2b"))
+  }
+
+  def qWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = userTotalMoments(spark, sfDir)
     val va = ($"s2a".cast("double")
       - $"s1a".cast("double") * $"s1a".cast("double") / $"n1")
       .divide($"n1" - lit(1L))
@@ -347,7 +356,45 @@ object InferOps extends QueryPack {
       (w > 2.37).as("heteroscedastic")) // F(4, inf) 5% critical value
   }
 
+  // ---- q_tost ------------------------------------------------------------
+  /** TOST equivalence test (Schuirmann '87) + Cohen's d effect size on
+    * the [[qWelchTtest]] arms — the "prove the change did NOT move the
+    * metric" readout a launch review needs when a plain t-test's
+    * non-significance is mistaken for equivalence: both one-sided tests
+    * against a ±5%-of-pooled-mean margin must reject (t > 1.645) to
+    * declare the arms equivalent. Shares [[userTotalMoments]] verbatim,
+    * so the equivalence verdict and the difference test can never read
+    * different data. */
+  def qTost(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = userTotalMoments(spark, sfDir)
+    val m1 = $"s1a".cast("double") / $"n1"
+    val m2 = $"s1b".cast("double") / $"n2"
+    val va = ($"s2a".cast("double")
+      - $"s1a".cast("double") * $"s1a".cast("double") / $"n1")
+      .divide($"n1" - lit(1L))
+    val vb = ($"s2b".cast("double")
+      - $"s1b".cast("double") * $"s1b".cast("double") / $"n2")
+      .divide($"n2" - lit(1L))
+    val se = sqrt(va / $"n1" + vb / $"n2")
+    val diff = m1 - m2
+    val pooledMean = ($"s1a".cast("double") + $"s1b".cast("double"))
+      .divide($"n1" + $"n2")
+    val delta = lit(0.05) * pooledMean
+    val tl = (diff + delta) / se
+    val tu = (delta - diff) / se
+    val sdp = sqrt((($"n1" - lit(1L)) * va + ($"n2" - lit(1L)) * vb)
+      / ($"n1" + $"n2" - lit(2L)))
+    s.select($"n1".as("n_a"), $"n2".as("n_b"),
+      round(diff, 4).as("diff"), round(delta, 4).as("margin"),
+      round(se, 4).as("se"),
+      round(tl, 4).as("t_lower"), round(tu, 4).as("t_upper"),
+      (tl > 1.645 && tu > 1.645).as("equivalent"),
+      round(diff / sdp, 6).as("cohens_d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tost" -> qTost,
     "q_mcnemar" -> qMcnemar,
     "q_levene" -> qLevene,
     "q_welch_ttest" -> qWelchTtest,
@@ -359,6 +406,49 @@ object InferOps extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same moment CTEs as q_welch_ttest, same one-sided closed forms
+    "q_tost" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 = 0 AS a,
+        |    sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS m
+        |  FROM events GROUP BY user_id),
+        |u2 AS (SELECT a, m,
+        |  CAST(round(CAST(m AS DOUBLE) * CAST(m AS DOUBLE), 4)
+        |    AS DECIMAL(18,4)) AS m2 FROM u),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  sum(CASE WHEN a THEN m END) AS s1a,
+        |  sum(CASE WHEN a THEN m2 END) AS s2a,
+        |  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  sum(CASE WHEN NOT a THEN m END) AS s1b,
+        |  sum(CASE WHEN NOT a THEN m2 END) AS s2b
+        |  FROM u2),
+        |v AS (SELECT n1, n2,
+        |  CAST(s1a AS DOUBLE) / n1 - CAST(s1b AS DOUBLE) / n2 AS diff,
+        |  0.05 * ((CAST(s1a AS DOUBLE) + CAST(s1b AS DOUBLE))
+        |    / (n1 + n2)) AS delta,
+        |  sqrt((CAST(s2a AS DOUBLE)
+        |      - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n1) / (n1 - 1)
+        |      / n1
+        |    + (CAST(s2b AS DOUBLE)
+        |      - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n2) / (n2 - 1)
+        |      / n2) AS se,
+        |  sqrt(((n1 - 1) * ((CAST(s2a AS DOUBLE)
+        |      - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n1) / (n1 - 1))
+        |    + (n2 - 1) * ((CAST(s2b AS DOUBLE)
+        |      - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n2) / (n2 - 1)))
+        |    / (n1 + n2 - 2)) AS sdp
+        |  FROM s)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(diff, 4) AS diff, round(delta, 4) AS margin,
+        |  round(se, 4) AS se,
+        |  round((diff + delta) / se, 4) AS t_lower,
+        |  round((delta - diff) / se, 4) AS t_upper,
+        |  (diff + delta) / se > 1.645 AND (delta - diff) / se > 1.645
+        |    AS equivalent,
+        |  round(diff / sdp, 6) AS cohens_d
+        |FROM v""".stripMargin,
+
     // TextOps' shared langId prediction CTE (the classifier definition
     // cannot drift from its own tests); same discordant-cell closed form
     "q_mcnemar" ->
