@@ -631,6 +631,67 @@ object EventOps extends QueryPack {
     survivalCurve(spark, sfDir).orderBy($"t")
   }
 
+  // ---- q_logrank ---------------------------------------------------------
+  /** Log-rank test (Mantel '66) comparing the two parity arms'
+    * time-to-first-purchase curves — the hypothesis test that belongs
+    * beside [[qSurvival]]'s K-M estimate (an experiment that shifts
+    * conversion TIMING shows up here long before a means test sees
+    * it): at every pooled conversion day, the observed arm-1
+    * conversions are compared to their hypergeometric expectation
+    * given the at-risk sets, and z = Σ(O−E)/√ΣV. (Time-to-event is
+    * first-purchase rather than q_survival's 7-day churn rule — on
+    * this fixture every user stays active, so the churn event never
+    * fires and a churn log-rank would be vacuous.) Never-purchasers
+    * censor at their last activity. At-risk counts come from
+    * cumulative sums over the day-thin time relation; the per-time E
+    * and V terms round to DECIMAL(18,9) before their exact sums. */
+  def qLogrank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val ev = Tables.df(spark, sfDir, "events")
+    val users = ev.groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"),
+        min(when($"event_type" === "purchase", $"ts")).as("p_ts"))
+      .select(($"user_id" % 2 === 0).as("a"),
+        datediff(to_date(coalesce($"p_ts", $"last_ts")),
+          to_date($"first_ts")).as("t"),
+        $"p_ts".isNotNull.as("churned"))
+    val byT = users.groupBy($"t").agg(
+      count(lit(1)).as("m_all"),
+      sum(when($"churned", 1L).otherwise(0L)).as("d_all"),
+      sum(when($"a", 1L).otherwise(0L)).as("m_1"),
+      sum(when($"a" && $"churned", 1L).otherwise(0L)).as("d_1"))
+    val totals = users.agg(count(lit(1)).as("n_users"),
+      sum(when($"a", 1L).otherwise(0L)).as("n1_users"))
+    val wPrev = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risks = byT.crossJoin(broadcast(totals))
+      .withColumn("n_risk",
+        $"n_users" - coalesce(sum($"m_all").over(wPrev), lit(0L)))
+      .withColumn("n1_risk",
+        $"n1_users" - coalesce(sum($"m_1").over(wPrev), lit(0L)))
+      .filter($"d_all" > 0)
+    val r = $"n1_risk".cast("double") / $"n_risk"
+    val terms = risks.select($"d_1",
+      round($"d_all".cast("double") * $"n1_risk" / $"n_risk", 9)
+        .cast(dec9).as("e1"),
+      when($"n_risk" > 1,
+        round($"d_all".cast("double") * r * (lit(1.0) - r)
+          * (($"n_risk" - $"d_all").cast("double")
+            / ($"n_risk" - lit(1L))), 9).cast(dec9))
+        .otherwise(lit(0).cast(dec9)).as("v"))
+    val s = terms.agg(count(lit(1)).as("n_times"),
+      sum($"d_1").as("o1"), sum($"e1").as("e1"), sum($"v").as("v"))
+    val z = when($"v" > 0,
+      ($"o1".cast("double") - $"e1".cast("double"))
+        / sqrt($"v".cast("double")))
+    s.select($"n_times", $"o1".as("observed_1"),
+      round($"e1".cast("double"), 4).as("expected_1"),
+      round($"v".cast("double"), 4).as("variance"),
+      round(z, 6).as("z"), round(z * z, 6).as("chi2"),
+      (abs(z) > 1.96).as("significant"))
+  }
+
   /** The K-M curve relation (t, n_risk, d_churned, c_censored,
     * survival) — shared by [[qSurvival]] and [[qLtv]]. */
   private[graft] def survivalCurve(spark: SparkSession, sfDir: String)
@@ -1325,6 +1386,7 @@ object EventOps extends QueryPack {
     "q_abtest" -> qAbtest,
     "q_seq_mining" -> qSeqMining,
     "q_interarrival" -> qInterarrival,
+    "q_logrank" -> qLogrank,
     "q_funnel_sessions" -> qFunnelSessions,
     "q_journeys" -> qJourneys,
     "q_split_temporal" -> qSplitTemporal,
@@ -1914,6 +1976,69 @@ object EventOps extends QueryPack {
     // same lifetime/censoring definitions, same DECIMAL(18,9) pre-sum
     // ln terms, same absorbed short-circuit; HUGEINT sums cast to BIGINT
     
+    // same duration/censoring rule as the K-M CTEs; per-time O/E/V with
+    // the hypergeometric variance, terms decimal-rounded before sums
+    "q_logrank" ->
+      """WITH users AS (
+        |  SELECT user_id % 2 = 0 AS a,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(COALESCE(min(CASE WHEN event_type = 'purchase'
+        |        THEN ts END), max(ts)) AS DATE)) AS INT) AS t,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      IS NOT NULL AS churned
+        |  FROM events GROUP BY user_id),
+        |byt AS (
+        |  SELECT t, count(*) AS m_all,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_all,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS m_1,
+        |    CAST(sum(CASE WHEN a AND churned THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_1
+        |  FROM users GROUP BY t),
+        |n AS (SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1_users
+        |  FROM users),
+        |r AS (
+        |  SELECT t, d_all, d_1,
+        |    n.n_users - CAST(COALESCE(sum(m_all) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk,
+        |    n.n1_users - CAST(COALESCE(sum(m_1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n1_risk
+        |  FROM byt CROSS JOIN n),
+        |terms AS (
+        |  SELECT d_1,
+        |    CAST(round(CAST(d_all AS DOUBLE) * n1_risk / n_risk, 9)
+        |      AS DECIMAL(18,9)) AS e1,
+        |    CASE WHEN n_risk > 1 THEN
+        |      CAST(round(CAST(d_all AS DOUBLE)
+        |        * (CAST(n1_risk AS DOUBLE) / n_risk)
+        |        * (1.0 - CAST(n1_risk AS DOUBLE) / n_risk)
+        |        * (CAST(n_risk - d_all AS DOUBLE) / (n_risk - 1)), 9)
+        |        AS DECIMAL(18,9))
+        |      ELSE CAST(0 AS DECIMAL(18,9)) END AS v
+        |  FROM r WHERE d_all > 0),
+        |s AS (
+        |  SELECT count(*) AS n_times, CAST(sum(d_1) AS BIGINT) AS o1,
+        |    sum(e1) AS e1, sum(v) AS v
+        |  FROM terms)
+        |SELECT n_times, o1 AS observed_1,
+        |  round(CAST(e1 AS DOUBLE), 4) AS expected_1,
+        |  round(CAST(v AS DOUBLE), 4) AS variance,
+        |  round(CASE WHEN v > 0 THEN
+        |    (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+        |      / sqrt(CAST(v AS DOUBLE)) END, 6) AS z,
+        |  round((CASE WHEN v > 0 THEN
+        |    (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+        |      / sqrt(CAST(v AS DOUBLE)) END) * (CASE WHEN v > 0 THEN
+        |    (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+        |      / sqrt(CAST(v AS DOUBLE)) END), 6) AS chi2,
+        |  abs(CASE WHEN v > 0 THEN
+        |    (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+        |      / sqrt(CAST(v AS DOUBLE)) END) > 1.96 AS significant
+        |FROM s""".stripMargin,
+
     "q_survival" ->
       (survivalCtes + """
         |SELECT t, n_risk, d_churned, c_censored, survival

@@ -406,7 +406,91 @@ object SketchOps extends QueryPack {
       .orderBy($"layout")
   }
 
+  // ---- q_hll_setops ------------------------------------------------------
+  /** The q_hll_md5 register chain factored for reuse: token relation →
+    * (bucket, m_j). Registers over the RAW stream equal registers over
+    * the distinct set (max is idempotent), the q_hll_md5 standing
+    * note. */
+  private def hllRegs(toks: DataFrame): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks
+      .select(conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long")
+        .as("h"))
+      .select(shiftrightunsigned($"h", 52).as("bucket"),
+        ($"h".bitwiseAND(lit((1L << 52) - 1))).as("rest"))
+      .select($"bucket",
+        when($"rest" === 0L, lit(53))
+          .otherwise(lit(53) - length(bin($"rest"))).as("rho"))
+      .groupBy($"bucket").agg(max($"rho").as("m_j"))
+  }
+
+  /** Register relation → the 1-row raw HLL estimate (same α₂₅₆ constant
+    * chain and linear-counting fallback as q_hll_md5). */
+  private def hllEstRaw(regs: DataFrame): DataFrame = {
+    val spark = regs.sparkSession
+    import spark.implicits._
+    regs.agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)")).as("s_present"),
+        count(lit(1)).as("n_present"))
+      .select(
+        ($"s_present" + (lit(256L) - $"n_present") * lit(1L << 53))
+          .as("s_total"),
+        (lit(256L) - $"n_present").as("zeros"))
+      .select($"zeros",
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / 256.0))
+          * lit(256.0) * lit(256.0) * lit(9007199254740992.0)
+          / $"s_total").as("e_raw"))
+      .select(
+        when($"e_raw" <= 640.0 && $"zeros" > 0L,
+          lit(256.0) * log(lit(256.0) / $"zeros"))
+          .otherwise($"e_raw").as("est_raw"))
+  }
+
+  /** HLL set algebra (Flajolet et al. '07 §4): the sketch's defining
+    * operational property is that the UNION of two sets' sketches is
+    * the per-bucket max of their registers — no rescan — and
+    * intersections follow by inclusion–exclusion. Estimates for two
+    * overlapping customer populations (even- vs odd-numbered orders),
+    * their union (merged registers), and their intersection
+    * (Ĥ(A)+Ĥ(B)−Ĥ(A∪B)) are each priced against exact truth. The
+    * intersection row shows the known weakness honestly: I-E error
+    * compounds three sketch errors, the reason intersection-heavy
+    * workloads move to theta sketches. Shape: two register relations
+    * (one scan each), a 256-row merge, four 1-row estimates. */
+  def qHllSetops(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.df(spark, sfDir, "orders")
+    def keys(parity: Int): DataFrame = o
+      .filter($"o_orderkey" % 2 === parity)
+      .select($"o_custkey".cast("string").as("tok"))
+    val a = keys(0); val b = keys(1)
+    val ra = hllRegs(a).localCheckpoint() // feeds own estimate + merge
+    val rb = hllRegs(b).localCheckpoint()
+    val ru = ra.unionAll(rb).groupBy($"bucket").agg(max($"m_j").as("m_j"))
+    val one = hllEstRaw(ra).select($"est_raw".as("ea"))
+      .crossJoin(hllEstRaw(rb).select($"est_raw".as("eb")))
+      .crossJoin(hllEstRaw(ru).select($"est_raw".as("eu")))
+      .crossJoin(broadcast(a.agg(countDistinct($"tok").as("xa"))))
+      .crossJoin(broadcast(b.agg(countDistinct($"tok").as("xb"))))
+      .crossJoin(broadcast(
+        a.unionAll(b).agg(countDistinct($"tok").as("xu"))))
+      .crossJoin(broadcast(a.distinct().join(b.distinct(), "tok")
+        .agg(count(lit(1)).as("xi"))))
+    one.selectExpr(
+      """stack(4,
+        |  'a_even_orders', xa, round(ea, 6), round(abs(ea - xa) / xa, 6),
+        |  'b_odd_orders',  xb, round(eb, 6), round(abs(eb - xb) / xb, 6),
+        |  'union',         xu, round(eu, 6), round(abs(eu - xu) / xu, 6),
+        |  'intersection',  xi, round(ea + eb - eu, 6),
+        |    round(abs(ea + eb - eu - xi) / xi, 6)
+        |) AS (set_name, exact, est, rel_err)""".stripMargin
+        .replace("\n", " "))
+      .orderBy($"set_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_setops" -> qHllSetops,
     "q_selectivity_est" -> qSelectivityEst,
     "q_zonemap_prune" -> qZonemapPrune,
     "q_bloom_filter" -> qBloomFilter,
@@ -416,7 +500,78 @@ object SketchOps extends QueryPack {
     "q_join_cardest" -> qJoinCardest
   )
 
+  /** One HLL register chain for the q_hll_setops oracle (mirrors the
+    * q_hll_md5 CTEs; generated per set so the chains cannot drift). */
+  private def hllSetSql(n: String, where: String): String =
+    s"""h_$n AS (
+       |  SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       |  FROM (SELECT DISTINCT o_custkey::VARCHAR AS tok FROM orders
+       |        WHERE $where)),
+       |regs_$n AS (
+       |  SELECT h >> 52 AS bucket,
+       |    CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+       |         ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1)))
+       |    END AS rho
+       |  FROM h_$n),
+       |bb_$n AS (SELECT bucket, max(rho) AS m_j FROM regs_$n
+       |          GROUP BY bucket)""".stripMargin
+
+  /** bb_<n> register relation → 1-row est_<n>(est) CTE text. */
+  private def hllEstSql(n: String): String =
+    s"""est_$n AS (
+       |  SELECT CASE WHEN e_raw <= 640.0 AND zeros > 0
+       |    THEN 256.0 * ln(256.0 / zeros) ELSE e_raw END AS est
+       |  FROM (
+       |    SELECT (256 - n_present) AS zeros,
+       |      (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+       |         + CAST(1.079 AS DOUBLE) / 256.0))
+       |        * 256.0 * 256.0 * 9007199254740992.0
+       |        / (s_present + (256 - n_present) * (1::BIGINT << 53))
+       |        AS e_raw
+       |    FROM (SELECT SUM(1::BIGINT << (53 - m_j))::BIGINT
+       |            AS s_present, count(*) AS n_present
+       |          FROM bb_$n)))""".stripMargin
+
+  private def hllSetopsOracle: String =
+    s"""WITH ${hllSetSql("a", "o_orderkey % 2 = 0")},
+       |${hllSetSql("b", "o_orderkey % 2 = 1")},
+       |bb_u AS (
+       |  SELECT bucket, max(m_j) AS m_j FROM (
+       |    SELECT * FROM bb_a UNION ALL SELECT * FROM bb_b)
+       |  GROUP BY bucket),
+       |${hllEstSql("a")},
+       |${hllEstSql("b")},
+       |${hllEstSql("u")},
+       |xa AS (SELECT count(*) AS xa FROM (
+       |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0)),
+       |xb AS (SELECT count(*) AS xb FROM (
+       |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1)),
+       |xu AS (SELECT count(DISTINCT o_custkey) AS xu FROM orders),
+       |xi AS (SELECT count(*) AS xi FROM (
+       |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+       |  t1 JOIN (
+       |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+       |  t2 USING (o_custkey)),
+       |one AS (
+       |  SELECT ea.est AS ea, eb.est AS eb, eu.est AS eu,
+       |    xa.xa, xb.xb, xu.xu, xi.xi
+       |  FROM est_a ea CROSS JOIN est_b eb CROSS JOIN est_u eu
+       |  CROSS JOIN xa CROSS JOIN xb CROSS JOIN xu CROSS JOIN xi)
+       |SELECT * FROM (
+       |  SELECT 'a_even_orders' AS set_name, xa AS exact,
+       |    round(ea, 6) AS est, round(abs(ea - xa) / xa, 6) AS rel_err
+       |  FROM one
+       |  UNION ALL SELECT 'b_odd_orders', xb, round(eb, 6),
+       |    round(abs(eb - xb) / xb, 6) FROM one
+       |  UNION ALL SELECT 'union', xu, round(eu, 6),
+       |    round(abs(eu - xu) / xu, 6) FROM one
+       |  UNION ALL SELECT 'intersection', xi, round(ea + eb - eu, 6),
+       |    round(abs(ea + eb - eu - xi) / xi, 6) FROM one)
+       |ORDER BY set_name""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_hll_setops" -> hllSetopsOracle,
+
     // same 20-bin equi-width histogram, same clamped-overlap
     // interpolation terms rounded to DECIMAL(18,4) before the sum
     "q_selectivity_est" ->
