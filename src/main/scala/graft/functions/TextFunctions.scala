@@ -71,8 +71,10 @@ object TextFunctions {
 
   /** Unrounded stopword fraction (internal: feeding a rounded value into
     * downstream arithmetic manufactures exact round-half boundaries that
-    * engines break differently). */
-  private def rawStopwordRatio(text: Column): Column = {
+    * engines break differently). private[graft] so the rater/feature
+    * queries (q_kappa, q_mcnemar, q_logreg) share THIS definition instead
+    * of drift-prone copies of the stop list. */
+  private[graft] def rawStopwordRatio(text: Column): Column = {
     val stops = array(stopwords.map(lit): _*)
     size(filter(tokens(text), t => array_contains(stops, t)))
       .cast("double") / greatest(tokenCount(text), lit(1))

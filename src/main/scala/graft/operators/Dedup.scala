@@ -176,17 +176,30 @@ object Dedup {
     import spark.implicits._
     val wMin = Window.partitionBy($"doc_id").orderBy($"p")
       .rowsBetween(0, w - 1)
+    val wCnt = Window.partitionBy($"doc_id")
     docs
       .select($"doc_id", TextFunctions.tokens($"text").as("T"))
+      // docs shorter than k tokens carry no k-gram (canonical winnowing
+      // fingerprints full k-grams only — a sub-k trailing fragment is
+      // not a gram)
+      .filter(size($"T") >= k)
       .select($"doc_id",
-        explode(sequence(lit(0), greatest(size($"T") - k, lit(0))))
-          .as("p"), $"T")
+        explode(sequence(lit(0), size($"T") - k)).as("p"), $"T")
       .select($"doc_id", $"p",
         array_join(slice($"T", $"p" + 1, lit(k)), " ").as("g"))
-      .filter($"g" =!= "")
       .select($"doc_id", $"p",
         conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
-      .select($"doc_id", min($"h").over(wMin).as("fp"))
+      // windows are FULL w-windows only (positions 0..n_grams-w): a
+      // truncated trailing frame could select a hash no full window
+      // selects, breaking the w+k-1 guarantee's converse — two docs
+      // sharing only a sub-threshold suffix must not pair. Docs with
+      // fewer than w grams keep the single degenerate window at p = 0
+      // (the min of all their grams), the scheme's standard short-doc
+      // case.
+      .withColumn("n_grams", count(lit(1)).over(wCnt))
+      .withColumn("mn", min($"h").over(wMin))
+      .filter($"p" <= greatest($"n_grams" - w, lit(0)))
+      .select($"doc_id", $"mn".as("fp"))
       .distinct()
   }
 }

@@ -810,6 +810,10 @@ object CurateOps extends QueryPack {
         .filter($"doc_id" % subsetMod === 0)
         .select($"doc_id", $"text"),
       k = 4, w = 5)
+      // feeds the df cut, both sides of the pair self-join, and sizes —
+      // without the checkpoint the tokenize→explode→md5→window chain
+      // re-executes per consumer (the qWinnowEval `sh` discipline)
+      .localCheckpoint()
     val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" <= 100)
     val kept = fps.join(rare.select($"fp"), "fp")
@@ -963,22 +967,26 @@ object CurateOps extends QueryPack {
     * ('' from an empty token list) implies an empty stream. */
   private def winnowCtes(mod: Int): String =
     s"""wt AS (SELECT doc_id, $toksDdb AS T FROM documents
-      |  WHERE doc_id % $mod = 0),
+      |  WHERE doc_id % $mod = 0 AND len($toksDdb) >= 4),
       |sh0 AS (
       |  SELECT doc_id, unnest(list_transform(
-      |    range(0, greatest(len(T) - 3, 1)),
+      |    range(0, len(T) - 3),
       |    i -> struct_pack(p := i,
       |      g := array_to_string(T[(i+1):(i+4)], ' ')))) AS s
       |  FROM wt),
       |h AS (
       |  SELECT doc_id, s.p AS p,
       |    ('0x' || substr(md5(s.g), 1, 15))::BIGINT AS h
-      |  FROM sh0 WHERE s.g != ''),
-      |fps AS (
-      |  SELECT DISTINCT doc_id,
+      |  FROM sh0),
+      |fpw AS (
+      |  SELECT doc_id, p,
+      |    count(*) OVER (PARTITION BY doc_id) AS n_grams,
       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
-      |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+      |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mn
       |  FROM h),
+      |fps AS (
+      |  SELECT DISTINCT doc_id, mn AS fp FROM fpw
+      |  WHERE p <= greatest(n_grams - 5, 0)),
       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
       |kept AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
       |sizes AS (SELECT doc_id, count(*) AS nf FROM kept GROUP BY 1),

@@ -102,6 +102,22 @@ object InferOps extends QueryPack {
     * final closed form). Tie-corrected normal approximation; ties
     * contribute Σ(t³−t) from the same grouped relation. The only window
     * is a cumulative count over |distinct count values| rows. */
+  /** Value-grouped average-rank columns: given a grouped relation with
+    * an `nv` count per distinct value of `orderCol`, adds `cumlt` (count
+    * of strictly-smaller rows) and the INTEGER doubled average rank
+    * r2 = 2·cum_lt + n_v + 1 — the rank trick shared by
+    * [[qMannWhitney]], [[qSpearman]], and LearnOps.qAuc so the three
+    * rank statistics provably use one rank definition. The window runs
+    * over |distinct values| rows only. */
+  private[queries] def withRank2(g: DataFrame, orderCol: String)
+      : DataFrame = {
+    import g.sparkSession.implicits._
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumlt", coalesce(sum($"nv").over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * $"cumlt" + $"nv" + lit(1L))
+  }
+
   def qMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val users = Tables.df(spark, sfDir, "events")
@@ -110,11 +126,9 @@ object InferOps extends QueryPack {
     val g = users.groupBy($"c").agg(
       sum(when($"a", 1L).otherwise(0L)).as("na"),
       count(lit(1)).as("nv"))
-    val w = Window.orderBy($"c").rowsBetween(Window.unboundedPreceding, -1)
-    val r = g.withColumn("cumlt", coalesce(sum($"nv").over(w), lit(0L)))
-    val s = r.agg(
+    val s = withRank2(g, "c").agg(
       sum($"na").as("n1"), sum($"nv").as("n"),
-      sum($"na" * (lit(2L) * $"cumlt" + $"nv" + lit(1L))).as("r1x2"),
+      sum($"na" * $"r2").as("r1x2"),
       sum($"nv" * $"nv" * $"nv" - $"nv").as("ties"))
     val n2 = $"n" - $"n1"
     val u2 = $"r1x2" - $"n1" * ($"n1" + lit(1L)) // 2·U1, exact integer
@@ -138,6 +152,25 @@ object InferOps extends QueryPack {
     * exact and order-independent. k-1 / N-k degrees of freedom; η² as
     * the effect size. Shape: one scan → k-row group relation → 1-row
     * result; the group relation broadcasts against its own 1-row total. */
+  /** The one-way ANOVA core shared by [[qAnova]] and [[qLevene]]: a
+    * grouped moment relation (ng, s1, s2) → the 1-row (k, n, ssb, ssw)
+    * sums-of-squares relation, with the per-group SS terms rounded to
+    * DECIMAL(18,6) before the k-row sum (ONE home for the rounding
+    * discipline both tests' oracles mirror). */
+  private def anovaCore(g: DataFrame): DataFrame = {
+    import g.sparkSession.implicits._
+    val tot = g.agg(sum($"ng").as("n"), sum($"s1").as("s1t"))
+    val dm = $"s1".cast("double") / $"ng" - $"s1t".cast("double") / $"n"
+    val terms = g.crossJoin(broadcast(tot))
+      .select($"ng", $"n",
+        round($"s2".cast("double")
+          - $"s1".cast("double") * $"s1".cast("double") / $"ng", 6)
+          .cast(dec6).as("ssw_g"),
+        round($"ng".cast("double") * dm * dm, 6).cast(dec6).as("ssb_g"))
+    terms.agg(count(lit(1)).as("k"), max($"n").as("n"),
+      sum($"ssb_g").as("ssb"), sum($"ssw_g").as("ssw"))
+  }
+
   def qAnova(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.df(spark, sfDir, "events")
@@ -147,16 +180,7 @@ object InferOps extends QueryPack {
           .as("v2"))
     val g = ev.groupBy($"event_type").agg(
       count(lit(1)).as("ng"), sum($"v").as("s1"), sum($"v2").as("s2"))
-    val tot = g.agg(sum($"ng").as("n"), sum($"s1").as("s1t"))
-    val dm = $"s1".cast("double") / $"ng" - $"s1t".cast("double") / $"n"
-    val terms = g.crossJoin(broadcast(tot))
-      .select($"ng", $"n",
-        round($"s2".cast("double")
-          - $"s1".cast("double") * $"s1".cast("double") / $"ng", 6)
-          .cast(dec6).as("ssw_g"),
-        round($"ng".cast("double") * dm * dm, 6).cast(dec6).as("ssb_g"))
-    val s = terms.agg(count(lit(1)).as("k"), max($"n").as("n"),
-      sum($"ssb_g").as("ssb"), sum($"ssw_g").as("ssw"))
+    val s = anovaCore(g)
     val f = when($"ssw" > 0,
       ($"ssb".cast("double") / ($"k" - lit(1L)))
         / ($"ssw".cast("double") / ($"n" - $"k")))
@@ -183,13 +207,9 @@ object InferOps extends QueryPack {
     val cust = Tables.df(spark, sfDir, "orders")
       .groupBy($"o_custkey").agg(count(lit(1)).as("x"),
         sum($"o_totalprice".cast(dec2)).as("y"))
-    def ranks(keyed: DataFrame, c: String, out: String): DataFrame = {
-      val g = keyed.groupBy(col(c)).agg(count(lit(1)).as("nv"))
-      val w = Window.orderBy(col(c))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      g.withColumn("cumlt", coalesce(sum($"nv").over(w), lit(0L)))
-        .select(col(c), (lit(2L) * $"cumlt" + $"nv" + lit(1L)).as(out))
-    }
+    def ranks(keyed: DataFrame, c: String, out: String): DataFrame =
+      withRank2(keyed.groupBy(col(c)).agg(count(lit(1)).as("nv")), c)
+        .select(col(c), $"r2".as(out))
     val rx = ranks(cust, "x", "rx2")
     val ry = ranks(cust, "y", "ry2")
     val ranked = cust.join(broadcast(rx), "x").join(broadcast(ry), "y")
@@ -258,10 +278,7 @@ object InferOps extends QueryPack {
     import spark.implicits._
     import graft.functions.TextFunctions
     val toks = TextFunctions.tokens($"text")
-    val stops = Seq("the", "a", "is", "and", "of", "to", "in", "that", "it")
-    val stopRaw = size(filter(toks,
-      t => array_contains(array(stops.map(lit): _*), t))).cast("double")
-      ./(greatest(size(toks), lit(1)))
+    val stopRaw = TextFunctions.rawStopwordRatio($"text")
     val labeled = Tables.df(spark, sfDir, "documents")
       .select((size(toks) >= 20).as("a"), (stopRaw >= 0.1).as("b"))
     val s = labeled.agg(
@@ -293,10 +310,7 @@ object InferOps extends QueryPack {
     import spark.implicits._
     import graft.functions.TextFunctions
     val toks = TextFunctions.tokens($"text")
-    val stops = Seq("the", "a", "is", "and", "of", "to", "in", "that", "it")
-    val stopRaw = size(filter(toks,
-      t => array_contains(array(stops.map(lit): _*), t))).cast("double")
-      ./(greatest(size(toks), lit(1)))
+    val stopRaw = TextFunctions.rawStopwordRatio($"text")
     val scored = Tables.df(spark, sfDir, "documents")
       .select(
         (TextFunctions.langId($"text") === "en").as("pa"),
@@ -339,16 +353,7 @@ object InferOps extends QueryPack {
           .as("z2"))
     val g = z.groupBy($"event_type").agg(
       count(lit(1)).as("ng"), sum($"z").as("s1"), sum($"z2").as("s2"))
-    val tot = g.agg(sum($"ng").as("n"), sum($"s1").as("s1t"))
-    val dm = $"s1".cast("double") / $"ng" - $"s1t".cast("double") / $"n"
-    val terms = g.crossJoin(broadcast(tot))
-      .select($"ng", $"n",
-        round($"s2".cast("double")
-          - $"s1".cast("double") * $"s1".cast("double") / $"ng", 6)
-          .cast(dec6).as("ssw_g"),
-        round($"ng".cast("double") * dm * dm, 6).cast(dec6).as("ssb_g"))
-    val s = terms.agg(count(lit(1)).as("k"), max($"n").as("n"),
-      sum($"ssb_g").as("ssb"), sum($"ssw_g").as("ssw"))
+    val s = anovaCore(g)
     val w = when($"ssw" > 0,
       ($"ssb".cast("double") / ($"k" - lit(1L)))
         / ($"ssw".cast("double") / ($"n" - $"k")))

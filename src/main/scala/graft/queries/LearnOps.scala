@@ -303,10 +303,10 @@ object LearnOps extends QueryPack {
         / (lit(1.0) + exp((lit(3.0) - $"n_ev") / lit(2.0))), 6).as("p"))
     val g = scored.groupBy($"p").agg(
       sum($"y").as("np"), count(lit(1)).as("nv"))
-    val w = Window.orderBy($"p").rowsBetween(Window.unboundedPreceding, -1)
-    val r = g.withColumn("cumlt", coalesce(sum($"nv").over(w), lit(0L)))
-    val s = r.agg(sum($"np").as("n1"), sum($"nv").as("n"),
-      sum($"np" * (lit(2L) * $"cumlt" + $"nv" + lit(1L))).as("rp2"))
+    // shared 2R-integer rank definition (InferOps.withRank2)
+    val s = InferOps.withRank2(g, "p")
+      .agg(sum($"np").as("n1"), sum($"nv").as("n"),
+        sum($"np" * $"r2").as("rp2"))
     val n0 = $"n" - $"n1"
     // 2·(R+ - n1(n1+1)/2) as an exact integer, halved once at the end
     val a2 = $"rp2" - $"n1" * ($"n1" + lit(1L))
@@ -332,7 +332,10 @@ object LearnOps extends QueryPack {
     val dec2 = DecimalType(18, 2)
     val per = Tables.df(spark, sfDir, "lineitem")
       .groupBy($"l_orderkey").agg(count(lit(1)).as("x1"),
-        sum($"l_quantity".cast("long")).as("x2"))
+        // floor() on BOTH engines: Spark's long cast truncates while
+        // DuckDB's BIGINT cast rounds — integral fixture values hide
+        // the divergence, floor pins it
+        sum(floor($"l_quantity").cast("long")).as("x2"))
       .join(Tables.df(spark, sfDir, "orders")
         .select($"o_orderkey".as("l_orderkey"),
           $"o_totalprice".cast(dec2).as("yv")), "l_orderkey")
@@ -388,10 +391,7 @@ object LearnOps extends QueryPack {
     val dec6 = DecimalType(18, 6)
     val dec9 = DecimalType(18, 9)
     val toks = TextFunctions.tokens($"text")
-    val stops = Seq("the", "a", "is", "and", "of", "to", "in", "that", "it")
-    val stopRaw = size(filter(toks,
-      t => array_contains(array(stops.map(lit): _*), t))).cast("double")
-      ./(greatest(size(toks), lit(1)))
+    val stopRaw = TextFunctions.rawStopwordRatio($"text")
     val base = Tables.df(spark, sfDir, "documents")
       .select(($"lang" === "en").cast("long").as("y"),
         size(toks).cast("long").as("x1"),
@@ -596,7 +596,7 @@ object LearnOps extends QueryPack {
     "q_ridge" ->
       """WITH per AS (
         |  SELECT l.l_orderkey, count(*) AS x1,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS x2,
         |    CAST(any_value(o.o_totalprice) AS DECIMAL(18,2)) AS yv
         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         |  GROUP BY l.l_orderkey),

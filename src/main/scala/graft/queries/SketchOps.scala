@@ -38,43 +38,16 @@ object SketchOps extends QueryPack {
     import spark.implicits._
     val toks = Tables.df(spark, sfDir, "orders")
       .select($"o_custkey".cast("string").as("tok"))
-    val h = toks.select(
-      conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"),
-      $"tok")
-    // bucket = top 8 of 60 bits; rest = low 52; rho = leading zeros + 1
-    val regs = h.select(shiftrightunsigned($"h", 52).as("bucket"),
-        ($"h".bitwiseAND(lit((1L << 52) - 1))).as("rest"), $"tok")
-      .select($"bucket",
-        when($"rest" === 0L, lit(53))
-          .otherwise(lit(53) - length(bin($"rest"))).as("rho"),
-        $"tok")
-    val byBucket = regs.groupBy($"bucket").agg(max($"rho").as("m_j"))
-    // Σ 2^(-M_j) scaled by 2^53 stays integral; empty buckets contribute
-    // 2^53 each (M_j = 0)
-    val agg = byBucket.agg(
-      sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)")).as("s_present"),
-      count(lit(1)).as("n_present"))
-    val est = agg.crossJoin(broadcast(
-        h.agg(countDistinct($"tok").as("exact"))))
-      .select(
-        ($"s_present" + (lit(256L) - $"n_present") * lit(1L << 53))
-          .as("s_total"),
-        (lit(256L) - $"n_present").as("zeros"), $"exact")
-      .select($"exact", $"zeros",
-        // alpha_256 * m^2 * 2^53 / S, from literal doubles both engines
-        ((lit(0.7213) / (lit(1.0) + lit(1.079) / 256.0))
-          * lit(256.0) * lit(256.0) * lit(9007199254740992.0)
-          / $"s_total").as("e_raw"))
-      .select($"exact",
-        // small-range: E <= 2.5m with empty registers → linear counting
-        when($"e_raw" <= 640.0 && $"zeros" > 0L,
-          lit(256.0) * log(lit(256.0) / $"zeros"))
-          .otherwise($"e_raw").as("est_raw"))
-    // est and rel_err each round the UNROUNDED estimate once — deriving
-    // rel_err from the rounded est would re-manufacture the half-boundary
-    // class the determinism rules forbid (and diverge from the oracle)
-    est.select($"exact", round($"est_raw", 6).as("est"),
-      round(abs($"est_raw" - $"exact") / $"exact", 6).as("rel_err"))
+    // register build + estimate are the shared [[hllRegs]]/[[hllEstRaw]]
+    // chain (ONE home for the alpha-256 constants and the 640-threshold
+    // linear-counting fallback; q_hll_setops reuses them for set algebra)
+    hllEstRaw(hllRegs(toks))
+      .crossJoin(broadcast(toks.agg(countDistinct($"tok").as("exact"))))
+      // est and rel_err each round the UNROUNDED estimate once — deriving
+      // rel_err from the rounded est would re-manufacture the
+      // round-half boundary class the determinism rules forbid
+      .select($"exact", round($"est_raw", 6).as("est"),
+        round(abs($"est_raw" - $"exact") / $"exact", 6).as("rel_err"))
   }
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
