@@ -674,7 +674,55 @@ object GovernOps extends QueryPack {
 
   private val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
 
+  // ---- q_tcloseness ------------------------------------------------------
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * third rung of the release-privacy ladder after [[qKanonymity]]
+    * (class sizes) and [[qLdiversity]] (sensitive-value variety):
+    * k-anonymity + l-diversity still leak when a class's sensitive
+    * DISTRIBUTION skews from the table's (the "everyone in this class
+    * is rich-ish" attack); t = the Earth-Mover's Distance between each
+    * class's balance-bin distribution and the global one. For an
+    * ordered attribute with unit ground distance, EMD = Σ|cumulative
+    * (p−q)|/(m−1) — and p_j − q_j = (c_j·N − g_j·n)/(n·N), so the
+    * cumulative runs in EXACT integer numerators (DECIMAL(38,0) — no
+    * float accumulation) with two divisions at the very end. Same QI
+    * and sensitive grain as the other two audits, so the three reports
+    * read as one ladder. Shape: class×bin grid = (QI-thin × bin-thin)
+    * broadcast cross join, one bin-ordered window per class. */
+  def qTcloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = DecimalType(38, 0)
+    val rows = Tables.df(spark, sfDir, "customer")
+      .select($"c_mktsegment".as("seg"), $"c_nationkey".as("nat"),
+        floor($"c_acctbal" / 1000).as("sv"))
+    val cells = rows.groupBy($"seg", $"nat", $"sv")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds classes, bins, and the grid join
+    val classes = cells.groupBy($"seg", $"nat").agg(sum($"c").as("n"))
+    val bins = cells.groupBy($"sv").agg(sum($"c").as("g"))
+    val tot = bins.agg(sum($"g").as("big_n"), count(lit(1)).as("m"))
+    val grid = classes.crossJoin(broadcast(bins))
+      .join(cells, Seq("seg", "nat", "sv"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+    val wCum = Window.partitionBy($"seg", $"nat").orderBy($"sv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("num",
+        ($"c".cast(dec38) * $"big_n" - $"g".cast(dec38) * $"n"))
+      .withColumn("cum", sum($"num").over(wCum))
+      .groupBy($"seg", $"nat", $"n", $"big_n", $"m")
+      .agg(sum(abs($"cum")).as("sabs"))
+      .select($"seg", $"nat", $"n".as("n_rows"),
+        round($"sabs".cast("double")
+          / ($"n".cast("double") * $"big_n") / ($"m" - lit(1L)), 6)
+          .as("t"))
+      .withColumn("violates_t02", $"t" > 0.2)
+      .orderBy($"seg", $"nat")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tcloseness" -> qTcloseness,
     "q_dp_mean" -> qDpMean,
     "q_expectations" -> qExpectations,
     "q_dataset_diff" -> qDatasetDiff,
@@ -743,6 +791,47 @@ object GovernOps extends QueryPack {
         |  FROM pairs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same class×bin grid, same exact-integer cumulative EMD numerators
+    "q_tcloseness" ->
+      """WITH rows_ AS (
+        |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv
+        |  FROM customer),
+        |cells AS (
+        |  SELECT seg, nat, sv, count(*) AS c FROM rows_ GROUP BY 1, 2, 3),
+        |classes AS (
+        |  SELECT seg, nat, CAST(sum(c) AS BIGINT) AS n FROM cells
+        |  GROUP BY 1, 2),
+        |bins AS (
+        |  SELECT sv, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(g) AS BIGINT) AS big_n, count(*) AS m
+        |  FROM bins),
+        |grid AS (
+        |  SELECT cl.seg, cl.nat, cl.n, b.sv, b.g,
+        |    COALESCE(ce.c, 0) AS c, t.big_n, t.m
+        |  FROM classes cl CROSS JOIN bins b
+        |  LEFT JOIN cells ce
+        |    ON ce.seg = cl.seg AND ce.nat = cl.nat AND ce.sv = b.sv
+        |  CROSS JOIN tot t),
+        |cum AS (
+        |  SELECT seg, nat, n, big_n, m,
+        |    sum(CAST(c AS DECIMAL(38,0)) * big_n
+        |      - CAST(g AS DECIMAL(38,0)) * n) OVER (
+        |      PARTITION BY seg, nat ORDER BY sv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM grid),
+        |agg AS (
+        |  SELECT seg, nat, n, big_n, m, sum(abs(cum)) AS sabs
+        |  FROM cum GROUP BY 1, 2, 3, 4, 5)
+        |SELECT seg, nat, n AS n_rows,
+        |  round(CAST(sabs AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * big_n) / (m - 1), 6) AS t,
+        |  round(CAST(sabs AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * big_n) / (m - 1), 6) > 0.2
+        |    AS violates_t02
+        |FROM agg ORDER BY seg, nat""".stripMargin,
+
     // same clipped decimal sums, same md5 inverse-CDF Laplace draws
     "q_dp_mean" ->
       """WITH b AS (

@@ -310,6 +310,42 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_quality_sweep ---------------------------------------------------
+  /** Threshold-sensitivity report for the quality gate (the
+    * q_dedup_sweep discipline applied to [[qQuality]]'s score): before
+    * a pipeline commits to "drop everything under q", this prices each
+    * candidate threshold's cost — documents kept, token mass kept, and
+    * the mean score of the survivors — from ONE corpus pass (per-doc
+    * score + token count, a 3× threshold explode, one aggregate).
+    * Thresholds compare the once-rounded score, so the cut is the
+    * exact cut q_quality buckets by. */
+  def qQualitySweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val scored = Tables.df(spark, sfDir, "documents")
+      .select(TextFunctions.qualityScore($"text").as("score"),
+        TextFunctions.tokenCount($"text").cast("long").as("n_tok"))
+    scored
+      .select($"score", $"n_tok",
+        explode(array(lit(0.3), lit(0.5), lit(0.7))).as("thr"))
+      .groupBy($"thr")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("tokens_total"),
+        sum(when($"score" >= $"thr", 1L).otherwise(0L)).as("docs_kept"),
+        sum(when($"score" >= $"thr", $"n_tok").otherwise(0L))
+          .as("tokens_kept"),
+        sum(when($"score" >= $"thr", $"score".cast(dec6))).as("s_kept"))
+      .select($"thr", $"docs_kept",
+        round($"docs_kept".cast("double") / $"n_docs", 6).as("frac_docs"),
+        $"tokens_kept",
+        round($"tokens_kept".cast("double") / $"tokens_total", 6)
+          .as("frac_tokens"),
+        when($"docs_kept" > 0,
+          round($"s_kept".cast("double") / $"docs_kept", 6))
+          .as("mean_score_kept"))
+      .orderBy($"thr")
+  }
+
   /** Whitespace vs BPE-ish token counts. The pinned keyed repartition
     * before the projection is the q_fuzzy_dist starvation fix again
     * (r10 telemetry: 4.99 s wall ≈ 4.3 run core-s on the scan's 4
@@ -861,6 +897,7 @@ object TextOps extends QueryPack {
     "q_lang_id" -> qLangId,
     "q_lang_confusion" -> qLangConfusion,
     "q_quality" -> qQuality,
+    "q_quality_sweep" -> qQualitySweep,
     "q_token_count" -> qTokenCount,
     "q_tok_fertility" -> qTokFertility,
     "q_fingerprint" -> qFingerprint,
@@ -1363,6 +1400,44 @@ object TextOps extends QueryPack {
         |    THEN round(2 * prec * rec / (prec + rec), 6) END AS f1
         |FROM bt LEFT JOIN bp ON bp.pred = bt.lang
         |ORDER BY bt.lang""".stripMargin),
+
+    // the q_quality score formula verbatim, swept over three cuts
+    "q_quality_sweep" ->
+      s"""WITH sc AS (
+        |  SELECT
+        |    round(0.5 * least(CAST(len($toksSql) AS INT) / 20.0, 1.0)
+        |        + 0.3 * least((CAST(len(list_filter($toksSql,
+        |            x -> list_contains(['the','a','is','and','of','to',
+        |              'in','that','it'], x))) AS DOUBLE)
+        |            / greatest(len($toksSql), 1)) * 5.0, 1.0)
+        |        + 0.2 * (1.0 - least(
+        |            CAST(len(regexp_extract_all(lower(text),
+        |              '[^a-z0-9 ]')) AS INT)
+        |            / greatest(CAST(length(text) AS INT), 1), 1.0)), 6)
+        |      AS score,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |x AS (
+        |  SELECT score, n_tok, unnest([0.3, 0.5, 0.7]) AS thr FROM sc),
+        |g AS (
+        |  SELECT thr, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        |    CAST(sum(CASE WHEN score >= thr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS docs_kept,
+        |    CAST(sum(CASE WHEN score >= thr THEN n_tok ELSE 0 END)
+        |      AS BIGINT) AS tokens_kept,
+        |    sum(CASE WHEN score >= thr
+        |      THEN CAST(score AS DECIMAL(18,6)) END) AS s_kept
+        |  FROM x GROUP BY thr)
+        |SELECT thr, docs_kept,
+        |  round(CAST(docs_kept AS DOUBLE) / n_docs, 6) AS frac_docs,
+        |  tokens_kept,
+        |  round(CAST(tokens_kept AS DOUBLE) / tokens_total, 6)
+        |    AS frac_tokens,
+        |  CASE WHEN docs_kept > 0 THEN
+        |    round(CAST(s_kept AS DOUBLE) / docs_kept, 6) END
+        |    AS mean_score_kept
+        |FROM g ORDER BY thr""".stripMargin,
 
     "q_quality" ->
       s"""SELECT doc_id, n_tok, avg_len, round(stop_raw, 6) AS stop_ratio,
