@@ -631,6 +631,54 @@ object EventOps extends QueryPack {
     survivalCurve(spark, sfDir).orderBy($"t")
   }
 
+  // ---- q_did -------------------------------------------------------------
+  /** Difference-in-differences (the two-group × two-period experiment
+    * readout, Card & Krueger '94 usage): DiD = (ȳ treat,post − ȳ
+    * treat,pre) − (ȳ ctrl,post − ȳ ctrl,pre) on user-day conversion,
+    * arms by user parity, periods split at the observed date midpoint —
+    * the estimator that nets out both the level difference between arms
+    * and the common time trend, which q_abtest's single-period z cannot.
+    * SE from the four cells' binomial variances; the parity
+    * pseudo-treatment pins the null. One (user, day) reduction → one
+    * 8-conditional-sum aggregate; all counts exact integers. */
+  def qDid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val units = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(($"user_id" % 2 === 0).as("a"), $"day", $"conv")
+    val lim = units.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val cells = units.crossJoin(broadcast(lim))
+      .select($"a",
+        (datediff($"day", $"d0")
+          > expr("datediff(d1, d0) div 2")).as("late"), $"conv")
+    val s = cells.agg(
+      sum(when(!$"a" && !$"late", 1L).otherwise(0L)).as("n00"),
+      sum(when(!$"a" && !$"late", $"conv").otherwise(0L)).as("c00"),
+      sum(when(!$"a" && $"late", 1L).otherwise(0L)).as("n01"),
+      sum(when(!$"a" && $"late", $"conv").otherwise(0L)).as("c01"),
+      sum(when($"a" && !$"late", 1L).otherwise(0L)).as("n10"),
+      sum(when($"a" && !$"late", $"conv").otherwise(0L)).as("c10"),
+      sum(when($"a" && $"late", 1L).otherwise(0L)).as("n11"),
+      sum(when($"a" && $"late", $"conv").otherwise(0L)).as("c11"))
+    def p(c: Column, n: Column): Column = c.cast("double") / n
+    val did = (p($"c11", $"n11") - p($"c10", $"n10"))
+      .minus(p($"c01", $"n01") - p($"c00", $"n00"))
+    def vr(c: Column, n: Column): Column =
+      p(c, n) * (lit(1.0) - p(c, n)) / n
+    val se = sqrt(vr($"c00", $"n00") + vr($"c01", $"n01")
+      + vr($"c10", $"n10") + vr($"c11", $"n11"))
+    val z = when(se > 0.0, did / se)
+    s.select($"n00", $"n01", $"n10", $"n11",
+      round(p($"c00", $"n00"), 6).as("p_ctrl_pre"),
+      round(p($"c01", $"n01"), 6).as("p_ctrl_post"),
+      round(p($"c10", $"n10"), 6).as("p_treat_pre"),
+      round(p($"c11", $"n11"), 6).as("p_treat_post"),
+      round(did, 6).as("did"), round(se, 6).as("se"),
+      round(z, 6).as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
   // ---- q_logrank ---------------------------------------------------------
   /** Log-rank test (Mantel '66) comparing the two parity arms'
     * time-to-first-purchase curves — the hypothesis test that belongs
@@ -1387,6 +1435,7 @@ object EventOps extends QueryPack {
     "q_seq_mining" -> qSeqMining,
     "q_interarrival" -> qInterarrival,
     "q_logrank" -> qLogrank,
+    "q_did" -> qDid,
     "q_funnel_sessions" -> qFunnelSessions,
     "q_journeys" -> qJourneys,
     "q_split_temporal" -> qSplitTemporal,
@@ -1976,6 +2025,66 @@ object EventOps extends QueryPack {
     // same lifetime/censoring definitions, same DECIMAL(18,9) pre-sum
     // ln terms, same absorbed short-circuit; HUGEINT sums cast to BIGINT
     
+    // same user-day unit as q_abtest; midpoint period split from the
+    // observed date range; four binomial cells and one closed form
+    "q_did" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 = 0 AS a, CAST(ts AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |lim AS (SELECT min(day) AS d0, max(day) AS d1 FROM u),
+        |cells AS (
+        |  SELECT a,
+        |    date_diff('day', d0, day)
+        |      > date_diff('day', d0, d1) // 2 AS late, conv
+        |  FROM u CROSS JOIN lim),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN NOT a AND NOT late THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00,
+        |    CAST(sum(CASE WHEN NOT a AND NOT late THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c00,
+        |    CAST(sum(CASE WHEN NOT a AND late THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND late THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c01,
+        |    CAST(sum(CASE WHEN a AND NOT late THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN a AND NOT late THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c10,
+        |    CAST(sum(CASE WHEN a AND late THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a AND late THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c11
+        |  FROM cells),
+        |f AS (
+        |  SELECT n00, n01, n10, n11,
+        |    CAST(c00 AS DOUBLE) / n00 AS p00,
+        |    CAST(c01 AS DOUBLE) / n01 AS p01,
+        |    CAST(c10 AS DOUBLE) / n10 AS p10,
+        |    CAST(c11 AS DOUBLE) / n11 AS p11,
+        |    (CAST(c11 AS DOUBLE) / n11 - CAST(c10 AS DOUBLE) / n10)
+        |      - (CAST(c01 AS DOUBLE) / n01 - CAST(c00 AS DOUBLE) / n00)
+        |      AS did,
+        |    sqrt(CAST(c00 AS DOUBLE) / n00
+        |        * (1.0 - CAST(c00 AS DOUBLE) / n00) / n00
+        |      + CAST(c01 AS DOUBLE) / n01
+        |        * (1.0 - CAST(c01 AS DOUBLE) / n01) / n01
+        |      + CAST(c10 AS DOUBLE) / n10
+        |        * (1.0 - CAST(c10 AS DOUBLE) / n10) / n10
+        |      + CAST(c11 AS DOUBLE) / n11
+        |        * (1.0 - CAST(c11 AS DOUBLE) / n11) / n11) AS se
+        |  FROM s)
+        |SELECT n00, n01, n10, n11,
+        |  round(p00, 6) AS p_ctrl_pre, round(p01, 6) AS p_ctrl_post,
+        |  round(p10, 6) AS p_treat_pre, round(p11, 6) AS p_treat_post,
+        |  round(did, 6) AS did, round(se, 6) AS se,
+        |  round(CASE WHEN se > 0.0 THEN did / se END, 6) AS z,
+        |  abs(CASE WHEN se > 0.0 THEN did / se END) > 1.96
+        |    AS significant
+        |FROM f""".stripMargin,
+
     // same duration/censoring rule as the K-M CTEs; per-time O/E/V with
     // the hypergeometric variance, terms decimal-rounded before sums
     "q_logrank" ->

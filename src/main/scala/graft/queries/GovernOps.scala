@@ -457,6 +457,33 @@ object GovernOps extends QueryPack {
       .orderBy($"rk")
   }
 
+  // ---- q_bh_fdr ----------------------------------------------------------
+  /** Benjamini–Hochberg FDR control over the same KS test battery
+    * (Benjamini & Hochberg '95) — [[qHolm]]'s step-UP sibling: Holm
+    * bounds the family-wise error (any false positive), BH bounds the
+    * expected false-discovery RATE, the calibration a monitoring
+    * dashboard with hundreds of drift tests actually wants (Holm goes
+    * near-silent at that scale). adj_p(i) = min over j ≥ i of (m/j)·p_j
+    * via one running min from the largest rank; shares qKsMatrix and
+    * the (p, s1, s2) rank order with Holm so the two corrections are
+    * comparable row-for-row. */
+  def qBhFdr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tests = qKsMatrix(spark, sfDir)
+      .select($"s1", $"s2", $"p_approx".as("p"))
+    val m = tests.agg(count(lit(1)).as("m"))
+    val wRank = Window.orderBy($"p", $"s1", $"s2")
+    val wCumMin = Window.orderBy($"rk".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tests.crossJoin(broadcast(m))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("adj_p", round(least(lit(1.0),
+        min(round($"m" * $"p" / $"rk", 9)).over(wCumMin)), 6))
+      .select($"s1", $"s2", $"p", $"rk", $"adj_p",
+        ($"adj_p" < 0.05).as("reject"))
+      .orderBy($"rk")
+  }
+
   // ---- q_ldiversity ------------------------------------------------------
   /** l-diversity audit (Machanavajjhala et al., ICDE'06) — k-anonymity's
     * complement: a QI class can be large yet still leak if everyone in it
@@ -723,6 +750,7 @@ object GovernOps extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tcloseness" -> qTcloseness,
+    "q_bh_fdr" -> qBhFdr,
     "q_dp_mean" -> qDpMean,
     "q_expectations" -> qExpectations,
     "q_dataset_diff" -> qDatasetDiff,
@@ -988,6 +1016,31 @@ object GovernOps extends QueryPack {
         |FROM s CROSS JOIN ks
         |GROUP BY level, k
         |ORDER BY level, k""".stripMargin,
+
+    // Holm's shared test CTEs + rank order; step-up running min from
+    // the largest rank with 9dp pre-min term rounding
+    "q_bh_fdr" ->
+      (ksMatrixCtes + """,
+        |tests AS (
+        |  SELECT s1, s2,
+        |    round(least(1.0, 2.0 * exp(-2.0 * lambda * lambda)), 6)
+        |      AS p
+        |  FROM l),
+        |m AS (SELECT count(*) AS m FROM tests),
+        |rk AS (
+        |  SELECT tests.s1, tests.s2, tests.p, m.m,
+        |    row_number() OVER (ORDER BY tests.p, tests.s1, tests.s2)
+        |      AS rk
+        |  FROM tests CROSS JOIN m),
+        |adj AS (
+        |  SELECT s1, s2, p, rk,
+        |    round(least(1.0, min(round(m * p / rk, 9)) OVER (
+        |      ORDER BY rk DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |      AS adj_p
+        |  FROM rk)
+        |SELECT s1, s2, p, rk, adj_p, adj_p < 0.05 AS reject
+        |FROM adj ORDER BY rk""".stripMargin),
 
     // same shared test CTEs, same running-max step-down with 9dp
     // pre-max term rounding and (p, s1, s2) rank order
