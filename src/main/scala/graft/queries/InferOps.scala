@@ -36,16 +36,6 @@ object InferOps extends QueryPack {
   private val dec38 = DecimalType(38, 0)
 
   // ---- q_welch_ttest -----------------------------------------------------
-  /** Welch's unequal-variance t-test on per-user total event value,
-    * variants by user-id parity (the q_abtest assignment). Unit = the
-    * USER (a user's events are not independent, so the per-event test
-    * would overcount n — the same unit-of-analysis discipline as
-    * q_abtest's user-day). Moments: per-user totals are exact decimal
-    * sums of once-rounded values; the squared totals round once to
-    * DECIMAL(18,4) before the group sums, so both engines aggregate
-    * identical integers and the t / Welch–Satterthwaite df are one
-    * shared double formula over them. Zero pooled variance → NULL t
-    * (the qAbtest zero-SE guard). */
   /** The per-arm exact moment relation (1 row: n/Σm/Σm² per parity arm)
     * over per-user total event value — shared by [[qWelchTtest]] and
     * [[qTost]] so the two tests read identical moments. */
@@ -67,6 +57,16 @@ object InferOps extends QueryPack {
       sum(when(!$"a", $"m2")).as("s2b"))
   }
 
+  /** Welch's unequal-variance t-test on per-user total event value,
+    * variants by user-id parity (the q_abtest assignment). Unit = the
+    * USER (a user's events are not independent, so the per-event test
+    * would overcount n — the same unit-of-analysis discipline as
+    * q_abtest's user-day). Moments: per-user totals are exact decimal
+    * sums of once-rounded values; the squared totals round once to
+    * DECIMAL(18,4) before the group sums, so both engines aggregate
+    * identical integers and the t / Welch–Satterthwaite df are one
+    * shared double formula over them. Zero pooled variance → NULL t
+    * (the qAbtest zero-SE guard). */
   def qWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val s = userTotalMoments(spark, sfDir)
@@ -92,16 +92,6 @@ object InferOps extends QueryPack {
   }
 
   // ---- q_mann_whitney ----------------------------------------------------
-  /** Mann–Whitney U (Wilcoxon rank-sum) on per-user event counts,
-    * variants by user-id parity — the distribution-free twin of
-    * [[qWelchTtest]] a metrics platform reaches for when totals are
-    * heavy-tailed. Rank trick: average ranks come from the value-GROUPED
-    * relation — for count value v with n_v holders and cum_lt smaller
-    * values, 2·R(v) = 2·cum_lt + n_v + 1 is an INTEGER, so the rank-sum
-    * runs entirely in exact integer arithmetic (U doubles only at the
-    * final closed form). Tie-corrected normal approximation; ties
-    * contribute Σ(t³−t) from the same grouped relation. The only window
-    * is a cumulative count over |distinct count values| rows. */
   /** Value-grouped average-rank columns: given a grouped relation with
     * an `nv` count per distinct value of `orderCol`, adds `cumlt` (count
     * of strictly-smaller rows) and the INTEGER doubled average rank
@@ -118,6 +108,16 @@ object InferOps extends QueryPack {
       .withColumn("r2", lit(2L) * $"cumlt" + $"nv" + lit(1L))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) on per-user event counts,
+    * variants by user-id parity — the distribution-free twin of
+    * [[qWelchTtest]] a metrics platform reaches for when totals are
+    * heavy-tailed. Rank trick: average ranks come from the value-GROUPED
+    * relation — for count value v with n_v holders and cum_lt smaller
+    * values, 2·R(v) = 2·cum_lt + n_v + 1 is an INTEGER, so the rank-sum
+    * runs entirely in exact integer arithmetic (U doubles only at the
+    * final closed form). Tie-corrected normal approximation; ties
+    * contribute Σ(t³−t) from the same grouped relation. The only window
+    * is a cumulative count over |distinct count values| rows. */
   def qMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val users = Tables.df(spark, sfDir, "events")
@@ -144,14 +144,6 @@ object InferOps extends QueryPack {
   }
 
   // ---- q_anova -----------------------------------------------------------
-  /** One-way ANOVA of event value across event types — "does the metric
-    * differ across k categories" generalizing the two-arm tests. Sums of
-    * squares from per-group exact-decimal moments (once-rounded v and
-    * v², the Welch discipline); the per-group SSW/SSB terms round to
-    * DECIMAL(18,6) before the k-row sum so the F statistic's inputs are
-    * exact and order-independent. k-1 / N-k degrees of freedom; η² as
-    * the effect size. Shape: one scan → k-row group relation → 1-row
-    * result; the group relation broadcasts against its own 1-row total. */
   /** The one-way ANOVA core shared by [[qAnova]] and [[qLevene]]: a
     * grouped moment relation (ng, s1, s2) → the 1-row (k, n, ssb, ssw)
     * sums-of-squares relation, with the per-group SS terms rounded to
@@ -171,6 +163,14 @@ object InferOps extends QueryPack {
       sum($"ssb_g").as("ssb"), sum($"ssw_g").as("ssw"))
   }
 
+  /** One-way ANOVA of event value across event types — "does the metric
+    * differ across k categories" generalizing the two-arm tests. Sums of
+    * squares from per-group exact-decimal moments (once-rounded v and
+    * v², the Welch discipline); the per-group SSW/SSB terms round to
+    * DECIMAL(18,6) before the k-row sum so the F statistic's inputs are
+    * exact and order-independent. k-1 / N-k degrees of freedom; η² as
+    * the effect size. Shape: one scan → k-row group relation → 1-row
+    * result; the group relation broadcasts against its own 1-row total. */
   def qAnova(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.df(spark, sfDir, "events")
@@ -386,8 +386,11 @@ object InferOps extends QueryPack {
     val pooledMean = ($"s1a".cast("double") + $"s1b".cast("double"))
       .divide($"n1" + $"n2")
     val delta = lit(0.05) * pooledMean
-    val tl = (diff + delta) / se
-    val tu = (delta - diff) / se
+    // zero-variance guard (the qWelchTtest se2 discipline): a degenerate
+    // arm makes se/sdp 0 or NULL — Spark's division would NULL while
+    // DuckDB's IEEE division yields ±Inf, so both sides must CASE first
+    val tl = when(se > 0.0, (diff + delta) / se)
+    val tu = when(se > 0.0, (delta - diff) / se)
     val sdp = sqrt((($"n1" - lit(1L)) * va + ($"n2" - lit(1L)) * vb)
       / ($"n1" + $"n2" - lit(2L)))
     s.select($"n1".as("n_a"), $"n2".as("n_b"),
@@ -395,7 +398,7 @@ object InferOps extends QueryPack {
       round(se, 4).as("se"),
       round(tl, 4).as("t_lower"), round(tu, 4).as("t_upper"),
       (tl > 1.645 && tu > 1.645).as("equivalent"),
-      round(diff / sdp, 6).as("cohens_d"))
+      round(when(sdp > 0.0, diff / sdp), 6).as("cohens_d"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -447,11 +450,14 @@ object InferOps extends QueryPack {
         |SELECT n1 AS n_a, n2 AS n_b,
         |  round(diff, 4) AS diff, round(delta, 4) AS margin,
         |  round(se, 4) AS se,
-        |  round((diff + delta) / se, 4) AS t_lower,
-        |  round((delta - diff) / se, 4) AS t_upper,
-        |  (diff + delta) / se > 1.645 AND (delta - diff) / se > 1.645
+        |  round(CASE WHEN se > 0.0 THEN (diff + delta) / se END, 4)
+        |    AS t_lower,
+        |  round(CASE WHEN se > 0.0 THEN (delta - diff) / se END, 4)
+        |    AS t_upper,
+        |  (CASE WHEN se > 0.0 THEN (diff + delta) / se END) > 1.645
+        |    AND (CASE WHEN se > 0.0 THEN (delta - diff) / se END) > 1.645
         |    AS equivalent,
-        |  round(diff / sdp, 6) AS cohens_d
+        |  round(CASE WHEN sdp > 0.0 THEN diff / sdp END, 6) AS cohens_d
         |FROM v""".stripMargin,
 
     // TextOps' shared langId prediction CTE (the classifier definition

@@ -32,9 +32,12 @@ class R11hOpsSpec extends SparkSpec {
     rows.sliding(2).foreach { case Array(lo, hi) =>
       assert(lo.getAs[Long]("docs_kept") >= hi.getAs[Long]("docs_kept"),
         "docs kept must fall as the threshold rises")
-      assert(lo.getAs[Double]("mean_score_kept") <=
-        hi.getAs[Double]("mean_score_kept") + 1e-9,
-        "survivor quality must not fall as the threshold rises")
+      // mean_score_kept is NULL when a cut keeps zero docs — only
+      // compare survivor quality between populated cuts
+      if (lo.getAs[Long]("docs_kept") > 0 && hi.getAs[Long]("docs_kept") > 0)
+        assert(lo.getAs[Double]("mean_score_kept") <=
+          hi.getAs[Double]("mean_score_kept") + 1e-9,
+          "survivor quality must not fall as the threshold rises")
     }
     rows.foreach { r =>
       val fd = r.getAs[Double]("frac_docs")
