@@ -38,7 +38,7 @@ object CurateOps extends QueryPack {
     * Verification reuses the codegen merge-walk kernel over the full
     * sorted-hash arrays.
     */
-  private def prefixPairs(spark: SparkSession, sfDir: String,
+  private[queries] def prefixPairs(spark: SparkSession, sfDir: String,
       subsetMod: Int, num: Int, den: Int): DataFrame = {
     import spark.implicits._
     graft.functions.SortedIntersectSize.register(spark)

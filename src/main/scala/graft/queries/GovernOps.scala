@@ -701,6 +701,46 @@ object GovernOps extends QueryPack {
 
   private val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
 
+  // ---- q_dp_histogram ----------------------------------------------------
+  /** Differentially-private histogram release (the workhorse DP query —
+    * Dwork et al. '06; disjoint bins mean ONE ε covers every bin by
+    * parallel composition): per balance band, the true count, the
+    * Lap(1/ε) noisy count (ε = 1, md5 inverse-CDF draws keyed by bin),
+    * and the POST-PROCESSED release — clamped at zero and renormalized
+    * to shares (post-processing is free under DP). Reports per-bin true
+    * vs released shares and the bin's absolute share error, the utility
+    * read-out a release reviewer checks against the ε they spent.
+    * Shape: one bin-thin aggregate + S-row noise projection; the
+    * renormalizer is a 1-row broadcast. */
+  def qDpHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 1.0
+    val bins = Tables.df(spark, sfDir, "customer")
+      .groupBy(floor($"c_acctbal" / 1000).as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val u = (conv(substring(md5(concat(lit("dph:"),
+      $"bin".cast("string"))), 1, 15), 16, 10).cast("double") + 0.5) /
+      lit(1152921504606846976.0)
+    val noisy = bins
+      .withColumn("lap", round(lit(-1.0 / eps)
+        * when(u >= 0.5, 1.0).otherwise(-1.0)
+        * log(lit(2.0) * least(u, lit(1.0) - u)), 6))
+      .withColumn("released", greatest($"n" + $"lap", lit(0.0)))
+      .localCheckpoint() // feeds the renormalizer + the output
+    val tot = noisy.agg(sum($"n").as("n_tot"),
+      sum($"released".cast(DecimalType(18, 6))).as("r_tot"))
+    noisy.crossJoin(broadcast(tot))
+      .select($"bin", $"n",
+        round($"n" + $"lap", 2).as("noisy"),
+        round($"released", 2).as("released"),
+        round($"n".cast("double") / $"n_tot", 6).as("true_share"),
+        round($"released" / $"r_tot".cast("double"), 6)
+          .as("released_share"))
+      .withColumn("share_err",
+        round(abs($"released_share" - $"true_share"), 6))
+      .orderBy($"bin")
+  }
+
   // ---- q_tcloseness ------------------------------------------------------
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
     * third rung of the release-privacy ladder after [[qKanonymity]]
@@ -750,6 +790,7 @@ object GovernOps extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tcloseness" -> qTcloseness,
+    "q_dp_histogram" -> qDpHistogram,
     "q_bh_fdr" -> qBhFdr,
     "q_dp_mean" -> qDpMean,
     "q_expectations" -> qExpectations,
@@ -819,6 +860,41 @@ object GovernOps extends QueryPack {
         |  FROM pairs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same bin-keyed md5 draws, same clamp-and-renormalize release
+    "q_dp_histogram" ->
+      """WITH bins AS (
+        |  SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bin,
+        |    count(*) AS n
+        |  FROM customer GROUP BY 1),
+        |w AS (
+        |  SELECT bin, n,
+        |    round(-1.0
+        |      * (CASE WHEN ((('0x' || substr(md5('dph:' || bin::VARCHAR),
+        |          1, 15))::BIGINT + 0.5) / 1152921504606846976.0) >= 0.5
+        |        THEN 1.0 ELSE -1.0 END)
+        |      * ln(2.0 * least(
+        |        ((('0x' || substr(md5('dph:' || bin::VARCHAR),
+        |          1, 15))::BIGINT + 0.5) / 1152921504606846976.0),
+        |        1.0 - ((('0x' || substr(md5('dph:' || bin::VARCHAR),
+        |          1, 15))::BIGINT + 0.5) / 1152921504606846976.0))), 6)
+        |      AS lap
+        |  FROM bins),
+        |r AS (
+        |  SELECT bin, n, lap, greatest(n + lap, 0.0) AS released
+        |  FROM w),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+        |    sum(CAST(released AS DECIMAL(18,6))) AS r_tot
+        |  FROM r)
+        |SELECT bin, n,
+        |  round(n + lap, 2) AS noisy,
+        |  round(released, 2) AS released,
+        |  round(CAST(n AS DOUBLE) / n_tot, 6) AS true_share,
+        |  round(released / CAST(r_tot AS DOUBLE), 6) AS released_share,
+        |  round(abs(round(released / CAST(r_tot AS DOUBLE), 6)
+        |    - round(CAST(n AS DOUBLE) / n_tot, 6)), 6) AS share_err
+        |FROM r CROSS JOIN tot ORDER BY bin""".stripMargin,
+
     // same class×bin grid, same exact-integer cumulative EMD numerators
     "q_tcloseness" ->
       """WITH rows_ AS (

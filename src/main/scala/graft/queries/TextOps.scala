@@ -310,6 +310,63 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_blocking_eval ---------------------------------------------------
+  /** Record-linkage blocking quality (Christen's reduction ratio / pair
+    * completeness / pairs quality) for the qFuzzyDist-style |Δlength| ≤
+    * 40 blocking window, evaluated corpus-wide against REAL near-dup
+    * truth (the exact prefix-filtered Jaccard ≥ 0.8 pairs) — the
+    * eval-everything discipline (q_minhash_eval / q_ann_eval /
+    * q_winnow_eval) applied to the blocking step every fuzzy matcher
+    * runs first. The scale move: NO pair relation is ever materialized
+    * for the denominator side — total pairs are n(n−1)/2 arithmetic and
+    * the candidate count comes from a banded self-join of the
+    * LENGTH-HISTOGRAM relation (|distinct lengths|² band pairs, never
+    * documents), so the report costs one histogram plus the truth
+    * relation it prices. And the gate FIRES on this fixture (the
+    * q_ann_eval precedent): set-similar docs here differ in length by
+    * a median 86 chars, so the 40-char window recalls only ~25% of
+    * them — the measured warning that a blocking key must match the
+    * match definition, which is exactly what this report exists to
+    * catch before a linkage run trusts its blocking. */
+  def qBlockingEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars")
+    val hist = docs.groupBy($"n_chars".as("len"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val nTot = docs.agg(count(lit(1)).as("n"))
+    // candidate pairs under |Δlen| <= 40: same-length C(c,2) plus the
+    // strictly-ordered cross terms within the band
+    // `div`, not `/`: Column./ is double division — the counts must
+    // stay BIGINT to match the oracle's // arithmetic
+    val same = hist.agg(sum(expr("cnt * (cnt - 1) div 2")).as("c_same"))
+    val cross = hist.select($"len".as("l1"), $"cnt".as("c1"))
+      .join(hist.select($"len".as("l2"), $"cnt".as("c2")),
+        $"l1" < $"l2" && $"l2" - $"l1" <= 40)
+      .agg(coalesce(sum($"c1" * $"c2"), lit(0L)).as("c_cross"))
+    val truth = CurateOps
+      .prefixPairs(spark, sfDir, subsetMod = 1, num = 8, den = 10)
+      .select($"id1", $"id2")
+      .join(docs.select($"doc_id".as("id1"), $"n_chars".as("n1")), "id1")
+      .join(docs.select($"doc_id".as("id2"), $"n_chars".as("n2")), "id2")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(abs($"n1" - $"n2") <= 40, 1L).otherwise(0L))
+          .as("n_truth_cand"))
+    nTot.crossJoin(same).crossJoin(cross).crossJoin(truth)
+      .select(expr("n * (n - 1) div 2").as("n_pairs"),
+        ($"c_same" + $"c_cross").as("n_cand"), $"n_truth",
+        $"n_truth_cand")
+      .select($"n_pairs", $"n_cand", $"n_truth",
+        round(lit(1.0) - $"n_cand".cast("double") / $"n_pairs", 6)
+          .as("reduction_ratio"),
+        when($"n_truth" > 0,
+          round($"n_truth_cand".cast("double") / $"n_truth", 6))
+          .as("pair_completeness"),
+        when($"n_cand" > 0,
+          round($"n_truth_cand".cast("double") / $"n_cand", 6))
+          .as("pairs_quality"))
+  }
+
   // ---- q_quality_sweep ---------------------------------------------------
   /** Threshold-sensitivity report for the quality gate (the
     * q_dedup_sweep discipline applied to [[qQuality]]'s score): before
@@ -898,6 +955,7 @@ object TextOps extends QueryPack {
     "q_lang_confusion" -> qLangConfusion,
     "q_quality" -> qQuality,
     "q_quality_sweep" -> qQualitySweep,
+    "q_blocking_eval" -> qBlockingEval,
     "q_token_count" -> qTokenCount,
     "q_tok_fertility" -> qTokFertility,
     "q_fingerprint" -> qFingerprint,
@@ -1400,6 +1458,49 @@ object TextOps extends QueryPack {
         |    THEN round(2 * prec * rec / (prec + rec), 6) END AS f1
         |FROM bt LEFT JOIN bp ON bp.pred = bt.lang
         |ORDER BY bt.lang""".stripMargin),
+
+    // same arithmetic candidate count from the length histogram; truth
+    // = brute raw-string J >= 0.8 pairs (the prefixPairs standing
+    // collision-free assumption, zero-token docs dropped both sides)
+    "q_blocking_eval" ->
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |hist AS (
+        |  SELECT n_chars AS len, count(*) AS cnt FROM d GROUP BY 1),
+        |ntot AS (SELECT count(*) AS n FROM d),
+        |same AS (
+        |  SELECT CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS c_same
+        |  FROM hist),
+        |crossb AS (
+        |  SELECT CAST(COALESCE(sum(a.cnt * b.cnt), 0) AS BIGINT)
+        |    AS c_cross
+        |  FROM hist a JOIN hist b
+        |    ON a.len < b.len AND b.len - a.len <= 40),
+        |sh AS (
+        |  SELECT doc_id, $tokSetSql AS t FROM documents
+        |  WHERE len($tokSetSql) > 0),
+        |tp AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+        |    >= 0.8),
+        |tr AS (
+        |  SELECT count(*) AS n_truth,
+        |    CAST(sum(CASE WHEN abs(d1.n_chars - d2.n_chars) <= 40
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_truth_cand
+        |  FROM tp JOIN d d1 ON d1.doc_id = tp.id1
+        |  JOIN d d2 ON d2.doc_id = tp.id2)
+        |SELECT n * (n - 1) // 2 AS n_pairs,
+        |  c_same + c_cross AS n_cand, n_truth,
+        |  round(1.0 - CAST(c_same + c_cross AS DOUBLE)
+        |    / (n * (n - 1) // 2), 6) AS reduction_ratio,
+        |  CASE WHEN n_truth > 0 THEN
+        |    round(CAST(n_truth_cand AS DOUBLE) / n_truth, 6) END
+        |    AS pair_completeness,
+        |  CASE WHEN c_same + c_cross > 0 THEN
+        |    round(CAST(n_truth_cand AS DOUBLE) / (c_same + c_cross), 6)
+        |    END AS pairs_quality
+        |FROM ntot CROSS JOIN same CROSS JOIN crossb CROSS JOIN tr""".stripMargin,
 
     // the q_quality score formula verbatim, swept over three cuts
     "q_quality_sweep" ->
