@@ -330,7 +330,11 @@ object TextOps extends QueryPack {
     * catch before a linkage run trusts its blocking. */
   def qBlockingEval(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // the %3 eval subset (the q_winnow_eval envelope): the truth side
+    // prices exact pairs, so the eval frame is bounded like every other
+    // eval op rather than run corpus-wide
     val docs = Tables.df(spark, sfDir, "documents")
+      .filter($"doc_id" % 3 === 0)
       .select($"doc_id", $"n_chars")
     val hist = docs.groupBy($"n_chars".as("len"))
       .agg(count(lit(1)).as("cnt")).localCheckpoint()
@@ -345,7 +349,7 @@ object TextOps extends QueryPack {
         $"l1" < $"l2" && $"l2" - $"l1" <= 40)
       .agg(coalesce(sum($"c1" * $"c2"), lit(0L)).as("c_cross"))
     val truth = CurateOps
-      .prefixPairs(spark, sfDir, subsetMod = 1, num = 8, den = 10)
+      .prefixPairs(spark, sfDir, subsetMod = 3, num = 8, den = 10)
       .select($"id1", $"id2")
       .join(docs.select($"doc_id".as("id1"), $"n_chars".as("n1")), "id1")
       .join(docs.select($"doc_id".as("id2"), $"n_chars".as("n2")), "id2")
@@ -1463,7 +1467,8 @@ object TextOps extends QueryPack {
     // = brute raw-string J >= 0.8 pairs (the prefixPairs standing
     // collision-free assumption, zero-token docs dropped both sides)
     "q_blocking_eval" ->
-      s"""WITH d AS (SELECT doc_id, n_chars FROM documents),
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id % 3 = 0),
         |hist AS (
         |  SELECT n_chars AS len, count(*) AS cnt FROM d GROUP BY 1),
         |ntot AS (SELECT count(*) AS n FROM d),
@@ -1477,7 +1482,7 @@ object TextOps extends QueryPack {
         |    ON a.len < b.len AND b.len - a.len <= 40),
         |sh AS (
         |  SELECT doc_id, $tokSetSql AS t FROM documents
-        |  WHERE len($tokSetSql) > 0),
+        |  WHERE doc_id % 3 = 0 AND len($tokSetSql) > 0),
         |tp AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
