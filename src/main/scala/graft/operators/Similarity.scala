@@ -256,6 +256,14 @@ object Similarity {
       .join(bucketed(embeddings, "vec_id"), Seq("tbl", "bucket"))
       .filter($"qid" =!= $"vec_id")
       .select($"qid", $"vec_id")
+      // pinned keyed repartition (the q_token_count/q_dup_spans
+      // starvation fix, 4th instance): the fixture's single parquet
+      // row-group leaves the bucket join on ≤14 tasks and AQE coalesces
+      // the candidate shuffle, serializing the distinct + exact-verify
+      // stage (wall ≈ run at 32 cores). Pinning the pair-key shuffle
+      // spreads verification; distinct's required HashPartitioning is
+      // already satisfied, so this adds no extra Exchange.
+      .repartition(graft.Tables.shufflePartitions(spark), $"qid", $"vec_id")
       .distinct()
     candidates
       .join(queries.select($"vec_id".as("qid"), $"embedding".as("qv")),

@@ -855,6 +855,12 @@ object CurateOps extends QueryPack {
     import spark.implicits._
     val sh = Tables.df(spark, sfDir, "documents")
       .filter($"doc_id" % 3 === 0)
+      // match the oracle's wt grain (len(T) >= 4): shingles() emits one
+      // sub-4-token stub shingle for 1-3-token docs, which would create
+      // Spark-only truth pairs if two such short docs ever matched
+      // (ADVICE r11); no current fixture has one, but the grain must be
+      // pinned in code, not by fixture luck
+      .filter(size(TextFunctions.tokens($"text")) >= 4)
       .repartition(Tables.shufflePartitions(spark), $"doc_id")
       .select($"doc_id",
         explode(array_distinct(TextFunctions.shingles($"text", 4)))

@@ -31,7 +31,11 @@ import org.apache.spark.sql.types.DecimalType
 object InferOps extends QueryPack {
 
   private val dec2 = DecimalType(18, 2)
-  private val dec4 = DecimalType(18, 4)
+  // 38,4 not 18,4 (ADVICE r11): the squared-moment columns need
+  // headroom — a per-user total >= 1e7 would overflow an (18,4) square,
+  // and Spark (non-ANSI) silently NULLs decimal overflow while DuckDB
+  // errors, so the engines would diverge rather than fail loudly
+  private val dec4 = DecimalType(38, 4)
   private val dec6 = DecimalType(18, 6)
   private val dec38 = DecimalType(38, 0)
 
@@ -63,7 +67,7 @@ object InferOps extends QueryPack {
     * would overcount n — the same unit-of-analysis discipline as
     * q_abtest's user-day). Moments: per-user totals are exact decimal
     * sums of once-rounded values; the squared totals round once to
-    * DECIMAL(18,4) before the group sums, so both engines aggregate
+    * DECIMAL(38,4) before the group sums, so both engines aggregate
     * identical integers and the t / Welch–Satterthwaite df are one
     * shared double formula over them. Zero pooled variance → NULL t
     * (the qAbtest zero-SE guard). */
@@ -212,7 +216,11 @@ object InferOps extends QueryPack {
         .select(col(c), $"r2".as(out))
     val rx = ranks(cust, "x", "rx2")
     val ry = ranks(cust, "y", "ry2")
-    val ranked = cust.join(broadcast(rx), "x").join(broadcast(ry), "y")
+    // rx is value-thin (distinct order COUNTS — a few dozen values at any
+    // scale) so it broadcasts; ry ranks near-unique per-customer totals,
+    // so its size grows with |customers| — no hint, the planner picks
+    // (ADVICE r11: a forced broadcast there risks driver OOM at scale)
+    val ranked = cust.join(broadcast(rx), "x").join(ry, "y")
       .select($"rx2".cast(dec38).as("rx"), $"ry2".cast(dec38).as("ry"))
     val s = ranked.agg(count(lit(1)).as("n"),
       sum($"rx").as("sx"), sum($"ry").as("sy"),
@@ -338,7 +346,7 @@ object InferOps extends QueryPack {
     * before trusting [[qAnova]]'s pooled-variance assumption. Medians
     * are exact grouped percentiles (quantile_cont parity); the
     * deviations round once to DECIMAL(18,6) and their squares to
-    * DECIMAL(18,4) before the per-group sums, the qAnova discipline. */
+    * DECIMAL(38,4) before the per-group sums, the qAnova discipline. */
   def qLevene(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.df(spark, sfDir, "events")
@@ -422,7 +430,7 @@ object InferOps extends QueryPack {
         |  FROM events GROUP BY user_id),
         |u2 AS (SELECT a, m,
         |  CAST(round(CAST(m AS DOUBLE) * CAST(m AS DOUBLE), 4)
-        |    AS DECIMAL(18,4)) AS m2 FROM u),
+        |    AS DECIMAL(38,4)) AS m2 FROM u),
         |s AS (SELECT
         |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
         |  sum(CASE WHEN a THEN m END) AS s1a,
@@ -515,7 +523,7 @@ object InferOps extends QueryPack {
         |z2 AS (
         |  SELECT event_type, z,
         |    CAST(round(CAST(z AS DOUBLE) * CAST(z AS DOUBLE), 4)
-        |      AS DECIMAL(18,4)) AS z2
+        |      AS DECIMAL(38,4)) AS z2
         |  FROM z),
         |g AS (
         |  SELECT event_type, count(*) AS ng, sum(z) AS s1, sum(z2) AS s2
@@ -552,7 +560,7 @@ object InferOps extends QueryPack {
         |  FROM events GROUP BY user_id),
         |u2 AS (SELECT a, m,
         |  CAST(round(CAST(m AS DOUBLE) * CAST(m AS DOUBLE), 4)
-        |    AS DECIMAL(18,4)) AS m2 FROM u),
+        |    AS DECIMAL(38,4)) AS m2 FROM u),
         |s AS (SELECT
         |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
         |  sum(CASE WHEN a THEN m END) AS s1a,
@@ -633,7 +641,7 @@ object InferOps extends QueryPack {
         |  FROM events),
         |e2 AS (SELECT event_type, v,
         |  CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 4)
-        |    AS DECIMAL(18,4)) AS v2 FROM e),
+        |    AS DECIMAL(38,4)) AS v2 FROM e),
         |g AS (
         |  SELECT event_type, count(*) AS ng, sum(v) AS s1, sum(v2) AS s2
         |  FROM e2 GROUP BY event_type),
