@@ -39,7 +39,8 @@ object SparkEntry {
     StatsOps,
     CurateOps,
     GovernOps,
-    InferOps
+    InferOps,
+    NonparamOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

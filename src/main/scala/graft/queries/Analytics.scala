@@ -241,6 +241,49 @@ object Analytics extends QueryPack {
         round(lit(1.0) - $"st".cast("double"), 6).as("gini"))
   }
 
+  // ---- q_theil_index -------------------------------------------------------
+  /** Inequality/concentration pack beside [[qGini]]'s Lorenz reading of
+    * the same per-customer spend: Theil's T (the additively DECOMPOSABLE
+    * inequality index — unlike Gini it splits exactly into
+    * within-group + between-group terms, the property a mixture auditor
+    * wants), Atkinson(ε=1) (= 1 − geometric/arithmetic mean ratio), and
+    * the Herfindahl–Hirschman share concentration with its small-n
+    * normalization. The ln() per distinct spend value happens on the
+    * user-grain relation once, each term rounds once to 9dp and sums as
+    * exact decimals (the q_survival ln-term discipline); μ and the
+    * final indices are shared double closed forms. Shape: one orders
+    * scan → user-thin relation → 1-row broadcast mean → one agg. */
+  def qTheilIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val dec4 = DecimalType(38, 4)
+    val spend = Tables.df(spark, sfDir, "orders")
+      .groupBy($"o_custkey").agg(sum(dec($"o_totalprice")).as("s"))
+    val tot = spend.agg(count(lit(1)).as("n"), sum($"s").as("stot"))
+    val mu = $"stot".cast("double") / $"n"
+    val xd = $"s".cast("double")
+    val terms = spend.crossJoin(broadcast(tot))
+      .select($"n", $"stot",
+        round((xd / mu) * log(xd / mu), 9).cast(dec9).as("tt"),
+        round(log(xd), 9).cast(dec9).as("lx"),
+        round(xd * xd, 4).cast(dec4).as("x2"))
+    terms.groupBy($"n", $"stot")
+      .agg(sum($"tt").as("stt"), sum($"lx").as("slx"),
+        sum($"x2").as("sx2"))
+      .select($"n".as("n_cust"),
+        round(mu, 6).as("mean_spend"),
+        round($"stt".cast("double") / $"n", 6).as("theil_t"),
+        round(lit(1.0) - exp($"slx".cast("double") / $"n") / mu, 6)
+          .as("atkinson_1"),
+        round($"sx2".cast("double")
+          / ($"stot".cast("double") * $"stot".cast("double")), 6)
+          .as("hhi"),
+        round(($"sx2".cast("double")
+          / ($"stot".cast("double") * $"stot".cast("double"))
+          - lit(1.0) / $"n") / (lit(1.0) - lit(1.0) / $"n"), 6)
+          .as("hhi_norm"))
+  }
+
   /** Leak-free smoothed target encoding of a categorical feature — the
     * feature-engineering staple for categorical→numeric conversion
     * without training-label leakage: each customer's nation is encoded
@@ -306,11 +349,46 @@ object Analytics extends QueryPack {
     "q_ctr_smooth" -> qCtrSmooth,
     "q_wilson" -> qWilson,
     "q_gini" -> qGini,
+    "q_theil_index" -> qTheilIndex,
     "q_target_enc" -> qTargetEnc,
     "q_assoc_rules" -> qAssocRules
   )
 
   val oracle: Map[String, String] = Map(
+    // same user-grain spend, same 9dp ln/term rounding, same closed forms
+    "q_theil_index" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(s) AS stot
+        |        FROM spend),
+        |terms AS (
+        |  SELECT n, stot,
+        |    CAST(round((CAST(s AS DOUBLE)
+        |        / (CAST(stot AS DOUBLE) / n))
+        |      * ln(CAST(s AS DOUBLE) / (CAST(stot AS DOUBLE) / n)), 9)
+        |      AS DECIMAL(18,9)) AS tt,
+        |    CAST(round(ln(CAST(s AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+        |    CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 4)
+        |      AS DECIMAL(38,4)) AS x2
+        |  FROM spend CROSS JOIN tot),
+        |ag AS (
+        |  SELECT n, stot, sum(tt) AS stt, sum(lx) AS slx,
+        |    sum(x2) AS sx2
+        |  FROM terms GROUP BY n, stot)
+        |SELECT n AS n_cust,
+        |  round(CAST(stot AS DOUBLE) / n, 6) AS mean_spend,
+        |  round(CAST(stt AS DOUBLE) / n, 6) AS theil_t,
+        |  round(1.0 - exp(CAST(slx AS DOUBLE) / n)
+        |    / (CAST(stot AS DOUBLE) / n), 6) AS atkinson_1,
+        |  round(CAST(sx2 AS DOUBLE)
+        |    / (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)), 6) AS hhi,
+        |  round((CAST(sx2 AS DOUBLE)
+        |    / (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
+        |    - 1.0 / n) / (1.0 - 1.0 / n), 6) AS hhi_norm
+        |FROM ag""".stripMargin,
+
     // same distinct (user, day) reduction, same 28-day range join with
     // conditional distinct counts
     "q_stickiness" ->

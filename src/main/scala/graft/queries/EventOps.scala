@@ -1413,7 +1413,91 @@ object EventOps extends QueryPack {
       .orderBy($"decile")
   }
 
+  // ---- q_obrien_fleming ------------------------------------------------------
+  /** Group-sequential monitoring with O'Brien–Fleming-shaped boundaries
+    * (O'Brien & Fleming '79) — the FIXED-SCHEDULE complement to
+    * [[qMsprt]]'s always-valid test: the parity A/B's user-day
+    * conversion z ([[qAbtest]]'s exact-integer unit relation) evaluated
+    * at five equally-spaced looks (days 6/12/18/24/30), each compared
+    * to the spending boundary C·√(K/k) with C = 2.04 (the two-sided 5%
+    * OBF constant for K = 5) — early looks demand ~4.6σ, the final look
+    * ~2.04σ, which is how the schedule spends almost no α early.
+    * Cumulative counts are exact integers from one window over the
+    * 30-row day relation; z and the boundary are shared double closed
+    * forms. Null pinned: the parity arms never cross. */
+  def qObrienFleming(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(($"user_id" % 2 === 0).as("a"), $"day", $"conv")
+      .groupBy($"day").agg(
+        sum(when($"a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"a", $"conv").otherwise(0L)).as("c_a"),
+        sum(when(!$"a", 1L).otherwise(0L)).as("n_b"),
+        sum(when(!$"a", $"conv").otherwise(0L)).as("c_b"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("na", sum($"n_a").over(w))
+      .withColumn("ca", sum($"c_a").over(w))
+      .withColumn("nb", sum($"n_b").over(w))
+      .withColumn("cb", sum($"c_b").over(w))
+      .withColumn("di",
+        datediff($"day", lit("2024-01-01").cast("date")) + lit(1))
+      .filter($"di" % 6 === 0)
+      .withColumn("look", $"di" / lit(6))
+    val pa = $"ca".cast("double") / $"na"
+    val pb = $"cb".cast("double") / $"nb"
+    val pp = ($"ca" + $"cb").cast("double") / ($"na" + $"nb")
+    val se2 = pp * (lit(1.0) - pp) *
+      (lit(1.0) / $"na" + lit(1.0) / $"nb")
+    val z = when(se2 > 0.0, (pa - pb) / sqrt(se2))
+    val bound = lit(2.04) * sqrt(lit(5.0) / $"look".cast("double"))
+    cum.select($"look".cast("long").as("look"), $"day",
+        ($"na" + $"nb").as("n_cum"), round(z, 6).as("z"),
+        round(bound, 6).as("boundary"),
+        (abs(z) > bound).as("crossed"))
+      .orderBy($"look")
+  }
+
+  // ---- q_streaks -------------------------------------------------------------
+  /** Gaps-and-islands: each user's CONSECUTIVE-active-day streaks — the
+    * classic warehouse idiom (island key = day_index − row_number, so
+    * consecutive days share a key) a retention team runs beside
+    * [[qStickiness]]'s ratio metrics. Per user: the longest streak (tie
+    * → earliest start), island count, and total active days; top-20
+    * users by longest streak. All integer/date arithmetic — exact on
+    * both engines. Scale shape: the (user, day) relation is the
+    * user-day grain (bounded by users × span); every window partitions
+    * by user; the final top-20 is TakeOrderedAndProject. */
+  def qStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.df(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val isl = act
+      .withColumn("g",
+        datediff($"d", lit("2024-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy($"user_id", $"g")
+      .agg(count(lit(1)).as("len"), min($"d").as("start"))
+    val pick = Window.partitionBy($"user_id")
+      .orderBy($"len".desc, $"start".asc)
+    isl
+      .withColumn("rk", row_number().over(pick))
+      .groupBy($"user_id")
+      .agg(max(when($"rk" === 1, $"len")).as("longest_streak"),
+        max(when($"rk" === 1, $"start")).as("streak_start"),
+        count(lit(1)).as("n_islands"), sum($"len").as("n_active_days"))
+      .orderBy($"longest_streak".desc, $"user_id".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaks" -> qStreaks,
+    "q_obrien_fleming" -> qObrienFleming,
     "q_cuped" -> qCuped,
     "q_qte" -> qQte,
     "q_changepoint" -> qChangepoint,
@@ -2575,6 +2659,77 @@ object EventOps extends QueryPack {
         |FROM expanded
         |GROUP BY 1, 2
         |ORDER BY w_start, event_type""".stripMargin,
+
+    // same exact-integer cumulative counts, same z / boundary forms
+    "q_obrien_fleming" ->
+      """WITH units AS (
+        |  SELECT user_id % 2 = 0 AS a, CAST(ts AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |daily AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN a THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE conv END) AS BIGINT) AS c_b
+        |  FROM units GROUP BY day),
+        |cum AS (
+        |  SELECT day,
+        |    CAST(sum(n_a) OVER w AS BIGINT) AS na,
+        |    CAST(sum(c_a) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(n_b) OVER w AS BIGINT) AS nb,
+        |    CAST(sum(c_b) OVER w AS BIGINT) AS cb,
+        |    date_diff('day', DATE '2024-01-01', day) + 1 AS di
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |f AS (
+        |  SELECT CAST(di / 6 AS BIGINT) AS look, day,
+        |    na, nb, na + nb AS n_cum,
+        |    CAST(ca AS DOUBLE) / na AS pa,
+        |    CAST(cb AS DOUBLE) / nb AS pb,
+        |    CAST(ca + cb AS DOUBLE) / (na + nb) AS pp
+        |  FROM cum WHERE di % 6 = 0),
+        |g AS (
+        |  SELECT look, day, n_cum,
+        |    pp * (1.0 - pp) * (1.0 / na + 1.0 / nb) AS se2,
+        |    pa, pb, 2.04 * sqrt(5.0 / CAST(look AS DOUBLE)) AS bound
+        |  FROM f)
+        |SELECT look, day, n_cum,
+        |  round(CASE WHEN se2 > 0.0 THEN (pa - pb) / sqrt(se2) END, 6)
+        |    AS z,
+        |  round(bound, 6) AS boundary,
+        |  CASE WHEN se2 > 0.0
+        |    THEN abs((pa - pb) / sqrt(se2)) > bound END AS crossed
+        |FROM g ORDER BY look""".stripMargin,
+
+    // same island key, same tie-breaks, same top-20
+    "q_streaks" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |isl AS (
+        |  SELECT user_id, count(*) AS len, min(d) AS start
+        |  FROM (
+        |    SELECT user_id, d,
+        |      date_diff('day', DATE '2024-01-01', d)
+        |        - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |        AS g
+        |    FROM act)
+        |  GROUP BY user_id, g),
+        |rk AS (
+        |  SELECT user_id, len, start,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start ASC) AS rk
+        |  FROM isl)
+        |SELECT user_id,
+        |  CAST(max(CASE WHEN rk = 1 THEN len END) AS BIGINT)
+        |    AS longest_streak,
+        |  max(CASE WHEN rk = 1 THEN start END) AS streak_start,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM rk GROUP BY user_id
+        |ORDER BY longest_streak DESC, user_id ASC LIMIT 20""".stripMargin,
 
     "q_session" ->
       """WITH marked AS (

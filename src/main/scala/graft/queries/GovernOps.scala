@@ -788,7 +788,59 @@ object GovernOps extends QueryPack {
       .orderBy($"seg", $"nat")
   }
 
+  // ---- q_dp_quantile -----------------------------------------------------
+  /** Differentially-private median via the EXPONENTIAL MECHANISM
+    * (McSherry & Talwar FOCS'07) — the DP answer for a non-numeric-
+    * aggregable statistic, completing the Laplace family (q_dp_mean /
+    * q_dp_histogram / q_dp_release): candidate outputs are 50 fixed
+    * bins over the clamped per-user purchase spend; the median utility
+    * u(b) = −|#{x ≤ hi_b} − n/2| (sensitivity 1) enters as the exact
+    * integer u2 = −|2·cum_b − n|; selection uses the Gumbel-max trick —
+    * argmax(ε·u/2 + g_b) with md5-keyed Gumbel draws rounded once to
+    * 9dp, so the "random" selection replays bit-for-bit on both
+    * engines. Reports the released bin beside the true median bin —
+    * the utility read a release reviewer checks against ε. Shape: one
+    * user-grain agg → 50-row bin relation; every window runs over the
+    * 50 bins. */
+  def qDpQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 1.0
+    val users = Tables.df(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", round($"value", 2).cast(dec2).as("vr"))
+      .groupBy($"user_id")
+      .agg(least(sum($"vr"), lit(5000.0).cast(dec2)).as("x"))
+    val cnt = users.groupBy(least(floor($"x" / 100), lit(49L)).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val bins = spark.range(0, 50).select($"id".as("b"))
+      .join(cnt, Seq("b"), "left").na.fill(0L, Seq("c"))
+    val wCum = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = bins.agg(sum($"c").as("n"))
+    val scored = bins
+      .withColumn("cum", sum($"c").over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("u2", -abs(lit(2L) * $"cum" - $"n"))
+      .withColumn("g", round(-log(-log(
+        (conv(substring(md5(concat(lit("dpq:"), $"b".cast("string"))),
+          1, 15), 16, 10).cast("long") + 0.5) /
+          lit(1152921504606846976.0))), 9))
+      .withColumn("score",
+        lit(eps / 4.0) * $"u2".cast("double") + $"g")
+      .localCheckpoint() // feeds the released argmax + the true argmax
+    val rel = scored.orderBy($"score".desc, $"b".asc).limit(1)
+      .select($"b".as("released_bin"), $"n")
+    val tru = scored.orderBy($"u2".desc, $"b".asc).limit(1)
+      .select($"b".as("true_bin"))
+    rel.crossJoin(broadcast(tru))
+      .select($"n".as("n_users"), lit(eps).as("epsilon"),
+        $"released_bin", ($"released_bin" * 100).as("bin_lo"),
+        ($"released_bin" * 100 + 100).as("bin_hi"), $"true_bin",
+        ($"released_bin" === $"true_bin").as("exact_hit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_quantile" -> qDpQuantile,
     "q_tcloseness" -> qTcloseness,
     "q_dp_histogram" -> qDpHistogram,
     "q_bh_fdr" -> qBhFdr,
@@ -860,6 +912,46 @@ object GovernOps extends QueryPack {
         |  FROM pairs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same integer utility, same md5-keyed 9dp Gumbel draws, same argmax
+    "q_dp_quantile" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    least(sum(CAST(round(value, 2) AS DECIMAL(18,2))),
+        |      CAST(5000.00 AS DECIMAL(18,2))) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |cnt AS (
+        |  SELECT least(CAST(floor(x / 100) AS BIGINT), 49) AS b,
+        |    count(*) AS c
+        |  FROM u GROUP BY 1),
+        |bins AS (
+        |  SELECT t.b, coalesce(c.c, 0) AS c
+        |  FROM (SELECT unnest(range(0, 50)) AS b) t
+        |  LEFT JOIN cnt c ON c.b = t.b),
+        |sc AS (
+        |  SELECT b,
+        |    CAST(sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM bins) AS n
+        |  FROM bins),
+        |sc2 AS (
+        |  SELECT b, n, -abs(2 * cum - n) AS u2,
+        |    round(-ln(-ln((('0x' || substr(md5('dpq:'
+        |        || CAST(b AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+        |      / 1152921504606846976.0)), 9) AS g
+        |  FROM sc),
+        |sc3 AS (
+        |  SELECT b, n, u2, 0.25 * CAST(u2 AS DOUBLE) + g AS score
+        |  FROM sc2),
+        |rel AS (SELECT b AS released_bin, n FROM sc3
+        |        ORDER BY score DESC, b ASC LIMIT 1),
+        |tru AS (SELECT b AS true_bin FROM sc3
+        |        ORDER BY u2 DESC, b ASC LIMIT 1)
+        |SELECT rel.n AS n_users, CAST(1.0 AS DOUBLE) AS epsilon,
+        |  released_bin, released_bin * 100 AS bin_lo,
+        |  released_bin * 100 + 100 AS bin_hi, true_bin,
+        |  released_bin = true_bin AS exact_hit
+        |FROM rel CROSS JOIN tru""".stripMargin,
+
     // same bin-keyed md5 draws, same clamp-and-renormalize release
     "q_dp_histogram" ->
       """WITH bins AS (

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -416,7 +417,112 @@ object GraphOps extends QueryPack {
               - $"sy".cast("double") * $"sy")), 6).as("assortativity"))
   }
 
+  // ---- q_kcore -------------------------------------------------------------
+  /** k-core decomposition (Seidman '83) of the part co-occurrence graph
+    * ([[qTriangles]]'s edge set), THREE unrolled peel rounds — the
+    * density-tier read a sampling pipeline uses to pick "well embedded"
+    * nodes. k is DATA-RELATIVE (a fixed k is vacuous as density grows
+    * with scale): the smallest degree whose cumulative node count
+    * reaches ⌈N/4⌉ — an exact integer-arithmetic 25th-percentile rule
+    * both engines compute identically from the degree-VALUE-grouped
+    * relation (≤ max-degree rows; no engine percentile function, whose
+    * indexing conventions differ). Round r: survivors = nodes whose
+    * degree in the round-(r−1) edge set is ≥ k; edges keep only
+    * survivor-survivor pairs. A fixed unroll keeps the whole
+    * computation one static plan (the q_pagerank discipline — at
+    * cluster scale you iterate to fixpoint with a checkpoint per
+    * round; each round is one degree agg + two semi-joins, all
+    * partial-aggregable; k is a broadcast 1-row relation). Output: one
+    * row per round with surviving node/edge counts — the curve that
+    * says how fast the graph's periphery peels away (a 0-row round
+    * means no ⌈N/4⌉-quantile core exists). */
+  def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .filter($"l_partkey" % 5 === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+      .localCheckpoint() // each round re-reads the previous edge set
+    def deg(e: DataFrame) = e.select($"u".as("node"))
+      .union(e.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val d0 = deg(e0).localCheckpoint() // feeds k, round-0 stats, peel 1
+    val wc = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kDf = d0.groupBy($"d").agg(count(lit(1)).as("nv"))
+      .withColumn("cum", sum($"nv").over(wc))
+      .crossJoin(broadcast(d0.agg(count(lit(1)).as("nn"))))
+      .filter($"cum" >= expr("(nn + 3) div 4"))
+      .agg(min($"d").as("k"))
+      .localCheckpoint() // 1 row, read by every round's filter + output
+    def stats(round: Int, nodes: DataFrame, e: DataFrame) =
+      nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(broadcast(kDf))
+        .select(lit(round).as("round"), $"k", $"n_nodes", $"n_edges")
+    var e = e0
+    var out = stats(0, d0.select($"node"), e0)
+    for (r <- 1 to 3) {
+      val base = if (r == 1) d0 else deg(e)
+      val surv = base.crossJoin(broadcast(kDf)).filter($"d" >= $"k")
+        .select($"node")
+        .localCheckpoint() // feeds both endpoint semi-joins + the count
+      e = e.join(surv.select($"node".as("u")), "u")
+        .join(surv.select($"node".as("v")), "v")
+        .select($"u", $"v")
+        .localCheckpoint()
+      out = out.union(stats(r, surv, e))
+    }
+    out.orderBy($"round")
+  }
+
+  // ---- q_adamic_adar --------------------------------------------------------
+  /** Adamic–Adar and resource-allocation link-prediction scores (Adamic
+    * & Adar '03; Zhou '09) over the customer–part incidence — the
+    * weighted refinement of [[qCommonNeighbors]]'s raw overlap: a
+    * shared RARE part says more than a shared popular one, so each
+    * witness part z weighs 1/ln(deg z) (AA) and 1/deg z (RA). Same
+    * hub-capped wedge join (parts with 2 ≤ deg ≤ 100 — a part with one
+    * buyer can witness no pair; the cap bounds wedge fan-out at any
+    * scale); the per-part weights round once to 9dp and sum as exact
+    * decimals, so the ln() libm call happens once per PART, never per
+    * pair, and both engines aggregate identical integers. Top-20 by AA
+    * with full tie-breaks. */
+  def qAdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val li = Tables.df(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val ords = Tables.df(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val cp = li.join(ords, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
+      .localCheckpoint() // feeds the degree agg and both wedge sides
+    val keep = cp.groupBy($"p").agg(count(lit(1)).as("pd"))
+      .filter($"pd".between(2, 100))
+      .select($"p",
+        round(lit(1.0) / log($"pd".cast("double")), 9).cast(dec9).as("aw"),
+        round(lit(1.0) / $"pd".cast("double"), 9).cast(dec9).as("rw"))
+    val inc = cp.join(keep, "p")
+    inc.select($"c".as("c1"), $"p", $"aw", $"rw")
+      .join(inc.select($"c".as("c2"), $"p"), "p")
+      .filter($"c1" < $"c2")
+      .groupBy($"c1", $"c2")
+      .agg(count(lit(1)).as("common"),
+        sum($"aw").as("aaSum"), sum($"rw").as("raSum"))
+      .filter($"common" >= 2)
+      .select($"c1", $"c2", $"common",
+        round($"aaSum".cast("double"), 6).as("aa"),
+        round($"raSum".cast("double"), 6).as("ra"))
+      .orderBy($"aa".desc, $"c1".asc, $"c2".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore" -> qKcore,
+    "q_adamic_adar" -> qAdamicAdar,
     "q_hits" -> qHits,
     "q_graph_stats" -> qGraphStats,
     "q_common_neighbors" -> qCommonNeighbors,
@@ -465,6 +571,75 @@ object GraphOps extends QueryPack {
        |    FROM c$cur) WHERE rk = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same three unrolled peel rounds, same exact-integer quantile k,
+    // same integer survivor counts
+    "q_kcore" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_partkey % 5 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |d0 AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |kk AS (
+        |  SELECT CAST(min(d) AS BIGINT) AS k FROM (
+        |    SELECT d, sum(nv) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT d, count(*) AS nv FROM d0 GROUP BY d))
+        |  CROSS JOIN (SELECT count(*) AS nn FROM d0)
+        |  WHERE cum >= (nn + 3) // 4),
+        |s1 AS (SELECT node FROM d0 WHERE d >= (SELECT k FROM kk)),
+        |e1 AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT node FROM s1)
+        |    AND v IN (SELECT node FROM s1)),
+        |d1 AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |  GROUP BY 1),
+        |s2 AS (SELECT node FROM d1 WHERE d >= (SELECT k FROM kk)),
+        |e2 AS (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT node FROM s2)
+        |    AND v IN (SELECT node FROM s2)),
+        |d2 AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        |  GROUP BY 1),
+        |s3 AS (SELECT node FROM d2 WHERE d >= (SELECT k FROM kk)),
+        |e3 AS (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT node FROM s3)
+        |    AND v IN (SELECT node FROM s3))
+        |SELECT 0 AS round, (SELECT k FROM kk) AS k,
+        |  (SELECT count(*) FROM d0) AS n_nodes,
+        |  (SELECT count(*) FROM e0) AS n_edges
+        |UNION ALL SELECT 1, (SELECT k FROM kk),
+        |  (SELECT count(*) FROM s1), (SELECT count(*) FROM e1)
+        |UNION ALL SELECT 2, (SELECT k FROM kk),
+        |  (SELECT count(*) FROM s2), (SELECT count(*) FROM e2)
+        |UNION ALL SELECT 3, (SELECT k FROM kk),
+        |  (SELECT count(*) FROM s3), (SELECT count(*) FROM e3)
+        |ORDER BY round""".stripMargin,
+
+    // same hub cap, same 9dp per-part weights summed as decimals
+    "q_adamic_adar" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |keep AS (
+        |  SELECT p,
+        |    CAST(round(1.0 / ln(pd), 9) AS DECIMAL(18,9)) AS aw,
+        |    CAST(round(1.0 / pd, 9) AS DECIMAL(18,9)) AS rw
+        |  FROM (SELECT p, count(*) AS pd FROM cp GROUP BY p)
+        |  WHERE pd BETWEEN 2 AND 100),
+        |inc AS (SELECT c, p, aw, rw FROM cp JOIN keep USING (p)),
+        |pr AS (
+        |  SELECT a.c AS c1, b.c AS c2, count(*) AS common,
+        |    sum(a.aw) AS aas, sum(a.rw) AS ras
+        |  FROM inc a JOIN inc b ON a.p = b.p AND a.c < b.c
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT c1, c2, common, round(CAST(aas AS DOUBLE), 6) AS aa,
+        |  round(CAST(ras AS DOUBLE), 6) AS ra
+        |FROM pr ORDER BY aa DESC, c1 ASC, c2 ASC LIMIT 20""".stripMargin,
+
     // same four unrolled half-steps, same 9dp L1-normalized decimals,
     // same per-side top-15 with string-node tie-break
     "q_hits" ->

@@ -58,13 +58,19 @@ object SketchOps extends QueryPack {
     * that makes CMS the standard distributed heavy-hitter sketch). The
     * estimate min-over-rows never underestimates; the oracle checks the
     * estimates themselves, not just the bound. */
+  /** The CMS row hash — d independent md5-keyed hashes into w=1024
+    * buckets, shared by [[qCountMin]] and the streaming twin
+    * (Streams.cmsStream) so the batch and stream sketches are the SAME
+    * sketch (merge law spec-replayed in R12OpsSpec). */
+  private[graft] def cmsRowHash(r: Column, item: Column): Column =
+    pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), item)),
+      1, 15), 16, 10).cast("long"), lit(1024L))
+
   def qCountMin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.df(spark, sfDir, "documents")
       .select(explode(TextFunctions.tokens($"text")).as("tok"))
-    def rowHash(r: Column, tok: Column): Column =
-      pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
-        1, 15), 16, 10).cast("long"), lit(1024L))
+    def rowHash(r: Column, tok: Column): Column = cmsRowHash(r, tok)
     // aggregate to (tok, count) FIRST: the 4× seed explode and the md5
     // hashing then run over the vocabulary, not the corpus — one pass
     // over the token stream total (was 2.2 s at sf0.1 with the explode

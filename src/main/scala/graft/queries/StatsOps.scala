@@ -956,7 +956,59 @@ object StatsOps extends QueryPack {
       .orderBy($"d")
   }
 
+  // ---- q_forecast_eval -----------------------------------------------------
+  /** Forecast-baseline evaluation (Hyndman & Koehler '06) over the daily
+    * purchase-value series: the naive (yesterday) and seasonal-naive
+    * (last week) forecasts scored by MAE, RMSE, and MASE — the
+    * scale-free error every forecasting bake-off reports, with the
+    * naive in-sample MAE as its denominator. A model that can't beat
+    * MASE 1.0 is worse than "predict yesterday" — the gate a pipeline
+    * runs BEFORE shipping any learned forecaster. Absolute errors are
+    * exact decimal differences; squares round once to 4dp before the
+    * sums; the three ratios are shared double closed forms. Shape: one
+    * events scan → 30-row day relation; all windows run over it. */
+  def qForecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val dec4 = DecimalType(38, 4)
+    val days = Tables.df(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(round($"value", 2).cast(dec2)).as("y"))
+    val w = Window.orderBy($"d")
+    val lagged = days
+      .withColumn("l1", lag($"y", 1).over(w))
+      .withColumn("l7", lag($"y", 7).over(w))
+    // MASE scale: in-sample naive MAE over the FULL series (t >= 2)
+    val scale = lagged.filter($"l1".isNotNull)
+      .agg(count(lit(1)).as("ns"), sum(abs($"y" - $"l1")).as("sd"))
+      .select(($"sd".cast("double") / $"ns").as("scale"))
+    val ev = lagged.filter($"l7".isNotNull)
+      .select(abs($"y" - $"l1").as("e1"), abs($"y" - $"l7").as("e7"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum($"e1").as("s1"),
+        sum(round($"e1".cast("double") * $"e1", 4).cast(dec4)).as("q1"),
+        sum($"e7").as("s7"),
+        sum(round($"e7".cast("double") * $"e7", 4).cast(dec4)).as("q7"))
+    val nd = $"n_eval".cast("double")
+    ev.crossJoin(broadcast(scale))
+      .select($"n_eval", $"scale",
+        ($"s1".cast("double") / nd).as("mae1"),
+        sqrt($"q1".cast("double") / nd).as("rmse1"),
+        ($"s7".cast("double") / nd).as("mae7"),
+        sqrt($"q7".cast("double") / nd).as("rmse7"))
+      .select($"n_eval",
+        expr("stack(2, 'naive', mae1, rmse1, 'snaive', mae7, rmse7)")
+          .as(Seq("method", "mae", "rmse")),
+        $"scale")
+      .select($"method", $"n_eval", round($"mae", 6).as("mae"),
+        round($"rmse", 6).as("rmse"),
+        round(when($"scale" > 0.0, $"mae" / $"scale"), 6).as("mase"))
+      .orderBy($"method")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_eval" -> qForecastEval,
     "q_heavy_change" -> qHeavyChange,
     "q_stl_lite" -> qStlLite,
     "q_cov_shift" -> qCovShift,
@@ -1012,6 +1064,42 @@ object StatsOps extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same day relation, same lag forecasts, same 4dp squared errors
+    "q_forecast_eval" ->
+      """WITH days AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |lagged AS (
+        |  SELECT d, y, lag(y, 1) OVER (ORDER BY d) AS l1,
+        |    lag(y, 7) OVER (ORDER BY d) AS l7
+        |  FROM days),
+        |sc AS (
+        |  SELECT CAST(sum(abs(y - l1)) AS DOUBLE) / count(*) AS scale
+        |  FROM lagged WHERE l1 IS NOT NULL),
+        |ev AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+        |    sum(abs(y - l1)) AS s1,
+        |    sum(CAST(round(CAST(abs(y - l1) AS DOUBLE) * abs(y - l1), 4)
+        |      AS DECIMAL(38,4))) AS q1,
+        |    sum(abs(y - l7)) AS s7,
+        |    sum(CAST(round(CAST(abs(y - l7) AS DOUBLE) * abs(y - l7), 4)
+        |      AS DECIMAL(38,4))) AS q7
+        |  FROM lagged WHERE l7 IS NOT NULL),
+        |m AS (
+        |  SELECT 'naive' AS method, n_eval,
+        |    CAST(s1 AS DOUBLE) / n_eval AS mae,
+        |    sqrt(CAST(q1 AS DOUBLE) / n_eval) AS rmse
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'snaive', n_eval, CAST(s7 AS DOUBLE) / n_eval,
+        |    sqrt(CAST(q7 AS DOUBLE) / n_eval)
+        |  FROM ev)
+        |SELECT method, n_eval, round(mae, 6) AS mae,
+        |  round(rmse, 6) AS rmse,
+        |  round(CASE WHEN scale > 0.0 THEN mae / scale END, 6) AS mase
+        |FROM m CROSS JOIN sc ORDER BY method""".stripMargin,
+
     // same integer-div shipdate midpoint, same exact share deltas and
     // |delta| top-20
     "q_heavy_change" ->

@@ -81,19 +81,53 @@ object SubqueryNulls extends QueryPack {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
-  /** TABLESAMPLE: engine-specific row selection → rows-only check; the
-    * deterministic assertions live in the unit tests (seeded fraction
-    * sample is reproducible within Spark, not across engines). */
+  /** TABLESAMPLE (BERNOULLI 10%) as a PORTABLE deterministic sampler
+    * (VERDICT r11 #8, graduating the old rows-only seeded `.sample()`):
+    * the keep decision is an md5-keyed uniform per row key —
+    * u = (hash60(md5('ts1:' || key)) + 0.5) / 2^60 < 0.1 — i.e. exactly
+    * a Bernoulli row sample, but with an explicit hash RNG both engines
+    * replay bit-for-bit (the q_temp_sample keep-uniform discipline), so
+    * the aggregate over the sample is fully hash-oracled. Semantics
+    * match engine TABLESAMPLE: per-row independent keep, no shuffle,
+    * decision never leaves the scan stage; unlike a seed-based engine
+    * sampler the selection survives repartitioning, retries, and engine
+    * swaps — the property a 100 TB pipeline actually wants from a
+    * sampling clause. */
   def qTablesample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.df(spark, sfDir, "lineitem")
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("ts1:"),
+          $"l_orderkey".cast("string"), lit(":"),
+          $"l_linenumber".cast("string"))), 1, 15), 16, 10)
+          .cast("long") + 0.5) / lit(1152921504606846976.0))
+      .filter($"u" < 0.1)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"))
       .orderBy($"l_returnflag")
   }
 
+  /** LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    * SQL-standard "top-N per group" form (Spark supports LATERAL
+    * subquery joins since 3.2; Catalyst decorrelates the limit into a
+    * ranked window, so the plan stays fully distributed — no per-row
+    * re-execution). Two highest-value orders per BUILDING-segment
+    * customer, fully tie-broken. */
+  def qLateralSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateral_subquery" -> qLateralSubquery,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_correlated_exists" -> qCorrelatedExists,
     "q_null_semantics" -> qNullSemantics,
@@ -102,6 +136,17 @@ object SubqueryNulls extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same LATERAL form — DuckDB's comma-LATERAL spelling
+    "q_lateral_subquery" ->
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+
     "q_scalar_subquery" ->
       """SELECT p_partkey, p_type,
         |  (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) FROM lineitem
@@ -144,7 +189,16 @@ object SubqueryNulls extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
-    // q_tablesample: rows-only (sampling is engine-specific)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // the identical md5-keyed Bernoulli keep decision, replayed
+    "q_tablesample" ->
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem
+        |WHERE (('0x' || substr(md5('ts1:' || CAST(l_orderkey AS VARCHAR)
+        |    || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+        |    + 0.5) / 1152921504606846976.0 < 0.1
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -205,6 +205,28 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming twin of q_countmin (SketchOps.qCountMin): per event-time
+    * window, the CMS counter relation (row, bucket, count) over the
+    * stream's item column under the SAME d=4 × w=1024 md5 row hashes
+    * ([[graft.queries.SketchOps.cmsRowHash]] — one home for the bucket
+    * rule, so the batch and stream sketches cannot drift). Like the
+    * DDSketch twin, the sketch IS a mergeable count relation: summing
+    * any set of windows' counters yields the CMS of their union — the
+    * merge law R12OpsSpec replays (2-batch stream merge ≡ one batch
+    * pass). Point estimates stay a downstream min-over-rows read, same
+    * as batch. */
+  def cmsStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select($"ts", $"item",
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .select($"ts", $"r",
+        graft.queries.SketchOps.cmsRowHash($"r", $"item").as("b"))
+      .groupBy(window($"ts", "1 day").as("w"), $"r", $"b")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   // ---- arbitrary-state sessionization (flatMapGroupsWithState) ----------
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)

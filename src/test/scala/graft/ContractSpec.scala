@@ -23,7 +23,6 @@ class ContractSpec extends AnyFunSuite {
     "q_ann_lsh",       // MLlib LSH hyperplanes are JVM-seeded
     "q_dedup_minhash", // MLlib MinHashLSH — JVM-seeded coefficients
     "q_dedup_simhash", // xxhash64 bit layout has no DuckDB twin
-    "q_tablesample",   // fraction sampling is engine-RNG-dependent
     "q_misc_pack"      // soundex/xpath/sentences — functions DuckDB lacks
   )
 

@@ -1,0 +1,219 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.{Analytics, EventOps, GovernOps, GraphOps,
+  NonparamOps, SketchOps, StatsOps, SubqueryNulls}
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Round-12 batch: the agreement/nonparametric pack's invariants, the
+  * k-core peel monotonicity, link-prediction weight bounds, the
+  * deterministic sampler's proportionality, and the streaming Count-Min
+  * merge law (windowed stream counters sum to the one-pass batch
+  * sketch — the DDSketch precedent). */
+class R12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("countmin stream: merged window counters equal the one-pass " +
+      "batch sketch of the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables.df(spark, sf, "events")
+      .select($"ts".cast("timestamp").as[Timestamp],
+        $"user_id".cast("string").as[String])
+      .collect().toSeq
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.cmsStream(input.toDF().toDF("ts", "item"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val merged = spark.table("cms_stream")
+        .groupBy($"r", $"b").agg(sum($"cnt").as("cnt"))
+        .as[(Int, Long, Long)].collect()
+        .map { case (r, b, c) => ((r, b), c) }.toMap
+      val batch = Tables.df(spark, sf, "events")
+        .select($"user_id".cast("string").as("item"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .select($"r", SketchOps.cmsRowHash($"r", $"item").as("b"))
+        .groupBy($"r", $"b").agg(count(lit(1)).as("cnt"))
+        .as[(Int, Long, Long)].collect()
+        .map { case (r, b, c) => ((r, b), c) }.toMap
+      assert(merged == batch,
+        s"stream-merged CMS (${merged.size} counters) must equal the " +
+          s"batch CMS (${batch.size})")
+    } finally q.stop()
+  }
+
+  test("kcore: counts never grow across peel rounds and k matches the " +
+      "integer quantile rule") {
+    val rows = GraphOps.qKcore(spark, sf).collect()
+    assert(rows.length == 4)
+    val k = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) == k), "k constant across rounds")
+    val nodes = rows.map(_.getLong(2))
+    val edges = rows.map(_.getLong(3))
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a },
+      s"node counts must be non-increasing: ${nodes.mkString(",")}")
+    assert(edges.zip(edges.tail).forall { case (a, b) => b <= a },
+      s"edge counts must be non-increasing: ${edges.mkString(",")}")
+    assert(nodes.head > nodes(1),
+      "the quantile k must actually peel something in round 1")
+  }
+
+  test("adamic-adar: weights bounded by the hub cap's degree range") {
+    val rows = GraphOps.qAdamicAdar(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val common = r.getLong(2); val aa = r.getDouble(3)
+      val ra = r.getDouble(4)
+      // each witness part has 2 <= deg <= 100: per-part AA weight in
+      // [1/ln(100), 1/ln(2)], RA weight in [1/100, 1/2]
+      assert(aa > 0 && aa <= common / math.log(2.0) + 1e-6)
+      assert(aa >= common / math.log(100.0) - 1e-6)
+      assert(ra > 0 && ra <= common / 2.0 + 1e-6 &&
+        ra >= common / 100.0 - 1e-6)
+    }
+  }
+
+  test("cliffs delta: pair accounting closes and delta is in [-1, 1]") {
+    val r = NonparamOps.qCliffsDelta(spark, sf).head()
+    val na = r.getLong(0); val nb = r.getLong(1)
+    val gt = r.getLong(2); val lt = r.getLong(3)
+    val delta = r.getDouble(4)
+    assert(gt >= 0 && lt >= 0 && gt + lt <= na * nb,
+      "gt + lt + ties must equal the full cross-pair count")
+    assert(delta >= -1.0 && delta <= 1.0)
+    assert(math.abs(delta - (gt - lt).toDouble / (na * nb)) < 1e-5)
+  }
+
+  test("fleiss kappa: chance-corrected agreement within its range") {
+    val r = NonparamOps.qFleissKappa(spark, sf).head()
+    val pBar = r.getDouble(2); val pE = r.getDouble(3)
+    val kappa = r.getDouble(4)
+    assert(pBar >= 0.0 && pBar <= 1.0 && pE > 0.0 && pE < 1.0)
+    assert(kappa <= 1.0 + 1e-9)
+    assert(math.abs(kappa - (pBar - pE) / (1.0 - pE)) < 1e-5)
+  }
+
+  test("friedman + cochran: nonnegative statistics with the right df") {
+    val f = NonparamOps.qFriedman(spark, sf).head()
+    assert(f.getLong(0) > 0 && f.getDouble(2) >= 0.0)
+    assert(f.getLong(3) == f.getLong(1) - 1, "df = k - 1")
+    val c = NonparamOps.qCochranQ(spark, sf).head()
+    assert(c.getLong(0) > 0 && c.getDouble(2) >= 0.0 && c.getLong(3) == 2)
+  }
+
+  test("permutation test: p in (0, 1] and extreme count bounded") {
+    val r = NonparamOps.qPermutationTest(spark, sf).head()
+    val nReps = r.getLong(2); val nExt = r.getLong(3)
+    val p = r.getDouble(4)
+    assert(nReps == 200 && nExt >= 0 && nExt <= nReps)
+    assert(p > 0.0 && p <= 1.0)
+    assert(math.abs(p - (nExt + 1.0) / (nReps + 1.0)) < 1e-5)
+  }
+
+  test("cramers v: both variants in [0, 1] and corrected <= raw") {
+    val r = NonparamOps.qCramersV(spark, sf).head()
+    val v = r.getDouble(4); val vc = r.getDouble(5)
+    assert(v >= 0.0 && v <= 1.0 && vc >= 0.0 && vc <= 1.0)
+    assert(vc <= v + 1e-9,
+      "the bias correction only shrinks the estimate")
+  }
+
+  test("dp quantile: bins in range and the true bin maximizes utility") {
+    val r = GovernOps.qDpQuantile(spark, sf).head()
+    val rel = r.getLong(2); val tru = r.getLong(5)
+    assert(rel >= 0 && rel <= 49 && tru >= 0 && tru <= 49)
+    assert(r.getLong(3) == rel * 100 && r.getLong(4) == rel * 100 + 100)
+  }
+
+  test("streaks: islands partition the active days and fit the span") {
+    val rows = EventOps.qStreaks(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val longest = r.getLong(1); val nIsl = r.getLong(3)
+      val active = r.getLong(4)
+      assert(longest >= 1 && longest <= active && active <= 31)
+      assert(nIsl >= 1 && longest + (nIsl - 1) <= active,
+        "every other island holds at least one day")
+    }
+  }
+
+  test("lateral subquery: at most two orders per customer, descending " +
+      "by price within each") {
+    val rows = SubqueryNulls.qLateralSubquery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 2)
+      if (rs.length == 2) {
+        // output is ordered by orderkey; the LATERAL picked the top-2
+        // prices, so both rows' prices are >= any third order's — here
+        // just check the pair is the query's own contract: distinct keys
+        assert(rs.map(_.getLong(1)).distinct.length == 2)
+      }
+    }
+  }
+
+  test("krippendorff: alpha near kappa but not equal (the M-1 " +
+      "correction), disagreements in range") {
+    val a = NonparamOps.qKrippendorff(spark, sf).head()
+    val k = NonparamOps.qFleissKappa(spark, sf).head()
+    val dO = a.getDouble(2); val dE = a.getDouble(3)
+    val alpha = a.getDouble(4); val kappa = k.getDouble(4)
+    assert(dO >= 0.0 && dO <= 1.0 && dE > 0.0 && dE <= 1.0)
+    assert(alpha <= 1.0 + 1e-9)
+    // same raters, same labels: the two coefficients differ only by the
+    // finite-sample M-1 term, so they must sit within 1/M of each other
+    val m = a.getLong(0) * a.getLong(1)
+    assert(math.abs(alpha - kappa) < 1.0 / m + 1e-4,
+      s"alpha $alpha vs kappa $kappa drifted more than the M-1 term")
+  }
+
+  test("theil index: nonnegative inequality, hhi bounds, atkinson < 1") {
+    val r = Analytics.qTheilIndex(spark, sf).head()
+    val n = r.getLong(0)
+    val theil = r.getDouble(2); val atk = r.getDouble(3)
+    val hhi = r.getDouble(4); val hhiN = r.getDouble(5)
+    assert(theil >= -1e-9, "Theil T is nonnegative by Jensen")
+    assert(atk >= -1e-9 && atk < 1.0, "Atkinson(1) in [0, 1)")
+    assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0)
+    assert(hhiN >= -1e-9 && hhiN <= 1.0)
+  }
+
+  test("forecast eval: snaive and naive both scored, mase positive") {
+    val rows = StatsOps.qForecastEval(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("naive", "snaive"))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 23, "eval window = days 8..30")
+      assert(r.getDouble(2) > 0 && r.getDouble(3) >= r.getDouble(2) - 1e-9,
+        "rmse >= mae")
+      assert(r.getDouble(4) > 0, "mase positive")
+    }
+  }
+
+  test("obrien-fleming: five looks, boundary decreasing, null never " +
+      "crosses") {
+    val rows = EventOps.qObrienFleming(spark, sf).collect()
+    assert(rows.length == 5)
+    val bounds = rows.map(_.getDouble(4))
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => b < a },
+      "OBF boundary tightens monotonically")
+    assert(math.abs(bounds.last - 2.04) < 1e-6)
+    rows.foreach(r => assert(!r.getBoolean(5),
+      "parity null must never cross the boundary"))
+  }
+
+  test("deterministic tablesample: close to the nominal 10% fraction") {
+    val sampled = SubqueryNulls.qTablesample(spark, sf)
+      .agg(sum($"n")).head().getLong(0)
+    val total = Tables.df(spark, sf, "lineitem").count()
+    assert(sampled > total * 0.07 && sampled < total * 0.13,
+      s"md5 Bernoulli sample $sampled of $total outside the 10% band")
+  }
+}
