@@ -81,7 +81,37 @@ object Bench {
     // into min-of-3, so a single stolen pass can no longer set the
     // number the gate reads. Tail size overridable; 0 disables.
     val tailN = sys.env.getOrElse("SPARK_GRAFT_TAIL_PASSES", "8").toInt
-    val tailSet = results.sortBy(-_._2).take(tailN).map(_._1).toSet
+    // 0 disables the tail; a negative value would silently disable it
+    // while LOOKING configured — reject loudly like the passes check
+    require(tailN >= 0, s"SPARK_GRAFT_TAIL_PASSES must be >= 0, got $tailN")
+    // Full per-query telemetry → a file (the stdout tail can't hold 179
+    // entries); path overridable so test runs don't clobber the record.
+    val metricsOut = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT",
+      "BENCH_METRICS.json")
+    // Caveat-(d) discriminator, automated (VERDICT r12 #2): the rank-8
+    // tail only re-runs the slowest queries, but r12's VM steal spread
+    // across ~15 MID-TIER rows that each drifted under the rank cut. The
+    // machine signature is run-core-seconds inflating at IDENTICAL task
+    // counts, so compare each query's run/tasks against the COMMITTED
+    // record (the same file this run later overwrites): >2× per-task run
+    // with at least half a core-second of absolute inflation ⇒ re-run it
+    // too. Absent/unparseable record ⇒ empty map ⇒ rank tail only.
+    val record: Map[String, (Double, Long)] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(metricsOut)), "UTF-8")
+      val re = ("\"(q_[a-z0-9_]+)\":\\{\"wall\":[0-9.]+,\"run\":([0-9.]+)," +
+        "[^}]*\"tasks\":([0-9]+)").r
+      re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toLong))
+        .toMap
+    } catch { case _: Throwable => Map.empty }
+    val drifted = results.collect { case (n, _, s)
+        if record.get(n).exists { case (rRun, rTasks) =>
+          rTasks > 0 && s.tasks > 0 && rRun > 0.0 &&
+            s.runMs / 1e3 / s.tasks > 2.0 * (rRun / rTasks) &&
+            s.runMs / 1e3 - rRun > 0.5 } => n }.toSet
+    val tailSet = results.sortBy(-_._2).take(tailN).map(_._1).toSet ++
+      (if (tailN > 0) drifted else Set.empty[String])
     val finalResults = results.map { case (name, w, s) =>
       if (!tailSet(name) || w == 0.0) (name, w, s)
       else {
@@ -98,15 +128,16 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         rerun match {
           case Some((sec, snap)) if sec < w => (name, sec, snap)
-          case _ => (name, w, s)
+          case Some(_) => (name, w, s)
+          case None =>
+            // a query that breaks only on the extra pass must not hide
+            // behind its surviving first-pass timing (ADVICE r12)
+            if (!errors.contains(name)) errors += name
+            (name, w, s)
         }
       }
     }
     val total = finalResults.map(_._2).sum
-    // Full per-query telemetry → a file (the stdout tail can't hold 179
-    // entries); path overridable so test runs don't clobber the record.
-    val metricsOut = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT",
-      "BENCH_METRICS.json")
     val metricsJson = finalResults.sortBy(_._2).map { case (n, w, s) =>
       "\"" + n + "\":" + s.json(w)
     }.mkString("{\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
@@ -147,7 +178,9 @@ object Bench {
     // attributable from the bench record alone (run≈wall×cores ⇒ real
     // compute; gc high ⇒ heap pressure; spill>0 ⇒ execution-memory
     // pressure; run≪wall ⇒ the machine, not the plan).
-    println(s"""{"metric":"telemetry","slow":$slow,"agg":${aggSnap.json(total)},"file":"$metricsOut"}""")
+    val driftJson = drifted.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"telemetry","slow":$slow,"agg":${aggSnap.json(total)},"drift_rerun":$driftJson,"file":"$metricsOut"}""")
     // Short total-only line LAST: the driver parses the stdout tail, and the
     // full per-query line above can overflow its window at 100 queries.
     println(line(Seq.empty, s""","n_queries":${finalResults.size}"""))

@@ -37,6 +37,25 @@ object NonparamOps extends QueryPack {
     (conv(substring(md5(tag), 1, 15), 16, 10).cast("long") + 0.5) /
       lit(1152921504606846976.0)
 
+  /** 5% χ² critical values by df, derived from the data's df column so a
+    * fixture-cardinality change can never silently test the wrong
+    * threshold (ADVICE r12 — qFriedman hard-coded the df=4 value while
+    * reporting a data-derived df). Out-of-table df → NULL significance,
+    * which the oracle mirrors (same CASE) and the hash check surfaces. */
+  private[graft] val chi2Crit05 = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815,
+    4 -> 9.488, 5 -> 11.070, 6 -> 12.592, 7 -> 14.067, 8 -> 15.507)
+  private def chi2CritCol(df: org.apache.spark.sql.Column) =
+    chi2Crit05.foldLeft(lit(null).cast("double")) { case (acc, (d, c)) =>
+      when(df === d, c).otherwise(acc)
+    }
+  /** The identical lookup as a SQL CASE over a df expression, for the
+    * oracle side — ONE Scala home for the table so the engines can't
+    * drift. */
+  private[graft] def chi2CritSql(dfExpr: String): String =
+    chi2Crit05.toSeq.sorted
+      .map { case (d, c) => s"WHEN $d THEN $c" }
+      .mkString(s"CASE $dfExpr ", " ", " END")
+
   /** The three-rater (doc, category) assignment relation shared by
     * [[qFleissKappa]] and [[qKrippendorff]] — one source of truth for
     * the raters, so the two agreement coefficients provably judge the
@@ -169,7 +188,7 @@ object NonparamOps extends QueryPack {
       (($"k" - lit(1L)) * $"num").cast("double") / den.cast("double"))
     j.select($"n".as("n_blocks"), $"k",
       round(chi2, 6).as("chi2_f"), ($"k" - lit(1L)).as("df"),
-      (chi2 > 9.488).as("significant"))
+      (chi2 > chi2CritCol($"k" - lit(1L))).as("significant"))
   }
 
   // ---- q_cochran_q ---------------------------------------------------------
@@ -197,14 +216,19 @@ object NonparamOps extends QueryPack {
         Seq("user_id"), "left")
       .select(coalesce($"ri", lit(0L)).as("ri"))
       .agg(count(lit(1)).as("n_users"), sum($"ri" * $"ri").as("r2"))
-    val k = lit(3L)
+    // k and its critical value derive from the occasion list (ADVICE
+    // r12): chi2Crit05(k-1) THROWS if the list outgrows the table, and
+    // the oracle's literal k=3 then hash-mismatches loudly rather than
+    // silently testing the wrong threshold
+    val crit = chi2Crit05(days.size - 1)
+    val k = lit(days.size.toLong)
     val j = colT.crossJoin(broadcast(rowT))
     val den = k * $"bigN" - $"r2"
     val q = when(den > 0,
       ((k - lit(1L)) * (k * $"c2" - $"bigN" * $"bigN")).cast("double") /
         den.cast("double"))
     j.select($"n_users", k.as("k"), round(q, 6).as("q_stat"),
-      (k - lit(1L)).as("df"), (q > 5.991).as("significant"))
+      (k - lit(1L)).as("df"), (q > crit).as("significant"))
   }
 
   // ---- q_cliffs_delta ------------------------------------------------------
@@ -418,7 +442,7 @@ object NonparamOps extends QueryPack {
     // same complete-block cut, same 2R integer ranks, same exact
     // integer numerator/denominator
     "q_friedman" ->
-      """WITH g AS (
+      ("""WITH g AS (
         |  SELECT CAST(ts AS DATE) AS d, event_type AS j,
         |    sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS v
         |  FROM events GROUP BY 1, 2),
@@ -456,9 +480,13 @@ object NonparamOps extends QueryPack {
         |    AS chi2_f,
         |  CAST(k - 1 AS BIGINT) AS df,
         |  CASE WHEN den > 0
-        |    THEN CAST((k - 1) * num AS DOUBLE) / CAST(den AS DOUBLE) > 9.488
-        |    END AS significant
-        |FROM f""".stripMargin,
+        |    THEN CAST((k - 1) * num AS DOUBLE) / CAST(den AS DOUBLE)
+        |""".stripMargin +
+      // the df-keyed critical-value CASE comes from the ONE Scala table
+      // (chi2Crit05) both engines share, so the thresholds cannot drift
+      s"      > ${chi2CritSql("k - 1")}\n" +
+      """|    END AS significant
+        |FROM f""".stripMargin),
 
     // same three fixed occasions, same integer totals
     "q_cochran_q" ->

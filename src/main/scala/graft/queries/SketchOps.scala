@@ -50,14 +50,6 @@ object SketchOps extends QueryPack {
         round(abs($"est_raw" - $"exact") / $"exact", 6).as("rel_err"))
   }
 
-  /** Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
-    * for the corpus's top-20 tokens, beside exact counts. d=4 rows ×
-    * w=1024 buckets, md5-keyed row hashes — the counter matrix is a plain
-    * (row, bucket, count) relation built by one groupBy, so two corpora's
-    * sketches merge by summing counters (the map-side-combine property
-    * that makes CMS the standard distributed heavy-hitter sketch). The
-    * estimate min-over-rows never underestimates; the oracle checks the
-    * estimates themselves, not just the bound. */
   /** The CMS row hash — d independent md5-keyed hashes into w=1024
     * buckets, shared by [[qCountMin]] and the streaming twin
     * (Streams.cmsStream) so the batch and stream sketches are the SAME
@@ -66,6 +58,14 @@ object SketchOps extends QueryPack {
     pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), item)),
       1, 15), 16, 10).cast("long"), lit(1024L))
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    * for the corpus's top-20 tokens, beside exact counts. d=4 rows ×
+    * w=1024 buckets, md5-keyed row hashes — the counter matrix is a plain
+    * (row, bucket, count) relation built by one groupBy, so two corpora's
+    * sketches merge by summing counters (the map-side-combine property
+    * that makes CMS the standard distributed heavy-hitter sketch). The
+    * estimate min-over-rows never underestimates; the oracle checks the
+    * estimates themselves, not just the bound. */
   def qCountMin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.df(spark, sfDir, "documents")

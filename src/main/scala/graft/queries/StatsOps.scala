@@ -963,7 +963,14 @@ object StatsOps extends QueryPack {
     * scale-free error every forecasting bake-off reports, with the
     * naive in-sample MAE as its denominator. A model that can't beat
     * MASE 1.0 is worse than "predict yesterday" — the gate a pipeline
-    * runs BEFORE shipping any learned forecaster. Absolute errors are
+    * runs BEFORE shipping any learned forecaster. Deliberate deviation
+    * from Hyndman & Koehler: BOTH methods (incl. seasonal-naive) are
+    * scaled by the NON-seasonal naive in-sample MAE, so the two MASE
+    * rows share one denominator and read as "× the cost of predicting
+    * yesterday" — a cross-method-comparable scale; the paper's seasonal
+    * variant would scale the snaive row by the lag-7 in-sample MAE
+    * instead, making the rows incomparable to each other. Absolute
+    * errors are
     * exact decimal differences; squares round once to 4dp before the
     * sums; the three ratios are shared double closed forms. Shape: one
     * events scan → 30-row day relation; all windows run over it. */
