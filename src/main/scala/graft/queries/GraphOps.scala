@@ -436,7 +436,20 @@ object GraphOps extends QueryPack {
     * row per round with surviving node/edge counts — the curve that
     * says how fast the graph's periphery peels away (a 0-row round
     * means no ⌈N/4⌉-quantile core exists). */
-  def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
+  def qKcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcoreBuild(spark, sfDir)._1
+
+  /** The k-core construction, also returning the AUDIT handles the
+    * checkpoints would otherwise hide from the final plan (the
+    * localCheckpoint-exposure rule from the k-means/logreg audits):
+    * the k-threshold relation BEFORE its checkpoint (its window must
+    * run over the degree-VALUE relation, never the node relation) and
+    * each round's peeled edge set BEFORE its checkpoint (the per-round
+    * plan must stay constant-size — Exchange count not growing with
+    * round index — which is exactly what the checkpoint discipline
+    * buys; remove one and round r's plan contains round r−1's). */
+  private[graft] def kcoreBuild(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val li = Tables.df(spark, sfDir, "lineitem")
       .filter($"l_partkey" % 5 === 0)
@@ -451,11 +464,12 @@ object GraphOps extends QueryPack {
     val d0 = deg(e0).localCheckpoint() // feeds k, round-0 stats, peel 1
     val wc = Window.orderBy($"d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kDf = d0.groupBy($"d").agg(count(lit(1)).as("nv"))
+    val kPre = d0.groupBy($"d").agg(count(lit(1)).as("nv"))
       .withColumn("cum", sum($"nv").over(wc))
       .crossJoin(broadcast(d0.agg(count(lit(1)).as("nn"))))
       .filter($"cum" >= expr("(nn + 3) div 4"))
       .agg(min($"d").as("k"))
+    val kDf = kPre
       .localCheckpoint() // 1 row, read by every round's filter + output
     def stats(round: Int, nodes: DataFrame, e: DataFrame) =
       nodes.agg(count(lit(1)).as("n_nodes"))
@@ -464,18 +478,20 @@ object GraphOps extends QueryPack {
         .select(lit(round).as("round"), $"k", $"n_nodes", $"n_edges")
     var e = e0
     var out = stats(0, d0.select($"node"), e0)
+    val roundEdges = Seq.newBuilder[DataFrame]
     for (r <- 1 to 3) {
       val base = if (r == 1) d0 else deg(e)
       val surv = base.crossJoin(broadcast(kDf)).filter($"d" >= $"k")
         .select($"node")
         .localCheckpoint() // feeds both endpoint semi-joins + the count
-      e = e.join(surv.select($"node".as("u")), "u")
+      val ePre = e.join(surv.select($"node".as("u")), "u")
         .join(surv.select($"node".as("v")), "v")
         .select($"u", $"v")
-        .localCheckpoint()
+      roundEdges += ePre
+      e = ePre.localCheckpoint()
       out = out.union(stats(r, surv, e))
     }
-    out.orderBy($"round")
+    (out.orderBy($"round"), kPre, roundEdges.result())
   }
 
   // ---- q_adamic_adar --------------------------------------------------------
