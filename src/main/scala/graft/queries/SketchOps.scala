@@ -390,17 +390,26 @@ object SketchOps extends QueryPack {
     * (bucket, m_j). Registers over the RAW stream equal registers over
     * the distinct set (max is idempotent), the q_hll_md5 standing
     * note. */
-  private def hllRegs(toks: DataFrame): DataFrame = {
+  /** The HLL register rule — md5 hash → (bucket, rho) struct, shared by
+    * [[hllRegs]] (q_hll_md5 / q_hll_setops) and the streaming twin
+    * (Streams.hllStream) so the batch and stream sketches are the SAME
+    * sketch (the cmsRowHash precedent; merge law spec-replayed in
+    * R13OpsSpec). */
+  private[graft] def hllReg(tok: Column): Column = {
+    val h = conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+    val rest = h.bitwiseAND(lit((1L << 52) - 1))
+    struct(
+      shiftrightunsigned(h, 52).as("bucket"),
+      when(rest === 0L, lit(53))
+        .otherwise(lit(53) - length(bin(rest))).as("rho"))
+  }
+
+  private[graft] def hllRegs(toks: DataFrame): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
     toks
-      .select(conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long")
-        .as("h"))
-      .select(shiftrightunsigned($"h", 52).as("bucket"),
-        ($"h".bitwiseAND(lit((1L << 52) - 1))).as("rest"))
-      .select($"bucket",
-        when($"rest" === 0L, lit(53))
-          .otherwise(lit(53) - length(bin($"rest"))).as("rho"))
+      .select(hllReg($"tok").as("reg"))
+      .select($"reg.bucket".as("bucket"), $"reg.rho".as("rho"))
       .groupBy($"bucket").agg(max($"rho").as("m_j"))
   }
 

@@ -227,6 +227,25 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming twin of q_hll_md5 (SketchOps.qHllMd5) — the last sketch
+    * in the family to gain one (DDSketch/CMS/Bloom/IVM/PSI/temp-sample
+    * all have twins): per event-time window, the HLL register relation
+    * (bucket, m_j) over the stream's item column under the SAME md5 →
+    * (bucket, rho) rule ([[graft.queries.SketchOps.hllReg]] — one home,
+    * so batch and stream registers cannot drift). The register table is
+    * mergeable by MAX, not sum: taking max(m_j) per bucket across any
+    * set of windows yields the registers of their union — the law
+    * R13OpsSpec replays (2-batch stream register-max ≡ one batch pass).
+    * Estimation stays a downstream 256-row read, same as batch. */
+  def hllStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select($"ts", graft.queries.SketchOps.hllReg($"item").as("reg"))
+      .groupBy(window($"ts", "1 day").as("w"), $"reg.bucket".as("bucket"))
+      .agg(max($"reg.rho").as("m_j"))
+  }
+
   // ---- arbitrary-state sessionization (flatMapGroupsWithState) ----------
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
