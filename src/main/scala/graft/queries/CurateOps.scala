@@ -412,6 +412,87 @@ object CurateOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_curation_e2e ----------------------------------------------------
+  /** End-to-end curation funnel (VERDICT r12 #5) — the per-stage
+    * attrition manifest a production curation run ships, composed from
+    * the EXISTING shared gates rather than re-deriving any of them:
+    * quality (TextFunctions.qualityScore, the q_quality/q_quality_sweep
+    * gate at the 0.5 cut) → near-dup survivorship (the mod-10
+    * [[sharedManifest]] artifact q_canonical / q_split_leakproof read)
+    * → benchmark decontamination (the q_decontaminate 5-gram rule
+    * against the full-corpus doc_id%97 benchmark set) → the leak-proof
+    * cluster-bucketed train/val/test split (the q_split_leakproof md5
+    * rule). One row per stage with doc and token attrition, then one
+    * row per split partition of the final survivors. This is the one
+    * axis 330 individually-green queries don't test: that the gates
+    * COMPOSE — shared relations, one per-doc flags pass, one aggregate.
+    *
+    * Scale shape: every gate is a per-doc flag computed by equi-joins
+    * against artifacts (manifest parquet, broadcast benchmark shingle
+    * set); the funnel itself is ONE aggregate over the flags relation —
+    * no stage rescans the corpus, exactly how the production run prices
+    * attrition. */
+  def qCurationE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val full = Tables.df(spark, sfDir, "documents")
+    val docs = full.filter($"doc_id" % 10 === 0)
+    val scored = docs.select($"doc_id",
+      TextFunctions.qualityScore($"text").as("score"),
+      TextFunctions.tokenCount($"text").cast("long").as("n_tok"))
+    val man = sharedManifest(spark, sfDir, mod = 10)
+      .select($"doc_id", $"cluster_id", $"keep")
+    // benchmark shingles from the FULL corpus (the eval set is external
+    // to any training subset); corpus side only the subset's non-bench
+    // docs — the q_decontaminate shapes on the funnel's grain
+    def shing(d: DataFrame) = d
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id", explode(TextFunctions.shingles($"text", 5)).as("s"))
+    val bench = shing(full.filter($"doc_id" % 97 === 0))
+      .select($"s").distinct()
+    val contam = shing(docs.filter($"doc_id" % 97 =!= 0))
+      .join(broadcast(bench), Seq("s"), "left_semi")
+      .select($"doc_id").distinct()
+      .withColumn("__hit", lit(true))
+    val bkt = conv(substring(md5(concat(lit("split:"),
+      $"cluster_id".cast("string"))), 1, 4), 16, 10).cast("long") % 10
+    val flags = scored
+      .join(man, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tok",
+        ($"score" >= 0.5).as("g1"),
+        $"keep", ($"doc_id" % 97 === 0).as("is_bench"),
+        coalesce($"__hit", lit(false)).as("contaminated"),
+        when(bkt <= 7, "train").when(bkt === 8, "val")
+          .otherwise("test").as("split"))
+      .withColumn("g2", $"g1" && $"keep")
+      .withColumn("g3", $"g2" && !$"is_bench" && !$"contaminated")
+    def kept(g: Column) = sum(when(g, 1L).otherwise(0L))
+    def toks(g: Column) = sum(when(g, $"n_tok").otherwise(0L))
+    flags.agg(
+        count(lit(1)).as("n0"), sum($"n_tok").as("t0"),
+        kept($"g1").as("k1"), toks($"g1").as("t1"),
+        kept($"g2").as("k2"), toks($"g2").as("t2"),
+        kept($"g3").as("k3"), toks($"g3").as("t3"),
+        kept($"g3" && $"split" === "train").as("ktr"),
+        toks($"g3" && $"split" === "train").as("ttr"),
+        kept($"g3" && $"split" === "val").as("kva"),
+        toks($"g3" && $"split" === "val").as("tva"),
+        kept($"g3" && $"split" === "test").as("kte"),
+        toks($"g3" && $"split" === "test").as("tte"))
+      .select(expr("""stack(7,
+          '0_subset',      n0, n0, t0,
+          '1_quality',     n0, k1, t1,
+          '2_near_dup',    k1, k2, t2,
+          '3_decontam',    k2, k3, t3,
+          '4_split_test',  k3, kte, tte,
+          '4_split_train', k3, ktr, ttr,
+          '4_split_val',   k3, kva, tva)""")
+        .as(Seq("stage", "n_in", "n_kept", "tokens_kept")))
+      .select($"stage", $"n_in", $"n_kept",
+        ($"n_in" - $"n_kept").as("n_dropped"), $"tokens_kept")
+      .orderBy($"stage")
+  }
+
   // ---- q_kmeans ----------------------------------------------------------
   /** Deterministic k-means (k=4, 2 Lloyd iterations) over the embedding
     * table, reporting per-cluster size and dominant label — the clustering
@@ -910,7 +991,8 @@ object CurateOps extends QueryPack {
     "q_coreset" -> qCoreset,
     "q_boilerplate" -> qBoilerplate,
     "q_dup_spans" -> qDupSpans,
-    "q_split_leakproof" -> qSplitLeakproof
+    "q_split_leakproof" -> qSplitLeakproof,
+    "q_curation_e2e" -> qCurationE2e
   )
 
   private val toksDdb =
@@ -1330,6 +1412,76 @@ object CurateOps extends QueryPack {
 
     // same reach-fixpoint labels as q_canonical, then the identical
     // md5-of-cluster bucket arithmetic on both sides
+    // the funnel's oracle is pure composition: canonicalCtes (the
+    // q_canonical clustering + survivorship, verbatim), TextOps's
+    // qualityScoreSql (the q_quality_sweep score, verbatim) and
+    // shingleSql (the q_decontaminate rule, verbatim), and the
+    // q_split_leakproof md5 bucket literal — nothing re-derived
+    "q_curation_e2e" ->
+      s"""WITH RECURSIVE ${canonicalCtes(10)},
+        |man AS (
+        |  SELECT r.doc_id, r.cluster_id, r.doc_id = k.kept_id AS keep
+        |  FROM ranked r JOIN kept k ON k.cluster_id = r.cluster_id),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ${TextOps.qualityScoreSql} AS score,
+        |    CAST(len($toksDdb) AS BIGINT) AS n_tok
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |shing AS (
+        |  ${TextOps.shingleSql("doc_id % 97 = 0 OR doc_id % 10 = 0")}),
+        |bench AS (SELECT DISTINCT s FROM shing WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM shing
+        |  WHERE doc_id % 10 = 0 AND doc_id % 97 <> 0
+        |    AND s IN (SELECT s FROM bench)),
+        |g AS (
+        |  SELECT sc.doc_id, sc.n_tok,
+        |    sc.score >= 0.5 AS g1,
+        |    sc.score >= 0.5 AND m.keep AS g2,
+        |    sc.score >= 0.5 AND m.keep AND sc.doc_id % 97 <> 0
+        |      AND sc.doc_id NOT IN (SELECT doc_id FROM contam) AS g3,
+        |    CASE WHEN ('0x' || substr(md5('split:'
+        |          || CAST(m.cluster_id AS VARCHAR)), 1, 4))::BIGINT % 10
+        |          <= 7 THEN 'train'
+        |      WHEN ('0x' || substr(md5('split:'
+        |          || CAST(m.cluster_id AS VARCHAR)), 1, 4))::BIGINT % 10
+        |          = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM sc JOIN man m ON m.doc_id = sc.doc_id),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(n_tok) AS BIGINT) AS t0,
+        |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |    CAST(sum(CASE WHEN g1 THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+        |    CAST(sum(CASE WHEN g2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+        |    CAST(sum(CASE WHEN g3 THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+        |    CAST(sum(CASE WHEN g3 AND split = 'train' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ktr,
+        |    CAST(sum(CASE WHEN g3 AND split = 'train' THEN n_tok ELSE 0
+        |      END) AS BIGINT) AS ttr,
+        |    CAST(sum(CASE WHEN g3 AND split = 'val' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS kva,
+        |    CAST(sum(CASE WHEN g3 AND split = 'val' THEN n_tok ELSE 0
+        |      END) AS BIGINT) AS tva,
+        |    CAST(sum(CASE WHEN g3 AND split = 'test' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS kte,
+        |    CAST(sum(CASE WHEN g3 AND split = 'test' THEN n_tok ELSE 0
+        |      END) AS BIGINT) AS tte
+        |  FROM g)
+        |SELECT stage, n_in, n_kept, n_in - n_kept AS n_dropped,
+        |  tokens_kept
+        |FROM (
+        |  SELECT '0_subset' AS stage, n0 AS n_in, n0 AS n_kept,
+        |    t0 AS tokens_kept FROM a
+        |  UNION ALL SELECT '1_quality', n0, k1, t1 FROM a
+        |  UNION ALL SELECT '2_near_dup', k1, k2, t2 FROM a
+        |  UNION ALL SELECT '3_decontam', k2, k3, t3 FROM a
+        |  UNION ALL SELECT '4_split_test', k3, kte, tte FROM a
+        |  UNION ALL SELECT '4_split_train', k3, ktr, ttr FROM a
+        |  UNION ALL SELECT '4_split_val', k3, kva, tva FROM a)
+        |ORDER BY stage""".stripMargin,
+
     "q_split_leakproof" ->
       s"""WITH RECURSIVE ${pairCtes(10)},
         |e AS (SELECT id1 AS u, id2 AS v FROM p WHERE j >= 0.75

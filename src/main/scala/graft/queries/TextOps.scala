@@ -970,6 +970,34 @@ object TextOps extends QueryPack {
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
   private val tokSetSql = s"list_distinct($toksSql)"
 
+  /** The q_quality composite score as one SQL expression over a `text`
+    * column — shared by the q_quality_sweep oracle and CurateOps's
+    * end-to-end curation funnel so the gate definition cannot drift
+    * from the standalone op (TextFunctions.qualityScore is the Spark
+    * home; this is its oracle twin). */
+  private[queries] def qualityScoreSql: String =
+    s"""round(0.5 * least(CAST(len($toksSql) AS INT) / 20.0, 1.0)
+       |        + 0.3 * least((CAST(len(list_filter($toksSql,
+       |            x -> list_contains(['the','a','is','and','of','to',
+       |              'in','that','it'], x))) AS DOUBLE)
+       |            / greatest(len($toksSql), 1)) * 5.0, 1.0)
+       |        + 0.2 * (1.0 - least(
+       |            CAST(len(regexp_extract_all(lower(text),
+       |              '[^a-z0-9 ]')) AS INT)
+       |            / greatest(CAST(length(text) AS INT), 1), 1.0)), 6)"""
+      .stripMargin
+
+  /** The q_decontaminate 5-gram shingle stream over a filtered slice of
+    * `documents` — shared with CurateOps's end-to-end curation funnel so
+    * the contamination rule cannot drift from the standalone op. */
+  private[queries] def shingleSql(pred: String): String =
+    s"""SELECT doc_id, unnest(list_filter(
+       |    list_transform(range(0, greatest(len(T) - 4, 1)),
+       |      i -> array_to_string(T[(i+1):(i+5)], ' ')),
+       |    s -> s != '')) AS s
+       |  FROM (SELECT doc_id, $toksSql AS T FROM documents
+       |        WHERE $pred)""".stripMargin
+
   /** The language-ID prediction CTE (→ relation `pr`: doc_id, lang,
     * pred) — shared by the q_lang_id and q_lang_confusion oracles so the
     * classifier definition cannot drift from its own evaluation (mirrors
@@ -1186,11 +1214,7 @@ object TextOps extends QueryPack {
 
     "q_decontaminate" ->
       s"""WITH sh AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    list_transform(range(0, greatest(len(T) - 4, 1)),
-        |      i -> array_to_string(T[(i+1):(i+5)], ' ')),
-        |    s -> s != '')) AS s
-        |  FROM (SELECT doc_id, $toksSql AS T FROM documents)),
+        |  ${shingleSql("TRUE")}),
         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
         |SELECT d.doc_id,
         |  d.doc_id IN (SELECT DISTINCT doc_id FROM sh
@@ -1511,15 +1535,7 @@ object TextOps extends QueryPack {
     "q_quality_sweep" ->
       s"""WITH sc AS (
         |  SELECT
-        |    round(0.5 * least(CAST(len($toksSql) AS INT) / 20.0, 1.0)
-        |        + 0.3 * least((CAST(len(list_filter($toksSql,
-        |            x -> list_contains(['the','a','is','and','of','to',
-        |              'in','that','it'], x))) AS DOUBLE)
-        |            / greatest(len($toksSql), 1)) * 5.0, 1.0)
-        |        + 0.2 * (1.0 - least(
-        |            CAST(len(regexp_extract_all(lower(text),
-        |              '[^a-z0-9 ]')) AS INT)
-        |            / greatest(CAST(length(text) AS INT), 1), 1.0)), 6)
+        |    $qualityScoreSql
         |      AS score,
         |    CAST(len($toksSql) AS BIGINT) AS n_tok
         |  FROM documents),
