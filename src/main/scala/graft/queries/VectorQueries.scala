@@ -562,6 +562,64 @@ object VectorQueries extends QueryPack {
       .orderBy($"band")
   }
 
+  // ---- q_srp_bands -------------------------------------------------------
+  /** SRP banding advisor (VERDICT r12 #6) — the q_minhash_bands analog
+    * for the sign-random-projection index, closing the gap q_ann_eval
+    * has been reporting since r10: recall 0.09–0.19 at weak cosines on
+    * the configured 8 tables × 8 bits, with nothing in the repo advising
+    * a better (tables, bits) split. For Charikar's hyperplane family the
+    * per-plane collision probability at cosine s is p = 1 − arccos(s)/π,
+    * so a (b tables, r bits) split admits a pair with
+    * P(s) = 1 − (1 − p^r)^b — the SRP S-curve. This scores every split
+    * of the 64/32/16-plane budgets at s = 0.25/0.5/0.9 AND as the
+    * EXPECTED recall over the corpus's own exact cosine ≥ 0.25 truth
+    * distribution (the same truth relation q_ann_eval prices the index
+    * against — theory evaluated on the observed similarity profile).
+    * The (8,8) row's p90 is the configured index's predicted recall at
+    * the dup-detection band it is actually used for (≥ 0.93); its
+    * exp_recall025 reproduces the weak-similarity failure q_ann_eval
+    * measures, and rows like (16,4) price the fix.
+    *
+    * Determinism: p rounds once to 9dp after the one acos() libm call
+    * (the DDSketch ln discipline), π is a shared 16-digit literal, each
+    * P value is a shared pow() formula rounded once to 6dp, and the
+    * expected recall is an exact DECIMAL sum with one double division
+    * (the q_minhash_bands discipline verbatim). Scale shape: truth is
+    * the documented-honest O(n²) verify on the audited %2 subset (an
+    * evaluation op prices its own ground truth); the grid is 14
+    * broadcast rows; everything else is one partial-aggregable mean
+    * per cell. */
+  def qSrpBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val PI = 3.141592653589793
+    val grid = Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2),
+        (64, 1), (2, 16), (4, 8), (8, 4), (16, 2), (2, 8), (4, 4), (8, 2))
+      .toDF("b", "r")
+    def pcoll(s: org.apache.spark.sql.Column) =
+      round(lit(1.0) - acos(s) / PI, 9)
+    def pcand(p: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column) =
+      lit(1.0) - pow(lit(1.0) - pow(p, r.cast("double")), b.cast("double"))
+    val truth = Similarity.cosinePairsBrute(
+        Tables.df(spark, sfDir, "embeddings").filter($"vec_id" % 2 === 0),
+        0.25)
+      .select($"sim")
+    val scored = truth.crossJoin(broadcast(grid))
+      .select($"b", $"r",
+        round(pcand(pcoll($"sim"), $"b", $"r"), 6).cast(dec6).as("p"))
+      .groupBy($"b", $"r")
+      .agg(round(sum($"p").cast("double") / count(lit(1)), 6)
+        .as("exp_recall025"))
+    grid.join(scored, Seq("b", "r"), "left")
+      .select($"b", $"r", ($"b" * $"r").as("n_planes"),
+        round(pcand(pcoll(lit(0.25)), $"b", $"r"), 6).as("p25"),
+        round(pcand(pcoll(lit(0.5)), $"b", $"r"), 6).as("p50"),
+        round(pcand(pcoll(lit(0.9)), $"b", $"r"), 6).as("p90"),
+        $"exp_recall025")
+      .orderBy($"n_planes".desc, $"b")
+  }
+
   // ---- q_quantize --------------------------------------------------------
   /** Int8 scalar quantization of the embedding table — the index-
     * compression step of a vector store: per dimension an affine code
@@ -914,6 +972,7 @@ object VectorQueries extends QueryPack {
     "q_ann_rerank" -> qAnnRerank,
     "q_matryoshka" -> qMatryoshka,
     "q_ann_eval" -> qAnnEval,
+    "q_srp_bands" -> qSrpBands,
     "q_embed_health" -> qEmbedHealth,
     "q_knn_cosine" -> qKnnCosine,
     "q_knn_classify" -> qKnnClassify,
@@ -1320,15 +1379,7 @@ object VectorQueries extends QueryPack {
     // the same LSH chain; exact truth over the same even-id subset;
     // per-decile recall = one pair-keyed left join + a tiny aggregate
     "q_ann_eval" ->
-      (annMd5CtesSql + """,
-        |truth AS (
-        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |      CAST(b.embedding AS DOUBLE[])), 6) AS sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
-        |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |      CAST(b.embedding AS DOUBLE[])), 6) >= 0.25)
+      (annMd5CtesSql + ",\n" + annTruthCteSql + """
         |SELECT CAST(floor(t.sim * 10) AS INT) AS band,
         |  count(*) AS n_truth,
         |  CAST(SUM(CASE WHEN n.id1 IS NOT NULL THEN 1 ELSE 0 END)
@@ -1338,6 +1389,30 @@ object VectorQueries extends QueryPack {
         |FROM truth t
         |LEFT JOIN ann n ON n.id1 = t.id1 AND n.id2 = t.id2
         |GROUP BY band ORDER BY band""".stripMargin),
+    // same truth CTE as q_ann_eval; the SRP S-curve is one shared
+    // acos/pow formula (p rounded once to 9dp, P once to 6dp) on both
+    // engines, the expected recall an exact decimal mean over truth
+    "q_srp_bands" ->
+      (s"""WITH $annTruthCteSql,
+        |grid AS (SELECT * FROM (VALUES (1,64),(2,32),(4,16),(8,8),
+        |  (16,4),(32,2),(64,1),(2,16),(4,8),(8,4),(16,2),(2,8),(4,4),
+        |  (8,2)) g(b, r)),
+        |sc AS (
+        |  SELECT g.b, g.r,
+        |    CAST(${srpPSql("t.sim")} AS DECIMAL(18,6)) AS p
+        |  FROM truth t CROSS JOIN grid g),
+        |er AS (
+        |  SELECT b, r,
+        |    round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS exp_recall025
+        |  FROM sc GROUP BY b, r)
+        |SELECT g.b, g.r, g.b * g.r AS n_planes,
+        |  ${srpPSql("0.25")} AS p25,
+        |  ${srpPSql("0.5")} AS p50,
+        |  ${srpPSql("0.9")} AS p90,
+        |  er.exp_recall025
+        |FROM grid g LEFT JOIN er ON er.b = g.b AND er.r = g.r
+        |ORDER BY n_planes DESC, g.b""".stripMargin),
+
     "q_knn_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -1447,6 +1522,28 @@ object VectorQueries extends QueryPack {
         |ORDER BY doc_id, frame_idx""".stripMargin
     // q_ann_lsh: rows-only (seeded LSH bucketing)
   )
+
+  /** The SRP admission probability P(s) = 1 − (1 − p^r)^b with
+    * p = round(1 − acos(s)/π, 9) as one SQL expression over a grid row
+    * `g` — the oracle twin of qSrpBands' shared Spark formula. */
+  private def srpPSql(s: String): String =
+    s"round(1.0 - pow(1.0 - pow(round(1.0 - acos($s) " +
+      "/ 3.141592653589793, 9), CAST(g.r AS DOUBLE)), " +
+      "CAST(g.b AS DOUBLE)), 6)"
+
+  /** The exact cosine ≥ 0.25 truth-pair CTE over the %2 subset, shared
+    * by the q_ann_eval and q_srp_bands oracles so the index's evaluation
+    * and its advisor price the SAME ground truth — mirrors
+    * Similarity.cosinePairsBrute on the audited subset. */
+  private lazy val annTruthCteSql: String =
+    """truth AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+      |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 6) >= 0.25)""".stripMargin
 
   /** The md5-LSH chain through verified pairs (WITH dims … ann), shared
     * by the q_ann_md5 and q_ann_eval oracles so the index definition
