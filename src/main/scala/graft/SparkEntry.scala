@@ -40,7 +40,8 @@ object SparkEntry {
     CurateOps,
     GovernOps,
     InferOps,
-    NonparamOps
+    NonparamOps,
+    DecisionOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,569 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Decision-analysis pack — the procedures a data platform runs AFTER
+  * the basic tests say "something differs", answering "so what do we
+  * do": causal identification beyond DiD/propensity (an instrumental-
+  * variable Wald estimator with the weak-instrument gate, a regression-
+  * discontinuity readout), the aggregation-reversal audit that decides
+  * whether a pooled metric can be trusted (Simpson), the post-hoc
+  * pairwise comparison that names WHICH groups differ after q_anova's
+  * omnibus F (Tukey–Kramer HSD), fixed-effect meta-analytic pooling of
+  * per-stratum effects with heterogeneity (Cochran's Q_het, I²), and
+  * the best-of-n sampling curve that prices how much quality candidate
+  * over-generation buys. Reference capability: the deployed HiveQL
+  * engine stops at corr/covar primitives; these are the composed
+  * decision procedures built on them.
+  *
+  * Discipline (the InferOps contract): reduce the log to a keyed unit
+  * relation first, exact integer / once-rounded decimal moments, one
+  * shared closed-form double per statistic, critical values derived
+  * from the data's k through one shared lookup (the chi2Crit05
+  * lesson — never a hard-coded threshold beside a data-derived df).
+  */
+object DecisionOps extends QueryPack {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(38, 4)
+  private val dec9 = DecimalType(18, 9)
+
+  // ---- q_iv_wald ----------------------------------------------------------
+  /** Instrumental-variable Wald estimator (Wald '40; Angrist &
+    * Krueger '91 usage): with user parity as the (pseudo-)instrument z,
+    * per-user click count as the treatment exposure x and per-user
+    * purchase value as the outcome y, IV = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) — the
+    * ratio of intention-to-treat effects that recovers the causal
+    * effect when z moves x but touches y only through x. The op leads
+    * with the gate every IV analysis must run: the first-stage
+    * strength (Staiger & Stock's F < 10 rule) — on this fixture the
+    * parity instrument is null by construction, so `weak` fires and
+    * the estimate is reported AS unreliable, which is the correct
+    * production behavior (an IV pipeline that doesn't refuse weak
+    * instruments manufactures noise). One (user) reduction → one 1-row
+    * 10-sum aggregate; x moments exact integers, y sums exact
+    * decimals, every ratio a shared double formula. */
+  def qIvWald(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val u = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id").agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase",
+          round($"value", 2).cast(dec2)).otherwise(lit(0).cast(dec2)))
+          .as("y"))
+      .select(($"user_id" % 2 === 0).as("z"), $"x", ($"x" * $"x").as("x2"),
+        $"y")
+    val s = u.agg(
+      sum(when($"z", 1L).otherwise(0L)).as("n1"),
+      sum(when(!$"z", 1L).otherwise(0L)).as("n0"),
+      sum(when($"z", $"x")).as("sx1"), sum(when(!$"z", $"x")).as("sx0"),
+      sum(when($"z", $"x2")).as("sxx1"), sum(when(!$"z", $"x2")).as("sxx0"),
+      sum(when($"z", $"y")).as("sy1"), sum(when(!$"z", $"y")).as("sy0"))
+    def m(sc: Column, n: Column) = sc.cast("double") / n
+    val fs = m($"sx1", $"n1") - m($"sx0", $"n0")
+    val itt = m($"sy1", $"n1") - m($"sy0", $"n0")
+    def vx(sxx: Column, sx: Column, n: Column) =
+      (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n) /
+        (n - lit(1L)) / n
+    val seFs = sqrt(vx($"sxx1", $"sx1", $"n1") + vx($"sxx0", $"sx0", $"n0"))
+    val fsT = when(seFs > 0.0, fs / seFs)
+    val fStat = fsT * fsT
+    s.select($"n0", $"n1",
+      round(m($"sx0", $"n0"), 6).as("x_mean_z0"),
+      round(m($"sx1", $"n1"), 6).as("x_mean_z1"),
+      round(m($"sy0", $"n0"), 6).as("y_mean_z0"),
+      round(m($"sy1", $"n1"), 6).as("y_mean_z1"),
+      round(itt, 6).as("itt"),
+      round(fs, 6).as("first_stage"),
+      round(fStat, 6).as("first_stage_f"),
+      coalesce(fStat < 10.0, lit(true)).as("weak"),
+      round(when(fs =!= 0.0, itt / fs), 6).as("iv_estimate"))
+  }
+
+  // ---- q_reg_discontinuity ------------------------------------------------
+  /** Sharp regression-discontinuity readout (Thistlethwaite & Campbell
+    * '60): running variable r = user_id % 101 with cutoff 50 and
+    * bandwidth 25, outcome = per-user event count; a local linear fit
+    * on each side of the cutoff (closed-form OLS on centered r from
+    * exact integer moments) and the effect = the jump between the two
+    * intercepts AT the cutoff. The running variable is the portable
+    * md5 hash of the user id mod 101 (user_id itself doesn't span the
+    * cutoff at small SF; the hash spreads uniformly at every scale),
+    * which also makes this the pinned null of the causal family (like
+    * q_did's parity arms): a nonzero jump here would indict the
+    * estimator, not the data. One (user) reduction → two 5-sum side
+    * aggregates; slope and intercept are shared double closed forms
+    * over integer sums. */
+  def qRegDiscontinuity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val u = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("y"))
+      .select(pmod(conv(substring(md5(concat(lit("rdd:"),
+          $"user_id".cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(101L)).as("r"), $"y")
+      .filter($"r" >= 25 && $"r" < 75)
+      .select(($"r" >= 50).as("right"), ($"r" - 50).as("x"), $"y")
+    def side(right: Boolean) = {
+      val sfx = if (right) "r" else "l"
+      u.filter(if (right) $"right" else !$"right").agg(
+        count(lit(1)).as(s"n_$sfx"), sum($"x").as(s"sx_$sfx"),
+        sum($"y").as(s"sy_$sfx"), sum($"x" * $"x").as(s"sxx_$sfx"),
+        sum($"x" * $"y").as(s"sxy_$sfx"))
+    }
+    def fit(sfx: String): (Column, Column) = {
+      val (n, sx, sy, sxx, sxy) = (col(s"n_$sfx"), col(s"sx_$sfx"),
+        col(s"sy_$sfx"), col(s"sxx_$sfx"), col(s"sxy_$sfx"))
+      val den = (n * sxx - sx * sx).cast("double")
+      val slope = when(den =!= 0.0, (n * sxy - sx * sy).cast("double") / den)
+      val icept = (sy.cast("double") - slope * sx.cast("double")) / n
+      (slope, icept)
+    }
+    val j = side(right = false).crossJoin(broadcast(side(right = true)))
+    val (bl, al) = fit("l")
+    val (br, ar) = fit("r")
+    j.select($"n_l", $"n_r",
+      round(bl, 6).as("slope_left"), round(al, 6).as("icept_left"),
+      round(br, 6).as("slope_right"), round(ar, 6).as("icept_right"),
+      round(ar - al, 6).as("effect"))
+  }
+
+  // ---- q_simpsons ---------------------------------------------------------
+  /** Simpson's-paradox audit (Simpson '51; the Berkeley-admissions
+    * failure mode): the association between customer parity and
+    * urgent-priority ordering, pooled AND within every market segment,
+    * with a per-stratum flag when the stratum's association sign
+    * contradicts the pooled sign — the exact condition under which a
+    * pooled dashboard metric misleads. A curation platform runs this
+    * before trusting any cross-source pooled rate. One orders⋈customer
+    * (broadcast dim) pass → (segment, arm) cells → per-stratum rows
+    * beside the pooled row; everything exact integers until the two
+    * rate divisions. */
+  def qSimpsons(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.df(spark, sfDir, "orders")
+      .join(broadcast(Tables.df(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("stratum"),
+        ($"o_custkey" % 2 === 0).as("t"),
+        when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"))
+    def cells(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+      sum(when(!$"t", 1L).otherwise(0L)).as("n0"),
+      sum(when(!$"t", $"y").otherwise(0L)).as("c0"),
+      sum(when($"t", 1L).otherwise(0L)).as("n1"),
+      sum(when($"t", $"y").otherwise(0L)).as("c1"))
+    def diff = $"c1".cast("double") / $"n1" - $"c0".cast("double") / $"n0"
+    val pooled = cells(o.groupBy())
+      .select(lit("ALL").as("stratum"), $"n0", $"c0", $"n1", $"c1",
+        diff.as("d"))
+    val strata = cells(o.groupBy($"stratum"))
+      .select($"stratum", $"n0", $"c0", $"n1", $"c1", diff.as("d"))
+    val flagged = strata
+      .crossJoin(broadcast(pooled.select($"d".as("d_all"))))
+      .select($"stratum", $"n0", $"n1",
+        round($"c0".cast("double") / $"n0", 6).as("p0"),
+        round($"c1".cast("double") / $"n1", 6).as("p1"),
+        round($"d", 6).as("diff"),
+        ($"d" * $"d_all" < 0.0).as("flipped"))
+    val pooledRow = pooled.select($"stratum", $"n0", $"n1",
+      round($"c0".cast("double") / $"n0", 6).as("p0"),
+      round($"c1".cast("double") / $"n1", 6).as("p1"),
+      round($"d", 6).as("diff"), lit(false).as("flipped"))
+    pooledRow.union(flagged).orderBy($"stratum")
+  }
+
+  // ---- q_tukey_hsd --------------------------------------------------------
+  /** Studentized-range critical values q_{0.05}(k, ∞) by group count —
+    * one Scala home rendered into both engines (the chi2Crit05
+    * discipline); out-of-table k → NULL significance, surfaced by the
+    * hash gate rather than a silently wrong threshold. */
+  private[graft] val tukeyQCrit05 = Map(2 -> 2.772, 3 -> 3.314,
+    4 -> 3.633, 5 -> 3.858, 6 -> 4.030, 7 -> 4.170, 8 -> 4.286)
+  private def tukeyCritCol(k: Column): Column =
+    tukeyQCrit05.foldLeft(lit(null).cast("double")) { case (acc, (g, c)) =>
+      when(k === g, c).otherwise(acc)
+    }
+  private[graft] def tukeyCritSql(kExpr: String): String =
+    tukeyQCrit05.toSeq.sorted
+      .map { case (g, c) => s"WHEN $g THEN $c" }
+      .mkString(s"CASE $kExpr ", " ", " END")
+
+  /** Tukey–Kramer honestly-significant-difference post-hoc (Tukey '49;
+    * Kramer '56 for unequal n) on the q_anova design: after the
+    * omnibus F says the event-type means differ, the k(k−1)/2 pairwise
+    * comparisons that say WHICH — each pair's |mean diff| against
+    * q_crit·√(MSW/2·(1/nᵢ+1/nⱼ)), with the studentized-range critical
+    * value derived from the DATA's k via the shared lookup. MSW comes
+    * from the same [[InferOps.anovaCore]] relation q_anova reports (one
+    * home for the sums of squares — the two ops cannot drift). Shape:
+    * the k-row group-moment relation self-joins (k² tiny at any corpus
+    * scale, the corpus itself is touched once). */
+  def qTukeyHsd(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"event_type", round($"value", 2).cast(dec2).as("v"))
+      .select($"event_type", $"v",
+        round($"v".cast("double") * $"v".cast("double"), 4).cast(dec4)
+          .as("v2"))
+    val g = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("ng"), sum($"v").as("s1"), sum($"v2").as("s2"))
+      .localCheckpoint() // feeds the omnibus core AND both pair sides
+    val s = InferOps.anovaCore(g)
+      .select($"k", $"n", $"ssw")
+    val pairs = g.select($"event_type".as("type_a"), $"ng".as("na"),
+        $"s1".as("s1a"))
+      .join(g.select($"event_type".as("type_b"), $"ng".as("nb"),
+        $"s1".as("s1b")), $"type_a" < $"type_b")
+      .crossJoin(broadcast(s))
+    val msw = $"ssw".cast("double") / ($"n" - $"k")
+    val d = $"s1a".cast("double") / $"na" - $"s1b".cast("double") / $"nb"
+    val se = sqrt(msw / 2.0 * (lit(1.0) / $"na" + lit(1.0) / $"nb"))
+    val q = when(se > 0.0, abs(d) / se)
+    pairs.select($"type_a", $"type_b", $"na", $"nb",
+      round(d, 6).as("diff"), round(se, 6).as("se"),
+      round(q, 6).as("q_stat"),
+      (q > tukeyCritCol($"k")).as("significant"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  // ---- q_meta_analysis ----------------------------------------------------
+  /** Fixed-effect inverse-variance meta-analysis (Cochran '54) of the
+    * parity contrast on customer account balance, one effect per
+    * market segment: per-stratum effect eₛ = x̄₁−x̄₀ with Welch
+    * variance vₛ, pooled ê = Σwₛeₛ/Σwₛ at weights wₛ = 1/vₛ, its SE
+    * √(1/Σw), plus the heterogeneity read: Cochran's Q_het = Σw(e−ê)²
+    * on k−1 df and Higgins' I² = max(0, (Q−df)/Q) — the statistic that
+    * says whether one pooled number is even a sensible summary of the
+    * strata. The canonical cross-SOURCE experiment readout for a
+    * segmented corpus. Weights and weighted terms round once to 9dp
+    * decimals before their exact k-row sums; every ratio is a shared
+    * double formula. Shape: one customer scan → (segment, arm) moment
+    * cells → a k-row effect relation → two thin aggregates. */
+  def qMetaAnalysis(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.df(spark, sfDir, "customer")
+      .select($"c_mktsegment".as("seg"), ($"c_custkey" % 2 === 0).as("t"),
+        round($"c_acctbal", 2).cast(dec2).as("v"))
+      .select($"seg", $"t", $"v",
+        round($"v".cast("double") * $"v".cast("double"), 4).cast(dec4)
+          .as("v2"))
+    val cells = c.groupBy($"seg").agg(
+      sum(when($"t", 1L).otherwise(0L)).as("n1"),
+      sum(when(!$"t", 1L).otherwise(0L)).as("n0"),
+      sum(when($"t", $"v")).as("s1a"), sum(when(!$"t", $"v")).as("s1b"),
+      sum(when($"t", $"v2")).as("s2a"), sum(when(!$"t", $"v2")).as("s2b"))
+    def svar(s2: Column, s1: Column, n: Column) =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) /
+        (n - lit(1L))
+    val eff = cells.select($"seg",
+        ($"s1a".cast("double") / $"n1" - $"s1b".cast("double") / $"n0")
+          .as("e"),
+        (svar($"s2a", $"s1a", $"n1") / $"n1"
+          + svar($"s2b", $"s1b", $"n0") / $"n0").as("v"))
+      .filter($"v" > 0.0)
+      .select($"seg", $"e", round(lit(1.0) / $"v", 9).cast(dec9).as("w"))
+      .select($"seg", $"e", $"w",
+        round($"w".cast("double") * $"e", 9).cast(dec9).as("we"))
+      .localCheckpoint() // feeds the pooled row and the Q_het terms
+    val pooled = eff.agg(count(lit(1)).as("k"), sum($"w").as("sw"),
+        sum($"we").as("swe"))
+      .select($"k", $"sw", ($"swe".cast("double") / $"sw").as("pool"))
+    val qHet = eff.crossJoin(broadcast(pooled.select($"pool")))
+      .select(round($"w".cast("double") * ($"e" - $"pool")
+        * ($"e" - $"pool"), 9).cast(dec9).as("qt"))
+      .agg(sum($"qt").as("q"))
+    pooled.crossJoin(broadcast(qHet))
+      .select($"k", round($"pool", 6).as("pooled_effect"),
+        round(sqrt(lit(1.0) / $"sw".cast("double")), 6).as("se"),
+        round($"pool" / sqrt(lit(1.0) / $"sw".cast("double")), 6).as("z"),
+        round($"q".cast("double"), 6).as("q_het"),
+        ($"k" - lit(1L)).as("df"),
+        round(greatest(lit(0.0),
+          ($"q".cast("double") - ($"k" - lit(1L)))
+            / $"q".cast("double")), 6).as("i2"))
+  }
+
+  // ---- q_best_of_n --------------------------------------------------------
+  /** Best-of-n sampling curve: the expected MAXIMUM quality score among
+    * n independent draws from each source's own score distribution,
+    * for n ∈ {1,2,4,8,16} — the number that prices candidate
+    * over-generation (rejection sampling / BoN reranking) per corpus
+    * source before anyone pays for it. Exact order statistics, not
+    * simulation: on the per-source value-grouped ECDF,
+    * E[max_n] = Σ_v v·(F(v)ⁿ − F(v⁻)ⁿ). n = 1 reproduces the source
+    * mean — the built-in consistency check the spec pins. F is an
+    * exact integer ratio; each pow() term rounds once to 9dp into an
+    * exact decimal sum (the qTempSample pow discipline). Shape: one
+    * corpus pass → per-(source, score) value relation (windows run
+    * over it, partitioned by source) → ×5 explode → one aggregate. */
+  def qBestOfN(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vg = Tables.df(spark, sfDir, "documents")
+      .select($"source", TextFunctions.qualityScore($"text").as("v"))
+      .groupBy($"source", $"v").agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy($"source").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vg.withColumn("cum", sum($"nv").over(w))
+      .withColumn("tot", sum($"nv").over(Window.partitionBy($"source")))
+    val terms = cum
+      .select($"source", $"v", $"nv", $"cum", $"tot",
+        explode(array(lit(1), lit(2), lit(4), lit(8), lit(16))).as("n"))
+      .select($"source", $"n",
+        round($"v" * (pow($"cum".cast("double") / $"tot",
+            $"n".cast("double"))
+          - pow(($"cum" - $"nv").cast("double") / $"tot",
+            $"n".cast("double"))), 9).cast(dec9).as("t"))
+    terms.groupBy($"source", $"n")
+      .agg(round(sum($"t").cast("double"), 6).as("exp_max"))
+      .orderBy($"source", $"n")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_iv_wald" -> qIvWald,
+    "q_reg_discontinuity" -> qRegDiscontinuity,
+    "q_simpsons" -> qSimpsons,
+    "q_tukey_hsd" -> qTukeyHsd,
+    "q_meta_analysis" -> qMetaAnalysis,
+    "q_best_of_n" -> qBestOfN
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_iv_wald" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 = 0 AS z,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value, 2) AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN z THEN x END) AS BIGINT) AS sx1,
+        |    CAST(sum(CASE WHEN NOT z THEN x END) AS BIGINT) AS sx0,
+        |    CAST(sum(CASE WHEN z THEN x * x END) AS BIGINT) AS sxx1,
+        |    CAST(sum(CASE WHEN NOT z THEN x * x END) AS BIGINT) AS sxx0,
+        |    sum(CASE WHEN z THEN y END) AS sy1,
+        |    sum(CASE WHEN NOT z THEN y END) AS sy0
+        |  FROM u),
+        |f AS (
+        |  SELECT n0, n1,
+        |    CAST(sx0 AS DOUBLE) / n0 AS mx0, CAST(sx1 AS DOUBLE) / n1 AS mx1,
+        |    CAST(sy0 AS DOUBLE) / n0 AS my0, CAST(sy1 AS DOUBLE) / n1 AS my1,
+        |    (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+        |       * CAST(sx1 AS DOUBLE) / n1) / (n1 - 1) / n1
+        |    + (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+        |       * CAST(sx0 AS DOUBLE) / n0) / (n0 - 1) / n0 AS vfs
+        |  FROM s)
+        |SELECT n0, n1,
+        |  round(mx0, 6) AS x_mean_z0, round(mx1, 6) AS x_mean_z1,
+        |  round(my0, 6) AS y_mean_z0, round(my1, 6) AS y_mean_z1,
+        |  round(my1 - my0, 6) AS itt,
+        |  round(mx1 - mx0, 6) AS first_stage,
+        |  round(CASE WHEN sqrt(vfs) > 0.0 THEN
+        |    ((mx1 - mx0) / sqrt(vfs)) * ((mx1 - mx0) / sqrt(vfs)) END, 6)
+        |    AS first_stage_f,
+        |  coalesce(CASE WHEN sqrt(vfs) > 0.0 THEN
+        |    ((mx1 - mx0) / sqrt(vfs)) * ((mx1 - mx0) / sqrt(vfs)) < 10.0
+        |    END, TRUE) AS weak,
+        |  round(CASE WHEN mx1 - mx0 <> 0.0
+        |    THEN (my1 - my0) / (mx1 - mx0) END, 6) AS iv_estimate
+        |FROM f""".stripMargin,
+
+    "q_reg_discontinuity" ->
+      """WITH u AS (
+        |  SELECT ('0x' || substr(md5('rdd:' || CAST(user_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 101 AS r,
+        |    count(*) AS y
+        |  FROM events GROUP BY user_id),
+        |b AS (
+        |  SELECT r >= 50 AS side, r - 50 AS x, y FROM u
+        |  WHERE r >= 25 AND r < 75),
+        |m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN NOT side THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+        |    CAST(sum(CASE WHEN NOT side THEN x END) AS BIGINT) AS sx_l,
+        |    CAST(sum(CASE WHEN NOT side THEN y END) AS BIGINT) AS sy_l,
+        |    CAST(sum(CASE WHEN NOT side THEN x * x END) AS BIGINT) AS sxx_l,
+        |    CAST(sum(CASE WHEN NOT side THEN x * y END) AS BIGINT) AS sxy_l,
+        |    CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        |    CAST(sum(CASE WHEN side THEN x END) AS BIGINT) AS sx_r,
+        |    CAST(sum(CASE WHEN side THEN y END) AS BIGINT) AS sy_r,
+        |    CAST(sum(CASE WHEN side THEN x * x END) AS BIGINT) AS sxx_r,
+        |    CAST(sum(CASE WHEN side THEN x * y END) AS BIGINT) AS sxy_r
+        |  FROM b),
+        |f AS (
+        |  SELECT n_l, n_r,
+        |    CASE WHEN CAST(n_l * sxx_l - sx_l * sx_l AS DOUBLE) <> 0.0
+        |      THEN CAST(n_l * sxy_l - sx_l * sy_l AS DOUBLE)
+        |        / CAST(n_l * sxx_l - sx_l * sx_l AS DOUBLE) END AS bl,
+        |    CASE WHEN CAST(n_r * sxx_r - sx_r * sx_r AS DOUBLE) <> 0.0
+        |      THEN CAST(n_r * sxy_r - sx_r * sy_r AS DOUBLE)
+        |        / CAST(n_r * sxx_r - sx_r * sx_r AS DOUBLE) END AS br,
+        |    sx_l, sy_l, sx_r, sy_r
+        |  FROM m)
+        |SELECT n_l, n_r,
+        |  round(bl, 6) AS slope_left,
+        |  round((CAST(sy_l AS DOUBLE) - bl * CAST(sx_l AS DOUBLE)) / n_l, 6)
+        |    AS icept_left,
+        |  round(br, 6) AS slope_right,
+        |  round((CAST(sy_r AS DOUBLE) - br * CAST(sx_r AS DOUBLE)) / n_r, 6)
+        |    AS icept_right,
+        |  round((CAST(sy_r AS DOUBLE) - br * CAST(sx_r AS DOUBLE)) / n_r
+        |    - (CAST(sy_l AS DOUBLE) - bl * CAST(sx_l AS DOUBLE)) / n_l, 6)
+        |    AS effect
+        |FROM f""".stripMargin,
+
+    "q_simpsons" ->
+      """WITH o AS (
+        |  SELECT c.c_mktsegment AS stratum,
+        |    o.o_custkey % 2 = 0 AS t,
+        |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |pooled AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS c1
+        |  FROM o),
+        |strata AS (
+        |  SELECT stratum,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS c1
+        |  FROM o GROUP BY stratum)
+        |SELECT stratum, n0, n1, p0, p1, diff, flipped FROM (
+        |  SELECT 'ALL' AS stratum, n0, n1,
+        |    round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+        |    round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+        |    round(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6)
+        |      AS diff,
+        |    FALSE AS flipped
+        |  FROM pooled
+        |  UNION ALL
+        |  SELECT s.stratum, s.n0, s.n1,
+        |    round(CAST(s.c0 AS DOUBLE) / s.n0, 6) AS p0,
+        |    round(CAST(s.c1 AS DOUBLE) / s.n1, 6) AS p1,
+        |    round(CAST(s.c1 AS DOUBLE) / s.n1
+        |      - CAST(s.c0 AS DOUBLE) / s.n0, 6) AS diff,
+        |    (CAST(s.c1 AS DOUBLE) / s.n1 - CAST(s.c0 AS DOUBLE) / s.n0)
+        |      * (CAST(p.c1 AS DOUBLE) / p.n1 - CAST(p.c0 AS DOUBLE) / p.n0)
+        |      < 0.0 AS flipped
+        |  FROM strata s CROSS JOIN pooled p)
+        |ORDER BY stratum""".stripMargin,
+
+    // the score expression is TextOps.qualityScoreSql verbatim (one
+    // home with q_quality_sweep and q_curation_e2e)
+    "q_best_of_n" ->
+      (s"""WITH sc AS (
+        |  SELECT source,
+        |    ${TextOps.qualityScoreSql}
+        |      AS v
+        |  FROM documents),""".stripMargin + """
+        |vg AS (SELECT source, v, count(*) AS nv FROM sc GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, v, nv,
+        |    sum(nv) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(nv) OVER (PARTITION BY source) AS tot
+        |  FROM vg),
+        |x AS (
+        |  SELECT source, v, nv, cum, tot,
+        |    unnest([1, 2, 4, 8, 16]) AS n
+        |  FROM c),
+        |t AS (
+        |  SELECT source, n,
+        |    CAST(round(v * (pow(CAST(cum AS DOUBLE) / tot,
+        |        CAST(n AS DOUBLE))
+        |      - pow(CAST(cum - nv AS DOUBLE) / tot, CAST(n AS DOUBLE))), 9)
+        |      AS DECIMAL(18,9)) AS t
+        |  FROM x)
+        |SELECT source, n, round(CAST(sum(t) AS DOUBLE), 6) AS exp_max
+        |FROM t GROUP BY source, n
+        |ORDER BY source, n""".stripMargin),
+
+    // MSW comes from the shared q_anova CTE chain (InferOps
+    // .anovaCtesSql); the critical value from the shared Scala lookup
+    "q_tukey_hsd" ->
+      (s"""WITH ${InferOps.anovaCtesSql},
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.ng AS na, b.ng AS nb, a.s1 AS s1a, b.s1 AS s1b
+        |  FROM g a JOIN g b ON a.event_type < b.event_type),
+        |f AS (
+        |  SELECT type_a, type_b, na, nb, k,
+        |    CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb AS d,
+        |    sqrt((CAST(ssw AS DOUBLE) / (n - k)) / 2.0
+        |      * (1.0 / na + 1.0 / nb)) AS se
+        |  FROM p CROSS JOIN s)
+        |SELECT type_a, type_b, na, nb,
+        |  round(d, 6) AS diff, round(se, 6) AS se,
+        |  round(CASE WHEN se > 0.0 THEN abs(d) / se END, 6) AS q_stat,
+        |  CASE WHEN se > 0.0 THEN abs(d) / se END
+        |""".stripMargin +
+      s"      > ${tukeyCritSql("k")} AS significant\n" +
+      """|FROM f ORDER BY type_a, type_b""".stripMargin),
+
+    "q_meta_analysis" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS seg, c_custkey % 2 = 0 AS t,
+        |    CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS v
+        |  FROM customer),
+        |c2 AS (SELECT seg, t, v,
+        |  CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 4)
+        |    AS DECIMAL(38,4)) AS v2 FROM c),
+        |cells AS (
+        |  SELECT seg,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    sum(CASE WHEN t THEN v END) AS s1a,
+        |    sum(CASE WHEN NOT t THEN v END) AS s1b,
+        |    sum(CASE WHEN t THEN v2 END) AS s2a,
+        |    sum(CASE WHEN NOT t THEN v2 END) AS s2b
+        |  FROM c2 GROUP BY seg),
+        |eff0 AS (
+        |  SELECT seg,
+        |    CAST(s1a AS DOUBLE) / n1 - CAST(s1b AS DOUBLE) / n0 AS e,
+        |    (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE)
+        |       * CAST(s1a AS DOUBLE) / n1) / (n1 - 1) / n1
+        |    + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE)
+        |       * CAST(s1b AS DOUBLE) / n0) / (n0 - 1) / n0 AS var
+        |  FROM cells),
+        |eff AS (
+        |  SELECT seg, e,
+        |    CAST(round(1.0 / var, 9) AS DECIMAL(18,9)) AS w
+        |  FROM eff0 WHERE var > 0.0),
+        |eff2 AS (
+        |  SELECT seg, e, w,
+        |    CAST(round(CAST(w AS DOUBLE) * e, 9) AS DECIMAL(18,9)) AS we
+        |  FROM eff),
+        |pooled AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, sum(w) AS sw,
+        |    CAST(sum(we) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS pool
+        |  FROM eff2),
+        |qh AS (
+        |  SELECT CAST(sum(CAST(round(CAST(w AS DOUBLE)
+        |      * (e - pool) * (e - pool), 9) AS DECIMAL(18,9)))
+        |    AS DECIMAL(18,9)) AS q
+        |  FROM eff2 CROSS JOIN pooled)
+        |SELECT k, round(pool, 6) AS pooled_effect,
+        |  round(sqrt(1.0 / CAST(sw AS DOUBLE)), 6) AS se,
+        |  round(pool / sqrt(1.0 / CAST(sw AS DOUBLE)), 6) AS z,
+        |  round(CAST(q AS DOUBLE), 6) AS q_het,
+        |  CAST(k - 1 AS BIGINT) AS df,
+        |  round(greatest(0.0, (CAST(q AS DOUBLE) - (k - 1))
+        |    / CAST(q AS DOUBLE)), 6) AS i2
+        |FROM pooled CROSS JOIN qh""".stripMargin
+  )
+}

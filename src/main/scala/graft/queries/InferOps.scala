@@ -153,7 +153,38 @@ object InferOps extends QueryPack {
     * sums-of-squares relation, with the per-group SS terms rounded to
     * DECIMAL(18,6) before the k-row sum (ONE home for the rounding
     * discipline both tests' oracles mirror). */
-  private def anovaCore(g: DataFrame): DataFrame = {
+  /** The q_anova oracle's CTE chain through `s` (k, n, ssb, ssw) with
+    * the group-moment relation `g` still visible — shared with the
+    * q_tukey_hsd oracle (DecisionOps) so the post-hoc's MSW can never
+    * drift from the omnibus test's; [[anovaCore]] is the Spark home. */
+  private[queries] val anovaCtesSql: String =
+    """e AS (
+      |  SELECT event_type,
+      |    CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |e2 AS (SELECT event_type, v,
+      |  CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 4)
+      |    AS DECIMAL(38,4)) AS v2 FROM e),
+      |g AS (
+      |  SELECT event_type, count(*) AS ng, sum(v) AS s1, sum(v2) AS s2
+      |  FROM e2 GROUP BY event_type),
+      |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(s1) AS s1t FROM g),
+      |terms AS (
+      |  SELECT ng, n,
+      |    CAST(round(CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ng, 6)
+      |      AS DECIMAL(18,6)) AS ssw_g,
+      |    CAST(round(CAST(ng AS DOUBLE)
+      |      * (CAST(s1 AS DOUBLE) / ng - CAST(s1t AS DOUBLE) / n)
+      |      * (CAST(s1 AS DOUBLE) / ng - CAST(s1t AS DOUBLE) / n), 6)
+      |      AS DECIMAL(18,6)) AS ssb_g
+      |  FROM g CROSS JOIN tot),
+      |s AS (
+      |  SELECT count(*) AS k, max(n) AS n,
+      |    sum(ssb_g) AS ssb, sum(ssw_g) AS ssw
+      |  FROM terms)""".stripMargin
+
+  private[queries] def anovaCore(g: DataFrame): DataFrame = {
     import g.sparkSession.implicits._
     val tot = g.agg(sum($"ng").as("n"), sum($"s1").as("s1t"))
     val dm = $"s1".cast("double") / $"ng" - $"s1t".cast("double") / $"n"
@@ -635,32 +666,8 @@ object InferOps extends QueryPack {
         |FROM v""".stripMargin,
 
     "q_anova" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    CAST(round(value, 2) AS DECIMAL(18,2)) AS v
-        |  FROM events),
-        |e2 AS (SELECT event_type, v,
-        |  CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 4)
-        |    AS DECIMAL(38,4)) AS v2 FROM e),
-        |g AS (
-        |  SELECT event_type, count(*) AS ng, sum(v) AS s1, sum(v2) AS s2
-        |  FROM e2 GROUP BY event_type),
-        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(s1) AS s1t FROM g),
-        |terms AS (
-        |  SELECT ng, n,
-        |    CAST(round(CAST(s2 AS DOUBLE)
-        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ng, 6)
-        |      AS DECIMAL(18,6)) AS ssw_g,
-        |    CAST(round(CAST(ng AS DOUBLE)
-        |      * (CAST(s1 AS DOUBLE) / ng - CAST(s1t AS DOUBLE) / n)
-        |      * (CAST(s1 AS DOUBLE) / ng - CAST(s1t AS DOUBLE) / n), 6)
-        |      AS DECIMAL(18,6)) AS ssb_g
-        |  FROM g CROSS JOIN tot),
-        |s AS (
-        |  SELECT count(*) AS k, max(n) AS n,
-        |    sum(ssb_g) AS ssb, sum(ssw_g) AS ssw
-        |  FROM terms)
-        |SELECT k, n,
+      (s"""WITH $anovaCtesSql
+        |SELECT k, n,""".stripMargin + """
         |  round(CAST(ssb AS DOUBLE), 4) AS ss_between,
         |  round(CAST(ssw AS DOUBLE), 4) AS ss_within,
         |  round(CASE WHEN ssw > 0 THEN
@@ -668,7 +675,7 @@ object InferOps extends QueryPack {
         |      / (CAST(ssw AS DOUBLE) / (n - k)) END, 6) AS f_stat,
         |  round(CAST(ssb AS DOUBLE)
         |    / (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6) AS eta_sq
-        |FROM s""".stripMargin,
+        |FROM s""".stripMargin),
 
     "q_spearman" ->
       """WITH cust AS (

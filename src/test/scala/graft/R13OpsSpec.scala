@@ -2,7 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.queries.{CurateOps, SketchOps, TextOps}
+import graft.queries.{CurateOps, DecisionOps, SketchOps, TextOps}
+import graft.functions.TextFunctions
 import graft.streaming.Streams
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -89,5 +90,89 @@ class R13OpsSpec extends SparkSpec {
     // sf0.01 driver run plus the hash oracle cover those.
     assert(g2.length < k1, "the near-dup gate must drop something")
     assert(g3.length < n0, "the funnel must show attrition end to end")
+  }
+
+  test("iv wald: the parity pseudo-instrument is flagged weak (the " +
+      "Staiger-Stock gate fires on a null first stage)") {
+    val r = DecisionOps.qIvWald(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Boolean]("weak"),
+      "an id-parity instrument must never pass the F >= 10 bar")
+    // the first-stage F must actually be computed (not null-coalesced)
+    assert(!row.isNullAt(row.fieldIndex("first_stage_f")))
+  }
+
+  test("reg discontinuity: both sides populated, fitted, and the " +
+      "effect is the intercept jump") {
+    val row = DecisionOps.qRegDiscontinuity(spark, sf).collect().head
+    assert(row.getAs[Long]("n_l") > 0 && row.getAs[Long]("n_r") > 0)
+    val effect = row.getAs[Double]("effect")
+    val jump = row.getAs[Double]("icept_right") -
+      row.getAs[Double]("icept_left")
+    assert(math.abs(effect - jump) < 2e-6,
+      "effect must equal the intercept difference at the cutoff")
+  }
+
+  test("simpsons: pooled row present and stratum flip flags match the " +
+      "sign rule") {
+    val rows = DecisionOps.qSimpsons(spark, sf).collect()
+    val all = rows.find(_.getString(0) == "ALL").get
+    assert(!all.getAs[Boolean]("flipped"), "the pooled row never flips")
+    val dAll = all.getAs[Double]("diff")
+    rows.filter(_.getString(0) != "ALL").foreach { r =>
+      val d = r.getAs[Double]("diff")
+      // rounded-at-6dp signs only decide the flag away from zero
+      if (math.abs(d) > 1e-5 && math.abs(dAll) > 1e-5)
+        assert(r.getAs[Boolean]("flipped") == (d * dAll < 0),
+          s"stratum ${r.getString(0)} flip flag must follow the signs")
+    }
+  }
+
+  test("tukey hsd: k(k-1)/2 pairs, and significance agrees with the " +
+      "derived critical value") {
+    val rows = DecisionOps.qTukeyHsd(spark, sf).collect()
+    val types = rows.map(r => Set(r.getString(0), r.getString(1)))
+      .flatten.toSet
+    val k = types.size
+    assert(rows.length == k * (k - 1) / 2, "all pairwise comparisons")
+    val crit = DecisionOps.tukeyQCrit05(k)
+    rows.foreach { r =>
+      val q = r.getAs[Double]("q_stat")
+      assert(r.getAs[Boolean]("significant") == (q > crit))
+    }
+  }
+
+  test("meta analysis: i2 bounded, df = k-1, z = pooled/se") {
+    val row = DecisionOps.qMetaAnalysis(spark, sf).collect().head
+    val i2 = row.getAs[Double]("i2")
+    assert(i2 >= 0.0 && i2 < 1.0)
+    assert(row.getAs[Long]("df") == row.getAs[Long]("k") - 1)
+    val z = row.getAs[Double]("pooled_effect") / row.getAs[Double]("se")
+    assert(math.abs(z - row.getAs[Double]("z")) < 1e-3)
+  }
+
+  test("best of n: n=1 reproduces the source mean, and exp_max is " +
+      "non-decreasing in n, bounded by the source max") {
+    val rows = DecisionOps.qBestOfN(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getAs[Double]("exp_max")))
+    val bySource = rows.groupBy(_._1)
+    val stats = Tables.df(spark, sf, "documents")
+      .select($"source", TextFunctions.qualityScore($"text").as("v"))
+      .groupBy($"source")
+      .agg(avg($"v").as("mean"), max($"v").as("mx"))
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    bySource.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1, 2, 4, 8, 16))
+      val (mean, mx) = stats(src)
+      assert(math.abs(sorted.head._3 - mean) < 1e-4,
+        s"$src: E[max of 1] must be the mean")
+      assert(sorted.map(_._3).sliding(2).forall(p => p(1) >= p(0) - 1e-9),
+        s"$src: expected max must be monotone in n")
+      assert(sorted.last._3 <= mx + 1e-9,
+        s"$src: expected max cannot exceed the source max")
+    }
   }
 }
