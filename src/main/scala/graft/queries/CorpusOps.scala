@@ -897,7 +897,69 @@ object CorpusOps extends QueryPack {
       .orderBy($"source")
   }
 
+  // ---- q_textrank --------------------------------------------------------
+  /** TextRank keyword extraction (Mihalcea & Tarau '04): weighted
+    * PageRank over the token co-occurrence graph — the composition the
+    * corpus family was missing (collocations score PAIRS; this ranks
+    * individual KEYWORDS by graph centrality). Graph: nodes are the
+    * top-64 corpus tokens (count-ranked, token tie-break), an edge per
+    * co-occurrence within a 2-token window, weighted by count; 3
+    * unrolled damped iterations with the exact q_pagerank decimal
+    * discipline (contributions round once to 12dp into DECIMAL(28,14)
+    * sums, per-iteration scores round to 12dp, output to 9dp). Top-20
+    * keywords.
+    *
+    * Scale shape: the position stream is one windowed pass per doc
+    * (q_skipgram's lead() trick, partitioned by doc); everything after
+    * the count aggregation runs on the ≤64-node vocabulary graph —
+    * corpus size buys edge-count mass, not plan growth. The vocabulary
+    * cut IS the 100 TB lever: the graph never outgrows the top-k. */
+  def qTextrank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec14 = DecimalType(28, 14)
+    val toks = Tables.df(spark, sfDir, "documents")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("p", "tok")))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc).limit(64).select($"tok")
+      .localCheckpoint() // both endpoint filters read it
+    val wd = Window.partitionBy($"doc_id").orderBy($"p")
+    val led = toks
+      .withColumn("n1", lead($"tok", 1).over(wd))
+      .withColumn("n2", lead($"tok", 2).over(wd))
+    val co = led.select($"tok".as("a"), $"n1".as("b"))
+      .union(led.select($"tok".as("a"), $"n2".as("b")))
+      .filter($"b".isNotNull && $"a" =!= $"b")
+      .join(broadcast(vocab.select($"tok".as("a"))), "a")
+      .join(broadcast(vocab.select($"tok".as("b"))), "b")
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+    val edges = co.groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+    val e2 = edges.union(edges.select($"v".as("u"), $"u".as("v"), $"w"))
+      .localCheckpoint() // referenced by every iteration
+    val deg = e2.groupBy($"u".as("node")).agg(sum($"w").as("wdeg"))
+      .localCheckpoint()
+    val nTotal = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nTotal))
+      .select($"node", $"wdeg", $"n", (lit(1.0) / $"n").as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = e2.join(pr, e2("u") === pr("node"))
+        .select($"v".as("node"),
+          round($"pr" * $"w" / $"wdeg", 12).cast(dec14).as("c"))
+        .groupBy($"node").agg(sum($"c").as("sw"))
+      pr = pr.select($"node", $"wdeg", $"n")
+        .join(contrib, Seq("node"), "left")
+        .select($"node", $"wdeg", $"n",
+          round(lit(0.15) / $"n"
+            + lit(0.85) * coalesce($"sw".cast("double"), lit(0.0)), 12)
+            .as("pr"))
+    }
+    pr.select($"node".as("tok"), round($"pr", 9).as("score"))
+      .orderBy($"score".desc, $"tok".asc).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_textrank" -> qTextrank,
     "q_readability" -> qReadability,
     "q_good_turing" -> qGoodTuring,
     "q_llr_colloc" -> qLlrColloc,
@@ -958,7 +1020,10 @@ object CorpusOps extends QueryPack {
   /** The top-50 skip-gram pair chain (→ relation `sg`: center, context,
     * dist, n) — shared by the q_skipgram and q_w2v_negatives oracles so
     * the pair definition cannot drift from its sampling consumer. */
-  private lazy val skipgramCtes: String =
+  /** The positional token stream + 2-token lead window (relations `t`,
+    * `leads`) — shared by [[skipgramCtes]] and the q_textrank oracle so
+    * the co-occurrence window definition has one home. */
+  private lazy val posLeadCtes: String =
     s"""t AS (
       |  SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
@@ -967,7 +1032,11 @@ object CorpusOps extends QueryPack {
       |leads AS (
       |  SELECT tok AS center,
       |    lead(tok, 1) OVER win AS c1, lead(tok, 2) OVER win AS c2
-      |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos))"""
+      .stripMargin
+
+  private lazy val skipgramCtes: String =
+    s"""$posLeadCtes,
       |pairs AS (
       |  SELECT center, c1 AS context, 1 AS dist FROM leads
       |  UNION ALL
@@ -990,7 +1059,53 @@ object CorpusOps extends QueryPack {
       |        AS bucket, text
       |      FROM documents CROSS JOIN mx)""".stripMargin
 
+  /** One weighted-PageRank iteration for the q_textrank oracle — the
+    * GraphOps.iterSql shape with edge weights and the identical decimal
+    * discipline. */
+  private def trIterSql(prev: String, cur: String): String =
+    s"""c$cur AS (
+       |  SELECT e2.v AS node,
+       |    SUM(CAST(round(p.pr * e2.w / p.wdeg, 12) AS DECIMAL(28,14)))
+       |      AS sw
+       |  FROM e2 JOIN p$prev p ON e2.u = p.node GROUP BY e2.v),
+       |p$cur AS (
+       |  SELECT d.node, d.wdeg,
+       |    round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+       |      + CAST(0.85 AS DOUBLE)
+       |        * COALESCE(CAST(sw AS DOUBLE), 0.0), 12) AS pr
+       |  FROM deg d LEFT JOIN c$cur ON c$cur.node = d.node)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // same t/leads window as q_skipgram (posLeadCtes), the q_pagerank
+    // iteration discipline with edge weights
+    "q_textrank" ->
+      (s"""WITH $posLeadCtes,
+        |vc AS (
+        |  SELECT tok FROM (
+        |    SELECT tok,
+        |      row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+        |    FROM t GROUP BY tok) WHERE rn <= 64),
+        |co AS (
+        |  SELECT least(center, b) AS u, greatest(center, b) AS v
+        |  FROM (
+        |    SELECT center, c1 AS b FROM leads
+        |    UNION ALL SELECT center, c2 FROM leads)
+        |  WHERE b IS NOT NULL AND center <> b
+        |    AND center IN (SELECT tok FROM vc)
+        |    AND b IN (SELECT tok FROM vc)),
+        |e AS (SELECT u, v, count(*) AS w FROM co GROUP BY u, v),
+        |e2 AS (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+        |deg AS (SELECT u AS node, CAST(sum(w) AS BIGINT) AS wdeg
+        |        FROM e2 GROUP BY u),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |p0 AS (SELECT node, wdeg,
+        |         CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg),
+        |${trIterSql("0", "1")},
+        |${trIterSql("1", "2")},
+        |${trIterSql("2", "3")}
+        |SELECT node AS tok, round(pr, 9) AS score FROM p3
+        |ORDER BY score DESC, tok ASC LIMIT 20""".stripMargin),
+
     // same integer word/sentence/vowel-run counts, same one-shot formula
     "q_readability" ->
       s"""WITH d AS (
