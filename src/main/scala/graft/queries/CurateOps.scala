@@ -412,6 +412,90 @@ object CurateOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_dbscan_grid -----------------------------------------------------
+  /** Grid-blocked DBSCAN (Ester et al. '96) over the embedding table's
+    * leading two dimensions — the density-based member the clustering
+    * family was missing (k-means assumes convex equal-variance blobs;
+    * DBSCAN finds arbitrary-shape density peaks and, critically for
+    * curation, an explicit NOISE class worth down-weighting). eps=0.02,
+    * minPts=4; neighbor candidates come from the epsilon-grid blocking
+    * equi-join (each qualifying pair meets in exactly one of the 3×3
+    * cell offsets — the cosinePairsComplete grid-file shape in 2-D,
+    * never an all-pairs join); core points (≥ minPts eps-neighbors)
+    * cluster via the shared star-contraction connectedComponents
+    * operator; border points attach to their minimum core component;
+    * the rest is noise. Output: per-cluster core/border counts beside
+    * the noise row.
+    *
+    * Determinism: coordinates quantize once to exact integer
+    * micro-units (round(x·1e6) — the annMd5Pairs nano-unit trick), so
+    * the d² ≤ (eps·1e6)² test is pure integer arithmetic in both
+    * engines; cells are truncating div on shifted-positive ints
+    * (Spark `div` truncates, DuckDB `//` floors — identical once
+    * shifted); the cluster label is the component's min vec_id. */
+  def qDbscanGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epsI = 20000L // 0.02 in micro-units
+    val eps2 = epsI * epsI
+    val pts = Tables.df(spark, sfDir, "embeddings")
+      .filter(size($"embedding") >= 2)
+      .select($"vec_id",
+        (round(round($"embedding".getItem(0).cast("double"), 6)
+          * 1e6, 0).cast("long") + 1000000L).as("ix"),
+        (round(round($"embedding".getItem(1).cast("double"), 6)
+          * 1e6, 0).cast("long") + 1000000L).as("iy"))
+      .select($"vec_id", $"ix", $"iy",
+        expr(s"ix div $epsI").as("cx"), expr(s"iy div $epsI").as("cy"))
+      .localCheckpoint() // both sides of the grid join + 3 consumers
+    val offsets = Seq(-1L, 0L, 1L)
+    val bSide = pts.withColumn("off", explode(array(
+        offsets.flatMap(dx => offsets.map(dy =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)))
+      .select($"vec_id".as("id2"), $"ix".as("ix2"), $"iy".as("iy2"),
+        ($"cx" + $"off.dx").as("cx"), ($"cy" + $"off.dy").as("cy"))
+    val nbr = pts.join(bSide, Seq("cx", "cy"))
+      .filter($"vec_id" =!= $"id2"
+        && ($"ix" - $"ix2") * ($"ix" - $"ix2")
+          + ($"iy" - $"iy2") * ($"iy" - $"iy2") <= eps2)
+      .select($"vec_id", $"id2")
+      .localCheckpoint() // feeds counts, core edges, border attach
+    val ncnt = nbr.groupBy($"vec_id").agg(count(lit(1)).as("nc"))
+    val core = ncnt.filter($"nc" >= 4).select($"vec_id")
+      .localCheckpoint()
+    val coreEdges = nbr
+      .join(core.select($"vec_id"), "vec_id")
+      .join(core.select($"vec_id".as("id2")), "id2")
+      .filter($"vec_id" < $"id2")
+      .select($"vec_id".as("u"), $"id2".as("v"))
+    val comp = graft.operators.Components.connectedComponents(
+        core.select($"vec_id".as("id")), coreEdges)
+      .select($"node", $"component")
+      .localCheckpoint() // cluster sizes + border attachment
+    val border = nbr
+      .join(core.select($"vec_id".as("id2")), "id2") // neighbor is core
+      .join(comp.select($"node".as("id2"), $"component"), "id2")
+      .join(core.select($"vec_id", lit(true).as("isc")),
+        Seq("vec_id"), "left_anti") // self is NOT core
+      .groupBy($"vec_id").agg(min($"component").as("component"))
+    val clusters = comp.groupBy($"component")
+      .agg(count(lit(1)).as("n_core"))
+      .join(border.groupBy($"component").agg(count(lit(1)).as("n_border")),
+        Seq("component"), "left")
+      .select($"component".cast("string").as("cluster_id"), $"n_core",
+        coalesce($"n_border", lit(0L)).as("n_border"))
+    val assigned = comp.select($"node".as("vec_id"))
+      .union(border.select($"vec_id"))
+    val noise = pts.join(assigned, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("noise").as("cluster_id"), $"n".as("n_points"),
+        lit(0L).as("n_core"), lit(0L).as("n_border"))
+    clusters
+      .select($"cluster_id", ($"n_core" + $"n_border").as("n_points"),
+        $"n_core", $"n_border")
+      .union(noise)
+      .orderBy($"cluster_id")
+  }
+
   // ---- q_fellegi_sunter --------------------------------------------------
   /** Probabilistic record linkage (Fellegi & Sunter '69) over the
     * document corpus — the decision-theoretic layer ABOVE the dedup
@@ -1089,7 +1173,8 @@ object CurateOps extends QueryPack {
     "q_dup_spans" -> qDupSpans,
     "q_split_leakproof" -> qSplitLeakproof,
     "q_curation_e2e" -> qCurationE2e,
-    "q_fellegi_sunter" -> qFellegiSunter
+    "q_fellegi_sunter" -> qFellegiSunter,
+    "q_dbscan_grid" -> qDbscanGrid
   )
 
   private val toksDdb =
@@ -1509,6 +1594,59 @@ object CurateOps extends QueryPack {
 
     // same reach-fixpoint labels as q_canonical, then the identical
     // md5-of-cluster bucket arithmetic on both sides
+    // brute-force neighbor pairs (the oracle may be O(n²)); the same
+    // integer micro-unit distance test and min-id component rule
+    "q_dbscan_grid" ->
+      """WITH RECURSIVE pt AS (
+        |  SELECT vec_id,
+        |    CAST(round(round(CAST(embedding[1] AS DOUBLE), 6)
+        |      * 1000000, 0) AS BIGINT) + 1000000 AS ix,
+        |    CAST(round(round(CAST(embedding[2] AS DOUBLE), 6)
+        |      * 1000000, 0) AS BIGINT) + 1000000 AS iy
+        |  FROM embeddings WHERE len(embedding) >= 2),
+        |nbr AS (
+        |  SELECT a.vec_id, b.vec_id AS id2
+        |  FROM pt a JOIN pt b ON a.vec_id <> b.vec_id
+        |    AND (a.ix - b.ix) * (a.ix - b.ix)
+        |      + (a.iy - b.iy) * (a.iy - b.iy) <= 400000000),
+        |core AS (
+        |  SELECT vec_id FROM nbr GROUP BY vec_id HAVING count(*) >= 4),
+        |e AS (
+        |  SELECT n.vec_id AS u, n.id2 AS v FROM nbr n
+        |  WHERE n.vec_id IN (SELECT vec_id FROM core)
+        |    AND n.id2 IN (SELECT vec_id FROM core)),
+        |reach(node, lbl) AS (
+        |  SELECT vec_id, vec_id FROM core
+        |  UNION
+        |  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+        |lab AS (SELECT node, MIN(lbl) AS component FROM reach
+        |        GROUP BY node),
+        |border AS (
+        |  SELECT n.vec_id, MIN(l.component) AS component
+        |  FROM nbr n JOIN lab l ON l.node = n.id2
+        |  WHERE n.vec_id NOT IN (SELECT vec_id FROM core)
+        |  GROUP BY n.vec_id),
+        |cl AS (
+        |  SELECT CAST(c.component AS VARCHAR) AS cluster_id,
+        |    c.n_core, coalesce(b.n_border, 0) AS n_border
+        |  FROM (SELECT component, count(*) AS n_core FROM lab
+        |        GROUP BY 1) c
+        |  LEFT JOIN (SELECT component, count(*) AS n_border FROM border
+        |             GROUP BY 1) b USING (component)),
+        |noise AS (
+        |  SELECT count(*) AS n FROM pt
+        |  WHERE vec_id NOT IN (SELECT node FROM lab)
+        |    AND vec_id NOT IN (SELECT vec_id FROM border))
+        |SELECT cluster_id,
+        |  CAST(n_core + n_border AS BIGINT) AS n_points,
+        |  CAST(n_core AS BIGINT) AS n_core,
+        |  CAST(n_border AS BIGINT) AS n_border
+        |FROM cl
+        |UNION ALL
+        |SELECT 'noise', n, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM noise
+        |ORDER BY cluster_id""".stripMargin,
+
     // string token sets mirror the xxhash64 sets collision-free (the
     // standing dedup-family assumption); m/u/weights are the identical
     // smoothed-ratio + once-rounded ln() chain

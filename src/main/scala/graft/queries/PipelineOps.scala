@@ -633,7 +633,97 @@ object PipelineOps extends QueryPack {
       .orderBy($"fold", $"lang")
   }
 
+  // ---- q_raking ----------------------------------------------------------
+  /** Survey raking / iterative proportional fitting (Deming & Stephan
+    * '40) of the corpus's (lang, source) cell table to UNIFORM lang and
+    * source marginals — the principled version of the mixture-reweight
+    * family: q_rebalance equalizes ONE margin by dropping rows; raking
+    * fits BOTH margins simultaneously with per-cell weights and no data
+    * loss. Two full IPF cycles (lang, source, lang, source), unrolled:
+    * each adjustment scales every cell's weight by target/current for
+    * its margin, with weights re-rounded to 9dp decimals after every
+    * step so both engines carry identical values. Output: the weighted
+    * cell table plus each cell's final weight — multiply by it and the
+    * corpus is (approximately, to IPF convergence) balanced on both
+    * axes.
+    *
+    * Scale shape: ONE corpus pass builds the L×S cell relation
+    * (≤ hundreds of rows at any corpus size); all four adjustments run
+    * on it with broadcast margins. The weights apply back to the corpus
+    * as a broadcast-join projection — never a second corpus pass per
+    * iteration. */
+  def qRaking(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val cells = Tables.df(spark, sfDir, "documents")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // the four adjustment rounds re-read it
+    val tot = cells.agg(sum($"n").as("nAll"),
+      countDistinct($"lang").as("nl"),
+      countDistinct($"source").as("ns"))
+    var w = cells.crossJoin(broadcast(tot))
+      .select($"lang", $"source", $"n", $"nAll", $"nl", $"ns",
+        lit(BigDecimal(1)).cast(dec9).as("w"))
+    for (axis <- Seq("lang", "source", "lang", "source")) {
+      val tgt = if (axis == "lang") $"nAll".cast("double") / $"nl"
+        else $"nAll".cast("double") / $"ns"
+      val cur = w.groupBy(col(axis))
+        .agg(sum($"n" * $"w").as("cur"))
+      w = w.join(broadcast(cur), axis)
+        .select($"lang", $"source", $"n", $"nAll", $"nl", $"ns",
+          round($"w".cast("double")
+            * (tgt / $"cur".cast("double")), 9).cast(dec9).as("w"))
+    }
+    w.select($"lang", $"source", $"n", round($"w".cast("double"), 6)
+        .as("weight"),
+      round($"n" * $"w".cast("double"), 4).as("weighted_n"))
+      .orderBy($"lang", $"source")
+  }
+
+  // ---- q_pps_sample ------------------------------------------------------
+  /** Probability-proportional-to-size Poisson sampling + the
+    * Horvitz–Thompson estimator (Horvitz & Thompson '52) — the sampling
+    * theory a pipeline needs when it wants an UNBIASED total from a
+    * skewed population (uniform sampling of orders wastes budget on
+    * pennies; PPS samples dollars): each order enters with probability
+    * π = min(1, k·price/total) (expected sample size ≈ k = 200), keyed
+    * on the md5 uniform so the sample replays bit-for-bit, and the HT
+    * estimate Σ price/π is reported beside the true total and its
+    * relative error. One corpus pass for the total (broadcast back),
+    * one for the draw + HT sum; per-row terms round once to 4dp into
+    * exact decimal sums. */
+  def qPpsSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec4 = org.apache.spark.sql.types.DecimalType(28, 4)
+    val k = 200
+    val o = Tables.df(spark, sfDir, "orders")
+      .select($"o_orderkey",
+        round($"o_totalprice", 2).cast(dec2).as("p"))
+    val tot = o.agg(sum($"p").as("ptot"), count(lit(1)).as("n_pop"))
+    val drawn = o.crossJoin(broadcast(tot))
+      .withColumn("pi", least(lit(1.0),
+        lit(k) * $"p".cast("double") / $"ptot".cast("double")))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("pps:"),
+          $"o_orderkey".cast("string"))), 1, 15), 16, 10).cast("long")
+          + 0.5) / lit(1152921504606846976.0))
+      .filter($"u" < $"pi")
+    drawn.agg(
+        min($"n_pop").as("n_pop"),
+        count(lit(1)).as("n_sample"),
+        min($"ptot").as("ptot"),
+        sum(round($"p".cast("double") / $"pi", 4).cast(dec4)).as("ht"))
+      .select($"n_pop", $"n_sample",
+        round($"ptot".cast("double"), 2).as("total_true"),
+        round($"ht".cast("double"), 2).as("ht_estimate"),
+        round(abs($"ht".cast("double") - $"ptot".cast("double"))
+          / $"ptot".cast("double"), 6).as("rel_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_raking" -> qRaking,
+    "q_pps_sample" -> qPpsSample,
     "q_kfold" -> qKfold,
     "q_span_corrupt" -> qSpanCorrupt,
     "q_mix_unimax" -> qMixUnimax,
@@ -694,7 +784,67 @@ object PipelineOps extends QueryPack {
       |    string_agg(tok, ' ' ORDER BY p) AS seg_text
       |  FROM s GROUP BY 1, 2)""".stripMargin
 
+  /** One IPF adjustment for the q_raking oracle: margin `axis` rescaled
+    * to `tgt`, weights re-rounded to 9dp (the Spark loop's twin). */
+  private def rakeStepSql(prev: String, cur: String, axis: String,
+      tgt: String): String =
+    s"""m$cur AS (
+       |  SELECT $axis, sum(n * w) AS cur FROM w$prev GROUP BY $axis),
+       |w$cur AS (
+       |  SELECT w$prev.lang, w$prev.source, n, nall, nl, ns,
+       |    CAST(round(CAST(w AS DOUBLE)
+       |      * (($tgt) / CAST(cur AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w
+       |  FROM w$prev JOIN m$cur ON m$cur.$axis = w$prev.$axis)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_raking" ->
+      (s"""WITH cells AS (
+        |  SELECT lang, source, count(*) AS n FROM documents
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nall,
+        |    count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns
+        |  FROM cells),
+        |w0 AS (
+        |  SELECT lang, source, n, nall, nl, ns,
+        |    CAST(1 AS DECIMAL(18,9)) AS w
+        |  FROM cells CROSS JOIN tot),
+        |${rakeStepSql("0", "1", "lang", "CAST(nall AS DOUBLE) / nl")},
+        |${rakeStepSql("1", "2", "source", "CAST(nall AS DOUBLE) / ns")},
+        |${rakeStepSql("2", "3", "lang", "CAST(nall AS DOUBLE) / nl")},
+        |${rakeStepSql("3", "4", "source", "CAST(nall AS DOUBLE) / ns")}
+        |SELECT lang, source, n,
+        |  round(CAST(w AS DOUBLE), 6) AS weight,
+        |  round(n * CAST(w AS DOUBLE), 4) AS weighted_n
+        |FROM w4 ORDER BY lang, source""".stripMargin),
+
+    "q_pps_sample" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |tot AS (SELECT sum(p) AS ptot, CAST(count(*) AS BIGINT) AS n_pop
+        |        FROM o),
+        |d AS (
+        |  SELECT p, pi FROM (
+        |    SELECT p,
+        |      least(1.0, 200 * CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE))
+        |        AS pi,
+        |      (('0x' || substr(md5('pps:' || CAST(o_orderkey AS VARCHAR)),
+        |        1, 15))::BIGINT + 0.5) / 1152921504606846976.0 AS u
+        |    FROM o CROSS JOIN tot)
+        |  WHERE u < pi)
+        |SELECT (SELECT n_pop FROM tot) AS n_pop,
+        |  CAST(count(*) AS BIGINT) AS n_sample,
+        |  round(CAST((SELECT ptot FROM tot) AS DOUBLE), 2) AS total_true,
+        |  round(CAST(sum(CAST(round(CAST(p AS DOUBLE) / pi, 4)
+        |    AS DECIMAL(28,4))) AS DOUBLE), 2) AS ht_estimate,
+        |  round(abs(CAST(sum(CAST(round(CAST(p AS DOUBLE) / pi, 4)
+        |      AS DECIMAL(28,4))) AS DOUBLE)
+        |      - CAST((SELECT ptot FROM tot) AS DOUBLE))
+        |    / CAST((SELECT ptot FROM tot) AS DOUBLE), 6) AS rel_err
+        |FROM d""".stripMargin,
     // same md5-mod-5 fold coin, same cell/marginal re-aggregation and
     // once-rounded shares
     "q_kfold" ->

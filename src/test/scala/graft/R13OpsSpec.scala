@@ -2,7 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.queries.{CurateOps, DecisionOps, SketchOps, TextOps}
+import graft.queries.{CurateOps, DecisionOps, PipelineOps, SketchOps,
+  TextOps}
 import graft.functions.TextFunctions
 import graft.streaming.Streams
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -105,6 +106,70 @@ class R13OpsSpec extends SparkSpec {
     for (mid <- prec("possible"); lo <- prec("non_link")) assert(mid > lo)
     // counts reconcile: matches in classes sum to all truth matches
     assert(rows.values.map(_._1).sum > 0)
+  }
+
+  test("dbscan grid: rows partition the points and match a brute-force " +
+      "replay of the density rule") {
+    val rows = CurateOps.qDbscanGrid(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pts = Tables.df(spark, sf, "embeddings")
+      .filter(size($"embedding") >= 2)
+      .select(
+        (round(round($"embedding".getItem(0).cast("double"), 6) * 1e6, 0)
+          .cast("long") + 1000000L),
+        (round(round($"embedding".getItem(1).cast("double"), 6) * 1e6, 0)
+          .cast("long") + 1000000L))
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._2).sum == pts.length,
+      "cluster + noise points must partition the population")
+    // brute-force replay with the identical integer rule
+    val n = pts.length
+    def d2(i: Int, j: Int) = {
+      val dx = pts(i)._1 - pts(j)._1; val dy = pts(i)._2 - pts(j)._2
+      dx * dx + dy * dy
+    }
+    val eps2 = 20000L * 20000L
+    val nbrs = Array.tabulate(n)(i =>
+      (0 until n).filter(j => j != i && d2(i, j) <= eps2))
+    val core = (0 until n).filter(i => nbrs(i).size >= 4).toSet
+    val parent = Array.tabulate(n)(identity)
+    def find(i: Int): Int =
+      if (parent(i) == i) i else { parent(i) = find(parent(i)); parent(i) }
+    for (i <- core; j <- nbrs(i) if core(j)) parent(find(i)) = find(j)
+    val nClusters = core.map(find).size
+    val border = (0 until n).count(i => !core(i) && nbrs(i).exists(core))
+    val noise = n - core.size - border
+    assert(rows.count(_._1 != "noise") == nClusters,
+      s"cluster count must match brute force ($nClusters)")
+    assert(rows.filter(_._1 != "noise").map(_._3).sum == core.size)
+    assert(rows.filter(_._1 != "noise").map(_._4).sum == border)
+    assert(rows.find(_._1 == "noise").map(_._2).getOrElse(0L) == noise)
+  }
+
+  test("raking: two IPF cycles land both margins near uniform") {
+    val rows = PipelineOps.qRaking(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val nAll = rows.map(_._3).sum.toDouble
+    val byLang = rows.groupBy(_._1).view
+      .mapValues(_.map(c => c._3 * c._4).sum).toMap
+    val bySource = rows.groupBy(_._2).view
+      .mapValues(_.map(c => c._3 * c._4).sum).toMap
+    val tgtL = nAll / byLang.size
+    val tgtS = nAll / bySource.size
+    // the final adjustment fits the source margin exactly; lang (fitted
+    // one step earlier) must be within IPF's 2-cycle convergence band
+    bySource.values.foreach(v => assert(math.abs(v - tgtS) / tgtS < 0.01))
+    byLang.values.foreach(v => assert(math.abs(v - tgtL) / tgtL < 0.05))
+  }
+
+  test("pps sample: expected-size band and HT estimate in range") {
+    val row = PipelineOps.qPpsSample(spark, sf).collect().head
+    val nSample = row.getAs[Long]("n_sample")
+    // E[n] = 200 less the mass of pi-capped orders; Poisson spread
+    assert(nSample > 100 && nSample < 320, s"n_sample $nSample")
+    assert(row.getAs[Double]("rel_err") < 0.25,
+      "HT must land within 25% of the true total on this fixture")
   }
 
   test("iv wald: the parity pseudo-instrument is flagged weak (the " +
