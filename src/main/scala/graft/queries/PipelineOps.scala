@@ -721,7 +721,57 @@ object PipelineOps extends QueryPack {
           / $"ptot".cast("double"), 6).as("rel_err"))
   }
 
+  // ---- q_quantile_norm ---------------------------------------------------
+  /** Cross-source quantile normalization (the batch-effect correction of
+    * Bolstad et al. '03, in its CDF-matching form): every document's
+    * quality score maps to the POOLED corpus distribution's value at
+    * its within-source percentile, so per-source scorer drift stops
+    * masquerading as quality signal — the prerequisite for any global
+    * quality threshold over heterogeneous sources. Percentile
+    * p = (2r−1)/(2·n_source) (mid-rank); normalized = the smallest
+    * pooled value whose CDF exceeds p, found by the REUSED as-of
+    * operator (operators/AsOf — the leakage-free temporal join IS a
+    * step-function lookup when "time" is the CDF fraction, negated for
+    * the forward direction).
+    *
+    * Scale shape: within-source ranks are source-partitioned windows;
+    * the pooled CDF lives on the value-grouped relation (bounded by
+    * score cardinality, the rank-statistics exemption) and replicates
+    * once per source (S×|values| rows) so the as-of's window stays
+    * source-partitioned — no global corpus sort anywhere. Determinism:
+    * p and F compare as the identical IEEE doubles on both engines;
+    * ties are impossible within a partition (ranks are distinct). */
+  def qQuantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sc = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source",
+        graft.functions.TextFunctions.qualityScore($"text").as("v"))
+    val ns = sc.groupBy($"source").agg(count(lit(1)).as("nsrc"))
+    val ranked = sc
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"source").orderBy($"v", $"doc_id")))
+      .join(broadcast(ns), "source")
+      .withColumn("negp",
+        -(($"r" * 2 - 1).cast("double") / (lit(2) * $"nsrc")))
+      .select($"doc_id", $"source", $"v", $"negp")
+    val vg = sc.groupBy($"v".as("pv")).agg(count(lit(1)).as("nv"))
+    val np = sc.agg(count(lit(1)).as("np"))
+    val cdf = vg
+      .withColumn("cum", sum($"nv").over(Window.orderBy($"pv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(np))
+      .select($"pv", (-($"cum".cast("double") / $"np")).as("negp"))
+    val pooledPerSource = ns.select($"source")
+      .crossJoin(cdf)
+    graft.operators.AsOf.asOfJoin(ranked, pooledPerSource,
+        "source", "negp", Seq("pv"))
+      .select($"doc_id", $"source", $"v".as("score"),
+        round($"prior_pv", 6).as("normalized"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_norm" -> qQuantileNorm,
     "q_raking" -> qRaking,
     "q_pps_sample" -> qPpsSample,
     "q_kfold" -> qKfold,
@@ -798,6 +848,37 @@ object PipelineOps extends QueryPack {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same mid-rank percentile and strictly-greater CDF lookup, in the
+    // identical IEEE double comparison space; the score is
+    // TextOps.qualityScoreSql verbatim
+    "q_quantile_norm" ->
+      (s"""WITH sc AS (
+        |  SELECT doc_id, source,
+        |    ${TextOps.qualityScoreSql}
+        |      AS v
+        |  FROM documents),""".stripMargin + """
+        |rk AS (
+        |  SELECT doc_id, source, v,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY v, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS nsrc
+        |  FROM sc),
+        |vg AS (SELECT v AS pv, count(*) AS nv FROM sc GROUP BY v),
+        |cdf AS (
+        |  SELECT pv, sum(nv) OVER (ORDER BY pv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vg),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM sc),
+        |j AS (
+        |  SELECT rk.doc_id, rk.source, rk.v, MIN(c.pv) AS normalized
+        |  FROM rk CROSS JOIN np CROSS JOIN cdf c
+        |  WHERE CAST(c.cum AS DOUBLE) / np
+        |    > CAST(2 * rk.r - 1 AS DOUBLE) / (2 * rk.nsrc)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, source, v AS score,
+        |  round(normalized, 6) AS normalized
+        |FROM j ORDER BY doc_id""".stripMargin),
+
     "q_raking" ->
       (s"""WITH cells AS (
         |  SELECT lang, source, count(*) AS n FROM documents

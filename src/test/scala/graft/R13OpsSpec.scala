@@ -172,6 +172,25 @@ class R13OpsSpec extends SparkSpec {
       "HT must land within 25% of the true total on this fixture")
   }
 
+  test("quantile norm: normalized values come from the pooled score " +
+      "set and are monotone in within-source rank") {
+    val rows = PipelineOps.qQuantileNorm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty && rows.forall(r => !r._4.isNaN))
+    val pooled = rows.map(r => math.round(r._3 * 1e6)).toSet
+    rows.foreach { r =>
+      assert(pooled.contains(math.round(r._4 * 1e6)),
+        s"normalized ${r._4} must be an observed pooled score")
+    }
+    rows.groupBy(_._2).values.foreach { src =>
+      val sorted = src.sortBy(r => (r._3, r._1)).map(_._4)
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(1) >= p(0) - 1e-9),
+        "normalization must preserve within-source order")
+    }
+  }
+
   test("iv wald: the parity pseudo-instrument is flagged weak (the " +
       "Staiger-Stock gate fires on a null first stage)") {
     val r = DecisionOps.qIvWald(spark, sf).collect()
