@@ -412,6 +412,50 @@ object CurateOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  // ---- q_capture_recapture -----------------------------------------------
+  /** Capture–recapture estimation of the duplicate population
+    * (Lincoln–Petersen with Chapman's correction; the wildlife-census
+    * estimator applied to corpus QA): two INDEPENDENT near-dup
+    * detectors — the md5-MinHash band candidates and the SimHash ≤3-bit
+    * band retrieval, both restricted to the %5 audit subset — each
+    * capture a sample of the true J ≥ 0.7 duplicate pairs; from the two
+    * sample sizes and their overlap, N̂ = (n1+1)(n2+1)/(m+1) − 1
+    * estimates how many duplicates EXIST, including the ones neither
+    * detector saw. At 100 TB this is how you answer "how much dup mass
+    * is left after dedup" without exact truth; here the fixture is
+    * small enough to ALSO compute the exact truth (the prefix-filter
+    * relation both sketch evals already price against), so the
+    * estimator itself is graded — rel_err closes the loop. All counts
+    * exact integers; one shared closed form. */
+  def qCaptureRecapture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val truth = prefixPairs(spark, sfDir, subsetMod = 5, num = 7, den = 10)
+      .select($"id1", $"id2")
+      .localCheckpoint() // three probes below
+    val a = TextOps.minhashMd5Candidates(spark, sfDir)
+      .join(truth, Seq("id1", "id2"), "left_semi")
+      .select($"id1", $"id2", lit(true).as("ina"))
+    val b = TextOps.qSimhashNear(spark, sfDir)
+      .filter($"id1" % 5 === 0 && $"id2" % 5 === 0)
+      .join(truth, Seq("id1", "id2"), "left_semi")
+      .select($"id1", $"id2", lit(true).as("inb"))
+    val s = truth
+      .join(a, Seq("id1", "id2"), "left")
+      .join(b, Seq("id1", "id2"), "left")
+      .select(coalesce($"ina", lit(false)).as("ina"),
+        coalesce($"inb", lit(false)).as("inb"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when($"ina", 1L).otherwise(0L)).as("n1"),
+        sum(when($"inb", 1L).otherwise(0L)).as("n2"),
+        sum(when($"ina" && $"inb", 1L).otherwise(0L)).as("m"))
+    val chapman =
+      ($"n1" + 1).cast("double") * ($"n2" + 1) / ($"m" + 1) - lit(1.0)
+    s.select($"n_true", $"n1", $"n2", $"m",
+      round(chapman, 4).as("chapman_est"),
+      round(abs(chapman - $"n_true".cast("double")) / $"n_true", 6)
+        .as("rel_err"))
+  }
+
   // ---- q_dbscan_grid -----------------------------------------------------
   /** Grid-blocked DBSCAN (Ester et al. '96) over the embedding table's
     * leading two dimensions — the density-based member the clustering
@@ -1174,7 +1218,8 @@ object CurateOps extends QueryPack {
     "q_split_leakproof" -> qSplitLeakproof,
     "q_curation_e2e" -> qCurationE2e,
     "q_fellegi_sunter" -> qFellegiSunter,
-    "q_dbscan_grid" -> qDbscanGrid
+    "q_dbscan_grid" -> qDbscanGrid,
+    "q_capture_recapture" -> qCaptureRecapture
   )
 
   private val toksDdb =
@@ -1594,6 +1639,52 @@ object CurateOps extends QueryPack {
 
     // same reach-fixpoint labels as q_canonical, then the identical
     // md5-of-cluster bucket arithmetic on both sides
+    // composes three existing oracle chains verbatim: pairCtes(5) for
+    // truth, TextOps.minhashCandCtes for detector A, TextOps
+    // .simhashFpCtes + the band retrieval for detector B
+    "q_capture_recapture" ->
+      // concatenation, not interpolation-into-stripMargin: simhashFpCtes
+      // contains a line starting with the bitwise `|` that a second
+      // stripMargin pass would eat (the q_simhash_md5 precedent)
+      (s"""WITH ${pairCtes(5)},
+        |truthp AS (SELECT id1, id2 FROM p WHERE j >= 0.7),
+        |""".stripMargin +
+      TextOps.minhashCandCtes + ",\n" +
+      TextOps.simhashFpCtes + ",\n" +
+      """bands AS (
+        |  SELECT doc_id, fp, r.b AS b, (fp >> (16 * r.b)) & 65535 AS bk
+        |  FROM f, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, cc.doc_id AS id2,
+        |    a.fp AS fp1, cc.fp AS fp2
+        |  FROM bands a JOIN bands cc
+        |    ON a.b = cc.b AND a.bk = cc.bk AND a.doc_id < cc.doc_id),
+        |bn AS (
+        |  SELECT id1, id2 FROM cand
+        |  WHERE bit_count(xor(fp1, fp2)) <= 3
+        |    AND id1 % 5 = 0 AND id2 % 5 = 0),
+        |marks AS (
+        |  SELECT tp.id1, tp.id2,
+        |    cpair.id1 IS NOT NULL AS ina,
+        |    bn2.id1 IS NOT NULL AS inb
+        |  FROM truthp tp
+        |  LEFT JOIN c cpair
+        |    ON cpair.id1 = tp.id1 AND cpair.id2 = tp.id2
+        |  LEFT JOIN bn bn2 ON bn2.id1 = tp.id1 AND bn2.id2 = tp.id2),
+        |agg1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |    CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS m
+        |  FROM marks)
+        |SELECT n_true, n1, n2, m,
+        |  round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0, 4)
+        |    AS chapman_est,
+        |  round(abs(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0
+        |    - n_true) / n_true, 6) AS rel_err
+        |FROM agg1""".stripMargin),
+
     // brute-force neighbor pairs (the oracle may be O(n²)); the same
     // integer micro-unit distance test and min-id component rule
     "q_dbscan_grid" ->

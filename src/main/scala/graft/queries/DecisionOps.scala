@@ -143,9 +143,14 @@ object DecisionOps extends QueryPack {
     * (broadcast dim) pass → (segment, arm) cells → per-stratum rows
     * beside the pooled row; everything exact integers until the two
     * rate divisions. */
-  def qSimpsons(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (stratum, treatment, outcome) unit relation shared by
+    * [[qSimpsons]] and [[qCmh]] — parity arm × urgent-priority outcome
+    * within market segments (one home; the audit and its remedy read
+    * the same cells). */
+  private def segArmOutcome(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     import spark.implicits._
-    val o = Tables.df(spark, sfDir, "orders")
+    Tables.df(spark, sfDir, "orders")
       .join(broadcast(Tables.df(spark, sfDir, "customer")
         .select($"c_custkey", $"c_mktsegment")),
         $"o_custkey" === $"c_custkey")
@@ -153,6 +158,11 @@ object DecisionOps extends QueryPack {
         ($"o_custkey" % 2 === 0).as("t"),
         when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L).as("y"))
+  }
+
+  def qSimpsons(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = segArmOutcome(spark, sfDir)
     def cells(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
       sum(when(!$"t", 1L).otherwise(0L)).as("n0"),
       sum(when(!$"t", $"y").otherwise(0L)).as("c0"),
@@ -176,6 +186,87 @@ object DecisionOps extends QueryPack {
       round($"c1".cast("double") / $"n1", 6).as("p1"),
       round($"d", 6).as("diff"), lit(false).as("flipped"))
     pooledRow.union(flagged).orderBy($"stratum")
+  }
+
+  // ---- q_cmh --------------------------------------------------------------
+  /** Cochran–Mantel–Haenszel stratified association test (Cochran '54;
+    * Mantel & Haenszel '59) — the REMEDY for what q_simpsons audits:
+    * instead of trusting (or distrusting) the pooled 2×2, test the
+    * treatment–outcome association WITHIN every stratum and combine,
+    * plus the Mantel–Haenszel common odds ratio. Same (stratum, parity
+    * arm, urgent-outcome) cells as q_simpsons via the shared relation.
+    * Per stratum: a = exposed successes, E = n1·m1/T, V =
+    * n1·n0·m1·m0/(T²(T−1)); χ² = (|Σa−ΣE| − 0.5)²/ΣV (continuity-
+    * corrected, 1 df); OR_MH = Σ(ad/T)/Σ(bc/T). E/V/ratio terms round
+    * once to 9dp into exact decimal k-row sums. */
+  def qCmh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = segArmOutcome(spark, sfDir).groupBy($"stratum").agg(
+      sum(when($"t" && $"y" === 1L, 1L).otherwise(0L)).as("a"),
+      sum(when($"t" && $"y" === 0L, 1L).otherwise(0L)).as("b"),
+      sum(when(!$"t" && $"y" === 1L, 1L).otherwise(0L)).as("c"),
+      sum(when(!$"t" && $"y" === 0L, 1L).otherwise(0L)).as("d"))
+    val terms = cells.select(
+      $"a",
+      (($"a" + $"b") * ($"a" + $"c")).cast("double")
+        ./(($"a" + $"b" + $"c" + $"d").cast("double")).as("e"),
+      (($"a" + $"b") * ($"c" + $"d") * ($"a" + $"c") * ($"b" + $"d"))
+        .cast("double")
+        ./(($"a" + $"b" + $"c" + $"d").cast("double")
+          * ($"a" + $"b" + $"c" + $"d").cast("double")
+          * ($"a" + $"b" + $"c" + $"d" - 1).cast("double")).as("v"),
+      (($"a" * $"d").cast("double")
+        / ($"a" + $"b" + $"c" + $"d").cast("double")).as("ad"),
+      (($"b" * $"c").cast("double")
+        / ($"a" + $"b" + $"c" + $"d").cast("double")).as("bc"))
+    val s = terms.agg(count(lit(1)).as("k"), sum($"a").as("sa"),
+      sum(round($"e", 9).cast(dec9)).as("se"),
+      sum(round($"v", 9).cast(dec9)).as("sv"),
+      sum(round($"ad", 9).cast(dec9)).as("sad"),
+      sum(round($"bc", 9).cast(dec9)).as("sbc"))
+    val dev = abs($"sa".cast("double") - $"se".cast("double")) - 0.5
+    val chi2 = when($"sv".cast("double") > 0.0,
+      dev * dev / $"sv".cast("double"))
+    s.select($"k", $"sa".as("sum_a"),
+      round($"se".cast("double"), 6).as("sum_e"),
+      round(chi2, 6).as("chi2"),
+      (chi2 > 3.841).as("significant"),
+      round(when($"sbc".cast("double") > 0.0,
+        $"sad".cast("double") / $"sbc".cast("double")), 6).as("or_mh"))
+  }
+
+  // ---- q_prop_trend -------------------------------------------------------
+  /** Cochran–Armitage trend test (Cochran '54; Armitage '55) for a
+    * monotone proportion trend across ORDERED categories — the test
+    * behind "does the big-ticket rate fall as priority drops", which a
+    * k-level χ² cannot see (it ignores the ordering). Doses are the
+    * priority ranks 1..5; outcome = order above the global mean price
+    * (data-relative, broadcast 1-row). T = Σsᵢ(aᵢ − nᵢ·p̄) with
+    * Var = p̄(1−p̄)·(Σs²n − (Σsn)²/N); z = T/√Var, two-sided 5% bar.
+    * One scan → 5-row (dose, n, a) relation → exact-integer moments. */
+  def qPropTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.df(spark, sfDir, "orders")
+      .select(substring($"o_orderpriority", 1, 1).cast("long").as("s"),
+        round($"o_totalprice", 2).cast(dec2).as("p"))
+    val mean = o.agg((sum($"p").cast("double") / count(lit(1)))
+      .as("pbar"))
+    val g = o.crossJoin(broadcast(mean))
+      .select($"s", when($"p".cast("double") > $"pbar", 1L).otherwise(0L)
+        .as("y"))
+      .groupBy($"s").agg(count(lit(1)).as("n"), sum($"y").as("a"))
+    val m = g.agg(sum($"n").as("nn"), sum($"a").as("aa"),
+      sum($"s" * $"n").as("sn"), sum($"s" * $"s" * $"n").as("s2n"),
+      sum($"s" * $"a").as("sa"))
+    val pbar = $"aa".cast("double") / $"nn"
+    val t = $"sa".cast("double") - pbar * $"sn".cast("double")
+    val vr = (pbar * (lit(1.0) - pbar))
+      .*($"s2n".cast("double")
+        - $"sn".cast("double") * $"sn".cast("double") / $"nn")
+    val z = when(vr > 0.0, t / sqrt(vr))
+    m.select($"nn".as("n"), round(pbar, 6).as("p_overall"),
+      round(t, 6).as("t_stat"), round(z, 6).as("z"),
+      (abs(z) > 1.96).as("significant"))
   }
 
   // ---- q_tukey_hsd --------------------------------------------------------
@@ -328,6 +419,8 @@ object DecisionOps extends QueryPack {
     "q_iv_wald" -> qIvWald,
     "q_reg_discontinuity" -> qRegDiscontinuity,
     "q_simpsons" -> qSimpsons,
+    "q_cmh" -> qCmh,
+    "q_prop_trend" -> qPropTrend,
     "q_tukey_hsd" -> qTukeyHsd,
     "q_meta_analysis" -> qMetaAnalysis,
     "q_best_of_n" -> qBestOfN
@@ -462,6 +555,92 @@ object DecisionOps extends QueryPack {
         |      < 0.0 AS flipped
         |  FROM strata s CROSS JOIN pooled p)
         |ORDER BY stratum""".stripMargin,
+
+    // same (stratum, t, y) source as q_simpsons; E/V/odds terms are the
+    // identical once-rounded 9dp decimals
+    "q_cmh" ->
+      """WITH o AS (
+        |  SELECT c.c_mktsegment AS stratum,
+        |    o.o_custkey % 2 = 0 AS t,
+        |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cells AS (
+        |  SELECT stratum,
+        |    CAST(sum(CASE WHEN t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(sum(CASE WHEN NOT t AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT t AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM o GROUP BY stratum),
+        |terms AS (
+        |  SELECT a,
+        |    CAST((a + b) * (a + c) AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE) AS e,
+        |    CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE)
+        |      / (CAST(a + b + c + d AS DOUBLE)
+        |        * CAST(a + b + c + d AS DOUBLE)
+        |        * CAST(a + b + c + d - 1 AS DOUBLE)) AS v,
+        |    CAST(a * d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS ad,
+        |    CAST(b * c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS bc
+        |  FROM cells),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(a) AS BIGINT) AS sa,
+        |    sum(CAST(round(e, 9) AS DECIMAL(18,9))) AS se,
+        |    sum(CAST(round(v, 9) AS DECIMAL(18,9))) AS sv,
+        |    sum(CAST(round(ad, 9) AS DECIMAL(18,9))) AS sad,
+        |    sum(CAST(round(bc, 9) AS DECIMAL(18,9))) AS sbc
+        |  FROM terms)
+        |SELECT k, sa AS sum_a, round(CAST(se AS DOUBLE), 6) AS sum_e,
+        |  round(CASE WHEN CAST(sv AS DOUBLE) > 0.0 THEN
+        |    (abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE)) - 0.5)
+        |      * (abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE)) - 0.5)
+        |      / CAST(sv AS DOUBLE) END, 6) AS chi2,
+        |  CASE WHEN CAST(sv AS DOUBLE) > 0.0 THEN
+        |    (abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE)) - 0.5)
+        |      * (abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE)) - 0.5)
+        |      / CAST(sv AS DOUBLE) END > 3.841 AS significant,
+        |  round(CASE WHEN CAST(sbc AS DOUBLE) > 0.0 THEN
+        |    CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE) END, 6) AS or_mh
+        |FROM s""".stripMargin,
+
+    "q_prop_trend" ->
+      """WITH o AS (
+        |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+        |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |mn AS (SELECT CAST(sum(p) AS DOUBLE) / count(*) AS pbar_price
+        |       FROM o),
+        |g AS (
+        |  SELECT s, count(*) AS n,
+        |    CAST(sum(CASE WHEN CAST(p AS DOUBLE) > pbar_price
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a
+        |  FROM o CROSS JOIN mn GROUP BY s),
+        |m AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(a) AS BIGINT) AS aa,
+        |    CAST(sum(s * n) AS BIGINT) AS sn,
+        |    CAST(sum(s * s * n) AS BIGINT) AS s2n,
+        |    CAST(sum(s * a) AS BIGINT) AS sa
+        |  FROM g),
+        |f AS (
+        |  SELECT nn, CAST(aa AS DOUBLE) / nn AS pbar,
+        |    CAST(sa AS DOUBLE)
+        |      - (CAST(aa AS DOUBLE) / nn) * CAST(sn AS DOUBLE) AS t,
+        |    ((CAST(aa AS DOUBLE) / nn)
+        |       * (1.0 - CAST(aa AS DOUBLE) / nn))
+        |      * (CAST(s2n AS DOUBLE)
+        |        - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / nn) AS vr
+        |  FROM m)
+        |SELECT nn AS n, round(pbar, 6) AS p_overall,
+        |  round(t, 6) AS t_stat,
+        |  round(CASE WHEN vr > 0.0 THEN t / sqrt(vr) END, 6) AS z,
+        |  abs(CASE WHEN vr > 0.0 THEN t / sqrt(vr) END) > 1.96
+        |    AS significant
+        |FROM f""".stripMargin,
 
     // the score expression is TextOps.qualityScoreSql verbatim (one
     // home with q_quality_sweep and q_curation_e2e)

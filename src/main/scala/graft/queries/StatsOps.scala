@@ -931,6 +931,15 @@ object StatsOps extends QueryPack {
     * day relation. */
   def qStlLite(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    stlDecomposition(spark, sfDir).orderBy($"d")
+  }
+
+  /** The decomposition relation behind [[qStlLite]] (d, dow, x, trend,
+    * seasonal, residual — unordered), shared with [[qStlAnomaly]] so
+    * the anomaly score grades exactly the shipped decomposition. */
+  private[queries] def stlDecomposition(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
     val daily = Tables.df(spark, sfDir, "events")
       .groupBy(to_date($"ts").as("d"))
       .agg(sum($"value".cast(DecimalType(18, 2))).as("x"))
@@ -953,6 +962,29 @@ object StatsOps extends QueryPack {
         round(round($"sm", 6) - $"gm", 6).as("seasonal"))
       .select($"d", $"dow", $"x", $"trend", $"seasonal",
         round($"x" - $"trend" - $"seasonal", 6).as("residual"))
+  }
+
+  // ---- q_stl_anomaly -------------------------------------------------------
+  /** Seasonally-adjusted anomaly days — the composition the
+    * decomposition exists FOR: q_stl_lite's residuals scored by the
+    * robust z (residual − median)/(1.4826·MAD) with |z| > 3 flagged,
+    * so a demand spike reads as anomalous only net of trend AND
+    * day-of-week seasonality (a raw z-score would flag every weekend).
+    * Median/MAD via the exact percentile ≡ quantile_cont idiom; the
+    * day relation is calendar-bounded, so the two 1-row robust moments
+    * broadcast. */
+  def qStlAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stl = stlDecomposition(spark, sfDir).localCheckpoint()
+    val med = stl.agg(expr("percentile(residual, 0.5)").as("med"))
+    val mad = stl.crossJoin(broadcast(med))
+      .agg(expr("percentile(abs(residual - med), 0.5)").as("mad"),
+        min($"med").as("med"))
+    val score = when($"mad" > 0.0,
+      round(($"residual" - $"med") / (lit(1.4826) * $"mad"), 6))
+    stl.crossJoin(broadcast(mad))
+      .select($"d", $"x", $"residual", score.as("score"),
+        coalesce(abs(score) > 3.0, lit(false)).as("anomaly"))
       .orderBy($"d")
   }
 
@@ -1018,6 +1050,7 @@ object StatsOps extends QueryPack {
     "q_forecast_eval" -> qForecastEval,
     "q_heavy_change" -> qHeavyChange,
     "q_stl_lite" -> qStlLite,
+    "q_stl_anomaly" -> qStlAnomaly,
     "q_cov_shift" -> qCovShift,
     "q_theil_sen" -> qTheilSen,
     "q_bootstrap_ci" -> qBootstrapCi,
@@ -1069,6 +1102,40 @@ object StatsOps extends QueryPack {
        |${selects.mkString("\n|UNION ALL\n|")}
        |ORDER BY col_x, col_y""".stripMargin
   }
+
+  /** The q_stl_lite decomposition CTE chain through relation `stl`
+    * (d VARCHAR, dow, x, trend, seasonal, residual) — shared with the
+    * q_stl_anomaly oracle so the scored residuals are the shipped
+    * decomposition's. */
+  private val stlCtesSql: String =
+    """daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS x,
+      |    CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+      |      % 7 AS INT) AS dow
+      |  FROM events GROUP BY 1, 3),
+      |dm AS (
+      |  SELECT dow, CAST(sum(x) AS DOUBLE) / count(*) AS sm
+      |  FROM daily GROUP BY 1),
+      |gm AS (
+      |  SELECT round(CAST(sum(CAST(round(sm, 6) AS DECIMAL(18,6)))
+      |    AS DOUBLE) / count(*), 6) AS gm
+      |  FROM dm),
+      |tr AS (
+      |  SELECT d, dow, x,
+      |    round(CAST(sum(x) OVER w AS DOUBLE)
+      |      / count(x) OVER w, 6) AS trend
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY d
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |j AS (
+      |  SELECT tr.d, tr.dow, round(CAST(tr.x AS DOUBLE), 2) AS x,
+      |    tr.trend, round(round(dm.sm, 6) - gm.gm, 6) AS seasonal
+      |  FROM tr JOIN dm USING (dow) CROSS JOIN gm),
+      |stl AS (
+      |  SELECT CAST(d AS VARCHAR) AS d, dow, x, trend, seasonal,
+      |    round(x - trend - seasonal, 6) AS residual
+      |  FROM j)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // same day relation, same lag forecasts, same 4dp squared errors
@@ -1137,33 +1204,26 @@ object StatsOps extends QueryPack {
     // same epoch-day dow arithmetic, same centered 7-day MA frame and
     // centered dow seasonal, same once-rounded components
     "q_stl_lite" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS d,
-        |    sum(CAST(value AS DECIMAL(18,2))) AS x,
-        |    CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
-        |      % 7 AS INT) AS dow
-        |  FROM events GROUP BY 1, 3),
-        |dm AS (
-        |  SELECT dow, CAST(sum(x) AS DOUBLE) / count(*) AS sm
-        |  FROM daily GROUP BY 1),
-        |gm AS (
-        |  SELECT round(CAST(sum(CAST(round(sm, 6) AS DECIMAL(18,6)))
-        |    AS DOUBLE) / count(*), 6) AS gm
-        |  FROM dm),
-        |tr AS (
-        |  SELECT d, dow, x,
-        |    round(CAST(sum(x) OVER w AS DOUBLE)
-        |      / count(x) OVER w, 6) AS trend
-        |  FROM daily
-        |  WINDOW w AS (ORDER BY d
-        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |j AS (
-        |  SELECT tr.d, tr.dow, round(CAST(tr.x AS DOUBLE), 2) AS x,
-        |    tr.trend, round(round(dm.sm, 6) - gm.gm, 6) AS seasonal
-        |  FROM tr JOIN dm USING (dow) CROSS JOIN gm)
-        |SELECT CAST(d AS VARCHAR) AS d, dow, x, trend, seasonal,
-        |  round(x - trend - seasonal, 6) AS residual
-        |FROM j ORDER BY d""".stripMargin,
+      (s"""WITH $stlCtesSql
+        |SELECT d, dow, x, trend, seasonal, residual
+        |FROM stl ORDER BY d""".stripMargin),
+
+    // the decomposition chain verbatim (stlCtesSql); robust moments via
+    // the exact percentile = quantile_cont idiom, one shared z formula
+    "q_stl_anomaly" ->
+      (s"""WITH $stlCtesSql,
+        |st AS (SELECT quantile_cont(residual, 0.5) AS med FROM stl),
+        |md AS (
+        |  SELECT quantile_cont(abs(residual - med), 0.5) AS mad,
+        |    min(med) AS med
+        |  FROM stl CROSS JOIN st)
+        |SELECT d, x, residual,
+        |  CASE WHEN mad > 0.0 THEN
+        |    round((residual - med) / (1.4826 * mad), 6) END AS score,
+        |  coalesce(abs(CASE WHEN mad > 0.0 THEN
+        |    round((residual - med) / (1.4826 * mad), 6) END) > 3.0,
+        |    FALSE) AS anomaly
+        |FROM stl CROSS JOIN md ORDER BY d""".stripMargin),
 
     // same pooled decile bins, same smoothed density ratio and
     // decimal-pre-sum effective sample size

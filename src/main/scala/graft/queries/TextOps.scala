@@ -1062,7 +1062,7 @@ object TextOps extends QueryPack {
        |  FROM b a JOIN b bb ON a.band = bb.band
        |    AND a.m0 = bb.m0 AND a.m1 = bb.m1 AND a.doc_id < bb.doc_id)""".stripMargin
 
-  private val simhashFpCtes =
+  private[queries] val simhashFpCtes =
     s"""t AS (
       |  SELECT doc_id,
       |    CASE WHEN hu >= 9223372036854775808::HUGEINT

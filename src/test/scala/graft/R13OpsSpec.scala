@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import graft.queries.{CurateOps, DecisionOps, PipelineOps, SketchOps,
-  TextOps}
+  StatsOps, TextOps}
 import graft.functions.TextFunctions
 import graft.streaming.Streams
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -170,6 +170,51 @@ class R13OpsSpec extends SparkSpec {
     assert(nSample > 100 && nSample < 320, s"n_sample $nSample")
     assert(row.getAs[Double]("rel_err") < 0.25,
       "HT must land within 25% of the true total on this fixture")
+  }
+
+  test("cmh: stratified test consistent (chi2 vs bar, odds ratio " +
+      "positive, k = segment count)") {
+    val row = DecisionOps.qCmh(spark, sf).collect().head
+    val chi2 = row.getAs[Double]("chi2")
+    assert(chi2 >= 0.0)
+    assert(row.getAs[Boolean]("significant") == (chi2 > 3.841))
+    assert(row.getAs[Double]("or_mh") > 0.0)
+    val k = Tables.df(spark, sf, "customer")
+      .select($"c_mktsegment").distinct().count()
+    assert(row.getAs[Long]("k") == k)
+  }
+
+  test("prop trend: z consistent with its significance flag") {
+    val row = DecisionOps.qPropTrend(spark, sf).collect().head
+    val z = row.getAs[Double]("z")
+    assert(!z.isNaN)
+    assert(row.getAs[Boolean]("significant") == (math.abs(z) > 1.96))
+  }
+
+  test("stl anomaly: robust z centers the residuals and the flag " +
+      "follows |z| > 3") {
+    val rows = StatsOps.qStlAnomaly(spark, sf).collect()
+    assert(rows.length == StatsOps.qStlLite(spark, sf).count())
+    val scores = rows.map(_.getAs[Double]("score"))
+    // median-centered: both signs well represented
+    assert(scores.count(_ <= 0) >= rows.length / 2 - 1)
+    assert(scores.count(_ >= 0) >= rows.length / 2 - 1)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("anomaly")
+        == (math.abs(r.getAs[Double]("score")) > 3.0))
+    }
+  }
+
+  test("capture-recapture: samples bounded by truth and the Chapman " +
+      "closed form replays") {
+    val row = CurateOps.qCaptureRecapture(spark, sf).collect().head
+    val (nt, n1, n2, m) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    assert(n1 <= nt && n2 <= nt, "detector captures are truth samples")
+    assert(m <= math.min(n1, n2), "overlap bounded by both captures")
+    val chapman = (n1 + 1).toDouble * (n2 + 1) / (m + 1) - 1.0
+    assert(math.abs(row.getAs[Double]("chapman_est")
+      - math.rint(chapman * 1e4) / 1e4) < 1e-9)
   }
 
   test("quantile norm: normalized values come from the pooled score " +
