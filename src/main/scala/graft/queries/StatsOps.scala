@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -497,6 +497,194 @@ object StatsOps extends QueryPack {
     one.selectExpr(
         s"stack(${rows.size}, ${rows.mkString(", ")}) AS (col_x, col_y, corr)")
       .orderBy($"col_x", $"col_y")
+  }
+
+  // ---- q_partial_corr ----------------------------------------------------
+  /** Partial correlation (Yule's formula) between a customer's order
+    * count and total spend, CONTROLLING for tenure (active-day span) —
+    * the confound check q_corr_matrix can't make: frequency and spend
+    * both grow with how long a customer has been around, and the
+    * partial r says whether they still co-move net of that.
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)); the three
+    * Pearsons come from ONE exact-moment pass over the customer-grain
+    * relation (x, z integers; y once-rounded dec2, squares at scale 4
+    * — the corr-matrix overflow discipline). */
+  def qPartialCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val u = Tables.df(spark, sfDir, "orders")
+      .groupBy($"o_custkey").agg(
+        count(lit(1)).as("x"),
+        sum(round($"o_totalprice", 2).cast(dec2)).cast(dec2).as("y"),
+        datediff(max($"o_orderdate"), min($"o_orderdate")).as("z"))
+    val s = u.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"), sum($"z").as("sz"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"z" * $"z").as("szz"), sum($"x" * $"y").as("sxy"),
+      sum($"x" * $"z").as("sxz"), sum($"y" * $"z").as("syz"))
+    def d(c: Column) = c.cast("double")
+    def vr(ss: Column, s1: Column) = $"n" * d(ss) - d(s1) * d(s1)
+    def r(sp: Column, sa: Column, sb: Column, va: Column, vb: Column) =
+      when(va > 0.0 && vb > 0.0,
+        ($"n" * d(sp) - d(sa) * d(sb)) / (sqrt(va) * sqrt(vb)))
+    val vx = vr($"sxx", $"sx"); val vy = vr($"syy", $"sy")
+    val vz = vr($"szz", $"sz")
+    val rxy = r($"sxy", $"sx", $"sy", vx, vy)
+    val rxz = r($"sxz", $"sx", $"sz", vx, vz)
+    val ryz = r($"syz", $"sy", $"sz", vy, vz)
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    val part = when(den > 0.0, (rxy - rxz * ryz) / sqrt(den))
+    s.select($"n", round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"), round(part, 6).as("r_xy_given_z"))
+  }
+
+  // ---- q_gumbel_fit ------------------------------------------------------
+  /** Gumbel extreme-value fit (Gumbel '58, method of moments) of the
+    * DAILY MAXIMUM event value — the block-maxima analysis a capacity
+    * planner runs: β = s·√6/π, μ = x̄ − γ·β (Euler–Mascheroni), and the
+    * T-observation return levels μ − β·ln(−ln(1−1/T)) for T = 30/365 —
+    * "the spike you should expect once a month / once a year". Maxima
+    * of identical doubles are identical; moments are once-rounded
+    * decimal sums; √6/π and γ are shared 16-digit literals (the BM25
+    * libm-free-constant discipline) so the only libm is the two ln()
+    * calls inside the final rounded forms. */
+  def qGumbelFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val dec4 = DecimalType(38, 4)
+    val SQRT6_OVER_PI = 0.7796968012336092
+    val EULER = 0.5772156649015329
+    val mx = Tables.df(spark, sfDir, "events")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(max(round($"value", 2).cast(dec2)).as("m"))
+      .select($"m", round($"m".cast("double") * $"m", 4).cast(dec4)
+        .as("m2"))
+    val s = mx.agg(count(lit(1)).as("n"), sum($"m").as("s1"),
+      sum($"m2").as("s2"))
+    val mean = $"s1".cast("double") / $"n"
+    val sd = sqrt(($"s2".cast("double")
+      - $"s1".cast("double") * $"s1".cast("double") / $"n")
+      / ($"n" - lit(1L)))
+    val beta = sd * SQRT6_OVER_PI
+    val mu = mean - lit(EULER) * beta
+    def rl(t: Double) =
+      mu - beta * log(-log(lit(1.0) - lit(1.0) / t))
+    s.select($"n".as("n_days"), round(mean, 6).as("mean_max"),
+      round(sd, 6).as("sd_max"), round(beta, 6).as("beta"),
+      round(mu, 6).as("mu"),
+      round(rl(30.0), 6).as("return_level_30"),
+      round(rl(365.0), 6).as("return_level_365"))
+  }
+
+  // ---- q_ses -------------------------------------------------------------
+  /** Simple exponential smoothing (Brown '56), α = 0.3, over the daily
+    * purchase series — the first learned forecaster to send through
+    * q_forecast_eval's "beat yesterday" gate. The level recursion
+    * l_t = αy_t + (1−α)l_{t−1} UNROLLS exactly: l_t = αΣ_{j=2..t}
+    * (1−α)^{t−j} y_j + (1−α)^{t−1} y_1, so the one-step-ahead fit
+    * ŷ_t = l_{t−1} is a closed form over a ≤T² band self-join of the
+    * CALENDAR-BOUNDED day relation (30 rows — T² is trivial at any
+    * corpus scale because time, not data, bounds it). Each
+    * coefficient·y term rounds once to 9dp into an exact decimal sum;
+    * pow() of shared doubles rounds away in the 9dp. Spec replays the
+    * recursion sequentially. */
+  def qSes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val dec9 = DecimalType(28, 9)
+    val alpha = 0.3
+    val days = Tables.df(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(round($"value", 2).cast(dec2)).cast(dec2).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy($"d")))
+      .localCheckpoint() // both sides of the band join
+    val terms = days.select($"t".as("tt"), $"d")
+      .join(days.select($"t".as("j"), $"y".as("yj")), $"j" < $"tt")
+      .select($"tt", $"d",
+        round(when($"j" === 1, pow(lit(1.0 - alpha), $"tt" - 2))
+          .otherwise(lit(alpha) * pow(lit(1.0 - alpha), $"tt" - 1 - $"j"))
+          * $"yj".cast("double"), 9).cast(dec9).as("term"))
+    val fitted = terms.groupBy($"tt", $"d")
+      .agg(sum($"term").cast("double").as("fitted"))
+    days.join(fitted.select($"tt".as("t"), $"fitted"), Seq("t"), "left")
+      .select($"d".cast("string").as("d"),
+        round($"y".cast("double"), 2).as("y"),
+        round($"fitted", 6).as("fitted"),
+        round($"y".cast("double") - $"fitted", 6).as("err"))
+      .orderBy($"d")
+  }
+
+  // ---- q_mixture_em ------------------------------------------------------
+  /** Two-component tied-variance Gaussian mixture by EM (Dempster,
+    * Laird & Rubin '77), two unrolled iterations over per-user purchase
+    * totals — the soft-clustering member of the learned-in-plan family
+    * (k-means assigns hard labels; the mixture yields the posterior
+    * "high-spender probability" a targeting pipeline actually wants).
+    * Deterministic EM: init from the exact 25th/75th percentiles and
+    * the moment variance; each E-step responsibility is
+    * 1/(1 + ((1−π)/π)·exp(u)) with u once-rounded to 9dp (the one libm
+    * call, the acos/pow discipline) and r itself rounded to 6dp into
+    * exact decimal M-step sums; every M-step ratio is a shared double
+    * form re-rounded to 6dp, so both engines carry IDENTICAL parameters
+    * into the next iteration — the drift can't compound. Shape: the
+    * user-grain relation is checkpointed once; each iteration is two
+    * thin aggregates with broadcast 1-row parameter relations (the
+    * q_logreg/q_kmeans iteration shape). */
+  def qMixtureEm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val dec4 = DecimalType(38, 4)
+    val u = Tables.df(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum(round($"value", 2).cast(dec2)).cast(dec2).as("xd"))
+      .select($"xd", $"xd".cast("double").as("x"))
+      .select($"xd", $"x",
+        round($"x" * $"x", 4).cast(dec4).as("x2"))
+      .localCheckpoint() // every E/M pass re-reads it
+    val base = u.agg(count(lit(1)).as("n"), sum($"xd").as("s1"),
+      sum($"x2").as("s2"),
+      round(expr("percentile(x, 0.25)"), 6).as("mu1"),
+      round(expr("percentile(x, 0.75)"), 6).as("mu2"))
+    var params = base
+      .select($"n", $"s1", $"mu1", $"mu2",
+        round(($"s2".cast("double")
+          - $"s1".cast("double") * $"s1".cast("double") / $"n") / $"n", 6)
+          .as("sig2"),
+        lit(0.5).as("pi"))
+      .localCheckpoint()
+    for (_ <- 1 to 2) {
+      val e = u.crossJoin(broadcast(params))
+        .withColumn("uu", round((($"x" - $"mu1") * ($"x" - $"mu1")
+          - ($"x" - $"mu2") * ($"x" - $"mu2")) / (lit(2.0) * $"sig2"), 9))
+        .withColumn("r", round(lit(1.0) / (lit(1.0)
+          + ((lit(1.0) - $"pi") / $"pi") * exp($"uu")), 6)
+          .cast(DecimalType(18, 6)))
+      val m = e.agg(sum($"r").as("sr"),
+          sum(round($"r".cast("double") * $"x", 4).cast(dec4)).as("srx"))
+        .crossJoin(broadcast(params.select($"n", $"s1")))
+        .select($"n", $"s1",
+          round($"srx".cast("double") / $"sr".cast("double"), 6)
+            .as("mu1n"),
+          round(($"s1".cast("double") - $"srx".cast("double"))
+            / ($"n" - $"sr".cast("double")), 6).as("mu2n"),
+          round($"sr".cast("double") / $"n", 6).as("pin"))
+        .localCheckpoint() // read by the sigma pass AND the next params
+      val sig = e.crossJoin(broadcast(m))
+        .select(round($"r".cast("double")
+          * ($"x" - $"mu1n") * ($"x" - $"mu1n")
+          + (lit(1.0) - $"r".cast("double"))
+          * ($"x" - $"mu2n") * ($"x" - $"mu2n"), 4).cast(dec4).as("t"))
+        .agg(sum($"t").as("st"))
+      params = m.crossJoin(broadcast(sig))
+        .select($"n", $"s1", $"mu1n".as("mu1"), $"mu2n".as("mu2"),
+          round($"st".cast("double") / $"n", 6).as("sig2"),
+          $"pin".as("pi"))
+        .localCheckpoint()
+    }
+    params.select($"n", round($"pi", 6).as("pi1"), $"mu1", $"mu2",
+      round(sqrt($"sig2"), 6).as("sigma"))
   }
 
   // ---- q_mutual_info -----------------------------------------------------
@@ -1051,6 +1239,10 @@ object StatsOps extends QueryPack {
     "q_heavy_change" -> qHeavyChange,
     "q_stl_lite" -> qStlLite,
     "q_stl_anomaly" -> qStlAnomaly,
+    "q_partial_corr" -> qPartialCorr,
+    "q_gumbel_fit" -> qGumbelFit,
+    "q_ses" -> qSes,
+    "q_mixture_em" -> qMixtureEm,
     "q_cov_shift" -> qCovShift,
     "q_theil_sen" -> qTheilSen,
     "q_bootstrap_ci" -> qBootstrapCi,
@@ -1137,7 +1329,169 @@ object StatsOps extends QueryPack {
       |    round(x - trend - seasonal, 6) AS residual
       |  FROM j)""".stripMargin
 
+  /** One EM iteration for the q_mixture_em oracle — E-step
+    * responsibilities from p&lt;prev&gt;, M-step means/π, tied-variance
+    * pass — the Spark loop's twin, with identical rounding points. */
+  private def emIterSql(prev: String, cur: String): String =
+    s"""e$cur AS (
+       |  SELECT x,
+       |    CAST(round(1.0 / (1.0 + ((1.0 - pi) / pi)
+       |      * exp(round(((x - mu1) * (x - mu1)
+       |        - (x - mu2) * (x - mu2)) / (2.0 * sig2), 9))), 6)
+       |      AS DECIMAL(18,6)) AS r
+       |  FROM u CROSS JOIN p$prev),
+       |m$cur AS (
+       |  SELECT n, s1,
+       |    round(CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE), 6) AS mu1n,
+       |    round((CAST(s1 AS DOUBLE) - CAST(srx AS DOUBLE))
+       |      / (n - CAST(sr AS DOUBLE)), 6) AS mu2n,
+       |    round(CAST(sr AS DOUBLE) / n, 6) AS pin
+       |  FROM (SELECT sum(r) AS sr,
+       |          sum(CAST(round(CAST(r AS DOUBLE) * x, 4)
+       |            AS DECIMAL(38,4))) AS srx
+       |        FROM e$cur)
+       |  CROSS JOIN (SELECT n, s1 FROM p$prev)),
+       |sg$cur AS (
+       |  SELECT sum(CAST(round(CAST(r AS DOUBLE)
+       |      * (x - mu1n) * (x - mu1n)
+       |      + (1.0 - CAST(r AS DOUBLE))
+       |      * (x - mu2n) * (x - mu2n), 4) AS DECIMAL(38,4))) AS st
+       |  FROM e$cur CROSS JOIN m$cur),
+       |p$cur AS (
+       |  SELECT n, s1, mu1n AS mu1, mu2n AS mu2,
+       |    round(CAST(st AS DOUBLE) / n, 6) AS sig2, pin AS pi
+       |  FROM m$cur CROSS JOIN sg$cur)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_mixture_em" ->
+      (s"""WITH u0 AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS xd
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |u1 AS (SELECT xd, CAST(xd AS DOUBLE) AS x FROM u0),
+        |u AS (SELECT xd, x,
+        |  CAST(round(x * x, 4) AS DECIMAL(38,4)) AS x2 FROM u1),
+        |b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, sum(xd) AS s1,
+        |    sum(x2) AS s2,
+        |    round(quantile_cont(x, 0.25), 6) AS mu1,
+        |    round(quantile_cont(x, 0.75), 6) AS mu2
+        |  FROM u),
+        |p0 AS (
+        |  SELECT n, s1, mu1, mu2,
+        |    round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / n) / n, 6) AS sig2,
+        |    0.5 AS pi
+        |  FROM b),
+        |${emIterSql("0", "1")},
+        |${emIterSql("1", "2")}
+        |SELECT n, round(pi, 6) AS pi1, mu1, mu2,
+        |  round(sqrt(sig2), 6) AS sigma
+        |FROM p2""".stripMargin),
+
+    "q_partial_corr" ->
+      """WITH u AS (
+        |  SELECT o_custkey, count(*) AS x,
+        |    CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS y,
+        |    date_diff('day', min(o_orderdate), max(o_orderdate)) AS z
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, sum(y * y) AS syy,
+        |    CAST(sum(z * z) AS BIGINT) AS szz,
+        |    sum(x * y) AS sxy, CAST(sum(x * z) AS BIGINT) AS sxz,
+        |    sum(y * z) AS syz
+        |  FROM u),
+        |v AS (
+        |  SELECT n,
+        |    n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE) AS vx,
+        |    n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) AS vy,
+        |    n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+        |      * CAST(sz AS DOUBLE) AS vz,
+        |    sx, sy, sz, sxy, sxz, syz
+        |  FROM s),
+        |r AS (
+        |  SELECT n,
+        |    CASE WHEN vx > 0.0 AND vy > 0.0 THEN
+        |      (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sy AS DOUBLE)) / (sqrt(vx) * sqrt(vy)) END AS rxy,
+        |    CASE WHEN vx > 0.0 AND vz > 0.0 THEN
+        |      (n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sz AS DOUBLE)) / (sqrt(vx) * sqrt(vz)) END AS rxz,
+        |    CASE WHEN vy > 0.0 AND vz > 0.0 THEN
+        |      (n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE)
+        |        * CAST(sz AS DOUBLE)) / (sqrt(vy) * sqrt(vz)) END AS ryz
+        |  FROM v)
+        |SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        |  round(ryz, 6) AS r_yz,
+        |  round(CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0
+        |    THEN (rxy - rxz * ryz)
+        |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END, 6)
+        |    AS r_xy_given_z
+        |FROM r""".stripMargin,
+
+    "q_gumbel_fit" ->
+      """WITH mx AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    max(CAST(round(value, 2) AS DECIMAL(18,2))) AS m
+        |  FROM events GROUP BY 1),
+        |m2 AS (
+        |  SELECT m, CAST(round(CAST(m AS DOUBLE) * m, 4)
+        |    AS DECIMAL(38,4)) AS m2
+        |  FROM mx),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, sum(m) AS s1,
+        |    sum(m2) AS s2
+        |  FROM m2),
+        |f AS (
+        |  SELECT n, CAST(s1 AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd
+        |  FROM s),
+        |g AS (
+        |  SELECT n, mean, sd, sd * 0.7796968012336092 AS beta,
+        |    mean - 0.5772156649015329 * (sd * 0.7796968012336092) AS mu
+        |  FROM f)
+        |SELECT n AS n_days, round(mean, 6) AS mean_max,
+        |  round(sd, 6) AS sd_max, round(beta, 6) AS beta,
+        |  round(mu, 6) AS mu,
+        |  round(mu - beta * ln(-ln(1.0 - 1.0 / 30.0)), 6)
+        |    AS return_level_30,
+        |  round(mu - beta * ln(-ln(1.0 - 1.0 / 365.0)), 6)
+        |    AS return_level_365
+        |FROM g""".stripMargin,
+
+    "q_ses" ->
+      """WITH days0 AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |days AS (
+        |  SELECT d, y, row_number() OVER (ORDER BY d) AS t FROM days0),
+        |terms AS (
+        |  SELECT a.t AS tt, a.d,
+        |    CAST(round(CASE WHEN b.j = 1 THEN pow(0.7, a.t - 2)
+        |      ELSE 0.3 * pow(0.7, a.t - 1 - b.j) END
+        |      * CAST(b.yj AS DOUBLE), 9) AS DECIMAL(28,9)) AS term
+        |  FROM days a JOIN (SELECT t AS j, y AS yj FROM days) b
+        |    ON b.j < a.t),
+        |fitted AS (
+        |  SELECT tt, d, CAST(sum(term) AS DOUBLE) AS fitted
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT CAST(days.d AS VARCHAR) AS d,
+        |  round(CAST(y AS DOUBLE), 2) AS y,
+        |  round(f.fitted, 6) AS fitted,
+        |  round(CAST(y AS DOUBLE) - f.fitted, 6) AS err
+        |FROM days LEFT JOIN fitted f ON f.tt = days.t
+        |ORDER BY d""".stripMargin,
+
     // same day relation, same lag forecasts, same 4dp squared errors
     "q_forecast_eval" ->
       """WITH days AS (

@@ -217,6 +217,61 @@ class R13OpsSpec extends SparkSpec {
       - math.rint(chapman * 1e4) / 1e4) < 1e-9)
   }
 
+  test("partial corr: bounded and consistent with Yule's formula over " +
+      "the reported pairwise correlations") {
+    val row = StatsOps.qPartialCorr(spark, sf).collect().head
+    val (rxy, rxz, ryz, part) = (row.getAs[Double]("r_xy"),
+      row.getAs[Double]("r_xz"), row.getAs[Double]("r_yz"),
+      row.getAs[Double]("r_xy_given_z"))
+    Seq(rxy, rxz, ryz, part).foreach(r => assert(math.abs(r) <= 1.0))
+    val expect = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    // reported r's are rounded to 6dp, so the replay tolerates ~1e-5
+    assert(math.abs(part - expect) < 1e-4)
+  }
+
+  test("gumbel fit: return levels order and positive scale") {
+    val row = StatsOps.qGumbelFit(spark, sf).collect().head
+    assert(row.getAs[Double]("beta") > 0.0)
+    val rl30 = row.getAs[Double]("return_level_30")
+    val rl365 = row.getAs[Double]("return_level_365")
+    assert(rl365 > rl30, "rarer events must be larger")
+    assert(rl30 > row.getAs[Double]("mean_max"))
+  }
+
+  test("ses: the closed form replays the sequential level recursion") {
+    val rows = StatsOps.qSes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(rows.head._3.isEmpty, "no forecast for the first day")
+    var l = rows.head._2 // l_1 = y_1
+    rows.tail.foreach { case (_, y, fitted) =>
+      assert(fitted.isDefined)
+      assert(math.abs(fitted.get - l) < 1e-3,
+        s"fitted must equal the prior level: ${fitted.get} vs $l")
+      l = 0.3 * y + 0.7 * l
+    }
+  }
+
+  test("mixture em: ordered components, valid mixing weight, and the " +
+      "mixture mean reproduces the sample mean") {
+    val row = StatsOps.qMixtureEm(spark, sf).collect().head
+    val (pi, mu1, mu2, sigma) = (row.getAs[Double]("pi1"),
+      row.getAs[Double]("mu1"), row.getAs[Double]("mu2"),
+      row.getAs[Double]("sigma"))
+    assert(pi > 0.0 && pi < 1.0)
+    assert(mu2 > mu1, "components keep their quantile-init order")
+    assert(sigma > 0.0)
+    val mean = Tables.df(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(sum(round($"value", 2)).as("x"))
+      .agg(avg($"x")).head().getDouble(0)
+    // each M-step conserves the total mass: pi*mu1 + (1-pi)*mu2 = mean
+    assert(math.abs(pi * mu1 + (1 - pi) * mu2 - mean) < 0.05,
+      "the mixture mean must reproduce the sample mean")
+  }
+
   test("quantile norm: normalized values come from the pooled score " +
       "set and are monotone in within-source rank") {
     val rows = PipelineOps.qQuantileNorm(spark, sf).collect()
