@@ -615,6 +615,107 @@ object StatsOps extends QueryPack {
       .orderBy($"d")
   }
 
+  // ---- q_negbin_fit ------------------------------------------------------
+  /** Overdispersion diagnosis for count data: per-user-DAY event counts
+    * (zero days included via the users × calendar grid — the zeros are
+    * the point) fitted by moments as Poisson vs negative binomial
+    * (Greenwood & Yule '20): dispersion D = v/m, NB size r = m²/(v−m)
+    * when v > m, and the zero-mass check every count model starts
+    * with — observed P(X=0) vs Poisson e^{−m} vs NB (r/(r+m))^r. A
+    * pipeline that models "events per user-day" as Poisson under
+    * overdispersion underestimates tail load; this is the one-row gate
+    * that says so. Grid is |users| × |days| (calendar-bounded); count
+    * moments are exact integers; the two libm calls (exp, pow) land in
+    * once-rounded 9dp forms. */
+  def qNegbinFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+    val counts = ev.groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val grid = ev.select($"user_id").distinct()
+      .crossJoin(ev.select(to_date($"ts").as("d")).distinct())
+    val cells = grid.join(counts, Seq("user_id", "d"), "left")
+      .select(coalesce($"c", lit(0L)).as("c"))
+    val s = cells.agg(count(lit(1)).as("n"), sum($"c").as("s1"),
+      sum($"c" * $"c").as("s2"),
+      sum(when($"c" === 0L, 1L).otherwise(0L)).as("zeros"))
+    val m = $"s1".cast("double") / $"n"
+    val v = ($"s2".cast("double")
+      - $"s1".cast("double") * $"s1".cast("double") / $"n") / ($"n" - 1L)
+    val r = when(v > m, round(m * m / (v - m), 6))
+    s.select($"n", $"zeros", round(m, 6).as("mean"),
+      round(v, 6).as("variance"),
+      round(v / m, 6).as("dispersion"),
+      (v > m).as("overdispersed"),
+      r.as("nb_r"),
+      round($"zeros".cast("double") / $"n", 6).as("p0_observed"),
+      round(exp(round(-m, 9)), 6).as("p0_poisson"),
+      round(pow(round(r / (r + m), 9), r), 6).as("p0_negbin"))
+  }
+
+  // ---- q_hurst -----------------------------------------------------------
+  /** Hurst exponent by rescaled-range analysis (Hurst '51; Mandelbrot &
+    * Wallis '69) of the daily purchase series — the long-memory read:
+    * H ≈ 0.5 is a random walk, H > 0.5 persistent trends, H < 0.5 mean
+    * reversion; the number that says whether yesterday's demand tells
+    * you anything about next week's. For block sizes n ∈ {5,10,15,30}:
+    * split the series into full blocks, per block R = range of the
+    * cumulative mean-deviations and S = population std, average R/S per
+    * size, and H = the OLS slope of ln(R/S) on ln(n) over the 4 points.
+    * Every window partitions by (size, block) over the calendar-bounded
+    * day relation; R/S and ln terms round once to 9dp into exact
+    * decimal sums; the 4-point OLS is exact-moment arithmetic. */
+  def qHurst(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val dec9 = DecimalType(28, 9)
+    val days = Tables.df(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(round($"value", 2).cast(dec2)).cast(dec2).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy($"d")))
+      .localCheckpoint() // ×4 block-size explode reads it
+    val dec4 = DecimalType(38, 4)
+    val sized = days
+      .select($"t", $"y".as("yd"), $"y".cast("double").as("y"),
+        explode(array(lit(5), lit(10), lit(15), lit(30))).as("bn"))
+      .withColumn("blk", expr("(t - 1) div bn"))
+    // block moments from exact decimal sums (an unordered double sum
+    // would be shuffle-order-dependent); the running cum-deviation sum
+    // below is a WINDOW sum — frame-ordered, so doubles are safe there
+    val bm = sized.groupBy($"bn", $"blk")
+      .agg(count(lit(1)).as("cnt"),
+        (sum($"yd").cast("double") / count(lit(1))).as("mu"),
+        (sum(round($"y" * $"y", 4).cast(dec4)).cast("double")
+          / count(lit(1))).as("m2"))
+      .filter($"cnt" === $"bn") // full blocks only
+    val dev = sized.join(bm, Seq("bn", "blk"))
+      .withColumn("cum", sum($"y" - $"mu").over(
+        Window.partitionBy($"bn", $"blk").orderBy($"t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rs = dev.groupBy($"bn", $"blk")
+      .agg((max($"cum") - min($"cum")).as("r"),
+        sqrt(min($"m2") - min($"mu") * min($"mu")).as("s"))
+      .filter($"s" > 0.0)
+      .select($"bn", round($"r" / $"s", 9).cast(dec9).as("rs"))
+      .groupBy($"bn")
+      .agg((sum($"rs").cast("double") / count(lit(1))).as("rs_mean"))
+    val pts = rs.select(
+      round(log($"bn".cast("double")), 9).cast(dec9).as("lx"),
+      round(log($"rs_mean"), 9).cast(dec9).as("ly"))
+    val ols = pts.agg(count(lit(1)).as("k"), sum($"lx").as("sx"),
+      sum($"ly").as("sy"), sum($"lx" * $"lx").as("sxx"),
+      sum($"lx" * $"ly").as("sxy"))
+    val den = ($"k" * $"sxx" - $"sx" * $"sx").cast("double")
+    val h = when(den =!= 0.0,
+      ($"k" * $"sxy" - $"sx" * $"sy").cast("double") / den)
+    ols.crossJoin(broadcast(rs.groupBy().pivot("bn",
+        Seq(5, 10, 15, 30)).agg(first(round($"rs_mean", 6)))
+      .toDF("rs_5", "rs_10", "rs_15", "rs_30")))
+      .select($"k".as("n_sizes"), $"rs_5", $"rs_10", $"rs_15", $"rs_30",
+        round(h, 6).as("hurst"))
+  }
+
   // ---- q_mixture_em ------------------------------------------------------
   /** Two-component tied-variance Gaussian mixture by EM (Dempster,
     * Laird & Rubin '77), two unrolled iterations over per-user purchase
@@ -1243,6 +1344,8 @@ object StatsOps extends QueryPack {
     "q_gumbel_fit" -> qGumbelFit,
     "q_ses" -> qSes,
     "q_mixture_em" -> qMixtureEm,
+    "q_negbin_fit" -> qNegbinFit,
+    "q_hurst" -> qHurst,
     "q_cov_shift" -> qCovShift,
     "q_theil_sen" -> qTheilSen,
     "q_bootstrap_ci" -> qBootstrapCi,
@@ -1363,6 +1466,103 @@ object StatsOps extends QueryPack {
        |  FROM m$cur CROSS JOIN sg$cur)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_negbin_fit" ->
+      """WITH counts AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, dd.d
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS d
+        |              FROM events) dd),
+        |cells AS (
+        |  SELECT coalesce(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.user_id = g.user_id AND c.d = g.d),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zeros
+        |  FROM cells),
+        |f AS (
+        |  SELECT n, zeros, CAST(s1 AS DOUBLE) / n AS m,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / n) / (n - 1) AS v
+        |  FROM s),
+        |g2 AS (
+        |  SELECT n, zeros, m, v,
+        |    CASE WHEN v > m THEN round(m * m / (v - m), 6) END AS r
+        |  FROM f)
+        |SELECT n, zeros, round(m, 6) AS mean, round(v, 6) AS variance,
+        |  round(v / m, 6) AS dispersion, v > m AS overdispersed,
+        |  r AS nb_r,
+        |  round(CAST(zeros AS DOUBLE) / n, 6) AS p0_observed,
+        |  round(exp(round(-m, 9)), 6) AS p0_poisson,
+        |  round(pow(round(r / (r + m), 9), r), 6) AS p0_negbin
+        |FROM g2""".stripMargin,
+
+    "q_hurst" ->
+      """WITH days0 AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS yd
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |days AS (
+        |  SELECT d, yd, CAST(yd AS DOUBLE) AS y,
+        |    row_number() OVER (ORDER BY d) AS t
+        |  FROM days0),
+        |sized AS (
+        |  SELECT t, yd, y, unnest([5, 10, 15, 30]) AS bn FROM days),
+        |sz AS (SELECT t, yd, y, bn, (t - 1) // bn AS blk FROM sized),
+        |bm AS (
+        |  SELECT bn, blk, count(*) AS cnt,
+        |    CAST(sum(yd) AS DOUBLE) / count(*) AS mu,
+        |    CAST(sum(CAST(round(y * y, 4) AS DECIMAL(38,4))) AS DOUBLE)
+        |      / count(*) AS m2
+        |  FROM sz GROUP BY 1, 2),
+        |bmf AS (SELECT * FROM bm WHERE cnt = bn),
+        |dev AS (
+        |  SELECT sz.bn, sz.blk, sz.t, sz.y - bmf.mu AS dv,
+        |    bmf.mu, bmf.m2
+        |  FROM sz JOIN bmf ON bmf.bn = sz.bn AND bmf.blk = sz.blk),
+        |cumdev AS (
+        |  SELECT bn, blk, mu, m2,
+        |    sum(dv) OVER (PARTITION BY bn, blk ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dev),
+        |rsb AS (
+        |  SELECT bn, blk, max(cum) - min(cum) AS r,
+        |    sqrt(min(m2) - min(mu) * min(mu)) AS s
+        |  FROM cumdev GROUP BY 1, 2),
+        |rsm AS (
+        |  SELECT bn,
+        |    CAST(sum(CAST(round(r / s, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |      / count(*) AS rs_mean
+        |  FROM rsb WHERE s > 0.0 GROUP BY bn),
+        |pts AS (
+        |  SELECT CAST(round(ln(CAST(bn AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9)) AS lx,
+        |    CAST(round(ln(rs_mean), 9) AS DECIMAL(28,9)) AS ly
+        |  FROM rsm),
+        |ols AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, sum(lx) AS sx,
+        |    sum(ly) AS sy, sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+        |  FROM pts),
+        |piv AS (
+        |  SELECT
+        |    round(max(CASE WHEN bn = 5 THEN rs_mean END), 6) AS rs_5,
+        |    round(max(CASE WHEN bn = 10 THEN rs_mean END), 6) AS rs_10,
+        |    round(max(CASE WHEN bn = 15 THEN rs_mean END), 6) AS rs_15,
+        |    round(max(CASE WHEN bn = 30 THEN rs_mean END), 6) AS rs_30
+        |  FROM rsm)
+        |SELECT k AS n_sizes, rs_5, rs_10, rs_15, rs_30,
+        |  round(CASE WHEN CAST(k * sxx - sx * sx AS DOUBLE) <> 0.0
+        |    THEN CAST(k * sxy - sx * sy AS DOUBLE)
+        |      / CAST(k * sxx - sx * sx AS DOUBLE) END, 6) AS hurst
+        |FROM ols CROSS JOIN piv""".stripMargin,
+
     "q_mixture_em" ->
       (s"""WITH u0 AS (
         |  SELECT user_id,

@@ -272,6 +272,33 @@ class R13OpsSpec extends SparkSpec {
       "the mixture mean must reproduce the sample mean")
   }
 
+  test("negbin fit: grid covers users x days, ratios reconcile, and " +
+      "the near-Poisson fixture reads as barely overdispersed") {
+    val row = StatsOps.qNegbinFit(spark, sf).collect().head
+    val ev = Tables.df(spark, sf, "events")
+    val users = ev.select($"user_id").distinct().count()
+    val days = ev.select(to_date($"ts")).distinct().count()
+    assert(row.getAs[Long]("n") == users * days)
+    val (m, v) = (row.getAs[Double]("mean"), row.getAs[Double]("variance"))
+    assert(math.abs(row.getAs[Double]("dispersion") - v / m) < 1e-4)
+    assert(row.getAs[Boolean]("overdispersed") == (v > m))
+    assert(math.abs(row.getAs[Double]("p0_observed")
+      - row.getAs[Long]("zeros").toDouble / row.getAs[Long]("n")) < 1e-5)
+    // the q_burstiness near-Poisson fixture reading, re-pinned here
+    assert(row.getAs[Double]("dispersion") < 1.5)
+  }
+
+  test("hurst: R/S grows with block size and H is a valid exponent") {
+    val row = StatsOps.qHurst(spark, sf).collect().head
+    assert(row.getAs[Long]("n_sizes") == 4)
+    val rs = Seq("rs_5", "rs_10", "rs_15", "rs_30")
+      .map(row.getAs[Double](_))
+    assert(rs.sliding(2).forall(p => p(1) > p(0)),
+      "rescaled range must grow with block size")
+    val h = row.getAs[Double]("hurst")
+    assert(h > 0.0 && h < 1.0, s"H $h must be a valid exponent")
+  }
+
   test("quantile norm: normalized values come from the pooled score " +
       "set and are monotone in within-source rank") {
     val rows = PipelineOps.qQuantileNorm(spark, sf).collect()
