@@ -700,15 +700,24 @@ object StatsOps extends QueryPack {
       .select($"bn", round($"r" / $"s", 9).cast(dec9).as("rs"))
       .groupBy($"bn")
       .agg((sum($"rs").cast("double") / count(lit(1))).as("rs_mean"))
+    // DECIMAL(18,9), NOT the wider dec9(28,9): the OLS needs lx·lx
+    // products, and 28,9 × 28,9 exceeds precision 38 — both engines
+    // then degrade (differently). 18,9 × 18,9 stays exact in both.
+    val decLn = DecimalType(18, 9)
     val pts = rs.select(
-      round(log($"bn".cast("double")), 9).cast(dec9).as("lx"),
-      round(log($"rs_mean"), 9).cast(dec9).as("ly"))
+      round(log($"bn".cast("double")), 9).cast(decLn).as("lx"),
+      round(log($"rs_mean"), 9).cast(decLn).as("ly"))
     val ols = pts.agg(count(lit(1)).as("k"), sum($"lx").as("sx"),
       sum($"ly").as("sy"), sum($"lx" * $"lx").as("sxx"),
       sum($"lx" * $"ly").as("sxy"))
-    val den = ($"k" * $"sxx" - $"sx" * $"sx").cast("double")
+    // OLS in DOUBLES over the decimal sums: a long × DECIMAL(38,18)
+    // product overflows precision 38 and Spark silently reduces scale
+    // (DuckDB doesn't) — measured one-ulp slope drift at sf0.001
+    val den = ($"k" * $"sxx".cast("double")
+      - $"sx".cast("double") * $"sx".cast("double"))
     val h = when(den =!= 0.0,
-      ($"k" * $"sxy" - $"sx" * $"sy").cast("double") / den)
+      ($"k" * $"sxy".cast("double")
+        - $"sx".cast("double") * $"sy".cast("double")) / den)
     ols.crossJoin(broadcast(rs.groupBy().pivot("bn",
         Seq(5, 10, 15, 30)).agg(first(round($"rs_mean", 6)))
       .toDF("rs_5", "rs_10", "rs_15", "rs_30")))
@@ -1543,8 +1552,8 @@ object StatsOps extends QueryPack {
         |  FROM rsb WHERE s > 0.0 GROUP BY bn),
         |pts AS (
         |  SELECT CAST(round(ln(CAST(bn AS DOUBLE)), 9)
-        |      AS DECIMAL(28,9)) AS lx,
-        |    CAST(round(ln(rs_mean), 9) AS DECIMAL(28,9)) AS ly
+        |      AS DECIMAL(18,9)) AS lx,
+        |    CAST(round(ln(rs_mean), 9) AS DECIMAL(18,9)) AS ly
         |  FROM rsm),
         |ols AS (
         |  SELECT CAST(count(*) AS BIGINT) AS k, sum(lx) AS sx,
@@ -1558,9 +1567,13 @@ object StatsOps extends QueryPack {
         |    round(max(CASE WHEN bn = 30 THEN rs_mean END), 6) AS rs_30
         |  FROM rsm)
         |SELECT k AS n_sizes, rs_5, rs_10, rs_15, rs_30,
-        |  round(CASE WHEN CAST(k * sxx - sx * sx AS DOUBLE) <> 0.0
-        |    THEN CAST(k * sxy - sx * sy AS DOUBLE)
-        |      / CAST(k * sxx - sx * sx AS DOUBLE) END, 6) AS hurst
+        |  round(CASE WHEN k * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |    THEN (k * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (k * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6)
+        |    AS hurst
         |FROM ols CROSS JOIN piv""".stripMargin,
 
     "q_mixture_em" ->
