@@ -41,7 +41,8 @@ object SparkEntry {
     GovernOps,
     InferOps,
     NonparamOps,
-    DecisionOps
+    DecisionOps,
+    SeriesOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,421 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sequential-monitoring pack — the control-chart and trend procedures a
+  * data platform runs CONTINUOUSLY over its daily metric series, where
+  * q_changepoint / q_stl_anomaly answer "did something break in this
+  * batch", these answer "is the process drifting and when should a page
+  * fire": the tabular CUSUM chart (Page '54), the Page–Hinkley drift
+  * detector (the streaming-ML standard from the same paper's mean-shift
+  * test), the Mann–Kendall monotone-trend test with tie correction
+  * (Mann '45; Kendall '75) completing q_theil_sen (slope) with its
+  * significance test, and Holt's linear-trend exponential smoother
+  * (Holt '57) extending q_ses with a trend state. Reference capability:
+  * the deployed HiveQL engine ships window functions; these are the
+  * monitoring procedures composed from them.
+  *
+  * Determinism discipline: CUSUM's non-linear recursion
+  * S_t = max(0, S_{t-1} + x_t) is NOT unrollable as a weighted sum, but
+  * collapses to prefix arithmetic: S_t = P_t - min(0, min_{j<=t} P_j)
+  * with P the plain running sum — both the running sum and running min
+  * are frame-ordered windows over once-rounded 9dp decimals, so every
+  * intermediate is exact on both engines. Holt's LINEAR recursion
+  * x_t = A x_{t-1} + v y_t unrolls through matrix powers A^j whose
+  * entries are computed ONCE on the driver and embedded as identical
+  * 12dp literals in both engines' plans (a ~60-row broadcast-sized
+  * lookup — the cluster-scale shape for any linear recurrence).
+  */
+object SeriesOps extends QueryPack {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(38, 4)
+  private val dec9 = DecimalType(28, 9)
+
+  /** The shared daily-purchase series (d, y DECIMAL(18,2), t row index) —
+    * the same relation q_ses / q_forecast_eval monitor. */
+  private def dailySeries(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(round($"value", 2).cast(dec2)).cast(dec2).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy($"d")))
+  }
+
+  private val daysCtesSql =
+    """days0 AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+      |      AS DECIMAL(18,2)) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |days AS (
+      |  SELECT d, y, row_number() OVER (ORDER BY d) AS t FROM days0)"""
+      .stripMargin
+
+  /** Standardized series: z = (y - mean) / sd rounded once to 9dp —
+    * the shared input of q_cusum and q_page_hinkley. */
+  private def zSeries(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = dailySeries(spark, sfDir)
+    val m = days.agg(count(lit(1)).as("n"), sum($"y").as("s1"),
+      sum(round($"y".cast("double") * $"y", 4).cast(dec4)).as("s2"))
+    val mu = $"s1".cast("double") / $"n"
+    val sd = sqrt(($"s2".cast("double")
+      - $"s1".cast("double") * $"s1".cast("double") / $"n")
+      / ($"n" - lit(1L)))
+    days.crossJoin(broadcast(m))
+      .select($"d", $"t", $"y",
+        round(($"y".cast("double") - mu) / sd, 9).cast(dec9).as("z"))
+  }
+
+  private val zCtesSql =
+    s"""$daysCtesSql,
+      |m AS (
+      |  SELECT count(*) AS n, sum(y) AS s1,
+      |    sum(CAST(round(CAST(y AS DOUBLE) * y, 4) AS DECIMAL(38,4)))
+      |      AS s2
+      |  FROM days),
+      |zs AS (
+      |  SELECT d, t, y,
+      |    CAST(round((CAST(y AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+      |      / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE) / n) / (n - 1)), 9)
+      |      AS DECIMAL(28,9)) AS z
+      |  FROM days CROSS JOIN m)""".stripMargin
+
+  // ---- q_cusum -----------------------------------------------------------
+  /** Tabular two-sided CUSUM control chart (Page '54; Montgomery's SPC
+    * text parameterization k = delta/2 = 0.5, h = 4 in sd units) over
+    * the standardized daily purchase series: S+_t accumulates upward
+    * drift max(0, S+_{t-1} + z_t - k), S-_t downward, and a day alarms
+    * when either side crosses h. The max(0, .) recursion collapses to
+    * S+_t = P_t - min(0, min_{j<=t} P_j) with P_t the running sum of
+    * (z_t - k) — two frame-ordered windows over exact decimals, no
+    * iteration, any series length. */
+  def qCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = lit(BigDecimal("0.5").bigDecimal).cast(dec9)
+    val zero = lit(BigDecimal("0").bigDecimal).cast(dec9)
+    val w = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = zSeries(spark, sfDir)
+      .withColumn("p_pos", sum($"z" - k).over(w))
+      .withColumn("p_neg", sum((zero - $"z") - k).over(w))
+    p.select($"d".cast("string").as("d"),
+        round($"z".cast("double"), 6).as("z"),
+        round(($"p_pos" - least(zero, min($"p_pos").over(w)))
+          .cast("double"), 6).as("s_pos"),
+        round(($"p_neg" - least(zero, min($"p_neg").over(w)))
+          .cast("double"), 6).as("s_neg"))
+      .withColumn("alarm", $"s_pos" > 4.0 || $"s_neg" > 4.0)
+      .orderBy($"d")
+  }
+
+  // ---- q_page_hinkley ----------------------------------------------------
+  /** Page–Hinkley mean-shift drift detector (Page '54 §5; the form used
+    * by the streaming-ML literature, e.g. Gama et al. '14 survey): over
+    * the standardized series, m_t = sum_{i<=t} (z_i - zbar_i - delta)
+    * with zbar_i the RUNNING mean up to i, and PH_t = m_t - min_{j<=t}
+    * m_j fires when it exceeds lambda. delta = 0.05 tolerates noise,
+    * lambda = 2 sd units pages. The running mean is a window ratio of
+    * an exact decimal running sum; each deviation term rounds once to
+    * 9dp so the accumulating sums stay exact on both engines. */
+  def qPageHinkley(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zs = zSeries(spark, sfDir)
+      .withColumn("zbar", sum($"z").over(w).cast("double") / $"t")
+      .withColumn("dev",
+        round(($"z".cast("double") - $"zbar") - 0.05, 9).cast(dec9))
+      .withColumn("m", sum($"dev").over(w))
+    zs.select($"d".cast("string").as("d"),
+        round($"z".cast("double"), 6).as("z"),
+        round($"zbar", 6).as("z_runmean"),
+        round(($"m" - min($"m").over(w)).cast("double"), 6).as("ph"))
+      .withColumn("alarm", $"ph" > 2.0)
+      .orderBy($"d")
+  }
+
+  // ---- q_mann_kendall ----------------------------------------------------
+  /** Mann–Kendall monotone-trend test with tie correction (Mann '45;
+    * Kendall '75): S = sum_{i<j} sign(y_j - y_i) over the daily series,
+    * Var(S) = [n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)] / 18 with t_g
+    * the tie-group sizes, and the continuity-corrected normal statistic
+    * z = (S -/+ 1)/sqrt(Var). The significance call derives from |z| vs
+    * the two-sided 5% normal critical value — a literal both engines
+    * share (the chi2Crit05 discipline). Pairs are a T^2 band self-join
+    * of the calendar-bounded day relation; S and the tie term are exact
+    * integers, z one shared double formula. Completes q_theil_sen: the
+    * robust slope there, its trend test here. */
+  def qMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = dailySeries(spark, sfDir).localCheckpoint()
+    val s = days.select($"t".as("i"), $"y".as("yi"))
+      .join(days.select($"t".as("j"), $"y".as("yj")), $"i" < $"j")
+      .agg(sum(signum(($"yj" - $"yi").cast("double")).cast("long"))
+        .as("s"))
+    val ties = days.groupBy($"y").agg(count(lit(1)).as("tg"))
+      .agg(count(lit(1)).as("groups"), sum($"tg").as("n"),
+        sum($"tg" * ($"tg" - 1L) * (lit(2L) * $"tg" + 5L)).as("tie_term"))
+    // z divides by the RAW variance (the 6dp rounding is display-only);
+    // the oracle mirrors this with a distinct var_raw name so DuckDB's
+    // lateral alias resolution can't silently pick the rounded one
+    val varS = (($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tie_term")
+      .cast("double") / 18.0)
+    val z = when($"s" > 0L, ($"s" - 1L).cast("double") / sqrt(varS))
+      .when($"s" < 0L, ($"s" + 1L).cast("double") / sqrt(varS))
+      .otherwise(0.0)
+    s.crossJoin(broadcast(ties))
+      .select($"n", $"s", round(varS, 6).as("var_s"),
+        round(z, 6).as("z"))
+      .withColumn("trend",
+        when($"z" > 1.959964, "increasing")
+          .when($"z" < -1.959964, "decreasing")
+          .otherwise("no_trend"))
+  }
+
+  // ---- q_holt ------------------------------------------------------------
+
+  private val holtAlpha = 0.3
+  private val holtBeta = 0.1
+
+  /** Powers A^j of Holt's 2x2 state-transition matrix, computed once on
+    * the driver in plain doubles and shipped as 12dp string literals so
+    * BOTH engines parse bit-identical doubles. With state x = (l, b):
+    * l_t = a y_t + (1-a)(l_{t-1} + b_{t-1}) and (after substitution)
+    * b_t = ab y_t - ab l_{t-1} + (1-ab) b_{t-1}, i.e. x_t = A x_{t-1}
+    * + y_t v with A = [[1-a, 1-a], [-ab, 1-ab]], v = (a, ab). */
+  private lazy val holtCoef: IndexedSeq[(Int, String, String, String, String)] = {
+    val a = holtAlpha; val b = holtBeta
+    val A = Array(Array(1 - a, 1 - a), Array(-a * b, 1 - a * b))
+    def fmt(x: Double): String =
+      new java.math.BigDecimal(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP).toPlainString
+    val out = IndexedSeq.newBuilder[(Int, String, String, String, String)]
+    var m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    for (j <- 0 to 59) {
+      out += ((j, fmt(m(0)(0)), fmt(m(0)(1)), fmt(m(1)(0)), fmt(m(1)(1))))
+      m = Array(
+        Array(m(0)(0) * A(0)(0) + m(0)(1) * A(1)(0),
+          m(0)(0) * A(0)(1) + m(0)(1) * A(1)(1)),
+        Array(m(1)(0) * A(0)(0) + m(1)(1) * A(1)(0),
+          m(1)(0) * A(0)(1) + m(1)(1) * A(1)(1)))
+    }
+    out.result()
+  }
+
+  private def holtCoefValuesSql: String =
+    holtCoef.map { case (j, a11, a12, a21, a22) =>
+      s"($j, $a11, $a12, $a21, $a22)"
+    }.mkString(", ")
+
+  /** Holt's linear-trend exponential smoothing (Holt '57; Hyndman &
+    * Athanasopoulos FPP3 §8.2), alpha = 0.3, beta = 0.1, over the daily
+    * purchase series — q_ses plus a trend state, the forecaster for
+    * series that drift. The coupled level/trend recursion is LINEAR in
+    * the state, so it unrolls exactly through the precomputed A^j
+    * lookup (scaladoc above): l_t and b_t are weighted sums of past y
+    * plus an A^{t-1}-propagated init (l_1 = y_1, b_1 = y_2 - y_1), each
+    * product rounded once to 9dp into exact decimal sums over the same
+    * T^2 calendar-bounded band join q_ses uses. Emits the one-step fit
+    * yhat_t = l_{t-1} + b_{t-1} per observed day (t >= 3) plus a 7-day
+    * trend-extrapolated forecast yhat_{T+h} = l_T + h b_T. */
+  def qHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // 0.03 as a PARSED literal, not 0.3 * 0.1 (= 0.030000000000000002,
+    // a different double from what DuckDB's 0.03 literal casts to)
+    val a = 0.3; val ab = 0.03
+    val coef = holtCoef.map { case (j, a11, a12, a21, a22) =>
+      (j, a11.toDouble, a12.toDouble, a21.toDouble, a22.toDouble)
+    }.toDF("j", "a11", "a12", "a21", "a22")
+    val days = dailySeries(spark, sfDir).localCheckpoint()
+    val init = days.filter($"t" <= 2)
+      .agg(sum(when($"t" === 1, $"y".cast("double"))).as("l1"),
+        sum(when($"t" === 2, $"y".cast("double"))
+          .otherwise((lit(0.0) - $"y").cast("double"))).as("b1"))
+    // state x_tt = sum_{j=0..tt-2} A^j v y_{tt-j} + A^{tt-1} x_1, tt >= 2
+    val terms = days.select($"t".as("tt"))
+      .filter($"tt" >= 2)
+      .join(days.select($"t".as("src"), $"y".cast("double").as("ysrc")),
+        $"src" >= 2 && $"src" <= $"tt")
+      .join(broadcast(coef), $"j" === $"tt" - $"src")
+      .groupBy($"tt")
+      .agg(
+        sum(round(($"a11" * a + $"a12" * ab) * $"ysrc", 9).cast(dec9))
+          .as("sum_l"),
+        sum(round(($"a21" * a + $"a22" * ab) * $"ysrc", 9).cast(dec9))
+          .as("sum_b"))
+    val state = terms
+      .join(broadcast(coef), $"j" === $"tt" - 1)
+      .crossJoin(broadcast(init))
+      .select($"tt",
+        ($"sum_l" + round($"a11" * $"l1" + $"a12" * $"b1", 9).cast(dec9))
+          .cast("double").as("level"),
+        ($"sum_b" + round($"a21" * $"l1" + $"a22" * $"b1", 9).cast(dec9))
+          .cast("double").as("trend"))
+      .localCheckpoint() // feeds fitted rows, forecast rows, and the shift
+    val fitted = days.filter($"t" >= 3)
+      .join(state.select(($"tt" + 1).as("t"),
+        ($"level" + $"trend").as("fitted")), Seq("t"))
+      .select($"d".cast("string").as("d"), $"t",
+        $"y".cast("double").as("y"),
+        round($"fitted", 6).as("fitted"),
+        round($"y".cast("double") - $"fitted", 6).as("err"))
+    val last = days.agg(max($"t").as("tmax"), max($"d").as("dmax"))
+    val fc = last.join(state, $"tt" === $"tmax")
+      .crossJoin(spark.range(1, 8).select($"id".cast("int").as("h")))
+      .select(date_add($"dmax", $"h").cast("string").as("d"),
+        ($"tmax" + $"h").cast("int").as("t"),
+        lit(null).cast("double").as("y"),
+        round($"level" + $"h" * $"trend", 6).as("fitted"),
+        lit(null).cast("double").as("err"))
+    fitted.unionByName(fc).orderBy($"t")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum" -> qCusum,
+    "q_page_hinkley" -> qPageHinkley,
+    "q_mann_kendall" -> qMannKendall,
+    "q_holt" -> qHolt
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cusum" ->
+      (s"""WITH $zCtesSql,
+        |p AS (
+        |  SELECT d, z,
+        |    sum(z - CAST(0.5 AS DECIMAL(28,9))) OVER w AS p_pos,
+        |    sum((CAST(0 AS DECIMAL(28,9)) - z)
+        |      - CAST(0.5 AS DECIMAL(28,9))) OVER w AS p_neg
+        |  FROM zs
+        |  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |s AS (
+        |  SELECT CAST(d AS VARCHAR) AS d,
+        |    round(CAST(z AS DOUBLE), 6) AS z,
+        |    round(CAST(p_pos - least(CAST(0 AS DECIMAL(38,9)),
+        |      min(p_pos) OVER w2) AS DOUBLE), 6) AS s_pos,
+        |    round(CAST(p_neg - least(CAST(0 AS DECIMAL(38,9)),
+        |      min(p_neg) OVER w2) AS DOUBLE), 6) AS s_neg
+        |  FROM p
+        |  WINDOW w2 AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT d, z, s_pos, s_neg,
+        |  (s_pos > 4.0 OR s_neg > 4.0) AS alarm
+        |FROM s ORDER BY d""".stripMargin),
+
+    "q_page_hinkley" ->
+      (s"""WITH $zCtesSql,
+        |r AS (
+        |  SELECT d, t, z,
+        |    CAST(sum(z) OVER w AS DOUBLE) / t AS zbar
+        |  FROM zs
+        |  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |mm AS (
+        |  SELECT d, t, z, zbar,
+        |    sum(CAST(round((CAST(z AS DOUBLE) - zbar) - 0.05, 9)
+        |      AS DECIMAL(28,9))) OVER w AS m
+        |  FROM r
+        |  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |s AS (
+        |  SELECT CAST(d AS VARCHAR) AS d,
+        |    round(CAST(z AS DOUBLE), 6) AS z,
+        |    round(zbar, 6) AS z_runmean,
+        |    round(CAST(m - min(m) OVER w2 AS DOUBLE), 6) AS ph
+        |  FROM mm
+        |  WINDOW w2 AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT d, z, z_runmean, ph, ph > 2.0 AS alarm
+        |FROM s ORDER BY d""".stripMargin),
+
+    "q_mann_kendall" ->
+      (s"""WITH $daysCtesSql,
+        |sp AS (
+        |  SELECT CAST(sum(CAST(sign(CAST(b.y - a.y AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS s
+        |  FROM days a JOIN days b ON a.t < b.t),
+        |tg AS (SELECT y, count(*) AS tg FROM days GROUP BY y),
+        |ties AS (
+        |  SELECT CAST(sum(tg) AS BIGINT) AS n,
+        |    CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_term
+        |  FROM tg),
+        |st AS (
+        |  SELECT n, s,
+        |    CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0
+        |      AS var_raw
+        |  FROM sp CROSS JOIN ties),
+        |zz AS (
+        |  SELECT n, s, round(var_raw, 6) AS var_s,
+        |    round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_raw)
+        |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_raw)
+        |      ELSE 0.0 END, 6) AS z
+        |  FROM st)
+        |SELECT n, s, var_s, z,
+        |  CASE WHEN z > 1.959964 THEN 'increasing'
+        |    WHEN z < -1.959964 THEN 'decreasing'
+        |    ELSE 'no_trend' END AS trend
+        |FROM zz""".stripMargin),
+
+    "q_holt" ->
+      (s"""WITH $daysCtesSql,
+        |coef AS (
+        |  SELECT v.j, CAST(v.a11 AS DOUBLE) AS a11,
+        |    CAST(v.a12 AS DOUBLE) AS a12, CAST(v.a21 AS DOUBLE) AS a21,
+        |    CAST(v.a22 AS DOUBLE) AS a22
+        |  FROM (VALUES ${holtCoefValuesSql})
+        |    v(j, a11, a12, a21, a22)),
+        |init AS (
+        |  SELECT sum(CASE WHEN t = 1 THEN CAST(y AS DOUBLE) END) AS l1,
+        |    sum(CASE WHEN t = 2 THEN CAST(y AS DOUBLE)
+        |      ELSE CAST(0 - y AS DOUBLE) END) AS b1
+        |  FROM days WHERE t <= 2),
+        |terms AS (
+        |  SELECT a.t AS tt,
+        |    sum(CAST(round((c.a11 * CAST(0.3 AS DOUBLE)
+        |      + c.a12 * CAST(0.03 AS DOUBLE))
+        |      * CAST(b.y AS DOUBLE), 9) AS DECIMAL(28,9))) AS sum_l,
+        |    sum(CAST(round((c.a21 * CAST(0.3 AS DOUBLE)
+        |      + c.a22 * CAST(0.03 AS DOUBLE))
+        |      * CAST(b.y AS DOUBLE), 9) AS DECIMAL(28,9))) AS sum_b
+        |  FROM days a
+        |  JOIN days b ON b.t >= 2 AND b.t <= a.t
+        |  JOIN coef c ON c.j = a.t - b.t
+        |  WHERE a.t >= 2
+        |  GROUP BY 1),
+        |state AS (
+        |  SELECT tt,
+        |    CAST(sum_l + CAST(round(c.a11 * i.l1 + c.a12 * i.b1, 9)
+        |      AS DECIMAL(28,9)) AS DOUBLE) AS level,
+        |    CAST(sum_b + CAST(round(c.a21 * i.l1 + c.a22 * i.b1, 9)
+        |      AS DECIMAL(28,9)) AS DOUBLE) AS trend
+        |  FROM terms JOIN coef c ON c.j = tt - 1 CROSS JOIN init i),
+        |fitted AS (
+        |  SELECT CAST(d.d AS VARCHAR) AS d, d.t,
+        |    CAST(d.y AS DOUBLE) AS y,
+        |    round(s.level + s.trend, 6) AS fitted,
+        |    round(CAST(d.y AS DOUBLE) - (s.level + s.trend), 6) AS err
+        |  FROM days d JOIN state s ON s.tt + 1 = d.t
+        |  WHERE d.t >= 3),
+        |last AS (SELECT max(t) AS tmax, max(d) AS dmax FROM days),
+        |fc AS (
+        |  SELECT CAST(dmax + CAST(h.h AS INT) AS VARCHAR) AS d,
+        |    CAST(tmax + h.h AS INT) AS t,
+        |    CAST(NULL AS DOUBLE) AS y,
+        |    round(s.level + h.h * s.trend, 6) AS fitted,
+        |    CAST(NULL AS DOUBLE) AS err
+        |  FROM last JOIN state s ON s.tt = last.tmax
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h)
+        |SELECT d, CAST(t AS INT) AS t, y, fitted, err FROM fitted
+        |UNION ALL
+        |SELECT d, t, y, fitted, err FROM fc
+        |ORDER BY t""".stripMargin)
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.queries.SeriesOps
+import org.apache.spark.sql.functions._
+
+/** Round-13 sequential-monitoring batch: each op's window/unroll closed
+  * form is replayed against the plain sequential recursion it claims to
+  * equal (the qSes precedent) — CUSUM's max(0, .) via the prefix-min
+  * identity, Page–Hinkley's running-mean deviations, Mann–Kendall's
+  * brute-force pair count, and Holt's two-state level/trend recursion. */
+class R13bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val daily: Seq[Double] =
+    Tables.df(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(round($"value", 2)).as("y"))
+      .orderBy($"d")
+      .select($"y".cast("double")).as[Double].collect().toSeq
+
+  test("cusum: the prefix-min identity replays the tabular recursion") {
+    val rows = SeriesOps.qCusum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("z"),
+        r.getAs[Double]("s_pos"), r.getAs[Double]("s_neg"),
+        r.getAs[Boolean]("alarm")))
+      .sortBy(_._1)
+    var sp = 0.0; var sn = 0.0
+    rows.foreach { case (d, z, spOut, snOut, alarm) =>
+      sp = math.max(0.0, sp + z - 0.5)
+      sn = math.max(0.0, sn - z - 0.5)
+      assert(math.abs(spOut - sp) < 1e-4, s"$d: S+ $spOut vs replay $sp")
+      assert(math.abs(snOut - sn) < 1e-4, s"$d: S- $snOut vs replay $sn")
+      assert(alarm == (spOut > 4.0 || snOut > 4.0))
+    }
+  }
+
+  test("page-hinkley: the prefix-min form replays the running-mean " +
+      "deviation recursion") {
+    val rows = SeriesOps.qPageHinkley(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("z"),
+        r.getAs[Double]("z_runmean"), r.getAs[Double]("ph")))
+      .sortBy(_._1)
+    // PH_t = m_t - min_{1<=j<=t} m_j: the window holds emitted rows
+    // only (no virtual m_0 = 0), matching the query's frame
+    var cum = 0.0; var m = 0.0; var mMin = Double.MaxValue; var t = 0
+    rows.foreach { case (d, z, zbar, ph) =>
+      t += 1; cum += z
+      assert(math.abs(zbar - cum / t) < 1e-4, s"$d: running mean")
+      m += z - cum / t - 0.05
+      mMin = math.min(mMin, m)
+      val phReplay = m - mMin
+      assert(math.abs(ph - phReplay) < 1e-3, s"$d: PH $ph vs $phReplay")
+      assert(ph >= -1e-9, "PH is non-negative by construction")
+    }
+  }
+
+  test("mann-kendall: S, Var(S) and z replay the brute-force pair count") {
+    val row = SeriesOps.qMannKendall(spark, sf).collect().head
+    val y = daily
+    val n = y.size
+    assert(row.getAs[Long]("n") == n)
+    val s = (for (i <- 0 until n; j <- i + 1 until n)
+      yield math.signum(y(j) - y(i)).toLong).sum
+    assert(row.getAs[Long]("s") == s)
+    val ties = y.groupBy(identity).values.map(_.size.toLong)
+    val tieTerm = ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varS = (n.toLong * (n - 1) * (2L * n + 5) - tieTerm) / 18.0
+    assert(math.abs(row.getAs[Double]("var_s") - varS) < 1e-4)
+    val z = if (s > 0) (s - 1) / math.sqrt(varS)
+      else if (s < 0) (s + 1) / math.sqrt(varS) else 0.0
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-4)
+    val trend = row.getAs[String]("trend")
+    assert(trend == (if (z > 1.959964) "increasing"
+      else if (z < -1.959964) "decreasing" else "no_trend"))
+  }
+
+  test("holt: the matrix-power unroll replays the level/trend " +
+      "recursion, and forecasts extrapolate the last state") {
+    val rows = SeriesOps.qHolt(spark, sf).collect()
+      .map(r => (r.getInt(1), Option(r.getAs[Any]("y")).map(_.toString.toDouble),
+        r.getAs[Double]("fitted")))
+      .sortBy(_._1)
+    val y = daily
+    val (alpha, beta) = (0.3, 0.1)
+    var l = y(0); var b = y(1) - y(0)
+    val fittedByT = scala.collection.mutable.Map[Int, Double]()
+    for (t <- 2 to y.size) {
+      fittedByT(t) = l + b // one-step-ahead from state at t-1
+      val lNew = alpha * y(t - 1) + (1 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1 - beta) * b
+      l = lNew
+    }
+    val (obs, fc) = rows.partition(_._1 <= y.size)
+    assert(obs.size == y.size - 2, "fitted rows start at t = 3")
+    obs.foreach { case (t, yOut, fitted) =>
+      assert(yOut.isDefined && math.abs(yOut.get - y(t - 1)) < 1e-6)
+      assert(math.abs(fitted - fittedByT(t)) < 1e-3,
+        s"t=$t: fitted $fitted vs replay ${fittedByT(t)}")
+    }
+    assert(fc.size == 7, "a 7-day forecast horizon")
+    fc.sortBy(_._1).zipWithIndex.foreach { case ((t, yOut, fitted), i) =>
+      assert(yOut.isEmpty, "forecast rows carry no observation")
+      assert(t == y.size + i + 1)
+      assert(math.abs(fitted - (l + (i + 1) * b)) < 1e-3,
+        s"h=${i + 1}: forecast must be l_T + h b_T")
+    }
+  }
+}
