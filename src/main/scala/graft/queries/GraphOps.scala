@@ -536,7 +536,122 @@ object GraphOps extends QueryPack {
       .limit(20)
   }
 
+  // ---- landmark BFS: q_closeness / q_graph_radius -------------------------
+
+  /** Distances d(landmark, node) from 10 md5-chosen landmark nodes to
+    * every node within 4 hops, by unrolled min-plus BFS over the
+    * long-encoded co-purchase graph. The landmark trick (Eppstein &
+    * Wang '01) is what makes closeness tractable at scale: exact
+    * closeness is all-pairs BFS (O(n·m) — dead at 100 TB), while k
+    * landmarks cost k BFS trees and estimate every node's centrality
+    * from its distances TO the landmarks. Each hop is one join + one
+    * (lm, node) min-aggregate — the Pregel-as-SQL shape PageRank uses —
+    * checkpointed per level so the plan stays linear, not 2^depth.
+    * Landmark choice hashes the DECODED string id through the portable
+    * md5 rank, so both engines pick the identical seed set. 4 hops
+    * covers this bipartite graph (probe: max eccentricity from
+    * landmarks is 4 at sf0.01); unreached pairs simply drop out, and
+    * both consumers gate on full landmark coverage identically. */
+  private def landmarkDistances(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdgesLong(spark, sfDir).localCheckpoint()
+    val decoded = concat(when($"node" % 2 === 0, "c:").otherwise("s:"),
+      shiftright($"node", 1).cast("string"))
+    val lm = edges.select($"u".as("node")).distinct()
+      .select($"node", decoded.as("ns"))
+      .withColumn("h",
+        conv(substring(md5($"ns"), 1, 15), 16, 10).cast("long"))
+      .orderBy($"h", $"ns").limit(10)
+      .select($"node".as("lm"))
+    var dist = lm.select($"lm", $"lm".as("node"), lit(0).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      dist = dist
+        .unionByName(dist.join(edges, $"node" === $"u")
+          .select($"lm", $"v".as("node"), ($"d" + 1).as("d")))
+        .groupBy($"lm", $"node").agg(min($"d").as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** One unrolled min-plus BFS level for the oracle chain. */
+  private def bfsIterSql(prev: String, cur: String): String =
+    s"""d$cur AS (
+       |  SELECT lm, node, min(d) AS d FROM (
+       |    SELECT lm, node, d FROM d$prev
+       |    UNION ALL
+       |    SELECT p.lm, e.v, p.d + 1 FROM d$prev p JOIN e ON e.u = p.node)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val bfsCtesSql: String =
+    s"""pairs AS (
+       |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |lm AS (
+       |  SELECT node FROM (SELECT DISTINCT u AS node FROM e)
+       |  ORDER BY ('0x' || substr(md5(node), 1, 15))::BIGINT, node
+       |  LIMIT 10),
+       |d0 AS (SELECT node AS lm, node, 0 AS d FROM lm),
+       |${bfsIterSql("0", "1")},
+       |${bfsIterSql("1", "2")},
+       |${bfsIterSql("2", "3")},
+       |${bfsIterSql("3", "4")}""".stripMargin
+
+  /** Landmark-estimated closeness and harmonic centrality (Bavelas '50;
+    * Eppstein & Wang '01 estimator; Boldi & Vigna '14 for harmonic):
+    * over the landmark-BFS distance relation, a node with full landmark
+    * coverage gets closeness_est = k / Σ_l d(l,u) and harmonic_est =
+    * (Σ_{d>0} 1/d) / k — the mean-inverse-distance form that tolerates
+    * the self term. Σd is an exact integer; the 1/d terms round once to
+    * 9dp into an exact decimal sum; top 25 orders by the ROUNDED
+    * closeness with the string-id tie-break (the pagerankTop rule). */
+  def qCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(28, 9)
+    val agg = landmarkDistances(spark, sfDir)
+      .groupBy($"node")
+      .agg(count(lit(1)).as("cov"), sum($"d").as("sum_d"),
+        sum(when($"d" > 0,
+          round(lit(1.0) / $"d".cast("double"), 9).cast(dec9))
+          .otherwise(lit(BigDecimal("0").bigDecimal).cast(dec9)))
+          .as("hsum"))
+      .filter($"cov" === 10)
+    agg.select(
+        concat(when($"node" % 2 === 0, "c:").otherwise("s:"),
+          shiftright($"node", 1).cast("string")).as("node"),
+        $"sum_d",
+        round(lit(10.0) / $"sum_d", 6).as("closeness"),
+        round($"hsum".cast("double") / 10.0, 6).as("harmonic"))
+      .orderBy($"closeness".desc, $"node".asc)
+      .limit(25)
+  }
+
+  /** Per-landmark eccentricity within the 4-hop horizon plus the
+    * classic landmark bounds: diameter ≥ max eccentricity seen (the
+    * double-sweep lower bound), radius ≤ min — the graph-shape summary
+    * a platform reads before choosing join strategies over a
+    * relationship table. Pure integer arithmetic end to end. */
+  def qGraphRadius(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perLm = landmarkDistances(spark, sfDir)
+      .groupBy($"lm")
+      .agg(count(lit(1)).as("n_reached"), max($"d").as("ecc"))
+    val bounds = perLm.agg(max($"ecc").as("diameter_lb"),
+      min($"ecc").as("radius_ub"))
+    perLm.crossJoin(broadcast(bounds))
+      .select(
+        concat(when($"lm" % 2 === 0, "c:").otherwise("s:"),
+          shiftright($"lm", 1).cast("string")).as("lm"),
+        $"n_reached", $"ecc", $"diameter_lb", $"radius_ub")
+      .orderBy($"lm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_closeness" -> qCloseness,
+    "q_graph_radius" -> qGraphRadius,
     "q_kcore" -> qKcore,
     "q_adamic_adar" -> qAdamicAdar,
     "q_hits" -> qHits,
@@ -587,6 +702,37 @@ object GraphOps extends QueryPack {
        |    FROM c$cur) WHERE rk = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same md5-chosen landmarks, same 4 unrolled min-plus levels, same
+    // exact integer distance sums and once-rounded 9dp inverse terms
+    "q_closeness" ->
+      (s"""WITH $bfsCtesSql,
+        |agg AS (
+        |  SELECT node, count(*) AS cov,
+        |    CAST(sum(d) AS BIGINT) AS sum_d,
+        |    sum(CASE WHEN d > 0
+        |      THEN CAST(round(1.0 / CAST(d AS DOUBLE), 9)
+        |        AS DECIMAL(28,9))
+        |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS hsum
+        |  FROM d4 GROUP BY node)
+        |SELECT node, sum_d,
+        |  round(CAST(10 AS DOUBLE) / sum_d, 6) AS closeness,
+        |  round(CAST(hsum AS DOUBLE) / CAST(10 AS DOUBLE), 6) AS harmonic
+        |FROM agg WHERE cov = 10
+        |ORDER BY closeness DESC, node ASC LIMIT 25""".stripMargin),
+
+    "q_graph_radius" ->
+      (s"""WITH $bfsCtesSql,
+        |per AS (
+        |  SELECT lm, CAST(count(*) AS BIGINT) AS n_reached,
+        |    max(d) AS ecc
+        |  FROM d4 GROUP BY lm),
+        |bounds AS (
+        |  SELECT max(ecc) AS diameter_lb, min(ecc) AS radius_ub
+        |  FROM per)
+        |SELECT lm, n_reached, ecc, diameter_lb, radius_ub
+        |FROM per CROSS JOIN bounds
+        |ORDER BY lm""".stripMargin),
+
     // same three unrolled peel rounds, same exact-integer quantile k,
     // same integer survivor counts
     "q_kcore" ->

@@ -75,6 +75,63 @@ class R13bOpsSpec extends SparkSpec {
       else if (z < -1.959964) "decreasing" else "no_trend"))
   }
 
+  test("closeness: landmark distance sums replay a driver-side BFS, " +
+      "and the estimate is k over the sum") {
+    val edges = graft.queries.GraphOps.coPurchaseEdgesLong(spark, sf)
+      .as[(Long, Long)].collect()
+    val adj = edges.groupBy(_._1).map { case (u, vs) =>
+      u -> vs.map(_._2).toSet }
+    def bfs(src: Long): Map[Long, Int] = {
+      var dist = Map(src -> 0)
+      var frontier = Set(src)
+      for (lvl <- 1 to 4) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> lvl)
+      }
+      dist
+    }
+    def decode(n: Long): String =
+      (if (n % 2 == 0) "c:" else "s:") + (n >> 1)
+    val nodes = adj.keySet
+    def md5Head15(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val landmarks = nodes.toSeq
+      .sortBy(n => (md5Head15(decode(n)), decode(n)))
+      .take(10)
+    val trees = landmarks.map(l => l -> bfs(l)).toMap
+    val rows = graft.queries.GraphOps.qCloseness(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val ns = r.getString(0)
+      val id = ns.drop(2).toLong * 2 + (if (ns.startsWith("s:")) 1 else 0)
+      val ds = landmarks.flatMap(l => trees(l).get(id))
+      assert(ds.size == 10, s"$ns must reach all landmarks")
+      assert(r.getAs[Long]("sum_d") == ds.sum.toLong,
+        s"$ns: landmark distance sum")
+      assert(math.abs(r.getAs[Double]("closeness") - 10.0 / ds.sum) < 1e-5)
+      val h = ds.filter(_ > 0).map(1.0 / _).sum / 10.0
+      assert(math.abs(r.getAs[Double]("harmonic") - h) < 1e-5)
+    }
+  }
+
+  test("graph radius: bounds are the extrema of the eccentricity " +
+      "column and every landmark reaches the whole graph") {
+    val rows = graft.queries.GraphOps.qGraphRadius(spark, sf).collect()
+    assert(rows.length == 10)
+    val eccs = rows.map(_.getAs[Int]("ecc"))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("diameter_lb") == eccs.max)
+      assert(r.getAs[Int]("radius_ub") == eccs.min)
+      assert(r.getAs[Int]("ecc") >= 1 && r.getAs[Int]("ecc") <= 4)
+      assert(r.getAs[Long]("n_reached") >= 1L)
+    }
+  }
+
   test("holt: the matrix-power unroll replays the level/trend " +
       "recursion, and forecasts extrapolate the last state") {
     val rows = SeriesOps.qHolt(spark, sf).collect()
