@@ -42,7 +42,8 @@ object SparkEntry {
     InferOps,
     NonparamOps,
     DecisionOps,
-    SeriesOps
+    SeriesOps,
+    EvalOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -132,6 +132,64 @@ class R13bOpsSpec extends SparkSpec {
     }
   }
 
+  test("conformal: the split partitions the order relation and " +
+      "held-out coverage lands near the 90% guarantee") {
+    val row = graft.queries.EvalOps.qConformal(spark, sf).collect().head
+    // the unit is orders WITH lineitems (the ridge feature relation)
+    val total = Tables.df(spark, sf, "lineitem")
+      .select($"l_orderkey").distinct().count()
+    val n = row.getAs[Long]("n_train") + row.getAs[Long]("n_calib") +
+      row.getAs[Long]("n_test")
+    assert(n == total, "train+calib+test must partition the orders")
+    assert(row.getAs[Double]("q_hat") > 0.0)
+    val cov = row.getAs[Double]("coverage")
+    assert(cov >= 0.8 && cov <= 1.0,
+      s"marginal coverage $cov should sit near the 1-alpha target")
+    assert(math.abs(row.getAs[Double]("mean_width")
+      - 2 * row.getAs[Double]("q_hat")) < 2e-4)
+  }
+
+  test("perm importance: baseline delta is zero and permuting an " +
+      "informative feature cannot shrink the MSE") {
+    val rows = graft.queries.EvalOps.qPermImportance(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("mse"),
+        r.getAs[Double]("delta_frac"))).toMap
+    assert(rows.keySet == Set("none", "x_lines", "x_qty"))
+    assert(rows("none")._2 == 0.0)
+    assert(rows("x_lines")._2 > 0.0,
+      "permuting an informative feature must raise MSE")
+    assert(rows("x_qty")._2 > 0.0,
+      "permuting an informative feature must raise MSE")
+  }
+
+  test("impute: the fill is the exact survivor median and the masked " +
+      "share is about a fifth per type") {
+    val rows = graft.queries.EvalOps.qImpute(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def md5Head15(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val ev = Tables.df(spark, sf, "events")
+      .select($"event_id", $"event_type",
+        round($"value", 2).cast("decimal(18,2)").as("v"))
+      .as[(Long, String, java.math.BigDecimal)].collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val (masked, surv) = ev.filter(_._2 == t)
+        .partition(e => md5Head15(s"imp:${e._1}") % 5 == 0)
+      assert(r.getAs[Long]("n_masked") == masked.length)
+      val sv = surv.map(_._3.doubleValue).sorted
+      val mid = (sv((sv.length - 1) / 2) + sv(sv.length / 2)) / 2
+      assert(math.abs(r.getAs[Double]("median_fill") - mid) < 1e-3,
+        s"$t: fill must be the survivor median")
+      assert(r.getAs[Double]("rmse") >= r.getAs[Double]("mae") - 1e-9,
+        "RMSE dominates MAE")
+    }
+  }
+
   test("holt: the matrix-power unroll replays the level/trend " +
       "recursion, and forecasts extrapolate the last state") {
     val rows = SeriesOps.qHolt(spark, sf).collect()
