@@ -415,7 +415,190 @@ object DecisionOps extends QueryPack {
       .orderBy($"source", $"n")
   }
 
+  // ---- q_shapley ---------------------------------------------------------
+  /** Exact Shapley-value channel attribution (Shapley '53; the
+    * data-driven marketing form of Zhao et al. '18): the unit is the
+    * USER-DAY journey (the unit-of-analysis lesson — per-user everything
+    * saturates on this fixture), its coalition is the set of
+    * non-purchase channels touched that day (a bitmask), and the
+    * characteristic function v(S) = conversion rate of journeys whose
+    * touchset ⊆ S. With k channels the 2^k coalition values come from
+    * ONE journeys × subsets bitwise-containment join (2^k is a
+    * broadcast-sized literal range — the whole game is k ≤ 8 by
+    * construction, while journeys scale freely), and
+    * φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! · (v(S∪{c}) − v(S)) is exact —
+    * factorial weights over bit_count, no sampling. A '__total' row
+    * carries v(full) − v(∅) so the efficiency axiom (Σφ = total) is
+    * checkable in-output. Weighted terms round once to 9dp into exact
+    * decimal sums; S∪{c} is S + 2^c since c ∉ S (no bitwise-OR needed). */
+  def qShapley(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+    val channels = ev.filter($"event_type" =!= "purchase")
+      .select($"event_type".as("channel")).distinct()
+      .withColumn("bit",
+        row_number().over(Window.orderBy($"channel")) - 1)
+      .withColumn("p", pow(lit(2.0), $"bit").cast("int"))
+    val kk = channels.agg(count(lit(1)).cast("int").as("k"))
+    val cells = ev
+      .join(broadcast(channels),
+        $"event_type" === $"channel", "left")
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(coalesce(sum_distinct($"p"), lit(0)).as("m"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .localCheckpoint() // the 2^k containment join reads it once per s
+    val subsets = spark.range(0, 256).select($"id".cast("int").as("s"))
+      .crossJoin(broadcast(kk))
+      .filter($"s" < pow(lit(2.0), $"k").cast("int"))
+    val v = subsets.join(cells, expr("(m & s) = m"), "left")
+      .groupBy($"s", $"k")
+      .agg(count($"m").as("cnt"), sum($"y").as("conv"))
+      .select($"s", $"k",
+        when($"cnt" > 0, $"conv".cast("double") / $"cnt")
+          .otherwise(0.0).as("v"))
+      .localCheckpoint() // both sides of the S / S∪{c} join + the total
+    val pairs = channels.crossJoin(broadcast(kk))
+      .join(v.select($"s", $"v".as("v0")), expr("(s & p) = 0"))
+      .join(v.select($"s".as("s1"), $"v".as("v1")),
+        expr("s1 = s + p"))
+      .withColumn("bc", bit_count($"s"))
+      .withColumn("w",
+        (factorial($"bc") * factorial($"k" - 1 - $"bc")).cast("double")
+          / factorial($"k").cast("double"))
+    val phi = pairs.groupBy($"channel")
+      .agg(sum(round($"w" * ($"v1" - $"v0"), 9)
+        .cast(DecimalType(28, 9))).as("phi"))
+      .select($"channel", round($"phi".cast("double"), 6).as("phi"))
+    val total = v
+      .agg(sum(when($"s" === pow(lit(2.0), $"k").cast("int") - 1, $"v"))
+        .as("vf"),
+        sum(when($"s" === 0, $"v")).as("v0"))
+      .select(lit("__total").as("channel"),
+        round($"vf" - $"v0", 6).as("phi"))
+    phi.unionByName(total).orderBy($"channel")
+  }
+
+  // ---- q_bayes_ab --------------------------------------------------------
+
+  /** Φ(z) by the Zelen–Severo rational approximation (Abramowitz &
+    * Stegun 26.2.17, |ε| < 7.5e-8): a fixed polynomial in
+    * t = 1/(1 + 0.2316419|z|) times the normal pdf, with the one libm
+    * exp behind the established 9dp argument round. Both engines run
+    * this identical shape; 6dp output rounding swallows the
+    * approximation and any last-ulp exp drift. */
+  private[graft] def normCdf(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782)
+      + t * (lit(1.781477937) + t * (lit(-1.821255978)
+      + t * lit(1.330274429)))))
+    val pdf = exp(round(-(az * az) / 2.0, 9)) * lit(0.3989422804014327)
+    val cdfPos = lit(1.0) - pdf * poly
+    when(z >= 0, cdfPos).otherwise(lit(1.0) - cdfPos)
+  }
+
+  private[queries] def normCdfSql(z: String): String =
+    s"""CASE WHEN ($z) >= 0
+       | THEN 1.0 - exp(round(-(abs($z) * abs($z)) / 2.0, 9))
+       |   * 0.3989422804014327
+       |   * ((1.0 / (1.0 + 0.2316419 * abs($z))) * (0.319381530
+       |     + (1.0 / (1.0 + 0.2316419 * abs($z))) * (-0.356563782
+       |     + (1.0 / (1.0 + 0.2316419 * abs($z))) * (1.781477937
+       |     + (1.0 / (1.0 + 0.2316419 * abs($z))) * (-1.821255978
+       |     + (1.0 / (1.0 + 0.2316419 * abs($z))) * 1.330274429)))))
+       | ELSE 1.0 - (1.0 - exp(round(-(abs($z) * abs($z)) / 2.0, 9))
+       |   * 0.3989422804014327
+       |   * ((1.0 / (1.0 + 0.2316419 * abs($z))) * (0.319381530
+       |     + (1.0 / (1.0 + 0.2316419 * abs($z))) * (-0.356563782
+       |     + (1.0 / (1.0 + 0.2316419 * abs($z))) * (1.781477937
+       |     + (1.0 / (1.0 + 0.2316419 * abs($z))) * (-1.821255978
+       |     + (1.0 / (1.0 + 0.2316419 * abs($z))) * 1.330274429))))))
+       | END""".stripMargin.replace("\n", "")
+
+  /** Bayesian A/B readout (Thompson/Stan-style posterior summary with
+    * a Beta(1,1) prior, normal posterior approximation — Gelman et al.
+    * BDA3 §4 justifies the approximation at these counts): user-day
+    * conversion under the parity split, posterior mean/variance of each
+    * arm in exact rational moments, P(B > A) = Φ(Δ/σ_Δ) through the
+    * shared [[normCdf]], a 95% credible interval for the lift, and the
+    * ship/kill/continue decision at the 0.95/0.05 thresholds. The
+    * Bayesian twin of q_abtest: same experiment, posterior probability
+    * instead of p-value. */
+  def qBayesAb(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("y"))
+      .select(($"user_id" % 2 === 1).as("arm_b"), $"y")
+    val s = cells.groupBy($"arm_b")
+      .agg(count(lit(1)).as("n"), sum($"y").as("conv"))
+    val w = s.select(
+      sum(when(!$"arm_b", $"n")).as("na"),
+      sum(when(!$"arm_b", $"conv")).as("sa"),
+      sum(when($"arm_b", $"n")).as("nb"),
+      sum(when($"arm_b", $"conv")).as("sb"))
+    def mu(sc: Column, nc: Column) =
+      (sc + lit(1L)).cast("double") / (nc + lit(2L))
+    def varp(sc: Column, nc: Column) =
+      (((sc + lit(1L)) * (nc - sc + lit(1L))).cast("double")
+        / (((nc + lit(2L)) * (nc + lit(2L))).cast("double")
+          * (nc + lit(3L))))
+    val d = mu($"sb", $"nb") - mu($"sa", $"na")
+    val sd = sqrt(varp($"sa", $"na") + varp($"sb", $"nb"))
+    val prob = normCdf(d / sd)
+    w.select($"na".as("n_a"), round(mu($"sa", $"na"), 6).as("conv_a"),
+        $"nb".as("n_b"), round(mu($"sb", $"nb"), 6).as("conv_b"),
+        round(d, 6).as("lift"), round(sd, 6).as("sd_lift"),
+        round(prob, 6).as("prob_b_better"),
+        round(d - lit(1.959964) * sd, 6).as("ci_lo"),
+        round(d + lit(1.959964) * sd, 6).as("ci_hi"))
+      .withColumn("decision",
+        when($"prob_b_better" > 0.95, "ship_b")
+          .when($"prob_b_better" < 0.05, "ship_a")
+          .otherwise("continue"))
+  }
+
+  // ---- q_poisson_rate ----------------------------------------------------
+  /** Two-sample Poisson rate comparison (the conditional binomial test,
+    * Przyborowski & Wilenski '40; Lehmann TSH §4.5): weekend vs weekday
+    * event rates with calendar days as exposure. Under H0 (equal
+    * rates), k_we | k_we + k_wd ~ Binomial(n, d_we/(d_we + d_wd)), so
+    * the score statistic z = (k_we − n·p0)/sqrt(n·p0·(1−p0)) needs only
+    * exact integer counts and one sqrt; significance derives from the
+    * shared two-sided 5% normal critical value. The capacity-planning
+    * primitive: "is weekend traffic per day actually different?" */
+  def qPoissonRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+      .select(to_date($"ts").as("d"))
+      .withColumn("we",
+        datediff($"d", lit("1970-01-05").cast("date")) % 7 >= 5)
+    val s = ev.groupBy($"we")
+      .agg(count(lit(1)).as("k"), count_distinct($"d").as("days"))
+    val w = s.agg(
+      sum(when($"we", $"k")).as("k_we"),
+      sum(when($"we", $"days")).as("d_we"),
+      sum(when(!$"we", $"k")).as("k_wd"),
+      sum(when(!$"we", $"days")).as("d_wd"))
+    val n = $"k_we" + $"k_wd"
+    val p0 = $"d_we".cast("double") / ($"d_we" + $"d_wd")
+    val z = (($"k_we".cast("double") - n.cast("double") * p0)
+      / sqrt(n.cast("double") * p0 * (lit(1.0) - p0)))
+    val rr = (($"k_we".cast("double") / $"d_we")
+      / ($"k_wd".cast("double") / $"d_wd"))
+    w.select($"k_we", $"d_we", $"k_wd", $"d_wd",
+        round($"k_we".cast("double") / $"d_we", 6).as("rate_weekend"),
+        round($"k_wd".cast("double") / $"d_wd", 6).as("rate_weekday"),
+        round(rr, 6).as("rate_ratio"), round(z, 6).as("z"))
+      .withColumn("significant", abs($"z") > 1.959964)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shapley" -> qShapley,
+    "q_bayes_ab" -> qBayesAb,
+    "q_poisson_rate" -> qPoissonRate,
     "q_iv_wald" -> qIvWald,
     "q_reg_discontinuity" -> qRegDiscontinuity,
     "q_simpsons" -> qSimpsons,
@@ -427,6 +610,128 @@ object DecisionOps extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same channel bit order, same 2^k literal-range coalitions, same
+    // exact factorial weights and 9dp-rounded marginal terms
+    "q_shapley" ->
+      ("""WITH ch AS (
+        |  SELECT channel, row_number() OVER (ORDER BY channel) - 1
+        |    AS bit
+        |  FROM (SELECT DISTINCT event_type AS channel FROM events
+        |        WHERE event_type <> 'purchase')),
+        |chp AS (
+        |  SELECT channel, bit, CAST(power(2, bit) AS INT) AS p FROM ch),
+        |kk AS (SELECT CAST(count(*) AS INT) AS k FROM chp),
+        |cells AS (
+        |  SELECT e.user_id, CAST(e.ts AS DATE) AS d,
+        |    coalesce(sum(DISTINCT c.p), 0) AS m,
+        |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS y
+        |  FROM events e LEFT JOIN chp c ON c.channel = e.event_type
+        |  GROUP BY 1, 2),
+        |sub AS (
+        |  SELECT CAST(s AS INT) AS s, k
+        |  FROM (SELECT unnest(range(0, 256)) AS s) CROSS JOIN kk
+        |  WHERE s < CAST(power(2, k) AS INT)),
+        |v AS (
+        |  SELECT sub.s, sub.k,
+        |    CASE WHEN count(c.m) > 0
+        |      THEN CAST(sum(c.y) AS DOUBLE) / count(c.m)
+        |      ELSE 0.0 END AS v
+        |  FROM sub LEFT JOIN cells c ON (c.m & sub.s) = c.m
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT cp.channel,
+        |    CAST(round((CAST(factorial(bit_count(v0.s))
+        |        * factorial(v0.k - 1 - bit_count(v0.s)) AS DOUBLE)
+        |        / CAST(factorial(v0.k) AS DOUBLE))
+        |      * (v1.v - v0.v), 9) AS DECIMAL(28,9)) AS term
+        |  FROM chp cp
+        |  JOIN v v0 ON (v0.s & cp.p) = 0
+        |  JOIN v v1 ON v1.s = v0.s + cp.p),
+        |phi AS (
+        |  SELECT channel, round(CAST(sum(term) AS DOUBLE), 6) AS phi
+        |  FROM pairs GROUP BY 1),
+        |tot AS (
+        |  SELECT '__total' AS channel,
+        |    round(sum(CASE WHEN s = CAST(power(2, k) AS INT) - 1
+        |        THEN v END)
+        |      - sum(CASE WHEN s = 0 THEN v END), 6) AS phi
+        |  FROM v)
+        |SELECT channel, phi FROM phi
+        |UNION ALL SELECT channel, phi FROM tot
+        |ORDER BY channel""".stripMargin),
+
+    "q_bayes_ab" -> {
+      val z = "d / sd"
+      (s"""WITH cells AS (
+        |  SELECT user_id % 2 = 1 AS arm_b,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS y
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |s AS (
+        |  SELECT arm_b, count(*) AS n, CAST(sum(y) AS BIGINT) AS conv
+        |  FROM cells GROUP BY 1),
+        |w AS (SELECT
+        |    CAST(sum(CASE WHEN NOT arm_b THEN n END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN NOT arm_b THEN conv END) AS BIGINT)
+        |      AS sa,
+        |    CAST(sum(CASE WHEN arm_b THEN n END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN arm_b THEN conv END) AS BIGINT) AS sb
+        |  FROM s),
+        |m AS (SELECT na, sa, nb, sb,
+        |    CAST(sb + 1 AS DOUBLE) / (nb + 2)
+        |      - CAST(sa + 1 AS DOUBLE) / (na + 2) AS d,
+        |    sqrt(CAST((sa + 1) * (na - sa + 1) AS DOUBLE)
+        |        / (CAST((na + 2) * (na + 2) AS DOUBLE) * (na + 3))
+        |      + CAST((sb + 1) * (nb - sb + 1) AS DOUBLE)
+        |        / (CAST((nb + 2) * (nb + 2) AS DOUBLE) * (nb + 3)))
+        |      AS sd
+        |  FROM w),
+        |r AS (SELECT na AS n_a,
+        |    round(CAST(sa + 1 AS DOUBLE) / (na + 2), 6) AS conv_a,
+        |    nb AS n_b,
+        |    round(CAST(sb + 1 AS DOUBLE) / (nb + 2), 6) AS conv_b,
+        |    round(d, 6) AS lift, round(sd, 6) AS sd_lift,
+        |    round(${normCdfSql(z)}, 6) AS prob_b_better,
+        |    round(d - 1.959964 * sd, 6) AS ci_lo,
+        |    round(d + 1.959964 * sd, 6) AS ci_hi
+        |  FROM m)
+        |SELECT r.*, CASE WHEN prob_b_better > 0.95 THEN 'ship_b'
+        |  WHEN prob_b_better < 0.05 THEN 'ship_a'
+        |  ELSE 'continue' END AS decision
+        |FROM r""".stripMargin)
+    },
+
+    "q_poisson_rate" ->
+      ("""WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+        |      % 7 AS INT) >= 5 AS we
+        |  FROM events),
+        |s AS (
+        |  SELECT we, count(*) AS k, count(DISTINCT d) AS days
+        |  FROM ev GROUP BY 1),
+        |w AS (SELECT
+        |    CAST(sum(CASE WHEN we THEN k END) AS BIGINT) AS k_we,
+        |    CAST(sum(CASE WHEN we THEN days END) AS BIGINT) AS d_we,
+        |    CAST(sum(CASE WHEN NOT we THEN k END) AS BIGINT) AS k_wd,
+        |    CAST(sum(CASE WHEN NOT we THEN days END) AS BIGINT) AS d_wd
+        |  FROM s),
+        |r AS (SELECT k_we, d_we, k_wd, d_wd,
+        |    round(CAST(k_we AS DOUBLE) / d_we, 6) AS rate_weekend,
+        |    round(CAST(k_wd AS DOUBLE) / d_wd, 6) AS rate_weekday,
+        |    round((CAST(k_we AS DOUBLE) / d_we)
+        |      / (CAST(k_wd AS DOUBLE) / d_wd), 6) AS rate_ratio,
+        |    round((CAST(k_we AS DOUBLE) - CAST(k_we + k_wd AS DOUBLE)
+        |        * (CAST(d_we AS DOUBLE) / (d_we + d_wd)))
+        |      / sqrt(CAST(k_we + k_wd AS DOUBLE)
+        |        * (CAST(d_we AS DOUBLE) / (d_we + d_wd))
+        |        * (1.0 - CAST(d_we AS DOUBLE) / (d_we + d_wd))), 6)
+        |      AS z
+        |  FROM w)
+        |SELECT r.*, abs(z) > 1.959964 AS significant FROM r"""
+        .stripMargin),
+
     "q_iv_wald" ->
       """WITH u AS (
         |  SELECT user_id % 2 = 0 AS z,

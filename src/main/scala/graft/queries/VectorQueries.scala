@@ -5,6 +5,7 @@ import graft.operators.{Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity search + multimodal column plumbing over the
   * `embeddings` and `documents` fixtures. */
@@ -958,7 +959,51 @@ object VectorQueries extends QueryPack {
     ea.crossJoin(broadcast(ba))
   }
 
+  // ---- q_ecod ------------------------------------------------------------
+  /** ECOD outlier scoring (Li et al. '22, TKDE — "unsupervised outlier
+    * detection using empirical cumulative distribution functions"), the
+    * two-tailed variant, over the first 8 embedding dimensions: per
+    * dimension the empirical tail probability of each value is an exact
+    * integer rank ratio (min of left/right tail counts — the 2R
+    * grouped-rank machinery, no per-row sort), and the score sums
+    * −ln(tail prob) across dimensions. Parameter-free, distribution-
+    * free, embarrassingly parallel by dimension — the complement to
+    * q_lof (density-based) for flagging corrupt vectors before they
+    * poison an ANN index. The ln terms round once to 9dp into exact
+    * decimal sums; top 20 orders by the rounded score with the vec_id
+    * tie-break. */
+  def qEcod(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(28, 9)
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val dims = emb.select($"vec_id",
+        explode(array((1 to 8).map(j =>
+          struct(lit(j).as("j"),
+            element_at($"embedding", j).cast("double").as("x"))): _*))
+          .as("e"))
+      .select($"vec_id", $"e.j".as("j"), $"e.x".as("x"))
+      .localCheckpoint() // grouped ranks + the per-row join read it
+    val nn = emb.agg(count(lit(1)).as("n"))
+    val cum = dims.groupBy($"j", $"x").agg(count(lit(1)).as("cv"))
+      .withColumn("cle", sum($"cv").over(
+        Window.partitionBy($"j").orderBy($"x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val scored = dims.join(cum, Seq("j", "x"))
+      .crossJoin(broadcast(nn))
+      .withColumn("term",
+        round(-log(least($"cle", $"n" - $"cle" + $"cv").cast("double")
+          / $"n"), 9).cast(dec9))
+    scored.groupBy($"vec_id")
+      .agg(sum($"term").as("score"))
+      .join(emb.select($"vec_id", $"label"), "vec_id")
+      .select($"vec_id", $"label",
+        round($"score".cast("double"), 6).as("ecod_score"))
+      .orderBy($"ecod_score".desc, $"vec_id".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ecod" -> qEcod,
     "q_media_dedup" -> qMediaDedup,
     "q_centroid_drift" -> qCentroidDrift,
     "q_pq_adc" -> qPqAdc,
@@ -1355,6 +1400,32 @@ object VectorQueries extends QueryPack {
         |  FROM r32)
         |SELECT * FROM a16 UNION ALL SELECT * FROM a32
         |ORDER BY dims""".stripMargin,
+
+    // same 8 dims, same exact tail-count ranks, same 9dp ln terms
+    "q_ecod" ->
+      ("""WITH d AS (
+        |  SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS x
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS INT) AS j)),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |bv AS (SELECT j, x, count(*) AS cv FROM d GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT j, x, cv, sum(cv) OVER (PARTITION BY j ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle
+        |  FROM bv),
+        |sc AS (
+        |  SELECT d.vec_id,
+        |    CAST(round(-ln(CAST(least(cle, n - cle + cv) AS DOUBLE)
+        |      / n), 9) AS DECIMAL(28,9)) AS term
+        |  FROM d JOIN cum ON cum.j = d.j AND cum.x = d.x
+        |  CROSS JOIN nn),
+        |agg AS (
+        |  SELECT vec_id, round(CAST(sum(term) AS DOUBLE), 6)
+        |    AS ecod_score
+        |  FROM sc GROUP BY 1)
+        |SELECT a.vec_id, e.label, a.ecod_score
+        |FROM agg a JOIN embeddings e ON e.vec_id = a.vec_id
+        |ORDER BY ecod_score DESC, a.vec_id ASC LIMIT 20""".stripMargin),
 
     "q_embed_health" ->
       """WITH d AS (

@@ -190,6 +190,80 @@ class R13bOpsSpec extends SparkSpec {
     }
   }
 
+  test("shapley: the efficiency axiom holds — channel values sum to " +
+      "v(full) minus v(empty)") {
+    val rows = graft.queries.DecisionOps.qShapley(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("phi")).toMap
+    val channels = rows.keySet - "__total"
+    assert(channels == Set("click", "error", "signup", "view"))
+    val sum = channels.toSeq.map(rows).sum
+    assert(math.abs(sum - rows("__total")) < 1e-4,
+      s"sum of shapley values $sum must equal the total ${rows("__total")}")
+  }
+
+  test("bayes ab: the normal-cdf approximation hits known quantiles " +
+      "and the interval brackets the lift") {
+    import graft.queries.DecisionOps
+    val probe = spark.range(1)
+      .select(DecisionOps.normCdf(lit(0.0)).as("p0"),
+        DecisionOps.normCdf(lit(1.959964)).as("p1"),
+        DecisionOps.normCdf(lit(-1.959964)).as("p2")).head()
+    assert(math.abs(probe.getDouble(0) - 0.5) < 1e-6)
+    assert(math.abs(probe.getDouble(1) - 0.975) < 1e-4)
+    assert(math.abs(probe.getDouble(2) - 0.025) < 1e-4)
+    val row = DecisionOps.qBayesAb(spark, sf).collect().head
+    val p = row.getAs[Double]("prob_b_better")
+    assert(p > 0.0 && p < 1.0)
+    assert(row.getAs[Double]("ci_lo") <= row.getAs[Double]("lift"))
+    assert(row.getAs[Double]("lift") <= row.getAs[Double]("ci_hi"))
+    val dec = row.getAs[String]("decision")
+    assert(dec == (if (p > 0.95) "ship_b"
+      else if (p < 0.05) "ship_a" else "continue"))
+  }
+
+  test("poisson rate: z replays the conditional binomial score from " +
+      "the emitted counts") {
+    val r = graft.queries.DecisionOps.qPoissonRate(spark, sf)
+      .collect().head
+    val (kWe, dWe, kWd, dWd) = (r.getAs[Long]("k_we"),
+      r.getAs[Long]("d_we"), r.getAs[Long]("k_wd"), r.getAs[Long]("d_wd"))
+    assert(dWe + dWd == 30, "the fixture calendar is 30 days")
+    val n = (kWe + kWd).toDouble
+    val p0 = dWe.toDouble / (dWe + dWd)
+    val z = (kWe - n * p0) / math.sqrt(n * p0 * (1 - p0))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-4)
+    assert(r.getAs[Boolean]("significant") ==
+      (math.abs(r.getAs[Double]("z")) > 1.959964))
+  }
+
+  test("ecod: scores replay the driver-side tail-rank computation") {
+    val emb = Tables.df(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val n = emb.length
+    val byDim = (0 until 8).map { j =>
+      val xs = emb.map(e => e._1 -> e._2(j).toDouble)
+      val sorted = xs.map(_._2).sorted
+      j -> xs.map { case (id, x) =>
+        val cle = sorted.count(_ <= x)
+        val cge = sorted.count(_ >= x)
+        id -> -math.log(math.min(cle, cge).toDouble / n)
+      }.toMap
+    }.toMap
+    val scores = emb.map { case (id, _) =>
+      id -> (0 until 8).map(j => byDim(j)(id)).sum }.toMap
+    val rows = graft.queries.VectorQueries.qEcod(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(math.abs(r.getAs[Double]("ecod_score") - scores(id)) < 1e-3,
+        s"vec $id score")
+    }
+    // the emitted 20 really are the top 20
+    val cutoff = rows.map(_.getAs[Double]("ecod_score")).min
+    val better = scores.values.count(_ > cutoff + 1e-6)
+    assert(better <= 20, "no vector outside the top-20 scores higher")
+  }
+
   test("holt: the matrix-power unroll replays the level/trend " +
       "recursion, and forecasts extrapolate the last state") {
     val rows = SeriesOps.qHolt(spark, sf).collect()
