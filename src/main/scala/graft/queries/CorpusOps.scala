@@ -40,9 +40,12 @@ object CorpusOps extends QueryPack {
       .orderBy($"qid", $"rk")
   }
 
-  /** BM25-ranked (qid, doc_id, score, rk) up to rank `k` — shared by
-    * [[qBm25]] and the RRF fusion stage of [[qHybridRrf]]. */
-  private def bm25Ranked(spark: SparkSession, sfDir: String, k: Int)
+  /** The BM25 scoring INPUT — tf rows restricted to query terms, joined
+    * with df / dl / corpus stats (columns qid, doc_id, tf, df, dl,
+    * n_docs, avgdl) but no scoring function applied. Shared by
+    * [[bm25Ranked]] (fixed k1=1.2, b=0.75) and [[qBm25Tune]] (a (k1, b)
+    * grid), so the index-shaped input plan has one home. */
+  private def bm25ScoringInput(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import spark.implicits._
     val docs = Tables.df(spark, sfDir, "documents")
@@ -56,12 +59,26 @@ object CorpusOps extends QueryPack {
     // both engines); n_docs = docs with >= 1 token, mirrored in the SQL
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       round(sum($"dl").cast("double") / count(lit(1)), 6).as("avgdl"))
-    val qterms = Seq((1, "hash"), (1, "join"), (2, "window"), (2, "agg"),
-      (2, "stream"), (3, "slow"), (3, "scan")).toDF("qid", "term")
-    val scored = tf.join(broadcast(qterms), $"tok" === $"term")
+    tf.join(broadcast(bm25Qterms(spark)), $"tok" === $"term")
       .join(dfreq, "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
+  }
+
+  /** The fixed 7-row query-term table (qid, term) — one home so the run,
+    * the qrels, and the tuner can't drift. */
+  private def bm25Qterms(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1, "hash"), (1, "join"), (2, "window"), (2, "agg"),
+      (2, "stream"), (3, "slow"), (3, "scan")).toDF("qid", "term")
+  }
+
+  /** BM25-ranked (qid, doc_id, score, rk) up to rank `k` — shared by
+    * [[qBm25]] and the RRF fusion stage of [[qHybridRrf]]. */
+  private def bm25Ranked(spark: SparkSession, sfDir: String, k: Int)
+      : DataFrame = {
+    import spark.implicits._
+    val scored = bm25ScoringInput(spark, sfDir)
       .select($"qid", $"doc_id",
         round(
           log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
@@ -346,6 +363,80 @@ object CorpusOps extends QueryPack {
           round($"dcg".cast("double") / $"idcg".cast("double"), 6))
           .otherwise(0.0).as("ndcg_at_10"))
       .orderBy($"qid")
+  }
+
+  // ---- q_bm25_tune -------------------------------------------------------
+  /** BM25 hyper-parameter tuner: score a 6-cell (k1, b) grid — k1 ∈
+    * {0.6, 1.2, 1.8} × b ∈ {0.3, 0.75}, the default (1.2, 0.75)
+    * included so the advisor prices the status quo — by mean nDCG@10
+    * against tf-weighted pseudo-qrels: a doc's grade = TOTAL occurrences
+    * of the query's terms in it (raw term frequency, no idf / length
+    * norm / parameters — independent of every grid cell, unlike
+    * q_retrieval_eval's term-containment grades which saturate at
+    * nDCG = 1.0 under all six cells on this corpus). Robertson &
+    * Zaragoza '09 §6 is the public tuning recipe. The scoring input is
+    * [[bm25ScoringInput]] — ONE inverted-index-shaped relation built and
+    * checkpointed once, feeding both the 6-row broadcast grid fan-out
+    * and the qrels aggregate, so tuning costs one corpus scan;
+    * everything downstream of the per-(cell, qid) top-10 window is
+    * grid×query-thin. Per-term scores round to DECIMAL(18,6) pre-sum
+    * (the q_bm25 rule), DCG/IDCG are exact decimal sums over the shared
+    * 9dp discount literals, and the per-qid nDCG re-rounds to 6dp before
+    * the cross-query mean. Output: the grid ranked by mean nDCG@10 —
+    * discriminating (b=0.3 beats 0.75 on this corpus, the advisor's
+    * point). */
+  def qBm25Tune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val grid = Seq((0.6, 0.3), (0.6, 0.75), (1.2, 0.3), (1.2, 0.75),
+      (1.8, 0.3), (1.8, 0.75)).toDF("k1", "b")
+    val input = bm25ScoringInput(spark, sfDir)
+      .localCheckpoint() // feeds the grid fan-out AND the qrels agg
+    val scored = input
+      .crossJoin(broadcast(grid))
+      .select($"k1", $"b", $"qid", $"doc_id",
+        round(
+          log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+            * ($"tf" * ($"k1" + lit(1.0)))
+            / ($"tf" + $"k1"
+              * ((lit(1.0) - $"b") + $"b" * $"dl" / $"avgdl")),
+          6).cast(dec6).as("s"))
+    val byDoc = scored.groupBy($"k1", $"b", $"qid", $"doc_id")
+      .agg(sum($"s").as("score"))
+    val top = byDoc.withColumn("rk", row_number().over(
+        Window.partitionBy($"k1", $"b", $"qid")
+          .orderBy($"score".desc, $"doc_id".asc)))
+      .filter($"rk" <= 10)
+    val qterms = bm25Qterms(spark)
+    val discs = ndcgDiscs.toDF("rk", "d")
+      .select($"rk", $"d".cast(DecimalType(12, 9)).as("disc"))
+    val qrels = input.groupBy($"qid", $"doc_id")
+      .agg(sum($"tf").as("rel"))
+    val dcg = top.join(qrels, Seq("qid", "doc_id"), "left")
+      .join(broadcast(discs), "rk")
+      .groupBy($"k1", $"b", $"qid")
+      .agg(sum(coalesce($"rel", lit(0L)) * $"disc").as("dcg"))
+    val idcg = qrels
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rel".desc, $"doc_id".asc)))
+      .filter($"rn" <= 10)
+      .join(broadcast(discs.select($"rk".as("rn"), $"disc")), "rn")
+      .groupBy($"qid").agg(sum($"rel" * $"disc").as("idcg"))
+    val spine = grid.crossJoin(qterms.select($"qid").distinct())
+    val nd = spine
+      .join(dcg, Seq("k1", "b", "qid"), "left")
+      .join(idcg, Seq("qid"), "left")
+      .select($"k1", $"b",
+        when($"idcg".isNotNull && $"idcg" > 0,
+          round(coalesce($"dcg", lit(java.math.BigDecimal.ZERO))
+            .cast("double") / $"idcg".cast("double"), 6))
+          .otherwise(0.0).cast(dec6).as("nd"))
+    nd.groupBy($"k1", $"b")
+      .agg(round(sum($"nd").cast("double") / count(lit(1)), 6)
+        .as("mean_ndcg"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"mean_ndcg".desc, $"k1".asc, $"b".asc)))
+      .orderBy($"rk")
   }
 
   // ---- q_skipgram --------------------------------------------------------
@@ -980,14 +1071,15 @@ object CorpusOps extends QueryPack {
     "q_bpe_merges" -> qBpeMerges,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_oov_rate" -> qOovRate,
-    "q_retrieval_eval" -> qRetrievalEval
+    "q_retrieval_eval" -> qRetrievalEval,
+    "q_bm25_tune" -> qBm25Tune
   )
 
-  /** Shared BM25 oracle CTE chain, token stream → per-(qid, doc) summed
-    * score (`ag`) — interpolated into BOTH the q_bm25 and q_hybrid_rrf
-    * oracles so the scoring function can never drift between them (the
-    * Scala side shares `bm25Ranked` the same way). */
-  private def bm25CtesSql: String =
+  /** The BM25 INPUT relations (token stream → tf / dl / df / corpus
+    * stats / query terms) with no scoring attached — shared by
+    * [[bm25CtesSql]] and the q_bm25_tune oracle, whose scoring stage is
+    * parametric in (k1, b). */
+  private def bm25BaseCtesSql: String =
     s"""toks AS (
       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -997,7 +1089,14 @@ object CorpusOps extends QueryPack {
       |            round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
       |          FROM dl),
       |q(qid, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'window'),
-      |  (2, 'agg'), (2, 'stream'), (3, 'slow'), (3, 'scan')),
+      |  (2, 'agg'), (2, 'stream'), (3, 'slow'), (3, 'scan'))""".stripMargin
+
+  /** Shared BM25 oracle CTE chain, token stream → per-(qid, doc) summed
+    * score (`ag`) — interpolated into BOTH the q_bm25 and q_hybrid_rrf
+    * oracles so the scoring function can never drift between them (the
+    * Scala side shares `bm25Ranked` the same way). */
+  private def bm25CtesSql: String =
+    s"""$bm25BaseCtesSql,
       |sc AS (
       |  SELECT qid, tf.doc_id,
       |    CAST(round(
@@ -1673,6 +1772,77 @@ object CorpusOps extends QueryPack {
         |LEFT JOIN ra ON ra.qid = nt.qid
         |LEFT JOIN ic ON ic.qid = nt.qid
         |LEFT JOIN rc ON rc.qid = nt.qid
-        |ORDER BY nt.qid""".stripMargin
+        |ORDER BY nt.qid""".stripMargin,
+
+    // the SAME base relations (bm25BaseCtesSql) with the scoring stage
+    // re-derived parametrically over the identical 6-cell grid; qrels =
+    // tf-weighted grades (sum of query-term occurrences), discounts and
+    // the nDCG chain mirror q_retrieval_eval's shape
+    "q_bm25_tune" ->
+      (s"""WITH $bm25BaseCtesSql,
+        |grid(k1, b) AS (VALUES
+        |  (CAST(0.6 AS DOUBLE), CAST(0.3 AS DOUBLE)),
+        |  (CAST(0.6 AS DOUBLE), CAST(0.75 AS DOUBLE)),
+        |  (CAST(1.2 AS DOUBLE), CAST(0.3 AS DOUBLE)),
+        |  (CAST(1.2 AS DOUBLE), CAST(0.75 AS DOUBLE)),
+        |  (CAST(1.8 AS DOUBLE), CAST(0.3 AS DOUBLE)),
+        |  (CAST(1.8 AS DOUBLE), CAST(0.75 AS DOUBLE))),
+        |scg AS (
+        |  SELECT k1, b, qid, tf.doc_id,
+        |    CAST(round(
+        |      ln(CAST(1 AS DOUBLE)
+        |          + (n_docs - df + CAST(0.5 AS DOUBLE))
+        |            / (df + CAST(0.5 AS DOUBLE)))
+        |        * (tf * (k1 + CAST(1 AS DOUBLE)))
+        |        / (tf + k1 * ((CAST(1 AS DOUBLE) - b)
+        |          + b * dl / avgdl)),
+        |      6) AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN q ON tf.tok = q.term
+        |       JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+        |       CROSS JOIN stats CROSS JOIN grid),
+        |agg AS (SELECT k1, b, qid, doc_id, sum(s) AS score
+        |        FROM scg GROUP BY 1, 2, 3, 4),
+        |t10 AS (SELECT * FROM (
+        |  SELECT k1, b, qid, doc_id,
+        |    row_number() OVER (PARTITION BY k1, b, qid
+        |      ORDER BY score DESC, doc_id ASC) AS rk
+        |  FROM agg) WHERE rk <= 10),
+        |disc(rk, disc) AS (VALUES ${ndcgDiscs.map { case (r, d) =>
+          s"($r, CAST($d AS DECIMAL(12,9)))" }.mkString(",\n  ")}),
+        |qr AS (SELECT qid, tf.doc_id, CAST(sum(tf) AS BIGINT) AS rel
+        |       FROM tf JOIN q ON tf.tok = q.term GROUP BY 1, 2),
+        |dcg AS (
+        |  SELECT t.k1, t.b, t.qid,
+        |    sum(COALESCE(qr.rel, 0) * disc) AS dcg
+        |  FROM t10 t
+        |  LEFT JOIN qr ON qr.qid = t.qid AND qr.doc_id = t.doc_id
+        |  JOIN disc USING (rk) GROUP BY 1, 2, 3),
+        |ideal AS (
+        |  SELECT qid, rel, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rel DESC, doc_id ASC) AS rn
+        |  FROM qr),
+        |ic AS (
+        |  SELECT qid, sum(rel * disc) AS idcg
+        |  FROM ideal JOIN disc ON disc.rk = ideal.rn
+        |  WHERE rn <= 10 GROUP BY qid),
+        |spine AS (SELECT k1, b, qid
+        |          FROM grid CROSS JOIN (SELECT DISTINCT qid FROM q)),
+        |nd AS (
+        |  SELECT s.k1, s.b,
+        |    CAST(CASE WHEN ic.idcg IS NOT NULL AND ic.idcg > 0
+        |      THEN round(CAST(COALESCE(dcg.dcg, 0) AS DOUBLE)
+        |        / CAST(ic.idcg AS DOUBLE), 6)
+        |      ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,6)) AS nd
+        |  FROM spine s
+        |  LEFT JOIN dcg ON dcg.k1 = s.k1 AND dcg.b = s.b
+        |    AND dcg.qid = s.qid
+        |  LEFT JOIN ic ON ic.qid = s.qid),
+        |m AS (SELECT k1, b,
+        |        round(CAST(sum(nd) AS DOUBLE) / count(*), 6) AS mean_ndcg
+        |      FROM nd GROUP BY 1, 2)
+        |SELECT k1, b, mean_ndcg,
+        |  CAST(row_number() OVER (ORDER BY mean_ndcg DESC, k1 ASC, b ASC)
+        |    AS INT) AS rk
+        |FROM m ORDER BY rk""".stripMargin)
   )
 }

@@ -264,6 +264,24 @@ class R13bOpsSpec extends SparkSpec {
     assert(better <= 20, "no vector outside the top-20 scores higher")
   }
 
+  test("bm25 tune: the grid is a ranked permutation, nDCG is bounded, " +
+      "and the tf-weighted qrels actually discriminate") {
+    val rows = graft.queries.CorpusOps.qBm25Tune(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == (1 to 6))
+    val means = rows.sortBy(_.getAs[Int]("rk"))
+      .map(_.getAs[Double]("mean_ndcg"))
+    means.foreach(m => assert(m > 0.0 && m <= 1.0, s"ndcg $m in (0,1]"))
+    assert(means.zip(means.tail).forall { case (a, b) => a >= b },
+      "ranked by mean nDCG desc")
+    assert(means.distinct.length >= 2,
+      "the advisor must discriminate between grid cells — a saturated " +
+        "all-1.0 column means the qrels grade too coarsely")
+    val cells = rows.map(r => (r.getAs[Double]("k1"), r.getAs[Double]("b")))
+    assert(cells.toSet == Set((0.6, 0.3), (0.6, 0.75), (1.2, 0.3),
+      (1.2, 0.75), (1.8, 0.3), (1.8, 0.75)))
+  }
+
   test("holt: the matrix-power unroll replays the level/trend " +
       "recursion, and forecasts extrapolate the last state") {
     val rows = SeriesOps.qHolt(spark, sf).collect()
