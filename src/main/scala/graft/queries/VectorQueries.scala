@@ -437,12 +437,14 @@ object VectorQueries extends QueryPack {
       .orderBy($"dims")
   }
 
-  /** The md5-deterministic LSH pair list (id1, id2, sim ≥ 0.25) backing
-    * [[qAnnMd5]] and evaluated against exact truth by [[qAnnEval]]. */
-  private[graft] def annMd5Pairs(spark: SparkSession, sfDir: String)
+  /** The md5-deterministic SRP bucket keys (vec_id, tbl, bk) over the
+    * %2 subset — 8 tables × 8 hyperplane sign bits per vector, every
+    * projection an exact integer nano-unit sum. Factored out of
+    * [[annMd5Pairs]] so the single-probe index and the multi-probe
+    * variant ([[qAnnMultiprobe]]) hash the SAME keys. */
+  private[graft] def annMd5Keys(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import spark.implicits._
-    graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.df(spark, sfDir, "embeddings")
       .filter($"vec_id" % 2 === 0)
     // pinned keyed repartition before the ×64 dim explode and the ×64
@@ -477,9 +479,20 @@ object VectorQueries extends QueryPack {
         round(round($"x" * $"r", 9) * 1e9, 0).cast("long").as("term"))
     val bits = terms.groupBy($"vec_id", $"tbl", $"i")
       .agg((sum($"term") > 0).as("bit"))
-    val keys = bits.groupBy($"vec_id", $"tbl")
+    bits.groupBy($"vec_id", $"tbl")
       .agg(sum(when($"bit", expr("shiftleft(CAST(1 AS BIGINT), i % 8)"))
         .otherwise(0L)).as("bk"))
+  }
+
+  /** The md5-deterministic LSH pair list (id1, id2, sim ≥ 0.25) backing
+    * [[qAnnMd5]] and evaluated against exact truth by [[qAnnEval]]. */
+  private[graft] def annMd5Pairs(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 2 === 0)
+    val keys = annMd5Keys(spark, sfDir)
     val cand = keys.select($"vec_id".as("id1"), $"tbl", $"bk")
       .join(keys.select($"vec_id".as("id2"), $"tbl", $"bk"),
         Seq("tbl", "bk"))
@@ -490,6 +503,69 @@ object VectorQueries extends QueryPack {
       .select($"id1", $"id2",
         round(expr("cosine_similarity(e1, e2)"), 6).as("sim"))
       .filter($"sim" >= 0.25)
+  }
+
+  // ---- q_ann_multiprobe --------------------------------------------------
+  /** Multi-probe SRP candidate stage, priced by the q_ann_eval
+    * methodology (Lv et al., VLDB'07 — probe the neighboring buckets
+    * instead of building more tables): each vector probes its own 8-bit
+    * key PLUS the 8 keys at Hamming distance 1 in every table, so a
+    * truth pair is a candidate if its keys differ by ≤ 1 bit somewhere —
+    * the recall knob q_ann_eval showed the plain 8×8 config needs at
+    * weak cosine (0.09–0.19 recall below 0.5). The 100 TB story is the
+    * point: probing multiplies only the QUERY side of the bucket
+    * equi-join by (bits+1) — the stored index (the keys relation) does
+    * not grow, unlike adding tables, and candidate verification still
+    * touches only bucket-collision pairs. Output: per-similarity-decile
+    * truth recall of the single-probe vs multi-probe CANDIDATE sets,
+    * with the global candidate-set sizes carried on every row as the
+    * cost side of the trade. Everything is md5-deterministic, so the
+    * whole report hash-checks cross-engine. */
+  def qAnnMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sub = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 2 === 0)
+    val keys = annMd5Keys(spark, sfDir)
+      .localCheckpoint() // probe side, build side, and single-probe arm
+    val cand1 = keys.select($"vec_id".as("id1"), $"tbl", $"bk")
+      .join(keys.select($"vec_id".as("id2"), $"tbl", $"bk"),
+        Seq("tbl", "bk"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2").distinct()
+      .localCheckpoint() // truth join + the cost count
+    val probes = keys
+      .select($"vec_id".as("id1"), $"tbl",
+        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
+      .select($"id1", $"tbl",
+        when($"j" === -1, $"bk")
+          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)"))
+          .as("bk"))
+    val candMp = probes
+      .join(keys.select($"vec_id".as("id2"), $"tbl", $"bk"),
+        Seq("tbl", "bk"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2").distinct()
+      .localCheckpoint() // truth join + the cost count
+    val costs = cand1.agg(count(lit(1)).as("n_cand_1p"))
+      .crossJoin(candMp.agg(count(lit(1)).as("n_cand_mp")))
+    val truth = Similarity.cosinePairsBrute(sub, 0.25)
+    truth
+      .join(cand1.withColumn("f1", lit(1L)), Seq("id1", "id2"), "left")
+      .join(candMp.withColumn("fm", lit(1L)), Seq("id1", "id2"), "left")
+      .select(floor($"sim" * 10).cast("int").as("band"),
+        coalesce($"f1", lit(0L)).as("f1"),
+        coalesce($"fm", lit(0L)).as("fm"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_truth"),
+        sum($"f1").as("n_found_1p"), sum($"fm").as("n_found_mp"))
+      .crossJoin(broadcast(costs))
+      .select($"band", $"n_truth", $"n_found_1p", $"n_found_mp",
+        round($"n_found_1p".cast("double") / $"n_truth", 6)
+          .as("recall_1p"),
+        round($"n_found_mp".cast("double") / $"n_truth", 6)
+          .as("recall_mp"),
+        $"n_cand_1p", $"n_cand_mp")
+      .orderBy($"band")
   }
 
   // ---- q_embed_health ----------------------------------------------------
@@ -1004,6 +1080,7 @@ object VectorQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ecod" -> qEcod,
+    "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_media_dedup" -> qMediaDedup,
     "q_centroid_drift" -> qCentroidDrift,
     "q_pq_adc" -> qPqAdc,
@@ -1401,6 +1478,44 @@ object VectorQueries extends QueryPack {
         |SELECT * FROM a16 UNION ALL SELECT * FROM a32
         |ORDER BY dims""".stripMargin,
 
+    // the shared key chain (annMd5KeysCtesSql) + the probe fan-out:
+    // xor() is DuckDB's integer XOR (its ^ is power), Spark's ^ is XOR;
+    // truth is the same exact-cosine CTE q_ann_eval prices against
+    "q_ann_multiprobe" ->
+      (annMd5KeysCtesSql + ",\n" + annTruthCteSql + """,
+        |cand1 AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bk = b.bk
+        |    AND a.vec_id < b.vec_id),
+        |probes AS (
+        |  SELECT vec_id AS id1, tbl,
+        |    CASE WHEN p.j = -1 THEN bk
+        |      ELSE xor(bk, (1::BIGINT << p.j)) END AS bk
+        |  FROM keys CROSS JOIN range(-1, 8) p(j)),
+        |candmp AS (
+        |  SELECT DISTINCT p.id1, b.vec_id AS id2
+        |  FROM probes p JOIN keys b ON b.tbl = p.tbl AND b.bk = p.bk
+        |    AND p.id1 < b.vec_id),
+        |costs AS (
+        |  SELECT (SELECT count(*) FROM cand1) AS n_cand_1p,
+        |    (SELECT count(*) FROM candmp) AS n_cand_mp),
+        |ev AS (
+        |  SELECT CAST(floor(t.sim * 10) AS INT) AS band,
+        |    CASE WHEN c1.id1 IS NOT NULL THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN cm.id1 IS NOT NULL THEN 1 ELSE 0 END AS fm
+        |  FROM truth t
+        |  LEFT JOIN cand1 c1 ON c1.id1 = t.id1 AND c1.id2 = t.id2
+        |  LEFT JOIN candmp cm ON cm.id1 = t.id1 AND cm.id2 = t.id2)
+        |SELECT band, count(*) AS n_truth,
+        |  CAST(sum(f1) AS BIGINT) AS n_found_1p,
+        |  CAST(sum(fm) AS BIGINT) AS n_found_mp,
+        |  round(CAST(sum(f1) AS DOUBLE) / count(*), 6) AS recall_1p,
+        |  round(CAST(sum(fm) AS DOUBLE) / count(*), 6) AS recall_mp,
+        |  n_cand_1p, n_cand_mp
+        |FROM ev CROSS JOIN costs
+        |GROUP BY band, n_cand_1p, n_cand_mp
+        |ORDER BY band""".stripMargin),
+
     // same 8 dims, same exact tail-count ranks, same 9dp ln terms
     "q_ecod" ->
       ("""WITH d AS (
@@ -1616,10 +1731,11 @@ object VectorQueries extends QueryPack {
       |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |      CAST(b.embedding AS DOUBLE[])), 6) >= 0.25)""".stripMargin
 
-  /** The md5-LSH chain through verified pairs (WITH dims … ann), shared
-    * by the q_ann_md5 and q_ann_eval oracles so the index definition
-    * cannot drift from its own evaluation — mirrors [[annMd5Pairs]]. */
-  private lazy val annMd5CtesSql: String =
+  /** The md5-SRP chain through bucket keys (WITH dims … keys) — the
+    * oracle twin of [[annMd5Keys]], shared by the single-probe chain
+    * ([[annMd5CtesSql]]) and the q_ann_multiprobe oracle so one key
+    * definition serves both. */
+  private lazy val annMd5KeysCtesSql: String =
     """WITH dims AS (
       |  SELECT vec_id, r.d, CAST(embedding[r.d + 1] AS DOUBLE) AS x
       |  FROM embeddings CROSS JOIN range(0, 64) r(d)
@@ -1638,8 +1754,13 @@ object VectorQueries extends QueryPack {
       |  SELECT vec_id, tbl,
       |    SUM(CASE WHEN bit THEN (1::BIGINT << (i % 8))
       |        ELSE 0 END)::BIGINT AS bk
-      |  FROM bits GROUP BY vec_id, tbl),
-      |cand AS (
+      |  FROM bits GROUP BY vec_id, tbl)""".stripMargin
+
+  /** The md5-LSH chain through verified pairs (WITH dims … ann), shared
+    * by the q_ann_md5 and q_ann_eval oracles so the index definition
+    * cannot drift from its own evaluation — mirrors [[annMd5Pairs]]. */
+  private lazy val annMd5CtesSql: String =
+    annMd5KeysCtesSql + ",\n" + """cand AS (
       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
       |  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bk = b.bk
       |    AND a.vec_id < b.vec_id),

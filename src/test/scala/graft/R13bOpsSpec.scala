@@ -282,6 +282,26 @@ class R13bOpsSpec extends SparkSpec {
       (1.2, 0.75), (1.8, 0.3), (1.8, 0.75)))
   }
 
+  test("ann multiprobe: the probe fan-out dominates single-probe " +
+      "recall band-by-band and its candidate set is a superset") {
+    val rows = graft.queries.VectorQueries.qAnnMultiprobe(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, f1, fm) = (r.getAs[Long]("n_truth"),
+        r.getAs[Long]("n_found_1p"), r.getAs[Long]("n_found_mp"))
+      assert(f1 <= fm, "single-probe hits are a subset (j = -1 probe)")
+      assert(fm <= nt, "found cannot exceed truth")
+      assert(r.getAs[Double]("recall_mp") >=
+        r.getAs[Double]("recall_1p"))
+      assert(r.getAs[Long]("n_cand_mp") >= r.getAs[Long]("n_cand_1p"),
+        "the recall lift is paid for in candidates")
+    }
+    assert(rows.exists(r => r.getAs[Double]("recall_mp") >
+      r.getAs[Double]("recall_1p")),
+      "multi-probe must actually add recall somewhere")
+  }
+
   test("holt: the matrix-power unroll replays the level/trend " +
       "recursion, and forecasts extrapolate the last state") {
     val rows = SeriesOps.qHolt(spark, sf).collect()
