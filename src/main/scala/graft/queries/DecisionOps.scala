@@ -595,7 +595,173 @@ object DecisionOps extends QueryPack {
       .withColumn("significant", abs($"z") > 1.959964)
   }
 
+  // ---- q_mediation -------------------------------------------------------
+  /** Mediation analysis with the Sobel test (Baron & Kenny '86; Sobel
+    * '82): does the parity treatment move purchases THROUGH click
+    * engagement? Unit = user-day (the unit-of-analysis rule); X = user
+    * parity, M = clicks that day, Y = purchased that day. a: M ~ X;
+    * (b, c'): Y ~ X + M in closed form from centered cross-moments;
+    * indirect = a·b with Sobel SE sqrt(b²s_a² + a²s_b²). Every raw
+    * moment is an exact integer sum (X, Y binary; M a count), so the
+    * only cross-engine surface is ONE shared double formula chain —
+    * no rounding needed before the final 6dp. Scale: one user-day
+    * groupBy then a 1-row moment aggregate; the regressions never
+    * materialize a design matrix. */
+  def qMediation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("m"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      .select(($"user_id" % 2).as("x"), $"m", $"y")
+    val mo = cells.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"m").as("sm"), sum($"y").as("sy"),
+      sum($"x" * $"m").as("sxm"), sum($"x" * $"y").as("sxy"),
+      sum($"m" * $"y").as("smy"), sum($"x" * $"x").as("sxx"),
+      sum($"m" * $"m").as("smm"), sum($"y" * $"y").as("syy"))
+    mo.withColumn("dxx",
+        $"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n")
+      .withColumn("dmm",
+        $"smm".cast("double") - $"sm".cast("double") * $"sm" / $"n")
+      .withColumn("dyy",
+        $"syy".cast("double") - $"sy".cast("double") * $"sy" / $"n")
+      .withColumn("dxm",
+        $"sxm".cast("double") - $"sx".cast("double") * $"sm" / $"n")
+      .withColumn("dxy",
+        $"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n")
+      .withColumn("dmy",
+        $"smy".cast("double") - $"sm".cast("double") * $"sy" / $"n")
+      .withColumn("a", $"dxm" / $"dxx")
+      .withColumn("den2", $"dxx" * $"dmm" - $"dxm" * $"dxm")
+      .withColumn("b", ($"dxx" * $"dmy" - $"dxm" * $"dxy") / $"den2")
+      .withColumn("cdir", ($"dmm" * $"dxy" - $"dxm" * $"dmy") / $"den2")
+      .withColumn("sa2",
+        (($"dmm" - $"a" * $"dxm") / ($"n" - 2)) / $"dxx")
+      .withColumn("sb2",
+        (($"dyy" - $"cdir" * $"dxy" - $"b" * $"dmy") / ($"n" - 3))
+          * $"dxx" / $"den2")
+      .withColumn("se",
+        sqrt($"b" * $"b" * $"sa2" + $"a" * $"a" * $"sb2"))
+      .withColumn("z",
+        when($"se" > 0, $"a" * $"b" / $"se"))
+      .select($"n", round($"a", 6).as("a_path"),
+        round($"b", 6).as("b_path"),
+        round($"cdir", 6).as("direct"),
+        round($"a" * $"b", 6).as("indirect"),
+        round($"dxy" / $"dxx", 6).as("total"),
+        round($"z", 6).as("sobel_z"),
+        when($"dxy" =!= 0,
+          round($"a" * $"b" / ($"dxy" / $"dxx"), 6))
+          .as("prop_mediated"))
+      .withColumn("significant",
+        abs($"sobel_z") > 1.959964)
+  }
+
+  // ---- q_psm_att ---------------------------------------------------------
+  /** Propensity-score MATCHING ATT (Rosenbaum & Rubin '83 §3 — the
+    * 1-nearest-neighbor estimator, complementing q_propensity's
+    * stratification): treatment = the user signed up; outcome = total
+    * purchase value; propensity = a frozen logistic over (views,
+    * clicks). Each treated user matches the control propensity value
+    * nearest its own within a 0.05 caliper (ties across equal distance
+    * → the below side; controls sharing a propensity average their
+    * outcomes first — matching "with ties averaged"). The nearest
+    * neighbor is found with TWO passes of the reused [[graft.operators.AsOf]]
+    * step-function join (below on p, above on −p; a +5e-7 tie epsilon
+    * admits exact-equality matches through the strictly-before
+    * semantics), each partitioned by a 0.05-wide propensity BAND with
+    * the control grain replicated to its neighbor bands — a caliper
+    * match can never leave the adjacent band, so no global-order
+    * window exists anywhere (the quantile_norm scale story, banded).
+    * Outcome terms round to 6dp into exact decimal sums. */
+  def qPsmAtt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(28, 9)
+    val acts = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L))
+          .as("n_views"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+        sum(when($"event_type" === "signup", 1L).otherwise(0L))
+          .as("ns"),
+        sum(when($"event_type" === "purchase",
+          round($"value", 2).cast(DecimalType(12, 2)))).as("yd"))
+      .withColumn("s", $"n_views" + lit(2L) * $"n_clicks")
+    // treatment is DATA-RELATIVE (above-mean signup intensity, the exact
+    // integer predicate ns·n > Σns — on this fixture every user has
+    // every event type, so presence-based treatment saturates), and the
+    // activity score standardizes against its own corpus moments so the
+    // logistic stays in-range at every SF (a fixed offset saturates to
+    // p = 1 as per-user activity grows with scale)
+    val sm = acts.agg(count(lit(1)).as("nu"),
+      sum($"ns").as("sns"),
+      sum($"s").as("ss"), sum($"s" * $"s").as("ss2"))
+    val users = acts.crossJoin(broadcast(sm))
+      .withColumn("treated",
+        when($"ns" * $"nu" > $"sns", 1L).otherwise(0L))
+      .withColumn("mu", $"ss".cast("double") / $"nu")
+      .withColumn("sd", sqrt(($"ss2".cast("double")
+        - $"ss".cast("double") * $"ss" / $"nu") / ($"nu" - 1)))
+      .select($"user_id", $"treated",
+        round(lit(1.0) / (lit(1.0)
+          + exp(round(-(($"s" - $"mu") / $"sd"), 9))), 6).as("p"),
+        coalesce($"yd".cast("double"), lit(0.0)).as("y"))
+      .localCheckpoint() // treated arm, control grain, and the counts
+    val cg = users.filter($"treated" === 0)
+      .groupBy($"p".as("pc"))
+      .agg(round(sum(round($"y", 6).cast(dec9)).cast("double")
+        / count(lit(1)), 6).as("yb"))
+      .withColumn("b0", floor($"pc" * 20).cast("long"))
+      .select(explode(array($"b0" - 1, $"b0", $"b0" + 1)).as("band"),
+        $"pc", $"yb")
+    val tr = users.filter($"treated" === 1)
+      .withColumn("band", floor($"p" * 20).cast("long"))
+    val below = graft.operators.AsOf.asOfJoin(
+      tr.withColumn("t1", $"p" + lit(5e-7)),
+      cg.select($"band", $"pc".as("t1"), $"pc", $"yb"),
+      "band", "t1", Seq("pc", "yb"))
+      .select($"user_id", $"p", $"y",
+        $"prior_pc".as("pc_b"), $"prior_yb".as("yb_b"))
+    val above = graft.operators.AsOf.asOfJoin(
+      tr.withColumn("t2", -$"p" + lit(5e-7)),
+      cg.select($"band", (-$"pc").as("t2"), $"pc", $"yb"),
+      "band", "t2", Seq("pc", "yb"))
+      .select($"user_id", $"prior_pc".as("pc_a"), $"prior_yb".as("yb_a"))
+    // diffs of 6dp propensities round to 6dp BEFORE the caliper compare:
+    // a raw double `p - pc <= 0.05` can disagree with the oracle's
+    // equivalent predicate by one ulp exactly at the caliper boundary
+    val cal = lit(0.05)
+    val matched = below.join(above, "user_id")
+      .withColumn("db", when($"pc_b".isNotNull
+        && round($"p" - $"pc_b", 6) <= cal, round($"p" - $"pc_b", 6)))
+      .withColumn("da", when($"pc_a".isNotNull
+        && round($"pc_a" - $"p", 6) <= cal, round($"pc_a" - $"p", 6)))
+      .withColumn("use_b", $"db".isNotNull
+        && ($"da".isNull || $"db" <= $"da"))
+      .withColumn("ym", when($"use_b", $"yb_b")
+        .otherwise(when($"da".isNotNull, $"yb_a")))
+      .withColumn("pd", when($"use_b", $"db")
+        .otherwise(when($"da".isNotNull, $"da")))
+    val nctl = users.filter($"treated" === 0)
+      .agg(count(lit(1)).as("n_control"))
+    matched.agg(
+        count(lit(1)).as("n_treated"),
+        sum(when($"ym".isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when($"ym".isNotNull,
+          round($"y" - $"ym", 6).cast(dec9))).as("sdiff"),
+        sum(when($"ym".isNotNull,
+          round($"pd", 6).cast(dec9))).as("spd"))
+      .crossJoin(broadcast(nctl))
+      .select($"n_treated", $"n_control", $"n_matched",
+        round($"sdiff".cast("double") / $"n_matched", 6).as("att"),
+        round($"spd".cast("double") / $"n_matched", 6)
+          .as("mean_abs_pdiff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mediation" -> qMediation,
+    "q_psm_att" -> qPsmAtt,
     "q_shapley" -> qShapley,
     "q_bayes_ab" -> qBayesAb,
     "q_poisson_rate" -> qPoissonRate,
@@ -610,6 +776,110 @@ object DecisionOps extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact integer raw moments; the centered-moment / coefficient /
+    // Sobel chain is the identical double formula shape step by step
+    "q_mediation" ->
+      ("""WITH cells AS (
+        |  SELECT user_id % 2 AS x,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sm,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * m) AS BIGINT) AS sxm,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(m * y) AS BIGINT) AS smy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(m * m) AS BIGINT) AS smm,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM cells),
+        |d AS (SELECT n,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS dxx,
+        |    CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n AS dmm,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS dyy,
+        |    CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * sm / n AS dxm,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS dxy,
+        |    CAST(smy AS DOUBLE) - CAST(sm AS DOUBLE) * sy / n AS dmy
+        |  FROM mo),
+        |e AS (SELECT *, dxm / dxx AS a,
+        |    dxx * dmm - dxm * dxm AS den2 FROM d),
+        |f AS (SELECT *,
+        |    (dxx * dmy - dxm * dxy) / den2 AS b,
+        |    (dmm * dxy - dxm * dmy) / den2 AS cdir FROM e),
+        |g AS (SELECT *,
+        |    ((dmm - a * dxm) / (n - 2)) / dxx AS sa2,
+        |    ((dyy - cdir * dxy - b * dmy) / (n - 3)) * dxx / den2 AS sb2
+        |  FROM f),
+        |h AS (SELECT *, sqrt(b * b * sa2 + a * a * sb2) AS se FROM g),
+        |i AS (SELECT n, round(a, 6) AS a_path, round(b, 6) AS b_path,
+        |    round(cdir, 6) AS direct, round(a * b, 6) AS indirect,
+        |    round(dxy / dxx, 6) AS total,
+        |    CASE WHEN se > 0 THEN round(a * b / se, 6) END AS sobel_z,
+        |    CASE WHEN dxy <> 0 THEN round(a * b / (dxy / dxx), 6) END
+        |      AS prop_mediated
+        |  FROM h)
+        |SELECT i.*, abs(sobel_z) > 1.959964 AS significant FROM i"""
+        .stripMargin),
+
+    // same standardized logistic, same tie-averaged control grain, same
+    // 6dp-rounded caliper predicate; the oracle finds the nearest match
+    // by argmin over the caliper theta-join (the as-of pair collapses
+    // to that on the thin control grain)
+    "q_psm_att" ->
+      ("""WITH acts AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nv,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ns,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value, 2) AS DECIMAL(12,2)) END) AS yd
+        |  FROM events GROUP BY user_id),
+        |a2 AS (SELECT user_id, ns, nv + 2 * nc AS s, yd FROM acts),
+        |sm AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+        |    CAST(sum(ns) AS BIGINT) AS sns,
+        |    CAST(sum(s) AS BIGINT) AS ss,
+        |    CAST(sum(s * s) AS BIGINT) AS ss2 FROM a2),
+        |users AS (
+        |  SELECT user_id,
+        |    CASE WHEN ns * nu > sns THEN 1 ELSE 0 END AS treated,
+        |    round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |      + exp(round(-((s - CAST(ss AS DOUBLE) / nu)
+        |        / sqrt((CAST(ss2 AS DOUBLE) - CAST(ss AS DOUBLE) * ss / nu)
+        |          / (nu - 1))), 9))), 6) AS p,
+        |    COALESCE(CAST(yd AS DOUBLE), CAST(0 AS DOUBLE)) AS y
+        |  FROM a2 CROSS JOIN sm),
+        |cg AS (SELECT p AS pc,
+        |    round(CAST(sum(CAST(round(y, 6) AS DECIMAL(28,9))) AS DOUBLE)
+        |      / count(*), 6) AS yb
+        |  FROM users WHERE treated = 0 GROUP BY p),
+        |tr AS (SELECT user_id, p, y FROM users WHERE treated = 1),
+        |m AS (
+        |  SELECT t.user_id, t.y, c.yb,
+        |    round(abs(t.p - c.pc), 6) AS pd,
+        |    row_number() OVER (PARTITION BY t.user_id
+        |      ORDER BY round(abs(t.p - c.pc), 6),
+        |        CASE WHEN c.pc <= t.p THEN 0 ELSE 1 END, c.pc) AS rn
+        |  FROM tr t JOIN cg c
+        |    ON round(t.p - c.pc, 6) <= 0.05
+        |    AND round(c.pc - t.p, 6) <= 0.05),
+        |mm AS (SELECT user_id, y, yb, pd FROM m WHERE rn = 1),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated FROM tr),
+        |nc2 AS (SELECT CAST(count(*) AS BIGINT) AS n_control
+        |        FROM users WHERE treated = 0),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |    sum(CAST(round(y - yb, 6) AS DECIMAL(28,9))) AS sdiff,
+        |    sum(CAST(pd AS DECIMAL(28,9))) AS spd FROM mm)
+        |SELECT n_treated, n_control, n_matched,
+        |  round(CAST(sdiff AS DOUBLE) / n_matched, 6) AS att,
+        |  round(CAST(spd AS DOUBLE) / n_matched, 6) AS mean_abs_pdiff
+        |FROM cnt CROSS JOIN nc2 CROSS JOIN ag""".stripMargin),
+
     // same channel bit order, same 2^k literal-range coalitions, same
     // exact factorial weights and 9dp-rounded marginal terms
     "q_shapley" ->

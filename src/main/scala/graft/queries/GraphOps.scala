@@ -179,6 +179,18 @@ object GraphOps extends QueryPack {
     * the most triangles (tri-degree, desc). */
   def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val (_, triCnt) = triangleParts(spark, sfDir)
+    triCnt.orderBy($"tri_cnt".desc, $"node".asc).limit(10)
+  }
+
+  /** Shared degree-oriented triangle machinery over the co-purchase
+    * graph — (degree, per-node triangle count) relations consumed by
+    * [[qTriangles]] (top-10 read) and [[qClusteringCoeff]] (global
+    * transitivity / local-CC moments), so the edge set, orientation
+    * rule, and closure join have one home. */
+  private def triangleParts(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
     val li = Tables.df(spark, sfDir, "lineitem")
       .filter($"l_partkey" % 5 === 0)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
@@ -200,11 +212,42 @@ object GraphOps extends QueryPack {
       .select($"e1.src".as("a"), $"e1.dst".as("b"), $"e2.dst".as("c"))
       .join(o.as("e3"), $"a" === $"e3.src" && $"c" === $"e3.dst")
       .select($"a", $"b", $"c")
-    tri.select($"a".as("node"))
+    val triCnt = tri.select($"a".as("node"))
       .union(tri.select($"b")).union(tri.select($"c"))
       .groupBy($"node").agg(count(lit(1)).as("tri_cnt"))
-      .orderBy($"tri_cnt".desc, $"node".asc)
-      .limit(10)
+    (deg, triCnt)
+  }
+
+  // ---- q_clustering_coeff --------------------------------------------------
+  /** Clustering coefficients of the co-purchase graph (Watts & Strogatz
+    * '98 local CC; the global transitivity ratio 3·triangles/wedges):
+    * one row with node count, wedge count Σ d(d−1)/2, triangle count,
+    * transitivity, and the average local coefficient 2·tri(v)/(d(d−1))
+    * (nodes of degree < 2 contribute 0 — the standard convention that
+    * keeps the average defined on any graph). Reuses [[triangleParts]]'
+    * degree-oriented closure join verbatim — the local CC is a LEFT
+    * join of the degree relation against per-node triangle counts, so
+    * the only work beyond q_triangles is node-grain arithmetic. Local
+    * terms round once to 9dp into exact decimal sums; wedge counts are
+    * exact integer floor-division. */
+  def qClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val (deg, triCnt) = triangleParts(spark, sfDir)
+    val per = deg.join(triCnt, Seq("node"), "left")
+      .select($"d", coalesce($"tri_cnt", lit(0L)).as("t"))
+    per.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(expr("(d * (d - 1)) div 2")).as("n_wedges"),
+        sum($"t").as("ti"),
+        sum(round(when($"d" >= 2,
+            lit(2.0) * $"t" / ($"d" * ($"d" - 1))).otherwise(0.0), 9)
+          .cast(dec9)).as("s_cc"))
+      .select($"n_nodes", $"n_wedges",
+        expr("ti div 3").as("n_triangles"),
+        when($"n_wedges" > 0,
+          round($"ti".cast("double") / $"n_wedges", 6)).as("transitivity"),
+        round($"s_cc".cast("double") / $"n_nodes", 6).as("avg_local_cc"))
   }
 
   /** Label-propagation community detection (Raghavan et al. 2007), two
@@ -661,7 +704,8 @@ object GraphOps extends QueryPack {
     "q_label_prop" -> qLabelProp,
     "q_pagerank" -> qPagerank,
     "q_pagerank_bucketed" -> qPagerankBucketed,
-    "q_triangles" -> qTriangles
+    "q_triangles" -> qTriangles,
+    "q_clustering_coeff" -> qClusteringCoeff
   )
 
   private def iterSql(prev: String, cur: String): String =
@@ -949,31 +993,62 @@ object GraphOps extends QueryPack {
     "q_pagerank_bucketed" -> pagerankSql,
 
     "q_triangles" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem WHERE l_partkey % 5 = 0),
-        |e0 AS (
-        |  SELECT DISTINCT a.pk AS u, b.pk AS v
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (
-        |  SELECT node, count(*) AS d
-        |  FROM (SELECT u AS node FROM e0
-        |        UNION ALL SELECT v AS node FROM e0)
-        |  GROUP BY node),
-        |o AS (
-        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-        |              THEN u ELSE v END AS src,
-        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-        |              THEN v ELSE u END AS dst
-        |  FROM e0 JOIN deg du ON e0.u = du.node
-        |          JOIN deg dv ON e0.v = dv.node),
-        |tri AS (
-        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-        |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
-        |       JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
-        |SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
-        |FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
-        |      UNION ALL SELECT c FROM tri)
-        |GROUP BY node ORDER BY tri_cnt DESC, node ASC LIMIT 10""".stripMargin
+      (triCtesSql + """
+        |SELECT node, tri_cnt FROM tc
+        |ORDER BY tri_cnt DESC, node ASC LIMIT 10""".stripMargin),
+
+    // the SAME closure-join chain (triCtesSql); local terms round to 9dp
+    // before the decimal sum, wedge/triangle counts are exact integers
+    "q_clustering_coeff" ->
+      (triCtesSql + """,
+        |per AS (
+        |  SELECT deg.node, d, COALESCE(tc.tri_cnt, 0) AS t
+        |  FROM deg LEFT JOIN tc USING (node)),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges,
+        |    CAST(sum(t) AS BIGINT) AS ti,
+        |    sum(CAST(round(CASE WHEN d >= 2
+        |        THEN CAST(2 AS DOUBLE) * t / (d * (d - 1))
+        |        ELSE CAST(0 AS DOUBLE) END, 9) AS DECIMAL(20,9))) AS s_cc
+        |  FROM per)
+        |SELECT n_nodes, n_wedges, ti // 3 AS n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |    THEN round(CAST(ti AS DOUBLE) / n_wedges, 6) END
+        |    AS transitivity,
+        |  round(CAST(s_cc AS DOUBLE) / n_nodes, 6) AS avg_local_cc
+        |FROM a""".stripMargin)
   )
+
+  /** The degree-oriented triangle chain (li … deg … o … tri … per-node
+    * counts `tc`) — shared by the q_triangles and q_clustering_coeff
+    * oracles, mirroring [[triangleParts]] on the Scala side. */
+  private lazy val triCtesSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem WHERE l_partkey % 5 = 0),
+      |e0 AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (
+      |  SELECT node, count(*) AS d
+      |  FROM (SELECT u AS node FROM e0
+      |        UNION ALL SELECT v AS node FROM e0)
+      |  GROUP BY node),
+      |o AS (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |              THEN u ELSE v END AS src,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |              THEN v ELSE u END AS dst
+      |  FROM e0 JOIN deg du ON e0.u = du.node
+      |          JOIN deg dv ON e0.v = dv.node),
+      |tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+      |       JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |tc AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+      |  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |        UNION ALL SELECT c FROM tri)
+      |  GROUP BY node)""".stripMargin
 }

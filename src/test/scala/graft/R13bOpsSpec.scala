@@ -302,6 +302,68 @@ class R13bOpsSpec extends SparkSpec {
       "multi-probe must actually add recall somewhere")
   }
 
+  test("mediation: the OLS effect decomposition is exact — total " +
+      "equals direct plus indirect") {
+    val r = graft.queries.DecisionOps.qMediation(spark, sf).collect().head
+    val total = r.getAs[Double]("total")
+    val direct = r.getAs[Double]("direct")
+    val indirect = r.getAs[Double]("indirect")
+    // c = c' + a·b holds exactly in-sample for OLS; only 6dp rounding
+    // separates the emitted columns
+    assert(math.abs(total - direct - indirect) < 5e-6,
+      s"$total != $direct + $indirect")
+    val z = r.getAs[Double]("sobel_z")
+    assert(r.getAs[Boolean]("significant") == (math.abs(z) > 1.959964))
+    assert(r.getAs[Long]("n") > 100)
+  }
+
+  test("psm att: matching replays a driver-side nearest-neighbor pass " +
+      "over the same propensities") {
+    val ev = Tables.df(spark, sf, "events")
+      .select($"user_id", $"event_type", round($"value", 2).as("v"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val acts = ev.map { case (uid, rows) =>
+      val nv = rows.count(_.getString(1) == "view").toLong
+      val nc = rows.count(_.getString(1) == "click").toLong
+      val ns = rows.count(_.getString(1) == "signup").toLong
+      val y = rows.filter(_.getString(1) == "purchase")
+        .map(r => BigDecimal(r.getAs[Double](2))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (uid, nv + 2 * nc, ns, y.toDouble)
+    }.toSeq
+    val n = acts.size
+    val sns = acts.map(_._3).sum
+    val ss = acts.map(_._2).sum
+    val ss2 = acts.map(a => a._2 * a._2).sum
+    val mu = ss.toDouble / n
+    val sd = math.sqrt((ss2.toDouble - ss.toDouble * ss / n) / (n - 1))
+    def rnd(x: Double, k: Int) =
+      BigDecimal(x).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val users = acts.map { case (uid, s, ns, y) =>
+      (uid, ns * n > sns,
+        rnd(1.0 / (1.0 + math.exp(rnd(-((s - mu) / sd), 9))), 6), y)
+    }
+    val cg = users.filter(!_._2).groupBy(_._3).map { case (pc, g) =>
+      pc -> rnd(g.map(u => rnd(u._4, 6)).sum / g.size, 6)
+    }
+    val tr = users.filter(_._2)
+    val diffs = tr.flatMap { case (_, _, p, y) =>
+      val cand = cg.toSeq
+        .filter(c => rnd(math.abs(p - c._1), 6) <= 0.05)
+        .sortBy(c => (rnd(math.abs(p - c._1), 6),
+          if (c._1 <= p) 0 else 1, c._1))
+      cand.headOption.map { case (_, yb) => rnd(y - yb, 6) }
+    }
+    val r = graft.queries.DecisionOps.qPsmAtt(spark, sf).collect().head
+    assert(r.getAs[Long]("n_treated") == tr.size)
+    assert(r.getAs[Long]("n_matched") == diffs.size)
+    val att = diffs.sum / diffs.size
+    assert(math.abs(r.getAs[Double]("att") - att) < 1e-4,
+      s"att ${r.getAs[Double]("att")} vs replay $att")
+    assert(r.getAs[Double]("mean_abs_pdiff") <= 0.05)
+  }
+
   test("holt: the matrix-power unroll replays the level/trend " +
       "recursion, and forecasts extrapolate the last state") {
     val rows = SeriesOps.qHolt(spark, sf).collect()
