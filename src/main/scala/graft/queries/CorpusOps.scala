@@ -365,6 +365,46 @@ object CorpusOps extends QueryPack {
       .orderBy($"qid")
   }
 
+  // ---- q_topic_coherence ---------------------------------------------------
+  /** UMass topic coherence (Mimno et al., EMNLP'11) of [[qTopicTerms]]'
+    * per-source topics: for each ordered top-term pair (m ranked below
+    * l), ln((D(w_m, w_l) + 1) / D(w_l)) with D = document co-occurrence
+    * counts — the intrinsic "do this topic's terms actually co-occur"
+    * gate that decides whether topic labels are usable as curation
+    * features. Scale shape: the doc-term relation is SEMI-JOINED to the
+    * ≤ 3·|sources| selected terms before any pair forms, so the
+    * co-occurrence self-join runs over a vocabulary-thin slice; the
+    * pair spine is topics × 3 rows and missing co-occurrences are a
+    * LEFT join (D = 0 must contribute ln(1/D_l), not vanish). ln terms
+    * round once to 9dp into exact decimal sums. */
+  def qTopicCoherence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(28, 9)
+    val tt = qTopicTerms(spark, sfDir).select($"source", $"rk", $"tok")
+    val dt = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .distinct()
+      .join(broadcast(tt.select($"tok").distinct()), "tok")
+      .localCheckpoint() // doc counts + both sides of the pair join
+    val dtc = dt.groupBy($"tok").agg(count(lit(1)).as("dl"))
+    val spine = tt.as("m").join(tt.as("l"),
+        $"m.source" === $"l.source" && $"m.rk" > $"l.rk")
+      .select($"m.source".as("source"),
+        $"m.tok".as("tm"), $"l.tok".as("tl"))
+    val pc = dt.select($"tok".as("tm"), $"doc_id")
+      .join(dt.select($"tok".as("tl"), $"doc_id"), "doc_id")
+      .groupBy($"tm", $"tl").agg(count(lit(1)).as("dml"))
+    spine.join(pc, Seq("tm", "tl"), "left")
+      .join(dtc.select($"tok".as("tl"), $"dl"), "tl")
+      .select($"source",
+        round(log((coalesce($"dml", lit(0L)) + 1).cast("double")
+          / $"dl"), 9).cast(dec9).as("term"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"term").cast("double"), 6).as("coherence"))
+      .orderBy($"source")
+  }
+
   // ---- q_bm25_tune -------------------------------------------------------
   /** BM25 hyper-parameter tuner: score a 6-cell (k1, b) grid — k1 ∈
     * {0.6, 1.2, 1.8} × b ∈ {0.3, 0.75}, the default (1.2, 0.75)
@@ -1072,7 +1112,8 @@ object CorpusOps extends QueryPack {
     "q_hybrid_rrf" -> qHybridRrf,
     "q_oov_rate" -> qOovRate,
     "q_retrieval_eval" -> qRetrievalEval,
-    "q_bm25_tune" -> qBm25Tune
+    "q_bm25_tune" -> qBm25Tune,
+    "q_topic_coherence" -> qTopicCoherence
   )
 
   /** The BM25 INPUT relations (token stream → tf / dl / df / corpus
@@ -1115,6 +1156,35 @@ object CorpusOps extends QueryPack {
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+  /** The per-source lift-ranked top-3 topic-term chain (→ relation `tt`:
+    * source, rk, tok, nst, lift) — shared by the q_topic_terms and
+    * q_topic_coherence oracles so the term selection can't drift from
+    * its own coherence gate (the Scala side reuses [[qTopicTerms]]). */
+  private lazy val topicTermsCtesSql: String =
+    s"""WITH toks AS (
+      |  SELECT source, unnest($toksSql) AS tok FROM documents),
+      |st AS (SELECT source, tok, count(*) AS nst
+      |       FROM toks GROUP BY 1, 2),
+      |s AS (SELECT source, count(*) AS ns FROM toks GROUP BY 1),
+      |t AS (SELECT tok, count(*) AS nt FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM toks),
+      |lifted AS (
+      |  SELECT st.source, st.tok, st.nst,
+      |    round((CAST(st.nst AS DOUBLE) * n)
+      |      / (CAST(s.ns AS DOUBLE) * t.nt), 6) AS lift
+      |  FROM st
+      |  JOIN s ON s.source = st.source
+      |  JOIN t ON t.tok = st.tok
+      |  CROSS JOIN n
+      |  WHERE st.nst >= 5),
+      |rk AS (
+      |  SELECT source, tok, nst, lift, CAST(row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY lift DESC, nst DESC, tok ASC) AS INT) AS rk
+      |  FROM lifted),
+      |tt AS (SELECT source, rk, tok, nst, lift FROM rk WHERE rk <= 3)"""
+      .stripMargin
 
   /** The top-50 skip-gram pair chain (→ relation `sg`: center, context,
     * dist, n) — shared by the q_skipgram and q_w2v_negatives oracles so
@@ -1506,29 +1576,40 @@ object CorpusOps extends QueryPack {
     // same marginals, same single-integer-product lift quotient rounded
     // to 6dp before the identical (lift, count, term) per-source ranking
     "q_topic_terms" ->
-      s"""WITH toks AS (
-        |  SELECT source, unnest($toksSql) AS tok FROM documents),
-        |st AS (SELECT source, tok, count(*) AS nst
-        |       FROM toks GROUP BY 1, 2),
-        |s AS (SELECT source, count(*) AS ns FROM toks GROUP BY 1),
-        |t AS (SELECT tok, count(*) AS nt FROM toks GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM toks),
-        |lifted AS (
-        |  SELECT st.source, st.tok, st.nst,
-        |    round((CAST(st.nst AS DOUBLE) * n)
-        |      / (CAST(s.ns AS DOUBLE) * t.nt), 6) AS lift
-        |  FROM st
-        |  JOIN s ON s.source = st.source
-        |  JOIN t ON t.tok = st.tok
-        |  CROSS JOIN n
-        |  WHERE st.nst >= 5),
-        |rk AS (
-        |  SELECT source, tok, nst, lift, CAST(row_number() OVER (
-        |    PARTITION BY source
-        |    ORDER BY lift DESC, nst DESC, tok ASC) AS INT) AS rk
-        |  FROM lifted)
-        |SELECT source, rk, tok, nst, lift FROM rk WHERE rk <= 3
-        |ORDER BY source, rk""".stripMargin,
+      (topicTermsCtesSql + """
+        |SELECT source, rk, tok, nst, lift FROM tt
+        |ORDER BY source, rk""".stripMargin),
+
+    // the SAME per-source top-3 term chain (topicTermsCtesSql); the
+    // doc-term slice is semi-joined to the selected terms, missing
+    // co-occurrences LEFT-join in as D=0, ln terms round to 9dp pre-sum
+    "q_topic_coherence" ->
+      (topicTermsCtesSql + """,
+        |sel AS (SELECT DISTINCT tok FROM tt),
+        |dt AS (
+        |  SELECT DISTINCT d.doc_id, d.tok
+        |  FROM (SELECT doc_id, unnest(""".stripMargin
+        + toksSql + """) AS tok FROM documents) d
+        |  JOIN sel ON sel.tok = d.tok),
+        |dtc AS (SELECT tok, CAST(count(*) AS BIGINT) AS dl
+        |        FROM dt GROUP BY 1),
+        |spine AS (
+        |  SELECT m.source, m.tok AS tm, l.tok AS tl
+        |  FROM tt m JOIN tt l ON l.source = m.source AND m.rk > l.rk),
+        |pc AS (
+        |  SELECT a.tok AS tm, b.tok AS tl, CAST(count(*) AS BIGINT) AS dml
+        |  FROM dt a JOIN dt b ON b.doc_id = a.doc_id
+        |  GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT s.source,
+        |    CAST(round(ln(CAST(COALESCE(pc.dml, 0) + 1 AS DOUBLE)
+        |      / dtc.dl), 9) AS DECIMAL(28,9)) AS term
+        |  FROM spine s
+        |  LEFT JOIN pc ON pc.tm = s.tm AND pc.tl = s.tl
+        |  JOIN dtc ON dtc.tok = s.tl)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS coherence
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin),
 
     // same adjacent-pair formation (1-based range positions order the
     // same sequence), same support filter, PMI rounded to 6dp before the

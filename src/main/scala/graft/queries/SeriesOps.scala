@@ -278,14 +278,209 @@ object SeriesOps extends QueryPack {
     fitted.unionByName(fc).orderBy($"t")
   }
 
+  // ---- q_crosscorr -------------------------------------------------------
+  /** Lead–lag cross-correlation (the CCF of Box & Jenkins §11): Pearson
+    * r between daily event volume x_t and daily purchase revenue
+    * y_{t+k} for lags k ∈ [−7, 7] — the "does activity LEAD revenue,
+    * and by how many days" read that decides which series is the
+    * predictor. Day pairs come from ONE broadcast 15-row lag spine ×
+    * a calendar equi-join on date_add (never a window over the corpus);
+    * every per-lag moment is an exact integer/decimal sum (x is a
+    * count, y a 2dp decimal, y² rounds to 4dp pre-sum), so the only
+    * cross-engine surface is the one shared Pearson double formula. */
+  def qCrosscorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dd = Tables.df(spark, sfDir, "events")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"),
+        coalesce(sum(when($"event_type" === "purchase",
+          round($"value", 2).cast(dec2))).cast(dec2),
+          lit(0).cast(dec2)).as("y"))
+      .localCheckpoint() // both sides of the lag join
+    val lags = spark.range(-7, 8).select($"id".cast("int").as("lag"))
+    val pairs = dd.as("a").crossJoin(broadcast(lags))
+      .join(dd.as("b"), expr("b.d = date_add(a.d, lag)"))
+      .select($"lag", $"a.x".as("x"), $"b.y".as("y"))
+    val mo = pairs.groupBy($"lag").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"),
+      sum(round($"y".cast("double") * $"y", 4).cast(dec4)).as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    mo.withColumn("den",
+        sqrt($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx")
+          * sqrt($"n" * $"syy".cast("double")
+            - $"sy".cast("double") * $"sy"))
+      .select($"lag", $"n",
+        when($"den" > 0,
+          round(($"n" * $"sxy".cast("double")
+            - $"sx".cast("double") * $"sy".cast("double")) / $"den", 6))
+          .as("r"))
+      .orderBy($"lag")
+  }
+
+  // ---- q_huber -----------------------------------------------------------
+  /** Huber robust trend (Huber '64, via 3 unrolled IRLS iterations):
+    * regress the daily revenue series on the day index with the Huber
+    * ρ's weights w = min(1, c/|resid|), c = 1.345·MAD/0.6745 frozen
+    * from the OLS residuals (the standard one-step scale). Each
+    * iteration is a weighted-OLS closed form over the 30-row day
+    * relation with the 1-row parameter state broadcast back — a STATIC
+    * 3-round plan, the q_logreg fixed-unroll discipline (at cluster
+    * scale: iterate with a checkpoint per round). Weighted-moment terms
+    * round once to 4dp into exact decimal sums; every
+    * coefficient/scale division is one shared double formula; the
+    * weight branch avoids |r| = 0 division entirely (|r| ≤ c → w = 1).
+    * Output contrasts the OLS and Huber fits with the weight mass the
+    * robust fit discounted. */
+  def qHuber(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = dailySeries(spark, sfDir)
+      .select($"t".cast("long").as("t"), $"y".cast("double").as("y"))
+      .localCheckpoint() // OLS moments + scale + 3 IRLS rounds
+    val ols = days.agg(count(lit(1)).as("n"),
+        sum($"t").as("st"), sum(round($"y", 2).cast(dec2)).as("sy"),
+        sum($"t" * $"t").as("stt"),
+        sum(round($"t" * $"y", 2).cast(dec2)).as("sty"))
+      .withColumn("b0",
+        ($"n" * $"sty".cast("double") - $"st".cast("double")
+          * $"sy".cast("double"))
+          / ($"n" * $"stt".cast("double")
+            - $"st".cast("double") * $"st"))
+      .withColumn("a0",
+        ($"sy".cast("double") - $"b0" * $"st") / $"n")
+      .select($"n", $"a0", $"b0")
+    val scale = days.crossJoin(broadcast(ols))
+      .select(abs($"y" - ($"a0" + $"b0" * $"t")).as("ar"))
+      .agg(round(expr("percentile(ar, 0.5)"), 6).as("mad"))
+      .select((round(lit(1.345) * $"mad" / lit(0.6745), 6)).as("c"))
+    def irls(params: DataFrame): DataFrame =
+      days.crossJoin(broadcast(params)).crossJoin(broadcast(scale))
+        .withColumn("r", $"y" - ($"a" + $"b" * $"t"))
+        .withColumn("w", when(abs($"r") <= $"c", lit(1.0))
+          .otherwise(round($"c" / abs($"r"), 9)))
+        .agg(sum(round($"w", 4).cast(dec4)).as("sw"),
+          sum(round($"w" * $"t", 4).cast(dec4)).as("swt"),
+          sum(round($"w" * $"y", 4).cast(dec4)).as("swy"),
+          sum(round($"w" * $"t" * $"t", 4).cast(dec4)).as("swtt"),
+          sum(round($"w" * $"t" * $"y", 4).cast(dec4)).as("swty"))
+        .select(
+          (($"sw".cast("double") * $"swty".cast("double")
+            - $"swt".cast("double") * $"swy".cast("double"))
+            / ($"sw".cast("double") * $"swtt".cast("double")
+              - $"swt".cast("double") * $"swt".cast("double")))
+            .as("braw"),
+          $"sw".cast("double").as("swd"),
+          $"swt".cast("double").as("swtd"),
+          $"swy".cast("double").as("swyd"))
+        .select(round($"braw", 9).as("b"),
+          round(($"swyd" - $"braw" * $"swtd") / $"swd", 9).as("a"),
+          round($"swd", 6).as("wmass"))
+    val init = ols.select($"a0".as("a"), $"b0".as("b"))
+    val fin = irls(irls(irls(init)
+      .select($"a", $"b")).select($"a", $"b"))
+    ols.crossJoin(broadcast(scale)).crossJoin(broadcast(fin))
+      .select($"n", round($"a0", 6).as("ols_intercept"),
+        round($"b0", 6).as("ols_slope"), $"c".as("huber_c"),
+        round($"a", 6).as("huber_intercept"),
+        round($"b", 6).as("huber_slope"), $"wmass".as("weight_mass"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cusum" -> qCusum,
     "q_page_hinkley" -> qPageHinkley,
     "q_mann_kendall" -> qMannKendall,
-    "q_holt" -> qHolt
+    "q_holt" -> qHolt,
+    "q_crosscorr" -> qCrosscorr,
+    "q_huber" -> qHuber
   )
 
   val oracle: Map[String, String] = Map(
+    // same 15-row lag spine, calendar equi-join, exact per-lag moments,
+    // and the one shared Pearson double formula
+    "q_crosscorr" ->
+      ("""WITH dd AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x,
+        |    COALESCE(CAST(sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value, 2) AS DECIMAL(18,2)) END)
+        |      AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS y
+        |  FROM events GROUP BY 1),
+        |lg AS (SELECT CAST(unnest(range(-7, 8)) AS INT) AS lag),
+        |pr AS (SELECT lag, a.x, b.y
+        |       FROM dd a CROSS JOIN lg JOIN dd b ON b.d = a.d + lag),
+        |mo AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(CAST(round(CAST(y AS DOUBLE) * y, 4) AS DECIMAL(38,4)))
+        |      AS syy,
+        |    sum(x * y) AS sxy
+        |  FROM pr GROUP BY 1),
+        |de AS (SELECT lag, n, sx, sy, sxy,
+        |    sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+        |      * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+        |      AS den
+        |  FROM mo)
+        |SELECT lag, n,
+        |  CASE WHEN den > 0 THEN round((n * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den, 6) END AS r
+        |FROM de ORDER BY lag""".stripMargin),
+
+    // the identical OLS seed, frozen MAD scale (quantile_cont is
+    // DuckDB's interpolated percentile — the q_mad parity), and three
+    // chained IRLS blocks with 4dp-rounded weighted-moment sums
+    "q_huber" ->
+      (s"""WITH $daysCtesSql,
+        |dy AS (SELECT CAST(t AS BIGINT) AS t, CAST(y AS DOUBLE) AS y
+        |       FROM days),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st,
+        |    sum(CAST(round(y, 2) AS DECIMAL(18,2))) AS sy,
+        |    CAST(sum(t * t) AS BIGINT) AS stt,
+        |    sum(CAST(round(t * y, 2) AS DECIMAL(18,2))) AS sty
+        |  FROM dy),
+        |ols AS (SELECT n, st, sy,
+        |    (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)
+        |      * CAST(sy AS DOUBLE))
+        |      / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) AS b0
+        |  FROM mo),
+        |ols3 AS (SELECT n, b0,
+        |    (CAST(sy AS DOUBLE) - b0 * st) / n AS a0 FROM ols),
+        |sc AS (SELECT round(1.345 * round(quantile_cont(
+        |    abs(y - (a0 + b0 * t)), 0.5), 6) / 0.6745, 6) AS c
+        |  FROM dy CROSS JOIN ols3),
+        |it0 AS (SELECT a0 AS a, b0 AS b FROM ols3),""".stripMargin
+        + (1 to 3).map { k =>
+          s"""
+        |w$k AS (SELECT t, y,
+        |    CASE WHEN abs(y - (a + b * t)) <= c THEN CAST(1 AS DOUBLE)
+        |      ELSE round(c / abs(y - (a + b * t)), 9) END AS w
+        |  FROM dy CROSS JOIN it${k - 1} CROSS JOIN sc),
+        |m$k AS (SELECT
+        |    sum(CAST(round(w, 4) AS DECIMAL(38,4))) AS sw,
+        |    sum(CAST(round(w * t, 4) AS DECIMAL(38,4))) AS swt,
+        |    sum(CAST(round(w * y, 4) AS DECIMAL(38,4))) AS swy,
+        |    sum(CAST(round(w * t * t, 4) AS DECIMAL(38,4))) AS swtt,
+        |    sum(CAST(round(w * t * y, 4) AS DECIMAL(38,4))) AS swty
+        |  FROM w$k),
+        |b$k AS (SELECT (CAST(sw AS DOUBLE) * CAST(swty AS DOUBLE)
+        |      - CAST(swt AS DOUBLE) * CAST(swy AS DOUBLE))
+        |      / (CAST(sw AS DOUBLE) * CAST(swtt AS DOUBLE)
+        |        - CAST(swt AS DOUBLE) * CAST(swt AS DOUBLE)) AS braw,
+        |    CAST(sw AS DOUBLE) AS swd, CAST(swt AS DOUBLE) AS swtd,
+        |    CAST(swy AS DOUBLE) AS swyd
+        |  FROM m$k),
+        |it$k AS (SELECT round(braw, 9) AS b,
+        |    round((swyd - braw * swtd) / swd, 9) AS a,
+        |    round(swd, 6) AS wmass FROM b$k),""".stripMargin
+        }.mkString
+        + """
+        |r AS (SELECT ols3.n, round(ols3.a0, 6) AS ols_intercept,
+        |    round(ols3.b0, 6) AS ols_slope, sc.c AS huber_c,
+        |    round(it3.a, 6) AS huber_intercept,
+        |    round(it3.b, 6) AS huber_slope, it3.wmass AS weight_mass
+        |  FROM ols3 CROSS JOIN sc CROSS JOIN it3)
+        |SELECT * FROM r""".stripMargin),
+
     "q_cusum" ->
       (s"""WITH $zCtesSql,
         |p AS (

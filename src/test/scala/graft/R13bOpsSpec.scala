@@ -364,6 +364,81 @@ class R13bOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_abs_pdiff") <= 0.05)
   }
 
+  test("crosscorr: per-lag overlap counts are calendar-exact and lag 0 " +
+      "replays a driver-side Pearson") {
+    val rows = SeriesOps.qCrosscorr(spark, sf).collect()
+      .map(r => (r.getAs[Int]("lag"), r.getAs[Long]("n"),
+        r.getAs[Double]("r"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (-7 to 7))
+    rows.foreach { case (lag, n, r) =>
+      assert(n == 30 - math.abs(lag), s"overlap at lag $lag")
+      assert(math.abs(r) <= 1.0 + 1e-9)
+    }
+    val dd = Tables.df(spark, sf, "events")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"),
+        sum(when($"event_type" === "purchase", round($"value", 2))).as("y"))
+      .collect().map(r => (r.getAs[Long]("x").toDouble,
+        r.getAs[Double]("y")))
+    val n = dd.length
+    val (sx, sy) = (dd.map(_._1).sum, dd.map(_._2).sum)
+    val sxx = dd.map(p => p._1 * p._1).sum
+    val syy = dd.map(p => p._2 * p._2).sum
+    val sxy = dd.map(p => p._1 * p._2).sum
+    val r0 = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(rows.find(_._1 == 0).get._3 - r0) < 1e-4)
+  }
+
+  test("huber: IRLS downweights outlying days — weight mass below n " +
+      "unless nothing is outlying, scale positive, slopes finite") {
+    val r = SeriesOps.qHuber(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    val wm = r.getAs[Double]("weight_mass")
+    assert(n == 30)
+    assert(r.getAs[Double]("huber_c") > 0)
+    assert(wm > 0 && wm <= n + 1e-9,
+      "huber weights are in (0, 1] so their mass cannot exceed n")
+    Seq("ols_slope", "huber_slope", "ols_intercept", "huber_intercept")
+      .foreach(c => assert(!r.getAs[Double](c).isNaN))
+    // the robust fit must genuinely differ from OLS when any weight < 1
+    if (wm < n - 1e-6)
+      assert(r.getAs[Double]("huber_slope") !=
+        r.getAs[Double]("ols_slope"))
+  }
+
+  test("topic coherence: terms replay the UMass formula over the " +
+      "selected topic terms") {
+    val tt = graft.queries.CorpusOps.qTopicTerms(spark, sf)
+      .select($"source", $"rk", $"tok").collect()
+      .map(r => (r.getString(0), r.getAs[Int](1), r.getString(2)))
+    val sel = tt.map(_._3).toSet
+    val docs = Tables.df(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val dt = docs.map { case (id, text) =>
+      id -> text.toLowerCase.split(" ").filter(_.nonEmpty)
+        .toSet.intersect(sel)
+    }.toMap
+    def dcount(t: String) = dt.values.count(_.contains(t))
+    def dco(a: String, b: String) =
+      dt.values.count(s => s.contains(a) && s.contains(b))
+    val expected = tt.groupBy(_._1).map { case (src, terms) =>
+      val byRk = terms.sortBy(_._2)
+      val pairs = for {
+        m <- byRk; l <- byRk if m._2 > l._2
+      } yield math.log((dco(m._3, l._3) + 1).toDouble / dcount(l._3))
+      src -> pairs.sum
+    }
+    val rows = graft.queries.CorpusOps.qTopicCoherence(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Long]("n_pairs") == 3)
+      assert(math.abs(r.getAs[Double]("coherence") - expected(src)) < 1e-4,
+        s"coherence of $src")
+    }
+  }
+
   test("holt: the matrix-power unroll replays the level/trend " +
       "recursion, and forecasts extrapolate the last state") {
     val rows = SeriesOps.qHolt(spark, sf).collect()
