@@ -1495,7 +1495,42 @@ object EventOps extends QueryPack {
       .limit(20)
   }
 
+  // ---- q_cohort_retention ------------------------------------------------
+  /** The weekly cohort-retention triangle — the canonical product-health
+    * read (users grouped by first-activity week; for each later week,
+    * the fraction still active) that sits under every retention curve
+    * and LTV model; q_survival gives the event-level K-M curve, this
+    * gives the calendar-cohort grid a growth team actually reads. Week
+    * buckets are INTEGER arithmetic on days since the fixture epoch
+    * (⌊datediff/7⌋ — engine-exact; date_trunc('week') differs subtly
+    * across engines' week-start conventions so it is deliberately
+    * avoided). Shapes for scale: one shuffle by user for the first-week
+    * min, one distinct on the (user, week) activity grain, then the
+    * cohort×offset grid is ≤ weeks² rows with cohort sizes broadcast
+    * back — the corpus is touched exactly twice, both times collapsing
+    * to user-grain. */
+  def qCohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"user_id",
+        floor(datediff(to_date($"ts"), lit("2024-01-01")) / lit(7.0))
+          .cast("int").as("wk"))
+    val act = ev.distinct().localCheckpoint() // user×week-thin; 2 readers
+    val first = act.groupBy($"user_id").agg(min($"wk").as("cwk"))
+    val sizes = first.groupBy($"cwk").agg(count(lit(1)).as("cohort_size"))
+    act.join(first, "user_id")
+      .groupBy($"cwk", ($"wk" - $"cwk").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cwk")
+      .select($"cwk".as("cohort_week"), $"week_offset", $"cohort_size",
+        $"n_active",
+        round($"n_active".cast("double") / $"cohort_size", 6)
+          .as("retention"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> qCohortRetention,
     "q_streaks" -> qStreaks,
     "q_obrien_fleming" -> qObrienFleming,
     "q_cuped" -> qCuped,
@@ -2781,6 +2816,30 @@ object EventOps extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS filled_sum,
         |  n IS NULL AS is_gap
-        |FROM j ORDER BY user_id, h""".stripMargin
+        |FROM j ORDER BY user_id, h""".stripMargin,
+
+    // integer week buckets from the fixture epoch (no date_trunc week-
+    // start convention), distinct user×week grain, broadcast cohort sizes
+    "q_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7.0)
+        |      AS INT) AS wk
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, min(wk) AS cwk FROM act GROUP BY 1),
+        |sizes AS (
+        |  SELECT cwk, count(*) AS cohort_size FROM first GROUP BY 1),
+        |grid AS (
+        |  SELECT f.cwk, a.wk - f.cwk AS week_offset,
+        |    count(*) AS n_active
+        |  FROM act a JOIN first f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT g.cwk AS cohort_week, g.week_offset, s.cohort_size,
+        |  g.n_active,
+        |  round(CAST(g.n_active AS DOUBLE) / s.cohort_size, 6)
+        |    AS retention
+        |FROM grid g JOIN sizes s ON g.cwk = s.cwk
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

@@ -386,13 +386,164 @@ object SeriesOps extends QueryPack {
         round($"b", 6).as("huber_slope"), $"wmass".as("weight_mass"))
   }
 
+  // ---- q_pacf ------------------------------------------------------------
+  /** ACF plus partial autocorrelation at lags 1–3 via the Durbin–Levinson
+    * recursion (Durbin '60; Box & Jenkins §3.2) over the daily purchase
+    * series — the AR-order read that decides how many autoregressive
+    * terms a forecasting model needs, where q_autocorr answers "is there
+    * memory" and this answers "how much of lag-k is NEW information not
+    * already explained by lags < k". The corpus collapses to the day
+    * relation first; deviation products round once to 9dp into exact
+    * decimal sums (the q_autocorr discipline, but on the row index t so
+    * calendar gaps cannot silently change the lag meaning); the ACF
+    * rounds to 6dp and every Durbin–Levinson coefficient is pure
+    * +,−,×,÷ on those 6dp doubles, so both engines walk identical
+    * arithmetic with no libm call anywhere. */
+  def qPacf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = dailySeries(spark, sfDir)
+      .localCheckpoint() // day-thin; feeds moments + the 3 lag joins
+    val mom = days.agg(count(lit(1)).as("nd"), sum($"y").as("sy"))
+    val dev = days.crossJoin(broadcast(mom))
+      .select($"t",
+        ($"y".cast("double") - $"sy".cast("double") / $"nd").as("e"))
+      .localCheckpoint() // shared by denominator + both join sides
+    val den = dev.select(round($"e" * $"e", 9).cast(dec9).as("tm"))
+      .agg(sum($"tm").as("den"))
+    val acf = dev
+      .join(dev.select($"t".as("t2"), $"e".as("e2")),
+        ($"t" - $"t2").between(1, 3))
+      .select(($"t" - $"t2").cast("int").as("lag"),
+        round($"e" * $"e2", 9).cast(dec9).as("tm"))
+      .groupBy($"lag").agg(sum($"tm").as("num"))
+      .crossJoin(broadcast(den))
+      .select($"lag",
+        round($"num".cast("double") / $"den".cast("double"), 6).as("r"))
+    val rr = acf.agg(
+      max(when($"lag" === 1, $"r")).as("r1"),
+      max(when($"lag" === 2, $"r")).as("r2"),
+      max(when($"lag" === 3, $"r")).as("r3"))
+    val p = rr
+      .withColumn("p22",
+        ($"r2" - $"r1" * $"r1") / (lit(1.0) - $"r1" * $"r1"))
+      .withColumn("p21",
+        $"r1" * (lit(1.0) - $"r2") / (lit(1.0) - $"r1" * $"r1"))
+      .withColumn("p33",
+        ($"r3" - $"p21" * $"r2" - $"p22" * $"r1")
+          / (lit(1.0) - $"p21" * $"r1" - $"p22" * $"r2"))
+    p.select(explode(array(
+        struct(lit(1).as("lag"), $"r1".as("acf"),
+          round($"r1", 6).as("pacf")),
+        struct(lit(2).as("lag"), $"r2".as("acf"),
+          round($"p22", 6).as("pacf")),
+        struct(lit(3).as("lag"), $"r3".as("acf"),
+          round($"p33", 6).as("pacf")))).as("s"))
+      .select($"s.lag", $"s.acf", $"s.pacf")
+      .orderBy($"lag")
+  }
+
+  // ---- q_period_detect ---------------------------------------------------
+  /** Hidden-periodicity scan WITHOUT trigonometry (the folded-variance /
+    * periodic-ANOVA form of Fisher's hidden-periodicity test, Fisher
+    * '29): for every candidate period p ∈ [2, 10], fold the daily
+    * purchase series by phase (t−1) mod p and score how much day-to-day
+    * variance the phase means explain — R²_p = SSB/SST and the ANOVA
+    * F_p = (SSB/(p−1)) / (SSW/(n−p)), argmax F is the detected period.
+    * A DFT periodogram needs cos/sin (libm, cross-engine ulp risk);
+    * folding needs only integer mod + the same exact-decimal
+    * sum-of-squares machinery as q_anova, so the whole scan is
+    * hash-oracleable. One day-grain pass per nothing: the 9-row period
+    * spine broadcasts over the day relation, phase groups aggregate
+    * exact decimal sums, and every squared term rounds once to 9dp. */
+  def qPeriodDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = dailySeries(spark, sfDir)
+      .localCheckpoint() // day-thin; feeds SST + the folded groups
+    val mom = days.agg(count(lit(1)).as("nd"), sum($"y").as("sy"))
+    val sst = days.crossJoin(broadcast(mom))
+      .select(($"y".cast("double") - $"sy".cast("double") / $"nd")
+        .as("dv"))
+      .select(round($"dv" * $"dv", 9).cast(dec9).as("tm"))
+      .agg(sum($"tm").as("sst"))
+    val periods = spark.range(2, 11).select($"id".cast("int").as("p"))
+    val ssb = days.crossJoin(broadcast(periods))
+      .select($"p", (($"t" - 1) % $"p").as("ph"), $"y")
+      .groupBy($"p", $"ph")
+      .agg(count(lit(1)).as("ng"), sum($"y").as("sg"))
+      .crossJoin(broadcast(mom))
+      .select($"p",
+        ($"sg".cast("double") / $"ng"
+          - $"sy".cast("double") / $"nd").as("dg"), $"ng")
+      .select($"p", round($"ng" * $"dg" * $"dg", 9).cast(dec9).as("tm"))
+      .groupBy($"p").agg(sum($"tm").as("ssb"))
+    val scored = ssb.crossJoin(broadcast(sst)).crossJoin(broadcast(mom))
+      .select($"p",
+        round($"ssb".cast("double") / $"sst".cast("double"), 6)
+          .as("r2"),
+        when($"sst" - $"ssb" > 0,
+          round(($"ssb".cast("double") / ($"p" - 1))
+            / (($"sst".cast("double") - $"ssb".cast("double"))
+              / ($"nd" - $"p")), 6)).as("f_stat"))
+    val top = scored.agg(max($"f_stat").as("fmax"))
+    scored.crossJoin(broadcast(top))
+      .select($"p", $"r2", $"f_stat",
+        ($"f_stat" === $"fmax").as("best"))
+      .orderBy($"p")
+  }
+
+  // ---- q_var_es ----------------------------------------------------------
+  /** Historical Value-at-Risk and Expected Shortfall (Acerbi & Tasche
+    * '02) of the day-over-day revenue DECLINE at 90/95/99% — the
+    * tail-risk read a capacity/revenue-monitoring pipeline keeps beside
+    * the mean-shift detectors: "how bad is a bad day, and how bad is
+    * the average of the worst days". Losses are exact 2dp decimal
+    * first differences of the daily series; VaR_α is the loss at
+    * ascending rank k = ⌈α·n⌉ (k computed by INTEGER arithmetic
+    * ⌊(100α·n + 99)/100⌋ so no float boundary can move the order
+    * statistic), ES_α the exact-decimal mean of ranks ≥ k. The only
+    * window orders the calendar-bounded day relation (the q_survival
+    * argument); the 3-row alpha spine broadcasts. */
+  def qVarEs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wT = Window.orderBy($"t")
+    val loss = dailySeries(spark, sfDir)
+      .withColumn("prev", lag($"y", 1).over(wT))
+      .filter($"prev".isNotNull)
+      .select($"d", ($"prev" - $"y").cast(dec2).as("loss"))
+      .localCheckpoint() // day-thin; feeds count + rank + tail scan
+    val n = loss.agg(count(lit(1)).as("n"))
+    val ranked = loss
+      .withColumn("rn",
+        row_number().over(Window.orderBy($"loss", $"d")))
+    val ks = Seq(90, 95, 99).toDF("alpha_pct")
+      .crossJoin(broadcast(n))
+      .select($"alpha_pct", $"n",
+        floor(($"alpha_pct" * $"n" + 99) / lit(100.0)).as("k"))
+    val varAt = ranked.join(broadcast(ks), $"rn" === $"k")
+      .select($"alpha_pct", $"n", $"k",
+        $"loss".cast("double").as("var_loss"))
+    val es = ranked
+      .join(broadcast(ks.select($"alpha_pct".as("ap"), $"k".as("k2"))),
+        $"rn" >= $"k2")
+      .groupBy($"ap")
+      .agg(count(lit(1)).as("n_tail"), sum($"loss").as("s"))
+      .select($"ap", $"n_tail",
+        round($"s".cast("double") / $"n_tail", 6).as("es"))
+    varAt.join(es, $"alpha_pct" === $"ap")
+      .select($"alpha_pct", $"n", $"k", $"var_loss", $"n_tail", $"es")
+      .orderBy($"alpha_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cusum" -> qCusum,
     "q_page_hinkley" -> qPageHinkley,
     "q_mann_kendall" -> qMannKendall,
     "q_holt" -> qHolt,
     "q_crosscorr" -> qCrosscorr,
-    "q_huber" -> qHuber
+    "q_huber" -> qHuber,
+    "q_pacf" -> qPacf,
+    "q_period_detect" -> qPeriodDetect,
+    "q_var_es" -> qVarEs
   )
 
   val oracle: Map[String, String] = Map(
@@ -611,6 +762,113 @@ object SeriesOps extends QueryPack {
         |SELECT d, CAST(t AS INT) AS t, y, fitted, err FROM fitted
         |UNION ALL
         |SELECT d, t, y, fitted, err FROM fc
-        |ORDER BY t""".stripMargin)
+        |ORDER BY t""".stripMargin),
+
+    // row-index lags, 9dp pre-sum deviation products, 6dp ACF, then the
+    // Durbin–Levinson coefficients as pure arithmetic on those 6dp doubles
+    "q_pacf" ->
+      (s"""WITH $daysCtesSql,
+        |mom AS (SELECT count(*) AS nd, sum(y) AS sy FROM days),
+        |dev AS (
+        |  SELECT t, CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / nd AS e
+        |  FROM days CROSS JOIN mom),
+        |den AS (
+        |  SELECT sum(CAST(round(e * e, 9) AS DECIMAL(28,9))) AS den
+        |  FROM dev),
+        |acf AS (
+        |  SELECT CAST(a.t - b.t AS INT) AS lag,
+        |    round(CAST(sum(CAST(round(a.e * b.e, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) / CAST(max(den.den) AS DOUBLE), 6) AS r
+        |  FROM dev a JOIN dev b ON a.t - b.t BETWEEN 1 AND 3
+        |  CROSS JOIN den
+        |  GROUP BY 1),
+        |rr AS (
+        |  SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    max(CASE WHEN lag = 3 THEN r END) AS r3
+        |  FROM acf),
+        |p AS (
+        |  SELECT r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22,
+        |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS p21
+        |  FROM rr),
+        |p2 AS (
+        |  SELECT r1, r2, r3, p22, p21,
+        |    (r3 - p21 * r2 - p22 * r1)
+        |      / (1.0 - p21 * r1 - p22 * r2) AS p33
+        |  FROM p)
+        |SELECT CAST(1 AS INT) AS lag, r1 AS acf, round(r1, 6) AS pacf
+        |FROM p2
+        |UNION ALL
+        |SELECT CAST(2 AS INT), r2, round(p22, 6) FROM p2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), r3, round(p33, 6) FROM p2
+        |ORDER BY lag""".stripMargin),
+
+    // 9-row period spine × the day relation; phase-group exact decimal
+    // sums; 9dp pre-sum squared terms; one shared F formula
+    "q_period_detect" ->
+      (s"""WITH $daysCtesSql,
+        |mom AS (SELECT count(*) AS nd, sum(y) AS sy FROM days),
+        |sst AS (
+        |  SELECT sum(CAST(round(
+        |    (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / nd)
+        |    * (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / nd), 9)
+        |    AS DECIMAL(28,9))) AS sst
+        |  FROM days CROSS JOIN mom),
+        |periods AS (
+        |  SELECT CAST(unnest(range(2, 11)) AS INT) AS p),
+        |grp AS (
+        |  SELECT p, (t - 1) % p AS ph, count(*) AS ng, sum(y) AS sg
+        |  FROM days CROSS JOIN periods
+        |  GROUP BY 1, 2),
+        |ssb AS (
+        |  SELECT p, sum(CAST(round(ng
+        |    * (CAST(sg AS DOUBLE) / ng - CAST(sy AS DOUBLE) / nd)
+        |    * (CAST(sg AS DOUBLE) / ng - CAST(sy AS DOUBLE) / nd), 9)
+        |    AS DECIMAL(28,9))) AS ssb
+        |  FROM grp CROSS JOIN mom
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT p,
+        |    round(CAST(ssb AS DOUBLE) / CAST(sst AS DOUBLE), 6) AS r2,
+        |    CASE WHEN sst - ssb > 0 THEN
+        |      round((CAST(ssb AS DOUBLE) / (p - 1))
+        |        / ((CAST(sst AS DOUBLE) - CAST(ssb AS DOUBLE))
+        |          / (nd - p)), 6) END AS f_stat
+        |  FROM ssb CROSS JOIN sst CROSS JOIN mom),
+        |top AS (SELECT max(f_stat) AS fmax FROM scored)
+        |SELECT p, r2, f_stat, f_stat = fmax AS best
+        |FROM scored CROSS JOIN top
+        |ORDER BY p""".stripMargin),
+
+    // exact 2dp decimal first differences; integer-arithmetic rank cut
+    // k = floor((100*alpha*n + 99)/100); exact-decimal tail mean
+    "q_var_es" ->
+      (s"""WITH $daysCtesSql,
+        |loss AS (
+        |  SELECT d, CAST(prev - y AS DECIMAL(18,2)) AS loss
+        |  FROM (SELECT d, y, lag(y) OVER (ORDER BY t) AS prev
+        |        FROM days)
+        |  WHERE prev IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM loss),
+        |rk AS (
+        |  SELECT d, loss, row_number() OVER (ORDER BY loss, d) AS rn
+        |  FROM loss),
+        |ks AS (
+        |  SELECT alpha_pct, n,
+        |    CAST(floor((alpha_pct * n + 99) / 100.0) AS BIGINT) AS k
+        |  FROM (VALUES (90), (95), (99)) v(alpha_pct) CROSS JOIN nn),
+        |va AS (
+        |  SELECT alpha_pct, n, k, CAST(loss AS DOUBLE) AS var_loss
+        |  FROM rk JOIN ks ON rk.rn = ks.k),
+        |es AS (
+        |  SELECT alpha_pct AS ap, count(*) AS n_tail,
+        |    round(CAST(sum(loss) AS DOUBLE) / count(*), 6) AS es
+        |  FROM rk JOIN ks ON rk.rn >= ks.k
+        |  GROUP BY 1)
+        |SELECT alpha_pct, n, k, var_loss, n_tail, es
+        |FROM va JOIN es ON va.alpha_pct = es.ap
+        |ORDER BY alpha_pct""".stripMargin)
   )
 }
