@@ -40,6 +40,22 @@ class AnnConsumersSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_eval: multiprobe serving recall >= 0.45 per band, >= 0.5 " +
+      "overall (r14 Hamming-1 adoption — was 0.09-0.19 single-probe)") {
+    val rows = VectorQueries.qAnnEval(spark, sf).collect()
+    assert(rows.nonEmpty, "q_ann_eval produced no bands")
+    rows.foreach { r =>
+      val recall = r.getDouble(r.fieldIndex("recall"))
+      assert(recall >= 0.45,
+        s"band ${r.get(0)} recall $recall below the multiprobe floor — " +
+          "the serving config regressed (q_ann_eval gate)")
+    }
+    val nTruth = rows.map(_.getLong(1)).sum
+    val nFound = rows.map(_.getLong(2)).sum
+    val overall = nFound.toDouble / nTruth
+    assert(overall >= 0.5, s"overall serving recall $overall < 0.5")
+  }
+
   test("annKnnCosine recovers the brute-force kNN pair list (recall >= 0.9)") {
     import spark.implicits._
     val sub = Tables.df(spark, sf, "embeddings")
