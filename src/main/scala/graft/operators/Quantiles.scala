@@ -102,4 +102,49 @@ object Quantiles {
       .select($"frac",
         ($"lo" + $"fp" * (coalesce($"hi", $"lo") - $"lo")).as("b"))
   }
+
+  /** The exact k-th smallest values of `valueCol` — 1-indexed ranks
+    * arriving as the (tiny) relation `ks(k BIGINT)` — via the same
+    * histogram-refine shape as [[exactQuantiles]]: coarse histogram,
+    * locate each rank's cell, per-cell DISTINCT-value refine. No global
+    * sort anywhere, and no interpolation: an order statistic is
+    * algorithm-independent, so a plain ORDER BY + row_number oracle on
+    * the other engine replays the value bit-for-bit (ties collapse —
+    * the value at rank k does not depend on tie-break order among
+    * equals). Built for q_conformal's ⌈(n+1)(1−α)⌉-th residual (the
+    * r13 verdict's fix for its corpus-wide row_number); any "give me
+    * rank k of a data-scale column" caller should come through here.
+    * Returns (k, v). Ranks outside [1, n] emit no row. */
+  def orderStatistics(df: DataFrame, valueCol: Column, ks: DataFrame,
+      buckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(valueCol.cast("double").as("vd"))
+      .filter($"vd".isNotNull)
+      .localCheckpoint() // min/max pass + histogram + refine join
+    val mm = v.agg(min($"vd").as("mn"), max($"vd").as("mx"))
+    val bucketed = v.crossJoin(broadcast(mm))
+      .select($"vd",
+        when($"mx" === $"mn", lit(0)).otherwise(
+          least(floor(($"vd" - $"mn") / (($"mx" - $"mn") / buckets))
+            .cast("int"), lit(buckets - 1))).as("bkt"))
+    // bounded single-partition window: <= `buckets` histogram rows
+    val wb = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bucketed.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(sum($"cnt").over(wb), lit(0L)))
+    val kb = ks.select($"k").join(broadcast(cum),
+        $"cum_before" < $"k" && $"k" <= $"cum_before" + $"cnt")
+      .select($"k", $"bkt", ($"k" - $"cum_before").as("rk"))
+    val needed = kb.select($"bkt").distinct()
+    val wr = Window.partitionBy($"bkt").orderBy($"vd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bucketed.join(broadcast(needed), "bkt")
+      .groupBy($"bkt", $"vd").agg(count(lit(1)).as("c"))
+      .withColumn("cum_end", sum($"c").over(wr))
+    ranked.join(broadcast(kb),
+        ranked("bkt") === kb("bkt")
+          && $"rk" > $"cum_end" - $"c" && $"rk" <= $"cum_end")
+      .select($"k", $"vd".as("v"))
+  }
 }

@@ -477,7 +477,12 @@ object CurateOps extends QueryPack {
     * engines; cells are truncating div on shifted-positive ints
     * (Spark `div` truncates, DuckDB `//` floors — identical once
     * shifted); the cluster label is the component's min vec_id. */
-  def qDbscanGrid(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The grid-neighbor stage of [[qDbscanGrid]], pre-checkpoint, so
+    * R13PlanAuditSpec can assert the 3×3 cell-offset join plans as a
+    * hash equi-join on (cx, cy) with the ε-disc verify ABOVE it — never
+    * a cartesian. Returns (pts checkpointed, nbr un-checkpointed). */
+  private[graft] def dbscanGridStage(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     val epsI = 20000L // 0.02 in micro-units
     val eps2 = epsI * epsI
@@ -502,6 +507,13 @@ object CurateOps extends QueryPack {
         && ($"ix" - $"ix2") * ($"ix" - $"ix2")
           + ($"iy" - $"iy2") * ($"iy" - $"iy2") <= eps2)
       .select($"vec_id", $"id2")
+    (pts, nbr)
+  }
+
+  def qDbscanGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (pts, nbrPre) = dbscanGridStage(spark, sfDir)
+    val nbr = nbrPre
       .localCheckpoint() // feeds counts, core edges, border attach
     val ncnt = nbr.groupBy($"vec_id").agg(count(lit(1)).as("nc"))
     val core = ncnt.filter($"nc" >= 4).select($"vec_id")

@@ -123,8 +123,12 @@ object EvalOps extends QueryPack {
     * integer ceil-division — no float rank), and the marginal-coverage
     * audit on held-out test (the finite-sample ≥ 90% guarantee that
     * holds for ANY model, which is the entire point). One corpus pass
-    * for moments, one order-statistic rank, one test aggregate —
-    * merge-safe at any scale. */
+    * for moments, one order-statistic locate through the histogram-
+    * refine kernel ([[graft.operators.Quantiles.orderStatistics]] —
+    * r14: replaces the r13 corpus-wide row_number, so no stage sorts
+    * the calibration set in one task), one test aggregate — merge-safe
+    * at any scale. The oracle keeps the plain ORDER BY rank: an order
+    * statistic is algorithm-independent. */
   def qConformal(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val per = ridgePer(spark, sfDir)
@@ -136,12 +140,12 @@ object EvalOps extends QueryPack {
         abs($"yv".cast("double") - ($"b0"
           + $"w1" * $"x1".cast("double") + $"w2" * $"x2".cast("double"))))
     val calib = scored.filter($"part" === 2)
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"resid", $"l_orderkey")))
-    val nc = calib.agg(count(lit(1)).as("n_calib"))
-    val qhat = calib.crossJoin(broadcast(nc))
-      .filter($"rn" === expr("(9 * (n_calib + 1) + 9) div 10"))
-      .select($"n_calib", $"resid".as("qhat"))
+    val nc = calib.agg(count(lit(1)).as("n_calib")).localCheckpoint()
+    val kRel = nc.select(expr("(9 * (n_calib + 1) + 9) div 10").as("k"))
+    val qhat = graft.operators.Quantiles
+      .orderStatistics(calib, $"resid", kRel)
+      .crossJoin(broadcast(nc))
+      .select($"n_calib", $"v".as("qhat"))
     val test = scored.filter($"part" === 3)
       .crossJoin(broadcast(qhat))
       .agg(max($"n_calib").as("n_calib"), max($"qhat").as("qhat"),
@@ -158,26 +162,44 @@ object EvalOps extends QueryPack {
   /** Permutation feature importance (Breiman '01 §10, the model-
     * agnostic form in Fisher et al. '19): fit the ridge model on the
     * full relation, then re-score with each feature's column replaced
-    * by a DETERMINISTIC derangement — a cyclic shift in md5-rank order
-    * (rank r takes the value of rank r mod n + 1), which breaks the
+    * by a DETERMINISTIC derangement — md5-bucket the relation into 64
+    * buckets and cyclic-shift WITHIN each bucket in md5-rank order
+    * (rank r takes the value of rank r mod n_b + 1), which breaks the
     * feature-target association exactly as a random permutation does
     * but replays identically in both engines. Importance = the
     * fractional MSE increase. Squared errors round once to 4dp into
-    * exact decimal sums; the shift join is rank-equi, shuffle-friendly
-    * at any scale. */
+    * exact decimal sums. Scale (r14, replacing the r13 corpus-wide
+    * row_number): the rank window partitions by bucket — each task
+    * sorts ~n/64 rows — and the donor join is a (bucket, rank)
+    * equi-join; raise the bucket count with the corpus and the shapes
+    * are unchanged. A 1-row bucket would map to itself (not a
+    * derangement there) — impossible above 64 rows unless the md5
+    * bucketing is degenerate, and harmless to parity if it ever
+    * happens since the oracle shares the rule. */
+  /** [[qPermImportance]]'s ranked relation, pre-checkpoint, so
+    * R13PlanAuditSpec can assert the rank window is bucket-partitioned
+    * (the r13 verdict's single-task global sort, fixed). */
+  private[graft] def permRanked(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    ridgePer(spark, sfDir)
+      .withColumn("bkt", pmod(h60("pib:", $"l_orderkey"), lit(64)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"bkt")
+          .orderBy(h60("pi:", $"l_orderkey"), $"l_orderkey")))
+  }
+
   def qPermImportance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val per = ridgePer(spark, sfDir)
-      .withColumn("rn", row_number().over(
-        Window.orderBy(h60("pi:", $"l_orderkey"), $"l_orderkey")))
+    val per = permRanked(spark, sfDir)
       .localCheckpoint() // fit + 3 scoring passes + the donor side
     val w = ridgeFit(per)
-    val n1 = per.agg(count(lit(1)).as("nn"))
-    val donor = per.select($"rn".as("dn"), $"x1".as("x1p"),
-      $"x2".as("x2p"))
-    val joined = per.crossJoin(broadcast(n1))
-      .withColumn("nxt", $"rn" % $"nn" + 1)
-      .join(donor, $"nxt" === $"dn")
+    val bc = per.groupBy($"bkt").agg(count(lit(1)).as("nb"))
+    val donor = per.select($"bkt".as("dbkt"), $"rn".as("dn"),
+      $"x1".as("x1p"), $"x2".as("x2p"))
+    val joined = per.join(broadcast(bc), "bkt")
+      .withColumn("nxt", $"rn" % $"nb" + 1)
+      .join(donor, $"bkt" === $"dbkt" && $"nxt" === $"dn")
       .crossJoin(broadcast(w))
     def mse(x1c: Column, x2c: Column): Column = {
       val err = ($"yv".cast("double") - ($"b0"
@@ -296,15 +318,17 @@ object EvalOps extends QueryPack {
     "q_perm_importance" ->
       (s"""WITH $ridgePerSql,
         |pr AS (
-        |  SELECT *, row_number() OVER (
-        |    ORDER BY ${hashSql("pi:", "l_orderkey")}, l_orderkey) AS rn
+        |  SELECT *, ${hashSql("pib:", "l_orderkey")} % 64 AS bkt,
+        |    row_number() OVER (
+        |      PARTITION BY ${hashSql("pib:", "l_orderkey")} % 64
+        |      ORDER BY ${hashSql("pi:", "l_orderkey")}, l_orderkey) AS rn
         |  FROM per),
         |${ridgeFitSql("pr")},
-        |nn AS (SELECT count(*) AS nn FROM pr),
+        |bc AS (SELECT bkt, count(*) AS nb FROM pr GROUP BY bkt),
         |j AS (
         |  SELECT a.yv, a.x1, a.x2, d.x1 AS x1p, d.x2 AS x2p
-        |  FROM pr a CROSS JOIN nn
-        |  JOIN pr d ON d.rn = a.rn % nn.nn + 1),
+        |  FROM pr a JOIN bc ON bc.bkt = a.bkt
+        |  JOIN pr d ON d.bkt = a.bkt AND d.rn = a.rn % bc.nb + 1),
         |agg AS (
         |  SELECT count(*) AS n,
         |    sum(CAST(round((CAST(yv AS DOUBLE) - (b0

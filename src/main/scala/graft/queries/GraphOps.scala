@@ -596,7 +596,14 @@ object GraphOps extends QueryPack {
     * landmarks is 4 at sf0.01); unreached pairs simply drop out, and
     * both consumers gate on full landmark coverage identically. */
   private def landmarkDistances(spark: SparkSession, sfDir: String)
-      : DataFrame = {
+      : DataFrame = landmarkBuild(spark, sfDir)._1
+
+  /** [[landmarkDistances]] plus the per-hop pre-checkpoint frames, so
+    * R13PlanAuditSpec can assert each hop's shape (constant Exchange
+    * count, checkpoint-scan leaves, equi-join expansion) the way
+    * R12PlanAuditSpec audits the k-core peel rounds. */
+  private[graft] def landmarkBuild(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val edges = coPurchaseEdgesLong(spark, sfDir).localCheckpoint()
     val decoded = concat(when($"node" % 2 === 0, "c:").otherwise("s:"),
@@ -609,14 +616,16 @@ object GraphOps extends QueryPack {
       .select($"node".as("lm"))
     var dist = lm.select($"lm", $"lm".as("node"), lit(0).as("d"))
       .localCheckpoint()
+    val hops = Seq.newBuilder[DataFrame]
     for (_ <- 1 to 4) {
-      dist = dist
+      val hop = dist
         .unionByName(dist.join(edges, $"node" === $"u")
           .select($"lm", $"v".as("node"), ($"d" + 1).as("d")))
         .groupBy($"lm", $"node").agg(min($"d").as("d"))
-        .localCheckpoint()
+      hops += hop
+      dist = hop.localCheckpoint()
     }
-    dist
+    (dist, hops.result())
   }
 
   /** One unrolled min-plus BFS level for the oracle chain. */
