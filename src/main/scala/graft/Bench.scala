@@ -101,10 +101,22 @@ object Bench {
         java.nio.file.Paths.get(metricsOut)), "UTF-8")
       val re = ("\"(q_[a-z0-9_]+)\":\\{\"wall\":[0-9.]+,\"run\":([0-9.]+)," +
         "[^}]*\"tasks\":([0-9]+)").r
-      re.findAllMatchIn(txt)
+      val parsed = re.findAllMatchIn(txt)
         .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toLong))
         .toMap
-    } catch { case _: Throwable => Map.empty }
+      // a record that exists but yields nothing means the format drifted
+      // — say so, or the drift discriminator dies silently (ADVICE r13)
+      if (parsed.isEmpty) System.err.println(
+        s"[bench] WARNING: $metricsOut parsed to 0 entries — " +
+          "drift re-run disabled this round")
+      parsed
+    } catch {
+      case _: java.nio.file.NoSuchFileException => Map.empty // first run
+      case e: Throwable =>
+        System.err.println(s"[bench] WARNING: cannot read $metricsOut " +
+          s"(${e.getClass.getSimpleName}) — drift re-run disabled")
+        Map.empty
+    }
     val drifted = results.collect { case (n, _, s)
         if record.get(n).exists { case (rRun, rTasks) =>
           rTasks > 0 && s.tasks > 0 && rRun > 0.0 &&
@@ -141,9 +153,12 @@ object Bench {
     val metricsJson = finalResults.sortBy(_._2).map { case (n, w, s) =>
       "\"" + n + "\":" + s.json(w)
     }.mkString("{\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    // telemetry must never fail the bench, but a write failure must be
+    // visible — next round's drift discriminator depends on this file
     try java.nio.file.Files.write(java.nio.file.Paths.get(metricsOut),
       (metricsJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // telemetry must never fail the bench
+    catch { case e: Throwable => System.err.println(
+      s"[bench] WARNING: cannot write $metricsOut: ${e.getMessage}") }
     // Compact telemetry for the SLOW queries only (wall >= 4 s — the
     // anomaly band; normally ~5 entries) printed to stdout so it survives
     // inside the driver's 2000-char tail next to the timings it explains.

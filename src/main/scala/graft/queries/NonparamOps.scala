@@ -488,9 +488,11 @@ object NonparamOps extends QueryPack {
       """|    END AS significant
         |FROM f""".stripMargin),
 
-    // same three fixed occasions, same integer totals
+    // same three fixed occasions, same integer totals; the 5% critical
+    // value interpolates from the SAME chi2Crit05 table the Spark side
+    // derives from (ADVICE r13: no free-standing df literal to drift)
     "q_cochran_q" ->
-      """WITH flags AS (
+      s"""WITH flags AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS d
         |  FROM events
         |  WHERE event_type = 'purchase'
@@ -518,7 +520,7 @@ object NonparamOps extends QueryPack {
         |  CAST(2 AS BIGINT) AS df,
         |  CASE WHEN den > 0 THEN
         |    CAST(2 * (3 * c2 - bigN * bigN) AS DOUBLE)
-        |      / CAST(den AS DOUBLE) > 5.991 END AS significant
+        |      / CAST(den AS DOUBLE) > ${chi2Crit05(2)} END AS significant
         |FROM f""".stripMargin,
 
     // same value-grouped cumulative pair counting

@@ -423,14 +423,20 @@ object SeriesOps extends QueryPack {
       max(when($"lag" === 1, $"r")).as("r1"),
       max(when($"lag" === 2, $"r")).as("r2"),
       max(when($"lag" === 3, $"r")).as("r3"))
+    // degenerate-series guards (ADVICE r13): a |r1| = 1 series (or one
+    // too short for the lags, where the r's are NULL) must yield NULL
+    // pacf rows, not ±Infinity on one engine and NULL on the other —
+    // both guards mirror in the oracle CTEs
     val p = rr
+      .withColumn("d1", lit(1.0) - $"r1" * $"r1")
       .withColumn("p22",
-        ($"r2" - $"r1" * $"r1") / (lit(1.0) - $"r1" * $"r1"))
+        when($"d1" =!= 0.0, ($"r2" - $"r1" * $"r1") / $"d1"))
       .withColumn("p21",
-        $"r1" * (lit(1.0) - $"r2") / (lit(1.0) - $"r1" * $"r1"))
+        when($"d1" =!= 0.0, $"r1" * (lit(1.0) - $"r2") / $"d1"))
+      .withColumn("d3", lit(1.0) - $"p21" * $"r1" - $"p22" * $"r2")
       .withColumn("p33",
-        ($"r3" - $"p21" * $"r2" - $"p22" * $"r1")
-          / (lit(1.0) - $"p21" * $"r1" - $"p22" * $"r2"))
+        when($"d3" =!= 0.0,
+          ($"r3" - $"p21" * $"r2" - $"p22" * $"r1") / $"d3"))
     p.select(explode(array(
         struct(lit(1).as("lag"), $"r1".as("acf"),
           round($"r1", 6).as("pacf")),
@@ -484,10 +490,16 @@ object SeriesOps extends QueryPack {
           round(($"ssb".cast("double") / ($"p" - 1))
             / (($"sst".cast("double") - $"ssb".cast("double"))
               / ($"nd" - $"p")), 6)).as("f_stat"))
+    // unique detection (ADVICE r13): ties on the 6dp-rounded F break to
+    // the SMALLEST period among the maxima (the most parsimonious fold),
+    // and an all-NULL F column yields best = false everywhere, not NULL
     val top = scored.agg(max($"f_stat").as("fmax"))
-    scored.crossJoin(broadcast(top))
+    val pb = scored.crossJoin(broadcast(top))
+      .filter($"f_stat" === $"fmax")
+      .agg(min($"p").as("pbest"))
+    scored.crossJoin(broadcast(pb))
       .select($"p", $"r2", $"f_stat",
-        ($"f_stat" === $"fmax").as("best"))
+        coalesce($"p" === $"pbest", lit(false)).as("best"))
       .orderBy($"p")
   }
 
@@ -515,10 +527,13 @@ object SeriesOps extends QueryPack {
     val ranked = loss
       .withColumn("rn",
         row_number().over(Window.orderBy($"loss", $"d")))
+    // true integer ceil-division (ADVICE r13: the doc claimed integer
+    // arithmetic while the code floored a double quotient — value-safe
+    // at these magnitudes, but now the claim is literally true)
     val ks = Seq(90, 95, 99).toDF("alpha_pct")
       .crossJoin(broadcast(n))
       .select($"alpha_pct", $"n",
-        floor(($"alpha_pct" * $"n" + 99) / lit(100.0)).as("k"))
+        expr("(alpha_pct * n + 99) div 100").as("k"))
     val varAt = ranked.join(broadcast(ks), $"rn" === $"k")
       .select($"alpha_pct", $"n", $"k",
         $"loss".cast("double").as("var_loss"))
@@ -787,15 +802,17 @@ object SeriesOps extends QueryPack {
         |    max(CASE WHEN lag = 2 THEN r END) AS r2,
         |    max(CASE WHEN lag = 3 THEN r END) AS r3
         |  FROM acf),
+        |p0 AS (SELECT r1, r2, r3, 1.0 - r1 * r1 AS d1 FROM rr),
         |p AS (
         |  SELECT r1, r2, r3,
-        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22,
-        |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS p21
-        |  FROM rr),
+        |    CASE WHEN d1 != 0 THEN (r2 - r1 * r1) / d1 END AS p22,
+        |    CASE WHEN d1 != 0 THEN r1 * (1.0 - r2) / d1 END AS p21
+        |  FROM p0),
         |p2 AS (
         |  SELECT r1, r2, r3, p22, p21,
-        |    (r3 - p21 * r2 - p22 * r1)
-        |      / (1.0 - p21 * r1 - p22 * r2) AS p33
+        |    CASE WHEN 1.0 - p21 * r1 - p22 * r2 != 0 THEN
+        |      (r3 - p21 * r2 - p22 * r1)
+        |        / (1.0 - p21 * r1 - p22 * r2) END AS p33
         |  FROM p)
         |SELECT CAST(1 AS INT) AS lag, r1 AS acf, round(r1, 6) AS pacf
         |FROM p2
@@ -837,13 +854,15 @@ object SeriesOps extends QueryPack {
         |        / ((CAST(sst AS DOUBLE) - CAST(ssb AS DOUBLE))
         |          / (nd - p)), 6) END AS f_stat
         |  FROM ssb CROSS JOIN sst CROSS JOIN mom),
-        |top AS (SELECT max(f_stat) AS fmax FROM scored)
-        |SELECT p, r2, f_stat, f_stat = fmax AS best
+        |top AS (
+        |  SELECT min(p) AS pbest FROM scored
+        |  WHERE f_stat = (SELECT max(f_stat) FROM scored))
+        |SELECT p, r2, f_stat, coalesce(p = pbest, FALSE) AS best
         |FROM scored CROSS JOIN top
         |ORDER BY p""".stripMargin),
 
-    // exact 2dp decimal first differences; integer-arithmetic rank cut
-    // k = floor((100*alpha*n + 99)/100); exact-decimal tail mean
+    // exact 2dp decimal first differences; true integer rank cut
+    // k = (alpha_pct*n + 99) // 100; exact-decimal tail mean
     "q_var_es" ->
       (s"""WITH $daysCtesSql,
         |loss AS (
@@ -857,7 +876,7 @@ object SeriesOps extends QueryPack {
         |  FROM loss),
         |ks AS (
         |  SELECT alpha_pct, n,
-        |    CAST(floor((alpha_pct * n + 99) / 100.0) AS BIGINT) AS k
+        |    CAST((alpha_pct * n + 99) // 100 AS BIGINT) AS k
         |  FROM (VALUES (90), (95), (99)) v(alpha_pct) CROSS JOIN nn),
         |va AS (
         |  SELECT alpha_pct, n, k, CAST(loss AS DOUBLE) AS var_loss
