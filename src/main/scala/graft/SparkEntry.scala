@@ -43,6 +43,7 @@ object SparkEntry {
     NonparamOps,
     DecisionOps,
     SeriesOps,
+    Series2Ops,
     EvalOps
   )
 

@@ -1,0 +1,422 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Series-diagnostics pack (r14) — the residual/randomness checks a
+  * platform runs BEFORE trusting any of the SeriesOps forecasters or
+  * alarms on a metric series: the Ljung–Box portmanteau test ("is there
+  * autocorrelation left at all"), the Jarque–Bera normality test ("are
+  * normal-theory bands even valid"), the Wald–Wolfowitz runs test ("is
+  * the sign sequence random"), and lag-1 Granger causality ("does the
+  * activity series actually help predict revenue, beyond revenue's own
+  * history" — the predictive upgrade of q_crosscorr's descriptive CCF).
+  *
+  * Determinism discipline (the SeriesOps rules verbatim): the corpus
+  * collapses to the 30-row calendar-bounded day relation first, every
+  * squared/cross term rounds once to 9dp into exact decimal sums, test
+  * statistics are shared double closed forms rounded once at output,
+  * and significance thresholds come from the ONE chi2Crit05 /
+  * normal-critical literal family both engines share — never a
+  * free-standing df-specific constant (the q_cochran_q lesson).
+  */
+object Series2Ops extends QueryPack {
+
+  private val dec9 = DecimalType(28, 9)
+  private val dec38 = DecimalType(38, 9)
+  private val zCrit = 1.959964 // two-sided 5% normal, the shared literal
+
+  // ---- q_ljung_box ---------------------------------------------------------
+  /** Ljung–Box portmanteau test (Ljung & Box '78) on the daily purchase
+    * series at lags 1–7: the standard white-noise gate run on a series
+    * (or a forecaster's residuals) before any ARIMA-order decision —
+    * emits the classic per-lag table: r_k, the cumulative
+    * Q_k = n(n+2)·Σ_{j≤k} r_j²/(n−j), df = k, and the 5% χ² verdict per
+    * row (critical values from the shared chi2Crit05 table, k-derived).
+    * ACF terms follow the q_pacf discipline exactly: deviation products
+    * round once to 9dp into exact decimal sums, r rounds once to 6dp,
+    * and the Q accumulation runs over the 7-row lag relation (a bounded
+    * single-partition window — 7 rows, not data-scale). */
+  def qLjungBox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = SeriesOps.dailySeries(spark, sfDir)
+      .localCheckpoint() // moments + both sides of the lag band join
+    val mom = days.agg(count(lit(1)).as("nd"), sum($"y").as("sy"))
+    val dev = days.crossJoin(broadcast(mom))
+      .select($"t", $"nd",
+        ($"y".cast("double") - $"sy".cast("double") / $"nd").as("e"))
+      .localCheckpoint()
+    val den = dev.select(round($"e" * $"e", 9).cast(dec9).as("tm"))
+      .agg(sum($"tm").as("den"))
+    val acf = dev
+      .join(dev.select($"t".as("t2"), $"e".as("e2")),
+        ($"t" - $"t2").between(1, 7))
+      .select(($"t" - $"t2").cast("int").as("lag"), $"nd",
+        round($"e" * $"e2", 9).cast(dec9).as("tm"))
+      .groupBy($"lag", $"nd").agg(sum($"tm").as("num"))
+      .crossJoin(broadcast(den))
+      .select($"lag", $"nd",
+        round($"num".cast("double") / $"den".cast("double"), 6).as("r"))
+    val terms = acf.select($"lag", $"nd", $"r",
+      round($"r" * $"r" / ($"nd" - $"lag").cast("double"), 9)
+        .cast(dec9).as("term"))
+    // bounded single-partition window: 7 lag rows, never data-scale
+    val w7 = Window.orderBy($"lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crit = NonparamOps.chi2Crit05.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, c)) => when($"lag" === d, lit(c)).otherwise(acc)
+    }
+    terms.withColumn("cum", sum($"term").over(w7))
+      .select($"lag", $"r",
+        round(($"nd" * ($"nd" + 2)).cast("double")
+          * $"cum".cast("double"), 6).as("q_lb"),
+        $"lag".cast("long").as("df"))
+      .withColumn("significant", $"q_lb" > crit)
+      .orderBy($"lag")
+  }
+
+  // ---- q_jarque_bera -------------------------------------------------------
+  /** Jarque–Bera normality test (Jarque & Bera '80) of the daily
+    * purchase series: sample skewness g1 = m3/m2^{3/2}, excess kurtosis
+    * g2 = m4/m2² − 3, JB = n/6·(g1² + g2²/4), 5% verdict vs the shared
+    * χ²(2) critical value — the "are ±z bands meaningful on this
+    * metric" pre-check for every normal-theory monitor in the repo.
+    * Central-moment terms (e², e³, e⁴) round once to 9dp into exact
+    * DECIMAL(38,9) sums (e⁴ outgrows the house dec9); the statistics
+    * are shared double closed forms (m2^{3/2} = m2·sqrt(m2), sqrt being
+    * IEEE-exact), rounded once at output, and `significant` compares
+    * the ROUNDED JB so both engines decide on the same value. */
+  def qJarqueBera(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = SeriesOps.dailySeries(spark, sfDir)
+    val mom = days.agg(count(lit(1)).as("nd"), sum($"y").as("sy"))
+    val e = days.crossJoin(broadcast(mom))
+      .select($"nd",
+        ($"y".cast("double") - $"sy".cast("double") / $"nd").as("e"))
+    val sums = e.groupBy($"nd").agg(
+      sum(round($"e" * $"e", 9).cast(dec38)).as("s2"),
+      sum(round($"e" * $"e" * $"e", 9).cast(dec38)).as("s3"),
+      sum(round($"e" * $"e" * $"e" * $"e", 9).cast(dec38)).as("s4"))
+    val nd = $"nd".cast("double")
+    val m2 = $"s2".cast("double") / nd
+    val m3 = $"s3".cast("double") / nd
+    val m4 = $"s4".cast("double") / nd
+    val g1 = m3 / (m2 * sqrt(m2))
+    val g2 = m4 / (m2 * m2) - 3.0
+    sums.select($"nd".as("n"),
+        round(g1, 6).as("skewness"),
+        round(g2, 6).as("kurt_excess"),
+        round(nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6).as("jb"))
+      .withColumn("significant",
+        $"jb" > NonparamOps.chi2Crit05(2))
+  }
+
+  // ---- q_runs_test ---------------------------------------------------------
+  /** Wald–Wolfowitz runs test (Wald & Wolfowitz '40) for randomness of
+    * the daily series around its median: days equal to the median drop
+    * (the standard convention), the run count R comes from one lag
+    * window over the calendar-bounded day relation, and
+    * z = (R − E[R])/√Var[R] with E[R] = 2n₁n₂/n + 1 and the classic
+    * variance — the "is this series even exchangeable" check under
+    * every i.i.d.-assuming monitor. The median is the exact middle-two
+    * order statistic (day-grain rank window, calendar-bounded); all
+    * run/count arithmetic is exact integers; z is one shared closed
+    * form with a single sqrt; `significant` = |rounded z| > 1.959964
+    * (the shared normal literal). */
+  def qRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = SeriesOps.dailySeries(spark, sfDir)
+      .localCheckpoint() // median rank pass + the signed sequence
+    val cnt = days.agg(count(lit(1)).as("n0"))
+    val med = days
+      .withColumn("rn", row_number().over(Window.orderBy($"y", $"d")))
+      .crossJoin(broadcast(cnt))
+      .filter($"rn" === expr("(n0 + 1) div 2")
+        || $"rn" === expr("(n0 + 2) div 2"))
+      .agg((sum($"y").cast("double") / count(lit(1))).as("med"))
+    val signed = days.crossJoin(broadcast(med))
+      .filter($"y".cast("double") =!= $"med")
+      .select($"t", ($"y".cast("double") > $"med").as("up"))
+    val agg = signed
+      .withColumn("prev", lag($"up", 1).over(Window.orderBy($"t")))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"up", 1L).otherwise(0L)).as("n1"),
+        sum(when($"prev".isNull || $"prev" =!= $"up", 1L).otherwise(0L))
+          .as("runs"))
+      .withColumn("n2", $"n" - $"n1")
+    val nD = $"n".cast("double")
+    val p = lit(2.0) * $"n1" * $"n2"
+    val eR = p / nD + 1.0
+    val vR = p * (p - nD) / (nD * nD * (nD - 1.0))
+    agg.select($"n", $"n1", $"n2", $"runs",
+        round(eR, 6).as("e_runs"),
+        round(when(vR > 0, ($"runs" - eR) / sqrt(vR)), 6).as("z"))
+      .withColumn("significant", abs($"z") > zCrit)
+  }
+
+  // ---- q_granger -----------------------------------------------------------
+  /** Lag-1 Granger causality (Granger '69): does yesterday's EVENT
+    * VOLUME improve today's revenue forecast beyond yesterday's
+    * revenue? Restricted model y_t ~ y_{t−1}; unrestricted adds
+    * x_{t−1}; F = (SSR_r − SSR_u)/(SSR_u/(n−3)). This is the
+    * PREDICTIVE upgrade of q_crosscorr's descriptive lead–lag r — the
+    * read that decides whether the activity series earns a place in
+    * the forecaster. Both OLS fits are closed forms over exact moments
+    * (y, y_{t−1} exact 2dp decimals; x integer counts; every cross
+    * moment an exact decimal/integer sum); residual squares round once
+    * to 9dp into DECIMAL(38,9) sums; F is one shared double form.
+    * Significance uses the asymptotic χ²(1) 5% value from the shared
+    * table (F(1, n−3) → χ²(1) at these df — documented approximation,
+    * identical in both engines). Degenerate designs (zero determinant
+    * or zero SSR_u) yield NULL instead of engine-divergent infinities. */
+  def qGranger(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = SeriesOps.dailySeries(spark, sfDir)
+    val vol = Tables.df(spark, sfDir, "events")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val wT = Window.orderBy($"t")
+    val lagged = days.join(vol, "d")
+      .withColumn("yl", lag($"y", 1).over(wT))
+      .withColumn("xl", lag($"x", 1).over(wT))
+      .filter($"yl".isNotNull)
+      .select($"y", $"yl", $"xl")
+      .localCheckpoint() // moment pass + two residual passes
+    val s = lagged.agg(count(lit(1)).as("n"),
+      sum($"yl").as("sa"), sum($"xl").as("sb"), sum($"y").as("st"),
+      sum($"yl" * $"yl").as("saa"),
+      sum(($"xl" * $"xl").cast("long")).as("sbb"),
+      sum($"yl" * $"xl").as("sab"),
+      sum($"y" * $"yl").as("sat"), sum($"y" * $"xl").as("sbt"))
+    val nD = $"n".cast("double")
+    def c(raw: Column, a: Column, b: Column): Column =
+      raw.cast("double") - a.cast("double") * b.cast("double") / nD
+    val cxx = c($"saa", $"sa", $"sa"); val cyy = c($"sbb", $"sb", $"sb")
+    val cxy = c($"sab", $"sa", $"sb")
+    val cxt = c($"sat", $"sa", $"st"); val cyt = c($"sbt", $"sb", $"st")
+    val det = cxx * cyy - cxy * cxy
+    val w = s.select($"n",
+      when(cxx =!= 0.0, cxt / cxx).as("br"),
+      when(det =!= 0.0, (cxt * cyy - cxy * cyt) / det).as("bu"),
+      when(det =!= 0.0, (cxx * cyt - cxy * cxt) / det).as("cu"),
+      ($"sa".cast("double") / nD).as("ma"),
+      ($"sb".cast("double") / nD).as("mb"),
+      ($"st".cast("double") / nD).as("mt"))
+    val scored = lagged.crossJoin(broadcast(w))
+      .select($"n", $"br", $"bu", $"cu",
+        ($"y".cast("double") - ($"mt" + $"br" * ($"yl".cast("double")
+          - $"ma"))).as("er"),
+        ($"y".cast("double") - ($"mt" + $"bu" * ($"yl".cast("double")
+          - $"ma") + $"cu" * ($"xl".cast("double") - $"mb"))).as("eu"))
+    val ssr = scored.groupBy($"n", $"br", $"bu", $"cu").agg(
+      sum(round($"er" * $"er", 9).cast(dec38)).as("ssr_r"),
+      sum(round($"eu" * $"eu", 9).cast(dec38)).as("ssr_u"))
+    val f = when($"ssr_u".cast("double") > 0,
+      ($"ssr_r".cast("double") - $"ssr_u".cast("double"))
+        / ($"ssr_u".cast("double") / ($"n" - 3).cast("double")))
+    ssr.select($"n",
+        round($"br", 6).as("ar_coef"),
+        round($"cu", 6).as("granger_coef"),
+        round($"ssr_r".cast("double"), 4).as("ssr_r"),
+        round($"ssr_u".cast("double"), 4).as("ssr_u"),
+        round(f, 6).as("f_stat"))
+      .withColumn("significant",
+        $"f_stat" > NonparamOps.chi2Crit05(1))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ljung_box" -> qLjungBox,
+    "q_jarque_bera" -> qJarqueBera,
+    "q_runs_test" -> qRunsTest,
+    "q_granger" -> qGranger
+  )
+
+  val oracle: Map[String, String] = Map(
+    // same q_pacf ACF chain extended to lag 7; cumulative Q over the
+    // 7-row lag relation; critical values from the shared chi2 table
+    "q_ljung_box" ->
+      (s"""WITH ${SeriesOps.daysCtesSql},
+        |mom AS (SELECT count(*) AS nd, sum(y) AS sy FROM days),
+        |dev AS (
+        |  SELECT t, CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / nd AS e
+        |  FROM days CROSS JOIN mom),
+        |den AS (
+        |  SELECT sum(CAST(round(e * e, 9) AS DECIMAL(28,9))) AS den
+        |  FROM dev),
+        |acf AS (
+        |  SELECT CAST(a.t - b.t AS INT) AS lag, max(mom.nd) AS nd,
+        |    round(CAST(sum(CAST(round(a.e * b.e, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) / CAST(max(den.den) AS DOUBLE), 6) AS r
+        |  FROM dev a JOIN dev b ON a.t - b.t BETWEEN 1 AND 7
+        |  CROSS JOIN den CROSS JOIN mom
+        |  GROUP BY 1),
+        |terms AS (
+        |  SELECT lag, nd, r,
+        |    CAST(round(r * r / CAST(nd - lag AS DOUBLE), 9)
+        |      AS DECIMAL(28,9)) AS term
+        |  FROM acf),
+        |cums AS (
+        |  SELECT lag, nd, r, sum(term) OVER (ORDER BY lag
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM terms),
+        |ql AS (
+        |  SELECT lag, r,
+        |    round(CAST(nd * (nd + 2) AS DOUBLE) * CAST(cum AS DOUBLE), 6)
+        |      AS q_lb,
+        |    CAST(lag AS BIGINT) AS df
+        |  FROM cums)
+        |SELECT lag, r, q_lb, df,
+        |  q_lb > ${NonparamOps.chi2CritSql("lag")} AS significant
+        |FROM ql ORDER BY lag""".stripMargin),
+
+    // same 9dp central-moment terms into DECIMAL(38,9); shared closed
+    // forms; the verdict compares the ROUNDED jb
+    "q_jarque_bera" ->
+      (s"""WITH ${SeriesOps.daysCtesSql},
+        |mom AS (SELECT count(*) AS nd, sum(y) AS sy FROM days),
+        |e AS (
+        |  SELECT nd, CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / nd AS e
+        |  FROM days CROSS JOIN mom),
+        |sums AS (
+        |  SELECT nd,
+        |    sum(CAST(round(e * e, 9) AS DECIMAL(38,9))) AS s2,
+        |    sum(CAST(round(e * e * e, 9) AS DECIMAL(38,9))) AS s3,
+        |    sum(CAST(round(e * e * e * e, 9) AS DECIMAL(38,9))) AS s4
+        |  FROM e GROUP BY nd),
+        |st AS (
+        |  SELECT CAST(nd AS BIGINT) AS n,
+        |    round((CAST(s3 AS DOUBLE) / nd) / ((CAST(s2 AS DOUBLE) / nd)
+        |      * sqrt(CAST(s2 AS DOUBLE) / nd)), 6) AS skewness,
+        |    round((CAST(s4 AS DOUBLE) / nd) / ((CAST(s2 AS DOUBLE) / nd)
+        |      * (CAST(s2 AS DOUBLE) / nd)) - 3.0, 6) AS kurt_excess,
+        |    round(CAST(nd AS DOUBLE) / 6.0
+        |      * (((CAST(s3 AS DOUBLE) / nd) / ((CAST(s2 AS DOUBLE) / nd)
+        |          * sqrt(CAST(s2 AS DOUBLE) / nd)))
+        |        * ((CAST(s3 AS DOUBLE) / nd) / ((CAST(s2 AS DOUBLE) / nd)
+        |          * sqrt(CAST(s2 AS DOUBLE) / nd)))
+        |        + ((CAST(s4 AS DOUBLE) / nd) / ((CAST(s2 AS DOUBLE) / nd)
+        |            * (CAST(s2 AS DOUBLE) / nd)) - 3.0)
+        |          * ((CAST(s4 AS DOUBLE) / nd) / ((CAST(s2 AS DOUBLE) / nd)
+        |            * (CAST(s2 AS DOUBLE) / nd)) - 3.0) / 4.0), 6) AS jb
+        |  FROM sums)
+        |SELECT n, skewness, kurt_excess, jb,
+        |  jb > ${NonparamOps.chi2Crit05(2)} AS significant
+        |FROM st""".stripMargin),
+
+    // exact middle-two median; one lag window over the day relation;
+    // exact-integer run accounting; one shared z form
+    "q_runs_test" ->
+      (s"""WITH ${SeriesOps.daysCtesSql},
+        |cnt AS (SELECT count(*) AS n0 FROM days),
+        |med AS (
+        |  SELECT CAST(sum(y) AS DOUBLE) / count(*) AS med FROM (
+        |    SELECT y, row_number() OVER (ORDER BY y, d) AS rn
+        |    FROM days) CROSS JOIN cnt
+        |  WHERE rn = (n0 + 1) // 2 OR rn = (n0 + 2) // 2),
+        |signed AS (
+        |  SELECT t, CAST(y AS DOUBLE) > med AS up
+        |  FROM days CROSS JOIN med
+        |  WHERE CAST(y AS DOUBLE) != med),
+        |agg AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev != up THEN 1 ELSE 0
+        |      END) AS BIGINT) AS runs
+        |  FROM (SELECT up, lag(up) OVER (ORDER BY t) AS prev
+        |        FROM signed)),
+        |f AS (SELECT n, n1, n - n1 AS n2, runs FROM agg)
+        |SELECT n, n1, n2, runs,
+        |  round(2.0 * n1 * n2 / CAST(n AS DOUBLE) + 1.0, 6) AS e_runs,
+        |  round(CASE WHEN 2.0 * n1 * n2 * (2.0 * n1 * n2
+        |      - CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - 1.0)) > 0 THEN
+        |    (runs - (2.0 * n1 * n2 / CAST(n AS DOUBLE) + 1.0))
+        |      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - 1.0))) END, 6) AS z,
+        |  abs(round(CASE WHEN 2.0 * n1 * n2 * (2.0 * n1 * n2
+        |      - CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - 1.0)) > 0 THEN
+        |    (runs - (2.0 * n1 * n2 / CAST(n AS DOUBLE) + 1.0))
+        |      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - 1.0))) END, 6)) > 1.959964
+        |    AS significant
+        |FROM f""".stripMargin),
+
+    // exact decimal/integer moments; the same centered Cramer forms;
+    // 9dp residual squares into DECIMAL(38,9); asymptotic chi2(1) gate
+    "q_granger" ->
+      (s"""WITH ${SeriesOps.daysCtesSql},
+        |vol AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT y, yl, xl FROM (
+        |    SELECT days.y,
+        |      lag(days.y) OVER (ORDER BY t) AS yl,
+        |      lag(vol.x) OVER (ORDER BY t) AS xl
+        |    FROM days JOIN vol ON vol.d = days.d)
+        |  WHERE yl IS NOT NULL),
+        |s AS (
+        |  SELECT count(*) AS n, sum(yl) AS sa,
+        |    CAST(sum(xl) AS BIGINT) AS sb, sum(y) AS st,
+        |    sum(yl * yl) AS saa, CAST(sum(xl * xl) AS BIGINT) AS sbb,
+        |    sum(yl * xl) AS sab, sum(y * yl) AS sat,
+        |    sum(y * xl) AS sbt
+        |  FROM lagged),
+        |m AS (
+        |  SELECT n,
+        |    CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / n AS cxx,
+        |    CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / n AS cyy,
+        |    CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / n AS cxy,
+        |    CAST(sat AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / n AS cxt,
+        |    CAST(sbt AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / n AS cyt,
+        |    CAST(sa AS DOUBLE) / n AS ma, CAST(sb AS DOUBLE) / n AS mb,
+        |    CAST(st AS DOUBLE) / n AS mt
+        |  FROM s),
+        |w AS (
+        |  SELECT n, ma, mb, mt,
+        |    CASE WHEN cxx != 0 THEN cxt / cxx END AS br,
+        |    CASE WHEN cxx * cyy - cxy * cxy != 0 THEN
+        |      (cxt * cyy - cxy * cyt) / (cxx * cyy - cxy * cxy) END AS bu,
+        |    CASE WHEN cxx * cyy - cxy * cxy != 0 THEN
+        |      (cxx * cyt - cxy * cxt) / (cxx * cyy - cxy * cxy) END AS cu
+        |  FROM m),
+        |scored AS (
+        |  SELECT w.n, w.br, w.bu, w.cu,
+        |    CAST(y AS DOUBLE) - (mt + br * (CAST(yl AS DOUBLE) - ma))
+        |      AS er,
+        |    CAST(y AS DOUBLE) - (mt + bu * (CAST(yl AS DOUBLE) - ma)
+        |      + cu * (CAST(xl AS DOUBLE) - mb)) AS eu
+        |  FROM lagged CROSS JOIN w),
+        |ssr AS (
+        |  SELECT n, br, bu, cu,
+        |    sum(CAST(round(er * er, 9) AS DECIMAL(38,9))) AS ssr_r,
+        |    sum(CAST(round(eu * eu, 9) AS DECIMAL(38,9))) AS ssr_u
+        |  FROM scored GROUP BY n, br, bu, cu)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(br, 6) AS ar_coef, round(cu, 6) AS granger_coef,
+        |  round(CAST(ssr_r AS DOUBLE), 4) AS ssr_r,
+        |  round(CAST(ssr_u AS DOUBLE), 4) AS ssr_u,
+        |  round(CASE WHEN CAST(ssr_u AS DOUBLE) > 0 THEN
+        |    (CAST(ssr_r AS DOUBLE) - CAST(ssr_u AS DOUBLE))
+        |      / (CAST(ssr_u AS DOUBLE) / CAST(n - 3 AS DOUBLE)) END, 6)
+        |    AS f_stat,
+        |  round(CASE WHEN CAST(ssr_u AS DOUBLE) > 0 THEN
+        |    (CAST(ssr_r AS DOUBLE) - CAST(ssr_u AS DOUBLE))
+        |      / (CAST(ssr_u AS DOUBLE) / CAST(n - 3 AS DOUBLE)) END, 6)
+        |    > ${NonparamOps.chi2Crit05(1)} AS significant
+        |FROM ssr""".stripMargin)
+  )
+}

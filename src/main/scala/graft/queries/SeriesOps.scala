@@ -37,8 +37,10 @@ object SeriesOps extends QueryPack {
   private val dec9 = DecimalType(28, 9)
 
   /** The shared daily-purchase series (d, y DECIMAL(18,2), t row index) —
-    * the same relation q_ses / q_forecast_eval monitor. */
-  private def dailySeries(spark: SparkSession, sfDir: String): DataFrame = {
+    * the same relation q_ses / q_forecast_eval monitor. Shared with
+    * [[Series2Ops]] (r14 diagnostics) so both packs watch ONE series. */
+  private[queries] def dailySeries(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     import spark.implicits._
     Tables.df(spark, sfDir, "events")
       .filter($"event_type" === "purchase")
@@ -47,7 +49,7 @@ object SeriesOps extends QueryPack {
       .withColumn("t", row_number().over(Window.orderBy($"d")))
   }
 
-  private val daysCtesSql =
+  private[queries] val daysCtesSql =
     """days0 AS (
       |  SELECT CAST(ts AS DATE) AS d,
       |    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))

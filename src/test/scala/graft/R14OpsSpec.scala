@@ -1,0 +1,101 @@
+package graft
+
+import graft.queries.Series2Ops
+import org.apache.spark.sql.functions._
+
+/** Round-14 series-diagnostics pack: each statistic replayed against a
+  * plain driver-side computation over the same collected day series —
+  * the brute-force-replay discipline of the earlier R*OpsSpec suites. */
+class R14OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** The daily purchase series as the tests' ground truth. */
+  private lazy val series: Array[Double] =
+    Tables.df(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(round($"value", 2)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("y"))
+      .orderBy($"d")
+      .select($"y".cast("double"))
+      .collect().map(_.getDouble(0))
+
+  test("ljung-box: per-lag Q replays the textbook formula and grows " +
+      "monotonically with lag") {
+    val rows = Series2Ops.qLjungBox(spark, sf).collect()
+    assert(rows.length == 7)
+    val n = series.length
+    val mean = series.sum / n
+    val dev = series.map(_ - mean)
+    val den = dev.map(e => math.rint(e * e * 1e9) / 1e9).sum
+    var cum = 0.0
+    rows.sortBy(_.getInt(0)).foreach { r =>
+      val lag = r.getInt(0)
+      val num = (lag until n)
+        .map(i => math.rint(dev(i) * dev(i - lag) * 1e9) / 1e9).sum
+      val rk = math.rint(num / den * 1e6) / 1e6
+      assert(math.abs(r.getDouble(1) - rk) < 1e-9,
+        s"lag $lag acf ${r.getDouble(1)} vs replay $rk")
+      cum += math.rint(rk * rk / (n - lag) * 1e9) / 1e9
+      val q = math.rint(n * (n + 2) * cum * 1e6) / 1e6
+      assert(math.abs(r.getDouble(2) - q) < 1e-6,
+        s"lag $lag Q ${r.getDouble(2)} vs replay $q")
+      assert(r.getLong(3) == lag.toLong)
+    }
+    val qs = rows.sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a },
+      "cumulative Q must be non-decreasing in lag")
+  }
+
+  test("jarque-bera: moments replay and JB recombines from the emitted " +
+      "skewness/kurtosis") {
+    val r = Series2Ops.qJarqueBera(spark, sf).head()
+    val n = series.length
+    assert(r.getLong(0) == n.toLong)
+    val mean = series.sum / n
+    val dev = series.map(_ - mean)
+    def m(p: Int): Double =
+      dev.map(e => math.rint(math.pow(e, p) * 1e9) / 1e9).sum / n
+    val g1 = m(3) / (m(2) * math.sqrt(m(2)))
+    val g2 = m(4) / (m(2) * m(2)) - 3.0
+    assert(math.abs(r.getDouble(1) - g1) < 1e-5, "skewness replay")
+    assert(math.abs(r.getDouble(2) - g2) < 1e-5, "kurtosis replay")
+    val jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    assert(math.abs(r.getDouble(3) - jb) < 1e-4, "JB replay")
+    assert(r.getBoolean(4) == (r.getDouble(3) > 5.991),
+      "verdict must compare the rounded JB to chi2(2)")
+  }
+
+  test("runs test: run accounting replays a sequential scan and the " +
+      "moments match the closed forms") {
+    val r = Series2Ops.qRunsTest(spark, sf).head()
+    val sorted = series.sorted
+    val n0 = series.length
+    val med = (sorted((n0 + 1) / 2 - 1) + sorted((n0 + 2) / 2 - 1)) / 2.0
+    val signs = series.filter(_ != med).map(_ > med)
+    var runs = 1
+    signs.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0) != w(1)) runs += 1 }
+    val n1 = signs.count(identity); val n = signs.length
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == n1.toLong)
+    assert(r.getLong(3) == runs.toLong, s"runs ${r.getLong(3)} vs $runs")
+    val eR = 2.0 * n1 * (n - n1) / n + 1.0
+    assert(math.abs(r.getDouble(4) - eR) < 1e-5)
+  }
+
+  test("granger: the restricted model can never beat the unrestricted " +
+      "(F >= 0) and coefficients are finite on the fixture") {
+    val r = Series2Ops.qGranger(spark, sf).head()
+    val n = r.getLong(0)
+    assert(n >= 10, "fixture must give a usable lagged series")
+    val ssrR = r.getDouble(3); val ssrU = r.getDouble(4)
+    assert(ssrR >= ssrU - 1e-6,
+      s"restricted SSR $ssrR must be >= unrestricted $ssrU (nesting)")
+    val f = r.getDouble(5)
+    assert(!f.isNaN && f >= -1e-9, s"F must be non-negative, got $f")
+    assert(!r.isNullAt(1) && !r.isNullAt(2), "coefficients must exist")
+    assert(r.getBoolean(6) == (f > 3.841),
+      "verdict must compare rounded F to the asymptotic chi2(1) value")
+  }
+}
