@@ -44,6 +44,7 @@ object SparkEntry {
     DecisionOps,
     SeriesOps,
     Series2Ops,
+    Vector2Ops,
     EvalOps
   )
 

@@ -1875,6 +1875,25 @@ object VectorQueries extends QueryPack {
       |        ELSE 0 END)::BIGINT AS bk
       |  FROM bits GROUP BY vec_id, tbl)""".stripMargin
 
+  /** Oracle for [[Vector2Ops.qAnnFiltered]] — assembled here because it
+    * shares the private [[annMd5CtesSql]] multiprobe chain (one home
+    * for the index definition, the q_ann_eval discipline). */
+  private[queries] lazy val annFilteredOracleSql: String =
+    annMd5CtesSql + """,
+      |fcands AS (
+      |  SELECT id1 AS qid, id2 AS nid, sim FROM ann WHERE id1 % 10 = 0
+      |  UNION ALL
+      |  SELECT id2 AS qid, id1 AS nid, sim FROM ann WHERE id2 % 10 = 0)
+      |SELECT qid, r AS rank, nid, sim, label FROM (
+      |  SELECT c.qid, c.nid, c.sim, eq.label,
+      |    row_number() OVER (PARTITION BY c.qid
+      |      ORDER BY c.sim DESC, c.nid) AS r
+      |  FROM fcands c
+      |  JOIN embeddings eq ON eq.vec_id = c.qid
+      |  JOIN embeddings en ON en.vec_id = c.nid
+      |  WHERE eq.label = en.label)
+      |WHERE r <= 3 ORDER BY qid, rank""".stripMargin
+
   /** The md5-LSH chain through verified pairs (WITH dims … ann), shared
     * by the q_ann_md5 and q_ann_eval oracles so the index definition
     * cannot drift from its own evaluation — mirrors [[annMd5Pairs]],

@@ -84,6 +84,79 @@ class R14OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - eR) < 1e-5)
   }
 
+  test("binary quantize: codes carry real signal — recall beats random " +
+      "by an order of magnitude and true neighbors sit below the " +
+      "random Hamming midpoint") {
+    val rows = graft.queries.Vector2Ops.qBinaryQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 0 && hits <= 10)
+      // 64 balanced random bits put an unrelated vector at E[hd] = 32;
+      // the true cosine top-10 must sit measurably below that
+      assert(r.getDouble(3) < 32.0,
+        s"qid ${r.getLong(0)} mean Hamming of true neighbors " +
+          s"${r.getDouble(3)} not below the random midpoint")
+    }
+    val meanRecall = rows.map(_.getDouble(2)).sum / rows.length
+    // random top-10 recall is ~10/n (~0.02 on this fixture)
+    assert(meanRecall >= 0.2,
+      s"mean recall@10 $meanRecall — binary codes lost the signal")
+  }
+
+  test("mmd poly: every label pair scored once, values non-negative, " +
+      "and the linear MMD replays a driver-side moment computation") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.queries.Vector2Ops.qMmdPoly(spark, sf).collect()
+    val labels = Tables.df(spark, sf, "embeddings")
+      .select(col("label")).distinct().count().toInt
+    assert(rows.length == labels * (labels - 1) / 2,
+      s"expected C($labels,2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0)
+      assert(r.getInt(0) < r.getInt(1), "pairs ordered la < lb")
+    }
+    // replay the (0,1) linear MMD: squared distance of the first-8-dim
+    // mean vectors
+    val byLab = Tables.df(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .groupBy(_.getInt(0).toLong)
+      .map { case (l, rs) =>
+        val vs = rs.map(_.getSeq[Float](1).take(8).map(_.toDouble))
+        l -> (0 until 8).map(i =>
+          vs.map(v => math.rint(v(i) * 1e12) / 1e12).sum / vs.length)
+      }
+    val want = (0 until 8).map { i =>
+      val d = byLab(0L)(i) - byLab(1L)(i)
+      math.rint(d * d * 1e12) / 1e12
+    }.sum * 1e6
+    val got = rows.find(r => r.getInt(0) == 0 && r.getInt(1) == 1)
+      .get.getDouble(2)
+    assert(math.abs(got - want) < 1e-3,
+      s"linear MMD(0,1) $got vs driver replay $want")
+  }
+
+  test("ann filtered: every served neighbor shares the query's label, " +
+      "ranks are contiguous, and sims are index-admitted") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.queries.Vector2Ops.qAnnFiltered(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lab = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      assert(lab(qid) == lab(nid) && lab(qid) == r.getInt(4),
+        s"label mismatch: q=$qid n=$nid")
+      assert(r.getDouble(3) >= 0.25, "only index-admitted candidates")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.toSeq == (1 to ranks.length), s"ranks $ranks")
+      assert(ranks.length <= 3)
+    }
+  }
+
   test("granger: the restricted model can never beat the unrestricted " +
       "(F >= 0) and coefficients are finite on the fixture") {
     val r = Series2Ops.qGranger(spark, sf).head()
