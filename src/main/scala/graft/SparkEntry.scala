@@ -45,6 +45,7 @@ object SparkEntry {
     SeriesOps,
     Series2Ops,
     Vector2Ops,
+    SqlSurface2,
     EvalOps
   )
 

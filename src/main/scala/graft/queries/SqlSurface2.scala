@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-surface additions enabled by Spark 4.x (r14): linear recursive
+  * CTEs (SPARK-24497 landed the `WITH RECURSIVE ... UNION ALL` form)
+  * and native `UNPIVOT` — two constructs the deployed HiveQL 1.2 engine
+  * never had, registered the way the TRANSFORM/LATERAL rows are: prove
+  * the surface works end-to-end under the DuckDB oracle, and document
+  * where its 100 TB limits are (Spark's recursion supports only UNION
+  * ALL, so cyclic closures still belong to operators/Components — the
+  * star-contraction path; recursion here is for LINEAR, bounded-depth
+  * chains).
+  */
+object SqlSurface2 extends QueryPack {
+
+  // ---- q_recursive_backlog -------------------------------------------------
+  /** Service-backlog simulation as a native linear recursive CTE:
+    * backlog_t = max(0, backlog_{t−1} + arrivals_t − capacity) over the
+    * 30-day event-arrival series, capacity frozen at the integer mean
+    * daily arrival rate — the queueing read ("how deep does the backlog
+    * get, and does it drain?") a capacity planner runs on ingest logs.
+    * The recursion is LINEAR (one row per day, depth = days, well under
+    * Spark's recursion limit) and all-integer, so both engines replay
+    * it exactly. The same recursion collapses to prefix arithmetic
+    * (q_cusum's running-sum-minus-prefix-min identity) — the spec
+    * cross-checks the recursive answer against that closed form, which
+    * is also the shape to prefer when the series stops fitting a
+    * per-step recursion at scale. */
+  def qRecursiveBacklog(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.df(spark, sfDir, "events").createOrReplaceTempView("events_v")
+    spark.sql(recursiveBacklogSql("events_v"))
+  }
+
+  /** One SQL text for both engines (only the table name differs) —
+    * the q_distribute_sql discipline for surface ops. */
+  private def recursiveBacklogSql(tbl: String): String =
+    s"""WITH RECURSIVE arr AS (
+       |  SELECT CAST(ts AS DATE) AS d, count(*) AS a
+       |  FROM $tbl GROUP BY 1),
+       |days AS (
+       |  SELECT d, a, CAST(row_number() OVER (ORDER BY d) AS INT) AS t
+       |  FROM arr),
+       |cap AS (
+       |  -- explicit floor: a bare BIGINT/BIGINT is float division in
+       |  -- both engines, but the double->BIGINT CAST truncates in Spark
+       |  -- and rounds in DuckDB; floor() is the shared exact form
+       |  SELECT CAST(floor(CAST(sum(a) AS DOUBLE) / count(*)) AS BIGINT)
+       |    AS c FROM days),
+       |sim(t, d, a, backlog) AS (
+       |  SELECT t, d, a,
+       |    CAST(greatest(a - (SELECT c FROM cap), 0) AS BIGINT)
+       |  FROM days WHERE t = 1
+       |  UNION ALL
+       |  SELECT days.t, days.d, days.a,
+       |    CAST(greatest(sim.backlog + days.a - (SELECT c FROM cap), 0)
+       |      AS BIGINT)
+       |  FROM sim JOIN days ON days.t = sim.t + 1)
+       |SELECT t, d, a AS arrivals, backlog
+       |FROM sim ORDER BY t""".stripMargin
+
+  // ---- q_unpivot -----------------------------------------------------------
+  /** Native SQL UNPIVOT of a wide per-region revenue summary into the
+    * long (region, metric, value) shape — the wide→long reshaping
+    * surface (q_pivot's inverse), run through the actual UNPIVOT
+    * operator in BOTH engines rather than a hand-written stack().
+    * Metrics cast to one double column (UNPIVOT requires a common
+    * type); money sums are decimal internally and cast once at the
+    * edge (SURVEY §7.4). */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("region", "nation", "customer", "orders").foreach { t =>
+      Tables.df(spark, sfDir, t).createOrReplaceTempView(t + "_v")
+    }
+    spark.sql(unpivotSql("region_v", "nation_v", "customer_v",
+      "orders_v"))
+  }
+
+  private def unpivotSql(region: String, nation: String, customer: String,
+      orders: String): String =
+    s"""WITH wide AS (
+       |  SELECT r.r_name AS region,
+       |    CAST(count(DISTINCT c.c_custkey) AS DOUBLE) AS n_customers,
+       |    CAST(count(o.o_orderkey) AS DOUBLE) AS n_orders,
+       |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS total_rev,
+       |    CAST(max(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS max_order
+       |  FROM $region r
+       |  JOIN $nation n ON n.n_regionkey = r.r_regionkey
+       |  JOIN $customer c ON c.c_nationkey = n.n_nationkey
+       |  JOIN $orders o ON o.o_custkey = c.c_custkey
+       |  GROUP BY r.r_name)
+       |SELECT region, metric, round(value, 2) AS value
+       |FROM wide
+       |UNPIVOT (value FOR metric IN
+       |  (n_customers, n_orders, total_rev, max_order))
+       |ORDER BY region, metric""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive_backlog" -> qRecursiveBacklog,
+    "q_unpivot" -> qUnpivot
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_recursive_backlog" -> recursiveBacklogSql("events"),
+    "q_unpivot" -> unpivotSql("region", "nation", "customer", "orders")
+  )
+}

@@ -157,6 +157,46 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  test("recursive backlog: the native recursion replays the prefix-min " +
+      "closed form (and a sequential scan) exactly") {
+    val rows = graft.queries.SqlSurface2.qRecursiveBacklog(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length >= 28, "one row per day")
+    val arr = rows.map(_.getLong(2))
+    val cap = arr.sum / arr.length // integer mean, as the query freezes it
+    var b = 0L
+    rows.zip(arr).foreach { case (r, a) =>
+      b = math.max(0L, b + a - cap)
+      assert(r.getLong(3) == b,
+        s"t=${r.getInt(0)} backlog ${r.getLong(3)} vs sequential $b")
+    }
+    // the closed form: backlog_t = P_t - min(0, min_{j<=t} P_j),
+    // P = running sum of (a - cap) — the q_cusum identity
+    var p = 0L; var minP = 0L
+    rows.zip(arr).foreach { case (r, a) =>
+      p += a - cap; minP = math.min(minP, p)
+      assert(r.getLong(3) == p - math.min(0L, minP),
+        "recursion must equal the prefix-min closed form")
+    }
+  }
+
+  test("unpivot: 4 metrics per region, and the long values recombine " +
+      "into the wide aggregate") {
+    val rows = graft.queries.SqlSurface2.qUnpivot(spark, sf).collect()
+    val byRegion = rows.groupBy(_.getString(0))
+    assert(byRegion.nonEmpty)
+    byRegion.foreach { case (reg, rs) =>
+      val metrics = rs.map(_.getString(1)).sorted
+      assert(metrics.toSeq ==
+        Seq("max_order", "n_customers", "n_orders", "total_rev"),
+        s"$reg metrics $metrics")
+      val m = rs.map(r => r.getString(1) -> r.getDouble(2)).toMap
+      assert(m("n_orders") >= m("n_customers"),
+        "a customer places >= 1 order in any counted region")
+      assert(m("total_rev") >= m("max_order"), "sum bounds max")
+    }
+  }
+
   test("granger: the restricted model can never beat the unrestricted " +
       "(F >= 0) and coefficients are finite on the fixture") {
     val r = Series2Ops.qGranger(spark, sf).head()
