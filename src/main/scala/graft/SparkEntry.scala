@@ -46,6 +46,7 @@ object SparkEntry {
     Series2Ops,
     Vector2Ops,
     SqlSurface2,
+    Corpus2Ops,
     EvalOps
   )
 

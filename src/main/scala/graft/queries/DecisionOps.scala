@@ -759,7 +759,83 @@ object DecisionOps extends QueryPack {
           .as("mean_abs_pdiff"))
   }
 
+  // ---- q_qini --------------------------------------------------------------
+  /** Qini / uplift targeting curve (Radcliffe '07; the AUUC family):
+    * users ranked by the SAME frozen standardized-logistic activity
+    * score q_psm_att uses, cut into score deciles, and per cumulative
+    * targeting depth k/10 the incremental-conversion read: uplift rate
+    * C_t/N_t − C_c/N_c and the Qini value C_t − C_c·N_t/N_c — the curve
+    * that decides "how deep into the scored list is treatment worth
+    * applying". Treatment is the parity pseudo-treatment, so the
+    * PINNED fixture read is a curve hugging the random line (uplift ≈ 0
+    * per decile) — the null a real experiment log would depart from;
+    * what the plan proves is the machinery.
+    *
+    * Scale shape: decile boundaries come from the histogram-refine
+    * quantile kernel (never a corpus-grain rank window), rounded to 6dp
+    * before comparison (the q_bin_quantile oracle idiom, matching
+    * DuckDB quantile_cont); the curve accumulates over the bounded
+    * 10-row decile relation. */
+  def qQini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val acts = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L))
+          .as("nv"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L))
+          .as("nc0"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .withColumn("s", $"nv" + lit(2L) * $"nc0")
+    val sm = acts.agg(count(lit(1)).as("nu"),
+      sum($"s").as("ss"), sum($"s" * $"s").as("ss2"))
+    val users = acts.crossJoin(broadcast(sm))
+      .withColumn("mu", $"ss".cast("double") / $"nu")
+      .withColumn("sd", sqrt(($"ss2".cast("double")
+        - $"ss".cast("double") * $"ss" / $"nu") / ($"nu" - 1)))
+      .select($"user_id",
+        when($"user_id" % 2 === 0, 1L).otherwise(0L).as("w"),
+        when($"np" > 0, 1L).otherwise(0L).as("conv"),
+        round(lit(1.0) / (lit(1.0)
+          + exp(round(-(($"s" - $"mu") / $"sd"), 9))), 6).as("p"))
+      .localCheckpoint() // quantile pass + the decile assignment
+    val bnds = graft.operators.Quantiles
+      .exactQuantiles(users, $"p", (1 to 9).map(_ / 10.0))
+      .select(round($"b", 6).as("b"))
+    val cells = users.crossJoin(broadcast(bnds))
+      .groupBy($"user_id", $"w", $"conv", $"p")
+      .agg(sum(when($"p" > $"b", 1).otherwise(0)).as("nb"))
+      .withColumn("decile", (lit(10) - $"nb").cast("int"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"),
+        sum($"w").as("nt"),
+        sum(when($"w" === 1, $"conv").otherwise(0L)).as("ct"),
+        sum(lit(1L) - $"w").as("ncl"),
+        sum(when($"w" === 0, $"conv").otherwise(0L)).as("ccl"))
+    val tot = cells.agg(sum($"n").as("n_users"))
+    // bounded 10-row cumulative window
+    val wC = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cn", sum($"n").over(wC))
+      .withColumn("cnt", sum($"nt").over(wC))
+      .withColumn("cct", sum($"ct").over(wC))
+      .withColumn("cnc", sum($"ncl").over(wC))
+      .withColumn("ccc", sum($"ccl").over(wC))
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n",
+        round($"cn".cast("double") / $"n_users", 6).as("frac_targeted"),
+        round(when($"cnt" > 0 && $"cnc" > 0,
+          $"cct".cast("double") / $"cnt"
+            - $"ccc".cast("double") / $"cnc"), 6).as("uplift"),
+        round(when($"cnc" > 0,
+          $"cct".cast("double") - $"ccc".cast("double") * $"cnt" / $"cnc"),
+          6).as("qini"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_qini" -> qQini,
     "q_mediation" -> qMediation,
     "q_psm_att" -> qPsmAtt,
     "q_shapley" -> qShapley,
@@ -776,6 +852,75 @@ object DecisionOps extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same standardized logistic (9dp-rounded exponent), quantile_cont
+    // boundaries rounded to 6dp (the q_bin_quantile idiom), same
+    // 10-row cumulative curve
+    "q_qini" ->
+      """WITH acts AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nv,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc0,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS np
+        |  FROM events GROUP BY user_id),
+        |a2 AS (SELECT user_id, np, nv + 2 * nc0 AS s FROM acts),
+        |sm AS (
+        |  SELECT count(*) AS nu, CAST(sum(s) AS BIGINT) AS ss,
+        |    CAST(sum(s * s) AS BIGINT) AS ss2
+        |  FROM a2),
+        |users AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS w,
+        |    CASE WHEN np > 0 THEN 1 ELSE 0 END AS conv,
+        |    round(1.0 / (1.0 + exp(round(-((s - CAST(ss AS DOUBLE) / nu)
+        |      / sqrt((CAST(ss2 AS DOUBLE) - CAST(ss AS DOUBLE) * ss / nu)
+        |        / (nu - 1))), 9))), 6) AS p
+        |  FROM a2 CROSS JOIN sm),
+        |bnds AS (
+        |  SELECT list_transform(
+        |    quantile_cont(p, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+        |      0.9]), b -> round(b, 6)) AS bs
+        |  FROM users),
+        |dec AS (
+        |  SELECT w, conv,
+        |    CAST(10 - len(list_filter(bs, b -> p > b)) AS INT) AS decile
+        |  FROM users CROSS JOIN bnds),
+        |cells AS (
+        |  SELECT decile, count(*) AS n,
+        |    CAST(sum(w) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN w = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS ct,
+        |    CAST(sum(1 - w) AS BIGINT) AS ncl,
+        |    CAST(sum(CASE WHEN w = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS ccl
+        |  FROM dec GROUP BY decile),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_users FROM cells),
+        |cum AS (
+        |  SELECT decile, n,
+        |    sum(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cn,
+        |    sum(nt) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cnt,
+        |    sum(ct) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cct,
+        |    sum(ncl) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cnc,
+        |    sum(ccl) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS ccc
+        |  FROM cells)
+        |SELECT decile, n,
+        |  round(CAST(cn AS DOUBLE) / n_users, 6) AS frac_targeted,
+        |  round(CASE WHEN cnt > 0 AND cnc > 0 THEN
+        |    CAST(cct AS DOUBLE) / cnt - CAST(ccc AS DOUBLE) / cnc END, 6)
+        |    AS uplift,
+        |  round(CASE WHEN cnc > 0 THEN
+        |    CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE) * cnt / cnc END, 6)
+        |    AS qini
+        |FROM cum CROSS JOIN tot
+        |ORDER BY decile""".stripMargin,
+
     // exact integer raw moments; the centered-moment / coefficient /
     // Sobel chain is the identical double formula shape step by step
     "q_mediation" ->

@@ -701,7 +701,51 @@ object GraphOps extends QueryPack {
       .orderBy($"lm")
   }
 
+  // ---- q_degree_dist -------------------------------------------------------
+  /** Degree-distribution profile + power-law tail fit of the
+    * co-purchase graph (the q_zipf_fit discipline on degrees instead of
+    * token ranks): the (degree, node-count) histogram regressed in
+    * ln–ln space — slope ≈ −α is the scale-free exponent estimate, r²
+    * says whether a power law is even a sensible description, and the
+    * summary carries the degree envelope. This is the read a platform
+    * takes BEFORE choosing graph-join strategies (a heavy-tailed α < 2
+    * graph needs the hub caps q_adamic_adar/q_common_neighbors apply;
+    * a near-uniform one doesn't). One row; ln terms once-rounded to 6dp
+    * decimals (the q_zipf_fit shape verbatim); histogram grain =
+    * distinct degree values, tiny at any corpus scale. */
+  def qDegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val deg = coPurchaseEdgesLong(spark, sfDir)
+      .groupBy($"u").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // summary + histogram
+    val summary = deg.agg(count(lit(1)).as("n_nodes"),
+      min($"d").as("d_min"), max($"d").as("d_max"))
+    val hist = deg.groupBy($"d").agg(count(lit(1)).as("nv"))
+    val xy = hist.select(
+      round(log($"d"), 6).cast(dec9).as("x"),
+      round(log($"nv"), 6).cast(dec9).as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum($"x").as("dsx"), sum($"y").as("dsy"),
+      sum($"x" * $"y").as("dsxy"),
+      sum($"x" * $"x").as("dsxx"),
+      sum($"y" * $"y").as("dsyy"))
+    val n = $"n".cast("double")
+    val (sx, sy) = ($"dsx".cast("double"), $"dsy".cast("double"))
+    val cov = n * $"dsxy".cast("double") - sx * sy
+    val vx = n * $"dsxx".cast("double") - sx * sx
+    val vy = n * $"dsyy".cast("double") - sy * sy
+    s.crossJoin(broadcast(summary))
+      .select($"n_nodes", $"n".as("n_degrees"), $"d_min", $"d_max",
+        round(when(vx =!= 0.0, cov / vx), 6).as("slope"),
+        round(when(vx =!= 0.0, (sy - (cov / vx) * sx) / n), 6)
+          .as("intercept"),
+        round(when(vx * vy =!= 0.0, (cov * cov) / (vx * vy)), 6)
+          .as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_degree_dist" -> qDegreeDist,
     "q_closeness" -> qCloseness,
     "q_graph_radius" -> qGraphRadius,
     "q_kcore" -> qKcore,
@@ -755,6 +799,45 @@ object GraphOps extends QueryPack {
        |    FROM c$cur) WHERE rk = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same long-encoded edge construction, same 6dp ln terms into
+    // decimal sums, same OLS closed forms (the q_zipf_fit oracle shape)
+    "q_degree_dist" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+        |summary AS (
+        |  SELECT count(*) AS n_nodes, min(d) AS d_min, max(d) AS d_max
+        |  FROM deg),
+        |hist AS (SELECT d, count(*) AS nv FROM deg GROUP BY d),
+        |xy AS (
+        |  SELECT CAST(round(ln(d), 6) AS DECIMAL(18,9)) AS x,
+        |    CAST(round(ln(nv), 6) AS DECIMAL(18,9)) AS y
+        |  FROM hist),
+        |s AS (
+        |  SELECT count(*) AS n, sum(x) AS dsx, sum(y) AS dsy,
+        |    sum(x * y) AS dsxy, sum(x * x) AS dsxx, sum(y * y) AS dsyy
+        |  FROM xy),
+        |f AS (
+        |  SELECT n,
+        |    n * CAST(dsxy AS DOUBLE) - CAST(dsx AS DOUBLE)
+        |      * CAST(dsy AS DOUBLE) AS cov,
+        |    n * CAST(dsxx AS DOUBLE) - CAST(dsx AS DOUBLE)
+        |      * CAST(dsx AS DOUBLE) AS vx,
+        |    n * CAST(dsyy AS DOUBLE) - CAST(dsy AS DOUBLE)
+        |      * CAST(dsy AS DOUBLE) AS vy,
+        |    CAST(dsx AS DOUBLE) AS sx, CAST(dsy AS DOUBLE) AS sy
+        |  FROM s)
+        |SELECT summary.n_nodes, CAST(f.n AS BIGINT) AS n_degrees,
+        |  summary.d_min, summary.d_max,
+        |  round(CASE WHEN vx != 0 THEN cov / vx END, 6) AS slope,
+        |  round(CASE WHEN vx != 0 THEN (sy - (cov / vx) * sx) / f.n END,
+        |    6) AS intercept,
+        |  round(CASE WHEN vx * vy != 0 THEN (cov * cov) / (vx * vy) END,
+        |    6) AS r2
+        |FROM f CROSS JOIN summary""".stripMargin,
+
     // same md5-chosen landmarks, same 4 unrolled min-plus levels, same
     // exact integer distance sums and once-rounded 9dp inverse terms
     "q_closeness" ->

@@ -197,6 +197,61 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  test("degree dist: node accounting matches a driver-side degree " +
+      "recount and the fit is well-formed") {
+    val r = graft.queries.GraphOps.qDegreeDist(spark, sf).head()
+    val deg = graft.queries.GraphOps.coPurchaseEdgesLong(spark, sf)
+      .groupBy(col("u")).count().collect().map(_.getLong(1))
+    assert(r.getLong(0) == deg.length.toLong, "n_nodes")
+    assert(r.getLong(2) == deg.min && r.getLong(3) == deg.max,
+      "degree envelope")
+    assert(r.getLong(1) == deg.distinct.length.toLong, "n_degrees")
+    val r2 = r.getDouble(6)
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 $r2 out of range")
+  }
+
+  test("entropy rate: conditional entropy is non-negative and bounded " +
+      "by the unigram vocabulary") {
+    val rows = graft.queries.Corpus2Ops.qEntropyRate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h1, h2, rate) =
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(h1 >= 0 && h2 >= h1 - 1e-9,
+        s"${r.getString(0)}: joint entropy must dominate marginal")
+      // h_rate rounds once from the raw difference; comparing the
+      // two independently-rounded columns leaves up to 2 ulp at 6dp
+      assert(math.abs(rate - (h2 - h1)) < 2e-6)
+      assert(h1 <= math.log(r.getLong(2).toDouble) + 1e-6,
+        "H1 bounded by ln(vocab)")
+    }
+  }
+
+  test("qini: the curve accumulates to the full population and the " +
+      "final uplift replays the overall treatment contrast") {
+    val rows = graft.queries.DecisionOps.qQini(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    // tied boundaries collapse deciles (quantile_cont ties), so ids are
+    // distinct and in-range but not necessarily contiguous
+    val ids = rows.map(_.getInt(0)).toSeq
+    assert(ids == ids.distinct && ids.forall(d => d >= 1 && d <= 10))
+    val fracs = rows.map(_.getDouble(2))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => b >= a },
+      "frac_targeted must be non-decreasing")
+    assert(math.abs(fracs.last - 1.0) < 1e-9, "curve must end at 100%")
+    // final-row uplift == overall conversion contrast, driver-side
+    val users = Tables.df(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+      .collect()
+    val (t, c) = users.partition(_.getLong(0) % 2 == 0)
+    val want = t.count(_.getLong(1) > 0).toDouble / t.length -
+      c.count(_.getLong(1) > 0).toDouble / c.length
+    assert(math.abs(rows.last.getDouble(3) - want) < 1e-5,
+      s"final uplift ${rows.last.getDouble(3)} vs driver $want")
+  }
+
   test("granger: the restricted model can never beat the unrestricted " +
       "(F >= 0) and coefficients are finite on the fixture") {
     val r = Series2Ops.qGranger(spark, sf).head()
