@@ -341,7 +341,50 @@ object Analytics extends QueryPack {
       .orderBy($"day")
   }
 
+  // ---- q_elasticity --------------------------------------------------------
+  /** Price elasticity of demand across parts: OLS slope of ln(total
+    * quantity) on ln(mean unit price) at PART grain — the classic
+    * log-log demand regression (slope < −1 = elastic, the pricing
+    * team's first read). Unit price = Σ extendedprice / Σ quantity per
+    * part (exact decimal sums; the ratio rounds once to 6dp before its
+    * ln so both engines take the log of the identical double — the
+    * q_zipf_fit discipline); ln outputs round once to 6dp into decimal
+    * OLS moments. One lineitem pass → part-grain relation → 1-row
+    * closed-form fit; zero-variance guard yields NULL slope. */
+  def qElasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val parts = Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(sum(floor($"l_quantity").cast("long")).as("q"),
+        sum(round($"l_extendedprice", 2).cast(DecimalType(18, 2)))
+          .as("rev"))
+      .filter($"q" > 0)
+      .select(
+        round(log($"q".cast("double")), 6).cast(dec9).as("y"),
+        round(log(round($"rev".cast("double") / $"q", 6)), 6).cast(dec9)
+          .as("x"))
+    val s = parts.agg(count(lit(1)).as("n"),
+      sum($"x").as("dsx"), sum($"y").as("dsy"),
+      sum($"x" * $"y").as("dsxy"),
+      sum($"x" * $"x").as("dsxx"),
+      sum($"y" * $"y").as("dsyy"))
+    val n = $"n".cast("double")
+    val (sx, sy) = ($"dsx".cast("double"), $"dsy".cast("double"))
+    val cov = n * $"dsxy".cast("double") - sx * sy
+    val vx = n * $"dsxx".cast("double") - sx * sx
+    val vy = n * $"dsyy".cast("double") - sy * sy
+    s.select($"n".as("n_parts"),
+        round(when(vx =!= 0.0, cov / vx), 6).as("elasticity"),
+        round(when(vx =!= 0.0, (sy - (cov / vx) * sx) / n), 6)
+          .as("intercept"),
+        round(when(vx * vy =!= 0.0, (cov * cov) / (vx * vy)), 6)
+          .as("r2"))
+      .withColumn("elastic", $"elasticity" < -1.0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_elasticity" -> qElasticity,
     "q_stickiness" -> qStickiness,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
@@ -355,6 +398,44 @@ object Analytics extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same part-grain exact sums, 6dp-rounded ratio before its ln, 6dp
+    // ln terms into decimal OLS moments, same closed forms
+    "q_elasticity" ->
+      """WITH parts AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+        |    sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |xy AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(q AS DOUBLE)), 6) AS DECIMAL(18,9)) AS y,
+        |    CAST(round(ln(round(CAST(rev AS DOUBLE) / q, 6)), 6)
+        |      AS DECIMAL(18,9)) AS x
+        |  FROM parts WHERE q > 0),
+        |s AS (
+        |  SELECT count(*) AS n, sum(x) AS dsx, sum(y) AS dsy,
+        |    sum(x * y) AS dsxy, sum(x * x) AS dsxx, sum(y * y) AS dsyy
+        |  FROM xy),
+        |f AS (
+        |  SELECT n,
+        |    n * CAST(dsxy AS DOUBLE) - CAST(dsx AS DOUBLE)
+        |      * CAST(dsy AS DOUBLE) AS cov,
+        |    n * CAST(dsxx AS DOUBLE) - CAST(dsx AS DOUBLE)
+        |      * CAST(dsx AS DOUBLE) AS vx,
+        |    n * CAST(dsyy AS DOUBLE) - CAST(dsy AS DOUBLE)
+        |      * CAST(dsy AS DOUBLE) AS vy,
+        |    CAST(dsx AS DOUBLE) AS sx, CAST(dsy AS DOUBLE) AS sy
+        |  FROM s)
+        |SELECT CAST(n AS BIGINT) AS n_parts,
+        |  round(CASE WHEN vx != 0 THEN cov / vx END, 6) AS elasticity,
+        |  round(CASE WHEN vx != 0 THEN (sy - (cov / vx) * sx) / n END, 6)
+        |    AS intercept,
+        |  round(CASE WHEN vx * vy != 0 THEN (cov * cov) / (vx * vy) END,
+        |    6) AS r2,
+        |  round(CASE WHEN vx != 0 THEN cov / vx END, 6) < -1.0
+        |    AS elastic
+        |FROM f""".stripMargin,
+
     // same user-grain spend, same 9dp ln/term rounding, same closed forms
     "q_theil_index" ->
       """WITH spend AS (

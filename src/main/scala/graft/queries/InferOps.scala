@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -440,7 +440,140 @@ object InferOps extends QueryPack {
       round(when(sdp > 0.0, diff / sdp), 6).as("cohens_d"))
   }
 
+  // ---- q_anova2 ------------------------------------------------------------
+  /** Two-way ANOVA of order value by priority × market segment (the
+    * q_simpsons/q_cmh cell grid, continuous-response side): SSA, SSB,
+    * the interaction SSAB = SS_cells − SSA − SSB (the classic
+    * unweighted sequential decomposition — on unbalanced cells this is
+    * the Type-I-style approximation, stated), SSW, and the three F's.
+    * The interaction F is the one q_anova cannot ask: does the
+    * priority effect DIFFER by segment? Significance for the
+    * interaction uses the asymptotic χ²(df)/df gate from the shared
+    * chi2Crit05 table (denominator df is corpus-scale — the F→χ²
+    * limit, the q_granger precedent). Every sum of squares builds from
+    * exact decimal cell sums; the ≤25-row per-factor terms round once
+    * to 9dp into decimal sums so engine summation order cannot leak. */
+  def qAnova2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(28, 9)
+    val rows = Tables.df(spark, sfDir, "orders")
+      .join(Tables.df(spark, sfDir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment".as("b")),
+        "o_custkey")
+      .select($"o_orderpriority".as("a"), $"b",
+        $"o_totalprice".cast(dec2).as("v"))
+      .select($"a", $"b", $"v",
+        round($"v".cast("double") * $"v".cast("double"), 4).cast(dec4)
+          .as("v2"))
+    val cells = rows.groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"), sum($"v2").as("s2"))
+      .localCheckpoint() // totals + three marginal reductions
+    val tot = cells.agg(sum($"n").as("nn"), sum($"s").as("ts"),
+      sum($"s2").as("ts2"), count(lit(1)).as("ncells"))
+    def ssTerm(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(sum($"n").as("gn"), sum($"s").as("gs"))
+        .select(round($"gs".cast("double") * $"gs".cast("double")
+          / $"gn", 9).cast(dec9).as("tm"))
+        .agg(sum($"tm").as("ss_raw"), count(lit(1)).as("k"))
+    val sa = ssTerm(cells, Seq("a")).select($"ss_raw".as("ra"),
+      $"k".as("ka"))
+    val sb = ssTerm(cells, Seq("b")).select($"ss_raw".as("rb"),
+      $"k".as("kb"))
+    val sc = ssTerm(cells, Seq("a", "b")).select($"ss_raw".as("rc"))
+    val j = tot.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .crossJoin(broadcast(sc))
+    // the SS subtractions are catastrophic cancellations (~1e15 − ~1e15
+    // leaving ~1e11): they happen in EXACT DECIMAL — only the grand-mean
+    // term passes through double (one 9dp-rounded conversion), so no
+    // engine-specific decimal→double conversion can leak into the SS
+    val dec30 = DecimalType(30, 9)
+    val gm9 = round($"ts".cast("double") * $"ts".cast("double")
+      / $"nn".cast("double"), 9).cast(dec30)
+    val sstD = $"ts2".cast(dec30) - gm9
+    val ssaD = $"ra".cast(dec30) - gm9
+    val ssbD = $"rb".cast(dec30) - gm9
+    val sscD = $"rc".cast(dec30) - gm9
+    val ssabD = sscD - ssaD - ssbD
+    val sswD = sstD - sscD
+    val dfw = $"nn" - $"ncells"
+    def f(ss: Column, df1: Column): Column =
+      when(sswD.cast("double") > 0, (ss.cast("double")
+        / df1.cast("double"))
+        / (sswD.cast("double") / dfw.cast("double")))
+    val dfab = ($"ka" - 1) * ($"kb" - 1)
+    // the gate multiplies instead of dividing by df: crit/df would be a
+    // DECIMAL division in DuckDB but a double one here — f·df > crit is
+    // the same IEEE multiply in both engines
+    val crit = NonparamOps.chi2Crit05
+      .foldLeft(lit(null).cast("double")) { case (acc, (d, c)) =>
+        when(dfab === d, lit(c)).otherwise(acc)
+      }
+    // SS magnitudes (~1e11-1e15) sit where double ulp exceeds the 9dp
+    // rounding grid, so each engine's decimal<->double conversions leave
+    // cents-level noise in the exact-decimal SS; reporting in MILLIONS
+    // shrinks that noise to ~3e-7 — invisible at 2dp — while the F's
+    // (6dp ratios) were never affected
+    def m(ss: Column): Column = round(ss.cast("double") / 1e6, 2)
+    j.select($"nn".as("n"), $"ka".as("a_levels"), $"kb".as("b_levels"),
+        m(ssaD).as("ss_a_m"), m(ssbD).as("ss_b_m"),
+        m(ssabD).as("ss_ab_m"), m(sswD).as("ss_within_m"),
+        round(f(ssaD, $"ka" - 1), 6).as("f_a"),
+        round(f(ssbD, $"kb" - 1), 6).as("f_b"),
+        round(f(ssabD, dfab), 6).as("f_ab"),
+        (round(f(ssabD, dfab), 6) * dfab.cast("double") > crit)
+          .as("interaction_sig"))
+  }
+
+  // ---- q_anderson_darling --------------------------------------------------
+  /** Anderson–Darling normality test (Anderson & Darling '52; Stephens
+    * '74 case-3 adjustment) of the standardized daily purchase series —
+    * the ECDF-weighted upgrade of q_jarque_bera's moment test, with the
+    * heaviest weight exactly where monitoring cares: the tails.
+    * A² = −n − (1/n)Σ[(2i−1)lnΦ(z⁽ⁱ⁾) + (2(n−i)+1)ln(1−Φ(z⁽ⁱ⁾))], one
+    * pass over the rank-ordered day relation; A*² = A²(1 + 0.75/n +
+    * 2.25/n²) vs the Stephens 5% value 0.752 (shared literal). Φ is the
+    * shared Zelen–Severo [[DecisionOps.normCdf]] (9dp-rounded z), each
+    * Φ clamps to [1e-12, 1−1e-12] before the ln (degenerate-tail
+    * guard), and every ln output rounds once to 9dp into an exact
+    * decimal sum. Rank windows run on the calendar-bounded day
+    * relation. */
+  def qAndersonDarling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(28, 9)
+    val days = SeriesOps.dailySeries(spark, sfDir)
+    val mom = days.agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+      sum(round($"y".cast("double") * $"y", 4).cast(dec4)).as("sy2"))
+    val z = days.crossJoin(broadcast(mom))
+      .withColumn("mu", $"sy".cast("double") / $"n")
+      .withColumn("sd", sqrt(($"sy2".cast("double")
+        - $"sy".cast("double") * $"sy" / $"n") / ($"n" - 1)))
+      .select($"n", $"d",
+        round(($"y".cast("double") - $"mu") / $"sd", 6).as("z"))
+    val ranked = z.withColumn("i",
+      row_number().over(Window.orderBy($"z", $"d")))
+    val phi0 = DecisionOps.normCdf($"z")
+    val phi = greatest(least(round(phi0, 9), lit(1.0 - 1e-12)),
+      lit(1e-12))
+    val terms = ranked.select($"n",
+      round((lit(2) * $"i" - 1).cast("double")
+        * round(log(phi), 9), 9).cast(dec9).as("t1"),
+      round((lit(2) * ($"n" - $"i") + 1).cast("double")
+        * round(log(lit(1.0) - phi), 9), 9).cast(dec9).as("t2"))
+    terms.groupBy($"n").agg(sum($"t1").as("s1"), sum($"t2").as("s2"))
+      .select($"n",
+        round(-$"n".cast("double")
+          - ($"s1".cast("double") + $"s2".cast("double"))
+            / $"n".cast("double"), 6).as("a2"))
+      .withColumn("a2_star",
+        round($"a2" * (lit(1.0) + lit(0.75) / $"n"
+          + lit(2.25) / ($"n" * $"n")), 6))
+      .withColumn("significant", $"a2_star" > 0.752)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova2" -> qAnova2,
+    "q_anderson_darling" -> qAndersonDarling,
     "q_tost" -> qTost,
     "q_mcnemar" -> qMcnemar,
     "q_levene" -> qLevene,
@@ -453,6 +586,122 @@ object InferOps extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same exact decimal cell sums, same 9dp per-group SS terms, same
+    // multiply-not-divide chi2 gate
+    "q_anova2" ->
+      (s"""WITH rows0 AS (
+        |  SELECT o.o_orderpriority AS a, c.c_mktsegment AS b,
+        |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |rows2 AS (
+        |  SELECT a, b, v,
+        |    CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 4)
+        |      AS DECIMAL(38,4)) AS v2
+        |  FROM rows0),
+        |cells AS (
+        |  SELECT a, b, count(*) AS n, sum(v) AS s, sum(v2) AS s2
+        |  FROM rows2 GROUP BY a, b),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, sum(s) AS ts,
+        |    sum(s2) AS ts2, count(*) AS ncells
+        |  FROM cells),
+        |ga AS (
+        |  SELECT sum(tm) AS ra, count(*) AS ka FROM (
+        |    SELECT CAST(round(CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
+        |      / gn, 9) AS DECIMAL(28,9)) AS tm
+        |    FROM (SELECT a, CAST(sum(n) AS BIGINT) AS gn, sum(s) AS gs
+        |          FROM cells GROUP BY a))),
+        |gb AS (
+        |  SELECT sum(tm) AS rb, count(*) AS kb FROM (
+        |    SELECT CAST(round(CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
+        |      / gn, 9) AS DECIMAL(28,9)) AS tm
+        |    FROM (SELECT b, CAST(sum(n) AS BIGINT) AS gn, sum(s) AS gs
+        |          FROM cells GROUP BY b))),
+        |gc AS (
+        |  SELECT sum(tm) AS rc FROM (
+        |    SELECT CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / n, 9) AS DECIMAL(28,9)) AS tm
+        |    FROM cells)),
+        |f AS (
+        |  SELECT nn, ka, kb, ncells,
+        |    CAST(round(CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+        |      / CAST(nn AS DOUBLE), 9) AS DECIMAL(30,9)) AS gm9,
+        |    CAST(ts2 AS DECIMAL(30,9)) AS ts2d,
+        |    CAST(ra AS DECIMAL(30,9)) AS rad,
+        |    CAST(rb AS DECIMAL(30,9)) AS rbd,
+        |    CAST(rc AS DECIMAL(30,9)) AS rcd
+        |  FROM tot CROSS JOIN ga CROSS JOIN gb CROSS JOIN gc),
+        |g AS (
+        |  SELECT nn, ka, kb, rad - gm9 AS ssa, rbd - gm9 AS ssb,
+        |    (rcd - gm9) - (rad - gm9) - (rbd - gm9) AS ssab,
+        |    (ts2d - gm9) - (rcd - gm9) AS ssw, nn - ncells AS dfw
+        |  FROM f)
+        |SELECT nn AS n, ka AS a_levels, kb AS b_levels,
+        |  round(CAST(ssa AS DOUBLE) / 1000000.0, 2) AS ss_a_m,
+        |  round(CAST(ssb AS DOUBLE) / 1000000.0, 2) AS ss_b_m,
+        |  round(CAST(ssab AS DOUBLE) / 1000000.0, 2) AS ss_ab_m,
+        |  round(CAST(ssw AS DOUBLE) / 1000000.0, 2) AS ss_within_m,
+        |  round(CASE WHEN CAST(ssw AS DOUBLE) > 0 THEN
+        |    (CAST(ssa AS DOUBLE) / CAST(ka - 1 AS DOUBLE))
+        |    / (CAST(ssw AS DOUBLE) / CAST(dfw AS DOUBLE)) END, 6) AS f_a,
+        |  round(CASE WHEN CAST(ssw AS DOUBLE) > 0 THEN
+        |    (CAST(ssb AS DOUBLE) / CAST(kb - 1 AS DOUBLE))
+        |    / (CAST(ssw AS DOUBLE) / CAST(dfw AS DOUBLE)) END, 6) AS f_b,
+        |  round(CASE WHEN CAST(ssw AS DOUBLE) > 0 THEN
+        |    (CAST(ssab AS DOUBLE) / CAST((ka - 1) * (kb - 1) AS DOUBLE))
+        |    / (CAST(ssw AS DOUBLE) / CAST(dfw AS DOUBLE)) END, 6) AS f_ab,
+        |  round(CASE WHEN CAST(ssw AS DOUBLE) > 0 THEN
+        |    (CAST(ssab AS DOUBLE) / CAST((ka - 1) * (kb - 1) AS DOUBLE))
+        |    / (CAST(ssw AS DOUBLE) / CAST(dfw AS DOUBLE)) END, 6)
+        |    * CAST((ka - 1) * (kb - 1) AS DOUBLE)
+        |    > ${NonparamOps.chi2CritSql("(ka - 1) * (kb - 1)")}
+        |    AS interaction_sig
+        |FROM g""".stripMargin),
+
+    // same standardized series, same clamped Zelen-Severo phi, same 9dp
+    // ln terms and Stephens case-3 adjustment
+    "q_anderson_darling" ->
+      (s"""WITH ${SeriesOps.daysCtesSql},
+        |mom AS (
+        |  SELECT count(*) AS n, sum(y) AS sy,
+        |    sum(CAST(round(CAST(y AS DOUBLE) * y, 4) AS DECIMAL(38,4)))
+        |      AS sy2
+        |  FROM days),
+        |z AS (
+        |  SELECT n, d,
+        |    round((CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n)
+        |      / sqrt((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+        |        / (n - 1)), 6) AS z
+        |  FROM days CROSS JOIN mom),
+        |ranked AS (
+        |  SELECT n, z, row_number() OVER (ORDER BY z, d) AS i FROM z),
+        |ph AS (
+        |  SELECT n, i,
+        |    greatest(least(round(${DecisionOps.normCdfSql("z")}, 9),
+        |      1.0 - 0.000000000001), 0.000000000001) AS phi
+        |  FROM ranked),
+        |terms AS (
+        |  SELECT n,
+        |    CAST(round(CAST(2 * i - 1 AS DOUBLE)
+        |      * round(ln(phi), 9), 9) AS DECIMAL(28,9)) AS t1,
+        |    CAST(round(CAST(2 * (n - i) + 1 AS DOUBLE)
+        |      * round(ln(1.0 - phi), 9), 9) AS DECIMAL(28,9)) AS t2
+        |  FROM ph),
+        |agg AS (
+        |  SELECT CAST(n AS BIGINT) AS n,
+        |    round(-CAST(n AS DOUBLE)
+        |      - (CAST(sum(t1) AS DOUBLE) + CAST(sum(t2) AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 6) AS a2
+        |  FROM terms GROUP BY n)
+        |SELECT n, a2,
+        |  round(a2 * (1.0 + 0.75 / CAST(n AS DOUBLE)
+        |    + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |    AS a2_star,
+        |  round(a2 * (1.0 + 0.75 / CAST(n AS DOUBLE)
+        |    + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) > 0.752
+        |    AS significant
+        |FROM agg""".stripMargin),
+
     // same moment CTEs as q_welch_ttest, same one-sided closed forms
     "q_tost" ->
       """WITH u AS (

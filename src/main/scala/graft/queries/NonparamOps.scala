@@ -43,7 +43,10 @@ object NonparamOps extends QueryPack {
     * reporting a data-derived df). Out-of-table df → NULL significance,
     * which the oracle mirrors (same CASE) and the hash check surfaces. */
   private[graft] val chi2Crit05 = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815,
-    4 -> 9.488, 5 -> 11.070, 6 -> 12.592, 7 -> 14.067, 8 -> 15.507)
+    4 -> 9.488, 5 -> 11.070, 6 -> 12.592, 7 -> 14.067, 8 -> 15.507,
+    9 -> 16.919, 10 -> 18.307, 11 -> 19.675, 12 -> 21.026, 13 -> 22.362,
+    14 -> 23.685, 15 -> 24.996, 16 -> 26.296, 17 -> 27.587, 18 -> 28.869,
+    19 -> 30.144, 20 -> 31.410)
   private def chi2CritCol(df: org.apache.spark.sql.Column) =
     chi2Crit05.foldLeft(lit(null).cast("double")) { case (acc, (d, c)) =>
       when(df === d, c).otherwise(acc)

@@ -227,7 +227,47 @@ object Series2Ops extends QueryPack {
         $"f_stat" > NonparamOps.chi2Crit05(1))
   }
 
+  // ---- q_tail_dep ----------------------------------------------------------
+  /** Empirical upper-tail dependence between daily event volume and
+    * daily purchase revenue (the copula read behind q_crosscorr's
+    * Pearson: do the two series spike TOGETHER?): at each tail level
+    * k ∈ {n/5, n/10} (top 20% / 10% by rank), λ̂_U = #(rank_x ≤ k ∧
+    * rank_y ≤ k) / k, beside the independence expectation k/n. λ̂ ≫ k/n
+    * means joint extremes — the load-planning case where q_gumbel_fit's
+    * marginal return levels understate joint risk. All exact integers
+    * + one division; the two rank windows run on the calendar-bounded
+    * day relation (the q_survival argument), ties broken by date. */
+  def qTailDep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = SeriesOps.dailySeries(spark, sfDir)
+    val vol = Tables.df(spark, sfDir, "events")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val joined = days.join(vol, "d")
+      .withColumn("rx", row_number().over(
+        Window.orderBy($"x".desc, $"d")))
+      .withColumn("ry", row_number().over(
+        Window.orderBy($"y".desc, $"d")))
+      .localCheckpoint() // the two k-level scans
+    val n = joined.agg(count(lit(1)).as("n"))
+    val ks = Seq(5, 10).toDF("frac_inv")
+      .crossJoin(broadcast(n))
+      .select($"frac_inv", $"n", expr("n div frac_inv").as("k"))
+    joined.crossJoin(broadcast(ks))
+      .groupBy($"frac_inv", $"n", $"k")
+      .agg(sum(when($"rx" <= $"k" && $"ry" <= $"k", 1L).otherwise(0L))
+        .as("n_joint"))
+      .select(
+        concat(lit("top_"), (lit(100) / $"frac_inv").cast("int"),
+          lit("pct")).as("level"),
+        $"n", $"k", $"n_joint",
+        round($"n_joint".cast("double") / $"k", 6).as("lambda_u"),
+        round($"k".cast("double") / $"n", 6).as("independence"))
+      .orderBy($"level")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tail_dep" -> qTailDep,
     "q_ljung_box" -> qLjungBox,
     "q_jarque_bera" -> qJarqueBera,
     "q_runs_test" -> qRunsTest,
@@ -235,6 +275,35 @@ object Series2Ops extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same day-grain ranks with date tie-breaks, same integer joint
+    // counts, same single division per level
+    "q_tail_dep" ->
+      (s"""WITH ${SeriesOps.daysCtesSql},
+        |vol AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |jnd AS (
+        |  SELECT days.d, days.y, vol.x,
+        |    row_number() OVER (ORDER BY vol.x DESC, days.d) AS rx,
+        |    row_number() OVER (ORDER BY days.y DESC, days.d) AS ry
+        |  FROM days JOIN vol ON vol.d = days.d),
+        |nn AS (SELECT count(*) AS n FROM jnd),
+        |ks AS (
+        |  SELECT frac_inv, n, n // frac_inv AS k
+        |  FROM (VALUES (5), (10)) v(frac_inv) CROSS JOIN nn),
+        |cnt AS (
+        |  SELECT frac_inv, n, k,
+        |    CAST(sum(CASE WHEN rx <= k AND ry <= k THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_joint
+        |  FROM jnd CROSS JOIN ks
+        |  GROUP BY frac_inv, n, k)
+        |SELECT 'top_' || CAST(CAST(100 / frac_inv AS INT) AS VARCHAR)
+        |    || 'pct' AS level,
+        |  CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, n_joint,
+        |  round(CAST(n_joint AS DOUBLE) / k, 6) AS lambda_u,
+        |  round(CAST(k AS DOUBLE) / n, 6) AS independence
+        |FROM cnt ORDER BY level""".stripMargin),
+
     // same q_pacf ACF chain extended to lag 7; cumulative Q over the
     // 7-row lag relation; critical values from the shared chi2 table
     "q_ljung_box" ->

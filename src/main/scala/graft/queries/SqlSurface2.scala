@@ -19,16 +19,20 @@ object SqlSurface2 extends QueryPack {
   // ---- q_recursive_backlog -------------------------------------------------
   /** Service-backlog simulation as a native linear recursive CTE:
     * backlog_t = max(0, backlog_{t−1} + arrivals_t − capacity) over the
-    * 30-day event-arrival series, capacity frozen at the integer mean
-    * daily arrival rate — the queueing read ("how deep does the backlog
-    * get, and does it drain?") a capacity planner runs on ingest logs.
-    * The recursion is LINEAR (one row per day, depth = days, well under
-    * Spark's recursion limit) and all-integer, so both engines replay
-    * it exactly. The same recursion collapses to prefix arithmetic
+    * WEEKLY event-arrival series, capacity frozen at the integer mean
+    * weekly arrival rate — the queueing read ("how deep does the
+    * backlog get, and does it drain?") a capacity planner runs on
+    * ingest logs. The recursion is LINEAR (one row per week) and
+    * all-integer, so both engines replay it exactly. Week grain, not
+    * day: Spark 4.1's UnionLoop executes one JOB per recursion step
+    * (~0.3 s of driver dispatch each, measured — 8.0 s wall vs 2.0
+    * core-s at day grain), so the iteration count is the entire cost
+    * of this surface; five steps demonstrate the construct at honest
+    * price. The same recursion collapses to prefix arithmetic
     * (q_cusum's running-sum-minus-prefix-min identity) — the spec
     * cross-checks the recursive answer against that closed form, which
-    * is also the shape to prefer when the series stops fitting a
-    * per-step recursion at scale. */
+    * is also the shape to prefer when a recursion's depth grows with
+    * the data. */
   def qRecursiveBacklog(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.df(spark, sfDir, "events").createOrReplaceTempView("events_v")
     spark.sql(recursiveBacklogSql("events_v"))
@@ -38,27 +42,27 @@ object SqlSurface2 extends QueryPack {
     * the q_distribute_sql discipline for surface ops. */
   private def recursiveBacklogSql(tbl: String): String =
     s"""WITH RECURSIVE arr AS (
-       |  SELECT CAST(ts AS DATE) AS d, count(*) AS a
+       |  SELECT date_trunc('week', CAST(ts AS DATE)) AS wk, count(*) AS a
        |  FROM $tbl GROUP BY 1),
-       |days AS (
-       |  SELECT d, a, CAST(row_number() OVER (ORDER BY d) AS INT) AS t
+       |weeks AS (
+       |  SELECT wk, a, CAST(row_number() OVER (ORDER BY wk) AS INT) AS t
        |  FROM arr),
        |cap AS (
        |  -- explicit floor: a bare BIGINT/BIGINT is float division in
        |  -- both engines, but the double->BIGINT CAST truncates in Spark
        |  -- and rounds in DuckDB; floor() is the shared exact form
        |  SELECT CAST(floor(CAST(sum(a) AS DOUBLE) / count(*)) AS BIGINT)
-       |    AS c FROM days),
-       |sim(t, d, a, backlog) AS (
-       |  SELECT t, d, a,
+       |    AS c FROM weeks),
+       |sim(t, wk, a, backlog) AS (
+       |  SELECT t, wk, a,
        |    CAST(greatest(a - (SELECT c FROM cap), 0) AS BIGINT)
-       |  FROM days WHERE t = 1
+       |  FROM weeks WHERE t = 1
        |  UNION ALL
-       |  SELECT days.t, days.d, days.a,
-       |    CAST(greatest(sim.backlog + days.a - (SELECT c FROM cap), 0)
+       |  SELECT weeks.t, weeks.wk, weeks.a,
+       |    CAST(greatest(sim.backlog + weeks.a - (SELECT c FROM cap), 0)
        |      AS BIGINT)
-       |  FROM sim JOIN days ON days.t = sim.t + 1)
-       |SELECT t, d, a AS arrivals, backlog
+       |  FROM sim JOIN weeks ON weeks.t = sim.t + 1)
+       |SELECT t, CAST(wk AS DATE) AS wk, a AS arrivals, backlog
        |FROM sim ORDER BY t""".stripMargin
 
   // ---- q_unpivot -----------------------------------------------------------
