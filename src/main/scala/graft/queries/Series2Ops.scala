@@ -266,7 +266,59 @@ object Series2Ops extends QueryPack {
       .orderBy($"level")
   }
 
+  // ---- q_block_bootstrap ---------------------------------------------------
+  /** Moving-block bootstrap CI for the daily-revenue mean (Künsch '89):
+    * 16 replicates, each rebuilt from length-5 blocks whose starts are
+    * md5-keyed uniforms — the bootstrap that stays VALID under the
+    * autocorrelation q_ljung_box just measured (q_bootstrap_ci's iid
+    * Poisson weights assume exchangeability a dependent series does not
+    * have; blocks preserve the short-range dependence inside each
+    * block). Replicate means are exact decimal sums; the 90% CI is the
+    * quantile_cont interpolation over the 16-row replicate relation
+    * (bounded window); block starts replay bit-for-bit in the spec.
+    * Scale: the spine is days × 16 — the replicate axis is a
+    * projection, never a data copy. */
+  def qBlockBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val L = 5
+    val days = SeriesOps.dailySeries(spark, sfDir)
+      .localCheckpoint() // moment pass + spine join
+    val n = days.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+    val spine = days.select($"t".as("pos"))
+      .crossJoin(broadcast(n))
+      .select($"pos", $"n", explode(expr("sequence(1, 16)")).as("b"))
+      .withColumn("k", expr(s"(pos - 1) div $L"))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("blk:"), $"b".cast("string"),
+          lit(":"), $"k".cast("string"))), 1, 15), 16, 10)
+          .cast("long") + 1) / lit(1152921504606846976.0))
+      .withColumn("s",
+        least(floor($"u" * ($"n" - lit(L) + 1)).cast("long"),
+          $"n" - lit(L)) + 1)
+      .withColumn("tp", $"s" + ($"pos" - 1) % lit(L))
+    val reps = spine.join(days.select($"t".as("tp"), $"y"), "tp")
+      .groupBy($"b")
+      .agg(count(lit(1)).as("cnt"), sum($"y").as("syb"))
+      .select($"b", round($"syb".cast("double") / $"cnt", 6).as("m"))
+    // bounded 16-row rank window; CI = quantile_cont at 0.05/0.95
+    val ranked = reps.withColumn("r",
+      row_number().over(Window.orderBy($"m", $"b")))
+    val ci = ranked.agg(
+      (max(when($"r" === 1, $"m")) + lit(0.75)
+        * (max(when($"r" === 2, $"m")) - max(when($"r" === 1, $"m"))))
+        .as("lo"),
+      (max(when($"r" === 15, $"m")) + lit(0.25)
+        * (max(when($"r" === 16, $"m")) - max(when($"r" === 15, $"m"))))
+        .as("hi"))
+    n.crossJoin(broadcast(ci))
+      .select($"n".as("n_days"), lit(L.toLong).as("l_block"),
+        lit(16L).as("n_reps"),
+        round($"sy".cast("double") / $"n", 6).as("est"),
+        round($"lo", 6).as("ci_lo"), round($"hi", 6).as("ci_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_block_bootstrap" -> qBlockBootstrap,
     "q_tail_dep" -> qTailDep,
     "q_ljung_box" -> qLjungBox,
     "q_jarque_bera" -> qJarqueBera,
@@ -275,6 +327,48 @@ object Series2Ops extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same md5 block starts, same exact decimal replicate means, same
+    // 16-row quantile_cont interpolation
+    "q_block_bootstrap" ->
+      (s"""WITH ${SeriesOps.daysCtesSql},
+        |nn AS (SELECT count(*) AS n, sum(y) AS sy FROM days),
+        |spine AS (
+        |  SELECT t AS pos, n,
+        |    CAST(unnest(range(1, 17)) AS INT) AS b
+        |  FROM days CROSS JOIN nn),
+        |st AS (
+        |  SELECT pos, n, b, (pos - 1) // 5 AS k,
+        |    (('0x' || substr(md5('blk:' || CAST(b AS VARCHAR) || ':'
+        |        || CAST((pos - 1) // 5 AS VARCHAR)), 1, 15))::BIGINT
+        |      + 1) / CAST(1152921504606846976 AS DOUBLE) AS u
+        |  FROM spine),
+        |tp AS (
+        |  SELECT b,
+        |    least(CAST(floor(u * (n - 5 + 1)) AS BIGINT), n - 5) + 1
+        |      + (pos - 1) % 5 AS tp
+        |  FROM st),
+        |reps AS (
+        |  SELECT tp.b,
+        |    round(CAST(sum(days.y) AS DOUBLE) / count(*), 6) AS m
+        |  FROM tp JOIN days ON days.t = tp.tp
+        |  GROUP BY tp.b),
+        |ranked AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM reps),
+        |ci AS (
+        |  SELECT
+        |    max(CASE WHEN r = 1 THEN m END) + 0.75
+        |      * (max(CASE WHEN r = 2 THEN m END)
+        |        - max(CASE WHEN r = 1 THEN m END)) AS lo,
+        |    max(CASE WHEN r = 15 THEN m END) + 0.25
+        |      * (max(CASE WHEN r = 16 THEN m END)
+        |        - max(CASE WHEN r = 15 THEN m END)) AS hi
+        |  FROM ranked)
+        |SELECT CAST(n AS BIGINT) AS n_days, CAST(5 AS BIGINT) AS l_block,
+        |  CAST(16 AS BIGINT) AS n_reps,
+        |  round(CAST(sy AS DOUBLE) / n, 6) AS est,
+        |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+        |FROM nn CROSS JOIN ci""".stripMargin),
+
     // same day-grain ranks with date tie-breaks, same integer joint
     // counts, same single division per level
     "q_tail_dep" ->

@@ -177,13 +177,174 @@ object Vector2Ops extends QueryPack {
       .orderBy($"qid", $"rank")
   }
 
+  // ---- q_pca_deflate -------------------------------------------------------
+  /** Second principal direction by Hotelling deflation (the classical
+    * power-method extension): pc1 from [[VectorQueries.pcaCovSums]] +
+    * [[VectorQueries.pcaPowerIters]] (the SAME covariance and iteration
+    * q_pca_power publishes), Rayleigh λ₁ = v₁ᵀCv₁/v₁ᵀv₁ reported, and
+    * 3 power iterations with PROJECTION deflation — every iterate u is
+    * explicitly re-orthogonalized against v₁ (u − v₁·(v₁ᵀu)/v₁ᵀv₁, the
+    * (I−P₁)C operator), which keeps pc2 ⊥ pc1 by construction even
+    * though the 3-step pc1 is itself approximate (λ-subtraction
+    * deflation measured cos ≈ 0.13 residue on this fixture; projection
+    * ≈ 0) — the top-2 embedding map a curation UI plots. The report carries pc1,
+    * pc2, λ₁, and the pc1·pc2 dot product as its own orthogonality
+    * certificate (spec floor: |dot| small relative to the vector
+    * norms). Determinism: the triple-product Rayleigh terms and every
+    * deflated matrix-vector step round once to 9dp (the house
+    * iteration discipline — parameters re-round each round so drift
+    * cannot compound); all relations are ≤256 rows after the one
+    * corpus scan inside pcaCovSums. */
+  def qPcaDeflate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(28, 9)
+    val decV = DecimalType(12, 9)
+    val (_, cov) = VectorQueries.pcaCovSums(spark, sfDir)
+    val v1 = VectorQueries.pcaPowerIters(spark, cov, 16)
+      .localCheckpoint() // rayleigh + every deflated step + the report
+    val num = cov
+      .join(broadcast(v1.select($"j".as("i"), $"v".as("vi"))), "i")
+      .join(broadcast(v1.select($"j", $"v".as("vj"))), "j")
+      .select(round($"c".cast("double") * $"vi".cast("double")
+        * $"vj".cast("double"), 9).cast(dec9).as("t"))
+      .agg(sum($"t").as("num"))
+    val den = v1.select(($"v" * $"v").as("t")).agg(sum($"t").as("den"))
+    val lam = num.crossJoin(den)
+      .select(round($"num".cast("double") / $"den".cast("double"), 9)
+        .as("lam"), $"den".cast("double").as("dend"))
+      .localCheckpoint() // read by all 3 deflated iterations
+    var w = spark.range(16).select($"id".cast("int").as("j"),
+      lit(1).cast(decV).as("v"))
+    for (_ <- 1 to 3) {
+      val s1 = cov.join(broadcast(w), "j")
+        .groupBy($"i").agg(sum($"c" * $"v").as("s1"))
+      val dotU = s1
+        .join(broadcast(v1.select($"j".as("i"), $"v".as("v1i"))), "i")
+        .select(round($"s1".cast("double") * $"v1i".cast("double"), 9)
+          .cast(dec9).as("t"))
+        .agg(sum($"t").as("du"))
+      val u = s1
+        .join(broadcast(v1.select($"j".as("i"), $"v".as("v1i"))), "i")
+        .crossJoin(broadcast(dotU)).crossJoin(broadcast(lam))
+        .select($"i",
+          round($"s1".cast("double") - $"v1i".cast("double")
+            * ($"du".cast("double") / $"dend"), 9).as("u"))
+      val nrm = u.agg(max(abs($"u")).as("m"))
+      w = u.crossJoin(broadcast(nrm))
+        .select($"i".as("j"),
+          round($"u" / $"m", 9).cast(decV).as("v"))
+    }
+    val dot = w.join(v1.select($"j", $"v".as("v1")), "j")
+      .select(($"v" * $"v1").as("t"))
+      .agg(round(sum($"t").cast("double"), 6).as("dot12"))
+    w.join(v1.select($"j", $"v".as("p1")), "j")
+      .crossJoin(broadcast(lam.select(round($"lam", 6).as("lambda1"))))
+      .crossJoin(broadcast(dot))
+      .select($"j".cast("long").as("dim"),
+        $"p1".cast("double").as("pc1"),
+        $"v".cast("double").as("pc2"),
+        $"lambda1", $"dot12")
+      .orderBy($"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca_deflate" -> qPcaDeflate,
     "q_binary_quantize" -> qBinaryQuantize,
     "q_mmd_poly" -> qMmdPoly,
     "q_ann_filtered" -> qAnnFiltered
   )
 
+  /** One deflated power step for the oracle chain: prev w → next w.
+    * MATERIALIZED (DuckDB-only syntax — oracles never run on Spark):
+    * without it DuckDB inlines every scalar subquery's whole upstream
+    * chain, exploding to thousands of parquet opens. */
+  private def deflateIterSql(prev: String, cur: String): String =
+    s"""sD$cur AS MATERIALIZED (
+       |  SELECT i, sum(c * v) AS s1 FROM cov
+       |  JOIN $prev w ON w.j = cov.j GROUP BY i),
+       |pD$cur AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(round(CAST(s.s1 AS DOUBLE)
+       |    * CAST(t.v AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS du
+       |  FROM sD$cur s JOIN v3 t ON t.j = s.i),
+       |uD$cur AS MATERIALIZED (
+       |  SELECT s.i, round(CAST(s.s1 AS DOUBLE)
+       |    - CAST(t.v AS DOUBLE)
+       |      * ((SELECT du FROM pD$cur) / (SELECT dend FROM lam)), 9)
+       |    AS u
+       |  FROM sD$cur s JOIN v3 t ON t.j = s.i),
+       |w$cur AS MATERIALIZED (
+       |  SELECT i AS j, CAST(round(u /
+       |    (SELECT max(abs(u)) FROM uD$cur), 9) AS DECIMAL(12,9)) AS v
+       |  FROM uD$cur)""".stripMargin
+
+  /** The q_pca_power x/sums/cells/cov/v0..v3 chain verbatim (one home
+    * for the covariance + first-component definition). */
+  private val pcaChainSql: String =
+    """x AS (
+      |  SELECT vec_id, CAST(r.k AS INT) AS k,
+      |    CAST(round(CAST(embedding[r.k + 1] AS DOUBLE), 6)
+      |      AS DECIMAL(18,6)) AS xd
+      |  FROM embeddings CROSS JOIN range(0, 16) r(k)
+      |  WHERE len(embedding) >= 16),
+      |sums AS (SELECT k, sum(xd) AS sx, count(*) AS n FROM x GROUP BY 1),
+      |cells AS (
+      |  SELECT a.k AS i, b.k AS j, sum(a.xd * b.xd) AS sxy
+      |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT i, j,
+      |    CAST(round(CAST(sxy AS DOUBLE) / si.n
+      |      - (CAST(si.sx AS DOUBLE) / si.n)
+      |        * (CAST(sj.sx AS DOUBLE) / si.n), 9)
+      |      AS DECIMAL(20,9)) AS c
+      |  FROM cells JOIN sums si ON si.k = i JOIN sums sj ON sj.k = j),
+      |v0 AS (SELECT k AS j, CAST(1 AS DECIMAL(12,9)) AS v FROM sums),
+      |u1 AS (SELECT i, sum(c * v) AS u FROM cov JOIN v0 USING (j)
+      |  GROUP BY 1),
+      |v1 AS (SELECT i AS j, CAST(round(CAST(u AS DOUBLE) /
+      |    (SELECT CAST(max(abs(u)) AS DOUBLE) FROM u1), 9)
+      |    AS DECIMAL(12,9)) AS v FROM u1),
+      |u2 AS (SELECT i, sum(c * v) AS u FROM cov JOIN v1 USING (j)
+      |  GROUP BY 1),
+      |v2 AS (SELECT i AS j, CAST(round(CAST(u AS DOUBLE) /
+      |    (SELECT CAST(max(abs(u)) AS DOUBLE) FROM u2), 9)
+      |    AS DECIMAL(12,9)) AS v FROM u2),
+      |u3 AS (SELECT i, sum(c * v) AS u FROM cov JOIN v2 USING (j)
+      |  GROUP BY 1),
+      |v3 AS (SELECT i AS j, CAST(round(CAST(u AS DOUBLE) /
+      |    (SELECT CAST(max(abs(u)) AS DOUBLE) FROM u3), 9)
+      |    AS DECIMAL(12,9)) AS v FROM u3)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the q_pca_power chain + Rayleigh lambda1 + 3 deflated steps, all
+    // terms 9dp once-rounded exactly as the Spark plan
+    "q_pca_deflate" ->
+      (s"""WITH ${pcaChainSql
+          .replace("cov AS (", "cov AS MATERIALIZED (")
+          .replace("v3 AS (", "v3 AS MATERIALIZED (")},
+        |ray AS (
+        |  SELECT CAST(sum(CAST(round(CAST(c AS DOUBLE)
+        |    * CAST(vi.v AS DOUBLE) * CAST(vj.v AS DOUBLE), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS numd
+        |  FROM cov JOIN v3 vi ON vi.j = cov.i
+        |  JOIN v3 vj ON vj.j = cov.j),
+        |denc AS (SELECT CAST(sum(v * v) AS DOUBLE) AS dend FROM v3),
+        |lam AS MATERIALIZED (
+        |  SELECT round(numd / dend, 9) AS lam, dend
+        |  FROM ray CROSS JOIN denc),
+        |w0 AS (SELECT k AS j, CAST(1 AS DECIMAL(12,9)) AS v FROM sums),
+        |${deflateIterSql("w0", "1")},
+        |${deflateIterSql("w1", "2")},
+        |${deflateIterSql("w2", "3")},
+        |dot AS (
+        |  SELECT round(CAST(sum(w3.v * v3.v) AS DOUBLE), 6) AS dot12
+        |  FROM w3 JOIN v3 ON v3.j = w3.j)
+        |SELECT CAST(w3.j AS BIGINT) AS dim,
+        |  CAST(v3.v AS DOUBLE) AS pc1,
+        |  CAST(w3.v AS DOUBLE) AS pc2,
+        |  (SELECT round(lam, 6) FROM lam) AS lambda1,
+        |  (SELECT dot12 FROM dot) AS dot12
+        |FROM w3 JOIN v3 ON v3.j = w3.j
+        |ORDER BY dim""".stripMargin),
     // same exact medians, same bit packing (1::BIGINT << i two's
     // complement in both engines), xor+bit_count Hamming, same windows
     "q_binary_quantize" ->

@@ -234,12 +234,17 @@ object VectorQueries extends QueryPack {
       .orderBy($"dim")
   }
 
-  def qPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (sums, cov) relations over the leading 16 dims — factored out
+    * of [[qPcaPower]] (identical arithmetic) so
+    * [[Vector2Ops.qPcaDeflate]] reuses the SAME covariance definition
+    * (one home, the annMd5Keys discipline). Both are checkpointed
+    * 16/256-row relations. */
+  private[graft] def pcaCovSums(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     val d = 16
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val decC = org.apache.spark.sql.types.DecimalType(20, 9)
-    val decV = org.apache.spark.sql.types.DecimalType(12, 9)
     val xd = transform(slice($"embedding".cast("array<double>"), 1, d),
       e => round(e, 6).cast(dec6))
     // size >= d filter on BOTH sides (ADVICE r9): a short embedding
@@ -270,7 +275,17 @@ object VectorQueries extends QueryPack {
           - ($"sxi".cast("double") / $"n") * ($"sxj".cast("double") / $"n"),
           9).cast(decC).as("c"))
       .localCheckpoint()
-    var v = spark.range(d).select($"id".cast("int").as("j"),
+    (sums, cov)
+  }
+
+  /** Three max-abs-normalized power iterations over a checkpointed cov
+    * relation, from the all-ones start — the [[qPcaPower]] iteration,
+    * shared with [[Vector2Ops.qPcaDeflate]]. Returns (j, v DECIMAL). */
+  private[graft] def pcaPowerIters(spark: SparkSession, cov: DataFrame,
+      dims: Int): DataFrame = {
+    import spark.implicits._
+    val decV = org.apache.spark.sql.types.DecimalType(12, 9)
+    var v = spark.range(dims).select($"id".cast("int").as("j"),
       lit(1).cast(decV).as("v"))
     for (_ <- 1 to 3) {
       val u = cov.join(broadcast(v), "j")
@@ -281,6 +296,13 @@ object VectorQueries extends QueryPack {
           round($"u".cast("double") / $"m".cast("double"), 9)
             .cast(decV).as("v"))
     }
+    v
+  }
+
+  def qPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (sums, cov) = pcaCovSums(spark, sfDir)
+    val v = pcaPowerIters(spark, cov, 16)
     v.select($"j".cast("long").as("dim"), $"v".cast("double").as("pc1"))
       .join(broadcast(sums.select($"k".cast("long").as("dim"),
         round($"sx".cast("double") / $"n", 9).as("mu"))), "dim")

