@@ -102,13 +102,61 @@ object SqlSurface2 extends QueryPack {
        |  (n_customers, n_orders, total_rev, max_order))
        |ORDER BY region, metric""".stripMargin
 
+  // ---- q_variant_extract ---------------------------------------------------
+  /** The Spark 4 VARIANT semi-structured type end-to-end: build a JSON
+    * metadata document per row, `parse_json` it into a VARIANT, and
+    * read typed paths back out with `variant_get` (nested object
+    * field, integer, array element) plus `try_variant_get` on a
+    * missing path (NULL, not an error) — the open-schema ingestion
+    * surface that replaces string-typed JSON columns (binary variant
+    * encoding, typed extraction, no per-query re-parse). The oracle
+    * replays the same paths through DuckDB's JSON extraction — the
+    * VALUES must agree even though the storage encodings differ,
+    * which is exactly the portability claim a semi-structured column
+    * needs. Pure projection — no shuffle anywhere. */
+  def qVariantExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.df(spark, sfDir, "documents")
+      .createOrReplaceTempView("documents_v")
+    spark.sql("""
+      WITH js AS (
+        SELECT doc_id,
+          parse_json(concat('{"id": ', CAST(doc_id AS STRING),
+            ', "meta": {"lang": "', lang, '", "n": ',
+            CAST(n_chars AS STRING), '}, "tags": ["', source,
+            '", "fixed"]}')) AS v
+        FROM documents_v WHERE doc_id % 20 = 0)
+      SELECT doc_id,
+        variant_get(v, '$.meta.lang', 'string') AS lang,
+        variant_get(v, '$.meta.n', 'bigint') AS n_chars,
+        variant_get(v, '$.tags[0]', 'string') AS tag0,
+        try_variant_get(v, '$.missing', 'string') AS missing
+      FROM js ORDER BY doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recursive_backlog" -> qRecursiveBacklog,
-    "q_unpivot" -> qUnpivot
+    "q_unpivot" -> qUnpivot,
+    "q_variant_extract" -> qVariantExtract
   )
 
   val oracle: Map[String, String] = Map(
     "q_recursive_backlog" -> recursiveBacklogSql("events"),
-    "q_unpivot" -> unpivotSql("region", "nation", "customer", "orders")
+    "q_unpivot" -> unpivotSql("region", "nation", "customer", "orders"),
+    // DuckDB JSON extraction over the same constructed document — the
+    // typed values must match Spark's variant_get reads
+    "q_variant_extract" ->
+      """WITH js AS (
+        |  SELECT doc_id,
+        |    '{"id": ' || CAST(doc_id AS VARCHAR)
+        |      || ', "meta": {"lang": "' || lang || '", "n": '
+        |      || CAST(n_chars AS VARCHAR) || '}, "tags": ["' || source
+        |      || '", "fixed"]}' AS v
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT doc_id,
+        |  json_extract_string(v, '$.meta.lang') AS lang,
+        |  CAST(json_extract(v, '$.meta.n') AS BIGINT) AS n_chars,
+        |  json_extract_string(v, '$.tags[0]') AS tag0,
+        |  json_extract_string(v, '$.missing') AS missing
+        |FROM js ORDER BY doc_id""".stripMargin
   )
 }
