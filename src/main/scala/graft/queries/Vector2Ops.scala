@@ -182,12 +182,12 @@ object Vector2Ops extends QueryPack {
     * power-method extension): pc1 from [[VectorQueries.pcaCovSums]] +
     * [[VectorQueries.pcaPowerIters]] (the SAME covariance and iteration
     * q_pca_power publishes), Rayleigh λ₁ = v₁ᵀCv₁/v₁ᵀv₁ reported, and
-    * 3 power iterations with PROJECTION deflation — every iterate u is
-    * explicitly re-orthogonalized against v₁ (u − v₁·(v₁ᵀu)/v₁ᵀv₁, the
-    * (I−P₁)C operator), which keeps pc2 ⊥ pc1 by construction even
-    * though the 3-step pc1 is itself approximate (λ-subtraction
-    * deflation measured cos ≈ 0.13 residue on this fixture; projection
-    * ≈ 0) — the top-2 embedding map a curation UI plots. The report carries pc1,
+    * 3 power iterations over the MATERIALIZED projection-deflated
+    * operator (I−P₁)C (entries c_ij − v₁_i·(Cv₁)_j/v₁ᵀv₁, one 256-row
+    * checkpoint), which keeps pc2 ⊥ pc1 by construction even though
+    * the 3-step pc1 is itself approximate (λ-subtraction deflation
+    * measured cos ≈ 0.13 residue on this fixture; projection ≈ 0) —
+    * the top-2 embedding map a curation UI plots. The report carries pc1,
     * pc2, λ₁, and the pc1·pc2 dot product as its own orthogonality
     * certificate (spec floor: |dot| small relative to the vector
     * norms). Determinism: the triple-product Rayleigh terms and every
@@ -198,47 +198,42 @@ object Vector2Ops extends QueryPack {
   def qPcaDeflate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dec9 = DecimalType(28, 9)
-    val decV = DecimalType(12, 9)
+    val decC = DecimalType(20, 9)
     val (_, cov) = VectorQueries.pcaCovSums(spark, sfDir)
     val v1 = VectorQueries.pcaPowerIters(spark, cov, 16)
-      .localCheckpoint() // rayleigh + every deflated step + the report
-    val num = cov
-      .join(broadcast(v1.select($"j".as("i"), $"v".as("vi"))), "i")
-      .join(broadcast(v1.select($"j", $"v".as("vj"))), "j")
-      .select(round($"c".cast("double") * $"vi".cast("double")
-        * $"vj".cast("double"), 9).cast(dec9).as("t"))
-      .agg(sum($"t").as("num"))
+      .localCheckpoint() // cv1, covD, lambda, and the report
+    // the deflated OPERATOR materializes once as a 256-row relation:
+    // ((I − v₁v₁ᵀ/v₁ᵀv₁)C)_ij = c_ij − v₁_i·(Cv₁)_j/v₁ᵀv₁ — then the 3
+    // second-component iterations are literally pcaPowerIters again.
+    // (The first cut re-derived the projection inside every iteration:
+    // 3× the tiny-stage dispatch, 7.2 s wall for 1.2 core-s.)
+    val cv1 = cov.join(broadcast(v1), "j")
+      .groupBy($"i").agg(sum($"c" * $"v").as("cv"))
+      .localCheckpoint() // covD + the Rayleigh numerator
     val den = v1.select(($"v" * $"v").as("t")).agg(sum($"t").as("den"))
-    val lam = num.crossJoin(den)
-      .select(round($"num".cast("double") / $"den".cast("double"), 9)
-        .as("lam"), $"den".cast("double").as("dend"))
-      .localCheckpoint() // read by all 3 deflated iterations
-    var w = spark.range(16).select($"id".cast("int").as("j"),
-      lit(1).cast(decV).as("v"))
-    for (_ <- 1 to 3) {
-      val s1 = cov.join(broadcast(w), "j")
-        .groupBy($"i").agg(sum($"c" * $"v").as("s1"))
-      val dotU = s1
-        .join(broadcast(v1.select($"j".as("i"), $"v".as("v1i"))), "i")
-        .select(round($"s1".cast("double") * $"v1i".cast("double"), 9)
-          .cast(dec9).as("t"))
-        .agg(sum($"t").as("du"))
-      val u = s1
-        .join(broadcast(v1.select($"j".as("i"), $"v".as("v1i"))), "i")
-        .crossJoin(broadcast(dotU)).crossJoin(broadcast(lam))
-        .select($"i",
-          round($"s1".cast("double") - $"v1i".cast("double")
-            * ($"du".cast("double") / $"dend"), 9).as("u"))
-      val nrm = u.agg(max(abs($"u")).as("m"))
-      w = u.crossJoin(broadcast(nrm))
-        .select($"i".as("j"),
-          round($"u" / $"m", 9).cast(decV).as("v"))
-    }
+    val covD = cov
+      .join(broadcast(v1.select($"j".as("i"), $"v".as("v1i"))), "i")
+      .join(broadcast(cv1.select($"i".as("j"), $"cv".as("cv1j"))), "j")
+      .crossJoin(broadcast(den))
+      .select($"i", $"j",
+        round($"c".cast("double") - $"v1i".cast("double")
+          * ($"cv1j".cast("double") / $"den".cast("double")), 9)
+          .cast(decC).as("c"))
+      .localCheckpoint() // the 3 iterations below
+    val w = VectorQueries.pcaPowerIters(spark, covD, 16)
+    // Rayleigh λ₁ = v₁ᵀ(Cv₁)/v₁ᵀv₁ from the same cv1 relation
+    val lam = v1.join(cv1.select($"i".as("j"), $"cv"), "j")
+      .select(round($"v".cast("double") * $"cv".cast("double"), 9)
+        .cast(dec9).as("t"))
+      .agg(sum($"t").as("num"))
+      .crossJoin(broadcast(den))
+      .select(round(round($"num".cast("double")
+        / $"den".cast("double"), 9), 6).as("lambda1"))
     val dot = w.join(v1.select($"j", $"v".as("v1")), "j")
       .select(($"v" * $"v1").as("t"))
       .agg(round(sum($"t").cast("double"), 6).as("dot12"))
     w.join(v1.select($"j", $"v".as("p1")), "j")
-      .crossJoin(broadcast(lam.select(round($"lam", 6).as("lambda1"))))
+      .crossJoin(broadcast(lam))
       .crossJoin(broadcast(dot))
       .select($"j".cast("long").as("dim"),
         $"p1".cast("double").as("pc1"),
@@ -254,28 +249,19 @@ object Vector2Ops extends QueryPack {
     "q_ann_filtered" -> qAnnFiltered
   )
 
-  /** One deflated power step for the oracle chain: prev w → next w.
-    * MATERIALIZED (DuckDB-only syntax — oracles never run on Spark):
-    * without it DuckDB inlines every scalar subquery's whole upstream
-    * chain, exploding to thousands of parquet opens. */
+  /** One power step over the materialized deflated operator for the
+    * oracle chain (MATERIALIZED: DuckDB-only syntax — without it DuckDB
+    * inlines every scalar subquery's upstream chain, exploding to
+    * thousands of parquet opens). */
   private def deflateIterSql(prev: String, cur: String): String =
-    s"""sD$cur AS MATERIALIZED (
-       |  SELECT i, sum(c * v) AS s1 FROM cov
-       |  JOIN $prev w ON w.j = cov.j GROUP BY i),
-       |pD$cur AS MATERIALIZED (
-       |  SELECT CAST(sum(CAST(round(CAST(s.s1 AS DOUBLE)
-       |    * CAST(t.v AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS du
-       |  FROM sD$cur s JOIN v3 t ON t.j = s.i),
-       |uD$cur AS MATERIALIZED (
-       |  SELECT s.i, round(CAST(s.s1 AS DOUBLE)
-       |    - CAST(t.v AS DOUBLE)
-       |      * ((SELECT du FROM pD$cur) / (SELECT dend FROM lam)), 9)
-       |    AS u
-       |  FROM sD$cur s JOIN v3 t ON t.j = s.i),
+    s"""wu$cur AS MATERIALIZED (
+       |  SELECT i, sum(c * v) AS u FROM covd
+       |  JOIN $prev w ON w.j = covd.j GROUP BY i),
        |w$cur AS MATERIALIZED (
-       |  SELECT i AS j, CAST(round(u /
-       |    (SELECT max(abs(u)) FROM uD$cur), 9) AS DECIMAL(12,9)) AS v
-       |  FROM uD$cur)""".stripMargin
+       |  SELECT i AS j, CAST(round(CAST(u AS DOUBLE) /
+       |    (SELECT CAST(max(abs(u)) AS DOUBLE) FROM wu$cur), 9)
+       |    AS DECIMAL(12,9)) AS v
+       |  FROM wu$cur)""".stripMargin
 
   /** The q_pca_power x/sums/cells/cov/v0..v3 chain verbatim (one home
     * for the covariance + first-component definition). */
@@ -321,27 +307,34 @@ object Vector2Ops extends QueryPack {
       (s"""WITH ${pcaChainSql
           .replace("cov AS (", "cov AS MATERIALIZED (")
           .replace("v3 AS (", "v3 AS MATERIALIZED (")},
-        |ray AS (
-        |  SELECT CAST(sum(CAST(round(CAST(c AS DOUBLE)
-        |    * CAST(vi.v AS DOUBLE) * CAST(vj.v AS DOUBLE), 9)
-        |    AS DECIMAL(28,9))) AS DOUBLE) AS numd
-        |  FROM cov JOIN v3 vi ON vi.j = cov.i
-        |  JOIN v3 vj ON vj.j = cov.j),
-        |denc AS (SELECT CAST(sum(v * v) AS DOUBLE) AS dend FROM v3),
-        |lam AS MATERIALIZED (
-        |  SELECT round(numd / dend, 9) AS lam, dend
-        |  FROM ray CROSS JOIN denc),
+        |cv1 AS MATERIALIZED (
+        |  SELECT i, sum(c * v) AS cv FROM cov
+        |  JOIN v3 ON v3.j = cov.j GROUP BY i),
+        |denc AS MATERIALIZED (
+        |  SELECT CAST(sum(v * v) AS DOUBLE) AS dend FROM v3),
+        |covd AS MATERIALIZED (
+        |  SELECT cov.i, cov.j,
+        |    CAST(round(CAST(cov.c AS DOUBLE) - CAST(t.v AS DOUBLE)
+        |      * (CAST(cj.cv AS DOUBLE) / (SELECT dend FROM denc)), 9)
+        |      AS DECIMAL(20,9)) AS c
+        |  FROM cov JOIN v3 t ON t.j = cov.i
+        |  JOIN cv1 cj ON cj.i = cov.j),
         |w0 AS (SELECT k AS j, CAST(1 AS DECIMAL(12,9)) AS v FROM sums),
         |${deflateIterSql("w0", "1")},
         |${deflateIterSql("w1", "2")},
         |${deflateIterSql("w2", "3")},
+        |lam AS MATERIALIZED (
+        |  SELECT round(round(CAST(sum(CAST(round(CAST(t.v AS DOUBLE)
+        |    * CAST(c.cv AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |    / (SELECT dend FROM denc), 9), 6) AS lambda1
+        |  FROM v3 t JOIN cv1 c ON c.i = t.j),
         |dot AS (
         |  SELECT round(CAST(sum(w3.v * v3.v) AS DOUBLE), 6) AS dot12
         |  FROM w3 JOIN v3 ON v3.j = w3.j)
         |SELECT CAST(w3.j AS BIGINT) AS dim,
         |  CAST(v3.v AS DOUBLE) AS pc1,
         |  CAST(w3.v AS DOUBLE) AS pc2,
-        |  (SELECT round(lam, 6) FROM lam) AS lambda1,
+        |  (SELECT lambda1 FROM lam) AS lambda1,
         |  (SELECT dot12 FROM dot) AS dot12
         |FROM w3 JOIN v3 ON v3.j = w3.j
         |ORDER BY dim""".stripMargin),
