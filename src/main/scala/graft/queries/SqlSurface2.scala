@@ -133,15 +133,69 @@ object SqlSurface2 extends QueryPack {
       FROM js ORDER BY doc_id""")
   }
 
+  // ---- q_sql_modern --------------------------------------------------------
+  /** The modern-SQL aggregate surface in one registered row — the
+    * functions an analyst migrating from a 2015-era HiveQL deployment
+    * gains: `GROUP BY ALL`, `listagg(...) WITHIN GROUP (ORDER BY ...)`
+    * (SQL:2023, Spark 4), `count_if`, `median`, and `bool_and/bool_or`
+    * — all per order priority. Determinism: listagg runs over the
+    * pre-DISTINCTed (priority, status) relation with an explicit ORDER
+    * BY (never raw rows); median casts to double first so both engines
+    * interpolate the same quantile_cont arithmetic; the nondeterministic
+    * members of the family (any_value on non-constant groups, mode on
+    * ties) are deliberately absent — they are the same trap
+    * q_agg_distinct documents on the DISTINCT side. */
+  def qSqlModern(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.df(spark, sfDir, "orders").createOrReplaceTempView("orders_v2")
+    spark.sql("""
+      WITH st AS (
+        SELECT DISTINCT o_orderpriority AS pri, o_orderstatus AS s
+        FROM orders_v2),
+      ag AS (
+        SELECT pri,
+          listagg(s, ',') WITHIN GROUP (ORDER BY s) AS statuses
+        FROM st GROUP BY ALL)
+      SELECT o.o_orderpriority AS pri, ag.statuses,
+        count(*) AS n,
+        count_if(CAST(o.o_totalprice AS DECIMAL(18,2)) > 150000) AS n_big,
+        round(median(CAST(o.o_totalprice AS DOUBLE)), 2) AS med_price,
+        bool_and(o.o_totalprice > 0) AS all_positive,
+        bool_or(o.o_orderstatus = 'F') AS any_finished
+      FROM orders_v2 o JOIN ag ON ag.pri = o.o_orderpriority
+      GROUP BY ALL
+      ORDER BY pri""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recursive_backlog" -> qRecursiveBacklog,
     "q_unpivot" -> qUnpivot,
-    "q_variant_extract" -> qVariantExtract
+    "q_variant_extract" -> qVariantExtract,
+    "q_sql_modern" -> qSqlModern
   )
 
   val oracle: Map[String, String] = Map(
     "q_recursive_backlog" -> recursiveBacklogSql("events"),
     "q_unpivot" -> unpivotSql("region", "nation", "customer", "orders"),
+    // same aggregates; DuckDB's listagg takes ORDER BY inline rather
+    // than WITHIN GROUP, otherwise the texts match
+    "q_sql_modern" ->
+      """WITH st AS (
+        |  SELECT DISTINCT o_orderpriority AS pri, o_orderstatus AS s
+        |  FROM orders),
+        |ag AS (
+        |  SELECT pri, listagg(s, ',' ORDER BY s) AS statuses
+        |  FROM st GROUP BY ALL)
+        |SELECT o.o_orderpriority AS pri, ag.statuses,
+        |  count(*) AS n,
+        |  CAST(count_if(CAST(o.o_totalprice AS DECIMAL(18,2)) > 150000)
+        |    AS BIGINT) AS n_big,
+        |  round(median(CAST(o.o_totalprice AS DOUBLE)), 2) AS med_price,
+        |  bool_and(o.o_totalprice > 0) AS all_positive,
+        |  bool_or(o.o_orderstatus = 'F') AS any_finished
+        |FROM orders o JOIN ag ON ag.pri = o.o_orderpriority
+        |GROUP BY ALL
+        |ORDER BY pri""".stripMargin,
+
     // DuckDB JSON extraction over the same constructed document — the
     // typed values must match Spark's variant_get reads
     "q_variant_extract" ->
