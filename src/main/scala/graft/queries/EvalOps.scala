@@ -271,16 +271,137 @@ object EvalOps extends QueryPack {
       .orderBy($"event_type")
   }
 
+  // ---- q_y_scramble --------------------------------------------------------
+  /** Y-scrambling (target-permutation) validation of the ridge model
+    * (Rücker et al. '07 — the QSAR community's standard overfitting
+    * check): fit once on the true target, once on a DERANGED target
+    * (the q_perm_importance 64-bucket md5 cyclic shift applied to y),
+    * and compare R². The scrambled fit's R² must collapse toward 0 —
+    * if it doesn't, the model is memorizing structure that survives
+    * target permutation (leakage, duplicate rows, or an overfit
+    * feature set). SST is IDENTICAL for both fits (a permutation
+    * preserves the value multiset), so the contrast is pure SSR.
+    * Target: the order's LINE REVENUE Σ l_extendedprice — genuinely
+    * generated from the feature rows, so the true fit is strong and
+    * the contrast sharp (the q_ridge o_totalprice target is synthetic-
+    * independent of the lineitems on this fixture: both R²'s would sit
+    * at ≈ 0 and the check would be vacuous). Residual squares round
+    * once to 4dp into exact decimal sums; the derangement is
+    * q_perm_importance's 64-bucket rule under its own salt — same
+    * scale shape, no corpus-grain window. */
+  def qYScramble(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.df(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("x1"),
+        sum(floor($"l_quantity").cast("long")).as("x2"),
+        sum(round($"l_extendedprice", 2).cast(dec2)).as("yv"))
+      .withColumn("bkt", pmod(h60("ysb:", $"l_orderkey"), lit(64)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"bkt")
+          .orderBy(h60("ys:", $"l_orderkey"), $"l_orderkey")))
+      .localCheckpoint() // donor side + the joined relation
+    val bc = per.groupBy($"bkt").agg(count(lit(1)).as("nb"))
+    val donor = per.select($"bkt".as("dbkt"), $"rn".as("dn"),
+      $"yv".as("yscr"))
+    val joined = per.join(broadcast(bc), "bkt")
+      .withColumn("nxt", $"rn" % $"nb" + 1)
+      .join(donor, $"bkt" === $"dbkt" && $"nxt" === $"dn")
+      .localCheckpoint() // two fits + the residual/SST passes
+    val wT = ridgeFit(joined)
+    val wS = ridgeFit(joined.select($"x1", $"x2", $"yscr".as("yv")))
+    val mom = joined.agg(count(lit(1)).as("n"), sum($"yv").as("sy"),
+      sum(round($"yv".cast("double") * $"yv", 4).cast(dec4)).as("sy2"))
+    def ssr(w: DataFrame, y: Column): Column = {
+      val e = (y.cast("double") - (col("b0")
+        + col("w1") * col("x1").cast("double")
+        + col("w2") * col("x2").cast("double")))
+      sum(round(e * e, 4).cast(dec4))
+    }
+    val ssrT = joined.crossJoin(broadcast(wT))
+      .agg(ssr(wT, $"yv").as("ssr_t"))
+    val ssrS = joined.crossJoin(broadcast(wS))
+      .agg(ssr(wS, $"yscr").as("ssr_s"))
+    val sst = ($"sy2".cast("double")
+      - $"sy".cast("double") * $"sy".cast("double") / $"n")
+    mom.crossJoin(broadcast(ssrT)).crossJoin(broadcast(ssrS))
+      .select($"n",
+        round(lit(1.0) - $"ssr_t".cast("double") / sst, 6).as("r2_true"),
+        round(lit(1.0) - $"ssr_s".cast("double") / sst, 6)
+          .as("r2_scrambled"))
+      .withColumn("collapsed",
+        abs($"r2_scrambled") < abs($"r2_true") / 2.0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_conformal" -> qConformal,
     "q_perm_importance" -> qPermImportance,
-    "q_impute" -> qImpute
+    "q_impute" -> qImpute,
+    "q_y_scramble" -> qYScramble
   )
 
   private val hashSql = (salt: String, key: String) =>
     s"('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 15))::BIGINT"
 
   val oracle: Map[String, String] = Map(
+    // same bucketed derangement as q_perm_importance, two ridge fits
+    // (the true fit's CTEs renamed so the shared chain can appear
+    // twice), 4dp residual sums, shared SST
+    "q_y_scramble" ->
+      (s"""WITH per2 AS (
+        |  SELECT l_orderkey, count(*) AS x1,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS x2,
+        |    sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS yv
+        |  FROM lineitem GROUP BY l_orderkey),
+        |pr AS (
+        |  SELECT *, ${hashSql("ysb:", "l_orderkey")} % 64 AS bkt,
+        |    row_number() OVER (
+        |      PARTITION BY ${hashSql("ysb:", "l_orderkey")} % 64
+        |      ORDER BY ${hashSql("ys:", "l_orderkey")}, l_orderkey) AS rn
+        |  FROM per2),
+        |bc AS (SELECT bkt, count(*) AS nb FROM pr GROUP BY bkt),
+        |j AS (
+        |  SELECT a.x1, a.x2, a.yv, d.yv AS yscr
+        |  FROM pr a JOIN bc ON bc.bkt = a.bkt
+        |  JOIN pr d ON d.bkt = a.bkt AND d.rn = a.rn % bc.nb + 1),
+        |${ridgeFitSql("j")
+          .replace("s AS (", "st AS (").replace("FROM s)", "FROM st)")
+          .replace("m AS (", "mt AS (").replace("FROM m)", "FROM mt)")
+          .replace("w AS (", "wt AS (")},
+        |scr AS (SELECT x1, x2, yscr AS yv FROM j),
+        |${ridgeFitSql("scr")},
+        |mom AS (
+        |  SELECT count(*) AS n, sum(yv) AS sy,
+        |    sum(CAST(round(CAST(yv AS DOUBLE) * yv, 4) AS DECIMAL(38,4)))
+        |      AS sy2
+        |  FROM j),
+        |rt AS (
+        |  SELECT sum(CAST(round(
+        |    (CAST(yv AS DOUBLE) - (b0 + w1 * CAST(x1 AS DOUBLE)
+        |      + w2 * CAST(x2 AS DOUBLE)))
+        |    * (CAST(yv AS DOUBLE) - (b0 + w1 * CAST(x1 AS DOUBLE)
+        |      + w2 * CAST(x2 AS DOUBLE))), 4) AS DECIMAL(38,4))) AS ssr_t
+        |  FROM j CROSS JOIN wt),
+        |rs AS (
+        |  SELECT sum(CAST(round(
+        |    (CAST(yscr AS DOUBLE) - (b0 + w1 * CAST(x1 AS DOUBLE)
+        |      + w2 * CAST(x2 AS DOUBLE)))
+        |    * (CAST(yscr AS DOUBLE) - (b0 + w1 * CAST(x1 AS DOUBLE)
+        |      + w2 * CAST(x2 AS DOUBLE))), 4) AS DECIMAL(38,4))) AS ssr_s
+        |  FROM j CROSS JOIN w)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(1.0 - CAST(ssr_t AS DOUBLE)
+        |    / (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / n), 6) AS r2_true,
+        |  round(1.0 - CAST(ssr_s AS DOUBLE)
+        |    / (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / n), 6) AS r2_scrambled,
+        |  abs(round(1.0 - CAST(ssr_s AS DOUBLE)
+        |    / (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / n), 6))
+        |    < abs(round(1.0 - CAST(ssr_t AS DOUBLE)
+        |    / (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / n), 6)) / 2.0 AS collapsed
+        |FROM mom CROSS JOIN rt CROSS JOIN rs""".stripMargin),
     "q_conformal" ->
       (s"""WITH $ridgePerSql,
         |pp AS (

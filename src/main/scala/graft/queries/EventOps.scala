@@ -742,7 +742,10 @@ object EventOps extends QueryPack {
 
   /** The K-M curve relation (t, n_risk, d_churned, c_censored,
     * survival) — shared by [[qSurvival]] and [[qLtv]]. */
-  private[graft] def survivalCurve(spark: SparkSession, sfDir: String)
+  /** The pre-curve K-M relation (t, m_all, d, n_risk, term, absorbed) —
+    * shared by [[survivalCurve]] and [[qKmCi]] so the CI's ingredients
+    * provably come from the same estimator. */
+  private def survivalBase(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import spark.implicits._
     val dec9 = DecimalType(18, 9)
@@ -772,13 +775,62 @@ object EventOps extends QueryPack {
           .otherwise(lit(null).cast(dec9)))
       .withColumn("absorbed",
         max(($"d" === $"n_risk").cast("int")).over(wCum))
+  }
+
+  /** The survival column expression over [[survivalBase]]'s cumulative
+    * window — one home for the curve arithmetic. */
+  private def survivalCol: Column = {
+    val dec9 = DecimalType(18, 9)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    when(col("absorbed") === 1, 0.0)
+      .otherwise(round(exp(
+        sum(coalesce(col("term"), lit(0).cast(dec9))).over(wCum)
+          .cast("double")), 6))
+  }
+
+  private[graft] def survivalCurve(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    survivalBase(spark, sfDir)
       .select($"t", $"n_risk", $"d".as("d_churned"),
         ($"m_all" - $"d").as("c_censored"),
-        when($"absorbed" === 1, 0.0)
-          .otherwise(round(exp(
-            sum(coalesce($"term", lit(0).cast(dec9))).over(wCum)
-              .cast("double")), 6))
-          .as("survival"))
+        survivalCol.as("survival"))
+  }
+
+  // ---- q_km_ci -------------------------------------------------------------
+  /** Greenwood confidence bands for the Kaplan–Meier curve (Greenwood
+    * '26): Var(Ŝ(t)) = Ŝ(t)²·Σ_{i≤t} d_i/(n_i(n_i−d_i)), 95% linear CI
+    * clamped to [0, 1] — the uncertainty every survival plot ships and
+    * q_survival's point curve omits. Shares [[survivalBase]] verbatim,
+    * so the band provably brackets the SAME estimator; Greenwood terms
+    * round once to 12dp decimals (they are ~1/n², far below the 9dp
+    * grid) and accumulate exactly; the band arithmetic is one shared
+    * double form off the already-6dp-rounded survival column. Windows
+    * run over the day-grain (calendar-bounded) curve relation. */
+  def qKmCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec12 = DecimalType(18, 12)
+    val wCum = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withGw = survivalBase(spark, sfDir)
+      .withColumn("gwt",
+        when($"d" < $"n_risk",
+          round($"d".cast("double")
+            / ($"n_risk".cast("double") * ($"n_risk" - $"d")), 12)
+            .cast(dec12))
+          .otherwise(lit(null).cast(dec12)))
+      .withColumn("gw",
+        sum(coalesce($"gwt", lit(0).cast(dec12))).over(wCum))
+      .withColumn("survival", survivalCol)
+    val se = $"survival" * sqrt($"gw".cast("double"))
+    withGw.select($"t", $"n_risk", $"d".as("d_churned"), $"survival",
+        round(se, 6).as("se"),
+        round(greatest($"survival" - lit(1.959964) * se, lit(0.0)), 6)
+          .as("ci_lo"),
+        round(least($"survival" + lit(1.959964) * se, lit(1.0)), 6)
+          .as("ci_hi"))
+      .orderBy($"t")
   }
 
   /** Lifetime-value projection from the operators composing: expected
@@ -1548,6 +1600,7 @@ object EventOps extends QueryPack {
     "q_seasonality" -> qSeasonality,
     "q_returns" -> qReturns,
     "q_survival" -> qSurvival,
+    "q_km_ci" -> qKmCi,
     "q_ltv" -> qLtv,
     "q_offline_eval" -> qOfflineEval,
     "q_abtest" -> qAbtest,
@@ -1670,6 +1723,40 @@ object EventOps extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q_drift_window" -> driftWindowOracle,
+
+    // the same survival chain + 12dp Greenwood terms and the clamped
+    // linear band off the already-rounded survival column
+    "q_km_ci" ->
+      (survivalCtes.replace("curve AS (", "gw0 AS (") // splice before curve
+        .replace("""  SELECT t, n_risk, d AS d_churned, c_censored,
+  CASE WHEN absorbed = 1 THEN 0.0
+  ELSE round(exp(CAST(sum(COALESCE(term,
+    CAST(0 AS DECIMAL(18,9)))) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS DOUBLE)), 6) END AS survival
+  FROM s)""",
+  """  SELECT t, n_risk, d,
+    CASE WHEN absorbed = 1 THEN 0.0
+    ELSE round(exp(CAST(sum(COALESCE(term,
+      CAST(0 AS DECIMAL(18,9)))) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS DOUBLE)), 6) END AS survival,
+    sum(COALESCE(CASE WHEN d < n_risk THEN
+        CAST(round(CAST(d AS DOUBLE)
+          / (CAST(n_risk AS DOUBLE) * (n_risk - d)), 12)
+          AS DECIMAL(18,12)) END,
+      CAST(0 AS DECIMAL(18,12)))) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gw
+  FROM s)""") + """
+        |SELECT t, n_risk, d AS d_churned, survival,
+        |  round(survival * sqrt(CAST(gw AS DOUBLE)), 6) AS se,
+        |  round(greatest(survival
+        |    - 1.959964 * (survival * sqrt(CAST(gw AS DOUBLE))), 0.0), 6)
+        |    AS ci_lo,
+        |  round(least(survival
+        |    + 1.959964 * (survival * sqrt(CAST(gw AS DOUBLE))), 1.0), 6)
+        |    AS ci_hi
+        |FROM gw0 ORDER BY t""".stripMargin),
 
     // same integer-exact moments, same 9dp theta/pbar and DECIMAL(18,9)
     // adjusted outcomes, same closed-form variance-reduction ratio

@@ -410,6 +410,35 @@ class R14OpsSpec extends SparkSpec {
     assert(math.abs(cosSame) < 0.1, "pc2 collapsed onto pc1")
   }
 
+  test("km ci: the band brackets the published survival curve and " +
+      "narrows with risk-set size") {
+    val ci = graft.queries.EventOps.qKmCi(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val curve = graft.queries.EventOps.qSurvival(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(ci.keySet == curve.keySet, "same time grid as q_survival")
+    ci.foreach { case (t, r) =>
+      val (s0, lo, hi) = (r.getDouble(3), r.getDouble(5), r.getDouble(6))
+      assert(math.abs(s0 - curve(t)) < 1e-9,
+        s"t=$t: the CI row must carry q_survival's exact curve value")
+      assert(lo <= s0 + 1e-9 && s0 <= hi + 1e-9,
+        s"t=$t band [$lo, $hi] must bracket $s0")
+      assert(lo >= 0.0 && hi <= 1.0, "clamped to probability range")
+    }
+  }
+
+  test("y scramble: the scrambled fit's R2 collapses relative to the " +
+      "true fit") {
+    val r = graft.queries.EvalOps.qYScramble(spark, sf).head()
+    val (r2t, r2s) = (r.getDouble(1), r.getDouble(2))
+    assert(r2t > 0.5,
+      s"the true ridge fit must explain the fixture (r2 $r2t)")
+    assert(math.abs(r2s) < r2t / 2.0,
+      s"scrambled r2 $r2s did not collapse vs true $r2t — leakage " +
+        "in the evaluation harness")
+    assert(r.getBoolean(3), "the collapsed verdict must fire")
+  }
+
   test("granger: the restricted model can never beat the unrestricted " +
       "(F >= 0) and coefficients are finite on the fixture") {
     val r = Series2Ops.qGranger(spark, sf).head()
