@@ -557,7 +557,10 @@ object VectorQueries extends QueryPack {
     * at cosine 0 × 16 tables) vs multiprobe's ~25%, i.e. (16,4) is
     * near-brute-force at corpus scale while multiprobe stays bucket-
     * routed. Measured effect (q_ann_eval): weak-band recall 0.09–0.19
-    * → ≥ 0.5 at every band ≥ 0.25 (AnnConsumersSpec pins the floor). */
+    * → 0.50–0.68 across the fixtures (sf0.1: 0.537/0.621/0.683 by
+    * band; sf0.01's lowest band reads 0.498 — sampling noise on 486
+    * pairs around the theoretical ≈0.52). AnnConsumersSpec pins the
+    * 0.45-per-band / 0.5-overall floor. */
   private[graft] def annMd5Pairs(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import spark.implicits._
