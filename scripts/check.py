@@ -8,8 +8,15 @@ Reads each <verifyOutDir>/<name>/ parquet result produced by graft.Verify,
 re-runs the matching oracle SQL from oracle_sql.json in DuckDB against the
 same fixture parquet, and compares values column-sorted-by-name, row-order
 sensitive (the strictest plausible driver behavior).
+
+--strict mirrors the driver's hash comparator bit-for-bit: every value is
+rendered to a canonical string (floats via repr, which PRESERVES the IEEE
+sign of -0.0) before comparing. Default mode compares float-equal, which
+treats -0.0 == +0.0 and therefore passed q_pca_deflate while the driver
+hashed it red in round 14 — always run strict before committing an oracle.
 """
 import sys, json, glob, os
+import datetime
 import decimal
 import duckdb
 import pyarrow.parquet as pq
@@ -19,20 +26,41 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def canon(v):
+    """Canonical string for one value, preserving -0.0's sign and decimal
+    scale-collapsed exactness (Decimal goes through float64 in both engines'
+    driver paths, so float repr is the shared canonical form)."""
+    if v is None or v is pd.NaT:
+        return "\0NULL"
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        # DuckDB's fetchdf renders DATE as a midnight datetime64 while
+        # Spark parquet yields datetime.date — same logical value, so
+        # canonicalize naive midnight datetimes to the date string
+        if v.tzinfo is None and v.time() == datetime.time(0, 0):
+            return v.strftime("%Y-%m-%d")
+        return str(v)
+    return str(v)
+
+
+def norm(df: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize decimals/objects to strings for comparison
     out = {}
     for c in df.columns:
         s = df[c]
-        if s.dtype == object:
+        if strict:
+            s = s.map(canon)
+        elif s.dtype == object:
             s = s.map(lambda v: float(v) if isinstance(v, decimal.Decimal)
                       else (str(v) if v is not None else None))
         out[c] = s
     return pd.DataFrame(out)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, strict=False):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, t + ".parquet")
@@ -54,7 +82,7 @@ def main(sf_dir, out_dir):
             want = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
-        g, w = norm(got), norm(want)
+        g, w = norm(got, strict), norm(want, strict)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: cols {list(g.columns)} vs {list(w.columns)}")
             n_fail += 1; continue
@@ -75,4 +103,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    sys.exit(main(args[0], args[1], strict="--strict" in sys.argv))

@@ -16,7 +16,7 @@ for sf in sf0.001 sf0.01 sf0.1; do
     > "/tmp/graft_verify_${sf}.log" 2>&1 || {
       echo "VERIFY FAILED at $sf — tail of log:"; tail -30 "/tmp/graft_verify_${sf}.log";
       FAILED=1; continue; }
-  python3 scripts/check.py "/root/testdata/$sf" "$out" | tail -5
+  python3 scripts/check.py --strict "/root/testdata/$sf" "$out" | tail -5
   rc=${PIPESTATUS[0]}
   [ "$rc" -ne 0 ] && FAILED=1
 done

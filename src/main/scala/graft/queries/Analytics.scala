@@ -350,7 +350,13 @@ object Analytics extends QueryPack {
     * ln so both engines take the log of the identical double — the
     * q_zipf_fit discipline); ln outputs round once to 6dp into decimal
     * OLS moments. One lineitem pass → part-grain relation → 1-row
-    * closed-form fit; zero-variance guard yields NULL slope. */
+    * closed-form fit; zero-variance guard yields NULL slope. Both q > 0
+    * AND rev > 0 are filtered (identically in the oracle's xy CTE):
+    * without the rev guard a zero-priced part makes Spark's log()
+    * return NULL (silently dropped from the moment sums while count(1)
+    * still counts the row) whereas DuckDB's ln(0) is -inf and errors on
+    * the DECIMAL cast — guarding both engines keeps row sets and n
+    * identical by construction. */
   def qElasticity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dec9 = DecimalType(18, 9)
@@ -359,7 +365,7 @@ object Analytics extends QueryPack {
       .agg(sum(floor($"l_quantity").cast("long")).as("q"),
         sum(round($"l_extendedprice", 2).cast(DecimalType(18, 2)))
           .as("rev"))
-      .filter($"q" > 0)
+      .filter($"q" > 0 && $"rev" > 0)
       .select(
         round(log($"q".cast("double")), 6).cast(dec9).as("y"),
         round(log(round($"rev".cast("double") / $"q", 6)), 6).cast(dec9)
@@ -411,7 +417,7 @@ object Analytics extends QueryPack {
         |    CAST(round(ln(CAST(q AS DOUBLE)), 6) AS DECIMAL(18,9)) AS y,
         |    CAST(round(ln(round(CAST(rev AS DOUBLE) / q, 6)), 6)
         |      AS DECIMAL(18,9)) AS x
-        |  FROM parts WHERE q > 0),
+        |  FROM parts WHERE q > 0 AND rev > 0),
         |s AS (
         |  SELECT count(*) AS n, sum(x) AS dsx, sum(y) AS dsy,
         |    sum(x * y) AS dsxy, sum(x * x) AS dsxx, sum(y * y) AS dsyy

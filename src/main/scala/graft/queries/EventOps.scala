@@ -1679,11 +1679,15 @@ object EventOps extends QueryPack {
       |FROM p ORDER BY wk""".stripMargin
   }
 
-  /** The q_survival oracle CTE chain through relation `curve`
-    * (t, n_risk, d_churned, c_censored, survival) — shared with
-    * the q_ltv oracle so the estimator cannot drift from its
-    * consumer. */
-  private val survivalCtes: String =
+  /** The q_survival oracle CTE chain through relation `s`
+    * (t, n_risk, d, c_censored, term, absorbed) — the shared prefix
+    * BOTH `curve` (q_survival / q_ltv, via [[survivalCtes]]) and
+    * q_km_ci's `gw0` CTE build on, so neither consumer can drift from
+    * the estimator. (q_km_ci was previously spliced out of the
+    * finished curve SQL by string replace of a 7-line literal; any
+    * whitespace edit to the curve CTE would have silently no-opped the
+    * splice into malformed SQL.) */
+  private val survivalPrefixCtes: String =
     """WITH horizon AS (SELECT max(ts) AS max_ts FROM events),
         |users AS (
         |  SELECT user_id,
@@ -1711,15 +1715,20 @@ object EventOps extends QueryPack {
         |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS absorbed
-        |  FROM r),
-        |curve AS (
-        |  SELECT t, n_risk, d AS d_churned, c_censored,
-        |  CASE WHEN absorbed = 1 THEN 0.0
-        |  ELSE round(exp(CAST(sum(COALESCE(term,
-        |    CAST(0 AS DECIMAL(18,9)))) OVER (ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DOUBLE)), 6) END AS survival
-        |  FROM s)""".stripMargin
+        |  FROM r)""".stripMargin
+
+  /** survivalPrefixCtes + the `curve` CTE (t, n_risk, d_churned,
+    * c_censored, survival) — the relation q_survival and q_ltv
+    * consume. */
+  private val survivalCtes: String = survivalPrefixCtes + ",\n" +
+    """curve AS (
+      |  SELECT t, n_risk, d AS d_churned, c_censored,
+      |  CASE WHEN absorbed = 1 THEN 0.0
+      |  ELSE round(exp(CAST(sum(COALESCE(term,
+      |    CAST(0 AS DECIMAL(18,9)))) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE)), 6) END AS survival
+      |  FROM s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_drift_window" -> driftWindowOracle,
@@ -1727,27 +1736,21 @@ object EventOps extends QueryPack {
     // the same survival chain + 12dp Greenwood terms and the clamped
     // linear band off the already-rounded survival column
     "q_km_ci" ->
-      (survivalCtes.replace("curve AS (", "gw0 AS (") // splice before curve
-        .replace("""  SELECT t, n_risk, d AS d_churned, c_censored,
-  CASE WHEN absorbed = 1 THEN 0.0
-  ELSE round(exp(CAST(sum(COALESCE(term,
-    CAST(0 AS DECIMAL(18,9)))) OVER (ORDER BY t
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    AS DOUBLE)), 6) END AS survival
-  FROM s)""",
-  """  SELECT t, n_risk, d,
-    CASE WHEN absorbed = 1 THEN 0.0
-    ELSE round(exp(CAST(sum(COALESCE(term,
-      CAST(0 AS DECIMAL(18,9)))) OVER (ORDER BY t
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      AS DOUBLE)), 6) END AS survival,
-    sum(COALESCE(CASE WHEN d < n_risk THEN
-        CAST(round(CAST(d AS DOUBLE)
-          / (CAST(n_risk AS DOUBLE) * (n_risk - d)), 12)
-          AS DECIMAL(18,12)) END,
-      CAST(0 AS DECIMAL(18,12)))) OVER (ORDER BY t
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gw
-  FROM s)""") + """
+      (survivalPrefixCtes + """,
+        |gw0 AS (
+        |  SELECT t, n_risk, d,
+        |    CASE WHEN absorbed = 1 THEN 0.0
+        |    ELSE round(exp(CAST(sum(COALESCE(term,
+        |      CAST(0 AS DECIMAL(18,9)))) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)), 6) END AS survival,
+        |    sum(COALESCE(CASE WHEN d < n_risk THEN
+        |        CAST(round(CAST(d AS DOUBLE)
+        |          / (CAST(n_risk AS DOUBLE) * (n_risk - d)), 12)
+        |          AS DECIMAL(18,12)) END,
+        |      CAST(0 AS DECIMAL(18,12)))) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gw
+        |  FROM s)
         |SELECT t, n_risk, d AS d_churned, survival,
         |  round(survival * sqrt(CAST(gw AS DOUBLE)), 6) AS se,
         |  round(greatest(survival

@@ -280,10 +280,36 @@ object Series2Ops extends QueryPack {
     * projection, never a data copy. */
   def qBlockBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val L = 5
     val days = SeriesOps.dailySeries(spark, sfDir)
       .localCheckpoint() // moment pass + spine join
     val n = days.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+    val reps = blockReplicates(spark, days, n)
+    // bounded 16-row rank window; CI = quantile_cont at 0.05/0.95
+    val ranked = reps.withColumn("r",
+      row_number().over(Window.orderBy($"m", $"b")))
+    val ci = ranked.agg(
+      (max(when($"r" === 1, $"m")) + lit(0.75)
+        * (max(when($"r" === 2, $"m")) - max(when($"r" === 1, $"m"))))
+        .as("lo"),
+      (max(when($"r" === 15, $"m")) + lit(0.25)
+        * (max(when($"r" === 16, $"m")) - max(when($"r" === 15, $"m"))))
+        .as("hi"))
+    n.crossJoin(broadcast(ci))
+      .select($"n".as("n_days"), lit(5L).as("l_block"),
+        lit(16L).as("n_reps"),
+        round($"sy".cast("double") / $"n", 6).as("est"),
+        round($"lo", 6).as("ci_lo"), round($"hi", 6).as("ci_hi"))
+  }
+
+  /** The (b, m) replicate-mean relation q_block_bootstrap ranks —
+    * package-private so the spec can pin the md5 block-start replay
+    * bit-for-bit against the replicate means the query ACTUALLY uses
+    * (ADVICE r14: the replay previously only range-checked). `days` is
+    * the [[SeriesOps.dailySeries]] relation, `n` its (n, sy) moment. */
+  private[graft] def blockReplicates(spark: SparkSession,
+      days: DataFrame, n: DataFrame): DataFrame = {
+    import spark.implicits._
+    val L = 5
     val spine = days.select($"t".as("pos"))
       .crossJoin(broadcast(n))
       .select($"pos", $"n", explode(expr("sequence(1, 16)")).as("b"))
@@ -296,25 +322,10 @@ object Series2Ops extends QueryPack {
         least(floor($"u" * ($"n" - lit(L) + 1)).cast("long"),
           $"n" - lit(L)) + 1)
       .withColumn("tp", $"s" + ($"pos" - 1) % lit(L))
-    val reps = spine.join(days.select($"t".as("tp"), $"y"), "tp")
+    spine.join(days.select($"t".as("tp"), $"y"), "tp")
       .groupBy($"b")
       .agg(count(lit(1)).as("cnt"), sum($"y").as("syb"))
       .select($"b", round($"syb".cast("double") / $"cnt", 6).as("m"))
-    // bounded 16-row rank window; CI = quantile_cont at 0.05/0.95
-    val ranked = reps.withColumn("r",
-      row_number().over(Window.orderBy($"m", $"b")))
-    val ci = ranked.agg(
-      (max(when($"r" === 1, $"m")) + lit(0.75)
-        * (max(when($"r" === 2, $"m")) - max(when($"r" === 1, $"m"))))
-        .as("lo"),
-      (max(when($"r" === 15, $"m")) + lit(0.25)
-        * (max(when($"r" === 16, $"m")) - max(when($"r" === 15, $"m"))))
-        .as("hi"))
-    n.crossJoin(broadcast(ci))
-      .select($"n".as("n_days"), lit(L.toLong).as("l_block"),
-        lit(16L).as("n_reps"),
-        round($"sy".cast("double") / $"n", 6).as("est"),
-        round($"lo", 6).as("ci_lo"), round($"hi", 6).as("ci_hi"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -38,8 +38,9 @@ object SeriesOps extends QueryPack {
 
   /** The shared daily-purchase series (d, y DECIMAL(18,2), t row index) —
     * the same relation q_ses / q_forecast_eval monitor. Shared with
-    * [[Series2Ops]] (r14 diagnostics) so both packs watch ONE series. */
-  private[queries] def dailySeries(spark: SparkSession, sfDir: String)
+    * [[Series2Ops]] (r14 diagnostics) so both packs watch ONE series;
+    * graft-visible so specs can replay against the exact relation. */
+  private[graft] def dailySeries(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import spark.implicits._
     Tables.df(spark, sfDir, "events")

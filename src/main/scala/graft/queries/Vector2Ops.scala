@@ -229,9 +229,12 @@ object Vector2Ops extends QueryPack {
       .crossJoin(broadcast(den))
       .select(round(round($"num".cast("double")
         / $"den".cast("double"), 9), 6).as("lambda1"))
+    // + 0.0 sign-normalizes a −0.0 rounded residue (IEEE −0.0 + 0.0 = +0.0):
+    // Spark's BigDecimal round already yields +0.0 but DuckDB's round() keeps
+    // the sign, so BOTH engines add 0.0 to make the certificate bit-identical.
     val dot = w.join(v1.select($"j", $"v".as("v1")), "j")
       .select(($"v" * $"v1").as("t"))
-      .agg(round(sum($"t").cast("double"), 6).as("dot12"))
+      .agg((round(sum($"t").cast("double"), 6) + lit(0.0)).as("dot12"))
     w.join(v1.select($"j", $"v".as("p1")), "j")
       .crossJoin(broadcast(lam))
       .crossJoin(broadcast(dot))
@@ -329,7 +332,7 @@ object Vector2Ops extends QueryPack {
         |    / (SELECT dend FROM denc), 9), 6) AS lambda1
         |  FROM v3 t JOIN cv1 c ON c.i = t.j),
         |dot AS (
-        |  SELECT round(CAST(sum(w3.v * v3.v) AS DOUBLE), 6) AS dot12
+        |  SELECT round(CAST(sum(w3.v * v3.v) AS DOUBLE), 6) + 0.0 AS dot12
         |  FROM w3 JOIN v3 ON v3.j = w3.j)
         |SELECT CAST(w3.j AS BIGINT) AS dim,
         |  CAST(v3.v AS DOUBLE) AS pc1,

@@ -380,12 +380,25 @@ class R14OpsSpec extends SparkSpec {
       series(s + (pos - 1) % 5 - 1)
     }
     val want = math.rint(m1.sum / n * 1e6) / 1e6
-    // the per-replicate means are internal, but every replicate mean is
-    // a mean of real days, so the CI must sit inside the value range
+    // pin the replay against the replicate-mean relation the query
+    // ACTUALLY ranks (ADVICE r14: previously only range-checked)
+    val days = graft.queries.SeriesOps.dailySeries(spark, sf)
+      .localCheckpoint()
+    val nm = days.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+    val reps = Series2Ops.blockReplicates(spark, days, nm).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(reps.size == 16)
+    assert(math.abs(reps(1) - want) < 1e-9,
+      s"replicate 1 mean ${reps(1)} vs md5 block-start replay $want")
+    // and the CI the query reports is exactly the 0.05/0.95
+    // quantile_cont interpolation over those 16 replicate means
+    val ms = reps.values.toArray.sorted
+    val wantLo = math.rint((ms(0) + 0.75 * (ms(1) - ms(0))) * 1e6) / 1e6
+    val wantHi = math.rint((ms(14) + 0.25 * (ms(15) - ms(14))) * 1e6) / 1e6
+    assert(math.abs(lo - wantLo) < 1e-9, s"ci_lo $lo vs replay $wantLo")
+    assert(math.abs(hi - wantHi) < 1e-9, s"ci_hi $hi vs replay $wantHi")
     assert(lo >= series.min - 1e-6 && hi <= series.max + 1e-6,
       "CI must lie within the value range")
-    assert(want > 0 && want >= series.min && want <= series.max,
-      "the bit-for-bit block replay must itself be a valid mean")
   }
 
   test("pca deflate: pc1 matches q_pca_power and pc2 is near-orthogonal " +
