@@ -44,7 +44,7 @@ object GraphOps extends QueryPack {
     * [[qLabelProp]] and [[qModularity]], string node keys ("c:123" /
     * "s:45") — LPA's argmax tie-breaks on the LABEL's sort order, so the
     * string representation is semantically load-bearing there. */
-  private def coPurchaseEdges(spark: SparkSession, sfDir: String)
+  private[graft] def coPurchaseEdges(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import spark.implicits._
     val li = Tables.df(spark, sfDir, "lineitem")
@@ -280,18 +280,33 @@ object GraphOps extends QueryPack {
     * [[qModularity]]. Argmax as min(struct(-cnt, lbl)) — a
     * partial-aggregable form (map-side combine, no per-node sort
     * window); the oracle's row_number window is the documented
-    * equivalent (the q_kmeans argmin convention). */
+    * equivalent (the q_kmeans argmin convention). Each round
+    * checkpoints (the k-core/landmark-BFS linearization), so per-round
+    * plans are constant-size — one edges⋈labels equi-join + the
+    * two-level count/argmax agg over checkpointed leaves — instead of
+    * round N embedding round N−1's join tree; the final labels come
+    * back checkpointed for the multi-consumer tails of both queries.
+    * [[lpaRounds]] returns the PRE-checkpoint per-round plans so
+    * R14PlanAuditSpec can pin that shape the way the BFS audit does. */
   private def lpaLoop(edges: DataFrame, rounds: Int): DataFrame = {
+    lpaRounds(edges, rounds)._2
+  }
+
+  private[graft] def lpaRounds(edges: DataFrame, rounds: Int)
+      : (Seq[DataFrame], DataFrame) = {
     import edges.sparkSession.implicits._
     var labels = edges.select($"u".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
-    for (_ <- 1 to rounds) {
-      labels = edges.join(labels, $"v" === $"node")
+      .localCheckpoint()
+    val plans = (1 to rounds).map { _ =>
+      val round = edges.join(labels, $"v" === $"node")
         .groupBy($"u", $"lbl").agg(count(lit(1)).as("cnt"))
         .groupBy($"u").agg(min(struct(-$"cnt", $"lbl")).as("m"))
         .select($"u".as("node"), $"m.lbl".as("lbl"))
+      labels = round.localCheckpoint()
+      round
     }
-    labels
+    (plans, labels)
   }
 
   /** Newman modularity of the [[qLabelProp]] partition, per community:
@@ -312,7 +327,7 @@ object GraphOps extends QueryPack {
   def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val edges = coPurchaseEdges(spark, sfDir).localCheckpoint()
-    val labels = lpaLoop(edges, 2).localCheckpoint()
+    val labels = lpaLoop(edges, 2) // comes back checkpointed
     val lu = labels.select($"node".as("u"), $"lbl".as("cu"))
     val lv = labels.select($"node".as("v"), $"lbl".as("cv"))
     val intra = edges.join(lu, "u").join(lv, "v")
