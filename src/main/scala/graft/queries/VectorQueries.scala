@@ -103,13 +103,67 @@ object VectorQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
-  /** IVF-cell ANN top-k (rows-only: cell assignment depends on xxhash64
-    * centroid sampling; recall vs brute force is unit-tested). */
+  /** IVF-cell ANN top-k, md5-deterministic end to end (graduated from
+    * the rows-only allowlist in r15, the q_ann_knn/q_ann_lsh
+    * discipline): the FAISS IVF-Flat shape — 8 coarse cells, assign
+    * every vector to its nearest cell, probe the 2 cells nearest each
+    * query, exact-rerank only inside probed cells — with every
+    * engine-divergent ingredient re-seated on portable arithmetic so
+    * the neighbor lists themselves hash-check against the DuckDB twin:
+    * centroids are the 8 corpus vectors minimizing md5("ivf:"||vec_id)
+    * (hex-string order, the house seeded-sample key), assignment/probe
+    * distances are EXACT decimal L2² sums of 9dp-rounded per-dim terms
+    * (the q_embed_health norm discipline — no float summation order
+    * anywhere near an argmin), ties break (d2, cell), and the rerank is
+    * the established codegen cosine + round(6). The JVM-seeded
+    * [[Similarity.ivfTopK]] stays the library path under its recall
+    * unit tests. Scale shape unchanged: corpus never all-pairs —
+    * one pass × 8 broadcast centroids with a map-side-combinable
+    * argmin, candidates are |corpus| × nProbes / nCells per query. */
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.df(spark, sfDir, "embeddings")
-    val queries = emb.filter($"vec_id" % 100 === 0)
-    Similarity.ivfTopK(emb, queries, k = 10)
+    val d2 = (a: String, b: String) => expr(
+      s"""CAST(aggregate(
+          zip_with($a, $b, (x, y) ->
+            CAST(round((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                       (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 9)
+              AS DECIMAL(20,9))),
+          CAST(0 AS DECIMAL(28,9)),
+          (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DECIMAL(28,9))""")
+    val centers = emb
+      .orderBy(md5(concat(lit("ivf:"), $"vec_id".cast("string"))),
+        $"vec_id")
+      .limit(8)
+      .withColumn("cell",
+        row_number().over(Window.orderBy($"vec_id")) - 1)
+      .select($"cell", $"embedding".as("center"))
+      .localCheckpoint() // assignment arm + probe arm
+    val assigned = emb.crossJoin(broadcast(centers))
+      .withColumn("d2", d2("embedding", "center"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cell")).as("m"),
+        first($"embedding").as("embedding"))
+      .select($"vec_id", $"m.cell".as("cell"), $"embedding")
+    val wProbe = Window.partitionBy($"qid")
+      .orderBy($"d2".asc, $"cell".asc)
+    val probes = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .crossJoin(broadcast(centers))
+      .withColumn("d2", d2("qv", "center"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= 2)
+      .select($"qid", $"qv", $"cell")
+    val cand = probes.join(assigned, "cell")
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("sim",
+        round(expr("cosine_similarity(qv, embedding)"), 6))
+    val wTop = Window.partitionBy($"qid")
+      .orderBy($"sim".desc, $"vec_id".asc)
+    cand.withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 10)
+      .select($"qid", $"vec_id", $"sim", $"rank")
       .orderBy($"qid", $"rank")
   }
 
@@ -1559,6 +1613,54 @@ object VectorQueries extends QueryPack {
         |  GROUP BY c.qid, c.vec_id)
         |SELECT qid, vec_id, dist FROM ldist WHERE dist <= 1.5
         |ORDER BY qid, vec_id""".stripMargin),
+
+    // md5-ordered centroid pick, exact decimal L2² assignment/probe
+    // distances (ties on (d2, cell)), list_cosine rerank — the chain
+    // qAnnIvf walks, re-seated from the JVM kmeans seed in r15
+    "q_ann_ivf" ->
+      """WITH scent AS (
+        |  SELECT vec_id, embedding, row_number() OVER (
+        |    ORDER BY md5('ivf:' || vec_id::VARCHAR), vec_id) AS rn
+        |  FROM embeddings),
+        |centers AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    embedding AS center
+        |  FROM scent WHERE rn <= 8),
+        |cd AS MATERIALIZED (
+        |  SELECT e.vec_id, c.cell,
+        |    SUM(CAST(round(
+        |      (CAST(e.embedding[r.d + 1] AS DOUBLE)
+        |        - CAST(c.center[r.d + 1] AS DOUBLE)) *
+        |      (CAST(e.embedding[r.d + 1] AS DOUBLE)
+        |        - CAST(c.center[r.d + 1] AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9))) AS d2
+        |  FROM embeddings e CROSS JOIN centers c
+        |  CROSS JOIN range(0, 64) r(d)
+        |  GROUP BY e.vec_id, c.cell),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |iprobes AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT vec_id AS qid, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM cd WHERE vec_id % 100 = 0) WHERE rn <= 2),
+        |icand AS (
+        |  SELECT p.qid, a.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(eq.embedding AS DOUBLE[]),
+        |      CAST(ev.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM iprobes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.qid
+        |  JOIN embeddings eq ON eq.vec_id = p.qid
+        |  JOIN embeddings ev ON ev.vec_id = a.vec_id)
+        |SELECT qid, vec_id, sim, CAST(r AS INT) AS rank FROM (
+        |  SELECT qid, vec_id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+        |  FROM icand)
+        |WHERE r <= 10 ORDER BY qid, rank""".stripMargin,
 
     // the same LSH chain + the serving-time rerank: union both pair
     // directions for the query decile, rank on (sim desc, nid)

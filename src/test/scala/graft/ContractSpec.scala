@@ -18,12 +18,13 @@ class ContractSpec extends AnyFunSuite {
     * explaining why no DuckDB oracle can exist for the query. */
   private val noOracleAllowlist: Set[String] = Set(
     "q_approx",        // HLL/GK approx aggs — engine-specific estimates
-    "q_ann_ivf",       // IVF probe set depends on Spark-side kmeans seed
     "q_dedup_minhash", // MLlib MinHashLSH — JVM-seeded coefficients
     "q_dedup_simhash", // xxhash64 bit layout has no DuckDB twin
     "q_misc_pack"      // soundex/xpath/sentences — functions DuckDB lacks
     // q_ann_knn / q_ann_lsh graduated in r14: re-seated on the
-    // md5-deterministic multiprobe serving chain, now hash-oracled
+    // md5-deterministic multiprobe serving chain, now hash-oracled.
+    // q_ann_ivf graduated in r15: md5-ordered centroid pick + exact
+    // decimal L2² assignment replaced the JVM kmeans seed.
   )
 
   test("every query is oracled or in the documented no_oracle allowlist") {
