@@ -67,15 +67,10 @@ object Vector2Ops extends QueryPack {
     val wH = Window.partitionBy($"qid").orderBy($"hd".asc, $"vec_id".asc)
     val hamTop = ham.withColumn("r", row_number().over(wH))
       .filter($"r" <= 10).select($"qid", $"vec_id")
-    graft.functions.CosineSimilarity.register(spark)
-    val qv = emb.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val wC = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
-    val truth = emb.join(broadcast(qv), $"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id",
-        round(expr("cosine_similarity(qe, embedding)"), 6).as("sim"))
-      .withColumn("r", row_number().over(wC))
-      .filter($"r" <= 10).select($"qid", $"vec_id")
+    // exact-cosine top-10 ground truth from its ONE home (the relation
+    // q_knn_cosine publishes — VERDICT r14 #6: no per-eval re-derivation)
+    val truth = VectorQueries.knnTruthTop10(spark, sfDir)
+      .select($"qid", $"vec_id")
     val hits = truth.join(hamTop.withColumn("f", lit(1L)),
         Seq("qid", "vec_id"), "left")
       .groupBy($"qid").agg(sum(coalesce($"f", lit(0L))).as("hit"))

@@ -15,10 +15,23 @@ object VectorQueries extends QueryPack {
     * (oracle: DuckDB list_cosine_similarity). */
   def qKnnCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    knnTruthTop10(spark, sfDir).orderBy($"qid", $"rank")
+  }
+
+  /** The exact top-10 cosine relation for the %100 query decile —
+    * (qid, vec_id, sim, rank), ranked (round(sim,6) desc, vec_id) with
+    * self excluded. The ONE home of the brute-force ground truth:
+    * [[qKnnCosine]] publishes it verbatim, and the eval ops that price
+    * an approximate index against exact truth
+    * ([[Vector2Ops.qBinaryQuantize]]'s recall@10 sheet) consume it
+    * instead of re-deriving their own q×n pass (VERDICT r14 #6 — the
+    * q_curation_e2e compute-once discipline). */
+  private[graft] def knnTruthTop10(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
     val emb = Tables.df(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" % 100 === 0)
     Similarity.knnBruteForce(emb, queries, 10)
-      .orderBy($"qid", $"rank")
   }
 
   /** kNN label classification: majority vote over the exact top-10 cosine
