@@ -47,6 +47,7 @@ object SparkEntry {
     Vector2Ops,
     SqlSurface2,
     Corpus2Ops,
+    Stats2Ops,
     EvalOps
   )
 

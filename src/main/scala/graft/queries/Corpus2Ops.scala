@@ -2,13 +2,33 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Corpus-health additions (r14). */
+/** Corpus-health additions (r14–r15). */
 object Corpus2Ops extends QueryPack {
 
   private val dec9 = DecimalType(28, 9)
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.tokens]] — declared
+    * BEFORE the oracle map (a later val would still be null during
+    * object init when the oracle strings interpolate it). */
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+  /** The (source, tok, c) count relation + per-source totals shared by
+    * the r15 distributional ops — one tokenization home, the
+    * q_kl_sources scan shape. */
+  private def sourceTokenCounts(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "documents")
+      .select($"source",
+        explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok")
+      .agg(count(lit(1)).as("c"))
+  }
 
   // ---- q_entropy_rate ------------------------------------------------------
   /** Character-level entropy rate per source (Shannon '51's estimate at
@@ -64,8 +84,188 @@ object Corpus2Ops extends QueryPack {
       .orderBy($"source")
   }
 
+  // ---- q_js_sources --------------------------------------------------------
+  /** Pairwise Jensen–Shannon divergence between per-source unigram LMs —
+    * q_kl_sources' SYMMETRIC, BOUNDED companion (Lin '91): JSD(a,b) =
+    * ½KL(a‖m) + ½KL(b‖m) with m the midpoint mixture, always finite and
+    * ≤ ln 2, plus its metric square root (Endres–Schindelin '03) — the
+    * number a mixture-rebalancing pipeline can actually threshold and
+    * triangulate on, where KL's asymmetry and unboundedness make
+    * cross-source dashboards unreadable. Same Laplace-smoothed LM spine
+    * as q_kl_sources (the one smoothing definition); per-token terms
+    * round once to 9dp into exact decimal sums (the house ln
+    * discipline), only the UPPER triangle src1 < src2 is emitted (JSD
+    * is symmetric — half the rows of the KL matrix). Scale:
+    * vocabulary-thin spine (S × V), never doc-grain. */
+  def qJsSources(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9n = DecimalType(18, 9)
+    val counts = sourceTokenCounts(spark, sfDir)
+    val totals = counts.groupBy($"source").agg(sum($"c").as("n"))
+    val vocab = counts.select($"tok").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val spine = totals.crossJoin(vocab)
+      .join(counts, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(vsize))
+      .select($"source", $"tok",
+        ((coalesce($"c", lit(0L)) + 1).cast("double")
+          / ($"n" + $"v")).as("p"))
+    val a = spine.select($"source".as("src1"), $"tok", $"p".as("p1"))
+    val b = spine.select($"source".as("src2"), $"tok", $"p".as("p2"))
+    a.join(b, "tok")
+      .filter($"src1" < $"src2")
+      .withColumn("m", ($"p1" + $"p2") / 2)
+      .select($"src1", $"src2",
+        round(lit(0.5) * ($"p1" * log($"p1" / $"m")
+          + $"p2" * log($"p2" / $"m")), 9).cast(dec9n).as("term"))
+      .groupBy($"src1", $"src2")
+      .agg(sum($"term").cast("double").as("js"))
+      .withColumn("js_dist", round(sqrt($"js"), 6))
+      .orderBy($"src1", $"src2")
+  }
+
+  // ---- q_burrows_delta -----------------------------------------------------
+  /** Burrows' Delta stylometric distance between sources (Burrows LLC
+    * '02, the standard authorship-attribution measure): over the
+    * corpus's 32 most frequent tokens — the "function word" band where
+    * style lives and topic does not — each source's relative frequency
+    * z-scores against the cross-source distribution, and Delta(a,b) is
+    * the mean |z_a − z_b|. A source whose Delta to every sibling spikes
+    * is template spam or a scraper mis-label even when its vocabulary
+    * and quality scores look healthy — the provenance check beside
+    * q_kl_sources' topical read. Determinism: relative frequencies
+    * round once to 9dp decimals, the z moments are exact decimal sums
+    * with one shared double mean/std formula, z rounds to 6dp, and the
+    * |Δz| terms round to 6dp decimals before the exact mean — no float
+    * summation anywhere. Zero-variance tokens z to NULL in both engines
+    * and drop from the mean (count(term) semantics). Scale: the
+    * top-32 pick is a distributed TakeOrdered over the vocabulary-thin
+    * count relation; everything downstream is S × 32. */
+  def qBurrowsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val decF = DecimalType(12, 9)
+    val dec6 = DecimalType(18, 6)
+    val counts = sourceTokenCounts(spark, sfDir).localCheckpoint()
+    val totals = counts.groupBy($"source").agg(sum($"c").as("n"))
+    val top = counts.groupBy($"tok").agg(sum($"c").as("ct"))
+      .orderBy($"ct".desc, $"tok".asc).limit(32)
+      .select($"tok")
+    val f = totals.crossJoin(broadcast(top))
+      .join(counts, Seq("source", "tok"), "left")
+      .select($"source", $"tok",
+        round(coalesce($"c", lit(0L)).cast("double") / $"n", 9)
+          .cast(decF).as("f"))
+      .localCheckpoint() // moment pass + both z arms
+    val mom = f.groupBy($"tok").agg(count(lit(1)).as("k"),
+      sum($"f").as("sx"), sum($"f" * $"f").as("sx2"))
+    val z = f.join(broadcast(mom), "tok")
+      .withColumn("mu", $"sx".cast("double") / $"k")
+      .withColumn("sd", sqrt(
+        ($"sx2".cast("double")
+          - $"sx".cast("double") * $"sx".cast("double") / $"k")
+          / ($"k" - 1)))
+      .select($"source", $"tok",
+        when($"sd" =!= 0.0,
+          round(($"f".cast("double") - $"mu") / $"sd", 6)).as("z"))
+    val za = z.select($"source".as("src1"), $"tok", $"z".as("z1"))
+    val zb = z.select($"source".as("src2"), $"tok", $"z".as("z2"))
+    za.join(zb, "tok")
+      .filter($"src1" < $"src2")
+      .select($"src1", $"src2",
+        round(abs($"z1" - $"z2"), 6).cast(dec6).as("dz"))
+      .groupBy($"src1", $"src2")
+      .agg(count($"dz").as("n_tokens"),
+        round(sum($"dz").cast("double") / count($"dz"), 6).as("delta"))
+      .orderBy($"src1", $"src2")
+  }
+
+  // ---- q_chao1 -------------------------------------------------------------
+  /** Chao1 vocabulary-richness estimation per source (Chao '84, the
+    * bias-corrected form) + Good's sample coverage: from the token-type
+    * abundance counts alone — D observed types, f1 singletons, f2
+    * doubletons, N tokens — estimate the TRUE vocabulary size
+    * D + f1(f1−1)/(2(f2+1)) and the fraction of the token mass already
+    * seen (C = 1 − f1/N). The "how much corpus is still unseen" read
+    * that q_heaps_growth extrapolates by curve shape and q_good_turing
+    * prices per frequency class: a source whose chao1 vastly exceeds D
+    * at low coverage needs more crawl before its LM stats stabilize.
+    * Everything is exact integers until one shared double formula per
+    * source, rounded once — trivially hash-stable. Scale: one
+    * vocabulary-thin pass; the abundance histogram is (source, c)
+    * grain. */
+  def qChao1(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sourceTokenCounts(spark, sfDir)
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("f2"))
+      .select($"source", $"n_tokens", $"n_types", $"f1", $"f2",
+        round($"n_types"
+          + $"f1".cast("double") * ($"f1" - 1)
+            / (lit(2.0) * ($"f2" + 1)), 6).as("chao1"),
+        round(lit(1.0)
+          - $"f1".cast("double") / $"n_tokens", 6).as("coverage"))
+      .orderBy($"source")
+  }
+
+  // ---- q_rbo_drift ---------------------------------------------------------
+  /** Rank-biased overlap between the two release halves' top-50 token
+    * rankings (Webber–Moffat–Zobel TOIS '10): split the corpus by
+    * doc_id parity (the q_dataset_diff two-snapshot frame), rank each
+    * half's tokens by count, and score the ranking agreement at depths
+    * 5/10/25/50 three ways — raw prefix overlap, prefix Jaccard, and
+    * truncated RBO at p = 0.9, the top-weighted measure that notices a
+    * head-token reshuffle set-based overlap cannot see. The
+    * release-over-release drift gate for tokenizer vocab and mixture
+    * decisions keyed on "did the head of the distribution move".
+    * Determinism: counts are exact integers with (count desc, tok)
+    * ties; p^(d−1) weights round once to 12dp (the q_srp_bands shared
+    * pow discipline); per-depth contributions are 9dp decimals under an
+    * exact 50-row running sum. Scale: ranking windows run on the
+    * vocabulary-thin per-half count relation; everything after the
+    * rank-50 cut is ≤ 50 × 50 rows. */
+  def qRboDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9n = DecimalType(18, 9)
+    val counts = Tables.df(spark, sfDir, "documents")
+      .select(($"doc_id" % 2).cast("int").as("half"),
+        explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"half", $"tok")
+      .agg(count(lit(1)).as("c"))
+    val wR = Window.partitionBy($"half").orderBy($"c".desc, $"tok".asc)
+    val ranked = counts.withColumn("rk", row_number().over(wR))
+      .filter($"rk" <= 50)
+      .localCheckpoint() // both half arms
+    val joined = ranked.filter($"half" === 0)
+      .select($"tok", $"rk".as("ra"))
+      .join(ranked.filter($"half" === 1)
+        .select($"tok", $"rk".as("rb")), "tok")
+      .select(greatest($"ra", $"rb").as("mr"))
+    val depths = spark.range(1, 51).select($"id".cast("int").as("d"))
+    val ov = depths.join(joined, $"mr" <= $"d", "left")
+      .groupBy($"d").agg(count($"mr").as("ov"))
+      .select($"d", $"ov",
+        round(round(pow(lit(0.9), $"d" - 1), 12)
+          * $"ov" / $"d", 9).cast(dec9n).as("contrib"))
+    val wC = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ov.withColumn("cum", sum($"contrib").over(wC))
+      .filter($"d".isin(5, 10, 25, 50))
+      .select($"d".as("depth"), $"ov".as("overlap"),
+        round($"ov".cast("double") / (lit(2) * $"d" - $"ov"), 6)
+          .as("jaccard"),
+        round(lit(0.1) * $"cum".cast("double"), 6).as("rbo"))
+      .orderBy($"depth")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_entropy_rate" -> qEntropyRate
+    "q_entropy_rate" -> qEntropyRate,
+    "q_js_sources" -> qJsSources,
+    "q_burrows_delta" -> qBurrowsDelta,
+    "q_chao1" -> qChao1,
+    "q_rbo_drift" -> qRboDrift
   )
 
   val oracle: Map[String, String] = Map(
@@ -109,6 +309,133 @@ object Corpus2Ops extends QueryPack {
         |  round(h1.h, 6) AS h1, round(h2.h, 6) AS h2,
         |  round(h2.h - h1.h, 6) AS h_rate
         |FROM h1 JOIN h2 ON h2.source = h1.source
-        |ORDER BY h1.source""".stripMargin
+        |ORDER BY h1.source""".stripMargin,
+
+    // the q_kl_sources Laplace spine verbatim; midpoint mixture, 9dp
+    // once-rounded JS terms, upper triangle only
+    "q_js_sources" ->
+      s"""WITH t AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents),
+        |counts AS (
+        |  SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts
+        |  GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM counts),
+        |vsize AS (SELECT count(*) AS v FROM vocab),
+        |spine AS (
+        |  SELECT s.source, vo.tok,
+        |    CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (s.n + vs.v) AS p
+        |  FROM totals s CROSS JOIN vocab vo CROSS JOIN vsize vs
+        |  LEFT JOIN counts c ON c.source = s.source AND c.tok = vo.tok),
+        |pr AS (
+        |  SELECT a.source AS src1, b.source AS src2,
+        |    a.p AS p1, b.p AS p2, (a.p + b.p) / 2 AS m
+        |  FROM spine a JOIN spine b ON a.tok = b.tok
+        |  WHERE a.source < b.source),
+        |js AS (
+        |  SELECT src1, src2,
+        |    CAST(sum(CAST(round(0.5 * (p1 * ln(p1 / m)
+        |      + p2 * ln(p2 / m)), 9) AS DECIMAL(18,9))) AS DOUBLE) AS js
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT src1, src2, js, round(sqrt(js), 6) AS js_dist
+        |FROM js ORDER BY src1, src2""".stripMargin,
+
+    // same top-32 TakeOrdered pick, 9dp decimal relative frequencies,
+    // shared mean/std double formula, 6dp z and |dz| decimal mean
+    "q_burrows_delta" ->
+      s"""WITH t AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents),
+        |counts AS (
+        |  SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, sum(c) AS ct FROM counts GROUP BY tok
+        |    ORDER BY ct DESC, tok ASC LIMIT 32)),
+        |f AS (
+        |  SELECT s.source, top.tok,
+        |    CAST(round(CAST(COALESCE(c.c, 0) AS DOUBLE) / s.n, 9)
+        |      AS DECIMAL(12,9)) AS f
+        |  FROM totals s CROSS JOIN top
+        |  LEFT JOIN counts c ON c.source = s.source AND c.tok = top.tok),
+        |mom AS (
+        |  SELECT tok, count(*) AS k, sum(f) AS sx, sum(f * f) AS sx2
+        |  FROM f GROUP BY tok),
+        |z AS (
+        |  SELECT f.source, f.tok,
+        |    CASE WHEN sqrt((CAST(sx2 AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / k)
+        |        / (k - 1)) != 0
+        |      THEN round((CAST(f AS DOUBLE) - CAST(sx AS DOUBLE) / k)
+        |        / sqrt((CAST(sx2 AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / k)
+        |          / (k - 1)), 6) END AS z
+        |  FROM f JOIN mom ON mom.tok = f.tok),
+        |dz AS (
+        |  SELECT a.source AS src1, b.source AS src2,
+        |    CAST(round(abs(a.z - b.z), 6) AS DECIMAL(18,6)) AS dz
+        |  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source)
+        |SELECT src1, src2, CAST(count(dz) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(dz) AS DOUBLE) / count(dz), 6) AS delta
+        |FROM dz GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin,
+
+    // exact-integer abundance histogram, one shared double formula
+    "q_chao1" ->
+      s"""WITH t AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents),
+        |counts AS (
+        |  SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2
+        |  FROM counts GROUP BY source)
+        |SELECT source, n_tokens, n_types, f1, f2,
+        |  round(n_types
+        |    + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+        |    AS chao1,
+        |  round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+        |FROM a ORDER BY source""".stripMargin,
+
+    // same (count desc, tok) per-half ranking, 12dp pow weights, 9dp
+    // decimal contributions under an exact running sum
+    "q_rbo_drift" ->
+      s"""WITH t AS (
+        |  SELECT CAST(doc_id % 2 AS INT) AS half,
+        |    unnest($toksSql) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT half, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT half, tok, rk FROM (
+        |    SELECT half, tok, row_number() OVER (PARTITION BY half
+        |      ORDER BY c DESC, tok ASC) AS rk
+        |    FROM counts) WHERE rk <= 50),
+        |joined AS (
+        |  SELECT greatest(a.rk, b.rk) AS mr
+        |  FROM ranked a JOIN ranked b ON b.tok = a.tok
+        |  WHERE a.half = 0 AND b.half = 1),
+        |depths AS (SELECT CAST(unnest(range(1, 51)) AS INT) AS d),
+        |ov AS (
+        |  SELECT d, CAST(count(mr) AS BIGINT) AS ov,
+        |    CAST(round(round(pow(0.9, d - 1), 12)
+        |      * count(mr) / d, 9) AS DECIMAL(18,9)) AS contrib
+        |  FROM depths LEFT JOIN joined ON mr <= d
+        |  GROUP BY d),
+        |cums AS (
+        |  SELECT d, ov, sum(contrib) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ov)
+        |SELECT d AS depth, ov AS overlap,
+        |  round(CAST(ov AS DOUBLE) / (2 * d - ov), 6) AS jaccard,
+        |  round(0.1 * CAST(cum AS DOUBLE), 6) AS rbo
+        |FROM cums WHERE d IN (5, 10, 25, 50)
+        |ORDER BY depth""".stripMargin
   )
 }

@@ -240,11 +240,93 @@ object Vector2Ops extends QueryPack {
       .orderBy($"dim")
   }
 
+  // ---- q_ivf_advisor -------------------------------------------------------
+  /** IVF configuration advisor (r15) — the price sheet beside the
+    * graduated q_ann_ivf, completing the per-index-family advisor trio
+    * (q_srp_bands for SRP-LSH, q_minhash_bands for MinHash banding):
+    * every (n_cells ∈ 4/8/16, n_probes ∈ 1/2/4) config scored by
+    * MEASURED recall@10 against the shared exact-cosine truth
+    * ([[VectorQueries.knnTruthTop10]] — the one ground-truth home) and
+    * by its candidate fraction (the cost side: what share of the corpus
+    * each query touches). The (4,4) row probes every cell and anchors
+    * recall 1.0 at cost ≈ 1 — the brute-force corner the trade curve
+    * bends away from.
+    *
+    * One corpus×16 distance pass serves ALL configs: md5-ordered
+    * centroids have the PREFIX property (the top-4 set ⊂ top-8 ⊂
+    * top-16), so per-config assignment is an argmin over rn ≤ n_cells
+    * of the same checkpointed (vec_id, rn, d2) relation — a
+    * partial-aggregable min(struct), never a re-scan. Distances are
+    * [[VectorQueries.decL2Sq]] exact decimals, so every assignment,
+    * probe rank, and therefore the whole report hash-checks
+    * cross-engine. Scale: the config fan-out multiplies only the thin
+    * (vec_id, rn, d2) relation and the ≤(queries × cells) probe side;
+    * candidate enumeration is a (n_cells, cell) equi-join; the eval
+    * runs on the %100 query decile with the cost carried per row. */
+  def qIvfAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val cents = emb
+      .select($"vec_id", $"embedding",
+        md5(concat(lit("ivf:"), $"vec_id".cast("string"))).as("h"))
+      .orderBy($"h", $"vec_id").limit(16)
+      .withColumn("rn",
+        row_number().over(Window.orderBy($"h", $"vec_id")))
+      .select($"rn", $"embedding".as("center"))
+      .localCheckpoint() // one 16-row broadcast serves every config
+    val cd = emb.crossJoin(broadcast(cents))
+      .withColumn("d2", VectorQueries.decL2Sq("embedding", "center"))
+      .select($"vec_id", $"rn", $"d2")
+      .localCheckpoint() // corpus assignment arm + query probe arm
+    val cfgC = Seq(4, 8, 16).toDF("n_cells")
+    val asg = cd.crossJoin(broadcast(cfgC))
+      .filter($"rn" <= $"n_cells")
+      .groupBy($"n_cells", $"vec_id")
+      .agg(min(struct($"d2", $"rn")).as("m"))
+      .select($"n_cells", $"vec_id", $"m.rn".as("cell"))
+    val wp = Window.partitionBy($"n_cells", $"qid")
+      .orderBy($"d2".asc, $"rn".asc)
+    val probeCells = cd.filter($"vec_id" % 100 === 0)
+      .crossJoin(broadcast(cfgC))
+      .filter($"rn" <= $"n_cells")
+      .select($"n_cells", $"vec_id".as("qid"), $"rn", $"d2")
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= 4)
+    val cfgP = Seq(1, 2, 4).toDF("n_probes")
+    val cand = probeCells.crossJoin(broadcast(cfgP))
+      .filter($"pr" <= $"n_probes")
+      .select($"n_cells", $"n_probes", $"qid", $"rn".as("cell"))
+      .join(asg, Seq("n_cells", "cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"n_cells", $"n_probes", $"qid", $"vec_id")
+      .localCheckpoint() // cost count + the truth hit join
+    val candN = cand.groupBy($"n_cells", $"n_probes", $"qid")
+      .agg(count(lit(1)).as("nc"))
+    val n = emb.agg(count(lit(1)).as("n"))
+    val truth = VectorQueries.knnTruthTop10(spark, sfDir)
+      .select($"qid", $"vec_id")
+    val grid = cfgC.crossJoin(cfgP)
+    val hits = truth.crossJoin(broadcast(grid))
+      .join(cand.withColumn("f", lit(1L)),
+        Seq("n_cells", "n_probes", "qid", "vec_id"), "left")
+      .groupBy($"n_cells", $"n_probes", $"qid")
+      .agg(sum(coalesce($"f", lit(0L))).as("hit"))
+    hits.join(candN, Seq("n_cells", "n_probes", "qid"), "left")
+      .crossJoin(broadcast(n))
+      .groupBy($"n_cells", $"n_probes")
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg($"hit".cast("double") / 10.0), 6).as("recall10"),
+        round(avg(coalesce($"nc", lit(0L)).cast("double")
+          / ($"n" - 1)), 6).as("cand_frac"))
+      .orderBy($"n_cells", $"n_probes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca_deflate" -> qPcaDeflate,
     "q_binary_quantize" -> qBinaryQuantize,
     "q_mmd_poly" -> qMmdPoly,
-    "q_ann_filtered" -> qAnnFiltered
+    "q_ann_filtered" -> qAnnFiltered,
+    "q_ivf_advisor" -> qIvfAdvisor
   )
 
   /** One power step over the materialized deflated operator for the
@@ -440,6 +522,84 @@ object Vector2Ops extends QueryPack {
     // the serving multiprobe chain + label equality before the rank
     // window — the post-filter strategy, deterministic end to end
     "q_ann_filtered" ->
-      (VectorQueries.annFilteredOracleSql)
+      (VectorQueries.annFilteredOracleSql),
+
+    // the same md5-prefix centroid relation and exact decimal L2² as
+    // q_ann_ivf, fanned across the (n_cells, n_probes) grid; truth is
+    // the q_knn_cosine top-10 chain verbatim
+    "q_ivf_advisor" ->
+      """WITH scent AS (
+        |  SELECT vec_id, embedding, row_number() OVER (
+        |    ORDER BY md5('ivf:' || vec_id::VARCHAR), vec_id) AS rn
+        |  FROM embeddings),
+        |cents AS (SELECT rn, embedding AS center FROM scent
+        |  WHERE rn <= 16),
+        |cd AS MATERIALIZED (
+        |  SELECT e.vec_id, c.rn,
+        |    SUM(CAST(round(
+        |      (CAST(e.embedding[r.d + 1] AS DOUBLE)
+        |        - CAST(c.center[r.d + 1] AS DOUBLE)) *
+        |      (CAST(e.embedding[r.d + 1] AS DOUBLE)
+        |        - CAST(c.center[r.d + 1] AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9))) AS d2
+        |  FROM embeddings e CROSS JOIN cents c
+        |  CROSS JOIN range(0, 64) r(d)
+        |  GROUP BY e.vec_id, c.rn),
+        |cfgc AS (SELECT unnest([4, 8, 16]) AS n_cells),
+        |cfgp AS (SELECT unnest([1, 2, 4]) AS n_probes),
+        |asg AS MATERIALIZED (
+        |  SELECT n_cells, vec_id, rn AS cell FROM (
+        |    SELECT f.n_cells, cd.vec_id, cd.rn, row_number() OVER (
+        |      PARTITION BY f.n_cells, cd.vec_id
+        |      ORDER BY cd.d2, cd.rn) AS a
+        |    FROM cd CROSS JOIN cfgc f WHERE cd.rn <= f.n_cells)
+        |  WHERE a = 1),
+        |pc AS (
+        |  SELECT n_cells, qid, rn, pr FROM (
+        |    SELECT f.n_cells, cd.vec_id AS qid, cd.rn,
+        |      row_number() OVER (PARTITION BY f.n_cells, cd.vec_id
+        |        ORDER BY cd.d2, cd.rn) AS pr
+        |    FROM cd CROSS JOIN cfgc f
+        |    WHERE cd.rn <= f.n_cells AND cd.vec_id % 100 = 0)
+        |  WHERE pr <= 4),
+        |cand AS MATERIALIZED (
+        |  SELECT p.n_cells, g.n_probes, p.qid, a.vec_id
+        |  FROM pc p CROSS JOIN cfgp g
+        |  JOIN asg a ON a.n_cells = p.n_cells AND a.cell = p.rn
+        |  WHERE p.pr <= g.n_probes AND a.vec_id != p.qid),
+        |candn AS (
+        |  SELECT n_cells, n_probes, qid, count(*) AS nc FROM cand
+        |  GROUP BY 1, 2, 3),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |p2 AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id != q.qid),
+        |truth AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id ASC) AS rank FROM p2)
+        |  WHERE rank <= 10),
+        |hits AS (
+        |  SELECT g.n_cells, g.n_probes, t.qid,
+        |    CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hit
+        |  FROM truth t
+        |  CROSS JOIN (SELECT * FROM cfgc CROSS JOIN cfgp) g
+        |  LEFT JOIN cand c ON c.n_cells = g.n_cells
+        |    AND c.n_probes = g.n_probes AND c.qid = t.qid
+        |    AND c.vec_id = t.vec_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT h.n_cells, h.n_probes,
+        |  CAST(count(*) AS BIGINT) AS n_queries,
+        |  round(avg(h.hit / 10.0), 6) AS recall10,
+        |  round(avg(COALESCE(cn.nc, 0)
+        |    / CAST((SELECT n FROM nn) - 1 AS DOUBLE)), 6) AS cand_frac
+        |FROM hits h LEFT JOIN candn cn ON cn.n_cells = h.n_cells
+        |  AND cn.n_probes = h.n_probes AND cn.qid = h.qid
+        |GROUP BY 1, 2 ORDER BY h.n_cells, h.n_probes""".stripMargin
   )
 }

@@ -133,18 +133,26 @@ object VectorQueries extends QueryPack {
     * unit tests. Scale shape unchanged: corpus never all-pairs —
     * one pass × 8 broadcast centroids with a map-side-combinable
     * argmin, candidates are |corpus| × nProbes / nCells per query. */
+  /** Exact decimal L2² between two float-array columns: per-dim squared
+    * differences round once to 9dp into a DECIMAL(28,9) sum — no float
+    * summation order anywhere near an argmin, so cell assignments and
+    * probe ranks are bit-identical cross-engine. Shared by [[qAnnIvf]]
+    * and [[Vector2Ops.qIvfAdvisor]] (one home for the IVF distance). */
+  private[graft] def decL2Sq(a: String, b: String)
+      : org.apache.spark.sql.Column = expr(
+    s"""CAST(aggregate(
+        zip_with($a, $b, (x, y) ->
+          CAST(round((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                     (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 9)
+            AS DECIMAL(20,9))),
+        CAST(0 AS DECIMAL(28,9)),
+        (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DECIMAL(28,9))""")
+
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.df(spark, sfDir, "embeddings")
-    val d2 = (a: String, b: String) => expr(
-      s"""CAST(aggregate(
-          zip_with($a, $b, (x, y) ->
-            CAST(round((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                       (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 9)
-              AS DECIMAL(20,9))),
-          CAST(0 AS DECIMAL(28,9)),
-          (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DECIMAL(28,9))""")
+    val d2 = (a: String, b: String) => decL2Sq(a, b)
     val centers = emb
       .orderBy(md5(concat(lit("ivf:"), $"vec_id".cast("string"))),
         $"vec_id")
