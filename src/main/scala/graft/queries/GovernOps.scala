@@ -484,6 +484,44 @@ object GovernOps extends QueryPack {
       .orderBy($"rk")
   }
 
+  // ---- q_by_fdr ----------------------------------------------------------
+  /** Benjamini–Yekutieli FDR control under ARBITRARY dependence
+    * (Benjamini & Yekutieli '01) over the same KS battery — the member
+    * of the multiple-testing family (q_holm FWER, q_bh_fdr independent-
+    * FDR) that stays VALID when the tests are correlated, which a
+    * pairwise source×source matrix certainly is (every test shares a
+    * source with 2(S−2) siblings): BH's (m/j)·p_j inflates by the
+    * harmonic factor c(m) = Σ_{i≤m} 1/i ≈ ln m + γ. Rejects(BY) ⊆
+    * rejects(BH) by construction — R15bOpsSpec pins the subset relation
+    * across all three corrections. Shares the tests relation and the
+    * (p, s1, s2) rank with its siblings so the corrections read
+    * row-for-row; c(m) accumulates 12dp-rounded reciprocals into an
+    * exact decimal sum. Scale: everything after qKsMatrix runs on the
+    * S²-thin test relation (the bounded-window precedent of Holm/BH). */
+  def qByFdr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tests = qKsMatrix(spark, sfDir)
+      .select($"s1", $"s2", $"p_approx".as("p"))
+    val m = tests.agg(count(lit(1)).as("m"))
+    val wRank = Window.orderBy($"p", $"s1", $"s2")
+    val ranked = tests.crossJoin(broadcast(m))
+      .withColumn("rk", row_number().over(wRank))
+      .localCheckpoint() // harmonic pass + the adjust window
+    val cm = ranked
+      .select(round(lit(1.0) / $"rk", 12)
+        .cast(DecimalType(28, 12)).as("t"))
+      .agg(sum($"t").cast("double").as("cm"))
+    val wCumMin = Window.orderBy($"rk".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.crossJoin(broadcast(cm))
+      .withColumn("adj_p", round(least(lit(1.0),
+        min(round($"m" * $"cm" * $"p" / $"rk", 9)).over(wCumMin)), 6))
+      .select($"s1", $"s2", $"p", $"rk",
+        round($"cm", 6).as("c_m"), $"adj_p",
+        ($"adj_p" < 0.05).as("reject"))
+      .orderBy($"rk")
+  }
+
   // ---- q_ldiversity ------------------------------------------------------
   /** l-diversity audit (Machanavajjhala et al., ICDE'06) — k-anonymity's
     * complement: a QI class can be large yet still leak if everyone in it
@@ -844,6 +882,7 @@ object GovernOps extends QueryPack {
     "q_tcloseness" -> qTcloseness,
     "q_dp_histogram" -> qDpHistogram,
     "q_bh_fdr" -> qBhFdr,
+    "q_by_fdr" -> qByFdr,
     "q_dp_mean" -> qDpMean,
     "q_expectations" -> qExpectations,
     "q_dataset_diff" -> qDatasetDiff,
@@ -1208,6 +1247,36 @@ object GovernOps extends QueryPack {
         |      AS adj_p
         |  FROM rk)
         |SELECT s1, s2, p, rk, adj_p, adj_p < 0.05 AS reject
+        |FROM adj ORDER BY rk""".stripMargin),
+
+    // the BH chain + the 12dp-decimal harmonic factor c(m) inside the
+    // running min
+    "q_by_fdr" ->
+      (ksMatrixCtes + """,
+        |tests AS (
+        |  SELECT s1, s2,
+        |    round(least(1.0, 2.0 * exp(-2.0 * lambda * lambda)), 6)
+        |      AS p
+        |  FROM l),
+        |m AS (SELECT count(*) AS m FROM tests),
+        |rk AS (
+        |  SELECT tests.s1, tests.s2, tests.p, m.m,
+        |    row_number() OVER (ORDER BY tests.p, tests.s1, tests.s2)
+        |      AS rk
+        |  FROM tests CROSS JOIN m),
+        |cm AS (
+        |  SELECT CAST(sum(CAST(round(1.0 / rk, 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE) AS cm
+        |  FROM rk),
+        |adj AS (
+        |  SELECT s1, s2, p, rk, cm.cm,
+        |    round(least(1.0, min(round(m * cm.cm * p / rk, 9)) OVER (
+        |      ORDER BY rk DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |      AS adj_p
+        |  FROM rk CROSS JOIN cm)
+        |SELECT s1, s2, p, rk, round(cm, 6) AS c_m, adj_p,
+        |  adj_p < 0.05 AS reject
         |FROM adj ORDER BY rk""".stripMargin),
 
     // same shared test CTEs, same running-max step-down with 9dp

@@ -328,7 +328,63 @@ object Series2Ops extends QueryPack {
       .select($"b", round($"syb".cast("double") / $"cnt", 6).as("m"))
   }
 
+  // ---- q_theta_forecast ------------------------------------------------
+  /** Theta-method forecast (Assimakopoulos & Nikolopoulos IJF '00 — the
+    * M3-competition winner, Hyndman & Billah's '03 equivalence form):
+    * the 7-day-ahead combination of (a) the OLS trend line extrapolated
+    * and (b) SES(α = 0.5) over the θ = 2 line z_t = 2y_t − trend_t,
+    * averaged half-and-half — the production baseline that beats naive
+    * AND plain SES on trending series while staying a CLOSED FORM: the
+    * trend is the q_trend exact-moment OLS, the SES level is the q_ses
+    * weight unroll (w_j = α(1−α)^{n−j}, j = 1 gets the remainder) over
+    * the z line, each weighted term once-rounded to 9dp into exact
+    * decimal sums. Emits per horizon h = 1..7 the trend component, the
+    * (flat) SES component, and the combined forecast — the row a
+    * q_forecast_eval-style gate would score next month. Scale: one
+    * corpus pass to the calendar-bounded day relation; the unroll is a
+    * days×1 projection; the horizon spine is 7 broadcast rows. */
+  def qThetaForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val alpha = 0.5
+    val days = SeriesOps.dailySeries(spark, sfDir)
+      .localCheckpoint() // trend moments + the SES unroll
+    // exact-moment OLS of y on t (integer t-moments, decimal y-moments)
+    val mom = days.agg(count(lit(1)).as("n"),
+      sum($"t".cast("long")).as("st"),
+      sum(($"t" * $"t").cast("long")).as("stt"),
+      sum($"y").as("sy"),
+      sum($"y" * $"t").as("syt"))
+    val fit = mom.select($"n",
+        (($"n" * $"syt".cast("double") - $"st" * $"sy".cast("double"))
+          / ($"n" * $"stt".cast("double")
+            - $"st".cast("double") * $"st")).as("b"),
+        $"sy".cast("double").as("syd"), $"st".cast("double").as("std"))
+      .select($"n", $"b",
+        (($"syd" - $"b" * $"std") / $"n").as("a"))
+      .localCheckpoint() // z line + level + horizon spine
+    // SES(0.5) level at n over the theta2 line z_t = 2y_t - (a + b t)
+    val lvl = days.crossJoin(broadcast(fit))
+      .select($"t", $"n",
+        (lit(2.0) * $"y".cast("double")
+          - ($"a" + $"b" * $"t")).as("z"))
+      .select(round(
+        when($"t" === 1, pow(lit(1.0 - alpha), $"n" - 1))
+          .otherwise(lit(alpha) * pow(lit(1.0 - alpha), $"n" - $"t"))
+          * $"z", 9).cast(dec9).as("term"))
+      .agg(sum($"term").cast("double").as("ses_level"))
+    fit.crossJoin(broadcast(lvl))
+      .select($"n", $"a", $"b", $"ses_level",
+        explode(expr("sequence(1, 7)")).as("h"))
+      .select($"h",
+        round($"a" + $"b" * ($"n" + $"h"), 6).as("trend_fc"),
+        round($"ses_level", 6).as("ses_fc"),
+        round(lit(0.5) * (($"a" + $"b" * ($"n" + $"h"))
+          + $"ses_level"), 6).as("theta_fc"))
+      .orderBy($"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theta_forecast" -> qThetaForecast,
     "q_block_bootstrap" -> qBlockBootstrap,
     "q_tail_dep" -> qTailDep,
     "q_ljung_box" -> qLjungBox,
@@ -338,6 +394,38 @@ object Series2Ops extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same exact-moment OLS, same 9dp SES weight unroll over the
+    // theta2 line, same half-and-half combination
+    "q_theta_forecast" ->
+      (s"""WITH ${SeriesOps.daysCtesSql},
+        |mom AS (
+        |  SELECT count(*) AS n, CAST(sum(t) AS BIGINT) AS st,
+        |    CAST(sum(t * t) AS BIGINT) AS stt,
+        |    sum(y) AS sy, sum(y * t) AS syt
+        |  FROM days),
+        |fit AS (
+        |  SELECT n,
+        |    (n * CAST(syt AS DOUBLE) - st * CAST(sy AS DOUBLE))
+        |      / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+        |      AS b,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(st AS DOUBLE) AS std
+        |  FROM mom),
+        |fit2 AS (SELECT n, b, (syd - b * std) / n AS a FROM fit),
+        |lvl AS (
+        |  SELECT CAST(sum(CAST(round(
+        |    (CASE WHEN t = 1 THEN pow(0.5, n - 1)
+        |     ELSE 0.5 * pow(0.5, n - t) END)
+        |    * (2.0 * CAST(y AS DOUBLE) - (a + b * t)), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS ses_level
+        |  FROM days CROSS JOIN fit2),
+        |hs AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS h)
+        |SELECT h,
+        |  round(a + b * (n + h), 6) AS trend_fc,
+        |  round(ses_level, 6) AS ses_fc,
+        |  round(0.5 * ((a + b * (n + h)) + ses_level), 6) AS theta_fc
+        |FROM fit2 CROSS JOIN lvl CROSS JOIN hs
+        |ORDER BY h""".stripMargin),
+
     // same md5 block starts, same exact decimal replicate means, same
     // 16-row quantile_cont interpolation
     "q_block_bootstrap" ->

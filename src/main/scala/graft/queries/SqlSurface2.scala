@@ -166,16 +166,67 @@ object SqlSurface2 extends QueryPack {
       ORDER BY pri""")
   }
 
+  // ---- q_try_arith ---------------------------------------------------------
+  /** The ANSI-mode `try_*` error-safe arithmetic surface in one oracled
+    * row set — Spark 4 runs under ANSI SQL where overflow, division by
+    * zero, bad casts, and out-of-range element access THROW; the try_
+    * family is the documented per-expression escape hatch an ETL
+    * pipeline uses for dirty columns (Hive's pre-ANSI silent-NULL
+    * behavior, now opt-in and explicit). Exercised per row over the
+    * first 50 orders: try_divide (NULL at divisor 0 — where plain
+    * double division would give Infinity), try_add / try_multiply at
+    * the BIGINT overflow boundary (NULL past 2⁶³−1), try_cast of a
+    * malformed numeric string, and try_element_at past the array end.
+    * The DuckDB oracle computes the expected VALUES via guarded CASE
+    * arithmetic + TRY_CAST, proving the semantics portable rather than
+    * engine-folklore. Pure projection — no shuffle, codegen'd. */
+  def qTryArith(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.df(spark, sfDir, "orders").createOrReplaceTempView("orders_try")
+    spark.sql("""
+      SELECT o_orderkey,
+        try_divide(CAST(o_orderkey AS BIGINT), o_orderkey % 5) AS div5,
+        try_add(9223372036854775807, o_orderkey % 2) AS add_ovf,
+        try_multiply(4611686018427387904, o_orderkey % 4) AS mul_ovf,
+        try_cast(CASE WHEN o_orderkey % 3 = 0 THEN '123'
+          ELSE 'x12' END AS INT) AS cast_int,
+        try_element_at(array(10, 20, 30),
+          CAST(o_orderkey % 5 + 1 AS INT)) AS elem
+      FROM orders_try
+      WHERE o_orderkey < 50
+      ORDER BY o_orderkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recursive_backlog" -> qRecursiveBacklog,
     "q_unpivot" -> qUnpivot,
     "q_variant_extract" -> qVariantExtract,
-    "q_sql_modern" -> qSqlModern
+    "q_sql_modern" -> qSqlModern,
+    "q_try_arith" -> qTryArith
   )
 
   val oracle: Map[String, String] = Map(
     "q_recursive_backlog" -> recursiveBacklogSql("events"),
     "q_unpivot" -> unpivotSql("region", "nation", "customer", "orders"),
+    // expected values via guarded CASE arithmetic + TRY_CAST — the
+    // portable statement of Spark's try_* semantics
+    "q_try_arith" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |    ELSE CAST(o_orderkey AS DOUBLE) / (o_orderkey % 5) END
+        |    AS div5,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807
+        |    ELSE NULL END AS add_ovf,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN CAST(0 AS BIGINT)
+        |    WHEN o_orderkey % 4 = 1 THEN 4611686018427387904
+        |    ELSE NULL END AS mul_ovf,
+        |  TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN '123'
+        |    ELSE 'x12' END AS INTEGER) AS cast_int,
+        |  CASE WHEN o_orderkey % 5 + 1 <= 3
+        |    THEN ([10, 20, 30])[CAST(o_orderkey % 5 + 1 AS INT)]
+        |    END AS elem
+        |FROM orders
+        |WHERE o_orderkey < 50
+        |ORDER BY o_orderkey""".stripMargin,
     // same aggregates; DuckDB's listagg takes ORDER BY inline rather
     // than WITHIN GROUP, otherwise the texts match
     "q_sql_modern" ->

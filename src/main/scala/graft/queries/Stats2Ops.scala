@@ -94,9 +94,108 @@ object Stats2Ops extends QueryPack {
       .orderBy($"lift_rel")
   }
 
+  // ---- q_spc_xbar ----------------------------------------------------------
+  /** Shewhart X̄ control chart over daily order-value subgroups
+    * (Shewhart '31 — the memoryless complement of q_cusum's cumulative
+    * drift detector and q_ewma's decayed one): subgroup = order day,
+    * x = 2dp order totalprice; limits are the grand mean ± 3·s_p/√n_d
+    * with s_p the POOLED within-day standard deviation — the
+    * variable-width-limit form for unequal subgroup sizes (Montgomery
+    * §6.3). A day outside its limits is a special-cause day the
+    * pipeline flags BEFORE any cumulative statistic reacts.
+    * Determinism: per-day sums are exact decimals (x to 2dp, x² terms
+    * to 4dp); each day's within-SS is one shared double formula rounded
+    * once to 9dp into the exact pooled sum; single-order days
+    * contribute zero within-SS and df. Scale: one orders pass to the
+    * day grain; everything after is calendar-thin. */
+  def qSpcXbar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val dec4 = DecimalType(38, 4)
+    val dec9 = DecimalType(28, 9)
+    val days = Tables.df(spark, sfDir, "orders")
+      .select($"o_orderdate".as("d"),
+        round($"o_totalprice", 2).cast(dec2).as("x"))
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum(round($"x".cast("double") * $"x", 4).cast(dec4)).as("sx2"))
+      .localCheckpoint() // grand pass + pooled pass + the limit join
+    val grand = days.agg(sum($"n").as("tn"), sum($"sx").as("tsx"))
+    val pooled = days.filter($"n" > 1)
+      .select(($"n" - 1).as("df"),
+        round($"sx2".cast("double")
+          - $"sx".cast("double") * $"sx".cast("double") / $"n", 9)
+          .cast(dec9).as("ss"))
+      .agg(sum($"df").as("dfs"), sum($"ss").as("sss"))
+    // xbar and center are rational with denominator n·100, so a
+    // power-of-two subgroup (n = 64 on the sf0.1 fixture) lands EXACTLY
+    // on a 6dp half boundary where the engines' round() tie rules
+    // differ — round them in exact integer micro-units instead
+    // (half-up: (2a + b) div 2b). lcl/ucl carry a sqrt, so their ties
+    // have measure zero and the plain round stays.
+    days.crossJoin(broadcast(grand)).crossJoin(broadcast(pooled))
+      .withColumn("sxc", ($"sx" * 100).cast("long"))
+      .withColumn("tsxc", ($"tsx" * 100).cast("long"))
+      .withColumn("xbb", $"tsx".cast("double") / $"tn")
+      .withColumn("sp",
+        sqrt($"sss".cast("double") / $"dfs".cast("double")))
+      .withColumn("hw", lit(3.0) * $"sp" / sqrt($"n".cast("double")))
+      .select($"d".cast("string").as("d"), $"n",
+        (expr("(sxc * 20000 + n) div (2 * n)").cast("double")
+          / 1e6).as("xbar"),
+        (expr("(tsxc * 20000 + tn) div (2 * tn)").cast("double")
+          / 1e6).as("center"),
+        round($"xbb" - $"hw", 6).as("lcl"),
+        round($"xbb" + $"hw", 6).as("ucl"),
+        ($"sx".cast("double") / $"n" < $"xbb" - $"hw"
+          || $"sx".cast("double") / $"n" > $"xbb" + $"hw").as("ooc"))
+      .orderBy($"d")
+  }
+
+  // ---- q_hl_shift ----------------------------------------------------------
+  /** Hodges–Lehmann shift estimate between the two calendar halves of
+    * the daily revenue series (Hodges & Lehmann '63) — the robust
+    * location-shift companion to q_mann_whitney: Δ̂ = median of ALL
+    * pairwise differences y_late − y_early, the estimator that ignores
+    * any single outlier day where the mean difference follows it. The
+    * "how big is the shift" number the rank test's p-value cannot give.
+    * Exact arithmetic throughout: 2dp decimal daily values, exact
+    * decimal pair differences, the house middle-two median over the
+    * (diff, ta, tb)-ordered pair relation; the mean difference rides
+    * along as the fragile contrast. Scale: pairs are (n/2)² of the
+    * CALENDAR-bounded day relation (≤ ~225 on a month fixture) — the
+    * rank window is pair-bounded by construction, never data-grain. */
+  def qHlShift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = SeriesOps.dailySeries(spark, sfDir)
+      .localCheckpoint() // split point + both halves
+    val nd = days.agg(count(lit(1)).as("nd"))
+    val half = days.crossJoin(broadcast(nd))
+      .select($"t", $"y", ($"t" <= expr("nd div 2")).as("early"))
+    val pairs = half.filter($"early")
+      .select($"t".as("ta"), $"y".as("ya"))
+      .crossJoin(half.filter(!$"early")
+        .select($"t".as("tb"), $"y".as("yb")))
+      .select($"ta", $"tb", ($"yb" - $"ya").as("diff"))
+      .localCheckpoint() // count + rank + the mean contrast
+    val np = pairs.agg(count(lit(1)).as("np"), sum($"diff").as("sd"))
+    val ranked = pairs.withColumn("rn",
+      row_number().over(Window.orderBy($"diff", $"ta", $"tb")))
+    val med = ranked.crossJoin(broadcast(np))
+      .filter($"rn" === expr("(np + 1) div 2")
+        || $"rn" === expr("(np + 2) div 2"))
+      .agg((sum($"diff").cast("double") / count(lit(1))).as("hl"))
+    np.crossJoin(broadcast(med))
+      .select($"np".as("n_pairs"),
+        round($"hl", 6).as("hl_shift"),
+        round($"sd".cast("double") / $"np", 6).as("mean_diff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cvm_uniform" -> qCvmUniform,
-    "q_power_curve" -> qPowerCurve
+    "q_power_curve" -> qPowerCurve,
+    "q_spc_xbar" -> qSpcXbar,
+    "q_hl_shift" -> qHlShift
   )
 
   val oracle: Map[String, String] = Map(
@@ -157,6 +256,69 @@ object Stats2Ops extends QueryPack {
         |  round(z, 6) AS z_margin,
         |  round(1.0 / (1.0 + exp(-1.702 * z)), 6) AS power_approx,
         |  round(1.0 / (1.0 + exp(-1.702 * z)), 6) >= 0.8 AS powered
-        |FROM z ORDER BY lift_rel""".stripMargin
+        |FROM z ORDER BY lift_rel""".stripMargin,
+
+    // same exact decimal day sums, same 9dp within-SS terms into the
+    // pooled sum, same variable-width-limit closed forms
+    "q_spc_xbar" ->
+      """WITH days AS (
+        |  SELECT o_orderdate AS d, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS sx,
+        |    sum(CAST(round(CAST(round(o_totalprice, 2) AS DOUBLE)
+        |      * CAST(round(o_totalprice, 2) AS DECIMAL(18,2)), 4)
+        |      AS DECIMAL(38,4))) AS sx2
+        |  FROM orders GROUP BY 1),
+        |grand AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tn, sum(sx) AS tsx
+        |  FROM days),
+        |pooled AS (
+        |  SELECT CAST(sum(n - 1) AS BIGINT) AS dfs,
+        |    sum(CAST(round(CAST(sx2 AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n, 9)
+        |      AS DECIMAL(28,9))) AS sss
+        |  FROM days WHERE n > 1),
+        |f AS (
+        |  SELECT d, n, CAST(sx AS DOUBLE) / n AS xbar,
+        |    CAST(sx * 100 AS BIGINT) AS sxc,
+        |    CAST(tsx * 100 AS BIGINT) AS tsxc, tn,
+        |    CAST(tsx AS DOUBLE) / tn AS xbb,
+        |    3.0 * sqrt(CAST(sss AS DOUBLE) / CAST(dfs AS DOUBLE))
+        |      / sqrt(CAST(n AS DOUBLE)) AS hw
+        |  FROM days CROSS JOIN grand CROSS JOIN pooled)
+        |SELECT CAST(d AS VARCHAR) AS d, CAST(n AS BIGINT) AS n,
+        |  CAST((sxc * 20000 + n) // (2 * n) AS DOUBLE) / 1e6 AS xbar,
+        |  CAST((tsxc * 20000 + tn) // (2 * tn) AS DOUBLE) / 1e6
+        |    AS center,
+        |  round(xbb - hw, 6) AS lcl, round(xbb + hw, 6) AS ucl,
+        |  xbar < xbb - hw OR xbar > xbb + hw AS ooc
+        |FROM f ORDER BY d""".stripMargin,
+
+    // exact decimal pair differences over the calendar halves, house
+    // middle-two median on the (diff, ta, tb) rank
+    "q_hl_shift" ->
+      (s"""WITH $daysCtesSqlLocal,
+        |nd AS (SELECT count(*) AS nd FROM days),
+        |half AS (
+        |  SELECT t, y, t <= (SELECT nd // 2 FROM nd) AS early
+        |  FROM days),
+        |pairs AS (
+        |  SELECT a.t AS ta, b.t AS tb, b.y - a.y AS diff
+        |  FROM half a CROSS JOIN half b
+        |  WHERE a.early AND NOT b.early),
+        |np AS (SELECT count(*) AS np, sum(diff) AS sd FROM pairs),
+        |rk AS (
+        |  SELECT diff, row_number() OVER (ORDER BY diff, ta, tb) AS rn
+        |  FROM pairs),
+        |med AS (
+        |  SELECT CAST(sum(diff) AS DOUBLE) / count(*) AS hl
+        |  FROM rk CROSS JOIN np
+        |  WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2)
+        |SELECT np AS n_pairs, round(hl, 6) AS hl_shift,
+        |  round(CAST(sd AS DOUBLE) / np, 6) AS mean_diff
+        |FROM np CROSS JOIN med""".stripMargin)
   )
+
+  /** The SeriesOps daily-series oracle CTEs (days0/days) — one home. */
+  private def daysCtesSqlLocal: String = SeriesOps.daysCtesSql
 }
