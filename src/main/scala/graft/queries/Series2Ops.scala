@@ -283,22 +283,39 @@ object Series2Ops extends QueryPack {
     val days = SeriesOps.dailySeries(spark, sfDir)
       .localCheckpoint() // moment pass + spine join
     val n = days.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
-    val reps = blockReplicates(spark, days, n)
-    // bounded 16-row rank window; CI = quantile_cont at 0.05/0.95
-    val ranked = reps.withColumn("r",
-      row_number().over(Window.orderBy($"m", $"b")))
-    val ci = ranked.agg(
-      (max(when($"r" === 1, $"m")) + lit(0.75)
-        * (max(when($"r" === 2, $"m")) - max(when($"r" === 1, $"m"))))
-        .as("lo"),
-      (max(when($"r" === 15, $"m")) + lit(0.25)
-        * (max(when($"r" === 16, $"m")) - max(when($"r" === 15, $"m"))))
-        .as("hi"))
+    val ci = rankCi16(blockReplicates(spark, days, n))
     n.crossJoin(broadcast(ci))
       .select($"n".as("n_days"), lit(5L).as("l_block"),
         lit(16L).as("n_reps"),
         round($"sy".cast("double") / $"n", 6).as("est"),
         round($"lo", 6).as("ci_lo"), round($"hi", 6).as("ci_hi"))
+  }
+
+  /** The 0.05/0.95 quantile_cont interpolation over a 16-row (b, m)
+    * replicate relation — the bounded 16-row rank window shared by
+    * [[qBlockBootstrap]] and [[Stats2Ops.qBootCompare]] (one CI rule,
+    * so the two bootstrap arms stay comparable by construction).
+    *
+    * The interpolation runs in exact integer MICRO-UNITS: the m's are
+    * 6dp values, so lo = (m₁+3m₂)/4 and hi = (3m₁₅+m₁₆)/4 can land
+    * exactly on a 6dp half boundary where the engines' round() tie
+    * rules diverge (caught by the strict gate at sf0.1 — the
+    * q_spc_xbar lesson); half-up integer division (a+2) div 4 is
+    * tie-proof and identical to the float path everywhere else.
+    * Positive-mean domain (revenue), so the floor-division form is the
+    * half-up round. Emitted lo/hi are already 6dp-exact. */
+  private[graft] def rankCi16(reps: DataFrame): DataFrame = {
+    import reps.sparkSession.implicits._
+    val ranked = reps
+      .withColumn("mi", round($"m" * 1e6, 0).cast("long"))
+      .withColumn("r", row_number().over(Window.orderBy($"m", $"b")))
+    ranked.agg(
+      (expr("""(max(CASE WHEN r = 1 THEN mi END)
+          + 3 * max(CASE WHEN r = 2 THEN mi END) + 2) div 4""")
+        .cast("double") / 1e6).as("lo"),
+      (expr("""(3 * max(CASE WHEN r = 15 THEN mi END)
+          + max(CASE WHEN r = 16 THEN mi END) + 2) div 4""")
+        .cast("double") / 1e6).as("hi"))
   }
 
   /** The (b, m) replicate-mean relation q_block_bootstrap ranks —
@@ -383,8 +400,61 @@ object Series2Ops extends QueryPack {
       .orderBy($"h")
   }
 
+  // ---- q_seasonal_mk -----------------------------------------------------
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack, WRR '84) — the
+    * q_mann_kendall upgrade for a series with the weekly pattern
+    * q_autocorr/q_seasonality measure: concordant/discordant pairs are
+    * counted ONLY within each day-of-week stratum, so the weekly cycle
+    * cannot masquerade as (or mask) a monotone trend. Per stratum the
+    * exact-integer S_g and the tie-corrected variance; the combined
+    * test sums both (the independence form — day-of-week strata of one
+    * metric are near-independent at lag 7) and applies the MK
+    * continuity correction. dow via the engine-identical epoch-day
+    * arithmetic (the q_stl_lite trick); per-stratum variances round
+    * once to 9dp into the exact decimal total. Scale: pair joins are
+    * within-stratum on the calendar-bounded day relation — ≤ 7·(n/7)²
+    * pairs; everything else is 7-row arithmetic. */
+  def qSeasonalMk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = SeriesOps.dailySeries(spark, sfDir)
+      .withColumn("dow",
+        datediff($"d", lit("1970-01-05").cast("date")) % 7)
+      .localCheckpoint() // pair join both sides + tie pass
+    val s = days.select($"dow", $"t".as("i"), $"y".as("yi"))
+      .join(days.select($"dow".as("dw2"), $"t".as("j"), $"y".as("yj")),
+        $"dow" === $"dw2" && $"i" < $"j")
+      .groupBy($"dow")
+      .agg(sum(signum(($"yj" - $"yi").cast("double")).cast("long"))
+        .as("s_g"))
+    val ties = days.groupBy($"dow", $"y").agg(count(lit(1)).as("tg"))
+      .groupBy($"dow")
+      .agg(sum($"tg").as("n_g"),
+        sum($"tg" * ($"tg" - 1L) * (lit(2L) * $"tg" + 5L))
+          .as("tie_term"))
+    val per = s.join(ties, "dow")
+      .withColumn("var_g",
+        (($"n_g" * ($"n_g" - 1L) * (lit(2L) * $"n_g" + 5L)
+          - $"tie_term").cast("double") / 18.0))
+      .localCheckpoint() // 7-row; output + the combined aggregate
+    val tot = per.agg(sum($"s_g").as("s_tot"),
+      sum(round($"var_g", 9).cast(dec9)).as("var_tot"))
+    val vT = $"var_tot".cast("double")
+    val z = when($"s_tot" > 0L, ($"s_tot" - 1L).cast("double") / sqrt(vT))
+      .when($"s_tot" < 0L, ($"s_tot" + 1L).cast("double") / sqrt(vT))
+      .otherwise(0.0)
+    per.crossJoin(broadcast(tot))
+      .select($"dow", $"n_g", $"s_g", round($"var_g", 6).as("var_g"),
+        $"s_tot", round(z, 6).as("z"))
+      .withColumn("trend",
+        when($"z" > zCrit, "increasing")
+          .when($"z" < -zCrit, "decreasing")
+          .otherwise("no_trend"))
+      .orderBy($"dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_theta_forecast" -> qThetaForecast,
+    "q_seasonal_mk" -> qSeasonalMk,
     "q_block_bootstrap" -> qBlockBootstrap,
     "q_tail_dep" -> qTailDep,
     "q_ljung_box" -> qLjungBox,
@@ -392,6 +462,50 @@ object Series2Ops extends QueryPack {
     "q_runs_test" -> qRunsTest,
     "q_granger" -> qGranger
   )
+
+  /** The q_block_bootstrap oracle chain from `days`+`nn` through the
+    * (b, m) replicate relation `breps` — one SQL home for the block
+    * machinery, shared with the Stats2Ops q_boot_compare oracle (the
+    * q_km_ci factor-don't-splice lesson). Declared BEFORE the oracle
+    * map (a later val is still null during object init). */
+  private[queries] val blockRepsCtesSql: String =
+    """spine AS (
+      |  SELECT t AS pos, n, CAST(unnest(range(1, 17)) AS INT) AS b
+      |  FROM days CROSS JOIN nn),
+      |st AS (
+      |  SELECT pos, n, b, (pos - 1) // 5 AS k,
+      |    (('0x' || substr(md5('blk:' || CAST(b AS VARCHAR) || ':'
+      |        || CAST((pos - 1) // 5 AS VARCHAR)), 1, 15))::BIGINT
+      |      + 1) / CAST(1152921504606846976 AS DOUBLE) AS u
+      |  FROM spine),
+      |tp AS (
+      |  SELECT b,
+      |    least(CAST(floor(u * (n - 5 + 1)) AS BIGINT), n - 5) + 1
+      |      + (pos - 1) % 5 AS tp
+      |  FROM st),
+      |breps AS (
+      |  SELECT tp.b,
+      |    round(CAST(sum(days.y) AS DOUBLE) / count(*), 6) AS m
+      |  FROM tp JOIN days ON days.t = tp.tp
+      |  GROUP BY tp.b)""".stripMargin
+
+  /** Rank + 0.05/0.95 interpolation CTEs over a (b, m) relation —
+    * the SQL twin of [[rankCi16]] (same integer micro-unit half-up
+    * interpolation); `p` prefixes the CTE names so two arms can
+    * coexist in one oracle. */
+  private[queries] def rankCi16Sql(reps: String, p: String): String =
+    s"""${p}ranked AS (
+       |  SELECT CAST(round(m * 1e6, 0) AS BIGINT) AS mi,
+       |    row_number() OVER (ORDER BY m, b) AS r FROM $reps),
+       |${p}ci AS (
+       |  SELECT
+       |    CAST((max(CASE WHEN r = 1 THEN mi END)
+       |      + 3 * max(CASE WHEN r = 2 THEN mi END) + 2) // 4
+       |      AS DOUBLE) / 1e6 AS lo,
+       |    CAST((3 * max(CASE WHEN r = 15 THEN mi END)
+       |      + max(CASE WHEN r = 16 THEN mi END) + 2) // 4
+       |      AS DOUBLE) / 1e6 AS hi
+       |  FROM ${p}ranked)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // same exact-moment OLS, same 9dp SES weight unroll over the
@@ -426,47 +540,64 @@ object Series2Ops extends QueryPack {
         |FROM fit2 CROSS JOIN lvl CROSS JOIN hs
         |ORDER BY h""".stripMargin),
 
-    // same md5 block starts, same exact decimal replicate means, same
-    // 16-row quantile_cont interpolation
-    "q_block_bootstrap" ->
+    // same within-stratum pair counting on the epoch-day dow, same
+    // tie-corrected variances 9dp-summed, same continuity-corrected z
+    "q_seasonal_mk" ->
       (s"""WITH ${SeriesOps.daysCtesSql},
-        |nn AS (SELECT count(*) AS n, sum(y) AS sy FROM days),
-        |spine AS (
-        |  SELECT t AS pos, n,
-        |    CAST(unnest(range(1, 17)) AS INT) AS b
-        |  FROM days CROSS JOIN nn),
-        |st AS (
-        |  SELECT pos, n, b, (pos - 1) // 5 AS k,
-        |    (('0x' || substr(md5('blk:' || CAST(b AS VARCHAR) || ':'
-        |        || CAST((pos - 1) // 5 AS VARCHAR)), 1, 15))::BIGINT
-        |      + 1) / CAST(1152921504606846976 AS DOUBLE) AS u
-        |  FROM spine),
-        |tp AS (
-        |  SELECT b,
-        |    least(CAST(floor(u * (n - 5 + 1)) AS BIGINT), n - 5) + 1
-        |      + (pos - 1) % 5 AS tp
-        |  FROM st),
-        |reps AS (
-        |  SELECT tp.b,
-        |    round(CAST(sum(days.y) AS DOUBLE) / count(*), 6) AS m
-        |  FROM tp JOIN days ON days.t = tp.tp
-        |  GROUP BY tp.b),
-        |ranked AS (
-        |  SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM reps),
-        |ci AS (
-        |  SELECT
-        |    max(CASE WHEN r = 1 THEN m END) + 0.75
-        |      * (max(CASE WHEN r = 2 THEN m END)
-        |        - max(CASE WHEN r = 1 THEN m END)) AS lo,
-        |    max(CASE WHEN r = 15 THEN m END) + 0.25
-        |      * (max(CASE WHEN r = 16 THEN m END)
-        |        - max(CASE WHEN r = 15 THEN m END)) AS hi
-        |  FROM ranked)
-        |SELECT CAST(n AS BIGINT) AS n_days, CAST(5 AS BIGINT) AS l_block,
+        |dws AS (
+        |  SELECT d, y, t,
+        |    CAST(date_diff('day', DATE '1970-01-05', d) % 7 AS INT)
+        |      AS dow
+        |  FROM days),
+        |sg AS (
+        |  SELECT a.dow,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_g
+        |  FROM dws a JOIN dws b ON b.dow = a.dow AND a.t < b.t
+        |  GROUP BY a.dow),
+        |tg AS (SELECT dow, y, count(*) AS tg FROM dws GROUP BY dow, y),
+        |ties AS (
+        |  SELECT dow, CAST(sum(tg) AS BIGINT) AS n_g,
+        |    CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+        |      AS tie_term
+        |  FROM tg GROUP BY dow),
+        |per AS (
+        |  SELECT sg.dow, n_g, s_g,
+        |    CAST(n_g * (n_g - 1) * (2 * n_g + 5) - tie_term AS DOUBLE)
+        |      / 18.0 AS var_g
+        |  FROM sg JOIN ties ON ties.dow = sg.dow),
+        |tot AS (
+        |  SELECT CAST(sum(s_g) AS BIGINT) AS s_tot,
+        |    CAST(sum(CAST(round(var_g, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) AS var_tot
+        |  FROM per),
+        |fz AS (
+        |  SELECT s_tot,
+        |    CASE WHEN s_tot > 0 THEN (s_tot - 1) / sqrt(var_tot)
+        |      WHEN s_tot < 0 THEN (s_tot + 1) / sqrt(var_tot)
+        |      ELSE 0.0 END AS z
+        |  FROM tot)
+        |SELECT per.dow, per.n_g, per.s_g, round(per.var_g, 6) AS var_g,
+        |  fz.s_tot, round(fz.z, 6) AS z,
+        |  CASE WHEN round(fz.z, 6) > 1.959964 THEN 'increasing'
+        |    WHEN round(fz.z, 6) < -1.959964 THEN 'decreasing'
+        |    ELSE 'no_trend' END AS trend
+        |FROM per CROSS JOIN fz
+        |ORDER BY dow""".stripMargin),
+
+    // the shared block chain + the shared integer micro-unit CI rule
+    // (concatenation-assembled — the double-stripMargin lesson)
+    "q_block_bootstrap" ->
+      (s"WITH ${SeriesOps.daysCtesSql},\n" +
+       "nn AS (SELECT count(*) AS n, sum(y) AS sy FROM days),\n" +
+       blockRepsCtesSql + ",\n" +
+       rankCi16Sql("breps", "b") + "\n" +
+      """SELECT CAST(n AS BIGINT) AS n_days,
+        |  CAST(5 AS BIGINT) AS l_block,
         |  CAST(16 AS BIGINT) AS n_reps,
         |  round(CAST(sy AS DOUBLE) / n, 6) AS est,
         |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
-        |FROM nn CROSS JOIN ci""".stripMargin),
+        |FROM nn CROSS JOIN bci""".stripMargin),
 
     // same day-grain ranks with date tie-breaks, same integer joint
     // counts, same single division per level

@@ -191,11 +191,120 @@ object Stats2Ops extends QueryPack {
         round($"sd".cast("double") / $"np", 6).as("mean_diff"))
   }
 
+  // ---- q_effective_n -------------------------------------------------------
+  /** Autocorrelation-adjusted effective sample size of the daily
+    * revenue series (Kish's n_eff with the truncated-ACF variance
+    * inflation factor, the MCMC/time-series ESS form): n_eff =
+    * n / (1 + 2·Σ_{k≤7} r_k) — the number that connects what
+    * q_autocorr MEASURES to what q_mde/q_power_curve ASSUME: computing
+    * a mean's standard error from n autocorrelated days as if they
+    * were independent understates it by √VIF, so every power/CI
+    * calculation on the daily series should budget n_eff days, not n.
+    * ACF follows the q_pacf row-index discipline (lags on t so
+    * calendar gaps cannot shift the lag meaning, 9dp deviation-product
+    * decimal sums, 6dp r); the VIF sums the 6dp r's exactly. A
+    * strongly negative truncated ACF sum can push the factor to ≤ 0
+    * (where the truncated estimator is simply invalid): n_eff floors
+    * its denominator at 1/n for the near-zero case and reports NULL
+    * when the factor is non-positive — both guards mirrored in the
+    * oracle. Scale: day-thin relations throughout. */
+  def qEffectiveN(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(28, 9)
+    val dec6 = DecimalType(18, 6)
+    val days = SeriesOps.dailySeries(spark, sfDir)
+      .localCheckpoint() // moment pass + both lag-join sides
+    val mom = days.agg(count(lit(1)).as("nd"), sum($"y").as("sy"))
+    val dev = days.crossJoin(broadcast(mom))
+      .select($"t",
+        ($"y".cast("double") - $"sy".cast("double") / $"nd").as("e"))
+      .localCheckpoint()
+    val den = dev.select(round($"e" * $"e", 9).cast(dec9).as("tm"))
+      .agg(sum($"tm").as("den"))
+    val acf = dev
+      .join(dev.select($"t".as("t2"), $"e".as("e2")),
+        ($"t" - $"t2").between(1, 7))
+      .select(($"t" - $"t2").cast("int").as("lag"),
+        round($"e" * $"e2", 9).cast(dec9).as("tm"))
+      .groupBy($"lag").agg(sum($"tm").as("num"))
+      .crossJoin(broadcast(den))
+      .select(round($"num".cast("double") / $"den".cast("double"), 6)
+        .cast(dec6).as("r"))
+    val ssum = acf.agg(sum($"r").as("sr"))
+    mom.crossJoin(broadcast(ssum))
+      .withColumn("vif", lit(1.0) + lit(2.0) * $"sr".cast("double"))
+      .select($"nd".as("n_days"),
+        round($"sr".cast("double"), 6).as("sum_acf7"),
+        round($"vif", 6).as("vif"),
+        when($"vif" > 0,
+          round($"nd" / greatest($"vif", lit(1.0) / $"nd"), 2))
+          .as("n_eff"),
+        when($"vif" > 0, round(sqrt($"vif"), 6)).as("se_inflation"))
+  }
+
+  // ---- q_boot_compare ------------------------------------------------------
+  /** IID-vs-block bootstrap comparison sheet on the SAME daily-revenue
+    * mean — the actionable consequence of what q_ljung_box and
+    * q_effective_n diagnose: a Poisson(1) iid resample of DAYS (the
+    * q_bootstrap_ci weight rule, day grain) treats them exchangeable,
+    * which autocorrelation violates, so its CI runs too narrow; the
+    * moving-block arm ([[Series2Ops.blockReplicates]] — the exact
+    * q_block_bootstrap machinery, one home) preserves short-range
+    * dependence. One row: both CIs under the SAME 16-replicate
+    * 0.05/0.95 interpolation rule ([[Series2Ops.rankCi16]]) and their
+    * width ratio — block/iid > 1 is the series saying "budget for
+    * dependence". Exact decimal weighted sums (w·y with integer w and
+    * 2dp decimal y is exact); widths ratio from the already-6dp-rounded
+    * bounds so both engines divide identical doubles. */
+  def qBootCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = SeriesOps.dailySeries(spark, sfDir)
+      .localCheckpoint() // moments + both bootstrap arms
+    val n = days.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+    val blk = Series2Ops.rankCi16(
+        Series2Ops.blockReplicates(spark, days, n))
+      .select($"lo".as("blo"), $"hi".as("bhi"))
+    val iidReps = days.select($"t", $"y",
+        explode(expr("sequence(1, 16)")).as("b"))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("bootd:"), $"b".cast("string"),
+          lit(":"), $"t".cast("string"))), 1, 15), 16, 10)
+          .cast("long") + 1) / lit(1152921504606846976.0))
+      .withColumn("w",
+        when($"u" <= 0.3678794412, 0L)
+          .when($"u" <= 0.7357588823, 1L)
+          .when($"u" <= 0.9196986029, 2L)
+          .when($"u" <= 0.9810118431, 3L)
+          .when($"u" <= 0.9963401532, 4L)
+          .when($"u" <= 0.9994058151, 5L)
+          .otherwise(6L))
+      .groupBy($"b")
+      .agg(sum($"w").as("sw"), sum($"w" * $"y").as("swy"))
+      .filter($"sw" > 0) // P(all-zero replicate) = e^-n, nil at n≥28
+      // integer micro-unit rounding (the q_spc_xbar lesson): swy/sw is
+      // rational with denominator sw·100, and sw can land on a power
+      // of two where the engines' round() tie rules diverge
+      .select($"b",
+        (expr("(cast(swy * 100 as bigint) * 20000 + sw) div (2 * sw)")
+          .cast("double") / 1e6).as("m"))
+    val iid = Series2Ops.rankCi16(iidReps)
+      .select($"lo".as("ilo"), $"hi".as("ihi"))
+    n.crossJoin(broadcast(blk)).crossJoin(broadcast(iid))
+      .select($"n".as("n_days"),
+        round($"sy".cast("double") / $"n", 6).as("est"),
+        round($"ilo", 6).as("iid_lo"), round($"ihi", 6).as("iid_hi"),
+        round($"blo", 6).as("blk_lo"), round($"bhi", 6).as("blk_hi"))
+      .withColumn("width_ratio",
+        round(($"blk_hi" - $"blk_lo") / ($"iid_hi" - $"iid_lo"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cvm_uniform" -> qCvmUniform,
     "q_power_curve" -> qPowerCurve,
     "q_spc_xbar" -> qSpcXbar,
-    "q_hl_shift" -> qHlShift
+    "q_hl_shift" -> qHlShift,
+    "q_effective_n" -> qEffectiveN,
+    "q_boot_compare" -> qBootCompare
   )
 
   val oracle: Map[String, String] = Map(
@@ -316,7 +425,86 @@ object Stats2Ops extends QueryPack {
         |  WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2)
         |SELECT np AS n_pairs, round(hl, 6) AS hl_shift,
         |  round(CAST(sd AS DOUBLE) / np, 6) AS mean_diff
-        |FROM np CROSS JOIN med""".stripMargin)
+        |FROM np CROSS JOIN med""".stripMargin),
+
+    // same row-index lag joins and 9dp/6dp ACF discipline as q_pacf,
+    // same VIF closed form with the 1/n floor and non-positive guard
+    "q_effective_n" ->
+      (s"""WITH $daysCtesSqlLocal,
+        |mom AS (SELECT count(*) AS nd, sum(y) AS sy FROM days),
+        |dev AS (
+        |  SELECT t, CAST(y AS DOUBLE)
+        |    - (SELECT CAST(sy AS DOUBLE) / nd FROM mom) AS e
+        |  FROM days),
+        |den AS (
+        |  SELECT CAST(sum(CAST(round(e * e, 9) AS DECIMAL(28,9)))
+        |    AS DOUBLE) AS den
+        |  FROM dev),
+        |acf AS (
+        |  SELECT CAST(a.t - b.t AS INT) AS lag,
+        |    CAST(sum(CAST(round(a.e * b.e, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) AS num
+        |  FROM dev a JOIN dev b ON a.t - b.t BETWEEN 1 AND 7
+        |  GROUP BY 1),
+        |rs AS (
+        |  SELECT CAST(sum(CAST(round(num / (SELECT den FROM den), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sr
+        |  FROM acf),
+        |f AS (
+        |  SELECT nd, sr, 1.0 + 2.0 * sr AS vif
+        |  FROM mom CROSS JOIN rs)
+        |SELECT CAST(nd AS BIGINT) AS n_days,
+        |  round(sr, 6) AS sum_acf7, round(vif, 6) AS vif,
+        |  CASE WHEN vif > 0
+        |    THEN round(nd / greatest(vif, 1.0 / nd), 2) END AS n_eff,
+        |  CASE WHEN vif > 0 THEN round(sqrt(vif), 6) END
+        |    AS se_inflation
+        |FROM f""".stripMargin),
+
+    // the shared block chain + the day-grain Poisson iid arm under the
+    // same 16-replicate interpolation rule; replicate means round in
+    // integer micro-units (the tie-proof form)
+    // assembled by CONCATENATION of separately-stripped segments — an
+    // outer stripMargin over embedded pre-stripped SQL would eat one
+    // bar of any line-leading '||' concat operator
+    "q_boot_compare" ->
+      (s"WITH $daysCtesSqlLocal,\n" +
+       "nn AS (SELECT count(*) AS n, sum(y) AS sy FROM days),\n" +
+       Series2Ops.blockRepsCtesSql + ",\n" +
+       Series2Ops.rankCi16Sql("breps", "b") + ",\n" +
+      s"""ispine AS (
+        |  SELECT t, y, CAST(unnest(range(1, 17)) AS INT) AS b
+        |  FROM days),
+        |iw AS (
+        |  SELECT b, t, y,
+        |    (('0x' || substr(md5('bootd:' || CAST(b AS VARCHAR) || ':'
+        |        || CAST(t AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |      / 1152921504606846976.0 AS u
+        |  FROM ispine),
+        |iws AS (
+        |  SELECT b, t, y,
+        |    CASE WHEN u <= 0.3678794412 THEN 0
+        |      WHEN u <= 0.7357588823 THEN 1
+        |      WHEN u <= 0.9196986029 THEN 2
+        |      WHEN u <= 0.9810118431 THEN 3
+        |      WHEN u <= 0.9963401532 THEN 4
+        |      WHEN u <= 0.9994058151 THEN 5
+        |      ELSE 6 END AS w
+        |  FROM iw),
+        |ireps AS (
+        |  SELECT b,
+        |    CAST((CAST(sum(w * y) * 100 AS BIGINT) * 20000
+        |      + CAST(sum(w) AS BIGINT))
+        |      // (2 * CAST(sum(w) AS BIGINT)) AS DOUBLE) / 1e6 AS m
+        |  FROM iws GROUP BY b HAVING sum(w) > 0),
+        |${Series2Ops.rankCi16Sql("ireps", "i")}
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  round(CAST(sy AS DOUBLE) / n, 6) AS est,
+        |  round(ici.lo, 6) AS iid_lo, round(ici.hi, 6) AS iid_hi,
+        |  round(bci.lo, 6) AS blk_lo, round(bci.hi, 6) AS blk_hi,
+        |  round((round(bci.hi, 6) - round(bci.lo, 6))
+        |    / (round(ici.hi, 6) - round(ici.lo, 6)), 6) AS width_ratio
+        |FROM nn CROSS JOIN bci CROSS JOIN ici""".stripMargin)
   )
 
   /** The SeriesOps daily-series oracle CTEs (days0/days) — one home. */
