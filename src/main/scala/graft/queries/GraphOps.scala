@@ -343,9 +343,13 @@ object GraphOps extends QueryPack {
       .select($"community", $"n_nodes",
         coalesce($"intra_edges", lit(0L)).as("intra_edges"),
         $"degree_sum",
-        round(coalesce($"intra_edges", lit(0L)).cast("double") / $"m2"
+        // + 0.0 sign-normalizes: a singleton community's (d_c/2m)² can
+        // round to IEEE −0.0 at 9dp when 2m is large enough (seen at
+        // sf0.1) — the q_pca_deflate dot12 class
+        (round(coalesce($"intra_edges", lit(0L)).cast("double") / $"m2"
           - ($"degree_sum".cast("double") / $"m2")
-            * ($"degree_sum".cast("double") / $"m2"), 9).as("q_term"))
+            * ($"degree_sum".cast("double") / $"m2"), 9) + lit(0.0))
+          .as("q_term"))
       .orderBy($"community")
   }
 
@@ -1090,7 +1094,8 @@ object GraphOps extends QueryPack {
         |  COALESCE(ij.intra_edges, 0) AS intra_edges, dc.degree_sum,
         |  round(CAST(COALESCE(ij.intra_edges, 0) AS DOUBLE) / m2.m2
         |    - (CAST(dc.degree_sum AS DOUBLE) / m2.m2)
-        |      * (CAST(dc.degree_sum AS DOUBLE) / m2.m2), 9) AS q_term
+        |      * (CAST(dc.degree_sum AS DOUBLE) / m2.m2), 9) + 0.0
+        |    AS q_term
         |FROM dc LEFT JOIN ij ON ij.community = dc.community
         |CROSS JOIN m2
         |ORDER BY dc.community""".stripMargin,

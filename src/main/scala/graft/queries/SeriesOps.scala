@@ -189,8 +189,10 @@ object SeriesOps extends QueryPack {
   private val holtBeta = 0.1
 
   /** Powers A^j of Holt's 2x2 state-transition matrix, computed once on
-    * the driver in plain doubles and shipped as 12dp string literals so
-    * BOTH engines parse bit-identical doubles. With state x = (l, b):
+    * the driver in plain doubles and shipped as 12dp string literals
+    * both engines parse as EXACT DECIMAL(16,12) (r15 — the
+    * parse-as-double path left 9dp product-round ties where the
+    * engines' double rounding diverged). With state x = (l, b):
     * l_t = a y_t + (1-a)(l_{t-1} + b_{t-1}) and (after substitution)
     * b_t = ab y_t - ab l_{t-1} + (1-ab) b_{t-1}, i.e. x_t = A x_{t-1}
     * + y_t v with A = [[1-a, 1-a], [-ab, 1-ab]], v = (a, ab). */
@@ -231,52 +233,80 @@ object SeriesOps extends QueryPack {
     * trend-extrapolated forecast yhat_{T+h} = l_T + h b_T. */
   def qHolt(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // 0.03 as a PARSED literal, not 0.3 * 0.1 (= 0.030000000000000002,
-    // a different double from what DuckDB's 0.03 literal casts to)
-    val a = 0.3; val ab = 0.03
-    val coef = holtCoef.map { case (j, a11, a12, a21, a22) =>
-      (j, a11.toDouble, a12.toDouble, a21.toDouble, a22.toDouble)
-    }.toDF("j", "a11", "a12", "a21", "a22")
+    // EXACT DECIMAL end to end (r15): the 12dp A^j literals parse as
+    // DECIMAL(16,12) — not doubles — so every coefficient product,
+    // init term, and the final 6dp round are exact decimal arithmetic
+    // with one shared HALF_UP tie rule. The double path rounded
+    // products at 9dp where a coefficient×y tie could flip the last
+    // digit between engines (caught by the strict gate at sf0.1).
+    // v = (0.3, 0.03) as decimal literals folds into each A^j row once
+    // (a 60-row projection), kept ≤ DECIMAL(16,14) so the ×y product
+    // stays inside precision 38 with no silent Spark scale loss.
+    val coef = holtCoef.toDF("j", "a11s", "a12s", "a21s", "a22s")
+      .select($"j",
+        $"a11s".cast(DecimalType(16, 12)).as("a11"),
+        $"a12s".cast(DecimalType(16, 12)).as("a12"),
+        $"a21s".cast(DecimalType(16, 12)).as("a21"),
+        $"a22s".cast(DecimalType(16, 12)).as("a22"))
+      .select($"j", $"a11", $"a12", $"a21", $"a22",
+        ($"a11" * expr("CAST(0.3 AS DECIMAL(2,1))")
+          + $"a12" * expr("CAST(0.03 AS DECIMAL(3,2))"))
+          .cast(DecimalType(16, 14)).as("cvl"),
+        ($"a21" * expr("CAST(0.3 AS DECIMAL(2,1))")
+          + $"a22" * expr("CAST(0.03 AS DECIMAL(3,2))"))
+          .cast(DecimalType(16, 14)).as("cvb"))
     val days = dailySeries(spark, sfDir).localCheckpoint()
     val init = days.filter($"t" <= 2)
-      .agg(sum(when($"t" === 1, $"y".cast("double"))).as("l1"),
-        sum(when($"t" === 2, $"y".cast("double"))
-          .otherwise((lit(0.0) - $"y").cast("double"))).as("b1"))
+      .agg(sum(when($"t" === 1, $"y")).as("l1d"),
+        sum(when($"t" === 2, $"y").otherwise(-$"y")).as("b1d"))
+      .select($"l1d".cast(DecimalType(12, 2)).as("l1"),
+        $"b1d".cast(DecimalType(12, 2)).as("b1"))
     // state x_tt = sum_{j=0..tt-2} A^j v y_{tt-j} + A^{tt-1} x_1, tt >= 2
     val terms = days.select($"t".as("tt"))
       .filter($"tt" >= 2)
-      .join(days.select($"t".as("src"), $"y".cast("double").as("ysrc")),
+      .join(days.select($"t".as("src"), $"y".as("ysrc")),
         $"src" >= 2 && $"src" <= $"tt")
       .join(broadcast(coef), $"j" === $"tt" - $"src")
       .groupBy($"tt")
       .agg(
-        sum(round(($"a11" * a + $"a12" * ab) * $"ysrc", 9).cast(dec9))
-          .as("sum_l"),
-        sum(round(($"a21" * a + $"a22" * ab) * $"ysrc", 9).cast(dec9))
-          .as("sum_b"))
+        sum(round($"cvl" * $"ysrc", 9).cast(dec9)).as("sum_l"),
+        sum(round($"cvb" * $"ysrc", 9).cast(dec9)).as("sum_b"))
+    // level/trend stay EXACT DECIMALS through the final 6dp round: the
+    // state is a 9dp decimal grid, so y − (level+trend) can land
+    // exactly on a 6dp half boundary where the engines' double-round
+    // tie rules diverge (caught by the strict gate at sf0.1); decimal
+    // rounding is HALF_UP in both engines.
+    // sum() inflates DECIMAL(28,9) to (38,9); adding the init term
+    // would need precision 39 and Spark SILENTLY drops to scale 8
+    // (the allowPrecisionLoss trap — cost a 5e-9 divergence here).
+    // Cast both addends to (20,9) first so the add stays exact.
+    val dec20 = DecimalType(20, 9)
     val state = terms
       .join(broadcast(coef), $"j" === $"tt" - 1)
       .crossJoin(broadcast(init))
       .select($"tt",
-        ($"sum_l" + round($"a11" * $"l1" + $"a12" * $"b1", 9).cast(dec9))
-          .cast("double").as("level"),
-        ($"sum_b" + round($"a21" * $"l1" + $"a22" * $"b1", 9).cast(dec9))
-          .cast("double").as("trend"))
+        ($"sum_l".cast(dec20)
+          + round($"a11" * $"l1" + $"a12" * $"b1", 9).cast(dec20))
+          .cast(dec20).as("level"),
+        ($"sum_b".cast(dec20)
+          + round($"a21" * $"l1" + $"a22" * $"b1", 9).cast(dec20))
+          .cast(dec20).as("trend"))
       .localCheckpoint() // feeds fitted rows, forecast rows, and the shift
     val fitted = days.filter($"t" >= 3)
       .join(state.select(($"tt" + 1).as("t"),
         ($"level" + $"trend").as("fitted")), Seq("t"))
       .select($"d".cast("string").as("d"), $"t",
         $"y".cast("double").as("y"),
-        round($"fitted", 6).as("fitted"),
-        round($"y".cast("double") - $"fitted", 6).as("err"))
+        round($"fitted", 6).cast("double").as("fitted"),
+        round($"y" - $"fitted", 6).cast("double").as("err"))
     val last = days.agg(max($"t").as("tmax"), max($"d").as("dmax"))
     val fc = last.join(state, $"tt" === $"tmax")
       .crossJoin(spark.range(1, 8).select($"id".cast("int").as("h")))
       .select(date_add($"dmax", $"h").cast("string").as("d"),
         ($"tmax" + $"h").cast("int").as("t"),
         lit(null).cast("double").as("y"),
-        round($"level" + $"h" * $"trend", 6).as("fitted"),
+        round($"level" + $"h".cast(DecimalType(2, 0)) * $"trend", 6)
+          .cast("double").as("fitted"),
         lit(null).cast("double").as("err"))
     fitted.unionByName(fc).orderBy($"t")
   }
@@ -731,24 +761,32 @@ object SeriesOps extends QueryPack {
     "q_holt" ->
       (s"""WITH $daysCtesSql,
         |coef AS (
-        |  SELECT v.j, CAST(v.a11 AS DOUBLE) AS a11,
-        |    CAST(v.a12 AS DOUBLE) AS a12, CAST(v.a21 AS DOUBLE) AS a21,
-        |    CAST(v.a22 AS DOUBLE) AS a22
+        |  SELECT v.j, CAST(v.a11 AS DECIMAL(16,12)) AS a11,
+        |    CAST(v.a12 AS DECIMAL(16,12)) AS a12,
+        |    CAST(v.a21 AS DECIMAL(16,12)) AS a21,
+        |    CAST(v.a22 AS DECIMAL(16,12)) AS a22,
+        |    CAST(CAST(v.a11 AS DECIMAL(16,12))
+        |        * CAST(0.3 AS DECIMAL(2,1))
+        |      + CAST(v.a12 AS DECIMAL(16,12))
+        |        * CAST(0.03 AS DECIMAL(3,2)) AS DECIMAL(16,14)) AS cvl,
+        |    CAST(CAST(v.a21 AS DECIMAL(16,12))
+        |        * CAST(0.3 AS DECIMAL(2,1))
+        |      + CAST(v.a22 AS DECIMAL(16,12))
+        |        * CAST(0.03 AS DECIMAL(3,2)) AS DECIMAL(16,14)) AS cvb
         |  FROM (VALUES ${holtCoefValuesSql})
         |    v(j, a11, a12, a21, a22)),
         |init AS (
-        |  SELECT sum(CASE WHEN t = 1 THEN CAST(y AS DOUBLE) END) AS l1,
-        |    sum(CASE WHEN t = 2 THEN CAST(y AS DOUBLE)
-        |      ELSE CAST(0 - y AS DOUBLE) END) AS b1
+        |  SELECT CAST(sum(CASE WHEN t = 1 THEN y END)
+        |      AS DECIMAL(19,2)) AS l1,
+        |    CAST(sum(CASE WHEN t = 2 THEN y ELSE -y END)
+        |      AS DECIMAL(19,2)) AS b1
         |  FROM days WHERE t <= 2),
         |terms AS (
         |  SELECT a.t AS tt,
-        |    sum(CAST(round((c.a11 * CAST(0.3 AS DOUBLE)
-        |      + c.a12 * CAST(0.03 AS DOUBLE))
-        |      * CAST(b.y AS DOUBLE), 9) AS DECIMAL(28,9))) AS sum_l,
-        |    sum(CAST(round((c.a21 * CAST(0.3 AS DOUBLE)
-        |      + c.a22 * CAST(0.03 AS DOUBLE))
-        |      * CAST(b.y AS DOUBLE), 9) AS DECIMAL(28,9))) AS sum_b
+        |    sum(CAST(round(c.cvl * CAST(b.y AS DECIMAL(19,2)), 9)
+        |      AS DECIMAL(28,9))) AS sum_l,
+        |    sum(CAST(round(c.cvb * CAST(b.y AS DECIMAL(19,2)), 9)
+        |      AS DECIMAL(28,9))) AS sum_b
         |  FROM days a
         |  JOIN days b ON b.t >= 2 AND b.t <= a.t
         |  JOIN coef c ON c.j = a.t - b.t
@@ -757,15 +795,15 @@ object SeriesOps extends QueryPack {
         |state AS (
         |  SELECT tt,
         |    CAST(sum_l + CAST(round(c.a11 * i.l1 + c.a12 * i.b1, 9)
-        |      AS DECIMAL(28,9)) AS DOUBLE) AS level,
+        |      AS DECIMAL(28,9)) AS DECIMAL(20,9)) AS level,
         |    CAST(sum_b + CAST(round(c.a21 * i.l1 + c.a22 * i.b1, 9)
-        |      AS DECIMAL(28,9)) AS DOUBLE) AS trend
+        |      AS DECIMAL(28,9)) AS DECIMAL(20,9)) AS trend
         |  FROM terms JOIN coef c ON c.j = tt - 1 CROSS JOIN init i),
         |fitted AS (
         |  SELECT CAST(d.d AS VARCHAR) AS d, d.t,
         |    CAST(d.y AS DOUBLE) AS y,
-        |    round(s.level + s.trend, 6) AS fitted,
-        |    round(CAST(d.y AS DOUBLE) - (s.level + s.trend), 6) AS err
+        |    CAST(round(s.level + s.trend, 6) AS DOUBLE) AS fitted,
+        |    CAST(round(d.y - (s.level + s.trend), 6) AS DOUBLE) AS err
         |  FROM days d JOIN state s ON s.tt + 1 = d.t
         |  WHERE d.t >= 3),
         |last AS (SELECT max(t) AS tmax, max(d) AS dmax FROM days),
@@ -773,7 +811,8 @@ object SeriesOps extends QueryPack {
         |  SELECT CAST(dmax + CAST(h.h AS INT) AS VARCHAR) AS d,
         |    CAST(tmax + h.h AS INT) AS t,
         |    CAST(NULL AS DOUBLE) AS y,
-        |    round(s.level + h.h * s.trend, 6) AS fitted,
+        |    CAST(round(s.level + CAST(h.h AS DECIMAL(2,0)) * s.trend,
+        |      6) AS DOUBLE) AS fitted,
         |    CAST(NULL AS DOUBLE) AS err
         |  FROM last JOIN state s ON s.tt = last.tmax
         |  CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h)
