@@ -416,25 +416,7 @@ object Series2Ops extends QueryPack {
     * pairs; everything else is 7-row arithmetic. */
   def qSeasonalMk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val days = SeriesOps.dailySeries(spark, sfDir)
-      .withColumn("dow",
-        datediff($"d", lit("1970-01-05").cast("date")) % 7)
-      .localCheckpoint() // pair join both sides + tie pass
-    val s = days.select($"dow", $"t".as("i"), $"y".as("yi"))
-      .join(days.select($"dow".as("dw2"), $"t".as("j"), $"y".as("yj")),
-        $"dow" === $"dw2" && $"i" < $"j")
-      .groupBy($"dow")
-      .agg(sum(signum(($"yj" - $"yi").cast("double")).cast("long"))
-        .as("s_g"))
-    val ties = days.groupBy($"dow", $"y").agg(count(lit(1)).as("tg"))
-      .groupBy($"dow")
-      .agg(sum($"tg").as("n_g"),
-        sum($"tg" * ($"tg" - 1L) * (lit(2L) * $"tg" + 5L))
-          .as("tie_term"))
-    val per = s.join(ties, "dow")
-      .withColumn("var_g",
-        (($"n_g" * ($"n_g" - 1L) * (lit(2L) * $"n_g" + 5L)
-          - $"tie_term").cast("double") / 18.0))
+    val per = seasonalMkPer(spark, sfDir)
       .localCheckpoint() // 7-row; output + the combined aggregate
     val tot = per.agg(sum($"s_g").as("s_tot"),
       sum(round($"var_g", 9).cast(dec9)).as("var_tot"))
@@ -450,6 +432,34 @@ object Series2Ops extends QueryPack {
           .when($"z" < -zCrit, "decreasing")
           .otherwise("no_trend"))
       .orderBy($"dow")
+  }
+
+  /** The per-stratum (dow, n_g, s_g, var_g) relation behind
+    * [[qSeasonalMk]] — graft-visible PRE-checkpoint so the plan audit
+    * can pin the dow equi-join shape of the pair stage. */
+  private[graft] def seasonalMkPer(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val days = SeriesOps.dailySeries(spark, sfDir)
+      .withColumn("dow",
+        datediff($"d", lit("1970-01-05").cast("date")) % 7)
+      .localCheckpoint() // pair join both sides + tie pass
+    val s = days.select($"dow", $"t".as("i"), $"y".as("yi"))
+      .join(days.select($"dow".as("dw2"), $"t".as("j"), $"y".as("yj")),
+        $"dow" === $"dw2" && $"i" < $"j")
+      .groupBy($"dow")
+      .agg(sum(signum(($"yj" - $"yi").cast("double")).cast("long"))
+        .as("s_g"))
+    val ties = days.groupBy($"dow", $"y").agg(count(lit(1)).as("tg"))
+      .groupBy($"dow")
+      .agg(sum($"tg").as("n_g"),
+        sum($"tg" * ($"tg" - 1L) * (lit(2L) * $"tg" + 5L))
+          .as("tie_term"))
+    s.join(ties, "dow")
+      .withColumn("var_g",
+        (($"n_g" * ($"n_g" - 1L) * (lit(2L) * $"n_g" + 5L)
+          - $"tie_term").cast("double") / 18.0))
+      .select($"dow", $"n_g", $"s_g", $"var_g")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
