@@ -110,23 +110,9 @@ object Stats2Ops extends QueryPack {
     * day grain; everything after is calendar-thin. */
   def qSpcXbar(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dec2 = DecimalType(18, 2)
-    val dec4 = DecimalType(38, 4)
-    val dec9 = DecimalType(28, 9)
-    val days = Tables.df(spark, sfDir, "orders")
-      .select($"o_orderdate".as("d"),
-        round($"o_totalprice", 2).cast(dec2).as("x"))
-      .groupBy($"d")
-      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
-        sum(round($"x".cast("double") * $"x", 4).cast(dec4)).as("sx2"))
+    val days = spcDays(spark, sfDir)
       .localCheckpoint() // grand pass + pooled pass + the limit join
-    val grand = days.agg(sum($"n").as("tn"), sum($"sx").as("tsx"))
-    val pooled = days.filter($"n" > 1)
-      .select(($"n" - 1).as("df"),
-        round($"sx2".cast("double")
-          - $"sx".cast("double") * $"sx".cast("double") / $"n", 9)
-          .cast(dec9).as("ss"))
-      .agg(sum($"df").as("dfs"), sum($"ss").as("sss"))
+    val (grand, pooled) = spcGrandPooled(days)
     // xbar and center are rational with denominator n·100, so a
     // power-of-two subgroup (n = 64 on the sf0.1 fixture) lands EXACTLY
     // on a 6dp half boundary where the engines' round() tie rules
@@ -150,6 +136,48 @@ object Stats2Ops extends QueryPack {
         ($"sx".cast("double") / $"n" < $"xbb" - $"hw"
           || $"sx".cast("double") / $"n" > $"xbb" + $"hw").as("ooc"))
       .orderBy($"d")
+  }
+
+  /** The (d, n, sx, sx2) day-subgroup relation behind [[qSpcXbar]]. */
+  private def spcDays(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec2 = DecimalType(18, 2)
+    val dec4 = DecimalType(38, 4)
+    Tables.df(spark, sfDir, "orders")
+      .select($"o_orderdate".as("d"),
+        round($"o_totalprice", 2).cast(dec2).as("x"))
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum(round($"x".cast("double") * $"x", 4).cast(dec4)).as("sx2"))
+  }
+
+  private def spcGrandPooled(days: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import days.sparkSession.implicits._
+    val dec9 = DecimalType(28, 9)
+    val grand = days.agg(sum($"n").as("tn"), sum($"sx").as("tsx"))
+    val pooled = days.filter($"n" > 1)
+      .select(($"n" - 1).as("df"),
+        round($"sx2".cast("double")
+          - $"sx".cast("double") * $"sx".cast("double") / $"n", 9)
+          .cast(dec9).as("ss"))
+      .agg(sum($"df").as("dfs"), sum($"ss").as("sss"))
+    (grand, pooled)
+  }
+
+  /** Phase-I control limits as a 1-row (xbb, sp) relation — the
+    * offline half of the SPC deployment split: limits freeze on a
+    * stable history and the LIVE chart only compares against them
+    * ([[graft.streaming.Streams.spcStream]] broadcasts this into the
+    * stream). Same grand-mean + pooled-within-day-σ formulas as
+    * [[qSpcXbar]] (one home). */
+  private[graft] def spcLimits(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val (grand, pooled) = spcGrandPooled(spcDays(spark, sfDir))
+    grand.crossJoin(broadcast(pooled))
+      .select(($"tsx".cast("double") / $"tn").as("xbb"),
+        sqrt($"sss".cast("double") / $"dfs".cast("double")).as("sp"))
   }
 
   // ---- q_hl_shift ----------------------------------------------------------

@@ -494,4 +494,32 @@ object Streams {
       .transformWithState(new SessionProcessor(gapMs, events.isStreaming),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Streaming twin of q_spc_xbar's PHASE-II application — the classic
+    * SPC deployment split: Phase I (grand mean + pooled within-day σ,
+    * [[graft.queries.Stats2Ops.spcLimits]] — one formula home) freezes
+    * OFFLINE on stable history and broadcasts as a 1-row static
+    * relation; the live stream then aggregates each event-time day
+    * window's mergeable (n, Σx) pair and flags out-of-control days
+    * against the frozen limits. `stream` needs (ts, value) columns.
+    * Late data folds into its day's (n, Σx) by the same merge law as
+    * the sketch twins; xbar emits under the SAME integer micro-unit
+    * rounding as the batch chart, so stream rows equal batch rows
+    * row-for-row once all data has arrived (R15cOpsSpec replays). */
+  def spcStream(stream: DataFrame, limits: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val hw = lit(3.0) * $"sp" / sqrt($"n".cast("double"))
+    stream
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), sum(dec(round($"value", 2))).as("sx"))
+      .join(broadcast(limits), lit(true))
+      .select($"w", $"n",
+        (expr("(cast(sx * 100 as bigint) * 20000 + n) div (2 * n)")
+          .cast("double") / 1e6).as("xbar"),
+        round($"xbb" - hw, 6).as("lcl"),
+        round($"xbb" + hw, 6).as("ucl"),
+        ($"sx".cast("double") / $"n" < $"xbb" - hw
+          || $"sx".cast("double") / $"n" > $"xbb" + hw).as("ooc"))
+  }
 }

@@ -62,6 +62,46 @@ class R15cOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - ratio) < 1e-9)
   }
 
+  test("spc stream: two unordered micro-batches against the frozen " +
+      "Phase-I limits reproduce the batch chart row-for-row") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val limits = Stats2Ops.spcLimits(spark, sf).localCheckpoint()
+    val all = Tables.df(spark, sf, "orders")
+      .select($"o_orderdate".cast("timestamp").as[Timestamp],
+        $"o_totalprice".as[Double]).collect().toSeq
+    val (b1, b2) = all.zipWithIndex.partition(_._2 % 2 == 0)
+    val input = MemoryStream[(Timestamp, Double)]
+    val q = graft.streaming.Streams.spcStream(
+        input.toDF().toDF("ts", "value"), limits)
+      .writeStream.format("memory").queryName("spc_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1.map(_._1))
+      q.processAllAvailable()
+      input.addData(b2.map(_._1))
+      q.processAllAvailable()
+      val got = spark.table("spc_stream")
+        .select(substring($"w.start".cast("string"), 1, 10).as("d"),
+          $"n", $"xbar", $"lcl", $"ucl", $"ooc")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+      val want = Stats2Ops.qSpcXbar(spark, sf)
+        .select(substring($"d", 1, 10).as("d"),
+          $"n", $"xbar", $"lcl", $"ucl", $"ooc")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+      assert(got.size == want.size,
+        s"day counts differ: ${got.size} vs ${want.size}")
+      want.foreach { case (d, w) =>
+        assert(got(d) == w, s"stream row $d ${got(d)} vs batch $w")
+      }
+    } finally q.stop()
+  }
+
   test("seasonal mk: per-stratum S and variance replay from the dow " +
       "split and the combined statistic sums them") {
     val rows = Series2Ops.qSeasonalMk(spark, sf).collect()
