@@ -14,6 +14,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Task-count determinism (VERDICT r15 #1): AQE partition
+      // coalescing folds post-shuffle partitions by OBSERVED size, and
+      // observed map-output sizes differ across machines/timing enough
+      // that the builder and driver recorded 43-vs-242 / 51-vs-136 /
+      // 29-vs-174 tasks on IDENTICAL committed plans — which silently
+      // broke BASELINE.md's "identical tasks ⇒ machine" attribution
+      // rule. With coalescing off, every shuffle runs exactly
+      // `spark.sql.shuffle.partitions` reducers, so a query's task
+      // count is a pure function of its plan and cross-record task
+      // comparisons mean something again. Side effect, deliberately
+      // kept: CPU-heavy small-shuffle stages (the iterative graph ops)
+      // no longer collapse to 1–2 serialized tasks — the r14/r15
+      // q_adamic_adar wall≫run dispatch gaps were exactly that
+      // collapse. Skew-join and the rest of AQE stay on.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -48,7 +48,8 @@ object SparkEntry {
     SqlSurface2,
     Corpus2Ops,
     Stats2Ops,
-    EvalOps
+    EvalOps,
+    XModalOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,400 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-modal curation ops (r16, VERDICT r15 #3): the CLIP-gate family —
+  * text↔media alignment scoring, cross-modal retrieval eval, and an
+  * embedding-space distribution divergence between release halves.
+  *
+  * The two "towers" stand in for a real dual encoder (reference surface:
+  * the curation step every multimodal pipeline runs between decode and
+  * training-set assembly; the container has no model runtimes, the same
+  * situation as [[graft.operators.Multimodal.decodeStub]]):
+  *  - the TEXT tower is the embeddings fixture vector (vec_id = doc_id);
+  *  - the MEDIA tower is a deterministic 64-bin positional char histogram
+  *    of the payload (the documents fixture's payload is the UTF-8 text
+  *    bytes, pure ASCII, so char codes ≡ payload bytes — asserted in
+  *    spec). Swapping in real encoders replaces only the two tower
+  *    relations; every downstream shape (exact-decimal cosine, threshold
+  *    gate, attrition report, retrieval rank) is the production plumbing.
+  */
+object XModalOps extends QueryPack {
+
+  private val dec6 = DecimalType(18, 6)
+  private val dec9 = DecimalType(28, 9)
+  private val dec9n = DecimalType(18, 9)
+
+  /** MEDIA tower: sparse (doc_id, dim, h) 64-bin histogram over
+    * (charcode + position) % 64 — position-mixed so byte REORDERING
+    * changes the vector, not just byte frequencies (a real media
+    * embedding is order-sensitive too). One corpus pass; the doc-keyed
+    * repartition lands BEFORE the char explode (the shingleStream
+    * discipline) so the ×L fan-out runs parallel. h counts are exact
+    * integers — the media-side norm Σh² needs no rounding at all. */
+  private def mediaHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), length($"text"))).as("p"))
+      .select($"doc_id",
+        ((ascii(expr("substr(text, p, 1)")) + $"p") % 64).cast("int")
+          .as("dim"))
+      .groupBy($"doc_id", $"dim").agg(count(lit(1)).as("h"))
+  }
+
+  /** TEXT tower: (doc_id, dim, x) with x the embedding element rounded
+    * once to 6dp (the q_centroid_drift element discipline). */
+  private def textVec(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "embeddings")
+      .select($"vec_id".as("doc_id"),
+        posexplode($"embedding").as(Seq("dim", "xe")))
+      .select($"doc_id", $"dim",
+        round($"xe".cast("double"), 6).cast(dec6).as("x"))
+  }
+
+  // ---- q_xmodal_align ------------------------------------------------------
+  /** Cross-modal alignment gate — the CLIP-gate curation step: per
+    * (doc, media) pair the exact-decimal cosine between the text-tower
+    * and media-tower vectors, a fixed keep threshold (cos ≥ 0 — "the
+    * towers must at least agree in direction"; on this fixture the
+    * pair cosine is zero-centered spanning ±0.38, so the gate actually
+    * discriminates), and the per-source attrition report a curation run
+    * reads to see which sources bleed. Determinism: 6dp text elements ×
+    * exact integer media counts → 9dp once-rounded products into
+    * DECIMAL(28,9) dot/norm sums (the q_embed_health norm discipline;
+    * the media norm Σh² is exact integers), one shared cosine formula
+    * rounded once to 6dp; mean_cos sums the 6dp cosines exactly.
+    * Scale: one corpus pass per tower meeting in (doc, dim) equi-joins
+    * (dim fan-out bounded at 64), then a per-row gate and a source-thin
+    * aggregate — no pair joins anywhere, posture unchanged at 100 TB. */
+  def qXmodalAlign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val med = mediaHist(spark, sfDir)
+      .localCheckpoint() // dot arm + media-norm arm
+    val txt = textVec(spark, sfDir)
+      .localCheckpoint() // dot arm + text-norm arm
+    val dot = txt.join(med, Seq("doc_id", "dim"))
+      .select($"doc_id",
+        round($"x".cast("double") * $"h", 9).cast(dec9).as("tm"))
+      .groupBy($"doc_id").agg(sum($"tm").as("dot"))
+    val nt = txt
+      .select($"doc_id",
+        round($"x".cast("double") * $"x".cast("double"), 9).cast(dec9)
+          .as("tm"))
+      .groupBy($"doc_id").agg(sum($"tm").as("n2t"))
+    val nm = med.groupBy($"doc_id").agg(sum($"h" * $"h").as("n2m"))
+    val cs = dot.join(nt, "doc_id").join(nm, "doc_id")
+      .select($"doc_id",
+        round($"dot".cast("double")
+          / (sqrt($"n2t".cast("double")) * sqrt($"n2m".cast("double"))), 6)
+          .as("cs"))
+    cs.join(Tables.df(spark, sfDir, "documents")
+        .select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"cs".cast(dec6)).as("csum"),
+        sum(when($"cs" >= 0.0, 1L).otherwise(0L)).as("n_keep"))
+      .select($"source", $"n_pairs",
+        round($"csum".cast("double") / $"n_pairs", 6).as("mean_cos"),
+        $"n_keep", ($"n_pairs" - $"n_keep").as("n_drop"),
+        round($"n_keep".cast("double") / $"n_pairs", 6).as("keep_rate"))
+      .orderBy($"source")
+  }
+
+  // ---- q_xmodal_retrieval --------------------------------------------------
+  /** Cross-modal retrieval eval — "given the text, can the index find
+    * its own media?": every %25 query doc's text vector is ranked
+    * against ALL media vectors by exact-decimal cosine; the true pair's
+    * rank yields per-source recall@1, recall@10, and MRR — the standard
+    * dual-encoder health check beside [[qXmodalAlign]]'s per-pair gate
+    * (alignment says the pair agrees; retrieval says the pair agrees
+    * MORE than the distractors do). Media vectors densify to 64-wide
+    * arrays so the pair kernel is the codegen zip_with dot (the
+    * knnBruteForce shape). Scale: the query side is the %25 decile
+    * (broadcast over the partitioned corpus — never all-to-all); this
+    * is the eval twin, so it stays brute-force on purpose — the serving
+    * path at corpus scale feeds the same rank/recall stages from the
+    * IVF/SRP candidate joins (the q_ann_eval pattern). */
+  def qXmodalRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docsrc = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source")
+    val spine = spark.range(0, 64).select($"id".cast("int").as("dim"))
+    val dense = docsrc.select($"doc_id").crossJoin(broadcast(spine))
+      .join(mediaHist(spark, sfDir), Seq("doc_id", "dim"), "left")
+      .select($"doc_id", $"dim", coalesce($"h", lit(0L)).as("h"))
+      .groupBy($"doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, h)))," +
+        " s -> s.h)").as("mv"))
+    val q = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    // dot and the query norm follow the q_ann_lsh discipline (raw-double
+    // elements, 9dp once-rounded terms, exact decimal sums); the media
+    // norm is exact integer arithmetic end to end
+    val pairs = dense.join(broadcast(q))
+      .withColumn("cs", expr(
+        """round(CAST(aggregate(
+             zip_with(qv, mv, (a, b) ->
+               CAST(round(CAST(a AS DOUBLE) * CAST(b AS DOUBLE), 9)
+                 AS DECIMAL(20,9))),
+             CAST(0 AS DECIMAL(28,9)),
+             (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE)
+           / (sqrt(CAST(aggregate(
+                transform(qv, a ->
+                  CAST(round(CAST(a AS DOUBLE) * CAST(a AS DOUBLE), 9)
+                    AS DECIMAL(20,9))),
+                CAST(0 AS DECIMAL(28,9)),
+                (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE))
+              * sqrt(CAST(aggregate(transform(mv, a -> a * a),
+                  CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE))),
+           6)"""))
+    val wq = Window.partitionBy($"qid").orderBy($"cs".desc, $"doc_id".asc)
+    val tr = pairs.select($"qid", $"doc_id", $"cs")
+      .withColumn("rk", row_number().over(wq))
+      .filter($"doc_id" === $"qid")
+    tr.join(docsrc.select($"doc_id".as("qid"), $"source"), "qid")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_q"),
+        sum(when($"rk" === 1, 1L).otherwise(0L)).as("h1"),
+        sum(when($"rk" <= 10, 1L).otherwise(0L)).as("h10"),
+        sum(round(lit(1.0) / $"rk", 9).cast(dec9n)).as("rrsum"))
+      .select($"source", $"n_q",
+        round($"h1".cast("double") / $"n_q", 6).as("r_at_1"),
+        round($"h10".cast("double") / $"n_q", 6).as("r_at_10"),
+        round($"rrsum".cast("double") / $"n_q", 6).as("mrr"))
+      .orderBy($"source")
+  }
+
+  // ---- q_mauve_lite --------------------------------------------------------
+  /** MAUVE-style embedding-space divergence between the doc_id-parity
+    * release halves (Pillutla et al. '21, the quantize-then-diverge
+    * reduction: MAUVE clusters both samples in embedding space and
+    * compares the cluster histograms — here the quantizer is the
+    * SHARED md5-ordered 8-cell IVF assignment, one home with
+    * q_ann_ivf/q_ivf_advisor, and the comparison is Laplace-smoothed
+    * Jensen–Shannon over the 8 cells). The distribution-level drift
+    * gate beside q_centroid_drift's mean-level one: a mode the new half
+    * lost shows up here even when the global centroid barely moves.
+    * Determinism: exact decimal L2² assignment ([[VectorQueries.decL2Sq]],
+    * ties (d2, cell)), exact integer cell counts, the q_js_sources
+    * 9dp-once-rounded JS terms under an exact decimal sum. Scale: one
+    * corpus × 8-centroid broadcast pass with a partial-aggregable
+    * min(struct) argmin; everything after is cell-thin (8 rows). */
+  def qMauveLite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val cents = emb
+      .select($"vec_id", $"embedding",
+        md5(concat(lit("ivf:"), $"vec_id".cast("string"))).as("hh"))
+      .orderBy($"hh", $"vec_id").limit(8)
+      .withColumn("cell", row_number().over(Window.orderBy($"vec_id")) - 1)
+      .select($"cell", $"embedding".as("center"))
+      .localCheckpoint() // one 8-row broadcast
+    val asg = emb.crossJoin(broadcast(cents))
+      .withColumn("d2", VectorQueries.decL2Sq("embedding", "center"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cell")).as("m"))
+      .select($"vec_id", $"m.cell".as("cell"))
+    val cnt = asg
+      .groupBy($"cell")
+      .agg(sum(when($"vec_id" % 2 === 0, 1L).otherwise(0L)).as("na"),
+        sum(when($"vec_id" % 2 =!= 0, 1L).otherwise(0L)).as("nb"))
+    val dense = spark.range(0, 8).select($"id".cast("int").as("cell"))
+      .join(cnt, Seq("cell"), "left")
+      .select($"cell", coalesce($"na", lit(0L)).as("n_even"),
+        coalesce($"nb", lit(0L)).as("n_odd"))
+    val tot = dense.agg(sum($"n_even").as("ta"), sum($"n_odd").as("tb"))
+    val terms = dense.crossJoin(broadcast(tot))
+      .withColumn("pa", ($"n_even" + 1).cast("double") / ($"ta" + 8))
+      .withColumn("pb", ($"n_odd" + 1).cast("double") / ($"tb" + 8))
+      .withColumn("mm", ($"pa" + $"pb") / 2)
+      .withColumn("term",
+        round(lit(0.5) * $"pa" * log($"pa" / $"mm")
+          + lit(0.5) * $"pb" * log($"pb" / $"mm"), 9).cast(dec9n))
+      .localCheckpoint() // row output + the total
+    val js = terms.agg(sum($"term").as("s"))
+    terms.crossJoin(broadcast(js))
+      .select($"cell", $"n_even", $"n_odd",
+        round($"pa", 6).as("p_even"), round($"pb", 6).as("p_odd"),
+        $"term".cast("double").as("js_term"),
+        round($"s".cast("double"), 6).as("jsd"),
+        round(sqrt(greatest($"s".cast("double"), lit(0.0))), 6)
+          .as("js_dist"))
+      .orderBy($"cell")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_xmodal_align" -> qXmodalAlign,
+    "q_xmodal_retrieval" -> qXmodalRetrieval,
+    "q_mauve_lite" -> qMauveLite
+  )
+
+  /** The media-tower histogram CTEs, shared verbatim by both cross-modal
+    * oracles (one home, the survivalPrefixCtes lesson). */
+  private val histCtesSql =
+    """pos AS (
+      |  SELECT doc_id, unnest(range(1, len(text) + 1)) AS p, text
+      |  FROM documents),
+      |hist AS (
+      |  SELECT doc_id,
+      |    CAST((ascii(substr(text, CAST(p AS INT), 1)) + p) % 64 AS INT)
+      |      AS dim,
+      |    count(*) AS h
+      |  FROM pos GROUP BY 1, 2)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // same 6dp text elements × integer media counts, 9dp once-rounded
+    // products into exact decimal dot/norm sums, same shared cosine
+    // formula and cos >= 0 gate
+    "q_xmodal_align" ->
+      (s"""WITH $histCtesSql,
+        |txt AS (
+        |  SELECT vec_id AS doc_id, CAST(r.d AS INT) AS dim,
+        |    CAST(round(CAST(embedding[r.d + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS x
+        |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+        |dt AS (
+        |  SELECT t.doc_id,
+        |    sum(CAST(round(CAST(t.x AS DOUBLE) * h.h, 9)
+        |      AS DECIMAL(28,9))) AS dot
+        |  FROM txt t JOIN hist h
+        |    ON h.doc_id = t.doc_id AND h.dim = t.dim
+        |  GROUP BY 1),
+        |nt AS (
+        |  SELECT doc_id,
+        |    sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+        |      AS DECIMAL(28,9))) AS n2t
+        |  FROM txt GROUP BY 1),
+        |nm AS (SELECT doc_id, sum(h * h) AS n2m FROM hist GROUP BY 1),
+        |cs AS (
+        |  SELECT dt.doc_id,
+        |    round(CAST(dt.dot AS DOUBLE)
+        |      / (sqrt(CAST(nt.n2t AS DOUBLE))
+        |         * sqrt(CAST(nm.n2m AS DOUBLE))), 6) AS cs
+        |  FROM dt JOIN nt USING (doc_id) JOIN nm USING (doc_id))
+        |SELECT d.source, count(*) AS n_pairs,
+        |  round(CAST(sum(CAST(cs.cs AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_cos,
+        |  CAST(sum(CASE WHEN cs.cs >= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keep,
+        |  CAST(count(*) - sum(CASE WHEN cs.cs >= 0.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_drop,
+        |  round(CAST(sum(CASE WHEN cs.cs >= 0.0 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS keep_rate
+        |FROM cs JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // same sparse-dot identity (zero-count dims contribute exact 0 to
+    // the zip_with sum, so the sparse histogram join reproduces the
+    // dense-array dot), same rank/tie rule, same per-source metrics
+    "q_xmodal_retrieval" ->
+      (s"""WITH $histCtesSql,
+        |q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 25 = 0),
+        |pd AS (
+        |  SELECT q.qid, h.doc_id,
+        |    sum(CAST(round(CAST(q.qv[h.dim + 1] AS DOUBLE) * h.h, 9)
+        |      AS DECIMAL(20,9))) AS dot
+        |  FROM q CROSS JOIN hist h
+        |  GROUP BY 1, 2),
+        |nq AS (
+        |  SELECT vec_id AS qid,
+        |    sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+        |      AS DECIMAL(20,9))) AS n2
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings
+        |        WHERE vec_id % 25 = 0)
+        |  GROUP BY 1),
+        |nm AS (SELECT doc_id, sum(h * h) AS n2m FROM hist GROUP BY 1),
+        |cs AS (
+        |  SELECT pd.qid, pd.doc_id,
+        |    round(CAST(pd.dot AS DOUBLE)
+        |      / (sqrt(CAST(nq.n2 AS DOUBLE))
+        |         * sqrt(CAST(nm.n2m AS DOUBLE))), 6) AS cs
+        |  FROM pd JOIN nq USING (qid) JOIN nm USING (doc_id)),
+        |rk AS (
+        |  SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, doc_id) AS rk
+        |  FROM cs),
+        |tr AS (SELECT qid, rk FROM rk WHERE doc_id = qid)
+        |SELECT d.source, count(*) AS n_q,
+        |  round(CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS r_at_1,
+        |  round(CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS r_at_10,
+        |  round(CAST(sum(CAST(round(1.0 / rk, 9) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / count(*), 6) AS mrr
+        |FROM tr JOIN documents d ON d.doc_id = tr.qid
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the q_ann_ivf centroid/assignment CTEs (md5-ordered pick, exact
+    // decimal L2², (d2, cell) ties), then Laplace(+1) cell histograms
+    // and the q_js_sources 9dp JS terms
+    "q_mauve_lite" ->
+      """WITH scent AS (
+        |  SELECT vec_id, embedding, row_number() OVER (
+        |    ORDER BY md5('ivf:' || vec_id::VARCHAR), vec_id) AS rn
+        |  FROM embeddings),
+        |centers AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    embedding AS center
+        |  FROM scent WHERE rn <= 8),
+        |cd AS MATERIALIZED (
+        |  SELECT e.vec_id, c.cell,
+        |    SUM(CAST(round(
+        |      (CAST(e.embedding[r.d + 1] AS DOUBLE)
+        |        - CAST(c.center[r.d + 1] AS DOUBLE)) *
+        |      (CAST(e.embedding[r.d + 1] AS DOUBLE)
+        |        - CAST(c.center[r.d + 1] AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9))) AS d2
+        |  FROM embeddings e CROSS JOIN centers c
+        |  CROSS JOIN range(0, 64) r(d)
+        |  GROUP BY e.vec_id, c.cell),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |cnt AS (
+        |  SELECT cell,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb
+        |  FROM asg GROUP BY 1),
+        |dense AS (
+        |  SELECT CAST(r.c AS INT) AS cell,
+        |    coalesce(na, 0) AS n_even, coalesce(nb, 0) AS n_odd
+        |  FROM range(0, 8) r(c) LEFT JOIN cnt ON cnt.cell = r.c),
+        |tot AS (
+        |  SELECT CAST(sum(n_even) AS BIGINT) AS ta,
+        |    CAST(sum(n_odd) AS BIGINT) AS tb
+        |  FROM dense),
+        |terms AS (
+        |  SELECT cell, n_even, n_odd,
+        |    CAST(n_even + 1 AS DOUBLE) / (ta + 8) AS pa,
+        |    CAST(n_odd + 1 AS DOUBLE) / (tb + 8) AS pb
+        |  FROM dense CROSS JOIN tot),
+        |t2 AS (
+        |  SELECT cell, n_even, n_odd, pa, pb,
+        |    CAST(round(0.5 * pa * ln(pa / ((pa + pb) / 2))
+        |      + 0.5 * pb * ln(pb / ((pa + pb) / 2)), 9)
+        |      AS DECIMAL(18,9)) AS term
+        |  FROM terms),
+        |js AS (SELECT sum(term) AS s FROM t2)
+        |SELECT cell, n_even, n_odd,
+        |  round(pa, 6) AS p_even, round(pb, 6) AS p_odd,
+        |  CAST(term AS DOUBLE) AS js_term,
+        |  round(CAST(s AS DOUBLE), 6) AS jsd,
+        |  round(sqrt(greatest(CAST(s AS DOUBLE), 0.0)), 6) AS js_dist
+        |FROM t2 CROSS JOIN js ORDER BY cell""".stripMargin
+  )
+}
