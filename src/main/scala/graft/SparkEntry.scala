@@ -48,6 +48,7 @@ object SparkEntry {
     SqlSurface2,
     Corpus2Ops,
     Stats2Ops,
+    Stats3Ops,
     EvalOps,
     XModalOps
   )

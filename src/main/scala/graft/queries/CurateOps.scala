@@ -1062,6 +1062,63 @@ object CurateOps extends QueryPack {
       .limit(50)
   }
 
+  // ---- q_containment_dir ---------------------------------------------------
+  /** Source-pair containment DIRECTIONALITY (VERDICT r15 #7): which
+    * source is a subset/copy of which. [[qContainment]]'s doc-grain
+    * min-normalized score says "these two overlap"; at the source-pair
+    * grain the two one-directional fractions C(A→B) = |S_A ∩ S_B| / |S_A|
+    * and C(B→A) = |S_A ∩ S_B| / |S_B| answer the provenance question —
+    * a mirror/scrape of an origin shows C(mirror→origin) ≈ 1 while
+    * C(origin→mirror) stays small, which the symmetric overlap reads of
+    * q_source_overlap / q_minhash_source cannot distinguish from mutual
+    * borrowing. Rides the same inverted shingle index (3-gram
+    * lead()-window stream, xxhash64 keys, the shingleStream discipline)
+    * aggregated to DISTINCT (source, shingle): per-shingle equi-join
+    * fan-out is bounded by the SOURCE count squared (a handful), so the
+    * df ≤ 1000 stop-shingle cut the doc-grain op needs does not apply at
+    * this grain — there is no hub problem when a "node" is a whole
+    * source. Verdicts at the 0.5 bar on the once-rounded fractions:
+    * a_in_b / b_in_a / mutual / distinct. Output is source-pair thin
+    * (≤ S² rows); zero-overlap pairs drop out of the inner index join
+    * in both engines. Invariant (spec-pinned): C(A→B) ≥ C(B→A) ⟺
+    * n_a ≤ n_b, since both share the one n_inter numerator. */
+  def qContainmentDir(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val sh = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id", $"source",
+        posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "tok")),
+        size(TextFunctions.tokens($"text")).as("len"))
+      .select($"source", $"pos", $"len",
+        concat_ws(" ", $"tok", lead($"tok", 1).over(w),
+          lead($"tok", 2).over(w)).as("s"))
+      .filter($"pos" <= $"len" - 3)
+      .select($"source", xxhash64($"s").as("s"))
+      .distinct()
+      .localCheckpoint() // feeds the sizes + both index-join sides
+    val sz = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = sh.select($"source".as("src_a"), $"s")
+      .join(sh.select($"source".as("src_b"), $"s"), "s")
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select($"source".as("src_a"), $"n".as("n_a")), "src_a")
+      .join(sz.select($"source".as("src_b"), $"n".as("n_b")), "src_b")
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_inter",
+        round($"n_inter".cast("double") / $"n_a", 6).as("c_a_in_b"),
+        round($"n_inter".cast("double") / $"n_b", 6).as("c_b_in_a"),
+        round($"n_inter".cast("double") / $"n_a"
+          - $"n_inter".cast("double") / $"n_b", 6).as("asym"))
+      .withColumn("verdict",
+        when($"c_a_in_b" >= 0.5 && $"c_b_in_a" >= 0.5, "mutual")
+          .when($"c_a_in_b" >= 0.5, "a_in_b")
+          .when($"c_b_in_a" >= 0.5, "b_in_a")
+          .otherwise("distinct"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   // ---- q_watermark -------------------------------------------------------
   /** Statistical greenlist watermark detection (the Kirchenbauer-style
     * detector re-expressed relationally): a deterministic coin keyed on
@@ -1214,6 +1271,7 @@ object CurateOps extends QueryPack {
     "q_winnow_eval" -> qWinnowEval,
     "q_silhouette" -> qSilhouette,
     "q_containment" -> qContainment,
+    "q_containment_dir" -> qContainmentDir,
     "q_watermark" -> qWatermark,
     "q_minhash_eval" -> qMinhashEval,
     "q_minhash_miss" -> qMinhashMiss,
@@ -1560,6 +1618,44 @@ object CurateOps extends QueryPack {
         |  >= 0.8
         |ORDER BY containment DESC, id_a ASC, id_b ASC
         |LIMIT 50""".stripMargin,
+
+    // same 3-gram shingle stream at the SOURCE grain (string shingles
+    // where Spark carries xxhash64 keys — distinct counts agree under
+    // the family's standing collision-exactness assumption), same
+    // once-rounded directional fractions and 0.5-bar verdict CASE
+    "q_containment_dir" ->
+      s"""WITH sh0 AS (
+        |  SELECT DISTINCT source, unnest(
+        |    list_filter(
+        |      list_transform(range(0, greatest(len(T) - 2, 1)),
+        |        i -> array_to_string(T[(i+1):(i+3)], ' ')),
+        |      s -> s != '')) AS s
+        |  FROM (SELECT source, $toksDdb AS T FROM documents)),
+        |sh3 AS (
+        |  SELECT source, s FROM sh0
+        |  WHERE len(string_split(s, ' ')) = 3),
+        |sz AS (SELECT source, count(*) AS n FROM sh3 GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_inter
+        |  FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+        |    round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS c_a_in_b,
+        |    round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) AS c_b_in_a,
+        |    round(CAST(i.n_inter AS DOUBLE) / sa.n
+        |      - CAST(i.n_inter AS DOUBLE) / sb.n, 6) AS asym
+        |  FROM inter i
+        |  JOIN sz sa ON sa.source = i.src_a
+        |  JOIN sz sb ON sb.source = i.src_b)
+        |SELECT src_a, src_b, n_a, n_b, n_inter, c_a_in_b, c_b_in_a,
+        |  asym,
+        |  CASE WHEN c_a_in_b >= 0.5 AND c_b_in_a >= 0.5 THEN 'mutual'
+        |    WHEN c_a_in_b >= 0.5 THEN 'a_in_b'
+        |    WHEN c_b_in_a >= 0.5 THEN 'b_in_a'
+        |    ELSE 'distinct' END AS verdict
+        |FROM f ORDER BY src_a, src_b""".stripMargin,
 
     // same md5-parity greenlist coin over the same 1-indexed bigram
     // walk, same z formula and DECIMAL(18,6) pre-sum mean

@@ -43,6 +43,10 @@ object Stats3Ops extends QueryPack {
         round($"sx2".cast("double")
           - $"sx".cast("double") * $"sx".cast("double") / $"n", 9)
           .cast(dec9).as("ss"))
+      // a zero-variance group would make the ln term log(0): Spark NULLs
+      // it (silently dropping the group) while DuckDB returns -inf —
+      // exclude the degenerate group identically in both engines
+      .filter($"ss" > 0)
     val terms = g.select($"n", $"df", $"ss",
         round($"df" * log($"ss".cast("double") / $"df"), 9).cast(dec9)
           .as("lt"),
@@ -61,7 +65,9 @@ object Stats3Ops extends QueryPack {
           .when($"k" === 4, 7.815).when($"k" === 5, 9.488)
           .otherwise(11.070))
       .select($"k", $"nn".as("n"),
-        round($"sp2", 6).as("s2_pooled"),
+        // 2dp, not 6: sp2 is O(1e10) where the double ULP is ~4e-6, so a
+        // 6dp round lands on engine-divergent adjacent doubles
+        round($"sp2", 2).as("s2_pooled"),
         round($"num" / $"cc", 6).as("bartlett_t"),
         ($"k" - 1).as("df"), $"crit".as("chi2_crit"),
         (round($"num" / $"cc", 6) <= $"crit").as("equal_var"))
@@ -294,7 +300,7 @@ object Stats3Ops extends QueryPack {
         |    sum(CAST(round(df * ln(CAST(ss AS DOUBLE) / df), 9)
         |      AS DECIMAL(28,9))) AS lts,
         |    sum(CAST(round(1.0 / df, 9) AS DECIMAL(28,9))) AS rds
-        |  FROM g),
+        |  FROM g WHERE ss > 0),
         |f AS (
         |  SELECT k, nn, dfs,
         |    CAST(sss AS DOUBLE) / dfs AS sp2,
@@ -306,7 +312,7 @@ object Stats3Ops extends QueryPack {
         |      WHEN 4 THEN 7.815 WHEN 5 THEN 9.488
         |      ELSE 11.070 END AS crit
         |  FROM t)
-        |SELECT k, nn AS n, round(sp2, 6) AS s2_pooled,
+        |SELECT k, nn AS n, round(sp2, 2) AS s2_pooled,
         |  round(num / cc, 6) AS bartlett_t,
         |  CAST(k - 1 AS BIGINT) AS df, crit AS chi2_crit,
         |  round(num / cc, 6) <= crit AS equal_var

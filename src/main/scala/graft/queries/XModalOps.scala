@@ -133,6 +133,11 @@ object XModalOps extends QueryPack {
       .groupBy($"doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(dim, h)))," +
         " s -> s.h)").as("mv"))
+      // a zero-norm media vector (empty payload) would divide-by-zero to
+      // a NULL cosine and stay ranked last, while the oracle's sparse
+      // hist join drops the doc entirely — mirror the exclusion here
+      .filter(expr(
+        "aggregate(mv, CAST(0 AS BIGINT), (acc, t) -> acc + t) > 0"))
     val q = Tables.df(spark, sfDir, "embeddings")
       .filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
