@@ -28,7 +28,37 @@ object Bench {
       // no longer collapse to 1–2 serialized tasks — the r14/r15
       // q_adamic_adar wall≫run dispatch gaps were exactly that
       // collapse. Skew-join and the rest of AQE stay on.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      //
+      // r17 (VERDICT r16 #3): the blunt disable bought determinism at a
+      // measured 316→606 s full-tree cost (every tiny stage runs 32
+      // reducers). The envelope is now a knob so the alternatives are
+      // measurable under the EXACT harness: "off" = hard disable (r16
+      // behavior); "pinned" = coalescing ON but every input pinned to a
+      // constant (parallelismFirst=false so the target is the pinned
+      // advisory size, never totalBytes/defaultParallelism; min size
+      // pinned too) — task counts then depend only on the plan and the
+      // deterministic map-output sizes, not on machine parallelism.
+      // The driver never sets this; the default IS the committed
+      // envelope. See PERF.md round-17 for the A/B that chose it.
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        if (sys.env.getOrElse("SPARK_GRAFT_COALESCE", "pinned") == "off")
+          "false" else "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "1m"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+      // The LAST nondeterminism source under "pinned": AQE merges on the
+      // map-output sizes MapStatus reports = bytes as written, and lz4
+      // output depends on record ORDER inside each block — which follows
+      // shuffle fetch order, which is racy. Same machine, same plan,
+      // back-to-back: q_kcore coalesced to 52 vs 51 tasks, q_modularity
+      // 202 vs 212 (measured r17). Uncompressed block size = Σ per-record
+      // UnsafeRow bytes = order-INDEPENDENT, so compression off makes the
+      // merge boundaries a pure function of plan + data. Bench-envelope
+      // only (sf0.1 shuffles are page-cache-resident; a real cluster
+      // keeps compression on), and telemetry shuf_mb reads uncompressed
+      // from r17 on — see BASELINE.md caveat (f).
+      .config("spark.shuffle.compress", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,7 +72,19 @@ object Bench {
     // so the first timed query doesn't absorb session warm-up costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset (comma-separated names) for single-query profiling
+    // under the EXACT bench envelope — the driver never sets this, so the
+    // per-round run is always the full tree. Unknown names fail loudly:
+    // a typo'd subset that silently benches nothing reads as a 0.0s win.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { s =>
+      val unknown = s.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_QUERIES: ${unknown.mkString(", ")}")
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // a throwing query contributes 0.0 (NOT its elapsed-until-throw, and
       // not a negative sentinel): the 2× gate reads `total`, and a partial
       // time would let a breakage move the number either direction

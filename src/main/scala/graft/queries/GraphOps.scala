@@ -583,9 +583,14 @@ object GraphOps extends QueryPack {
       .select($"p",
         round(lit(1.0) / log($"pd".cast("double")), 9).cast(dec9).as("aw"),
         round(lit(1.0) / $"pd".cast("double"), 9).cast(dec9).as("rw"))
-    val inc = cp.join(keep, "p")
+    // keep is part-grain bounded (≤ |part|, hub-capped) — broadcast it so
+    // the incidence never shuffles to build the weights join; the wedge
+    // self-join is a shuffled-hash join (both sides are the same bounded
+    // incidence — no sort needed, and SMJ's two sorts were pure overhead
+    // on a join whose output feeds an unsorted hash aggregate).
+    val inc = cp.join(broadcast(keep), "p")
     inc.select($"c".as("c1"), $"p", $"aw", $"rw")
-      .join(inc.select($"c".as("c2"), $"p"), "p")
+      .join(inc.select($"c".as("c2"), $"p").hint("shuffle_hash"), "p")
       .filter($"c1" < $"c2")
       .groupBy($"c1", $"c2")
       .agg(count(lit(1)).as("common"),
