@@ -50,7 +50,8 @@ object SparkEntry {
     Stats2Ops,
     Stats3Ops,
     EvalOps,
-    XModalOps
+    XModalOps,
+    ValueOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -138,12 +138,12 @@ object LearnOps extends QueryPack {
     * count carries no real signal (synthetic near-uniform vocabulary), so
     * the scorer is confidently miscalibrated — exactly what the ECE /
     * isotonic pair must detect (pinned in the spec). */
-  private def scoredDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def scoredDocs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val markers = graft.functions.TextFunctions.langMarkers
       .find(_._1 == "en").get._2
     Tables.df(spark, sfDir, "documents")
-      .select($"doc_id", ($"lang" === "en").cast("long").as("y"),
+      .select($"doc_id", $"source", ($"lang" === "en").cast("long").as("y"),
         round(lit(1.0) / (lit(1.0) +
           exp(lit(1.5) - graft.functions.TextFunctions
             .langScore($"text", markers))), 6).as("p"))
@@ -454,9 +454,9 @@ object LearnOps extends QueryPack {
 
   /** Shared scored-docs CTE for the calibration pair (same frozen
     * logistic over the English-marker count as [[scoredDocs]]). */
-  private val scoredCte =
+  private[queries] val scoredCte =
     """d AS (
-      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |  SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
       |    round(1.0 / (1.0 + exp(1.5 - len(list_intersect(
       |      list_distinct(list_filter(string_split(lower(text), ' '),
       |        x -> x != '')),
