@@ -260,15 +260,139 @@ object Corpus2Ops extends QueryPack {
       .orderBy($"depth")
   }
 
+  // ---- q_rouge_lite --------------------------------------------------------
+  /** ROUGE-1/ROUGE-2 overlap (Lin '04) between each document and the
+    * NEXT doc_id within its source — the standard summarization-eval
+    * metric repurposed as boilerplate forensics: a source whose
+    * adjacent documents score high ROUGE is template-stamped even when
+    * exact/MinHash dedup passes (the n-gram-multiset view q_containment
+    * 's set view can't see — clipped counts catch REPEATED shared
+    * phrases). Per pair and n ∈ {1,2}: overlap = Σ_g min(c_ref, c_cand)
+    * (the clipped-count form), P = ov/|cand|, R = ov/|ref|, F = 2PR/
+    * (P+R); per-source means reported per n. Scale shape: every doc
+    * joins ≤ 2 pairs (the lead() chain), so the (pair, gram) join is
+    * corpus-linear; counts/overlaps are exact integers, P/R/F round
+    * once to 9dp into decimal means, each mean rounds once to 6dp.
+    * Pairs missing a side's grams (single-token docs at n=2) drop via
+    * the inner total joins identically in both engines. */
+  def qRougeLite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val docs = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source",
+        graft.functions.TextFunctions.tokens($"text").as("T"))
+    val uni = docs.select($"doc_id", explode($"T").as("g"))
+      .withColumn("n", lit(1))
+    val big = docs.filter(size($"T") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(T) - 1),
+          |  i -> concat(element_at(T, i), ' ', element_at(T, i + 1)))"""
+          .stripMargin)).as("g"))
+      .withColumn("n", lit(2))
+    val cnt = uni.unionByName(big)
+      .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // totals + both pair sides
+    val tot = cnt.groupBy($"doc_id", $"n").agg(sum($"c").as("tot"))
+    val pairs = docs.select($"source", $"doc_id")
+      .withColumn("b", lead($"doc_id", 1).over(
+        Window.partitionBy($"source").orderBy($"doc_id")))
+      .filter($"b".isNotNull)
+      .select($"source", $"doc_id".as("a"), $"b")
+    val ov = pairs
+      .join(cnt.select($"doc_id".as("a"), $"n", $"g", $"c".as("ca")), "a")
+      .join(cnt.select($"doc_id".as("b"), $"n", $"g", $"c".as("cb")),
+        Seq("b", "n", "g"))
+      .groupBy($"source", $"a", $"b", $"n")
+      .agg(sum(least($"ca", $"cb")).as("ovl"))
+    pairs
+      .join(tot.select($"doc_id".as("a"), $"n", $"tot".as("ta")), "a")
+      .join(tot.select($"doc_id".as("b"), $"n", $"tot".as("tb")),
+        Seq("b", "n"))
+      .join(ov, Seq("source", "a", "b", "n"), "left")
+      .select($"source", $"n", coalesce($"ovl", lit(0L)).as("ovl"),
+        $"ta", $"tb")
+      .select($"source", $"n",
+        round($"ovl".cast("double") / $"tb", 9).cast(dec9).as("p"),
+        round($"ovl".cast("double") / $"ta", 9).cast(dec9).as("r"),
+        $"ovl")
+      .withColumn("f", when($"ovl" > 0,
+        round(lit(2.0) * $"p".cast("double") * $"r".cast("double")
+          / ($"p".cast("double") + $"r".cast("double")), 9).cast(dec9))
+        .otherwise(lit(0).cast(dec9)))
+      .groupBy($"source", $"n")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"p").cast("double") / count(lit(1)), 6).as("rouge_p"),
+        round(sum($"r").cast("double") / count(lit(1)), 6).as("rouge_r"),
+        round(sum($"f").cast("double") / count(lit(1)), 6).as("rouge_f"))
+      .select($"source", $"n".as("ngram"), $"n_pairs",
+        $"rouge_p", $"rouge_r", $"rouge_f")
+      .orderBy($"source", $"ngram")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_entropy_rate" -> qEntropyRate,
     "q_js_sources" -> qJsSources,
     "q_burrows_delta" -> qBurrowsDelta,
     "q_chao1" -> qChao1,
-    "q_rbo_drift" -> qRboDrift
+    "q_rbo_drift" -> qRboDrift,
+    "q_rouge_lite" -> qRougeLite
   )
 
   val oracle: Map[String, String] = Map(
+    // same lead()-chained pairs, clipped-count overlaps as exact
+    // integers, the identical 9dp P/R/F rounds into decimal means
+    "q_rouge_lite" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id, source, $toksSql AS T FROM documents),
+        |uni AS (
+        |  SELECT doc_id, 1 AS n, unnest(T) AS g FROM d0),
+        |big AS (
+        |  SELECT doc_id, 2 AS n,
+        |    unnest(list_transform(range(1, len(T)),
+        |      i -> T[i] || ' ' || T[i + 1])) AS g
+        |  FROM d0 WHERE len(T) >= 2),
+        |cnt AS (
+        |  SELECT doc_id, n, g, count(*) AS c
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot
+        |        FROM cnt GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT source, doc_id AS a,
+        |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b
+        |  FROM d0),
+        |pp AS (SELECT source, a, b FROM pairs WHERE b IS NOT NULL),
+        |ov AS (
+        |  SELECT p.source, p.a, p.b, ca.n,
+        |    CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS ovl
+        |  FROM pp p
+        |  JOIN cnt ca ON ca.doc_id = p.a
+        |  JOIN cnt cb ON cb.doc_id = p.b AND cb.n = ca.n AND cb.g = ca.g
+        |  GROUP BY 1, 2, 3, 4),
+        |prf AS (
+        |  SELECT p.source, ca.n, coalesce(ov.ovl, 0) AS ovl,
+        |    CAST(round(CAST(coalesce(ov.ovl, 0) AS DOUBLE) / cb.tot, 9)
+        |      AS DECIMAL(18,9)) AS pr,
+        |    CAST(round(CAST(coalesce(ov.ovl, 0) AS DOUBLE) / ca.tot, 9)
+        |      AS DECIMAL(18,9)) AS rc
+        |  FROM pp p
+        |  JOIN tot ca ON ca.doc_id = p.a
+        |  JOIN tot cb ON cb.doc_id = p.b AND cb.n = ca.n
+        |  LEFT JOIN ov ON ov.a = p.a AND ov.b = p.b AND ov.n = ca.n),
+        |f AS (
+        |  SELECT source, n, pr, rc,
+        |    CASE WHEN ovl > 0
+        |      THEN CAST(round(2.0 * CAST(pr AS DOUBLE) * CAST(rc AS DOUBLE)
+        |        / (CAST(pr AS DOUBLE) + CAST(rc AS DOUBLE)), 9)
+        |        AS DECIMAL(18,9))
+        |      ELSE CAST(0 AS DECIMAL(18,9)) END AS ff
+        |  FROM prf)
+        |SELECT source, n AS ngram, count(*) AS n_pairs,
+        |  round(CAST(sum(pr) AS DOUBLE) / count(*), 6) AS rouge_p,
+        |  round(CAST(sum(rc) AS DOUBLE) / count(*), 6) AS rouge_r,
+        |  round(CAST(sum(ff) AS DOUBLE) / count(*), 6) AS rouge_f
+        |FROM f GROUP BY 1, 2 ORDER BY source, ngram""".stripMargin,
+
     // same position spine, same 9dp -p ln p terms, same h2 - h1 rate
     "q_entropy_rate" ->
       """WITH pos AS (

@@ -385,6 +385,45 @@ object GovernOps extends QueryPack {
       .orderBy($"level", $"k")
   }
 
+  // ---- q_reident_risk ------------------------------------------------------
+  /** Re-identification risk models over the q_kanonymity equivalence
+    * classes (the ARX/El Emam framing): per generalization level,
+    * prosecutor risk (an adversary targeting a KNOWN record succeeds
+    * with probability 1/k of its class — reported at the worst class,
+    * 1/min k), marketer risk (an adversary matching ALL records
+    * re-identifies an expected classes/N fraction — each class
+    * contributes k·(1/k) = 1 hit), and the sample-unique census
+    * (classes of size 1 — the rows NO suppression threshold protects).
+    * q_kanonymity counts who fails a threshold; this prices the attack
+    * itself — the number a release-risk sign-off quotes. Scale shape:
+    * identical to q_kanonymity — one customer pass per level into
+    * class-thin relations, exact integer counts, each risk divides
+    * once and rounds once. */
+  def qReidentRisk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.df(spark, sfDir, "customer")
+      .select($"c_mktsegment".as("seg"), $"c_nationkey".as("nat"),
+        floor($"c_acctbal" / 1000).as("bal_bin"))
+    def classes(level: Int, keys: Seq[String]): DataFrame =
+      cust.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .select(lit(level).as("level"), $"cnt")
+    classes(0, Seq("seg", "nat", "bal_bin"))
+      .unionAll(classes(1, Seq("seg", "nat")))
+      .unionAll(classes(2, Seq("seg")))
+      .groupBy($"level")
+      .agg(sum($"cnt").as("n_rows"), count(lit(1)).as("n_classes"),
+        min($"cnt").as("k_min"),
+        sum(when($"cnt" === 1, 1L).otherwise(0L)).as("sample_uniques"))
+      .select($"level", $"n_rows", $"n_classes", $"k_min",
+        $"sample_uniques",
+        round(lit(1.0) / $"k_min", 6).as("prosecutor_risk"),
+        round($"n_classes".cast("double") / $"n_rows", 6)
+          .as("marketer_risk"),
+        round($"sample_uniques".cast("double") / $"n_rows", 6)
+          .as("unique_frac"))
+      .orderBy($"level")
+  }
+
   // ---- q_ks_matrix -------------------------------------------------------
   /** Pairwise Kolmogorov–Smirnov matrix over the per-source document-
     * LENGTH distributions — q_kl_sources' distribution-free companion
@@ -888,6 +927,7 @@ object GovernOps extends QueryPack {
     "q_dataset_diff" -> qDatasetDiff,
     "q_dp_release" -> qDpRelease,
     "q_kanonymity" -> qKanonymity,
+    "q_reident_risk" -> qReidentRisk,
     "q_ldiversity" -> qLdiversity,
     "q_ks_matrix" -> qKsMatrix,
     "q_holm" -> qHolm,
@@ -1197,6 +1237,31 @@ object GovernOps extends QueryPack {
         |  round(n_docs + lap, 2) AS noisy_count,
         |  round(abs(lap), 2) AS abs_err
         |FROM n ORDER BY source, eps""".stripMargin,
+
+    // same QI hierarchy and class relation as q_kanonymity; exact
+    // integer class stats, each risk divides once and rounds once
+    "q_reident_risk" ->
+      """WITH c0 AS (
+        |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin
+        |  FROM customer),
+        |s AS (
+        |  SELECT 0 AS level, count(*) AS cnt FROM c0
+        |    GROUP BY seg, nat, bal_bin
+        |  UNION ALL
+        |  SELECT 1, count(*) FROM c0 GROUP BY seg, nat
+        |  UNION ALL
+        |  SELECT 2, count(*) FROM c0 GROUP BY seg)
+        |SELECT level, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  count(*) AS n_classes,
+        |  CAST(min(cnt) AS BIGINT) AS k_min,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS sample_uniques,
+        |  round(1.0 / min(cnt), 6) AS prosecutor_risk,
+        |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS marketer_risk,
+        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt), 6) AS unique_frac
+        |FROM s GROUP BY level ORDER BY level""".stripMargin,
 
     "q_kanonymity" ->
       """WITH c0 AS (

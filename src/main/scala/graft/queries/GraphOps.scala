@@ -603,6 +603,93 @@ object GraphOps extends QueryPack {
       .limit(20)
   }
 
+  // ---- q_assortativity -----------------------------------------------------
+  /** Degree assortativity (Newman '02): the Pearson correlation of
+    * endpoint degrees over the co-purchase edge list — "do hubs attach
+    * to hubs (assortative, social-network-like) or to leaves
+    * (disassortative, bipartite/infrastructure-like)?" This graph is
+    * customer↔supplier bipartite, so the measured sign is itself a
+    * structure check the spec pins. Computed on the symmetrized
+    * directed list (each undirected edge twice), where Σj = Σk and the
+    * textbook per-undirected-edge half-sums collapse to plain moments
+    * of (deg u, deg v). Scale shape: two node-keyed degree joins onto
+    * the edge list + ONE global aggregate of exact integer moments
+    * (per-edge products fit int64 while max-degree² × |E| < 2⁶³ — the
+    * hub caps the wedge ops already rely on keep that true at any
+    * corpus the caps admit); the closed form divides exact sums and
+    * rounds once. */
+  def qAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = coPurchaseEdgesLong(spark, sfDir)
+      .localCheckpoint() // degree agg + both endpoint joins
+    val deg = e.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // node count + both endpoint joins
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val m = e.join(deg.select($"node".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
+      .agg(count(lit(1)).as("m2"), sum($"du" * $"dv").as("sjk"),
+        sum($"du").as("sj"), sum($"du" * $"du").as("sj2"))
+    m.crossJoin(broadcast(nodes))
+      .select($"n_nodes", ($"m2" / 2).cast("long").as("m_edges"),
+        (($"sjk".cast("double") / $"m2")
+          - ($"sj".cast("double") / $"m2")
+            * ($"sj".cast("double") / $"m2")).as("cov"),
+        (($"sj2".cast("double") / $"m2")
+          - ($"sj".cast("double") / $"m2")
+            * ($"sj".cast("double") / $"m2")).as("vx"))
+      .select($"n_nodes", $"m_edges",
+        when($"vx" =!= 0.0, round($"cov" / $"vx", 6)).as("r"))
+      .withColumn("structure",
+        when($"r".isNull, lit(null).cast("string"))
+          .when($"r" > 0.05, lit("assortative"))
+          .when($"r" < -0.05, lit("disassortative"))
+          .otherwise(lit("neutral")))
+  }
+
+  // ---- q_rich_club ---------------------------------------------------------
+  /** Rich-club coefficient φ(k) = 2·E_{>k} / (N_{>k}(N_{>k}−1)) (Zhou &
+    * Mondragón '04) over a k ∈ {2,4,8,16,32} spine — how densely the
+    * hubs interconnect relative to what their count allows, reported
+    * raw AND normalized by the whole graph's density (the rewiring null
+    * model is randomized, so the deterministic density ratio is the
+    * engine-portable normalizer — stated, not hidden). A rich club in
+    * the co-purchase graph = a supplier/customer clique every
+    * popularity-sensitive sampler over-draws from. Scale shape: the
+    * same two degree joins as q_assortativity, then the constant 5-row
+    * k-spine fans out ONLY the surviving hub edges (monotonically
+    * shrinking per k); node counts come off the degree relation, never
+    * the edge list. All counts exact integers; φ divides once. */
+  def qRichClub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ks = array(lit(2), lit(4), lit(8), lit(16), lit(32))
+    val e = coPurchaseEdgesLong(spark, sfDir)
+      .localCheckpoint() // degree agg + the hub-edge scan
+    val deg = e.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // spine counts + both endpoint joins
+    val spine = deg.select(explode(ks).as("k"), $"d")
+      .groupBy($"k")
+      .agg(sum(when($"d" > $"k", 1L).otherwise(0L)).as("n_nodes"))
+    val etot = e.agg(count(lit(1)).as("m2_tot"))
+    val ntot = deg.agg(count(lit(1)).as("n_tot"))
+    val ek = e.join(deg.select($"node".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
+      .select(explode(ks).as("k"), $"du", $"dv")
+      .filter($"du" > $"k" && $"dv" > $"k")
+      .groupBy($"k").agg(count(lit(1)).as("m2"))
+    spine.join(ek, Seq("k"), "left")
+      .crossJoin(broadcast(etot)).crossJoin(broadcast(ntot))
+      .select($"k", $"n_nodes",
+        (coalesce($"m2", lit(0L)) / 2).cast("long").as("m_edges"),
+        when($"n_nodes" > 1, round(coalesce($"m2", lit(0L)).cast("double")
+          / ($"n_nodes".cast("double") * ($"n_nodes" - 1)), 6)).as("phi"),
+        round($"m2_tot".cast("double")
+          / ($"n_tot".cast("double") * ($"n_tot" - 1)), 6).as("density"))
+      .withColumn("phi_norm",
+        when($"phi".isNotNull && $"density" > 0,
+          round($"phi" / $"density", 6)))
+      .orderBy($"k")
+  }
+
   // ---- landmark BFS: q_closeness / q_graph_radius -------------------------
 
   /** Distances d(landmark, node) from 10 md5-chosen landmark nodes to
@@ -774,6 +861,8 @@ object GraphOps extends QueryPack {
     "q_graph_radius" -> qGraphRadius,
     "q_kcore" -> qKcore,
     "q_adamic_adar" -> qAdamicAdar,
+    "q_assortativity" -> qAssortativity,
+    "q_rich_club" -> qRichClub,
     "q_hits" -> qHits,
     "q_graph_stats" -> qGraphStats,
     "q_common_neighbors" -> qCommonNeighbors,
@@ -823,6 +912,88 @@ object GraphOps extends QueryPack {
        |    FROM c$cur) WHERE rk = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same symmetrized edge list + degree joins; exact integer moments
+    // into the same once-divided double closed form
+    "q_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+        |nodes AS (SELECT count(*) AS n_nodes FROM deg),
+        |m AS (
+        |  SELECT count(*) AS m2,
+        |    CAST(sum(du.d * dv.d) AS BIGINT) AS sjk,
+        |    CAST(sum(du.d) AS BIGINT) AS sj,
+        |    CAST(sum(du.d * du.d) AS BIGINT) AS sj2
+        |  FROM e
+        |  JOIN deg du ON du.node = e.u
+        |  JOIN deg dv ON dv.node = e.v),
+        |f AS (
+        |  SELECT n_nodes, CAST(m2 / 2 AS BIGINT) AS m_edges,
+        |    (CAST(sjk AS DOUBLE) / m2)
+        |      - (CAST(sj AS DOUBLE) / m2) * (CAST(sj AS DOUBLE) / m2)
+        |      AS cov,
+        |    (CAST(sj2 AS DOUBLE) / m2)
+        |      - (CAST(sj AS DOUBLE) / m2) * (CAST(sj AS DOUBLE) / m2)
+        |      AS vx
+        |  FROM m CROSS JOIN nodes),
+        |g AS (
+        |  SELECT n_nodes, m_edges,
+        |    CASE WHEN vx != 0 THEN round(cov / vx, 6) END AS r
+        |  FROM f)
+        |SELECT n_nodes, m_edges, r,
+        |  CASE WHEN r IS NULL THEN NULL
+        |    WHEN r > 0.05 THEN 'assortative'
+        |    WHEN r < -0.05 THEN 'disassortative'
+        |    ELSE 'neutral' END AS structure
+        |FROM g""".stripMargin,
+
+    // same degree joins, same 5-value k spine, exact integer counts,
+    // each ratio divides once and rounds once
+    "q_rich_club" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+        |ks AS (SELECT unnest([2, 4, 8, 16, 32]) AS k),
+        |spine AS (
+        |  SELECT k,
+        |    CAST(sum(CASE WHEN d > k THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nodes
+        |  FROM deg CROSS JOIN ks GROUP BY k),
+        |etot AS (SELECT count(*) AS m2_tot FROM e),
+        |ntot AS (SELECT count(*) AS n_tot FROM deg),
+        |ek AS (
+        |  SELECT k, count(*) AS m2
+        |  FROM e
+        |  JOIN deg du ON du.node = e.u
+        |  JOIN deg dv ON dv.node = e.v
+        |  CROSS JOIN ks
+        |  WHERE du.d > k AND dv.d > k
+        |  GROUP BY k)
+        |SELECT s.k, s.n_nodes,
+        |  CAST(coalesce(ek.m2, 0) / 2 AS BIGINT) AS m_edges,
+        |  CASE WHEN s.n_nodes > 1
+        |    THEN round(CAST(coalesce(ek.m2, 0) AS DOUBLE)
+        |      / (CAST(s.n_nodes AS DOUBLE) * (s.n_nodes - 1)), 6) END
+        |    AS phi,
+        |  round(CAST(m2_tot AS DOUBLE)
+        |    / (CAST(n_tot AS DOUBLE) * (n_tot - 1)), 6) AS density,
+        |  CASE WHEN s.n_nodes > 1
+        |      AND round(CAST(m2_tot AS DOUBLE)
+        |        / (CAST(n_tot AS DOUBLE) * (n_tot - 1)), 6) > 0
+        |    THEN round(round(CAST(coalesce(ek.m2, 0) AS DOUBLE)
+        |        / (CAST(s.n_nodes AS DOUBLE) * (s.n_nodes - 1)), 6)
+        |      / round(CAST(m2_tot AS DOUBLE)
+        |        / (CAST(n_tot AS DOUBLE) * (n_tot - 1)), 6), 6) END
+        |    AS phi_norm
+        |FROM spine s
+        |LEFT JOIN ek ON ek.k = s.k
+        |CROSS JOIN etot CROSS JOIN ntot
+        |ORDER BY s.k""".stripMargin,
+
     // same long-encoded edge construction, same 6dp ln terms into
     // decimal sums, same OLS closed forms (the q_zipf_fit oracle shape)
     "q_degree_dist" ->

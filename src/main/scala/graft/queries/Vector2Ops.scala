@@ -321,12 +321,79 @@ object Vector2Ops extends QueryPack {
       .orderBy($"n_cells", $"n_probes")
   }
 
+  // ---- q_isotropy ----------------------------------------------------------
+  /** Embedding-space anisotropy audit (Ethayarajh '19; Mu & Viswanath
+    * '18's all-but-the-top motivation): the mean pairwise cosine over
+    * ALL n(n−1) normalized-vector pairs, raw and after mean-centering —
+    * WITHOUT a pair join, because Σ_{i≠j} x̂_i·x̂_j = ‖Σx̂‖² − Σ‖x̂_i‖²
+    * turns the quadratic sum into two linear passes. A raw mean cosine
+    * far above ~0 says the store shares a dominant direction (cosine
+    * thresholds/IVF cells degrade); the centered value is what the
+    * geometry looks like after the standard fix, and the gap prices the
+    * fix. Scale shape: dimension explode → per-vector exact-decimal
+    * norms → dim-thin component sums → closed form; the centering pass
+    * broadcasts the 64-row mean. Zero vectors (undefined direction)
+    * and mean-equal vectors drop from their respective passes
+    * identically in both engines. */
+  def qIsotropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val dec9 = DecimalType(18, 9)
+    val comps = Tables.df(spark, sfDir, "embeddings")
+      .select($"vec_id", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .select($"vec_id", $"dim", round($"x", 6).cast(dec6).as("xd"))
+    val n2 = comps.groupBy($"vec_id")
+      .agg(sum($"xd" * $"xd").as("n2")).filter($"n2" > 0)
+    val xhat = comps.join(n2, "vec_id")
+      .select($"vec_id", $"dim",
+        round($"xd".cast("double") / sqrt($"n2".cast("double")), 9)
+          .cast(dec9).as("xh"))
+      .localCheckpoint() // raw moments + mean + centered pass
+    def meanCos(unit: DataFrame): DataFrame = {
+      // component sums fit (18,9) by magnitude (|xh| ≤ 1, n ≤ 1e9), and
+      // the tightened precision keeps every square inside exact decimal
+      // range in BOTH engines (a (28,9)² would overflow precision 38)
+      val s = unit.groupBy($"dim")
+        .agg(sum($"xh").cast(dec9).as("sd"))
+        .agg(sum($"sd" * $"sd").as("ss2"))
+      val h = unit.groupBy($"vec_id").agg(sum($"xh" * $"xh").as("h2"))
+        .agg(sum($"h2").as("sh"), count(lit(1)).as("nv"))
+      s.crossJoin(h).select($"nv",
+        round(($"ss2".cast("double") - $"sh".cast("double"))
+          / ($"nv".cast("double") * ($"nv" - 1)), 6).as("mean_cos"))
+    }
+    val raw = meanCos(xhat)
+    val nvRaw = xhat.select($"vec_id").distinct()
+      .agg(count(lit(1)).as("nv0"))
+    val mu = xhat.groupBy($"dim").agg(sum($"xh").as("sd"))
+      .crossJoin(broadcast(nvRaw))
+      .select($"dim", round($"sd".cast("double") / $"nv0", 9)
+        .cast(dec9).as("mu"))
+    val cen = xhat.join(broadcast(mu), "dim")
+      .select($"vec_id", $"dim",
+        ($"xh" - $"mu").cast(dec9).as("yd")) // |yd| ≤ 2 — exact recast
+    val yn2 = cen.groupBy($"vec_id")
+      .agg(sum($"yd" * $"yd").as("yn2")).filter($"yn2" > 0)
+    val yhat = cen.join(yn2, "vec_id")
+      .select($"vec_id", $"dim",
+        round($"yd".cast("double") / sqrt($"yn2".cast("double")), 9)
+          .cast(dec9).as("xh"))
+    val ctr = meanCos(yhat)
+    raw.select($"nv".as("n_raw"), $"mean_cos".as("mean_cos_raw"))
+      .crossJoin(ctr.select($"nv".as("n_centered"),
+        $"mean_cos".as("mean_cos_centered")))
+      .withColumn("anisotropy_gap",
+        round($"mean_cos_raw" - $"mean_cos_centered", 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca_deflate" -> qPcaDeflate,
     "q_binary_quantize" -> qBinaryQuantize,
     "q_mmd_poly" -> qMmdPoly,
     "q_ann_filtered" -> qAnnFiltered,
-    "q_ivf_advisor" -> qIvfAdvisor
+    "q_ivf_advisor" -> qIvfAdvisor,
+    "q_isotropy" -> qIsotropy
   )
 
   /** One power step over the materialized deflated operator for the
@@ -381,6 +448,68 @@ object Vector2Ops extends QueryPack {
       |    AS DECIMAL(12,9)) AS v FROM u3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same 6dp components → exact decimal norms → 9dp unit vectors →
+    // the identical ‖Σx̂‖² − Σ‖x̂‖² closed form, raw and mean-centered
+    "q_isotropy" ->
+      """WITH comps AS (
+        |  SELECT vec_id, r.d AS dim,
+        |    CAST(round(CAST(embedding[r.d + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS xd
+        |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+        |n2 AS (
+        |  SELECT vec_id, sum(xd * xd) AS n2 FROM comps GROUP BY 1
+        |  HAVING sum(xd * xd) > 0),
+        |xhat AS (
+        |  SELECT c.vec_id, c.dim,
+        |    CAST(round(CAST(c.xd AS DOUBLE) / sqrt(CAST(n2.n2 AS DOUBLE)),
+        |      9) AS DECIMAL(18,9)) AS xh
+        |  FROM comps c JOIN n2 ON n2.vec_id = c.vec_id),
+        |sraw AS (
+        |  SELECT sum(sd * sd) AS ss2 FROM (
+        |    SELECT CAST(sum(xh) AS DECIMAL(18,9)) AS sd
+        |    FROM xhat GROUP BY dim)),
+        |hraw AS (
+        |  SELECT sum(h2) AS sh, count(*) AS nv FROM (
+        |    SELECT vec_id, sum(xh * xh) AS h2 FROM xhat GROUP BY 1)),
+        |nv0 AS (SELECT count(DISTINCT vec_id) AS nv0 FROM xhat),
+        |mu AS (
+        |  SELECT dim, CAST(round(CAST(sum(xh) AS DOUBLE)
+        |      / (SELECT nv0 FROM nv0), 9) AS DECIMAL(18,9)) AS mu
+        |  FROM xhat GROUP BY dim),
+        |cen AS (
+        |  SELECT x.vec_id, x.dim,
+        |    CAST(x.xh - m.mu AS DECIMAL(18,9)) AS yd
+        |  FROM xhat x JOIN mu m ON m.dim = x.dim),
+        |yn2 AS (
+        |  SELECT vec_id, sum(yd * yd) AS yn2 FROM cen GROUP BY 1
+        |  HAVING sum(yd * yd) > 0),
+        |yhat AS (
+        |  SELECT c.vec_id, c.dim,
+        |    CAST(round(CAST(c.yd AS DOUBLE) / sqrt(CAST(y.yn2 AS DOUBLE)),
+        |      9) AS DECIMAL(18,9)) AS xh
+        |  FROM cen c JOIN yn2 y ON y.vec_id = c.vec_id),
+        |sc AS (
+        |  SELECT sum(sd * sd) AS ss2 FROM (
+        |    SELECT CAST(sum(xh) AS DECIMAL(18,9)) AS sd
+        |    FROM yhat GROUP BY dim)),
+        |hc AS (
+        |  SELECT sum(h2) AS sh, count(*) AS nv FROM (
+        |    SELECT vec_id, sum(xh * xh) AS h2 FROM yhat GROUP BY 1))
+        |SELECT CAST(hraw.nv AS BIGINT) AS n_raw,
+        |  round((CAST(sraw.ss2 AS DOUBLE) - CAST(hraw.sh AS DOUBLE))
+        |    / (CAST(hraw.nv AS DOUBLE) * (hraw.nv - 1)), 6)
+        |    AS mean_cos_raw,
+        |  CAST(hc.nv AS BIGINT) AS n_centered,
+        |  round((CAST(sc.ss2 AS DOUBLE) - CAST(hc.sh AS DOUBLE))
+        |    / (CAST(hc.nv AS DOUBLE) * (hc.nv - 1)), 6)
+        |    AS mean_cos_centered,
+        |  round(round((CAST(sraw.ss2 AS DOUBLE) - CAST(hraw.sh AS DOUBLE))
+        |      / (CAST(hraw.nv AS DOUBLE) * (hraw.nv - 1)), 6)
+        |    - round((CAST(sc.ss2 AS DOUBLE) - CAST(hc.sh AS DOUBLE))
+        |      / (CAST(hc.nv AS DOUBLE) * (hc.nv - 1)), 6), 6)
+        |    AS anisotropy_gap
+        |FROM sraw CROSS JOIN hraw CROSS JOIN sc CROSS JOIN hc""".stripMargin,
+
     // the q_pca_power chain + Rayleigh lambda1 + 3 deflated steps, all
     // terms 9dp once-rounded exactly as the Spark plan
     "q_pca_deflate" ->
