@@ -424,6 +424,41 @@ object GovernOps extends QueryPack {
       .orderBy($"level")
   }
 
+  // ---- q_retention_sweep ---------------------------------------------------
+  /** Data-retention policy sweep — the deletion-impact plan a
+    * governance review reads BEFORE a TTL ships: for each event_type ×
+    * policy ∈ {30, 60, 90} days (anchored at the LOG's max timestamp,
+    * so the report is deterministic and replayable, not wall-clock-
+    * dependent), the rows and summed value the policy would delete vs
+    * keep, and the oldest surviving day. The prospective twin of
+    * q_scd2's history bookkeeping: one says what retention DID, this
+    * says what a policy WOULD do. Scale shape: one events pass against
+    * the broadcast 3-row policy spine and 1-row anchor; exact integer/
+    * decimal sums, each fraction divides once. */
+  def qRetentionSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val ev = Tables.df(spark, sfDir, "events")
+      .select($"event_type", to_date($"ts").as("day"),
+        round($"value", 6).cast(dec6).as("v"))
+    val anchor = ev.agg(max($"day").as("anchor"))
+    val spine = Seq(30, 60, 90).toDF("policy_days")
+    ev.crossJoin(broadcast(anchor)).crossJoin(broadcast(spine))
+      .withColumn("drop", datediff($"anchor", $"day") >= $"policy_days")
+      .groupBy($"event_type", $"policy_days")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"drop", 1L).otherwise(0L)).as("rows_dropped"),
+        sum(when($"drop", $"v")).as("value_dropped"),
+        min(when(!$"drop", $"day")).as("oldest_kept_day"))
+      .select($"event_type", $"policy_days", $"n_rows", $"rows_dropped",
+        round($"rows_dropped".cast("double") / $"n_rows", 6)
+          .as("drop_frac"),
+        round(coalesce($"value_dropped", lit(0).cast(dec6))
+          .cast("double"), 2).as("value_dropped"),
+        $"oldest_kept_day")
+      .orderBy($"event_type", $"policy_days")
+  }
+
   // ---- q_ks_matrix -------------------------------------------------------
   /** Pairwise Kolmogorov–Smirnov matrix over the per-source document-
     * LENGTH distributions — q_kl_sources' distribution-free companion
@@ -928,6 +963,7 @@ object GovernOps extends QueryPack {
     "q_dp_release" -> qDpRelease,
     "q_kanonymity" -> qKanonymity,
     "q_reident_risk" -> qReidentRisk,
+    "q_retention_sweep" -> qRetentionSweep,
     "q_ldiversity" -> qLdiversity,
     "q_ks_matrix" -> qKsMatrix,
     "q_holm" -> qHolm,
@@ -1237,6 +1273,29 @@ object GovernOps extends QueryPack {
         |  round(n_docs + lap, 2) AS noisy_count,
         |  round(abs(lap), 2) AS abs_err
         |FROM n ORDER BY source, eps""".stripMargin,
+
+    // same max-ts anchor, 3-row policy spine, exact integer/decimal
+    // sums, each fraction divides once
+    "q_retention_sweep" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |anchor AS (SELECT max(day) AS anchor FROM ev),
+        |spine AS (SELECT unnest([30, 60, 90]) AS policy_days),
+        |g AS (
+        |  SELECT event_type, policy_days,
+        |    (anchor - day) >= policy_days AS drp, v, day
+        |  FROM ev CROSS JOIN anchor CROSS JOIN spine)
+        |SELECT event_type, policy_days, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rows_dropped,
+        |  round(CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS drop_frac,
+        |  round(CAST(coalesce(sum(CASE WHEN drp THEN v END),
+        |    CAST(0 AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_dropped,
+        |  min(CASE WHEN NOT drp THEN day END) AS oldest_kept_day
+        |FROM g GROUP BY 1, 2 ORDER BY event_type, policy_days""".stripMargin,
 
     // same QI hierarchy and class relation as q_kanonymity; exact
     // integer class stats, each risk divides once and rounds once

@@ -462,6 +462,66 @@ object Series2Ops extends QueryPack {
       .select($"dow", $"n_g", $"s_g", $"var_g")
   }
 
+  // ---- q_croston -----------------------------------------------------------
+  /** Croston's method ('72) + the Syntetos–Boylan approximation for
+    * INTERMITTENT demand — per md5-free deterministic supplier subset
+    * (s % 20 = 0), the exponentially-weighted mean demand SIZE over the
+    * last ≤ 8 demand days and the EW mean INTERVAL between them, whose
+    * ratio is the demand rate the smooth-series forecasters (q_ses/
+    * q_holt) systematically overshoot on sparse series; SBA multiplies
+    * by (1 − α/2) to undo Croston's known bias. α = 0.2 makes every
+    * weight α(1−α)^j EXACTLY representable at 12dp (powers of 4/5 and
+    * 1/5 terminate in decimal), so the whole fit is exact decimal
+    * weighted sums — no libm anywhere; the truncation at 8 terms drops
+    * ≤ (0.8)⁸ ≈ 17% of the weight mass and renormalizes by the ACTUAL
+    * weight sum, so short series are exact, not approximated. Scale:
+    * lineitem collapses to (supplier, demand-day) immediately; the
+    * rank-8 window runs per supplier on that sparse relation. */
+  def qCroston(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec12 = DecimalType(16, 12)
+    // alpha(1-alpha)^j for j = 0..7 — exact decimal literals
+    val w = (0 to 7).map(j =>
+      (j, (BigDecimal("0.2") * BigDecimal("0.8").pow(j)).toString))
+      .toDF("j", "w_s")
+      .select($"j", $"w_s".cast(dec12).as("w"))
+    val dem = Tables.df(spark, sfDir, "lineitem")
+      .filter($"l_suppkey" % 20 === 0)
+      .select($"l_suppkey".as("supp"), to_date($"l_shipdate").as("day"),
+        round($"l_quantity", 2).cast(DecimalType(18, 2)).as("q"))
+      .groupBy($"supp", $"day")
+      // recast after the sum: (16,12) weights × an unbounded-precision
+      // sum would overflow decimal precision 38 and silently lose scale
+      .agg(sum($"q").cast(DecimalType(18, 2)).as("z"))
+    val seq0 = dem
+      .withColumn("gap", datediff($"day",
+        lag($"day", 1).over(Window.partitionBy($"supp").orderBy($"day"))))
+      .withColumn("j", row_number().over(
+        Window.partitionBy($"supp").orderBy($"day".desc)) - 1)
+      .filter($"j" <= 7)
+    val zfit = seq0.join(broadcast(w), "j")
+      .groupBy($"supp")
+      .agg(count(lit(1)).as("n_used"), sum($"w").as("ws"),
+        sum($"w" * $"z").as("wz"),
+        sum(when($"gap".isNotNull, $"w")).as("wsg"),
+        sum($"w" * $"gap").as("wg"))
+    val stats = dem.groupBy($"supp")
+      .agg(count(lit(1)).as("n_demand_days"),
+        min($"day").as("first_day"), max($"day").as("last_day"))
+    stats.join(zfit, "supp")
+      .select($"supp".as("suppkey"), $"n_demand_days", $"n_used",
+        round($"wz".cast("double") / $"ws".cast("double"), 9).as("z_hat"),
+        when($"wsg".isNotNull, round($"wg".cast("double")
+          / $"wsg".cast("double"), 9)).as("p_hat"))
+      .select($"suppkey", $"n_demand_days", $"n_used",
+        round($"z_hat", 6).as("z_hat"), round($"p_hat", 6).as("p_hat"),
+        when($"p_hat" > 0,
+          round($"z_hat" / $"p_hat", 6)).as("croston_rate"),
+        when($"p_hat" > 0,
+          round(lit(0.9) * $"z_hat" / $"p_hat", 6)).as("sba_rate"))
+      .orderBy($"suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_theta_forecast" -> qThetaForecast,
     "q_seasonal_mk" -> qSeasonalMk,
@@ -470,7 +530,8 @@ object Series2Ops extends QueryPack {
     "q_ljung_box" -> qLjungBox,
     "q_jarque_bera" -> qJarqueBera,
     "q_runs_test" -> qRunsTest,
-    "q_granger" -> qGranger
+    "q_granger" -> qGranger,
+    "q_croston" -> qCroston
   )
 
   /** The q_block_bootstrap oracle chain from `days`+`nn` through the
@@ -518,6 +579,55 @@ object Series2Ops extends QueryPack {
        |  FROM ${p}ranked)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same exact 12dp alpha(1-alpha)^j weight literals, same rank-8
+    // windows over the sparse demand relation, same renormalized
+    // decimal weighted sums and once-rounded ratios
+    "q_croston" ->
+      """WITH w AS (
+        |  SELECT * FROM (VALUES
+        |    (0, CAST(0.2 AS DECIMAL(16,12))),
+        |    (1, CAST(0.16 AS DECIMAL(16,12))),
+        |    (2, CAST(0.128 AS DECIMAL(16,12))),
+        |    (3, CAST(0.1024 AS DECIMAL(16,12))),
+        |    (4, CAST(0.08192 AS DECIMAL(16,12))),
+        |    (5, CAST(0.065536 AS DECIMAL(16,12))),
+        |    (6, CAST(0.0524288 AS DECIMAL(16,12))),
+        |    (7, CAST(0.04194304 AS DECIMAL(16,12)))) AS t(j, w)),
+        |dem AS (
+        |  SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS z
+        |  FROM lineitem WHERE l_suppkey % 20 = 0 GROUP BY 1, 2),
+        |seq0 AS (
+        |  SELECT supp, day, z,
+        |    day - lag(day) OVER (PARTITION BY supp ORDER BY day) AS gap,
+        |    row_number() OVER (PARTITION BY supp ORDER BY day DESC) - 1
+        |      AS j
+        |  FROM dem QUALIFY j <= 7),
+        |zfit AS (
+        |  SELECT supp, count(*) AS n_used, sum(w.w) AS ws,
+        |    sum(w.w * s.z) AS wz,
+        |    sum(CASE WHEN s.gap IS NOT NULL THEN w.w END) AS wsg,
+        |    sum(w.w * s.gap) AS wg
+        |  FROM seq0 s JOIN w ON w.j = s.j GROUP BY 1),
+        |stats AS (
+        |  SELECT supp, count(*) AS n_demand_days FROM dem GROUP BY 1),
+        |fit AS (
+        |  SELECT st.supp AS suppkey, st.n_demand_days, z.n_used,
+        |    round(CAST(z.wz AS DOUBLE) / CAST(z.ws AS DOUBLE), 9)
+        |      AS z_hat,
+        |    CASE WHEN z.wsg IS NOT NULL
+        |      THEN round(CAST(z.wg AS DOUBLE) / CAST(z.wsg AS DOUBLE), 9)
+        |      END AS p_hat
+        |  FROM stats st JOIN zfit z ON z.supp = st.supp)
+        |SELECT suppkey, n_demand_days, n_used,
+        |  round(z_hat, 6) AS z_hat, round(p_hat, 6) AS p_hat,
+        |  CASE WHEN p_hat > 0
+        |    THEN round(z_hat / p_hat, 6) END AS croston_rate,
+        |  CASE WHEN p_hat > 0
+        |    THEN round(0.9 * z_hat / p_hat, 6) END AS sba_rate
+        |FROM fit ORDER BY suppkey""".stripMargin,
+
     // same exact-moment OLS, same 9dp SES weight unroll over the
     // theta2 line, same half-and-half combination
     "q_theta_forecast" ->

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -265,18 +266,212 @@ object Stats3Ops extends QueryPack {
       .orderBy($"q")
   }
 
+  // ---- q_icc ---------------------------------------------------------------
+  /** Intraclass correlation ICC(2,1) (Shrout & Fleiss '79, two-way
+    * random effects, single measurement) over the (day × event_type)
+    * grid of daily mean event values — "are days consistently high/low
+    * ACROSS event types" — the reliability read behind any per-day
+    * composite score: an ICC near 0 says a day-level aggregate of the
+    * types is noise. Subjects = complete days (all k types present —
+    * missing-cell days drop identically in both engines), raters = the
+    * event types. MSR/MSC/MSE come from the classic two-way
+    * decomposition over exact decimal cell sums (the q_anova2
+    * discipline: 6dp once-rounded cell means, 9dp squared terms into
+    * decimal sums, each MS divides once). Scale: events collapse to
+    * the (day, type) grid immediately; everything after is grid-thin. */
+  def qIcc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val cells = Tables.df(spark, sfDir, "events")
+      .select(to_date($"ts").as("day"), $"event_type".as("rater"),
+        round($"value", 6).cast(dec6).as("v"))
+      .groupBy($"day", $"rater")
+      .agg(round(sum($"v").cast("double") / count(lit(1)), 6)
+        .cast(dec6).as("x"))
+    val k = cells.select($"rater").distinct()
+      .agg(count(lit(1)).as("k"))
+    val full = cells
+      .withColumn("nr", count(lit(1)).over(Window.partitionBy($"day")))
+      .crossJoin(broadcast(k))
+      .filter($"nr" === $"k")
+      .select($"day", $"rater", $"x", $"k")
+      .localCheckpoint() // row/col/total moment passes share it
+    val tot = full.agg(count(lit(1)).as("nn"), sum($"x").as("tx"),
+      sum($"x" * $"x").as("tx2"), min($"k").as("k"))
+    val rows = full.groupBy($"day")
+      .agg(count(lit(1)).as("kr"), sum($"x").as("sx"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(round($"sx".cast("double") * $"sx" / $"kr", 9)
+          .cast(dec9)).as("ssr_raw"))
+    val cols = full.groupBy($"rater")
+      .agg(count(lit(1)).as("nc"), sum($"x").as("sx"))
+      .agg(sum(round($"sx".cast("double") * $"sx" / $"nc", 9)
+        .cast(dec9)).as("ssc_raw"))
+    tot.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
+      .select($"n_days", $"k",
+        ($"tx2".cast("double")
+          - $"tx".cast("double") * $"tx" / $"nn").as("sst"),
+        ($"ssr_raw".cast("double")
+          - $"tx".cast("double") * $"tx" / $"nn").as("ssr"),
+        ($"ssc_raw".cast("double")
+          - $"tx".cast("double") * $"tx" / $"nn").as("ssc"))
+      .select($"n_days", $"k", $"sst", $"ssr", $"ssc",
+        ($"sst" - $"ssr" - $"ssc").as("sse"))
+      .select($"n_days", $"k",
+        round($"ssr" / ($"n_days" - 1), 9).as("msr"),
+        round($"ssc" / ($"k" - 1), 9).as("msc"),
+        round($"sse" / (($"n_days" - 1) * ($"k" - 1)), 9).as("mse"))
+      .select($"n_days", $"k", round($"msr", 6).as("msr"),
+        round($"msc", 6).as("msc"), round($"mse", 6).as("mse"),
+        round(($"msr" - $"mse")
+          / ($"msr" + ($"k" - 1) * $"mse"
+             + $"k" * ($"msc" - $"mse") / $"n_days"), 6).as("icc"))
+  }
+
+  // ---- q_boxcox ------------------------------------------------------------
+  /** Box–Cox ('64) transformation selection for the order-value
+    * distribution: the profile log-likelihood LL(λ) = −n/2·ln(σ̂²_λ) +
+    * (λ−1)·Σln x over the λ ∈ {−1, −0.5, 0, 0.5, 1} grid — "should the
+    * pipeline model prices, log-prices, or roots" BEFORE any gaussian-
+    * assuming op (q_zscore/q_spc_xbar/q_anova) runs; λ=1's LL is the
+    * do-nothing baseline every other row is read against. Only exactly
+    * representable λ (halves) so x^λ is sqrt/reciprocal/identity —
+    * IEEE-exact, no pow(); ln terms round once to 9dp into decimal
+    * sums (the q_kl_sources discipline). One orders pass per λ via the
+    * broadcast 5-row grid; everything after is grid-thin. */
+  def qBoxcox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lams = Seq("-1.0", "-0.5", "0.0", "0.5", "1.0")
+    val grid = lams.toDF("lam_s")
+      .select($"lam_s".cast("double").as("lam"))
+    val terms = Tables.df(spark, sfDir, "orders")
+      .select($"o_totalprice".cast("double").as("x"))
+      .filter($"x" > 0)
+      .crossJoin(broadcast(grid))
+      .select($"lam",
+        round(log($"x"), 9).cast(dec9).as("lx"),
+        round(when($"lam" === 0.0, log($"x"))
+          .when($"lam" === 1.0, $"x" - 1.0)
+          .when($"lam" === 0.5, (sqrt($"x") - 1.0) / 0.5)
+          .when($"lam" === -0.5, (lit(1.0) / sqrt($"x") - 1.0) / -0.5)
+          .otherwise((lit(1.0) / $"x" - 1.0) / -1.0), 9)
+          .cast(dec9).as("y"))
+      .select($"lam", $"lx", $"y",
+        round($"y".cast("double") * $"y", 9).cast(dec9).as("y2"))
+      .groupBy($"lam")
+      .agg(count(lit(1)).as("n"), sum($"lx").as("slx"),
+        sum($"y").as("sy"), sum($"y2").as("sy2"))
+    val ll = terms.select($"lam", $"n",
+      ($"sy2".cast("double") / $"n"
+        - ($"sy".cast("double") / $"n") * ($"sy".cast("double") / $"n"))
+        .as("var"),
+      $"slx")
+      .select($"lam", $"n",
+        round(lit(-0.5) * $"n" * log($"var")
+          + ($"lam" - 1.0) * $"slx".cast("double"), 6).as("ll"))
+    val best = ll.agg(max($"ll").as("ll_max"))
+    ll.crossJoin(broadcast(best))
+      .select($"lam".as("lambda"), $"n", $"ll",
+        ($"ll" === $"ll_max").as("is_best"))
+      .orderBy($"lambda")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bartlett" -> qBartlett,
     "q_mood_median" -> qMoodMedian,
     "q_cooks_distance" -> qCooksDistance,
     "q_adf_lite" -> qAdfLite,
-    "q_variance_ratio" -> qVarianceRatio
+    "q_variance_ratio" -> qVarianceRatio,
+    "q_icc" -> qIcc,
+    "q_boxcox" -> qBoxcox
   )
 
   /** The SeriesOps daily-series oracle CTEs (days0/days) — one home. */
   private def daysCtes: String = SeriesOps.daysCtesSql
 
   val oracle: Map[String, String] = Map(
+    // same complete-day grid, 6dp cell means, 9dp row/col square terms
+    // into decimal sums, ICC from the 9dp mean squares
+    "q_icc" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS rater,
+        |    CAST(round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |k AS (SELECT count(DISTINCT rater) AS k FROM cells),
+        |full_ AS (
+        |  SELECT day, rater, x, (SELECT k FROM k) AS k FROM cells
+        |  QUALIFY count(*) OVER (PARTITION BY day) = (SELECT k FROM k)),
+        |tot AS (
+        |  SELECT count(*) AS nn, sum(x) AS tx, sum(x * x) AS tx2,
+        |    min(k) AS k
+        |  FROM full_),
+        |rws AS (
+        |  SELECT count(*) AS n_days,
+        |    sum(CAST(round(CAST(sx AS DOUBLE) * sx / kr, 9)
+        |      AS DECIMAL(28,9))) AS ssr_raw
+        |  FROM (SELECT day, count(*) AS kr, sum(x) AS sx
+        |        FROM full_ GROUP BY day)),
+        |cls AS (
+        |  SELECT sum(CAST(round(CAST(sx AS DOUBLE) * sx / nc, 9)
+        |      AS DECIMAL(28,9))) AS ssc_raw
+        |  FROM (SELECT rater, count(*) AS nc, sum(x) AS sx
+        |        FROM full_ GROUP BY rater)),
+        |ss AS (
+        |  SELECT n_days, k,
+        |    CAST(tx2 AS DOUBLE) - CAST(tx AS DOUBLE) * tx / nn AS sst,
+        |    CAST(ssr_raw AS DOUBLE)
+        |      - CAST(tx AS DOUBLE) * tx / nn AS ssr,
+        |    CAST(ssc_raw AS DOUBLE)
+        |      - CAST(tx AS DOUBLE) * tx / nn AS ssc
+        |  FROM tot CROSS JOIN rws CROSS JOIN cls),
+        |ms AS (
+        |  SELECT n_days, k,
+        |    round(ssr / (n_days - 1), 9) AS msr,
+        |    round(ssc / (k - 1), 9) AS msc,
+        |    round((sst - ssr - ssc) / ((n_days - 1) * (k - 1)), 9) AS mse
+        |  FROM ss)
+        |SELECT n_days, CAST(k AS BIGINT) AS k,
+        |  round(msr, 6) AS msr, round(msc, 6) AS msc,
+        |  round(mse, 6) AS mse,
+        |  round((msr - mse)
+        |    / (msr + (k - 1) * mse + k * (msc - mse) / n_days), 6)
+        |    AS icc
+        |FROM ms""".stripMargin,
+
+    // same exactly-representable lambda grid (sqrt/reciprocal/identity
+    // — no pow()), 9dp ln/transform terms into decimal sums, the same
+    // profile log-likelihood double chain
+    "q_boxcox" ->
+      """WITH grid AS (SELECT unnest([-1.0, -0.5, 0.0, 0.5, 1.0]) AS lam),
+        |terms AS (
+        |  SELECT lam,
+        |    CAST(round(ln(x), 9) AS DECIMAL(28,9)) AS lx,
+        |    CAST(round(CASE
+        |      WHEN lam = 0.0 THEN ln(x)
+        |      WHEN lam = 1.0 THEN x - 1.0
+        |      WHEN lam = 0.5 THEN (sqrt(x) - 1.0) / 0.5
+        |      WHEN lam = -0.5 THEN (1.0 / sqrt(x) - 1.0) / -0.5
+        |      ELSE (1.0 / x - 1.0) / -1.0 END, 9)
+        |      AS DECIMAL(28,9)) AS y
+        |  FROM (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |        WHERE o_totalprice > 0)
+        |  CROSS JOIN grid),
+        |s AS (
+        |  SELECT lam, count(*) AS n, sum(lx) AS slx, sum(y) AS sy,
+        |    sum(CAST(round(CAST(y AS DOUBLE) * y, 9) AS DECIMAL(28,9)))
+        |      AS sy2
+        |  FROM terms GROUP BY 1),
+        |ll AS (
+        |  SELECT lam, n,
+        |    round(-0.5 * n * ln(CAST(sy2 AS DOUBLE) / n
+        |        - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+        |      + (lam - 1.0) * CAST(slx AS DOUBLE), 6) AS ll
+        |  FROM s),
+        |best AS (SELECT max(ll) AS ll_max FROM ll)
+        |SELECT lam AS lambda, n, ll, ll = ll_max AS is_best
+        |FROM ll CROSS JOIN best ORDER BY lambda""".stripMargin,
+
     // same exact decimal group sums, 9dp SS/ln/reciprocal terms, same
     // shared closed forms and k-derived critical
     "q_bartlett" ->

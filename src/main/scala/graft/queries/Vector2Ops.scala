@@ -387,13 +387,65 @@ object Vector2Ops extends QueryPack {
         round($"mean_cos_raw" - $"mean_cos_centered", 6))
   }
 
+  // ---- q_cka ---------------------------------------------------------------
+  /** Linear centered-kernel alignment (Kornblith '19) between the first
+    * and second 32-dim halves of the embedding — CKA(X, Y) = ‖XᵀY‖²_F /
+    * (‖XᵀX‖_F·‖YᵀY‖_F) over mean-centered features — the
+    * representation-similarity read behind "are these two embedding
+    * blocks redundant": a CKA near 1 says half the vector (and half the
+    * ANN index cost) is informationally free to drop; the
+    * dimension-block twin of q_matryoshka's prefix-truncation sheet.
+    * The feature-space (not sample-space) form keeps everything linear:
+    * one 64×64 Gram relation from a vec-keyed self-join (constant 64²
+    * fan-out per row, partial-aggregable into 4,096 cells — never a
+    * sample×sample kernel), then three conditional sums over the cell
+    * grid. 6dp components → exact decimal centered products → Gram
+    * cells rounded once to 6dp → exact decimal squares. */
+  def qCka(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val dec9 = DecimalType(18, 9)
+    val comps = Tables.df(spark, sfDir, "embeddings")
+      .select($"vec_id", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .select($"vec_id", $"dim", round($"x", 6).cast(dec6).as("xd"))
+    val nv = comps.select($"vec_id").distinct()
+      .agg(count(lit(1)).as("n"))
+    val mu = comps.groupBy($"dim").agg(sum($"xd").as("sx"))
+      .crossJoin(broadcast(nv))
+      .select($"dim",
+        round($"sx".cast("double") / $"n", 9).cast(dec9).as("mu"))
+    val cen = comps.join(broadcast(mu), "dim")
+      .select($"vec_id", $"dim", ($"xd" - $"mu").cast(dec9).as("c"))
+      .localCheckpoint() // both sides of the Gram self-join
+    val gram = cen.select($"vec_id", $"dim".as("da"), $"c".as("ca"))
+      .join(cen.select($"vec_id", $"dim".as("db"), $"c".as("cb")),
+        "vec_id")
+      .groupBy($"da", $"db").agg(sum($"ca" * $"cb").as("g"))
+      .select($"da", $"db",
+        round($"g".cast("double"), 6).cast(dec6).as("g6"))
+    gram.agg(
+        sum(when($"da" < 32 && $"db" >= 32, $"g6" * $"g6")).as("nxy"),
+        sum(when($"da" < 32 && $"db" < 32, $"g6" * $"g6")).as("nxx"),
+        sum(when($"da" >= 32 && $"db" >= 32, $"g6" * $"g6")).as("nyy"))
+      .crossJoin(broadcast(nv))
+      .select($"n".as("n_vecs"),
+        round($"nxy".cast("double"), 6).as("hsic_xy"),
+        round(sqrt($"nxx".cast("double")), 6).as("norm_x"),
+        round(sqrt($"nyy".cast("double")), 6).as("norm_y"),
+        round($"nxy".cast("double")
+          / (sqrt($"nxx".cast("double")) * sqrt($"nyy".cast("double"))),
+          6).as("cka"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca_deflate" -> qPcaDeflate,
     "q_binary_quantize" -> qBinaryQuantize,
     "q_mmd_poly" -> qMmdPoly,
     "q_ann_filtered" -> qAnnFiltered,
     "q_ivf_advisor" -> qIvfAdvisor,
-    "q_isotropy" -> qIsotropy
+    "q_isotropy" -> qIsotropy,
+    "q_cka" -> qCka
   )
 
   /** One power step over the materialized deflated operator for the
@@ -448,6 +500,44 @@ object Vector2Ops extends QueryPack {
       |    AS DECIMAL(12,9)) AS v FROM u3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same 6dp components, 9dp centered means, vec-keyed Gram self-join
+    // into 6dp cells, exact decimal squares, one shared double chain
+    "q_cka" ->
+      """WITH comps AS (
+        |  SELECT vec_id, r.d AS dim,
+        |    CAST(round(CAST(embedding[r.d + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS xd
+        |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+        |nv AS (SELECT count(DISTINCT vec_id) AS n FROM comps),
+        |mu AS (
+        |  SELECT dim, CAST(round(CAST(sum(xd) AS DOUBLE)
+        |      / (SELECT n FROM nv), 9) AS DECIMAL(18,9)) AS mu
+        |  FROM comps GROUP BY dim),
+        |cen AS (
+        |  SELECT c.vec_id, c.dim,
+        |    CAST(c.xd - m.mu AS DECIMAL(18,9)) AS c
+        |  FROM comps c JOIN mu m ON m.dim = c.dim),
+        |gram AS (
+        |  SELECT a.dim AS da, b.dim AS db,
+        |    CAST(round(CAST(sum(a.c * b.c) AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS g6
+        |  FROM cen a JOIN cen b ON b.vec_id = a.vec_id
+        |  GROUP BY 1, 2),
+        |parts AS (
+        |  SELECT
+        |    sum(CASE WHEN da < 32 AND db >= 32 THEN g6 * g6 END) AS nxy,
+        |    sum(CASE WHEN da < 32 AND db < 32 THEN g6 * g6 END) AS nxx,
+        |    sum(CASE WHEN da >= 32 AND db >= 32 THEN g6 * g6 END) AS nyy
+        |  FROM gram)
+        |SELECT CAST((SELECT n FROM nv) AS BIGINT) AS n_vecs,
+        |  round(CAST(nxy AS DOUBLE), 6) AS hsic_xy,
+        |  round(sqrt(CAST(nxx AS DOUBLE)), 6) AS norm_x,
+        |  round(sqrt(CAST(nyy AS DOUBLE)), 6) AS norm_y,
+        |  round(CAST(nxy AS DOUBLE)
+        |    / (sqrt(CAST(nxx AS DOUBLE)) * sqrt(CAST(nyy AS DOUBLE))), 6)
+        |    AS cka
+        |FROM parts""".stripMargin,
+
     // same 6dp components → exact decimal norms → 9dp unit vectors →
     // the identical ‖Σx̂‖² − Σ‖x̂‖² closed form, raw and mean-centered
     "q_isotropy" ->
