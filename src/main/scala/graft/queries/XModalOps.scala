@@ -135,15 +135,29 @@ object XModalOps extends QueryPack {
         " s -> s.h)").as("mv"))
       // a zero-norm media vector (empty payload) would divide-by-zero to
       // a NULL cosine and stay ranked last, while the oracle's sparse
-      // hist join drops the doc entirely — mirror the exclusion here
-      .filter(expr(
-        "aggregate(mv, CAST(0 AS BIGINT), (acc, t) -> acc + t) > 0"))
+      // hist join drops the doc entirely — mirror the exclusion here.
+      // The norm is hoisted to doc grain (r17): computing it inside the
+      // pair kernel re-ran the 64-element fold |queries|× per doc —
+      // measured 69.8 run core-s on the fixture; both norms are
+      // per-SIDE quantities, so each folds once and rides the join.
+      .withColumn("mn", expr(
+        "sqrt(CAST(aggregate(transform(mv, a -> a * a)," +
+          " CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE))"))
+      .filter($"mn" > 0.0)
     val q = Tables.df(spark, sfDir, "embeddings")
       .filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
-    // dot and the query norm follow the q_ann_lsh discipline (raw-double
-    // elements, 9dp once-rounded terms, exact decimal sums); the media
-    // norm is exact integer arithmetic end to end
+      // query norm hoisted to query grain — same 9dp once-rounded
+      // decimal fold, identical double by construction
+      .withColumn("qn", expr(
+        """sqrt(CAST(aggregate(
+             transform(qv, a ->
+               CAST(round(CAST(a AS DOUBLE) * CAST(a AS DOUBLE), 9)
+                 AS DECIMAL(20,9))),
+             CAST(0 AS DECIMAL(28,9)),
+             (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE))"""))
+    // the dot follows the q_ann_lsh discipline (raw-double elements, 9dp
+    // once-rounded terms, exact decimal sums); only IT is pair-grain
     val pairs = dense.join(broadcast(q))
       .withColumn("cs", expr(
         """round(CAST(aggregate(
@@ -152,15 +166,7 @@ object XModalOps extends QueryPack {
                  AS DECIMAL(20,9))),
              CAST(0 AS DECIMAL(28,9)),
              (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE)
-           / (sqrt(CAST(aggregate(
-                transform(qv, a ->
-                  CAST(round(CAST(a AS DOUBLE) * CAST(a AS DOUBLE), 9)
-                    AS DECIMAL(20,9))),
-                CAST(0 AS DECIMAL(28,9)),
-                (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE))
-              * sqrt(CAST(aggregate(transform(mv, a -> a * a),
-                  CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE))),
-           6)"""))
+           / (qn * mn), 6)"""))
     val wq = Window.partitionBy($"qid").orderBy($"cs".desc, $"doc_id".asc)
     val tr = pairs.select($"qid", $"doc_id", $"cs")
       .withColumn("rk", row_number().over(wq))
