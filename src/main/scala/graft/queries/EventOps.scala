@@ -631,6 +631,68 @@ object EventOps extends QueryPack {
     survivalCurve(spark, sfDir).orderBy($"t")
   }
 
+  // ---- q_cox_score ---------------------------------------------------------
+  /** Cox proportional-hazards regression ('72) at the score-test point:
+    * U(0) and I(0) of the partial likelihood for the binary user-parity
+    * covariate on TIME-TO-FIRST-PURCHASE (days from a user's first
+    * event to their first purchase — the conversion-latency endpoint;
+    * on this fixture every user converts, so the sample is fully
+    * observed and the estimator is the complete-data Cox fit — stated,
+    * not hidden: the q_survival churn endpoint has ZERO events at
+    * sf0.1's activity density), plus the one-step estimator β̂ = U/I,
+    * the hazard ratio e^β̂, and the score χ² vs 3.841 — the REGRESSION
+    * member of the survival family: q_logrank asks "do the groups
+    * differ", this says by how much per unit covariate (for binary x
+    * the score test IS the log-rank test). Risk sets never
+    * materialize: S0(t)/S1(t) are suffix sums over the day-grain
+    * latency relation (calendar-bounded — the q_survival argument),
+    * Breslow ties at β = 0; 9dp once-rounded score/information terms
+    * into exact decimal sums. */
+  def qCoxScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(18, 9)
+    val users = Tables.df(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"),
+        min(when($"event_type" === "purchase", $"ts")).as("purch_ts"))
+      .filter($"purch_ts".isNotNull)
+      .select(
+        datediff(to_date($"purch_ts"), to_date($"first_ts")).as("t"),
+        ($"user_id" % 2).cast("long").as("x"))
+    // fully observed ⇒ deaths at t are exactly the arrivals at t
+    val byT = users.groupBy($"t")
+      .agg(count(lit(1)).as("m_all"), sum($"x").as("mx_all"))
+      .select($"t", $"m_all", $"mx_all",
+        $"m_all".as("d"), $"mx_all".as("dx"))
+    val wSuf = Window.orderBy($"t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val terms = byT
+      .withColumn("s0", sum($"m_all").over(wSuf))
+      .withColumn("s1", sum($"mx_all").over(wSuf))
+      .filter($"d" > 0)
+      .select(
+        round($"dx" - $"d" * ($"s1".cast("double") / $"s0"), 9)
+          .cast(dec9).as("u_t"),
+        round($"d" * ($"s1".cast("double") / $"s0")
+          * (lit(1.0) - $"s1".cast("double") / $"s0"), 9)
+          .cast(dec9).as("i_t"))
+    val nU = users.agg(count(lit(1)).as("n_users"),
+      count(lit(1)).as("n_events"))
+    terms.agg(sum($"u_t").as("u"), sum($"i_t").as("i"))
+      .crossJoin(broadcast(nU))
+      .select($"n_users", $"n_events",
+        round($"u".cast("double"), 6).as("score_u"),
+        round($"i".cast("double"), 6).as("info_i"),
+        when($"i" > 0, round($"u".cast("double")
+          / $"i".cast("double"), 6)).as("beta"),
+        when($"i" > 0, round(exp($"u".cast("double")
+          / $"i".cast("double")), 6)).as("hazard_ratio"),
+        when($"i" > 0, round($"u".cast("double") * $"u".cast("double")
+          / $"i".cast("double"), 6)).as("score_chi2"))
+      .withColumn("sig_05",
+        when($"score_chi2".isNotNull, $"score_chi2" > 3.841))
+  }
+
   // ---- q_did -------------------------------------------------------------
   /** Difference-in-differences (the two-group × two-period experiment
     * readout, Card & Krueger '94 usage): DiD = (ȳ treat,post − ȳ
@@ -1600,6 +1662,7 @@ object EventOps extends QueryPack {
     "q_seasonality" -> qSeasonality,
     "q_returns" -> qReturns,
     "q_survival" -> qSurvival,
+    "q_cox_score" -> qCoxScore,
     "q_km_ci" -> qKmCi,
     "q_ltv" -> qLtv,
     "q_offline_eval" -> qOfflineEval,
@@ -1731,6 +1794,60 @@ object EventOps extends QueryPack {
       |  FROM s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same lifetime/churn construction as q_survival, suffix-sum risk
+    // sets, 9dp once-rounded U/I terms into decimal sums, one shared
+    // double chain for beta/HR/chi2
+    "q_cox_score" ->
+      """WITH users0 AS (
+        |  SELECT
+        |    min(ts) AS first_ts,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      AS purch_ts,
+        |    CAST(user_id % 2 AS BIGINT) AS x
+        |  FROM events GROUP BY user_id),
+        |users AS (
+        |  SELECT CAST(date_diff('day', CAST(first_ts AS DATE),
+        |      CAST(purch_ts AS DATE)) AS INT) AS t, x
+        |  FROM users0 WHERE purch_ts IS NOT NULL),
+        |byt AS (
+        |  SELECT t, count(*) AS m_all, CAST(sum(x) AS BIGINT) AS mx_all,
+        |    count(*) AS d, CAST(sum(x) AS BIGINT) AS dx
+        |  FROM users GROUP BY t),
+        |suf AS (
+        |  SELECT t, d, dx,
+        |    CAST(sum(m_all) OVER wsuf AS BIGINT) AS s0,
+        |    CAST(sum(mx_all) OVER wsuf AS BIGINT) AS s1
+        |  FROM byt
+        |  WINDOW wsuf AS (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |terms AS (
+        |  SELECT
+        |    CAST(round(dx - d * (CAST(s1 AS DOUBLE) / s0), 9)
+        |      AS DECIMAL(18,9)) AS u_t,
+        |    CAST(round(d * (CAST(s1 AS DOUBLE) / s0)
+        |      * (1.0 - CAST(s1 AS DOUBLE) / s0), 9)
+        |      AS DECIMAL(18,9)) AS i_t
+        |  FROM suf WHERE d > 0),
+        |ui AS (SELECT sum(u_t) AS u, sum(i_t) AS i FROM terms),
+        |n AS (
+        |  SELECT count(*) AS n_users, count(*) AS n_events FROM users)
+        |SELECT n_users, n_events,
+        |  round(CAST(u AS DOUBLE), 6) AS score_u,
+        |  round(CAST(i AS DOUBLE), 6) AS info_i,
+        |  CASE WHEN i > 0
+        |    THEN round(CAST(u AS DOUBLE) / CAST(i AS DOUBLE), 6) END
+        |    AS beta,
+        |  CASE WHEN i > 0
+        |    THEN round(exp(CAST(u AS DOUBLE) / CAST(i AS DOUBLE)), 6) END
+        |    AS hazard_ratio,
+        |  CASE WHEN i > 0
+        |    THEN round(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)
+        |      / CAST(i AS DOUBLE), 6) END AS score_chi2,
+        |  CASE WHEN i > 0
+        |    THEN round(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)
+        |      / CAST(i AS DOUBLE), 6) > 3.841 END AS sig_05
+        |FROM ui CROSS JOIN n""".stripMargin,
+
     "q_drift_window" -> driftWindowOracle,
 
     // the same survival chain + 12dp Greenwood terms and the clamped

@@ -149,6 +149,40 @@ object LearnOps extends QueryPack {
             .langScore($"text", markers))), 6).as("p"))
   }
 
+  /** Model-discrimination Kolmogorov–Smirnov statistic of the frozen
+    * scorer — max over score thresholds of |CDF(p | y=1) − CDF(p | y=0)|
+    * plus the argmax threshold (min-p tie-break) — the scorecard-industry
+    * separation read beside [[qCalibration]]'s ECE: calibration says the
+    * probabilities are honest, KS says the score separates the classes
+    * AT ALL (this deliberately signal-free scorer should post a low KS —
+    * the direction the spec pins). Distinct from StatsOps' q_ks_drift,
+    * which compares a feature across time; this compares the two CLASS
+    * conditionals of a model score. Scale shape: the corpus collapses to
+    * the distinct-score relation (bounded by the scorer's 6dp marker
+    * granularity), cumulative windows run on that thin relation; counts
+    * exact integers, the gap rounds once at 9dp and once at 6dp. */
+  def qScoreKs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byP = scoredDocs(spark, sfDir).groupBy($"p")
+      .agg(sum($"y").as("n1"), sum(lit(1L) - $"y").as("n0"))
+    val tot = byP.agg(sum($"n1").as("t1"), sum($"n0").as("t0"))
+    val wCum = Window.orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byP.crossJoin(broadcast(tot))
+      .withColumn("c1", sum($"n1").over(wCum))
+      .withColumn("c0", sum($"n0").over(wCum))
+      .withColumn("dgap", when($"t1" > 0 && $"t0" > 0,
+        round(abs($"c1".cast("double") / $"t1"
+          - $"c0".cast("double") / $"t0"), 9)))
+    val best = cum.agg(max($"dgap").as("ks_raw"))
+    cum.crossJoin(broadcast(best))
+      .filter($"dgap" === $"ks_raw")
+      .agg(min($"t1").as("n_pos"), min($"t0").as("n_neg"),
+        round(min($"ks_raw"), 6).as("ks"),
+        min($"p").as("ks_threshold"))
+      .select($"n_pos", $"n_neg", $"ks", $"ks_threshold")
+  }
+
   /** Reliability table + expected-calibration-error terms: decile bins on
     * the predicted probability, per-bin confidence (mean p) vs accuracy
     * (positive rate), and the bin's weighted |acc − conf| ECE
@@ -449,6 +483,7 @@ object LearnOps extends QueryPack {
     "q_bradley_terry" -> qBradleyTerry,
     "q_calibration" -> qCalibration,
     "q_isotonic" -> qIsotonic,
+    "q_score_ks" -> qScoreKs,
     "q_nb_classify" -> qNbLangClassify
   )
 
@@ -703,6 +738,28 @@ object LearnOps extends QueryPack {
 
     // same frozen scorer, same decile bins, same once-rounded conf/acc
     // and weighted ECE terms
+    // same distinct-score cumulative CDFs, 9dp gap, min-p tie-break
+    "q_score_ks" ->
+      s"""WITH $scoredCte,
+        |byp AS (
+        |  SELECT p, CAST(sum(y) AS BIGINT) AS n1,
+        |    CAST(sum(1 - y) AS BIGINT) AS n0
+        |  FROM d GROUP BY p),
+        |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+        |        CAST(sum(n0) AS BIGINT) AS t0 FROM byp),
+        |cum AS (
+        |  SELECT p, t1, t0,
+        |    CASE WHEN t1 > 0 AND t0 > 0 THEN
+        |      round(abs(CAST(sum(n1) OVER wc AS DOUBLE) / t1
+        |        - CAST(sum(n0) OVER wc AS DOUBLE) / t0), 9) END AS dgap
+        |  FROM byp CROSS JOIN tot
+        |  WINDOW wc AS (ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |best AS (SELECT max(dgap) AS ks_raw FROM cum)
+        |SELECT min(t1) AS n_pos, min(t0) AS n_neg,
+        |  round(min(ks_raw), 6) AS ks, min(p) AS ks_threshold
+        |FROM cum CROSS JOIN best WHERE dgap = ks_raw""".stripMargin,
+
     "q_calibration" ->
       s"""WITH $scoredCte,
         |b AS (

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.sources.Sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -117,14 +118,80 @@ object SourceOps extends QueryPack {
       .orderBy($"tile")
   }
 
+  // ---- q_compaction_plan ---------------------------------------------------
+  /** Small-files compaction plan — the table-maintenance pass every
+    * lakehouse schedules (Delta OPTIMIZE / Iceberg rewrite_data_files
+    * shape): treating each document as a file of `n_chars` bytes inside
+    * its source partition, pack doc_id-ordered files greedily into
+    * 16 KiB target bins (bin = prior-bytes div target — the one-pass
+    * streaming form of first-fit; a bin can overflow by one trailing
+    * file, stated) and report, per source, the merge factor
+    * (files-per-bin), the mean bin fill, and how many files were
+    * sub-25%-of-target stragglers. The LAYOUT planning twin of
+    * [[qZorderLayout]]'s ordering read and GovernOps' q_reshard_plan's
+    * partition-count read. Scale shape: one cumulative-sum window per
+    * source partition (the scan order a compactor already has), then
+    * bin-grain and source-grain aggregates; all counts exact integers,
+    * each ratio divides once. */
+  def qCompactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val target = 16384L
+    val wSrc = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val files = Tables.df(spark, sfDir, "documents")
+      .select($"source", $"doc_id", $"n_chars".as("bytes"))
+      .withColumn("prior", coalesce(sum($"bytes").over(wSrc), lit(0L)))
+      .withColumn("bin", expr("prior div 16384")) // exact integer div
+    val bins = files.groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bin_bytes"))
+    bins.groupBy($"source")
+      .agg(sum($"n_files").as("n_files"), count(lit(1)).as("n_bins"),
+        sum($"bin_bytes").as("total_bytes"),
+        sum(when($"bin_bytes" < target / 4, 1L).otherwise(0L))
+          .as("straggler_bins"))
+      .select($"source", $"n_files", $"n_bins", $"total_bytes",
+        round($"n_files".cast("double") / $"n_bins", 6)
+          .as("merge_factor"),
+        round($"total_bytes".cast("double")
+          / ($"n_bins" * lit(target)), 6).as("mean_fill"),
+        $"straggler_bins")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_layout" -> qZorderLayout,
     "q_partitioned_roundtrip" -> qPartitionedRoundtrip,
     "q_load_roundtrip" -> qLoadRoundtrip,
-    "q_merge_roundtrip" -> qMergeRoundtrip
+    "q_merge_roundtrip" -> qMergeRoundtrip,
+    "q_compaction_plan" -> qCompactionPlan
   )
 
   val oracle: Map[String, String] = Map(
+    // same prior-bytes streaming bin assignment, exact integer bin
+    // stats, each ratio divides once
+    "q_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT source, doc_id, n_chars AS bytes,
+        |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 16384 AS BIGINT) AS bin
+        |  FROM documents),
+        |bins AS (
+        |  SELECT source, bin, count(*) AS n_files,
+        |    CAST(sum(bytes) AS BIGINT) AS bin_bytes
+        |  FROM files GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n_files) AS BIGINT) AS n_files,
+        |  count(*) AS n_bins,
+        |  CAST(sum(bin_bytes) AS BIGINT) AS total_bytes,
+        |  round(CAST(sum(n_files) AS DOUBLE) / count(*), 6)
+        |    AS merge_factor,
+        |  round(CAST(sum(bin_bytes) AS DOUBLE) / (count(*) * 16384), 6)
+        |    AS mean_fill,
+        |  CAST(sum(CASE WHEN bin_bytes < 4096 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS straggler_bins
+        |FROM bins GROUP BY source ORDER BY source""".stripMargin,
+
     // the identical arithmetic Morton interleave (// for div) and tiling
     "q_zorder_layout" ->
       s"""WITH k AS (
