@@ -424,6 +424,65 @@ object GovernOps extends QueryPack {
       .orderBy($"level")
   }
 
+  // ---- q_mia_audit ---------------------------------------------------------
+  /** Membership-inference audit (Yeom '18 loss-threshold attack, the
+    * standard LLM privacy probe): train the add-one-smoothed unigram LM
+    * on the doc_id-parity MEMBER half, score EVERY doc's per-token NLL
+    * under it, and report the attack AUC of "low NLL ⇒ member" — the
+    * resubstitution-vs-holdout gap made adversarial: an AUC well above
+    * 0.5 means the model leaks who trained it, the release-gate number
+    * a privacy review quotes beside the q_dp_* mechanisms. Unseen
+    * tokens fall to the 1/(N+V) smoothing floor via a LEFT join (a
+    * holdout scorer's shape, unlike q_perplexity's inner
+    * resubstitution). AUC uses exact midranks in 2R integer units on
+    * the 6dp-rounded per-doc NLL (the q_mann_whitney tie discipline),
+    * so both engines rank identical values. Scale: two token-keyed
+    * passes (train counts, score join) + a doc-thin rank window. */
+  def qMiaAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val toks = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", ($"doc_id" % 2 === 0).as("member"),
+        explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+    val mCounts = toks.filter($"member")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val mTot = mCounts.agg(sum($"cnt").as("n_m"),
+      count(lit(1)).as("v_m"))
+    val scored = toks
+      .join(mCounts, Seq("tok"), "left")
+      .crossJoin(broadcast(mTot))
+      .select($"doc_id", $"member",
+        round(log((coalesce($"cnt", lit(0L)) + 1)
+          / ($"n_m" + $"v_m")), 6).cast(dec6).as("lp"))
+      .groupBy($"doc_id", $"member")
+      .agg(count(lit(1)).as("n_toks"), sum($"lp").as("slp"))
+      .select($"member",
+        round(-($"slp".cast("double")) / $"n_toks", 6).as("nll"))
+    val byNll = scored.groupBy($"nll")
+      .agg(count(lit(1)).as("c_all"),
+        sum(when($"member", 1L).otherwise(0L)).as("c_m"))
+    val wCum = Window.orderBy($"nll")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byNll
+      .withColumn("cumb", coalesce(sum($"c_all").over(wCum), lit(0L)))
+      // 2×midrank keeps tie handling in exact integers
+      .select($"c_all", $"c_m",
+        ($"c_m" * (lit(2L) * $"cumb" + $"c_all" + 1L)).as("r2m"))
+    ranked.agg(sum($"c_all").as("n_all"), sum($"c_m").as("n_m"),
+        sum($"r2m").as("sr2"))
+      .select($"n_all", $"n_m", ($"n_all" - $"n_m").as("n_nm"), $"sr2")
+      .filter($"n_m" > 0 && $"n_nm" > 0)
+      .select($"n_m".as("n_members"), $"n_nm".as("n_nonmembers"),
+        // P(nll_member > nll_nonmember) from the rank sum; the attack
+        // predicts MEMBER on LOW nll, so its AUC is the complement
+        round(lit(1.0)
+          - ($"sr2" - $"n_m" * ($"n_m" + 1)).cast("double")
+            / (lit(2.0) * $"n_m" * $"n_nm"), 6).as("attack_auc"))
+      .withColumn("advantage",
+        round(lit(2.0) * abs($"attack_auc" - 0.5), 6))
+      .withColumn("leaky", $"attack_auc" > 0.6)
+  }
+
   // ---- q_retention_sweep ---------------------------------------------------
   /** Data-retention policy sweep — the deletion-impact plan a
     * governance review reads BEFORE a TTL ships: for each event_type ×
@@ -964,6 +1023,7 @@ object GovernOps extends QueryPack {
     "q_kanonymity" -> qKanonymity,
     "q_reident_risk" -> qReidentRisk,
     "q_retention_sweep" -> qRetentionSweep,
+    "q_mia_audit" -> qMiaAudit,
     "q_ldiversity" -> qLdiversity,
     "q_ks_matrix" -> qKsMatrix,
     "q_holm" -> qHolm,
@@ -1273,6 +1333,52 @@ object GovernOps extends QueryPack {
         |  round(n_docs + lap, 2) AS noisy_count,
         |  round(abs(lap), 2) AS abs_err
         |FROM n ORDER BY source, eps""".stripMargin,
+
+    // same member-half training counts, LEFT-join smoothing floor, 6dp
+    // lp terms into decimal sums, exact 2R-integer midranks
+    "q_mia_audit" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, doc_id % 2 = 0 AS member,
+        |    unnest($toksSql) AS tok
+        |  FROM documents),
+        |mc AS (SELECT tok, count(*) AS cnt FROM toks
+        |       WHERE member GROUP BY tok),
+        |mt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_mt,
+        |       count(*) AS v_m FROM mc),
+        |sc AS (
+        |  SELECT t.doc_id, t.member,
+        |    CAST(round(ln((coalesce(mc.cnt, 0) + 1)
+        |      / (mt.n_mt + mt.v_m)), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM toks t LEFT JOIN mc ON mc.tok = t.tok CROSS JOIN mt),
+        |docs_ AS (
+        |  SELECT member,
+        |    round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS nll
+        |  FROM sc GROUP BY doc_id, member),
+        |bynll AS (
+        |  SELECT nll, count(*) AS c_all,
+        |    CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_m
+        |  FROM docs_ GROUP BY nll),
+        |ranked AS (
+        |  SELECT c_all, c_m,
+        |    c_m * (2 * coalesce(CAST(sum(c_all) OVER (ORDER BY nll
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + c_all + 1) AS r2m
+        |  FROM bynll),
+        |agg AS (
+        |  SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+        |    CAST(sum(c_m) AS BIGINT) AS nm,
+        |    CAST(sum(r2m) AS BIGINT) AS sr2
+        |  FROM ranked),
+        |auc AS (
+        |  SELECT nm AS n_members, n_all - nm AS n_nonmembers,
+        |    round(1.0 - CAST(sr2 - nm * (nm + 1) AS DOUBLE)
+        |      / (2.0 * nm * (n_all - nm)), 6) AS attack_auc
+        |  FROM agg WHERE nm > 0 AND n_all - nm > 0)
+        |SELECT n_members, n_nonmembers, attack_auc,
+        |  round(2.0 * abs(attack_auc - 0.5), 6) AS advantage,
+        |  attack_auc > 0.6 AS leaky
+        |FROM auc""".stripMargin,
 
     // same max-ts anchor, 3-row policy spine, exact integer/decimal
     // sums, each fraction divides once

@@ -18,6 +18,43 @@ object VectorQueries extends QueryPack {
     knnTruthTop10(spark, sfDir).orderBy($"qid", $"rank")
   }
 
+  // ---- q_semcache ----------------------------------------------------------
+  /** Semantic-cache hit-rate simulation (the GPTCache-style inference
+    * cost lever): replay the %25 query stream in vec_id arrival order —
+    * each query HITS at threshold τ if any EARLIER query sits within
+    * cosine ≥ τ, so hit_rate(τ) is exactly the fraction of inference
+    * calls a cosine-keyed answer cache would absorb; the τ ∈ {0.70,
+    * 0.80, 0.90, 0.95} sweep is the knob sheet (looser = cheaper +
+    * staler). The first arrival misses at every τ by construction.
+    * Scale shape: the pair join is strictly-earlier × query-decile
+    * (bounded log window, broadcast), the brute-force eval twin — a
+    * production cache keys the same decision off the q_ann_lsh/
+    * q_ann_ivf bucket joins; exact 6dp shared cosine, exact integer
+    * hit counts. */
+  def qSemcache(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val q = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val best = q.join(
+        broadcast(q.select($"qid".as("pid"), $"qv".as("pv"))),
+        $"pid" < $"qid")
+      .select($"qid",
+        round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
+      .groupBy($"qid").agg(max($"cs").as("best"))
+    val taus = Seq("0.70", "0.80", "0.90", "0.95").toDF("tau_s")
+      .select($"tau_s".cast("double").as("tau"))
+    q.select($"qid").join(best, Seq("qid"), "left")
+      .crossJoin(broadcast(taus))
+      .groupBy($"tau")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when($"best" >= $"tau", 1L).otherwise(0L)).as("hits"))
+      .select($"tau", $"n_queries", $"hits",
+        round($"hits".cast("double") / $"n_queries", 6).as("hit_rate"))
+      .orderBy($"tau")
+  }
+
   /** The exact top-10 cosine relation for the %100 query decile —
     * (qid, vec_id, sim, rank), ranked (round(sim,6) desc, vec_id) with
     * self excluded. The ONE home of the brute-force ground truth:
@@ -1271,6 +1308,7 @@ object VectorQueries extends QueryPack {
     "q_srp_bands" -> qSrpBands,
     "q_embed_health" -> qEmbedHealth,
     "q_knn_cosine" -> qKnnCosine,
+    "q_semcache" -> qSemcache,
     "q_knn_classify" -> qKnnClassify,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
@@ -1866,6 +1904,26 @@ object VectorQueries extends QueryPack {
         |  er.exp_recall025
         |FROM grid g LEFT JOIN er ON er.b = g.b AND er.r = g.r
         |ORDER BY n_planes DESC, g.b""".stripMargin),
+
+    // same strictly-earlier pair join, same 6dp shared cosine, same
+    // tau spine and exact hit counts
+    "q_semcache" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |best AS (
+        |  SELECT a.qid, max(round(list_cosine_similarity(
+        |      CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])), 6))
+        |    AS best
+        |  FROM q a JOIN q b ON b.qid < a.qid GROUP BY a.qid),
+        |taus AS (SELECT unnest([0.70, 0.80, 0.90, 0.95]) AS tau)
+        |SELECT tau, count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN best.best >= tau THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  round(CAST(sum(CASE WHEN best.best >= tau THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS hit_rate
+        |FROM q LEFT JOIN best ON best.qid = q.qid CROSS JOIN taus
+        |GROUP BY tau ORDER BY tau""".stripMargin,
 
     "q_knn_cosine" ->
       """WITH q AS (
