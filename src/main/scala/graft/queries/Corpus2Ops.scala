@@ -329,7 +329,44 @@ object Corpus2Ops extends QueryPack {
       .orderBy($"source", $"ngram")
   }
 
+  // ---- q_prefix_cache ------------------------------------------------------
+  /** KV-cache prefix-sharing audit (the vLLM/SGLang prefix-caching cost
+    * lever): within each source, bucket documents by their first-8-token
+    * prefix — every doc after the first in a bucket would reuse the
+    * cached prefix KV state, so the savings fraction is
+    * Σ_buckets (c−1)·prefix_tokens / Σ doc_tokens. A source with high
+    * sharing is template/system-prompt shaped — serve it with prefix
+    * caching ON; near-zero sharing says the cache buys nothing. The
+    * inference-side twin of q_semcache's whole-answer cache. Scale:
+    * one tokenize pass → (source, prefix)-keyed counts (bounded by doc
+    * count) → source-thin; exact integer token accounting. */
+  def qPrefixCache(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.df(spark, sfDir, "documents")
+      .select($"source",
+        graft.functions.TextFunctions.tokens($"text").as("T"))
+      .select($"source", size($"T").as("n_tok"),
+        concat_ws(" ", slice($"T", 1, 8)).as("prefix"),
+        least(size($"T"), lit(8)).as("plen"))
+    val buckets = docs.groupBy($"source", $"prefix")
+      .agg(count(lit(1)).as("c"), min($"plen").as("plen"),
+        sum($"n_tok").as("toks"))
+    buckets.groupBy($"source")
+      .agg(sum($"c").as("n_docs"), count(lit(1)).as("n_prefixes"),
+        sum(when($"c" > 1, $"c").otherwise(0L)).as("docs_shared"),
+        sum(($"c" - 1) * $"plen").as("cached_tokens"),
+        sum($"toks").as("total_tokens"))
+      .select($"source", $"n_docs", $"n_prefixes", $"docs_shared",
+        round($"docs_shared".cast("double") / $"n_docs", 6)
+          .as("shared_frac"),
+        $"cached_tokens",
+        round($"cached_tokens".cast("double") / $"total_tokens", 6)
+          .as("savings_frac"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prefix_cache" -> qPrefixCache,
     "q_entropy_rate" -> qEntropyRate,
     "q_js_sources" -> qJsSources,
     "q_burrows_delta" -> qBurrowsDelta,
@@ -339,6 +376,31 @@ object Corpus2Ops extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // same first-8-token buckets, exact integer token accounting
+    "q_prefix_cache" ->
+      s"""WITH d0 AS (
+        |  SELECT source, $toksSql AS T FROM documents),
+        |docs_ AS (
+        |  SELECT source, len(T) AS n_tok,
+        |    array_to_string(T[1:8], ' ') AS prefix,
+        |    least(len(T), 8) AS plen
+        |  FROM d0),
+        |buckets AS (
+        |  SELECT source, prefix, count(*) AS c,
+        |    CAST(min(plen) AS BIGINT) AS plen,
+        |    CAST(sum(n_tok) AS BIGINT) AS toks
+        |  FROM docs_ GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  count(*) AS n_prefixes,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS docs_shared,
+        |  round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |    / sum(c), 6) AS shared_frac,
+        |  CAST(sum((c - 1) * plen) AS BIGINT) AS cached_tokens,
+        |  round(CAST(sum((c - 1) * plen) AS DOUBLE) / sum(toks), 6)
+        |    AS savings_frac
+        |FROM buckets GROUP BY source ORDER BY source""".stripMargin,
+
     // same lead()-chained pairs, clipped-count overlaps as exact
     // integers, the identical 9dp P/R/F rounds into decimal means
     "q_rouge_lite" ->

@@ -424,6 +424,42 @@ object GovernOps extends QueryPack {
       .orderBy($"level")
   }
 
+  // ---- q_dp_topk -----------------------------------------------------------
+  /** Differentially-private top-k vocabulary release via the one-shot
+    * Gumbel trick (equivalent to k rounds of the exponential mechanism,
+    * Durfee & Rogers '19): noisy score = ε·count/2 + Gumbel(md5), take
+    * the top 20 by noisy score — the DP-SELECTION primitive the
+    * q_dp_histogram/q_dp_quantile family lacks (releasing WHICH items
+    * lead, not how much). The report carries released rank vs true rank
+    * and the audit-side overlap flag (the utility read a privacy review
+    * wants; true counts themselves stay unreleased). Gumbel noise is
+    * the house md5-uniform inverse CDF (−ln(−ln u)) keyed per token, so
+    * both engines draw identical noise. Scale: one token-count pass,
+    * one vocabulary-thin ranking. */
+  def qDpTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 1.0
+    val cnt = Tables.df(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text"))
+        .as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val u = (conv(substring(md5(concat(lit("dptk:"), $"tok")), 1, 15),
+      16, 10).cast("double") + 0.5) / lit(1152921504606846976.0)
+    val noisy = cnt
+      .withColumn("g", round(-log(-log(u)), 6))
+      .withColumn("noisy",
+        round(lit(eps) * $"cnt" / 2.0 + $"g", 6))
+    val wTrue = Window.orderBy($"cnt".desc, $"tok".asc)
+    val wNoisy = Window.orderBy($"noisy".desc, $"tok".asc)
+    noisy
+      .withColumn("true_rank", row_number().over(wTrue))
+      .withColumn("released_rank", row_number().over(wNoisy))
+      .filter($"released_rank" <= 20)
+      .select($"released_rank", $"tok", $"noisy",
+        $"true_rank", ($"true_rank" <= 20).as("in_true_topk"))
+      .orderBy($"released_rank")
+  }
+
   // ---- q_mia_audit ---------------------------------------------------------
   /** Membership-inference audit (Yeom '18 loss-threshold attack, the
     * standard LLM privacy probe): train the add-one-smoothed unigram LM
@@ -1024,6 +1060,7 @@ object GovernOps extends QueryPack {
     "q_reident_risk" -> qReidentRisk,
     "q_retention_sweep" -> qRetentionSweep,
     "q_mia_audit" -> qMiaAudit,
+    "q_dp_topk" -> qDpTopk,
     "q_ldiversity" -> qLdiversity,
     "q_ks_matrix" -> qKsMatrix,
     "q_holm" -> qHolm,
@@ -1333,6 +1370,31 @@ object GovernOps extends QueryPack {
         |  round(n_docs + lap, 2) AS noisy_count,
         |  round(abs(lap), 2) AS abs_err
         |FROM n ORDER BY source, eps""".stripMargin,
+
+    // same md5-keyed Gumbel draws, same eps·count/2 + g score, same
+    // double windows with tok tie-breaks
+    "q_dp_topk" ->
+      s"""WITH cnt AS (
+        |  SELECT tok, count(*) AS cnt FROM (
+        |    SELECT unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY tok),
+        |noisy AS (
+        |  SELECT tok, cnt,
+        |    round(1.0 * cnt / 2.0
+        |      + round(-ln(-ln(
+        |        ((('0x' || substr(md5('dptk:' || tok), 1, 15))::BIGINT
+        |          + 0.5) / 1152921504606846976.0))), 6), 6) AS noisy
+        |  FROM cnt),
+        |ranked AS (
+        |  SELECT tok, noisy,
+        |    row_number() OVER (ORDER BY cnt DESC, tok ASC) AS true_rank,
+        |    row_number() OVER (ORDER BY noisy DESC, tok ASC)
+        |      AS released_rank
+        |  FROM noisy)
+        |SELECT released_rank, tok, noisy, true_rank,
+        |  true_rank <= 20 AS in_true_topk
+        |FROM ranked WHERE released_rank <= 20
+        |ORDER BY released_rank""".stripMargin,
 
     // same member-half training counts, LEFT-join smoothing floor, 6dp
     // lp terms into decimal sums, exact 2R-integer midranks

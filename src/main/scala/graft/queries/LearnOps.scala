@@ -149,6 +149,37 @@ object LearnOps extends QueryPack {
             .langScore($"text", markers))), 6).as("p"))
   }
 
+  /** Per-source expected calibration error — the fairness × calibration
+    * intersection [[qCalibration]]'s global table hides: a model can be
+    * calibrated on average while systematically over-confident on ONE
+    * source (the subgroup-calibration failure the disparate-impact
+    * audit's selection rates can't see). Same frozen scorer, same
+    * decile bins as the global pair, grouped by source; per source the
+    * ECE, the worst single-bin gap, and the corpus share. Scale: one
+    * scored pass → (source × ≤10 bins)-thin relation → source-thin. */
+  def qGroupEce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val dec9 = DecimalType(18, 9)
+    val bins = scoredDocs(spark, sfDir)
+      .select($"source", $"y", $"p",
+        least(floor($"p" * 10), lit(9)).cast("int").as("bin"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("pos"),
+        sum($"p".cast(dec6)).as("psum"))
+      .select($"source", $"n",
+        round(abs(round($"pos".cast("double") / $"n", 6)
+          - round($"psum".cast("double") / $"n", 6)), 6).as("gap"))
+    bins.groupBy($"source")
+      .agg(sum($"n").as("n_docs"),
+        sum(round($"gap" * $"n", 9).cast(dec9)).as("wsum"),
+        max($"gap").as("max_bin_gap"))
+      .select($"source", $"n_docs",
+        round($"wsum".cast("double") / $"n_docs", 6).as("ece"),
+        $"max_bin_gap")
+      .orderBy($"source")
+  }
+
   /** Model-discrimination Kolmogorov–Smirnov statistic of the frozen
     * scorer — max over score thresholds of |CDF(p | y=1) − CDF(p | y=0)|
     * plus the argmax threshold (min-p tie-break) — the scorecard-industry
@@ -484,6 +515,7 @@ object LearnOps extends QueryPack {
     "q_calibration" -> qCalibration,
     "q_isotonic" -> qIsotonic,
     "q_score_ks" -> qScoreKs,
+    "q_group_ece" -> qGroupEce,
     "q_nb_classify" -> qNbLangClassify
   )
 
@@ -738,6 +770,26 @@ object LearnOps extends QueryPack {
 
     // same frozen scorer, same decile bins, same once-rounded conf/acc
     // and weighted ECE terms
+    // same scorer, same decile bins grouped by source; 6dp-rounded
+    // conf/acc, 9dp weighted-gap terms into decimal sums
+    "q_group_ece" ->
+      s"""WITH $scoredCte,
+        |b AS (
+        |  SELECT source, least(CAST(floor(p * 10) AS INT), 9) AS bin,
+        |    count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+        |    sum(CAST(p AS DECIMAL(18,6))) AS psum
+        |  FROM d GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, n,
+        |    round(abs(round(CAST(pos AS DOUBLE) / n, 6)
+        |      - round(CAST(psum AS DOUBLE) / n, 6)), 6) AS gap
+        |  FROM b)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(CAST(round(gap * n, 9) AS DECIMAL(18,9)))
+        |    AS DOUBLE) / sum(n), 6) AS ece,
+        |  max(gap) AS max_bin_gap
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
     // same distinct-score cumulative CDFs, 9dp gap, min-p tie-break
     "q_score_ks" ->
       s"""WITH $scoredCte,

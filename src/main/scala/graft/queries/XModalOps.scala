@@ -242,10 +242,44 @@ object XModalOps extends QueryPack {
       .orderBy($"cell")
   }
 
+  // ---- q_media_entropy -----------------------------------------------------
+  /** Media-payload entropy audit — the corrupt/blank-asset gate a
+    * multimodal ingest runs BEFORE paying for decode/embedding: Shannon
+    * entropy of each payload's 64-bin media-tower histogram (one home
+    * with [[qXmodalAlign]]'s tower — a payload whose signature
+    * concentrates in a few bins is a constant/filler asset; the uniform
+    * bound is ln 64 ≈ 4.159), rolled up per source with the sub-2.0-nat
+    * degenerate count. The media-side sibling of
+    * [[Corpus2Ops.qEntropyRate]]'s text read. Scale shape: the shared
+    * doc-keyed histogram pass, then −(h/H)ln(h/H) terms rounded once to
+    * 9dp into exact decimal sums; everything after is source-thin. */
+  def qMediaEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hist = mediaHist(spark, sfDir)
+    val tot = hist.groupBy($"doc_id").agg(sum($"h").as("ht"))
+    val ent = hist.join(tot, "doc_id")
+      .select($"doc_id",
+        round(-($"h".cast("double") / $"ht")
+          * log($"h".cast("double") / $"ht"), 9).cast(dec9n).as("term"))
+      .groupBy($"doc_id")
+      .agg(round(sum($"term").cast("double"), 6).as("entropy"))
+    ent.join(Tables.df(spark, sfDir, "documents")
+        .select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"entropy".cast(dec6)).cast("double")
+          / count(lit(1)), 6).as("mean_entropy"),
+        min($"entropy").as("min_entropy"),
+        max($"entropy").as("max_entropy"),
+        sum(when($"entropy" < 2.0, 1L).otherwise(0L)).as("n_degenerate"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_xmodal_align" -> qXmodalAlign,
     "q_xmodal_retrieval" -> qXmodalRetrieval,
-    "q_mauve_lite" -> qMauveLite
+    "q_mauve_lite" -> qMauveLite,
+    "q_media_entropy" -> qMediaEntropy
   )
 
   /** The media-tower histogram CTEs, shared verbatim by both cross-modal
@@ -262,6 +296,29 @@ object XModalOps extends QueryPack {
       |  FROM pos GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same shared histogram CTEs, 9dp once-rounded −(h/H)ln(h/H) terms
+    // into decimal sums, source-thin rollup
+    "q_media_entropy" ->
+      (s"""WITH $histCtesSql,
+        |ht AS (SELECT doc_id, CAST(sum(h) AS BIGINT) AS ht
+        |       FROM hist GROUP BY 1),
+        |ent AS (
+        |  SELECT h.doc_id,
+        |    round(CAST(sum(CAST(round(-(CAST(h.h AS DOUBLE) / ht.ht)
+        |      * ln(CAST(h.h AS DOUBLE) / ht.ht), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE), 6) AS entropy
+        |  FROM hist h JOIN ht ON ht.doc_id = h.doc_id
+        |  GROUP BY h.doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(e.entropy AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_entropy,
+        |  min(e.entropy) AS min_entropy,
+        |  max(e.entropy) AS max_entropy,
+        |  CAST(sum(CASE WHEN e.entropy < 2.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_degenerate
+        |FROM ent e JOIN documents d ON d.doc_id = e.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
     // same 6dp text elements × integer media counts, 9dp once-rounded
     // products into exact decimal dot/norm sums, same shared cosine
     // formula and cos >= 0 gate
