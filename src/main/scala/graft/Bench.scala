@@ -57,8 +57,13 @@ object Bench {
       // merge boundaries a pure function of plan + data. Bench-envelope
       // only (sf0.1 shuffles are page-cache-resident; a real cluster
       // keeps compression on), and telemetry shuf_mb reads uncompressed
-      // from r17 on — see BASELINE.md caveat (f).
-      .config("spark.shuffle.compress", "false")
+      // from r17 on — see BASELINE.md caveat (f). Gated on the SAME knob
+      // (r18, ADVICE r17): COALESCE=off exists to reproduce the r16
+      // envelope, and r16 ran with compression ON — an unconditional
+      // disable would make "off" a third envelope matching no record.
+      .config("spark.shuffle.compress",
+        if (sys.env.getOrElse("SPARK_GRAFT_COALESCE", "pinned") == "off")
+          "true" else "false")
       // Residual ±1-stage task fuzz, root-caused r17 and deliberately
       // ACCEPTED: a handful of multi-consumer plans (q_modularity,
       // q_bradley_terry, q_raking) occasionally run one extra 32-task

@@ -51,7 +51,8 @@ object SparkEntry {
     Stats3Ops,
     EvalOps,
     XModalOps,
-    ValueOps
+    ValueOps,
+    ServeOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -676,8 +676,12 @@ object EventOps extends QueryPack {
         round($"d" * ($"s1".cast("double") / $"s0")
           * (lit(1.0) - $"s1".cast("double") / $"s0"), 9)
           .cast(dec9).as("i_t"))
-    val nU = users.agg(count(lit(1)).as("n_users"),
-      count(lit(1)).as("n_events"))
+    // n_events = Σd over the day grain; under complete observation (the
+    // stated estimator assumption above) it EQUALS n_users, but deriving
+    // it from the death counts keeps the two columns meaning what they
+    // say instead of duplicating one aggregate under two names
+    val nU = users.agg(count(lit(1)).as("n_users"))
+      .crossJoin(byT.agg(sum($"d").as("n_events")))
     terms.agg(sum($"u_t").as("u"), sum($"i_t").as("i"))
       .crossJoin(broadcast(nU))
       .select($"n_users", $"n_events",

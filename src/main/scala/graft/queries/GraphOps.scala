@@ -330,14 +330,25 @@ object GraphOps extends QueryPack {
     val labels = lpaLoop(edges, 2) // comes back checkpointed
     val lu = labels.select($"node".as("u"), $"lbl".as("cu"))
     val lv = labels.select($"node".as("v"), $"lbl".as("cv"))
-    val intra = edges.join(lu, "u").join(lv, "v")
+    // ONE edges⋈lu pass, checkpointed: the intra and degree branches
+    // previously each embedded their own copy of this join, and AQE
+    // materializes sibling stages concurrently — whether the duplicate's
+    // shuffle stage launched before the replan that exchange-reuse would
+    // use to eliminate it is a scheduling RACE, the bench record's last
+    // bimodal task/byte row (512/703 MB ↔ 544/802 MB, PERF.md round-17).
+    // A single materialized copy leaves nothing to deduplicate at
+    // runtime, so the plan is race-free by construction — and the join
+    // runs once instead of twice. Every node is labeled (labels cover
+    // every edge endpoint), so the inner join preserves all edge rows:
+    // m2 and the per-node degree counts read identically off eu.
+    val eu = edges.join(lu, "u").localCheckpoint()
+    val intra = eu.join(lv, "v")
       .filter($"cu" === $"cv")
       .groupBy($"cu".as("community")).agg(count(lit(1)).as("intra_edges"))
-    val degs = edges.groupBy($"u").agg(count(lit(1)).as("d"))
-      .join(lu, "u")
+    val degs = eu.groupBy($"u", $"cu").agg(count(lit(1)).as("d"))
       .groupBy($"cu".as("community"))
       .agg(sum($"d").as("degree_sum"), count(lit(1)).as("n_nodes"))
-    val m2 = edges.agg(count(lit(1)).as("m2"))
+    val m2 = eu.agg(count(lit(1)).as("m2"))
     degs.join(intra, Seq("community"), "left")
       .crossJoin(broadcast(m2))
       .select($"community", $"n_nodes",

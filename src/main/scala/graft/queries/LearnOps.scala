@@ -194,8 +194,13 @@ object LearnOps extends QueryPack {
     * exact integers, the gap rounds once at 9dp and once at 6dp. */
   def qScoreKs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // checkpoint the distinct-score relation: tot/cum/best/final all fan
+    // out from it, and without the barrier each branch re-runs the full
+    // documents tokenize/langScore pass (ADVICE r17 — the sibling
+    // queries' shared-subplan discipline)
     val byP = scoredDocs(spark, sfDir).groupBy($"p")
       .agg(sum($"y").as("n1"), sum(lit(1L) - $"y").as("n0"))
+      .localCheckpoint()
     val tot = byP.agg(sum($"n1").as("t1"), sum($"n0").as("t0"))
     val wCum = Window.orderBy($"p")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

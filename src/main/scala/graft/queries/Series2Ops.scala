@@ -506,8 +506,7 @@ object Series2Ops extends QueryPack {
         sum(when($"gap".isNotNull, $"w")).as("wsg"),
         sum($"w" * $"gap").as("wg"))
     val stats = dem.groupBy($"supp")
-      .agg(count(lit(1)).as("n_demand_days"),
-        min($"day").as("first_day"), max($"day").as("last_day"))
+      .agg(count(lit(1)).as("n_demand_days"))
     stats.join(zfit, "supp")
       .select($"supp".as("suppkey"), $"n_demand_days", $"n_used",
         round($"wz".cast("double") / $"ws".cast("double"), 9).as("z_hat"),

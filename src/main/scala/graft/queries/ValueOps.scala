@@ -115,6 +115,10 @@ object ValueOps extends QueryPack {
           round($"tp".cast("double") / $"pos", 6)).as("tpr"),
         when($"n" > $"pos", round(($"sel" - $"tp").cast("double")
           / ($"n" - $"pos"), 6)).as("fpr"))
+      // source-thin barrier: the ref aggregate and the final projection
+      // both read g, and without it each re-runs the full scoredDocs
+      // tokenize pass (ADVICE r17)
+      .localCheckpoint()
     val ref = g.agg(max($"sel_rate").as("max_sel"), max($"tpr").as("max_tpr"))
     g.crossJoin(broadcast(ref))
       .select($"source", $"n", $"sel_rate", $"tpr", $"fpr",
@@ -261,14 +265,19 @@ object ValueOps extends QueryPack {
         sqrt($"c".cast("double") * $"c" + $"s".cast("double") * $"s")
           / $"n", 6))
       .withColumn("z", round($"n" * $"rbar" * $"rbar", 6))
+      // the O(1/n²) series is an asymptotic correction, not a CDF — for
+      // large z / small n it can stray past [0, 1]; clamp BEFORE the
+      // round, identically in the oracle, so the `uniform` flag never
+      // reads an impossible probability (ADVICE r17)
       .withColumn("p_value", round(
-        exp(-$"z") * (lit(1.0)
-          + (lit(2.0) * $"z" - $"z" * $"z")
-            / (lit(4.0) * $"n")
-          - (lit(24.0) * $"z" - lit(132.0) * $"z" * $"z"
-             + lit(76.0) * $"z" * $"z" * $"z"
-             - lit(9.0) * $"z" * $"z" * $"z" * $"z")
-            / (lit(288.0) * $"n" * $"n")), 6))
+        greatest(lit(0.0), least(lit(1.0),
+          exp(-$"z") * (lit(1.0)
+            + (lit(2.0) * $"z" - $"z" * $"z")
+              / (lit(4.0) * $"n")
+            - (lit(24.0) * $"z" - lit(132.0) * $"z" * $"z"
+               + lit(76.0) * $"z" * $"z" * $"z"
+               - lit(9.0) * $"z" * $"z" * $"z" * $"z")
+              / (lit(288.0) * $"n" * $"n")))), 6))
       .select($"event_type", $"n", $"rbar", $"z", $"p_value",
         ($"p_value" > 0.05).as("uniform"))
       .orderBy($"event_type")
@@ -512,10 +521,10 @@ object ValueOps extends QueryPack {
         |  round(n * rbar * rbar, 6) AS z FROM r),
         |p AS (
         |  SELECT event_type, n, rbar, z,
-        |    round(exp(-z) * (1.0
+        |    round(greatest(0.0, least(1.0, exp(-z) * (1.0
         |      + (2.0 * z - z * z) / (4.0 * n)
         |      - (24.0 * z - 132.0 * z * z + 76.0 * z * z * z
-        |         - 9.0 * z * z * z * z) / (288.0 * n * n)), 6) AS p_value
+        |         - 9.0 * z * z * z * z) / (288.0 * n * n)))), 6) AS p_value
         |  FROM z)
         |SELECT event_type, CAST(n AS BIGINT) AS n, rbar, z, p_value,
         |  p_value > 0.05 AS uniform

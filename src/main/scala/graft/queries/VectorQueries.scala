@@ -612,10 +612,20 @@ object VectorQueries extends QueryPack {
     * [[annMd5Pairs]] so the single-probe index and the multi-probe
     * variant ([[qAnnMultiprobe]]) hash the SAME keys. */
   private[graft] def annMd5Keys(spark: SparkSession, sfDir: String)
-      : DataFrame = {
+      : DataFrame =
+    srpKeys(Tables.df(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 2 === 0))
+
+  /** The 8×8 SRP key computation over an arbitrary (vec_id, embedding)
+    * relation — extracted from [[annMd5Keys]] (r18) so the PERSISTED
+    * index serving path ([[ServeOps.qAnnServed]]) can key fresh query
+    * vectors with the exact hyperplanes the stored index was built
+    * with. One definition = the build-time and query-time hashes cannot
+    * drift, the invariant a real ANN service must hold across deploys. */
+  private[graft] def srpKeys(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
     import spark.implicits._
-    val emb = Tables.df(spark, sfDir, "embeddings")
-      .filter($"vec_id" % 2 === 0)
+    val emb = vectors
     // pinned keyed repartition before the ×64 dim explode and the ×64
     // plane join (the single-row-group trap, PERF.md): without it the
     // whole 10M-row projection pipeline runs in the ONE scan task —
@@ -1645,33 +1655,7 @@ object VectorQueries extends QueryPack {
     // euclidean verify sums 9dp-rounded squared-difference terms as
     // DECIMAL (the q_embed_health norm discipline) so dist is
     // bit-identical cross-engine
-    "q_ann_lsh" ->
-      (annMd5KeysCtesSql + """,
-        |qprobes AS (
-        |  SELECT vec_id AS qid, tbl,
-        |    CASE WHEN p.j = -1 THEN bk
-        |      ELSE xor(bk, (1::BIGINT << p.j)) END AS bk
-        |  FROM keys CROSS JOIN range(-1, 8) p(j)
-        |  WHERE vec_id % 100 = 0),
-        |lcand AS (
-        |  SELECT DISTINCT q.qid, b.vec_id
-        |  FROM qprobes q JOIN keys b ON b.tbl = q.tbl AND b.bk = q.bk
-        |    AND q.qid != b.vec_id),
-        |ldist AS (
-        |  SELECT c.qid, c.vec_id,
-        |    round(sqrt(CAST(SUM(CAST(round(
-        |      (CAST(ea.embedding[r.d + 1] AS DOUBLE)
-        |        - CAST(eb.embedding[r.d + 1] AS DOUBLE)) *
-        |      (CAST(ea.embedding[r.d + 1] AS DOUBLE)
-        |        - CAST(eb.embedding[r.d + 1] AS DOUBLE)), 9)
-        |      AS DECIMAL(20,9))) AS DOUBLE)), 6) AS dist
-        |  FROM lcand c
-        |  JOIN embeddings ea ON ea.vec_id = c.qid
-        |  JOIN embeddings eb ON eb.vec_id = c.vec_id
-        |  CROSS JOIN range(0, 64) r(d)
-        |  GROUP BY c.qid, c.vec_id)
-        |SELECT qid, vec_id, dist FROM ldist WHERE dist <= 1.5
-        |ORDER BY qid, vec_id""".stripMargin),
+    "q_ann_lsh" -> annLshOracleSql,
 
     // md5-ordered centroid pick, exact decimal L2² assignment/probe
     // distances (ties on (d2, cell)), list_cosine rerank — the chain
@@ -2060,7 +2044,7 @@ object VectorQueries extends QueryPack {
     * oracle twin of [[annMd5Keys]], shared by the single-probe chain
     * ([[annMd5CtesSql]]) and the q_ann_multiprobe oracle so one key
     * definition serves both. */
-  private lazy val annMd5KeysCtesSql: String =
+  private[queries] lazy val annMd5KeysCtesSql: String =
     """WITH dims AS (
       |  SELECT vec_id, r.d, CAST(embedding[r.d + 1] AS DOUBLE) AS x
       |  FROM embeddings CROSS JOIN range(0, 64) r(d)
@@ -2080,6 +2064,43 @@ object VectorQueries extends QueryPack {
       |    SUM(CASE WHEN bit THEN (1::BIGINT << (i % 8))
       |        ELSE 0 END)::BIGINT AS bk
       |  FROM bits GROUP BY vec_id, tbl)""".stripMargin
+
+  /** The q_ann_lsh oracle — the shared key chain + the query-decile probe
+    * fan-out; the exact euclidean verify sums 9dp-rounded squared-
+    * difference terms as DECIMAL (the q_embed_health norm discipline) so
+    * dist is bit-identical cross-engine. `private[queries]` because
+    * [[ServeOps]]' q_ann_served is row-identical BY CONSTRUCTION (same
+    * keys, same probe rule, same verify — only the physical layout
+    * changes), so it reuses this oracle verbatim: one SQL home means the
+    * served result and the in-plan result can never drift apart
+    * unnoticed. */
+  private[queries] lazy val annLshOracleSql: String =
+    annMd5KeysCtesSql + """,
+      |qprobes AS (
+      |  SELECT vec_id AS qid, tbl,
+      |    CASE WHEN p.j = -1 THEN bk
+      |      ELSE xor(bk, (1::BIGINT << p.j)) END AS bk
+      |  FROM keys CROSS JOIN range(-1, 8) p(j)
+      |  WHERE vec_id % 100 = 0),
+      |lcand AS (
+      |  SELECT DISTINCT q.qid, b.vec_id
+      |  FROM qprobes q JOIN keys b ON b.tbl = q.tbl AND b.bk = q.bk
+      |    AND q.qid != b.vec_id),
+      |ldist AS (
+      |  SELECT c.qid, c.vec_id,
+      |    round(sqrt(CAST(SUM(CAST(round(
+      |      (CAST(ea.embedding[r.d + 1] AS DOUBLE)
+      |        - CAST(eb.embedding[r.d + 1] AS DOUBLE)) *
+      |      (CAST(ea.embedding[r.d + 1] AS DOUBLE)
+      |        - CAST(eb.embedding[r.d + 1] AS DOUBLE)), 9)
+      |      AS DECIMAL(20,9))) AS DOUBLE)), 6) AS dist
+      |  FROM lcand c
+      |  JOIN embeddings ea ON ea.vec_id = c.qid
+      |  JOIN embeddings eb ON eb.vec_id = c.vec_id
+      |  CROSS JOIN range(0, 64) r(d)
+      |  GROUP BY c.qid, c.vec_id)
+      |SELECT qid, vec_id, dist FROM ldist WHERE dist <= 1.5
+      |ORDER BY qid, vec_id""".stripMargin
 
   /** Oracle for [[Vector2Ops.qAnnFiltered]] — assembled here because it
     * shares the private [[annMd5CtesSql]] multiprobe chain (one home
@@ -2105,7 +2126,7 @@ object VectorQueries extends QueryPack {
     * cannot drift from its own evaluation — mirrors [[annMd5Pairs]],
     * including the r14 Hamming-1 multiprobe serving config (probe CTE:
     * xor() is DuckDB's integer XOR, its ^ is power; Spark's ^ is XOR). */
-  private lazy val annMd5CtesSql: String =
+  private[queries] lazy val annMd5CtesSql: String =
     annMd5KeysCtesSql + ",\n" + """sprobes AS (
       |  SELECT vec_id AS id1, tbl,
       |    CASE WHEN p.j = -1 THEN bk

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Cross-JVM ANN index persistence probe (r18) — [[MetastoreProbe]]'s
+  * discipline applied to the vector-serving story: JVM #1 builds the
+  * bucketed SRP index tables through a derby-backed Hive catalog and
+  * EXITS (everything in-memory dies with it); JVM #2 opens the SAME
+  * metastore cold and serves the %100 query decile's radius search
+  * purely from the catalog — name → bucket spec → data files — writing
+  * the result to parquet for AnnServedSpec to compare row-for-row
+  * against the in-plan [[graft.queries.VectorQueries.qAnnLsh]]. This is
+  * the restart invariant a production vector service must hold: the
+  * answer depends on the persisted index + the query, never on state
+  * the build process held in memory.
+  *
+  * Run as `AnnIndexProbe build <dir> <sfDir>` then
+  * `AnnIndexProbe serve <dir> <sfDir>` in SEPARATE JVMs. */
+object AnnIndexProbe {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: AnnIndexProbe build|serve <dir> <sfDir>")
+    val (mode, dir, sfDir) = (args(0), args(1), args(2))
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName(s"ann-index-probe-$mode")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$dir/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$dir/metastore_db;create=true")
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      mode match {
+        case "build" =>
+          graft.queries.ServeOps.buildAnnIndex(spark, sfDir, "graft_ann_cold")
+          val n = spark.table("graft_ann_cold_postings").count()
+          println(s"PROBE_OK build $n")
+        case "serve" =>
+          import spark.implicits._
+          require(spark.catalog.tableExists("graft_ann_cold_postings"),
+            "postings table not found in reopened metastore")
+          val queries = graft.Tables.df(spark, sfDir, "embeddings")
+            .filter($"vec_id" % 100 === 0)
+            .select($"vec_id".as("qid"), $"embedding".as("qv"))
+          val served = graft.queries.ServeOps.serveAnn(queries,
+            spark.table("graft_ann_cold_postings"),
+            spark.table("graft_ann_cold_vectors"))
+          served.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/served")
+          println(s"PROBE_OK serve ${spark.read.parquet(s"$dir/served").count()}")
+        case other =>
+          throw new IllegalArgumentException(s"unknown mode $other")
+      }
+    } finally spark.stop()
+  }
+}

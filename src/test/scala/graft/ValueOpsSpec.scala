@@ -135,4 +135,43 @@ class ValueOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
     }
   }
+
+  test("q_knn_shapley_ann: the truncated recursion telescopes — each " +
+      "query's values sum to its top-10 match rate over the CANDIDATE " +
+      "ranking (the efficiency axiom survives truncation)") {
+    import spark.implicits._
+    val per = graft.queries.ServeOps.knnShapleyAnnPerQuery(spark, sf)
+      .select($"qid", $"rk", $"m", $"shap".cast("double").as("shap"))
+      .collect()
+    assert(per.nonEmpty, "the fixture yields SOME ANN candidates")
+    per.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      val total = rows.map(_.getAs[Double]("shap")).sum
+      val top10 = rows.filter(_.getAs[Int]("rk") <= 10)
+        .map(_.getAs[Long]("m")).sum / 10.0
+      assert(math.abs(total - top10) < 1e-4,
+        s"qid=$qid: sum(truncated shap)=$total vs candidate top-10 " +
+          s"match rate $top10")
+    }
+  }
+
+  test("q_knn_shapley_ann: agreement with the exact valuation — every " +
+      "vector the truncated estimator prices POSITIVE sits in the exact " +
+      "full-corpus top-20, and the estimator never values more vectors " +
+      "than it retrieved") {
+    val ann = graft.queries.ServeOps.qKnnShapleyAnn(spark, sf).collect()
+    assert(ann.nonEmpty)
+    val exactTop = ValueOps.qKnnShapley(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val pos = ann.filter(_.getAs[Double]("mean_shapley") > 0)
+      .map(_.getAs[Long]("vec_id"))
+    // the floor VERDICT r17 #2 asked for: truncation may MISS valuable
+    // vectors (candidates are recall-bounded) but must not INVENT them —
+    // a positive truncated value is a positive exact value, and on this
+    // fixture every one lands inside the exact top-20
+    assert(pos.nonEmpty, "the fixture yields SOME positive values")
+    val missed = pos.filterNot(exactTop.contains)
+    assert(missed.isEmpty,
+      s"truncated-positive vectors missing from the exact top-20: " +
+        missed.mkString(", "))
+  }
 }
