@@ -365,7 +365,130 @@ object Corpus2Ops extends QueryPack {
       .orderBy($"source")
   }
 
+  // ---- q_bpe_train -----------------------------------------------------------
+  /** BPE merge TRAINING, unrolled (VERDICT r17 #4 — [[CorpusOps.qBpeMerges]]
+    * computes one step's pair statistics; this runs the loop): 6 merge
+    * rounds over the vocabulary-thin symbol relation (Sennrich ACL'16),
+    * each round picking the max-count adjacent pair (count desc, pair
+    * asc) and APPLYING it leftmost-greedy before re-counting — the
+    * q_pagerank/q_logreg static-unroll discipline, one localCheckpoint
+    * per round so round N's plan never embeds round N−1's tree. Output:
+    * per round the learned merge, its corpus-weighted pair count, the
+    * corpus symbol total after applying it, and the fertility
+    * (symbols per corpus token) — the trajectory a tokenizer build
+    * reads to pick its vocab size, and the re-read under the trained
+    * vocab that q_tok_fertility/q_vocab_coverage motivate.
+    *
+    * Leftmost-greedy non-overlap is RELATIONAL, not sequential: a merge
+    * at position p consumes p+1, so only runs of CONSECUTIVE matches
+    * (possible only when a = b) interact; within each run (grouped by
+    * the p − row_number() constant) selecting every other position from
+    * the run head is exactly the left-to-right scan's choice. Scale:
+    * the corpus collapses to the (tok, cnt) vocabulary FIRST (the
+    * q_bpe_merges order-of-magnitude cut), so every round is windows +
+    * thin joins over |vocab|·len symbol rows; the 1-row merge decision
+    * broadcasts. */
+  def qBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tc = Tables.df(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text"))
+        .as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val nt = tc.agg(sum($"cnt").as("n_tokens")).localCheckpoint()
+    val wTok = Window.partitionBy($"tok").orderBy($"p")
+    var state = tc
+      .repartition(Tables.shufflePartitions(spark), $"tok")
+      .select($"tok", $"cnt",
+        explode(sequence(lit(1), length($"tok"))).as("p"))
+      .select($"tok", $"cnt", $"p", expr("substring(tok, p, 1)").as("sym"))
+      .localCheckpoint()
+    var outs = Seq.empty[DataFrame]
+    for (r <- 1 to 6) {
+      val withNext = state
+        .withColumn("next", lead($"sym", 1).over(wTok))
+        .localCheckpoint() // merge pick + flag/rebuild both read it
+      val top = withNext.filter($"next".isNotNull)
+        .groupBy($"sym".as("a"), $"next".as("b"))
+        .agg(sum($"cnt").as("total"))
+        .orderBy($"total".desc, $"a".asc, $"b".asc).limit(1)
+        .localCheckpoint()
+      val flagged = withNext.crossJoin(broadcast(top))
+        .withColumn("flg",
+          ($"sym" === $"a" && $"next" === $"b").cast("int"))
+      val sel = flagged.filter($"flg" === 1)
+        .withColumn("grp", $"p" - row_number().over(wTok))
+        .withColumn("p0m",
+          min($"p").over(Window.partitionBy($"tok", $"grp")))
+        .filter((($"p" - $"p0m") % 2) === 0)
+        .select($"tok", $"p".as("ps"))
+      state = flagged
+        .join(sel.select($"tok", $"ps".as("p"), lit(1).as("is_sel")),
+          Seq("tok", "p"), "left")
+        .join(sel.select($"tok", ($"ps" + 1).as("p"), lit(1).as("is_con")),
+          Seq("tok", "p"), "left")
+        .filter($"is_con".isNull)
+        .select($"tok", $"cnt", $"p",
+          when($"is_sel" === 1, concat($"sym", $"next"))
+            .otherwise($"sym").as("sym"))
+        .withColumn("p2", row_number().over(wTok))
+        .select($"tok", $"cnt", $"p2".as("p"), $"sym")
+        .localCheckpoint()
+      val cs = state.agg(sum($"cnt").as("corpus_symbols"))
+      outs = outs :+ top.crossJoin(broadcast(cs)).crossJoin(broadcast(nt))
+        .select(lit(r).as("round"), $"a".as("sym_a"), $"b".as("sym_b"),
+          $"total".as("pair_count"), $"corpus_symbols",
+          round($"corpus_symbols".cast("double") / $"n_tokens", 6)
+            .as("fertility"))
+    }
+    outs.reduce(_ unionAll _).orderBy($"round")
+  }
+
+  /** One BPE training round's oracle CTEs (m/t/f/g/sel/s/o at index
+    * `k`) — generated so the 6 rounds cannot drift from each other;
+    * mirrors [[qBpeTrain]]'s window/parity apply exactly. */
+  private def bpeRoundSql(k: Int): String = {
+    val prev = if (k == 1) "s0" else s"s${k - 1}"
+    s"""m$k AS MATERIALIZED (
+       |  SELECT tok, cnt, p, sym,
+       |    lead(sym) OVER (PARTITION BY tok ORDER BY p) AS next
+       |  FROM $prev),
+       |t$k AS MATERIALIZED (
+       |  SELECT sym AS a, next AS b, CAST(SUM(cnt) AS BIGINT) AS total
+       |  FROM m$k WHERE next IS NOT NULL GROUP BY 1, 2
+       |  ORDER BY total DESC, a, b LIMIT 1),
+       |f$k AS MATERIALIZED (
+       |  SELECT m.tok, m.cnt, m.p, m.sym, m.next,
+       |    CASE WHEN m.sym = t.a AND m.next = t.b THEN 1 ELSE 0 END AS flg
+       |  FROM m$k m CROSS JOIN t$k t),
+       |g$k AS MATERIALIZED (
+       |  SELECT tok, p,
+       |    p - row_number() OVER (PARTITION BY tok ORDER BY p) AS grp
+       |  FROM f$k WHERE flg = 1),
+       |sel$k AS MATERIALIZED (
+       |  SELECT tok, p FROM (
+       |    SELECT tok, p, min(p) OVER (PARTITION BY tok, grp) AS p0
+       |    FROM g$k)
+       |  WHERE (p - p0) % 2 = 0),
+       |s$k AS MATERIALIZED (
+       |  SELECT tok, cnt,
+       |    row_number() OVER (PARTITION BY tok ORDER BY p) AS p, sym
+       |  FROM (
+       |    SELECT f.tok, f.cnt, f.p,
+       |      CASE WHEN s.p IS NOT NULL THEN f.sym || f.next
+       |        ELSE f.sym END AS sym
+       |    FROM f$k f
+       |    LEFT JOIN sel$k s ON s.tok = f.tok AND s.p = f.p
+       |    LEFT JOIN sel$k c ON c.tok = f.tok AND c.p = f.p - 1
+       |    WHERE c.p IS NULL)),
+       |o$k AS (
+       |  SELECT CAST($k AS INT) AS round, a AS sym_a, b AS sym_b,
+       |    total AS pair_count,
+       |    (SELECT CAST(SUM(cnt) AS BIGINT) FROM s$k) AS corpus_symbols
+       |  FROM t$k)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> qBpeTrain,
     "q_prefix_cache" -> qPrefixCache,
     "q_entropy_rate" -> qEntropyRate,
     "q_js_sources" -> qJsSources,
@@ -376,6 +499,27 @@ object Corpus2Ops extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // the 6-round chained merge train: identical window/parity apply per
+    // round (bpeRoundSql), identical (total desc, pair asc) pick
+    "q_bpe_train" ->
+      (s"""WITH tc AS (
+        |  SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY tok),
+        |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM tc),
+        |s0a AS (
+        |  SELECT tok, cnt, unnest(range(1, length(tok) + 1)) AS p FROM tc),
+        |s0 AS MATERIALIZED (
+        |  SELECT tok, cnt, p, substr(tok, p, 1) AS sym FROM s0a),
+        |""".stripMargin
+        + (1 to 6).map(bpeRoundSql).mkString(",\n") + """
+        |SELECT round, sym_a, sym_b, pair_count, corpus_symbols,
+        |  round(CAST(corpus_symbols AS DOUBLE) / n_tokens, 6) AS fertility
+        |FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+        |  UNION ALL SELECT * FROM o3 UNION ALL SELECT * FROM o4
+        |  UNION ALL SELECT * FROM o5 UNION ALL SELECT * FROM o6)
+        |CROSS JOIN nt ORDER BY round""".stripMargin),
+
     // same first-8-token buckets, exact integer token accounting
     "q_prefix_cache" ->
       s"""WITH d0 AS (

@@ -35,15 +35,53 @@ object XModalOps extends QueryPack {
     * repartition lands BEFORE the char explode (the shingleStream
     * discipline) so the ×L fan-out runs parallel. h counts are exact
     * integers — the media-side norm Σh² needs no rounding at all. */
-  private def mediaHist(spark: SparkSession, sfDir: String): DataFrame = {
+  private def mediaHist(spark: SparkSession, sfDir: String): DataFrame =
+    mediaHistOf(Tables.df(spark, sfDir, "documents"))
+
+  /** Channel 1 over an arbitrary (doc_id, text) relation — factored out
+    * (r18) so XModalSpec can feed CRAFTED payloads that sit in each
+    * channel's blind spot. */
+  private[graft] def mediaHistOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.df(spark, sfDir, "documents")
+    docs
       .select($"doc_id", $"text")
       .repartition(Tables.shufflePartitions(spark), $"doc_id")
       .select($"doc_id", $"text",
         explode(sequence(lit(1), length($"text"))).as("p"))
       .select($"doc_id",
         ((ascii(expr("substr(text, p, 1)")) + $"p") % 64).cast("int")
+          .as("dim"))
+      .groupBy($"doc_id", $"dim").agg(count(lit(1)).as("h"))
+  }
+
+  /** MEDIA tower channel 2 (r18, VERDICT r17 #6): sparse (doc_id, dim, h)
+    * 64-bin histogram over byte BIGRAMS — (c₁·7 + c₂) % 64 for every
+    * adjacent char pair. Positional channel 1 is blind to swapping two
+    * equal-class bytes exactly 64 positions apart ((c+p) % 64 collides);
+    * the bigram channel sees the changed neighborhoods — and vice versa,
+    * channel 2 is blind to Eulerian re-orderings that preserve the
+    * bigram multiset ("abaca" ↔ "acaba"), which channel 1 sees. Two
+    * deterministic views with DISJOINT blind spots make the cross-modal
+    * gate strictly harder to fool (XModalSpec crafts both fixtures).
+    * Same scale shape as channel 1: doc-keyed repartition BEFORE the
+    * ×(L−1) pair explode; exact integer counts. */
+  private def mediaHist2(spark: SparkSession, sfDir: String): DataFrame =
+    mediaHist2Of(Tables.df(spark, sfDir, "documents"))
+
+  /** Channel 2 over an arbitrary (doc_id, text) relation. */
+  private[graft] def mediaHist2Of(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", $"text")
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .filter(length($"text") >= 2)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), length($"text") - 1)).as("p"))
+      .select($"doc_id",
+        ((ascii(expr("substr(text, p, 1)")) * 7
+          + ascii(expr("substr(text, p + 1, 1)"))) % 64).cast("int")
           .as("dim"))
       .groupBy($"doc_id", $"dim").agg(count(lit(1)).as("h"))
   }
@@ -76,33 +114,43 @@ object XModalOps extends QueryPack {
     * aggregate — no pair joins anywhere, posture unchanged at 100 TB. */
   def qXmodalAlign(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val med = mediaHist(spark, sfDir)
-      .localCheckpoint() // dot arm + media-norm arm
     val txt = textVec(spark, sfDir)
-      .localCheckpoint() // dot arm + text-norm arm
-    val dot = txt.join(med, Seq("doc_id", "dim"))
-      .select($"doc_id",
-        round($"x".cast("double") * $"h", 9).cast(dec9).as("tm"))
-      .groupBy($"doc_id").agg(sum($"tm").as("dot"))
+      .localCheckpoint() // two dot arms + the text-norm arm
     val nt = txt
       .select($"doc_id",
         round($"x".cast("double") * $"x".cast("double"), 9).cast(dec9)
           .as("tm"))
       .groupBy($"doc_id").agg(sum($"tm").as("n2t"))
-    val nm = med.groupBy($"doc_id").agg(sum($"h" * $"h").as("n2m"))
-    val cs = dot.join(nt, "doc_id").join(nm, "doc_id")
-      .select($"doc_id",
-        round($"dot".cast("double")
-          / (sqrt($"n2t".cast("double")) * sqrt($"n2m".cast("double"))), 6)
-          .as("cs"))
-    cs.join(Tables.df(spark, sfDir, "documents")
+    // per-channel cosine against the SAME text vector (both channels bin
+    // into the text tower's 64 dims) — the r18 two-channel gate: a pair
+    // must agree in direction in BOTH views to survive, and the two
+    // views have disjoint blind spots (see mediaHist2)
+    def chanCos(med: DataFrame, out: String): DataFrame = {
+      val dot = txt.join(med, Seq("doc_id", "dim"))
+        .select($"doc_id",
+          round($"x".cast("double") * $"h", 9).cast(dec9).as("tm"))
+        .groupBy($"doc_id").agg(sum($"tm").as("dot"))
+      val nm = med.groupBy($"doc_id").agg(sum($"h" * $"h").as("n2m"))
+      dot.join(nt, "doc_id").join(nm, "doc_id")
+        .select($"doc_id",
+          round($"dot".cast("double")
+            / (sqrt($"n2t".cast("double")) * sqrt($"n2m".cast("double"))),
+            6).as(out))
+    }
+    val cs1 = chanCos(mediaHist(spark, sfDir).localCheckpoint(), "cs")
+    val cs2 = chanCos(mediaHist2(spark, sfDir).localCheckpoint(), "cs2")
+    cs1.join(cs2, "doc_id")
+      .join(Tables.df(spark, sfDir, "documents")
         .select($"doc_id", $"source"), "doc_id")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_pairs"),
         sum($"cs".cast(dec6)).as("csum"),
-        sum(when($"cs" >= 0.0, 1L).otherwise(0L)).as("n_keep"))
+        sum($"cs2".cast(dec6)).as("csum2"),
+        sum(when($"cs" >= 0.0 && $"cs2" >= 0.0, 1L).otherwise(0L))
+          .as("n_keep"))
       .select($"source", $"n_pairs",
         round($"csum".cast("double") / $"n_pairs", 6).as("mean_cos"),
+        round($"csum2".cast("double") / $"n_pairs", 6).as("mean_cos2"),
         $"n_keep", ($"n_pairs" - $"n_keep").as("n_drop"),
         round($"n_keep".cast("double") / $"n_pairs", 6).as("keep_rate"))
       .orderBy($"source")
@@ -255,23 +303,32 @@ object XModalOps extends QueryPack {
     * 9dp into exact decimal sums; everything after is source-thin. */
   def qMediaEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hist = mediaHist(spark, sfDir)
-    val tot = hist.groupBy($"doc_id").agg(sum($"h").as("ht"))
-    val ent = hist.join(tot, "doc_id")
-      .select($"doc_id",
-        round(-($"h".cast("double") / $"ht")
-          * log($"h".cast("double") / $"ht"), 9).cast(dec9n).as("term"))
-      .groupBy($"doc_id")
-      .agg(round(sum($"term").cast("double"), 6).as("entropy"))
+    def chanEnt(hist: DataFrame, out: String): DataFrame = {
+      val tot = hist.groupBy($"doc_id").agg(sum($"h").as("ht"))
+      hist.join(tot, "doc_id")
+        .select($"doc_id",
+          round(-($"h".cast("double") / $"ht")
+            * log($"h".cast("double") / $"ht"), 9).cast(dec9n).as("term"))
+        .groupBy($"doc_id")
+        .agg(round(sum($"term").cast("double"), 6).as(out))
+    }
+    // r18 two-channel gate: an asset is degenerate when EITHER view
+    // concentrates — a payload can fool one featurizer (see mediaHist2's
+    // disjoint-blind-spot note) but must now fool both
+    val ent = chanEnt(mediaHist(spark, sfDir), "entropy")
+      .join(chanEnt(mediaHist2(spark, sfDir), "entropy2"), "doc_id")
     ent.join(Tables.df(spark, sfDir, "documents")
         .select($"doc_id", $"source"), "doc_id")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         round(sum($"entropy".cast(dec6)).cast("double")
           / count(lit(1)), 6).as("mean_entropy"),
+        round(sum($"entropy2".cast(dec6)).cast("double")
+          / count(lit(1)), 6).as("mean_entropy2"),
         min($"entropy").as("min_entropy"),
         max($"entropy").as("max_entropy"),
-        sum(when($"entropy" < 2.0, 1L).otherwise(0L)).as("n_degenerate"))
+        sum(when(least($"entropy", $"entropy2") < 2.0, 1L).otherwise(0L))
+          .as("n_degenerate"))
       .orderBy($"source")
   }
 
@@ -295,28 +352,54 @@ object XModalOps extends QueryPack {
       |    count(*) AS h
       |  FROM pos GROUP BY 1, 2)""".stripMargin
 
+  /** Channel-2 (byte-bigram) histogram CTEs — mirrors [[mediaHist2]]. */
+  private val hist2CtesSql =
+    """pos2 AS (
+      |  SELECT doc_id, unnest(range(1, len(text))) AS p, text
+      |  FROM documents WHERE len(text) >= 2),
+      |hist2 AS (
+      |  SELECT doc_id,
+      |    CAST((ascii(substr(text, CAST(p AS INT), 1)) * 7
+      |      + ascii(substr(text, CAST(p AS INT) + 1, 1))) % 64 AS INT)
+      |      AS dim,
+      |    count(*) AS h
+      |  FROM pos2 GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // same shared histogram CTEs, 9dp once-rounded −(h/H)ln(h/H) terms
     // into decimal sums, source-thin rollup
     "q_media_entropy" ->
       (s"""WITH $histCtesSql,
+        |$hist2CtesSql,
         |ht AS (SELECT doc_id, CAST(sum(h) AS BIGINT) AS ht
         |       FROM hist GROUP BY 1),
+        |ht2 AS (SELECT doc_id, CAST(sum(h) AS BIGINT) AS ht
+        |       FROM hist2 GROUP BY 1),
         |ent AS (
         |  SELECT h.doc_id,
         |    round(CAST(sum(CAST(round(-(CAST(h.h AS DOUBLE) / ht.ht)
         |      * ln(CAST(h.h AS DOUBLE) / ht.ht), 9) AS DECIMAL(18,9)))
         |      AS DOUBLE), 6) AS entropy
         |  FROM hist h JOIN ht ON ht.doc_id = h.doc_id
+        |  GROUP BY h.doc_id),
+        |ent2 AS (
+        |  SELECT h.doc_id,
+        |    round(CAST(sum(CAST(round(-(CAST(h.h AS DOUBLE) / ht2.ht)
+        |      * ln(CAST(h.h AS DOUBLE) / ht2.ht), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE), 6) AS entropy2
+        |  FROM hist2 h JOIN ht2 ON ht2.doc_id = h.doc_id
         |  GROUP BY h.doc_id)
         |SELECT d.source, count(*) AS n_docs,
         |  round(CAST(sum(CAST(e.entropy AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(*), 6) AS mean_entropy,
+        |  round(CAST(sum(CAST(e2.entropy2 AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_entropy2,
         |  min(e.entropy) AS min_entropy,
         |  max(e.entropy) AS max_entropy,
-        |  CAST(sum(CASE WHEN e.entropy < 2.0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_degenerate
-        |FROM ent e JOIN documents d ON d.doc_id = e.doc_id
+        |  CAST(sum(CASE WHEN least(e.entropy, e2.entropy2) < 2.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+        |FROM ent e JOIN ent2 e2 ON e2.doc_id = e.doc_id
+        |JOIN documents d ON d.doc_id = e.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     // same 6dp text elements × integer media counts, 9dp once-rounded
@@ -324,11 +407,17 @@ object XModalOps extends QueryPack {
     // formula and cos >= 0 gate
     "q_xmodal_align" ->
       (s"""WITH $histCtesSql,
+        |$hist2CtesSql,
         |txt AS (
         |  SELECT vec_id AS doc_id, CAST(r.d AS INT) AS dim,
         |    CAST(round(CAST(embedding[r.d + 1] AS DOUBLE), 6)
         |      AS DECIMAL(18,6)) AS x
         |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+        |nt AS (
+        |  SELECT doc_id,
+        |    sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+        |      AS DECIMAL(28,9))) AS n2t
+        |  FROM txt GROUP BY 1),
         |dt AS (
         |  SELECT t.doc_id,
         |    sum(CAST(round(CAST(t.x AS DOUBLE) * h.h, 9)
@@ -336,28 +425,39 @@ object XModalOps extends QueryPack {
         |  FROM txt t JOIN hist h
         |    ON h.doc_id = t.doc_id AND h.dim = t.dim
         |  GROUP BY 1),
-        |nt AS (
-        |  SELECT doc_id,
-        |    sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
-        |      AS DECIMAL(28,9))) AS n2t
-        |  FROM txt GROUP BY 1),
+        |dt2 AS (
+        |  SELECT t.doc_id,
+        |    sum(CAST(round(CAST(t.x AS DOUBLE) * h.h, 9)
+        |      AS DECIMAL(28,9))) AS dot
+        |  FROM txt t JOIN hist2 h
+        |    ON h.doc_id = t.doc_id AND h.dim = t.dim
+        |  GROUP BY 1),
         |nm AS (SELECT doc_id, sum(h * h) AS n2m FROM hist GROUP BY 1),
+        |nm2 AS (SELECT doc_id, sum(h * h) AS n2m FROM hist2 GROUP BY 1),
         |cs AS (
         |  SELECT dt.doc_id,
         |    round(CAST(dt.dot AS DOUBLE)
         |      / (sqrt(CAST(nt.n2t AS DOUBLE))
         |         * sqrt(CAST(nm.n2m AS DOUBLE))), 6) AS cs
-        |  FROM dt JOIN nt USING (doc_id) JOIN nm USING (doc_id))
+        |  FROM dt JOIN nt USING (doc_id) JOIN nm USING (doc_id)),
+        |cs2 AS (
+        |  SELECT dt2.doc_id,
+        |    round(CAST(dt2.dot AS DOUBLE)
+        |      / (sqrt(CAST(nt.n2t AS DOUBLE))
+        |         * sqrt(CAST(nm2.n2m AS DOUBLE))), 6) AS cs2
+        |  FROM dt2 JOIN nt USING (doc_id) JOIN nm2 USING (doc_id))
         |SELECT d.source, count(*) AS n_pairs,
         |  round(CAST(sum(CAST(cs.cs AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(*), 6) AS mean_cos,
-        |  CAST(sum(CASE WHEN cs.cs >= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_keep,
-        |  CAST(count(*) - sum(CASE WHEN cs.cs >= 0.0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_drop,
-        |  round(CAST(sum(CASE WHEN cs.cs >= 0.0 THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 6) AS keep_rate
-        |FROM cs JOIN documents d USING (doc_id)
+        |  round(CAST(sum(CAST(cs2.cs2 AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_cos2,
+        |  CAST(sum(CASE WHEN cs.cs >= 0.0 AND cs2.cs2 >= 0.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(count(*) - sum(CASE WHEN cs.cs >= 0.0 AND cs2.cs2 >= 0.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+        |  round(CAST(sum(CASE WHEN cs.cs >= 0.0 AND cs2.cs2 >= 0.0
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+        |FROM cs JOIN cs2 USING (doc_id) JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // same sparse-dot identity (zero-count dims contribute exact 0 to

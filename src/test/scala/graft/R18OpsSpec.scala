@@ -46,4 +46,58 @@ class R18OpsSpec extends SparkSpec {
     assert(lsh.head.getAs[Long]("n_queries") <=
       exact.head.getAs[Long]("n_queries"))
   }
+
+  test("q_bpe_train: a sequential leftmost-greedy replay reproduces " +
+      "every round's merge pick, pair count, and post-merge symbol " +
+      "total (the relational run-parity apply IS the left-to-right scan)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Corpus2Ops.qBpeTrain(spark, sf).collect()
+      .sortBy(_.getAs[Int]("round"))
+    assert(rows.length === 6)
+    val toks = Tables.df(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text"))
+        .as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] =
+      toks.map { case (t, c) => (t.map(_.toString).toArray, c) }
+    def applyMerge(s: Array[String], a: String, b: String): Array[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          buf += (a + b); i += 2
+        } else { buf += s(i); i += 1 }
+      }
+      buf.toArray
+    }
+    rows.foreach { r =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      val ((a, b), n) = pc.toSeq
+        .sortBy { case ((x, y), m) => (-m, x, y) }.head
+      assert(r.getAs[String]("sym_a") === a
+        && r.getAs[String]("sym_b") === b,
+        s"round ${r.getAs[Int]("round")}: replay picked ($a,$b), " +
+          s"query picked (${r.getAs[String]("sym_a")}," +
+          s"${r.getAs[String]("sym_b")})")
+      assert(r.getAs[Long]("pair_count") === n)
+      vocab = vocab.map { case (syms, c) => (applyMerge(syms, a, b), c) }
+      val symsTotal = vocab.map { case (s, c) => s.length * c }.sum
+      assert(r.getAs[Long]("corpus_symbols") === symsTotal,
+        s"round ${r.getAs[Int]("round")}: post-merge symbol totals differ")
+    }
+    // the trajectory is monotone: every merge strictly shrinks the corpus
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(y.getAs[Long]("corpus_symbols") < x.getAs[Long]("corpus_symbols"))
+    }
+  }
 }

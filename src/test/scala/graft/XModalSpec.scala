@@ -108,4 +108,55 @@ class XModalSpec extends SparkSpec {
       "q_xmodal_align's tower joins must stay (doc_id, dim) " +
         "equi-joins: " + p.take(400))
   }
+
+  test("media tower v2: the two channels have DISJOINT blind spots — " +
+      "each crafted payload pair fools exactly one channel and is " +
+      "caught by the other") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    def histMap(df: DataFrame): Map[Long, Map[Int, Long]] =
+      df.collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+        .map { case (id, rows) =>
+          id -> rows.map(r =>
+            r.getAs[Int]("dim") -> r.getAs[Long]("h")).toMap }
+    // CHANNEL-1 BLIND: swapping two chars exactly 64 positions apart
+    // leaves every (char + pos) % 64 bin unchanged ((c + p + 64) % 64 =
+    // (c + p) % 64), so the positional histogram cannot see it — the
+    // bigram channel sees the changed neighborhoods
+    val mid = "f" * 63
+    val blind1 = Seq((1L, "x" + mid + "y"), (2L, "y" + mid + "x"))
+      .toDF("doc_id", "text")
+    val h1 = histMap(XModalOps.mediaHistOf(blind1))
+    val h1b = histMap(XModalOps.mediaHist2Of(blind1))
+    assert(h1(1L) === h1(2L),
+      "channel 1 must be blind to the 64-apart swap")
+    assert(h1b(1L) !== h1b(2L),
+      "channel 2 must SEE the 64-apart swap")
+    // CHANNEL-2 BLIND: an Eulerian re-ordering preserves the bigram
+    // multiset (abaca and acaba both walk {ab, ba, ac, ca}), so the
+    // bigram histogram cannot see it — the positional channel sees the
+    // moved characters
+    val blind2 = Seq((1L, "abaca"), (2L, "acaba")).toDF("doc_id", "text")
+    val h2 = histMap(XModalOps.mediaHist2Of(blind2))
+    val h2a = histMap(XModalOps.mediaHistOf(blind2))
+    assert(h2(1L) === h2(2L),
+      "channel 2 must be blind to the Eulerian re-ordering")
+    assert(h2a(1L) !== h2a(2L),
+      "channel 1 must SEE the Eulerian re-ordering")
+  }
+
+  test("q_media_entropy: two-channel gate — mean_entropy2 sits under " +
+      "the ln 64 uniform bound and the degenerate count honors the " +
+      "min-of-channels rule") {
+    val rows = XModalOps.qMediaEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ln64 = math.log(64.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_entropy") <= ln64 + 1e-9)
+      assert(r.getAs[Double]("mean_entropy2") <= ln64 + 1e-9)
+      assert(r.getAs[Long]("n_degenerate") >= 0
+        && r.getAs[Long]("n_degenerate") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
