@@ -110,6 +110,47 @@ object ServeOps extends QueryPack {
       spark.table("graft_ann_q_vectors"))
   }
 
+  // ---- q_ann_delta ---------------------------------------------------------
+  /** Index FRESHNESS: serve against a persisted base index plus an
+    * in-flight DELTA that has not been compacted into it yet — the
+    * lambda read every production vector service does between index
+    * rebuilds (new vectors must be searchable before the nightly
+    * bucketed rewrite). The base half (vec_id % 4 = 0) is built and
+    * persisted exactly like [[qAnnServed]]; the delta half (the other
+    * %2 vectors) is keyed IN-PLAN through the same [[VectorQueries
+    * .srpKeys]] hyperplanes and unioned under the probe join. Because
+    * key computation has one home, base ∪ delta ≡ the full index, so
+    * the answer is row-identical to q_ann_lsh — same oracle, one more
+    * physical layout proven invisible in the result. Scale: the delta
+    * is small by definition (it compacts away at the next build); the
+    * base side stays the Exchange-free bucketed scan, the delta side
+    * shuffles only itself. */
+  def qAnnDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 4 === 0)
+      .select($"vec_id", $"embedding")
+    val n = Tables.shufflePartitions(spark)
+    graft.sources.Sources.writeBucketed(
+      VectorQueries.srpKeys(base)
+        .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id"),
+      "graft_ann_d_postings", n, "bkey")
+    graft.sources.Sources.writeBucketed(base, "graft_ann_d_vectors",
+      n, "vec_id")
+    val delta = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 2 === 0 && $"vec_id" % 4 =!= 0)
+      .select($"vec_id", $"embedding")
+      .localCheckpoint() // delta postings + delta vectors
+    val deltaPostings = VectorQueries.srpKeys(delta)
+      .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id")
+    val queries = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    serveAnn(queries,
+      spark.table("graft_ann_d_postings").unionAll(deltaPostings),
+      spark.table("graft_ann_d_vectors").unionAll(delta))
+  }
+
   // ---- q_knn_shapley_ann ---------------------------------------------------
   /** Truncated KNN-Shapley from the ANN candidate chain — the production
     * valuation path [[ValueOps]]' scaladoc promised (VERDICT r17 #2):
@@ -251,6 +292,7 @@ object ServeOps extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_served" -> qAnnServed,
+    "q_ann_delta" -> qAnnDelta,
     "q_knn_shapley_ann" -> qKnnShapleyAnn,
     "q_semcache_lsh" -> qSemcacheLsh
   )
@@ -260,6 +302,10 @@ object ServeOps extends QueryPack {
     // (VectorQueries.annLshOracleSql) so the served and in-plan results
     // can never drift apart unnoticed
     "q_ann_served" -> VectorQueries.annLshOracleSql,
+
+    // base ∪ delta ≡ the full index (one srpKeys home), so the freshness
+    // read shares the same oracle — the layout split is pure physical
+    "q_ann_delta" -> VectorQueries.annLshOracleSql,
 
     // the shared LSH chain through verified pairs (annMd5CtesSql), both
     // pair directions for the %100 decile, then the IDENTICAL Jia

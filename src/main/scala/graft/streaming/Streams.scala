@@ -522,4 +522,55 @@ object Streams {
         ($"sx".cast("double") / $"n" < $"xbb" - hw
           || $"sx".cast("double") / $"n" > $"xbb" + hw).as("ooc"))
   }
+
+  /** Streaming twin of the semantic-cache hit decision
+    * ([[graft.queries.VectorQueries.qSemcache]] / the r18 production-key
+    * variant q_semcache_lsh): each arriving query scores against a
+    * BROADCAST SNAPSHOT of the standing cache (pid, pv) — the
+    * tempSampleStream freeze discipline: a production cache refreshes
+    * its snapshot periodically, never per event — and keeps only
+    * strictly-earlier entries (pid < qid, the batch op's arrival-order
+    * contract), so replaying the same stream against the same snapshot
+    * reproduces the batch decisions exactly (R18OpsSpec). Per-query
+    * output is the best snapshot cosine; thresholding at τ is the
+    * consumer's knob. The per-qid max is a mergeable aggregate — each
+    * micro-batch pays only its own pair scores. */
+  def semcacheStream(stream: DataFrame, cacheSnap: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    stream
+      .join(broadcast(cacheSnap), expr("pid < qid"))
+      .select($"qid", round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
+      .groupBy($"qid").agg(max($"cs").as("best"))
+  }
+
+  /** Streaming twin of the TTL impact sweep
+    * ([[graft.queries.GovernOps.qRetentionSweep]]): classify every
+    * arriving event against a FROZEN sweep anchor (the as-of date a TTL
+    * evaluation runs at — rides in as a 1-row broadcast, never derived
+    * from stream state) × the {30,60,90}-day policy spine, and maintain
+    * the per-(event_type, policy) row/value/oldest-kept tallies as
+    * mergeable aggregates (count/sum/min — each micro-batch pays only
+    * its own scan). With the anchor set to the batch table's max day,
+    * the streamed tallies equal the batch sweep's exactly (R18OpsSpec
+    * merge-law). */
+  def retentionSweepStream(stream: DataFrame, anchor: DataFrame)
+      : DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val dec6 = DecimalType(18, 6)
+    val spine = Seq(30, 60, 90).toDF("policy_days")
+    stream
+      .select($"event_type", to_date($"ts").as("day"),
+        round($"value", 6).cast(dec6).as("v"))
+      .crossJoin(broadcast(anchor))
+      .crossJoin(broadcast(spine))
+      .withColumn("drop", datediff($"anchor", $"day") >= $"policy_days")
+      .groupBy($"event_type", $"policy_days")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"drop", 1L).otherwise(0L)).as("rows_dropped"),
+        sum(when($"drop", $"v")).cast("double").as("value_dropped"),
+        min(when(!$"drop", $"day")).as("oldest_kept_day"))
+  }
 }

@@ -124,4 +124,22 @@ class AnnServedSpec extends SparkSpec {
     assert(served === want,
       "cold-JVM served result differs from the in-plan chain")
   }
+
+  test("q_ann_delta: base index + in-flight delta serve the identical " +
+      "answer to the full in-plan chain — the compaction boundary is " +
+      "invisible in the result") {
+    import spark.implicits._
+    val got = graft.queries.ServeOps.qAnnDelta(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = VectorQueries.qAnnLsh(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want,
+      "base ∪ delta result differs from the full-index chain")
+    // the persisted base really is half the corpus, not the whole thing:
+    // the delta path must be exercised, not vacuous
+    val baseN = spark.table("graft_ann_d_vectors").count()
+    val fullN = Tables.df(spark, sf, "embeddings")
+      .filter($"vec_id" % 2 === 0).count()
+    assert(baseN < fullN, s"base holds $baseN of $fullN — no delta left")
+  }
 }

@@ -100,4 +100,83 @@ class R18OpsSpec extends SparkSpec {
       assert(y.getAs[Long]("corpus_symbols") < x.getAs[Long]("corpus_symbols"))
     }
   }
+
+  test("semcacheStream: replaying the query stream against the frozen " +
+      "snapshot reproduces the batch q_semcache hit counts at every τ") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.df(spark, sf, "embeddings")
+    val qset = emb.filter($"vec_id" % 25 === 0)
+    val snap = qset.select($"vec_id".as("pid"), $"embedding".as("pv"))
+      .localCheckpoint()
+    val arriving = qset
+      .select($"vec_id".as[Long], $"embedding".as[Array[Float]])
+      .collect().toSeq.sortBy(_._1)
+    assert(arriving.size >= 4)
+    val (b1, b2) = arriving.splitAt(arriving.size / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("qid", "qv")
+    val q = graft.streaming.Streams.semcacheStream(stream, snap)
+      .writeStream.format("memory").queryName("semcache_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val best = spark.table("semcache_stream")
+        .select($"qid".as[Long], $"best".as[Double]).collect().toMap
+      val batch = VectorQueries.qSemcache(spark, sf).collect()
+      batch.foreach { r =>
+        val tau = r.getAs[Double]("tau")
+        val hits = arriving.count { case (qid, _) =>
+          best.get(qid).exists(_ >= tau) }
+        assert(hits.toLong === r.getAs[Long]("hits"),
+          s"tau=$tau: stream hits $hits vs batch ${r.getAs[Long]("hits")}")
+        assert(arriving.size.toLong === r.getAs[Long]("n_queries"))
+      }
+    } finally q.stop()
+  }
+
+  test("retentionSweepStream: micro-batched tallies against the frozen " +
+      "anchor equal the batch q_retention_sweep row-for-row (merge law)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.df(spark, sf, "events")
+    val anchor = ev.select(to_date($"ts").as("day"))
+      .agg(max($"day").as("anchor")).localCheckpoint()
+    val rows = ev.select($"event_type".as[String],
+        $"ts".cast("timestamp").as[java.sql.Timestamp],
+        $"value".as[Double])
+      .collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("event_type", "ts", "value")
+    val q = graft.streaming.Streams.retentionSweepStream(stream, anchor)
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("retention_stream").collect().map { r =>
+        (r.getAs[String]("event_type"), r.getAs[Int]("policy_days")) ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("rows_dropped"),
+            BigDecimal(Option(r.get(r.fieldIndex("value_dropped")))
+              .map(_.asInstanceOf[Double]).getOrElse(0.0))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            String.valueOf(r.getAs[java.sql.Date]("oldest_kept_day")))
+      }.toMap
+      val want = graft.queries.GovernOps.qRetentionSweep(spark, sf)
+        .collect().map { r =>
+        (r.getAs[String]("event_type"), r.getAs[Int]("policy_days")) ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("rows_dropped"),
+            r.getAs[Double]("value_dropped"),
+            String.valueOf(r.getAs[java.sql.Date]("oldest_kept_day")))
+      }.toMap
+      assert(got === want,
+        s"stream tallies diverge from the batch sweep")
+    } finally q.stop()
+  }
 }
