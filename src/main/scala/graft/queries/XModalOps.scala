@@ -170,12 +170,15 @@ object XModalOps extends QueryPack {
     * is the eval twin, so it stays brute-force on purpose — the serving
     * path at corpus scale feeds the same rank/recall stages from the
     * IVF/SRP candidate joins (the q_ann_eval pattern). */
-  def qXmodalRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The dense (doc_id, mv, mn) media-vector relation — channel-1
+    * histograms densified to 64-wide arrays with the norm hoisted to doc
+    * grain (r17); factored out (r18) so the ANN-fed serving variant
+    * [[qXmodalRetrievalAnn]] reads the SAME vectors it indexes. */
+  private def mediaDense(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docsrc = Tables.df(spark, sfDir, "documents")
-      .select($"doc_id", $"source")
     val spine = spark.range(0, 64).select($"id".cast("int").as("dim"))
-    val dense = docsrc.select($"doc_id").crossJoin(broadcast(spine))
+    Tables.df(spark, sfDir, "documents").select($"doc_id")
+      .crossJoin(broadcast(spine))
       .join(mediaHist(spark, sfDir), Seq("doc_id", "dim"), "left")
       .select($"doc_id", $"dim", coalesce($"h", lit(0L)).as("h"))
       .groupBy($"doc_id")
@@ -192,7 +195,14 @@ object XModalOps extends QueryPack {
         "sqrt(CAST(aggregate(transform(mv, a -> a * a)," +
           " CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE))"))
       .filter($"mn" > 0.0)
-    val q = Tables.df(spark, sfDir, "embeddings")
+  }
+
+  /** The %25 text-query relation (qid, qv, qn) with the norm hoisted to
+    * query grain — shared by the brute eval and the ANN-fed variant. */
+  private def retrievalQueries(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "embeddings")
       .filter($"vec_id" % 25 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
       // query norm hoisted to query grain — same 9dp once-rounded
@@ -204,17 +214,27 @@ object XModalOps extends QueryPack {
                  AS DECIMAL(20,9))),
              CAST(0 AS DECIMAL(28,9)),
              (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE))"""))
-    // the dot follows the q_ann_lsh discipline (raw-double elements, 9dp
-    // once-rounded terms, exact decimal sums); only IT is pair-grain
-    val pairs = dense.join(broadcast(q))
-      .withColumn("cs", expr(
-        """round(CAST(aggregate(
-             zip_with(qv, mv, (a, b) ->
-               CAST(round(CAST(a AS DOUBLE) * CAST(b AS DOUBLE), 9)
-                 AS DECIMAL(20,9))),
-             CAST(0 AS DECIMAL(28,9)),
-             (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE)
-           / (qn * mn), 6)"""))
+  }
+
+  /** The q_ann_lsh-discipline pair cosine (raw-double elements, 9dp
+    * once-rounded terms, exact decimal sums) — only IT is pair-grain. */
+  private def xmodalCs(pairs: DataFrame): DataFrame =
+    pairs.withColumn("cs", expr(
+      """round(CAST(aggregate(
+           zip_with(qv, mv, (a, b) ->
+             CAST(round(CAST(a AS DOUBLE) * CAST(b AS DOUBLE), 9)
+               AS DECIMAL(20,9))),
+           CAST(0 AS DECIMAL(28,9)),
+           (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE)
+         / (qn * mn), 6)"""))
+
+  def qXmodalRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docsrc = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source")
+    val dense = mediaDense(spark, sfDir)
+    val q = retrievalQueries(spark, sfDir)
+    val pairs = xmodalCs(dense.join(broadcast(q)))
     val wq = Window.partitionBy($"qid").orderBy($"cs".desc, $"doc_id".asc)
     val tr = pairs.select($"qid", $"doc_id", $"cs")
       .withColumn("rk", row_number().over(wq))
@@ -226,6 +246,67 @@ object XModalOps extends QueryPack {
         sum(when($"rk" <= 10, 1L).otherwise(0L)).as("h10"),
         sum(round(lit(1.0) / $"rk", 9).cast(dec9n)).as("rrsum"))
       .select($"source", $"n_q",
+        round($"h1".cast("double") / $"n_q", 6).as("r_at_1"),
+        round($"h10".cast("double") / $"n_q", 6).as("r_at_10"),
+        round($"rrsum".cast("double") / $"n_q", 6).as("mrr"))
+      .orderBy($"source")
+  }
+
+  // ---- q_xmodal_retrieval_ann ------------------------------------------------
+  /** The ANN-FED cross-modal retrieval path — the serving shape
+    * [[qXmodalRetrieval]]'s scaladoc promised (VERDICT r17 Watch #1,
+    * last member): both towers are keyed through the SAME
+    * [[VectorQueries.srpKeys]] hyperplanes (SRP is scale-invariant per
+    * vector, so text embeddings and integer media histograms hash into
+    * comparable sign buckets — exactly what a shared-projection
+    * cross-modal LSH is), each query probes its Hamming-1 buckets
+    * against the media-key index, and the SAME rank/recall stages run
+    * on candidates only. A true pair the index never surfaces counts
+    * as a miss — `n_found` prices the recall attrition against the
+    * brute eval twin, the q_ann_eval methodology. Scale: the pair
+    * kernel touches bucket-collision candidates only (never query ×
+    * corpus); the media keys are the persistable index (the
+    * q_ann_served layout applies verbatim). */
+  def qXmodalRetrievalAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docsrc = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source")
+    val dense = mediaDense(spark, sfDir)
+      .localCheckpoint() // key arm + verify arm
+    val mkeys = VectorQueries.srpKeys(
+      dense.select($"doc_id".as("vec_id"), $"mv".as("embedding")))
+    val q = retrievalQueries(spark, sfDir)
+      .localCheckpoint() // key arm + verify arm + the miss spine
+    val qkeys = VectorQueries.srpKeys(
+      q.select($"qid".as("vec_id"), $"qv".as("embedding")))
+    val probes = qkeys
+      .select($"vec_id".as("qid"), $"tbl",
+        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
+      .select($"qid", $"tbl",
+        when($"j" === -1, $"bk")
+          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)"))
+          .as("bk"))
+    val cand = probes
+      .join(mkeys.select($"vec_id".as("doc_id"), $"tbl", $"bk"),
+        Seq("tbl", "bk"))
+      .select($"qid", $"doc_id").distinct()
+    val pairs = xmodalCs(cand.join(dense, "doc_id").join(broadcast(q), "qid"))
+    val wq = Window.partitionBy($"qid").orderBy($"cs".desc, $"doc_id".asc)
+    val tr = pairs.select($"qid", $"doc_id", $"cs")
+      .withColumn("rk", row_number().over(wq))
+      .filter($"doc_id" === $"qid")
+      .select($"qid", $"rk")
+    q.select($"qid")
+      .join(tr, Seq("qid"), "left")
+      .join(docsrc.select($"doc_id".as("qid"), $"source"), "qid")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_q"),
+        sum(when($"rk".isNotNull, 1L).otherwise(0L)).as("n_found"),
+        sum(when($"rk" === 1, 1L).otherwise(0L)).as("h1"),
+        sum(when($"rk" <= 10, 1L).otherwise(0L)).as("h10"),
+        sum(when($"rk".isNotNull, round(lit(1.0) / $"rk", 9).cast(dec9n))
+          .otherwise(lit(0).cast(dec9n))).as("rrsum"))
+      .select($"source", $"n_q", $"n_found",
         round($"h1".cast("double") / $"n_q", 6).as("r_at_1"),
         round($"h10".cast("double") / $"n_q", 6).as("r_at_10"),
         round($"rrsum".cast("double") / $"n_q", 6).as("mrr"))
@@ -336,6 +417,7 @@ object XModalOps extends QueryPack {
     "q_xmodal_align" -> qXmodalAlign,
     "q_xmodal_retrieval" -> qXmodalRetrieval,
     "q_mauve_lite" -> qMauveLite,
+    "q_xmodal_retrieval_ann" -> qXmodalRetrievalAnn,
     "q_media_entropy" -> qMediaEntropy
   )
 
@@ -501,6 +583,105 @@ object XModalOps extends QueryPack {
         |  round(CAST(sum(CAST(round(1.0 / rk, 9) AS DECIMAL(18,9)))
         |    AS DOUBLE) / count(*), 6) AS mrr
         |FROM tr JOIN documents d ON d.doc_id = tr.qid
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // both towers keyed through the SAME md5 plane formula
+    // (annMd5KeysCtesSql's term/bit/key chain, re-derived here over the
+    // dense media histogram and the %25 text queries), Hamming-1 probe
+    // fan-out, then the SAME sparse-dot cosine/rank stages restricted
+    // to bucket-collision candidates; missed true pairs COALESCE to 0
+    "q_xmodal_retrieval_ann" ->
+      (s"""WITH $histCtesSql,
+        |docs64 AS (
+        |  SELECT d.doc_id, CAST(r.d AS INT) AS dim
+        |  FROM documents d CROSS JOIN range(0, 64) r(d)),
+        |mdims AS MATERIALIZED (
+        |  SELECT g.doc_id, g.dim AS d, CAST(COALESCE(h.h, 0) AS DOUBLE) AS x
+        |  FROM docs64 g LEFT JOIN hist h
+        |    ON h.doc_id = g.doc_id AND h.dim = g.dim),
+        |mterms AS (
+        |  SELECT doc_id, t.i // 8 AS tbl, t.i,
+        |    CAST(round(round(x * ((('0x' || substr(md5(t.i::VARCHAR || ':'
+        |        || d::VARCHAR), 1, 15))::BIGINT
+        |      / CAST(576460752303423488 AS DOUBLE)) - 1.0), 9)
+        |      * CAST(1000000000 AS DOUBLE), 0) AS BIGINT) AS term
+        |  FROM mdims CROSS JOIN range(0, 64) t(i)),
+        |mbits AS (
+        |  SELECT doc_id, tbl, i, SUM(term) > 0 AS bit
+        |  FROM mterms GROUP BY 1, 2, 3),
+        |mkeys AS MATERIALIZED (
+        |  SELECT doc_id, tbl,
+        |    SUM(CASE WHEN bit THEN (1::BIGINT << (i % 8))
+        |        ELSE 0 END)::BIGINT AS bk
+        |  FROM mbits GROUP BY 1, 2),
+        |qdims AS (
+        |  SELECT vec_id, r.d, CAST(embedding[r.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(0, 64) r(d)
+        |  WHERE vec_id % 25 = 0),
+        |qterms AS (
+        |  SELECT vec_id, t.i // 8 AS tbl, t.i,
+        |    CAST(round(round(x * ((('0x' || substr(md5(t.i::VARCHAR || ':'
+        |        || d::VARCHAR), 1, 15))::BIGINT
+        |      / CAST(576460752303423488 AS DOUBLE)) - 1.0), 9)
+        |      * CAST(1000000000 AS DOUBLE), 0) AS BIGINT) AS term
+        |  FROM qdims CROSS JOIN range(0, 64) t(i)),
+        |qbits AS (
+        |  SELECT vec_id, tbl, i, SUM(term) > 0 AS bit
+        |  FROM qterms GROUP BY 1, 2, 3),
+        |qkeys AS MATERIALIZED (
+        |  SELECT vec_id, tbl,
+        |    SUM(CASE WHEN bit THEN (1::BIGINT << (i % 8))
+        |        ELSE 0 END)::BIGINT AS bk
+        |  FROM qbits GROUP BY 1, 2),
+        |qprobes AS (
+        |  SELECT vec_id AS qid, tbl,
+        |    CASE WHEN p.j = -1 THEN bk
+        |      ELSE xor(bk, (1::BIGINT << p.j)) END AS bk
+        |  FROM qkeys CROSS JOIN range(-1, 8) p(j)),
+        |xcand AS MATERIALIZED (
+        |  SELECT DISTINCT p.qid, m.doc_id
+        |  FROM qprobes p JOIN mkeys m ON m.tbl = p.tbl AND m.bk = p.bk),
+        |q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 25 = 0),
+        |nq AS (
+        |  SELECT vec_id AS qid,
+        |    sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+        |      AS DECIMAL(20,9))) AS n2
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings
+        |        WHERE vec_id % 25 = 0)
+        |  GROUP BY 1),
+        |nm AS (SELECT doc_id, sum(h * h) AS n2m FROM hist GROUP BY 1),
+        |pd AS (
+        |  SELECT c.qid, c.doc_id,
+        |    sum(CAST(round(CAST(q.qv[h.dim + 1] AS DOUBLE) * h.h, 9)
+        |      AS DECIMAL(20,9))) AS dot
+        |  FROM xcand c JOIN q ON q.qid = c.qid
+        |  JOIN hist h ON h.doc_id = c.doc_id
+        |  GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT pd.qid, pd.doc_id,
+        |    round(CAST(pd.dot AS DOUBLE)
+        |      / (sqrt(CAST(nq.n2 AS DOUBLE))
+        |         * sqrt(CAST(nm.n2m AS DOUBLE))), 6) AS cs
+        |  FROM pd JOIN nq USING (qid) JOIN nm USING (doc_id)),
+        |rk AS (
+        |  SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, doc_id) AS rk
+        |  FROM cs),
+        |tr AS (SELECT qid, rk FROM rk WHERE doc_id = qid)
+        |SELECT d.source, count(*) AS n_q,
+        |  CAST(sum(CASE WHEN tr.rk IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_found,
+        |  round(CAST(sum(CASE WHEN tr.rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS r_at_1,
+        |  round(CAST(sum(CASE WHEN tr.rk <= 10 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS r_at_10,
+        |  round(CAST(sum(COALESCE(CAST(round(1.0 / tr.rk, 9)
+        |      AS DECIMAL(18,9)), CAST(0 AS DECIMAL(18,9)))) AS DOUBLE)
+        |    / count(*), 6) AS mrr
+        |FROM q LEFT JOIN tr USING (qid)
+        |JOIN documents d ON d.doc_id = q.qid
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // the q_ann_ivf centroid/assignment CTEs (md5-ordered pick, exact

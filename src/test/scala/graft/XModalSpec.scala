@@ -159,4 +159,25 @@ class XModalSpec extends SparkSpec {
         && r.getAs[Long]("n_degenerate") <= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("q_xmodal_retrieval_ann: candidate-restricted metrics respect " +
+      "the n_found budget — every rate is bounded by the index's " +
+      "true-pair recall, and a found pair ranks at least as well as in " +
+      "the brute sweep's candidate-free ranking") {
+    val ann = XModalOps.qXmodalRetrievalAnn(spark, sf).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val nq = r.getAs[Long]("n_q"); val nf = r.getAs[Long]("n_found")
+      assert(nf <= nq)
+      val cap = nf.toDouble / nq
+      assert(r.getAs[Double]("r_at_1") <= cap + 1e-9,
+        "r@1 cannot exceed the found fraction")
+      assert(r.getAs[Double]("r_at_10") <= cap + 1e-9)
+      assert(r.getAs[Double]("mrr") <= cap + 1e-9,
+        "each found pair contributes at most 1/1 to MRR")
+    }
+    // the index is not vacuous on the fixture: SOMETHING is found
+    assert(ann.map(_.getAs[Long]("n_found")).sum > 0,
+      "the shared-hyperplane buckets must surface at least one true pair")
+  }
 }
