@@ -76,7 +76,7 @@ class AnnServedSpec extends SparkSpec {
   }
 
   test("index built by one JVM serves an identical answer in a FRESH JVM " +
-      "(cross-JVM, derby-backed catalog)") {
+      "(cross-JVM, derby-backed catalog)", Heavy) {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ann_probe").toString
     def probe(mode: String): String = {

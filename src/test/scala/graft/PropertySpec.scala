@@ -20,7 +20,7 @@ class PropertySpec extends SparkSpec {
   private val docGen = Gen.chooseNum(1, 12)
     .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
 
-  test("property: exact dedup is idempotent and keeps distinct-count rows") {
+  test("property: exact dedup is idempotent and keeps distinct-count rows", Heavy) {
     import spark.implicits._
     samples(Gen.listOfN(30, docGen), 5).foreach { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
@@ -31,7 +31,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: union-all count is additive, union-distinct bounded") {
+  test("property: union-all count is additive, union-distinct bounded", Heavy) {
     import spark.implicits._
     samples(Gen.zip(Gen.listOf(Gen.chooseNum(0, 50)),
       Gen.listOf(Gen.chooseNum(0, 50))), 8).foreach { case (xs, ys) =>
@@ -41,7 +41,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: rank multiset is invariant under input row permutation") {
+  test("property: rank multiset is invariant under input row permutation", Heavy) {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     samples(Gen.listOfN(40, Gen.zip(Gen.oneOf("x", "y"),
@@ -56,7 +56,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: cosine similarity symmetric and within bounds") {
+  test("property: cosine similarity symmetric and within bounds", Heavy) {
     import spark.implicits._
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 10.0f))
       .suchThat(v => v.exists(_ != 0.0f))
@@ -70,7 +70,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: fingerprint equal for equal strings, stable across runs") {
+  test("property: fingerprint equal for equal strings, stable across runs", Heavy) {
     import spark.implicits._
     samples(docGen, 10).foreach { text =>
       val fp = Seq(text, text).toDF("text")

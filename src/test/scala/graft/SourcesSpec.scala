@@ -171,7 +171,7 @@ class SourcesSpec extends SparkSpec {
     assert(av.orderBy($"id").collect().toSeq === want)
   }
 
-  test("metastore survives a FULL JVM teardown (cross-JVM, derby-backed)") {
+  test("metastore survives a FULL JVM teardown (cross-JVM, derby-backed)", Heavy) {
     // The §2.0 metastore row's real claim: catalog content lives OUTSIDE
     // the process — the deployed engine wires an external MySQL metastore
     // for exactly this (service restart must not lose tables). The

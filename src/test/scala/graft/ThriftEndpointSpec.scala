@@ -8,7 +8,7 @@ import java.sql.DriverManager
   * driver exactly as beeline would (connect → metadata → flagship query). */
 class ThriftEndpointSpec extends SparkSpec {
 
-  test("JDBC client runs the flagship query through the thrift endpoint") {
+  test("JDBC client runs the flagship query through the thrift endpoint", Heavy) {
     // external catalog table over the fixture parquet: visible to every
     // JDBC session (temp views are per-session; catalog tables are shared)
     spark.sql("DROP TABLE IF EXISTS thrift_lineitem")
