@@ -390,6 +390,18 @@ object Corpus2Ops extends QueryPack {
     * broadcasts. */
   def qBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val (outs, _) = bpeTrainRounds(spark, sfDir)
+    outs.reduce(_ unionAll _).orderBy($"round")
+  }
+
+  /** The 6-round merge-train loop — per-round report rows + the FINAL
+    * symbol state, shared by [[qBpeTrain]] (the trajectory) and
+    * [[qBpeApply]] (the per-source fertility read under the trained
+    * vocab). One loop home = the applied merges cannot drift from the
+    * reported ones. */
+  private def bpeTrainRounds(spark: SparkSession, sfDir: String)
+      : (Seq[DataFrame], DataFrame) = {
+    import spark.implicits._
     val tc = Tables.df(spark, sfDir, "documents")
       .select(explode(graft.functions.TextFunctions.tokens($"text"))
         .as("tok"))
@@ -440,7 +452,41 @@ object Corpus2Ops extends QueryPack {
           round($"corpus_symbols".cast("double") / $"n_tokens", 6)
             .as("fertility"))
     }
-    outs.reduce(_ unionAll _).orderBy($"round")
+    (outs, state)
+  }
+
+  // ---- q_bpe_apply -----------------------------------------------------------
+  /** The trained vocabulary APPLIED, read per source — the projection
+    * pass q_bpe_train's trajectory promises: tokenize under the 6
+    * learned merges and report each source's fertility (symbols per
+    * token) and compression vs the character baseline. A source whose
+    * fertility stays near its raw character count is out-of-domain for
+    * the trained vocab (the multilingual-tokenizer tax, the read
+    * q_tok_fertility/q_vocab_coverage motivate) — the number a mixture
+    * decision consults before committing a tokenizer. Scale: the merge
+    * loop runs once over the GLOBAL vocabulary (the trained tokenizer —
+    * per-source state would train 20 tokenizers); per-source grain
+    * arrives only at the end, via a (source, tok)-thin count join
+    * against the |vocab|-row final symbol lengths. */
+  def qBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, finalState) = bpeTrainRounds(spark, sfDir)
+    val lens = finalState.groupBy($"tok")
+      .agg(count(lit(1)).as("n_syms"))
+    val stc = Tables.df(spark, sfDir, "documents")
+      .select($"source",
+        explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    stc.join(lens, "tok")
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"),
+        sum($"c" * length($"tok")).as("n_chars"),
+        sum($"c" * $"n_syms").as("n_syms"))
+      .select($"source", $"n_tokens", $"n_chars", $"n_syms",
+        round($"n_syms".cast("double") / $"n_tokens", 6).as("fertility"),
+        round(lit(1.0) - $"n_syms".cast("double") / $"n_chars", 6)
+          .as("compression"))
+      .orderBy($"source")
   }
 
   /** One BPE training round's oracle CTEs (m/t/f/g/sel/s/o at index
@@ -489,6 +535,7 @@ object Corpus2Ops extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain,
+    "q_bpe_apply" -> qBpeApply,
     "q_prefix_cache" -> qPrefixCache,
     "q_entropy_rate" -> qEntropyRate,
     "q_js_sources" -> qJsSources,
@@ -519,6 +566,34 @@ object Corpus2Ops extends QueryPack {
         |  UNION ALL SELECT * FROM o3 UNION ALL SELECT * FROM o4
         |  UNION ALL SELECT * FROM o5 UNION ALL SELECT * FROM o6)
         |CROSS JOIN nt ORDER BY round""".stripMargin),
+
+    // the SAME 6-round chain (bpeRoundSql), then the per-source
+    // fertility/compression read off the final symbol state s6
+    "q_bpe_apply" ->
+      (s"""WITH tc AS (
+        |  SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY tok),
+        |s0a AS (
+        |  SELECT tok, cnt, unnest(range(1, length(tok) + 1)) AS p FROM tc),
+        |s0 AS MATERIALIZED (
+        |  SELECT tok, cnt, p, substr(tok, p, 1) AS sym FROM s0a),
+        |""".stripMargin
+        + (1 to 6).map(bpeRoundSql).mkString(",\n") + s""",
+        |lens AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_syms
+        |  FROM s6 GROUP BY tok),
+        |stc AS (
+        |  SELECT source, tok, count(*) AS c
+        |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c * length(tok)) AS BIGINT) AS n_chars,
+        |  CAST(sum(c * n_syms) AS BIGINT) AS n_syms,
+        |  round(CAST(sum(c * n_syms) AS DOUBLE) / sum(c), 6) AS fertility,
+        |  round(1.0 - CAST(sum(c * n_syms) AS DOUBLE)
+        |    / sum(c * length(tok)), 6) AS compression
+        |FROM stc JOIN lens USING (tok)
+        |GROUP BY source ORDER BY source""".stripMargin),
 
     // same first-8-token buckets, exact integer token accounting
     "q_prefix_cache" ->

@@ -179,4 +179,29 @@ class R18OpsSpec extends SparkSpec {
         s"stream tallies diverge from the batch sweep")
     } finally q.stop()
   }
+
+  test("q_bpe_apply: per-source symbol totals reconcile EXACTLY with the " +
+      "training trajectory's round-6 corpus total, and every row honors " +
+      "the fertility/compression bounds") {
+    val apply = graft.queries.Corpus2Ops.qBpeApply(spark, sf).collect()
+    val train = graft.queries.Corpus2Ops.qBpeTrain(spark, sf).collect()
+      .sortBy(_.getAs[Int]("round"))
+    assert(apply.nonEmpty && train.length === 6)
+    // the per-source split is a pure re-grouping of the same final state:
+    // source-summed symbols must equal the last round's corpus_symbols
+    val srcSyms = apply.map(_.getAs[Long]("n_syms")).sum
+    assert(srcSyms === train.last.getAs[Long]("corpus_symbols"),
+      s"per-source symbols $srcSyms != trajectory total " +
+        s"${train.last.getAs[Long]("corpus_symbols")}")
+    apply.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens"); val nc = r.getAs[Long]("n_chars")
+      val ns = r.getAs[Long]("n_syms")
+      assert(ns <= nc, "merges can only shrink the symbol count")
+      assert(ns >= nt, "every token is at least one symbol")
+      val f = r.getAs[Double]("fertility")
+      assert(f >= 1.0 - 1e-9)
+      val c = r.getAs[Double]("compression")
+      assert(c >= -1e-9 && c < 1.0)
+    }
+  }
 }
