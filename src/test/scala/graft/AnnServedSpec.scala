@@ -142,4 +142,38 @@ class AnnServedSpec extends SparkSpec {
       .filter($"vec_id" % 2 === 0).count()
     assert(baseN < fullN, s"base holds $baseN of $fullN — no delta left")
   }
+
+  test("compaction: rewriting base ∪ delta into a fresh bucketed table " +
+      "FROM THE TABLES (no key recomputation) preserves the served " +
+      "answer exactly") {
+    import spark.implicits._
+    // build the split layout (base = %4 half, delta = the rest of %2)
+    ServeOps.qAnnDelta(spark, sf).collect()
+    val delta = Tables.df(spark, sf, "embeddings")
+      .filter($"vec_id" % 2 === 0 && $"vec_id" % 4 =!= 0)
+      .select($"vec_id", $"embedding")
+    val deltaPostings = VectorQueries.srpKeys(delta)
+      .select((col("tbl") * 256 + col("bk")).as("bkey"), $"vec_id")
+    val n = Tables.shufflePartitions(spark)
+    // the nightly compaction: one bucketed rewrite of stored postings ∪
+    // delta — the keys are READ from the table, never rehashed, which is
+    // what makes compaction cheap at 100 TB (pure I/O, no CPU pass)
+    graft.sources.Sources.writeBucketed(
+      spark.table("graft_ann_d_postings").unionAll(deltaPostings),
+      "graft_ann_c_postings", n, "bkey")
+    graft.sources.Sources.writeBucketed(
+      spark.table("graft_ann_d_vectors").unionAll(delta),
+      "graft_ann_c_vectors", n, "vec_id")
+    val queries = Tables.df(spark, sf, "embeddings")
+      .filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val served = ServeOps.serveAnn(queries,
+      spark.table("graft_ann_c_postings"),
+      spark.table("graft_ann_c_vectors"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = VectorQueries.qAnnLsh(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served === want,
+      "post-compaction served result differs from the full-index chain")
+  }
 }
