@@ -100,14 +100,22 @@ object ServeOps extends QueryPack {
     * construction (same hyperplanes, same probe rule, same exact
     * verify), so it shares that oracle verbatim — the persisted layout
     * is pure physical design, invisible in the answer. */
+  /** SF-scoped table prefix: two sessions verifying DIFFERENT fixtures
+    * concurrently must not clobber each other's index tables (the
+    * writeBucketed path derives from the table name, so a shared name
+    * is a shared path). */
+  private[graft] def sfPrefix(base: String, sfDir: String): String =
+    base + "_" + java.lang.Integer.toHexString(sfDir.hashCode)
+
   def qAnnServed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    buildAnnIndex(spark, sfDir, "graft_ann_q")
+    val pre = sfPrefix("graft_ann_q", sfDir)
+    buildAnnIndex(spark, sfDir, pre)
     val queries = Tables.df(spark, sfDir, "embeddings")
       .filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
-    serveAnn(queries, spark.table("graft_ann_q_postings"),
-      spark.table("graft_ann_q_vectors"))
+    serveAnn(queries, spark.table(s"${pre}_postings"),
+      spark.table(s"${pre}_vectors"))
   }
 
   // ---- q_ann_delta ---------------------------------------------------------
@@ -131,11 +139,12 @@ object ServeOps extends QueryPack {
       .filter($"vec_id" % 4 === 0)
       .select($"vec_id", $"embedding")
     val n = Tables.shufflePartitions(spark)
+    val pre = sfPrefix("graft_ann_d", sfDir)
     graft.sources.Sources.writeBucketed(
       VectorQueries.srpKeys(base)
         .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id"),
-      "graft_ann_d_postings", n, "bkey")
-    graft.sources.Sources.writeBucketed(base, "graft_ann_d_vectors",
+      s"${pre}_postings", n, "bkey")
+    graft.sources.Sources.writeBucketed(base, s"${pre}_vectors",
       n, "vec_id")
     val delta = Tables.df(spark, sfDir, "embeddings")
       .filter($"vec_id" % 2 === 0 && $"vec_id" % 4 =!= 0)
@@ -147,8 +156,8 @@ object ServeOps extends QueryPack {
       .filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
     serveAnn(queries,
-      spark.table("graft_ann_d_postings").unionAll(deltaPostings),
-      spark.table("graft_ann_d_vectors").unionAll(delta))
+      spark.table(s"${pre}_postings").unionAll(deltaPostings),
+      spark.table(s"${pre}_vectors").unionAll(delta))
   }
 
   // ---- q_knn_shapley_ann ---------------------------------------------------

@@ -137,7 +137,8 @@ class AnnServedSpec extends SparkSpec {
       "base ∪ delta result differs from the full-index chain")
     // the persisted base really is half the corpus, not the whole thing:
     // the delta path must be exercised, not vacuous
-    val baseN = spark.table("graft_ann_d_vectors").count()
+    val baseN = spark.table(
+      ServeOps.sfPrefix("graft_ann_d", sf) + "_vectors").count()
     val fullN = Tables.df(spark, sf, "embeddings")
       .filter($"vec_id" % 2 === 0).count()
     assert(baseN < fullN, s"base holds $baseN of $fullN — no delta left")
@@ -158,11 +159,12 @@ class AnnServedSpec extends SparkSpec {
     // the nightly compaction: one bucketed rewrite of stored postings ∪
     // delta — the keys are READ from the table, never rehashed, which is
     // what makes compaction cheap at 100 TB (pure I/O, no CPU pass)
+    val dPre = ServeOps.sfPrefix("graft_ann_d", sf)
     graft.sources.Sources.writeBucketed(
-      spark.table("graft_ann_d_postings").unionAll(deltaPostings),
+      spark.table(s"${dPre}_postings").unionAll(deltaPostings),
       "graft_ann_c_postings", n, "bkey")
     graft.sources.Sources.writeBucketed(
-      spark.table("graft_ann_d_vectors").unionAll(delta),
+      spark.table(s"${dPre}_vectors").unionAll(delta),
       "graft_ann_c_vectors", n, "vec_id")
     val queries = Tables.df(spark, sf, "embeddings")
       .filter($"vec_id" % 100 === 0)
