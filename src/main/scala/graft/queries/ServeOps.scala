@@ -160,6 +160,34 @@ object ServeOps extends QueryPack {
       spark.table(s"${pre}_vectors").unionAll(delta))
   }
 
+  // ---- q_ivf_served --------------------------------------------------------
+  /** The OTHER index family persisted: IVF cells as a bucketed table.
+    * Build writes the 8 md5-ordered centroids and the exact-decimal cell
+    * assignment (vec_id, cell, embedding) bucketed BY CELL — the inverted
+    * file proper, vectors co-located with their posting list so a probe
+    * reads its cells' vectors with zero additional joins. Serve probes
+    * each fresh query's 2 nearest cells against the TABLES and reranks by
+    * exact cosine — the [[VectorQueries.ivfServe]] rule verbatim, so the
+    * answer is row-identical to q_ann_ivf (same oracle; the layout is
+    * pure physical design). At 100 TB this is the memory story's other
+    * half beside q_ann_served's SRP postings: the cell table is written
+    * once, each query batch scans ~2/8 of the corpus partition-locally,
+    * and the centroid table is an 8-row broadcast forever. */
+  def qIvfServed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val pre = sfPrefix("graft_ivf_q", sfDir)
+    val centers = VectorQueries.ivfCenters(emb).localCheckpoint()
+    graft.sources.Sources.writeBucketed(
+      VectorQueries.ivfAssigned(emb, centers), s"${pre}_cells", 8, "cell")
+    graft.sources.Sources.writeBucketed(centers, s"${pre}_centers",
+      1, "cell")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    VectorQueries.ivfServe(queries, spark.table(s"${pre}_centers"),
+      spark.table(s"${pre}_cells"))
+  }
+
   // ---- q_knn_shapley_ann ---------------------------------------------------
   /** Truncated KNN-Shapley from the ANN candidate chain — the production
     * valuation path [[ValueOps]]' scaladoc promised (VERDICT r17 #2):
@@ -302,6 +330,7 @@ object ServeOps extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_served" -> qAnnServed,
     "q_ann_delta" -> qAnnDelta,
+    "q_ivf_served" -> qIvfServed,
     "q_knn_shapley_ann" -> qKnnShapleyAnn,
     "q_semcache_lsh" -> qSemcacheLsh
   )
@@ -315,6 +344,10 @@ object ServeOps extends QueryPack {
     // base ∪ delta ≡ the full index (one srpKeys home), so the freshness
     // read shares the same oracle — the layout split is pure physical
     "q_ann_delta" -> VectorQueries.annLshOracleSql,
+
+    // row-identical to q_ann_ivf by construction (same centroids, same
+    // assignment, same 2-probe serve rule) — one oracle home
+    "q_ivf_served" -> VectorQueries.annIvfOracleSql,
 
     // the shared LSH chain through verified pairs (annMd5CtesSql), both
     // pair directions for the %100 decile, then the IDENTICAL Jia

@@ -187,29 +187,57 @@ object VectorQueries extends QueryPack {
 
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.df(spark, sfDir, "embeddings")
-    val d2 = (a: String, b: String) => decL2Sq(a, b)
-    val centers = emb
+    val centers = ivfCenters(emb)
+      .localCheckpoint() // assignment arm + probe arm
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    ivfServe(queries, centers, ivfAssigned(emb, centers))
+  }
+
+  /** The md5-ordered 8-centroid pick — stage 1 of the IVF chain,
+    * factored out (r18) so [[ServeOps.qIvfServed]] builds its persisted
+    * cell table from the IDENTICAL centroids. */
+  private[graft] def ivfCenters(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
       .orderBy(md5(concat(lit("ivf:"), $"vec_id".cast("string"))),
         $"vec_id")
       .limit(8)
       .withColumn("cell",
         row_number().over(Window.orderBy($"vec_id")) - 1)
       .select($"cell", $"embedding".as("center"))
-      .localCheckpoint() // assignment arm + probe arm
-    val assigned = emb.crossJoin(broadcast(centers))
-      .withColumn("d2", d2("embedding", "center"))
+  }
+
+  /** Exact-decimal L2² cell assignment with (d2, cell) ties — stage 2. */
+  private[graft] def ivfAssigned(emb: DataFrame, centers: DataFrame)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.crossJoin(broadcast(centers))
+      .withColumn("d2", decL2Sq("embedding", "center"))
       .groupBy($"vec_id")
       .agg(min(struct($"d2", $"cell")).as("m"),
         first($"embedding").as("embedding"))
       .select($"vec_id", $"m.cell".as("cell"), $"embedding")
+  }
+
+  /** The 2-probe serve stage: nearest-2 cells per query (d2, cell ties),
+    * candidates from the cell-keyed equi-join, exact-cosine top-10 —
+    * shared by [[qAnnIvf]] (in-plan assignment) and
+    * [[ServeOps.qIvfServed]] (persisted cell table), so the serve rule
+    * cannot drift between the eval and the served layout. */
+  private[graft] def ivfServe(queries: DataFrame, centers: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
     val wProbe = Window.partitionBy($"qid")
       .orderBy($"d2".asc, $"cell".asc)
-    val probes = emb.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val probes = queries
       .crossJoin(broadcast(centers))
-      .withColumn("d2", d2("qv", "center"))
+      .withColumn("d2", decL2Sq("qv", "center"))
       .withColumn("pr", row_number().over(wProbe))
       .filter($"pr" <= 2)
       .select($"qid", $"qv", $"cell")
@@ -1660,50 +1688,7 @@ object VectorQueries extends QueryPack {
     // md5-ordered centroid pick, exact decimal L2² assignment/probe
     // distances (ties on (d2, cell)), list_cosine rerank — the chain
     // qAnnIvf walks, re-seated from the JVM kmeans seed in r15
-    "q_ann_ivf" ->
-      """WITH scent AS (
-        |  SELECT vec_id, embedding, row_number() OVER (
-        |    ORDER BY md5('ivf:' || vec_id::VARCHAR), vec_id) AS rn
-        |  FROM embeddings),
-        |centers AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-        |    embedding AS center
-        |  FROM scent WHERE rn <= 8),
-        |cd AS MATERIALIZED (
-        |  SELECT e.vec_id, c.cell,
-        |    SUM(CAST(round(
-        |      (CAST(e.embedding[r.d + 1] AS DOUBLE)
-        |        - CAST(c.center[r.d + 1] AS DOUBLE)) *
-        |      (CAST(e.embedding[r.d + 1] AS DOUBLE)
-        |        - CAST(c.center[r.d + 1] AS DOUBLE)), 9)
-        |      AS DECIMAL(20,9))) AS d2
-        |  FROM embeddings e CROSS JOIN centers c
-        |  CROSS JOIN range(0, 64) r(d)
-        |  GROUP BY e.vec_id, c.cell),
-        |assigned AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        |    FROM cd) WHERE rn = 1),
-        |iprobes AS (
-        |  SELECT qid, cell FROM (
-        |    SELECT vec_id AS qid, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        |    FROM cd WHERE vec_id % 100 = 0) WHERE rn <= 2),
-        |icand AS (
-        |  SELECT p.qid, a.vec_id,
-        |    round(list_cosine_similarity(
-        |      CAST(eq.embedding AS DOUBLE[]),
-        |      CAST(ev.embedding AS DOUBLE[])), 6) AS sim
-        |  FROM iprobes p
-        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.qid
-        |  JOIN embeddings eq ON eq.vec_id = p.qid
-        |  JOIN embeddings ev ON ev.vec_id = a.vec_id)
-        |SELECT qid, vec_id, sim, CAST(r AS INT) AS rank FROM (
-        |  SELECT qid, vec_id, sim, row_number() OVER (
-        |    PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
-        |  FROM icand)
-        |WHERE r <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ann_ivf" -> annIvfOracleSql,
 
     // the same LSH chain + the serving-time rerank: union both pair
     // directions for the query decile, rank on (sim desc, nid)
@@ -2101,6 +2086,57 @@ object VectorQueries extends QueryPack {
       |  GROUP BY c.qid, c.vec_id)
       |SELECT qid, vec_id, dist FROM ldist WHERE dist <= 1.5
       |ORDER BY qid, vec_id""".stripMargin
+
+  /** The q_ann_ivf oracle — md5-ordered centroid pick, exact decimal
+    * L2² assignment/probe distances (ties on (d2, cell)), list_cosine
+    * rerank. `private[queries]` because [[ServeOps]]' q_ivf_served is
+    * row-identical by construction (same centroids, assignment, and
+    * 2-probe serve rule — only the physical layout changes), so it
+    * reuses this oracle verbatim. */
+  private[queries] lazy val annIvfOracleSql: String =
+    """WITH scent AS (
+        |  SELECT vec_id, embedding, row_number() OVER (
+        |    ORDER BY md5('ivf:' || vec_id::VARCHAR), vec_id) AS rn
+        |  FROM embeddings),
+        |centers AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    embedding AS center
+        |  FROM scent WHERE rn <= 8),
+        |cd AS MATERIALIZED (
+        |  SELECT e.vec_id, c.cell,
+        |    SUM(CAST(round(
+        |      (CAST(e.embedding[r.d + 1] AS DOUBLE)
+        |        - CAST(c.center[r.d + 1] AS DOUBLE)) *
+        |      (CAST(e.embedding[r.d + 1] AS DOUBLE)
+        |        - CAST(c.center[r.d + 1] AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9))) AS d2
+        |  FROM embeddings e CROSS JOIN centers c
+        |  CROSS JOIN range(0, 64) r(d)
+        |  GROUP BY e.vec_id, c.cell),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |iprobes AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT vec_id AS qid, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM cd WHERE vec_id % 100 = 0) WHERE rn <= 2),
+        |icand AS (
+        |  SELECT p.qid, a.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(eq.embedding AS DOUBLE[]),
+        |      CAST(ev.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM iprobes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.qid
+        |  JOIN embeddings eq ON eq.vec_id = p.qid
+        |  JOIN embeddings ev ON ev.vec_id = a.vec_id)
+        |SELECT qid, vec_id, sim, CAST(r AS INT) AS rank FROM (
+        |  SELECT qid, vec_id, sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+        |  FROM icand)
+        |WHERE r <= 10 ORDER BY qid, rank""".stripMargin
 
   /** Oracle for [[Vector2Ops.qAnnFiltered]] — assembled here because it
     * shares the private [[annMd5CtesSql]] multiprobe chain (one home

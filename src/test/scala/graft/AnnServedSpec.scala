@@ -178,4 +178,47 @@ class AnnServedSpec extends SparkSpec {
     assert(served === want,
       "post-compaction served result differs from the full-index chain")
   }
+
+  test("q_ivf_served: the persisted cell table serves row-identically " +
+      "to the in-plan q_ann_ivf chain, Exchange-free on the bucketed " +
+      "cells scan") {
+    import spark.implicits._
+    val emb = Tables.df(spark, sf, "embeddings")
+    val centers = VectorQueries.ivfCenters(emb).localCheckpoint()
+    graft.sources.Sources.writeBucketed(
+      VectorQueries.ivfAssigned(emb, centers), "graft_ivf_t_cells",
+      8, "cell")
+    graft.sources.Sources.writeBucketed(centers, "graft_ivf_t_centers",
+      1, "cell")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val served = VectorQueries.ivfServe(queries,
+        spark.table("graft_ivf_t_centers"),
+        spark.table("graft_ivf_t_cells"))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exchangesOverBucketed = served.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if scanThroughTransparent(e.child)
+          .exists(s => s.relation.bucketSpec.isDefined
+            && s.relation.bucketSpec.get.numBuckets == 8) => e
+      }
+      assert(exchangesOverBucketed.isEmpty,
+        s"${exchangesOverBucketed.size} shuffle Exchange(s) above the " +
+          "bucketed cells scan — the inverted file is read but not used")
+      val got = served.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      val want = VectorQueries.qAnnIvf(spark, sf).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      assert(got === want,
+        "served IVF result differs from the in-plan chain")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
