@@ -218,15 +218,16 @@ object XModalOps extends QueryPack {
 
   /** The q_ann_lsh-discipline pair cosine (raw-double elements, 9dp
     * once-rounded terms, exact decimal sums) — only IT is pair-grain. */
-  private def xmodalCs(pairs: DataFrame): DataFrame =
-    pairs.withColumn("cs", expr(
-      """round(CAST(aggregate(
-           zip_with(qv, mv, (a, b) ->
-             CAST(round(CAST(a AS DOUBLE) * CAST(b AS DOUBLE), 9)
-               AS DECIMAL(20,9))),
-           CAST(0 AS DECIMAL(28,9)),
-           (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE)
-         / (qn * mn), 6)"""))
+  private def xmodalCs(pairs: DataFrame): DataFrame = {
+    // r18: the pair dot runs as the NATIVE codegen'd DecimalDot9
+    // expression instead of the interpreted zip_with/aggregate HOF —
+    // bit-identical by construction (DecimalDot9Spec replays the HOF),
+    // and the per-candidate lambda/boxing cost disappears from the only
+    // pair-grain stage these queries have
+    graft.functions.DecimalDot9.register(pairs.sparkSession)
+    pairs.withColumn("cs",
+      expr("round(decimal_dot9(qv, mv) / (qn * mn), 6)"))
+  }
 
   def qXmodalRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
