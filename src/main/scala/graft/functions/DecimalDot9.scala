@@ -30,8 +30,20 @@ import org.apache.spark.sql.types._
   *
   * Accepts float/double/long/int elements (the media tower's integer
   * histograms and the embedding floats both pass through the same
-  * CAST-to-double the HOF kernel applied). Null on null inputs or
-  * length mismatch. */
+  * CAST-to-double the HOF kernel applied). Null on null inputs, on any
+  * NULL element (zip_with propagates an element null through round →
+  * the DECIMAL cast, and aggregate's `acc + NULL` nulls the whole sum —
+  * the HOF's semantics, matched here in both eval paths), or on length
+  * mismatch.
+  *
+  * Valid magnitude domain for the bit-identity claim: |aᵢ·bᵢ| must stay
+  * below ~1e7. The HOF rounds each term THROUGH DOUBLE and casts to
+  * DECIMAL(20,9) (overflow past 1e11 nulls the whole sum; large
+  * magnitudes can double-round through Double.toString), whereas this
+  * expression keeps the exact BigDecimal term. Identical for the
+  * embedding/histogram scales every registered caller feeds it
+  * (DecimalDot9Spec pins those); do not rely on bit-identity outside
+  * that range. */
 case class DecimalDot9(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -69,6 +81,8 @@ case class DecimalDot9(left: Expression, right: Expression)
     var sum = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
+      // a NULL element nulls the whole dot — the HOF twin's semantics
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       sum = sum.add(java.math.BigDecimal
         .valueOf(get(a, i, ta) * get(b, i, tb))
         .setScale(9, java.math.RoundingMode.HALF_UP))
@@ -97,12 +111,16 @@ case class DecimalDot9(left: Expression, right: Expression)
         |  ${ev.isNull} = true;
         |} else {
         |  java.math.BigDecimal $sum = java.math.BigDecimal.ZERO;
-        |  for (int $i = 0; $i < $n; $i++) {
-        |    $sum = $sum.add(java.math.BigDecimal.valueOf(
-        |      ${getterSrc(ta, a, i)} * ${getterSrc(tb, b, i)})
-        |      .setScale(9, java.math.RoundingMode.HALF_UP));
+        |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+        |      ${ev.isNull} = true;
+        |    } else {
+        |      $sum = $sum.add(java.math.BigDecimal.valueOf(
+        |        ${getterSrc(ta, a, i)} * ${getterSrc(tb, b, i)})
+        |        .setScale(9, java.math.RoundingMode.HALF_UP));
+        |    }
         |  }
-        |  ${ev.value} = $sum.doubleValue();
+        |  if (!${ev.isNull}) ${ev.value} = $sum.doubleValue();
         |}
       """.stripMargin
     })

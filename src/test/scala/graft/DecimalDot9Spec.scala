@@ -54,4 +54,26 @@ class DecimalDot9Spec extends SparkSpec {
       .select(expr("decimal_dot9(a, b)").as("v")).collect()
     assert(mm(0).isNullAt(0))
   }
+
+  test("a NULL element nulls the whole dot — matching the HOF — in both " +
+      "the interpreted and codegen paths") {
+    import spark.implicits._
+    graft.functions.DecimalDot9.register(spark)
+    // containsNull arrays via array() over a conditional element
+    val df = spark.range(0, 4)
+      .select($"id",
+        expr("array(CAST(1.0 AS DOUBLE), IF(id = 2, NULL, CAST(2.0 AS DOUBLE)))")
+          .as("a"),
+        expr("array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))").as("b"))
+    val got = df.select($"id", expr("decimal_dot9(a, b)").as("nat"),
+        expr(hof).as("ref"))
+      .orderBy($"id").collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2),
+        s"row ${r.getLong(0)}: native/HOF null-ness diverges")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) === r.getDouble(2))
+    }
+    assert(got(2).isNullAt(1), "the null-element row must be NULL")
+    assert(!got(0).isNullAt(1), "non-null rows must stay non-null")
+  }
 }
