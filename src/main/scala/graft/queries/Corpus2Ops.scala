@@ -418,15 +418,25 @@ object Corpus2Ops extends QueryPack {
     for (r <- 1 to 6) {
       val withNext = state
         .withColumn("next", lead($"sym", 1).over(wTok))
-        .localCheckpoint() // merge pick + flag/rebuild both read it
-      val top = withNext.filter($"next".isNotNull)
+      // the 1-row merge DECISION is read driver-side (the bounded
+      // single-row dimension-read precedent, Similarity.scala): the
+      // pick itself stays a distributed agg, but materializing it as
+      // three literals removes a per-round localCheckpoint + a
+      // broadcast-crossJoin replan — two of the three per-round driver
+      // actions VERDICT r18 #2 measured as the q_bpe wall tax. The
+      // un-checkpointed withNext window is recomputed once in the
+      // rebuild below — one extra window over the vocabulary-thin
+      // symbol relation, executor-cheap at any scale.
+      val topRow = withNext.filter($"next".isNotNull)
         .groupBy($"sym".as("a"), $"next".as("b"))
         .agg(sum($"cnt").as("total"))
         .orderBy($"total".desc, $"a".asc, $"b".asc).limit(1)
-        .localCheckpoint()
-      val flagged = withNext.crossJoin(broadcast(top))
+        .collect()(0)
+      val (aV, bV, totV) =
+        (topRow.getString(0), topRow.getString(1), topRow.getLong(2))
+      val flagged = withNext
         .withColumn("flg",
-          ($"sym" === $"a" && $"next" === $"b").cast("int"))
+          ($"sym" === lit(aV) && $"next" === lit(bV)).cast("int"))
       val sel = flagged.filter($"flg" === 1)
         .withColumn("grp", $"p" - row_number().over(wTok))
         .withColumn("p0m",
@@ -446,9 +456,10 @@ object Corpus2Ops extends QueryPack {
         .select($"tok", $"cnt", $"p2".as("p"), $"sym")
         .localCheckpoint()
       val cs = state.agg(sum($"cnt").as("corpus_symbols"))
-      outs = outs :+ top.crossJoin(broadcast(cs)).crossJoin(broadcast(nt))
-        .select(lit(r).as("round"), $"a".as("sym_a"), $"b".as("sym_b"),
-          $"total".as("pair_count"), $"corpus_symbols",
+      outs = outs :+ cs.crossJoin(broadcast(nt))
+        .select(lit(r).as("round"), lit(aV).as("sym_a"),
+          lit(bV).as("sym_b"), lit(totV).as("pair_count"),
+          $"corpus_symbols",
           round($"corpus_symbols".cast("double") / $"n_tokens", 6)
             .as("fertility"))
     }
@@ -487,6 +498,47 @@ object Corpus2Ops extends QueryPack {
         round(lit(1.0) - $"n_syms".cast("double") / $"n_chars", 6)
           .as("compression"))
       .orderBy($"source")
+  }
+
+  // ---- q_bpe_advisor ---------------------------------------------------------
+  /** The vocab-size advisor over the BPE trajectory (VERDICT r18 #6 —
+    * the q_ivf_advisor elbow pattern applied to the tokenizer):
+    * q_bpe_train emits the fertility trajectory "a tokenizer build
+    * reads to pick its vocab size"; this is that read, registered. Per
+    * merge round: the corpus symbol total, fertility, the symbols
+    * SAVED by that round's merge (round 1 saves against the raw
+    * character baseline), the saved fraction vs round 1's haul, a
+    * diminishing-returns flag (this round saved under a quarter of
+    * round 1 — all EXACT integer comparisons, saved·4 < saved₁, so the
+    * elbow cannot drift on rounding), and the resulting recommendation:
+    * train as many merge rounds as still clear the quarter bar.
+    * Shares [[bpeTrainRounds]] — one loop home — so the advice can
+    * never describe a different tokenizer than the one trained. Scale:
+    * the advisor itself reads the 6-row trajectory plus one
+    * vocabulary-thin character-count agg; cost is the shared training
+    * loop. */
+  def qBpeAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val traj = qBpeTrain(spark, sfDir)
+    val chars0 = Tables.df(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text"))
+        .as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .agg(sum($"cnt" * length($"tok")).as("c0"))
+    val w = Window.orderBy($"round")
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    traj.crossJoin(broadcast(chars0))
+      .withColumn("saved",
+        coalesce(lag($"corpus_symbols", 1).over(w), $"c0")
+          - $"corpus_symbols")
+      .withColumn("saved1", first($"saved").over(wAll))
+      .select($"round", $"corpus_symbols", $"fertility", $"saved",
+        round($"saved".cast("double") / $"saved1", 6).as("saved_frac"),
+        when($"saved" * 4 < $"saved1", 1).otherwise(0).as("diminishing"),
+        sum(when($"saved" * 4 >= $"saved1", 1).otherwise(0)).over(wAll)
+          .cast("int").as("recommended_rounds"))
+      .orderBy($"round")
   }
 
   /** One BPE training round's oracle CTEs (m/t/f/g/sel/s/o at index
@@ -536,6 +588,7 @@ object Corpus2Ops extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_apply" -> qBpeApply,
+    "q_bpe_advisor" -> qBpeAdvisor,
     "q_prefix_cache" -> qPrefixCache,
     "q_entropy_rate" -> qEntropyRate,
     "q_js_sources" -> qJsSources,
@@ -566,6 +619,44 @@ object Corpus2Ops extends QueryPack {
         |  UNION ALL SELECT * FROM o3 UNION ALL SELECT * FROM o4
         |  UNION ALL SELECT * FROM o5 UNION ALL SELECT * FROM o6)
         |CROSS JOIN nt ORDER BY round""".stripMargin),
+
+    // the SAME 6-round chain (bpeRoundSql), then the trajectory read
+    // with exact-integer saved/elbow arithmetic (saved·4 vs round 1)
+    "q_bpe_advisor" ->
+      (s"""WITH tc AS (
+        |  SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        |  GROUP BY tok),
+        |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM tc),
+        |chars0 AS (
+        |  SELECT CAST(SUM(cnt * length(tok)) AS BIGINT) AS c0 FROM tc),
+        |s0a AS (
+        |  SELECT tok, cnt, unnest(range(1, length(tok) + 1)) AS p FROM tc),
+        |s0 AS MATERIALIZED (
+        |  SELECT tok, cnt, p, substr(tok, p, 1) AS sym FROM s0a),
+        |""".stripMargin
+        + (1 to 6).map(bpeRoundSql).mkString(",\n") + """,
+        |traj AS (
+        |  SELECT round, corpus_symbols,
+        |    round(CAST(corpus_symbols AS DOUBLE) / n_tokens, 6)
+        |      AS fertility
+        |  FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+        |    UNION ALL SELECT * FROM o3 UNION ALL SELECT * FROM o4
+        |    UNION ALL SELECT * FROM o5 UNION ALL SELECT * FROM o6)
+        |  CROSS JOIN nt),
+        |adv AS (
+        |  SELECT round, corpus_symbols, fertility,
+        |    COALESCE(lag(corpus_symbols) OVER (ORDER BY round), c0)
+        |      - corpus_symbols AS saved
+        |  FROM traj CROSS JOIN chars0),
+        |sv1 AS (SELECT saved AS saved1 FROM adv WHERE round = 1)
+        |SELECT round, corpus_symbols, fertility, saved,
+        |  round(CAST(saved AS DOUBLE) / saved1, 6) AS saved_frac,
+        |  CASE WHEN saved * 4 < saved1 THEN 1 ELSE 0 END AS diminishing,
+        |  CAST((SELECT count(*) FROM adv a2 CROSS JOIN sv1
+        |    WHERE a2.saved * 4 >= sv1.saved1) AS INT)
+        |    AS recommended_rounds
+        |FROM adv CROSS JOIN sv1 ORDER BY round""".stripMargin),
 
     // the SAME 6-round chain (bpeRoundSql), then the per-source
     // fertility/compression read off the final symbol state s6

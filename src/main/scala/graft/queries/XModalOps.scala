@@ -66,10 +66,6 @@ object XModalOps extends QueryPack {
     * gate strictly harder to fool (XModalSpec crafts both fixtures).
     * Same scale shape as channel 1: doc-keyed repartition BEFORE the
     * ×(L−1) pair explode; exact integer counts. */
-  private def mediaHist2(spark: SparkSession, sfDir: String): DataFrame =
-    mediaHist2Of(Tables.df(spark, sfDir, "documents"))
-
-  /** Channel 2 over an arbitrary (doc_id, text) relation. */
   private[graft] def mediaHist2Of(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -112,10 +108,21 @@ object XModalOps extends QueryPack {
     * Scale: one corpus pass per tower meeting in (doc, dim) equi-joins
     * (dim fan-out bounded at 64), then a per-row gate and a source-thin
     * aggregate — no pair joins anywhere, posture unchanged at 100 TB. */
-  def qXmodalAlign(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The per-doc two-channel cosine relation (doc_id, cs, cs2) over
+    * arbitrary docs/text-vector relations — factored (r19) so XModalSpec
+    * can pin the short-payload behavior on crafted fixtures. cs2 is
+    * LEFT-joined (ADVICE r18): a 1-char payload has no bigram histogram
+    * at all, and an inner join silently dropped it from n_pairs — the
+    * most trivially degenerate asset bypassing the gate by absence. A
+    * missing cs2 is NULL here and FAILS the two-channel gate downstream
+    * (null comparison → not kept); a zero-length payload has no
+    * channel-1 histogram either and stays an ingest-level reject (no
+    * row in either tower — not this gate's input). */
+  private[graft] def docAlignCos(docs: DataFrame, txtv: DataFrame)
+      : DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val txt = textVec(spark, sfDir)
-      .localCheckpoint() // two dot arms + the text-norm arm
+    val txt = txtv.localCheckpoint() // two dot arms + the text-norm arm
     val nt = txt
       .select($"doc_id",
         round($"x".cast("double") * $"x".cast("double"), 9).cast(dec9)
@@ -137,15 +144,21 @@ object XModalOps extends QueryPack {
             / (sqrt($"n2t".cast("double")) * sqrt($"n2m".cast("double"))),
             6).as(out))
     }
-    val cs1 = chanCos(mediaHist(spark, sfDir).localCheckpoint(), "cs")
-    val cs2 = chanCos(mediaHist2(spark, sfDir).localCheckpoint(), "cs2")
-    cs1.join(cs2, "doc_id")
+    val cs1 = chanCos(mediaHistOf(docs).localCheckpoint(), "cs")
+    val cs2 = chanCos(mediaHist2Of(docs).localCheckpoint(), "cs2")
+    cs1.join(cs2, Seq("doc_id"), "left")
+  }
+
+  def qXmodalAlign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docAlignCos(Tables.df(spark, sfDir, "documents"),
+        textVec(spark, sfDir))
       .join(Tables.df(spark, sfDir, "documents")
         .select($"doc_id", $"source"), "doc_id")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_pairs"),
         sum($"cs".cast(dec6)).as("csum"),
-        sum($"cs2".cast(dec6)).as("csum2"),
+        sum(coalesce($"cs2", lit(0.0)).cast(dec6)).as("csum2"),
         sum(when($"cs" >= 0.0 && $"cs2" >= 0.0, 1L).otherwise(0L))
           .as("n_keep"))
       .select($"source", $"n_pairs",
@@ -174,7 +187,7 @@ object XModalOps extends QueryPack {
     * histograms densified to 64-wide arrays with the norm hoisted to doc
     * grain (r17); factored out (r18) so the ANN-fed serving variant
     * [[qXmodalRetrievalAnn]] reads the SAME vectors it indexes. */
-  private def mediaDense(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def mediaDense(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val spine = spark.range(0, 64).select($"id".cast("int").as("dim"))
     Tables.df(spark, sfDir, "documents").select($"doc_id")
@@ -199,7 +212,7 @@ object XModalOps extends QueryPack {
 
   /** The %25 text-query relation (qid, qv, qn) with the norm hoisted to
     * query grain — shared by the brute eval and the ANN-fed variant. */
-  private def retrievalQueries(spark: SparkSession, sfDir: String)
+  private[graft] def retrievalQueries(spark: SparkSession, sfDir: String)
       : DataFrame = {
     import spark.implicits._
     Tables.df(spark, sfDir, "embeddings")
@@ -268,6 +281,38 @@ object XModalOps extends QueryPack {
     * kernel touches bucket-collision candidates only (never query ×
     * corpus); the media keys are the persistable index (the
     * q_ann_served layout applies verbatim). */
+  /** The candidate-fed retrieval report tail (rank the true pair inside
+    * each query's candidate cosines, price the misses per source) —
+    * shared verbatim by [[qXmodalRetrievalAnn]] and [[qXmodalServed]],
+    * which differ ONLY in where the media keys/vectors come from (an
+    * in-plan relation vs the persisted bucketed tables), so the two
+    * reports cannot drift. `pairs` must carry (qid, doc_id, cs). */
+  private def annRetrievalReport(q: DataFrame, pairs: DataFrame,
+      docsrc: DataFrame): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val wq = Window.partitionBy($"qid").orderBy($"cs".desc, $"doc_id".asc)
+    val tr = pairs.select($"qid", $"doc_id", $"cs")
+      .withColumn("rk", row_number().over(wq))
+      .filter($"doc_id" === $"qid")
+      .select($"qid", $"rk")
+    q.select($"qid")
+      .join(tr, Seq("qid"), "left")
+      .join(docsrc.select($"doc_id".as("qid"), $"source"), "qid")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_q"),
+        sum(when($"rk".isNotNull, 1L).otherwise(0L)).as("n_found"),
+        sum(when($"rk" === 1, 1L).otherwise(0L)).as("h1"),
+        sum(when($"rk" <= 10, 1L).otherwise(0L)).as("h10"),
+        sum(when($"rk".isNotNull, round(lit(1.0) / $"rk", 9).cast(dec9n))
+          .otherwise(lit(0).cast(dec9n))).as("rrsum"))
+      .select($"source", $"n_q", $"n_found",
+        round($"h1".cast("double") / $"n_q", 6).as("r_at_1"),
+        round($"h10".cast("double") / $"n_q", 6).as("r_at_10"),
+        round($"rrsum".cast("double") / $"n_q", 6).as("mrr"))
+      .orderBy($"source")
+  }
+
   def qXmodalRetrievalAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docsrc = Tables.df(spark, sfDir, "documents")
@@ -292,26 +337,84 @@ object XModalOps extends QueryPack {
         Seq("tbl", "bk"))
       .select($"qid", $"doc_id").distinct()
     val pairs = xmodalCs(cand.join(dense, "doc_id").join(broadcast(q), "qid"))
-    val wq = Window.partitionBy($"qid").orderBy($"cs".desc, $"doc_id".asc)
-    val tr = pairs.select($"qid", $"doc_id", $"cs")
-      .withColumn("rk", row_number().over(wq))
-      .filter($"doc_id" === $"qid")
-      .select($"qid", $"rk")
-    q.select($"qid")
-      .join(tr, Seq("qid"), "left")
-      .join(docsrc.select($"doc_id".as("qid"), $"source"), "qid")
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_q"),
-        sum(when($"rk".isNotNull, 1L).otherwise(0L)).as("n_found"),
-        sum(when($"rk" === 1, 1L).otherwise(0L)).as("h1"),
-        sum(when($"rk" <= 10, 1L).otherwise(0L)).as("h10"),
-        sum(when($"rk".isNotNull, round(lit(1.0) / $"rk", 9).cast(dec9n))
-          .otherwise(lit(0).cast(dec9n))).as("rrsum"))
-      .select($"source", $"n_q", $"n_found",
-        round($"h1".cast("double") / $"n_q", 6).as("r_at_1"),
-        round($"h10".cast("double") / $"n_q", 6).as("r_at_10"),
-        round($"rrsum".cast("double") / $"n_q", 6).as("mrr"))
-      .orderBy($"source")
+    annRetrievalReport(q, pairs, docsrc)
+  }
+
+  // ---- q_xmodal_served -------------------------------------------------------
+  /** Write the persisted media-tower index for `sfDir` under `prefix`:
+    * `<prefix>_postings(bkey, doc_id)` bucketed by the combined probe
+    * key (the [[ServeOps.buildAnnIndex]] layout applied to the media
+    * keys), and `<prefix>_media(doc_id, mv, mn)` — dense media vectors
+    * WITH their hoisted norms — bucketed by doc_id for an exchange-free
+    * verify join. One key home ([[VectorQueries.srpKeys]] over the SAME
+    * dense vectors [[qXmodalRetrievalAnn]] keys in-plan) so the served
+    * and in-plan candidate sets are identical by construction. */
+  private[graft] def buildXmodalIndex(spark: SparkSession, sfDir: String,
+      prefix: String): Unit = {
+    import spark.implicits._
+    val n = Tables.shufflePartitions(spark)
+    val dense = mediaDense(spark, sfDir)
+      .localCheckpoint() // key arm + the vectors-table write
+    graft.sources.Sources.writeBucketed(
+      VectorQueries.srpKeys(
+          dense.select($"doc_id".as("vec_id"), $"mv".as("embedding")))
+        .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id".as("doc_id")),
+      s"${prefix}_postings", n, "bkey")
+    graft.sources.Sources.writeBucketed(dense, s"${prefix}_media",
+      n, "doc_id")
+  }
+
+  /** Serve the cross-modal retrieval eval from the persisted tables:
+    * fresh text queries are keyed through the one srpKeys home, probe
+    * their Hamming-1 buckets against the postings TABLE (exchange-free
+    * on the bucketed scan — the bkey equi-join consumes the layout),
+    * and the pair cosine reads candidate media vectors+norms from the
+    * media TABLE (exchange-free on doc_id). Only the query fan-out and
+    * the candidate set ever shuffle — O(candidates) at any corpus
+    * size. */
+  private[graft] def serveXmodal(q: DataFrame, postings: DataFrame,
+      media: DataFrame, docsrc: DataFrame): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val qkeys = VectorQueries.srpKeys(
+      q.select($"qid".as("vec_id"), $"qv".as("embedding")))
+    val probes = qkeys
+      .select($"vec_id".as("qid"), $"tbl",
+        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
+      .select($"qid",
+        ($"tbl" * 256 + when($"j" === -1, $"bk")
+          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)")))
+          .as("bkey"))
+    val cand = probes
+      .join(postings, "bkey")
+      .select($"qid", $"doc_id").distinct()
+    val pairs = xmodalCs(cand.join(media, "doc_id").join(broadcast(q), "qid"))
+    annRetrievalReport(q, pairs, docsrc)
+  }
+
+  /** The persisted-index cross-modal serving chain end-to-end (VERDICT
+    * r18 #1): pay the bucketed index WRITE inside the measured time —
+    * the q_ann_served honesty; this is exactly the ~20 M-term-row
+    * srpKeys build q_xmodal_retrieval_ann re-ran on EVERY execution,
+    * now written once and probed from tables (PERF.md records how the
+    * serve half prices after the build amortizes) — then answer the
+    * %25 retrieval eval by probing the TABLES. Row-identical to
+    * [[qXmodalRetrievalAnn]] by construction (same hyperplanes, same
+    * probe rule, same candidate cosine/rank), so it shares that oracle
+    * verbatim: the persisted layout is pure physical design, invisible
+    * in the answer. Combined-bkey probe vs the in-plan (tbl, bk) join
+    * is injective (bk ∈ [0,256), tbl ∈ [0,8)), so the candidate sets
+    * cannot differ. */
+  def qXmodalServed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pre = ServeOps.sfPrefix("graft_xm_q", sfDir)
+    buildXmodalIndex(spark, sfDir, pre)
+    val docsrc = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source")
+    val q = retrievalQueries(spark, sfDir)
+      .localCheckpoint() // key arm + verify arm + the miss spine
+    serveXmodal(q, spark.table(s"${pre}_postings"),
+      spark.table(s"${pre}_media"), docsrc)
   }
 
   // ---- q_mauve_lite --------------------------------------------------------
@@ -383,7 +486,16 @@ object XModalOps extends QueryPack {
     * [[Corpus2Ops.qEntropyRate]]'s text read. Scale shape: the shared
     * doc-keyed histogram pass, then −(h/H)ln(h/H) terms rounded once to
     * 9dp into exact decimal sums; everything after is source-thin. */
-  def qMediaEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The per-doc two-channel entropy relation (doc_id, entropy,
+    * entropy2) over an arbitrary docs relation — factored (r19) for
+    * XModalSpec's crafted short-payload fixtures. Channel 2 is
+    * LEFT-joined (ADVICE r18): a 1-char payload has no bigrams, and an
+    * inner join dropped it from n_docs entirely — the degenerate case
+    * the gate exists for. Missing entropy2 defaults to 0 nats (a
+    * one-symbol distribution's exact entropy), which both counts it
+    * degenerate and is the value a single-bin histogram would score. */
+  private[graft] def docEntropies(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     def chanEnt(hist: DataFrame, out: String): DataFrame = {
       val tot = hist.groupBy($"doc_id").agg(sum($"h").as("ht"))
@@ -397,8 +509,16 @@ object XModalOps extends QueryPack {
     // r18 two-channel gate: an asset is degenerate when EITHER view
     // concentrates — a payload can fool one featurizer (see mediaHist2's
     // disjoint-blind-spot note) but must now fool both
-    val ent = chanEnt(mediaHist(spark, sfDir), "entropy")
-      .join(chanEnt(mediaHist2(spark, sfDir), "entropy2"), "doc_id")
+    chanEnt(mediaHistOf(docs), "entropy")
+      .join(chanEnt(mediaHist2Of(docs), "entropy2"),
+        Seq("doc_id"), "left")
+      .select($"doc_id", $"entropy",
+        coalesce($"entropy2", lit(0.0)).as("entropy2"))
+  }
+
+  def qMediaEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ent = docEntropies(Tables.df(spark, sfDir, "documents"))
     ent.join(Tables.df(spark, sfDir, "documents")
         .select($"doc_id", $"source"), "doc_id")
       .groupBy($"source")
@@ -414,12 +534,69 @@ object XModalOps extends QueryPack {
       .orderBy($"source")
   }
 
+  // ---- q_media_bytes ---------------------------------------------------------
+  /** BinaryType end-to-end (VERDICT r18 #5): SURVEY §1.2's type map
+    * sends Hive BINARY → Spark BinaryType, but no registered query ever
+    * scanned one — multimodal payloads rode the ASCII text stand-in.
+    * Here the payload IS a BinaryType column (encode(text, 'UTF-8') —
+    * deterministic real bytes; on this fixture byte values ≡ char
+    * codes, the stand-in assumption XModalSpec already pins) and the
+    * whole read operates on BYTES: octet length, a per-byte positional
+    * 64-bin histogram ((byte + pos) % 64 — channel 1's formula over
+    * actual bytes, via hex-pair extraction so the kernel stays pure
+    * codegen'd string/arithmetic ops), Shannon entropy over that
+    * histogram, the non-ASCII byte count a real ingest guards on
+    * (exactly 0 on this fixture — the oracle enforces it), and a
+    * distinct-payload count keyed by md5 of the hex image. Swapping in
+    * real media blobs changes ONLY the encode() derivation. Scale: the
+    * doc-keyed repartition lands before the ×L byte explode
+    * (the shingleStream discipline); everything after the histogram is
+    * doc- then source-thin. */
+  def qMediaBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables.df(spark, sfDir, "documents")
+      .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload"))
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .localCheckpoint() // byte-explode arm + the rollup spine
+    val bytes = bin
+      .select($"doc_id", hex($"payload").as("hx"),
+        length($"payload").as("nb"))
+      .select($"doc_id", explode(sequence(lit(1), $"nb")).as("p"), $"hx")
+      .select($"doc_id", $"p",
+        conv(expr("substr(hx, 2 * p - 1, 2)"), 16, 10).cast("int").as("b"))
+      .localCheckpoint() // histogram arm + the non-ASCII audit arm
+    val hist = bytes
+      .select($"doc_id", (($"b" + $"p") % 64).cast("int").as("dim"))
+      .groupBy($"doc_id", $"dim").agg(count(lit(1)).as("h"))
+    val tot = hist.groupBy($"doc_id").agg(sum($"h").as("ht"))
+    val ent = hist.join(tot, "doc_id")
+      .select($"doc_id",
+        round(-($"h".cast("double") / $"ht")
+          * log($"h".cast("double") / $"ht"), 9).cast(dec9n).as("term"))
+      .groupBy($"doc_id")
+      .agg(round(sum($"term").cast("double"), 6).as("entropy"))
+    val nna = bytes.groupBy($"doc_id")
+      .agg(sum(when($"b" >= 128, 1L).otherwise(0L)).as("nna"))
+    bin.join(ent, "doc_id").join(nna, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length($"payload").cast("long")).as("total_bytes"),
+        countDistinct(md5(hex($"payload"))).as("n_distinct_payloads"),
+        sum($"nna").as("n_nonascii_bytes"),
+        round(sum($"entropy".cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_entropy_bytes"),
+        sum(when($"entropy" < 2.0, 1L).otherwise(0L)).as("n_degenerate"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_xmodal_align" -> qXmodalAlign,
     "q_xmodal_retrieval" -> qXmodalRetrieval,
     "q_mauve_lite" -> qMauveLite,
     "q_xmodal_retrieval_ann" -> qXmodalRetrievalAnn,
-    "q_media_entropy" -> qMediaEntropy
+    "q_xmodal_served" -> qXmodalServed,
+    "q_media_entropy" -> qMediaEntropy,
+    "q_media_bytes" -> qMediaBytes
   )
 
   /** The media-tower histogram CTEs, shared verbatim by both cross-modal
@@ -475,13 +652,14 @@ object XModalOps extends QueryPack {
         |SELECT d.source, count(*) AS n_docs,
         |  round(CAST(sum(CAST(e.entropy AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(*), 6) AS mean_entropy,
-        |  round(CAST(sum(CAST(e2.entropy2 AS DECIMAL(18,6))) AS DOUBLE)
+        |  round(CAST(sum(CAST(coalesce(e2.entropy2, 0)
+        |    AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(*), 6) AS mean_entropy2,
         |  min(e.entropy) AS min_entropy,
         |  max(e.entropy) AS max_entropy,
-        |  CAST(sum(CASE WHEN least(e.entropy, e2.entropy2) < 2.0
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
-        |FROM ent e JOIN ent2 e2 ON e2.doc_id = e.doc_id
+        |  CAST(sum(CASE WHEN least(e.entropy, coalesce(e2.entropy2, 0))
+        |    < 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+        |FROM ent e LEFT JOIN ent2 e2 ON e2.doc_id = e.doc_id
         |JOIN documents d ON d.doc_id = e.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
@@ -532,15 +710,16 @@ object XModalOps extends QueryPack {
         |SELECT d.source, count(*) AS n_pairs,
         |  round(CAST(sum(CAST(cs.cs AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(*), 6) AS mean_cos,
-        |  round(CAST(sum(CAST(cs2.cs2 AS DECIMAL(18,6))) AS DOUBLE)
-        |    / count(*), 6) AS mean_cos2,
+        |  round(CAST(sum(CAST(coalesce(cs2.cs2, 0) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*), 6) AS mean_cos2,
         |  CAST(sum(CASE WHEN cs.cs >= 0.0 AND cs2.cs2 >= 0.0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
         |  CAST(count(*) - sum(CASE WHEN cs.cs >= 0.0 AND cs2.cs2 >= 0.0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
         |  round(CAST(sum(CASE WHEN cs.cs >= 0.0 AND cs2.cs2 >= 0.0
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
-        |FROM cs JOIN cs2 USING (doc_id) JOIN documents d USING (doc_id)
+        |FROM cs LEFT JOIN cs2 USING (doc_id)
+        |JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // same sparse-dot identity (zero-count dims contribute exact 0 to
@@ -591,7 +770,64 @@ object XModalOps extends QueryPack {
     // dense media histogram and the %25 text queries), Hamming-1 probe
     // fan-out, then the SAME sparse-dot cosine/rank stages restricted
     // to bucket-collision candidates; missed true pairs COALESCE to 0
-    "q_xmodal_retrieval_ann" ->
+    "q_xmodal_retrieval_ann" -> xmodalAnnOracleSql,
+
+    // row-identical to q_xmodal_retrieval_ann by construction (same
+    // hyperplanes, probe rule, candidate cosine/rank) — ONE oracle home
+    // so the served and in-plan results can never drift apart unnoticed
+    "q_xmodal_served" -> xmodalAnnOracleSql,
+
+    // the q_ann_ivf centroid/assignment CTEs (md5-ordered pick, exact
+    // decimal L2², (d2, cell) ties), then Laplace(+1) cell histograms
+    // and the q_js_sources 9dp JS terms
+    "q_mauve_lite" -> mauveLiteOracleSql,
+
+    // the same encode → hex-pair byte extraction, positional histogram,
+    // 9dp once-rounded entropy terms, and md5-of-hex payload identity
+    "q_media_bytes" ->
+      """WITH bin AS (
+        |  SELECT doc_id, source, encode(text) AS payload FROM documents),
+        |bytes AS MATERIALIZED (
+        |  SELECT doc_id, p,
+        |    ('0x' || substr(hex(payload), CAST(2 * p - 1 AS INT), 2))::INT
+        |      AS b
+        |  FROM (SELECT doc_id, payload,
+        |          unnest(range(1, octet_length(payload) + 1)) AS p
+        |        FROM bin)),
+        |hist AS (
+        |  SELECT doc_id, CAST((b + p) % 64 AS INT) AS dim, count(*) AS h
+        |  FROM bytes GROUP BY 1, 2),
+        |ht AS (SELECT doc_id, CAST(sum(h) AS BIGINT) AS ht
+        |       FROM hist GROUP BY 1),
+        |ent AS (
+        |  SELECT h.doc_id,
+        |    round(CAST(sum(CAST(round(-(CAST(h.h AS DOUBLE) / ht.ht)
+        |      * ln(CAST(h.h AS DOUBLE) / ht.ht), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE), 6) AS entropy
+        |  FROM hist h JOIN ht USING (doc_id)
+        |  GROUP BY h.doc_id),
+        |nna AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN b >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nna
+        |  FROM bytes GROUP BY 1)
+        |SELECT b.source, count(*) AS n_assets,
+        |  CAST(sum(octet_length(b.payload)) AS BIGINT) AS total_bytes,
+        |  CAST(count(DISTINCT md5(hex(b.payload))) AS BIGINT)
+        |    AS n_distinct_payloads,
+        |  CAST(sum(nna.nna) AS BIGINT) AS n_nonascii_bytes,
+        |  round(CAST(sum(CAST(e.entropy AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_entropy_bytes,
+        |  CAST(sum(CASE WHEN e.entropy < 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_degenerate
+        |FROM bin b JOIN ent e USING (doc_id) JOIN nna USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  /** The shared candidate-fed retrieval oracle — one home for
+    * q_xmodal_retrieval_ann AND q_xmodal_served (the annLshOracleSql
+    * discipline: a persisted layout must be invisible in the answer). */
+  private lazy val xmodalAnnOracleSql: String =
       (s"""WITH $histCtesSql,
         |docs64 AS (
         |  SELECT d.doc_id, CAST(r.d AS INT) AS dim
@@ -683,12 +919,9 @@ object XModalOps extends QueryPack {
         |    / count(*), 6) AS mrr
         |FROM q LEFT JOIN tr USING (qid)
         |JOIN documents d ON d.doc_id = q.qid
-        |GROUP BY 1 ORDER BY 1""".stripMargin),
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
-    // the q_ann_ivf centroid/assignment CTEs (md5-ordered pick, exact
-    // decimal L2², (d2, cell) ties), then Laplace(+1) cell histograms
-    // and the q_js_sources 9dp JS terms
-    "q_mauve_lite" ->
+  private lazy val mauveLiteOracleSql: String =
       """WITH scent AS (
         |  SELECT vec_id, embedding, row_number() OVER (
         |    ORDER BY md5('ivf:' || vec_id::VARCHAR), vec_id) AS rn
@@ -746,5 +979,4 @@ object XModalOps extends QueryPack {
         |  round(CAST(s AS DOUBLE), 6) AS jsd,
         |  round(sqrt(greatest(CAST(s AS DOUBLE), 0.0)), 6) AS js_dist
         |FROM t2 CROSS JOIN js ORDER BY cell""".stripMargin
-  )
 }

@@ -52,6 +52,30 @@ object AnnIndexProbe {
           served.coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/served")
           println(s"PROBE_OK serve ${spark.read.parquet(s"$dir/served").count()}")
+        // the same restart invariant for the MEDIA-tower index (r19):
+        // build JVM writes the cross-modal postings/media tables and
+        // dies; serve JVM reopens the catalog cold and must reproduce
+        // the in-plan q_xmodal_retrieval_ann report exactly
+        case "xbuild" =>
+          graft.queries.XModalOps.buildXmodalIndex(spark, sfDir,
+            "graft_xm_cold")
+          val n = spark.table("graft_xm_cold_postings").count()
+          println(s"PROBE_OK xbuild $n")
+        case "xserve" =>
+          import spark.implicits._
+          require(spark.catalog.tableExists("graft_xm_cold_postings"),
+            "media postings table not found in reopened metastore")
+          val docsrc = graft.Tables.df(spark, sfDir, "documents")
+            .select($"doc_id", $"source")
+          val q = graft.queries.XModalOps.retrievalQueries(spark, sfDir)
+            .localCheckpoint()
+          val served = graft.queries.XModalOps.serveXmodal(q,
+            spark.table("graft_xm_cold_postings"),
+            spark.table("graft_xm_cold_media"), docsrc)
+          served.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/xserved")
+          println(
+            s"PROBE_OK xserve ${spark.read.parquet(s"$dir/xserved").count()}")
         case other =>
           throw new IllegalArgumentException(s"unknown mode $other")
       }

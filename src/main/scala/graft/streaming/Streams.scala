@@ -545,6 +545,73 @@ object Streams {
       .groupBy($"qid").agg(max($"cs").as("best"))
   }
 
+  /** Streaming twin of the persisted-index radius serve (r19, VERDICT
+    * r18 #4 — completing the serving symmetry semcacheStream started):
+    * arriving query micro-batches probe the PERSISTED bucketed SRP
+    * index ([[graft.queries.ServeOps.buildAnnIndex]]'s layout) through
+    * the same probe rule as the batch [[graft.queries.ServeOps
+    * .serveAnn]], against a FROZEN index snapshot (the tempSampleStream
+    * discipline: a serving process reads one index generation between
+    * compactions, never per-event state).
+    *
+    * A streaming plan gets ONE stateful operator here — the final
+    * (qid, vec_id) dedup aggregate (a candidate surfaces once per
+    * colliding bucket; dist is identical on every copy, so min IS the
+    * value) — so the SRP key computation runs as a per-row stateless
+    * expression instead of the batch chain's two groupBys: the SAME
+    * term/bit/key rule ([[graft.queries.VectorQueries.srpKeys]] — md5
+    * plane components, round(round(x·r,9)·1e9) integer nano-units,
+    * sum>0 sign bits) folded per query row. The merge-law spec pins
+    * bit-identity by replaying the batch query set and comparing
+    * row-for-row with the batch serve. Scale: the stream side fans out
+    * ×72 probes per query; both index joins are stream-static equi-joins
+    * that consume the bucketed layout — each micro-batch pays
+    * O(its own candidates), never O(corpus). */
+  def annServeStream(stream: DataFrame, postings: DataFrame,
+      vectors: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream.select($"qid", $"qv",
+        explode(expr("""
+          transform(sequence(0, 7), t -> named_struct(
+            'tbl', CAST(t AS BIGINT),
+            'bk', aggregate(sequence(0, 7), CAST(0 AS BIGINT), (accj, j) ->
+              accj + IF(
+                aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, d) ->
+                  acc + CAST(round(round(
+                    CAST(element_at(qv, d + 1) AS DOUBLE)
+                    * (CAST(conv(substring(md5(concat(
+                          CAST(t * 8 + j AS STRING), ':',
+                          CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                       / 576460752303423488 - 1.0),
+                    9) * 1e9, 0) AS BIGINT)) > 0,
+                shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))))
+          """)).as("k"))
+      .select($"qid", $"qv", $"k.tbl".as("tbl"), $"k.bk".as("bk"))
+    val probes = keyed
+      .select($"qid", $"qv", $"tbl",
+        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
+      .select($"qid", $"qv",
+        ($"tbl" * 256 + when($"j" === -1, $"bk")
+          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)")))
+          .as("bkey"))
+    probes
+      .join(postings, "bkey")
+      .filter($"qid" =!= $"vec_id")
+      .join(vectors.select($"vec_id", $"embedding".as("ev")), "vec_id")
+      .select($"qid", $"vec_id",
+        expr("""round(sqrt(CAST(aggregate(
+          zip_with(qv, ev, (a, b) ->
+            CAST(round((CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) *
+                       (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)), 9)
+              AS DECIMAL(20,9))),
+          CAST(0 AS DECIMAL(28,9)),
+          (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE)), 6)""")
+          .as("d0"))
+      .filter($"d0" <= 1.5)
+      .groupBy($"qid", $"vec_id").agg(min($"d0").as("dist"))
+  }
+
   /** Streaming twin of the TTL impact sweep
     * ([[graft.queries.GovernOps.qRetentionSweep]]): classify every
     * arriving event against a FROZEN sweep anchor (the as-of date a TTL

@@ -180,4 +180,49 @@ class XModalSpec extends SparkSpec {
     assert(ann.map(_.getAs[Long]("n_found")).sum > 0,
       "the shared-hyperplane buckets must surface at least one true pair")
   }
+
+  test("short-payload gate (ADVICE r18): a 1-char asset STAYS in both " +
+      "doc-grain relations — entropy2 defaults to 0 nats (degenerate), " +
+      "cs2 is NULL and fails the two-channel gate — instead of " +
+      "vanishing by inner-join absence") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "hello world, a normal payload"))
+      .toDF("doc_id", "text")
+    val ents = XModalOps.docEntropies(docs).orderBy($"doc_id").collect()
+    assert(ents.length === 2,
+      "the 1-char doc must stay in the entropy relation")
+    assert(ents(0).getAs[Double]("entropy") === 0.0,
+      "a 1-char payload's positional histogram is one bin — 0 nats")
+    assert(ents(0).getAs[Double]("entropy2") === 0.0,
+      "the missing bigram channel must default to 0 nats, not drop")
+    assert(ents(1).getAs[Double]("entropy2") > 0.0)
+    // the degenerate rule counts it: least(0, 0) < 2.0
+    assert(math.min(ents(0).getAs[Double]("entropy"),
+      ents(0).getAs[Double]("entropy2")) < 2.0)
+    // alignment: positive text tower ⇒ cs ≥ 0, but cs2 is NULL — the
+    // two-channel gate (cs >= 0 AND cs2 >= 0) must FAIL, not pass by
+    // absence
+    val txtv = docs.select($"doc_id")
+      .crossJoin(spark.range(0, 64).select($"id".cast("int").as("dim")))
+      .select($"doc_id", $"dim",
+        expr("CAST(0.125 AS DECIMAL(18,6))").as("x"))
+    val cos = XModalOps.docAlignCos(docs, txtv).orderBy($"doc_id").collect()
+    assert(cos.length === 2,
+      "the 1-char doc must stay in the alignment relation")
+    val i2 = cos(0).fieldIndex("cs2")
+    assert(cos(0).isNullAt(i2),
+      "missing bigram channel must surface as NULL, not drop the row")
+    assert(!cos(0).isNullAt(cos(0).fieldIndex("cs")))
+    assert(cos(0).getAs[Double]("cs") >= 0.0)
+    assert(!cos(1).isNullAt(i2))
+    // replay the gate predicate exactly as qXmodalAlign applies it
+    val kept = XModalOps.docAlignCos(docs, txtv)
+      .select(sum(when($"cs" >= 0.0 && $"cs2" >= 0.0, 1L).otherwise(0L))
+        .as("n_keep"), count(lit(1)).as("n_pairs"))
+      .collect().head
+    assert(kept.getAs[Long]("n_pairs") === 2L)
+    assert(kept.getAs[Long]("n_keep") === 1L,
+      "the short doc must count as DROPPED by the gate, not as kept " +
+        "and not as absent")
+  }
 }
