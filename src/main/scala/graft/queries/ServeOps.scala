@@ -246,6 +246,36 @@ object ServeOps extends QueryPack {
       spark.table(s"${pre}_cells"))
   }
 
+  // ---- q_ivf_delta ---------------------------------------------------------
+  /** IVF freshness — the lambda read for the OTHER index family (r19,
+    * completing the delta symmetry [[qAnnDelta]] established for SRP):
+    * serve against the persisted base cell table (the %2 half of the
+    * corpus, bucketed BY CELL exactly like [[qIvfServed]]) UNIONED with
+    * the in-flight delta half assigned in-plan through the SAME
+    * md5-ordered centroids ([[VectorQueries.ivfCenters]] — one centroid
+    * home, so build-time and delta-time assignments cannot drift).
+    * Base ∪ delta ≡ the full inverted file, so the answer is
+    * row-identical to q_ann_ivf (same oracle) — the compaction boundary
+    * invisible for this index family too. Scale: the delta assigns only
+    * itself against the 8-row centroid broadcast; the base side stays
+    * the exchange-free bucketed cells scan; the nightly rewrite is the
+    * same no-rehash bucket shuffle [[qAnnCompact]] performs for SRP. */
+  def qIvfDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val pre = sfPrefix("graft_ivf_d", sfDir)
+    val centers = VectorQueries.ivfCenters(emb).localCheckpoint()
+    graft.sources.Sources.writeBucketed(
+      VectorQueries.ivfAssigned(emb.filter($"vec_id" % 2 === 0), centers),
+      s"${pre}_cells", 8, "cell")
+    val delta = VectorQueries.ivfAssigned(
+      emb.filter($"vec_id" % 2 =!= 0), centers)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    VectorQueries.ivfServe(queries, centers,
+      spark.table(s"${pre}_cells").unionAll(delta))
+  }
+
   // ---- q_knn_shapley_ann ---------------------------------------------------
   /** Truncated KNN-Shapley from the ANN candidate chain — the production
     * valuation path [[ValueOps]]' scaladoc promised (VERDICT r17 #2):
@@ -390,6 +420,7 @@ object ServeOps extends QueryPack {
     "q_ann_delta" -> qAnnDelta,
     "q_ann_compact" -> qAnnCompact,
     "q_ivf_served" -> qIvfServed,
+    "q_ivf_delta" -> qIvfDelta,
     "q_knn_shapley_ann" -> qKnnShapleyAnn,
     "q_semcache_lsh" -> qSemcacheLsh
   )
@@ -412,6 +443,10 @@ object ServeOps extends QueryPack {
     // row-identical to q_ann_ivf by construction (same centroids, same
     // assignment, same 2-probe serve rule) — one oracle home
     "q_ivf_served" -> VectorQueries.annIvfOracleSql,
+
+    // base ∪ delta ≡ the full inverted file (one centroid/assignment
+    // home), so the IVF freshness read shares the q_ann_ivf oracle too
+    "q_ivf_delta" -> VectorQueries.annIvfOracleSql,
 
     // the shared LSH chain through verified pairs (annMd5CtesSql), both
     // pair directions for the %100 decile, then the IDENTICAL Jia

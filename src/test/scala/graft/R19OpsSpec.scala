@@ -138,6 +138,22 @@ class R19OpsSpec extends SparkSpec {
     assert(baseN < fullN, "the pre-compaction base must be a strict half")
   }
 
+  test("q_ivf_delta: persisted base cells + in-plan delta serve the " +
+      "identical answer to the full in-plan q_ann_ivf chain, and the " +
+      "base really is a strict half") {
+    import spark.implicits._
+    val got = ServeOps.qIvfDelta(spark, sf).collect().map(_.toSeq).toSeq
+    val want = VectorQueries.qAnnIvf(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "IVF base ∪ delta result differs from the full inverted file")
+    val pre = ServeOps.sfPrefix("graft_ivf_d", sf)
+    val baseN = spark.table(s"${pre}_cells").count()
+    val fullN = Tables.df(spark, sf, "embeddings").count()
+    assert(baseN < fullN && baseN > 0,
+      s"base cell table holds $baseN of $fullN — the delta path must " +
+        "be exercised, not vacuous")
+  }
+
   test("annServeStream: micro-batched queries against the frozen " +
       "persisted index reproduce the batch serve row-for-row " +
       "(merge law; per-row SRP keys ≡ the relational srpKeys chain)") {
