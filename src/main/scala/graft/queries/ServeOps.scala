@@ -276,6 +276,37 @@ object ServeOps extends QueryPack {
       spark.table(s"${pre}_cells").unionAll(delta))
   }
 
+  // ---- q_ivf_compact -------------------------------------------------------
+  /** The compaction executor for the IVF family (r19 — [[qAnnCompact]]'s
+    * symmetry completed, as [[qIvfDelta]] completed [[qAnnDelta]]'s):
+    * build the split layout, rewrite stored-cells ∪ delta-assignment
+    * into a fresh bucketed cell table — the stored side's assignments
+    * are READ from the table, never re-derived (no centroid distance
+    * pass: compaction is pure I/O + one 8-bucket shuffle), then serve
+    * the %100 top-10 from the COMPACTED table only. Row-identical to
+    * q_ann_ivf (one centroid/assignment home; the rewrite is a
+    * set-preserving union), so it shares that oracle. */
+  def qIvfCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val pre = sfPrefix("graft_ivf_k", sfDir)
+    val centers = VectorQueries.ivfCenters(emb).localCheckpoint()
+    graft.sources.Sources.writeBucketed(
+      VectorQueries.ivfAssigned(emb.filter($"vec_id" % 2 === 0), centers),
+      s"${pre}_cells", 8, "cell")
+    val delta = VectorQueries.ivfAssigned(
+      emb.filter($"vec_id" % 2 =!= 0), centers)
+    // the nightly rewrite: stored assignments ∪ delta → fresh bucketed
+    // base; no recomputation on the stored side
+    graft.sources.Sources.writeBucketed(
+      spark.table(s"${pre}_cells").unionAll(delta),
+      s"${pre}_c_cells", 8, "cell")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    VectorQueries.ivfServe(queries, centers,
+      spark.table(s"${pre}_c_cells"))
+  }
+
   // ---- q_knn_shapley_ann ---------------------------------------------------
   /** Truncated KNN-Shapley from the ANN candidate chain — the production
     * valuation path [[ValueOps]]' scaladoc promised (VERDICT r17 #2):
@@ -421,6 +452,7 @@ object ServeOps extends QueryPack {
     "q_ann_compact" -> qAnnCompact,
     "q_ivf_served" -> qIvfServed,
     "q_ivf_delta" -> qIvfDelta,
+    "q_ivf_compact" -> qIvfCompact,
     "q_knn_shapley_ann" -> qKnnShapleyAnn,
     "q_semcache_lsh" -> qSemcacheLsh
   )
@@ -447,6 +479,10 @@ object ServeOps extends QueryPack {
     // base ∪ delta ≡ the full inverted file (one centroid/assignment
     // home), so the IVF freshness read shares the q_ann_ivf oracle too
     "q_ivf_delta" -> VectorQueries.annIvfOracleSql,
+
+    // the IVF compaction rewrite is a set-preserving union of the same
+    // two halves — same oracle: the rewrite must be invisible
+    "q_ivf_compact" -> VectorQueries.annIvfOracleSql,
 
     // the shared LSH chain through verified pairs (annMd5CtesSql), both
     // pair directions for the %100 decile, then the IDENTICAL Jia

@@ -154,6 +154,23 @@ class R19OpsSpec extends SparkSpec {
         "be exercised, not vacuous")
   }
 
+  test("q_ivf_compact: the performed cells∪delta → fresh-cell-table " +
+      "rewrite serves row-identically to q_ann_ivf, and the compacted " +
+      "table holds the whole corpus") {
+    import spark.implicits._
+    val got = ServeOps.qIvfCompact(spark, sf).collect().map(_.toSeq).toSeq
+    val want = VectorQueries.qAnnIvf(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "post-compaction IVF result differs from the full inverted file")
+    val pre = ServeOps.sfPrefix("graft_ivf_k", sf)
+    val compactN = spark.table(s"${pre}_c_cells").count()
+    val fullN = Tables.df(spark, sf, "embeddings").count()
+    assert(compactN === fullN,
+      s"compacted cell table holds $compactN of $fullN vectors")
+    assert(spark.table(s"${pre}_cells").count() < fullN,
+      "the pre-compaction base must be a strict half")
+  }
+
   test("annServeStream: micro-batched queries against the frozen " +
       "persisted index reproduce the batch serve row-for-row " +
       "(merge law; per-row SRP keys ≡ the relational srpKeys chain)") {
