@@ -390,7 +390,7 @@ object Corpus2Ops extends QueryPack {
     * broadcasts. */
   def qBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (outs, _) = bpeTrainRounds(spark, sfDir)
+    val (outs, _, _) = bpeTrainRounds(spark, sfDir)
     outs.reduce(_ unionAll _).orderBy($"round")
   }
 
@@ -400,13 +400,25 @@ object Corpus2Ops extends QueryPack {
     * vocab). One loop home = the applied merges cannot drift from the
     * reported ones. */
   private def bpeTrainRounds(spark: SparkSession, sfDir: String)
-      : (Seq[DataFrame], DataFrame) = {
+      : (Seq[DataFrame], DataFrame, DataFrame) =
+    bpeTrainRoundsOf(Tables.df(spark, sfDir, "documents"))
+
+  /** The loop over an arbitrary (text) relation — factored (r19) so
+    * R19OpsSpec can pin the vocabulary-collapse path on a crafted
+    * corpus. Returns (per-round trajectory rows, final symbol state,
+    * the 1-row (n_tokens, n_chars) totals — the char baseline
+    * [[qBpeAdvisor]] reads, computed off the SAME tc relation instead
+    * of a second corpus scan). */
+  private[graft] def bpeTrainRoundsOf(docs: DataFrame)
+      : (Seq[DataFrame], DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val tc = Tables.df(spark, sfDir, "documents")
+    val tc = docs
       .select(explode(graft.functions.TextFunctions.tokens($"text"))
         .as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    val nt = tc.agg(sum($"cnt").as("n_tokens")).localCheckpoint()
+    val nt = tc.agg(sum($"cnt").as("n_tokens"),
+      sum($"cnt" * length($"tok")).as("n_chars")).localCheckpoint()
     val wTok = Window.partitionBy($"tok").orderBy($"p")
     var state = tc
       .repartition(Tables.shufflePartitions(spark), $"tok")
@@ -424,46 +436,64 @@ object Corpus2Ops extends QueryPack {
       // three literals removes a per-round localCheckpoint + a
       // broadcast-crossJoin replan — two of the three per-round driver
       // actions VERDICT r18 #2 measured as the q_bpe wall tax. The
-      // un-checkpointed withNext window is recomputed once in the
-      // rebuild below — one extra window over the vocabulary-thin
-      // symbol relation, executor-cheap at any scale.
-      val topRow = withNext.filter($"next".isNotNull)
+      // un-checkpointed withNext window is recomputed where consumed
+      // (the topArr collect, plus up to three references through the
+      // flagged/sel rebuild below — all windows over the
+      // vocabulary-thin symbol relation, executor-cheap at any scale;
+      // the A/B against checkpointing it is in PERF.md round-19).
+      val topArr = withNext.filter($"next".isNotNull)
         .groupBy($"sym".as("a"), $"next".as("b"))
         .agg(sum($"cnt").as("total"))
         .orderBy($"total".desc, $"a".asc, $"b".asc).limit(1)
-        .collect()(0)
-      val (aV, bV, totV) =
-        (topRow.getString(0), topRow.getString(1), topRow.getLong(2))
-      val flagged = withNext
-        .withColumn("flg",
-          ($"sym" === lit(aV) && $"next" === lit(bV)).cast("int"))
-      val sel = flagged.filter($"flg" === 1)
-        .withColumn("grp", $"p" - row_number().over(wTok))
-        .withColumn("p0m",
-          min($"p").over(Window.partitionBy($"tok", $"grp")))
-        .filter((($"p" - $"p0m") % 2) === 0)
-        .select($"tok", $"p".as("ps"))
-      state = flagged
-        .join(sel.select($"tok", $"ps".as("p"), lit(1).as("is_sel")),
-          Seq("tok", "p"), "left")
-        .join(sel.select($"tok", ($"ps" + 1).as("p"), lit(1).as("is_con")),
-          Seq("tok", "p"), "left")
-        .filter($"is_con".isNull)
-        .select($"tok", $"cnt", $"p",
-          when($"is_sel" === 1, concat($"sym", $"next"))
-            .otherwise($"sym").as("sym"))
-        .withColumn("p2", row_number().over(wTok))
-        .select($"tok", $"cnt", $"p2".as("p"), $"sym")
-        .localCheckpoint()
-      val cs = state.agg(sum($"cnt").as("corpus_symbols"))
-      outs = outs :+ cs.crossJoin(broadcast(nt))
-        .select(lit(r).as("round"), lit(aV).as("sym_a"),
-          lit(bV).as("sym_b"), lit(totV).as("pair_count"),
-          $"corpus_symbols",
-          round($"corpus_symbols".cast("double") / $"n_tokens", 6)
-            .as("fertility"))
+        .collect()
+      if (topArr.isEmpty) {
+        // vocabulary exhausted before round 6 — every token is down to
+        // one symbol, no adjacent pair exists (review r19: the
+        // driver-side pick crashed here; the prior in-plan form and the
+        // oracle's t_k/f_k/s_k chain both degrade to an EMPTY round).
+        // Reproduce that degradation exactly: state empties and the
+        // round emits no trajectory row.
+        state = state.limit(0).localCheckpoint()
+        outs = outs :+ nt
+          .select(lit(r).as("round"), lit("").as("sym_a"),
+            lit("").as("sym_b"), lit(0L).as("pair_count"),
+            lit(0L).as("corpus_symbols"), lit(0.0).as("fertility"))
+          .limit(0)
+      } else {
+        val topRow = topArr(0)
+        val (aV, bV, totV) =
+          (topRow.getString(0), topRow.getString(1), topRow.getLong(2))
+        val flagged = withNext
+          .withColumn("flg",
+            ($"sym" === lit(aV) && $"next" === lit(bV)).cast("int"))
+        val sel = flagged.filter($"flg" === 1)
+          .withColumn("grp", $"p" - row_number().over(wTok))
+          .withColumn("p0m",
+            min($"p").over(Window.partitionBy($"tok", $"grp")))
+          .filter((($"p" - $"p0m") % 2) === 0)
+          .select($"tok", $"p".as("ps"))
+        state = flagged
+          .join(sel.select($"tok", $"ps".as("p"), lit(1).as("is_sel")),
+            Seq("tok", "p"), "left")
+          .join(sel.select($"tok", ($"ps" + 1).as("p"), lit(1).as("is_con")),
+            Seq("tok", "p"), "left")
+          .filter($"is_con".isNull)
+          .select($"tok", $"cnt", $"p",
+            when($"is_sel" === 1, concat($"sym", $"next"))
+              .otherwise($"sym").as("sym"))
+          .withColumn("p2", row_number().over(wTok))
+          .select($"tok", $"cnt", $"p2".as("p"), $"sym")
+          .localCheckpoint()
+        val cs = state.agg(sum($"cnt").as("corpus_symbols"))
+        outs = outs :+ cs.crossJoin(broadcast(nt))
+          .select(lit(r).as("round"), lit(aV).as("sym_a"),
+            lit(bV).as("sym_b"), lit(totV).as("pair_count"),
+            $"corpus_symbols",
+            round($"corpus_symbols".cast("double") / $"n_tokens", 6)
+              .as("fertility"))
+      }
     }
-    (outs, state)
+    (outs, state, nt)
   }
 
   // ---- q_bpe_apply -----------------------------------------------------------
@@ -481,7 +511,7 @@ object Corpus2Ops extends QueryPack {
     * against the |vocab|-row final symbol lengths. */
   def qBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (_, finalState) = bpeTrainRounds(spark, sfDir)
+    val (_, finalState, _) = bpeTrainRounds(spark, sfDir)
     val lens = finalState.groupBy($"tok")
       .agg(count(lit(1)).as("n_syms"))
     val stc = Tables.df(spark, sfDir, "documents")
@@ -519,12 +549,12 @@ object Corpus2Ops extends QueryPack {
     * loop. */
   def qBpeAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val traj = qBpeTrain(spark, sfDir)
-    val chars0 = Tables.df(spark, sfDir, "documents")
-      .select(explode(graft.functions.TextFunctions.tokens($"text"))
-        .as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
-      .agg(sum($"cnt" * length($"tok")).as("c0"))
+    // one loop home AND one scan home (review r19): the char baseline
+    // rides out of bpeTrainRounds' own tc relation instead of a second
+    // full tokenize pass
+    val (outs, _, nt) = bpeTrainRounds(spark, sfDir)
+    val traj = outs.reduce(_ unionAll _)
+    val chars0 = nt.select($"n_chars".as("c0"))
     val w = Window.orderBy($"round")
     val wAll = w.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)

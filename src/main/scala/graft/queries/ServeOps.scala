@@ -63,13 +63,8 @@ object ServeOps extends QueryPack {
     import spark.implicits._
     val qkeys = VectorQueries.srpKeys(
       queries.select($"qid".as("vec_id"), $"qv".as("embedding")))
-    val probes = qkeys
-      .select($"vec_id".as("qid"), $"tbl",
-        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
-      .select($"qid",
-        ($"tbl" * 256 + when($"j" === -1, $"bk")
-          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)")))
-          .as("bkey"))
+    val probes = VectorQueries.srpProbes(qkeys)
+      .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
     val cand = probes
       .join(postings, "bkey")
       .filter($"qid" =!= $"vec_id")
@@ -112,6 +107,25 @@ object ServeOps extends QueryPack {
     * their prefix explicitly and are unaffected. */
   private val jvmTag: String = java.lang.Long.toHexString(
     java.util.UUID.randomUUID().getMostSignificantBits & 0xffffffffL)
+  // this JVM's tagged index directories would otherwise ACCUMULATE in
+  // java.io.tmpdir (review r19): the per-process tag means no later run
+  // ever overwrites them, and writeBucketed's DROP TABLE only targets
+  // the current names — so each JVM sweeps its own generation on exit.
+  // Untagged tables (AnnIndexProbe's graft_ann_cold / graft_xm_cold —
+  // the cross-JVM persistence story) never match the tag and survive.
+  locally {
+    def del(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(del)
+      f.delete(): Unit
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val mine = tmp.listFiles(
+        (_, n) => n.startsWith("graft_") && n.contains("_" + jvmTag + "_"))
+      if (mine != null) mine.foreach(del)
+    }, "graft-index-tmp-sweep"))
+  }
   private[graft] def sfPrefix(base: String, sfDir: String): String =
     base + "_" + java.lang.Integer.toHexString(sfDir.hashCode) +
       "_" + jvmTag
@@ -120,9 +134,7 @@ object ServeOps extends QueryPack {
     import spark.implicits._
     val pre = sfPrefix("graft_ann_q", sfDir)
     buildAnnIndex(spark, sfDir, pre)
-    val queries = Tables.df(spark, sfDir, "embeddings")
-      .filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val queries = queryDecile(spark, sfDir)
     serveAnn(queries, spark.table(s"${pre}_postings"),
       spark.table(s"${pre}_vectors"))
   }
@@ -174,9 +186,7 @@ object ServeOps extends QueryPack {
     val delta = buildSplitIndex(spark, sfDir, pre)
     val deltaPostings = VectorQueries.srpKeys(delta)
       .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id")
-    val queries = Tables.df(spark, sfDir, "embeddings")
-      .filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val queries = queryDecile(spark, sfDir)
     serveAnn(queries,
       spark.table(s"${pre}_postings").unionAll(deltaPostings),
       spark.table(s"${pre}_vectors").unionAll(delta))
@@ -211,9 +221,7 @@ object ServeOps extends QueryPack {
     graft.sources.Sources.writeBucketed(
       spark.table(s"${pre}_vectors").unionAll(delta),
       s"${pre}_c_vectors", n, "vec_id")
-    val queries = Tables.df(spark, sfDir, "embeddings")
-      .filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val queries = queryDecile(spark, sfDir)
     serveAnn(queries, spark.table(s"${pre}_c_postings"),
       spark.table(s"${pre}_c_vectors"))
   }
@@ -260,19 +268,37 @@ object ServeOps extends QueryPack {
     * itself against the 8-row centroid broadcast; the base side stays
     * the exchange-free bucketed cells scan; the nightly rewrite is the
     * same no-rehash bucket shuffle [[qAnnCompact]] performs for SRP. */
-  def qIvfDelta(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Build the IVF split layout under `pre`: the %2 base half's cell
+    * assignment persisted bucketed BY CELL, the other half's assignment
+    * returned in-plan — both through ONE checkpointed centroid relation.
+    * Shared by [[qIvfDelta]] and [[qIvfCompact]] (review r19: the two
+    * had copy-pasted this block, defeating the one-home discipline the
+    * SRP-side buildSplitIndex establishes). Returns (centers, delta). */
+  private def buildIvfSplit(spark: SparkSession, sfDir: String,
+      pre: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val emb = Tables.df(spark, sfDir, "embeddings")
-    val pre = sfPrefix("graft_ivf_d", sfDir)
     val centers = VectorQueries.ivfCenters(emb).localCheckpoint()
     graft.sources.Sources.writeBucketed(
       VectorQueries.ivfAssigned(emb.filter($"vec_id" % 2 === 0), centers),
       s"${pre}_cells", 8, "cell")
-    val delta = VectorQueries.ivfAssigned(
-      emb.filter($"vec_id" % 2 =!= 0), centers)
-    val queries = emb.filter($"vec_id" % 100 === 0)
+    (centers,
+      VectorQueries.ivfAssigned(emb.filter($"vec_id" % 2 =!= 0), centers))
+  }
+
+  /** The %100 query-decile relation (qid, qv). */
+  private def queryDecile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
-    VectorQueries.ivfServe(queries, centers,
+  }
+
+  def qIvfDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pre = sfPrefix("graft_ivf_d", sfDir)
+    val (centers, delta) = buildIvfSplit(spark, sfDir, pre)
+    VectorQueries.ivfServe(queryDecile(spark, sfDir), centers,
       spark.table(s"${pre}_cells").unionAll(delta))
   }
 
@@ -287,23 +313,14 @@ object ServeOps extends QueryPack {
     * q_ann_ivf (one centroid/assignment home; the rewrite is a
     * set-preserving union), so it shares that oracle. */
   def qIvfCompact(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.df(spark, sfDir, "embeddings")
     val pre = sfPrefix("graft_ivf_k", sfDir)
-    val centers = VectorQueries.ivfCenters(emb).localCheckpoint()
-    graft.sources.Sources.writeBucketed(
-      VectorQueries.ivfAssigned(emb.filter($"vec_id" % 2 === 0), centers),
-      s"${pre}_cells", 8, "cell")
-    val delta = VectorQueries.ivfAssigned(
-      emb.filter($"vec_id" % 2 =!= 0), centers)
+    val (centers, delta) = buildIvfSplit(spark, sfDir, pre)
     // the nightly rewrite: stored assignments ∪ delta → fresh bucketed
     // base; no recomputation on the stored side
     graft.sources.Sources.writeBucketed(
       spark.table(s"${pre}_cells").unionAll(delta),
       s"${pre}_c_cells", 8, "cell")
-    val queries = emb.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qv"))
-    VectorQueries.ivfServe(queries, centers,
+    VectorQueries.ivfServe(queryDecile(spark, sfDir), centers,
       spark.table(s"${pre}_c_cells"))
   }
 
@@ -410,13 +427,8 @@ object ServeOps extends QueryPack {
     val keys = VectorQueries.annMd5Keys(spark, sfDir)
       .filter($"vec_id" % 50 === 0)
       .localCheckpoint() // probe arm + build arm
-    val probes = keys
-      .select($"vec_id".as("qid"), $"tbl",
-        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
-      .select($"qid", $"tbl",
-        when($"j" === -1, $"bk")
-          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)"))
-          .as("bk"))
+    val probes = VectorQueries.srpProbes(keys)
+      .select($"vec_id".as("qid"), $"tbl", $"bk")
     val cand = probes
       .join(keys.select($"vec_id".as("pid"), $"tbl", $"bk"), Seq("tbl", "bk"))
       .filter($"pid" < $"qid")

@@ -691,6 +691,29 @@ object VectorQueries extends QueryPack {
         .otherwise(0L)).as("bk"))
   }
 
+  /** The Hamming-1 multiprobe fan-out over an [[srpKeys]]-shaped
+    * (vec_id, tbl, bk) relation: each key row expands to itself plus
+    * the 8 one-bit flips — (vec_id, tbl, bk) × 9. ONE probe-rule home
+    * (r19, review finding): this rule previously lived in four in-plan
+    * copies (annMd5Pairs, serveAnn, the cross-modal pair, the
+    * semcache), where a fix to the fan-out in one place would have left
+    * the others' candidate sets silently different. Call sites rename
+    * vec_id / derive the combined bkey as their join needs.
+    * ([[graft.streaming.Streams.annServeStream]] keeps its per-row
+    * expression twin by design — a streaming plan gets one stateful
+    * operator — and its merge-law spec pins it to this rule.) */
+  private[graft] def srpProbes(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys
+      .select($"vec_id", $"tbl",
+        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
+      .select($"vec_id", $"tbl",
+        when($"j" === -1, $"bk")
+          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)"))
+          .as("bk"))
+  }
+
   /** The md5-deterministic LSH pair list (id1, id2, sim ≥ 0.25) backing
     * [[qAnnMd5]] and evaluated against exact truth by [[qAnnEval]].
     *
@@ -719,13 +742,8 @@ object VectorQueries extends QueryPack {
       .filter($"vec_id" % 2 === 0)
     val keys = annMd5Keys(spark, sfDir)
       .localCheckpoint() // probe arm + build arm read the same keys
-    val probes = keys
-      .select($"vec_id".as("id1"), $"tbl",
-        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
-      .select($"id1", $"tbl",
-        when($"j" === -1, $"bk")
-          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)"))
-          .as("bk"))
+    val probes = srpProbes(keys)
+      .select($"vec_id".as("id1"), $"tbl", $"bk")
     val cand = probes
       .join(keys.select($"vec_id".as("id2"), $"tbl", $"bk"),
         Seq("tbl", "bk"))

@@ -325,13 +325,8 @@ object XModalOps extends QueryPack {
       .localCheckpoint() // key arm + verify arm + the miss spine
     val qkeys = VectorQueries.srpKeys(
       q.select($"qid".as("vec_id"), $"qv".as("embedding")))
-    val probes = qkeys
-      .select($"vec_id".as("qid"), $"tbl",
-        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
-      .select($"qid", $"tbl",
-        when($"j" === -1, $"bk")
-          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)"))
-          .as("bk"))
+    val probes = VectorQueries.srpProbes(qkeys)
+      .select($"vec_id".as("qid"), $"tbl", $"bk")
     val cand = probes
       .join(mkeys.select($"vec_id".as("doc_id"), $"tbl", $"bk"),
         Seq("tbl", "bk"))
@@ -378,13 +373,8 @@ object XModalOps extends QueryPack {
     import spark.implicits._
     val qkeys = VectorQueries.srpKeys(
       q.select($"qid".as("vec_id"), $"qv".as("embedding")))
-    val probes = qkeys
-      .select($"vec_id".as("qid"), $"tbl",
-        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
-      .select($"qid",
-        ($"tbl" * 256 + when($"j" === -1, $"bk")
-          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)")))
-          .as("bkey"))
+    val probes = VectorQueries.srpProbes(qkeys)
+      .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
     val cand = probes
       .join(postings, "bkey")
       .select($"qid", $"doc_id").distinct()
@@ -561,6 +551,13 @@ object XModalOps extends QueryPack {
     val bytes = bin
       .select($"doc_id", hex($"payload").as("hx"),
         length($"payload").as("nb"))
+      // nb >= 1 guard (review r19): Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0] (step defaults to -1), which would fabricate
+      // phantom byte rows for a zero-length payload; DuckDB's
+      // range(1, 1) is empty and the inner joins below drop the doc —
+      // the filter reproduces that exclusion exactly (an empty blob is
+      // an ingest-level reject, the mediaHistOf posture)
+      .filter($"nb" >= 1)
       .select($"doc_id", explode(sequence(lit(1), $"nb")).as("p"), $"hx")
       .select($"doc_id", $"p",
         conv(expr("substr(hx, 2 * p - 1, 2)"), 16, 10).cast("int").as("b"))

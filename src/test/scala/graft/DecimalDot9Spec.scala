@@ -65,15 +65,31 @@ class DecimalDot9Spec extends SparkSpec {
         expr("array(CAST(1.0 AS DOUBLE), IF(id = 2, NULL, CAST(2.0 AS DOUBLE)))")
           .as("a"),
         expr("array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))").as("b"))
-    val got = df.select($"id", expr("decimal_dot9(a, b)").as("nat"),
-        expr(hof).as("ref"))
-      .orderBy($"id").collect()
-    got.foreach { r =>
-      assert(r.isNullAt(1) === r.isNullAt(2),
-        s"row ${r.getLong(0)}: native/HOF null-ness diverges")
-      if (!r.isNullAt(1)) assert(r.getDouble(1) === r.getDouble(2))
+    // run the identical comparison under BOTH evaluation paths (the
+    // CustomOpsSpec factoryMode toggle): CODEGEN_ONLY exercises
+    // doGenCode, NO_CODEGEN exercises nullSafeEval — a null-element
+    // regression in the interpreted fallback (used when codegen
+    // compilation fails at scale) must not hide behind codegen
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      val got = try {
+        spark.conf.set("spark.sql.codegen.factoryMode", mode)
+        df.select($"id", expr("decimal_dot9(a, b)").as("nat"),
+            expr(hof).as("ref"))
+          .orderBy($"id").collect()
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      got.foreach { r =>
+        assert(r.isNullAt(1) === r.isNullAt(2),
+          s"[$mode] row ${r.getLong(0)}: native/HOF null-ness diverges")
+        if (!r.isNullAt(1)) assert(r.getDouble(1) === r.getDouble(2))
+      }
+      assert(got(2).isNullAt(1),
+        s"[$mode] the null-element row must be NULL")
+      assert(!got(0).isNullAt(1),
+        s"[$mode] non-null rows must stay non-null")
     }
-    assert(got(2).isNullAt(1), "the null-element row must be NULL")
-    assert(!got(0).isNullAt(1), "non-null rows must stay non-null")
   }
 }

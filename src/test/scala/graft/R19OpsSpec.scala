@@ -205,6 +205,28 @@ class R19OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bpe loop: a vocabulary that collapses before round 6 degrades " +
+      "to EMPTY rounds without crashing — matching the oracle's empty " +
+      "t_k chain (review r19: the driver-side merge pick threw here)") {
+    import spark.implicits._
+    // every token is "aa": round 1 merges (a,a) into one symbol; round
+    // 2 has no adjacent pair anywhere
+    val docs = Seq("aa aa", "aa").toDF("text")
+    val (outs, finalState, nt) = Corpus2Ops.bpeTrainRoundsOf(docs)
+    val traj = outs.reduce(_ unionAll _).orderBy($"round").collect()
+    assert(traj.length === 1, "only round 1 learns a merge")
+    assert(traj(0).getAs[String]("sym_a") === "a")
+    assert(traj(0).getAs[String]("sym_b") === "a")
+    assert(traj(0).getAs[Long]("pair_count") === 3L)
+    // the exhausted state is EMPTY — the oracle's f_k = m_k × (empty
+    // t_k) chain empties the same way, so downstream reads (q_bpe_apply
+    // shape) degrade identically in both engines
+    assert(finalState.count() === 0L)
+    val ntr = nt.collect()(0)
+    assert(ntr.getAs[Long]("n_tokens") === 3L)
+    assert(ntr.getAs[Long]("n_chars") === 6L)
+  }
+
   test("q_bpe_advisor: exact-integer elbow — saved telescopes to the " +
       "char-baseline minus the final symbol total, round 1 anchors " +
       "saved_frac at 1, and recommended_rounds counts exactly the " +
