@@ -509,11 +509,13 @@ object Corpus2Ops extends QueryPack {
     * per-source state would train 20 tokenizers); per-source grain
     * arrives only at the end, via a (source, tok)-thin count join
     * against the |vocab|-row final symbol lengths. */
-  def qBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The per-source fertility/compression report off a (tok, n_syms)
+    * vocabulary relation — shared verbatim by [[qBpeApply]] (vocab
+    * in-plan) and [[qBpeServed]] (vocab read from the persisted
+    * tokenizer-artifact table), so the two reads cannot drift. */
+  private def bpeApplyReport(spark: SparkSession, sfDir: String,
+      lens: DataFrame): DataFrame = {
     import spark.implicits._
-    val (_, finalState, _) = bpeTrainRounds(spark, sfDir)
-    val lens = finalState.groupBy($"tok")
-      .agg(count(lit(1)).as("n_syms"))
     val stc = Tables.df(spark, sfDir, "documents")
       .select($"source",
         explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
@@ -528,6 +530,37 @@ object Corpus2Ops extends QueryPack {
         round(lit(1.0) - $"n_syms".cast("double") / $"n_chars", 6)
           .as("compression"))
       .orderBy($"source")
+  }
+
+  def qBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, finalState, _) = bpeTrainRounds(spark, sfDir)
+    val lens = finalState.groupBy($"tok")
+      .agg(count(lit(1)).as("n_syms"))
+    bpeApplyReport(spark, sfDir, lens)
+  }
+
+  // ---- q_bpe_served ----------------------------------------------------------
+  /** The trained tokenizer PERSISTED as an artifact and applied from the
+    * table (r19 — the q_ann_served discipline for the text side): train
+    * once, write the (tok, n_syms) vocabulary read model as a bucketed
+    * table — the artifact a production tokenize fleet loads, versioned
+    * by the build, never retrained per consumer — then produce the
+    * per-source fertility report FROM THE TABLE. One loop home
+    * ([[bpeTrainRounds]]) and one report home ([[bpeApplyReport]]) make
+    * it row-identical to [[qBpeApply]] by construction, so it shares
+    * that oracle: the persisted artifact is invisible in the answer.
+    * Scale: the vocab table is vocabulary-thin (|vocab| rows), written
+    * once per training run; every apply pass is a (source, tok)-thin
+    * count join against the bucketed scan. */
+  def qBpeServed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, finalState, _) = bpeTrainRounds(spark, sfDir)
+    val pre = ServeOps.sfPrefix("graft_bpe", sfDir)
+    graft.sources.Sources.writeBucketed(
+      finalState.groupBy($"tok").agg(count(lit(1)).as("n_syms")),
+      s"${pre}_vocab", graft.Tables.shufflePartitions(spark), "tok")
+    bpeApplyReport(spark, sfDir, spark.table(s"${pre}_vocab"))
   }
 
   // ---- q_bpe_advisor ---------------------------------------------------------
@@ -615,9 +648,40 @@ object Corpus2Ops extends QueryPack {
        |  FROM t$k)""".stripMargin
   }
 
+  /** The full train-then-apply oracle (the 6-round bpeRoundSql chain,
+    * then the per-source fertility/compression read off s6) — ONE home
+    * for q_bpe_apply and q_bpe_served, which differ only in the
+    * vocabulary's physical layout. */
+  private lazy val bpeApplyOracleSql: String =
+    s"""WITH tc AS (
+      |  SELECT tok, count(*) AS cnt
+      |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+      |  GROUP BY tok),
+      |s0a AS (
+      |  SELECT tok, cnt, unnest(range(1, length(tok) + 1)) AS p FROM tc),
+      |s0 AS MATERIALIZED (
+      |  SELECT tok, cnt, p, substr(tok, p, 1) AS sym FROM s0a),
+      |""".stripMargin +
+      (1 to 6).map(bpeRoundSql).mkString(",\n") + s""",
+      |lens AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_syms
+      |  FROM s6 GROUP BY tok),
+      |stc AS (
+      |  SELECT source, tok, count(*) AS c
+      |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(sum(c * length(tok)) AS BIGINT) AS n_chars,
+      |  CAST(sum(c * n_syms) AS BIGINT) AS n_syms,
+      |  round(CAST(sum(c * n_syms) AS DOUBLE) / sum(c), 6) AS fertility,
+      |  round(1.0 - CAST(sum(c * n_syms) AS DOUBLE)
+      |    / sum(c * length(tok)), 6) AS compression
+      |FROM stc JOIN lens USING (tok)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_apply" -> qBpeApply,
+    "q_bpe_served" -> qBpeServed,
     "q_bpe_advisor" -> qBpeAdvisor,
     "q_prefix_cache" -> qPrefixCache,
     "q_entropy_rate" -> qEntropyRate,
@@ -690,32 +754,12 @@ object Corpus2Ops extends QueryPack {
 
     // the SAME 6-round chain (bpeRoundSql), then the per-source
     // fertility/compression read off the final symbol state s6
-    "q_bpe_apply" ->
-      (s"""WITH tc AS (
-        |  SELECT tok, count(*) AS cnt
-        |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
-        |  GROUP BY tok),
-        |s0a AS (
-        |  SELECT tok, cnt, unnest(range(1, length(tok) + 1)) AS p FROM tc),
-        |s0 AS MATERIALIZED (
-        |  SELECT tok, cnt, p, substr(tok, p, 1) AS sym FROM s0a),
-        |""".stripMargin
-        + (1 to 6).map(bpeRoundSql).mkString(",\n") + s""",
-        |lens AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_syms
-        |  FROM s6 GROUP BY tok),
-        |stc AS (
-        |  SELECT source, tok, count(*) AS c
-        |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
-        |  GROUP BY 1, 2)
-        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-        |  CAST(sum(c * length(tok)) AS BIGINT) AS n_chars,
-        |  CAST(sum(c * n_syms) AS BIGINT) AS n_syms,
-        |  round(CAST(sum(c * n_syms) AS DOUBLE) / sum(c), 6) AS fertility,
-        |  round(1.0 - CAST(sum(c * n_syms) AS DOUBLE)
-        |    / sum(c * length(tok)), 6) AS compression
-        |FROM stc JOIN lens USING (tok)
-        |GROUP BY source ORDER BY source""".stripMargin),
+    "q_bpe_apply" -> bpeApplyOracleSql,
 
+    // row-identical to q_bpe_apply by construction (one loop home, one
+    // report home — only the vocabulary's physical layout differs), so
+    // the persisted-artifact read shares that oracle verbatim
+    "q_bpe_served" -> bpeApplyOracleSql,
     // same first-8-token buckets, exact integer token accounting
     "q_prefix_cache" ->
       s"""WITH d0 AS (

@@ -438,6 +438,16 @@ object ServeOps extends QueryPack {
       .join(q.select($"qid".as("pid"), $"qv".as("pv")), "pid")
       .select($"qid", round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
       .groupBy($"qid").agg(max($"cs").as("best_lsh"))
+    semcacheReport(q, bestExact, bestLsh)
+  }
+
+  /** The per-τ hit/miss-delta report off the two best-cosine arms —
+    * shared verbatim by [[qSemcacheLsh]] (keys in-plan) and
+    * [[qSemcacheServed]] (keys probed from the persisted tables). */
+  private def semcacheReport(q: DataFrame, bestExact: DataFrame,
+      bestLsh: DataFrame): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
     val taus = Seq("0.70", "0.80", "0.90", "0.95").toDF("tau_s")
       .select($"tau_s".cast("double").as("tau"))
     q.select($"qid")
@@ -458,6 +468,60 @@ object ServeOps extends QueryPack {
       .orderBy($"tau")
   }
 
+  // ---- q_semcache_served -----------------------------------------------------
+  /** The semantic cache's key index PERSISTED (r19 — the q_ann_served
+    * layout for the cache): the %50 stream's SRP postings and vectors
+    * are written once as bucketed tables (the standing cache a serving
+    * fleet shares between refreshes), and the LSH arm answers by keying
+    * each arriving query FRESH through the one srpKeys home, probing
+    * its Hamming-1 buckets against the postings TABLE, and verifying
+    * cosines against the vectors TABLE — earlier-only (pid < qid, the
+    * arrival-order contract) at the candidate filter. The exact arm
+    * stays the in-plan eval twin. srpKeys is deterministic per vector
+    * and %50 ⊂ %2, so the fresh query keys equal the stored ones and
+    * the candidate set is IDENTICAL to [[qSemcacheLsh]]'s — same
+    * oracle; the cache's physical layout is invisible in the report.
+    * Scale: cache writes amortize across every probe batch; the probe
+    * shuffles O(|Q|·72 + candidates), never the stored cache. */
+  def qSemcacheServed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val n = Tables.shufflePartitions(spark)
+    val pre = sfPrefix("graft_sc_q", sfDir)
+    graft.sources.Sources.writeBucketed(
+      VectorQueries.annMd5Keys(spark, sfDir)
+        .filter($"vec_id" % 50 === 0)
+        .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id"),
+      s"${pre}_postings", n, "bkey")
+    val q = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .localCheckpoint() // vectors write + exact arm + fresh keys + spine
+    graft.sources.Sources.writeBucketed(
+      q.select($"qid".as("vec_id"), $"qv".as("embedding")),
+      s"${pre}_vectors", n, "vec_id")
+    val bestExact = q.join(
+        broadcast(q.select($"qid".as("pid"), $"qv".as("pv"))),
+        $"pid" < $"qid")
+      .select($"qid", round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
+      .groupBy($"qid").agg(max($"cs").as("best_exact"))
+    val qkeys = VectorQueries.srpKeys(
+      q.select($"qid".as("vec_id"), $"qv".as("embedding")))
+    val probes = VectorQueries.srpProbes(qkeys)
+      .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
+    val cand = probes
+      .join(spark.table(s"${pre}_postings"), "bkey")
+      .filter($"vec_id" < $"qid")
+      .select($"qid", $"vec_id".as("pid")).distinct()
+    val bestLsh = cand
+      .join(spark.table(s"${pre}_vectors")
+        .select($"vec_id".as("pid"), $"embedding".as("pv")), "pid")
+      .join(broadcast(q), "qid")
+      .select($"qid", round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
+      .groupBy($"qid").agg(max($"cs").as("best_lsh"))
+    semcacheReport(q, bestExact, bestLsh)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_served" -> qAnnServed,
     "q_ann_delta" -> qAnnDelta,
@@ -466,7 +530,8 @@ object ServeOps extends QueryPack {
     "q_ivf_delta" -> qIvfDelta,
     "q_ivf_compact" -> qIvfCompact,
     "q_knn_shapley_ann" -> qKnnShapleyAnn,
-    "q_semcache_lsh" -> qSemcacheLsh
+    "q_semcache_lsh" -> qSemcacheLsh,
+    "q_semcache_served" -> qSemcacheServed
   )
 
   val oracle: Map[String, String] = Map(
@@ -538,7 +603,17 @@ object ServeOps extends QueryPack {
     // the shared key chain restricted to the %50 stream: exact arm =
     // q_semcache's strictly-earlier max; LSH arm = the same max over
     // strictly-earlier MULTIPROBE-BUCKET collisions only
-    "q_semcache_lsh" ->
+    "q_semcache_lsh" -> semcacheLshOracleSql,
+
+    // identical candidate set by construction (deterministic srpKeys,
+    // %50 ⊂ %2, same probe rule, same earlier-only filter) — the
+    // persisted cache layout shares the oracle verbatim
+    "q_semcache_served" -> semcacheLshOracleSql
+  )
+
+  /** One oracle home for the bucket-keyed cache pair — in-plan keys
+    * (q_semcache_lsh) and the persisted layout (q_semcache_served). */
+  private lazy val semcacheLshOracleSql: String =
       (VectorQueries.annMd5KeysCtesSql + """,
         |q AS (
         |  SELECT vec_id AS qid, embedding AS qv
@@ -582,5 +657,4 @@ object ServeOps extends QueryPack {
         |FROM q LEFT JOIN be ON be.qid = q.qid
         |LEFT JOIN bl ON bl.qid = q.qid CROSS JOIN taus
         |GROUP BY tau ORDER BY tau""".stripMargin)
-  )
 }

@@ -205,6 +205,31 @@ class R19OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q_bpe_served: the persisted tokenizer artifact applies " +
+      "row-identically to the in-plan q_bpe_apply, and the vocab table " +
+      "really is the vocabulary") {
+    import spark.implicits._
+    val got = Corpus2Ops.qBpeServed(spark, sf).collect().map(_.toSeq).toSeq
+    val want = Corpus2Ops.qBpeApply(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "table-served fertility report differs from the in-plan apply")
+    val pre = ServeOps.sfPrefix("graft_bpe", sf)
+    val vocab = spark.table(s"${pre}_vocab")
+    assert(vocab.count() > 0)
+    // every vocab row is (tok, n_syms >= 1) — a real read model, not a
+    // passthrough
+    assert(vocab.filter($"n_syms" < 1).count() === 0L)
+  }
+
+  test("q_semcache_served: the persisted cache index serves the " +
+      "identical per-τ report to the in-plan q_semcache_lsh") {
+    val got = ServeOps.qSemcacheServed(spark, sf).collect().map(_.toSeq).toSeq
+    val want = ServeOps.qSemcacheLsh(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "served cache report differs from the in-plan bucket-keyed cache")
+    assert(got.nonEmpty)
+  }
+
   test("bpe loop: a vocabulary that collapses before round 6 degrades " +
       "to EMPTY rounds without crashing — matching the oracle's empty " +
       "t_k chain (review r19: the driver-side merge pick threw here)") {
