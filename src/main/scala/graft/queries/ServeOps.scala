@@ -105,24 +105,41 @@ object ServeOps extends QueryPack {
     * within a JVM so repeated runs overwrite rather than accumulate;
     * cross-JVM persistence tests ([[graft.sources.AnnIndexProbe]]) pass
     * their prefix explicitly and are unaffected. */
-  private val jvmTag: String = java.lang.Long.toHexString(
-    java.util.UUID.randomUUID().getMostSignificantBits & 0xffffffffL)
+  // zero-padded to a FIXED 8 hex chars (ADVICE r19): toHexString drops
+  // leading zeros, and a short tag made the sweep's substring match able
+  // to collide with another JVM's sfDir-hash segment
+  private val jvmTag: String = f"${java.util.UUID.randomUUID()
+    .getMostSignificantBits & 0xffffffffL}%08x"
   // this JVM's tagged index directories would otherwise ACCUMULATE in
   // java.io.tmpdir (review r19): the per-process tag means no later run
   // ever overwrites them, and writeBucketed's DROP TABLE only targets
   // the current names — so each JVM sweeps its own generation on exit.
   // Untagged tables (AnnIndexProbe's graft_ann_cold / graft_xm_cold —
   // the cross-JVM persistence story) never match the tag and survive.
+  // The match is anchored to the FULL directory-name structure
+  // writeBucketed produces — graft_graft_<base>_<sfhash>_<tag>_<suffix>
+  // with a closed suffix set — so a name can only match when the
+  // 8-hex-char tag segment sits exactly where this JVM's tag goes
+  // (ADVICE r19: a bare contains() could delete a concurrent run's
+  // directories if its sfDir hash happened to equal this tag).
+  private val sweepName = java.util.regex.Pattern.compile(
+    "^graft_graft_[a-z0-9_]+_" + jvmTag +
+      "_(c_)?(postings|vectors|cells|centers|media|vocab|traj|tot)$")
   locally {
     def del(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(del)
+      // never FOLLOW a symlink (ADVICE r19): a link inside a swept dir
+      // must be removed as a link, not traversed into content outside
+      // java.io.tmpdir
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(del)
+      }
       f.delete(): Unit
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
       val mine = tmp.listFiles(
-        (_, n) => n.startsWith("graft_") && n.contains("_" + jvmTag + "_"))
+        (_, n) => sweepName.matcher(n).matches())
       if (mine != null) mine.foreach(del)
     }, "graft-index-tmp-sweep"))
   }
@@ -412,6 +429,20 @@ object ServeOps extends QueryPack {
     * (annMd5Keys — one hyperplane home). Scale: the exact arm is the
     * bounded broadcast window (eval-only); the LSH arm is a bucket
     * equi-join — the arm that ships. */
+  /** The exact-sweep arm: per query the max round-6 cosine over ALL
+    * strictly-earlier queries (pid < qid — the arrival-order contract)
+    * via the bounded broadcast self-join. ONE home (ADVICE r19) shared
+    * by [[qSemcacheLsh]] and [[qSemcacheServed]], so a tweak to the
+    * eval arm cannot silently drift the two per-τ reports apart. */
+  private def semcacheBestExact(q: DataFrame): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    q.join(broadcast(q.select($"qid".as("pid"), $"qv".as("pv"))),
+        $"pid" < $"qid")
+      .select($"qid", round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
+      .groupBy($"qid").agg(max($"cs").as("best_exact"))
+  }
+
   def qSemcacheLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
@@ -419,11 +450,7 @@ object ServeOps extends QueryPack {
       .filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
       .localCheckpoint() // exact arm, lsh verify arm, and the spine
-    val bestExact = q.join(
-        broadcast(q.select($"qid".as("pid"), $"qv".as("pv"))),
-        $"pid" < $"qid")
-      .select($"qid", round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
-      .groupBy($"qid").agg(max($"cs").as("best_exact"))
+    val bestExact = semcacheBestExact(q)
     val keys = VectorQueries.annMd5Keys(spark, sfDir)
       .filter($"vec_id" % 50 === 0)
       .localCheckpoint() // probe arm + build arm
@@ -500,11 +527,7 @@ object ServeOps extends QueryPack {
     graft.sources.Sources.writeBucketed(
       q.select($"qid".as("vec_id"), $"qv".as("embedding")),
       s"${pre}_vectors", n, "vec_id")
-    val bestExact = q.join(
-        broadcast(q.select($"qid".as("pid"), $"qv".as("pv"))),
-        $"pid" < $"qid")
-      .select($"qid", round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
-      .groupBy($"qid").agg(max($"cs").as("best_exact"))
+    val bestExact = semcacheBestExact(q)
     val qkeys = VectorQueries.srpKeys(
       q.select($"qid".as("vec_id"), $"qv".as("embedding")))
     val probes = VectorQueries.srpProbes(qkeys)
