@@ -341,6 +341,57 @@ object ServeOps extends QueryPack {
       spark.table(s"${pre}_c_cells"))
   }
 
+  // ---- q_compact_advisor -----------------------------------------------------
+  /** The compaction-trigger advisor (r20, VERDICT r19 #5 — completing
+    * the build→serve→delta→compact→SCHEDULE chain): build the SAME
+    * split layouts the three q_*_delta lambda reads serve from (SRP
+    * postings via [[buildSplitIndex]], IVF cells via [[buildIvfSplit]],
+    * media tower via [[XModalOps.buildXmodalSplit]]), then read each
+    * family's base size FROM ITS PERSISTED TABLE and price the
+    * in-flight delta against it: per family the base row count, the
+    * delta row count, their ratio, and the compact/defer decision on
+    * the exact-integer quarter bar (delta·4 ≥ base → compact — the
+    * q_ivf_advisor/q_bpe_advisor elbow discipline, so the trigger
+    * cannot drift on rounding). Delta sizes are the relations' sizes at
+    * their family's index grain, read off the GRAIN (each SRP/media
+    * vector contributes exactly 8 posting rows — one per table, a
+    * structural constant of [[VectorQueries.srpKeys]]; each IVF vector
+    * exactly 1 cell row), the way a production advisor reads table
+    * metadata instead of recomputing 20 M key rows to count them.
+    * Scale: three bounded count aggregates over the split halves plus
+    * three 1-row joins — the builds dominate, and on a cluster the
+    * advisor reads table stats the builds already paid for. */
+  def qCompactAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def fam(name: String, baseRows: DataFrame, delta: DataFrame,
+        rowsPerKey: Int): DataFrame =
+      baseRows.crossJoin(
+        delta.agg((count(lit(1)) * rowsPerKey).as("delta_rows")))
+        .select(lit(name).as("family"), $"base_rows", $"delta_rows")
+    val annPre = sfPrefix("graft_ann_v", sfDir)
+    val annDelta = buildSplitIndex(spark, sfDir, annPre)
+    val srp = fam("srp",
+      spark.table(s"${annPre}_postings").agg(count(lit(1)).as("base_rows")),
+      annDelta, 8)
+    val ivfPre = sfPrefix("graft_ivf_v", sfDir)
+    val (_, ivfDelta) = buildIvfSplit(spark, sfDir, ivfPre)
+    val ivf = fam("ivf",
+      spark.table(s"${ivfPre}_cells").agg(count(lit(1)).as("base_rows")),
+      ivfDelta, 1)
+    val xmPre = sfPrefix("graft_xm_v", sfDir)
+    val xmDelta = XModalOps.buildXmodalSplit(spark, sfDir, xmPre)
+    val xm = fam("xm",
+      spark.table(s"${xmPre}_postings").agg(count(lit(1)).as("base_rows")),
+      xmDelta, 8)
+    srp.unionAll(ivf).unionAll(xm)
+      .select($"family", $"base_rows", $"delta_rows",
+        round($"delta_rows".cast("double") / $"base_rows", 6)
+          .as("delta_ratio"),
+        when($"delta_rows" * 4 >= $"base_rows", lit("compact"))
+          .otherwise(lit("defer")).as("decision"))
+      .orderBy($"family")
+  }
+
   // ---- q_knn_shapley_ann ---------------------------------------------------
   /** Truncated KNN-Shapley from the ANN candidate chain — the production
     * valuation path [[ValueOps]]' scaladoc promised (VERDICT r17 #2):
@@ -552,6 +603,7 @@ object ServeOps extends QueryPack {
     "q_ivf_served" -> qIvfServed,
     "q_ivf_delta" -> qIvfDelta,
     "q_ivf_compact" -> qIvfCompact,
+    "q_compact_advisor" -> qCompactAdvisor,
     "q_knn_shapley_ann" -> qKnnShapleyAnn,
     "q_semcache_lsh" -> qSemcacheLsh,
     "q_semcache_served" -> qSemcacheServed
@@ -583,6 +635,38 @@ object ServeOps extends QueryPack {
     // the IVF compaction rewrite is a set-preserving union of the same
     // two halves — same oracle: the rewrite must be invisible
     "q_ivf_compact" -> VectorQueries.annIvfOracleSql,
+
+    // the advisor's inputs are structural: each split's base table and
+    // delta relation hold exactly rows-per-key × its half's population
+    // (8 postings per SRP/media vector — one per table; 1 cell row per
+    // IVF vector; a media vector exists iff the payload is non-empty,
+    // the mediaDense mn > 0 ingest posture), so the oracle derives the
+    // same counts from the raw fixtures — any drift in the split rule,
+    // the key fan-out, or the decision arithmetic hashes red
+    "q_compact_advisor" ->
+      """WITH fam AS (
+        |  SELECT 'ivf' AS family,
+        |    (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)
+        |      AS base_rows,
+        |    (SELECT count(*) FROM embeddings WHERE vec_id % 2 <> 0)
+        |      AS delta_rows
+        |  UNION ALL
+        |  SELECT 'srp',
+        |    8 * (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0),
+        |    8 * (SELECT count(*) FROM embeddings
+        |         WHERE vec_id % 2 = 0 AND vec_id % 4 <> 0)
+        |  UNION ALL
+        |  SELECT 'xm',
+        |    8 * (SELECT count(*) FROM documents
+        |         WHERE doc_id % 2 = 0 AND len(text) >= 1),
+        |    8 * (SELECT count(*) FROM documents
+        |         WHERE doc_id % 2 <> 0 AND len(text) >= 1))
+        |SELECT family, CAST(base_rows AS BIGINT) AS base_rows,
+        |  CAST(delta_rows AS BIGINT) AS delta_rows,
+        |  round(CAST(delta_rows AS DOUBLE) / base_rows, 6) AS delta_ratio,
+        |  CASE WHEN delta_rows * 4 >= base_rows THEN 'compact'
+        |    ELSE 'defer' END AS decision
+        |FROM fam ORDER BY family""".stripMargin,
 
     // the shared LSH chain through verified pairs (annMd5CtesSql), both
     // pair directions for the %100 decile, then the IDENTICAL Jia

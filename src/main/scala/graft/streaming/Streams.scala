@@ -612,6 +612,72 @@ object Streams {
       .groupBy($"qid", $"vec_id").agg(min($"d0").as("dist"))
   }
 
+  /** Streaming serve twin for the IVF index family (r20, VERDICT r19
+    * #3 — [[annServeStream]]'s discipline applied to the second
+    * family): arriving query micro-batches probe the PERSISTED bucketed
+    * cell table ([[graft.queries.ServeOps.qIvfServed]]'s layout)
+    * against a FROZEN centroid snapshot. The batch serve rule
+    * ([[graft.queries.VectorQueries.ivfServe]]) uses two per-query
+    * ranks (nearest-2 cells, exact-cosine top-10), but a streaming plan
+    * gets no window functions and ONE stateful operator — so:
+    *
+    *  - the 2-probe CELL pick runs as a per-row stateless expression:
+    *    the 8 centroids ride in as a 1-row collect_list array (the
+    *    broadcast a static 8-row dimension IS), and slice(array_sort)
+    *    over per-centroid exact-decimal L2² structs reproduces the
+    *    batch (d2 asc, cell asc) rank — same ties, same cells;
+    *  - candidates come from a stream-static cell equi-join that
+    *    consumes the bucketed layout (each micro-batch pays O(its own
+    *    candidates), ~2/8 of the corpus per query, never a full scan);
+    *  - the top-10 is the ONE stateful aggregate: collect per-query
+    *    (−sim, vec_id) structs, array_sort, slice — merge-law equal to
+    *    the batch row_number over (sim desc, vec_id asc) because the
+    *    sort runs on the final merged state, whatever batch boundaries
+    *    the candidates arrived across.
+    *
+    * State note: per-query state holds that query's candidate structs
+    * (bounded by its 2 cells' population — the same candidate set the
+    * batch op shuffles); a production deployment caps it with a
+    * mergeable bounded top-k Aggregator, which changes state size, not
+    * results. The merge-law spec (R20OpsSpec) replays the batch query
+    * set split across micro-batches and compares row-for-row with
+    * q_ann_ivf. */
+  def ivfServeStream(stream: DataFrame, centers: DataFrame,
+      cells: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    // the frozen 8-row centroid snapshot as ONE broadcast row — a
+    // stream-static crossJoin of a 1-row relation, the tempSampleStream
+    // freeze discipline
+    val carr = centers
+      .agg(collect_list(struct($"cell", $"center")).as("cs"))
+    val probes = stream
+      .crossJoin(broadcast(carr))
+      .select($"qid", $"qv", explode(expr("""
+        slice(array_sort(transform(cs, c -> named_struct(
+          'd2', CAST(aggregate(
+            zip_with(qv, c.center, (x, y) ->
+              CAST(round((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                         (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 9)
+                AS DECIMAL(20,9))),
+            CAST(0 AS DECIMAL(28,9)),
+            (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DECIMAL(28,9)),
+          'cell', c.cell))), 1, 2)""")).as("pc"))
+      .select($"qid", $"qv", $"pc.cell".as("cell"))
+    probes
+      .join(cells, "cell")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid",
+        struct((-round(expr("cosine_similarity(qv, embedding)"), 6))
+            .as("ns"), $"vec_id").as("c"))
+      .groupBy($"qid")
+      .agg(expr("slice(array_sort(collect_list(c)), 1, 10)").as("top"))
+      .select($"qid", posexplode($"top").as(Seq("i", "t")))
+      .select($"qid", $"t.vec_id".as("vec_id"),
+        (-$"t.ns").as("sim"), ($"i" + 1).cast("int").as("rank"))
+  }
+
   /** Streaming twin of the TTL impact sweep
     * ([[graft.queries.GovernOps.qRetentionSweep]]): classify every
     * arriving event against a FROZEN sweep anchor (the as-of date a TTL

@@ -1,0 +1,180 @@
+package graft
+
+import graft.queries.{Corpus2Ops, ServeOps, VectorQueries, XModalOps}
+import org.apache.spark.sql.functions._
+
+/** Round-20 contracts: the media-tower delta/compact triad completion
+  * (row-identity + strict-half pre-state, the R19OpsSpec discipline for
+  * the third index family), the streaming IVF serve twin's merge law,
+  * the non-vacuous non-UTF8 blob audit (the ≥0x80 guard finally fires
+  * nonzero), the compaction-trigger advisor's structural counts, and
+  * the BPE artifact-table restructure (all four queries read ONE
+  * training run's persisted tables). */
+class R20OpsSpec extends SparkSpec {
+
+  test("q_xmodal_delta: persisted base media index + in-plan delta " +
+      "serve the identical report to the full in-plan chain, and the " +
+      "base really is a strict half") {
+    import spark.implicits._
+    val got = XModalOps.qXmodalDelta(spark, sf).collect().map(_.toSeq).toSeq
+    val want = XModalOps.qXmodalRetrievalAnn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "media base ∪ delta report differs from the full in-plan chain")
+    val pre = ServeOps.sfPrefix("graft_xm_d", sf)
+    val baseN = spark.table(s"${pre}_media").count()
+    val fullN = XModalOps.mediaDense(spark, sf).count()
+    assert(baseN < fullN && baseN > 0,
+      s"base media table holds $baseN of $fullN — the delta path must " +
+        "be exercised, not vacuous")
+  }
+
+  test("q_xmodal_compact: the performed stored∪delta → fresh-base " +
+      "rewrite serves row-identically to the in-plan chain, and the " +
+      "compacted tables hold the whole media corpus") {
+    import spark.implicits._
+    val got = XModalOps.qXmodalCompact(spark, sf).collect().map(_.toSeq).toSeq
+    val want = XModalOps.qXmodalRetrievalAnn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "post-compaction media report differs from the full in-plan chain")
+    val pre = ServeOps.sfPrefix("graft_xm_k", sf)
+    val fullN = XModalOps.mediaDense(spark, sf).count()
+    assert(spark.table(s"${pre}_c_media").count() === fullN,
+      "compacted media table must hold every dense media vector")
+    assert(spark.table(s"${pre}_c_postings").count() === fullN * 8,
+      "compacted postings must hold 8 rows per media vector")
+    assert(spark.table(s"${pre}_media").count() < fullN,
+      "the pre-compaction base must be a strict half")
+  }
+
+  test("ivfServeStream: micro-batched queries against the frozen " +
+      "persisted cell table reproduce the batch q_ann_ivf row-for-row " +
+      "(merge law; stateless 2-probe pick ≡ the batch window rank)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the persisted layout (qIvfServed's): centroids + bucketed cells
+    val emb = Tables.df(spark, sf, "embeddings")
+    val centers = VectorQueries.ivfCenters(emb).localCheckpoint()
+    graft.sources.Sources.writeBucketed(
+      VectorQueries.ivfAssigned(emb, centers), "graft_ivf_s_cells",
+      8, "cell")
+    val arriving = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as[Long], $"embedding".as[Array[Float]])
+      .collect().toSeq.sortBy(_._1)
+    assert(arriving.size >= 4)
+    val (b1, b2) = arriving.splitAt(arriving.size / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("qid", "qv")
+    val q = graft.streaming.Streams.ivfServeStream(stream, centers,
+        spark.table("graft_ivf_s_cells"))
+      .writeStream.format("memory").queryName("ivf_serve_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("ivf_serve_stream")
+        .orderBy($"qid", $"rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+      val want = VectorQueries.qAnnIvf(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+      assert(got === want,
+        "streamed IVF serve differs from the batch q_ann_ivf chain")
+    } finally q.stop()
+  }
+
+  test("q_media_blob: the ≥0x80 ingest-guard branch fires NONZERO on " +
+      "the deterministic md5-chain blobs, the payload is BinaryType, " +
+      "and every asset is exactly 64 bytes") {
+    import spark.implicits._
+    import spark.implicits._
+    val blob = Tables.df(spark, sf, "documents")
+      .select(unhex(md5(concat(lit("blob:"), $"doc_id".cast("string"),
+        lit(":0")))).as("payload"))
+    assert(blob.schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val rows = XModalOps.qMediaBlob(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nonascii_bytes") > 0L,
+        s"source ${r.getAs[String]("source")}: the blob arm exists to " +
+          "exercise the non-ASCII guard — zero means it is still vacuous")
+      assert(r.getAs[Long]("total_bytes") ===
+        r.getAs[Long]("n_assets") * 64L,
+        "four chained md5 images are exactly 64 bytes per asset")
+      // 64 bytes hashed by (byte + pos) % 64 stay far from the 2.0-nat
+      // degenerate bar — the blob arm must not trip the filler gate
+      assert(r.getAs[Long]("n_degenerate") === 0L)
+    }
+    // roughly half of md5 output bytes have the high bit set; on the
+    // corpus aggregate this is a tight band (binomial over 64·n draws)
+    val totB = rows.map(_.getAs[Long]("total_bytes")).sum
+    val totN = rows.map(_.getAs[Long]("n_nonascii_bytes")).sum
+    val frac = totN.toDouble / totB
+    assert(frac > 0.4 && frac < 0.6,
+      s"non-ASCII fraction $frac is out of the md5 half-band")
+  }
+
+  test("q_compact_advisor: the advisor's counts are the split layouts' " +
+      "structural sizes, and the decision is the exact quarter bar") {
+    import spark.implicits._
+    val rows = ServeOps.qCompactAdvisor(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("family")).toSeq ===
+      Seq("ivf", "srp", "xm"))
+    val emb = Tables.df(spark, sf, "embeddings")
+    val nHalf = emb.filter($"vec_id" % 2 === 0).count()
+    val nQuarter = emb.filter($"vec_id" % 4 === 0).count()
+    val nAll = emb.count()
+    val nDense = XModalOps.mediaDense(spark, sf).count()
+    val nDenseEven = XModalOps.mediaDense(spark, sf)
+      .filter($"doc_id" % 2 === 0).count()
+    val want = Map(
+      "ivf" -> (nHalf, nAll - nHalf),
+      "srp" -> (8 * nQuarter, 8 * (nHalf - nQuarter)),
+      "xm" -> (8 * nDenseEven, 8 * (nDense - nDenseEven)))
+    rows.foreach { r =>
+      val (b, d) = want(r.getAs[String]("family"))
+      assert(r.getAs[Long]("base_rows") === b)
+      assert(r.getAs[Long]("delta_rows") === d)
+      assert(r.getAs[String]("decision") ===
+        (if (d * 4 >= b) "compact" else "defer"))
+    }
+  }
+
+  test("BPE artifact tables: all four queries read ONE training run — " +
+      "the persisted trajectory equals a fresh in-plan train, and the " +
+      "vocab table applies identically to an in-plan lens relation") {
+    import spark.implicits._
+    val pre = Corpus2Ops.bpeArtifacts(spark, sf)
+    // trajectory table ≡ a fresh loop run (the artifact cannot drift
+    // from what training would produce today on the frozen fixture)
+    val fresh = Corpus2Ops.bpeTrainRoundsOf(
+      Tables.df(spark, sf, "documents"))
+    val wantTraj = fresh._1.reduce(_ unionAll _).orderBy($"round")
+      .collect().map(_.toSeq).toSeq
+    val gotTraj = Corpus2Ops.qBpeTrain(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gotTraj === wantTraj,
+      "persisted trajectory differs from a fresh training run")
+    // vocab table ≡ the fresh final state's per-token symbol counts
+    val wantVocab = fresh._2.groupBy($"tok")
+      .agg(count(lit(1)).as("n_syms"))
+      .orderBy($"tok").collect().map(_.toSeq).toSeq
+    val gotVocab = spark.table(s"${pre}_vocab")
+      .orderBy($"tok").collect().map(_.toSeq).toSeq
+    assert(gotVocab === wantVocab,
+      "persisted vocab differs from the fresh final symbol state")
+    // apply and served are now the same artifact read by construction
+    assert(Corpus2Ops.qBpeApply(spark, sf).collect().map(_.toSeq).toSeq ===
+      Corpus2Ops.qBpeServed(spark, sf).collect().map(_.toSeq).toSeq)
+    // the totals table carries the advisor's char baseline
+    val tot = spark.table(s"${pre}_tot").collect()(0)
+    val wantTot = fresh._3.collect()(0)
+    assert(tot.getAs[Long]("n_tokens") === wantTot.getAs[Long]("n_tokens"))
+    assert(tot.getAs[Long]("n_chars") === wantTot.getAs[Long]("n_chars"))
+  }
+}
