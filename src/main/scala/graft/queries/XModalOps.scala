@@ -210,6 +210,19 @@ object XModalOps extends QueryPack {
       .filter($"mn" > 0.0)
   }
 
+  /** The 9dp once-rounded decimal query-norm fold over a `qv` array —
+    * ONE formula home (r20) shared by [[retrievalQueries]] (batch, norm
+    * hoisted to query grain) and [[graft.streaming.Streams
+    * .xmodalServeStream]] (per-row, a cold streaming query has no
+    * precomputed norm), so the two sides cannot drift. */
+  private[graft] val qNormSql: String =
+    """sqrt(CAST(aggregate(
+         transform(qv, a ->
+           CAST(round(CAST(a AS DOUBLE) * CAST(a AS DOUBLE), 9)
+             AS DECIMAL(20,9))),
+         CAST(0 AS DECIMAL(28,9)),
+         (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE))"""
+
   /** The %25 text-query relation (qid, qv, qn) with the norm hoisted to
     * query grain — shared by the brute eval and the ANN-fed variant. */
   private[graft] def retrievalQueries(spark: SparkSession, sfDir: String)
@@ -220,13 +233,7 @@ object XModalOps extends QueryPack {
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
       // query norm hoisted to query grain — same 9dp once-rounded
       // decimal fold, identical double by construction
-      .withColumn("qn", expr(
-        """sqrt(CAST(aggregate(
-             transform(qv, a ->
-               CAST(round(CAST(a AS DOUBLE) * CAST(a AS DOUBLE), 9)
-                 AS DECIMAL(20,9))),
-             CAST(0 AS DECIMAL(28,9)),
-             (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE))"""))
+      .withColumn("qn", expr(qNormSql))
   }
 
   /** The q_ann_lsh-discipline pair cosine (raw-double elements, 9dp

@@ -567,35 +567,56 @@ object Streams {
     * ×72 probes per query; both index joins are stream-static equi-joins
     * that consume the bucketed layout — each micro-batch pays
     * O(its own candidates), never O(corpus). */
+  /** The per-row stateless SRP key fold over a `qv` array column — the
+    * SAME term/bit/key rule as the relational
+    * [[graft.queries.VectorQueries.srpKeys]] chain (md5 plane
+    * components, round(round(x·r,9)·1e9) integer nano-unit terms,
+    * sum>0 sign bits), expressed as one HOF so a streaming plan spends
+    * no groupBy on key computation. ONE expression home (r20) shared by
+    * [[annServeStream]] and [[xmodalServeStream]]; each family's
+    * merge-law spec pins it to the relational rule. */
+  private val srpKeyRowExpr = """
+    transform(sequence(0, 7), t -> named_struct(
+      'tbl', CAST(t AS BIGINT),
+      'bk', aggregate(sequence(0, 7), CAST(0 AS BIGINT), (accj, j) ->
+        accj + IF(
+          aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, d) ->
+            acc + CAST(round(round(
+              CAST(element_at(qv, d + 1) AS DOUBLE)
+              * (CAST(conv(substring(md5(concat(
+                    CAST(t * 8 + j AS STRING), ':',
+                    CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                 / 576460752303423488 - 1.0),
+              9) * 1e9, 0) AS BIGINT)) > 0,
+          shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))))
+    """
+
+  /** Per-row SRP keys + Hamming-1 multiprobe fan-out: (qid, qv, extra…,
+    * bkey) with bkey the combined probe key — the stream-side half of
+    * every persisted-SRP-index probe, shared by both SRP-keyed
+    * families. `extra` columns ride along unchanged (the cross-modal
+    * twin carries the hoisted query norm through the fan-out). */
+  private def srpProbeRows(stream: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ex = extra.map(org.apache.spark.sql.functions.col)
+    val head = Seq($"qid", $"qv") ++ ex
+    stream.select(head :+ explode(expr(srpKeyRowExpr)).as("k"): _*)
+      .select(head ++ Seq($"k.tbl".as("tbl"), $"k.bk".as("bk")): _*)
+      .select(head ++ Seq($"tbl",
+        explode(sequence(lit(-1), lit(7))).as("j"), $"bk"): _*)
+      .select(head :+
+        ($"tbl" * 256 + when($"j" === -1, $"bk")
+          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)")))
+          .as("bkey"): _*)
+  }
+
   def annServeStream(stream: DataFrame, postings: DataFrame,
       vectors: DataFrame): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val keyed = stream.select($"qid", $"qv",
-        explode(expr("""
-          transform(sequence(0, 7), t -> named_struct(
-            'tbl', CAST(t AS BIGINT),
-            'bk', aggregate(sequence(0, 7), CAST(0 AS BIGINT), (accj, j) ->
-              accj + IF(
-                aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, d) ->
-                  acc + CAST(round(round(
-                    CAST(element_at(qv, d + 1) AS DOUBLE)
-                    * (CAST(conv(substring(md5(concat(
-                          CAST(t * 8 + j AS STRING), ':',
-                          CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT)
-                       / 576460752303423488 - 1.0),
-                    9) * 1e9, 0) AS BIGINT)) > 0,
-                shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))))
-          """)).as("k"))
-      .select($"qid", $"qv", $"k.tbl".as("tbl"), $"k.bk".as("bk"))
-    val probes = keyed
-      .select($"qid", $"qv", $"tbl",
-        explode(sequence(lit(-1), lit(7))).as("j"), $"bk")
-      .select($"qid", $"qv",
-        ($"tbl" * 256 + when($"j" === -1, $"bk")
-          .otherwise(expr("bk ^ shiftleft(CAST(1 AS BIGINT), j)")))
-          .as("bkey"))
-    probes
+    srpProbeRows(stream)
       .join(postings, "bkey")
       .filter($"qid" =!= $"vec_id")
       .join(vectors.select($"vec_id", $"embedding".as("ev")), "vec_id")
@@ -610,6 +631,55 @@ object Streams {
           .as("d0"))
       .filter($"d0" <= 1.5)
       .groupBy($"qid", $"vec_id").agg(min($"d0").as("dist"))
+  }
+
+  /** Streaming serve twin for the MEDIA-TOWER index family (r20 —
+    * completing the three-family symmetry: [[annServeStream]] probes
+    * the SRP postings, [[ivfServeStream]] the IVF cells, this the
+    * `graft_xm` tables [[graft.queries.XModalOps.qXmodalServed]]
+    * persists): arriving text-query micro-batches are keyed per-row
+    * through the shared [[srpKeyRowExpr]] fold (one expression home
+    * with the SRP twin), probe their Hamming-1 buckets against the
+    * postings TABLE, score bucket-collision candidates with the native
+    * codegen'd DecimalDot9 cosine against the media TABLE's vectors and
+    * hoisted norms, and emit each found true pair's retrieval rank —
+    * the (qid, rk) relation the per-source recall report aggregates
+    * (that rollup is a downstream groupBy either way, exactly like the
+    * sketch twins' estimation reads).
+    *
+    * One stateful operator: the per-query collect_set of (−cos, doc_id)
+    * candidate structs — collect_set both DEDUPS multi-bucket
+    * collisions (the batch chain's .distinct()) and merges across
+    * micro-batches; the rank is then a stateless projection on the
+    * final merged set: 1 + |{c strictly before the true pair under
+    * (cos desc, doc_id asc)}| ≡ the batch row_number. The query norm
+    * rides the probe fan-out (hoisted per row — a cold query has no
+    * precomputed norm; one [[graft.queries.XModalOps.qNormSql]] formula
+    * home with the batch side). State per query is its candidate set —
+    * the same relation the batch op shuffles; the R20OpsSpec merge law
+    * replays the %25 query set split across micro-batches row-for-row
+    * against the batch serve chain. */
+  def xmodalServeStream(stream: DataFrame, postings: DataFrame,
+      media: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    graft.functions.DecimalDot9.register(spark)
+    val q = stream.withColumn("qn",
+      expr(graft.queries.XModalOps.qNormSql))
+    srpProbeRows(q, Seq("qn"))
+      .join(postings, "bkey")
+      .join(media, "doc_id")
+      .select($"qid", struct(
+        (-expr("round(decimal_dot9(qv, mv) / (qn * mn), 6)")).as("ns"),
+        $"doc_id").as("c"))
+      .groupBy($"qid")
+      .agg(collect_set($"c").as("cands"))
+      .withColumn("t", expr("filter(cands, c -> c.doc_id = qid)"))
+      .filter(size($"t") === 1)
+      .select($"qid",
+        (expr("""size(filter(cands, c ->
+            c.ns < t[0].ns OR (c.ns = t[0].ns AND c.doc_id < qid)))""")
+          + 1).cast("int").as("rk"))
   }
 
   /** Streaming serve twin for the IVF index family (r20, VERDICT r19

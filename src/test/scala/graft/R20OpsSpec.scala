@@ -87,6 +87,112 @@ class R20OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("xmodalServeStream: micro-batched text queries against the " +
+      "frozen persisted media index emit the batch true-pair ranks " +
+      "row-for-row (merge law; per-row keys+norm ≡ the batch chain)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    XModalOps.buildXmodalIndex(spark, sf, "graft_xm_s")
+    val q = XModalOps.retrievalQueries(spark, sf).localCheckpoint()
+    // the batch rule, independently re-derived: probe the SAME tables,
+    // rank with the SAME kernel, keep the true pair's rank
+    graft.functions.DecimalDot9.register(spark)
+    val qkeys = VectorQueries.srpKeys(
+      q.select($"qid".as("vec_id"), $"qv".as("embedding")))
+    val probes = VectorQueries.srpProbes(qkeys)
+      .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
+    val cand = probes.join(spark.table("graft_xm_s_postings"), "bkey")
+      .select($"qid", $"doc_id").distinct()
+    val want = cand.join(spark.table("graft_xm_s_media"), "doc_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cs", expr("round(decimal_dot9(qv, mv) / (qn * mn), 6)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cs".desc, $"doc_id".asc)))
+      .filter($"doc_id" === $"qid")
+      .select($"qid", $"rk")
+      .orderBy($"qid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(want.nonEmpty)
+    val arriving = q.select($"qid".as[Long], $"qv".as[Array[Float]])
+      .collect().toSeq.sortBy(_._1)
+    val (b1, b2) = arriving.splitAt(arriving.size / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("qid", "qv")
+    val sq = graft.streaming.Streams.xmodalServeStream(stream,
+        spark.table("graft_xm_s_postings"),
+        spark.table("graft_xm_s_media"))
+      .writeStream.format("memory").queryName("xm_serve_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1); sq.processAllAvailable()
+      input.addData(b2); sq.processAllAvailable()
+      val got = spark.table("xm_serve_stream").orderBy($"qid")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got === want,
+        "streamed true-pair ranks differ from the batch serve chain")
+    } finally sq.stop()
+  }
+
+  test("q_xmodal_compact: serving from the compacted tables is " +
+      "Exchange-free on both bucketed index scans under forced-shuffle " +
+      "static plans (the persisted layout is USED, not just read)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{ColumnarToRowExec,
+      FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SortExec,
+      SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // an Exchange counts against the layout only when it sits DIRECTLY
+    // over the bucketed scan (through transparent nodes) — the
+    // R19OpsSpec rule; a deep collect would false-positive on the
+    // query-side fan-out shuffles whose subtree contains a scan
+    @annotation.tailrec
+    def scanThroughTransparent(p: SparkPlan): Option[FileSourceScanExec] =
+      p match {
+        case s: FileSourceScanExec => Some(s)
+        case t @ (_: ProjectExec | _: FilterExec | _: SortExec |
+            _: ColumnarToRowExec | _: InputAdapter |
+            _: WholeStageCodegenExec) =>
+          scanThroughTransparent(t.children.head)
+        case _ => None
+      }
+    // tables exist from the row-identity test's qXmodalCompact run in
+    // this JVM; rebuild defensively in case of test-order changes
+    val pre = ServeOps.sfPrefix("graft_xm_k", sf)
+    if (!spark.catalog.tableExists(s"${pre}_c_postings"))
+      XModalOps.qXmodalCompact(spark, sf).collect()
+    val docsrc = Tables.df(spark, sf, "documents")
+      .select($"doc_id", $"source")
+    val q = XModalOps.retrievalQueries(spark, sf).localCheckpoint()
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val served = XModalOps.serveXmodal(q,
+        spark.table(s"${pre}_c_postings"),
+        spark.table(s"${pre}_c_media"), docsrc)
+      val bucketedScans = served.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => s
+      }
+      assert(bucketedScans.size >= 2,
+        s"expected both compacted scans bucketed, found ${bucketedScans.size}")
+      val exchangesOverBucketed =
+        served.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec if scanThroughTransparent(e.child)
+            .exists(_.relation.bucketSpec.isDefined) => e
+        }
+      assert(exchangesOverBucketed.isEmpty,
+        s"${exchangesOverBucketed.size} shuffle Exchange(s) above a " +
+          "compacted bucketed scan — the rewrite produced a layout the " +
+          "serve plan does not consume")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q_media_blob: the ≥0x80 ingest-guard branch fires NONZERO on " +
       "the deterministic md5-chain blobs, the payload is BinaryType, " +
       "and every asset is exactly 64 bytes") {
