@@ -344,9 +344,10 @@ object ServeOps extends QueryPack {
   // ---- q_compact_advisor -----------------------------------------------------
   /** The compaction-trigger advisor (r20, VERDICT r19 #5 — completing
     * the build→serve→delta→compact→SCHEDULE chain): build the SAME
-    * split layouts the three q_*_delta lambda reads serve from (SRP
+    * split layouts the four q_*_delta lambda reads serve from (SRP
     * postings via [[buildSplitIndex]], IVF cells via [[buildIvfSplit]],
-    * media tower via [[XModalOps.buildXmodalSplit]]), then read each
+    * media tower via [[XModalOps.buildXmodalSplit]], the cache via
+    * [[buildSemcacheSplit]]), then read each
     * family's base size FROM ITS PERSISTED TABLE and price the
     * in-flight delta against it: per family the base row count, the
     * delta row count, their ratio, and the compact/defer decision on
@@ -383,7 +384,12 @@ object ServeOps extends QueryPack {
     val xm = fam("xm",
       spark.table(s"${xmPre}_postings").agg(count(lit(1)).as("base_rows")),
       xmDelta, 8)
-    srp.unionAll(ivf).unionAll(xm)
+    val scPre = sfPrefix("graft_sc_v", sfDir)
+    val scDelta = buildSemcacheSplit(spark, sfDir, scPre)
+    val sc = fam("cache",
+      spark.table(s"${scPre}_postings").agg(count(lit(1)).as("base_rows")),
+      scDelta, 8)
+    srp.unionAll(ivf).unionAll(xm).unionAll(sc)
       .select($"family", $"base_rows", $"delta_rows",
         round($"delta_rows".cast("double") / $"base_rows", 6)
           .as("delta_ratio"),
@@ -561,6 +567,43 @@ object ServeOps extends QueryPack {
     * oracle; the cache's physical layout is invisible in the report.
     * Scale: cache writes amortize across every probe batch; the probe
     * shuffles O(|Q|·72 + candidates), never the stored cache. */
+  /** The %50 query-stream relation (qid, qv), checkpointed — it feeds
+    * the exact arm, the fresh-key arm, and the report spine. */
+  private def semcacheStreamQ(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .localCheckpoint()
+  }
+
+  /** The cache's LSH arm against an arbitrary (bkey, vec_id) postings /
+    * (vec_id, embedding) vectors pair: fresh query keys through the one
+    * srpKeys home, Hamming-1 probes, earlier-only candidate filter,
+    * best verified cosine per query. ONE probe home (r20) shared by
+    * [[qSemcacheServed]] (tables), [[qSemcacheDelta]] (base ∪ delta),
+    * and [[qSemcacheCompact]] (compacted tables). */
+  private def semcacheBestLsh(q: DataFrame, postings: DataFrame,
+      vectors: DataFrame): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val qkeys = VectorQueries.srpKeys(
+      q.select($"qid".as("vec_id"), $"qv".as("embedding")))
+    val probes = VectorQueries.srpProbes(qkeys)
+      .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
+    val cand = probes
+      .join(postings, "bkey")
+      .filter($"vec_id" < $"qid")
+      .select($"qid", $"vec_id".as("pid")).distinct()
+    cand
+      .join(vectors.select($"vec_id".as("pid"), $"embedding".as("pv")),
+        "pid")
+      .join(broadcast(q), "qid")
+      .select($"qid", round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
+      .groupBy($"qid").agg(max($"cs").as("best_lsh"))
+  }
+
   def qSemcacheServed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
@@ -571,29 +614,93 @@ object ServeOps extends QueryPack {
         .filter($"vec_id" % 50 === 0)
         .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id"),
       s"${pre}_postings", n, "bkey")
-    val q = Tables.df(spark, sfDir, "embeddings")
-      .filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qv"))
-      .localCheckpoint() // vectors write + exact arm + fresh keys + spine
+    val q = semcacheStreamQ(spark, sfDir)
     graft.sources.Sources.writeBucketed(
       q.select($"qid".as("vec_id"), $"qv".as("embedding")),
       s"${pre}_vectors", n, "vec_id")
-    val bestExact = semcacheBestExact(q)
-    val qkeys = VectorQueries.srpKeys(
-      q.select($"qid".as("vec_id"), $"qv".as("embedding")))
-    val probes = VectorQueries.srpProbes(qkeys)
-      .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
-    val cand = probes
-      .join(spark.table(s"${pre}_postings"), "bkey")
-      .filter($"vec_id" < $"qid")
-      .select($"qid", $"vec_id".as("pid")).distinct()
-    val bestLsh = cand
-      .join(spark.table(s"${pre}_vectors")
-        .select($"vec_id".as("pid"), $"embedding".as("pv")), "pid")
-      .join(broadcast(q), "qid")
-      .select($"qid", round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
-      .groupBy($"qid").agg(max($"cs").as("best_lsh"))
-    semcacheReport(q, bestExact, bestLsh)
+    semcacheReport(q, semcacheBestExact(q),
+      semcacheBestLsh(q, spark.table(s"${pre}_postings"),
+        spark.table(s"${pre}_vectors")))
+  }
+
+  // ---- q_semcache_delta ------------------------------------------------------
+  /** Build the cache's SPLIT layout under `pre`: the %100 half of the
+    * %50 stream persisted as bucketed postings/vectors tables (the
+    * cache snapshot a serving fleet loaded at its last refresh), the
+    * other half returned as the in-flight delta — the queries that
+    * arrived SINCE the snapshot, keyed in-plan through the same srpKeys
+    * home. Shared by [[qSemcacheDelta]] and [[qSemcacheCompact]]. */
+  private def buildSemcacheSplit(spark: SparkSession, sfDir: String,
+      pre: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.shufflePartitions(spark)
+    val base = Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 100 === 0)
+      .select($"vec_id", $"embedding")
+    graft.sources.Sources.writeBucketed(
+      VectorQueries.srpKeys(base)
+        .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id"),
+      s"${pre}_postings", n, "bkey")
+    graft.sources.Sources.writeBucketed(base, s"${pre}_vectors",
+      n, "vec_id")
+    Tables.df(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 50 === 0 && $"vec_id" % 100 =!= 0)
+      .select($"vec_id", $"embedding")
+      .localCheckpoint() // delta postings + delta vectors
+  }
+
+  /** Cache freshness — the fourth persisted family's lambda read (r20:
+    * SRP, IVF, and the media tower each gained the full
+    * served→delta→compact triad by r19/r20; the cache index had serve
+    * only): the LSH arm probes the persisted snapshot postings UNIONED
+    * with the in-flight delta's in-plan keys — new cache entries must
+    * be hittable before the nightly rewrite folds them in. Base ∪
+    * delta ≡ the full %50 key set under the one srpKeys home and the
+    * earlier-only filter is untouched, so the per-τ report is
+    * row-identical to [[qSemcacheLsh]] — same oracle, the snapshot
+    * boundary invisible in the answer. Scale: the delta keys only
+    * itself; the base side stays the bucketed-table scan. */
+  def qSemcacheDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val pre = sfPrefix("graft_sc_d", sfDir)
+    val delta = buildSemcacheSplit(spark, sfDir, pre)
+    val deltaPostings = VectorQueries.srpKeys(delta)
+      .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id")
+    val q = semcacheStreamQ(spark, sfDir)
+    semcacheReport(q, semcacheBestExact(q),
+      semcacheBestLsh(q,
+        spark.table(s"${pre}_postings").unionAll(deltaPostings),
+        spark.table(s"${pre}_vectors").unionAll(delta)))
+  }
+
+  // ---- q_semcache_compact ----------------------------------------------------
+  /** The compaction executor for the cache index (r20 — the fourth
+    * family's nightly rewrite, completing the triad everywhere): build
+    * the split layout, rewrite stored postings ∪ delta keys and stored
+    * vectors ∪ delta into fresh bucketed tables — stored keys READ from
+    * the table, never rehashed (pure I/O + one bucket shuffle per
+    * table) — then serve the per-τ report from the COMPACTED tables
+    * only. Row-identical to [[qSemcacheLsh]] (set-preserving union
+    * under one key home), so it shares that oracle. */
+  def qSemcacheCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val n = Tables.shufflePartitions(spark)
+    val pre = sfPrefix("graft_sc_k", sfDir)
+    val delta = buildSemcacheSplit(spark, sfDir, pre)
+    val deltaPostings = VectorQueries.srpKeys(delta)
+      .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id")
+    graft.sources.Sources.writeBucketed(
+      spark.table(s"${pre}_postings").unionAll(deltaPostings),
+      s"${pre}_c_postings", n, "bkey")
+    graft.sources.Sources.writeBucketed(
+      spark.table(s"${pre}_vectors").unionAll(delta),
+      s"${pre}_c_vectors", n, "vec_id")
+    val q = semcacheStreamQ(spark, sfDir)
+    semcacheReport(q, semcacheBestExact(q),
+      semcacheBestLsh(q, spark.table(s"${pre}_c_postings"),
+        spark.table(s"${pre}_c_vectors")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -606,7 +713,9 @@ object ServeOps extends QueryPack {
     "q_compact_advisor" -> qCompactAdvisor,
     "q_knn_shapley_ann" -> qKnnShapleyAnn,
     "q_semcache_lsh" -> qSemcacheLsh,
-    "q_semcache_served" -> qSemcacheServed
+    "q_semcache_served" -> qSemcacheServed,
+    "q_semcache_delta" -> qSemcacheDelta,
+    "q_semcache_compact" -> qSemcacheCompact
   )
 
   val oracle: Map[String, String] = Map(
@@ -660,7 +769,12 @@ object ServeOps extends QueryPack {
         |    8 * (SELECT count(*) FROM documents
         |         WHERE doc_id % 2 = 0 AND len(text) >= 1),
         |    8 * (SELECT count(*) FROM documents
-        |         WHERE doc_id % 2 <> 0 AND len(text) >= 1))
+        |         WHERE doc_id % 2 <> 0 AND len(text) >= 1)
+        |  UNION ALL
+        |  SELECT 'cache',
+        |    8 * (SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0),
+        |    8 * (SELECT count(*) FROM embeddings
+        |         WHERE vec_id % 50 = 0 AND vec_id % 100 <> 0))
         |SELECT family, CAST(base_rows AS BIGINT) AS base_rows,
         |  CAST(delta_rows AS BIGINT) AS delta_rows,
         |  round(CAST(delta_rows AS DOUBLE) / base_rows, 6) AS delta_ratio,
@@ -715,7 +829,16 @@ object ServeOps extends QueryPack {
     // identical candidate set by construction (deterministic srpKeys,
     // %50 ⊂ %2, same probe rule, same earlier-only filter) — the
     // persisted cache layout shares the oracle verbatim
-    "q_semcache_served" -> semcacheLshOracleSql
+    "q_semcache_served" -> semcacheLshOracleSql,
+
+    // base ∪ delta ≡ the full %50 key set (one srpKeys home) and the
+    // earlier-only filter is untouched — the snapshot boundary is pure
+    // physical design, so the freshness read shares the oracle
+    "q_semcache_delta" -> semcacheLshOracleSql,
+
+    // the cache compaction rewrite is a set-preserving union of the
+    // same two halves — same oracle: the rewrite must be invisible
+    "q_semcache_compact" -> semcacheLshOracleSql
   )
 
   /** One oracle home for the bucket-keyed cache pair — in-plan keys

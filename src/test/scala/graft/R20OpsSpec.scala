@@ -230,15 +230,18 @@ class R20OpsSpec extends SparkSpec {
     import spark.implicits._
     val rows = ServeOps.qCompactAdvisor(spark, sf).collect()
     assert(rows.map(_.getAs[String]("family")).toSeq ===
-      Seq("ivf", "srp", "xm"))
+      Seq("cache", "ivf", "srp", "xm"))
     val emb = Tables.df(spark, sf, "embeddings")
     val nHalf = emb.filter($"vec_id" % 2 === 0).count()
     val nQuarter = emb.filter($"vec_id" % 4 === 0).count()
     val nAll = emb.count()
+    val n50 = emb.filter($"vec_id" % 50 === 0).count()
+    val n100 = emb.filter($"vec_id" % 100 === 0).count()
     val nDense = XModalOps.mediaDense(spark, sf).count()
     val nDenseEven = XModalOps.mediaDense(spark, sf)
       .filter($"doc_id" % 2 === 0).count()
     val want = Map(
+      "cache" -> (8 * n100, 8 * (n50 - n100)),
       "ivf" -> (nHalf, nAll - nHalf),
       "srp" -> (8 * nQuarter, 8 * (nHalf - nQuarter)),
       "xm" -> (8 * nDenseEven, 8 * (nDense - nDenseEven)))
@@ -249,6 +252,43 @@ class R20OpsSpec extends SparkSpec {
       assert(r.getAs[String]("decision") ===
         (if (d * 4 >= b) "compact" else "defer"))
     }
+  }
+
+  test("q_semcache_delta: snapshot postings + in-plan delta keys serve " +
+      "the identical per-τ report to q_semcache_lsh, and the snapshot " +
+      "really is a strict half of the stream") {
+    import spark.implicits._
+    val got = ServeOps.qSemcacheDelta(spark, sf).collect().map(_.toSeq).toSeq
+    val want = ServeOps.qSemcacheLsh(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "cache base ∪ delta report differs from the in-plan bucket-keyed cache")
+    val pre = ServeOps.sfPrefix("graft_sc_d", sf)
+    val baseN = spark.table(s"${pre}_vectors").count()
+    val fullN = Tables.df(spark, sf, "embeddings")
+      .filter($"vec_id" % 50 === 0).count()
+    assert(baseN < fullN && baseN > 0,
+      s"cache snapshot holds $baseN of $fullN — the delta path must be " +
+        "exercised, not vacuous")
+  }
+
+  test("q_semcache_compact: the performed snapshot∪delta → fresh-cache " +
+      "rewrite serves the identical per-τ report, and the compacted " +
+      "tables hold the whole %50 stream") {
+    import spark.implicits._
+    val got = ServeOps.qSemcacheCompact(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = ServeOps.qSemcacheLsh(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "post-compaction cache report differs from the in-plan cache")
+    val pre = ServeOps.sfPrefix("graft_sc_k", sf)
+    val fullN = Tables.df(spark, sf, "embeddings")
+      .filter($"vec_id" % 50 === 0).count()
+    assert(spark.table(s"${pre}_c_vectors").count() === fullN,
+      "compacted cache must hold every %50 query vector")
+    assert(spark.table(s"${pre}_c_postings").count() === fullN * 8,
+      "compacted postings must hold 8 rows per cached vector")
+    assert(spark.table(s"${pre}_vectors").count() < fullN,
+      "the pre-compaction snapshot must be a strict half")
   }
 
   test("BPE artifact tables: all four queries read ONE training run — " +
