@@ -422,8 +422,13 @@ object Corpus2Ops extends QueryPack {
   private[graft] def bpeArtifacts(spark: SparkSession, sfDir: String)
       : String = {
     val pre = ServeOps.sfPrefix("graft_bpe", sfDir)
+    // key on the VERBATIM sfDir, not just the hash-derived prefix
+    // (review r20): a String.hashCode collision between two fixture
+    // dirs in one JVM would otherwise serve the first fixture's memoized
+    // artifacts to the second — the un-memoized families merely
+    // overwrite tables on such a collision, which self-corrects
     bpeArtifactMemo.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + pre, _ => {
+      spark.sparkContext.applicationId + "|" + sfDir + "|" + pre, _ => {
         import spark.implicits._
         val (outs, finalState, nt) = bpeTrainRounds(spark, sfDir)
         val n = Tables.shufflePartitions(spark)

@@ -197,7 +197,6 @@ class R20OpsSpec extends SparkSpec {
       "the deterministic md5-chain blobs, the payload is BinaryType, " +
       "and every asset is exactly 64 bytes") {
     import spark.implicits._
-    import spark.implicits._
     val blob = Tables.df(spark, sf, "documents")
       .select(unhex(md5(concat(lit("blob:"), $"doc_id".cast("string"),
         lit(":0")))).as("payload"))
