@@ -562,7 +562,7 @@ object Corpus2Ops extends QueryPack {
     * vocabulary relation — shared verbatim by [[qBpeApply]] (vocab
     * in-plan) and [[qBpeServed]] (vocab read from the persisted
     * tokenizer-artifact table), so the two reads cannot drift. */
-  private def bpeApplyReport(spark: SparkSession, sfDir: String,
+  private[graft] def bpeApplyReport(spark: SparkSession, sfDir: String,
       lens: DataFrame): DataFrame = {
     import spark.implicits._
     val stc = Tables.df(spark, sfDir, "documents")

@@ -76,6 +76,30 @@ object AnnIndexProbe {
             .parquet(s"$dir/xserved")
           println(
             s"PROBE_OK xserve ${spark.read.parquet(s"$dir/xserved").count()}")
+        // the same restart invariant for the TOKENIZER artifact (r20):
+        // build JVM trains the BPE vocab, persists the (tok, n_syms)
+        // read model, and dies; serve JVM reopens the catalog cold and
+        // must reproduce the per-source fertility report exactly — the
+        // "tokenize fleet loads the table" claim made checkable
+        case "tbuild" =>
+          import spark.implicits._
+          import org.apache.spark.sql.functions.{count, lit}
+          val (_, finalState, _) = graft.queries.Corpus2Ops
+            .bpeTrainRoundsOf(graft.Tables.df(spark, sfDir, "documents"))
+          graft.sources.Sources.writeBucketed(
+            finalState.groupBy($"tok").agg(count(lit(1)).as("n_syms")),
+            "graft_bpe_cold_vocab", 4, "tok")
+          val n = spark.table("graft_bpe_cold_vocab").count()
+          println(s"PROBE_OK tbuild $n")
+        case "tserve" =>
+          require(spark.catalog.tableExists("graft_bpe_cold_vocab"),
+            "vocab table not found in reopened metastore")
+          val report = graft.queries.Corpus2Ops.bpeApplyReport(spark,
+            sfDir, spark.table("graft_bpe_cold_vocab"))
+          report.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/tserved")
+          println(
+            s"PROBE_OK tserve ${spark.read.parquet(s"$dir/tserved").count()}")
         case other =>
           throw new IllegalArgumentException(s"unknown mode $other")
       }

@@ -290,6 +290,55 @@ class R20OpsSpec extends SparkSpec {
       "the pre-compaction snapshot must be a strict half")
   }
 
+  test("BPE vocab artifact built by one JVM applies identically in a " +
+      "FRESH JVM (cross-JVM, derby-backed catalog — the 'tokenize " +
+      "fleet loads the table' claim)", Heavy) {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_probe").toString
+    def probe(mode: String): String = {
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java")
+        .getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val addOpens = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = jvmArgs.iterator()
+      while (it.hasNext) {
+        val a = it.next()
+        if (a == "--add-opens" && it.hasNext) {
+          addOpens += a; addOpens += it.next()
+        } else if (a.startsWith("--add-opens=")) addOpens += a
+      }
+      assert(addOpens.nonEmpty, "test JVM carries no --add-opens flags")
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+        "-Dspark.ui.enabled=false",
+        "-cp", sys.props("java.class.path"),
+        "graft.sources.AnnIndexProbe", mode, dir, sf)
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val buf = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() => p.getInputStream.transferTo(buf))
+      drain.setDaemon(true)
+      drain.start()
+      val finished = p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) p.destroyForcibly()
+      drain.join(10000)
+      val out = buf.toString("UTF-8")
+      assert(finished, s"$mode probe timed out:\n" + out.takeRight(2000))
+      assert(p.exitValue() === 0,
+        s"$mode probe failed:\n" + out.takeRight(2000))
+      out
+    }
+    assert(probe("tbuild").contains("PROBE_OK tbuild"))
+    assert(probe("tserve").contains("PROBE_OK tserve"))
+    val served = spark.read.parquet(s"$dir/tserved")
+      .orderBy($"source").collect().map(_.toSeq).toSeq
+    val want = Corpus2Ops.qBpeApply(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served === want,
+      "cold-JVM fertility report differs from the in-application apply")
+  }
+
   test("BPE artifact tables: all four queries read ONE training run — " +
       "the persisted trajectory equals a fresh in-plan train, and the " +
       "vocab table applies identically to an in-plan lens relation") {
