@@ -58,19 +58,39 @@ object ServeOps extends QueryPack {
     * the verify join is exchange-free on the vectors side; the bounded
     * query set broadcasts into the distance kernel. */
   private[graft] def serveAnn(queries: DataFrame, postings: DataFrame,
-      vectors: DataFrame): DataFrame = {
+      vectors: DataFrame): DataFrame =
+    serveAnnSplit(queries, Seq(postings), Seq(vectors))
+
+  /** Join-distributed serve (r20): a lambda read must probe base ∪
+    * delta, but a union BELOW the join destroys the bucketed layout's
+    * output partitioning — the executed q_ann_delta plan re-shuffled
+    * the WHOLE base index on every delta read (measured:
+    * ShuffleExchange directly over UnionExec on both the postings and
+    * vectors sides — at 100 TB, a full-index shuffle per query batch).
+    * Equi-joins distribute over UNION ALL, so the split form joins each
+    * part separately and unions the JOIN RESULTS: the base part keeps
+    * consuming its bucketed scan Exchange-free, and only the delta part
+    * (small by definition) plus the probe fan-out ever shuffle — the
+    * posture the delta ops' scaladocs promised, now true in the plan
+    * (R20OpsSpec audits the executed plan). Row-identical to the
+    * union-below form: same join keys, same rows, and the base/delta
+    * vec_id sets are disjoint halves. */
+  private[graft] def serveAnnSplit(queries: DataFrame,
+      postingsParts: Seq[DataFrame], vectorParts: Seq[DataFrame])
+      : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qkeys = VectorQueries.srpKeys(
       queries.select($"qid".as("vec_id"), $"qv".as("embedding")))
     val probes = VectorQueries.srpProbes(qkeys)
       .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
-    val cand = probes
-      .join(postings, "bkey")
+    val cand = postingsParts.map(p => probes.join(p, "bkey"))
+      .reduce(_ unionAll _)
       .filter($"qid" =!= $"vec_id")
       .select($"qid", $"vec_id").distinct()
-    cand
-      .join(vectors.select($"vec_id", $"embedding".as("ev")), "vec_id")
+    vectorParts.map(v =>
+        cand.join(v.select($"vec_id", $"embedding".as("ev")), "vec_id"))
+      .reduce(_ unionAll _)
       .join(broadcast(queries), "qid")
       .select($"qid", $"vec_id",
         expr("""round(sqrt(CAST(aggregate(
@@ -204,9 +224,11 @@ object ServeOps extends QueryPack {
     val deltaPostings = VectorQueries.srpKeys(delta)
       .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id")
     val queries = queryDecile(spark, sfDir)
-    serveAnn(queries,
-      spark.table(s"${pre}_postings").unionAll(deltaPostings),
-      spark.table(s"${pre}_vectors").unionAll(delta))
+    // join-distributed parts (see serveAnnSplit): the base tables stay
+    // Exchange-free bucketed scans; only the delta shuffles
+    serveAnnSplit(queries,
+      Seq(spark.table(s"${pre}_postings"), deltaPostings),
+      Seq(spark.table(s"${pre}_vectors"), delta))
   }
 
   // ---- q_ann_compact -------------------------------------------------------
@@ -315,8 +337,10 @@ object ServeOps extends QueryPack {
     import spark.implicits._
     val pre = sfPrefix("graft_ivf_d", sfDir)
     val (centers, delta) = buildIvfSplit(spark, sfDir, pre)
-    VectorQueries.ivfServe(queryDecile(spark, sfDir), centers,
-      spark.table(s"${pre}_cells").unionAll(delta))
+    // join-distributed parts (see ivfServeSplit): the base cell table
+    // stays an Exchange-free bucketed scan; only the delta shuffles
+    VectorQueries.ivfServeSplit(queryDecile(spark, sfDir), centers,
+      Seq(spark.table(s"${pre}_cells"), delta))
   }
 
   // ---- q_ivf_compact -------------------------------------------------------
@@ -585,20 +609,30 @@ object ServeOps extends QueryPack {
     * [[qSemcacheServed]] (tables), [[qSemcacheDelta]] (base ∪ delta),
     * and [[qSemcacheCompact]] (compacted tables). */
   private def semcacheBestLsh(q: DataFrame, postings: DataFrame,
-      vectors: DataFrame): DataFrame = {
+      vectors: DataFrame): DataFrame =
+    semcacheBestLshSplit(q, Seq(postings), Seq(vectors))
+
+  /** Join-distributed cache probe (r20 — the [[serveAnnSplit]]
+    * rationale): each postings/vectors part joins separately and the
+    * JOIN RESULTS union, so the snapshot tables stay Exchange-free
+    * bucketed scans under the delta read. Row-identical. */
+  private def semcacheBestLshSplit(q: DataFrame,
+      postingsParts: Seq[DataFrame], vectorParts: Seq[DataFrame])
+      : DataFrame = {
     val spark = q.sparkSession
     import spark.implicits._
     val qkeys = VectorQueries.srpKeys(
       q.select($"qid".as("vec_id"), $"qv".as("embedding")))
     val probes = VectorQueries.srpProbes(qkeys)
       .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
-    val cand = probes
-      .join(postings, "bkey")
+    val cand = postingsParts.map(p => probes.join(p, "bkey"))
+      .reduce(_ unionAll _)
       .filter($"vec_id" < $"qid")
       .select($"qid", $"vec_id".as("pid")).distinct()
-    cand
-      .join(vectors.select($"vec_id".as("pid"), $"embedding".as("pv")),
-        "pid")
+    vectorParts.map(v =>
+        cand.join(v.select($"vec_id".as("pid"), $"embedding".as("pv")),
+          "pid"))
+      .reduce(_ unionAll _)
       .join(broadcast(q), "qid")
       .select($"qid", round(expr("cosine_similarity(qv, pv)"), 6).as("cs"))
       .groupBy($"qid").agg(max($"cs").as("best_lsh"))
@@ -668,10 +702,12 @@ object ServeOps extends QueryPack {
     val deltaPostings = VectorQueries.srpKeys(delta)
       .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id")
     val q = semcacheStreamQ(spark, sfDir)
+    // join-distributed parts (see semcacheBestLshSplit): the snapshot
+    // tables stay Exchange-free bucketed scans; only the delta shuffles
     semcacheReport(q, semcacheBestExact(q),
-      semcacheBestLsh(q,
-        spark.table(s"${pre}_postings").unionAll(deltaPostings),
-        spark.table(s"${pre}_vectors").unionAll(delta)))
+      semcacheBestLshSplit(q,
+        Seq(spark.table(s"${pre}_postings"), deltaPostings),
+        Seq(spark.table(s"${pre}_vectors"), delta)))
   }
 
   // ---- q_semcache_compact ----------------------------------------------------

@@ -229,7 +229,17 @@ object VectorQueries extends QueryPack {
     * [[ServeOps.qIvfServed]] (persisted cell table), so the serve rule
     * cannot drift between the eval and the served layout. */
   private[graft] def ivfServe(queries: DataFrame, centers: DataFrame,
-      assigned: DataFrame): DataFrame = {
+      assigned: DataFrame): DataFrame =
+    ivfServeSplit(queries, centers, Seq(assigned))
+
+  /** Join-distributed IVF serve (r20 — the [[ServeOps.serveAnnSplit]]
+    * rationale for the cell table): a base∪delta union BELOW the cell
+    * join re-shuffled the whole bucketed cell table on every delta
+    * read; joining each part separately and unioning the JOIN RESULTS
+    * keeps the base cells Exchange-free while the delta joins only
+    * itself. Row-identical (equi-joins distribute over UNION ALL). */
+  private[graft] def ivfServeSplit(queries: DataFrame, centers: DataFrame,
+      assignedParts: Seq[DataFrame]): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
@@ -241,7 +251,8 @@ object VectorQueries extends QueryPack {
       .withColumn("pr", row_number().over(wProbe))
       .filter($"pr" <= 2)
       .select($"qid", $"qv", $"cell")
-    val cand = probes.join(assigned, "cell")
+    val cand = assignedParts.map(a => probes.join(a, "cell"))
+      .reduce(_ unionAll _)
       .filter($"vec_id" =!= $"qid")
       .withColumn("sim",
         round(expr("cosine_similarity(qv, embedding)"), 6))

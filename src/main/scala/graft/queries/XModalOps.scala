@@ -375,17 +375,31 @@ object XModalOps extends QueryPack {
     * the candidate set ever shuffle — O(candidates) at any corpus
     * size. */
   private[graft] def serveXmodal(q: DataFrame, postings: DataFrame,
-      media: DataFrame, docsrc: DataFrame): DataFrame = {
+      media: DataFrame, docsrc: DataFrame): DataFrame =
+    serveXmodalSplit(q, Seq(postings), Seq(media), docsrc)
+
+  /** Join-distributed media serve (r20 — the [[ServeOps.serveAnnSplit]]
+    * rationale for the graft_xm tables): a base∪delta union BELOW the
+    * probe/verify joins re-shuffled the whole bucketed base on every
+    * delta read; joining each part separately and unioning the JOIN
+    * RESULTS keeps the base tables Exchange-free while the delta joins
+    * only itself. Row-identical (equi-joins distribute over UNION
+    * ALL; base/delta doc_id sets are disjoint halves). */
+  private[graft] def serveXmodalSplit(q: DataFrame,
+      postingsParts: Seq[DataFrame], mediaParts: Seq[DataFrame],
+      docsrc: DataFrame): DataFrame = {
     val spark = q.sparkSession
     import spark.implicits._
     val qkeys = VectorQueries.srpKeys(
       q.select($"qid".as("vec_id"), $"qv".as("embedding")))
     val probes = VectorQueries.srpProbes(qkeys)
       .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
-    val cand = probes
-      .join(postings, "bkey")
+    val cand = postingsParts.map(p => probes.join(p, "bkey"))
+      .reduce(_ unionAll _)
       .select($"qid", $"doc_id").distinct()
-    val pairs = xmodalCs(cand.join(media, "doc_id").join(broadcast(q), "qid"))
+    val pairs = xmodalCs(
+      mediaParts.map(mp => cand.join(mp, "doc_id")).reduce(_ unionAll _)
+        .join(broadcast(q), "qid"))
     annRetrievalReport(q, pairs, docsrc)
   }
 
@@ -475,9 +489,11 @@ object XModalOps extends QueryPack {
       .select($"doc_id", $"source")
     val q = retrievalQueries(spark, sfDir)
       .localCheckpoint() // key arm + verify arm + the miss spine
-    serveXmodal(q,
-      spark.table(s"${pre}_postings").unionAll(xmodalDeltaPostings(delta)),
-      spark.table(s"${pre}_media").unionAll(delta), docsrc)
+    // join-distributed parts (see serveXmodalSplit): the base tables
+    // stay Exchange-free bucketed scans; only the delta shuffles
+    serveXmodalSplit(q,
+      Seq(spark.table(s"${pre}_postings"), xmodalDeltaPostings(delta)),
+      Seq(spark.table(s"${pre}_media"), delta), docsrc)
   }
 
   // ---- q_xmodal_compact ------------------------------------------------------

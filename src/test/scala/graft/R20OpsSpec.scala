@@ -193,6 +193,53 @@ class R20OpsSpec extends SparkSpec {
     }
   }
 
+  test("delta lambda reads: the join-distributed split keeps every " +
+      "bucketed base scan Exchange-free under forced-shuffle static " +
+      "plans (the union-below-join re-shuffle is gone)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{ColumnarToRowExec,
+      FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SortExec,
+      SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    @annotation.tailrec
+    def scanThroughTransparent(p: SparkPlan): Option[FileSourceScanExec] =
+      p match {
+        case s: FileSourceScanExec => Some(s)
+        case t @ (_: ProjectExec | _: FilterExec | _: SortExec |
+            _: ColumnarToRowExec | _: InputAdapter |
+            _: WholeStageCodegenExec) =>
+          scanThroughTransparent(t.children.head)
+        case _ => None
+      }
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((name, df) <- Seq(
+          "q_ann_delta" -> ServeOps.qAnnDelta(spark, sf),
+          "q_ivf_delta" -> ServeOps.qIvfDelta(spark, sf),
+          "q_semcache_delta" -> ServeOps.qSemcacheDelta(spark, sf),
+          "q_xmodal_delta" -> XModalOps.qXmodalDelta(spark, sf))) {
+        val plan = df.queryExecution.executedPlan
+        val bucketed = plan.collect {
+          case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => s
+        }
+        assert(bucketed.nonEmpty, s"$name: no bucketed base scan in plan")
+        val reshuffled = plan.collect {
+          case e: ShuffleExchangeExec if scanThroughTransparent(e.child)
+            .exists(_.relation.bucketSpec.isDefined) => e
+        }
+        assert(reshuffled.isEmpty,
+          s"$name: ${reshuffled.size} Exchange(s) directly above a " +
+            "bucketed base scan — the delta read re-shuffles the index")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q_media_blob: the ≥0x80 ingest-guard branch fires NONZERO on " +
       "the deterministic md5-chain blobs, the payload is BinaryType, " +
       "and every asset is exactly 64 bytes") {
