@@ -82,12 +82,19 @@ object ServeOps extends QueryPack {
     import spark.implicits._
     val qkeys = VectorQueries.srpKeys(
       queries.select($"qid".as("vec_id"), $"qv".as("embedding")))
-    val probes = VectorQueries.srpProbes(qkeys)
+    val probes0 = VectorQueries.srpProbes(qkeys)
       .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
-    val cand = postingsParts.map(p => probes.join(p, "bkey"))
+    // a multi-part read consumes the probe fan-out once PER PART —
+    // checkpoint the (|Q|·72-row) relation so the query-side keying is
+    // not recomputed per part; single-part plans stay untouched
+    val probes =
+      if (postingsParts.size > 1) probes0.localCheckpoint() else probes0
+    val cand0 = postingsParts.map(p => probes.join(p, "bkey"))
       .reduce(_ unionAll _)
       .filter($"qid" =!= $"vec_id")
       .select($"qid", $"vec_id").distinct()
+    val cand =
+      if (vectorParts.size > 1) cand0.localCheckpoint() else cand0
     vectorParts.map(v =>
         cand.join(v.select($"vec_id", $"embedding".as("ev")), "vec_id"))
       .reduce(_ unionAll _)
@@ -623,12 +630,17 @@ object ServeOps extends QueryPack {
     import spark.implicits._
     val qkeys = VectorQueries.srpKeys(
       q.select($"qid".as("vec_id"), $"qv".as("embedding")))
-    val probes = VectorQueries.srpProbes(qkeys)
+    val probes0 = VectorQueries.srpProbes(qkeys)
       .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
-    val cand = postingsParts.map(p => probes.join(p, "bkey"))
+    // per-part consumption — see serveAnnSplit's checkpoint note
+    val probes =
+      if (postingsParts.size > 1) probes0.localCheckpoint() else probes0
+    val cand0 = postingsParts.map(p => probes.join(p, "bkey"))
       .reduce(_ unionAll _)
       .filter($"vec_id" < $"qid")
       .select($"qid", $"vec_id".as("pid")).distinct()
+    val cand =
+      if (vectorParts.size > 1) cand0.localCheckpoint() else cand0
     vectorParts.map(v =>
         cand.join(v.select($"vec_id".as("pid"), $"embedding".as("pv")),
           "pid"))

@@ -245,12 +245,15 @@ object VectorQueries extends QueryPack {
     graft.functions.CosineSimilarity.register(spark)
     val wProbe = Window.partitionBy($"qid")
       .orderBy($"d2".asc, $"cell".asc)
-    val probes = queries
+    val probes0 = queries
       .crossJoin(broadcast(centers))
       .withColumn("d2", decL2Sq("qv", "center"))
       .withColumn("pr", row_number().over(wProbe))
       .filter($"pr" <= 2)
       .select($"qid", $"qv", $"cell")
+    // per-part consumption — see ServeOps.serveAnnSplit's checkpoint note
+    val probes =
+      if (assignedParts.size > 1) probes0.localCheckpoint() else probes0
     val cand = assignedParts.map(a => probes.join(a, "cell"))
       .reduce(_ unionAll _)
       .filter($"vec_id" =!= $"qid")

@@ -392,11 +392,16 @@ object XModalOps extends QueryPack {
     import spark.implicits._
     val qkeys = VectorQueries.srpKeys(
       q.select($"qid".as("vec_id"), $"qv".as("embedding")))
-    val probes = VectorQueries.srpProbes(qkeys)
+    val probes0 = VectorQueries.srpProbes(qkeys)
       .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
-    val cand = postingsParts.map(p => probes.join(p, "bkey"))
+    // per-part consumption — see ServeOps.serveAnnSplit's checkpoint note
+    val probes =
+      if (postingsParts.size > 1) probes0.localCheckpoint() else probes0
+    val cand0 = postingsParts.map(p => probes.join(p, "bkey"))
       .reduce(_ unionAll _)
       .select($"qid", $"doc_id").distinct()
+    val cand =
+      if (mediaParts.size > 1) cand0.localCheckpoint() else cand0
     val pairs = xmodalCs(
       mediaParts.map(mp => cand.join(mp, "doc_id")).reduce(_ unionAll _)
         .join(broadcast(q), "qid"))
