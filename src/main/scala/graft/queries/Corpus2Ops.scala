@@ -417,30 +417,28 @@ object Corpus2Ops extends QueryPack {
     * [[bpeTrainRoundsOf]] run, so the served artifact, the trajectory,
     * the advice, and the apply report cannot describe different
     * tokenizers. Returns the table-name prefix. */
-  private val bpeArtifactMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def bpeArtifacts(spark: SparkSession, sfDir: String)
       : String = {
     val pre = ServeOps.sfPrefix("graft_bpe", sfDir)
-    // key on the VERBATIM sfDir, not just the hash-derived prefix
-    // (review r20): a String.hashCode collision between two fixture
-    // dirs in one JVM would otherwise serve the first fixture's memoized
-    // artifacts to the second — the un-memoized families merely
-    // overwrite tables on such a collision, which self-corrects
-    bpeArtifactMemo.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + sfDir + "|" + pre, _ => {
-        import spark.implicits._
-        val (outs, finalState, nt) = bpeTrainRounds(spark, sfDir)
-        val n = Tables.shufflePartitions(spark)
-        graft.sources.Sources.writeBucketed(
-          finalState.groupBy($"tok").agg(count(lit(1)).as("n_syms")),
-          s"${pre}_vocab", n, "tok")
-        graft.sources.Sources.writeBucketed(
-          outs.reduce(_ unionAll _), s"${pre}_traj", 1, "round")
-        graft.sources.Sources.writeBucketed(nt, s"${pre}_tot",
-          1, "n_tokens")
-        pre
-      })
+    // r21 (ADVICE r20): routed through the ONE ServeOps.buildOnce memo —
+    // same (applicationId | verbatim sfDir | pre) key as before (the
+    // String.hashCode-collision note lives on buildOnce), but the
+    // training loop now runs inside a lazy cell OUTSIDE the CHM bin
+    // lock, so a concurrent same-bin caller no longer blocks on seconds
+    // of Spark jobs and re-entry cannot IllegalStateException.
+    ServeOps.buildOnce(spark, sfDir, pre) {
+      import spark.implicits._
+      val (outs, finalState, nt) = bpeTrainRounds(spark, sfDir)
+      val n = Tables.shufflePartitions(spark)
+      graft.sources.Sources.writeBucketed(
+        finalState.groupBy($"tok").agg(count(lit(1)).as("n_syms")),
+        s"${pre}_vocab", n, "tok")
+      graft.sources.Sources.writeBucketed(
+        outs.reduce(_ unionAll _), s"${pre}_traj", 1, "round")
+      graft.sources.Sources.writeBucketed(nt, s"${pre}_tot",
+        1, "n_tokens")
+    }
+    pre
   }
 
   /** The 6-round merge-train loop — per-round report rows + the FINAL

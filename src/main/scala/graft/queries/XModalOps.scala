@@ -424,7 +424,9 @@ object XModalOps extends QueryPack {
   def qXmodalServed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pre = ServeOps.sfPrefix("graft_xm_q", sfDir)
-    buildXmodalIndex(spark, sfDir, pre)
+    // build once per (application, fixture) — see ServeOps.buildOnce
+    ServeOps.buildOnce(spark, sfDir, pre)(
+      buildXmodalIndex(spark, sfDir, pre))
     val docsrc = Tables.df(spark, sfDir, "documents")
       .select($"doc_id", $"source")
     val q = retrievalQueries(spark, sfDir)
@@ -434,34 +436,44 @@ object XModalOps extends QueryPack {
   }
 
   // ---- q_xmodal_delta --------------------------------------------------------
-  /** Build the media-tower SPLIT layout under `pre` (r20 — ServeOps'
-    * [[ServeOps.qAnnDelta]] buildSplitIndex pattern applied to the
-    * `graft_xm` tables, VERDICT r19 #1): the doc_id-even half of the
-    * dense media vectors persisted as bucketed `<pre>_postings` /
-    * `<pre>_media` tables, the odd half returned as the in-flight delta
-    * (checkpointed once via the shared dense relation — it feeds both
-    * delta postings and delta media). One key home
+  /** Build the media-tower SPLIT layout once per (application, fixture)
+    * under the family's ONE shared prefix (r20 structure, r21 memoized
+    * via [[ServeOps.buildOnce]] — through r20 qXmodalDelta,
+    * qXmodalCompact, and qCompactAdvisor each re-ran the mediaDense
+    * histogram pass, the ~20 M-term-row srpKeys build, and both
+    * bucketed writes under separate prefixes): the doc_id-even half of
+    * the dense media vectors persisted as bucketed `<pre>_postings` /
+    * `<pre>_media` tables, the odd half persisted as the plain
+    * `<pre>_delta` buffer — media vectors are computed at INGEST and
+    * stored; only their index keys wait for read/compact time, computed
+    * through the one srpKeys home. One key home
     * ([[VectorQueries.srpKeys]] is deterministic PER VECTOR — no corpus
     * statistics anywhere in the hyperplanes) means keying the halves
     * separately produces exactly the rows keying the whole corpus
     * would, so base ∪ delta ≡ the full index by construction. Shared by
-    * [[qXmodalDelta]] (the lambda read) and [[qXmodalCompact]] (the
-    * nightly rewrite) so the two sides of the compaction boundary are
-    * built by the same code. */
-  private[graft] def buildXmodalSplit(spark: SparkSession, sfDir: String,
-      pre: String): DataFrame = {
-    import spark.implicits._
-    val n = Tables.shufflePartitions(spark)
-    val dense = mediaDense(spark, sfDir)
-      .localCheckpoint() // base key arm + base media write + both delta arms
-    val base = dense.filter($"doc_id" % 2 === 0)
-    graft.sources.Sources.writeBucketed(
-      VectorQueries.srpKeys(
-          base.select($"doc_id".as("vec_id"), $"mv".as("embedding")))
-        .select(($"tbl" * 256 + $"bk").as("bkey"), $"vec_id".as("doc_id")),
-      s"${pre}_postings", n, "bkey")
-    graft.sources.Sources.writeBucketed(base, s"${pre}_media", n, "doc_id")
-    dense.filter($"doc_id" % 2 =!= 0) // delta postings + delta media
+    * [[qXmodalDelta]] (the lambda read), [[qXmodalCompact]] (the
+    * nightly rewrite), and [[ServeOps.qCompactAdvisor]]. Returns the
+    * prefix. */
+  private[graft] def xmSplit(spark: SparkSession, sfDir: String): String = {
+    val pre = ServeOps.sfPrefix("graft_xm_s", sfDir)
+    ServeOps.buildOnce(spark, sfDir, pre) {
+      import spark.implicits._
+      val n = Tables.shufflePartitions(spark)
+      val dense = mediaDense(spark, sfDir)
+        .localCheckpoint() // base key arm + base media write + delta write
+      val base = dense.filter($"doc_id" % 2 === 0)
+      graft.sources.Sources.writeBucketed(
+        VectorQueries.srpKeys(
+            base.select($"doc_id".as("vec_id"), $"mv".as("embedding")))
+          .select(($"tbl" * 256 + $"bk").as("bkey"),
+            $"vec_id".as("doc_id")),
+        s"${pre}_postings", n, "bkey")
+      graft.sources.Sources.writeBucketed(base, s"${pre}_media",
+        n, "doc_id")
+      graft.sources.Sources.writeTable(
+        dense.filter($"doc_id" % 2 =!= 0), s"${pre}_delta")
+    }
+    pre
   }
 
   /** The delta half's in-plan postings (bkey, doc_id) — the keys a
@@ -488,8 +500,10 @@ object XModalOps extends QueryPack {
     * Exchange-free bucketed scans [[qXmodalServed]] proves. */
   def qXmodalDelta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pre = ServeOps.sfPrefix("graft_xm_d", sfDir)
-    val delta = buildXmodalSplit(spark, sfDir, pre)
+    val pre = xmSplit(spark, sfDir)
+    // the delta's keys are computed at READ time through the one
+    // srpKeys home — the lambda-read cost a serving process actually pays
+    val delta = spark.table(s"${pre}_delta")
     val docsrc = Tables.df(spark, sfDir, "documents")
       .select($"doc_id", $"source")
     val q = retrievalQueries(spark, sfDir)
@@ -518,10 +532,11 @@ object XModalOps extends QueryPack {
   def qXmodalCompact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val n = Tables.shufflePartitions(spark)
-    val pre = ServeOps.sfPrefix("graft_xm_k", sfDir)
-    val delta = buildXmodalSplit(spark, sfDir, pre)
-    // the nightly rewrite: stored keys/vectors ∪ delta → fresh bucketed
-    // base; no recomputation on the stored side
+    val pre = xmSplit(spark, sfDir)
+    val delta = spark.table(s"${pre}_delta")
+    // the nightly rewrite — PERFORMED per execution (the measured op):
+    // stored keys/vectors ∪ delta → fresh bucketed base; no
+    // recomputation on the stored side
     graft.sources.Sources.writeBucketed(
       spark.table(s"${pre}_postings").unionAll(xmodalDeltaPostings(delta)),
       s"${pre}_c_postings", n, "bkey")

@@ -339,4 +339,19 @@ object Sources {
       .option("path", s"${System.getProperty("java.io.tmpdir")}/graft_$table")
       .saveAsTable(table)
   }
+
+  /** Plain (un-bucketed) managed table under the same tmpdir/naming
+    * scheme as [[writeBucketed]] — for the serving families' in-flight
+    * DELTA relations (r21): a delta buffer has no index layout by
+    * definition (its keys are computed at read time through the one
+    * srpKeys/ivfCenters home), and bucketing it would plant a bucketed
+    * scan under the reader's keyed repartition — tripping the
+    * R20OpsSpec "no Exchange directly above a bucketed scan" audit on a
+    * shuffle that is the delta's documented cost, not a layout bug. */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", s"${System.getProperty("java.io.tmpdir")}/graft_$table")
+      .saveAsTable(table)
+  }
 }

@@ -138,7 +138,7 @@ class AnnServedSpec extends SparkSpec {
     // the persisted base really is half the corpus, not the whole thing:
     // the delta path must be exercised, not vacuous
     val baseN = spark.table(
-      ServeOps.sfPrefix("graft_ann_d", sf) + "_vectors").count()
+      ServeOps.sfPrefix("graft_ann_s", sf) + "_vectors").count()
     val fullN = Tables.df(spark, sf, "embeddings")
       .filter($"vec_id" % 2 === 0).count()
     assert(baseN < fullN, s"base holds $baseN of $fullN — no delta left")
@@ -159,7 +159,7 @@ class AnnServedSpec extends SparkSpec {
     // the nightly compaction: one bucketed rewrite of stored postings ∪
     // delta — the keys are READ from the table, never rehashed, which is
     // what makes compaction cheap at 100 TB (pure I/O, no CPU pass)
-    val dPre = ServeOps.sfPrefix("graft_ann_d", sf)
+    val dPre = ServeOps.sfPrefix("graft_ann_s", sf)
     graft.sources.Sources.writeBucketed(
       spark.table(s"${dPre}_postings").unionAll(deltaPostings),
       "graft_ann_c_postings", n, "bkey")

@@ -128,7 +128,7 @@ class R19OpsSpec extends SparkSpec {
       "post-compaction served result differs from the full-index chain")
     // the rewrite actually happened and holds the WHOLE %2 corpus (base
     // was only the %4 half — AnnServedSpec pins that split)
-    val pre = ServeOps.sfPrefix("graft_ann_k", sf)
+    val pre = ServeOps.sfPrefix("graft_ann_s", sf)
     val compactN = spark.table(s"${pre}_c_vectors").count()
     val fullN = Tables.df(spark, sf, "embeddings")
       .filter($"vec_id" % 2 === 0).count()
@@ -146,7 +146,7 @@ class R19OpsSpec extends SparkSpec {
     val want = VectorQueries.qAnnIvf(spark, sf).collect().map(_.toSeq).toSeq
     assert(got === want,
       "IVF base ∪ delta result differs from the full inverted file")
-    val pre = ServeOps.sfPrefix("graft_ivf_d", sf)
+    val pre = ServeOps.sfPrefix("graft_ivf_s", sf)
     val baseN = spark.table(s"${pre}_cells").count()
     val fullN = Tables.df(spark, sf, "embeddings").count()
     assert(baseN < fullN && baseN > 0,
@@ -162,7 +162,7 @@ class R19OpsSpec extends SparkSpec {
     val want = VectorQueries.qAnnIvf(spark, sf).collect().map(_.toSeq).toSeq
     assert(got === want,
       "post-compaction IVF result differs from the full inverted file")
-    val pre = ServeOps.sfPrefix("graft_ivf_k", sf)
+    val pre = ServeOps.sfPrefix("graft_ivf_s", sf)
     val compactN = spark.table(s"${pre}_c_cells").count()
     val fullN = Tables.df(spark, sf, "embeddings").count()
     assert(compactN === fullN,

@@ -21,7 +21,7 @@ class R20OpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(got === want,
       "media base ∪ delta report differs from the full in-plan chain")
-    val pre = ServeOps.sfPrefix("graft_xm_d", sf)
+    val pre = ServeOps.sfPrefix("graft_xm_s", sf)
     val baseN = spark.table(s"${pre}_media").count()
     val fullN = XModalOps.mediaDense(spark, sf).count()
     assert(baseN < fullN && baseN > 0,
@@ -38,7 +38,7 @@ class R20OpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(got === want,
       "post-compaction media report differs from the full in-plan chain")
-    val pre = ServeOps.sfPrefix("graft_xm_k", sf)
+    val pre = ServeOps.sfPrefix("graft_xm_s", sf)
     val fullN = XModalOps.mediaDense(spark, sf).count()
     assert(spark.table(s"${pre}_c_media").count() === fullN,
       "compacted media table must hold every dense media vector")
@@ -159,7 +159,7 @@ class R20OpsSpec extends SparkSpec {
       }
     // tables exist from the row-identity test's qXmodalCompact run in
     // this JVM; rebuild defensively in case of test-order changes
-    val pre = ServeOps.sfPrefix("graft_xm_k", sf)
+    val pre = ServeOps.sfPrefix("graft_xm_s", sf)
     if (!spark.catalog.tableExists(s"${pre}_c_postings"))
       XModalOps.qXmodalCompact(spark, sf).collect()
     val docsrc = Tables.df(spark, sf, "documents")
@@ -308,7 +308,7 @@ class R20OpsSpec extends SparkSpec {
     val want = ServeOps.qSemcacheLsh(spark, sf).collect().map(_.toSeq).toSeq
     assert(got === want,
       "cache base ∪ delta report differs from the in-plan bucket-keyed cache")
-    val pre = ServeOps.sfPrefix("graft_sc_d", sf)
+    val pre = ServeOps.sfPrefix("graft_sc_s", sf)
     val baseN = spark.table(s"${pre}_vectors").count()
     val fullN = Tables.df(spark, sf, "embeddings")
       .filter($"vec_id" % 50 === 0).count()
@@ -326,7 +326,7 @@ class R20OpsSpec extends SparkSpec {
     val want = ServeOps.qSemcacheLsh(spark, sf).collect().map(_.toSeq).toSeq
     assert(got === want,
       "post-compaction cache report differs from the in-plan cache")
-    val pre = ServeOps.sfPrefix("graft_sc_k", sf)
+    val pre = ServeOps.sfPrefix("graft_sc_s", sf)
     val fullN = Tables.df(spark, sf, "embeddings")
       .filter($"vec_id" % 50 === 0).count()
     assert(spark.table(s"${pre}_c_vectors").count() === fullN,
