@@ -536,9 +536,16 @@ object ServeOps extends QueryPack {
           (when($"m_next".isNull, $"m").otherwise($"m" - $"m_next")
             * least($"rk", lit(10L))).cast("double") / ($"rk" * lit(10.0)),
           9).cast(dec9))
-      .withColumn("shap", sum($"t").over(wOrd.rowsBetween(
-        org.apache.spark.sql.expressions.Window.currentRow,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      // suffix sum as a rank-descending running sum — the
+      // ValueOps.knnShapleyPerQuery O(rows²)-frame fix (r21), same
+      // row-set/exact-decimal identity argument; candidate lists are
+      // shorter here but the frame class is the same
+      .withColumn("shap", sum($"t").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"rk".desc)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
       .select($"qid", $"vec_id", $"label", $"rk", $"m", $"shap")
   }
 

@@ -52,8 +52,18 @@ object ValueOps extends QueryPack {
           round($"m".cast("double") / $"n_train", 9).cast(dec9))
         .otherwise(round((($"m" - $"m_next") * least($"rk", lit(10L)))
           .cast("double") / ($"rk" * lit(10.0)), 9).cast(dec9)))
-      .withColumn("shap", sum($"t").over(wOrd
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      // suffix sum AS a rank-descending running sum (r21, guide §4/§7):
+      // a [currentRow, unboundedFollowing) sum frame re-aggregates the
+      // remainder of the partition PER ROW in Spark's
+      // UnboundedFollowingWindowFunctionFrame — O(rows²) per query, and
+      // the measured hot spot of this query (6–7 core-s in ONE task at
+      // sf0.1: 76 queries × ~6k-row rankings re-summed ~6k times each).
+      // rk is unique within qid, so the running sum over rk DESC covers
+      // the identical row set {rk' ≥ rk}, and DECIMAL(38,9) summation is
+      // exact ⇒ order-independent ⇒ byte-identical shap. O(rows) now.
+      .withColumn("shap", sum($"t").over(
+        Window.partitionBy($"qid").orderBy($"rk".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select($"qid", $"vec_id", $"label", $"rk", $"m", $"shap")
   }
 
