@@ -177,7 +177,10 @@ class R19OpsSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    ServeOps.buildAnnIndex(spark, sf, "graft_ann_s")
+    // tagged prefix (ADVICE r20): the per-JVM exit sweep reclaims the
+    // fixture's tmpdir directories; an untagged literal lived forever
+    val pre = ServeOps.sfPrefix("graft_ann_st", sf)
+    ServeOps.buildAnnIndex(spark, sf, pre)
     val arriving = Tables.df(spark, sf, "embeddings")
       .filter($"vec_id" % 100 === 0)
       .select($"vec_id".as[Long], $"embedding".as[Array[Float]])
@@ -187,8 +190,8 @@ class R19OpsSpec extends SparkSpec {
     val input = MemoryStream[(Long, Array[Float])]
     val stream = input.toDF().toDF("qid", "qv")
     val q = graft.streaming.Streams.annServeStream(stream,
-        spark.table("graft_ann_s_postings"),
-        spark.table("graft_ann_s_vectors"))
+        spark.table(s"${pre}_postings"),
+        spark.table(s"${pre}_vectors"))
       .writeStream.format("memory").queryName("ann_serve_stream")
       .outputMode("complete").start()
     try {

@@ -57,8 +57,11 @@ class R20OpsSpec extends SparkSpec {
     // the persisted layout (qIvfServed's): centroids + bucketed cells
     val emb = Tables.df(spark, sf, "embeddings")
     val centers = VectorQueries.ivfCenters(emb).localCheckpoint()
+    // tagged prefix (ADVICE r20): the per-JVM exit sweep reclaims the
+    // fixture's tmpdir directory; an untagged literal lived forever
+    val cellsT = ServeOps.sfPrefix("graft_ivf_st", sf) + "_cells"
     graft.sources.Sources.writeBucketed(
-      VectorQueries.ivfAssigned(emb, centers), "graft_ivf_s_cells",
+      VectorQueries.ivfAssigned(emb, centers), cellsT,
       8, "cell")
     val arriving = emb.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as[Long], $"embedding".as[Array[Float]])
@@ -68,7 +71,7 @@ class R20OpsSpec extends SparkSpec {
     val input = MemoryStream[(Long, Array[Float])]
     val stream = input.toDF().toDF("qid", "qv")
     val q = graft.streaming.Streams.ivfServeStream(stream, centers,
-        spark.table("graft_ivf_s_cells"))
+        spark.table(cellsT))
       .writeStream.format("memory").queryName("ivf_serve_stream")
       .outputMode("complete").start()
     try {
@@ -94,7 +97,9 @@ class R20OpsSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.expressions.Window
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    XModalOps.buildXmodalIndex(spark, sf, "graft_xm_s")
+    // tagged prefix (ADVICE r20) — the exit sweep reclaims the tmpdir dirs
+    val xmPre = ServeOps.sfPrefix("graft_xm_st", sf)
+    XModalOps.buildXmodalIndex(spark, sf, xmPre)
     val q = XModalOps.retrievalQueries(spark, sf).localCheckpoint()
     // the batch rule, independently re-derived: probe the SAME tables,
     // rank with the SAME kernel, keep the true pair's rank
@@ -103,9 +108,9 @@ class R20OpsSpec extends SparkSpec {
       q.select($"qid".as("vec_id"), $"qv".as("embedding")))
     val probes = VectorQueries.srpProbes(qkeys)
       .select($"vec_id".as("qid"), ($"tbl" * 256 + $"bk").as("bkey"))
-    val cand = probes.join(spark.table("graft_xm_s_postings"), "bkey")
+    val cand = probes.join(spark.table(s"${xmPre}_postings"), "bkey")
       .select($"qid", $"doc_id").distinct()
-    val want = cand.join(spark.table("graft_xm_s_media"), "doc_id")
+    val want = cand.join(spark.table(s"${xmPre}_media"), "doc_id")
       .join(broadcast(q), "qid")
       .withColumn("cs", expr("round(decimal_dot9(qv, mv) / (qn * mn), 6)"))
       .withColumn("rk", row_number().over(
@@ -121,8 +126,8 @@ class R20OpsSpec extends SparkSpec {
     val input = MemoryStream[(Long, Array[Float])]
     val stream = input.toDF().toDF("qid", "qv")
     val sq = graft.streaming.Streams.xmodalServeStream(stream,
-        spark.table("graft_xm_s_postings"),
-        spark.table("graft_xm_s_media"))
+        spark.table(s"${xmPre}_postings"),
+        spark.table(s"${xmPre}_media"))
       .writeStream.format("memory").queryName("xm_serve_stream")
       .outputMode("complete").start()
     try {
