@@ -272,9 +272,21 @@ object Bench {
     val driftJson = drifted.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     println(s"""{"metric":"telemetry","slow":$slow,"agg":${aggSnap.json(total)},"drift_rerun":$driftJson,"file":"$metricsOut"}""")
-    // Short total-only line LAST: the driver parses the stdout tail, and the
-    // full per-query line above can overflow its window at 100 queries.
+    // Short total-only line, kept from r20/r21 so every prior round's
+    // parse target still prints (driver-contract rule: fix a measurement
+    // bug, keep the old outputs too).
     println(line(Seq.empty, s""","n_queries":${finalResults.size}"""))
+    // r22 (VERDICT r21 #2): the FULL-map total line is the TRUE LAST
+    // line. The r21 driver's per-query PERF comparison parsed the final
+    // stdout line and found the short line's empty `queries` map —
+    // n_common = 0, the whole per-query audit blind. The driver stored
+    // the complete final line verbatim in BENCH_r21.json `parsed`
+    // (evidence it parses whole lines, not a truncated tail), so the
+    // last line now carries the map the contract always specified;
+    // ascending order keeps the slowest rows at the end, so even a
+    // tail-window reader still sees the rows that explain a regression.
+    println(line(finalResults.map(t => (t._1, t._2)).sortBy(_._2),
+      s""","n_queries":${finalResults.size}"""))
     spark.stop()
   }
 }

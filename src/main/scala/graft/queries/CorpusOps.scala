@@ -49,8 +49,16 @@ object CorpusOps extends QueryPack {
       : DataFrame = {
     import spark.implicits._
     val docs = Tables.df(spark, sfDir, "documents")
-    val toks = docs.select($"doc_id",
-      explode(TextFunctions.tokens($"text")).as("tok"))
+    // pinned keyed repartition before the tokenize+explode (r22, guide
+    // §2.5 — the single-row-group trap, the NB-classifier fix): toks
+    // feeds BOTH the tf and dl aggregations, so the one-task documents
+    // scan ran the whole tokenize + ×tokens fan-out serially TWICE.
+    // Raw (doc_id, text) rows ship once per pass; the exploded token
+    // stream they feed is ~100× larger.
+    val toks = docs
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id",
+        explode(TextFunctions.tokens($"text")).as("tok"))
     val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))

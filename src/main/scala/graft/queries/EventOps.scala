@@ -664,8 +664,17 @@ object EventOps extends QueryPack {
       .agg(count(lit(1)).as("m_all"), sum($"x").as("mx_all"))
       .select($"t", $"m_all", $"mx_all",
         $"m_all".as("d"), $"mx_all".as("dx"))
-    val wSuf = Window.orderBy($"t")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // suffix sums as t-DESCENDING running sums (r22 — the r21
+    // q_knn_shapley O(rows²)-frame fix applied to the last two suffix
+    // frames): Spark's [currentRow, unboundedFollowing] frame
+    // re-aggregates the partition remainder per row (O(rows²)); t is
+    // unique (the groupBy grain), so the running prefix under ORDER BY
+    // t DESC covers the identical row set {t' ≥ t}, and m_all/mx_all
+    // sum as exact LONGs ⇒ order-independent ⇒ byte-identical risk sets.
+    // The day-grain relation is calendar-bounded, so this is frame
+    // hygiene, not a scale fix — but it retires the O(n²) frame class.
+    val wSuf = Window.orderBy($"t".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val terms = byT
       .withColumn("s0", sum($"m_all").over(wSuf))
       .withColumn("s1", sum($"mx_all").over(wSuf))
@@ -972,7 +981,16 @@ object EventOps extends QueryPack {
     val dec6 = DecimalType(18, 6)
     val dec9 = DecimalType(18, 9)
     val w = Window.partitionBy($"user_id", $"d").orderBy($"ts", $"event_id")
-    val wSuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // suffix sum as a DESCENDING running sum (r22, the q_knn_shapley
+    // frame fix): event_id is globally unique (verified on the fixture),
+    // so (ts, event_id) totally orders each episode and the prefix under
+    // the reversed order is exactly the suffix {k' ≥ k}; gk·r terms are
+    // exact decimals ⇒ order-independent sums ⇒ byte-identical returns.
+    // Episodes are bounded per (user, day), but the O(rows²) frame class
+    // is retired with this last conversion.
+    val wSuf = Window.partitionBy($"user_id", $"d")
+      .orderBy($"ts".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val steps = Tables.df(spark, sfDir, "events")
       .select($"user_id", to_date($"ts").as("d"), $"ts", $"event_id",
         $"event_type",

@@ -36,9 +36,17 @@ object LearnOps extends QueryPack {
     val docs = Tables.df(spark, sfDir, "documents")
     // deliberately NOT cached: the explode is cheaper to recompute from
     // the pruned parquet scan than an InMemoryRelation is to build+scan
-    // (measured at sf0.1: persist made the query 30% slower)
-    val toks = docs.select($"doc_id", $"lang",
-      explode(TextFunctions.tokens($"text")).as("tok"))
+    // (measured at sf0.1: persist made the query 30% slower).
+    // r22: pinned keyed repartition BEFORE the tokenize+explode (guide
+    // §2.5 — the single-split input artifact): both consuming passes ran
+    // their whole tokenize + ×5-class fan-out in ONE scan task each
+    // (profiled: three 2.5–3.4 s single-task stages = the row's entire
+    // wall). The shuffle ships the raw (doc_id, lang, text) rows once
+    // per pass — far smaller than the exploded token stream it spreads.
+    val toks = docs
+      .repartition(Tables.shufflePartitions(spark), $"doc_id")
+      .select($"doc_id", $"lang",
+        explode(TextFunctions.tokens($"text")).as("tok"))
 
     val priors = docs.groupBy($"lang".as("c"))
       .agg(count(lit(1)).as("n_c"))

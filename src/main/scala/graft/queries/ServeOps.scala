@@ -170,9 +170,21 @@ object ServeOps extends QueryPack {
       if (mine != null) mine.foreach(del)
     }, "graft-index-tmp-sweep"))
   }
-  private[graft] def sfPrefix(base: String, sfDir: String): String =
-    base + "_" + java.lang.Integer.toHexString(sfDir.hashCode) +
-      "_" + jvmTag
+  // first 8 MD5 hex chars of the verbatim sfDir, not String.hashCode
+  // (ADVICE r21): with every family build memoized per (sfDir, prefix),
+  // a hashCode collision between two fixture dirs in one JVM would let
+  // the second fixture's build overwrite the first's tables while the
+  // first's memo still claims "built" — the un-memoized families
+  // self-corrected by rebuilding; that escape hatch is gone. 32 bits of
+  // MD5 can still collide in principle, but not for the structured
+  // sibling paths (…/sf0.001 vs …/sf0.01) that defeat String.hashCode's
+  // weak mixing in practice; test-suite fixture tags ride the same digest.
+  private[graft] def sfPrefix(base: String, sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+    val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+    base + "_" + hex + "_" + jvmTag
+  }
 
   /** Build-once-per-(application, fixture) memo for the persisted index
     * layouts (r21, VERDICT r20 #1 — the [[Corpus2Ops.bpeArtifacts]]
@@ -192,7 +204,16 @@ object ServeOps extends QueryPack {
     * seconds of Spark jobs, and re-entry would throw). Tables carry the
     * per-JVM [[jvmTag]], so a fresh process can never read a previous
     * run's artifacts — every invocation computes from the parquet
-    * inputs. */
+    * inputs.
+    *
+    * Failure caveat (ADVICE r21): if a body throws after partially
+    * writing its family's tables (postings written, vectors not), the
+    * lazy cell retries on the NEXT caller, but a reader that raced in
+    * between — or a caller that swallowed the first failure — can see a
+    * half-built prefix mixing generations until that retry completes.
+    * Acceptable for the single-threaded bench/verify harness (the first
+    * caller's failure surfaces as the query erroring); a multi-threaded
+    * serving fleet would want a write-to-staging-then-rename commit. */
   private final class Once(body: () => Unit) { lazy val force: Unit = body() }
   private val buildMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Once]()

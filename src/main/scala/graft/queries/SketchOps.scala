@@ -141,7 +141,13 @@ object SketchOps extends QueryPack {
   def qBloomFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val m = bloomM; val k = bloomK
+    // pinned keyed repartition before the shingle explode (r22, guide
+    // §2.5): the single-split documents scan ran shingling + the ×4 md5
+    // position fan-out in one task per pass (profiled: 2.0/0.8/0.8 s
+    // single-task stages). Raw rows ship once per pass; the exploded
+    // shingle stream they feed is ~10× larger.
     val sh = Tables.df(spark, sfDir, "documents")
+      .repartition(graft.Tables.shufflePartitions(spark), $"doc_id")
       .select($"doc_id",
         explode(TextFunctions.shingles($"text", 3)).as("key"))
     // checkpoint the corpus key set (3 consumers: bit build, membership
@@ -150,9 +156,16 @@ object SketchOps extends QueryPack {
     // serialized; at cluster scale the saved recomputation is the bill.
     // Probe/bits checkpoints measured NET-negative on wall (+0.5 s of
     // eager-job latency for little reuse) and stay un-materialized.
+    // the pinned repartition after each distinct keeps the ×4 md5
+    // position fan-out wide: the distinct's post-shuffle reader
+    // coalesces to 1–2 partitions under the envelope's 1m advisory, so
+    // without it the checkpoint materializes narrow and every bit/probe
+    // pass md5-hashes the whole key set in 1–2 tasks (r22, profiled)
     val corpus = sh.filter($"doc_id" % 4 =!= 0).select($"key").distinct()
+      .repartition(graft.Tables.shufflePartitions(spark), $"key")
       .localCheckpoint()
     val probe = sh.filter($"doc_id" % 4 === 0).select($"key").distinct()
+      .repartition(graft.Tables.shufflePartitions(spark), $"key")
     def positions(keys: DataFrame): DataFrame =
       bloomPositions(keys).select($"key", $"pos")
     val bits = positions(corpus).select($"pos").distinct()

@@ -344,9 +344,18 @@ object Stats3Ops extends QueryPack {
     val lams = Seq("-1.0", "-0.5", "0.0", "0.5", "1.0")
     val grid = lams.toDF("lam_s")
       .select($"lam_s".cast("double").as("lam"))
+    // pinned keyed repartition before the ×5 λ-grid fan-out (r22, guide
+    // §2.5 — the single-row-group trap): the one-task orders scan ran
+    // the whole 5×|orders| BigDecimal-rounding kernel serially (12
+    // tasks, run ≈ wall). The shuffle ships one thin double per order
+    // row ONCE; the 5× fan-out and its three 9dp rounds per output row
+    // happen wide. Scale-safe: the shipped bytes are 1/5 of the rows
+    // the kernel emits, and exact decimal sums are order-independent.
     val terms = Tables.df(spark, sfDir, "orders")
-      .select($"o_totalprice".cast("double").as("x"))
+      .select($"o_orderkey", $"o_totalprice".cast("double").as("x"))
       .filter($"x" > 0)
+      .repartition(Tables.shufflePartitions(spark), $"o_orderkey")
+      .select($"x")
       .crossJoin(broadcast(grid))
       .select($"lam",
         round(log($"x"), 9).cast(dec9).as("lx"),

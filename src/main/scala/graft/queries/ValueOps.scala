@@ -59,8 +59,10 @@ object ValueOps extends QueryPack {
       // the measured hot spot of this query (6–7 core-s in ONE task at
       // sf0.1: 76 queries × ~6k-row rankings re-summed ~6k times each).
       // rk is unique within qid, so the running sum over rk DESC covers
-      // the identical row set {rk' ≥ rk}, and DECIMAL(38,9) summation is
-      // exact ⇒ order-independent ⇒ byte-identical shap. O(rows) now.
+      // the identical row set {rk' ≥ rk}; the t terms are DECIMAL(28,9)
+      // and Spark widens the window sum to DECIMAL(38,9) — both exact ⇒
+      // order-independent ⇒ byte-identical shap. O(rows) now. (ADVICE
+      // r21: the earlier comment claimed the TERMS were (38,9).)
       .withColumn("shap", sum($"t").over(
         Window.partitionBy($"qid").orderBy($"rk".desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

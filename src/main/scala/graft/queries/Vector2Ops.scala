@@ -274,7 +274,16 @@ object Vector2Ops extends QueryPack {
         row_number().over(Window.orderBy($"h", $"vec_id")))
       .select($"rn", $"embedding".as("center"))
       .localCheckpoint() // one 16-row broadcast serves every config
-    val cd = emb.crossJoin(broadcast(cents))
+    // pinned keyed repartition before the ×16 exact-decimal distance
+    // fan-out (r22, guide §2.5 input-skew remedy — the srpKeys /
+    // cosinePairsBrute single-split trap): the fixture's embeddings
+    // parquet is ONE row group, so this pass ran its 3.3 s of decimal
+    // kernel in ONE task (profiled: stage dur ≈ run, 1 task, the row's
+    // whole wall≫run gap); the repartition ships the thin (vec_id,
+    // embedding) rows once and spreads the kernel across the session's
+    // shuffle width
+    val cd = emb.repartition(Tables.shufflePartitions(spark), $"vec_id")
+      .crossJoin(broadcast(cents))
       .withColumn("d2", VectorQueries.decL2Sq("embedding", "center"))
       .select($"vec_id", $"rn", $"d2")
       .localCheckpoint() // corpus assignment arm + query probe arm

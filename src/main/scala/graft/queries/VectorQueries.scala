@@ -405,9 +405,19 @@ object VectorQueries extends QueryPack {
     // would emit fewer posexplode rows here while the oracle's fixed
     // range(0,16) still counts the NULL element's row — filtering the
     // same rows out everywhere removes the silent-divergence path
+    // pinned keyed repartition before the 16×16 outer-product explode
+    // (r22, guide §2.5 — the single-row-group trap): the fixture parquet
+    // is ONE row group, so the 512k interpreted decimal products of the
+    // cells pass ran in ONE scan task (profiled: 0.8 s single-task
+    // stage); the shuffle ships the thin sliced rows once and both the
+    // sums and cells passes read it wide. vec_id is kept only as the
+    // partition key and dropped after — exact decimal sums are
+    // order-independent, so placement cannot change any aggregate.
     val emb = Tables.df(spark, sfDir, "embeddings")
       .filter(size($"embedding") >= d)
-      .select(xd.as("x"))
+      .select($"vec_id", xd.as("x"))
+      .repartition(Tables.shufflePartitions(spark), $"vec_id")
+      .select($"x")
     // localCheckpoint the two tiny aggregates (16 + 256 rows): the
     // iteration below references cov three times and the report twice
     // more — without lineage truncation each reference re-runs the full
@@ -487,8 +497,15 @@ object VectorQueries extends QueryPack {
     import spark.implicits._
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val k = 5
+    // pinned keyed repartition before the |sub|² brute-force cosine
+    // kernel (r22, the cosinePairsBrute r7 fix applied to this caller):
+    // the single-row-group scan ran the ~1M-pair kernel in ONE task
+    // (profiled 2.9 s stage at 1 task). Applied at the call site, not
+    // inside knnBruteForce — the operator's other callers feed ≤40k
+    // pairs, where the extra exchange costs more than it spreads.
     val sub = Tables.df(spark, sfDir, "embeddings")
       .filter($"vec_id" % 2 === 0)
+      .repartition(graft.Tables.shufflePartitions(spark), $"vec_id")
     val nn = Similarity.knnBruteForce(sub, sub, k)
       .select($"qid", $"vec_id".as("nid"),
         (lit(1.0) - $"sim").cast(dec6).as("d"))
@@ -694,10 +711,18 @@ object VectorQueries extends QueryPack {
     // engine-portable quantity (established round-6/9 discipline); the
     // second round snaps its ×1e9 image onto the exact integer, so the
     // per-projection sum is cheap long arithmetic, still exact and
-    // order-independent (per-term BigDecimal was the hot spot)
+    // order-independent (per-term BigDecimal was the hot spot).
+    // r22: the two rounds fuse into the native round9_nano expression —
+    // BIT-IDENTICAL terms (Round9NanoSpec fuzzes the equality; the
+    // artifact ≡ fresh-derivation laws and the ANN oracles pin the
+    // consumers) with the double fast path replacing the two
+    // Double.toString+BigDecimal parses per term, which were the
+    // measured bulk of every key build (~26 run core-s of
+    // q_xmodal_retrieval_ann's term stage at sf0.1, ×4096 terms/vector)
+    graft.functions.Round9Nano.register(spark)
     val terms = dims.join(broadcast(planes), "d")
       .select($"vec_id", expr("i div 8").as("tbl"), $"i",
-        round(round($"x" * $"r", 9) * 1e9, 0).cast("long").as("term"))
+        expr("round9_nano(x * r)").as("term"))
     val bits = terms.groupBy($"vec_id", $"tbl", $"i")
       .agg((sum($"term") > 0).as("bit"))
     bits.groupBy($"vec_id", $"tbl")

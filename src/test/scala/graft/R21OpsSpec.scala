@@ -137,17 +137,36 @@ class R21OpsSpec extends SparkSpec {
       ServeOps.sfPrefix("graft_ivf_s", sf),
       ServeOps.sfPrefix("graft_xm_s", sf),
       ServeOps.sfPrefix("graft_sc_s", sf))
-    def createTimes(): Seq[Long] = pres.map { p =>
-      val t = if (p.startsWith("graft_ivf")) s"${p}_cells"
-        else s"${p}_postings"
+    def tableNames: Seq[String] = pres.map { p =>
+      if (p.startsWith("graft_ivf")) s"${p}_cells" else s"${p}_postings"
+    }
+    def createTimes(): Seq[Long] = tableNames.map { t =>
       spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst
           .TableIdentifier(t)).createTime
     }
+    // ADVICE r21: createTime has millisecond granularity, so a rebuild
+    // completing within the same ms could false-pass. Also pin the
+    // tables' part-FILE paths: every overwrite generates fresh write-UUID
+    // part names, so identical sorted file lists ⇒ no write ran at all.
+    def partFiles(): Seq[Seq[String]] = tableNames.map { t =>
+      val loc = new java.io.File(java.net.URI.create(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .location.toString))
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath)
+      walk(loc).sorted
+    }
     val before = createTimes()
+    val filesBefore = partFiles()
     val r2 = ServeOps.qCompactAdvisor(spark, sf).collect().map(_.toSeq).toSeq
     assert(r2 === r1, "advisor must be deterministic across runs")
     assert(createTimes() === before,
       "a repeat advisor run re-created a split table — the memo failed")
+    assert(partFiles() === filesBefore,
+      "a repeat advisor run rewrote a split table's data files — the " +
+        "memo failed (createTime alone can false-pass within one ms)")
   }
 }
