@@ -49,16 +49,15 @@ object CorpusOps extends QueryPack {
       : DataFrame = {
     import spark.implicits._
     val docs = Tables.df(spark, sfDir, "documents")
-    // pinned keyed repartition before the tokenize+explode (r22, guide
-    // §2.5 — the single-row-group trap, the NB-classifier fix): toks
-    // feeds BOTH the tf and dl aggregations, so the one-task documents
-    // scan ran the whole tokenize + ×tokens fan-out serially TWICE.
-    // Raw (doc_id, text) rows ship once per pass; the exploded token
-    // stream they feed is ~100× larger.
-    val toks = docs
-      .repartition(Tables.shufflePartitions(spark), $"doc_id")
-      .select($"doc_id",
-        explode(TextFunctions.tokens($"text")).as("tok"))
+    // NO pinned repartition before this tokenize (r22, measured): the
+    // NB-classifier fix was tried here and REVERTED — bm25's per-pass
+    // tokenize is light (~0.5 core-s, vs nb_classify's 2.5–3.4 s
+    // stages), and the added exchanges + wide-stage dispatch cost more
+    // than they spread (q_bm25_tune 1.59→2.52 s, q_bm25 0.69→0.99 s on
+    // matched windows). The single-task scan is a fixture artifact; at
+    // scale the scan splits wide on its own.
+    val toks = docs.select($"doc_id",
+      explode(TextFunctions.tokens($"text")).as("tok"))
     val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))

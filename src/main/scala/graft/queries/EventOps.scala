@@ -981,16 +981,16 @@ object EventOps extends QueryPack {
     val dec6 = DecimalType(18, 6)
     val dec9 = DecimalType(18, 9)
     val w = Window.partitionBy($"user_id", $"d").orderBy($"ts", $"event_id")
-    // suffix sum as a DESCENDING running sum (r22, the q_knn_shapley
-    // frame fix): event_id is globally unique (verified on the fixture),
-    // so (ts, event_id) totally orders each episode and the prefix under
-    // the reversed order is exactly the suffix {k' ≥ k}; gk·r terms are
-    // exact decimals ⇒ order-independent sums ⇒ byte-identical returns.
-    // Episodes are bounded per (user, day), but the O(rows²) frame class
-    // is retired with this last conversion.
-    val wSuf = Window.partitionBy($"user_id", $"d")
-      .orderBy($"ts".desc, $"event_id".desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // suffix frame KEPT as [currentRow, unboundedFollowing] (r22,
+    // measured): the q_knn_shapley descending-running-sum rewrite was
+    // tried and REVERTED — this query's other window functions share
+    // w's ASCENDING sort, so the reversed order broke the single-sort
+    // WindowExec fusion into two sorts + two window passes (q_returns
+    // 0.95→1.20 s wall, run 2.5→4.4 core-s on matched windows), while
+    // the frame's O(rows²) is bounded by the per-(user, day) episode
+    // length (~tens of rows at any corpus size — more users, not longer
+    // days) and costs less than the second sort.
+    val wSuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val steps = Tables.df(spark, sfDir, "events")
       .select($"user_id", to_date($"ts").as("d"), $"ts", $"event_id",
         $"event_type",

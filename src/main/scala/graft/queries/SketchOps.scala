@@ -156,16 +156,16 @@ object SketchOps extends QueryPack {
     // serialized; at cluster scale the saved recomputation is the bill.
     // Probe/bits checkpoints measured NET-negative on wall (+0.5 s of
     // eager-job latency for little reuse) and stay un-materialized.
-    // the pinned repartition after each distinct keeps the ×4 md5
-    // position fan-out wide: the distinct's post-shuffle reader
-    // coalesces to 1–2 partitions under the envelope's 1m advisory, so
-    // without it the checkpoint materializes narrow and every bit/probe
-    // pass md5-hashes the whole key set in 1–2 tasks (r22, profiled)
+    // NO pinned repartition after the distincts (r22, measured A/B):
+    // re-widening the AQE-coalesced distinct output for the ×4 md5
+    // position fan-out was tried and dropped — same-window walls
+    // overlap (2.14–2.56 s with vs 2.24–2.34 s without) while the
+    // extra same-key exchanges add +132 tasks / +7 run core-s; the
+    // narrow checkpoint is a fixture-size phenomenon (the key set is
+    // ~2 MB here; at scale AQE's advisory already leaves it wide).
     val corpus = sh.filter($"doc_id" % 4 =!= 0).select($"key").distinct()
-      .repartition(graft.Tables.shufflePartitions(spark), $"key")
       .localCheckpoint()
     val probe = sh.filter($"doc_id" % 4 === 0).select($"key").distinct()
-      .repartition(graft.Tables.shufflePartitions(spark), $"key")
     def positions(keys: DataFrame): DataFrame =
       bloomPositions(keys).select($"key", $"pos")
     val bits = positions(corpus).select($"pos").distinct()

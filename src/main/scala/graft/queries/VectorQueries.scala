@@ -405,19 +405,14 @@ object VectorQueries extends QueryPack {
     // would emit fewer posexplode rows here while the oracle's fixed
     // range(0,16) still counts the NULL element's row — filtering the
     // same rows out everywhere removes the silent-divergence path
-    // pinned keyed repartition before the 16×16 outer-product explode
-    // (r22, guide §2.5 — the single-row-group trap): the fixture parquet
-    // is ONE row group, so the 512k interpreted decimal products of the
-    // cells pass ran in ONE scan task (profiled: 0.8 s single-task
-    // stage); the shuffle ships the thin sliced rows once and both the
-    // sums and cells passes read it wide. vec_id is kept only as the
-    // partition key and dropped after — exact decimal sums are
-    // order-independent, so placement cannot change any aggregate.
+    // NO pinned repartition before the 16×16 outer product (r22,
+    // measured): the single-task-scan fix was tried here and REVERTED —
+    // the cells kernel is only ~0.8 core-s, and the added exchange plus
+    // the extra wide stages cost more than they spread (q_pca_power
+    // 1.11→1.58 s, q_pca_deflate 2.40→3.39 s on matched windows).
     val emb = Tables.df(spark, sfDir, "embeddings")
       .filter(size($"embedding") >= d)
-      .select($"vec_id", xd.as("x"))
-      .repartition(Tables.shufflePartitions(spark), $"vec_id")
-      .select($"x")
+      .select(xd.as("x"))
     // localCheckpoint the two tiny aggregates (16 + 256 rows): the
     // iteration below references cov three times and the report twice
     // more — without lineage truncation each reference re-runs the full
